@@ -1,13 +1,139 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2 run over
+  * the driver testdata; [[oracleSql]] carries a DuckDB-equivalent SQL
+  * replica of the same semantics for the correctness gate. Query keys
+  * reference the §2 operator IDs (D4-D7, U1, ...).
+  */
 object SparkEntry {
+
+  /** events(event_id, ts, user_id, event_type, value, props) → canonical
+    * TimeSeriesFrame: one series per user (SURVEY.md §1.3 — scale = many
+    * series, parallel across series_id). */
+  def canonicalEvents(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.read(spark, sfDir, "events")
+      .select(
+        col("user_id").cast("string").as("series_id"),
+        col("ts"),
+        col("value"))
+
+  /** Totals are double sums whose addition order differs between Spark
+    * partial aggregation and DuckDB's sequential scan; round so ulp
+    * noise cannot break the driver's hash compare. */
+  private def roundTotal(df: DataFrame): DataFrame =
+    df.withColumn("total", round(col("total"), 6))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ExtremeValueEvents(expectedMax = 300.0, expectedMin = 0.05)
+      .detect(canonicalEvents(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d6_extreme_value" -> ((s, dir) =>
+      roundTotal(ExtremeValueEvents(expectedMax = 300.0, expectedMin = 0.05)
+        .detect(canonicalEvents(s, dir)))),
+    "d5_flat_line" -> ((s, dir) =>
+      roundTotal(FlatLineEvents(minLen = 2L, slopeThresh = 5.0)
+        .detect(canonicalEvents(s, dir)))),
+    "d7_extreme_change" -> ((s, dir) =>
+      roundTotal(ExtremeChangeEvents(minLen = 1L,
+        positiveSlopeThresh = Some(200.0), negativeSlopeThresh = Some(-200.0))
+        .detect(canonicalEvents(s, dir)))),
+    "d4_data_gap" -> ((s, dir) =>
+      roundTotal(DataGapEvents(minLen = 2L, expectedFrequency = "6H")
+        .detect(canonicalEvents(s, dir)))),
+    "u1_infer_step" -> ((s, dir) =>
+      Kernels.inferStep(canonicalEvents(s, dir)))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL. Shared shape: canonical frame `t`, lag-diff `d`,
+  // null-safe mask `m`, gaps-and-islands run id `r` (SURVEY.md §2.1),
+  // then the event assembly aggregation.
+  // ---------------------------------------------------------------------
+
+  private val canonicalCte =
+    "SELECT CAST(user_id AS VARCHAR) AS series_id, ts, value FROM events"
+
+  private def runIdSql(maskSql: String, withDiff: Boolean): String = {
+    val diffCte =
+      if (withDiff)
+        s""", d AS (SELECT series_id, ts, value,
+           |  value - lag(value) OVER (PARTITION BY series_id ORDER BY ts) AS diff
+           |  FROM t)""".stripMargin
+      else ", d AS (SELECT series_id, ts, value FROM t)"
+    s"""WITH t AS ($canonicalCte)$diffCte,
+       | m AS (SELECT *, COALESCE($maskSql, FALSE) AS cond FROM d),
+       | r AS (SELECT *, SUM(CASE WHEN cond THEN 0 ELSE 1 END)
+       |   OVER (PARTITION BY series_id ORDER BY ts
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |   FROM m)""".stripMargin
+  }
+
+  private def assembleSql(eventType: String, havingPoints: Long = 1L): String = {
+    val having = if (havingPoints > 1L) s" HAVING COUNT(*) >= $havingPoints" else ""
+    s""" SELECT series_id, '$eventType' AS event_type,
+       |  MIN(ts) AS "start", MAX(ts) AS "stop",
+       |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       |  COUNT(*) AS n_points,
+       |  ROUND(SUM(CASE WHEN isnan(value) THEN NULL ELSE value END), 6) AS total
+       | FROM r WHERE cond GROUP BY series_id, run_id$having""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "d6_extreme_value" ->
+      (runIdSql("value > 300.0 OR value < 0.05", withDiff = false) +
+        assembleSql("extreme_value")),
+    "d5_flat_line" ->
+      (runIdSql("abs(diff) <= 5.0", withDiff = true) +
+        assembleSql("flat_line", havingPoints = 2L)),
+    "d7_extreme_change" ->
+      (runIdSql("diff >= 200.0 OR diff <= -200.0", withDiff = true) +
+        assembleSql("extreme_change")),
+    "d4_data_gap" -> dataGapSql(minLen = 2L, stepUs = 6L * 3600L * 1000000L),
+    "u1_infer_step" ->
+      s"""WITH t AS ($canonicalCte),
+         | w AS (SELECT series_id,
+         |   epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY series_id ORDER BY ts)) AS d_us,
+         |   row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn,
+         |   count(*) OVER (PARTITION BY series_id) AS n
+         |  FROM t)
+         | SELECT series_id,
+         |  CASE WHEN count(DISTINCT d_us) = 1 THEN min(d_us) END AS step_us
+         | FROM w WHERE rn >= 2 AND rn <= n - 1 GROUP BY series_id""".stripMargin
+  )
+
+  /** DataGap (D4): union of missing-VALUE runs and missing-TIMESTAMP
+    * synthetic 2-point events, filtered by duration >= min_len*step
+    * (metevents/events.py:251-298; SURVEY.md §2.2/D4). */
+  private def dataGapSql(minLen: Long, stepUs: Long): String = {
+    val nanRuns = runIdSql("value IS NULL OR isnan(value)", withDiff = false) +
+      assembleSql("data_gap")
+    s"""SELECT * FROM (
+       | $nanRuns
+       | UNION ALL BY NAME
+       | SELECT series_id, 'data_gap' AS event_type,
+       |   prev_ts AS "start", ts AS "stop",
+       |   epoch_us(ts) - epoch_us(prev_ts) AS duration_us,
+       |   CAST(2 AS BIGINT) AS n_points,
+       |   ROUND(CASE WHEN (v IS NULL OR isnan(v)) AND (pv IS NULL OR isnan(pv)) THEN NULL
+       |     ELSE COALESCE(CASE WHEN isnan(v) THEN NULL ELSE v END, 0.0)
+       |        + COALESCE(CASE WHEN isnan(pv) THEN NULL ELSE pv END, 0.0) END, 6) AS total
+       | FROM (
+       |   SELECT series_id, ts, value AS v,
+       |     lag(ts) OVER (PARTITION BY series_id ORDER BY ts) AS prev_ts,
+       |     lag(value) OVER (PARTITION BY series_id ORDER BY ts) AS pv
+       |   FROM (SELECT * FROM ($canonicalCte)) )
+       | WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) > $stepUs
+       |) WHERE duration_us >= ${minLen * stepUs}""".stripMargin
+  }
 }
