@@ -50,7 +50,11 @@ object SparkEntry {
       roundTotal(DataGapEvents(minLen = 2L, expectedFrequency = "6H")
         .detect(canonicalEvents(s, dir)))),
     "u1_infer_step" -> ((s, dir) =>
-      Kernels.inferStep(canonicalEvents(s, dir)))
+      Kernels.inferStep(canonicalEvents(s, dir))),
+    "d1_storm" -> ((s, dir) =>
+      roundTotal(StormEvents(instantMassToStart = 50.0, minStormTotal = 500.0,
+        hoursToStop = 12, maxStormHours = 48, frequency = Some("1H"))
+        .detect(canonicalEvents(s, dir))))
   )
 
   // ---------------------------------------------------------------------
@@ -100,6 +104,9 @@ object SparkEntry {
       (runIdSql("diff >= 200.0 OR diff <= -200.0", withDiff = true) +
         assembleSql("extreme_change")),
     "d4_data_gap" -> dataGapSql(minLen = 2L, stepUs = 6L * 3600L * 1000000L),
+    "d1_storm" -> stormSql(mass = 50.0, minTotal = 500.0,
+      dtUs = 12L * 3600L * 1000000L, maxUs = 48L * 3600L * 1000000L,
+      stepUs = 3600L * 1000000L),
     "u1_infer_step" ->
       s"""WITH t AS ($canonicalCte),
          | w AS (SELECT series_id,
@@ -111,6 +118,72 @@ object SparkEntry {
          |  CASE WHEN count(DISTINCT d_us) = 1 THEN min(d_us) END AS step_us
          | FROM w WHERE rn >= 2 AND rn <= n - 1 GROUP BY series_id""".stripMargin
   )
+
+  /** Storm delineation (D1) as a DuckDB recursive CTE: the reference's
+    * sequential fold (metevents/events.py:85-121) carries candidate
+    * state group-by-group; the recursion advances every series one
+    * group per iteration, then spans get the one-step back-extension
+    * and an interval join recovers exact label-slice stats. Mirrors
+    * [[graft.operators.StormEvents]]. */
+  private def stormSql(
+      mass: Double, minTotal: Double, dtUs: Long, maxUs: Long, stepUs: Long): String = {
+    val closed =
+      s"""((((next_start_us - g_stop_us > $dtUs) OR (g_stop_us - cand_start_us > $maxUs))
+         |  AND (cum_incl_stop - cand_cum_excl >= $minTotal)) OR i = n_groups - 1)""".stripMargin
+    s"""WITH RECURSIVE
+       |t AS ($canonicalCte),
+       |p AS (SELECT series_id, ts,
+       |   CASE WHEN isnan(value) THEN NULL ELSE value END AS v,
+       |   COALESCE(value >= $mass, FALSE) AS cond,
+       |   row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn,
+       |   SUM(COALESCE(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.0))
+       |     OVER (PARTITION BY series_id ORDER BY ts
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl
+       |  FROM t),
+       |r AS (SELECT *, SUM(CASE WHEN cond THEN 0 ELSE 1 END)
+       |   OVER (PARTITION BY series_id ORDER BY ts
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM p),
+       |g0 AS (SELECT series_id, run_id,
+       |   min(epoch_us(ts)) AS g_start_us, max(epoch_us(ts)) AS g_stop_us,
+       |   min(rn) AS rn_start,
+       |   min_by(cum_incl - COALESCE(v, 0.0), ts) AS cum_excl_start,
+       |   max_by(cum_incl, ts) AS cum_incl_stop
+       |  FROM r WHERE cond GROUP BY series_id, run_id),
+       |g AS (SELECT *,
+       |   row_number() OVER (PARTITION BY series_id ORDER BY g_start_us) - 1 AS i,
+       |   count(*) OVER (PARTITION BY series_id) AS n_groups,
+       |   COALESCE(lead(g_start_us) OVER (PARTITION BY series_id ORDER BY g_start_us),
+       |            g_stop_us) AS next_start_us
+       |  FROM g0),
+       |fold AS (
+       |  SELECT series_id, i, g_stop_us, n_groups, next_start_us, cum_incl_stop,
+       |         g_start_us AS cand_start_us, cum_excl_start AS cand_cum_excl,
+       |         rn_start AS cand_rn_start
+       |  FROM g WHERE i = 0
+       |  UNION ALL
+       |  SELECT gn.series_id, gn.i, gn.g_stop_us, gn.n_groups, gn.next_start_us,
+       |         gn.cum_incl_stop,
+       |         CASE WHEN f.closed THEN gn.g_start_us ELSE f.cand_start_us END,
+       |         CASE WHEN f.closed THEN gn.cum_excl_start ELSE f.cand_cum_excl END,
+       |         CASE WHEN f.closed THEN gn.rn_start ELSE f.cand_rn_start END
+       |  FROM (SELECT *, $closed AS closed FROM fold) f
+       |  JOIN g gn ON gn.series_id = f.series_id AND gn.i = f.i + 1),
+       |spans AS (
+       |  SELECT series_id,
+       |    CASE WHEN cand_rn_start > 1 THEN cand_start_us - $stepUs
+       |         ELSE cand_start_us END AS span_start_us,
+       |    g_stop_us AS span_stop_us
+       |  FROM (SELECT *, $closed AS closed FROM fold) WHERE closed)
+       |SELECT series_id, 'storm' AS event_type, "start", "stop",
+       |  epoch_us("stop") - epoch_us("start") AS duration_us, n_points, total
+       |FROM (
+       |  SELECT t.series_id, span_start_us, span_stop_us,
+       |    min(ts) AS "start", max(ts) AS "stop", count(*) AS n_points,
+       |    ROUND(SUM(CASE WHEN isnan(value) THEN NULL ELSE value END), 6) AS total
+       |  FROM t JOIN spans s ON t.series_id = s.series_id
+       |    AND epoch_us(ts) BETWEEN span_start_us AND span_stop_us
+       |  GROUP BY t.series_id, span_start_us, span_stop_us)""".stripMargin
+  }
 
   /** DataGap (D4): union of missing-VALUE runs and missing-TIMESTAMP
     * synthetic 2-point events, filtered by duration >= min_len*step

@@ -143,6 +143,11 @@ object Steps {
     * `resolution_string`: one unit of the SMALLEST nonzero component of
     * the diff (so a 2-day spacing still yields a 1-day tstep — quirk
     * preserved from metevents/events.py:76-77 + utilities.py:14). */
+  /** Null-passing variant for use as a UDF over inferStep output. */
+  def resolutionOpt(diffUs: java.lang.Long): java.lang.Long =
+    if (diffUs == null) null
+    else java.lang.Long.valueOf(resolutionStepUs(diffUs.longValue))
+
   def resolutionStepUs(diffUs: Long): Long =
     if (diffUs % Day == 0) Day
     else if (diffUs % Hour == 0) Hour
