@@ -15,13 +15,17 @@ object SparkEntry {
 
   /** events(event_id, ts, user_id, event_type, value, props) → canonical
     * TimeSeriesFrame: one series per user (SURVEY.md §1.3 — scale = many
-    * series, parallel across series_id). */
+    * series, parallel across series_id). NaN→null at ingest (SURVEY.md
+    * §7.4.1): pandas treats NaN as missing in every comparison, while
+    * Spark and DuckDB both order NaN above all numerics — normalizing
+    * once here keeps every downstream mask pandas-faithful on both the
+    * Spark and the oracle side. */
   def canonicalEvents(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.Tables.read(spark, sfDir, "events")
       .select(
         col("user_id").cast("string").as("series_id"),
         col("ts"),
-        col("value"))
+        graft.operators.Kernels.nanToNull(col("value")).as("value"))
 
   /** Totals are double sums whose addition order differs between Spark
     * partial aggregation and DuckDB's sequential scan; round so ulp
@@ -63,8 +67,12 @@ object SparkEntry {
   // then the event assembly aggregation.
   // ---------------------------------------------------------------------
 
+  // NaN→null mirrors canonicalEvents' ingest normalization: DuckDB
+  // shares Spark's NaN-orders-above-all semantics, so masks must see
+  // null (→ COALESCE false), matching pandas' NaN-compare-is-False.
   private val canonicalCte =
-    "SELECT CAST(user_id AS VARCHAR) AS series_id, ts, value FROM events"
+    "SELECT CAST(user_id AS VARCHAR) AS series_id, ts, " +
+      "CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events"
 
   private def runIdSql(maskSql: String, withDiff: Boolean): String = {
     val diffCte =
@@ -179,7 +187,7 @@ object SparkEntry {
        |FROM (
        |  SELECT t.series_id, span_start_us, span_stop_us,
        |    min(ts) AS "start", max(ts) AS "stop", count(*) AS n_points,
-       |    ROUND(SUM(CASE WHEN isnan(value) THEN NULL ELSE value END), 6) AS total
+       |    ROUND(COALESCE(SUM(value), 0.0), 6) AS total
        |  FROM t JOIN spans s ON t.series_id = s.series_id
        |    AND epoch_us(ts) BETWEEN span_start_us AND span_stop_us
        |  GROUP BY t.series_id, span_start_us, span_stop_us)""".stripMargin

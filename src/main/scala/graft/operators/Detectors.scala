@@ -23,7 +23,10 @@ case class ExtremeValueEvents(expectedMax: Double = 600.0, expectedMin: Double =
     extends Detector {
   val eventType = "extreme_value"
   def detect(ts: DataFrame): DataFrame = {
-    val flagged = withRunId(ts, col("value") > expectedMax || col("value") < expectedMin)
+    // nanToNull first: pandas NaN-compare is False (events.py:345); a raw
+    // Spark NaN orders greater than any numeric and would flag as extreme.
+    val v = nanToNull(col("value"))
+    val flagged = withRunId(ts, v > expectedMax || v < expectedMin)
     assembleEvents(flagged, eventType)
   }
 }

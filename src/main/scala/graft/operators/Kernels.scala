@@ -30,9 +30,14 @@ object Kernels {
     Window.partitionBy("series_id").orderBy((col("ts") +: tieBreak): _*)
 
   /** Previous value within the series: pandas `Series.diff()` building
-    * block (metevents/events.py:165,269,314,387). */
-  def withLagDiff(df: DataFrame, diffCol: String = "diff"): DataFrame =
-    df.withColumn(diffCol, col("value") - lag(col("value"), 1).over(seriesWindow()))
+    * block (metevents/events.py:165,269,314,387). Values are normalized
+    * NaN→null first so a NaN endpoint yields a null diff (pandas: NaN
+    * diff → NaN, and NaN-compare → False downstream), never a NaN that
+    * Spark would order above every numeric threshold. */
+  def withLagDiff(df: DataFrame, diffCol: String = "diff"): DataFrame = {
+    val v = nanToNull(col("value"))
+    df.withColumn(diffCol, v - lag(v, 1).over(seriesWindow()))
+  }
 
   /**
    * Gaps-and-islands run id — the reference's shared grouping primitive
@@ -58,6 +63,13 @@ object Kernels {
    *
    * `minPoints` maps the reference's `len(event.data) >= min_len`
    * post-filters (metevents/events.py:329,410).
+   *
+   * All-missing runs yield `total = null` here (documented divergence:
+   * these detectors emit `BaseTimePeriod`, which has NO total in the
+   * reference — periods.py:1-32; null-as-unknown is our extension).
+   * Storm events, whose reference counterpart `CumulativePeriod.total`
+   * is a NaN-skipping sum returning 0.0 on all-missing (periods.py:43),
+   * coalesce to 0.0 in [[StormEvents]].
    */
   def assembleEvents(flagged: DataFrame, eventType: String, minPoints: Long = 1L): DataFrame = {
     val agg = flagged

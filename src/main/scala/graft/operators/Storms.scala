@@ -73,7 +73,9 @@ case class StormEvents(
     val w = seriesWindow()
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val prepped = withRunId(ts, col("value") >= instantMassToStart)
+    // nanToNull first: pandas `NaN >= x` is False (events.py:73); Spark
+    // orders NaN above all numerics, which would start a storm on NaN.
+    val prepped = withRunId(ts, nanToNull(col("value")) >= instantMassToStart)
       .withColumn("value0", coalesce(nanToNull(col("value")), lit(0.0)))
       .withColumn("cum_incl", sum(col("value0")).over(wCum))
       .withColumn("rn", row_number().over(w))
@@ -146,12 +148,17 @@ case class StormEvents(
 
     // Exact pandas label-slice stats: every point with
     // span_start <= ts <= span_stop belongs to the event
-    // (metevents/events.py:118, periods.py:12-45). Spans are tiny
-    // aggregated output → broadcast; the points scan is touched once.
+    // (metevents/events.py:118, periods.py:12-45). Spans are aggregated
+    // output — usually far smaller than the points — but they scale with
+    // series_count × storms_per_series, so no unconditional broadcast
+    // hint: AQE picks broadcast when the span side is actually small and
+    // falls back to a sort-merge equi-join on series_id otherwise.
+    // total coalesces to 0.0 on an all-missing span: CumulativePeriod's
+    // NaN-skipping sum returns 0.0 there (periods.py:43).
     val pts = ts.select(col("series_id"), col("ts"), col("value"))
     pts
       .join(
-        broadcast(spans.toDF()),
+        spans.toDF(),
         pts("series_id") === spans("series_id") &&
           unix_micros(col("ts")) >= col("span_start_us") &&
           unix_micros(col("ts")) <= col("span_stop_us"))
@@ -160,7 +167,7 @@ case class StormEvents(
         min(col("ts")).as("start"),
         max(col("ts")).as("stop"),
         count(lit(1)).as("n_points"),
-        sum(nanToNull(col("value"))).as("total"))
+        coalesce(sum(nanToNull(col("value"))), lit(0.0)).as("total"))
       .select(
         pts("series_id"),
         lit(eventType).as("event_type"),

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (driver-side tooling,
+not part of the shipped library): run graft.Verify at a given SF, then
+execute each dumped oracle SQL in DuckDB over the same parquet tables
+and compare row count, schema (column names sorted), and cell values.
+
+Usage: python3 tools/check.py [sfDir] [outDir] [--skip-verify]
+"""
+import json, os, subprocess, sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+SKIP = "--skip-verify" in sys.argv
+
+if not SKIP:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", env=env, capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-3000:]); print(r.stderr[-3000:]); sys.exit(1)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spath = f"{OUT}/{name}"
+    if not os.path.isdir(spath):
+        print(f"{name}: MISSING spark output"); fails += 1; continue
+    try:
+        sdf = pd.read_parquet(spath)
+        odf = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"{name}: ERROR {e}"); fails += 1; continue
+    ok_rows = len(sdf) == len(odf)
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    ok_schema = scols == ocols
+    ok_hash = False
+    if ok_rows and ok_schema:
+        a = sdf[scols].sort_values(scols).reset_index(drop=True)
+        b = odf[ocols].sort_values(ocols).reset_index(drop=True)
+        for c in scols:
+            if a[c].dtype != b[c].dtype:
+                try:
+                    b[c] = b[c].astype(a[c].dtype)
+                except Exception:
+                    a[c] = a[c].astype(str); b[c] = b[c].astype(str)
+        ok_hash = a.equals(b)
+        if not ok_hash:
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad = neq.any(axis=1)
+            print(f"--- {name}: first diffs")
+            print(a[bad].head(3)); print(b[bad].head(3))
+    status = "OK" if (ok_rows and ok_schema and ok_hash) else \
+        f"FAIL rows={ok_rows}({len(sdf)}/{len(odf)}) schema={ok_schema} hash={ok_hash}"
+    if not (ok_rows and ok_schema and ok_hash):
+        fails += 1
+        if not ok_schema:
+            print(f"  spark cols: {scols}\n  oracle cols: {ocols}")
+    print(f"{name}: {status}")
+print("ALL OK" if fails == 0 else f"{fails} FAILURES")
+sys.exit(1 if fails else 0)
