@@ -55,6 +55,12 @@ object SparkEntry {
         .detect(canonicalEvents(s, dir)))),
     "u1_infer_step" -> ((s, dir) =>
       Kernels.inferStep(canonicalEvents(s, dir))),
+    // No SQL oracle: find_peaks (prominence/width scans) is not
+    // SQL-expressible — driver records the weaker rows-only check;
+    // parity is covered by the flv.csv golden suite (SpikeValleySpec).
+    "d3_spike_valley" -> ((s, dir) =>
+      roundTotal(SpikeValleyEvents(prominence = Some(150.0))
+        .detect(canonicalEvents(s, dir)))),
     "d1_storm" -> ((s, dir) =>
       roundTotal(StormEvents(instantMassToStart = 50.0, minStormTotal = 500.0,
         hoursToStop = 12, maxStormHours = 48, frequency = Some("1H"))
