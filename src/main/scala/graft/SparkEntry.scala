@@ -39,7 +39,10 @@ object SparkEntry {
       .detect(canonicalEvents(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = detectorQueries ++
+    graft.queries.Relational.queries
+
+  private def detectorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d6_extreme_value" -> ((s, dir) =>
       roundTotal(ExtremeValueEvents(expectedMax = 300.0, expectedMin = 0.05)
         .detect(canonicalEvents(s, dir)))),
@@ -131,7 +134,7 @@ object SparkEntry {
          | SELECT series_id,
          |  CASE WHEN count(DISTINCT d_us) = 1 THEN min(d_us) END AS step_us
          | FROM w WHERE rn >= 2 AND rn <= n - 1 GROUP BY series_id""".stripMargin
-  )
+  ) ++ graft.queries.Relational.oracle
 
   /** Storm delineation (D1) as a DuckDB recursive CTE: the reference's
     * sequential fold (metevents/events.py:85-121) carries candidate

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/**
+ * Relational query layer over the TPC-H-ish star schema (TESTDATA.md).
+ * The reference has no joins or multi-column relations (SURVEY.md
+ * §2.3 — "Joins: absent"); this layer exists because a complete engine
+ * at 100 TB must also cover the relational taxonomy Catalyst provides:
+ * hash aggregation with partial (map-side) combine, shuffle joins,
+ * broadcast joins for small dimensions, and ranking windows.
+ *
+ * Scale posture:
+ *  - dimension tables that stay small at any SF (region: 5, nation: 25)
+ *    are explicitly broadcast — no shuffle of the fact table on their
+ *    account;
+ *  - fact-fact joins (orders ⋈ lineitem) shuffle on the join key and
+ *    are left to AQE to re-plan (skew, local readers);
+ *  - aggregates are declarative groupBy/agg → Catalyst emits partial
+ *    aggregation before the exchange, so the shuffle carries one row
+ *    per (partition × group), not per input row;
+ *  - sums/avgs of doubles are rounded at the surface (summation order
+ *    differs between engines; ulp noise must not break result compare).
+ */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(spark, dir, name)
+
+  /** TPC-H Q1-shaped pricing summary: scan-heavy, one wide aggregation.
+    * The filter and the 7-column projection reach the parquet scan
+    * (PushedFilters + ReadSchema) — the scan reads no other columns. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shaped shipping priority: selective dimension filter,
+    * two shuffle joins, revenue aggregation. customer is filtered
+    * before the join so the orders join sees only the matching
+    * segment. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val cust = t(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(spark, dir, "orders")
+      .where(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t(spark, dir, "lineitem")
+      .where(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q5-shaped local-supplier revenue: the full snowflake join.
+    * region and nation are broadcast (5 and 25 rows at ANY scale
+    * factor); the fact-side joins shuffle and AQE re-plans at runtime. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val nation = broadcast(t(spark, dir, "nation"))
+    val region = broadcast(t(spark, dir, "region").where(col("r_name") === "ASIA"))
+    val supp = t(spark, dir, "supplier")
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  /** Ranking window: top-3 orders per customer by total price.
+    * Deterministic tie-break on o_orderkey so the result set is unique
+    * regardless of partitioning. */
+  def w1TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"), col("rn"))
+  }
+
+  /** Grouping-sets rollup: revenue by (priority, status) with
+    * subtotals — exercises Catalyst's Expand-based grouping sets,
+    * which the reference has no counterpart for (SURVEY.md §2.3). */
+  def g1RollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | ROUND(SUM(l_quantity),4) AS sum_qty,
+        | ROUND(SUM(l_extendedprice),4) AS sum_base_price,
+        | ROUND(SUM(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
+        | ROUND(AVG(l_quantity),6) AS avg_qty,
+        | ROUND(AVG(l_extendedprice),6) AS avg_price,
+        | ROUND(AVG(l_discount),6) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | ROUND(SUM(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        | AND l_orderkey = o_orderkey
+        | AND o_orderdate < TIMESTAMP '1998-03-15'
+        | AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | ROUND(SUM(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "w1_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice,4) AS o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "g1_rollup_revenue" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | ROUND(SUM(o_totalprice),4) AS revenue, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "w1_top_orders_per_customer" -> (w1TopOrdersPerCustomer _),
+    "g1_rollup_revenue" -> (g1RollupRevenue _)
+  )
+}
