@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/**
+ * Text-analysis queries over the `documents` table (north-star
+ * extension; TESTDATA.md). Pure per-row columnar transforms — at
+ * 100 TB these run as one parquet scan with whole-stage codegen, no
+ * shuffle, no UDFs. Each query has an exact DuckDB twin in [[oracle]].
+ */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+
+  /** Token accounting: whitespace tokens and the BPE-ish subword proxy. */
+  def t1TokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      col("n_chars"),
+      tokenCount(col("text")).cast("long").as("ws_tokens"),
+      bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+
+  /** Quality signals + folded score. */
+  def t2Quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      round(punctRatio(col("text")), 6).as("punct_ratio"),
+      round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      round(meanTokenLen(col("text")), 6).as("mean_token_len"),
+      qualityScore(col("text")).as("quality"))
+
+  /** Marker-based language heuristic with per-language counts. */
+  def t3LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      Seq(col("doc_id"), langGuess(col("text")).as("lang_guess")) ++
+        LangMarkers.map { case (code, ms) =>
+          langMarkerCount(col("text"), ms).cast("long").as(s"c_$code")
+        }: _*)
+
+  /** Normalized md5 + rolling-min-hash fingerprints. */
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      normalizedFingerprint(col("text")).as("fp_norm"),
+      rollingMinHash(col("text")).as("fp_rolling"))
+
+  // --- DuckDB twins -----------------------------------------------------
+  // DuckDB regexp_replace needs the 'g' flag (Spark's is global by
+  // default); list lambdas mirror Spark's higher-order functions.
+
+  private val toksSql =
+    """CASE WHEN length(trim(text)) = 0 THEN []
+      | ELSE string_split_regex(trim(text), '\s+') END""".stripMargin
+  private def swInList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+  private val swCountSql =
+    s"len(list_filter(list_transform($toksSql, t -> lower(t)), t -> t IN (${swInList(graft.functions.TextFunctions.EnStopwords)})))"
+  private val nToksSql = s"len($toksSql)"
+  private val punctSql =
+    s"""CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0.0
+       | ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+       |      / length(regexp_replace(text, '\\s', '', 'g')) END""".stripMargin
+  private val swRatioSql =
+    s"CASE WHEN $nToksSql = 0 THEN 0.0 ELSE $swCountSql::DOUBLE / $nToksSql END"
+  private val mtlSql =
+    s"""CASE WHEN $nToksSql = 0 THEN 0.0
+       | ELSE list_sum(list_transform($toksSql, t -> length(t)))::DOUBLE / $nToksSql END""".stripMargin
+
+  private def markerCountSql(words: Seq[String]) =
+    s"len(list_filter(list_transform($toksSql, t -> lower(t)), t -> t IN (${swInList(words)})))"
+
+  val oracle: Map[String, String] = {
+    val langCounts = LangMarkers.map { case (code, ms) =>
+      s"${markerCountSql(ms)} AS c_$code"
+    }.mkString(", ")
+    val best = "greatest(" + LangMarkers.map { case (c, _) => s"c_$c" }.mkString(", ") + ")"
+    val guess = LangMarkers.map(_._1).sorted
+      .map(c => s"WHEN c_$c = $best AND $best > 0 THEN '$c'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    Map(
+      "t1_token_stats" ->
+        s"""SELECT doc_id, n_chars, $nToksSql::BIGINT AS ws_tokens,
+           | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+           |FROM documents""".stripMargin,
+      "t2_quality" ->
+        s"""SELECT doc_id,
+           | ROUND($punctSql, 6) AS punct_ratio,
+           | ROUND($swRatioSql, 6) AS stopword_ratio,
+           | ROUND($mtlSql, 6) AS mean_token_len,
+           | ROUND(least(1.0, $nToksSql::DOUBLE / 50.0) * 0.3
+           |   + (1.0 - $punctSql) * 0.3
+           |   + least(1.0, $swRatioSql * 4.0) * 0.2
+           |   + (CASE WHEN $mtlSql >= 3.0 AND $mtlSql <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+           |  6) AS quality
+           |FROM documents""".stripMargin,
+      "t3_lang_id" ->
+        s"""SELECT doc_id, $guess AS lang_guess,
+           | ${LangMarkers.map { case (c, _) => s"c_$c::BIGINT AS c_$c" }.mkString(", ")}
+           |FROM (SELECT doc_id, $langCounts FROM documents)""".stripMargin,
+      "t4_fingerprint" ->
+        s"""SELECT doc_id,
+           | md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+', ' ', 'g')) AS fp_norm,
+           | CASE WHEN length(text) - 7 <= 0 THEN NULL
+           |  ELSE list_min(list_transform(generate_series(1, length(text) - 7),
+           |    i -> md5(substr(text, i::INTEGER, 8)))) END AS fp_rolling
+           |FROM documents""".stripMargin
+    )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_stats" -> (t1TokenStats _),
+    "t2_quality" -> (t2Quality _),
+    "t3_lang_id" -> (t3LangId _),
+    "t4_fingerprint" -> (t4Fingerprint _)
+  )
+}

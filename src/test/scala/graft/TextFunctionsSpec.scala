@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("r")).collect()(0).getAs[T]("r")
+
+  test("token counts") {
+    assert(one[Int](tokenCount(col("text")), "the quick  brown fox") == 4)
+    assert(one[Int](tokenCount(col("text")), "   ") == 0)
+    assert(one[Int](tokenCount(col("text")), "") == 0)
+    // BPE-ish: "don't stop 42!" → don + ' + t + stop + 4 + 2 + !
+    assert(one[Int](bpeTokenCount(col("text")), "don't stop 42!") == 7)
+  }
+
+  test("punctuation ratio counts marks over non-space chars") {
+    // "a,b." → 2 punct / 4 non-space
+    assert(one[Double](punctRatio(col("text")), "a,b.") == 0.5)
+    assert(one[Double](punctRatio(col("text")), " ") == 0.0)
+  }
+
+  test("stopword ratio and mean token length") {
+    assert(one[Double](stopwordRatio(col("text")), "The cat sat") == 1.0 / 3)
+    assert(one[Double](meanTokenLen(col("text")), "ab cdef") == 3.0)
+  }
+
+  test("language heuristic picks marker-richest language, und on silence") {
+    assert(one[String](langGuess(col("text")), "der hund und die katze") == "de")
+    assert(one[String](langGuess(col("text")), "the cat of the house") == "en")
+    assert(one[String](langGuess(col("text")), "zzz qqq") == "und")
+    // tie between en and fr markers → code order: en
+    assert(one[String](langGuess(col("text")), "the le") == "en")
+  }
+
+  test("normalized fingerprint collapses formatting-only variation") {
+    val a = one[String](normalizedFingerprint(col("text")), "Hello,  World!")
+    val b = one[String](normalizedFingerprint(col("text")), "hello world")
+    assert(a == b)
+  }
+
+  test("rolling min-hash: equal on shared content, null when shorter than k") {
+    val a = one[String](rollingMinHash(col("text")), "abcdefghij")
+    val b = one[String](rollingMinHash(col("text")), "abcdefghij")
+    assert(a == b && a != null)
+    assert(one[String](rollingMinHash(col("text")), "short") == null)
+  }
+
+  test("quality score is bounded and rewards clean prose") {
+    val clean = "the quick brown fox jumps over the lazy dog and runs into the woods"
+    val junk = "!!! ### $$$ %%%"
+    val qc = one[Double](qualityScore(col("text")), clean)
+    val qj = one[Double](qualityScore(col("text")), junk)
+    assert(qc > qj && qc <= 1.0 && qj >= 0.0)
+  }
+}
