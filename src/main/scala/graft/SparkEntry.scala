@@ -41,7 +41,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = detectorQueries ++
     graft.queries.Relational.queries ++
-    graft.queries.TextAnalysis.queries
+    graft.queries.TextAnalysis.queries ++
+    graft.queries.PipelineQueries.queries
 
   private def detectorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d6_extreme_value" -> ((s, dir) =>
@@ -136,7 +137,8 @@ object SparkEntry {
          |  CASE WHEN count(DISTINCT d_us) = 1 THEN min(d_us) END AS step_us
          | FROM w WHERE rn >= 2 AND rn <= n - 1 GROUP BY series_id""".stripMargin
   ) ++ graft.queries.Relational.oracle ++
-    graft.queries.TextAnalysis.oracle
+    graft.queries.TextAnalysis.oracle ++
+    graft.queries.PipelineQueries.oracle
 
   /** Storm delineation (D1) as a DuckDB recursive CTE: the reference's
     * sequential fold (metevents/events.py:85-121) carries candidate

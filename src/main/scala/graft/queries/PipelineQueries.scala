@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.sources.Tables
+
+/**
+ * Driver-contract queries for the LLM-pipeline extension layers
+ * (dedup over `documents`, similarity over `embeddings`), with exact
+ * DuckDB twins. Thresholds were chosen against the driver data's
+ * separation structure (planted near-dups sit at J ≈ 0.98 with a gap
+ * below ≈ 0.87; max embedding cosine ≈ 0.51 with ≥ 1e-4 margin around
+ * 0.45), so float noise cannot flip membership.
+ */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(docs(s, dir))),
+    "x2_minhash_lsh" -> ((s, dir) => Dedup.minhashNearDups(docs(s, dir), threshold = 0.6)),
+    "x3_simhash" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), maxHamming = 3)),
+    "x4_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
+    "x5_embedding_neardup" -> ((s, dir) => Similarity.nearDupPairs(embs(s, dir), threshold = 0.45)),
+    "s1_ann_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 5)
+    }),
+    "s2_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(
+        e.where(col("vec_id") < 20), e,
+        centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3)
+    })
+  )
+
+  // --- DuckDB twins -----------------------------------------------------
+
+  private val toksSql =
+    """CASE WHEN length(trim(text)) = 0 THEN []
+      | ELSE string_split_regex(trim(text), '\s+') END""".stripMargin
+  private val shinglesSql =
+    s"""CASE WHEN len($toksSql) - 2 <= 0 THEN CAST([] AS VARCHAR[])
+       | ELSE list_transform(generate_series(1, len($toksSql) - 2),
+       |   i -> array_to_string(($toksSql)[i:i+2], ' ')) END""".stripMargin
+
+  /** Cosine in double: same formula shape as [[Similarity.cosine]]. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val fpSql =
+    """md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+', ' ', 'g'))"""
+
+  // token 32-bit hash: decimal value of the first 8 md5 hex chars
+  private val tokHashSql =
+    """CAST(list_sum(list_transform(generate_series(1, 8),
+      |  i -> (strpos('0123456789abcdef', substr(md5(t), i::INTEGER, 1)) - 1)
+      |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
+  private val simhashSql =
+    s"""CAST(COALESCE(list_sum(list_transform(generate_series(0, 31), b ->
+       |  CASE WHEN COALESCE(list_sum(list_transform(
+       |         list_transform($toksSql, t -> $tokHashSql),
+       |         h -> CASE WHEN CAST(floor(h / power(2.0, b)) AS BIGINT) % 2 = 1
+       |              THEN 1 ELSE -1 END)), 0) > 0
+       |       THEN CAST(power(2.0, b) AS BIGINT) ELSE 0 END)), 0) AS BIGINT)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x1_exact_dedup" ->
+      s"""WITH fp AS (SELECT doc_id, $fpSql AS fingerprint FROM documents),
+         |canon AS (SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY 1)
+         |SELECT doc_id, fp.fingerprint, canonical_id, doc_id <> canonical_id AS is_dup
+         |FROM fp JOIN canon USING (fingerprint)""".stripMargin,
+    "x2_minhash_lsh" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |sig AS (SELECT doc_id, list_transform(generate_series(0, 11),
+         |   h -> list_min(list_transform(shingles, s -> md5(concat(h, ':', s))))) AS sig
+         |  FROM nz),
+         |bands AS (SELECT doc_id, list_transform(generate_series(0, 3),
+         |   j -> md5(array_to_string(sig[(j*3+1):(j*3+3)], ''))) AS bands FROM sig),
+         |ex AS (SELECT doc_id, j AS band_idx, bands[(j+1)::INTEGER] AS bucket
+         |  FROM bands, (SELECT unnest(generate_series(0, 3)) AS j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b
+         |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |jj AS (SELECT doc_a, doc_b,
+         |   len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |   / (len(list_distinct(sa.shingles)) + len(list_distinct(sb.shingles))
+         |      - len(list_intersect(sa.shingles, sb.shingles))) AS j
+         |  FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jj WHERE j >= 0.6""".stripMargin,
+    "x3_simhash" ->
+      s"""WITH sigs AS (SELECT doc_id, $simhashSql AS sig FROM documents),
+         |ex AS (SELECT doc_id, sig, j AS band_idx,
+         |   CAST(floor(sig / power(2.0, j*8)) AS BIGINT) % 256 AS bucket
+         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS j))
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM ex a JOIN ex b
+         |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |WHERE hamming <= 3""".stripMargin,
+    "x4_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct($shinglesSql) AS shingles FROM documents),
+         |nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM nz),
+         |inv AS (SELECT doc_id, unnest(shingles) AS s FROM nz),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM (
+         |  SELECT doc_a, doc_b, ni::DOUBLE / (ca.n_sh + cb.n_sh - ni) AS j
+         |  FROM pairs JOIN counts ca ON doc_a = ca.doc_id
+         |  JOIN counts cb ON doc_b = cb.doc_id)
+         |WHERE j >= 0.5""".stripMargin,
+    "x5_embedding_neardup" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+         |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.emb", "b.emb")} AS cos
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.45""".stripMargin,
+    "s1_ann_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id < 20)
+         |SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos FROM (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q_emb", "c.emb")} AS cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${cosSql("q_emb", "c.emb")} DESC, c.vec_id) AS rank
+         |  FROM q JOIN v c ON c.vec_id <> query_id)
+         |WHERE rank <= 5""".stripMargin,
+    "s2_ivf_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS cent_emb FROM v WHERE vec_id % 25 = 0),
+         |assigned AS (SELECT neighbor_id, c_emb, cid FROM (
+         |  SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, cent.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+         |  FROM v CROSS JOIN cent) WHERE rn = 1),
+         |probes AS (SELECT query_id, q_emb, cid FROM (
+         |  SELECT v.vec_id AS query_id, v.emb AS q_emb, cent.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cosSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+         |  FROM v CROSS JOIN cent WHERE v.vec_id < 20) WHERE rn <= 3)
+         |SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ${cosSql("q_emb", "c_emb")} AS cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${cosSql("q_emb", "c_emb")} DESC, neighbor_id) AS rank
+         |  FROM probes JOIN assigned USING (cid)
+         |  WHERE query_id <> neighbor_id)
+         |WHERE rank <= 5""".stripMargin
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val nearDup = base.replace("today", "tonight")
+  private val other = "completely different content with no overlap whatsoever in any shingle"
+
+  private def docs = Seq(
+    (0L, base), (1L, nearDup), (2L, other), (3L, base)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup clusters identical normalized text") {
+    val r = Dedup.exactDedup(docs).collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(r(3L) == 0L && r(0L) == 0L)
+    assert(r(1L) == 1L && r(2L) == 2L)
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("exact n-gram jaccard: identical docs at 1.0, near-dups high") {
+    val r = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    assert(r((0L, 3L)) == 1.0)
+    assert(r((0L, 1L)) > 0.5 && r((0L, 1L)) < 1.0)
+    assert(!r.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical docs collide at hamming 0") {
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(pairs((0L, 3L)) == 0L)
+  }
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val r = Similarity.bruteForceTopK(vecs.where(col("vec_id") === 0), vecs, k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(r == Seq(1L, 2L)) // 2 and 3 tie at cos 0 → lower id wins
+  }
+
+  test("embedding near-dup pairs above threshold") {
+    val r = Similarity.nearDupPairs(vecs, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(r == Set((0L, 1L)))
+  }
+
+  test("IVF with all points as centroids reproduces brute force") {
+    val bf = Similarity.bruteForceTopK(vecs.where(col("vec_id") === 0), vecs, k = 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs.where(col("vec_id") === 0), vecs, vecs, k = 2,
+        nProbe = 5)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSet
+    assert(ivf == bf)
+  }
+}
