@@ -36,7 +36,20 @@ object PipelineQueries {
       Similarity.ivfTopK(
         e.where(col("vec_id") < 20), e,
         centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3)
-    })
+    }),
+    "m1_binary_meta" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text")).as("content_md5"))),
+    // No SQL oracle: mapPartitions batch extraction is not
+    // SQL-expressible — rows-only check; semantics covered by
+    // MultimodalSpec.
+    "m2_asset_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.syntheticAssets(docs(s, dir)))
+        .withColumn("mean_byte", round(col("mean_byte"), 6))
+        .withColumn("byte_entropy", round(col("byte_entropy"), 6)))
   )
 
   // --- DuckDB twins -----------------------------------------------------
@@ -70,6 +83,9 @@ object PipelineQueries {
        |       THEN CAST(power(2.0, b) AS BIGINT) ELSE 0 END)), 0) AS BIGINT)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "m1_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        | md5(text) AS content_md5 FROM documents""".stripMargin,
     "x1_exact_dedup" ->
       s"""WITH fp AS (SELECT doc_id, $fpSql AS fingerprint FROM documents),
          |canon AS (SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY 1)
