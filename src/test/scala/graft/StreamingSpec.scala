@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingDetectors
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def point(sid: String, day: Int, v: Double) = TsPoint(sid, this.day(day), Some(v))
+
+  test("streaming extreme-value emits runs closed across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TsPoint]
+    val q = StreamingDetectors.extremeValue(expectedMax = 10.0, expectedMin = 0.0)(
+        input.toDF())
+      .writeStream.format("memory").queryName("sx").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: run of two extremes, still open at batch end
+      input.addData(point("a", 0, 1.0), point("a", 1, 99.0), point("a", 2, 99.0))
+      q.processAllAvailable()
+      assert(spark.sql("select * from sx").count() == 0)
+      // batch 2: a normal row closes the run → one event spanning day 1-2
+      input.addData(point("a", 3, 1.0))
+      q.processAllAvailable()
+      val ev = spark.sql("select * from sx").as[Event].collect()
+      assert(ev.length == 1)
+      assert(ev(0).start == day(1) && ev(0).stop == day(2))
+      assert(ev(0).n_points == 2L && ev(0).total.contains(198.0))
+      // state was cleared: a new run closes independently
+      input.addData(point("a", 4, 50.0), point("a", 5, 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("select * from sx").count() == 2)
+    } finally q.stop()
+  }
+
+  test("streaming storm sessions merge by gap and finalize via watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TsPoint]
+    val q = StreamingDetectors.stormSessions(
+        instantMassToStart = 0.1, hoursToStop = 24, watermark = "0 seconds")(
+        input.toDF())
+      .writeStream.format("memory").queryName("ss").outputMode(OutputMode.Append()).start()
+    try {
+      // two storm groups separated by > 24h gap, then advance watermark
+      input.addData(point("a", 0, 1.0), point("a", 1, 1.0), point("a", 4, 2.0))
+      q.processAllAvailable()
+      input.addData(point("a", 40, 0.5)) // advances event-time watermark
+      q.processAllAvailable()
+      val rows = spark.sql("select series_id, n_points, total from ss")
+        .as[(String, Long, Double)].collect().sortBy(_._2)
+      // first session: days 0-1 merged (gap 24h = not > gap? session gap
+      // is 24h so day0→day1 merges), second: day 4 alone
+      assert(rows.length == 2)
+      assert(rows.map(_._3).toSet == Set(2.0, 2.0) || rows.map(_._2).toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+}
