@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -33,21 +34,36 @@ object Dedup {
       .otherwise(transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** MinHash signature: k independent permutations simulated as
-    * `min(md5(h || ':' || shingle))` in hex-string order — string mins
-    * are engine-portable (no integer hash needed). Null signature for
-    * shingle-less docs. */
-  def minhashSignature(shingles: Column, k: Int = 12): Column =
-    when(size(shingles) === 0, lit(null).cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), lit(k - 1)),
-        h => array_min(transform(shingles, s => md5(concat(h.cast("string"), lit(":"), s))))))
+  /** 32-bit base hash per shingle: decimal value of the first 8 md5
+    * hex chars. ONE md5 per shingle — the k minhash permutations are
+    * derived arithmetically from this value, not by re-hashing. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+
+  /** Universal-hash modulus (prime > 2^32) and coefficient bound
+    * (2^30, so a·d + b stays far below 2^63 — no overflow in either
+    * engine's BIGINT). */
+  val MinhashP: Long = 4294967311L
+  private val CoeffMod = 1073741824L
+
+  /** MinHash signature over pre-hashed shingles: component h is
+    * `min((a_h·d + b_h) mod P)` with coefficients derived from h by
+    * the same arithmetic the DuckDB twin uses. Input must be a
+    * materialized column (see [[minhashNearDups]] — an inlined
+    * expression would be re-evaluated once per component). */
+  def minhashSignature(digs: Column, k: Int = 12): Column =
+    transform(sequence(lit(0), lit(k - 1)), h => {
+      val a = pmod(h.cast("long") * 2654435761L, lit(CoeffMod)) + 1L
+      val b = pmod(h.cast("long") * 40503L + 7L, lit(CoeffMod))
+      array_min(transform(digs, d => pmod(a * d + b, lit(MinhashP))))
+    })
 
   /** LSH band digests: `bands` groups of `rows` signature components,
     * each digested to one bucket id. Two docs collide in a band iff
     * that slice of their signatures matches exactly. */
   def lshBands(sig: Column, bands: Int = 4, rows: Int = 3): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      j => md5(concat_ws("", slice(sig, j * lit(rows) + 1, lit(rows)))))
+      j => md5(concat_ws(":", slice(sig, j * lit(rows) + 1, lit(rows)))))
 
   /** Candidate pairs from band collisions: explode (band_idx, bucket),
     * self-join, dedupe. Input must carry `doc_id` and `bands`. */
@@ -78,18 +94,37 @@ object Dedup {
    * signature → bands → collision candidates → exact-Jaccard verify.
    * Returns (doc_a, doc_b, jaccard) for pairs with J ≥ threshold.
    */
+  /** Round-robin repartition for CPU-bound per-row stages: local
+    * small-file inputs otherwise scan as one partition and serialize
+    * the hashing onto one core. At cluster scale the input is already
+    * partitioned and the hashing cost dwarfs the one extra exchange;
+    * size via spark.sql.shuffle.partitions. */
+  private[graft] def parallelize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val n = scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    df.repartition(n)
+  }
+
   def minhashNearDups(
       docs: DataFrame,
       threshold: Double = 0.6,
       k: Int = 12,
       bands: Int = 4,
       rows: Int = 3): DataFrame = {
-    val shingled = docs.select(
+    val shingled = parallelize(docs).select(
       col("doc_id"),
       wordShingles(col("text")).as("shingles"))
-    val withBands = shingled
+    // Exchange barriers after each hash stage: without them Catalyst
+    // collapses the projections and the k-component transform
+    // re-evaluates every shingle md5 once per component (k×), and the
+    // band transform re-evaluates the signature once per band.
+    val digs = parallelize(shingled
       .where(size(col("shingles")) > 0)
-      .withColumn("bands", lshBands(minhashSignature(col("shingles"), k), bands, rows))
+      .select(col("doc_id"), shingleHashes(col("shingles")).as("digs")))
+    val sigs = parallelize(
+      digs.select(col("doc_id"), minhashSignature(col("digs"), k).as("sig")))
+    val withBands = sigs.select(col("doc_id"), lshBands(col("sig"), bands, rows).as("bands"))
     val cands = bandCandidates(withBands)
     cands
       .join(shingled.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -111,10 +146,15 @@ object Dedup {
   private def bitAt(h: Column, b: Column): Column =
     floor(h / pow(lit(2.0), b)).cast("long") % 2
 
-  def simhash32(text: Column): Column = {
-    val toks = TextFunctions.wsTokens(text)
-    // per-token 32-bit value from the first 8 md5 hex chars
-    val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+  /** Per-token 32-bit hashes (decimal value of the first 8 md5 hex
+    * chars). Materialize this as its own column before calling
+    * [[simhashFromHashes]] — inlining it under the 32-bit fold makes
+    * the optimizer re-evaluate every token md5 once per bit (32×). */
+  def tokenHashes(text: Column): Column =
+    transform(TextFunctions.wsTokens(text),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+
+  def simhashFromHashes(hashes: Column): Column = {
     val bits = sequence(lit(0), lit(31))
     aggregate(
       bits,
@@ -126,11 +166,17 @@ object Dedup {
       })
   }
 
+  def simhash32(text: Column): Column = simhashFromHashes(tokenHashes(text))
+
   /** SimHash near-duplicate pairs: 4 bands of 8 bits generate
     * candidates (exact for hamming ≤ 3), verified with
     * bit_count(xor). Returns (doc_a, doc_b, hamming ≤ maxHamming). */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash32(col("text")).as("sig"))
+    // barrier between the md5 token hashing and the 32-bit fold: the
+    // fold's outer loop would otherwise re-hash every token per bit
+    val sigs = parallelize(
+      parallelize(docs).select(col("doc_id"), tokenHashes(col("text")).as("hashes")))
+      .select(col("doc_id"), simhashFromHashes(col("hashes")).as("sig"))
     val banded = sigs.withColumn("bands",
       transform(sequence(lit(0), lit(3)),
         j => floor(col("sig") / pow(lit(2.0), j * 8)).cast("long") % 256))
@@ -149,27 +195,36 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard near-dups via inverted index: explode
-   * DISTINCT shingles, self-join on the shingle (the shuffle key is
-   * the shingle hash, so co-occurrence is computed where the data
-   * lives), count intersections per pair, recover the union from
-   * per-doc distinct counts. No approximation.
+   * Exact n-gram Jaccard near-dups with PREFIX FILTERING (the
+   * PPJoin-family bound): order each document's distinct shingles by
+   * global rarity (document frequency, then shingle), index only the
+   * first `|S| − ⌈t·|S|⌉ + 1` of them, and join on those. Any pair
+   * with J ≥ t must share a prefix shingle under a common total
+   * order, so the candidate set is a superset of the answer — and it
+   * excludes the high-frequency shingles that make a naive
+   * inverted-index self-join quadratic. Candidates are then verified
+   * with the exact set Jaccard. No approximation in the result.
    */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val shingled = docs
+    val shingled = parallelize(docs)
       .select(col("doc_id"), array_distinct(wordShingles(col("text"))).as("shingles"))
       .where(size(col("shingles")) > 0)
-    val counts = shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val inv = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val pairs = inv.as("a")
-      .join(inv.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("ni"))
-    pairs
-      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .withColumn("j",
-        col("ni").cast("double") / (col("ca.n_sh") + col("cb.n_sh") - col("ni")))
+    val inv = shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("sh"))
+    val docFreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = inv.join(docFreq, Seq("sh"))
+      .withColumn("rk", row_number().over(wRank))
+      .where(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("sh"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(shingled.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shingled.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("j", jaccard(col("sa.shingles"), col("sb.shingles")))
       .where(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }
@@ -178,7 +233,7 @@ object Dedup {
     * fingerprint. Per-doc output (doc_id, fingerprint, canonical_id,
     * is_dup). One shuffle on the digest. */
   def exactDedup(docs: DataFrame): DataFrame = {
-    val fp = docs.select(col("doc_id"),
+    val fp = parallelize(docs).select(col("doc_id"),
       TextFunctions.normalizedFingerprint(col("text")).as("fingerprint"))
     val canon = fp.groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("canonical_id"))

@@ -106,10 +106,11 @@ object Kernels {
     val w = seriesWindow()
     df.select(col("series_id"), col("ts"))
       .withColumn("d_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("series_id")))
-      // keep d_1..d_{n-2}: rows 2..n-1 carry d_{rn-1}
-      .where(col("rn") >= 2 && col("rn") <= col("n") - 1)
+      .withColumn("has_next", lead(col("ts"), 1).over(w).isNotNull)
+      // keep d_1..d_{n-2}: rows with BOTH a predecessor (d_us non-null)
+      // and a successor — one window pass (lag+lead share the sort)
+      // instead of a second count-over-partition
+      .where(col("d_us").isNotNull && col("has_next"))
       .groupBy("series_id")
       .agg(
         countDistinct(col("d_us")).as("n_distinct"),

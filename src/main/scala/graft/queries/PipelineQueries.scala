@@ -62,9 +62,14 @@ object PipelineQueries {
        | ELSE list_transform(generate_series(1, len($toksSql) - 2),
        |   i -> array_to_string(($toksSql)[i:i+2], ' ')) END""".stripMargin
 
-  /** Cosine in double: same formula shape as [[Similarity.cosine]]. */
-  private def cosSql(a: String, b: String): String =
-    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+  /** Unit-normalized embedding CTE — the twin of
+    * Similarity.normalized: norm materialized, then element divide;
+    * pair score is then a single dot product. */
+  private val vNormCte =
+    """v0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |vn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM v0),
+      |v AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb FROM vn)""".stripMargin
+  private def dotSql(a: String, b: String): String = s"list_dot_product($a, $b)"
 
   private val fpSql =
     """md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+', ' ', 'g'))"""
@@ -94,11 +99,17 @@ object PipelineQueries {
     "x2_minhash_lsh" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
          |nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |digs AS (SELECT doc_id, list_transform(shingles,
+         |   s -> CAST(list_sum(list_transform(generate_series(1, 8),
+         |     i -> (strpos('0123456789abcdef', substr(md5(s), i::INTEGER, 1)) - 1)
+         |          * power(16, 8 - i))) AS BIGINT)) AS digs FROM nz),
          |sig AS (SELECT doc_id, list_transform(generate_series(0, 11),
-         |   h -> list_min(list_transform(shingles, s -> md5(concat(h, ':', s))))) AS sig
-         |  FROM nz),
+         |   h -> list_min(list_transform(digs,
+         |     d -> (((h*2654435761) % 1073741824 + 1) * d
+         |           + (h*40503 + 7) % 1073741824) % 4294967311))) AS sig
+         |  FROM digs),
          |bands AS (SELECT doc_id, list_transform(generate_series(0, 3),
-         |   j -> md5(array_to_string(sig[(j*3+1):(j*3+3)], ''))) AS bands FROM sig),
+         |   j -> md5(array_to_string(sig[(j*3+1):(j*3+3)], ':'))) AS bands FROM sig),
          |ex AS (SELECT doc_id, j AS band_idx, bands[(j+1)::INTEGER] AS bucket
          |  FROM bands, (SELECT unnest(generate_series(0, 3)) AS j)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -124,50 +135,55 @@ object PipelineQueries {
     "x4_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct($shinglesSql) AS shingles FROM documents),
          |nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
-         |counts AS (SELECT doc_id, len(shingles) AS n_sh FROM nz),
-         |inv AS (SELECT doc_id, unnest(shingles) AS s FROM nz),
-         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM (
-         |  SELECT doc_a, doc_b, ni::DOUBLE / (ca.n_sh + cb.n_sh - ni) AS j
-         |  FROM pairs JOIN counts ca ON doc_a = ca.doc_id
-         |  JOIN counts cb ON doc_b = cb.doc_id)
-         |WHERE j >= 0.5""".stripMargin,
+         |inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM nz),
+         |dfreq AS (SELECT s, count(*) AS df FROM inv GROUP BY 1),
+         |pref AS (SELECT doc_id, s FROM (
+         |  SELECT i.doc_id, i.s, i.n_sh,
+         |    row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s) AS rk
+         |  FROM inv i JOIN dfreq d USING (s))
+         | WHERE rk <= n_sh - ceil(0.5 * n_sh) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |jj AS (SELECT doc_a, doc_b,
+         |   len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         |   / (len(list_distinct(sa.shingles)) + len(list_distinct(sb.shingles))
+         |      - len(list_intersect(sa.shingles, sb.shingles))) AS j
+         |  FROM cand JOIN nz sa ON doc_a = sa.doc_id JOIN nz sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jj WHERE j >= 0.5""".stripMargin,
     "x5_embedding_neardup" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+      s"""WITH $vNormCte
          |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    ${cosSql("a.emb", "b.emb")} AS cos
+         |    ${dotSql("a.emb", "b.emb")} AS cos
          |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.45""".stripMargin,
     "s1_ann_topk" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id < 20)
+      s"""WITH $vNormCte
          |SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos FROM (
-         |  SELECT query_id, c.vec_id AS neighbor_id,
-         |    ${cosSql("q_emb", "c.emb")} AS cos,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY ${cosSql("q_emb", "c.emb")} DESC, c.vec_id) AS rank
-         |  FROM q JOIN v c ON c.vec_id <> query_id)
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.emb", "c.emb")} AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q.emb", "c.emb")} DESC, c.vec_id) AS rank
+         |  FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
          |WHERE rank <= 5""".stripMargin,
     "s2_ivf_topk" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      s"""WITH $vNormCte,
          |cent AS (SELECT vec_id AS cid, emb AS cent_emb FROM v WHERE vec_id % 25 = 0),
          |assigned AS (SELECT neighbor_id, c_emb, cid FROM (
          |  SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, cent.cid,
          |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${cosSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+         |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
          |  FROM v CROSS JOIN cent) WHERE rn = 1),
          |probes AS (SELECT query_id, q_emb, cid FROM (
          |  SELECT v.vec_id AS query_id, v.emb AS q_emb, cent.cid,
          |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${cosSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+         |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
          |  FROM v CROSS JOIN cent WHERE v.vec_id < 20) WHERE rn <= 3)
          |SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos FROM (
          |  SELECT query_id, neighbor_id,
-         |    ${cosSql("q_emb", "c_emb")} AS cos,
+         |    ${dotSql("q_emb", "c_emb")} AS cos,
          |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY ${cosSql("q_emb", "c_emb")} DESC, neighbor_id) AS rank
+         |      ORDER BY ${dotSql("q_emb", "c_emb")} DESC, neighbor_id) AS rank
          |  FROM probes JOIN assigned USING (cid)
          |  WHERE query_id <> neighbor_id)
          |WHERE rank <= 5""".stripMargin
