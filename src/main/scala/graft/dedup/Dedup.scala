@@ -47,16 +47,18 @@ object Dedup {
   private val CoeffMod = 1073741824L
 
   /** MinHash signature over pre-hashed shingles: component h is
-    * `min((a_h·d + b_h) mod P)` with coefficients derived from h by
-    * the same arithmetic the DuckDB twin uses. Input must be a
+    * `min((a_h·d + b_h) mod P)`. Coefficients are hoisted to LITERALS
+    * at plan-build time (computed by the same arithmetic the DuckDB
+    * twin evaluates symbolically) — inside the per-element lambda they
+    * would be re-derived for every shingle. Input must be a
     * materialized column (see [[minhashNearDups]] — an inlined
     * expression would be re-evaluated once per component). */
   def minhashSignature(digs: Column, k: Int = 12): Column =
-    transform(sequence(lit(0), lit(k - 1)), h => {
-      val a = pmod(h.cast("long") * 2654435761L, lit(CoeffMod)) + 1L
-      val b = pmod(h.cast("long") * 40503L + 7L, lit(CoeffMod))
-      array_min(transform(digs, d => pmod(a * d + b, lit(MinhashP))))
-    })
+    array((0 until k).map { h =>
+      val a = (h.toLong * 2654435761L) % CoeffMod + 1L
+      val b = (h.toLong * 40503L + 7L) % CoeffMod
+      array_min(transform(digs, d => pmod(lit(a) * d + lit(b), lit(MinhashP))))
+    }: _*)
 
   /** LSH band digests: `bands` groups of `rows` signature components,
     * each digested to one bucket id. Two docs collide in a band iff
@@ -70,13 +72,18 @@ object Dedup {
   def bandCandidates(withBands: DataFrame): DataFrame = {
     val exploded = withBands
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bucket")))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
+    // rename BEFORE the self-join: alias-qualified attributes on two
+    // copies of the same plan can silently resolve to one side, turning
+    // the equi-condition trivially true (a quadratic cross join that
+    // still verifies correct — just catastrophically slow)
+    val a = exploded.select(col("doc_id").as("doc_a"),
+      col("band_idx").as("bi_a"), col("bucket").as("bk_a"))
+    val b = exploded.select(col("doc_id").as("doc_b"),
+      col("band_idx").as("bi_b"), col("bucket").as("bk_b"))
     a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        col("bi_a") === col("bi_b") && col("bk_a") === col("bk_b") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 
@@ -106,6 +113,17 @@ object Dedup {
     df.repartition(n)
   }
 
+  /** Lazy lineage barrier before a Generate/self-join over an
+    * expensive expression chain. Two reasons, both measured:
+    * (1) InferFiltersFromGenerate derives `size(arr) > 0` from an
+    * explode and filter-pushdown INLINES the whole upstream hash
+    * pipeline into a per-row scan Filter (observed 25× slowdown);
+    * (2) a self-join would otherwise recompute the chain once per
+    * side. localCheckpoint truncates the plan at a materialized RDD
+    * both consumers share. */
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
+
   def minhashNearDups(
       docs: DataFrame,
       threshold: Double = 0.6,
@@ -124,15 +142,10 @@ object Dedup {
       .select(col("doc_id"), shingleHashes(col("shingles")).as("digs")))
     val sigs = parallelize(
       digs.select(col("doc_id"), minhashSignature(col("digs"), k).as("sig")))
-    val withBands = sigs.select(col("doc_id"), lshBands(col("sig"), bands, rows).as("bands"))
+    val withBands = materialize(
+      sigs.select(col("doc_id"), lshBands(col("sig"), bands, rows).as("bands")))
     val cands = bandCandidates(withBands)
-    cands
-      .join(shingled.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shingled.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sa.shingles"), col("sb.shingles")).as("j"))
-      .where(col("j") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+    verifyJaccard(cands, materialize(shingled), threshold)
   }
 
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b
@@ -177,19 +190,21 @@ object Dedup {
     val sigs = parallelize(
       parallelize(docs).select(col("doc_id"), tokenHashes(col("text")).as("hashes")))
       .select(col("doc_id"), simhashFromHashes(col("hashes")).as("sig"))
-    val banded = sigs.withColumn("bands",
+    val banded = materialize(sigs.withColumn("bands",
       transform(sequence(lit(0), lit(3)),
-        j => floor(col("sig") / pow(lit(2.0), j * 8)).cast("long") % 256))
+        j => floor(col("sig") / pow(lit(2.0), j * 8)).cast("long") % 256)))
     val exploded = banded
       .select(col("doc_id"), col("sig"), posexplode(col("bands")).as(Seq("band_idx", "bucket")))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
+    // renamed copies: see bandCandidates on self-join ambiguity
+    val a = exploded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band_idx").as("bi_a"), col("bucket").as("bk_a"))
+    val b = exploded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band_idx").as("bi_b"), col("bucket").as("bk_b"))
     a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
+        col("bi_a") === col("bi_b") && col("bk_a") === col("bk_b") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
@@ -206,25 +221,38 @@ object Dedup {
    * with the exact set Jaccard. No approximation in the result.
    */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val shingled = parallelize(docs)
+    val shingled = materialize(parallelize(docs)
       .select(col("doc_id"), array_distinct(wordShingles(col("text"))).as("shingles"))
-      .where(size(col("shingles")) > 0)
-    val inv = shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"),
-      explode(col("shingles")).as("sh"))
+      .where(size(col("shingles")) > 0))
+    val inv = materialize(shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+      explode(col("shingles")).as("sh")))
     val docFreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-    val prefix = inv.join(docFreq, Seq("sh"))
+    val prefix = materialize(inv.join(docFreq, Seq("sh"))
       .withColumn("rk", row_number().over(wRank))
       .where(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("doc_id"), col("sh"))
-    val cands = prefix.as("a")
-      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("doc_id"), col("sh")))
+    // renamed copies: see bandCandidates on self-join ambiguity
+    val pa = prefix.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val pb = prefix.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val cands = pa
+      .join(pb, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+    verifyJaccard(cands, shingled, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    * against the shingle arrays; shared by the LSH and prefix-filter
+    * candidate generators. Renamed copies avoid self-join ambiguity. */
+  private def verifyJaccard(
+      cands: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_arr_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_arr_b"))
     cands
-      .join(shingled.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shingled.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("j", jaccard(col("sa.shingles"), col("sb.shingles")))
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b"))
+      .withColumn("j", jaccard(col("sh_arr_a"), col("sh_arr_b")))
       .where(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }
@@ -233,8 +261,10 @@ object Dedup {
     * fingerprint. Per-doc output (doc_id, fingerprint, canonical_id,
     * is_dup). One shuffle on the digest. */
   def exactDedup(docs: DataFrame): DataFrame = {
-    val fp = parallelize(docs).select(col("doc_id"),
-      TextFunctions.normalizedFingerprint(col("text")).as("fingerprint"))
+    // materialized: referenced by both the canonical aggregation and
+    // the per-doc join below
+    val fp = materialize(parallelize(docs).select(col("doc_id"),
+      TextFunctions.normalizedFingerprint(col("text")).as("fingerprint")))
     val canon = fp.groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("canonical_id"))
     fp.join(canon, Seq("fingerprint"))

@@ -47,7 +47,9 @@ object Similarity {
 
   /** (id, emb) with emb cast to double and scaled to unit norm. The
     * norm is materialized as a column before the element-wise divide
-    * (barrier), so it is computed once per row, not once per element. */
+    * (barrier: an inlined norm is re-evaluated per element), and the
+    * result is lineage-truncated (localCheckpoint) so join consumers
+    * read materialized vectors instead of recomputing the chain. */
   private def normalized(df: DataFrame, idOut: String, embOut: String): DataFrame = {
     val withNorm = parallelize(df)
       .select(col("vec_id").as(idOut),
@@ -57,6 +59,7 @@ object Similarity {
           lit(0.0), (acc, v) => acc + v)).as("nrm"))
     parallelize(withNorm)
       .select(col(idOut), transform(col(embOut), x => x / col("nrm")).as(embOut))
+      .localCheckpoint(eager = false)
   }
 
   /**
