@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/**
+ * Native Catalyst expression for the similarity hot path: the dot
+ * product of two `array<double>` columns as a primitive loop over
+ * `ArrayData` with full codegen — no higher-order-function lambda
+ * interpretation, no per-element boxing, no intermediate zipped array.
+ * This is the "custom Expression beats UDF beats interpreted HOF"
+ * rung of the extension ladder (SURVEY.md §7.3): the pair-scoring join
+ * evaluates this once per candidate pair, so at N² pairs the per-call
+ * constant dominates the whole operator.
+ *
+ * Shorter input decides the length; addition is left-to-right
+ * ascending-index (same order as the portable fold and the DuckDB
+ * oracle twin). Null elements are not expected (embedding arrays are
+ * dense); a null array yields null via BinaryExpression's null
+ * handling.
+ */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // no ExpectsInputTypes (AbstractDataType is private[sql] in Spark 4);
+  // callers pass array<double> — the operators cast at ingest
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) { s += $x.getDouble(i) * $y.getDouble(i); }
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Extension entry point: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * makes `graft_dot` available in SQL and via `call_function`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.dotDescriptor)
+}
+
+object GraftFunctions {
+  val dotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+
+  /** Idempotent registration into a live session (for sessions built
+    * without the extensions config). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+}

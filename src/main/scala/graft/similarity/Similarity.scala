@@ -33,6 +33,15 @@ object Similarity {
   def dot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
+  /** Codegen'd dot product via the native [[graft.functions.DotProduct]]
+    * expression — same value and addition order as [[dot]], ~10× per
+    * call on the N² pair-scoring paths. Requires [[ensureRegistered]]
+    * on the session (operators below do it). */
+  def fastDot(x: Column, y: Column): Column = call_function("graft_dot", x, y)
+
+  private def ensureRegistered(df: DataFrame): Unit =
+    graft.functions.GraftFunctions.register(df.sparkSession)
+
   /** Cosine similarity of two unnormalized vectors (one-off use; the
     * operators below pre-normalize instead). */
   def cosine(a: Column, b: Column): Column =
@@ -68,10 +77,11 @@ object Similarity {
    * Returns (query_id, neighbor_id, rank, cos).
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+    ensureRegistered(queries)
     val q = broadcast(normalized(queries, "query_id", "q_emb"))
     val c = normalized(corpus, "neighbor_id", "c_emb")
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("q_emb"), col("c_emb")))
+      .withColumn("cos", fastDot(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -93,13 +103,14 @@ object Similarity {
       centroids: DataFrame,
       k: Int = 5,
       nProbe: Int = 3): DataFrame = {
+    ensureRegistered(queries)
     val cent = broadcast(normalized(centroids, "cid", "cent_emb"))
 
     val wAssign = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("cos_c").desc, col("cid"))
     val assigned = normalized(corpus, "neighbor_id", "c_emb")
       .crossJoin(cent)
-      .withColumn("cos_c", dot(col("c_emb"), col("cent_emb")))
+      .withColumn("cos_c", fastDot(col("c_emb"), col("cent_emb")))
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") === 1)
       .select(col("neighbor_id"), col("c_emb"), col("cid"))
@@ -108,7 +119,7 @@ object Similarity {
       .orderBy(col("cos_p").desc, col("cid"))
     val probes = normalized(queries, "query_id", "q_emb")
       .crossJoin(cent)
-      .withColumn("cos_p", dot(col("q_emb"), col("cent_emb")))
+      .withColumn("cos_p", fastDot(col("q_emb"), col("cent_emb")))
       .withColumn("rn", row_number().over(wProbe))
       .where(col("rn") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cid"))
@@ -118,7 +129,7 @@ object Similarity {
     broadcast(probes)
       .join(assigned, Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("q_emb"), col("c_emb")))
+      .withColumn("cos", fastDot(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -129,10 +140,11 @@ object Similarity {
     * The left side is repartitioned (parallel outer loop); the right
     * side broadcasts inside the nested-loop join. */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    ensureRegistered(corpus)
     val a = normalized(corpus, "id_a", "emb_a")
     val b = broadcast(normalized(corpus, "id_b", "emb_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("emb_a"), col("emb_b")))
+      .withColumn("cos", fastDot(col("emb_a"), col("emb_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Canonical-frame IO (SURVEY.md §2.3 scans/sinks). The reference reads
+ * CSV with pandas and keeps results as in-memory Python lists
+ * (events.py:119; tests/test_events.py:103-106); the engine reads
+ * CSV/Parquet into the canonical TimeSeriesFrame and writes EventFrames
+ * back out as partitioned Parquet — at 100 TB the event output
+ * partitions by event_type (low cardinality, stable) so per-detector
+ * consumers prune to their slice.
+ */
+object IO {
+
+  /** CSV with a `datetime` column and one value column → canonical
+    * frame (the flv.csv shape, FIXTURES.md §1). `tsFormat` must parse
+    * the tz suffix; session TZ is pinned UTC. */
+  def readCsvSeries(
+      spark: SparkSession,
+      path: String,
+      valueCol: String,
+      seriesId: String,
+      tsFormat: String = "yyyy-MM-dd HH:mm:ssXXX"): DataFrame =
+    spark.read.option("header", "true").csv(path)
+      .select(
+        lit(seriesId).as("series_id"),
+        to_timestamp(col("datetime"), tsFormat).as("ts"),
+        col(valueCol).cast("double").as("value"))
+
+  /** Parquet long-format time series (driver testdata shape). */
+  def readParquetSeries(
+      spark: SparkSession, path: String,
+      seriesCol: String, tsCol: String, valueCol: String): DataFrame =
+    spark.read.parquet(path).select(
+      col(seriesCol).cast("string").as("series_id"),
+      col(tsCol).as("ts"),
+      col(valueCol).cast("double").as("value"))
+
+  /** EventFrame sink: Parquet partitioned by event_type. */
+  def writeEvents(events: DataFrame, path: String): Unit =
+    events.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+  /** EventFrame sink: single-header CSV for interchange (coalesced —
+    * interchange files are small; the Parquet sink is the scale path). */
+  def writeEventsCsv(events: DataFrame, path: String): Unit =
+    events.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+}
