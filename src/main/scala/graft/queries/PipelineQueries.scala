@@ -25,7 +25,7 @@ object PipelineQueries {
     "x1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(docs(s, dir))),
     "x2_minhash_lsh" -> ((s, dir) => Dedup.minhashNearDups(docs(s, dir), threshold = 0.6)),
     "x3_simhash" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), maxHamming = 3)),
-    "x4_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
+    "x4_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.8)),
     "x5_embedding_neardup" -> ((s, dir) => Similarity.nearDupPairs(embs(s, dir), threshold = 0.45)),
     "s1_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -141,7 +141,7 @@ object PipelineQueries {
          |  SELECT i.doc_id, i.s, i.n_sh,
          |    row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s) AS rk
          |  FROM inv i JOIN dfreq d USING (s))
-         | WHERE rk <= n_sh - ceil(0.5 * n_sh) + 1),
+         | WHERE rk <= n_sh - ceil(0.8 * n_sh) + 1),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
          |jj AS (SELECT doc_a, doc_b,
@@ -149,7 +149,7 @@ object PipelineQueries {
          |   / (len(list_distinct(sa.shingles)) + len(list_distinct(sb.shingles))
          |      - len(list_intersect(sa.shingles, sb.shingles))) AS j
          |  FROM cand JOIN nz sa ON doc_a = sa.doc_id JOIN nz sb ON doc_b = sb.doc_id)
-         |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jj WHERE j >= 0.5""".stripMargin,
+         |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jj WHERE j >= 0.8""".stripMargin,
     "x5_embedding_neardup" ->
       s"""WITH $vNormCte
          |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM (
