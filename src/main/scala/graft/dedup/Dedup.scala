@@ -96,6 +96,21 @@ object Dedup {
     ni / (na + nb - ni)
   }
 
+  /** Sorted distinct 32-bit hash set of a shingle array — the compact
+    * per-doc representation the verify stage intersects. Hashing
+    * shingles before set ops is the standard trick (the ~2⁻³² pairwise
+    * collision rate is negligible, and both engines hash identically
+    * so the oracle compare is exact either way). */
+  def hashedShingleSet(shingles: Column): Column =
+    array_sort(array_distinct(shingleHashes(shingles)))
+
+  /** Jaccard over two sorted hash sets via the native codegen'd
+    * two-pointer [[graft.functions.SortedIntersectCount]]. */
+  def jaccardHashed(a: Column, b: Column): Column = {
+    val ni = call_function("graft_isect", a, b).cast("double")
+    ni / (size(a) + size(b) - ni)
+  }
+
   /**
    * MinHash-LSH near-duplicate pairs over `(doc_id, text)`:
    * signature → bands → collision candidates → exact-Jaccard verify.
@@ -113,16 +128,19 @@ object Dedup {
     df.repartition(n)
   }
 
-  /** Lazy lineage barrier before a Generate/self-join over an
-    * expensive expression chain. Two reasons, both measured:
+  /** Lineage barrier before a Generate/self-join over an expensive
+    * expression chain. Three reasons, all measured:
     * (1) InferFiltersFromGenerate derives `size(arr) > 0` from an
     * explode and filter-pushdown INLINES the whole upstream hash
     * pipeline into a per-row scan Filter (observed 25× slowdown);
     * (2) a self-join would otherwise recompute the chain once per
-    * side. localCheckpoint truncates the plan at a materialized RDD
-    * both consumers share. */
+    * side; (3) EAGER, because a lazy checkpoint consumed by several
+    * branches of one job races its own cache population and computes
+    * partitions multiple times (observed 3×). The eager checkpoint
+    * runs a small job at operator-construction time — a deliberate
+    * trade of strict laziness for single evaluation. */
   private[graft] def materialize(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = false)
+    df.localCheckpoint(eager = true)
 
   def minhashNearDups(
       docs: DataFrame,
@@ -130,22 +148,23 @@ object Dedup {
       k: Int = 12,
       bands: Int = 4,
       rows: Int = 3): DataFrame = {
-    val shingled = parallelize(docs).select(
-      col("doc_id"),
-      wordShingles(col("text")).as("shingles"))
     // Exchange barriers after each hash stage: without them Catalyst
     // collapses the projections and the k-component transform
     // re-evaluates every shingle md5 once per component (k×), and the
     // band transform re-evaluates the signature once per band.
-    val digs = parallelize(shingled
+    // `digs` (raw per-shingle hashes) feeds the signature; its sorted
+    // distinct set feeds the verify stage.
+    val digs = materialize(parallelize(docs)
+      .select(col("doc_id"), wordShingles(col("text")).as("shingles"))
       .where(size(col("shingles")) > 0)
       .select(col("doc_id"), shingleHashes(col("shingles")).as("digs")))
+    val hsets = digs.select(col("doc_id"), array_sort(array_distinct(col("digs"))).as("hset"))
     val sigs = parallelize(
       digs.select(col("doc_id"), minhashSignature(col("digs"), k).as("sig")))
     val withBands = materialize(
       sigs.select(col("doc_id"), lshBands(col("sig"), bands, rows).as("bands")))
     val cands = bandCandidates(withBands)
-    verifyJaccard(cands, materialize(shingled), threshold)
+    verifyJaccard(cands, hsets, threshold)
   }
 
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b
@@ -221,11 +240,12 @@ object Dedup {
    * with the exact set Jaccard. No approximation in the result.
    */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val shingled = materialize(parallelize(docs)
-      .select(col("doc_id"), array_distinct(wordShingles(col("text"))).as("shingles"))
-      .where(size(col("shingles")) > 0))
-    val inv = materialize(shingled.select(col("doc_id"), size(col("shingles")).as("n_sh"),
-      explode(col("shingles")).as("sh")))
+    val hsets = materialize(parallelize(docs)
+      .select(col("doc_id"), wordShingles(col("text")).as("shingles"))
+      .where(size(col("shingles")) > 0)
+      .select(col("doc_id"), hashedShingleSet(col("shingles")).as("hset")))
+    val inv = materialize(hsets.select(col("doc_id"), size(col("hset")).as("n_sh"),
+      explode(col("hset")).as("sh")))
     val docFreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val prefix = materialize(inv.join(docFreq, Seq("sh"))
@@ -239,20 +259,22 @@ object Dedup {
       .join(pb, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    verifyJaccard(cands, shingled, threshold)
+    verifyJaccard(cands, hsets, threshold)
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
-    * against the shingle arrays; shared by the LSH and prefix-filter
-    * candidate generators. Renamed copies avoid self-join ambiguity. */
+    * against per-doc sorted hash sets (column `hset`); shared by the
+    * LSH and prefix-filter candidate generators. Renamed copies avoid
+    * self-join ambiguity. */
   private def verifyJaccard(
-      cands: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
-    val sa = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_arr_a"))
-    val sb = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_arr_b"))
+      cands: DataFrame, hsets: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(hsets.sparkSession)
+    val sa = hsets.select(col("doc_id").as("doc_a"), col("hset").as("hset_a"))
+    val sb = hsets.select(col("doc_id").as("doc_b"), col("hset").as("hset_b"))
     cands
       .join(sa, Seq("doc_a"))
       .join(sb, Seq("doc_b"))
-      .withColumn("j", jaccard(col("sh_arr_a"), col("sh_arr_b")))
+      .withColumn("j", jaccardHashed(col("hset_a"), col("hset_b")))
       .where(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }

@@ -115,11 +115,11 @@ object PipelineQueries {
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM ex a JOIN ex b
          |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |hs AS (SELECT doc_id, list_sort(list_distinct(digs)) AS hset FROM digs),
          |jj AS (SELECT doc_a, doc_b,
-         |   len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-         |   / (len(list_distinct(sa.shingles)) + len(list_distinct(sb.shingles))
-         |      - len(list_intersect(sa.shingles, sb.shingles))) AS j
-         |  FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id)
+         |   len(list_intersect(sa.hset, sb.hset))::DOUBLE
+         |   / (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset))) AS j
+         |  FROM cand JOIN hs sa ON doc_a = sa.doc_id JOIN hs sb ON doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jj WHERE j >= 0.6""".stripMargin,
     "x3_simhash" ->
       s"""WITH sigs AS (SELECT doc_id, $simhashSql AS sig FROM documents),
@@ -133,9 +133,13 @@ object PipelineQueries {
          |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
          |WHERE hamming <= 3""".stripMargin,
     "x4_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT doc_id, list_distinct($shinglesSql) AS shingles FROM documents),
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
          |nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
-         |inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM nz),
+         |hs AS (SELECT doc_id, list_sort(list_distinct(list_transform(shingles,
+         |   s -> CAST(list_sum(list_transform(generate_series(1, 8),
+         |     i -> (strpos('0123456789abcdef', substr(md5(s), i::INTEGER, 1)) - 1)
+         |          * power(16, 8 - i))) AS BIGINT)))) AS hset FROM nz),
+         |inv AS (SELECT doc_id, len(hset) AS n_sh, unnest(hset) AS s FROM hs),
          |dfreq AS (SELECT s, count(*) AS df FROM inv GROUP BY 1),
          |pref AS (SELECT doc_id, s FROM (
          |  SELECT i.doc_id, i.s, i.n_sh,
@@ -145,10 +149,9 @@ object PipelineQueries {
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
          |jj AS (SELECT doc_a, doc_b,
-         |   len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-         |   / (len(list_distinct(sa.shingles)) + len(list_distinct(sb.shingles))
-         |      - len(list_intersect(sa.shingles, sb.shingles))) AS j
-         |  FROM cand JOIN nz sa ON doc_a = sa.doc_id JOIN nz sb ON doc_b = sb.doc_id)
+         |   len(list_intersect(sa.hset, sb.hset))::DOUBLE
+         |   / (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset))) AS j
+         |  FROM cand JOIN hs sa ON doc_a = sa.doc_id JOIN hs sb ON doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jj WHERE j >= 0.8""".stripMargin,
     "x5_embedding_neardup" ->
       s"""WITH $vNormCte

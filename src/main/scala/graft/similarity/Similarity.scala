@@ -68,7 +68,7 @@ object Similarity {
           lit(0.0), (acc, v) => acc + v)).as("nrm"))
     parallelize(withNorm)
       .select(col(idOut), transform(col(embOut), x => x / col("nrm")).as(embOut))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true) // eager: see Dedup.materialize
   }
 
   /**
