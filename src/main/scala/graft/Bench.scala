@@ -22,10 +22,19 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmSf).count() catch { case _: Throwable => () }
     }
+    // Drop checkpoint/cache blocks left by the previous query so each
+    // measurement starts from a clean block manager (operators use
+    // eager localCheckpoints as lineage barriers; queries in this
+    // harness never share them).
+    def clearPersisted(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    clearPersisted()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearPersisted()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
