@@ -93,6 +93,63 @@ object StreamingDetectors {
         graft.operators.Kernels.safeMask(v > expectedMax || v < expectedMin)))
   }
 
+  /** Diff-state for one series: the last value seen, to compute the
+    * first difference across micro-batch boundaries. */
+  final case class DiffState(lastValue: Option[Double], run: Option[RunState])
+
+  /**
+   * Flat-line detector as a stream: the diff-based mask
+   * (`abs(v − prev) ≤ slopeThresh`) needs the PREVIOUS value, which a
+   * streaming window can't provide across batches — so the
+   * flatMapGroupsWithState state carries both the last value and the
+   * open run. Matches the batch FlatLineEvents semantics: a missing
+   * previous value (or NaN endpoint) yields flag = false.
+   */
+  def flatLine(minLen: Long, slopeThresh: Double)(ts: DataFrame): DataFrame = {
+    val spark = ts.sparkSession
+    import spark.implicits._
+
+    ts.select(col("series_id"), col("ts"), col("value"))
+      .as[(String, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (sid: String,
+         rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
+         state: GroupState[DiffState]) => {
+          val sorted = rows.toArray.sortBy(_._2.getTime)
+          val out = Array.newBuilder[Event]
+          var st = state.getOption.getOrElse(DiffState(None, None))
+          def close(run: RunState): Unit =
+            if (run.n >= minLen)
+              out += Event(sid, "flat_line",
+                new java.sql.Timestamp(run.startUs / 1000L), run.lastTs,
+                run.lastTs.getTime * 1000L - run.startUs, run.n,
+                if (run.any) Some(run.total) else None)
+          sorted.foreach { case (_, t, v) =>
+            val flag = (st.lastValue, v) match {
+              case (Some(p), Some(c)) if !p.isNaN && !c.isNaN =>
+                math.abs(c - p) <= slopeThresh
+              case _ => false
+            }
+            val run = if (flag) {
+              Some(st.run match {
+                case None => RunState(t.getTime * 1000L, t, 1L, v.getOrElse(0.0), v.isDefined)
+                case Some(r) => r.copy(lastTs = t, n = r.n + 1,
+                  total = r.total + v.getOrElse(0.0), any = r.any || v.isDefined)
+              })
+            } else {
+              st.run.foreach(close)
+              None
+            }
+            st = DiffState(v, run)
+          }
+          state.update(st)
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   /** Storm sessionization on a stream: mass-threshold filter, then a
     * session window with `hoursToStop` gap per series — the streaming
     * twin of the storm group-merge. Emits one row per finalized

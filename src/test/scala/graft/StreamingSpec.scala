@@ -35,6 +35,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming flat-line: diff state carries across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TsPoint]
+    val q = StreamingDetectors.flatLine(minLen = 2, slopeThresh = 0.0)(input.toDF())
+      .writeStream.format("memory").queryName("fl").outputMode(OutputMode.Append()).start()
+    try {
+      // flat run 5,5,5 split across batches; diff of the first row in
+      // batch 2 must see batch 1's last value
+      input.addData(point("a", 0, 1.0), point("a", 1, 5.0), point("a", 2, 5.0))
+      q.processAllAvailable()
+      input.addData(point("a", 3, 5.0), point("a", 4, 9.0))
+      q.processAllAvailable()
+      val ev = spark.sql("select * from fl").as[Event].collect()
+      assert(ev.length == 1)
+      // flat run flagged from the SECOND sample (diff semantics): days 2-3
+      assert(ev(0).start == day(2) && ev(0).stop == day(3) && ev(0).n_points == 2L)
+    } finally q.stop()
+  }
+
   test("streaming storm sessions merge by gap and finalize via watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
