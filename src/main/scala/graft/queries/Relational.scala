@@ -116,7 +116,49 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
         count(lit(1)).as("n_orders"))
 
+  /** Left-semi join (EXISTS): orders with at least one line shipped
+    * after the order date + 90 days. */
+  def j1SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 4).as("o_totalprice"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def j2AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** Distinct aggregation: per order priority, distinct customers and
+    * order count — Catalyst's Expand-based distinct-agg rewrite. */
+  def a1DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        round(avg(col("o_totalprice")), 6).as("avg_price"))
+
   val oracle: Map[String, String] = Map(
+    "j1_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice,4) AS o_totalprice
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY)""".stripMargin,
+    "j2_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "a1_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+        | count(*) AS n_orders, ROUND(avg(o_totalprice),6) AS avg_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | ROUND(SUM(l_quantity),4) AS sum_qty,
@@ -168,6 +210,9 @@ object Relational {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "w1_top_orders_per_customer" -> (w1TopOrdersPerCustomer _),
-    "g1_rollup_revenue" -> (g1RollupRevenue _)
+    "g1_rollup_revenue" -> (g1RollupRevenue _),
+    "j1_semi_join" -> (j1SemiJoin _),
+    "j2_anti_join" -> (j2AntiJoin _),
+    "a1_distinct_agg" -> (a1DistinctAgg _)
   )
 }

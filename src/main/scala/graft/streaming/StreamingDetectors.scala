@@ -150,6 +150,48 @@ object StreamingDetectors {
       .toDF()
   }
 
+  /** Last event time per series, for cross-batch gap detection. */
+  final case class GapState(lastTsMs: Long)
+
+  /**
+   * Timestamp-gap detection on a stream (DataGapEvent's part (b),
+   * metevents/events.py:269-286): whenever a point arrives more than
+   * `expectedFrequency` after its predecessor, emit the synthetic
+   * two-point gap event spanning last-present → first-present. State
+   * is one timestamp per series; duration filter matches the batch
+   * detector (`duration ≥ minLen · step`).
+   */
+  def dataGaps(minLen: Long, expectedFrequency: String)(ts: DataFrame): DataFrame = {
+    val stepUs = graft.operators.Steps.parseMicros(expectedFrequency)
+    val spark = ts.sparkSession
+    import spark.implicits._
+
+    ts.select(col("series_id"), col("ts"), col("value"))
+      .as[(String, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (sid: String,
+         rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
+         state: GroupState[GapState]) => {
+          val sorted = rows.toArray.sortBy(_._2.getTime)
+          val out = Array.newBuilder[Event]
+          var last = state.getOption.map(_.lastTsMs)
+          sorted.foreach { case (_, t, _) =>
+            last.foreach { p =>
+              val durUs = (t.getTime - p) * 1000L
+              if (durUs > stepUs && durUs >= minLen * stepUs)
+                out += Event(sid, "data_gap",
+                  new java.sql.Timestamp(p), t, durUs, 2L, None)
+            }
+            last = Some(t.getTime)
+          }
+          last.foreach(l => state.update(GapState(l)))
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   /** Storm sessionization on a stream: mass-threshold filter, then a
     * session window with `hoursToStop` gap per series — the streaming
     * twin of the storm group-merge. Emits one row per finalized

@@ -55,6 +55,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming data gaps: detected across micro-batch boundaries") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TsPoint]
+    val q = StreamingDetectors.dataGaps(minLen = 2, expectedFrequency = "1D")(input.toDF())
+      .writeStream.format("memory").queryName("dg").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(point("a", 0, 1.0), point("a", 1, 1.0))
+      q.processAllAvailable()
+      // batch 2 jumps from day 1 to day 4 → 3-day gap spanning the boundary
+      input.addData(point("a", 4, 1.0), point("a", 5, 1.0))
+      q.processAllAvailable()
+      val ev = spark.sql("select * from dg").as[Event].collect()
+      assert(ev.length == 1)
+      assert(ev(0).start == day(1) && ev(0).stop == day(4))
+      assert(ev(0).duration_us == 3L * DayUs)
+    } finally q.stop()
+  }
+
   test("streaming storm sessions merge by gap and finalize via watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
