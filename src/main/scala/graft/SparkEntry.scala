@@ -42,7 +42,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = detectorQueries ++
     graft.queries.Relational.queries ++
     graft.queries.TextAnalysis.queries ++
-    graft.queries.PipelineQueries.queries
+    graft.queries.PipelineQueries.queries ++
+    graft.queries.TemporalQueries.queries
 
   private def detectorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d6_extreme_value" -> ((s, dir) =>
@@ -112,7 +113,15 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = detectorOracle ++
+    graft.queries.Relational.oracle ++
+    graft.queries.TextAnalysis.oracle ++
+    graft.queries.PipelineQueries.oracle ++
+    graft.queries.TemporalQueries.oracle
+
+  /** Detector-only oracles (no cross-module references — temporal
+    * twins compose d6 from here without a cycle). */
+  private[graft] def detectorOracle: Map[String, String] = Map(
     "d6_extreme_value" ->
       (runIdSql("value > 300.0 OR value < 0.05", withDiff = false) +
         assembleSql("extreme_value")),
@@ -136,9 +145,7 @@ object SparkEntry {
          | SELECT series_id,
          |  CASE WHEN count(DISTINCT d_us) = 1 THEN min(d_us) END AS step_us
          | FROM w WHERE rn >= 2 AND rn <= n - 1 GROUP BY series_id""".stripMargin
-  ) ++ graft.queries.Relational.oracle ++
-    graft.queries.TextAnalysis.oracle ++
-    graft.queries.PipelineQueries.oracle
+  )
 
   /** Storm delineation (D1) as a DuckDB recursive CTE: the reference's
     * sequential fold (metevents/events.py:85-121) carries candidate

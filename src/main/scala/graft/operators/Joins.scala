@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal join operators Spark lacks as builtins (brief: as-of join,
+ * range/interval join, sessionization). All three are expressed as
+ * single-shuffle window/join plans — no per-key loops, no custom
+ * physical operator needed; the DuckDB oracle twins use DuckDB's
+ * native ASOF JOIN / BETWEEN joins, so the semantics are
+ * cross-checked against an independent implementation.
+ */
+object Joins {
+
+  /**
+   * As-of join: for every left row, the LATEST right row with
+   * `right.ts <= left.ts` in the same series. The classic union
+   * trick: tag the sides, sort by (ts, side) within series (right
+   * sorts first on ties so an exactly-simultaneous right row is
+   * visible, i.e. inclusive <=), then `last(..., ignoreNulls)` over a
+   * running frame carries the most recent right values forward. ONE
+   * shuffle on series_id, one sort — no join node at all, so there is
+   * no skew amplification however many left rows share a right match.
+   *
+   * Output: left columns + `asof_ts`, `asof_value` (null when no
+   * right row precedes).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("series_id"), col("ts"), col("value"),
+      lit(1).as("side"), lit(null).cast("timestamp").as("r_ts"),
+      lit(null).cast("double").as("r_val"))
+    val r = right.select(col("series_id"), col("ts"),
+      lit(null).cast("double").as("value"),
+      lit(0).as("side"), col("ts").as("r_ts"), col("value").as("r_val"))
+    val w = Window.partitionBy("series_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", last(col("r_val"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("series_id"), col("ts"), col("value"), col("asof_ts"), col("asof_value"))
+  }
+
+  /**
+   * Interval containment join: each point against the intervals of
+   * its series with `start <= ts <= stop` (pandas inclusive label
+   * slice, SURVEY.md §2.3), aggregated to per-interval stats. The
+   * equi-key is series_id; the interval side is aggregated output so
+   * AQE broadcast-plans it at runtime (same shape the storm stats
+   * pass uses).
+   */
+  def intervalStats(points: DataFrame, intervals: DataFrame): DataFrame = {
+    val iv = intervals.select(col("series_id").as("iv_sid"),
+      col("start"), col("stop"))
+    points
+      .join(iv,
+        col("series_id") === col("iv_sid") &&
+          col("ts") >= col("start") && col("ts") <= col("stop"))
+      .groupBy(col("series_id"), col("start"), col("stop"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        round(coalesce(sum(Kernels.nanToNull(col("value"))), lit(0.0)), 6).as("total"),
+        round(avg(Kernels.nanToNull(col("value"))), 6).as("mean"))
+  }
+
+  /**
+   * Gap-based sessionization as a first-class batch operator: a new
+   * session starts where `ts − lag(ts) > gap`. The session id is the
+   * running count of gap-exceeding steps (gaps-and-islands shape,
+   * same one-shuffle plan as [[Kernels.withRunId]]).
+   */
+  def sessionize(ts: DataFrame, gap: String): DataFrame = {
+    val gapUs = Steps.parseMicros(gap)
+    val w = Window.partitionBy("series_id").orderBy("ts")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts.withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .drop("prev_us", "is_new")
+  }
+
+  /** Session summaries: one row per (series, session). */
+  def sessionStats(ts: DataFrame, gap: String): DataFrame =
+    sessionize(ts, gap)
+      .groupBy(col("series_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("start"),
+        max(col("ts")).as("stop"),
+        count(lit(1)).as("n_points"),
+        round(coalesce(sum(Kernels.nanToNull(col("value"))), lit(0.0)), 6).as("total"))
+}

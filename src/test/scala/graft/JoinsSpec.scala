@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Joins
+
+class JoinsSpec extends AnyFunSuite with SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  test("asof join: latest right row at or before each left ts") {
+    val left = seriesAt(Seq(day(1) -> 10.0, day(3) -> 30.0, day(5) -> 50.0), "a")
+    val right = seriesAt(Seq(day(0) -> 1.0, day(3) -> 3.0, day(4) -> 4.0), "a")
+    val r = Joins.asofJoin(left, right)
+      .orderBy("ts")
+      .select("asof_value").collect().map(x => Option(x.get(0)))
+    // day1 → right day0 (1.0); day3 → right day3 inclusive (3.0); day5 → day4 (4.0)
+    assert(r.toSeq == Seq(Some(1.0), Some(3.0), Some(4.0)))
+  }
+
+  test("asof join: no preceding right row yields null") {
+    val left = seriesAt(Seq(day(0) -> 10.0), "a")
+    val right = seriesAt(Seq(day(1) -> 1.0), "a")
+    val r = Joins.asofJoin(left, right).collect()
+    assert(r.length == 1 && r(0).isNullAt(r(0).fieldIndex("asof_value")))
+  }
+
+  test("asof join is per-series") {
+    val left = seriesAt(Seq(day(2) -> 1.0), "a").union(seriesAt(Seq(day(2) -> 2.0), "b"))
+    val right = seriesAt(Seq(day(1) -> 11.0), "a") // series b has no right rows
+    val r = Joins.asofJoin(left, right).collect()
+      .map(x => (x.getString(0), Option(x.get(x.fieldIndex("asof_value"))))).toMap
+    assert(r("a") == Some(11.0) && r("b").isEmpty)
+  }
+
+  test("sessionize: gap splits sessions, stats aggregate per session") {
+    val ts = seriesAt(Seq(day(0) -> 1.0, day(1) -> 2.0, day(5) -> 3.0, day(6) -> 4.0), "a")
+    val sessions = Joins.sessionStats(ts, gap = "2D")
+      .orderBy("session_id").collect()
+    assert(sessions.length == 2)
+    assert(sessions(0).getAs[Long]("n_points") == 2 && sessions(0).getAs[Double]("total") == 3.0)
+    assert(sessions(1).getAs[Long]("n_points") == 2 && sessions(1).getAs[Double]("total") == 7.0)
+  }
+
+  test("interval stats: inclusive bounds, per-series containment") {
+    val pts = seriesAt(Seq(day(0) -> 1.0, day(1) -> 2.0, day(2) -> 3.0, day(3) -> 4.0), "a")
+    val iv = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row("a", day(1), day(2))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("series_id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("start", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("stop", org.apache.spark.sql.types.TimestampType))))
+    val r = Joins.intervalStats(pts, iv).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_points") == 2 && r(0).getAs[Double]("total") == 5.0)
+  }
+}
