@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
  * partitioned by series_id so plans shuffle exactly once and then
  * parallelize across series — the scalability story the single-series
  * reference lacks (metevents/events.py:18-22).
+ *
+ * Skew note: the per-series window sort pins one pathological
+ * multi-billion-row series to one executor. Exact run semantics
+ * require ordered scans, so the mitigation (not needed for station
+ * data) is time-chunking such series and merging boundary runs from
+ * the tiny chunk summaries — see SCALE_NOTES.md.
  */
 object Kernels {
 
