@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
  * reference lacks (metevents/events.py:18-22).
  *
  * Skew note: the per-series window sort pins one pathological
- * multi-billion-row series to one executor. Exact run semantics
- * require ordered scans, so the mitigation (not needed for station
- * data) is time-chunking such series and merging boundary runs from
- * the tiny chunk summaries — see SCALE_NOTES.md.
+ * multi-billion-row series to one executor. For such inputs use
+ * [[ChunkedRuns.assembleEventsChunked]] — run ids per time chunk, then
+ * an exact boundary merge over the tiny chunk summaries
+ * (property-tested identical to this path; see SCALE_NOTES.md).
  */
 object Kernels {
 
