@@ -1,0 +1,30 @@
+package graft
+
+/**
+ * Recommended SparkSession configuration for the engine, by
+ * deployment shape. These are starting points, not magic — the
+ * comments say which operator motivates each knob.
+ */
+object GraftConf {
+
+  /** Always required for driver testdata + oracle parity. */
+  def required: Map[String, String] = graft.sources.Tables.requiredConfs
+
+  /** Cluster deployment (the 100 TB posture). */
+  val cluster: Map[String, String] = Map(
+    // AQE re-plans fact joins at runtime: broadcast of aggregated
+    // sides (storm spans, interval stats) and skew-join splitting
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // partial aggregation + one exchange per detector means shuffle
+    // partition count should track input size; AQE coalesces down
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // native expressions (graft_dot/graft_isect) in SQL without
+    // explicit registration
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions")
+
+  /** Local/bench shape: small files would otherwise scan as single
+    * tasks and serialize CPU-heavy per-row hashing onto one core. */
+  val localSmallFiles: Map[String, String] = Map(
+    "spark.sql.files.maxPartitionBytes" -> "4m")
+}

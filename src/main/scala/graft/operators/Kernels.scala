@@ -167,6 +167,16 @@ object Steps {
     if (diffUs == null) null
     else java.lang.Long.valueOf(resolutionStepUs(diffUs.longValue))
 
+  /** Pandas-style frequency string for a step (`determine_freq`
+    * returns 'D'/'H' strings in the reference, utilities.py:10-14). */
+  def toFreqStr(stepUs: Long): String =
+    if (stepUs % Day == 0) { val n = stepUs / Day; if (n == 1) "D" else s"${n}D" }
+    else if (stepUs % Hour == 0) { val n = stepUs / Hour; if (n == 1) "H" else s"${n}H" }
+    else if (stepUs % Minute == 0) { val n = stepUs / Minute; if (n == 1) "min" else s"${n}min" }
+    else if (stepUs % Second == 0) { val n = stepUs / Second; if (n == 1) "S" else s"${n}S" }
+    else if (stepUs % Ms == 0) { val n = stepUs / Ms; if (n == 1) "ms" else s"${n}ms" }
+    else s"${stepUs}us"
+
   def resolutionStepUs(diffUs: Long): Long =
     if (diffUs % Day == 0) Day
     else if (diffUs % Hour == 0) Hour

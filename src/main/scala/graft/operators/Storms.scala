@@ -56,6 +56,24 @@ private[operators] case class StormSpan(
  * series (documented divergence) unless an explicit `frequency` is
  * supplied, which also extends the operator to irregular series.
  */
+object StormEvents {
+  /** StormEvents.from_station parity (metevents/events.py:123-165):
+    * resolve the source, pull daily accumulated precipitation, convert
+    * to increments, detect. The registry maps source names to
+    * [[graft.sources.StationSource]]s (recorded fixtures in tests —
+    * FIXTURES.md §3; a live HTTP client implements the same trait). */
+  def fromStation(
+      registry: Map[String, graft.sources.StationSource],
+      spark: org.apache.spark.sql.SparkSession,
+      stationId: String,
+      start: String,
+      stop: String,
+      source: String = "NRCS",
+      params: StormEvents = StormEvents()): DataFrame =
+    params.detect(
+      graft.sources.StationSources.fromStation(registry, spark, stationId, start, stop, source))
+}
+
 case class StormEvents(
     instantMassToStart: Double = 0.1,
     minStormTotal: Double = 0.5,

@@ -25,6 +25,22 @@ class StationSourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("no data"))
   }
 
+  test("StormEvents.fromStation: reference-shaped entry point end-to-end") {
+    val storms = collectEvents(
+      graft.operators.StormEvents.fromStation(
+        registry, spark, "TUM", "2022-12-01", "2022-12-31", source = "NRCS",
+        params = graft.operators.StormEvents(instantMassToStart = 0.1,
+          minStormTotal = 0.5, hoursToStop = 24, maxStormHours = 336)))
+    assert(storms.length == 2)
+  }
+
+  test("toFreqStr round-trips parseMicros for common steps") {
+    import graft.operators.Steps
+    Seq("D", "2D", "H", "6H", "min", "S", "ms").foreach { f =>
+      assert(Steps.parseMicros(Steps.toFreqStr(Steps.parseMicros(f))) == Steps.parseMicros(f))
+    }
+  }
+
   test("accumulated precip becomes increments; storms detected end-to-end") {
     val ts = StationSources.fromStation(registry, spark, "TUM",
       "2022-12-01", "2022-12-31", source = "NRCS")
