@@ -12,6 +12,18 @@ import Kernels._
 trait Detector extends Serializable {
   def eventType: String
   def detect(ts: DataFrame): DataFrame
+
+  /** Typed view — the engine's analog of the reference's `.events`
+    * list (metevents/events.py:24-26), still lazy/distributed. */
+  def events(ts: DataFrame): org.apache.spark.sql.Dataset[graft.Event] = {
+    val spark = ts.sparkSession
+    import spark.implicits._
+    detect(ts).as[graft.Event]
+  }
+
+  /** Event count — the reference's `.N` (metevents/events.py:28-30);
+    * an action. */
+  def n(ts: DataFrame): Long = detect(ts).count()
 }
 
 /**
