@@ -105,7 +105,30 @@ object StreamingDetectors {
    * open run. Matches the batch FlatLineEvents semantics: a missing
    * previous value (or NaN endpoint) yields flag = false.
    */
-  def flatLine(minLen: Long, slopeThresh: Double)(ts: DataFrame): DataFrame = {
+  def flatLine(minLen: Long, slopeThresh: Double)(ts: DataFrame): DataFrame =
+    diffRunEvents("flat_line", minLen,
+      (prev, cur) => math.abs(cur - prev) <= slopeThresh)(ts)
+
+  /** Extreme-change detector as a stream — same diff-state machine,
+    * the batch ExtremeChangeEvents mask. */
+  def extremeChange(
+      minLen: Long,
+      positiveSlopeThresh: Option[Double],
+      negativeSlopeThresh: Option[Double])(ts: DataFrame): DataFrame = {
+    require(positiveSlopeThresh.isDefined || negativeSlopeThresh.isDefined,
+      "One slope threshold must be provided")
+    diffRunEvents("extreme_change", minLen, (prev, cur) => {
+      val d = cur - prev
+      positiveSlopeThresh.exists(d >= _) || negativeSlopeThresh.exists(d <= _)
+    })(ts)
+  }
+
+  /** Shared diff-mask streaming machine: per-series state = (last
+    * value, open run); the mask sees (previous, current) with NaN or
+    * missing endpoints flagged false, like pandas diff-compare. */
+  private def diffRunEvents(
+      eventType: String, minLen: Long,
+      mask: (Double, Double) => Boolean)(ts: DataFrame): DataFrame = {
     val spark = ts.sparkSession
     import spark.implicits._
 
@@ -122,14 +145,13 @@ object StreamingDetectors {
           var st = state.getOption.getOrElse(DiffState(None, None))
           def close(run: RunState): Unit =
             if (run.n >= minLen)
-              out += Event(sid, "flat_line",
+              out += Event(sid, eventType,
                 new java.sql.Timestamp(run.startUs / 1000L), run.lastTs,
                 run.lastTs.getTime * 1000L - run.startUs, run.n,
                 if (run.any) Some(run.total) else None)
           sorted.foreach { case (_, t, v) =>
             val flag = (st.lastValue, v) match {
-              case (Some(p), Some(c)) if !p.isNaN && !c.isNaN =>
-                math.abs(c - p) <= slopeThresh
+              case (Some(p), Some(c)) if !p.isNaN && !c.isNaN => mask(p, c)
               case _ => false
             }
             val run = if (flag) {

@@ -55,6 +55,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming extreme-change: jump across batch boundary detected") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TsPoint]
+    val q = StreamingDetectors.extremeChange(
+        minLen = 1, positiveSlopeThresh = Some(100.0), negativeSlopeThresh = None)(input.toDF())
+      .writeStream.format("memory").queryName("xc").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(point("a", 0, 1.0), point("a", 1, 2.0))
+      q.processAllAvailable()
+      assert(spark.sql("select * from xc").count() == 0)
+      // jump of +500 lands in batch 2: the diff uses batch 1's last
+      // value; day 3's small diff closes the single-point run
+      input.addData(point("a", 2, 502.0), point("a", 3, 503.0))
+      q.processAllAvailable()
+      val ev = spark.sql("select * from xc").as[Event].collect()
+      assert(ev.length == 1 && ev(0).start == day(2) && ev(0).stop == day(2))
+    } finally q.stop()
+  }
+
   test("streaming data gaps: detected across micro-batch boundaries") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
