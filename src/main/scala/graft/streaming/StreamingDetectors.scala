@@ -214,6 +214,139 @@ object StreamingDetectors {
       .toDF()
   }
 
+  /** Exact storm-fold state for one series (metevents/events.py:85-121
+    * under streaming). The candidate tracks raw mass/point counts from
+    * its start; group-stop snapshots freeze the values the closure
+    * condition evaluates (sub-threshold mass AFTER a group belongs to
+    * the NEXT evaluation, exactly like the batch label slice). */
+  final case class StormState(
+      seenAnyRow: Boolean,
+      hasCand: Boolean,
+      candStartUs: Long,
+      candIsSeriesHead: Boolean,
+      runningTotal: Double,   // NaN-skipping raw sum since candidate start
+      runningN: Long,         // points since candidate start
+      runningAny: Boolean,
+      hasGroupStop: Boolean,  // a group has ended since candidate start
+      groupStopUs: Long,
+      totalAtStop: Double,
+      nAtStop: Long,
+      anyAtStop: Boolean,
+      inGroup: Boolean)
+
+  object StormState {
+    val empty: StormState = StormState(
+      seenAnyRow = false, hasCand = false, candStartUs = 0L,
+      candIsSeriesHead = false, runningTotal = 0.0, runningN = 0L,
+      runningAny = false, hasGroupStop = false, groupStopUs = 0L,
+      totalAtStop = 0.0, nAtStop = 0L, anyAtStop = false, inGroup = false)
+  }
+
+  /**
+   * EXACT streaming storm fold — flatMapGroupsWithState carrying the
+   * reference's candidate semantics: the candidate does NOT advance on
+   * a failed close (mass keeps accumulating across quiet spells), the
+   * span back-extends one `step` unless the candidate starts at the
+   * series head, totals are NaN-skipping raw sums over
+   * [candidate start, group stop] (sub-threshold rows included).
+   * A storm closes when the next group STARTS and the batch condition
+   * `(gap > hoursToStop OR duration > maxStormHours) AND total ≥ min`
+   * holds.
+   *
+   * Documented divergences from batch: (1) "the final group always
+   * closes" needs end-of-data, which a stream never reaches — run a
+   * batch tail pass at shutdown if partial-tail storms are needed;
+   * (2) the back-extended span's stats cover [cand_start, stop] (the
+   * batch operator re-joins points to pick up a value AT the
+   * back-extended timestamp; a stream cannot reach back).
+   */
+  def storms(
+      instantMassToStart: Double,
+      minStormTotal: Double,
+      hoursToStop: Double,
+      maxStormHours: Double,
+      frequency: String)(ts: DataFrame): DataFrame = {
+    val stepUs = graft.operators.Steps.parseMicros(frequency)
+    val dtUs = (hoursToStop * graft.operators.Steps.Hour).toLong
+    val maxUs = (maxStormHours * graft.operators.Steps.Hour).toLong
+    val spark = ts.sparkSession
+    import spark.implicits._
+
+    ts.select(col("series_id"), col("ts"), col("value"))
+      .as[(String, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (sid: String,
+         rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
+         state: GroupState[StormState]) => {
+          val sorted = rows.toArray.sortBy(_._2.getTime)
+          val out = Array.newBuilder[Event]
+          var st = state.getOption.getOrElse(StormState.empty)
+          sorted.foreach { case (_, t, vOpt) =>
+            val tUs = t.getTime * 1000L
+            val v = vOpt.filterNot(_.isNaN)
+            val flagged = v.exists(_ >= instantMassToStart)
+            if (flagged) {
+              val startsNewGroup = !st.inGroup
+              if (st.hasCand && startsNewGroup && st.hasGroupStop) {
+                // next group begins: evaluate the batch close condition
+                val close = ((tUs - st.groupStopUs > dtUs) ||
+                  (st.groupStopUs - st.candStartUs > maxUs)) &&
+                  st.totalAtStop >= minStormTotal
+                if (close) {
+                  val spanStart =
+                    if (st.candIsSeriesHead) st.candStartUs else st.candStartUs - stepUs
+                  out += Event(sid, "storm",
+                    new java.sql.Timestamp(Math.floorDiv(spanStart, 1000L)),
+                    new java.sql.Timestamp(Math.floorDiv(st.groupStopUs, 1000L)),
+                    st.groupStopUs - spanStart, st.nAtStop,
+                    if (st.anyAtStop) Some(st.totalAtStop) else Some(0.0))
+                  // this point starts the new candidate
+                  st = st.copy(hasCand = true, candStartUs = tUs,
+                    candIsSeriesHead = false,
+                    runningTotal = v.getOrElse(0.0), runningN = 1L,
+                    runningAny = v.isDefined, hasGroupStop = false)
+                } else {
+                  // candidate persists; fold this point in
+                  st = st.copy(
+                    runningTotal = st.runningTotal + v.getOrElse(0.0),
+                    runningN = st.runningN + 1L,
+                    runningAny = st.runningAny || v.isDefined)
+                }
+              } else if (!st.hasCand) {
+                st = st.copy(hasCand = true, candStartUs = tUs,
+                  candIsSeriesHead = !st.seenAnyRow,
+                  runningTotal = v.getOrElse(0.0), runningN = 1L,
+                  runningAny = v.isDefined, hasGroupStop = false)
+              } else {
+                st = st.copy(
+                  runningTotal = st.runningTotal + v.getOrElse(0.0),
+                  runningN = st.runningN + 1L,
+                  runningAny = st.runningAny || v.isDefined)
+              }
+              // every flagged point is a (possibly new) group stop
+              st = st.copy(inGroup = true, hasGroupStop = true, groupStopUs = tUs,
+                totalAtStop = st.runningTotal, nAtStop = st.runningN,
+                anyAtStop = st.runningAny)
+            } else {
+              // unflagged: closes any open group; raw mass still
+              // accrues to the candidate slice
+              if (st.hasCand) {
+                st = st.copy(inGroup = false,
+                  runningTotal = st.runningTotal + v.getOrElse(0.0),
+                  runningN = st.runningN + 1L,
+                  runningAny = st.runningAny || v.isDefined)
+              } else st = st.copy(inGroup = false)
+            }
+            st = st.copy(seenAnyRow = true)
+          }
+          state.update(st)
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   /** Storm sessionization on a stream: mass-threshold filter, then a
     * session window with `hoursToStop` gap per series — the streaming
     * twin of the storm group-merge. Emits one row per finalized

@@ -94,6 +94,67 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming storms: exact fold closes on next group, carries candidate") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TsPoint]
+    val q = StreamingDetectors.storms(
+        instantMassToStart = 0.1, minStormTotal = 0.5,
+        hoursToStop = 24, maxStormHours = 336, frequency = "1D")(input.toDF())
+      .writeStream.format("memory").queryName("st").outputMode(OutputMode.Append()).start()
+    try {
+      // reference fixture [0,1,1,0,0,...] split across batches
+      input.addData(point("a", 0, 0.0), point("a", 1, 1.0), point("a", 2, 1.0))
+      q.processAllAvailable()
+      input.addData(point("a", 3, 0.0), point("a", 4, 0.0))
+      q.processAllAvailable()
+      assert(spark.sql("select * from st").count() == 0) // no next group yet
+      // day 5 starts the next group > 24h after day 2 → storm 1 closes,
+      // back-extended to day 0 (candidate day 1 is not the series head)
+      input.addData(point("a", 5, 1.0), point("a", 6, 1.0))
+      q.processAllAvailable()
+      val ev = spark.sql("select * from st").as[Event].collect()
+      assert(ev.length == 1)
+      assert(ev(0).start == day(0) && ev(0).stop == day(2))
+      assert(ev(0).total.contains(2.0))
+      // candidate carry-over: sub-threshold mass, storm 2 still open
+      input.addData(point("a", 7, 0.05))
+      q.processAllAvailable()
+      assert(spark.sql("select * from st").count() == 1)
+    } finally q.stop()
+  }
+
+  test("streaming storms: failed close carries mass across quiet gap") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TsPoint]
+    // reference golden: [0.1, 0, 0.1, 0.1] with min_storm_total=0.2 →
+    // ONE storm spanning all four days (candidate must not advance)
+    val q = StreamingDetectors.storms(
+        instantMassToStart = 0.1, minStormTotal = 0.2,
+        hoursToStop = 24, maxStormHours = 336, frequency = "1D")(input.toDF())
+      .writeStream.format("memory").queryName("st2").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(point("a", 0, 0.1), point("a", 1, 0.0))
+      q.processAllAvailable()
+      input.addData(point("a", 2, 0.1), point("a", 3, 0.1))
+      q.processAllAvailable()
+      // gap day0→day2 is 2d > 24h BUT total at day 0 stop = 0.1 < 0.2 →
+      // no close; candidate still day 0; nothing emitted (final storm
+      // would need end-of-data, which streams lack)
+      assert(spark.sql("select * from st2").count() == 0)
+      // unflagged day 4 ends the group (groups are contiguous flagged
+      // ROWS); the distant day-30 group forces evaluation:
+      // total [day0..day3] = 0.3 ≥ 0.2
+      input.addData(point("a", 4, 0.0), point("a", 30, 1.0))
+      q.processAllAvailable()
+      val ev = spark.sql("select * from st2").as[Event].collect()
+      assert(ev.length == 1)
+      assert(ev(0).start == day(0) && ev(0).stop == day(3)) // series head: no back-extension
+      assert(ev(0).total.exists(t => math.abs(t - 0.3) < 1e-9))
+    } finally q.stop()
+  }
+
   test("streaming storm sessions merge by gap and finalize via watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
