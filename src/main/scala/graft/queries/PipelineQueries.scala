@@ -37,6 +37,13 @@ object PipelineQueries {
         e.where(col("vec_id") < 20), e,
         centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3)
     }),
+    // No SQL oracle: iterative float means drift across engines —
+    // rows-only; determinism + recall covered by DedupSimilaritySpec.
+    "s3_kmeans_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val trained = Similarity.kmeansCentroids(e, e.where(col("vec_id") % 25 === 0), iters = 3)
+      Similarity.ivfTopK(e.where(col("vec_id") < 20), e, trained, k = 5, nProbe = 3)
+    }),
     "m1_binary_meta" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),

@@ -136,6 +136,47 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /**
+   * Deterministic spherical k-means centroid training for IVF: seed
+   * with `vec_id % (N/k)`-style fixed picks (caller supplies the seed
+   * frame), then `iters` Lloyd rounds — assign by cosine (ties to the
+   * lowest centroid id), recompute each centroid as the re-normalized
+   * element-wise mean of its members, components rounded to 6 decimals
+   * so runs are reproducible across platforms. Returns (cid,
+   * embedding) ready to feed [[ivfTopK]]. Everything is DataFrame ops:
+   * posexplode → per-(cid, pos) mean → re-packed ordered array; each
+   * round is one broadcast join + two aggregations.
+   */
+  def kmeansCentroids(corpus: DataFrame, seeds: DataFrame, iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val vecs = normalized(corpus, "vid", "emb")
+    var cents = normalized(seeds, "cid", "cent_emb")
+    (0 until iters).foreach { _ =>
+      val wAssign = Window.partitionBy(col("vid")).orderBy(col("cos_c").desc, col("cid"))
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .withColumn("cos_c", fastDot(col("emb"), col("cent_emb")))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select(col("cid"), col("emb"))
+      val meaned = assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("mean_emb"))
+      cents = meaned
+        .select(col("cid"),
+          sqrt(aggregate(zip_with(col("mean_emb"), col("mean_emb"), (p, q) => p * q),
+            lit(0.0), (acc, v) => acc + v)).as("nrm"),
+          col("mean_emb"))
+        .select(col("cid"),
+          transform(col("mean_emb"), x => round(x / col("nrm"), 6)).as("cent_emb"))
+        .localCheckpoint(eager = true) // truncate the per-iteration lineage
+    }
+    cents.select(col("cid").as("vec_id"), col("cent_emb").as("embedding"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id-ordered.
     * The left side is repartitioned (parallel outer loop); the right
     * side broadcasts inside the nested-loop join. */

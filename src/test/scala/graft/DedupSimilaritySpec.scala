@@ -63,6 +63,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r == Set((0L, 1L)))
   }
 
+  test("kmeans centroids: deterministic, unit-norm, improve IVF recall") {
+    import graft.sources.Tables
+    val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
+    val seeds = e.where(col("vec_id") % 25 === 0)
+    val c1 = Similarity.kmeansCentroids(e, seeds, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val c2 = Similarity.kmeansCentroids(e, seeds, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(c1 == c2) // bit-reproducible across runs
+    c1.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3) // unit norm (rounded components)
+    }
+    // trained-IVF recall vs brute force at least matches fixed-seed IVF
+    import spark.implicits._
+    val queries = e.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(queries, e, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val trained = Similarity.kmeansCentroids(e, seeds, iters = 2)
+    val ivf = Similarity.ivfTopK(queries, e, trained, 5, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall > 0.3, s"trained-IVF recall too low: $recall")
+  }
+
   test("IVF with all points as centroids reproduces brute force") {
     val bf = Similarity.bruteForceTopK(vecs.where(col("vec_id") === 0), vecs, k = 2)
       .select("neighbor_id", "rank").as[(Long, Long)].collect().toSet
