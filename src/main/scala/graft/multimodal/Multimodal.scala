@@ -120,6 +120,41 @@ object Multimodal {
       .toDF()
   }
 
+  /**
+   * Resize for image assets: re-encodes the header with the target
+   * dimensions and stride-subsamples the payload proportionally (the
+   * STUB for a real resampling kernel — the header/payload contract
+   * and the batched mapPartitions shape are what a codec build swaps
+   * in). Non-image assets pass through unchanged.
+   */
+  def resize(assets: DataFrame, width: Int, height: Int, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("modality"), col("bytes"))
+      .as[Asset]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { a =>
+            if (a.modality != "image") a
+            else decodeMeta(a.bytes) match {
+              case None => a
+              case Some(meta) =>
+                val payload = a.bytes.drop(16)
+                val scale = math.max(1,
+                  math.round(meta.width.toDouble * meta.height /
+                    math.max(1, width * height)).toInt)
+                val resampled = payload.indices.collect {
+                  case i if i % scale == 0 => payload(i)
+                }.toArray
+                a.copy(bytes = encodeAsset(
+                  meta.copy(width = width, height = height), resampled))
+            }
+          }
+        }
+      }(Encoders.product[Asset])
+      .toDF()
+  }
+
   /** Frame sampling for video assets: emit `everyNth`-strided frame
     * indices with a deterministic byte slice per frame (stub for real
     * frame extraction); non-video rows pass through with no frames. */

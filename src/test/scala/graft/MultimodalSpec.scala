@@ -43,6 +43,24 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f.sameElements(f2))
   }
 
+  test("resize: image headers updated, payload shrinks, others untouched") {
+    val resized = resize(syntheticAssets(docs), width = 8, height = 8)
+      .orderBy("asset_id").collect()
+    val metas = resized.map { r =>
+      r.getLong(0) -> (r.getString(1), decodeMeta(r.getAs[Array[Byte]]("bytes")))
+    }.toMap
+    // images (doc_id % 3 == 0) carry the new dimensions
+    assert(metas(0L)._2.exists(m => m.width == 8 && m.height == 8))
+    assert(metas(3L)._2.exists(m => m.width == 8 && m.height == 8))
+    // audio/video pass through with original meta
+    assert(metas(1L)._2.exists(_.sampleRate == 8000 + 1 * 4000))
+    assert(metas(2L)._2.exists(_.nFrames == 1 + 2))
+    // deterministic
+    val again = resize(syntheticAssets(docs), width = 8, height = 8)
+      .orderBy("asset_id").collect()
+    assert(resized.sameElements(again))
+  }
+
   test("frame sampling: video-only, strided indices, bounded slices") {
     val frames = sampleFrames(syntheticAssets(docs), everyNth = 2)
       .collect()
