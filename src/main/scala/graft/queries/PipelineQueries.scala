@@ -41,7 +41,7 @@ object PipelineQueries {
     // rows-only; determinism + recall covered by DedupSimilaritySpec.
     "s3_kmeans_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
-      val trained = Similarity.kmeansCentroids(e, e.where(col("vec_id") % 25 === 0), iters = 3)
+      val trained = Similarity.kmeansCentroids(e, e.where(col("vec_id") % 25 === 0), iters = 2)
       Similarity.ivfTopK(e.where(col("vec_id") < 20), e, trained, k = 5, nProbe = 3)
     }),
     "m1_binary_meta" -> ((s, dir) =>

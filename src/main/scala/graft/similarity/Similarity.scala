@@ -165,6 +165,9 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("mean_emb"))
+      // centroids are tiny (k rows): coalesce to one partition before
+      // the checkpoint so each Lloyd round is a handful of tasks, not
+      // a shuffle-partition-wide task storm
       cents = meaned
         .select(col("cid"),
           sqrt(aggregate(zip_with(col("mean_emb"), col("mean_emb"), (p, q) => p * q),
@@ -172,6 +175,7 @@ object Similarity {
           col("mean_emb"))
         .select(col("cid"),
           transform(col("mean_emb"), x => round(x / col("nrm"), 6)).as("cent_emb"))
+        .coalesce(1)
         .localCheckpoint(eager = true) // truncate the per-iteration lineage
     }
     cents.select(col("cid").as("vec_id"), col("cent_emb").as("embedding"))
