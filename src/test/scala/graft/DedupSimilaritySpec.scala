@@ -43,6 +43,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(pairs((0L, 3L)) == 0L)
   }
 
+  test("cross-operator: minhash-LSH results ⊆ exact prefix-filter join; both find planted dups") {
+    import graft.sources.Tables
+    val d = Tables.read(spark, "/root/testdata/sf0.01", "documents")
+    val exact = Dedup.ngramJaccardPairs(d, threshold = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDups(d, threshold = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // LSH verifies the same exact Jaccard, so it can only miss, never add
+    assert(lsh.subsetOf(exact), s"LSH produced pairs the exact join lacks: ${lsh -- exact}")
+    // at J≈0.98 a 4-band/3-row scheme collides with prob ≈ 1-5e-5:
+    // every planted pair must be recalled on this data
+    assert(lsh == exact, s"LSH missed planted pairs: ${exact -- lsh}")
+    assert(exact.nonEmpty)
+  }
+
   private def vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f)),
