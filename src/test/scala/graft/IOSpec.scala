@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SpikeValleyEvents
+import graft.sources.IO
+import java.nio.file.Files
+
+class IOSpec extends AnyFunSuite with SparkTestBase {
+
+  test("readCsvSeries: flv.csv into the canonical frame") {
+    val path = getClass.getResource("/flv.csv").getPath
+    val df = IO.readCsvSeries(spark, path, valueCol = "SNOWDEPTH", seriesId = "FLV")
+    assert(df.columns.toSeq == Seq("series_id", "ts", "value"))
+    assert(df.count() == 240)
+    // same frame drives the golden detector
+    assert(SpikeValleyEvents().detect(df).count() == 11)
+  }
+
+  test("event sink round-trip: parquet partitioned by event_type") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    val path = getClass.getResource("/flv.csv").getPath
+    val ts = IO.readCsvSeries(spark, path, "SNOWDEPTH", "FLV")
+    val events = SpikeValleyEvents().detect(ts)
+    IO.writeEvents(events, s"$dir/events")
+    val back = spark.read.parquet(s"$dir/events")
+    assert(back.count() == 11)
+    // partition pruning path exists: event_type is a partition column
+    assert(back.where(org.apache.spark.sql.functions.col("event_type") === "spike_valley")
+      .count() == 11)
+    val expected = collectEvents(events)
+    val got = collectEvents(back.select(
+      "series_id", "event_type", "start", "stop", "duration_us", "n_points", "total"))
+    assert(got == expected)
+  }
+}
