@@ -43,7 +43,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.TextAnalysis.queries ++
     graft.queries.PipelineQueries.queries ++
-    graft.queries.TemporalQueries.queries
+    graft.queries.TemporalQueries.queries ++
+    graft.queries.TimeSeriesQueries.queries
 
   private def detectorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d6_extreme_value" -> ((s, dir) =>
@@ -117,7 +118,8 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
     graft.queries.TextAnalysis.oracle ++
     graft.queries.PipelineQueries.oracle ++
-    graft.queries.TemporalQueries.oracle
+    graft.queries.TemporalQueries.oracle ++
+    graft.queries.TimeSeriesQueries.oracle
 
   /** Detector-only oracles (no cross-module references — temporal
     * twins compose d6 from here without a cycle). */

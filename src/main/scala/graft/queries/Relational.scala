@@ -146,7 +146,99 @@ object Relational {
         count(lit(1)).as("n_orders"),
         round(avg(col("o_totalprice")), 6).as("avg_price"))
 
+  /** Cube grouping sets: all four (status × priority) subtotal
+    * combinations in ONE pass — Catalyst's Expand replicates each input
+    * row per grouping set before a single hash aggregation, so the scan
+    * and shuffle happen once, not 2^k times. */
+  def g2CubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** Exact interpolated percentiles per group (sort-based aggregate —
+    * the one aggregation family that cannot partial-combine; at scale
+    * prefer approx_percentile, kept exact here for the oracle gate). */
+  def a2Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+
+  /** Set operators (INTERSECT/EXCEPT DISTINCT): customers ordering in
+    * both 1996 and 1997 vs only 1996. Both rewrite to joins over the
+    * deduplicated key sets — no full-row shuffle. */
+  def st1SetOps(spark: SparkSession, dir: String): DataFrame = {
+    def custsIn(year: Int): DataFrame =
+      t(spark, dir, "orders")
+        .where(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+    val y96 = custsIn(1996)
+    val y97 = custsIn(1997)
+    y96.intersect(y97).withColumn("tag", lit("both"))
+      .unionByName(y96.except(y97).withColumn("tag", lit("only_1996")))
+  }
+
+  /** Correlated scalar subquery (orders above their customer's average
+    * order value): Catalyst decorrelates the inner aggregate into a
+    * grouped join — demonstrating the rewrite the reference engine
+    * has no counterpart for. Expressed in SQL because the DataFrame
+    * API has no correlated-subquery surface. */
+  def sq1AboveCustomerAvg(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
+         |FROM parquet.`$dir/orders.parquet` o
+         |WHERE o_totalprice > (
+         |  SELECT avg(o2.o_totalprice) FROM parquet.`$dir/orders.parquet` o2
+         |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+
+  /** Pivot (long → wide): revenue per priority with one column per
+    * order status. The value domain is supplied explicitly so the plan
+    * needs no discovery pass; execution is a plain conditional
+    * aggregation (one scan, one shuffle). */
+  def pv1PivotRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 4))
+
   val oracle: Map[String, String] = Map(
+    "g2_cube_revenue" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | ROUND(SUM(o_totalprice),4) AS revenue, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "a2_percentiles" ->
+      """SELECT o_orderpriority,
+        | ROUND(quantile_cont(o_totalprice, 0.5),4) AS p50,
+        | ROUND(quantile_cont(o_totalprice, 0.9),4) AS p90,
+        | ROUND(quantile_cont(o_totalprice, 0.99),4) AS p99
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "st1_set_ops" ->
+      """WITH y96 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        | y97 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS tag FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)""".stripMargin,
+    "sq1_above_customer_avg" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice,4) AS o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT avg(o2.o_totalprice) FROM orders o2
+        |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    "pv1_pivot_revenue" ->
+      """SELECT o_orderpriority,
+        | ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END),4) AS "F",
+        | ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END),4) AS "O",
+        | ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END),4) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "j1_semi_join" ->
       """SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice,4) AS o_totalprice
         |FROM orders WHERE EXISTS (
@@ -213,6 +305,11 @@ object Relational {
     "g1_rollup_revenue" -> (g1RollupRevenue _),
     "j1_semi_join" -> (j1SemiJoin _),
     "j2_anti_join" -> (j2AntiJoin _),
-    "a1_distinct_agg" -> (a1DistinctAgg _)
+    "a1_distinct_agg" -> (a1DistinctAgg _),
+    "g2_cube_revenue" -> (g2CubeRevenue _),
+    "a2_percentiles" -> (a2Percentiles _),
+    "st1_set_ops" -> (st1SetOps _),
+    "sq1_above_customer_avg" -> (sq1AboveCustomerAvg _),
+    "pv1_pivot_revenue" -> (pv1PivotRevenue _)
   )
 }

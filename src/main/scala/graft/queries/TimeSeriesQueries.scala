@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Kernels
+
+/**
+ * Time-series transforms beyond the reference's detectors — the
+ * operations a pandas user of metevents reaches for next
+ * (`Series.resample`, `Series.ffill`, `Series.rolling`) re-expressed as
+ * lazy DataFrame transforms over the canonical frame (SURVEY.md §1.3).
+ * All are single-shuffle (hash on series_id), window/agg only — at
+ * 100 TB they parallelize across series exactly like the detectors.
+ *
+ * NaN→null normalization happens at canonical ingest
+ * ([[graft.SparkEntry.canonicalEvents]]), so null-skipping aggregates
+ * match pandas' NaN-skipping semantics on both engines.
+ */
+object TimeSeriesQueries {
+
+  /** Downsample to fixed buckets (pandas `resample('1D').agg(...)`):
+    * date_trunc is deterministic and identical across engines, unlike
+    * bucket-index arithmetic on epoch micros. One partial+final hash
+    * aggregation; the shuffle key (series_id, bucket) keeps all
+    * cardinality. */
+  def r1Resample(spark: SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.canonicalEvents(spark, dir)
+      .groupBy(col("series_id"), date_trunc("DAY", col("ts")).as("bucket"))
+      .agg(
+        count(col("value")).as("n_present"),
+        count(lit(1)).as("n_rows"),
+        round(sum(col("value")), 6).as("sum_val"),
+        round(avg(col("value")), 6).as("avg_val"),
+        round(min(col("value")), 6).as("min_val"),
+        round(max(col("value")), 6).as("max_val"))
+
+  /** Gap-fill (pandas `Series.ffill()`): carry the last non-null value
+    * forward within each series. `last(ignoreNulls).over(unbounded
+    * preceding)` is a running O(1)-per-row window state — no join, no
+    * self-lookup. */
+  def ff1ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("series_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.SparkEntry.canonicalEvents(spark, dir)
+      .select(
+        col("series_id"), col("ts"),
+        round(col("value"), 6).as("value"),
+        round(last(col("value"), ignoreNulls = true).over(w), 6).as("value_filled"))
+  }
+
+  /** Rolling statistics + z-score anomaly signal (pandas
+    * `Series.rolling(7).mean()/std()`): one window sort yields all
+    * three frames; the z-score guards against near-zero variance so
+    * float noise cannot flip a division. */
+  def rs1RollingStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("series_id").orderBy("ts").rowsBetween(-6, 0)
+    val mean = avg(col("value")).over(w)
+    val sd = stddev_samp(col("value")).over(w)
+    graft.SparkEntry.canonicalEvents(spark, dir)
+      .select(
+        col("series_id"), col("ts"),
+        round(col("value"), 6).as("value"),
+        round(mean, 6).as("roll_mean"),
+        round(sd, 6).as("roll_sd"),
+        round(when(sd > 1e-9, (col("value") - mean) / sd), 3).as("zscore"))
+  }
+
+  private val canonicalCte =
+    "SELECT CAST(user_id AS VARCHAR) AS series_id, ts, " +
+      "CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events"
+
+  val oracle: Map[String, String] = Map(
+    "r1_resample" ->
+      s"""WITH t AS ($canonicalCte)
+         |SELECT series_id, date_trunc('day', ts) AS bucket,
+         |  count(value) AS n_present, count(*) AS n_rows,
+         |  ROUND(sum(value), 6) AS sum_val,
+         |  ROUND(avg(value), 6) AS avg_val,
+         |  ROUND(min(value), 6) AS min_val,
+         |  ROUND(max(value), 6) AS max_val
+         |FROM t GROUP BY series_id, date_trunc('day', ts)""".stripMargin,
+    "ff1_forward_fill" ->
+      s"""WITH t AS ($canonicalCte)
+         |SELECT series_id, ts, ROUND(value, 6) AS value,
+         |  ROUND(last_value(value IGNORE NULLS) OVER (
+         |    PARTITION BY series_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled
+         |FROM t""".stripMargin,
+    "rs1_rolling_stats" ->
+      s"""WITH t AS ($canonicalCte),
+         |w AS (SELECT series_id, ts, value,
+         |  avg(value) OVER (PARTITION BY series_id ORDER BY ts
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS m,
+         |  stddev_samp(value) OVER (PARTITION BY series_id ORDER BY ts
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sd
+         | FROM t)
+         |SELECT series_id, ts, ROUND(value, 6) AS value,
+         |  ROUND(m, 6) AS roll_mean, ROUND(sd, 6) AS roll_sd,
+         |  ROUND(CASE WHEN sd > 1e-9 THEN (value - m) / sd END, 3) AS zscore
+         |FROM w""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_resample" -> (r1Resample _),
+    "ff1_forward_fill" -> (ff1ForwardFill _),
+    "rs1_rolling_stats" -> (rs1RollingStats _)
+  )
+}
