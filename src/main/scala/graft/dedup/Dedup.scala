@@ -67,25 +67,34 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       j => md5(concat_ws(":", slice(sig, j * lit(rows) + 1, lit(rows)))))
 
-  /** Candidate pairs from band collisions: explode (band_idx, bucket),
-    * self-join, dedupe. Input must carry `doc_id` and `bands`. */
-  def bandCandidates(withBands: DataFrame): DataFrame = {
-    val exploded = withBands
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bucket")))
-    // rename BEFORE the self-join: alias-qualified attributes on two
-    // copies of the same plan can silently resolve to one side, turning
-    // the equi-condition trivially true (a quadratic cross join that
-    // still verifies correct — just catastrophically slow)
-    val a = exploded.select(col("doc_id").as("doc_a"),
-      col("band_idx").as("bi_a"), col("bucket").as("bk_a"))
-    val b = exploded.select(col("doc_id").as("doc_b"),
-      col("band_idx").as("bi_b"), col("bucket").as("bk_b"))
-    a.join(b,
-        col("bi_a") === col("bi_b") && col("bk_a") === col("bk_b") &&
-          col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+  /** Ordered within-bucket pairs from a keyed frame: group doc ids per
+    * bucket, emit every (a < b) pair of each bucket, dedupe across
+    * buckets. One shuffle on the bucket key + the distinct — versus an
+    * exploded self-join's two shuffles of the same rows plus the
+    * join itself (and its alias-ambiguity trap). The pair explosion is
+    * quadratic in BUCKET size by design — banding/prefix schemes bound
+    * buckets to near-duplicate groups; a degenerate key that collides
+    * everything would blow up either formulation. */
+  private[graft] def bucketPairs(keyed: DataFrame, keyCols: String*): DataFrame = {
+    val ids = sort_array(collect_list(col("doc_id")))
+    keyed
+      .groupBy(keyCols.map(col): _*)
+      .agg(ids.as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"),
+        (a, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
+
+  /** Candidate pairs from band collisions. Input must carry `doc_id`
+    * and `bands`. */
+  def bandCandidates(withBands: DataFrame): DataFrame =
+    bucketPairs(
+      withBands.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "bucket"))),
+      "band_idx", "bucket")
 
   /** Exact Jaccard between two shingle arrays, on distinct shingles:
     * |A∩B| / (|A| + |B| − |A∩B|). */
@@ -159,8 +168,9 @@ object Dedup {
       .where(size(col("shingles")) > 0)
       .select(col("doc_id"), shingleHashes(col("shingles")).as("digs")))
     val hsets = digs.select(col("doc_id"), array_sort(array_distinct(col("digs"))).as("hset"))
-    val sigs = parallelize(
-      digs.select(col("doc_id"), minhashSignature(col("digs"), k).as("sig")))
+    // digs is a checkpoint with balanced partitions — already both an
+    // exchange barrier and parallel; no extra repartition needed
+    val sigs = digs.select(col("doc_id"), minhashSignature(col("digs"), k).as("sig"))
     val withBands = materialize(
       sigs.select(col("doc_id"), lshBands(col("sig"), bands, rows).as("bands")))
     val cands = bandCandidates(withBands)
@@ -212,19 +222,18 @@ object Dedup {
     val banded = materialize(sigs.withColumn("bands",
       transform(sequence(lit(0), lit(3)),
         j => floor(col("sig") / pow(lit(2.0), j * 8)).cast("long") % 256)))
-    val exploded = banded
-      .select(col("doc_id"), col("sig"), posexplode(col("bands")).as(Seq("band_idx", "bucket")))
-    // renamed copies: see bandCandidates on self-join ambiguity
-    val a = exploded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("band_idx").as("bi_a"), col("bucket").as("bk_a"))
-    val b = exploded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("band_idx").as("bi_b"), col("bucket").as("bk_b"))
-    a.join(b,
-        col("bi_a") === col("bi_b") && col("bk_a") === col("bk_b") &&
-          col("doc_a") < col("doc_b"))
+    val cands = bucketPairs(
+      banded.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "bucket"))),
+      "band_idx", "bucket")
+    // verify: hamming distance from the (tiny) per-doc signature frame
+    val sa = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    cands
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
   }
 
@@ -248,18 +257,12 @@ object Dedup {
       explode(col("hset")).as("sh")))
     val docFreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-    val prefix = materialize(inv.join(docFreq, Seq("sh"))
+    // single consumer (the bucket grouping) — no barrier needed
+    val prefix = inv.join(docFreq, Seq("sh"))
       .withColumn("rk", row_number().over(wRank))
       .where(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("doc_id"), col("sh")))
-    // renamed copies: see bandCandidates on self-join ambiguity
-    val pa = prefix.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val pb = prefix.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val cands = pa
-      .join(pb, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    verifyJaccard(cands, hsets, threshold)
+      .select(col("doc_id"), col("sh"))
+    verifyJaccard(bucketPairs(prefix, "sh"), hsets, threshold)
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs

@@ -8,10 +8,9 @@ import org.apache.spark.sql.functions._
  * Similarity search over an embedding column (`array<float>`) —
  * north-star extension (BASELINE.json), no reference counterpart.
  *
- * All scoring paths pre-normalize vectors ONCE (norm computed as its
- * own column behind an exchange barrier — an inlined norm would be
- * re-evaluated per element by the divide lambda), so each scored pair
- * costs exactly one 64-element dot product. Operators:
+ * All scoring paths pre-normalize vectors (codegen'd inline norm — see
+ * [[normalized]]), so each scored pair costs exactly one 64-element
+ * dot product. Operators:
  *
  *  - [[bruteForceTopK]]: exact top-k for a (small) query set against
  *    the full corpus: broadcast the queries, one scan of the corpus,
@@ -55,20 +54,21 @@ object Similarity {
   }
 
   /** (id, emb) with emb cast to double and scaled to unit norm. The
-    * norm is materialized as a column before the element-wise divide
-    * (barrier: an inlined norm is re-evaluated per element), and the
-    * result is lineage-truncated (localCheckpoint) so join consumers
-    * read materialized vectors instead of recomputing the chain. */
-  private def normalized(df: DataFrame, idOut: String, embOut: String): DataFrame = {
-    val withNorm = parallelize(df)
-      .select(col("vec_id").as(idOut),
-        col("embedding").cast("array<double>").as(embOut),
-        sqrt(aggregate(zip_with(col("embedding").cast("array<double>"),
-          col("embedding").cast("array<double>"), (p, q) => p * q),
-          lit(0.0), (acc, v) => acc + v)).as("nrm"))
-    parallelize(withNorm)
-      .select(col(idOut), transform(col(embOut), x => x / col("nrm")).as(embOut))
-      .localCheckpoint(eager = true) // eager: see Dedup.materialize
+    * norm is the codegen'd [[fastDot]] written INSIDE the divide lambda:
+    * projection collapse re-evaluates it per element, but that is 64
+    * extra primitive flops per element — orders of magnitude cheaper
+    * than the exchange-plus-checkpoint barrier it replaces (the original
+    * concern was the interpreted HOF norm, where per-element re-eval
+    * was 64× an allocation-heavy lambda chain). `spread` repartitions
+    * corpus-sized inputs for the CPU-bound scoring that follows; query/
+    * centroid frames skip it (they broadcast anyway). */
+  private def normalized(
+      df: DataFrame, idOut: String, embOut: String, spread: Boolean = true): DataFrame = {
+    ensureRegistered(df)
+    val base = if (spread) parallelize(df) else df
+    val emb = col("embedding").cast("array<double>")
+    base.select(col("vec_id").as(idOut),
+      transform(emb, x => x / sqrt(call_function("graft_dot", emb, emb))).as(embOut))
   }
 
   /**
@@ -78,7 +78,7 @@ object Similarity {
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
     ensureRegistered(queries)
-    val q = broadcast(normalized(queries, "query_id", "q_emb"))
+    val q = broadcast(normalized(queries, "query_id", "q_emb", spread = false))
     val c = normalized(corpus, "neighbor_id", "c_emb")
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", fastDot(col("q_emb"), col("c_emb")))
@@ -104,7 +104,7 @@ object Similarity {
       k: Int = 5,
       nProbe: Int = 3): DataFrame = {
     ensureRegistered(queries)
-    val cent = broadcast(normalized(centroids, "cid", "cent_emb"))
+    val cent = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
 
     val wAssign = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("cos_c").desc, col("cid"))
@@ -117,7 +117,7 @@ object Similarity {
 
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_p").desc, col("cid"))
-    val probes = normalized(queries, "query_id", "q_emb")
+    val probes = normalized(queries, "query_id", "q_emb", spread = false)
       .crossJoin(cent)
       .withColumn("cos_p", fastDot(col("q_emb"), col("cent_emb")))
       .withColumn("rn", row_number().over(wProbe))
@@ -148,37 +148,43 @@ object Similarity {
    * round is one broadcast join + two aggregations.
    */
   def kmeansCentroids(corpus: DataFrame, seeds: DataFrame, iters: Int = 3): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val vecs = normalized(corpus, "vid", "emb")
-    var cents = normalized(seeds, "cid", "cent_emb")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    ensureRegistered(corpus)
+    // reused every Lloyd round — one eager checkpoint, read iters times
+    val vecs = normalized(corpus, "vid", "emb").localCheckpoint(eager = true)
+    // Centroids are O(k) — genuinely driver-sized state (MLlib's KMeans
+    // holds them on the driver too). Keeping them local turns each
+    // Lloyd round into ONE distributed job (assign + per-dimension
+    // mean, collected), with no per-round checkpoint/coalesce machinery.
+    var cents: Array[(Long, Seq[Double])] = normalized(seeds, "cid", "cent_emb", spread = false)
+      .select(col("cid").cast("long"), col("cent_emb"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
     (0 until iters).foreach { _ =>
+      val centDf = broadcast(cents.toSeq.toDF("cid", "cent_emb"))
       val wAssign = Window.partitionBy(col("vid")).orderBy(col("cos_c").desc, col("cid"))
-      val assigned = vecs.crossJoin(broadcast(cents))
+      val meaned = vecs.crossJoin(centDf)
         .withColumn("cos_c", fastDot(col("emb"), col("cent_emb")))
         .withColumn("rn", row_number().over(wAssign))
         .where(col("rn") === 1)
-        .select(col("cid"), col("emb"))
-      val meaned = assigned
         .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("v")).as("m"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("mean_emb"))
-      // centroids are tiny (k rows): coalesce to one partition before
-      // the checkpoint so each Lloyd round is a handful of tasks, not
-      // a shuffle-partition-wide task storm
-      cents = meaned
-        .select(col("cid"),
-          sqrt(aggregate(zip_with(col("mean_emb"), col("mean_emb"), (p, q) => p * q),
-            lit(0.0), (acc, v) => acc + v)).as("nrm"),
-          col("mean_emb"))
-        .select(col("cid"),
-          transform(col("mean_emb"), x => round(x / col("nrm"), 6)).as("cent_emb"))
-        .coalesce(1)
-        .localCheckpoint(eager = true) // truncate the per-iteration lineage
+        .select(col("cid").cast("long"), col("mean_emb"))
+        .as[(Long, Seq[Double])].collect()
+      cents = meaned.map { case (cid, mean) =>
+        // same arithmetic as the distributed form: left-to-right
+        // sum-of-squares, then HALF_UP rounding of each component
+        val nrm = math.sqrt(mean.foldLeft(0.0)((acc, v) => acc + v * v))
+        val unit = mean.map(v => BigDecimal(v / nrm)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        (cid, unit)
+      }.sortBy(_._1)
     }
-    cents.select(col("cid").as("vec_id"), col("cent_emb").as("embedding"))
+    cents.toSeq.toDF("vec_id", "embedding")
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, id-ordered.
@@ -187,7 +193,7 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     ensureRegistered(corpus)
     val a = normalized(corpus, "id_a", "emb_a")
-    val b = broadcast(normalized(corpus, "id_b", "emb_b"))
+    val b = broadcast(normalized(corpus, "id_b", "emb_b", spread = false))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", fastDot(col("emb_a"), col("emb_b")))
       .where(col("cos") >= threshold)
