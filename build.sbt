@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver + all executor threads in ONE JVM: a 41-query
+  // bench accumulates codegen classes, broadcasts and checkpoint blocks,
+  // and an 8g heap GC-thrashed the allocation-heavy dedup queries to
+  // 2-4x their steady-state time (round-3 bench). The machine has
+  // 128 GiB; -Xmx only reserves virtual address space.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -71,20 +71,27 @@ object Dedup {
     * bucket, emit every (a < b) pair of each bucket, dedupe across
     * buckets. One shuffle on the bucket key + the distinct — versus an
     * exploded self-join's two shuffles of the same rows plus the
-    * join itself (and its alias-ambiguity trap). The pair explosion is
-    * quadratic in BUCKET size by design — banding/prefix schemes bound
-    * buckets to near-duplicate groups; a degenerate key that collides
-    * everything would blow up either formulation. */
+    * join itself (and its alias-ambiguity trap).
+    *
+    * Memory posture: the number of output PAIRS is quadratic in bucket
+    * width by design (that is the semantics), but no single row or
+    * buffer ever holds more than one bucket's id LIST (O(m)):
+    * `collect_set` aggregates m ids, the first explode streams one row
+    * per id (each carrying the list), and the inner filter+explode
+    * streams that id's partners. A hot bucket therefore costs time, not
+    * a single-task m²-struct array (the previous formulation built all
+    * m²/2 pairs as ONE array value — single-task OOM at 100 TB skew).
+    * `collect_set` also drops duplicate ids inside one bucket, so the
+    * strict `>` can never emit an (a,a) self-pair even if a caller
+    * keys the same doc twice. */
   private[graft] def bucketPairs(keyed: DataFrame, keyCols: String*): DataFrame = {
-    val ids = sort_array(collect_list(col("doc_id")))
     keyed
       .groupBy(keyCols.map(col): _*)
-      .agg(ids.as("ids"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"),
-        (a, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"),
+        explode(filter(col("ids"), b => b > col("doc_a"))).as("doc_b"))
       .distinct()
   }
 
@@ -214,11 +221,15 @@ object Dedup {
     * candidates (exact for hamming ≤ 3), verified with
     * bit_count(xor). Returns (doc_a, doc_b, hamming ≤ maxHamming). */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // barrier between the md5 token hashing and the 32-bit fold: the
-    // fold's outer loop would otherwise re-hash every token per bit
-    val sigs = parallelize(
-      parallelize(docs).select(col("doc_id"), tokenHashes(col("text")).as("hashes")))
-      .select(col("doc_id"), simhashFromHashes(col("hashes")).as("sig"))
+    // native codegen'd signature (graft_simhash): evaluates its
+    // tokenHashes child ONCE per row, so no barrier between the md5
+    // hashing and the bit fold is needed — unlike the interpreted HOF
+    // formulation (simhashFromHashes, kept as the portable reference
+    // and oracle twin), whose outer per-bit loop re-evaluated every
+    // token hash 32x unless an exchange split the projections.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigs = parallelize(docs).select(col("doc_id"),
+      call_function("graft_simhash", tokenHashes(col("text"))).as("sig"))
     val banded = materialize(sigs.withColumn("bands",
       transform(sequence(lit(0), lit(3)),
         j => floor(col("sig") / pow(lit(2.0), j * 8)).cast("long") % 256)))

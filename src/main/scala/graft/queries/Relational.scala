@@ -188,11 +188,16 @@ object Relational {
     * has no counterpart for. Expressed in SQL because the DataFrame
     * API has no correlated-subquery surface. */
   def sq1AboveCustomerAvg(spark: SparkSession, dir: String): DataFrame =
+    // ROUND(avg,6) on BOTH engines: double summation order differs
+    // between Spark's partial aggregation and DuckDB's sequential scan,
+    // and an unrounded average could flip a boundary row at some scale
+    // factor (this module's rounding invariant, lines 25-27).
     spark.sql(
       s"""SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
          |FROM parquet.`$dir/orders.parquet` o
          |WHERE o_totalprice > (
-         |  SELECT avg(o2.o_totalprice) FROM parquet.`$dir/orders.parquet` o2
+         |  SELECT ROUND(avg(o2.o_totalprice), 6)
+         |  FROM parquet.`$dir/orders.parquet` o2
          |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
 
   /** Pivot (long → wide): revenue per priority with one column per
@@ -231,7 +236,7 @@ object Relational {
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice,4) AS o_totalprice
         |FROM orders o
         |WHERE o_totalprice > (
-        |  SELECT avg(o2.o_totalprice) FROM orders o2
+        |  SELECT ROUND(avg(o2.o_totalprice), 6) FROM orders o2
         |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
     "pv1_pivot_revenue" ->
       """SELECT o_orderpriority,

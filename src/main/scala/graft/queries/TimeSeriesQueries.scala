@@ -35,14 +35,26 @@ object TimeSeriesQueries {
         round(min(col("value")), 6).as("min_val"),
         round(max(col("value")), 6).as("max_val"))
 
+  /** Canonical frame + the source row id: ROWS-frame windows over
+    * (series_id, ts) are tie-order-dependent if a series ever carries
+    * duplicate timestamps, so the ordered transforms below break ties
+    * on event_id — deterministic on both engines regardless of input
+    * partitioning (the detector queries aggregate per run and are
+    * tie-insensitive; these per-row outputs are not). */
+  private def canonicalWithId(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.read(spark, dir, "events").select(
+      col("user_id").cast("string").as("series_id"),
+      col("ts"), col("event_id"),
+      graft.operators.Kernels.nanToNull(col("value")).as("value"))
+
   /** Gap-fill (pandas `Series.ffill()`): carry the last non-null value
     * forward within each series. `last(ignoreNulls).over(unbounded
     * preceding)` is a running O(1)-per-row window state — no join, no
     * self-lookup. */
   def ff1ForwardFill(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("series_id").orderBy("ts")
+    val w = Window.partitionBy("series_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    graft.SparkEntry.canonicalEvents(spark, dir)
+    canonicalWithId(spark, dir)
       .select(
         col("series_id"), col("ts"),
         round(col("value"), 6).as("value"),
@@ -54,10 +66,11 @@ object TimeSeriesQueries {
     * three frames; the z-score guards against near-zero variance so
     * float noise cannot flip a division. */
   def rs1RollingStats(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("series_id").orderBy("ts").rowsBetween(-6, 0)
+    val w = Window.partitionBy("series_id")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
     val mean = avg(col("value")).over(w)
     val sd = stddev_samp(col("value")).over(w)
-    graft.SparkEntry.canonicalEvents(spark, dir)
+    canonicalWithId(spark, dir)
       .select(
         col("series_id"), col("ts"),
         round(col("value"), 6).as("value"),
@@ -68,6 +81,11 @@ object TimeSeriesQueries {
 
   private val canonicalCte =
     "SELECT CAST(user_id AS VARCHAR) AS series_id, ts, " +
+      "CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events"
+
+  // twin of canonicalWithId — carries event_id for the tie-break
+  private val canonicalIdCte =
+    "SELECT CAST(user_id AS VARCHAR) AS series_id, ts, event_id, " +
       "CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events"
 
   val oracle: Map[String, String] = Map(
@@ -81,18 +99,18 @@ object TimeSeriesQueries {
          |  ROUND(max(value), 6) AS max_val
          |FROM t GROUP BY series_id, date_trunc('day', ts)""".stripMargin,
     "ff1_forward_fill" ->
-      s"""WITH t AS ($canonicalCte)
+      s"""WITH t AS ($canonicalIdCte)
          |SELECT series_id, ts, ROUND(value, 6) AS value,
          |  ROUND(last_value(value IGNORE NULLS) OVER (
-         |    PARTITION BY series_id ORDER BY ts
+         |    PARTITION BY series_id ORDER BY ts, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled
          |FROM t""".stripMargin,
     "rs1_rolling_stats" ->
-      s"""WITH t AS ($canonicalCte),
+      s"""WITH t AS ($canonicalIdCte),
          |w AS (SELECT series_id, ts, value,
-         |  avg(value) OVER (PARTITION BY series_id ORDER BY ts
+         |  avg(value) OVER (PARTITION BY series_id ORDER BY ts, event_id
          |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS m,
-         |  stddev_samp(value) OVER (PARTITION BY series_id ORDER BY ts
+         |  stddev_samp(value) OVER (PARTITION BY series_id ORDER BY ts, event_id
          |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sd
          | FROM t)
          |SELECT series_id, ts, ROUND(value, 6) AS value,
