@@ -164,20 +164,22 @@ object Dedup {
       k: Int = 12,
       bands: Int = 4,
       rows: Int = 3): DataFrame = {
-    // Exchange barriers after each hash stage: without them Catalyst
-    // collapses the projections and the k-component transform
-    // re-evaluates every shingle md5 once per component (k×), and the
-    // band transform re-evaluates the signature once per band.
-    // `digs` (raw per-shingle hashes) feeds the signature; its sorted
-    // distinct set feeds the verify stage.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // Native one-pass kernels (graft_shingle_hashes / graft_minhash,
+    // property-tested equal to the composed-Column pipeline that
+    // remains the DuckDB oracle twin) replace the interpreted HOF
+    // chain. `digs` stays checkpointed: it feeds BOTH the signature
+    // and the verify hash-set, and the barrier keeps the explode's
+    // inferred filter from inlining the hash work into the scan.
     val digs = materialize(parallelize(docs)
-      .select(col("doc_id"), wordShingles(col("text")).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .select(col("doc_id"), shingleHashes(col("shingles")).as("digs")))
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
+      .where(size(col("digs")) > 0))
     val hsets = digs.select(col("doc_id"), array_sort(array_distinct(col("digs"))).as("hset"))
     // digs is a checkpoint with balanced partitions — already both an
     // exchange barrier and parallel; no extra repartition needed
-    val sigs = digs.select(col("doc_id"), minhashSignature(col("digs"), k).as("sig"))
+    val sigs = digs.select(col("doc_id"),
+      call_function("graft_minhash", col("digs"), lit(k)).as("sig"))
     val withBands = materialize(
       sigs.select(col("doc_id"), lshBands(col("sig"), bands, rows).as("bands")))
     val cands = bandCandidates(withBands)
@@ -229,7 +231,8 @@ object Dedup {
     // token hash 32x unless an exchange split the projections.
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sigs = parallelize(docs).select(col("doc_id"),
-      call_function("graft_simhash", tokenHashes(col("text"))).as("sig"))
+      call_function("graft_simhash",
+        call_function("graft_shingle_hashes", col("text"), lit(1))).as("sig"))
     val banded = materialize(sigs.withColumn("bands",
       transform(sequence(lit(0), lit(3)),
         j => floor(col("sig") / pow(lit(2.0), j * 8)).cast("long") % 256)))
@@ -260,10 +263,12 @@ object Dedup {
    * with the exact set Jaccard. No approximation in the result.
    */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val hsets = materialize(parallelize(docs)
-      .select(col("doc_id"), wordShingles(col("text")).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .select(col("doc_id"), hashedShingleSet(col("shingles")).as("hset")))
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
+      .where(size(col("digs")) > 0)
+      .select(col("doc_id"), array_sort(array_distinct(col("digs"))).as("hset")))
     val inv = materialize(hsets.select(col("doc_id"), size(col("hset")).as("n_sh"),
       explode(col("hset")).as("sh")))
     val docFreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))

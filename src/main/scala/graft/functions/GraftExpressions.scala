@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Native Catalyst expression for the similarity hot path: the dot
@@ -159,6 +160,136 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** JVM kernels shared by the eval and codegen paths of the text-hash
+  * expressions below. Exactly mirrors the composed-Column reference
+  * pipeline (TextFunctions.wsTokens → Dedup.wordShingles →
+  * Dedup.shingleHashes), which is also the DuckDB oracle twin:
+  * space-trim (Spark's `trim` strips 0x20 only), Java-regex `\s+`
+  * split with limit -1 (Spark's `split` keeps trailing empties),
+  * single-space shingle join (concat_ws), and the 32-bit hash = the
+  * first 4 md5 digest bytes big-endian (= decimal value of the first
+  * 8 md5 hex chars). Property-tested equal to the composed pipeline
+  * (NativeExpressionsSpec).
+  */
+object ShingleHashKernel {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+  private val MD5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Decimal value of the first 8 md5 hex chars of s's UTF-8 bytes. */
+  def hash32(s: String): Long = {
+    val d = MD5.get.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** One-pass tokenize → word n-grams → 32-bit hash per shingle. */
+  def wordShingleHashes(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toString
+    var st = 0; var en = s.length
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    if (en == st) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val toks = WS.split(s.substring(st, en), -1)
+    val count = toks.length - (n - 1)
+    if (count <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      out(i) = hash32(sb.toString)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** MinHash signature: component h = min over digs of
+    * (a_h·d + b_h) mod P, same coefficient derivation as the portable
+    * Dedup.minhashSignature (and its DuckDB twin). Empty input yields
+    * k nulls — the exact value of array_min over an empty transform. */
+  def minhashSig(digs: ArrayData, k: Int): ArrayData = {
+    val m = digs.numElements()
+    if (m == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.fill[Any](k)(null))
+    val out = new Array[Long](k)
+    var h = 0
+    while (h < k) {
+      val a = (h.toLong * 2654435761L) % 1073741824L + 1L
+      val b = (h.toLong * 40503L + 7L) % 1073741824L
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < m) {
+        val v = (a * digs.getLong(i) + b) % 4294967311L
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(h) = mn
+      h += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/**
+ * One-pass word-shingle hashing as a native expression:
+ * `graft_shingle_hashes(text, n)` = the composed
+ * shingleHashes(wordShingles(text, n)) pipeline without its per-row
+ * allocation storm (token array → sequence → slice → concat_ws →
+ * md5 hex string → substring → conv, all interpreted inside
+ * higher-order lambdas). n = 1 degenerates to per-token hashes (the
+ * SimHash input). n must be a foldable positive integer.
+ */
+case class WordShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  override protected def nullSafeEval(text: Any, nAny: Any): Any =
+    ShingleHashKernel.wordShingleHashes(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) => {
+      s"${ev.value} = graft.functions.ShingleHashKernel.wordShingleHashes($t, $n);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature as a native expression:
+  * `graft_minhash(digs, k)`. The portable formulation evaluates k
+  * interpreted array_min(transform(...)) lambdas — 12 full passes over
+  * the shingle hashes per row; this is one primitive-loop pass.
+  * k must be a foldable positive integer. */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash"
+
+  private lazy val k: Int = right.eval().asInstanceOf[Int]
+
+  override protected def nullSafeEval(digs: Any, kAny: Any): Any =
+    ShingleHashKernel.minhashSig(digs.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, _) => {
+      s"${ev.value} = graft.functions.ShingleHashKernel.minhashSig($d, $k);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSig =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Extension entry point: `spark.sql.extensions=graft.functions.GraftExtensions`
   * makes the graft_* functions available in SQL and via `call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -176,7 +307,13 @@ object GraftFunctions {
       (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHash32(children.head)))
+      (children: Seq[Expression]) => SimHash32(children.head)),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => WordShingleHashes(children.head, children(1))),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashSig(children.head, children(1))))
 
   /** Idempotent registration into a live session (for sessions built
     * without the extensions config). */

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.{GraftFunctions, TextFunctions}
+
+/** The native one-pass kernels (graft_shingle_hashes, graft_minhash,
+  * graft_simhash) must be EXACTLY equal to the composed-Column
+  * pipelines they replace — those pipelines are the DuckDB oracle
+  * twins, so any divergence breaks the correctness gate silently.
+  * Adversarial inputs: tabs/newlines (Spark `trim` strips 0x20 only,
+  * so a leading tab yields a leading empty token in BOTH paths),
+  * blank/short texts, unicode, repeated tokens.
+  */
+class NativeExpressionsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c",                       // exactly n tokens for n=3
+    "a b",                         // fewer than n tokens
+    "solo",
+    "",                            // blank -> empty hashes
+    "   ",                         // spaces only
+    "\tleading tab here and more", // trim keeps \t -> leading empty token
+    "line\nbreak inside the text body",
+    "döc ümläut çharacters in wörds here",
+    "rep rep rep rep rep rep",     // heavy duplication
+    "  padded   with   runs   of spaces  ",
+    (1 to 60).map(i => s"tok$i").mkString(" "))
+
+  private def df = {
+    GraftFunctions.register(spark)
+    texts.zipWithIndex
+      .toDF("text", "doc_id")
+  }
+
+  test("graft_shingle_hashes(text, 3) == shingleHashes(wordShingles(text, 3))") {
+    val cmp = df.select(
+      call_function("graft_shingle_hashes", col("text"), lit(3)).as("native"),
+      Dedup.shingleHashes(Dedup.wordShingles(col("text"), 3)).as("composed"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
+
+  test("graft_shingle_hashes(text, 1) == per-token hashes (simhash input)") {
+    val cmp = df.select(
+      call_function("graft_shingle_hashes", col("text"), lit(1)).as("native"),
+      Dedup.tokenHashes(col("text")).as("composed"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
+
+  test("graft_minhash == minhashSignature over the same digests") {
+    val digs = df
+      .select(call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
+      .where(size(col("digs")) > 0)
+      .localCheckpoint(true) // barrier: same precondition as production use
+    val cmp = digs.select(
+      call_function("graft_minhash", col("digs"), lit(12)).as("native"),
+      Dedup.minhashSignature(col("digs"), 12).as("composed"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
+
+  test("native simhash path == portable simhash32 column") {
+    val cmp = df.select(
+      call_function("graft_simhash",
+        call_function("graft_shingle_hashes", col("text"), lit(1))).as("native"),
+      Dedup.simhash32(col("text")).as("composed"))
+    cmp.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
+  }
+
+  test("kernel matches wsTokens token-count semantics on whitespace edge cases") {
+    val cmp = df.select(
+      size(call_function("graft_shingle_hashes", col("text"), lit(1))).as("native_n"),
+      size(TextFunctions.wsTokens(col("text"))).as("tok_n"))
+    cmp.collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), r.toString)
+    }
+  }
+}
