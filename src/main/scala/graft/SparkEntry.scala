@@ -44,7 +44,8 @@ object SparkEntry {
     graft.queries.TextAnalysis.queries ++
     graft.queries.PipelineQueries.queries ++
     graft.queries.TemporalQueries.queries ++
-    graft.queries.TimeSeriesQueries.queries
+    graft.queries.TimeSeriesQueries.queries ++
+    graft.queries.CorpusQueries.queries
 
   private def detectorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d6_extreme_value" -> ((s, dir) =>
@@ -119,7 +120,8 @@ object SparkEntry {
     graft.queries.TextAnalysis.oracle ++
     graft.queries.PipelineQueries.oracle ++
     graft.queries.TemporalQueries.oracle ++
-    graft.queries.TimeSeriesQueries.oracle
+    graft.queries.TimeSeriesQueries.oracle ++
+    graft.queries.CorpusQueries.oracle
 
   /** Detector-only oracles (no cross-module references — temporal
     * twins compose d6 from here without a cycle). */

@@ -298,6 +298,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
   }
 
+  /**
+   * Connected-component cluster assignment over near-dup PAIRS — the
+   * step that turns pairwise dedup output into per-document cluster
+   * ids (keep one canonical doc per component). Iterative min-label
+   * propagation: every doc starts labeled with its own id; each round
+   * every doc takes the min of its label and its neighbors' labels;
+   * fixpoint = component-minimum id. Deterministic integer math, so
+   * the DuckDB transitive-closure twin matches exactly.
+   *
+   * Scale posture: each round is one shuffle join (edges ⋈ labels, on
+   * doc id) + one partial-combining min aggregation; rounds =
+   * component diameter, which for dedup graphs is tiny (near-dup
+   * clusters are dense cliques — typically 2-3 rounds). The label
+   * frame is checkpointed per round to keep lineage flat. Convergence
+   * is detected by the label SUM, which strictly decreases until
+   * fixpoint (labels are monotone non-increasing) — one cheap scalar
+   * action per round instead of a change-count join. For graphs with
+   * long chains at planetary scale, swap the per-round step for
+   * large-star/small-star (same fixpoint, O(log d) rounds).
+   */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sym = materialize(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = materialize(docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var prevSum = Long.MinValue
+    var curSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+    while (curSum != prevSum) {
+      val neigh = sym
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nl")).as("nmin"))
+      labels = materialize(labels.join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id")))
+      prevSum = curSum
+      curSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+    }
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** Exact dedup: canonical = min doc_id sharing the normalized
     * fingerprint. Per-doc output (doc_id, fingerprint, canonical_id,
     * is_dup). One shuffle on the digest. */

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/**
+ * Corpus-preparation operators a large-scale training-data pipeline
+ * runs after dedup (north-star extension — no reference counterpart):
+ * vocabulary statistics, deterministic train/validation/test
+ * splitting, and context-window sequence packing. Everything is
+ * hash-deterministic (no rand()) so reruns, retries, and the DuckDB
+ * oracle all agree bit-for-bit.
+ *
+ * Scale posture:
+ *  - vocab: explode + hash agg with map-side partial combine — the
+ *    shuffle carries one row per (partition × distinct token), then a
+ *    global top-k (TakeOrderedAndProject — no full sort of the
+ *    vocabulary);
+ *  - split: stateless per-row hash → embarrassingly parallel, no
+ *    shuffle at all; reproducible across runs/cluster sizes because
+ *    the bucket is a pure function of doc_id;
+ *  - packing: the greedy concat-and-chunk layout (order documents,
+ *    running token cumsum, chunk = cumsum div context) windows WITHIN
+ *    a hash shard, so no global sort/single-partition window exists at
+ *    any scale — shards pack independently, exactly how a 1000-node
+ *    packing job shards its corpus.
+ */
+object CorpusQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+
+  /** 32-bit md5-derived hash of doc_id (decimal value of the first 8
+    * md5 hex chars of the decimal string) — the same portable hash
+    * family as the dedup layer, exact in both engines. */
+  private def idHash(id: org.apache.spark.sql.Column) =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Corpus vocabulary top-k: token frequency and document frequency,
+    * deterministically ordered by (count desc, token). */
+  def v1VocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.wsTokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Deterministic 80/10/10 train/validation/test split: bucket =
+    * hash(doc_id) mod 100. A pure function of the key — stable under
+    * reruns, repartitioning, and incremental corpus growth (a doc's
+    * split never changes when other docs arrive). */
+  def sm1HashSplit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), (idHash(col("doc_id")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+
+  /** Greedy sequence packing into fixed token budgets: documents are
+    * sharded by hash, ordered by doc_id within shard, and assigned to
+    * chunk ⌊exclusive-cumsum / context⌋ — the concat-and-chunk layout
+    * LLM pretraining uses. Output is per-chunk occupancy. */
+  def pk1SequencePack(
+      spark: SparkSession, dir: String,
+      context: Int = 512, shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), (idHash(col("doc_id")) % shards).as("shard"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("chunk_id", floor((col("cum") - col("n_tok")) / context))
+      .groupBy(col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  // --- DuckDB twins -----------------------------------------------------
+
+  private def hash32Sql(e: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 8),
+       |  i -> (strpos('0123456789abcdef', substr(md5($e), i::INTEGER, 1)) - 1)
+       |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
+
+  private val idHashSql = hash32Sql("CAST(doc_id AS VARCHAR)")
+
+  private val toksSql =
+    """CASE WHEN length(trim(lower(text))) = 0 THEN []
+      | ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "v1_vocab_topk" ->
+      s"""SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "sm1_hash_split" ->
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, $idHashSql % 100 AS bucket FROM documents)""".stripMargin,
+    "pk1_sequence_pack" ->
+      s"""WITH d AS (SELECT doc_id, $idHashSql % 8 AS shard,
+         |  CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+         |           ELSE string_split_regex(trim(text), '\\s+') END) AS BIGINT) AS n_tok
+         | FROM documents),
+         |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+         |SELECT shard, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS chunk_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc
+         |FROM c GROUP BY 1, 2""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_vocab_topk" -> ((s, dir) => v1VocabTopK(s, dir)),
+    "sm1_hash_split" -> (sm1HashSplit _),
+    "pk1_sequence_pack" -> ((s, dir) => pk1SequencePack(s, dir))
+  )
+}

