@@ -219,35 +219,40 @@ object Dedup {
 
   def simhash32(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
-  /** SimHash near-duplicate pairs: 4 bands of 8 bits generate
-    * candidates (exact for hamming ≤ 3), verified with
-    * bit_count(xor). Returns (doc_a, doc_b, hamming ≤ maxHamming). */
+  /** 64-bit SimHash near-duplicate pairs (Manku et al., WWW'07): the
+    * native one-pass `graft_simhash64` signature as two 32-bit words
+    * [lo, hi], 4 bands of 16 bits for candidates — exact for
+    * hamming ≤ 3 by pigeonhole — verified with bit_count(xor).
+    * Returns (doc_a, doc_b, hamming ≤ maxHamming).
+    *
+    * Why 64/16 and not 32/8: at corpus scale a 32-bit signature
+    * saturates (birthday bound pushes random pairs to small hamming
+    * distances) and 8-bit bands put n/256 docs in every bucket — a
+    * quadratic candidate blowup that 16-bit bands cut by 256×. The
+    * split-word form keeps all arithmetic below 2^32, so the DuckDB
+    * twin needs no unsigned 64-bit math. */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // native codegen'd signature (graft_simhash): evaluates its
-    // tokenHashes child ONCE per row, so no barrier between the md5
-    // hashing and the bit fold is needed — unlike the interpreted HOF
-    // formulation (simhashFromHashes, kept as the portable reference
-    // and oracle twin), whose outer per-bit loop re-evaluated every
-    // token hash 32x unless an exchange split the projections.
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sigs = parallelize(docs).select(col("doc_id"),
-      call_function("graft_simhash",
-        call_function("graft_shingle_hashes", col("text"), lit(1))).as("sig"))
-    val banded = materialize(sigs.withColumn("bands",
-      transform(sequence(lit(0), lit(3)),
-        j => floor(col("sig") / pow(lit(2.0), j * 8)).cast("long") % 256)))
+      call_function("graft_simhash64", col("text")).as("sig"))
+    val banded = materialize(sigs
+      .select(col("doc_id"), col("sig").getItem(0).as("lo"), col("sig").getItem(1).as("hi"))
+      .withColumn("bands", array(
+        pmod(col("lo"), lit(65536L)), floor(col("lo") / 65536.0).cast("long"),
+        pmod(col("hi"), lit(65536L)), floor(col("hi") / 65536.0).cast("long"))))
     val cands = bucketPairs(
       banded.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_idx", "bucket"))),
       "band_idx", "bucket")
     // verify: hamming distance from the (tiny) per-doc signature frame
-    val sa = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val sb = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val sa = banded.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val sb = banded.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
     cands
       .join(sa, Seq("doc_a"))
       .join(sb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 

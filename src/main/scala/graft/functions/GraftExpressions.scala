@@ -207,6 +207,45 @@ object ShingleHashKernel {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** 64-bit SimHash of whitespace tokens, as two 32-bit words
+    * [lo, hi]: lo folds each token's md5 hex chars 1-8 (= hash32), hi
+    * folds chars 9-16 (digest bytes 4-7 big-endian). Splitting keeps
+    * every value below 2^32, so the DuckDB twin needs no unsigned
+    * 64-bit arithmetic and banding math can't sign-overflow. One pass:
+    * tokenize, one md5 per token, ±1 majority fold over 64 bit
+    * positions. */
+  def simhash64(input: UTF8String, counts: Array[Int]): ArrayData = {
+    val s = input.toString
+    var st = 0; var en = s.length
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    java.util.Arrays.fill(counts, 0)
+    if (en > st) {
+      val toks = WS.split(s.substring(st, en), -1)
+      var i = 0
+      while (i < toks.length) {
+        val d = MD5.get.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val lo = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val hi = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) | ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        var b = 0
+        while (b < 32) {
+          if (((lo >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          if (((hi >> b) & 1L) == 1L) counts(b + 32) += 1 else counts(b + 32) -= 1
+          b += 1
+        }
+        i += 1
+      }
+    }
+    var sigLo = 0L; var sigHi = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) sigLo |= (1L << b)
+      if (counts(b + 32) > 0) sigHi |= (1L << b)
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(sigLo, sigHi))
+  }
+
   /** MinHash signature: component h = min over digs of
     * (a_h·d + b_h) mod P, same coefficient derivation as the portable
     * Dedup.minhashSignature (and its DuckDB twin). Empty input yields
@@ -290,6 +329,33 @@ case class MinHashSig(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash (as [lo32, hi32]) of whitespace-tokenized text:
+  * `graft_simhash64(text)`. See [[ShingleHashKernel.simhash64]]. At
+  * corpus scale the 32-bit signature saturates — random documents
+  * land within small hamming distances by the birthday bound, and
+  * 8-bit LSH bands put n/256 docs in every bucket. 64 bits with
+  * 16-bit bands (Manku et al., WWW'07, the published SimHash dedup
+  * design) keeps chance collisions at n/65536 per bucket while the
+  * 4-band pigeonhole stays exact for hamming <= 3. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashKernel.simhash64(input.asInstanceOf[UTF8String], new Array[Int](64))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val counts = ctx.addMutableState("int[]", "shCounts", v => s"$v = new int[64];")
+    nullSafeCodeGen(ctx, ev, t => {
+      s"${ev.value} = graft.functions.ShingleHashKernel.simhash64($t, $counts);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Extension entry point: `spark.sql.extensions=graft.functions.GraftExtensions`
   * makes the graft_* functions available in SQL and via `call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -313,7 +379,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => WordShingleHashes(children.head, children(1))),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
-      (children: Seq[Expression]) => MinHashSig(children.head, children(1))))
+      (children: Seq[Expression]) => MinHashSig(children.head, children(1))),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
 
   /** Idempotent registration into a live session (for sessions built
     * without the extensions config). */

@@ -85,15 +85,16 @@ object PipelineQueries {
   private val fpSql =
     """md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+', ' ', 'g'))"""
 
-  // token 32-bit hash: decimal value of the first 8 md5 hex chars
-  private val tokHashSql =
-    """CAST(list_sum(list_transform(generate_series(1, 8),
-      |  i -> (strpos('0123456789abcdef', substr(md5(t), i::INTEGER, 1)) - 1)
-      |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
-  private val simhashSql =
+  /** Token 32-bit hash from md5 hex chars [off+1, off+8] — off=0 is
+    * the lo word (digest bytes 0-3), off=8 the hi word (bytes 4-7). */
+  private def tokHashSqlAt(off: Int) =
+    s"""CAST(list_sum(list_transform(generate_series(1, 8),
+       |  i -> (strpos('0123456789abcdef', substr(md5(t), (i + $off)::INTEGER, 1)) - 1)
+       |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
+  private def simhashSqlAt(off: Int) =
     s"""CAST(COALESCE(list_sum(list_transform(generate_series(0, 31), b ->
        |  CASE WHEN COALESCE(list_sum(list_transform(
-       |         list_transform($toksSql, t -> $tokHashSql),
+       |         list_transform($toksSql, t -> ${tokHashSqlAt(off)}),
        |         h -> CASE WHEN CAST(floor(h / power(2.0, b)) AS BIGINT) % 2 = 1
        |              THEN 1 ELSE -1 END)), 0) > 0
        |       THEN CAST(power(2.0, b) AS BIGINT) ELSE 0 END)), 0) AS BIGINT)""".stripMargin
@@ -153,13 +154,17 @@ object PipelineQueries {
          |  doc_id = cluster_id AS is_canonical
          |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
     "x3_simhash" ->
-      s"""WITH sigs AS (SELECT doc_id, $simhashSql AS sig FROM documents),
-         |ex AS (SELECT doc_id, sig, j AS band_idx,
-         |   CAST(floor(sig / power(2.0, j*8)) AS BIGINT) % 256 AS bucket
+      s"""WITH sigs AS (SELECT doc_id, ${simhashSqlAt(0)} AS lo,
+         |  ${simhashSqlAt(8)} AS hi FROM documents),
+         |ex AS (SELECT doc_id, lo, hi, j AS band_idx,
+         |   CASE j WHEN 0 THEN lo % 65536
+         |          WHEN 1 THEN CAST(floor(lo / 65536.0) AS BIGINT)
+         |          WHEN 2 THEN hi % 65536
+         |          ELSE CAST(floor(hi / 65536.0) AS BIGINT) END AS bucket
          |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS j))
          |SELECT doc_a, doc_b, hamming FROM (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
          |  FROM ex a JOIN ex b
          |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
          |WHERE hamming <= 3""".stripMargin,

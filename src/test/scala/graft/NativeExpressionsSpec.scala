@@ -77,6 +77,19 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("graft_simhash64 == portable 32-bit folds over lo/hi token hashes") {
+    // hi token hash: md5 hex chars 9-16 (digest bytes 4-7 big-endian)
+    val hiHashes = transform(TextFunctions.wsTokens(col("text")),
+      t => conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
+    val cmp = df.select(
+      call_function("graft_simhash64", col("text")).as("native"),
+      Dedup.simhashFromHashes(Dedup.tokenHashes(col("text"))).as("lo"),
+      Dedup.simhashFromHashes(hiHashes).as("hi"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == Seq(r.getLong(1), r.getLong(2)), r.toString)
+    }
+  }
+
   test("kernel matches wsTokens token-count semantics on whitespace edge cases") {
     val cmp = df.select(
       size(call_function("graft_shingle_hashes", col("text"), lit(1))).as("native_n"),
