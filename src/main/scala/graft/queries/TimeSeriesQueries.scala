@@ -61,6 +61,37 @@ object TimeSeriesQueries {
         round(last(col("value"), ignoreNulls = true).over(w), 6).as("value_filled"))
   }
 
+  /** Linear interpolation of missing values (pandas
+    * `Series.interpolate()`): interior nulls get the time-weighted
+    * line between the nearest non-null neighbors, trailing nulls carry
+    * the last value forward, leading nulls stay null — pandas'
+    * default limit behavior. Two window passes (running last non-null
+    * backward, running first non-null forward) — no self-join, no
+    * point lookup; both engines evaluate the identical double
+    * expression so the rounded results hash-match. */
+  def r2Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Seq(col("ts"), col("event_id"))
+    val wPrev = Window.partitionBy("series_id").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("series_id").orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val known = when(col("value").isNotNull,
+      struct(unix_micros(col("ts")).as("us"), col("value").as("v")))
+    canonicalWithId(spark, dir)
+      .withColumn("prev", last(known, ignoreNulls = true).over(wPrev))
+      .withColumn("nxt", first(known, ignoreNulls = true).over(wNext))
+      .select(
+        col("series_id"), col("ts"),
+        round(col("value"), 6).as("value"),
+        round(
+          when(col("value").isNotNull, col("value"))
+            .when(col("nxt").isNull, col("prev.v"))
+            .when(col("prev").isNull, lit(null))
+            .otherwise(col("prev.v") + (col("nxt.v") - col("prev.v")) *
+              ((unix_micros(col("ts")) - col("prev.us")) /
+                (col("nxt.us") - col("prev.us")))), 6).as("value_interp"))
+  }
+
   /** Rolling statistics + z-score anomaly signal (pandas
     * `Series.rolling(7).mean()/std()`): one window sort yields all
     * three frames; the z-score guards against near-zero variance so
@@ -105,6 +136,25 @@ object TimeSeriesQueries {
          |    PARTITION BY series_id ORDER BY ts, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled
          |FROM t""".stripMargin,
+    "r2_interpolate" ->
+      s"""WITH t AS ($canonicalIdCte),
+         |w AS (SELECT series_id, ts, value, epoch_us(ts) AS us,
+         |  last_value(CASE WHEN value IS NOT NULL
+         |      THEN struct_pack(us := epoch_us(ts), v := value) END IGNORE NULLS)
+         |    OVER (PARTITION BY series_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         |  first_value(CASE WHEN value IS NOT NULL
+         |      THEN struct_pack(us := epoch_us(ts), v := value) END IGNORE NULLS)
+         |    OVER (PARTITION BY series_id ORDER BY ts, event_id
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+         | FROM t)
+         |SELECT series_id, ts, ROUND(value, 6) AS value,
+         |  ROUND(CASE WHEN value IS NOT NULL THEN value
+         |        WHEN nxt IS NULL THEN prev.v
+         |        WHEN prev IS NULL THEN NULL
+         |        ELSE prev.v + (nxt.v - prev.v) * ((us - prev.us) / (nxt.us - prev.us))
+         |        END, 6) AS value_interp
+         |FROM w""".stripMargin,
     "rs1_rolling_stats" ->
       s"""WITH t AS ($canonicalIdCte),
          |w AS (SELECT series_id, ts, value,
@@ -122,6 +172,7 @@ object TimeSeriesQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_resample" -> (r1Resample _),
     "ff1_forward_fill" -> (ff1ForwardFill _),
+    "r2_interpolate" -> (r2Interpolate _),
     "rs1_rolling_stats" -> (rs1RollingStats _)
   )
 }

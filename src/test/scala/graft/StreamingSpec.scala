@@ -177,4 +177,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(rows.map(_._3).toSet == Set(2.0, 2.0) || rows.map(_._2).toSet == Set(1L, 2L))
     } finally q.stop()
   }
+
+  test("streaming exact dedup: first copy passes, later copies drop, state expires") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingDedup.exactDedupStream(
+        input.toDF().toDF("doc_id", "ts", "text"), watermarkDelay = "2 days")
+      .writeStream.format("memory").queryName("sd").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two normalized-identical docs (case/punct differ) + one distinct
+      input.addData((1L, day(0), "Hello, World!"), (2L, day(0), "hello world"),
+        (3L, day(0), "something else"))
+      q.processAllAvailable()
+      val b1 = spark.sql("select doc_id from sd").as[Long].collect().toSet
+      assert(b1 == Set(1L, 3L))
+      // batch 2: another copy inside the watermark window still drops
+      input.addData((4L, day(1), "HELLO  world"))
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from sd").as[Long].head() == 2L)
+      // batch 3: advance event time far past the watermark; the expired
+      // fingerprint admits a new copy (bounded-state contract)
+      input.addData((5L, day(10), "advance watermark"))
+      q.processAllAvailable()
+      input.addData((6L, day(9), "hello world"))
+      q.processAllAvailable()
+      val ids = spark.sql("select doc_id from sd").as[Long].collect().toSet
+      assert(ids.contains(6L))
+    } finally q.stop()
+  }
 }
