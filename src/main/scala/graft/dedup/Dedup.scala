@@ -274,8 +274,14 @@ object Dedup {
         call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
       .where(size(col("digs")) > 0)
       .select(col("doc_id"), array_sort(array_distinct(col("digs"))).as("hset")))
-    val inv = materialize(hsets.select(col("doc_id"), size(col("hset")).as("n_sh"),
-      explode(col("hset")).as("sh")))
+    // no barrier on the inverted index: its source `hsets` is already
+    // a checkpoint, so the explode recomputes from columnar cache in
+    // both consumers (docFreq + the prefix join) — cheaper than
+    // writing/re-reading the 57-rows-per-doc expansion (measured at
+    // 1M docs), and the Generate sits directly on a checkpoint scan so
+    // there is no expression chain for inferred filters to inline.
+    val inv = hsets.select(col("doc_id"), size(col("hset")).as("n_sh"),
+      explode(col("hset")).as("sh"))
     val docFreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     // single consumer (the bucket grouping) — no barrier needed
@@ -351,10 +357,15 @@ object Dedup {
     * fingerprint. Per-doc output (doc_id, fingerprint, canonical_id,
     * is_dup). One shuffle on the digest. */
   def exactDedup(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // materialized: referenced by both the canonical aggregation and
-    // the per-doc join below
+    // the per-doc join below. graft_norm_fp = the one-pass native
+    // kernel, property-tested byte-equal to the composed
+    // TextFunctions.normalizedFingerprint (which stays the DuckDB
+    // twin); the three regex passes it replaces were the measured
+    // bottleneck at 1M docs (~40 s of the 44 s total).
     val fp = materialize(parallelize(docs).select(col("doc_id"),
-      TextFunctions.normalizedFingerprint(col("text")).as("fingerprint")))
+      call_function("graft_norm_fp", col("text")).as("fingerprint")))
     val canon = fp.groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("canonical_id"))
     fp.join(canon, Seq("fingerprint"))

@@ -207,6 +207,50 @@ object ShingleHashKernel {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** Exact-dedup fingerprint in ONE pass over the lowered chars —
+    * byte-equal to the composed pipeline
+    * md5(regexp_replace(trim(regexp_replace(lower(text),
+    * "[^a-z0-9\s]", " ")), "\s+", " ")) and its DuckDB twin,
+    * reproducing its quirks precisely: `trim` strips 0x20 only (a
+    * leading TAB survives trim and collapses to a LEADING space);
+    * `\s` is the Java class [ \t\n\x0B\f\r]; lower() is
+    * UTF8String.toLowerCase (the Lower expression's own kernel).
+    * Replaces three regex passes + three full string materializations
+    * per document — the measured x1 hot path at corpus scale. */
+  def normalizedFingerprint(input: UTF8String): UTF8String = {
+    val s = input.toLowerCase.toString
+    @inline def isJs(c: Char): Boolean = // Java regex \s
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    // after mapping (alnum kept, \s kept, other -> 0x20), trim 0x20 ends
+    @inline def mapped(c: Char): Char =
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c
+      else if (isJs(c)) c else ' '
+    var st = 0; var en = s.length
+    while (st < en && mapped(s.charAt(st)) == ' ') st += 1
+    while (en > st && mapped(s.charAt(en - 1)) == ' ') en -= 1
+    val sb = new java.lang.StringBuilder(en - st)
+    var i = st
+    while (i < en) {
+      val m = mapped(s.charAt(i))
+      if (isJs(m)) { // any \s run (incl. mapped spaces) -> one 0x20
+        sb.append(' ')
+        while (i + 1 < en && isJs(mapped(s.charAt(i + 1)))) i += 1
+      } else sb.append(m)
+      i += 1
+    }
+    val d = MD5.get.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = HEX((d(j) >> 4) & 0xf).toByte
+      hex(2 * j + 1) = HEX(d(j) & 0xf).toByte
+      j += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
   /** 64-bit SimHash of whitespace tokens, as two 32-bit words
     * [lo, hi]: lo folds each token's md5 hex chars 1-8 (= hash32), hi
     * folds chars 9-16 (digest bytes 4-7 big-endian). Splitting keeps
@@ -356,6 +400,25 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass exact-dedup fingerprint: `graft_norm_fp(text)`. See
+  * [[ShingleHashKernel.normalizedFingerprint]]. */
+case class NormalizedFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_norm_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashKernel.normalizedFingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"${ev.value} = graft.functions.ShingleHashKernel.normalizedFingerprint($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizedFingerprint =
+    copy(child = newChild)
+}
+
 /** Extension entry point: `spark.sql.extensions=graft.functions.GraftExtensions`
   * makes the graft_* functions available in SQL and via `call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -382,7 +445,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => MinHashSig(children.head, children(1))),
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("graft_norm_fp"),
+      new ExpressionInfo(classOf[NormalizedFingerprint].getName, "graft_norm_fp"),
+      (children: Seq[Expression]) => NormalizedFingerprint(children.head)))
 
   /** Idempotent registration into a live session (for sessions built
     * without the extensions config). */

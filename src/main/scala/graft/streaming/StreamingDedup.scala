@@ -25,9 +25,11 @@ object StreamingDedup {
 
   /** `docs` must carry (doc_id, ts, text) with `ts` the event-time
     * column. Emits the surviving documents with their fingerprint. */
-  def exactDedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+  def exactDedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("fingerprint", TextFunctions.normalizedFingerprint(col("text")))
+      .withColumn("fingerprint", call_function("graft_norm_fp", col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
+  }
 }

@@ -24,6 +24,17 @@ object ProfileDedup {
     import graft.dedup.Dedup._
     (1 to 2).foreach { round =>
       println(s"--- round $round ---")
+      timed("x1-fp-compute") {
+        parallelize(docs).select(col("doc_id"),
+          graft.functions.TextFunctions.normalizedFingerprint(col("text")).as("fingerprint"))
+          .agg(count(col("fingerprint"))).collect()
+      }
+      timed("x1-fp-ckpt") {
+        parallelize(docs).select(col("doc_id"),
+          graft.functions.TextFunctions.normalizedFingerprint(col("text")).as("fingerprint"))
+          .localCheckpoint(eager = true)
+      }
+      timed("full-x1")(exactDedup(docs).count())
       val digs = timed("digs-ckpt") {
         parallelize(docs)
           .select(col("doc_id"), wordShingles(col("text")).as("shingles"))

@@ -90,6 +90,18 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("graft_norm_fp == composed normalizedFingerprint (incl. regex quirks)") {
+    val adversarial = texts ++ Seq(
+      "\tTabs\tAND\tCaps!", "Ünïcode ÅBC déjà-vu", "a.b,c;d:e", "...",
+      "MiXeD   CaSe\n\nwithvertical\ftabs", "1234 !@#$ 5678")
+    val cmp = adversarial.zipWithIndex.toDF("text", "i").select(
+      call_function("graft_norm_fp", col("text")).as("native"),
+      TextFunctions.normalizedFingerprint(col("text")).as("composed"))
+    cmp.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1), r.toString)
+    }
+  }
+
   test("kernel matches wsTokens token-count semantics on whitespace edge cases") {
     val cmp = df.select(
       size(call_function("graft_shingle_hashes", col("text"), lit(1))).as("native_n"),
