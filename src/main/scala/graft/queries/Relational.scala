@@ -216,6 +216,41 @@ object Relational {
         round(coalesce(col("spend"), lit(0.0)), 4).as("total_spent"))
   }
 
+  /** Ranking-window suite beyond row_number: lag/lead (inter-row
+    * offsets), ntile (equi-depth bucketing), cume_dist — all over ONE
+    * window sort, so the physical plan pays a single exchange + sort
+    * regardless of how many ranking functions ride it. Ordering is
+    * made total (price desc, key) so every function is deterministic
+    * under ties. */
+  def w2RankSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct", round(cume_dist().over(w), 6))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"),
+        round(col("prev_price"), 4).as("prev_price"),
+        round(col("next_price"), 4).as("next_price"),
+        col("quartile"), col("pct"))
+  }
+
+  /** Semi-structured props: extract a JSON field from the events
+    * payload and aggregate — JSON path evaluation stays codegen'd
+    * (GetJsonObject) and the aggregation is ordinary partial+final
+    * hash agg; no UDF, no schema inference pass at plan time. */
+  def js1JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        graft.operators.Kernels.nanToNull(col("value")).as("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"), round(avg(col("value")), 6).as("avg_val"))
+
   /** Pivot (long → wide): revenue per priority with one column per
     * order status. The value domain is supplied explicitly so the plan
     * needs no discovery pass; execution is a plain conditional
@@ -322,7 +357,23 @@ object Relational {
         | ROUND(COALESCE(spend, 0), 4) AS total_spent
         |FROM customer LEFT JOIN (
         |  SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS spend
-        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin
+        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin,
+    "w2_rank_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | ROUND(o_totalprice, 4) AS o_totalprice,
+        | ROUND(lag(o_totalprice, 1) OVER w, 4) AS prev_price,
+        | ROUND(lead(o_totalprice, 1) OVER w, 4) AS next_price,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | ROUND(cume_dist() OVER w, 6) AS pct
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "js1_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | ROUND(AVG(CASE WHEN isnan(value) THEN NULL ELSE value END), 6) AS avg_val
+        |FROM events GROUP BY event_type""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -339,6 +390,8 @@ object Relational {
     "st1_set_ops" -> (st1SetOps _),
     "sq1_above_customer_avg" -> (sq1AboveCustomerAvg _),
     "pv1_pivot_revenue" -> (pv1PivotRevenue _),
-    "j3_outer_join" -> (j3OuterJoin _)
+    "j3_outer_join" -> (j3OuterJoin _),
+    "w2_rank_suite" -> (w2RankSuite _),
+    "js1_json_extract" -> (js1JsonExtract _)
   )
 }
