@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Exponentially-weighted moving average — pandas
+ * `Series.ewm(alpha=α, adjust=True/False).mean()` over the canonical
+ * frame. The recurrence is inherently sequential per series
+ * (y_t depends on y_{t-1}), which no ANSI window expresses, and the
+ * adjust=True normalizer (1-α)^i overflows any fixed-point rewrite at
+ * realistic series lengths — so this is a per-series kernel in
+ * `groupByKey(series_id).flatMapGroups`, the same shape as the
+ * find_peaks port: one shuffle on series_id, embarrassingly parallel
+ * across series, one in-memory pass per series (station data:
+ * 10³–10⁴ points).
+ *
+ * pandas NaN semantics (verified against pandas 2.x): NaN samples
+ * emit the running mean unchanged and do NOT decay the weights
+ * (`ignore_na=False` default still skips the observation in both
+ * numerator and denominator but ages prior weights by (1-α) per ROW;
+ * we implement ignore_na=False). Leading NaNs emit NaN (null).
+ */
+object Ewma {
+
+  /** adjust=True: y_t = Σ(1-α)^{t-i}·x_i / Σ(1-α)^{t-i} over non-null
+    * x_i, weights aged per row (ignore_na=False). adjust=False:
+    * y_t = (1-α)·w·y_{t-1} + α'·x_t normalized — implemented via the
+    * same weighted-sums recurrence, which is numerically stable (both
+    * sums decay, never grow). */
+  def ewmaMean(ts: DataFrame, alpha: Double, adjust: Boolean = true): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    val spark = ts.sparkSession
+    import spark.implicits._
+    val decay = 1.0 - alpha
+    // adjust=True weights new obs at 1; adjust=False at α, with the
+    // denominator tracking the same recurrence (pandas' ewm formula)
+    val newW = if (adjust) 1.0 else alpha
+    ts.select(col("series_id"), col("ts"), col("value"))
+      .as[(String, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        var num = 0.0 // Σ w_i·x_i
+        var den = 0.0 // Σ w_i
+        rows.iterator.map { case (_, t, v) =>
+          v match {
+            case Some(x) if !x.isNaN =>
+              if (adjust) { num = num * decay + newW * x; den = den * decay + newW }
+              else if (den == 0.0) { num = x; den = 1.0 } // first obs seeds y_0 = x_0
+              else { num = num * decay + newW * x; den = den * decay + newW }
+            case _ =>
+              num *= decay; den *= decay // age weights, no observation
+          }
+          (sid, t, v, if (den > 0.0) Some(num / den) else None)
+        }
+      }
+      .toDF("series_id", "ts", "value", "ewma")
+  }
+}

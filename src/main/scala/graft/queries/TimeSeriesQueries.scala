@@ -169,7 +169,19 @@ object TimeSeriesQueries {
          |FROM w""".stripMargin
   )
 
+  /** pandas `ewm(alpha).mean()` — sequential per-series recurrence
+    * (see [[graft.operators.Ewma]]). No SQL oracle: the recurrence is
+    * not ANSI-window-expressible — rows-only driver check; value
+    * semantics pinned by EwmaSpec against hand-computed pandas
+    * goldens. */
+  def ew1Ewma(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ewma.ewmaMean(
+      graft.SparkEntry.canonicalEvents(spark, dir), alpha = 0.3)
+      .select(col("series_id"), col("ts"),
+        round(col("value"), 6).as("value"), round(col("ewma"), 6).as("ewma"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ew1_ewma" -> (ew1Ewma _),
     "r1_resample" -> (r1Resample _),
     "ff1_forward_fill" -> (ff1ForwardFill _),
     "r2_interpolate" -> (r2Interpolate _),
