@@ -95,13 +95,63 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Skew-proof EXACT variant of [[bucketPairs]] for corpora where one
+   * bucket can hold millions of ids (a boilerplate header shingle, a
+   * degenerate band value): decompose each bucket's pair space into
+   * chunk-pair BLOCKS of bounded size. The sorted id list is sliced
+   * into chunks of `block`; every (i ≤ j) chunk pair becomes one task
+   * row carrying ≤ 2·block ids, shuffled by (bucket, chunk) — so a
+   * bucket of width m fans out to (m/block)²/2 independent tasks
+   * instead of one task streaming m² pairs, and no row ever holds
+   * more than 2·block ids. Chunks come from a SORTED array, so for
+   * i < j every cross pair already satisfies a < b and the same
+   * strict-`>` filter used for the diagonal applies uniformly.
+   * Output is row-identical to [[bucketPairs]] (property-tested).
+   *
+   * Cost: two more shuffles than the narrow-bucket path — pay it when
+   * hot buckets are possible, not by default.
+   */
+  private[graft] def bucketPairsBlocked(
+      keyed: DataFrame, block: Int, keyCols: String*): DataFrame = {
+    require(block >= 1, s"block must be >= 1: $block")
+    val key = keyCols.map(col)
+    val grouped = keyed
+      .groupBy(key: _*)
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .withColumn("nc", ceil(size(col("ids")) / lit(block.toDouble)).cast("int"))
+    val chunks = grouped.select(key :+
+      col("nc") :+
+      posexplode(transform(sequence(lit(0), col("nc") - 1),
+        i => slice(col("ids"), i * block + 1, lit(block)))).as(Seq("ci", "cids")): _*)
+    // (key, i, j) index rows are tiny; repartitioning happens via the
+    // two chunk joins keyed by (key, chunk) — cardinality ≤ nc per key
+    val pairsIdx = grouped
+      .select(key :+ explode(sequence(lit(0), col("nc") - 1)).as("i") :+ col("nc"): _*)
+      .select(key :+ col("i") :+ explode(sequence(col("i"), col("nc") - 1)).as("j"): _*)
+    val left = chunks.select(key :+ col("ci").as("i") :+ col("cids").as("ids_a"): _*)
+    val right = chunks.select(key :+ col("ci").as("j") :+ col("cids").as("ids_b"): _*)
+    pairsIdx
+      .join(left, keyCols :+ "i")
+      .join(right, keyCols :+ "j")
+      .select(explode(col("ids_a")).as("doc_a"), col("ids_b"))
+      .select(col("doc_a"),
+        explode(filter(col("ids_b"), b => b > col("doc_a"))).as("doc_b"))
+      .distinct()
+  }
+
   /** Candidate pairs from band collisions. Input must carry `doc_id`
-    * and `bands`. */
-  def bandCandidates(withBands: DataFrame): DataFrame =
-    bucketPairs(
-      withBands.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "bucket"))),
-      "band_idx", "bucket")
+    * and `bands`. `hotBucketBlock` switches to the blocked skew-proof
+    * pair expansion ([[bucketPairsBlocked]]). */
+  def bandCandidates(withBands: DataFrame, hotBucketBlock: Option[Int] = None): DataFrame = {
+    val keyed = withBands.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+    hotBucketBlock match {
+      case Some(b) => bucketPairsBlocked(keyed, b, "band_idx", "bucket")
+      case None => bucketPairs(keyed, "band_idx", "bucket")
+    }
+  }
 
   /** Exact Jaccard between two shingle arrays, on distinct shingles:
     * |A∩B| / (|A| + |B| − |A∩B|). */
@@ -163,7 +213,8 @@ object Dedup {
       threshold: Double = 0.6,
       k: Int = 12,
       bands: Int = 4,
-      rows: Int = 3): DataFrame = {
+      rows: Int = 3,
+      hotBucketBlock: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // Native one-pass kernels (graft_shingle_hashes / graft_minhash,
     // property-tested equal to the composed-Column pipeline that
@@ -182,7 +233,7 @@ object Dedup {
       call_function("graft_minhash", col("digs"), lit(k)).as("sig"))
     val withBands = materialize(
       sigs.select(col("doc_id"), lshBands(col("sig"), bands, rows).as("bands")))
-    val cands = bandCandidates(withBands)
+    val cands = bandCandidates(withBands, hotBucketBlock)
     verifyJaccard(cands, hsets, threshold)
   }
 
@@ -231,7 +282,9 @@ object Dedup {
     * quadratic candidate blowup that 16-bit bands cut by 256×. The
     * split-word form keeps all arithmetic below 2^32, so the DuckDB
     * twin needs no unsigned 64-bit math. */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDups(
+      docs: DataFrame, maxHamming: Int = 3,
+      hotBucketBlock: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sigs = parallelize(docs).select(col("doc_id"),
       call_function("graft_simhash64", col("text")).as("sig"))
@@ -240,10 +293,7 @@ object Dedup {
       .withColumn("bands", array(
         pmod(col("lo"), lit(65536L)), floor(col("lo") / 65536.0).cast("long"),
         pmod(col("hi"), lit(65536L)), floor(col("hi") / 65536.0).cast("long"))))
-    val cands = bucketPairs(
-      banded.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "bucket"))),
-      "band_idx", "bucket")
+    val cands = bandCandidates(banded.select(col("doc_id"), col("bands")), hotBucketBlock)
     // verify: hamming distance from the (tiny) per-doc signature frame
     val sa = banded.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
     val sb = banded.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
@@ -267,7 +317,9 @@ object Dedup {
    * inverted-index self-join quadratic. Candidates are then verified
    * with the exact set Jaccard. No approximation in the result.
    */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(
+      docs: DataFrame, threshold: Double = 0.5,
+      hotBucketBlock: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val hsets = materialize(parallelize(docs)
       .select(col("doc_id"),
@@ -289,7 +341,11 @@ object Dedup {
       .withColumn("rk", row_number().over(wRank))
       .where(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
       .select(col("doc_id"), col("sh"))
-    verifyJaccard(bucketPairs(prefix, "sh"), hsets, threshold)
+    val cands = hotBucketBlock match {
+      case Some(b) => bucketPairsBlocked(prefix, b, "sh")
+      case None => bucketPairs(prefix, "sh")
+    }
+    verifyJaccard(cands, hsets, threshold)
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
