@@ -21,6 +21,44 @@ object SqlSurface {
     "graft_storm_events", "graft_spike_valley_events",
     "graft_inferred_steps")
 
+  /** Corpus-side views over a `(doc_id, text)` frame. `graft_documents`,
+    * `graft_doc_stats` (token/quality/language/fingerprint columns) and
+    * `graft_doc_splits` are pure lazy projections; the dedup views
+    * marked EAGER below run their hash/propagation jobs at
+    * registration time (their operators checkpoint intermediate hash
+    * frames / iterate to a fixpoint — that work cannot be deferred
+    * into a view without re-running it per query). */
+  val CorpusViews: Seq[String] = Seq(
+    "graft_documents", "graft_doc_stats", "graft_doc_splits",
+    "graft_exact_dedup" /* EAGER */, "graft_minhash_pairs" /* EAGER */,
+    "graft_dedup_clusters" /* EAGER */)
+
+  def registerCorpus(docs: DataFrame, minhashThreshold: Double = 0.6): Unit = {
+    import org.apache.spark.sql.functions._
+    val tf = graft.functions.TextFunctions
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.createOrReplaceTempView("graft_documents")
+    docs.select(col("doc_id"),
+        tf.tokenCount(col("text")).as("n_tokens"),
+        tf.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        tf.qualityScore(col("text")).as("quality"),
+        tf.langGuess(col("text")).as("lang_guess"),
+        call_function("graft_norm_fp", col("text")).as("fingerprint"))
+      .createOrReplaceTempView("graft_doc_stats")
+    docs.select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation").otherwise("test"))
+      .createOrReplaceTempView("graft_doc_splits")
+    val pairs = graft.dedup.Dedup.minhashNearDups(docs, minhashThreshold)
+    graft.dedup.Dedup.exactDedup(docs).createOrReplaceTempView("graft_exact_dedup")
+    pairs.createOrReplaceTempView("graft_minhash_pairs")
+    graft.dedup.Dedup.dedupClusters(docs, pairs)
+      .createOrReplaceTempView("graft_dedup_clusters")
+  }
+
   def register(
       ts: DataFrame,
       storm: StormEvents = StormEvents(frequency = Some("1D")),

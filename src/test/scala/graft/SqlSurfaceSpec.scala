@@ -24,6 +24,36 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(d == 11.0)
   }
 
+  test("corpus views: stats/splits/dedup reachable and joinable from SQL") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    val docs = Seq(
+      // doc 1: exact dup after normalization (punct only) AND a
+      // minhash near-dup (shingles are case-sensitive by design, so
+      // the text must share tokens, not just normalized form)
+      (0L, base), (1L, base + "!"),
+      (2L, base + " extra tail tokens here"),
+      (3L, "something completely different with many unrelated words inside")
+    ).toDF("doc_id", "text")
+    SqlSurface.registerCorpus(docs)
+    assert(spark.sql("SELECT count(*) FROM graft_doc_stats WHERE n_tokens > 0")
+      .head.getLong(0) == 4L)
+    // exact dedup found the case/punct-normalized duplicate
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_exact_dedup WHERE is_dup").head.getLong(0) == 1L)
+    // cluster view agrees with exact dedup through a SQL join
+    assert(spark.sql(
+      """SELECT count(*) FROM graft_exact_dedup e
+        |JOIN graft_dedup_clusters c ON e.doc_id = c.doc_id
+        |WHERE e.is_dup AND c.cluster_id <> c.doc_id""".stripMargin)
+      .head.getLong(0) == 1L)
+    // every doc has exactly one split tag
+    assert(spark.sql(
+      """SELECT count(*) FROM graft_doc_splits
+        |WHERE split IN ('train','validation','test')""".stripMargin)
+      .head.getLong(0) == 4L)
+  }
+
   test("find_peaks clamp: near-head peak paints from index 0, no wrap") {
     // peak at index 1 with width > 1: int(p - w) < 0 must clamp to 0
     // (the reference's iloc would wrap to the series tail - SURVEY §7.1/L4)
