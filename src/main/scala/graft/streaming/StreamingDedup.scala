@@ -32,4 +32,62 @@ object StreamingDedup {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
   }
+
+  /** Static MinHash-LSH index over a reference corpus, for
+    * stream-side matching: one row per (band_idx, bucket) posting with
+    * the doc's hashed shingle set for exact verification. Build once,
+    * persist/broadcast; the streaming side never scans the corpus. */
+  def minhashIndex(corpus: DataFrame, k: Int = 12, bands: Int = 4, rows: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val digs = corpus
+      .select(col("doc_id").as("corpus_doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
+      .where(size(col("digs")) > 0)
+    digs
+      .select(col("corpus_doc_id"),
+        array_sort(array_distinct(col("digs"))).as("corpus_hset"),
+        graft.dedup.Dedup.lshBands(
+          call_function("graft_minhash", col("digs"), lit(k)), bands, rows).as("bands"))
+      .select(col("corpus_doc_id"), col("corpus_hset"),
+        posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+  }
+
+  /**
+   * Streaming near-dup detection against a STATIC corpus index (the
+   * lambda layout: the batch job owns corpus×corpus dedup; the stream
+   * flags arriving docs against the frozen index). Stateless per row
+   * until the final within-watermark pair dedup: signature/banding are
+   * native one-pass kernels, candidates come from a stream-static
+   * equi-join on (band_idx, bucket) — broadcastable when the index is
+   * small, shuffle-partitioned otherwise — and verification is the
+   * exact hashed-shingle Jaccard. A pair colliding in several bands is
+   * emitted once per watermark window.
+   */
+  def streamingNearDups(
+      docs: DataFrame,
+      index: DataFrame,
+      threshold: Double = 0.6,
+      k: Int = 12, bands: Int = 4, rows: Int = 3,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val digs = docs
+      .select(col("doc_id"), col("ts"),
+        call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
+      .where(size(col("digs")) > 0)
+    val banded = digs
+      .select(col("doc_id"), col("ts"),
+        array_sort(array_distinct(col("digs"))).as("hset"),
+        posexplode(graft.dedup.Dedup.lshBands(
+          call_function("graft_minhash", col("digs"), lit(k)), bands, rows))
+          .as(Seq("band_idx", "bucket")))
+    banded
+      .join(index, Seq("band_idx", "bucket"))
+      .where(col("doc_id") =!= col("corpus_doc_id"))
+      .withColumn("jaccard",
+        round(graft.dedup.Dedup.jaccardHashed(col("hset"), col("corpus_hset")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("ts"), col("corpus_doc_id"), col("jaccard"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_doc_id")
+  }
 }

@@ -206,4 +206,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(ids.contains(6L))
     } finally q.stop()
   }
+
+  test("streaming near-dups against a static minhash index") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    val corpus = Seq(
+      (100L, base),
+      (101L, "an entirely unrelated reference document with other words here")
+    ).toDF("doc_id", "text")
+    val index = graft.streaming.StreamingDedup.minhashIndex(corpus)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingDedup.streamingNearDups(
+        input.toDF().toDF("doc_id", "ts", "text"), index, threshold = 0.5)
+      .writeStream.format("memory").queryName("snd").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, day(0), base + " tonight"),            // near-dup of corpus 100
+        (2L, day(0), "completely novel content that matches nothing at all"))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, corpus_doc_id from snd")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows == Seq((1L, 100L)))
+    } finally q.stop()
+  }
 }
