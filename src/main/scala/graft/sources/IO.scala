@@ -46,4 +46,22 @@ object IO {
     * interchange files are small; the Parquet sink is the scale path). */
   def writeEventsCsv(events: DataFrame, path: String): Unit =
     events.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JSONL document corpus reader (the standard corpus interchange
+    * format) with an EXPLICIT schema: schema inference over JSON is a
+    * full extra scan — at 100 TB that is a second pass over the
+    * corpus before the first real job. Unknown fields are dropped by
+    * the reader; missing ones are null. `mode=PERMISSIVE` keeps
+    * corrupt lines as nulls instead of failing the pipeline — filter
+    * on `text IS NOT NULL` downstream to drop them. */
+  def readJsonlDocs(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
+  /** JSONL document sink (gzip keeps interchange files line-splittable
+    * per file; within-file parallelism comes from file count). */
+  def writeJsonlDocs(docs: DataFrame, path: String): Unit =
+    docs.write.mode("overwrite").option("compression", "gzip").json(path)
 }

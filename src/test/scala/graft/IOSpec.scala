@@ -32,4 +32,25 @@ class IOSpec extends AnyFunSuite with SparkTestBase {
       "series_id", "event_type", "start", "stop", "duration_us", "n_points", "total"))
     assert(got == expected)
   }
+
+  test("jsonl corpus round-trip with explicit schema; corrupt lines survive as nulls") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val docs = Seq(
+      (1L, "first document text", "en", "web"),
+      (2L, "zweites dokument", "de", "books")
+    ).toDF("doc_id", "text", "lang", "source")
+    IO.writeJsonlDocs(docs, s"$dir/docs")
+    val back = IO.readJsonlDocs(spark, s"$dir/docs")
+    assert(back.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
+    assert(back.orderBy("doc_id").as[(Long, String, String, String)].collect().toSeq ==
+      Seq((1L, "first document text", "en", "web"), (2L, "zweites dokument", "de", "books")))
+    // a corrupt line yields nulls (PERMISSIVE), not a failed job
+    Files.writeString(java.nio.file.Paths.get(s"$dir/bad.jsonl"),
+      """{"doc_id": 3, "text": "ok line"}
+        |{not valid json at all""".stripMargin)
+    val mixed = IO.readJsonlDocs(spark, s"$dir/bad.jsonl")
+    assert(mixed.count() == 2)
+    assert(mixed.where($"text".isNotNull).count() == 1)
+  }
 }
