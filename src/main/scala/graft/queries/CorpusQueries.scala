@@ -61,6 +61,25 @@ object CorpusQueries {
           .when(col("bucket") < 90, "validation")
           .otherwise("test"))
 
+  /** Deterministic STRATIFIED sampling (`sampleBy` without rand()):
+    * per-language keep fractions applied via the same hash bucket as
+    * the split — membership is a pure function of (doc_id, stratum
+    * fraction), so resampling is reproducible and a doc's fate never
+    * changes as the corpus grows. Upsampling high-value strata /
+    * downsampling boilerplate is the standard corpus-mixing move. */
+  def sm2StratifiedSample(
+      spark: SparkSession, dir: String,
+      fractions: Map[String, Int] = Map("en" -> 80, "de" -> 40),
+      defaultPct: Int = 20): DataFrame = {
+    val pct = fractions.foldLeft(lit(defaultPct)) { case (acc, (lang, p)) =>
+      when(col("lang") === lang, lit(p)).otherwise(acc)
+    }
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), (idHash(col("doc_id")) % 100).as("bucket"))
+      .where(col("bucket") < pct)
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Greedy sequence packing into fixed token budgets: documents are
     * sharded by hash, ordered by doc_id within shard, and assigned to
     * chunk ⌊exclusive-cumsum / context⌋ — the concat-and-chunk layout
@@ -98,6 +117,11 @@ object CorpusQueries {
       s"""SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
          |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "sm2_stratified_sample" ->
+      s"""SELECT doc_id, lang
+         |FROM (SELECT doc_id, lang, $idHashSql % 100 AS bucket FROM documents)
+         |WHERE bucket < (CASE WHEN lang = 'en' THEN 80
+         |                     WHEN lang = 'de' THEN 40 ELSE 20 END)""".stripMargin,
     "sm1_hash_split" ->
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 80 THEN 'train'
@@ -120,6 +144,7 @@ object CorpusQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_vocab_topk" -> ((s, dir) => v1VocabTopK(s, dir)),
     "sm1_hash_split" -> (sm1HashSplit _),
+    "sm2_stratified_sample" -> ((s, dir) => sm2StratifiedSample(s, dir)),
     "pk1_sequence_pack" -> ((s, dir) => pk1SequencePack(s, dir))
   )
 }
