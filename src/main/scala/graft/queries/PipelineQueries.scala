@@ -60,7 +60,13 @@ object PipelineQueries {
     "cc1_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.dedupClusters(d, Dedup.minhashNearDups(d, threshold = 0.6))
-    })
+    }),
+    // No SQL oracle: flatMap frame expansion is not SQL-expressible —
+    // rows-only check; stride/slice semantics covered by MultimodalSpec.
+    "m3_frame_sample" -> ((s, dir) =>
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.syntheticAssets(docs(s, dir)))
+        .select(col("asset_id"), col("frame_idx"), md5(col("frame_bytes")).as("frame_md5")))
   )
 
   // --- DuckDB twins -----------------------------------------------------
