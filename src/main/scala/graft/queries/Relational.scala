@@ -238,6 +238,37 @@ object Relational {
         col("quartile"), col("pct"))
   }
 
+  /** TPC-H Q18-shaped large-volume orders: IN over an aggregated
+    * subquery with HAVING. Catalyst plans the IN as a left-semi join
+    * against the (already partial-combined) aggregate — the fact
+    * table is filtered by a reduced key set, never joined raw. */
+  def q18VolumeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > 150)
+      .select(col("l_orderkey"))
+    t(spark, dir, "orders")
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 4).as("o_totalprice"))
+  }
+
+  /** RANGE-frame time window (vs the ROWS frames elsewhere): trailing
+    * 7-DAY aggregate per series keyed by event TIME, not row count —
+    * irregular sampling changes the frame width per row. Value-based
+    * frames are tie-insensitive, so no tiebreaker column is needed. */
+  def rs2RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts_s"))
+      .rangeBetween(-7L * 86400L, 0L)
+    graft.SparkEntry.canonicalEvents(spark, dir)
+      .withColumn("ts_s", unix_timestamp(col("ts")))
+      .select(col("series_id"), col("ts"),
+        round(col("value"), 6).as("value"),
+        count(col("value")).over(w).as("n_7d"),
+        round(sum(col("value")).over(w), 6).as("sum_7d"))
+  }
+
   /** Semi-structured props: extract a JSON field from the events
     * payload and aggregate — JSON path evaluation stays codegen'd
     * (GetJsonObject) and the aggregation is ordinary partial+final
@@ -368,6 +399,22 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "q18_volume_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        | ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM orders WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)""".stripMargin,
+    "rs2_range_window" ->
+      """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS series_id, ts,
+        |  CASE WHEN isnan(value) THEN NULL ELSE value END AS value,
+        |  epoch(ts) AS ts_s FROM events)
+        |SELECT series_id, ts, ROUND(value, 6) AS value,
+        |  count(value) OVER w AS n_7d,
+        |  ROUND(sum(value) OVER w, 6) AS sum_7d
+        |FROM t
+        |WINDOW w AS (PARTITION BY series_id ORDER BY ts_s
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""".stripMargin,
     "js1_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         | COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
@@ -392,6 +439,8 @@ object Relational {
     "pv1_pivot_revenue" -> (pv1PivotRevenue _),
     "j3_outer_join" -> (j3OuterJoin _),
     "w2_rank_suite" -> (w2RankSuite _),
-    "js1_json_extract" -> (js1JsonExtract _)
+    "js1_json_extract" -> (js1JsonExtract _),
+    "q18_volume_orders" -> (q18VolumeOrders _),
+    "rs2_range_window" -> (rs2RangeWindow _)
   )
 }
