@@ -182,16 +182,18 @@ object Dedup {
    * signature → bands → collision candidates → exact-Jaccard verify.
    * Returns (doc_a, doc_b, jaccard) for pairs with J ≥ threshold.
    */
-  /** Round-robin repartition for CPU-bound per-row stages: local
-    * small-file inputs otherwise scan as one partition and serialize
-    * the hashing onto one core. At cluster scale the input is already
-    * partitioned and the hashing cost dwarfs the one extra exchange;
-    * size via spark.sql.shuffle.partitions. */
+  /** Round-robin repartition for CPU-bound per-row stages — but ONLY
+    * when the plan is under-partitioned: local small-file inputs scan
+    * as one split and would serialize the hashing onto one core,
+    * while a 100 TB corpus already arrives as tens of thousands of
+    * splits — shuffling its full text bodies through an exchange just
+    * to rebalance would dominate the job. The partition probe plans
+    * the scan (file listing) but runs no job. */
   private[graft] def parallelize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val n = scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .getOrElse(spark.sparkContext.defaultParallelism)
-    df.repartition(n)
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
   }
 
   /** Lineage barrier before a Generate/self-join over an expensive
