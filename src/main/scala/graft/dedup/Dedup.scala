@@ -221,16 +221,16 @@ object Dedup {
     // Native one-pass kernels (graft_shingle_hashes / graft_minhash,
     // property-tested equal to the composed-Column pipeline that
     // remains the DuckDB oracle twin) replace the interpreted HOF
-    // chain. `digs` stays checkpointed: it feeds BOTH the signature
-    // and the verify hash-set, and the barrier keeps the explode's
-    // inferred filter from inlining the hash work into the scan.
+    // chain. `digs` stays checkpointed: it has THREE consumers (the
+    // signature path and both renamed sides of the verify join) —
+    // measured at 1M docs, re-hashing per consumer loses to one
+    // write+read of the hash expansion (unlike x4's single-extra-
+    // consumer inverted index, where the opposite holds).
     val digs = materialize(parallelize(docs)
       .select(col("doc_id"),
         call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
       .where(size(col("digs")) > 0))
     val hsets = digs.select(col("doc_id"), array_sort(array_distinct(col("digs"))).as("hset"))
-    // digs is a checkpoint with balanced partitions — already both an
-    // exchange barrier and parallel; no extra repartition needed
     val sigs = digs.select(col("doc_id"),
       call_function("graft_minhash", col("digs"), lit(k)).as("sig"))
     val withBands = materialize(
