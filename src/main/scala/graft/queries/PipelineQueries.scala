@@ -27,6 +27,14 @@ object PipelineQueries {
     "x3_simhash" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), maxHamming = 3)),
     "x4_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.8)),
     "x5_embedding_neardup" -> ((s, dir) => Similarity.nearDupPairs(embs(s, dir), threshold = 0.45)),
+    // Approximate sign-LSH variant (recall < 1 by design, like s2):
+    // the oracle twin mirrors the md5-derived hyperplanes and banding,
+    // so the gate is exact even though the result is a recalled subset
+    // of x5's. bits=6/bands=16 is the driver-data calibration (see
+    // Similarity.lshNearDupPairs scaladoc for the realistic-threshold
+    // defaults).
+    "x6_lsh_neardup" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(embs(s, dir), threshold = 0.45, bits = 6, bands = 16)),
     "s1_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 5)
@@ -201,6 +209,30 @@ object PipelineQueries {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${dotSql("a.emb", "b.emb")} AS cos
          |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.45""".stripMargin,
+    // Mirrors lshNearDupPairs bit-for-bit: plane(k)[d] = ±1 by the
+    // parity of md5("k:d")'s first hex digit — the same formula the
+    // Scala side evaluates at plan-build time — then 16 bands × 6
+    // sign bits, band-bucket candidate pairs, exact dot verify.
+    "x6_lsh_neardup" ->
+      s"""WITH $vNormCte,
+         |px AS (SELECT vec_id, emb, k,
+         |  CASE WHEN ${dotSql("emb",
+        """list_transform(generate_series(0, 63),
+          |    d -> CASE WHEN (strpos('0123456789abcdef',
+          |           substr(md5(k::VARCHAR || ':' || d::VARCHAR), 1, 1)) - 1) % 2 = 1
+          |         THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)""".stripMargin)} >= 0
+         |  THEN 1 ELSE 0 END AS bit
+         |  FROM v, (SELECT unnest(generate_series(0, 95)) AS k)),
+         |bx AS (SELECT vec_id, k // 6 AS band_idx,
+         |   CAST(sum(bit * power(2, k % 6)) AS BIGINT) AS bucket
+         |  FROM px GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bx a JOIN bx b
+         |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM (
+         |  SELECT id_a, id_b, ${dotSql("va.emb", "vb.emb")} AS cos
+         |  FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id)
          |WHERE cos >= 0.45""".stripMargin,
     "s1_ann_topk" ->
       s"""WITH $vNormCte

@@ -78,6 +78,38 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r == Set((0L, 1L)))
   }
 
+  test("blocked exact pair scan is block-count invariant (1 block ≡ naive all-pairs)") {
+    import graft.sources.Tables
+    val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
+    def pairs(blocks: Int) = Similarity.nearDupPairs(e, threshold = 0.45, blocks = blocks)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val single = pairs(1) // one diagonal chunk-pair = the naive formulation
+    val blocked = pairs(7) // 28 chunk pairs, ids split across chunks
+    assert(single.nonEmpty)
+    assert(blocked == single)
+  }
+
+  test("lsh near-dup pairs ⊆ exact pairs with identical verified cosines") {
+    import graft.sources.Tables
+    val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
+    val exact = Similarity.nearDupPairs(e, threshold = 0.45)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.lshNearDupPairs(e, threshold = 0.45, bits = 6, bands = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(lsh.nonEmpty, "LSH recalled nothing on driver data")
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      s"LSH emitted pairs the exact scan lacks: ${lsh.keySet -- exact.keySet}")
+    lsh.foreach { case (k, cos) => assert(cos == exact(k), s"cos mismatch at $k") }
+  }
+
+  test("lsh hyperplanes are the pinned md5-parity derivation") {
+    // golden from python hashlib: ±1 by parity of md5("k:d")[0]
+    assert(Similarity.lshPlane(0, 16) == Seq(
+      1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0,
+      1.0, -1.0, 1.0, -1.0, 1.0, 1.0, 1.0, -1.0))
+    assert(Similarity.lshPlane(95, 8) == Seq(1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0, -1.0))
+  }
+
   test("kmeans centroids: deterministic, unit-norm, improve IVF recall") {
     import graft.sources.Tables
     val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
