@@ -21,7 +21,13 @@ object GraftConf {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     // native expressions (graft_dot/graft_isect) in SQL without
     // explicit registration
-    "spark.sql.extensions" -> "graft.functions.GraftExtensions")
+    "spark.sql.extensions" -> "graft.functions.GraftExtensions",
+    // fault-tolerant lineage barriers: localCheckpoint blocks are lost
+    // with their executor, killing long dedup/clustering jobs at
+    // cluster scale. Requires sparkContext.setCheckpointDir (HDFS/S3);
+    // use "persist" (DISK_ONLY_2, keeps lineage) when no reliable
+    // store is available. See graft.Materialize.
+    "spark.graft.materialize.mode" -> "checkpoint")
 
   /** Local/bench shape: small files would otherwise scan as single
     * tasks and serialize CPU-heavy per-row hashing onto one core. */

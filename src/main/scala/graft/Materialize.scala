@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * The engine's lineage barrier, with a fault-tolerance knob.
+ *
+ * Several operators need a hard barrier before a Generate/self-join
+ * over an expensive expression chain (see [[graft.dedup.Dedup]] for
+ * the three measured reasons). HOW that barrier is realized is a
+ * deployment decision, controlled by the session conf
+ * `spark.graft.materialize.mode`:
+ *
+ *  - `local` (default): `localCheckpoint(eager)` — fastest (blocks in
+ *    executor local store, no DFS round-trip), the right call on
+ *    local/bench shapes. NOT fault-tolerant: blocks live only on the
+ *    executors that computed them and lineage is truncated, so at
+ *    cluster scale a lost executor kills the job instead of
+ *    recomputing.
+ *  - `persist`: `persist(DISK_ONLY_2)` + an eager count to populate.
+ *    Two disk replicas tolerate a single executor loss, and the
+ *    lineage is KEPT, so even a double loss recomputes instead of
+ *    failing. No checkpoint directory needed.
+ *  - `checkpoint`: `checkpoint(eager)` to the reliable store set via
+ *    `sparkContext.setCheckpointDir` (HDFS/S3). Survives any number
+ *    of executor losses; the right call for long dedup/clustering
+ *    jobs at 100 TB. Throws (from Spark) if no checkpoint dir is set.
+ *
+ * Cache population is not column-pruned (the InMemoryRelation stores
+ * the full plan output), so the eager `count()` in persist mode
+ * materializes every column — unlike a bare count used for timing
+ * (see STATUS.md lesson 1, which is about measuring, not caching).
+ */
+object Materialize {
+
+  val ModeKey = "spark.graft.materialize.mode"
+
+  def barrier(df: DataFrame): DataFrame = {
+    val mode = scala.util.Try(df.sparkSession.conf.get(ModeKey)).getOrElse("local")
+    mode match {
+      case "local" => df.localCheckpoint(eager = true)
+      case "persist" =>
+        val p = df.persist(StorageLevel.DISK_ONLY_2)
+        p.count()
+        p
+      case "checkpoint" => df.checkpoint(eager = true)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$ModeKey must be local | persist | checkpoint, got: $other")
+    }
+  }
+}

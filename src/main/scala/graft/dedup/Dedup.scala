@@ -204,11 +204,15 @@ object Dedup {
     * (2) a self-join would otherwise recompute the chain once per
     * side; (3) EAGER, because a lazy checkpoint consumed by several
     * branches of one job races its own cache population and computes
-    * partitions multiple times (observed 3×). The eager checkpoint
+    * partitions multiple times (observed 3×). The eager barrier
     * runs a small job at operator-construction time — a deliberate
-    * trade of strict laziness for single evaluation. */
+    * trade of strict laziness for single evaluation.
+    *
+    * Fault tolerance is a deployment knob, not hard-coded: see
+    * [[graft.Materialize]] (`spark.graft.materialize.mode` selects
+    * localCheckpoint / persist(DISK_ONLY_2) / reliable checkpoint). */
   private[graft] def materialize(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true)
+    graft.Materialize.barrier(df)
 
   def minhashNearDups(
       docs: DataFrame,

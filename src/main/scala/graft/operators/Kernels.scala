@@ -158,14 +158,19 @@ object Steps {
     case other => throw new IllegalArgumentException(s"unparseable frequency: $other")
   }
 
-  /** pandas `to_timedelta(to_offset(freq))` where freq is a
-    * `resolution_string`: one unit of the SMALLEST nonzero component of
-    * the diff (so a 2-day spacing still yields a 1-day tstep — quirk
-    * preserved from metevents/events.py:76-77 + utilities.py:14). */
-  /** Null-passing variant for use as a UDF over inferStep output. */
-  def resolutionOpt(diffUs: java.lang.Long): java.lang.Long =
-    if (diffUs == null) null
-    else java.lang.Long.valueOf(resolutionStepUs(diffUs.longValue))
+  /** [[resolutionStepUs]] as a native when-chain over a Column
+    * (null in → null out; the explicit isNull head matters — a null
+    * diff would otherwise fall through every modulo test to the
+    * microsecond fallback). Keeps the inferred-frequency path inside
+    * whole-stage codegen; replaces the engine's last UDF. */
+  def resolutionStepCol(diffUs: Column): Column =
+    when(diffUs.isNull, lit(null).cast("long"))
+      .when(diffUs % Day === 0, Day)
+      .when(diffUs % Hour === 0, Hour)
+      .when(diffUs % Minute === 0, Minute)
+      .when(diffUs % Second === 0, Second)
+      .when(diffUs % Ms === 0, Ms)
+      .otherwise(Us)
 
   /** Pandas-style frequency string for a step (`determine_freq`
     * returns 'D'/'H' strings in the reference, utilities.py:10-14). */
@@ -177,6 +182,10 @@ object Steps {
     else if (stepUs % Ms == 0) { val n = stepUs / Ms; if (n == 1) "ms" else s"${n}ms" }
     else s"${stepUs}us"
 
+  /** pandas `to_timedelta(to_offset(freq))` where freq is a
+    * `resolution_string`: one unit of the SMALLEST nonzero component of
+    * the diff (so a 2-day spacing still yields a 1-day tstep — quirk
+    * preserved from metevents/events.py:76-77 + utilities.py:14). */
   def resolutionStepUs(diffUs: Long): Long =
     if (diffUs % Day == 0) Day
     else if (diffUs % Hour == 0) Hour

@@ -116,7 +116,7 @@ case class StormEvents(
         // of the smallest nonzero component (metevents/utilities.py:14)
         val steps = Kernels
           .inferStep(ts)
-          .select(col("series_id"), udf(Steps.resolutionOpt _).apply(col("step_us")).as("step_us"))
+          .select(col("series_id"), Steps.resolutionStepCol(col("step_us")).as("step_us"))
         summaries.join(steps, Seq("series_id"), "left")
     }
 

@@ -32,7 +32,11 @@ object PipelineQueries {
     // so the gate is exact even though the result is a recalled subset
     // of x5's. bits=6/bands=16 is the driver-data calibration (see
     // Similarity.lshNearDupPairs scaladoc for the realistic-threshold
-    // defaults).
+    // defaults). NOTE: this key is a correctness/recall FIXTURE, not
+    // the performance path — at this non-LSH-separable 0.45 threshold
+    // it admits ~27% of N² as candidates and is strictly slower than
+    // exact x5 on the bench. Do not tune the benchmark against it;
+    // the operator's value is its asymptote at thresholds ≥ 0.9.
     "x6_lsh_neardup" -> ((s, dir) =>
       Similarity.lshNearDupPairs(embs(s, dir), threshold = 0.45, bits = 6, bands = 16)),
     "s1_ann_topk" -> ((s, dir) => {

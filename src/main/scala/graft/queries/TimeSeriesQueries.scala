@@ -166,14 +166,50 @@ object TimeSeriesQueries {
          |SELECT series_id, ts, ROUND(value, 6) AS value,
          |  ROUND(m, 6) AS roll_mean, ROUND(sd, 6) AS roll_sd,
          |  ROUND(CASE WHEN sd > 1e-9 THEN (value - m) / sd END, 3) AS zscore
-         |FROM w""".stripMargin
+         |FROM w""".stripMargin,
+    "ew1_ewma" -> ewmaSql(alpha = 0.3)
   )
 
+  /** ew1 oracle: the pandas `ewm(alpha, adjust=True).mean()` recurrence
+    * as a per-series DuckDB recursive CTE — the same advance-every-
+    * series-one-row-per-iteration pattern as the d1 storm fold oracle
+    * ([[graft.SparkEntry]]). Both engines run the identical IEEE-double
+    * sequence `num = num·decay + x; den = den·decay + 1` (nulls age
+    * both sums, pandas ignore_na=False), so the round-6 outputs
+    * hash-match bit-for-bit. Two traps pinned here: (1) the decay
+    * constant is computed in SCALA (`1.0 - alpha`) and embedded as a
+    * double literal — DuckDB would otherwise evaluate `1.0 - 0.3` in
+    * DECIMAL arithmetic; (2) the anchor's num/den are CAST to DOUBLE,
+    * because bare `1.0`/`0.0` literals would type the recursion as
+    * DECIMAL(2,1) and silently truncate every product to one decimal
+    * digit (observed: den 2.19 → 2.1). */
+  private def ewmaSql(alpha: Double): String = {
+    val decay = (1.0 - alpha).toString
+    s"""WITH RECURSIVE
+       |t AS ($canonicalCte),
+       |p AS (SELECT series_id, ts, value,
+       |   row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn FROM t),
+       |f AS (
+       |  SELECT series_id, ts, value, rn,
+       |    CAST(COALESCE(value, 0.0) AS DOUBLE) AS num,
+       |    CAST(CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END AS DOUBLE) AS den
+       |  FROM p WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.series_id, n.ts, n.value, n.rn,
+       |    CASE WHEN n.value IS NOT NULL THEN f.num * CAST($decay AS DOUBLE) + n.value
+       |         ELSE f.num * CAST($decay AS DOUBLE) END,
+       |    CASE WHEN n.value IS NOT NULL THEN f.den * CAST($decay AS DOUBLE) + CAST(1.0 AS DOUBLE)
+       |         ELSE f.den * CAST($decay AS DOUBLE) END
+       |  FROM f JOIN p n ON n.series_id = f.series_id AND n.rn = f.rn + 1)
+       |SELECT series_id, ts, ROUND(value, 6) AS value,
+       |  ROUND(CASE WHEN den > 0.0 THEN num / den END, 6) AS ewma
+       |FROM f""".stripMargin
+  }
+
   /** pandas `ewm(alpha).mean()` — sequential per-series recurrence
-    * (see [[graft.operators.Ewma]]). No SQL oracle: the recurrence is
-    * not ANSI-window-expressible — rows-only driver check; value
-    * semantics pinned by EwmaSpec against hand-computed pandas
-    * goldens. */
+    * (see [[graft.operators.Ewma]]). Oracle: recursive CTE
+    * ([[ewmaSql]]); value semantics additionally pinned by EwmaSpec
+    * against hand-computed pandas goldens. */
   def ew1Ewma(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Ewma.ewmaMean(
       graft.SparkEntry.canonicalEvents(spark, dir), alpha = 0.3)

@@ -153,8 +153,9 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     ensureRegistered(corpus)
-    // reused every Lloyd round — one eager checkpoint, read iters times
-    val vecs = normalized(corpus, "vid", "emb").localCheckpoint(eager = true)
+    // reused every Lloyd round — one eager barrier, read iters times
+    // (fault-tolerance knob: graft.Materialize / spark.graft.materialize.mode)
+    val vecs = graft.Materialize.barrier(normalized(corpus, "vid", "emb"))
     // Centroids are O(k) — genuinely driver-sized state (MLlib's KMeans
     // holds them on the driver too). Keeping them local turns each
     // Lloyd round into ONE distributed job (assign + per-dimension
@@ -293,13 +294,29 @@ object Similarity {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
     ensureRegistered(corpus)
     val v = graft.dedup.Dedup.materialize(normalized(corpus, "id", "emb"))
+    // Sign bits are decided at an exact `dot >= 0` boundary, so
+    // engine agreement (e.g. the DuckDB oracle twin's
+    // list_dot_product) requires the IDENTICAL left-to-right double
+    // accumulation graft_dot uses — any re-association could flip a
+    // bit on a projection within float noise of 0 and move a vector
+    // to a different bucket in one engine only. Unlike the verify
+    // threshold (margin-checked in PipelineQueries), this boundary
+    // has no engineered margin; the order dependency IS the contract.
     val bandCols = array((0 until bands).map { j =>
       (0 until bits).map { i =>
         val plane = typedlit(lshPlane(j * bits + i, dim))
         when(call_function("graft_dot", col("emb"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
-    val keyed = v.select(col("id").as("doc_id"), bandCols.as("bands"))
+    // the planes are plan-time literals of length `dim`, and graft_dot
+    // silently truncates to the shorter array — a wrong `dim` would
+    // degrade bucketing silently, so fail the row instead
+    val sized = when(size(col("emb")) === dim, col("emb"))
+      .otherwise(raise_error(concat(
+        lit(s"lshNearDupPairs: embedding length != dim=$dim (got "),
+        size(col("emb")).cast("string"), lit(")"))))
+    val keyed = v.select(col("id").as("doc_id"), sized.as("emb"))
+      .select(col("doc_id"), bandCols.as("bands"))
     val cands = graft.dedup.Dedup.bandCandidates(keyed, hotBucketBlock)
     val va = v.select(col("id").as("id_a"), col("emb").as("emb_a"))
     val vb = v.select(col("id").as("id_b"), col("emb").as("emb_b"))

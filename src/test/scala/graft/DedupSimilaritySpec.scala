@@ -81,8 +81,15 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
   test("blocked exact pair scan is block-count invariant (1 block ≡ naive all-pairs)") {
     import graft.sources.Tables
     val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
-    def pairs(blocks: Int) = Similarity.nearDupPairs(e, threshold = 0.45, blocks = blocks)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def pairs(blocks: Int) = {
+      val rows = Similarity.nearDupPairs(e, threshold = 0.45, blocks = blocks)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      val m = rows.toMap
+      // a .toMap alone would silently collapse duplicate (id_a, id_b)
+      // rows — the no-duplicate-emission property must fail loudly
+      assert(rows.length == m.size, s"blocks=$blocks emitted duplicate pairs")
+      m
+    }
     val single = pairs(1) // one diagonal chunk-pair = the naive formulation
     val blocked = pairs(7) // 28 chunk pairs, ids split across chunks
     assert(single.nonEmpty)
