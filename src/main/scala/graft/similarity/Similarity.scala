@@ -64,7 +64,7 @@ object Similarity {
     * was 64× an allocation-heavy lambda chain). `spread` repartitions
     * corpus-sized inputs for the CPU-bound scoring that follows; query/
     * centroid frames skip it (they broadcast anyway). */
-  private def normalized(
+  private[graft] def normalized(
       df: DataFrame, idOut: String, embOut: String, spread: Boolean = true): DataFrame = {
     ensureRegistered(df)
     val base = if (spread) parallelize(df) else df
@@ -284,24 +284,21 @@ object Similarity {
    * `dim` must equal the embedding length (planes are plan-time
    * literals, one [[fastDot]] per bit per row).
    */
-  def lshNearDupPairs(
-      corpus: DataFrame,
-      threshold: Double,
-      bits: Int = 16,
-      bands: Int = 8,
-      dim: Int = 64,
-      hotBucketBlock: Option[Int] = None): DataFrame = {
-    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
-    ensureRegistered(corpus)
-    val v = graft.dedup.Dedup.materialize(normalized(corpus, "id", "emb"))
-    // Sign bits are decided at an exact `dot >= 0` boundary, so
-    // engine agreement (e.g. the DuckDB oracle twin's
-    // list_dot_product) requires the IDENTICAL left-to-right double
-    // accumulation graft_dot uses — any re-association could flip a
-    // bit on a projection within float noise of 0 and move a vector
-    // to a different bucket in one engine only. Unlike the verify
-    // threshold (margin-checked in PipelineQueries), this boundary
-    // has no engineered margin; the order dependency IS the contract.
+  /** Sign-LSH band keys over a normalized (id, emb) frame: one row per
+    * doc, `bands` band digests of `bits` sign bits each — the keyed
+    * input [[graft.dedup.Dedup.bandCandidates]] expects. Split out of
+    * [[lshNearDupPairs]] so the candidate stage can be measured alone
+    * (ScaleSmoke records candidate counts ≪ N²).
+    *
+    * Sign bits are decided at an exact `dot >= 0` boundary, so engine
+    * agreement (e.g. the DuckDB oracle twin's list_dot_product)
+    * requires the IDENTICAL left-to-right double accumulation
+    * graft_dot uses — any re-association could flip a bit on a
+    * projection within float noise of 0 and move a vector to a
+    * different bucket in one engine only. Unlike the verify threshold
+    * (margin-checked in PipelineQueries), this boundary has no
+    * engineered margin; the order dependency IS the contract. */
+  private[graft] def signBands(v: DataFrame, bits: Int, bands: Int, dim: Int): DataFrame = {
     val bandCols = array((0 until bands).map { j =>
       (0 until bits).map { i =>
         val plane = typedlit(lshPlane(j * bits + i, dim))
@@ -313,11 +310,23 @@ object Similarity {
     // degrade bucketing silently, so fail the row instead
     val sized = when(size(col("emb")) === dim, col("emb"))
       .otherwise(raise_error(concat(
-        lit(s"lshNearDupPairs: embedding length != dim=$dim (got "),
+        lit(s"signBands: embedding length != dim=$dim (got "),
         size(col("emb")).cast("string"), lit(")"))))
-    val keyed = v.select(col("id").as("doc_id"), sized.as("emb"))
+    v.select(col("id").as("doc_id"), sized.as("emb"))
       .select(col("doc_id"), bandCols.as("bands"))
-    val cands = graft.dedup.Dedup.bandCandidates(keyed, hotBucketBlock)
+  }
+
+  def lshNearDupPairs(
+      corpus: DataFrame,
+      threshold: Double,
+      bits: Int = 16,
+      bands: Int = 8,
+      dim: Int = 64,
+      hotBucketBlock: Option[Int] = None): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
+    ensureRegistered(corpus)
+    val v = graft.dedup.Dedup.materialize(normalized(corpus, "id", "emb"))
+    val cands = graft.dedup.Dedup.bandCandidates(signBands(v, bits, bands, dim), hotBucketBlock)
     val va = v.select(col("id").as("id_a"), col("emb").as("emb_a"))
     val vb = v.select(col("id").as("id_b"), col("emb").as("emb_b"))
     cands.select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))

@@ -39,6 +39,72 @@ final class CsvStationSource(path: String, accumCol: String = "PRECIPITATIONACCU
         col(accumCol).cast("double").as("accum"))
 }
 
+/** One fetched observation. `accum` is boxed: station feeds carry
+  * missing days (the reference reindexes and diffs across them,
+  * events.py:163-165). */
+final case class StationRow(tsMicros: Long, accum: java.lang.Double)
+
+/** Executor-side row-level station backend — what the DataSource V2
+  * path ([[StationTableProvider]]) distributes: unlike
+  * [[StationSource]] (a driver-side DataFrame adapter), this is pure
+  * JVM with no SparkSession, so a partition reader can carry a
+  * serialized instance to any executor and fetch there. Implemented by
+  * the recorded-fixture CSV backend and the live HTTP clients alike. */
+trait StationRowSource extends Serializable {
+
+  /** Daily accumulated-precipitation rows for one station, both bounds
+    * inclusive (pandas label-slice semantics), sorted by time. */
+  def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow]
+}
+
+/** Recorded-fixture row backend: plain-JVM parse of the same CSV shape
+  * [[CsvStationSource]] reads (datetime, site, <accumCol>), filtered to
+  * the requested station and inclusive time range. */
+final class CsvStationRowSource(path: String, accumCol: String = "PRECIPITATIONACCUM")
+    extends StationRowSource {
+
+  def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow] = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala.toSeq
+    if (lines.isEmpty) return Seq.empty
+    val header = lines.head.split(",").map(_.trim)
+    val iDt = header.indexOf("datetime")
+    val iSite = header.indexOf("site")
+    val iAcc = header.indexOf(accumCol)
+    require(iDt >= 0 && iAcc >= 0, s"CSV $path lacks datetime/$accumCol columns")
+    lines.drop(1).iterator
+      .map(_.split(",", -1).map(_.trim))
+      .filter(f => iSite < 0 || f(iSite) == stationId)
+      .map { f =>
+        val us = StationTimes.parseMicros(f(iDt))
+        val acc = if (f(iAcc).isEmpty) null else java.lang.Double.valueOf(f(iAcc))
+        StationRow(us, acc)
+      }
+      .filter(r => r.tsMicros >= startUs && r.tsMicros <= stopUs)
+      .toSeq.sortBy(_.tsMicros)
+  }
+}
+
+/** Timestamp-string parsing shared by the station backends: bare dates
+  * and space- or T-separated timestamps, optional offset, UTC default. */
+object StationTimes {
+  def parseMicros(s: String): Long = {
+    val t = s.trim.replace(' ', 'T')
+    val instant =
+      if (!t.contains("T")) java.time.LocalDate.parse(t).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      else scala.util.Try(java.time.OffsetDateTime.parse(t).toInstant)
+        .getOrElse(java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC))
+    instant.getEpochSecond * 1000000L + instant.getNano / 1000L
+  }
+
+  /** Inclusive stop bound: a bare date means "through the end of that
+    * day" (the reference's get_daily_data(start, stop) pulls the stop
+    * date's observation). */
+  def parseStopMicros(s: String): Long =
+    if (s.trim.contains(" ") || s.trim.contains("T")) parseMicros(s)
+    else parseMicros(s) + 86400000000L - 1L
+}
+
 object StationSources {
 
   /** Known source names, mirroring the reference's registry

@@ -1,0 +1,214 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * DataSource V2 station source — the v2 path for
+ * `StormEvents.from_station` (SURVEY.md §2.2/D2; reference resolves a
+ * metloom client and fetches over HTTP, metevents/events.py:139-154).
+ *
+ *   spark.read.format("graft-station")
+ *     .option("source", "CSV")            // registry key, as in the reference
+ *     .option("path", fixtureCsv)         // CSV-backend option
+ *     .option("stations", "TUM,FLV")      // fetch universe
+ *     .option("start", "2022-12-01").option("stop", "2022-12-20")
+ *     .load()                             // (station_id, ts, accum)
+ *
+ * Why DSv2 instead of the driver-side `createDataFrame` adapter
+ * ([[StationSources.fromStation]], kept as the reference-shaped v1
+ * API): the fetch itself distributes — one input partition per
+ * station, so a thousand-station pull runs on a thousand executor
+ * slots instead of serializing through the driver — and (station,
+ * date-range) predicates PUSH INTO the fetch: `where(station_id = 'X'
+ * AND ts >= d1 AND ts <= d2)` narrows the station universe and the
+ * request window before any row crosses the network. Pushed filters
+ * are fully evaluated here (station set intersection + exact
+ * timestamp bounds applied to fetched rows), so Spark plans no
+ * residual Filter for them; they are visible in `explain` on the scan
+ * line (`PushedStations`/`PushedTsRange`).
+ *
+ * The per-partition backend is a serialized [[StationRowSource]]
+ * (pure JVM, no SparkSession), resolved at planning time from the
+ * `source` option — the same registry-by-name semantics as the
+ * reference, including its unknown-source error message
+ * (events.py:145-149).
+ */
+class StationTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-station"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = StationTable.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new StationTable(properties.asScala.toMap)
+}
+
+object StationTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("station_id", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("accum", DoubleType, nullable = true)))
+
+  /** Resolve the `source` option to a row backend — the reference's
+    * registry (events.py:139-149), with CSV as the recorded-fixture
+    * entry. Live HTTP backends register here as they land. */
+  private[sources] def resolve(opts: Map[String, String]): StationRowSource = {
+    val name = opts.getOrElse("source", "NRCS").toUpperCase
+    name match {
+      case "CSV" =>
+        new CsvStationRowSource(
+          opts.getOrElse("path",
+            throw new IllegalArgumentException("graft-station CSV source requires 'path'")),
+          opts.getOrElse("accumcol", "PRECIPITATIONACCUM"))
+      case "CDEC" =>
+        new CdecStationRowSource(opts.getOrElse("endpoint", CdecStationRowSource.DefaultEndpoint))
+      case other =>
+        throw new IllegalArgumentException(
+          s"Datasource $other is not recognized. Valid options are: CDEC, CSV")
+    }
+  }
+}
+
+private[sources] class StationTable(options: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-station(${options.getOrElse("source", "NRCS")})"
+  override def schema(): StructType = StationTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new StationScanBuilder(options.map { case (k, v) => (k.toLowerCase, v) })
+}
+
+private[sources] class StationScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var stations: Seq[String] =
+    options.get("stations").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+  private var startUs: Long =
+    options.get("start").map(StationTimes.parseMicros).getOrElse(Long.MinValue)
+  private var stopUs: Long =
+    options.get("stop").map(StationTimes.parseStopMicros).getOrElse(Long.MaxValue)
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = StationTable.Schema
+
+  private def tsMicros(v: Any): Option[Long] = v match {
+    case i: java.time.Instant => Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case t: java.sql.Timestamp => Some(t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+    case s: String => scala.util.Try(StationTimes.parseMicros(s)).toOption
+    case _ => None
+  }
+
+  /** A filter is accepted only when this scan can evaluate it EXACTLY
+    * (station set intersection; inclusive/exclusive ts bounds mapped to
+    * inclusive micros) — accepted filters get no residual Filter node.
+    * Everything else stays post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition {
+      case EqualTo("station_id", _: String) => true
+      case In("station_id", vs) => vs.forall(_.isInstanceOf[String])
+      case GreaterThanOrEqual("ts", v) => tsMicros(v).isDefined
+      case GreaterThan("ts", v) => tsMicros(v).isDefined
+      case LessThanOrEqual("ts", v) => tsMicros(v).isDefined
+      case LessThan("ts", v) => tsMicros(v).isDefined
+      case _ => false
+    }
+    ours.foreach {
+      case EqualTo("station_id", s: String) =>
+        stations = if (stations.isEmpty) Seq(s) else stations.filter(_ == s)
+      case In("station_id", vs) =>
+        val set = vs.map(_.toString).toSet
+        stations = if (stations.isEmpty) set.toSeq.sorted else stations.filter(set)
+      case GreaterThanOrEqual("ts", v) => startUs = math.max(startUs, tsMicros(v).get)
+      case GreaterThan("ts", v) => startUs = math.max(startUs, tsMicros(v).get + 1L)
+      case LessThanOrEqual("ts", v) => stopUs = math.min(stopUs, tsMicros(v).get)
+      case LessThan("ts", v) => stopUs = math.min(stopUs, tsMicros(v).get - 1L)
+      case _ =>
+    }
+    accepted = ours
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = {
+    require(stations.nonEmpty,
+      "graft-station requires a station universe: set .option(\"stations\", ...) " +
+        "or filter on station_id")
+    new StationScan(StationTable.resolve(options), stations, startUs, stopUs, required)
+  }
+}
+
+private[sources] class StationScan(
+    source: StationRowSource,
+    stations: Seq[String],
+    startUs: Long,
+    stopUs: Long,
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  /** Surfaces the pushed fetch window in `explain`. */
+  override def description(): String = {
+    val stop = if (stopUs == Long.MaxValue) "inf" else stopUs.toString
+    val start = if (startUs == Long.MinValue) "-inf" else startUs.toString
+    s"graft-station PushedStations: [${stations.mkString(", ")}], " +
+      s"PushedTsRange: [$start, $stop], ReadSchema: ${required.simpleString}"
+  }
+
+  override def toBatch: Batch = this
+
+  // one partition per station: the fetch distributes across executors
+  override def planInputPartitions(): Array[InputPartition] =
+    stations.map(s => StationPartition(s, source, startUs, stopUs): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = new StationReaderFactory(required)
+}
+
+private[sources] final case class StationPartition(
+    stationId: String,
+    source: StationRowSource,
+    startUs: Long,
+    stopUs: Long) extends InputPartition
+
+private[sources] class StationReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StationPartition]
+    new PartitionReader[InternalRow] {
+      private val station = UTF8String.fromString(p.stationId)
+      // column pruning: one extractor per required field, bound once
+      private val extract: Array[StationRow => Any] =
+        required.fields.map[StationRow => Any](_.name match {
+          case "station_id" => _ => station
+          case "ts" => r => r.tsMicros
+          case "accum" => r => if (r.accum == null) null else r.accum.doubleValue()
+        })
+      // fetch lazily on first next() — executor-side, inside the task
+      private var it: Iterator[StationRow] = _
+      private var cur: StationRow = _
+      override def next(): Boolean = {
+        if (it == null)
+          it = p.source.fetchRows(p.stationId, p.startUs, p.stopUs)
+            .iterator.filter(r => r.tsMicros >= p.startUs && r.tsMicros <= p.stopUs)
+        val has = it.hasNext
+        if (has) cur = it.next()
+        has
+      }
+      override def get(): InternalRow = InternalRow.fromSeq(extract.toSeq.map(_(cur)))
+      override def close(): Unit = ()
+    }
+  }
+}

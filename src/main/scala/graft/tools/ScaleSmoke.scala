@@ -1,20 +1,43 @@
 package graft.tools
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only 200× scale smoke for the dedup / corpus / similarity
   * layers (SCALE_NOTES.md): synthesizes a deterministic 1M-document
   * corpus (60 tokens each, 50k-token vocabulary, 1% planted near-dups
-  * sharing 59/60 tokens) and 200k×64 embeddings into `outDir` with the
-  * driver testdata schemas, then times the PRODUCTION query functions
+  * sharing 59/60 tokens) and 200k×64 embeddings (1% planted
+  * cos≈0.999 near-dups) into `outDir` with the driver testdata
+  * schemas, then times the PRODUCTION query functions
   * (SparkEntry.queries) against it unchanged. Usage:
-  *   sbt "runMain graft.tools.ScaleSmoke [outDir]"
+  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec]"
+  * (no --run flag = all sections).
   */
 object ScaleSmoke {
+
+  /** Max per-task peak execution memory + duration across all tasks
+    * since the last reset — the "bounded per-task state" evidence for
+    * the skew paths. */
+  private class PeakListener extends SparkListener {
+    @volatile var peakMem = 0L
+    @volatile var maxTaskMs = 0L
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        peakMem = math.max(peakMem, m.peakExecutionMemory)
+        maxTaskMs = math.max(maxTaskMs, m.executorRunTime)
+      }
+    }
+    def reset(): Unit = { peakMem = 0L; maxTaskMs = 0L }
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.filterNot(_.startsWith("--")).getOrElse("/tmp/graft_scale")
     val skipGen = args.contains("--skip-gen")
+    val sections: Set[String] = args.find(_.startsWith("--run="))
+      .map(_.stripPrefix("--run=").split(",").toSet).getOrElse(Set.empty)
+    def want(s: String): Boolean = sections.isEmpty || sections(s)
     val nDocs = 1000000L
     val nVecs = 200000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,61 +48,146 @@ object ScaleSmoke {
     graft.sources.Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val peaks = new PeakListener
+    spark.sparkContext.addSparkListener(peaks)
 
-    // --- synthesize ------------------------------------------------------
-    // near-dup planting: doc ids ≡ 1 (mod 100) copy the previous doc's
-    // first 59 tokens and change the last one
-    if (!skipGen) {
-    val base = when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
-    val toks = transform(sequence(lit(0), lit(58)),
-      i => concat(lit("w"), pmod(xxhash64(base * 59 + i), lit(50000L))))
-    val lastTok = concat(lit("w"), pmod(xxhash64(col("id") * 7919 + 13), lit(50000L)))
-    spark.range(nDocs)
-      .select(col("id").as("doc_id"),
-        concat_ws(" ", concat(toks, array(lastTok))).as("text"),
-        lit("en").as("lang"), lit("synth").as("source"))
-      .withColumn("n_chars", length(col("text")))
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    spark.range(nVecs)
-      .select(col("id").as("vec_id"),
-        transform(sequence(lit(0), lit(63)),
-          i => (pmod(xxhash64(col("id") * 64 + i), lit(2000L)).cast("double") / 1000.0 - 1.0)
-            .cast("float")).as("embedding"),
-        (col("id") % 10).cast("int").as("label"))
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    }
-
-    // --- time the production paths (min of 2 runs = steady state; the
-    // first run carries JIT/codegen warmup, which at this data size is
-    // tens of seconds of C2 compilation on the md5 kernels) -----------
     def clearPersisted(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    val keys = Seq("x1_exact_dedup", "x2_minhash_lsh", "x3_simhash",
-      "x4_ngram_jaccard", "cc1_dedup_clusters", "v1_vocab_topk",
-      "sm1_hash_split", "pk1_sequence_pack", "t1_token_stats", "t2_quality")
-    keys.foreach { name =>
+
+    def timed(label: String, runs: Int = 2)(body: => Long): Unit = {
       var rows = 0L
-      val dts = (1 to 2).map { _ =>
+      val dts = (1 to runs).map { _ =>
+        peaks.reset()
         val t0 = System.nanoTime()
-        rows = graft.SparkEntry.queries(name)(spark, outDir).count()
+        rows = body
         val dt = (System.nanoTime() - t0) / 1e9
         clearPersisted(); System.gc()
         dt
       }
-      println(f"SCALE $name%-24s ${dts.min}%8.1f s  rows=$rows")
+      println(f"SCALE $label%-28s ${dts.min}%8.1f s  rows=$rows  " +
+        f"peakTaskMem=${peaks.peakMem / (1024 * 1024)}%dMB maxTask=${peaks.maxTaskMs / 1000.0}%.1fs")
     }
-    // similarity on 200k vectors: IVF with 200 modulo centroids, 100 queries
-    val e = graft.sources.Tables.read(spark, outDir, "embeddings")
-    val dts = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      graft.similarity.Similarity.ivfTopK(
-        e.where(col("vec_id") < 100), e,
-        centroids = e.where(col("vec_id") % 1000 === 0), k = 5, nProbe = 3).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      clearPersisted(); System.gc()
-      dt
+
+    // --- synthesize ------------------------------------------------------
+    // docs: ids ≡ 1 (mod 100) copy the previous doc's first 59 tokens
+    // and change the last one. embeddings: ids ≡ 1 (mod 100) copy the
+    // previous vector with component 0 shifted by +0.07 (cos ≈ 0.999;
+    // random-pair cosines concentrate at 0 ± 0.125, max over 2e10
+    // pairs ≈ 0.82 — clean separation around a 0.9 threshold).
+    if (!skipGen) {
+      val base = when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
+      val toks = transform(sequence(lit(0), lit(58)),
+        i => concat(lit("w"), pmod(xxhash64(base * 59 + i), lit(50000L))))
+      val lastTok = concat(lit("w"), pmod(xxhash64(col("id") * 7919 + 13), lit(50000L)))
+      spark.range(nDocs)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", concat(toks, array(lastTok))).as("text"),
+          lit("en").as("lang"), lit("synth").as("source"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      val vecBase = when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
+      spark.range(nVecs)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => ((pmod(xxhash64(vecBase * 64 + i), lit(2000L)).cast("double") / 1000.0 - 1.0) +
+              when(col("id") % 100 === 1 && i === 0, 0.07).otherwise(0.0))
+              .cast("float")).as("embedding"),
+          (col("id") % 10).cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
-    println(f"SCALE s2_ivf_topk_200k       ${dts.min}%8.1f s")
+
+    // --- production dedup/corpus paths (min of 2 runs = steady state;
+    // the first run carries JIT/codegen warmup, which at this data size
+    // is tens of seconds of C2 compilation on the md5 kernels) --------
+    if (want("dedup")) {
+      val keys = Seq("x1_exact_dedup", "x2_minhash_lsh", "x3_simhash",
+        "x4_ngram_jaccard", "cc1_dedup_clusters", "v1_vocab_topk",
+        "sm1_hash_split", "pk1_sequence_pack", "t1_token_stats", "t2_quality")
+      keys.foreach { name =>
+        timed(name)(graft.SparkEntry.queries(name)(spark, outDir).count())
+      }
+    }
+
+    // --- similarity on 200k vectors: IVF with 200 modulo centroids ---
+    if (want("ivf")) {
+      val e = graft.sources.Tables.read(spark, outDir, "embeddings")
+      timed("s2_ivf_topk_200k") {
+        graft.similarity.Similarity.ivfTopK(
+          e.where(col("vec_id") < 100), e,
+          centroids = e.where(col("vec_id") % 1000 === 0), k = 5, nProbe = 3).count()
+      }
+    }
+
+    // --- hot-bucket skew: END-TO-END x2 with a planted 5k-wide
+    // duplicate cohort (ids < 5000 share one text → every LSH band has
+    // one bucket of width 5000; all C(5000,2) = 12.5M cross pairs are
+    // true J=1.0 dups, so verify passes them all — the output itself
+    // is quadratic in cohort width, which is WHY production pipelines
+    // run x1 exact-dedup before LSH on such corpora). Total work is
+    // identical narrow-vs-blocked; what changes is the task SHAPE:
+    // narrow streams each hot bucket's 12.5M pairs through ONE task
+    // per band (the max-task-seconds skew), blocked (block=500 →
+    // C(10,2)+10=55 chunk-pair tasks per band, ≤1000 ids per row)
+    // spreads it ~50-way. Both counts must agree. ---
+    if (want("hot")) {
+      val d = graft.sources.Tables.read(spark, outDir, "documents")
+      val hot = d.select(
+        col("doc_id"),
+        when(col("doc_id") < 5000, lit("the same boilerplate header text repeated " +
+          "across the whole cohort of five thousand documents word for word"))
+          .otherwise(col("text")).as("text"))
+      timed("x2_hot5k_narrow", runs = 1) {
+        graft.dedup.Dedup.minhashNearDups(hot, threshold = 0.6).count()
+      }
+      timed("x2_hot5k_blocked500", runs = 1) {
+        graft.dedup.Dedup.minhashNearDups(hot, threshold = 0.6,
+          hotBucketBlock = Some(500)).count()
+      }
+    }
+
+    // --- wide-bucket structural run: ONE bucket of width 50,000
+    // through the PRODUCTION bucketPairsBlocked — 1.25e9 distinct
+    // pairs (~20 GB through the dedup shuffle on this box). At the
+    // 1e5 width the same shape is 5e9 pairs / ~80 GB: linear in pair
+    // count, same bounded per-task memory (≤ 2·block ids per row),
+    // (m/block)²/2 independent tasks — cluster work by construction,
+    // beyond one box's disk. The narrow path at this width would
+    // stream all 1.25e9 pairs through a single task (hours); not run.
+    if (want("wide")) {
+      val m = 50000L
+      val keyed = spark.range(m).select(
+        lit(0).as("band_idx"), lit("hot").as("bucket"), col("id").as("doc_id"))
+      timed("widebucket50k_blocked4000", runs = 1) {
+        graft.dedup.Dedup.bucketPairsBlocked(keyed, 4000, "band_idx", "bucket").count()
+      }
+    }
+
+    // --- 200k×64 embedding near-dup: exact blocked triangle (x5
+    // shape, 2e10 dot products — inherent to exact all-pairs) vs
+    // sign-LSH (x6 shape) at a realistic 0.9 threshold where LSH is
+    // separable: candidates ≈ bands·N²·2^-bits ≪ N². ---
+    if (want("vec")) {
+      val e = graft.sources.Tables.read(spark, outDir, "embeddings")
+      val Sim = graft.similarity.Similarity
+      var exactPairs = 0L
+      timed("x5_neardup200k_blocked", runs = 1) {
+        exactPairs = Sim.nearDupPairs(e, threshold = 0.9).count()
+        exactPairs
+      }
+      // candidate stage alone (the ≪ N² claim), then the full operator
+      val v = graft.dedup.Dedup.materialize(Sim.normalized(e, "id", "emb"))
+      timed("x6_lsh200k_candidates", runs = 1) {
+        graft.dedup.Dedup.bandCandidates(
+          Sim.signBands(v, bits = 16, bands = 8, dim = 64)).count()
+      }
+      var lshPairs = 0L
+      timed("x6_lsh200k_pairs", runs = 1) {
+        lshPairs = Sim.lshNearDupPairs(e, threshold = 0.9).count()
+        lshPairs
+      }
+      println(f"SCALE x6 recall vs exact: $lshPairs/$exactPairs = " +
+        f"${if (exactPairs > 0) lshPairs.toDouble / exactPairs else 0.0}%.3f")
+    }
     spark.stop()
   }
 }

@@ -24,13 +24,16 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       (6L, 6L, 1L, true)))
   }
 
-  test("dedupClusters: long chain needs diameter rounds, still converges") {
-    val n = 9L
+  test("dedupClusters: long chain converges in O(log d) rounds via path halving") {
+    val n = 255L // diameter 255: pure neighbor-min would need 255 rounds
     val docs = (0L to n).toDF("doc_id")
     val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.dedupClusters(docs, pairs)
+    val (got, rounds) = Dedup.clustersWithRounds(docs, pairs)
     assert(got.where(col("cluster_id") === 0L).count() == n + 1)
     assert(got.where(col("is_canonical")).count() == 1)
+    // each round composes neighbor-min with label(label(x)), so the
+    // propagation horizon at least doubles: ceil(log2 255)+slack
+    assert(rounds <= 16, s"path halving did not engage: $rounds rounds for diameter $n")
   }
 
   test("hash split is a pure function of doc_id and covers 80/10/10 buckets") {

@@ -41,6 +41,144 @@ class StationSourcesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // --- DataSource V2 path (SURVEY.md §2.2/D2 v2) -------------------------
+
+  private def fixturePath = getClass.getResource("/station_tum.csv").getPath
+
+  test("DSv2: spark.read.format(graft-station) reads the fixture backend") {
+    val df = spark.read.format("graft-station")
+      .option("source", "CSV").option("path", fixturePath)
+      .option("stations", "TUM")
+      .option("start", "2022-12-01").option("stop", "2022-12-20")
+      .load()
+    assert(df.schema.fieldNames.toSeq == Seq("station_id", "ts", "accum"))
+    val rows = df.orderBy("ts").collect()
+    assert(rows.length == 20)
+    assert(rows.head.getString(0) == "TUM")
+    assert(rows(3).getDouble(2) == 0.4)
+  }
+
+  test("DSv2: station + date-range predicates push into the scan, no residual filter rows") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft-station")
+      .option("source", "CSV").option("path", fixturePath)
+      .option("stations", "TUM,BOGUS2")
+      .load()
+      .where(col("station_id") === "TUM" &&
+        col("ts") >= lit("2022-12-05").cast("timestamp") &&
+        col("ts") <= lit("2022-12-10 08:00:00").cast("timestamp"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the pushed fetch window is visible on the scan line, and the
+    // station universe is narrowed to the filtered station
+    assert(plan.contains("PushedStations: [TUM]"), plan)
+    assert(plan.contains("PushedTsRange:"), plan)
+    assert(!plan.contains("-inf"), s"ts lower bound not pushed:\n$plan")
+    val rows = df.orderBy("ts").collect()
+    assert(rows.length == 6) // 12-05 08:00 .. 12-10 08:00 inclusive
+    assert(rows.forall(_.getString(0) == "TUM"))
+  }
+
+  test("DSv2: station universe can come entirely from the pushed filter") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft-station")
+      .option("source", "CSV").option("path", fixturePath)
+      .load()
+      .where(col("station_id").isin("TUM"))
+    assert(df.count() == 20)
+  }
+
+  test("DSv2: missing station universe fails loudly") {
+    val e = intercept[Exception] {
+      spark.read.format("graft-station")
+        .option("source", "CSV").option("path", fixturePath)
+        .load().collect()
+    }
+    assert(e.getMessage.contains("station universe") ||
+      Option(e.getCause).exists(_.getMessage.contains("station universe")))
+  }
+
+  test("DSv2: unknown source name keeps the reference error message") {
+    val e = intercept[Exception] {
+      spark.read.format("graft-station")
+        .option("source", "BOGUS").option("stations", "TUM")
+        .load().collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("BOGUS") && m.contains("not recognized")))
+  }
+
+  test("DSv2: column pruning reaches the reader") {
+    val df = spark.read.format("graft-station")
+      .option("source", "CSV").option("path", fixturePath)
+      .option("stations", "TUM").load()
+      .select("accum")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<accum:double>"), plan)
+    assert(df.collect().map(_.getDouble(0)).sum > 0.0)
+  }
+
+  // --- live CDEC client over a recorded cassette (CI stays offline) -----
+
+  private def withCassette[A](resource: String)(f: String => A): A = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val body = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource(resource).getPath))
+    server.createContext("/JSONDataServlet", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/JSONDataServlet")
+    finally server.stop(0)
+  }
+
+  test("CDEC client: fetches and parses the recorded response") {
+    withCassette("/cdec_tum.json") { endpoint =>
+      val src = new graft.sources.CdecStationRowSource(endpoint)
+      val rows = src.fetchRows("TUM", Long.MinValue, Long.MaxValue)
+      assert(rows.length == 20)
+      assert(rows.map(_.accum.doubleValue()).max == 2.6)
+      // inclusive range bounds applied to fetched rows
+      val dec4 = graft.sources.StationTimes.parseMicros("2022-12-04")
+      val dec6 = graft.sources.StationTimes.parseStopMicros("2022-12-06")
+      val window = src.fetchRows("TUM", dec4, dec6)
+      assert(window.map(_.accum.doubleValue()).toSeq == Seq(0.4, 1.0, 1.3))
+    }
+  }
+
+  test("CDEC client: -9999 and blank values become null") {
+    val src = new graft.sources.CdecStationRowSource("http://unused")
+    val rows = src.parseResponse(
+      """[{"date":"2022-12-1 0:00","value":-9999},
+         |{"date":"2022-12-2 0:00","value":1.5},
+         |{"date":"2022-12-3 0:00","value":""}]""".stripMargin)
+    assert(rows.map(r => Option(r.accum)) == Seq(None, Some(1.5), None).map(_.map(Double.box)))
+  }
+
+  test("CDEC through DSv2: storms detected end-to-end from the cassette") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    withCassette("/cdec_tum.json") { endpoint =>
+      val accum = spark.read.format("graft-station")
+        .option("source", "CDEC").option("endpoint", endpoint)
+        .option("stations", "TUM")
+        .option("start", "2022-12-01").option("stop", "2022-12-31")
+        .load()
+      val ts = accum.select(
+        col("station_id").as("series_id"), col("ts"),
+        (col("accum") - lag(col("accum"), 1)
+          .over(Window.partitionBy("station_id").orderBy("ts"))).as("value"))
+      val storms = collectEvents(
+        StormEvents(instantMassToStart = 0.1, minStormTotal = 0.5,
+          hoursToStop = 24, maxStormHours = 336).detect(ts))
+      assert(storms.length == 2)
+      assert(storms.forall(_.total.contains(1.3)))
+    }
+  }
+
   test("accumulated precip becomes increments; storms detected end-to-end") {
     val ts = StationSources.fromStation(registry, spark, "TUM",
       "2022-12-01", "2022-12-31", source = "NRCS")
