@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,9 +73,15 @@ object StationTable {
           opts.getOrElse("accumcol", "PRECIPITATIONACCUM"))
       case "CDEC" =>
         new CdecStationRowSource(opts.getOrElse("endpoint", CdecStationRowSource.DefaultEndpoint))
+      case "NRCS" =>
+        new NrcsStationRowSource(opts.getOrElse("endpoint", NrcsStationRowSource.DefaultEndpoint))
+      case "MESOWEST" =>
+        new MesowestStationRowSource(
+          opts.getOrElse("endpoint", MesowestStationRowSource.DefaultEndpoint),
+          opts.getOrElse("token", "demotoken"))
       case other =>
         throw new IllegalArgumentException(
-          s"Datasource $other is not recognized. Valid options are: CDEC, CSV")
+          s"Datasource $other is not recognized. Valid options are: CDEC, CSV, MESOWEST, NRCS")
     }
   }
 }
@@ -84,7 +91,7 @@ private[sources] class StationTable(options: Map[String, String])
   override def name(): String = s"graft-station(${options.getOrElse("source", "NRCS")})"
   override def schema(): StructType = StationTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new StationScanBuilder(options.map { case (k, v) => (k.toLowerCase, v) })
 }
@@ -147,7 +154,9 @@ private[sources] class StationScanBuilder(options: Map[String, String])
     require(stations.nonEmpty,
       "graft-station requires a station universe: set .option(\"stations\", ...) " +
         "or filter on station_id")
-    new StationScan(StationTable.resolve(options), stations, startUs, stopUs, required)
+    new StationScan(StationTable.resolve(options), stations, startUs, stopUs, required,
+      maxBatchUs = options.get("maxbatchstep").map(graft.operators.Steps.parseMicros)
+        .getOrElse(0L))
   }
 }
 
@@ -156,7 +165,8 @@ private[sources] class StationScan(
     stations: Seq[String],
     startUs: Long,
     stopUs: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType,
+    maxBatchUs: Long = 0L) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -175,6 +185,80 @@ private[sources] class StationScan(
     stations.map(s => StationPartition(s, source, startUs, stopUs): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = new StationReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new StationMicroBatchStream(source, stations, startUs, stopUs, maxBatchUs, required)
+}
+
+/** Streaming offset: every observation with `ts <= tsUs` has been
+  * emitted. Plain micros so restarts replay exactly. */
+private[sources] final case class StationOffset(tsUs: Long) extends Offset {
+  override def json(): String = s"""{"ts":$tsUs}"""
+}
+
+/**
+ * Micro-batch station ingestion — `spark.readStream.format("graft-station")`
+ * polls the [[StationRowSource]] backend and feeds the streaming
+ * detectors ([[graft.streaming.StreamingDetectors]]), turning the
+ * reference's one-shot `from_station` pull (metevents/events.py:139-154)
+ * into a continuous feed.
+ *
+ * Each trigger fetches the window `(lastOffset, min(now|stop, lastOffset
+ * + maxbatchstep)]` — one partition per station, so a thousand-station
+ * poll fans out like the batch scan. `maxbatchstep` (a frequency string,
+ * e.g. `"7D"`) rate-limits backfill: a catch-up from months behind
+ * advances at most that much event time per micro-batch instead of
+ * pulling the whole history in one fetch (admission control via
+ * [[SupportsAdmissionControl]], so the limit is computed from the
+ * checkpointed start offset and restarts stay monotone). Without a
+ * `stop` option the stream tails the wall clock; with one it drains up
+ * to `stop` and then idles empty — `processAllAvailable()` terminates.
+ */
+private[sources] class StationMicroBatchStream(
+    source: StationRowSource,
+    stations: Seq[String],
+    startUs: Long,
+    stopUs: Long,
+    maxBatchUs: Long,
+    schema: StructType) extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def nowUs: Long = System.currentTimeMillis() * 1000L
+
+  override def initialOffset(): Offset =
+    StationOffset(if (startUs == Long.MinValue) startUs else startUs - 1L)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[StationOffset].tsUs
+    val cap = if (stopUs != Long.MaxValue) stopUs else nowUs
+    val stepped = s + maxBatchUs
+    val end = if (maxBatchUs <= 0L || stepped < s) cap else math.min(cap, stepped)
+    StationOffset(math.max(s, end))
+  }
+
+  override def latestOffset(): Offset = throw new IllegalStateException(
+    "latestOffset(Offset, ReadLimit) should be called with admission control")
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"ts":(-?\d+)\}""".r
+    json.trim match {
+      case m(ts) => StationOffset(ts.toLong)
+      case other => throw new IllegalArgumentException(s"bad station offset: $other")
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[StationOffset].tsUs
+    val e = end.asInstanceOf[StationOffset].tsUs
+    if (e <= s) Array.empty
+    else stations.map(st => StationPartition(st, source, s + 1L, e): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new StationReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] final case class StationPartition(

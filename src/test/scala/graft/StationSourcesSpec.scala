@@ -120,18 +120,19 @@ class StationSourcesSpec extends AnyFunSuite with SparkTestBase {
 
   // --- live CDEC client over a recorded cassette (CI stays offline) -----
 
-  private def withCassette[A](resource: String)(f: String => A): A = {
+  private def withCassette[A](resource: String, context: String = "/JSONDataServlet")(
+      f: String => A): A = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val body = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       getClass.getResource(resource).getPath))
-    server.createContext("/JSONDataServlet", (ex: com.sun.net.httpserver.HttpExchange) => {
+    server.createContext(context, (ex: com.sun.net.httpserver.HttpExchange) => {
       ex.sendResponseHeaders(200, body.length.toLong)
       ex.getResponseBody.write(body)
       ex.close()
     })
     server.start()
-    try f(s"http://127.0.0.1:${server.getAddress.getPort}/JSONDataServlet")
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}$context")
     finally server.stop(0)
   }
 
@@ -164,6 +165,102 @@ class StationSourcesSpec extends AnyFunSuite with SparkTestBase {
     withCassette("/cdec_tum.json") { endpoint =>
       val accum = spark.read.format("graft-station")
         .option("source", "CDEC").option("endpoint", endpoint)
+        .option("stations", "TUM")
+        .option("start", "2022-12-01").option("stop", "2022-12-31")
+        .load()
+      val ts = accum.select(
+        col("station_id").as("series_id"), col("ts"),
+        (col("accum") - lag(col("accum"), 1)
+          .over(Window.partitionBy("station_id").orderBy("ts"))).as("value"))
+      val storms = collectEvents(
+        StormEvents(instantMassToStart = 0.1, minStormTotal = 0.5,
+          hoursToStop = 24, maxStormHours = 336).detect(ts))
+      assert(storms.length == 2)
+      assert(storms.forall(_.total.contains(1.3)))
+    }
+  }
+
+  // --- live NRCS/AWDB client over a recorded cassette -------------------
+
+  test("NRCS client: fetches and parses the recorded AWDB response") {
+    withCassette("/awdb_tum.json", context = "/data") { url =>
+      val src = new graft.sources.NrcsStationRowSource(url.stripSuffix("/data"))
+      val rows = src.fetchRows("663:CA:SNTL", Long.MinValue, Long.MaxValue)
+      assert(rows.length == 20)
+      assert(rows.map(_.accum.doubleValue()).max == 2.6)
+      val dec4 = graft.sources.StationTimes.parseMicros("2022-12-04")
+      val dec6 = graft.sources.StationTimes.parseStopMicros("2022-12-06")
+      assert(src.fetchRows("663:CA:SNTL", dec4, dec6)
+        .map(_.accum.doubleValue()).toSeq == Seq(0.4, 1.0, 1.3))
+    }
+  }
+
+  test("NRCS client: absent/null values are missing days") {
+    val src = new graft.sources.NrcsStationRowSource("http://unused")
+    val rows = src.parseResponse(
+      """[{"stationTriplet":"X:Y:SNTL","data":[{"stationElement":{"elementCode":"PREC"},
+         |"values":[{"date":"2022-12-01","value":1.5},
+         |{"date":"2022-12-02","value":null},
+         |{"date":"2022-12-03"}]}]}]""".stripMargin)
+    assert(rows.map(r => Option(r.accum)) == Seq(Some(1.5), None, None).map(_.map(Double.box)))
+  }
+
+  test("NRCS through DSv2: storms detected end-to-end from the cassette") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    withCassette("/awdb_tum.json", context = "/data") { url =>
+      val accum = spark.read.format("graft-station")
+        .option("source", "NRCS").option("endpoint", url.stripSuffix("/data"))
+        .option("stations", "663:CA:SNTL")
+        .option("start", "2022-12-01").option("stop", "2022-12-31")
+        .load()
+      val ts = accum.select(
+        col("station_id").as("series_id"), col("ts"),
+        (col("accum") - lag(col("accum"), 1)
+          .over(Window.partitionBy("station_id").orderBy("ts"))).as("value"))
+      val storms = collectEvents(
+        StormEvents(instantMassToStart = 0.1, minStormTotal = 0.5,
+          hoursToStop = 24, maxStormHours = 336).detect(ts))
+      assert(storms.length == 2)
+      assert(storms.forall(_.total.contains(1.3)))
+    }
+  }
+
+  // --- live MesoWest/Synoptic client over a recorded cassette -----------
+
+  test("MesoWest client: sub-daily observations resample to end-of-day accum") {
+    withCassette("/synoptic_tum.json", context = "/stations/timeseries") { url =>
+      val src = new graft.sources.MesowestStationRowSource(
+        url.stripSuffix("/stations/timeseries"), token = "t0")
+      val rows = src.fetchRows("TUM", Long.MinValue, Long.MaxValue)
+      assert(rows.length == 20)
+      // day 13's 18:00Z obs is null; last-non-null falls back to 06:00Z
+      assert(rows.map(_.accum.doubleValue()).toSeq == Seq(
+        0.0, 0.0, 0.0, 0.4, 1.0, 1.3, 1.3, 1.3, 1.3, 1.3,
+        1.3, 1.3, 2.1, 2.6, 2.6, 2.6, 2.6, 2.6, 2.6, 2.6))
+      // daily rows are stamped at UTC midnight
+      assert(rows.head.tsMicros == graft.sources.StationTimes.parseMicros("2022-12-01"))
+    }
+  }
+
+  test("MesoWest client: a day whose observations are all null stays a missing day") {
+    val src = new graft.sources.MesowestStationRowSource("http://unused", "t0")
+    val day1 = graft.sources.StationTimes.parseMicros("2022-12-01")
+    val rows = src.dailyResample(Seq(
+      (day1 + 3600000000L, null: java.lang.Double),
+      (day1 + 7200000000L, null: java.lang.Double),
+      (day1 + 90000000000L, Double.box(2.0))))
+    assert(rows.map(r => Option(r.accum)) == Seq(None, Some(2.0)).map(_.map(Double.box)))
+  }
+
+  test("MesoWest through DSv2: storms detected end-to-end from the cassette") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    withCassette("/synoptic_tum.json", context = "/stations/timeseries") { url =>
+      val accum = spark.read.format("graft-station")
+        .option("source", "MESOWEST")
+        .option("endpoint", url.stripSuffix("/stations/timeseries"))
+        .option("token", "t0")
         .option("stations", "TUM")
         .option("start", "2022-12-01").option("stop", "2022-12-31")
         .load()

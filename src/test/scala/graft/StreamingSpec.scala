@@ -230,4 +230,80 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(rows == Seq((1L, 100L)))
     } finally q.stop()
   }
+
+  // --- streaming station ingestion (graft-station readStream) -----------
+
+  private def fixturePath = getClass.getResource("/station_tum.csv").getPath
+
+  test("station readStream: rate-limited micro-batches drain the fixture window") {
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("graft-station")
+      .option("source", "CSV").option("path", fixturePath)
+      .option("stations", "TUM")
+      .option("start", "2022-12-01").option("stop", "2022-12-20")
+      .option("maxbatchstep", "7D")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val n = df.count()
+        batches.synchronized { batches += ((id, n)) }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val counts = batches.synchronized(batches.filter(_._2 > 0).map(_._2).toSeq)
+      // 20 daily rows, at most 7 event-time days admitted per trigger
+      assert(counts.sum == 20, counts)
+      assert(counts == Seq(7L, 7L, 6L), counts)
+    } finally q.stop()
+  }
+
+  test("streaming increments: diff state carries across batches, missing propagates") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp, Option[Double])]
+    val q = graft.streaming.StreamingStations.increments(
+        input.toDF().toDF("station_id", "ts", "accum"))
+      .writeStream.format("memory").queryName("si").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("a", day(0), Some(1.0)), ("a", day(1), Some(3.0)))
+      q.processAllAvailable()
+      // batch 2's first diff must see batch 1's last accumulation
+      input.addData(("a", day(2), Some(3.5)), ("a", day(3), None), ("a", day(4), Some(7.0)))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from si order by ts")
+        .as[(String, java.sql.Timestamp, Option[Double])].collect().toSeq
+      assert(rows.map(_._3) == Seq(None, Some(2.0), Some(0.5), None, None))
+    } finally q.stop()
+  }
+
+  test("station readStream → increments → storms: continuous from_station end-to-end") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val accum = spark.readStream.format("graft-station")
+      .option("source", "CSV").option("path", fixturePath)
+      .option("stations", "TUM")
+      .option("start", "2022-12-01").option("stop", "2022-12-20")
+      .option("maxbatchstep", "5D")
+      .load()
+    val storms = StreamingDetectors.storms(
+      instantMassToStart = 0.1, minStormTotal = 0.5,
+      hoursToStop = 24, maxStormHours = 336, frequency = "D")(
+      graft.streaming.StreamingStations.increments(accum))
+    val q = storms.writeStream.format("memory").queryName("ss2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val ev = spark.sql("select * from ss2").as[Event].collect().toSeq
+      // the fixture's first storm (days 4-6, total 1.3) closes when the
+      // second storm's first flagged point arrives; the second stays
+      // open — a stream has no end-of-data. n_points=3 covers
+      // [cand_start, stop]: the back-extended day-3 point is not
+      // re-joined (both divergences documented at
+      // StreamingDetectors.storms)
+      assert(ev.length == 1)
+      assert(ev(0).total.contains(1.3) && ev(0).n_points == 3L)
+    } finally q.stop()
+  }
 }
