@@ -276,29 +276,70 @@ object Dedup {
 
   def simhash32(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
+  /** Band count for [[simhashNearDups]]: the smallest even divisor of
+    * 64 with at least `maxHamming + 1` bands, so equal-width bands stay
+    * aligned to the two 32-bit signature words. */
+  private[graft] def simhashBandCount(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    Seq(2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1).get
+  }
+
+  /** The banding array for a split-word signature: `nBands/2` chunks of
+    * `64/nBands` bits per 32-bit word, low chunks first. */
+  private[graft] def simhashBands(lo: Column, hi: Column, nBands: Int): Column = {
+    val perWord = nBands / 2
+    val width = 32 / perWord
+    val scale = 1L << width
+    array(Seq(lo, hi).flatMap { w =>
+      (0 until perWord).map { i =>
+        pmod(floor(w / math.pow(2.0, i * width)).cast("long"), lit(scale))
+      }
+    }: _*)
+  }
+
   /** 64-bit SimHash near-duplicate pairs (Manku et al., WWW'07): the
     * native one-pass `graft_simhash64` signature as two 32-bit words
-    * [lo, hi], 4 bands of 16 bits for candidates — exact for
-    * hamming ≤ 3 by pigeonhole — verified with bit_count(xor).
+    * [lo, hi], banded for candidates, verified with bit_count(xor).
     * Returns (doc_a, doc_b, hamming ≤ maxHamming).
     *
-    * Why 64/16 and not 32/8: at corpus scale a 32-bit signature
+    * EXACT for any `maxHamming` ≤ 63: with B equal-width bands, a pair
+    * at hamming ≤ B−1 has some band untouched by any differing bit
+    * (pigeonhole), so banding with B = [[simhashBandCount]] ≥
+    * maxHamming+1 makes the candidate set a superset of the answer —
+    * the fixed-4-band form was exact only to hamming 3 and silently
+    * lossy past it. The cost of larger maxHamming is narrower bands:
+    * at the default 3, bands are 16 bits and a band bucket holds
+    * n/65536 docs; at 7 they are 8 bits (n/256 per bucket — the
+    * quadratic-blowup regime the scaladoc below warns about); past
+    * that, candidates approach all-pairs and the honest tool is
+    * [[ngramJaccardPairs]] or MinHash at a lower threshold.
+    *
+    * Why 64-bit signatures: at corpus scale a 32-bit signature
     * saturates (birthday bound pushes random pairs to small hamming
-    * distances) and 8-bit bands put n/256 docs in every bucket — a
-    * quadratic candidate blowup that 16-bit bands cut by 256×. The
-    * split-word form keeps all arithmetic below 2^32, so the DuckDB
-    * twin needs no unsigned 64-bit math. */
+    * distances). The split-word form keeps all arithmetic below 2^32,
+    * so the DuckDB twin needs no unsigned 64-bit math. */
   def simhashNearDups(
       docs: DataFrame, maxHamming: Int = 3,
       hotBucketBlock: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sigs = parallelize(docs).select(col("doc_id"),
       call_function("graft_simhash64", col("text")).as("sig"))
+    simhashNearDupsFromSigs(
+      sigs.select(col("doc_id"),
+        col("sig").getItem(0).as("lo"), col("sig").getItem(1).as("hi")),
+      maxHamming, hotBucketBlock)
+  }
+
+  /** [[simhashNearDups]] over precomputed split-word signatures
+    * `(doc_id, lo, hi)` — also the entry point for signature stores
+    * that persist sigs once and re-band at query time. */
+  def simhashNearDupsFromSigs(
+      sigs: DataFrame, maxHamming: Int = 3,
+      hotBucketBlock: Option[Int] = None): DataFrame = {
     val banded = materialize(sigs
-      .select(col("doc_id"), col("sig").getItem(0).as("lo"), col("sig").getItem(1).as("hi"))
-      .withColumn("bands", array(
-        pmod(col("lo"), lit(65536L)), floor(col("lo") / 65536.0).cast("long"),
-        pmod(col("hi"), lit(65536L)), floor(col("hi") / 65536.0).cast("long"))))
+      .withColumn("bands",
+        simhashBands(col("lo"), col("hi"), simhashBandCount(maxHamming))))
     val cands = bandCandidates(banded.select(col("doc_id"), col("bands")), hotBucketBlock)
     // verify: hamming distance from the (tiny) per-doc signature frame
     val sa = banded.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
@@ -441,6 +482,61 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
     (out, rounds)
+  }
+
+  /**
+   * Delta-incremental connected components: fold a batch of NEW docs
+   * and NEW similarity edges into a prior [[dedupClusters]] assignment
+   * without re-clustering the corpus. The continuous-ingest path for
+   * web-scale dedup — the prior assignment is a stored table; each
+   * arriving crawl slice only pays for the components it touches.
+   *
+   * Exactness argument: a prior label is the min doc id of its
+   * component, so contracting every old component to its root and
+   * every new doc to itself preserves component minima; new edges
+   * projected onto roots (self-loops dropped) form the CONTRACTED
+   * graph, whose propagation fixpoint is the merged component minimum.
+   * Result == `dedupClusters(all docs, all edges)` whenever `prior` is
+   * a valid fixpoint — property-tested against the from-scratch run.
+   *
+   * Scale posture: the iterative part ([[dedupClusters]] on the
+   * contracted graph) sees only DISTINCT touched roots and root-edges
+   * — bounded by the batch, not the corpus. The corpus-sized work is
+   * one left join against the root remap (tiny → broadcast) plus the
+   * cluster-size recount; callers maintaining sizes out-of-band can
+   * drop the recount and this becomes corpus-scan-free for untouched
+   * partitions.
+   *
+   * @param prior   (doc_id, cluster_id) fixpoint from a previous run
+   * @param newDocs (doc_id) docs not present in `prior`
+   * @param newPairs (doc_a, doc_b) edges over prior ∪ new docs
+   */
+  def incrementalClusters(prior: DataFrame, newDocs: DataFrame, newPairs: DataFrame): DataFrame = {
+    val labels = materialize(
+      prior.select(col("doc_id"), col("cluster_id"))
+        .unionByName(newDocs.select(col("doc_id"), col("doc_id").as("cluster_id"))))
+    val edgeRoots = materialize(newPairs
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("root_a")), Seq("doc_a"))
+      .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("root_b")), Seq("doc_b"))
+      .select(col("root_a"), col("root_b"))
+      .where(col("root_a") =!= col("root_b"))
+      .distinct())
+    val updated =
+      if (edgeRoots.isEmpty) labels
+      else {
+        val rootDocs = edgeRoots.select(col("root_a").as("doc_id"))
+          .unionByName(edgeRoots.select(col("root_b").as("doc_id"))).distinct()
+        val rootPairs = edgeRoots.select(col("root_a").as("doc_a"), col("root_b").as("doc_b"))
+        val remap = dedupClusters(rootDocs, rootPairs)
+          .where(col("doc_id") =!= col("cluster_id")) // identity rows remap nothing
+          .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root"))
+        labels.join(broadcast(remap), labels("cluster_id") === remap("old_root"), "left")
+          .select(col("doc_id"), coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
+      }
+    val sizes = updated.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    updated.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
   /** Exact dedup: canonical = min doc_id sharing the normalized

@@ -73,6 +73,30 @@ object PipelineQueries {
       val d = docs(s, dir)
       Dedup.dedupClusters(d, Dedup.minhashNearDups(d, threshold = 0.6))
     }),
+    // Delta-incremental clustering exercised through the gate: the last
+    // 20% of docs (doc_id % 5 == 4) arrive as a second batch; prior =
+    // from-scratch clusters over the first batch's subgraph, then
+    // incrementalClusters folds the delta docs + every edge touching
+    // them. Oracle = cc1's full transitive closure, so the gate checks
+    // the exactness claim (incremental fold == full recluster), not a
+    // mirrored incremental implementation.
+    "cc2_incremental_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = Dedup.minhashNearDups(d, threshold = 0.6).select("doc_a", "doc_b")
+      val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 4
+      val prior = Dedup.dedupClusters(
+        d.where(!isNew(col("doc_id"))),
+        edges.where(!isNew(col("doc_a")) && !isNew(col("doc_b"))))
+        .select("doc_id", "cluster_id")
+      Dedup.incrementalClusters(
+        prior,
+        d.where(isNew(col("doc_id"))).select("doc_id"),
+        edges.where(isNew(col("doc_a")) || isNew(col("doc_b"))))
+    }),
+    // Wide-radius SimHash (8-bit bands, exact to hamming 7 by
+    // pigeonhole) — the oracle is an INDEPENDENT all-pairs scan, so a
+    // banding recall bug fails the gate rather than being mirrored.
+    "x7_simhash_wide" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), maxHamming = 5)),
     // No SQL oracle: flatMap frame expansion is not SQL-expressible —
     // rows-only check; stride/slice semantics covered by MultimodalSpec.
     "m3_frame_sample" -> ((s, dir) =>
@@ -171,6 +195,27 @@ object PipelineQueries {
          |SELECT doc_id, cluster_id, cluster_size,
          |  doc_id = cluster_id AS is_canonical
          |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
+    "cc2_incremental_clusters" ->
+      s"""WITH RECURSIVE $minhashChainCtes,
+         |e AS (SELECT doc_a, doc_b FROM jj WHERE j >= 0.6),
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM e
+         |        UNION ALL SELECT doc_b, doc_a FROM e),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.dst, reach.lbl FROM reach JOIN sym ON sym.src = reach.node),
+         |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+         |SELECT doc_id, cluster_id, cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
+    "x7_simhash_wide" ->
+      s"""WITH sigs AS (SELECT doc_id, ${simhashSqlAt(0)} AS lo,
+         |  ${simhashSqlAt(8)} AS hi FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 5""".stripMargin,
     "x3_simhash" ->
       s"""WITH sigs AS (SELECT doc_id, ${simhashSqlAt(0)} AS lo,
          |  ${simhashSqlAt(8)} AS hi FROM documents),

@@ -36,6 +36,65 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(rounds <= 16, s"path halving did not engage: $rounds rounds for diameter $n")
   }
 
+  test("incrementalClusters: batch fold equals from-scratch recluster") {
+    // edges over 12 docs split into two arrival batches; batch 2 merges
+    // two old components through a new doc, links a new doc into an old
+    // cluster, adds an isolated new doc, and repeats an intra-cluster
+    // edge (a no-op on the contracted graph)
+    val docs1 = (0L to 7L).toDF("doc_id")
+    val pairs1 = Seq((0L, 1L), (1L, 2L), (4L, 5L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val docs2 = (8L to 11L).toDF("doc_id")
+    val pairs2 = Seq(
+      (2L, 8L), (8L, 4L),  // new doc 8 bridges components {0,1,2} and {4,5}
+      (9L, 6L),            // new doc 9 joins {6,7}
+      (0L, 1L),            // intra-cluster edge: contracted self-loop
+      (3L, 3L)             // self-edge on a singleton
+    ).toDF("doc_a", "doc_b")
+
+    val prior = Dedup.dedupClusters(docs1, pairs1).select("doc_id", "cluster_id")
+    val incr = Dedup.incrementalClusters(prior, docs2, pairs2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val scratch = Dedup.dedupClusters(
+        docs1.unionByName(docs2), pairs1.unionByName(pairs2))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(incr == scratch)
+    // the merged component {0,1,2,4,5,8} keeps the global min label
+    assert(incr.filter(_._2 == 0L).map(_._1) == Seq(0L, 1L, 2L, 4L, 5L, 8L))
+    assert(incr.find(_._1 == 10L).exists(r => r._2 == 10L && r._3 == 1L && r._4))
+  }
+
+  test("incrementalClusters: no-op batch (only intra-cluster edges) preserves the fixpoint") {
+    val docs1 = (0L to 3L).toDF("doc_id")
+    val pairs1 = Seq((0L, 1L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val prior = Dedup.dedupClusters(docs1, pairs1).select("doc_id", "cluster_id")
+    val empty = spark.emptyDataset[Long].toDF("doc_id")
+    val got = Dedup.incrementalClusters(
+        prior, empty, Seq((1L, 0L), (3L, 2L)).toDF("doc_a", "doc_b"))
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, true), (1L, 0L, 2L, false),
+      (2L, 2L, 2L, true), (3L, 2L, 2L, false)))
+  }
+
+  test("incrementalClusters: random edge split is order-insensitive (property)") {
+    val rnd = new scala.util.Random(42)
+    val n = 40L
+    val docs = (0L until n).toDF("doc_id")
+    val edges = Seq.fill(45)((rnd.nextLong(n), rnd.nextLong(n)))
+      .filter { case (a, b) => a != b }
+    val (e1, e2) = edges.splitAt(edges.length / 2)
+    val prior = Dedup.dedupClusters(docs, e1.toDF("doc_a", "doc_b"))
+      .select("doc_id", "cluster_id")
+    val empty = spark.emptyDataset[Long].toDF("doc_id")
+    val incr = Dedup.incrementalClusters(prior, empty, e2.toDF("doc_a", "doc_b"))
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    val scratch = Dedup.dedupClusters(docs, edges.toDF("doc_a", "doc_b"))
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(incr == scratch)
+  }
+
   test("hash split is a pure function of doc_id and covers 80/10/10 buckets") {
     val sf = "/root/testdata/sf0.001"
     val a = CorpusQueries.sm1HashSplit(spark, sf).orderBy("doc_id").collect()

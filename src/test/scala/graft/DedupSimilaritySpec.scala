@@ -43,6 +43,51 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(pairs((0L, 3L)) == 0L)
   }
 
+  test("simhash banding is exact past hamming 3 (adversarial one-flip-per-band spread)") {
+    def flip(l: Long, h: Long, bits: Seq[Int]): (Long, Long) =
+      bits.foldLeft((l, h)) { case ((a, b), i) =>
+        if (i < 32) (a ^ (1L << i), b) else (a, b ^ (1L << (i - 32)))
+      }
+    val (lo, hi) = (0x12345678L, 0x9abcdef0L & 0xffffffffL)
+    // hamming 4 with one flip in EACH 16-bit band: the fixed-4-band
+    // layout had no clean band and silently missed this pair
+    val (lo4, hi4) = flip(lo, hi, Seq(3, 17, 35, 51))
+    val got4 = Dedup.simhashNearDupsFromSigs(
+        Seq((0L, lo, hi), (1L, lo4, hi4)).toDF("doc_id", "lo", "hi"), maxHamming = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got4 == Seq((0L, 1L, 4L)))
+    // hamming 7 spread over 7 of the 8 8-bit bands
+    val (lo7, hi7) = flip(lo, hi, Seq(0, 8, 16, 24, 32, 40, 48))
+    val got7 = Dedup.simhashNearDupsFromSigs(
+        Seq((0L, lo, hi), (1L, lo7, hi7)).toDF("doc_id", "lo", "hi"), maxHamming = 7)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got7 == Seq((0L, 1L, 7L)))
+  }
+
+  test("simhash exactness property: every planted pair at hamming ≤ k is found") {
+    val rnd = new scala.util.Random(7)
+    val k = 6 // bands of 8 bits: exact to hamming 7
+    val planted = (0 until 12).map { i =>
+      val lo = rnd.nextInt().toLong & 0xffffffffL
+      val hi = rnd.nextInt().toLong & 0xffffffffL
+      val flips = rnd.shuffle((0 until 64).toList).take(1 + rnd.nextInt(k))
+      val (lo2, hi2) = flips.foldLeft((lo, hi)) { case ((a, b), j) =>
+        if (j < 32) (a ^ (1L << j), b) else (a, b ^ (1L << (j - 32)))
+      }
+      (2L * i, lo, hi, 2L * i + 1, lo2, hi2, flips.length.toLong)
+    }
+    val sigs = planted.flatMap(p => Seq((p._1, p._2, p._3), (p._4, p._5, p._6)))
+      .toDF("doc_id", "lo", "hi")
+    val got = Dedup.simhashNearDupsFromSigs(sigs, maxHamming = k)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    planted.foreach { p =>
+      assert(got.get((p._1, p._4)).contains(p._7),
+        s"missed planted pair ${(p._1, p._4)} at hamming ${p._7}")
+    }
+    assert(got.values.forall(_ <= k))
+  }
+
   test("cross-operator: minhash-LSH results ⊆ exact prefix-filter join; both find planted dups") {
     import graft.sources.Tables
     val d = Tables.read(spark, "/root/testdata/sf0.01", "documents")
