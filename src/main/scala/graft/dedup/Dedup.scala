@@ -276,18 +276,9 @@ object Dedup {
 
   def simhash32(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
-  /** Band count for [[simhashNearDups]]: the smallest even divisor of
-    * 64 with at least `maxHamming + 1` bands, so equal-width bands stay
-    * aligned to the two 32-bit signature words. */
-  private[graft] def simhashBandCount(maxHamming: Int): Int = {
-    require(maxHamming >= 0 && maxHamming <= 63,
-      s"maxHamming must be in [0, 63], got $maxHamming")
-    Seq(2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1).get
-  }
-
-  /** The banding array for a split-word signature: `nBands/2` chunks of
-    * `64/nBands` bits per 32-bit word, low chunks first. */
-  private[graft] def simhashBands(lo: Column, hi: Column, nBands: Int): Column = {
+  /** Single-chunk banding: `nBands/2` chunks of `64/nBands` bits per
+    * 32-bit word, low chunks first. Exact for hamming ≤ nBands − 1. */
+  private def simhashNaiveBands(lo: Column, hi: Column, nBands: Int): Column = {
     val perWord = nBands / 2
     val width = 32 / perWord
     val scale = 1L << width
@@ -298,22 +289,60 @@ object Dedup {
     }: _*)
   }
 
+  /**
+   * The banding array for a split-word signature, exact for hamming ≤
+   * `maxHamming` by pigeonhole. Three regimes:
+   *
+   *  - h ≤ 3: 4 single chunks of 16 bits (h flips touch ≤ h chunks, so
+   *    ≥ 1 of 4 is clean). 16-bit keys keep buckets narrow even on
+   *    correlated real-text signatures.
+   *  - 4 ≤ h ≤ 7: the Manku et al. (WWW'07) multi-block table
+   *    construction — 8 chunks of 8 bits, one band per COMBINATION of
+   *    r = 8 − h chunks, bucket = the r chunk values packed into one
+   *    8r-bit integer. ≤ h flips touch ≤ h chunks, leaving ≥ r clean,
+   *    so some r-combination is entirely clean. Single 8-bit chunks
+   *    (the naive B = h+1 banding) collapse on real text — simhash
+   *    bits are correlated, and measured at 5k docs an 8-bit band
+   *    admits 32% of N² as candidates; 24-bit combination keys
+   *    (h = 5) cut that 29× at identical recall. C(8, r) ≤ 70 bands,
+   *    keys ≤ 32 bits — all arithmetic stays below 2^63.
+   *  - h ≥ 8: single chunks from the smallest even divisor of 64 with
+   *    ≥ h+1 bands (combination tables would need C(16, r) entries).
+   *    Candidates approach all-pairs in this regime — the honest tool
+   *    is [[ngramJaccardPairs]] or MinHash at a lower threshold.
+   */
+  private[graft] def simhashBands(lo: Column, hi: Column, maxHamming: Int): Column = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    if (maxHamming <= 3) simhashNaiveBands(lo, hi, 4)
+    else if (maxHamming <= 7) {
+      val r = 8 - maxHamming
+      val chunk: Int => Column = i => {
+        val w = if (i < 4) lo else hi
+        pmod(floor(w / math.pow(2.0, 8 * (i % 4))).cast("long"), lit(256L))
+      }
+      array((0 until 8).combinations(r).toSeq.map { combo =>
+        combo.zipWithIndex.map { case (i, k) => chunk(i) * lit(1L << (8 * k)) }
+          .reduce(_ + _)
+      }: _*)
+    } else {
+      simhashNaiveBands(lo, hi,
+        Seq(16, 32, 64).find(_ >= maxHamming + 1).get)
+    }
+  }
+
   /** 64-bit SimHash near-duplicate pairs (Manku et al., WWW'07): the
     * native one-pass `graft_simhash64` signature as two 32-bit words
     * [lo, hi], banded for candidates, verified with bit_count(xor).
     * Returns (doc_a, doc_b, hamming ≤ maxHamming).
     *
-    * EXACT for any `maxHamming` ≤ 63: with B equal-width bands, a pair
-    * at hamming ≤ B−1 has some band untouched by any differing bit
-    * (pigeonhole), so banding with B = [[simhashBandCount]] ≥
-    * maxHamming+1 makes the candidate set a superset of the answer —
-    * the fixed-4-band form was exact only to hamming 3 and silently
-    * lossy past it. The cost of larger maxHamming is narrower bands:
-    * at the default 3, bands are 16 bits and a band bucket holds
-    * n/65536 docs; at 7 they are 8 bits (n/256 per bucket — the
-    * quadratic-blowup regime the scaladoc below warns about); past
-    * that, candidates approach all-pairs and the honest tool is
-    * [[ngramJaccardPairs]] or MinHash at a lower threshold.
+    * EXACT for any `maxHamming` ≤ 63: [[simhashBands]] picks a banding
+    * whose candidate set provably covers every pair at that radius —
+    * single 16-bit chunks to hamming 3, Manku r-of-8 combination
+    * tables to hamming 7, wide single-chunk banding past that (see
+    * its scaladoc for the pigeonhole arguments and measured candidate
+    * rates). The previous fixed-4-band form was exact only to
+    * hamming 3 and silently lossy past it.
     *
     * Why 64-bit signatures: at corpus scale a 32-bit signature
     * saturates (birthday bound pushes random pairs to small hamming
@@ -338,8 +367,7 @@ object Dedup {
       sigs: DataFrame, maxHamming: Int = 3,
       hotBucketBlock: Option[Int] = None): DataFrame = {
     val banded = materialize(sigs
-      .withColumn("bands",
-        simhashBands(col("lo"), col("hi"), simhashBandCount(maxHamming))))
+      .withColumn("bands", simhashBands(col("lo"), col("hi"), maxHamming)))
     val cands = bandCandidates(banded.select(col("doc_id"), col("bands")), hotBucketBlock)
     // verify: hamming distance from the (tiny) per-doc signature frame
     val sa = banded.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
@@ -537,6 +565,42 @@ object Dedup {
     updated.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  /**
+   * Benchmark decontamination — flag corpus documents sharing word
+   * n-grams with an evaluation set (the GPT-3 appendix-C / Gopher
+   * protocol for test-set overlap removal; a training-data pipeline
+   * staple with no reference counterpart). Returns every corpus row:
+   * (doc_id, n_hits = number of distinct shared n-grams,
+   * contaminated = n_hits ≥ minHits).
+   *
+   * Plan shape: the benchmark's distinct gram hashes aggregate small
+   * (every public eval suite together is ≪ 10^8 grams) and BROADCAST,
+   * so the corpus side — one scan, per-row shingle hashing via the
+   * codegen'd `graft_shingle_hashes`, explode, broadcast hash join —
+   * never shuffles document content; the only exchange is the
+   * doc_id-keyed partial-aggregated hit count. A corpus-sized
+   * benchmark would drop the broadcast and shuffle both sides on the
+   * gram hash (same plan otherwise). Grams are compared as 32-bit
+   * md5-derived hashes (8 bytes broadcast per gram, and the DuckDB
+   * twin reproduces the identical hash, so the gate stays exact).
+   */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 3, minHits: Long = 1L): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def grams(df: DataFrame) = parallelize(df).select(col("doc_id"),
+      explode(array_distinct(
+        call_function("graft_shingle_hashes", col("text"), lit(n)))).as("g"))
+    val bench = broadcast(grams(benchmark).select(col("g")).distinct())
+    // both sides are distinct, so count(*) = distinct shared grams
+    val hits = grams(corpus).join(bench, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
   /** Exact dedup: canonical = min doc_id sharing the normalized

@@ -119,4 +119,38 @@ object TextFunctions {
     when(n <= 0, lit(null).cast("string"))
       .otherwise(array_min(transform(sequence(lit(1), n), i => md5(text.substr(i, lit(k))))))
   }
+
+  /** Intra-document n-gram repetition ratio (the Gopher / RefinedWeb
+    * quality signal for boilerplate and degenerate generation):
+    * 1 − distinct/total over word n-grams; 0.0 for docs shorter than
+    * n tokens. Shuffle-free per-row arithmetic. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = graft.dedup.Dedup.wordShingles(text, n)
+    when(size(sh) <= 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+  }
+
+  // --- PII scrubbing ------------------------------------------------------
+  // Patterns are deliberately dialect-portable: no \b, no lookaround,
+  // no possessive quantifiers — identical leftmost-first matches under
+  // Java regex (Spark codegen) and RE2 (the DuckDB twin). Scrub order
+  // is email → IPv4 → phone: earlier placeholders contain no digits,
+  // so later passes cannot re-match inside them.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9][0-9() \\-]{7,}[0-9]"
+
+  /** Count of pattern matches in the text (0 for none). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Text with emails, IPv4 addresses, and phone-shaped digit runs
+    * replaced by typed placeholders — the standard redaction pass a
+    * training pipeline runs before packing (per-row regexp_replace
+    * chain, shuffle-free, codegen'd). */
+  def piiScrub(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    regexp_replace(i, PhoneRe, "<PHONE>")
+  }
 }

@@ -93,10 +93,18 @@ object PipelineQueries {
         d.where(isNew(col("doc_id"))).select("doc_id"),
         edges.where(isNew(col("doc_a")) || isNew(col("doc_b"))))
     }),
-    // Wide-radius SimHash (8-bit bands, exact to hamming 7 by
-    // pigeonhole) — the oracle is an INDEPENDENT all-pairs scan, so a
+    // Wide-radius SimHash (Manku r-of-8 combination banding, exact to
+    // hamming 5) — the oracle is an INDEPENDENT all-pairs scan, so a
     // banding recall bug fails the gate rather than being mirrored.
     "x7_simhash_wide" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), maxHamming = 5)),
+    // Benchmark decontamination: every 17th doc (doc_id % 17 == 3)
+    // plays the eval set; the rest of the corpus is scanned for shared
+    // 3-grams. Broadcast gram join — corpus content never shuffles.
+    "dc1_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        d.where(col("doc_id") % 17 =!= 3), d.where(col("doc_id") % 17 === 3))
+    }),
     // No SQL oracle: flatMap frame expansion is not SQL-expressible —
     // rows-only check; stride/slice semantics covered by MultimodalSpec.
     "m3_frame_sample" -> ((s, dir) =>
@@ -209,6 +217,19 @@ object PipelineQueries {
          |SELECT doc_id, cluster_id, cluster_size,
          |  doc_id = cluster_id AS is_canonical
          |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
+    "dc1_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(shingles,
+         |   s -> CAST(list_sum(list_transform(generate_series(1, 8),
+         |     i -> (strpos('0123456789abcdef', substr(md5(s), i::INTEGER, 1)) - 1)
+         |          * power(16, 8 - i))) AS BIGINT))) AS hset FROM sh),
+         |bench AS (SELECT DISTINCT unnest(hset) AS g FROM hs WHERE doc_id % 17 = 3),
+         |corp AS (SELECT doc_id, unnest(hset) AS g FROM hs WHERE doc_id % 17 <> 3),
+         |hits AS (SELECT doc_id, count(*) AS n_hits FROM corp JOIN bench USING (g) GROUP BY 1),
+         |base AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 3)
+         |SELECT base.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  coalesce(n_hits, 0) >= 1 AS contaminated
+         |FROM base LEFT JOIN hits USING (doc_id)""".stripMargin,
     "x7_simhash_wide" ->
       s"""WITH sigs AS (SELECT doc_id, ${simhashSqlAt(0)} AS lo,
          |  ${simhashSqlAt(8)} AS hi FROM documents)

@@ -48,6 +48,25 @@ object TextAnalysis {
       normalizedFingerprint(col("text")).as("fp_norm"),
       rollingMinHash(col("text")).as("fp_rolling"))
 
+  /** Intra-doc 3-gram repetition (Gopher boilerplate signal). */
+  def t5Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.dedup.Dedup.wordShingles(col("text"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(sh).cast("long").as("n_grams"),
+      size(array_distinct(sh)).cast("long").as("n_distinct"),
+      round(repetitionRatio(col("text")), 6).as("rep_ratio"))
+  }
+
+  /** PII counts + redacted-text digest (pre-packing scrub pass). */
+  def t6PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      piiCount(col("text"), EmailRe).cast("long").as("n_emails"),
+      piiCount(col("text"), Ipv4Re).cast("long").as("n_ips"),
+      piiCount(col("text"), PhoneRe).cast("long").as("n_phones"),
+      md5(piiScrub(col("text"))).as("scrub_md5"))
+
   // --- DuckDB twins -----------------------------------------------------
   // DuckDB regexp_replace needs the 'g' flag (Spark's is global by
   // default); list lambdas mirror Spark's higher-order functions.
@@ -59,6 +78,10 @@ object TextAnalysis {
   private val swCountSql =
     s"len(list_filter(list_transform($toksSql, t -> lower(t)), t -> t IN (${swInList(graft.functions.TextFunctions.EnStopwords)})))"
   private val nToksSql = s"len($toksSql)"
+  private val shinglesSql =
+    s"""CASE WHEN len($toksSql) - 2 <= 0 THEN CAST([] AS VARCHAR[])
+       | ELSE list_transform(generate_series(1, len($toksSql) - 2),
+       |   i -> array_to_string(($toksSql)[i:i+2], ' ')) END""".stripMargin
   private val punctSql =
     s"""CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0.0
        | ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
@@ -106,7 +129,29 @@ object TextAnalysis {
            | CASE WHEN length(text) - 7 <= 0 THEN NULL
            |  ELSE list_min(list_transform(generate_series(1, length(text) - 7),
            |    i -> md5(substr(text, i::INTEGER, 8)))) END AS fp_rolling
+           |FROM documents""".stripMargin,
+      "t5_repetition" ->
+        s"""SELECT doc_id, len(sh)::BIGINT AS n_grams,
+           | len(list_distinct(sh))::BIGINT AS n_distinct,
+           | ROUND(CASE WHEN len(sh) <= 0 THEN 0.0
+           |   ELSE 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) END, 6) AS rep_ratio
+           |FROM (SELECT doc_id, $shinglesSql AS sh FROM documents)""".stripMargin,
+      "t6_pii_scrub" -> {
+        // DuckDB single-quoted literals pass backslashes through
+        // verbatim, so the Scala pattern strings interpolate as-is
+        val email = graft.functions.TextFunctions.EmailRe
+        val ip = graft.functions.TextFunctions.Ipv4Re
+        val phone = graft.functions.TextFunctions.PhoneRe
+        s"""SELECT doc_id,
+           | len(regexp_extract_all(text, '$email'))::BIGINT AS n_emails,
+           | len(regexp_extract_all(text, '$ip'))::BIGINT AS n_ips,
+           | len(regexp_extract_all(text, '$phone'))::BIGINT AS n_phones,
+           | md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |   '$email', '<EMAIL>', 'g'),
+           |   '$ip', '<IP>', 'g'),
+           |   '$phone', '<PHONE>', 'g')) AS scrub_md5
            |FROM documents""".stripMargin
+      }
     )
   }
 
@@ -114,6 +159,8 @@ object TextAnalysis {
     "t1_token_stats" -> (t1TokenStats _),
     "t2_quality" -> (t2Quality _),
     "t3_lang_id" -> (t3LangId _),
-    "t4_fingerprint" -> (t4Fingerprint _)
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_repetition" -> (t5Repetition _),
+    "t6_pii_scrub" -> (t6PiiScrub _)
   )
 }

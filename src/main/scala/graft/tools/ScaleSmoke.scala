@@ -162,6 +162,46 @@ object ScaleSmoke {
       }
     }
 
+    // --- delta-incremental clustering at 1M docs: the last 1% of the
+    // corpus arrives as a batch. Full recluster pays the propagation
+    // loop over all 1M labels (each round = two shuffle joins + a min
+    // agg over the corpus); the incremental fold contracts to the
+    // touched roots (≈ batch-sized), propagates there, and pays the
+    // corpus only one broadcast remap + the size recount. Both paths
+    // must produce identical label sums (exactness cross-check). ---
+    if (want("incr")) {
+      val d = graft.sources.Tables.read(spark, outDir, "documents")
+      graft.dedup.Dedup.minhashNearDups(d, threshold = 0.9)
+        .select("doc_a", "doc_b").write.mode("overwrite")
+        .parquet(s"$outDir/pairs_x2.parquet")
+      val edges = spark.read.parquet(s"$outDir/pairs_x2.parquet")
+      val cut = 990000L
+      graft.dedup.Dedup.dedupClusters(
+          d.where(col("doc_id") < cut).select("doc_id"),
+          edges.where(col("doc_a") < cut && col("doc_b") < cut))
+        .select("doc_id", "cluster_id")
+        .write.mode("overwrite").parquet(s"$outDir/prior_cc.parquet")
+      val prior = spark.read.parquet(s"$outDir/prior_cc.parquet")
+      var fullSum = 0L
+      var incrSum = 0L
+      timed("cc_full_recluster_1m", runs = 1) {
+        val full = graft.dedup.Dedup.dedupClusters(d.select("doc_id"), edges)
+        val agg = full.agg(sum(col("cluster_id")), count(lit(1))).head
+        fullSum = agg.getLong(0); agg.getLong(1)
+      }
+      timed("cc2_incremental_fold_1m", runs = 1) {
+        val incr = graft.dedup.Dedup.incrementalClusters(
+          prior,
+          d.where(col("doc_id") >= cut).select("doc_id"),
+          edges.where(col("doc_a") >= cut || col("doc_b") >= cut))
+        val agg = incr.agg(sum(col("cluster_id")), count(lit(1))).head
+        incrSum = agg.getLong(0); agg.getLong(1)
+      }
+      require(fullSum == incrSum,
+        s"incremental fold diverged from full recluster: $incrSum vs $fullSum")
+      println(s"SCALE cc2 exactness: label sums agree ($fullSum)")
+    }
+
     // --- 200k×64 embedding near-dup: exact blocked triangle (x5
     // shape, 2e10 dot products — inherent to exact all-pairs) vs
     // sign-LSH (x6 shape) at a realistic 0.9 threshold where LSH is

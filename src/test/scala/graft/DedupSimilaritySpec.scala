@@ -88,6 +88,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.forall(_ <= k))
   }
 
+  test("decontaminate: counts distinct shared 3-grams against the benchmark set") {
+    val corpus = Seq(
+      (0L, base),          // same text as the benchmark doc: all grams shared
+      (1L, nearDup),       // differs only in the last token: only the final gram changes
+      (2L, other),         // disjoint vocabulary
+      (3L, "too short")    // < 3 tokens: zero grams
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(corpus, bench).orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val nGrams = base.trim.split("\\s+").length - 2
+    assert(r == Seq(
+      (0L, nGrams.toLong, true), (1L, nGrams.toLong - 1, true),
+      (2L, 0L, false), (3L, 0L, false)))
+    // minHits above the overlap clears the flag
+    val strict = Dedup.decontaminate(corpus, bench, minHits = nGrams + 1L)
+      .where(col("contaminated")).count()
+    assert(strict == 0L)
+  }
+
   test("cross-operator: minhash-LSH results ⊆ exact prefix-filter join; both find planted dups") {
     import graft.sources.Tables
     val d = Tables.read(spark, "/root/testdata/sf0.01", "documents")

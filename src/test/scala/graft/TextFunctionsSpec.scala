@@ -57,4 +57,27 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     val qj = one[Double](qualityScore(col("text")), junk)
     assert(qc > qj && qc <= 1.0 && qj >= 0.0)
   }
+
+  test("pii scrub: emails, IPs, and phone runs redact with typed placeholders") {
+    val dirty = "mail bob.smith+x@corp.example.org or call +1 415-555-0199, " +
+      "host 192.168.0.12 is fine, plain words stay"
+    assert(one[Int](piiCount(col("text"), EmailRe), dirty) == 1)
+    assert(one[Int](piiCount(col("text"), Ipv4Re), dirty) == 1)
+    assert(one[Int](piiCount(col("text"), PhoneRe), dirty) == 1)
+    val scrubbed = one[String](piiScrub(col("text")), dirty)
+    assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<IP>") &&
+      scrubbed.contains("<PHONE>"))
+    assert(!scrubbed.contains("@") && !scrubbed.contains("192.168"))
+    // clean text passes through untouched
+    val clean = "no private data in this sentence at all"
+    assert(one[String](piiScrub(col("text")), clean) == clean)
+  }
+
+  test("repetition ratio: repeated 3-grams raise it; short and clean docs are 0") {
+    // "a b c" cycled 3x: 7 shingles, 3 distinct → 1 − 3/7
+    val cycled = "a b c a b c a b c"
+    assert(math.abs(one[Double](repetitionRatio(col("text")), cycled) - (1.0 - 3.0 / 7)) < 1e-12)
+    assert(one[Double](repetitionRatio(col("text")), "all distinct words here now") == 0.0)
+    assert(one[Double](repetitionRatio(col("text")), "too short") == 0.0)
+  }
 }
