@@ -105,7 +105,43 @@ object StationTimes {
     else parseMicros(s) + 86400000000L - 1L
 }
 
+/** Adapter lifting a row-level backend ([[StationRowSource]], shared
+  * with the DSv2 path) into the driver-side v1 [[StationSource]] API:
+  * one fetch at the driver, one `createDataFrame` — the reference's
+  * own shape (metloom fetches into a pandas frame on the client,
+  * events.py:152-154). Multi-station fan-out belongs to the DSv2
+  * path; this adapter exists so the reference-shaped `from_station`
+  * entry point can resolve the same live clients. */
+final class RowStationSource(rows: StationRowSource) extends StationSource {
+  def fetchDailyAccum(
+      spark: SparkSession, stationId: String, start: String, stop: String): DataFrame = {
+    val fetched = rows.fetchRows(stationId,
+      StationTimes.parseMicros(start), StationTimes.parseStopMicros(stop))
+    val data = fetched.map { r =>
+      org.apache.spark.sql.Row(
+        new java.sql.Timestamp(Math.floorDiv(r.tsMicros, 1000L)),
+        if (r.accum == null) null else r.accum.doubleValue())
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType, nullable = false),
+        org.apache.spark.sql.types.StructField("accum",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
+}
+
 object StationSources {
+
+  /** The reference's default registry — the same three live sources
+    * metloom resolves (`SnotelPointData`→NRCS, `CDECPointData`→CDEC,
+    * `MesowestPointData`→MESOWEST, events.py:139-143), here backed by
+    * the engine's HTTP clients through [[RowStationSource]]. */
+  def defaultRegistry: Map[String, StationSource] = Map(
+    "NRCS" -> new RowStationSource(new NrcsStationRowSource()),
+    "CDEC" -> new RowStationSource(new CdecStationRowSource()),
+    "MESOWEST" -> new RowStationSource(new MesowestStationRowSource()))
 
   /** Known source names, mirroring the reference's registry
     * (events.py:139-143); fixtures register under the same keys. */

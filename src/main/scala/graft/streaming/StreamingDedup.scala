@@ -90,4 +90,40 @@ object StreamingDedup {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("doc_id", "corpus_doc_id")
   }
+
+  /**
+   * Streaming decontamination: flag arriving documents that share
+   * word n-grams with a STATIC benchmark set — the continuous twin of
+   * [[graft.dedup.Dedup.decontaminate]]. The benchmark's distinct
+   * gram hashes are collected once and broadcast as a lookup set;
+   * each micro-batch row counts its hits per row. STATELESS (append
+   * mode, no watermark, no state store): a doc's grams never span
+   * rows, so no aggregation crosses a batch boundary.
+   *
+   * Driver state is the benchmark gram set — bounded like the k-means
+   * centroids (every public eval suite together is ≪ 10^8 grams ≈
+   * 800 MB at the extreme; typical suites are orders smaller). A
+   * corpus-sized benchmark should run the batch operator per
+   * micro-batch via foreachBatch instead.
+   */
+  def streamingDecontaminate(
+      docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3, minHits: Long = 1L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val benchSet: Set[Long] = benchmark
+      .select(explode(array_distinct(
+        call_function("graft_shingle_hashes", col("text"), lit(n)))).as("g"))
+      .distinct().as[Long].collect().toSet
+    val bc = spark.sparkContext.broadcast(benchSet)
+    docs
+      .select(col("doc_id"),
+        array_distinct(call_function("graft_shingle_hashes", col("text"), lit(n)))
+          .as("grams"))
+      .as[(Long, Seq[Long])]
+      .map { case (id, grams) => (id, grams.count(bc.value.contains).toLong) }
+      .toDF("doc_id", "n_hits")
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
 }

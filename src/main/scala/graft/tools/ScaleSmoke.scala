@@ -200,6 +200,42 @@ object ScaleSmoke {
       require(fullSum == incrSum,
         s"incremental fold diverged from full recluster: $incrSum vs $fullSum")
       println(s"SCALE cc2 exactness: label sums agree ($fullSum)")
+
+      // Chain-structured variant: with pair-shaped components (above)
+      // both paths are round-bound at ~2 corpus-wide rounds and tie.
+      // Chains of length 1024 make full recluster pay O(log d) rounds,
+      // EACH two shuffle joins + a min-agg over all 1M labels; the
+      // incremental fold runs those rounds only on the contracted
+      // batch-sized graph and touches the corpus exactly once (remap
+      // join + size recount), independent of diameter.
+      val nC = 1000000L
+      val docsC = spark.range(nC).toDF("doc_id")
+      val chainEdges = spark.range(nC - 1).where(col("id") % 1024 =!= 1023)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val bridges = spark.range(nC / 65536).select(
+        (col("id") * 65536).as("doc_a"), (col("id") * 65536 + 1024).as("doc_b"))
+      graft.dedup.Dedup.dedupClusters(docsC, chainEdges)
+        .select("doc_id", "cluster_id")
+        .write.mode("overwrite").parquet(s"$outDir/prior_chain.parquet")
+      val priorChain = spark.read.parquet(s"$outDir/prior_chain.parquet")
+      var fullC = 0L
+      var incrC = 0L
+      timed("cc_full_chain1024_1m", runs = 1) {
+        val full = graft.dedup.Dedup.dedupClusters(
+          docsC, chainEdges.unionByName(bridges))
+        val agg = full.agg(sum(col("cluster_id")), count(lit(1))).head
+        fullC = agg.getLong(0); agg.getLong(1)
+      }
+      timed("cc2_incr_chain1024_1m", runs = 1) {
+        val incr = graft.dedup.Dedup.incrementalClusters(
+          priorChain, spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0),
+          bridges)
+        val agg = incr.agg(sum(col("cluster_id")), count(lit(1))).head
+        incrC = agg.getLong(0); agg.getLong(1)
+      }
+      require(fullC == incrC,
+        s"chain incremental fold diverged: $incrC vs $fullC")
+      println(s"SCALE cc2 chain exactness: label sums agree ($fullC)")
     }
 
     // --- 200k×64 embedding near-dup: exact blocked triangle (x5

@@ -180,6 +180,28 @@ class StationSourcesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("RowStationSource adapts row backends to the v1 from_station API") {
+    val reg = Map("NRCS" -> new graft.sources.RowStationSource(
+      new graft.sources.CsvStationRowSource(fixturePath)))
+    val storms = collectEvents(
+      graft.operators.StormEvents.fromStation(
+        reg, spark, "TUM", "2022-12-01", "2022-12-31", source = "NRCS",
+        params = graft.operators.StormEvents(instantMassToStart = 0.1,
+          minStormTotal = 0.5, hoursToStop = 24, maxStormHours = 336)))
+    assert(storms.length == 2 && storms.forall(_.total.contains(1.3)))
+  }
+
+  test("defaultRegistry carries the reference's three live sources") {
+    val reg = StationSources.defaultRegistry
+    assert(reg.keySet == Set("NRCS", "CDEC", "MESOWEST"))
+    // unknown-source error enumerates them, reference-style
+    val e = intercept[IllegalArgumentException] {
+      StationSources.fromStation(reg, spark, "TUM",
+        "2022-12-01", "2022-12-02", source = "BOGUS")
+    }
+    assert(e.getMessage.contains("CDEC, MESOWEST, NRCS"))
+  }
+
   // --- live NRCS/AWDB client over a recorded cassette -------------------
 
   test("NRCS client: fetches and parses the recorded AWDB response") {

@@ -231,6 +231,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming decontamination: stateless per-batch flags against a static benchmark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.streamingDecontaminate(
+        input.toDF().toDF("doc_id", "text"), bench, minHits = 2L)
+      .writeStream.format("memory").queryName("sdc").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, base), (2L, "completely unrelated words in this one"))
+      q.processAllAvailable()
+      input.addData((3L, base.replace("away", "home")))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, n_hits, contaminated from sdc order by doc_id")
+        .as[(Long, Long, Boolean)].collect().toSeq
+      val nGrams = base.split(" ").length - 2
+      assert(rows == Seq(
+        (1L, nGrams.toLong, true), (2L, 0L, false), (3L, nGrams.toLong - 1, true)))
+    } finally q.stop()
+  }
+
   // --- streaming station ingestion (graft-station readStream) -----------
 
   private def fixturePath = getClass.getResource("/station_tum.csv").getPath
