@@ -568,6 +568,80 @@ object Dedup {
   }
 
   /**
+   * [[incrementalClusters]] with cluster-size MAINTENANCE: when the
+   * prior assignment carries `cluster_size` (as [[dedupClusters]]
+   * output does), merged sizes are computed on the contracted graph
+   * from the prior CANONICAL rows instead of recounting the corpus —
+   * so the batch path has NO corpus-wide shuffle or aggregation at
+   * all. The corpus is touched by exactly two broadcast-filter scans
+   * (touched vs untouched prior rows) plus broadcast joins on the
+   * touched slice; untouched rows stream through unchanged.
+   *
+   * @param prior (doc_id, cluster_id, cluster_size) fixpoint; sizes
+   *              are read from canonical rows (doc_id == cluster_id)
+   */
+  def incrementalClustersWithSizes(
+      prior: DataFrame, newDocs: DataFrame, newPairs: DataFrame): DataFrame = {
+    val labels = materialize(
+      prior.select(col("doc_id"), col("cluster_id"))
+        .unionByName(newDocs.select(col("doc_id"), col("doc_id").as("cluster_id"))))
+    val edgeRoots = materialize(newPairs
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("root_a")), Seq("doc_a"))
+      .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("root_b")), Seq("doc_b"))
+      .select(col("root_a"), col("root_b"))
+      .where(col("root_a") =!= col("root_b"))
+      .distinct())
+    val priorOut = prior.select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+      (col("doc_id") === col("cluster_id")).as("is_canonical"))
+    val singletons = (d: DataFrame) => d.select(col("doc_id"),
+      col("doc_id").as("cluster_id"), lit(1L).as("cluster_size"),
+      lit(true).as("is_canonical"))
+    if (edgeRoots.isEmpty) return priorOut.unionByName(singletons(newDocs))
+
+    val rootDocs = materialize(edgeRoots.select(col("root_a").as("doc_id"))
+      .unionByName(edgeRoots.select(col("root_b").as("doc_id"))).distinct())
+    val remap = materialize(
+      dedupClusters(rootDocs, edgeRoots.select(col("root_a").as("doc_a"), col("root_b").as("doc_b")))
+        .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root")))
+    // merged size per surviving root: prior canonical sizes for old
+    // roots, 1 for new-doc roots. The canonical-row scan is
+    // broadcast-semi-filtered to touched roots FIRST so every join
+    // below is touched-graph-sized on both sides (no corpus shuffle).
+    val touchedCanon = prior.where(col("doc_id") === col("cluster_id"))
+      .join(broadcast(rootDocs.select(col("doc_id").as("cluster_id"))), Seq("cluster_id"),
+        "left_semi")
+      .select(col("cluster_id").as("old_root2"), col("cluster_size").as("old_size"))
+    val rootSizes = rootDocs
+      .join(broadcast(remap), rootDocs("doc_id") === remap("old_root"))
+      .join(broadcast(touchedCanon), col("old_root") === col("old_root2"), "left")
+      .groupBy(col("new_root"))
+      .agg(sum(coalesce(col("old_size"), lit(1L))).as("new_size"))
+    val remapSized = materialize(remap.join(broadcast(rootSizes), Seq("new_root"))
+      .select(col("old_root"), col("new_root"), col("new_size")))
+
+    val untouched = prior
+      .join(broadcast(rootDocs.select(col("doc_id").as("cluster_id"))), Seq("cluster_id"),
+        "left_anti")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+    val touchedOld = prior
+      .join(broadcast(remapSized), prior("cluster_id") === remapSized("old_root"))
+      .select(col("doc_id"), col("new_root").as("cluster_id"),
+        col("new_size").as("cluster_size"),
+        (col("doc_id") === col("new_root")).as("is_canonical"))
+    val newTouched = newDocs
+      .join(broadcast(remapSized), newDocs("doc_id") === remapSized("old_root"))
+      .select(col("doc_id"), col("new_root").as("cluster_id"),
+        col("new_size").as("cluster_size"),
+        (col("doc_id") === col("new_root")).as("is_canonical"))
+    val newSingleton = newDocs
+      .join(broadcast(remapSized.select(col("old_root").as("doc_id"))), Seq("doc_id"),
+        "left_anti")
+    untouched.unionByName(touchedOld).unionByName(newTouched)
+      .unionByName(singletons(newSingleton))
+  }
+
+  /**
    * Benchmark decontamination — flag corpus documents sharing word
    * n-grams with an evaluation set (the GPT-3 appendix-C / Gopher
    * protocol for test-set overlap removal; a training-data pipeline

@@ -93,6 +93,23 @@ object PipelineQueries {
         d.where(isNew(col("doc_id"))).select("doc_id"),
         edges.where(isNew(col("doc_a")) || isNew(col("doc_b"))))
     }),
+    // Size-maintaining incremental fold: same arrival split as cc2,
+    // but the prior's cluster_size column is carried through and
+    // merged on the contracted graph — the plan has NO corpus-wide
+    // exchange (broadcast-filtered scans only). Oracle = full closure,
+    // so the maintained sizes are hash-checked against a recount.
+    "cc3_incremental_sizes" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = Dedup.minhashNearDups(d, threshold = 0.6).select("doc_a", "doc_b")
+      val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 4
+      val prior = Dedup.dedupClusters(
+        d.where(!isNew(col("doc_id"))),
+        edges.where(!isNew(col("doc_a")) && !isNew(col("doc_b"))))
+      Dedup.incrementalClustersWithSizes(
+        prior,
+        d.where(isNew(col("doc_id"))).select("doc_id"),
+        edges.where(isNew(col("doc_a")) || isNew(col("doc_b"))))
+    }),
     // Wide-radius SimHash (Manku r-of-8 combination banding, exact to
     // hamming 5) — the oracle is an INDEPENDENT all-pairs scan, so a
     // banding recall bug fails the gate rather than being mirrored.
@@ -177,6 +194,23 @@ object PipelineQueries {
        |   / (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset))) AS j
        |  FROM cand JOIN hs sa ON doc_a = sa.doc_id JOIN hs sb ON doc_b = sb.doc_id)""".stripMargin
 
+  /** Transitive closure over the minhash edge set → (doc_id,
+    * cluster_id=component min, cluster_size, is_canonical). */
+  private val fullClosureSql =
+    s"""WITH RECURSIVE $minhashChainCtes,
+       |e AS (SELECT doc_a, doc_b FROM jj WHERE j >= 0.6),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM e
+       |        UNION ALL SELECT doc_b, doc_a FROM e),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT sym.dst, reach.lbl FROM reach JOIN sym ON sym.src = reach.node),
+       |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT doc_id, cluster_id, cluster_size,
+       |  doc_id = cluster_id AS is_canonical
+       |FROM lab JOIN sz USING (cluster_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
@@ -189,34 +223,12 @@ object PipelineQueries {
     "x2_minhash_lsh" ->
       s"""WITH $minhashChainCtes
          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jj WHERE j >= 0.6""".stripMargin,
-    "cc1_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashChainCtes,
-         |e AS (SELECT doc_a, doc_b FROM jj WHERE j >= 0.6),
-         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM e
-         |        UNION ALL SELECT doc_b, doc_a FROM e),
-         |reach(node, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT sym.dst, reach.lbl FROM reach JOIN sym ON sym.src = reach.node),
-         |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
-         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
-         |SELECT doc_id, cluster_id, cluster_size,
-         |  doc_id = cluster_id AS is_canonical
-         |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
-    "cc2_incremental_clusters" ->
-      s"""WITH RECURSIVE $minhashChainCtes,
-         |e AS (SELECT doc_a, doc_b FROM jj WHERE j >= 0.6),
-         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM e
-         |        UNION ALL SELECT doc_b, doc_a FROM e),
-         |reach(node, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT sym.dst, reach.lbl FROM reach JOIN sym ON sym.src = reach.node),
-         |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
-         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
-         |SELECT doc_id, cluster_id, cluster_size,
-         |  doc_id = cluster_id AS is_canonical
-         |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
+    // one full-transitive-closure oracle serves cc1 (from-scratch),
+    // cc2 (incremental fold), and cc3 (fold + size maintenance): the
+    // incremental variants' exactness claim IS equality with this
+    "cc1_dedup_clusters" -> fullClosureSql,
+    "cc2_incremental_clusters" -> fullClosureSql,
+    "cc3_incremental_sizes" -> fullClosureSql,
     "dc1_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
          |hs AS (SELECT doc_id, list_distinct(list_transform(shingles,

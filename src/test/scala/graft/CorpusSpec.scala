@@ -78,6 +78,34 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       (2L, 2L, 2L, true), (3L, 2L, 2L, false)))
   }
 
+  test("incrementalClustersWithSizes: size maintenance equals from-scratch recluster") {
+    val docs1 = (0L to 7L).toDF("doc_id")
+    val pairs1 = Seq((0L, 1L), (1L, 2L), (4L, 5L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val docs2 = (8L to 11L).toDF("doc_id")
+    val pairs2 = Seq((2L, 8L), (8L, 4L), (9L, 6L), (0L, 1L), (3L, 3L))
+      .toDF("doc_a", "doc_b")
+    val prior = Dedup.dedupClusters(docs1, pairs1) // carries cluster_size
+    val incr = Dedup.incrementalClustersWithSizes(prior, docs2, pairs2)
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    val scratch = Dedup.dedupClusters(
+        docs1.unionByName(docs2), pairs1.unionByName(pairs2))
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(incr == scratch)
+  }
+
+  test("incrementalClustersWithSizes: intra-cluster-only batch keeps prior rows, adds singletons") {
+    val docs1 = (0L to 3L).toDF("doc_id")
+    val pairs1 = Seq((0L, 1L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val prior = Dedup.dedupClusters(docs1, pairs1)
+    val got = Dedup.incrementalClustersWithSizes(
+        prior, Seq(12L).toDF("doc_id"), Seq((1L, 0L)).toDF("doc_a", "doc_b"))
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, true), (1L, 0L, 2L, false),
+      (2L, 2L, 2L, true), (3L, 2L, 2L, false),
+      (12L, 12L, 1L, true)))
+  }
+
   test("incrementalClusters: random edge split is order-insensitive (property)") {
     val rnd = new scala.util.Random(42)
     val n = 40L

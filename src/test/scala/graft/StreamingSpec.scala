@@ -231,6 +231,71 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermark reorder: out-of-order rows release sorted; timeout flushes idle series") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TsPoint]
+    val q = graft.streaming.StreamingReorder.reorderByEventTime(
+        input.toDF().withWatermark("ts", "2 days"))
+      .writeStream.format("memory").queryName("ro").outputMode(OutputMode.Append()).start()
+    def rows() = spark.sql("select series_id, ts, value from ro")
+      .as[(String, java.sql.Timestamp, Option[Double])].collect().toSeq
+    try {
+      // batch 1: disordered; watermark reaches day 3 − 2d = day 1, so
+      // only day 1 releases (day 3 stays inside the lateness window)
+      input.addData(point("a", 3, 3.0), point("a", 1, 1.0))
+      q.processAllAvailable()
+      assert(rows().map(_._2) == Seq(day(1)))
+      // batch 2: the late day-2 row arrives within the delay and slots
+      // BEFORE the buffered day 3; watermark → day 3 releases both
+      input.addData(point("a", 2, 2.0), point("a", 5, 5.0))
+      q.processAllAvailable()
+      assert(rows().map(r => (r._1, r._2)) ==
+        Seq(("a", day(1)), ("a", day(2)), ("a", day(3))))
+      // batch 3: only series b arrives; a's day-5 row flushes via the
+      // event-time timeout as the watermark passes it
+      input.addData(point("b", 9, 9.0))
+      q.processAllAvailable()
+      assert(rows().collect { case ("a", t, _) => t } ==
+        Seq(day(1), day(2), day(3), day(5)))
+    } finally q.stop()
+  }
+
+  test("reorder → storms: disordered station feed detects the same storm") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // the chain is safe (storms never evicts by event time) but trips
+    // the conservative global check — the documented escape hatch
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val input = MemoryStream[TsPoint]
+    val storms = StreamingDetectors.storms(
+      instantMassToStart = 0.1, minStormTotal = 0.5,
+      hoursToStop = 24, maxStormHours = 336, frequency = "D")(
+      graft.streaming.StreamingReorder.reorderByEventTime(
+        input.toDF().withWatermark("ts", "2 days")))
+    val q = storms.writeStream.format("memory").queryName("ros")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // storm days 1-2 (0.6 + 0.7) delivered OUT OF ORDER, then quiet
+      // days, then a second storm whose arrival closes the first
+      input.addData(point("a", 2, 0.7), point("a", 0, 0.0))
+      q.processAllAvailable()
+      input.addData(point("a", 1, 0.6), point("a", 3, 0.0))
+      q.processAllAvailable()
+      input.addData(point("a", 4, 0.0), point("a", 5, 0.0))
+      q.processAllAvailable()
+      input.addData(point("a", 6, 0.9), point("a", 7, 0.0), point("a", 8, 0.0))
+      q.processAllAvailable()
+      val ev = spark.sql("select * from ros").as[Event].collect().toSeq
+      assert(ev.length == 1)
+      assert(math.abs(ev(0).total.get - 1.3) < 1e-9 && ev(0).n_points == 2L)
+    } finally {
+      q.stop()
+      spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
   test("streaming decontamination: stateless per-batch flags against a static benchmark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
