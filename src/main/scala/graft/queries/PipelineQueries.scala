@@ -39,6 +39,11 @@ object PipelineQueries {
     // the operator's value is its asymptote at thresholds ≥ 0.9.
     "x6_lsh_neardup" -> ((s, dir) =>
       Similarity.lshNearDupPairs(embs(s, dir), threshold = 0.45, bits = 6, bands = 16)),
+    // hamming-1 probing on the same calibration: recall strictly above
+    // x6's (superset property-tested), still exact-verified
+    "x8_lsh_multiprobe" -> ((s, dir) =>
+      Similarity.lshNearDupPairsMultiProbe(
+        embs(s, dir), threshold = 0.45, bits = 6, bands = 16)),
     "s1_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 5)
@@ -194,6 +199,24 @@ object PipelineQueries {
        |   / (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset))) AS j
        |  FROM cand JOIN hs sa ON doc_a = sa.doc_id JOIN hs sb ON doc_b = sb.doc_id)""".stripMargin
 
+  /** Sign-LSH band keys for the driver calibration (bits=6, bands=16,
+    * dim=64): px = one sign bit per (vec, plane k) from the identical
+    * md5-parity hyperplane and left-to-right dot; bx = 6-bit band
+    * buckets. Shared by the x6 (exact-match bands) and x8 (hamming≤1
+    * multi-probe) oracles. */
+  private val lshBandCtes =
+    s"""px AS (SELECT vec_id, emb, k,
+       |  CASE WHEN ${dotSql("emb",
+      """list_transform(generate_series(0, 63),
+        |    d -> CASE WHEN (strpos('0123456789abcdef',
+        |           substr(md5(k::VARCHAR || ':' || d::VARCHAR), 1, 1)) - 1) % 2 = 1
+        |         THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)""".stripMargin)} >= 0
+       |  THEN 1 ELSE 0 END AS bit
+       |  FROM v, (SELECT unnest(generate_series(0, 95)) AS k)),
+       |bx AS (SELECT vec_id, k // 6 AS band_idx,
+       |   CAST(sum(bit * power(2, k % 6)) AS BIGINT) AS bucket
+       |  FROM px GROUP BY 1, 2)""".stripMargin
+
   /** Transitive closure over the minhash edge set → (doc_id,
     * cluster_id=component min, cluster_size, is_canonical). */
   private val fullClosureSql =
@@ -298,20 +321,23 @@ object PipelineQueries {
     // sign bits, band-bucket candidate pairs, exact dot verify.
     "x6_lsh_neardup" ->
       s"""WITH $vNormCte,
-         |px AS (SELECT vec_id, emb, k,
-         |  CASE WHEN ${dotSql("emb",
-        """list_transform(generate_series(0, 63),
-          |    d -> CASE WHEN (strpos('0123456789abcdef',
-          |           substr(md5(k::VARCHAR || ':' || d::VARCHAR), 1, 1)) - 1) % 2 = 1
-          |         THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)""".stripMargin)} >= 0
-         |  THEN 1 ELSE 0 END AS bit
-         |  FROM v, (SELECT unnest(generate_series(0, 95)) AS k)),
-         |bx AS (SELECT vec_id, k // 6 AS band_idx,
-         |   CAST(sum(bit * power(2, k % 6)) AS BIGINT) AS bucket
-         |  FROM px GROUP BY 1, 2),
+         |$lshBandCtes,
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM bx a JOIN bx b
          |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM (
+         |  SELECT id_a, id_b, ${dotSql("va.emb", "vb.emb")} AS cos
+         |  FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id)
+         |WHERE cos >= 0.45""".stripMargin,
+    // independent of the probe-key mechanics: the candidate set is
+    // DEFINED as "some band within hamming 1", checked all-pairs
+    "x8_lsh_multiprobe" ->
+      s"""WITH $vNormCte,
+         |$lshBandCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bx a JOIN bx b
+         |  ON a.band_idx = b.band_idx AND a.vec_id < b.vec_id
+         |  AND bit_count(xor(a.bucket, b.bucket)) <= 1)
          |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM (
          |  SELECT id_a, id_b, ${dotSql("va.emb", "vb.emb")} AS cos
          |  FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id)

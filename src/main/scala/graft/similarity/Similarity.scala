@@ -327,6 +327,13 @@ object Similarity {
     ensureRegistered(corpus)
     val v = graft.dedup.Dedup.materialize(normalized(corpus, "id", "emb"))
     val cands = graft.dedup.Dedup.bandCandidates(signBands(v, bits, bands, dim), hotBucketBlock)
+    verifyPairs(v, cands, threshold)
+  }
+
+  /** Exact-dot verification of candidate (doc_a, doc_b) pairs against
+    * the normalized frame — shared by the banded and multi-probe
+    * sign-LSH paths. */
+  private def verifyPairs(v: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
     val va = v.select(col("id").as("id_a"), col("emb").as("emb_a"))
     val vb = v.select(col("id").as("id_b"), col("emb").as("emb_b"))
     cands.select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
@@ -335,5 +342,60 @@ object Similarity {
       .withColumn("cos", fastDot(col("emb_a"), col("emb_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /**
+   * MULTI-PROBE sign-LSH near-dup pairs (Lv et al., VLDB'07 applied
+   * to Charikar sign bands): candidates are pairs whose keys agree
+   * within hamming ≤ 1 in SOME band — each row joins under its base
+   * key and under the `bits` single-bit-flipped probe keys, so a pair
+   * one flipped bit away from sharing a bucket is still found.
+   *
+   * The recall lever at fixed index width: per band,
+   * P(hamming ≤ 1) = q^b + b·q^(b-1)(1−q) with q = 1 − θ/π. At
+   * cos ≥ 0.9 (θ ≤ 26°) and bits=16/bands=8 that lifts per-pair
+   * recall ≈ 0.50 → ≈ 0.95, while the random-pair candidate rate
+   * grows only (1+bits)× (17·bands·N²·2^{-bits} — still ≪ N²).
+   * Probing trades one extra (1+bits)-way key explode and a wider
+   * (band, key) shuffle for band count: fewer bands at higher recall.
+   *
+   * Exactness unchanged: every candidate is verified with the exact
+   * dot product, so emitted pairs always satisfy the threshold;
+   * probing can only ADD recall over [[lshNearDupPairs]] (superset,
+   * property-tested).
+   *
+   * Hot-bucket note: candidates come from an equi-join on
+   * (band, key) rather than the collect_list bucket walk, so a
+   * degenerate key (all-zero embeddings) fans out as join rows, not
+   * one giant array — AQE's skew-join split applies; for planted
+   * boilerplate cohorts run exact dedup first (same advice as x2).
+   */
+  def lshNearDupPairsMultiProbe(
+      corpus: DataFrame,
+      threshold: Double,
+      bits: Int = 16,
+      bands: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
+    ensureRegistered(corpus)
+    val v = graft.dedup.Dedup.materialize(normalized(corpus, "id", "emb"))
+    val keyed = graft.dedup.Dedup.materialize(
+      signBands(v, bits, bands, dim)
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "key"))))
+    val base = keyed.select(col("doc_id"), col("band_idx"), col("key").as("probe"))
+    val flips = keyed.select(col("doc_id"), col("band_idx"),
+      explode(array((0 until bits).map(i =>
+        col("key").bitwiseXOR(lit(1L << i))): _*)).as("probe"))
+    // base keys join base ∪ probe keys of other docs: hamming-0 pairs
+    // meet base×base, hamming-1 pairs meet base×probe (twice, in both
+    // orientations — the < filter + distinct collapse them); probe×
+    // probe never joins a base, so hamming-2 stays out
+    val cands = base.select(col("doc_id").as("doc_a"), col("band_idx"), col("probe"))
+      .join(base.select(col("doc_id").as("doc_b"), col("band_idx"), col("probe"))
+          .unionByName(flips.select(col("doc_id").as("doc_b"), col("band_idx"), col("probe"))),
+        Seq("band_idx", "probe"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    verifyPairs(v, cands, threshold)
   }
 }

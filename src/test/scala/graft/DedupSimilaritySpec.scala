@@ -174,6 +174,29 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     lsh.foreach { case (k, cos) => assert(cos == exact(k), s"cos mismatch at $k") }
   }
 
+  test("multi-probe lsh: superset of banded lsh, subset of exact, same cosines") {
+    import graft.sources.Tables
+    val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
+    val exact = Similarity.nearDupPairs(e, threshold = 0.45)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val plain = Similarity.lshNearDupPairs(e, threshold = 0.45, bits = 6, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = Similarity.lshNearDupPairsMultiProbe(
+        e, threshold = 0.45, bits = 6, bands = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // probing can only add candidates over the banded path...
+    assert(plain.subsetOf(probed.keySet),
+      s"multi-probe lost banded pairs: ${plain -- probed.keySet}")
+    // ...and the exact verify keeps every emitted pair true
+    assert(probed.keySet.subsetOf(exact.keySet),
+      s"multi-probe emitted pairs the exact scan lacks: ${probed.keySet -- exact.keySet}")
+    probed.foreach { case (k, cos) => assert(cos == exact(k), s"cos mismatch at $k") }
+    // at the non-separable 0.45 calibration, hamming-1 probing must
+    // strictly improve recall (banded recalls 10/14 on this data)
+    assert(probed.size > plain.size,
+      s"probing added no recall: ${probed.size} vs ${plain.size}")
+  }
+
   test("lsh hyperplanes are the pinned md5-parity derivation") {
     // golden from python hashlib: ±1 by parity of md5("k:d")[0]
     assert(Similarity.lshPlane(0, 16) == Seq(
