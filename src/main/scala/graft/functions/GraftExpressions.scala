@@ -419,6 +419,109 @@ case class NormalizedFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * All sign-LSH band keys in ONE pass: `graft_sign_bands(emb, bits,
+ * bands, dim)` → array<long> of `bands` keys, bit i of band j set iff
+ * the dot of `emb` with deterministic ±1 hyperplane `j*bits + i`
+ * ([[graft.similarity.Similarity.lshPlane]], md5-parity Rademacher)
+ * is ≥ 0.
+ *
+ * Why an expression and not `bits×bands` composed `graft_dot` calls
+ * against plan-literal planes: at bits=16/bands=8 the composed form
+ * inlines 128 64-element literal dots into one generated method —
+ * janino's method-size limit trips (InternalCompilerException at
+ * 200k-vector scale) and Spark silently falls back to interpreted
+ * eval. Here the packed sign matrix rides along as ONE reference
+ * object and the generated code is three small loops.
+ *
+ * Float-exactness contract: `s += bit ? emb[d] : -emb[d]` is
+ * bit-identical to the composed `emb[d] * (±1.0)` left-to-right
+ * accumulation (IEEE multiplication by ±1.0 is exact), so band keys
+ * match the composed form and the DuckDB oracle twin exactly —
+ * property-tested in NativeExpressionsSpec.
+ *
+ * A wrong-length embedding fails the row loudly (the planes are
+ * derived for exactly `dim` components; silent truncation would
+ * degrade bucketing invisibly).
+ */
+case class SignBandKeys(child: Expression, bits: Int, bands: Int, dim: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
+  require(bands >= 1, s"bands must be >= 1: $bands")
+  require(dim >= 1 && dim <= 64, s"dim must be in [1, 64] (packed sign planes): $dim")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sign_bands"
+
+  // bit d of planes(k) set = component d of hyperplane k is +1
+  @transient private lazy val planes: Array[Long] =
+    SignBandKeys.packedPlanes(bits * bands, dim)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    SignBandKeys.checkLen(emb.numElements(), dim)
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var key = 0L
+      var i = 0
+      while (i < bits) {
+        val p = planes(j * bits + i)
+        var s = 0.0
+        var d = 0
+        while (d < dim) {
+          s += (if (((p >> d) & 1L) == 1L) emb.getDouble(d) else -emb.getDouble(d))
+          d += 1
+        }
+        if (s >= 0) key |= (1L << i)
+        i += 1
+      }
+      out(j) = key
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("signPlanes", planes, "long[]")
+    nullSafeCodeGen(ctx, ev, emb => {
+      s"""
+         |graft.functions.SignBandKeys.checkLen($emb.numElements(), $dim);
+         |long[] gsbKeys = new long[$bands];
+         |for (int j = 0; j < $bands; j++) {
+         |  long key = 0L;
+         |  for (int i = 0; i < $bits; i++) {
+         |    long p = $planesRef[j * $bits + i];
+         |    double s = 0.0;
+         |    for (int d = 0; d < $dim; d++) {
+         |      s += (((p >> d) & 1L) == 1L) ? $emb.getDouble(d) : -$emb.getDouble(d);
+         |    }
+         |    if (s >= 0) key |= (1L << i);
+         |  }
+         |  gsbKeys[j] = key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(gsbKeys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBandKeys =
+    copy(child = newChild)
+}
+
+object SignBandKeys {
+  def packedPlanes(n: Int, dim: Int): Array[Long] =
+    Array.tabulate(n) { k =>
+      graft.similarity.Similarity.lshPlane(k, dim).zipWithIndex
+        .foldLeft(0L) { case (m, (v, d)) => if (v > 0) m | (1L << d) else m }
+    }
+
+  // called from generated code — must be public and JVM-simple
+  def checkLen(got: Int, dim: Int): Unit =
+    if (got != dim) throw new IllegalArgumentException(
+      s"graft_sign_bands: embedding length $got != dim=$dim")
+}
+
 /** Extension entry point: `spark.sql.extensions=graft.functions.GraftExtensions`
   * makes the graft_* functions available in SQL and via `call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -448,7 +551,19 @@ object GraftFunctions {
       (children: Seq[Expression]) => SimHash64(children.head)),
     (FunctionIdentifier("graft_norm_fp"),
       new ExpressionInfo(classOf[NormalizedFingerprint].getName, "graft_norm_fp"),
-      (children: Seq[Expression]) => NormalizedFingerprint(children.head)))
+      (children: Seq[Expression]) => NormalizedFingerprint(children.head)),
+    (FunctionIdentifier("graft_sign_bands"),
+      new ExpressionInfo(classOf[SignBandKeys].getName, "graft_sign_bands"),
+      (children: Seq[Expression]) => SignBandKeys(children.head,
+        intLiteral(children(1)), intLiteral(children(2)), intLiteral(children(3)))))
+
+  /** bits/bands/dim arrive as foldable literals. */
+  private def intLiteral(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_sign_bands expects integer literals, got $other")
+  }
 
   /** Idempotent registration into a live session (for sessions built
     * without the extensions config). */

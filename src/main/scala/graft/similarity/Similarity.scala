@@ -298,22 +298,30 @@ object Similarity {
     * different bucket in one engine only. Unlike the verify threshold
     * (margin-checked in PipelineQueries), this boundary has no
     * engineered margin; the order dependency IS the contract. */
-  private[graft] def signBands(v: DataFrame, bits: Int, bands: Int, dim: Int): DataFrame = {
+  private[graft] def signBands(v: DataFrame, bits: Int, bands: Int, dim: Int): DataFrame =
+    // one-pass native kernel (GraftExpressions.SignBandKeys): the
+    // composed per-bit graft_dot form inlined bits×bands literal dots
+    // and blew janino's method-size limit at bits=16 (silent
+    // interpreted fallback at scale); the kernel is bit-identical
+    // (±1.0 multiplication is IEEE-exact — parity-tested in
+    // NativeExpressionsSpec) and fails loudly on a wrong-length
+    // embedding instead of truncating
+    v.select(col("id").as("doc_id"),
+      call_function("graft_sign_bands",
+        col("emb"), lit(bits), lit(bands), lit(dim)).as("bands"))
+
+  /** The composed-builtin construction SignBandKeys replaces — kept as
+    * the parity reference for NativeExpressionsSpec (it is also the
+    * shape the DuckDB oracle twin mirrors). Do not use on hot paths. */
+  private[graft] def signBandsComposed(
+      v: DataFrame, bits: Int, bands: Int, dim: Int): DataFrame = {
     val bandCols = array((0 until bands).map { j =>
       (0 until bits).map { i =>
         val plane = typedlit(lshPlane(j * bits + i, dim))
         when(call_function("graft_dot", col("emb"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
-    // the planes are plan-time literals of length `dim`, and graft_dot
-    // silently truncates to the shorter array — a wrong `dim` would
-    // degrade bucketing silently, so fail the row instead
-    val sized = when(size(col("emb")) === dim, col("emb"))
-      .otherwise(raise_error(concat(
-        lit(s"signBands: embedding length != dim=$dim (got "),
-        size(col("emb")).cast("string"), lit(")"))))
-    v.select(col("id").as("doc_id"), sized.as("emb"))
-      .select(col("doc_id"), bandCols.as("bands"))
+    v.select(col("id").as("doc_id"), bandCols.as("bands"))
   }
 
   def lshNearDupPairs(

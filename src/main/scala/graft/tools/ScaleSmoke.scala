@@ -263,6 +263,13 @@ object ScaleSmoke {
       }
       println(f"SCALE x6 recall vs exact: $lshPairs/$exactPairs = " +
         f"${if (exactPairs > 0) lshPairs.toDouble / exactPairs else 0.0}%.3f")
+      var probedPairs = 0L
+      timed("x8_multiprobe200k_pairs", runs = 1) {
+        probedPairs = Sim.lshNearDupPairsMultiProbe(e, threshold = 0.9).count()
+        probedPairs
+      }
+      println(f"SCALE x8 recall vs exact: $probedPairs/$exactPairs = " +
+        f"${if (exactPairs > 0) probedPairs.toDouble / exactPairs else 0.0}%.3f")
     }
     spark.stop()
   }

@@ -110,4 +110,31 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getInt(0) == r.getInt(1), r.toString)
     }
   }
+
+  test("graft_sign_bands == composed per-bit graft_dot bands (bit-identical keys)") {
+    import graft.similarity.Similarity
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    // include sign-boundary-adjacent vectors: tiny components push
+    // projections near 0 where any reassociation would flip bits
+    val vecs = (0L until 64L).map { id =>
+      (id, Array.fill(dim)((rnd.nextDouble() - 0.5) *
+        (if (id % 7 == 0) 1e-9 else 2.0)))
+    }.toDF("id", "emb")
+    val native = Similarity.signBands(vecs, bits = 11, bands = 5, dim = dim)
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    val composed = Similarity.signBandsComposed(vecs, bits = 11, bands = 5, dim = dim)
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(native == composed)
+  }
+
+  test("graft_sign_bands fails loudly on wrong-length embeddings") {
+    val bad = Seq((0L, Array(1.0, 2.0))).toDF("id", "emb")
+    val e = intercept[Exception] {
+      graft.similarity.Similarity.signBands(bad, bits = 4, bands = 2, dim = 64).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("embedding length")))
+  }
 }
