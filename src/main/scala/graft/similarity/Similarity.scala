@@ -220,7 +220,14 @@ object Similarity {
     import spark.implicits._
     val parts = scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .getOrElse(spark.sparkContext.defaultParallelism)
-    val nb = if (blocks > 0) blocks else math.max(4, math.ceil(math.sqrt(2.0 * parts)).toInt)
+    // chunk-pair count ≈ nb²/2 must EXCEED the shuffle partition count
+    // several-fold: the join hash-bins pair keys into partitions, and
+    // with pairs ≈ partitions the binomial collisions stack 4-5 heavy
+    // pairs into one task (measured at 200k vecs: maxTask 302 s of a
+    // 371 s wall). ~4 pairs per partition on average smooths the bins
+    // — dot-product work is uniform per pair, so this is pure
+    // granularity, invisible to AQE's byte-based skew split.
+    val nb = if (blocks > 0) blocks else math.max(4, math.ceil(math.sqrt(8.0 * parts)).toInt)
     // two consumers (left/right of the self-join) → eager barrier,
     // same rationale as Dedup.materialize
     val v = graft.dedup.Dedup.materialize(normalized(corpus, "id", "emb")
