@@ -582,6 +582,24 @@ object Dedup {
    */
   def incrementalClustersWithSizes(
       prior: DataFrame, newDocs: DataFrame, newPairs: DataFrame): DataFrame = {
+    val (untouched, delta) = foldWithSizes(prior, newDocs, newPairs)
+    untouched.unionByName(delta)
+  }
+
+  /** DELTA form of [[incrementalClustersWithSizes]]: only the rows the
+    * batch changed — docs whose cluster id or size moved, plus the new
+    * docs — i.e. exactly the rows a lakehouse MERGE/upsert against the
+    * stored assignment table needs. Untouched rows are never read past
+    * the broadcast-anti filter, so the sink-side write is O(touched),
+    * not O(corpus). `delta ∪ untouched prior rows == from-scratch
+    * recluster` is property-tested. */
+  def incrementalClustersDelta(
+      prior: DataFrame, newDocs: DataFrame, newPairs: DataFrame): DataFrame =
+    foldWithSizes(prior, newDocs, newPairs)._2
+
+  /** Shared fold: (untouched prior rows as-is, changed/new rows). */
+  private def foldWithSizes(
+      prior: DataFrame, newDocs: DataFrame, newPairs: DataFrame): (DataFrame, DataFrame) = {
     val labels = materialize(
       prior.select(col("doc_id"), col("cluster_id"))
         .unionByName(newDocs.select(col("doc_id"), col("doc_id").as("cluster_id"))))
@@ -596,7 +614,7 @@ object Dedup {
     val singletons = (d: DataFrame) => d.select(col("doc_id"),
       col("doc_id").as("cluster_id"), lit(1L).as("cluster_size"),
       lit(true).as("is_canonical"))
-    if (edgeRoots.isEmpty) return priorOut.unionByName(singletons(newDocs))
+    if (edgeRoots.isEmpty) return (priorOut, singletons(newDocs))
 
     val rootDocs = materialize(edgeRoots.select(col("root_a").as("doc_id"))
       .unionByName(edgeRoots.select(col("root_b").as("doc_id"))).distinct())
@@ -637,8 +655,8 @@ object Dedup {
     val newSingleton = newDocs
       .join(broadcast(remapSized.select(col("old_root").as("doc_id"))), Seq("doc_id"),
         "left_anti")
-    untouched.unionByName(touchedOld).unionByName(newTouched)
-      .unionByName(singletons(newSingleton))
+    (untouched,
+      touchedOld.unionByName(newTouched).unionByName(singletons(newSingleton)))
   }
 
   /**

@@ -137,20 +137,28 @@ object TextFunctions {
   // is email → IPv4 → phone: earlier placeholders contain no digits,
   // so later passes cannot re-match inside them.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
   val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   val PhoneRe = "\\+?[0-9][0-9() \\-]{7,}[0-9]"
 
-  /** Count of pattern matches in the text (0 for none). */
+  /** Count of pattern matches in the text (0 for none). Counts are per
+    * pattern over the RAW text: an SSN-shaped run also matches the
+    * (looser) phone pattern, so n_ssns and n_phones can overlap — the
+    * scrub chain resolves the overlap by running the tighter SSN
+    * replacement first. */
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
-  /** Text with emails, IPv4 addresses, and phone-shaped digit runs
-    * replaced by typed placeholders — the standard redaction pass a
-    * training pipeline runs before packing (per-row regexp_replace
-    * chain, shuffle-free, codegen'd). */
+  /** Text with emails, SSN-shaped ids, IPv4 addresses, and phone-shaped
+    * digit runs replaced by typed placeholders — the standard redaction
+    * pass a training pipeline runs before packing (per-row
+    * regexp_replace chain, shuffle-free, codegen'd). Tighter patterns
+    * run first; placeholders contain no digits, so later passes cannot
+    * re-match inside them. */
   def piiScrub(text: Column): Column = {
     val e = regexp_replace(text, EmailRe, "<EMAIL>")
-    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    val s = regexp_replace(e, SsnRe, "<SSN>")
+    val i = regexp_replace(s, Ipv4Re, "<IP>")
     regexp_replace(i, PhoneRe, "<PHONE>")
   }
 }

@@ -63,6 +63,7 @@ object TextAnalysis {
     docs(spark, dir).select(
       col("doc_id"),
       piiCount(col("text"), EmailRe).cast("long").as("n_emails"),
+      piiCount(col("text"), SsnRe).cast("long").as("n_ssns"),
       piiCount(col("text"), Ipv4Re).cast("long").as("n_ips"),
       piiCount(col("text"), PhoneRe).cast("long").as("n_phones"),
       md5(piiScrub(col("text"))).as("scrub_md5"))
@@ -140,14 +141,17 @@ object TextAnalysis {
         // DuckDB single-quoted literals pass backslashes through
         // verbatim, so the Scala pattern strings interpolate as-is
         val email = graft.functions.TextFunctions.EmailRe
+        val ssn = graft.functions.TextFunctions.SsnRe
         val ip = graft.functions.TextFunctions.Ipv4Re
         val phone = graft.functions.TextFunctions.PhoneRe
         s"""SELECT doc_id,
            | len(regexp_extract_all(text, '$email'))::BIGINT AS n_emails,
+           | len(regexp_extract_all(text, '$ssn'))::BIGINT AS n_ssns,
            | len(regexp_extract_all(text, '$ip'))::BIGINT AS n_ips,
            | len(regexp_extract_all(text, '$phone'))::BIGINT AS n_phones,
-           | md5(regexp_replace(regexp_replace(regexp_replace(text,
+           | md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
            |   '$email', '<EMAIL>', 'g'),
+           |   '$ssn', '<SSN>', 'g'),
            |   '$ip', '<IP>', 'g'),
            |   '$phone', '<PHONE>', 'g')) AS scrub_md5
            |FROM documents""".stripMargin

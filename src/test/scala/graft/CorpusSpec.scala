@@ -93,6 +93,30 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(incr == scratch)
   }
 
+  test("incrementalClustersDelta: changed rows only; delta ∪ untouched == scratch") {
+    val docs1 = (0L to 7L).toDF("doc_id")
+    val pairs1 = Seq((0L, 1L), (1L, 2L), (4L, 5L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val docs2 = (8L to 11L).toDF("doc_id")
+    val pairs2 = Seq((2L, 8L), (8L, 4L), (9L, 6L), (3L, 3L)).toDF("doc_a", "doc_b")
+    val prior = Dedup.dedupClusters(docs1, pairs1)
+    val delta = Dedup.incrementalClustersDelta(prior, docs2, pairs2)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // doc 3's singleton cluster is untouched (its only batch edge is a
+    // self-loop) and must NOT appear in the delta
+    assert(!delta.exists(_._1 == 3L))
+    assert(delta.map(_._1).sorted == Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L))
+    // MERGE semantics: upserting the delta over the prior reproduces
+    // the from-scratch recluster exactly
+    val deltaIds = delta.map(_._1).toSet
+    val priorRows = prior.as[(Long, Long, Long, Boolean)].collect().toSeq
+      .filterNot(r => deltaIds(r._1))
+    val merged = (priorRows ++ delta).sortBy(_._1)
+    val scratch = Dedup.dedupClusters(
+        docs1.unionByName(docs2), pairs1.unionByName(pairs2))
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(merged == scratch)
+  }
+
   test("incrementalClustersWithSizes: intra-cluster-only batch keeps prior rows, adds singletons") {
     val docs1 = (0L to 3L).toDF("doc_id")
     val pairs1 = Seq((0L, 1L), (2L, 3L)).toDF("doc_a", "doc_b")

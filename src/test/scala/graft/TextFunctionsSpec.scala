@@ -71,6 +71,13 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     // clean text passes through untouched
     val clean = "no private data in this sentence at all"
     assert(one[String](piiScrub(col("text")), clean) == clean)
+    // SSN-shaped ids: the tighter pattern wins over the phone pattern
+    // (scrub order), even though both count it on raw text
+    val ssn = "id 123-45-6789 on file"
+    assert(one[Int](piiCount(col("text"), SsnRe), ssn) == 1)
+    assert(one[Int](piiCount(col("text"), PhoneRe), ssn) == 1)
+    val sScrub = one[String](piiScrub(col("text")), ssn)
+    assert(sScrub == "id <SSN> on file", sScrub)
   }
 
   test("repetition ratio: repeated 3-grams raise it; short and clean docs are 0") {
