@@ -99,6 +99,91 @@ object CorpusQueries {
         min(col("doc_id")).as("first_doc"))
   }
 
+  /** Training-mixture domain rebalancing: per-source token mass →
+    * inverse-sqrt keep rate → deterministic hash sample — the
+    * "temperature sampling" move (heavier domains sampled at lower
+    * rates so the mixture flattens) multilingual / multi-source
+    * pretraining uses, with the rate a PURE per-domain function
+    * rate_bp = min(10000, ⌊10000·scale / √tokens_d⌋) so no global
+    * normalization term couples domains (a cross-domain sum of
+    * doubles would be accumulation-order-dependent and break the
+    * bit-exact oracle twin; √ and ÷ are correctly-rounded IEEE ops,
+    * so both engines compute the identical rate from the identical
+    * BIGINT token count). Membership is hash(doc_id) mod 10000 <
+    * rate_bp — a doc's fate never changes as other domains grow.
+    *
+    * Scale posture: one map-side-combined agg over source (domain
+    * cardinality ≪ corpus), rates broadcast back, stateless filter,
+    * second tiny agg — the corpus is never shuffled. Output is one
+    * row per source: before/after doc+token counts and the rate.
+    */
+  def mx1DomainMixture(spark: SparkSession, dir: String, scale: Double = 30.0): DataFrame = {
+    val d = docs(spark, dir).select(col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+      (idHash(col("doc_id")) % 10000).as("bucket"))
+    val rates = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("rate_bp", least(lit(10000L),
+        floor(lit(10000.0) * scale / sqrt(col("n_tokens").cast("double"))).cast("long")))
+    d.join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("n_tokens")).as("n_tokens"),
+        first(col("rate_bp")).as("rate_bp"),
+        coalesce(sum(when(col("bucket") < col("rate_bp"), 1L)), lit(0L)).as("kept_docs"),
+        coalesce(sum(when(col("bucket") < col("rate_bp"), col("n_tok"))), lit(0L))
+          .as("kept_tokens"))
+  }
+
+  /** Length-bucketed batching layout: rank documents by token count
+    * (ties broken by doc_id — total order, so bucketing is
+    * deterministic) into `buckets` equal-frequency buckets and report
+    * per-bucket occupancy — the batch-by-length grouping that keeps
+    * padding waste bounded when forming fixed-shape training batches.
+    *
+    * Matches SQL `ntile(buckets) OVER (ORDER BY n_tok, doc_id)`
+    * WITHOUT the corpus-wide single-partition window that form
+    * executes as: the global rank decomposes as
+    * rank = (rows with a shorter length) + (row_number within my
+    * length, by doc_id) — the first term rides a window over the
+    * LENGTH HISTOGRAM (one row per distinct token count, thousands at
+    * most, broadcast back), the second is partitioned by n_tok and
+    * fully distributed. The bucket then follows from ntile's split
+    * rule in closed form: the first N mod b buckets take ⌈N/b⌉ rows,
+    * the rest ⌊N/b⌋ (N joins in as a broadcast 1-row aggregate —
+    * no driver round-trip, no collect).
+    */
+  def pk2LengthBuckets(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    val hist = d.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
+    // histogram-sized window: one row per distinct length
+    val base = hist.withColumn("before",
+      coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("n_tok")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_tok"), col("before"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    val b = lit(buckets.toLong)
+    val ranked = d
+      .withColumn("r_in",
+        row_number().over(Window.partitionBy(col("n_tok")).orderBy(col("doc_id"))).cast("long"))
+      .join(broadcast(base), Seq("n_tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("r", col("before") + col("r_in"))
+    // ntile split rule: rem = N mod b buckets of size q+1 first
+    val q = col("n_total").divide(b).cast("long")
+    val rem = col("n_total") % b
+    val cut = (q + lit(1L)) * rem // rows covered by the wide buckets
+    ranked
+      .withColumn("bucket",
+        when(col("r") <= cut, (col("r") - 1).divide(q + lit(1L)).cast("long") + 1)
+          .otherwise(rem + (col("r") - cut - 1).divide(q).cast("long") + 1))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+  }
+
   // --- DuckDB twins -----------------------------------------------------
 
   private def hash32Sql(e: String): String =
@@ -138,13 +223,47 @@ object CorpusQueries {
          |SELECT shard, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS chunk_id,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
          |  MIN(doc_id) AS first_doc
-         |FROM c GROUP BY 1, 2""".stripMargin
+         |FROM c GROUP BY 1, 2""".stripMargin,
+    // rate_bp is the identical IEEE op sequence in both engines:
+    // floor(10000.0 * 30.0 / sqrt(BIGINT token sum)) — no
+    // accumulation-order-dependent double sum anywhere
+    "mx1_domain_mixture" ->
+      s"""WITH d AS (SELECT source,
+         |  CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+         |           ELSE string_split_regex(trim(text), '\\s+') END) AS BIGINT) AS n_tok,
+         |  $idHashSql % 10000 AS bucket
+         | FROM documents),
+         |r AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  LEAST(CAST(10000 AS BIGINT),
+         |    CAST(floor(10000.0 * 30.0 / sqrt(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT))
+         |    AS rate_bp
+         | FROM d GROUP BY 1)
+         |SELECT r.source, r.n_docs, r.n_tokens, r.rate_bp,
+         |  CAST(COALESCE(SUM(CASE WHEN d.bucket < r.rate_bp THEN 1 END), 0) AS BIGINT)
+         |    AS kept_docs,
+         |  CAST(COALESCE(SUM(CASE WHEN d.bucket < r.rate_bp THEN d.n_tok END), 0) AS BIGINT)
+         |    AS kept_tokens
+         |FROM d JOIN r USING (source) GROUP BY 1, 2, 3, 4""".stripMargin,
+    // plain ntile here — the Spark side reproduces its split rule in
+    // the distributed decomposition instead
+    "pk2_length_buckets" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+         |           ELSE string_split_regex(trim(text), '\\s+') END) AS BIGINT) AS n_tok
+         | FROM documents),
+         |t AS (SELECT *, CAST(ntile(8) OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS bucket
+         |  FROM d)
+         |SELECT bucket, COUNT(*) AS n_docs, MIN(n_tok) AS min_tok,
+         |  MAX(n_tok) AS max_tok, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+         |FROM t GROUP BY 1""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_vocab_topk" -> ((s, dir) => v1VocabTopK(s, dir)),
     "sm1_hash_split" -> (sm1HashSplit _),
     "sm2_stratified_sample" -> ((s, dir) => sm2StratifiedSample(s, dir)),
-    "pk1_sequence_pack" -> ((s, dir) => pk1SequencePack(s, dir))
+    "pk1_sequence_pack" -> ((s, dir) => pk1SequencePack(s, dir)),
+    "mx1_domain_mixture" -> ((s, dir) => mx1DomainMixture(s, dir)),
+    "pk2_length_buckets" -> ((s, dir) => pk2LengthBuckets(s, dir))
   )
 }

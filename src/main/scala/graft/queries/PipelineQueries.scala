@@ -44,6 +44,14 @@ object PipelineQueries {
     "x8_lsh_multiprobe" -> ((s, dir) =>
       Similarity.lshNearDupPairsMultiProbe(
         embs(s, dir), threshold = 0.45, bits = 6, bands = 16)),
+    // radius-2 probe ring: hamming ≤ 2 per band — superset of x8,
+    // the explicit recall-vs-shuffle knob at fixed index width
+    "x9_lsh_probe2" -> ((s, dir) =>
+      Similarity.lshNearDupPairsMultiProbe(
+        embs(s, dir), threshold = 0.45, bits = 6, bands = 16, probeRadius = 2)),
+    // per-vector int8 absmax quantization audit — stateless map over
+    // the scan, exact-int + order-independent-max outputs only
+    "e1_quantize" -> ((s, dir) => Similarity.quantizeInt8Stats(embs(s, dir))),
     "s1_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 5)
@@ -342,6 +350,39 @@ object PipelineQueries {
          |  SELECT id_a, id_b, ${dotSql("va.emb", "vb.emb")} AS cos
          |  FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id)
          |WHERE cos >= 0.45""".stripMargin,
+    // same declarative candidate definition, radius 2
+    "x9_lsh_probe2" ->
+      s"""WITH $vNormCte,
+         |$lshBandCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bx a JOIN bx b
+         |  ON a.band_idx = b.band_idx AND a.vec_id < b.vec_id
+         |  AND bit_count(xor(a.bucket, b.bucket)) <= 2)
+         |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM (
+         |  SELECT id_a, id_b, ${dotSql("va.emb", "vb.emb")} AS cos
+         |  FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id)
+         |WHERE cos >= 0.45""".stripMargin,
+    // identical IEEE op sequence per element; only exact ints and
+    // order-independent maxes cross the engines
+    "e1_quantize" ->
+      s"""WITH b AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am
+         | FROM embeddings),
+         |q AS (SELECT vec_id, xs, am,
+         |  CASE WHEN am = 0 THEN list_transform(xs, x -> CAST(0 AS BIGINT))
+         |       ELSE list_transform(xs,
+         |         x -> CAST(floor(x * 127.0 / am + 0.5) AS BIGINT)) END AS qs
+         | FROM b)
+         |SELECT vec_id, ROUND(am / 127.0, 6) AS scale6,
+         |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+         |  CAST(list_min(qs) AS BIGINT) AS q_min,
+         |  CAST(list_max(qs) AS BIGINT) AS q_max,
+         |  ROUND(CASE WHEN am = 0 THEN 0.0
+         |    ELSE list_max(list_transform(generate_series(1, len(xs)),
+         |      i -> abs(xs[i::INTEGER] - qs[i::INTEGER] * am / 127.0))) END, 6)
+         |    AS max_err6
+         |FROM q""".stripMargin,
     "s1_ann_topk" ->
       s"""WITH $vNormCte
          |SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos FROM (

@@ -345,6 +345,47 @@ object Similarity {
     verifyPairs(v, cands, threshold)
   }
 
+  /**
+   * Symmetric int8 absmax quantization statistics per embedding
+   * (the per-vector scale scheme of Dettmers et al. 2022, LLM.int8):
+   * scale = absmax/127, q_i = ⌊x_i·127/absmax + 0.5⌋ — the tie rule
+   * is written out as floor(v + 0.5) so both engines round identically
+   * (library round() half-even vs half-away would diverge on exact
+   * .5 quotients). Emits per-vector audit stats a quantized-index
+   * build wants: the scale, the exact integer sum/min/max of the
+   * quantized codes, and the max absolute reconstruction error.
+   *
+   * Every output is either exact integer arithmetic or an
+   * order-INDEPENDENT double reduction (max) over per-element values
+   * computed by an identical IEEE op sequence — no ordered double
+   * accumulation anywhere, so the DuckDB twin is bit-exact. Per-row
+   * stateless map, no shuffle: the 100 TB posture is trivially
+   * perfect (quantize rides the scan).
+   */
+  def quantizeInt8Stats(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val embD = transform(col(embCol), x => x.cast("double"))
+    corpus
+      .select(col(idCol).as("vec_id"), embD.as("xs"),
+        array_max(transform(col(embCol), x => abs(x.cast("double")))).as("am"))
+      .withColumn("qs",
+        when(col("am") === 0.0, transform(col("xs"), _ => lit(0L)))
+          .otherwise(transform(col("xs"),
+            x => floor(x * lit(127.0) / col("am") + lit(0.5)).cast("long"))))
+      .select(
+        col("vec_id"),
+        round(col("am") / lit(127.0), 6).as("scale6"),
+        aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("qs")).as("q_min"),
+        array_max(col("qs")).as("q_max"),
+        round(
+          when(col("am") === 0.0, lit(0.0)).otherwise(array_max(zip_with(col("xs"), col("qs"),
+            (x, q) => abs(x - q.cast("double") * col("am") / lit(127.0))))),
+          6).as("max_err6"))
+  }
+
   /** Exact-dot verification of candidate (doc_a, doc_b) pairs against
     * the normalized frame — shared by the banded and multi-probe
     * sign-LSH paths. */
@@ -384,27 +425,51 @@ object Similarity {
    * degenerate key (all-zero embeddings) fans out as join rows, not
    * one giant array — AQE's skew-join split applies; for planted
    * boilerplate cohorts run exact dedup first (same advice as x2).
+   *
+   * `probeRadius` widens the probe ring: radius 1 emits the `bits`
+   * single-bit flips (Lv et al.'s step-1 perturbation set), radius 2
+   * adds the C(bits, 2) two-bit flips, so a pair is a candidate iff
+   * some band agrees within hamming ≤ probeRadius. Per band that
+   * lifts P(candidate) from Σ_{k≤1} C(b,k) q^(b−k)(1−q)^k to the
+   * k ≤ 2 partial sum — at cos ≥ 0.9, bits=16/bands=8: per-pair
+   * recall ≈ 0.95 → ≈ 0.995 — while the probe-key explode grows from
+   * (1 + bits)× to (1 + bits + bits·(bits−1)/2)× (17× → 137× at
+   * bits=16: radius 2 buys the last half-nine with ~8× the shuffle
+   * volume of radius 1 — the knob exists so that trade is explicit,
+   * per query, instead of forcing more bands on every query).
+   * Asymmetry keeps the radius exact: only the RIGHT side carries
+   * flipped keys, so doc_b's key perturbed by k ≤ radius bits meets
+   * doc_a's base key iff hamming(a, b) = k — flip×flip never joins,
+   * so hamming 2·radius stays out.
    */
   def lshNearDupPairsMultiProbe(
       corpus: DataFrame,
       threshold: Double,
       bits: Int = 16,
       bands: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      probeRadius: Int = 1): DataFrame = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
+    require(probeRadius >= 1 && probeRadius <= 2,
+      s"probeRadius must be 1 or 2: $probeRadius")
     ensureRegistered(corpus)
     val v = graft.dedup.Dedup.materialize(normalized(corpus, "id", "emb"))
     val keyed = graft.dedup.Dedup.materialize(
       signBands(v, bits, bands, dim)
         .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "key"))))
     val base = keyed.select(col("doc_id"), col("band_idx"), col("key").as("probe"))
+    val masks: Seq[Long] =
+      (0 until bits).map(i => 1L << i) ++
+        (if (probeRadius >= 2)
+           for (i <- 0 until bits; j <- i + 1 until bits) yield (1L << i) | (1L << j)
+         else Seq.empty)
     val flips = keyed.select(col("doc_id"), col("band_idx"),
-      explode(array((0 until bits).map(i =>
-        col("key").bitwiseXOR(lit(1L << i))): _*)).as("probe"))
+      explode(array(masks.map(m => col("key").bitwiseXOR(lit(m))): _*)).as("probe"))
     // base keys join base ∪ probe keys of other docs: hamming-0 pairs
-    // meet base×base, hamming-1 pairs meet base×probe (twice, in both
-    // orientations — the < filter + distinct collapse them); probe×
-    // probe never joins a base, so hamming-2 stays out
+    // meet base×base, hamming-k (k ≤ radius) pairs meet base×probe
+    // (twice, in both orientations — the < filter + distinct collapse
+    // them); probe×probe never joins a base, so hamming > radius
+    // stays out
     val cands = base.select(col("doc_id").as("doc_a"), col("band_idx"), col("probe"))
       .join(base.select(col("doc_id").as("doc_b"), col("band_idx"), col("probe"))
           .unionByName(flips.select(col("doc_id").as("doc_b"), col("band_idx"), col("probe"))),

@@ -174,6 +174,54 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(packed.where(col("chunk_id") < 0).count() == 0 && bad >= 0)
   }
 
+  test("domain mixture: rates monotone in token mass, kept ⊆ domain, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CorpusQueries.mx1DomainMixture(spark, dir)
+      .select("source", "n_docs", "n_tokens", "rate_bp", "kept_docs", "kept_tokens")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nd, nt, rate, kd, kt) =>
+      assert(rate >= 0 && rate <= 10000, s"$src rate out of range: $rate")
+      assert(kd <= nd && kt <= nt, s"$src kept more than it had")
+      // rate is the pure per-domain function of the token mass
+      assert(rate == math.min(10000L,
+        math.floor(10000.0 * 30.0 / math.sqrt(nt.toDouble)).toLong), s"$src rate formula")
+    }
+    // heavier domains must be sampled at (weakly) lower rates
+    rows.sortBy(_._3).sliding(2).foreach {
+      case Seq((_, _, t1, r1, _, _), (_, _, t2, r2, _, _)) if t1 < t2 =>
+        assert(r1 >= r2, s"rate not monotone: $t1->$r1 vs $t2->$r2")
+      case _ => ()
+    }
+    // hash membership: rerun is identical
+    val again = CorpusQueries.mx1DomainMixture(spark, dir)
+      .select("source", "n_docs", "n_tokens", "rate_bp", "kept_docs", "kept_tokens")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.sortBy(_._1) == again.sortBy(_._1))
+  }
+
+  test("length buckets: distributed decomposition equals global ntile exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val got = CorpusQueries.pk2LengthBuckets(spark, dir)
+      .select("bucket", "n_docs", "min_tok", "max_tok", "sum_tok")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // the single-partition reference form the operator refuses to ship
+    val ref = graft.sources.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("bucket",
+        ntile(8).over(Window.orderBy(col("n_tok"), col("doc_id"))).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min("n_tok").as("min_tok"),
+        max("n_tok").as("max_tok"), sum("n_tok").as("sum_tok"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == ref)
+    // equal-frequency: bucket sizes differ by at most one
+    val sizes = got.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"not equal-frequency: $sizes")
+  }
+
   test("vocab top-k is deterministically ordered with tie-break on token") {
     val sf = "/root/testdata/sf0.001"
     val rows = CorpusQueries.v1VocabTopK(spark, sf, k = 20)

@@ -195,6 +195,43 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     // strictly improve recall (banded recalls 10/14 on this data)
     assert(probed.size > plain.size,
       s"probing added no recall: ${probed.size} vs ${plain.size}")
+    // radius 2 widens the ring: ⊇ radius 1, still ⊆ exact, same cosines
+    val r2 = Similarity.lshNearDupPairsMultiProbe(
+        e, threshold = 0.45, bits = 6, bands = 16, probeRadius = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(probed.keySet.subsetOf(r2.keySet),
+      s"radius 2 lost radius-1 pairs: ${probed.keySet -- r2.keySet}")
+    assert(r2.keySet.subsetOf(exact.keySet),
+      s"radius 2 emitted pairs the exact scan lacks: ${r2.keySet -- exact.keySet}")
+    r2.foreach { case (k, cos) => assert(cos == exact(k), s"cos mismatch at $k") }
+  }
+
+  test("int8 quantize: crafted codes, zero-vector guard, half-step error bound") {
+    val e = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8Stats(e)
+      .select("vec_id", "scale6", "q_sum", "q_min", "q_max", "max_err6")
+      .as[(Long, Double, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // absmax 1.0: q = [127, floor(-63.5+0.5)=-63, floor(31.75+0.5)=32, 0]
+    val (_, s1, qsum1, qmin1, qmax1, err1) = r(0)
+    assert(s1 == math.rint(1.0 / 127.0 * 1e6) / 1e6 || math.abs(s1 - 1.0 / 127.0) < 1e-6)
+    assert(qsum1 == 127L - 63L + 32L)
+    assert(qmin1 == -63L && qmax1 == 127L)
+    assert(err1 <= 0.5 / 127.0 + 1e-6, s"error above half step: $err1")
+    // zero vector: scale 0, all codes 0, zero error
+    assert(r(1) == ((2L, 0.0, 0L, 0L, 0L, 0.0)))
+    // real embeddings: codes within int8 range, error within half a step
+    val real = Similarity.quantizeInt8Stats(
+        graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings"))
+      .select("scale6", "q_min", "q_max", "max_err6")
+      .as[(Double, Long, Long, Double)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (s, qmin, qmax, err) =>
+      assert(qmin >= -127L && qmax <= 127L)
+      assert(err <= s / 2 + 1e-6, s"error $err above half step $s")
+    }
   }
 
   test("lsh hyperplanes are the pinned md5-parity derivation") {
