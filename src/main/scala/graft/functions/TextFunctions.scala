@@ -140,6 +140,11 @@ object TextFunctions {
   val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
   val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   val PhoneRe = "\\+?[0-9][0-9() \\-]{7,}[0-9]"
+  // street-number + 1-2 capitalized words + a street-type suffix;
+  // dialect-portable (no \b / lookaround) like the rest of the family
+  val AddressRe =
+    "[0-9]{1,5} [A-Z][a-z]+( [A-Z][a-z]+)? " +
+      "(Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr|Court|Ct|Place|Pl)\\.?"
 
   /** Count of pattern matches in the text (0 for none). Counts are per
     * pattern over the RAW text: an SSN-shaped run also matches the
@@ -159,6 +164,10 @@ object TextFunctions {
     val e = regexp_replace(text, EmailRe, "<EMAIL>")
     val s = regexp_replace(e, SsnRe, "<SSN>")
     val i = regexp_replace(s, Ipv4Re, "<IP>")
-    regexp_replace(i, PhoneRe, "<PHONE>")
+    val p = regexp_replace(i, PhoneRe, "<PHONE>")
+    // last: a street number is too short to have matched the phone
+    // pattern (≥ 9 chars) and carries no dashes/dots, so the earlier
+    // passes cannot have eaten part of an address
+    regexp_replace(p, AddressRe, "<ADDR>")
   }
 }

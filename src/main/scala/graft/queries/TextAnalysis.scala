@@ -66,6 +66,7 @@ object TextAnalysis {
       piiCount(col("text"), SsnRe).cast("long").as("n_ssns"),
       piiCount(col("text"), Ipv4Re).cast("long").as("n_ips"),
       piiCount(col("text"), PhoneRe).cast("long").as("n_phones"),
+      piiCount(col("text"), AddressRe).cast("long").as("n_addresses"),
       md5(piiScrub(col("text"))).as("scrub_md5"))
 
   // --- DuckDB twins -----------------------------------------------------
@@ -144,16 +145,19 @@ object TextAnalysis {
         val ssn = graft.functions.TextFunctions.SsnRe
         val ip = graft.functions.TextFunctions.Ipv4Re
         val phone = graft.functions.TextFunctions.PhoneRe
+        val addr = graft.functions.TextFunctions.AddressRe
         s"""SELECT doc_id,
            | len(regexp_extract_all(text, '$email'))::BIGINT AS n_emails,
            | len(regexp_extract_all(text, '$ssn'))::BIGINT AS n_ssns,
            | len(regexp_extract_all(text, '$ip'))::BIGINT AS n_ips,
            | len(regexp_extract_all(text, '$phone'))::BIGINT AS n_phones,
-           | md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           | len(regexp_extract_all(text, '$addr'))::BIGINT AS n_addresses,
+           | md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
            |   '$email', '<EMAIL>', 'g'),
            |   '$ssn', '<SSN>', 'g'),
            |   '$ip', '<IP>', 'g'),
-           |   '$phone', '<PHONE>', 'g')) AS scrub_md5
+           |   '$phone', '<PHONE>', 'g'),
+           |   '$addr', '<ADDR>', 'g')) AS scrub_md5
            |FROM documents""".stripMargin
       }
     )

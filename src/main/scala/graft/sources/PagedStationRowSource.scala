@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/**
+ * Paging-aware station backend — the second backend SHAPE next to the
+ * fetch-all-window clients (CDEC/NRCS/MesoWest): most public data
+ * services (NOAA CDO v2, Synoptic, USGS NWIS, ...) cap a response at
+ * `limit` records and hand the rest back through offset/limit paging,
+ * so a client that assumes one request per window silently truncates.
+ * This client speaks the generic offset/limit contract:
+ *
+ *   GET {endpoint}?station={id}&start=yyyy-MM-dd&stop=yyyy-MM-dd
+ *       &limit={pageLimit}&offset={n}
+ *   → {"count": <total matching records>,
+ *      "results": [{"date": "...", "value": <accum|null>}, ...]}
+ *
+ * with `offset` a 0-based record index and `results` ordered by date
+ * (the invariant offset paging needs: consecutive ordered pages
+ * concatenate to the ordered whole, so no cross-page sort — and no
+ * page-spanning materialization — is required). Values are daily
+ * ACCUMULATED precipitation like the rest of the family; empty/null
+ * values are missing days.
+ *
+ * Paging discipline (the part that matters at fleet scale):
+ *  - pages are pulled LAZILY ([[LazyList]]): a partition reader that
+ *    stops early (pushed ts upper bound, limit) never fetches the
+ *    tail pages, and per-task memory holds one page, not the window;
+ *  - a short page before `count` is reached fails LOUDLY — a service
+ *    that stops serving mid-scroll would otherwise look like a clean
+ *    short series and silently corrupt downstream storm totals;
+ *  - `maxPages` bounds the scroll against a service that keeps
+ *    producing (count drift, cursor bugs) — again an exception, not a
+ *    silent cap.
+ *
+ * Under the streaming source ([[StationTableProvider]]) this composes
+ * with admission control: `maxbatchstep` bounds how much EVENT TIME a
+ * micro-batch covers, `limit` bounds how many ROWS each HTTP response
+ * carries — a months-deep backfill is bounded in both dimensions, per
+ * trigger, per station.
+ */
+final class PagedStationRowSource(
+    endpoint: String,
+    pageLimit: Int = 1000,
+    maxPages: Int = 10000) extends StationRowSource {
+  require(pageLimit >= 1, s"pageLimit must be positive: $pageLimit")
+
+  def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow] = {
+    val (start, stop) = StationTimes.dateWindow(startUs, stopUs)
+    def page(offset: Int): (Int, Seq[StationRow]) = {
+      val url = s"$endpoint?station=$stationId&start=$start&stop=$stop" +
+        s"&limit=$pageLimit&offset=$offset"
+      val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(url)).GET()
+          .timeout(Duration.ofSeconds(60)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200, s"paged request failed (${resp.statusCode()}): $url")
+      parsePage(resp.body())
+    }
+    def scroll(offset: Int, pageNo: Int): LazyList[Seq[StationRow]] = {
+      val (count, rows) = page(offset)
+      val next = offset + rows.size
+      if (next < count && rows.isEmpty)
+        throw new IllegalStateException(
+          s"paged service returned a short page: $next of $count records at offset $offset")
+      if (pageNo >= maxPages && next < count)
+        throw new IllegalStateException(
+          s"paged scroll exceeded $maxPages pages with $next of $count records — " +
+            "raise maxPages or narrow the window")
+      if (next >= count) LazyList(rows)
+      else rows #:: scroll(next, pageNo + 1)
+    }
+    scroll(0, 1).flatten
+      .filter(r => r.tsMicros >= startUs && r.tsMicros <= stopUs)
+  }
+
+  /** One page: ("count": total, "results": ordered observations).
+    * Null/blank values are missing days, like the CDEC client. */
+  private[graft] def parsePage(body: String): (Int, Seq[StationRow]) = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fields = JsonMethods.parse(body) match {
+      case JObject(fs) => fs.toMap
+      case other => throw new IllegalArgumentException(s"unexpected paged payload: $other")
+    }
+    val count = fields.get("count") match {
+      case Some(JInt(n)) => n.toInt
+      case other => throw new IllegalArgumentException(s"paged payload lacks count: $other")
+    }
+    val results = fields.get("results") match {
+      case Some(JArray(xs)) => xs
+      case _ => Nil
+    }
+    val rows = results.flatMap { obs =>
+      val fs = obs match { case JObject(o) => o.toMap; case _ => Map.empty[String, JValue] }
+      fs.get("date").collect { case JString(s) => s }.map { d =>
+        val value: java.lang.Double = fs.get("value") match {
+          case Some(JDouble(v)) => v
+          case Some(JInt(v)) => v.toDouble
+          case Some(JDecimal(v)) => v.toDouble
+          case Some(JString(s)) if s.trim.nonEmpty =>
+            scala.util.Try(java.lang.Double.valueOf(s.trim)).getOrElse(null)
+          case _ => null
+        }
+        StationRow(StationTimes.parseMicros(d), value)
+      }
+    }
+    (count, rows)
+  }
+}
+
+object PagedStationRowSource {
+  /** No public default endpoint: the generic offset/limit contract is
+    * deployment-specific, so `endpoint` is a required option. */
+  val SourceName = "PAGED"
+}

@@ -103,6 +103,18 @@ object StationTimes {
   def parseStopMicros(s: String): Long =
     if (s.trim.contains(" ") || s.trim.contains("T")) parseMicros(s)
     else parseMicros(s) + 86400000000L - 1L
+
+  /** (startUs, stopUs) → inclusive yyyy-MM-dd request window, with the
+    * unbounded sentinels mapped to a wide-open range — the conversion
+    * every HTTP backend needs when building its request URL. */
+  def dateWindow(startUs: Long, stopUs: Long): (String, String) = {
+    import java.time.{Instant, LocalDate, ZoneOffset}
+    def dateOf(us: Long, default: LocalDate): LocalDate =
+      if (us == Long.MinValue || us == Long.MaxValue) default
+      else Instant.ofEpochSecond(us / 1000000L).atZone(ZoneOffset.UTC).toLocalDate
+    (dateOf(startUs, LocalDate.of(1900, 1, 1)).toString,
+      dateOf(stopUs, LocalDate.now(ZoneOffset.UTC)).toString)
+  }
 }
 
 /** Adapter lifting a row-level backend ([[StationRowSource]], shared

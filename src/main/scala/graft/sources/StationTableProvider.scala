@@ -79,9 +79,15 @@ object StationTable {
         new MesowestStationRowSource(
           opts.getOrElse("endpoint", MesowestStationRowSource.DefaultEndpoint),
           opts.getOrElse("token", "demotoken"))
+      case "PAGED" =>
+        new PagedStationRowSource(
+          opts.getOrElse("endpoint",
+            throw new IllegalArgumentException("graft-station PAGED source requires 'endpoint'")),
+          opts.get("pagelimit").map(_.toInt).getOrElse(1000))
       case other =>
         throw new IllegalArgumentException(
-          s"Datasource $other is not recognized. Valid options are: CDEC, CSV, MESOWEST, NRCS")
+          s"Datasource $other is not recognized. Valid options are: " +
+            "CDEC, CSV, MESOWEST, NRCS, PAGED")
     }
   }
 }

@@ -298,6 +298,104 @@ class StationSourcesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // --- paged offset/limit backend over a paging-aware loopback server ---
+
+  /** Loopback server speaking the PAGED contract: slices `records`
+    * (date → accum-or-null) by the request's start/stop/offset/limit
+    * and counts requests. `serveCount` overrides the reported total to
+    * simulate a lying/truncating service. */
+  private def withPagedServer[A](
+      records: Seq[(String, Option[Double])], serveCount: Option[Int] = None)(
+      f: (String, java.util.concurrent.atomic.AtomicInteger) => A): A = {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/page", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val q = ex.getRequestURI.getQuery.split("&").map(_.split("=", 2))
+        .map(kv => (kv(0), kv(1))).toMap
+      val window = records.filter { case (d, _) => d >= q("start") && d <= q("stop") }
+      val off = q("offset").toInt
+      val page = window.slice(off, off + q("limit").toInt)
+      val results = page.map { case (d, v) =>
+        s"""{"date":"$d","value":${v.map(_.toString).getOrElse("null")}}"""
+      }.mkString("[", ",", "]")
+      val body = s"""{"count":${serveCount.getOrElse(window.size)},"results":$results}"""
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/page", hits)
+    finally server.stop(0)
+  }
+
+  private val pagedDays = Seq(
+    "2022-12-01" -> Some(0.0), "2022-12-02" -> Some(0.4), "2022-12-03" -> None,
+    "2022-12-04" -> Some(1.0), "2022-12-05" -> Some(1.3))
+
+  test("paged client: scrolls every page in order; missing days stay null") {
+    withPagedServer(pagedDays) { (endpoint, hits) =>
+      val src = new graft.sources.PagedStationRowSource(endpoint, pageLimit = 2)
+      val rows = src.fetchRows("TUM",
+        graft.sources.StationTimes.parseMicros("2022-12-01"), graft.sources.StationTimes.parseStopMicros("2022-12-05"))
+      assert(rows.map(r => Option(r.accum).map(_.doubleValue())).toList ==
+        List(Some(0.0), Some(0.4), None, Some(1.0), Some(1.3)))
+      assert(rows.map(_.tsMicros).toList == rows.map(_.tsMicros).sorted.toList)
+      // 5 records at 2 per page: exactly 3 requests, no re-fetch
+      assert(hits.get() == 3, s"expected 3 page requests, saw ${hits.get()}")
+      // the request window narrows server-side before paging
+      val sub = src.fetchRows("TUM",
+        graft.sources.StationTimes.parseMicros("2022-12-04"), graft.sources.StationTimes.parseStopMicros("2022-12-05"))
+      assert(sub.map(_.accum.doubleValue()).toList == List(1.0, 1.3))
+    }
+  }
+
+  test("paged client: pages pull lazily — an early-stopping consumer skips the tail") {
+    withPagedServer(pagedDays) { (endpoint, hits) =>
+      val src = new graft.sources.PagedStationRowSource(endpoint, pageLimit = 2)
+      val first2 = src.fetchRows("TUM",
+          graft.sources.StationTimes.parseMicros("2022-12-01"), graft.sources.StationTimes.parseStopMicros("2022-12-05"))
+        .iterator.take(2).toList
+      assert(first2.size == 2)
+      assert(hits.get() == 1, s"early stop should fetch 1 page, saw ${hits.get()}")
+    }
+  }
+
+  test("paged client: a service that stops short of its own count fails loudly") {
+    withPagedServer(pagedDays, serveCount = Some(10)) { (endpoint, _) =>
+      val src = new graft.sources.PagedStationRowSource(endpoint, pageLimit = 2)
+      val e = intercept[IllegalStateException] {
+        src.fetchRows("TUM", Long.MinValue, Long.MaxValue).toList
+      }
+      assert(e.getMessage.contains("short page"), e.getMessage)
+    }
+  }
+
+  test("PAGED through DSv2: paged fetch feeds the scan; increments recover dailies") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    withPagedServer(pagedDays) { (endpoint, hits) =>
+      val accum = spark.read.format("graft-station")
+        .option("source", "PAGED").option("endpoint", endpoint)
+        .option("pagelimit", "2")
+        .option("stations", "TUM")
+        .option("start", "2022-12-01").option("stop", "2022-12-05")
+        .load()
+      val rows = accum.orderBy("ts").collect()
+      assert(rows.length == 5)
+      val diffs = accum.select(col("ts"),
+          (col("accum") - lag(col("accum"), 1)
+            .over(Window.partitionBy("station_id").orderBy("ts"))).as("value"))
+        .orderBy("ts").collect().map(r => Option(r.get(1)))
+      // head diff null; diffs across the missing day are null (pandas)
+      val rounded = diffs.toList.map(_.map(v => math.rint(v.asInstanceOf[Double] * 10) / 10))
+      assert(rounded == List(None, Some(0.4), None, None, Some(0.3)))
+      assert(hits.get() >= 3)
+    }
+  }
+
   test("accumulated precip becomes increments; storms detected end-to-end") {
     val ts = StationSources.fromStation(registry, spark, "TUM",
       "2022-12-01", "2022-12-31", source = "NRCS")

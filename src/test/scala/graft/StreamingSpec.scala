@@ -365,6 +365,57 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("station readStream over PAGED: admitted window bounds event time, paging bounds each fetch") {
+    // loopback offset/limit server: 10 daily records, 3 per page
+    val days = (1 to 10).map(d => (f"2022-12-$d%02d", d * 0.1))
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/page", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val q = ex.getRequestURI.getQuery.split("&").map(_.split("=", 2))
+        .map(kv => (kv(0), kv(1))).toMap
+      val window = days.filter { case (d, _) => d >= q("start") && d <= q("stop") }
+      val page = window.slice(q("offset").toInt, q("offset").toInt + q("limit").toInt)
+      val results = page.map { case (d, v) => s"""{"date":"$d","value":$v}""" }
+        .mkString("[", ",", "]")
+      val body = s"""{"count":${window.size},"results":$results}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val q = spark.readStream.format("graft-station")
+        .option("source", "PAGED")
+        .option("endpoint", s"http://127.0.0.1:${server.getAddress.getPort}/page")
+        .option("pagelimit", "3")
+        .option("stations", "TUM")
+        .option("start", "2022-12-01").option("stop", "2022-12-10")
+        .option("maxbatchstep", "4D")
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = df.count()
+          batches.synchronized { batches += n }
+          ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        val counts = batches.synchronized(batches.filter(_ > 0).toSeq)
+        // 10 daily rows, at most 4 event-time days admitted per trigger
+        assert(counts.sum == 10, counts)
+        assert(counts == Seq(4L, 4L, 2L), counts)
+        // each 4-day batch pages at 3 rows/request: 2 requests for the
+        // 4-row windows, 1 for the 2-row tail → strictly more requests
+        // than batches, none exceeding the page limit
+        assert(hits.get() >= 5, s"paging inside batches not engaged: ${hits.get()} requests")
+      } finally q.stop()
+    } finally server.stop(0)
+  }
+
   test("station readStream → increments → storms: continuous from_station end-to-end") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

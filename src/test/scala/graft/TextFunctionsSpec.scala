@@ -78,6 +78,13 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(one[Int](piiCount(col("text"), PhoneRe), ssn) == 1)
     val sScrub = one[String](piiScrub(col("text")), ssn)
     assert(sScrub == "id <SSN> on file", sScrub)
+    // street addresses: number + capitalized name(s) + suffix, with
+    // and without the abbreviation period; lowercase words don't match
+    val addr = "ship to 1234 Elm Street or 99 Mountain View Rd. today"
+    assert(one[Int](piiCount(col("text"), AddressRe), addr) == 2)
+    val aScrub = one[String](piiScrub(col("text")), addr)
+    assert(aScrub == "ship to <ADDR> or <ADDR> today", aScrub)
+    assert(one[Int](piiCount(col("text"), AddressRe), "10 downtown st corner") == 0)
   }
 
   test("repetition ratio: repeated 3-grams raise it; short and clean docs are 0") {
