@@ -58,6 +58,49 @@ object TextAnalysis {
       round(repetitionRatio(col("text")), 6).as("rep_ratio"))
   }
 
+  /** Stopword-presence list for the Gopher R5 rule ("contains at
+    * least two distinct stopwords"). The paper's own list (the, be,
+    * to, of, and, that, have, with — Rae et al. 2021 §A1.1) is tuned
+    * for web English; the engine keys the rule off its shared
+    * [[graft.functions.TextFunctions.EnStopwords]] list so the rule
+    * and the t2 stopword-ratio signal agree on what a stopword is —
+    * the LIST is configuration, the RULE (≥ 2 distinct present) is
+    * Gopher's. */
+  private val GopherStops = graft.functions.TextFunctions.EnStopwords
+
+  /** Gopher document-filter rules (Rae et al. 2021, appendix A1.1) as
+    * a per-doc rule audit + keep decision: word count in [50, 100k],
+    * mean word length in [3, 10], symbol-to-word ratio ≤ 0.1 (# and
+    * ellipsis), ≥ 80% of words contain an alphabetic character, and
+    * ≥ 2 distinct stopwords present. (The bullet/ellipsis LINE-ratio
+    * rules need line structure the corpus lacks — no newlines — and
+    * are deliberately out.) Pure per-row map like the rest of the
+    * layer; the keep predicate compares the identical IEEE quotients
+    * in both engines, so the boolean is portable without margins. */
+  def t7GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val nW = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+    val meanLen = when(nW === 0, lit(0.0)).otherwise(sumLen.cast("double") / nW)
+    val alphaRatio = when(nW === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nW)
+    val symRatio = when(nW === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("double") / nW)
+    val stopKinds = GopherStops.map(w =>
+      when(array_contains(toks, w), 1L).otherwise(0L)).reduce(_ + _)
+    docs(spark, dir).select(
+      col("doc_id"),
+      nW.as("n_words"),
+      round(meanLen, 6).as("mean_word_len6"),
+      round(alphaRatio, 6).as("alpha_ratio6"),
+      round(symRatio, 6).as("symbol_ratio6"),
+      stopKinds.as("n_stop_kinds"),
+      (nW >= 50 && nW <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symRatio <= 0.1 && alphaRatio >= 0.8 &&
+        stopKinds >= 2).as("keep"))
+  }
+
   /** PII counts + redacted-text digest (pre-packing scrub pass). */
   def t6PiiScrub(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
@@ -138,6 +181,37 @@ object TextAnalysis {
            | ROUND(CASE WHEN len(sh) <= 0 THEN 0.0
            |   ELSE 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) END, 6) AS rep_ratio
            |FROM (SELECT doc_id, $shinglesSql AS sh FROM documents)""".stripMargin,
+      "t7_gopher_rules" -> {
+        val lowToks =
+          """CASE WHEN length(trim(lower(text))) = 0 THEN []
+            | ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+        val stopsSum = GopherStops
+          .map(w => s"CAST(list_contains(toks, '$w') AS BIGINT)").mkString(" + ")
+        s"""WITH d AS (SELECT doc_id, text, $lowToks AS toks FROM documents),
+           |m AS (SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_words,
+           |  CASE WHEN len(toks) = 0 THEN 0.0
+           |    ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           |         / len(toks) END AS mean_len,
+           |  CASE WHEN len(toks) = 0 THEN 0.0
+           |    ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           |         / len(toks) END AS alpha_ratio,
+           |  CASE WHEN len(toks) = 0 THEN 0.0
+           |    ELSE CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+           |         / len(toks) END AS sym_ratio,
+           |  CAST($stopsSum AS BIGINT) AS n_stop_kinds
+           | FROM d)
+           |SELECT doc_id, n_words,
+           |  ROUND(mean_len, 6) AS mean_word_len6,
+           |  ROUND(alpha_ratio, 6) AS alpha_ratio6,
+           |  ROUND(sym_ratio, 6) AS symbol_ratio6,
+           |  n_stop_kinds,
+           |  (n_words >= 50 AND n_words <= 100000
+           |   AND mean_len >= 3.0 AND mean_len <= 10.0
+           |   AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8
+           |   AND n_stop_kinds >= 2) AS keep
+           |FROM m""".stripMargin
+      },
       "t6_pii_scrub" -> {
         // DuckDB single-quoted literals pass backslashes through
         // verbatim, so the Scala pattern strings interpolate as-is
@@ -169,6 +243,7 @@ object TextAnalysis {
     "t3_lang_id" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_repetition" -> (t5Repetition _),
-    "t6_pii_scrub" -> (t6PiiScrub _)
+    "t6_pii_scrub" -> (t6PiiScrub _),
+    "t7_gopher_rules" -> (t7GopherRules _)
   )
 }

@@ -437,6 +437,12 @@ object Similarity {
    * bits=16: radius 2 buys the last half-nine with ~8× the shuffle
    * volume of radius 1 — the knob exists so that trade is explicit,
    * per query, instead of forcing more bands on every query).
+   * Spend the radius to CUT bands (index width), not stacked on top:
+   * bands=4/radius=2 probes ~110M keys at 200k vectors where
+   * bands=8/radius=2 probes 219M and its candidate join spills
+   * multiples of that (measured in ScaleSmoke — the stacked form
+   * exhausted a 75 GB spill volume that the halved-bands form
+   * handles comfortably).
    * Asymmetry keeps the radius exact: only the RIGHT side carries
    * flipped keys, so doc_b's key perturbed by k ≤ radius bits meets
    * doc_a's base key iff hamming(a, b) = k — flip×flip never joins,

@@ -270,6 +270,21 @@ object ScaleSmoke {
       }
       println(f"SCALE x8 recall vs exact: $probedPairs/$exactPairs = " +
         f"${if (exactPairs > 0) probedPairs.toDouble / exactPairs else 0.0}%.3f")
+      // radius-2 ring at HALF the bands — the trade the knob exists
+      // for: radius 2 spends probe keys ((1+16+120)× per band) to buy
+      // back index width (bands 8 → 4, comparable theoretical recall
+      // at cos 0.9). Radius 2 STACKED on bands=8 is the documented
+      // heavy end: 219M probe keys whose candidate join spilled past
+      // this box's disk — measured, which is exactly why the scaladoc
+      // says "fewer bands at higher recall", not "more of both".
+      var probed2 = 0L
+      timed("x9_probe2_b4_200k_pairs", runs = 1) {
+        probed2 = Sim.lshNearDupPairsMultiProbe(
+          e, threshold = 0.9, bands = 4, probeRadius = 2).count()
+        probed2
+      }
+      println(f"SCALE x9 (bands=4, radius 2) recall vs exact: $probed2/$exactPairs = " +
+        f"${if (exactPairs > 0) probed2.toDouble / exactPairs else 0.0}%.3f")
     }
     spark.stop()
   }

@@ -87,6 +87,28 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(one[Int](piiCount(col("text"), AddressRe), "10 downtown st corner") == 0)
   }
 
+  test("gopher rules: keep decision matches a row-by-row recompute; both outcomes occur") {
+    val rows = graft.queries.TextAnalysis.t7GopherRules(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_words", "mean_word_len6", "alpha_ratio6",
+        "symbol_ratio6", "n_stop_kinds", "keep")
+      .collect()
+    assert(rows.nonEmpty)
+    val keeps = rows.count(_.getBoolean(6))
+    assert(keeps > 0 && keeps < rows.length,
+      s"no filtering signal: $keeps of ${rows.length} kept")
+    rows.foreach { r =>
+      val expect = r.getLong(1) >= 50 && r.getLong(1) <= 100000 &&
+        r.getDouble(2) >= 3.0 && r.getDouble(2) <= 10.0 &&
+        r.getDouble(4) <= 0.1 && r.getDouble(3) >= 0.8 && r.getLong(5) >= 2
+      // rounded columns can disagree with the unrounded predicate only
+      // within 5e-7 of a boundary — assert consistency away from it
+      val nearBoundary = Seq(3.0, 10.0).exists(b => math.abs(r.getDouble(2) - b) < 1e-6) ||
+        math.abs(r.getDouble(4) - 0.1) < 1e-6 || math.abs(r.getDouble(3) - 0.8) < 1e-6
+      if (!nearBoundary)
+        assert(r.getBoolean(6) == expect, s"keep mismatch at doc ${r.getLong(0)}: $r")
+    }
+  }
+
   test("repetition ratio: repeated 3-grams raise it; short and clean docs are 0") {
     // "a b c" cycled 3x: 7 shingles, 3 distinct → 1 − 3/7
     val cycled = "a b c a b c a b c"
