@@ -522,6 +522,114 @@ object SignBandKeys {
       s"graft_sign_bands: embedding length $got != dim=$dim")
 }
 
+/**
+ * QUERY-ADAPTIVE sign-LSH probe keys in one pass:
+ * `graft_sign_bands_adaptive(emb, bits, bands, dim, probes)` →
+ * array<long> of `bands · (1 + probes)` keys laid out per band as
+ * [base key, probe key 1, ..., probe key `probes`], where probe key t
+ * is the base key with its t-th MOST-MARGINAL bit flipped — the bit
+ * whose projection magnitude |s_i| is t-th smallest (ties broken by
+ * bit index, so the ordering is total and engine-portable).
+ *
+ * This is Lv et al.'s (VLDB'07) query-directed probing applied to
+ * Charikar sign bands: a near-neighbor that lands one bit away from
+ * the query's bucket almost always differs in a bit whose projection
+ * sat near the hyperplane, so probing the `probes` most-marginal
+ * flips recovers most of radius-1's recall at `probes`/`bits` of its
+ * key fan-out. The projections are the SAME left-to-right
+ * accumulations [[SignBandKeys]] computes (bit-identical contract
+ * with the DuckDB twin — ranking by |s| is portable because both
+ * engines rank identical doubles).
+ */
+case class SignBandKeysAdaptive(
+    child: Expression, bits: Int, bands: Int, dim: Int, probes: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
+  require(bands >= 1, s"bands must be >= 1: $bands")
+  require(dim >= 1 && dim <= 64, s"dim must be in [1, 64] (packed sign planes): $dim")
+  require(probes >= 1 && probes <= bits, s"probes must be in [1, bits]: $probes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sign_bands_adaptive"
+
+  @transient private lazy val planes: Array[Long] =
+    SignBandKeys.packedPlanes(bits * bands, dim)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    SignBandKeys.checkLen(emb.numElements(), dim)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      SignBandKeysAdaptive.compute(
+        Array.tabulate(dim)(emb.getDouble), planes, bits, bands, probes))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("signPlanesA", planes, "long[]")
+    nullSafeCodeGen(ctx, ev, emb => {
+      s"""
+         |graft.functions.SignBandKeys.checkLen($emb.numElements(), $dim);
+         |double[] gsbaEmb = new double[$dim];
+         |for (int d = 0; d < $dim; d++) gsbaEmb[d] = $emb.getDouble(d);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.SignBandKeysAdaptive.compute(
+         |    gsbaEmb, $planesRef, $bits, $bands, $probes));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBandKeysAdaptive =
+    copy(child = newChild)
+}
+
+object SignBandKeysAdaptive {
+  /** Shared by eval and generated code (the selection loop is not
+    * worth inlining into janino — one JVM-compiled method keeps the
+    * generated method tiny and the hot loop JIT-optimized). */
+  def compute(
+      emb: Array[Double], planes: Array[Long],
+      bits: Int, bands: Int, probes: Int): Array[Long] = {
+    val dim = emb.length
+    val out = new Array[Long](bands * (1 + probes))
+    val margin = new Array[Double](bits)
+    val order = new Array[Int](bits)
+    var j = 0
+    while (j < bands) {
+      var key = 0L
+      var i = 0
+      while (i < bits) {
+        val p = planes(j * bits + i)
+        var s = 0.0
+        var d = 0
+        while (d < dim) {
+          s += (if (((p >> d) & 1L) == 1L) emb(d) else -emb(d))
+          d += 1
+        }
+        if (s >= 0) key |= (1L << i)
+        margin(i) = if (s >= 0) s else -s
+        order(i) = i
+        i += 1
+      }
+      // partial selection sort: the `probes` smallest (|s|, bit) pairs
+      var t = 0
+      while (t < probes) {
+        var best = t
+        var u = t + 1
+        while (u < bits) {
+          if (margin(order(u)) < margin(order(best)) ||
+            (margin(order(u)) == margin(order(best)) && order(u) < order(best))) best = u
+          u += 1
+        }
+        val tmp = order(t); order(t) = order(best); order(best) = tmp
+        out(j * (1 + probes) + 1 + t) = key ^ (1L << order(t))
+        t += 1
+      }
+      out(j * (1 + probes)) = key
+      j += 1
+    }
+    out
+  }
+}
+
 /** Extension entry point: `spark.sql.extensions=graft.functions.GraftExtensions`
   * makes the graft_* functions available in SQL and via `call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -555,7 +663,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_sign_bands"),
       new ExpressionInfo(classOf[SignBandKeys].getName, "graft_sign_bands"),
       (children: Seq[Expression]) => SignBandKeys(children.head,
-        intLiteral(children(1)), intLiteral(children(2)), intLiteral(children(3)))))
+        intLiteral(children(1)), intLiteral(children(2)), intLiteral(children(3)))),
+    (FunctionIdentifier("graft_sign_bands_adaptive"),
+      new ExpressionInfo(classOf[SignBandKeysAdaptive].getName, "graft_sign_bands_adaptive"),
+      (children: Seq[Expression]) => SignBandKeysAdaptive(children.head,
+        intLiteral(children(1)), intLiteral(children(2)), intLiteral(children(3)),
+        intLiteral(children(4)))))
 
   /** bits/bands/dim arrive as foldable literals. */
   private def intLiteral(e: Expression): Int = e.eval(null) match {

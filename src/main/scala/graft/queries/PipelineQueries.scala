@@ -49,6 +49,11 @@ object PipelineQueries {
     "x9_lsh_probe2" -> ((s, dir) =>
       Similarity.lshNearDupPairsMultiProbe(
         embs(s, dir), threshold = 0.45, bits = 6, bands = 16, probeRadius = 2)),
+    // query-adaptive probing: only the 2 most-marginal bits per band
+    // probe — between x6's and x8's recall at a 3×-not-7× explode
+    "x10_lsh_adaptive" -> ((s, dir) =>
+      Similarity.lshNearDupPairsAdaptive(
+        embs(s, dir), threshold = 0.45, bits = 6, bands = 16, probes = 2)),
     // per-vector int8 absmax quantization audit — stateless map over
     // the scan, exact-int + order-independent-max outputs only
     "e1_quantize" -> ((s, dir) => Similarity.quantizeInt8Stats(embs(s, dir))),
@@ -346,6 +351,41 @@ object PipelineQueries {
          |  FROM bx a JOIN bx b
          |  ON a.band_idx = b.band_idx AND a.vec_id < b.vec_id
          |  AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+         |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM (
+         |  SELECT id_a, id_b, ${dotSql("va.emb", "vb.emb")} AS cos
+         |  FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id)
+         |WHERE cos >= 0.45""".stripMargin,
+    // mirrors the adaptive construction: per-(vec, plane) projections,
+    // base buckets, the 2 most-marginal bit flips per band ranked by
+    // (|proj|, bit) — the same total order the kernel uses — then the
+    // asymmetric base×(base ∪ probes) join normalized by
+    // LEAST/GREATEST (probe sets differ per row, so a one-sided match
+    // may appear in only one orientation)
+    "x10_lsh_adaptive" ->
+      s"""WITH $vNormCte,
+         |pj AS (SELECT vec_id, k, ${dotSql("emb",
+        """list_transform(generate_series(0, 63),
+          |    d -> CASE WHEN (strpos('0123456789abcdef',
+          |           substr(md5(k::VARCHAR || ':' || d::VARCHAR), 1, 1)) - 1) % 2 = 1
+          |         THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)""".stripMargin)} AS proj
+         |  FROM v, (SELECT unnest(generate_series(0, 95)) AS k)),
+         |bA AS (SELECT vec_id, k // 6 AS band_idx,
+         |   CAST(sum(CASE WHEN proj >= 0 THEN power(2, k % 6) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pj GROUP BY 1, 2),
+         |pr AS (SELECT vec_id, band_idx, bitpos FROM (
+         |   SELECT vec_id, k // 6 AS band_idx, k % 6 AS bitpos,
+         |     row_number() OVER (PARTITION BY vec_id, k // 6
+         |       ORDER BY abs(proj), k % 6) AS rk
+         |   FROM pj) WHERE rk <= 2),
+         |fl AS (SELECT p.vec_id, p.band_idx,
+         |   xor(b.bucket, CAST(power(2, p.bitpos) AS BIGINT)) AS probe
+         |  FROM pr p JOIN bA b USING (vec_id, band_idx)),
+         |rs AS (SELECT vec_id, band_idx, bucket AS probe FROM bA
+         |       UNION ALL SELECT vec_id, band_idx, probe FROM fl),
+         |cand AS (SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS id_a,
+         |    GREATEST(a.vec_id, b.vec_id) AS id_b
+         |  FROM bA a JOIN rs b ON a.band_idx = b.band_idx AND a.bucket = b.probe
+         |    AND a.vec_id <> b.vec_id)
          |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM (
          |  SELECT id_a, id_b, ${dotSql("va.emb", "vb.emb")} AS cos
          |  FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id)

@@ -484,4 +484,61 @@ object Similarity {
       .select(col("doc_a"), col("doc_b")).distinct()
     verifyPairs(v, cands, threshold)
   }
+
+  /**
+   * QUERY-ADAPTIVE multi-probe sign-LSH (Lv et al. VLDB'07, the
+   * query-directed perturbation sequence): instead of probing ALL
+   * `bits` single-bit flips per band ([[lshNearDupPairsMultiProbe]]),
+   * probe only the `probes` MOST-MARGINAL bits — the ones whose
+   * projection landed nearest the hyperplane, which are overwhelmingly
+   * the bits a true near-neighbor differs in. Recovers most of
+   * radius-1's recall at `probes`/`bits` of its key fan-out: the
+   * explode is (1 + probes)× instead of (1 + bits)× (at bits=16,
+   * probes=2: 3× vs 17× — a 5.7× smaller candidate shuffle for the
+   * same index width).
+   *
+   * Candidate semantics: a pair is a candidate iff some band has
+   * hamming(key_a, key_b) = 0, or = 1 with the differing bit among
+   * EITHER row's probe set. Probe sets are asymmetric (each row ranks
+   * its own margins), so a one-sided match may surface in only one
+   * join orientation — pairs are normalized via least/greatest rather
+   * than filtered by `doc_a < doc_b`, which would silently drop the
+   * orientation the probing found. `probes = bits` degenerates to
+   * exactly radius-1 multi-probe (property-tested). Probe selection
+   * is a total order on (|projection|, bit index), so the key set —
+   * and the DuckDB twin that mirrors it — is engine-portable under
+   * the same left-to-right accumulation contract as [[signBands]].
+   * Emitted pairs are exact-verified as always.
+   */
+  def lshNearDupPairsAdaptive(
+      corpus: DataFrame,
+      threshold: Double,
+      bits: Int = 16,
+      bands: Int = 8,
+      dim: Int = 64,
+      probes: Int = 2): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
+    require(probes >= 1 && probes <= bits, s"probes must be in [1, bits]: $probes")
+    ensureRegistered(corpus)
+    val v = graft.dedup.Dedup.materialize(normalized(corpus, "id", "emb"))
+    val stride = 1 + probes
+    val keyed = graft.dedup.Dedup.materialize(
+      v.select(col("id").as("doc_id"),
+        call_function("graft_sign_bands_adaptive",
+          col("emb"), lit(bits), lit(bands), lit(dim), lit(probes)).as("keys"))
+        .select(col("doc_id"), posexplode(col("keys")).as(Seq("idx", "probe")))
+        .withColumn("band_idx", floor(col("idx") / stride).cast("long"))
+        .withColumn("is_base", col("idx") % stride === 0))
+    val base = keyed.where(col("is_base"))
+      .select(col("doc_id"), col("band_idx"), col("probe"))
+    val withProbes = keyed.select(col("doc_id"), col("band_idx"), col("probe"))
+    val cands = base.select(col("doc_id").as("doc_a"), col("band_idx"), col("probe"))
+      .join(withProbes.select(col("doc_id").as("doc_b"), col("band_idx"), col("probe")),
+        Seq("band_idx", "probe"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    verifyPairs(v, cands, threshold)
+  }
 }

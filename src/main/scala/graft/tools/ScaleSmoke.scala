@@ -270,6 +270,15 @@ object ScaleSmoke {
       }
       println(f"SCALE x8 recall vs exact: $probedPairs/$exactPairs = " +
         f"${if (exactPairs > 0) probedPairs.toDouble / exactPairs else 0.0}%.3f")
+      // query-adaptive probing: 2 most-marginal flips per band — the
+      // cheap recall lever (3× key fan-out vs radius-1's 17×)
+      var adaptPairs = 0L
+      timed("x10_adaptive200k_pairs", runs = 1) {
+        adaptPairs = Sim.lshNearDupPairsAdaptive(e, threshold = 0.9, probes = 2).count()
+        adaptPairs
+      }
+      println(f"SCALE x10 (probes=2) recall vs exact: $adaptPairs/$exactPairs = " +
+        f"${if (exactPairs > 0) adaptPairs.toDouble / exactPairs else 0.0}%.3f")
       // radius-2 ring at HALF the bands — the trade the knob exists
       // for: radius 2 spends probe keys ((1+16+120)× per band) to buy
       // back index width (bands 8 → 4, comparable theoretical recall

@@ -206,6 +206,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     r2.foreach { case (k, cos) => assert(cos == exact(k), s"cos mismatch at $k") }
   }
 
+  test("adaptive probing: between banded and radius-1; probes=bits degenerates to radius-1") {
+    import graft.sources.Tables
+    val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
+    val exact = Similarity.nearDupPairs(e, threshold = 0.45)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val banded = Similarity.lshNearDupPairs(e, threshold = 0.45, bits = 6, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = Similarity.lshNearDupPairsMultiProbe(e, threshold = 0.45, bits = 6, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adaptive = Similarity.lshNearDupPairsAdaptive(
+        e, threshold = 0.45, bits = 6, bands = 16, probes = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // banded ⊆ adaptive ⊆ radius-1 ⊆ exact, with exact cosines
+    assert(banded.subsetOf(adaptive.keySet),
+      s"adaptive lost banded pairs: ${banded -- adaptive.keySet}")
+    assert(adaptive.keySet.subsetOf(r1),
+      s"adaptive emitted pairs radius-1 lacks: ${adaptive.keySet -- r1}")
+    assert(adaptive.keySet.subsetOf(exact.keySet))
+    adaptive.foreach { case (k, cos) => assert(cos == exact(k), s"cos mismatch at $k") }
+    // probing every bit IS radius-1 multi-probe
+    val full = Similarity.lshNearDupPairsAdaptive(
+        e, threshold = 0.45, bits = 6, bands = 16, probes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == r1, s"probes=bits != radius-1: ${(full -- r1) ++ (r1 -- full)}")
+  }
+
   test("int8 quantize: crafted codes, zero-vector guard, half-step error bound") {
     val e = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),

@@ -128,6 +128,45 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(native == composed)
   }
 
+  test("graft_sign_bands_adaptive: base keys match, probes are the most-marginal flips") {
+    import graft.similarity.Similarity
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val bits = 7
+    val bands = 3
+    val probes = 2
+    val vecs = (0L until 48L).map { id =>
+      (id, Array.fill(dim)((rnd.nextDouble() - 0.5) * 2.0))
+    }
+    val df = vecs.toDF("id", "emb")
+    val got = df.select(col("id"),
+        call_function("graft_sign_bands_adaptive",
+          col("emb"), lit(bits), lit(bands), lit(dim), lit(probes)).as("keys"))
+      .orderBy("id").as[(Long, Seq[Long])].collect().toMap
+    val base = Similarity.signBands(
+        df.select(col("id"), col("emb")), bits, bands, dim)
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toMap
+    val stride = 1 + probes
+    vecs.foreach { case (id, emb) =>
+      val keys = got(id)
+      assert(keys.size == bands * stride)
+      // Scala-side recompute of each band's margins from the pinned planes
+      (0 until bands).foreach { j =>
+        assert(keys(j * stride) == base(id)(j), s"base key mismatch id=$id band=$j")
+        val margins = (0 until bits).map { i =>
+          val plane = Similarity.lshPlane(j * bits + i, dim)
+          val s = (0 until dim).foldLeft(0.0)((acc, d) => acc + emb(d) * plane(d))
+          (math.abs(s), i)
+        }.sorted
+        (0 until probes).foreach { t =>
+          val expect = base(id)(j) ^ (1L << margins(t)._2)
+          assert(keys(j * stride + 1 + t) == expect,
+            s"probe $t mismatch id=$id band=$j")
+        }
+      }
+    }
+  }
+
   test("graft_sign_bands fails loudly on wrong-length embeddings") {
     val bad = Seq((0L, Array(1.0, 2.0))).toDF("id", "emb")
     val e = intercept[Exception] {
