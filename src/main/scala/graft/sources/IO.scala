@@ -64,4 +64,31 @@ object IO {
     * per file; within-file parallelism comes from file count). */
   def writeJsonlDocs(docs: DataFrame, path: String): Unit =
     docs.write.mode("overwrite").option("compression", "gzip").json(path)
+
+  /** Globally-ordered shard export: `shards` parquet files whose key
+    * ranges are disjoint and ascending — file i holds keys strictly
+    * below every key in file i+1, rows sorted within each file. The
+    * layout a training job wants for sequential shard reads (and the
+    * only way "globally sorted" scales: range-partition + local sort,
+    * never a single-partition global sort — Spark samples the key
+    * distribution to place the range boundaries, so shards are
+    * near-equal-sized under skew).
+    *
+    * Returns the per-shard (file, min_key, max_key, rows) manifest,
+    * computed from the written files (not the plan), so callers can
+    * assert the disjoint-ascending contract and route readers to the
+    * right shard without opening the others. */
+  def writeSortedShards(
+      df: DataFrame, keyCol: String, path: String, shards: Int): DataFrame = {
+    df.repartitionByRange(shards, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(keyCol).as("k"))
+      .groupBy(col("file"))
+      .agg(min(col("k")).as("min_key"), max(col("k")).as("max_key"),
+        count(lit(1)).as("rows"))
+      .orderBy(col("min_key"))
+  }
 }

@@ -117,3 +117,94 @@ object PagedStationRowSource {
     * deployment-specific, so `endpoint` is a required option. */
   val SourceName = "PAGED"
 }
+
+/**
+ * Cursor-token paging variant of [[PagedStationRowSource]] — the
+ * OTHER common scroll contract (Elasticsearch-style scrolls, DynamoDB
+ * LastEvaluatedKey, most "nextPageToken" REST APIs): no total count is
+ * advertised; each page carries an opaque continuation token and the
+ * scroll ends when the token is absent:
+ *
+ *   GET {endpoint}?station={id}&start=...&stop=...&limit={n}[&cursor={token}]
+ *   → {"results": [...], "next": "<token>"}        (more pages)
+ *   → {"results": [...]}  or  {"next": null}        (last page)
+ *
+ * Same discipline as the offset form: lazy page pulls, `maxPages`
+ * runaway guard — and because no count exists to check short pages
+ * against, the truncation guard becomes a NON-ADVANCING-CURSOR check:
+ * a service that returns the same token twice (or a token with an
+ * empty page and more promised) would loop or silently stall, so both
+ * fail loudly instead. Selected via `.option("paging", "cursor")` on
+ * the `PAGED` DSv2 source.
+ */
+final class CursorPagedStationRowSource(
+    endpoint: String,
+    pageLimit: Int = 1000,
+    maxPages: Int = 10000) extends StationRowSource {
+  require(pageLimit >= 1, s"pageLimit must be positive: $pageLimit")
+
+  def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow] = {
+    val (start, stop) = StationTimes.dateWindow(startUs, stopUs)
+    def page(cursor: Option[String]): (Option[String], Seq[StationRow]) = {
+      val cur = cursor.map(c =>
+        "&cursor=" + java.net.URLEncoder.encode(c, "UTF-8")).getOrElse("")
+      val url = s"$endpoint?station=$stationId&start=$start&stop=$stop" +
+        s"&limit=$pageLimit$cur"
+      val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(url)).GET()
+          .timeout(Duration.ofSeconds(60)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200, s"cursor-paged request failed (${resp.statusCode()}): $url")
+      parseCursorPage(resp.body())
+    }
+    def scroll(cursor: Option[String], pageNo: Int): LazyList[Seq[StationRow]] = {
+      val (next, rows) = page(cursor)
+      if (next.isDefined && next == cursor)
+        throw new IllegalStateException(
+          s"cursor-paged service did not advance: cursor ${next.get} returned itself")
+      if (next.isDefined && rows.isEmpty)
+        throw new IllegalStateException(
+          "cursor-paged service promised more pages but returned an empty one")
+      if (pageNo >= maxPages && next.isDefined)
+        throw new IllegalStateException(
+          s"cursor scroll exceeded $maxPages pages — raise maxPages or narrow the window")
+      next match {
+        case None => LazyList(rows)
+        case some => rows #:: scroll(some, pageNo + 1)
+      }
+    }
+    scroll(None, 1).flatten
+      .filter(r => r.tsMicros >= startUs && r.tsMicros <= stopUs)
+  }
+
+  /** One page: optional continuation token + ordered observations. */
+  private[graft] def parseCursorPage(body: String): (Option[String], Seq[StationRow]) = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fields = JsonMethods.parse(body) match {
+      case JObject(fs) => fs.toMap
+      case other => throw new IllegalArgumentException(s"unexpected cursor payload: $other")
+    }
+    val next = fields.get("next").collect { case JString(s) if s.nonEmpty => s }
+    val results = fields.get("results") match {
+      case Some(JArray(xs)) => xs
+      case _ => Nil
+    }
+    val rows = results.flatMap { obs =>
+      val fs = obs match { case JObject(o) => o.toMap; case _ => Map.empty[String, JValue] }
+      fs.get("date").collect { case JString(s) => s }.map { d =>
+        val value: java.lang.Double = fs.get("value") match {
+          case Some(JDouble(v)) => v
+          case Some(JInt(v)) => v.toDouble
+          case Some(JDecimal(v)) => v.toDouble
+          case Some(JString(s)) if s.trim.nonEmpty =>
+            scala.util.Try(java.lang.Double.valueOf(s.trim)).getOrElse(null)
+          case _ => null
+        }
+        StationRow(StationTimes.parseMicros(d), value)
+      }
+    }
+    (next, rows)
+  }
+}

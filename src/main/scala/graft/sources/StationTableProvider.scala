@@ -80,10 +80,15 @@ object StationTable {
           opts.getOrElse("endpoint", MesowestStationRowSource.DefaultEndpoint),
           opts.getOrElse("token", "demotoken"))
       case "PAGED" =>
-        new PagedStationRowSource(
-          opts.getOrElse("endpoint",
-            throw new IllegalArgumentException("graft-station PAGED source requires 'endpoint'")),
-          opts.get("pagelimit").map(_.toInt).getOrElse(1000))
+        val endpoint = opts.getOrElse("endpoint",
+          throw new IllegalArgumentException("graft-station PAGED source requires 'endpoint'"))
+        val limit = opts.get("pagelimit").map(_.toInt).getOrElse(1000)
+        opts.getOrElse("paging", "offset") match {
+          case "offset" => new PagedStationRowSource(endpoint, limit)
+          case "cursor" => new CursorPagedStationRowSource(endpoint, limit)
+          case other => throw new IllegalArgumentException(
+            s"PAGED paging mode $other is not recognized. Valid options are: cursor, offset")
+        }
       case other =>
         throw new IllegalArgumentException(
           s"Datasource $other is not recognized. Valid options are: " +

@@ -53,4 +53,28 @@ class IOSpec extends AnyFunSuite with SparkTestBase {
     assert(mixed.count() == 2)
     assert(mixed.where($"text".isNotNull).count() == 1)
   }
+
+  test("sorted shards: disjoint ascending key ranges, sorted within each file") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_shards").toString
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val manifest = IO.writeSortedShards(docs, "doc_id", s"$dir/shards", shards = 4)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(manifest.size == 4)
+    assert(manifest.map(_._4).sum == docs.count())
+    // disjoint and ascending: shard i's max < shard i+1's min
+    manifest.sliding(2).foreach {
+      case Seq((_, _, max1, _), (_, min2, _, _)) =>
+        assert(max1 < min2, s"overlapping shards: $max1 >= $min2")
+      case _ => ()
+    }
+    // rows are sorted within each file (spot-check the first shard)
+    val firstFile = manifest.head._1
+    val keys = spark.read.parquet(firstFile).select("doc_id").as[Long].collect().toSeq
+    assert(keys == keys.sorted, "shard not internally sorted")
+    // range partitioning balances shard sizes (sampled boundaries)
+    val sizes = manifest.map(_._4)
+    assert(sizes.min.toDouble / sizes.max > 0.5, s"shards badly skewed: $sizes")
+  }
 }

@@ -396,6 +396,85 @@ class StationSourcesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Loopback server speaking the CURSOR contract: tokens are
+    * "c<offset>"; `lie` makes the last page promise a next token that
+    * yields an empty page (truncation), `stall` returns the same
+    * token forever (non-advancing). */
+  private def withCursorServer[A](
+      records: Seq[(String, Option[Double])], lie: Boolean = false, stall: Boolean = false)(
+      f: (String, java.util.concurrent.atomic.AtomicInteger) => A): A = {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/scroll", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val q = ex.getRequestURI.getQuery.split("&").map(_.split("=", 2))
+        .map(kv => (kv(0), kv(1))).toMap
+      val window = records.filter { case (d, _) => d >= q("start") && d <= q("stop") }
+      val off = q.get("cursor").map(_.stripPrefix("c").toInt).getOrElse(0)
+      val limit = q("limit").toInt
+      val page = window.slice(off, off + limit)
+      val nextOff = off + page.size
+      val next =
+        if (stall) s""","next":"c$off""""
+        else if (nextOff < window.size || lie)
+          s""","next":"c${if (page.isEmpty) off + 1 else nextOff}""""
+        else ""
+      val results = page.map { case (d, v) =>
+        s"""{"date":"$d","value":${v.map(_.toString).getOrElse("null")}}"""
+      }.mkString("[", ",", "]")
+      val body = s"""{"results":$results$next}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/scroll", hits)
+    finally server.stop(0)
+  }
+
+  test("cursor client: scrolls token pages in order; stops when the token ends") {
+    withCursorServer(pagedDays) { (endpoint, hits) =>
+      val src = new graft.sources.CursorPagedStationRowSource(endpoint, pageLimit = 2)
+      val rows = src.fetchRows("TUM",
+        graft.sources.StationTimes.parseMicros("2022-12-01"),
+        graft.sources.StationTimes.parseStopMicros("2022-12-05"))
+      assert(rows.map(r => Option(r.accum).map(_.doubleValue())).toList ==
+        List(Some(0.0), Some(0.4), None, Some(1.0), Some(1.3)))
+      assert(hits.get() == 3, s"expected 3 scroll requests, saw ${hits.get()}")
+    }
+  }
+
+  test("cursor client: truncating and non-advancing services fail loudly") {
+    withCursorServer(pagedDays, lie = true) { (endpoint, _) =>
+      val src = new graft.sources.CursorPagedStationRowSource(endpoint, pageLimit = 2)
+      val e = intercept[IllegalStateException] {
+        src.fetchRows("TUM", Long.MinValue, Long.MaxValue).toList
+      }
+      assert(e.getMessage.contains("promised more pages"), e.getMessage)
+    }
+    withCursorServer(pagedDays, stall = true) { (endpoint, _) =>
+      val src = new graft.sources.CursorPagedStationRowSource(endpoint, pageLimit = 2)
+      val e = intercept[IllegalStateException] {
+        src.fetchRows("TUM", Long.MinValue, Long.MaxValue).toList
+      }
+      assert(e.getMessage.contains("did not advance"), e.getMessage)
+    }
+  }
+
+  test("cursor paging through DSv2 via paging=cursor") {
+    withCursorServer(pagedDays) { (endpoint, hits) =>
+      val rows = spark.read.format("graft-station")
+        .option("source", "PAGED").option("paging", "cursor")
+        .option("endpoint", endpoint).option("pagelimit", "2")
+        .option("stations", "TUM")
+        .option("start", "2022-12-01").option("stop", "2022-12-05")
+        .load().orderBy("ts").collect()
+      assert(rows.length == 5)
+      assert(hits.get() >= 3)
+    }
+  }
+
   test("accumulated precip becomes increments; storms detected end-to-end") {
     val ts = StationSources.fromStation(registry, spark, "TUM",
       "2022-12-01", "2022-12-31", source = "NRCS")
