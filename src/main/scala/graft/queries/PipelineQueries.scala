@@ -79,9 +79,11 @@ object PipelineQueries {
         col("doc_id"),
         octet_length(col("text")).cast("long").as("n_bytes"),
         md5(col("text")).as("content_md5"))),
-    // No SQL oracle: mapPartitions batch extraction is not
-    // SQL-expressible — rows-only check; semantics covered by
-    // MultimodalSpec.
+    // The mapPartitions batch EXECUTION shape isn't SQL — but its
+    // RESULT on the synthetic-asset chain is fully derivable, so the
+    // oracle twin recomputes it declaratively (header formulas +
+    // byte-histogram stats over the ASCII payload) and the gate
+    // hash-checks the batched path end-to-end.
     "m2_asset_features" -> ((s, dir) =>
       graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.syntheticAssets(docs(s, dir)))
@@ -140,8 +142,9 @@ object PipelineQueries {
       Dedup.decontaminate(
         d.where(col("doc_id") % 17 =!= 3), d.where(col("doc_id") % 17 === 3))
     }),
-    // No SQL oracle: flatMap frame expansion is not SQL-expressible —
-    // rows-only check; stride/slice semantics covered by MultimodalSpec.
+    // Same as m2: the flatMap EXECUTION isn't SQL, but the result is —
+    // the twin strides generate_series over the header's frame count
+    // and slices the ASCII payload with substr, md5-matched per frame.
     "m3_frame_sample" -> ((s, dir) =>
       graft.multimodal.Multimodal.sampleFrames(
         graft.multimodal.Multimodal.syntheticAssets(docs(s, dir)))
@@ -251,6 +254,52 @@ object PipelineQueries {
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         | md5(text) AS content_md5 FROM documents""".stripMargin,
+    // The synthetic-asset chain (Multimodal.syntheticAssets →
+    // extractFeatures) is fully derivable in SQL: header fields are
+    // pure doc_id formulas, the payload is the UTF-8 text (pure ASCII
+    // in this corpus — verified octet_length == length — so char ops
+    // equal byte ops), mean is an exact-int sum over one division,
+    // and the entropy terms are summed in ascending byte order to
+    // mirror the Scala histogram walk. ln() is the one non-mandated
+    // IEEE op in the engine's oracle surface — cross-engine ulp noise
+    // is ~1e-16, absorbed by ROUND(,6) except on measure-zero
+    // boundaries; the data is fixed, so a green gate is stable.
+    "m2_asset_features" ->
+      s"""WITH a AS (SELECT doc_id AS asset_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+         |    AS modality,
+         |  CAST(16 + length(text) AS BIGINT) AS n_bytes,
+         |  CAST(16 + doc_id % 64 AS INTEGER) AS width,
+         |  CAST(16 + doc_id % 48 AS INTEGER) AS height,
+         |  CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+         |  CAST(1 + doc_id % 30 AS INTEGER) AS n_frames,
+         |  text, length(text) AS plen
+         | FROM documents),
+         |b AS (SELECT asset_id, ascii(substr(text, i::INTEGER, 1)) AS byte
+         |  FROM a, LATERAL (SELECT unnest(generate_series(1, plen)) AS i)),
+         |h AS (SELECT asset_id, byte, count(*) AS c FROM b GROUP BY 1, 2),
+         |e AS (SELECT h.asset_id,
+         |  CAST(sum(h.c * h.byte) AS DOUBLE) / any_value(a.plen) AS mean_byte,
+         |  -list_sum(list(
+         |     (h.c::DOUBLE / a.plen) * ln(h.c::DOUBLE / a.plen) / ln(2)
+         |     ORDER BY h.byte)) AS entropy
+         | FROM h JOIN a USING (asset_id) GROUP BY 1)
+         |SELECT a.asset_id, a.modality, a.n_bytes, a.width, a.height,
+         |  a.sample_rate, a.n_frames,
+         |  ROUND(e.mean_byte, 6) AS mean_byte,
+         |  ROUND(e.entropy, 6) AS byte_entropy
+         |FROM a JOIN e USING (asset_id)""".stripMargin,
+    // video assets only; frame indices stride 5 below n_frames; the
+    // per-frame byte slice is substr on the ASCII payload
+    "m3_frame_sample" ->
+      s"""WITH v AS (SELECT doc_id AS asset_id, text,
+         |  CAST(1 + doc_id % 30 AS BIGINT) AS n_frames, length(text) AS plen
+         | FROM documents WHERE doc_id % 3 = 2),
+         |f AS (SELECT asset_id, CAST(fi AS INTEGER) AS frame_idx, text, plen
+         |  FROM v, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 5)) AS fi))
+         |SELECT asset_id, frame_idx,
+         |  md5(substr(text, ((frame_idx * 31) % greatest(1, plen)) + 1, 16)) AS frame_md5
+         |FROM f""".stripMargin,
     "x1_exact_dedup" ->
       s"""WITH fp AS (SELECT doc_id, $fpSql AS fingerprint FROM documents),
          |canon AS (SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY 1)
