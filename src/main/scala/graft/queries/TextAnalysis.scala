@@ -101,6 +101,45 @@ object TextAnalysis {
         stopKinds >= 2).as("keep"))
   }
 
+  /** Language-model quality scoring, unigram form (the CCNet move —
+    * Wenzek et al. 2020 — with the KenLM replaced by the corpus's own
+    * unigram distribution): score each document by the mean negative
+    * log-likelihood of its tokens under p(t) = count(t)/total. Low
+    * nll ≈ repetitive/common-word text, high nll ≈ rare-token text —
+    * the standard perplexity-proxy axis for corpus filtering.
+    *
+    * Portability: p is an exact integer ratio; the per-token -ln p
+    * terms are summed in POSITION order on both sides (Spark:
+    * array_sort(collect_list(struct(pos, term))) folded left-to-right;
+    * DuckDB: list(term ORDER BY pos) → list_sum), so the only
+    * cross-engine noise is ln()'s ulp — absorbed by ROUND(,6) on
+    * fixed data, same argument as the m2 entropy twin.
+    *
+    * Scale posture: one shuffle to count tokens (map-side combined,
+    * vocabulary-sized output), the 1-row total broadcast, the
+    * count-join on token (vocabulary-sized build side — Catalyst
+    * broadcasts it when small), and a per-doc fold whose state is
+    * bounded by document length. No corpus-wide sort.
+    */
+  def t8UnigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val tk = docs(spark, dir)
+      .select(col("doc_id"), posexplode(wsTokens(lower(col("text")))).as(Seq("pos", "tok")))
+    val counts = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    tk.join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("term", -log(col("c").cast("double") / col("total")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("nll"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nll") / col("n_tokens"), 6).as("nll_mean"))
+  }
+
   /** PII counts + redacted-text digest (pre-packing scrub pass). */
   def t6PiiScrub(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
@@ -212,6 +251,22 @@ object TextAnalysis {
            |   AND n_stop_kinds >= 2) AS keep
            |FROM m""".stripMargin
       },
+      "t8_unigram_nll" -> {
+        val lowToks =
+          """CASE WHEN length(trim(lower(text))) = 0 THEN []
+            | ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+        s"""WITH d AS (SELECT doc_id, $lowToks AS toks FROM documents),
+           |tk AS (SELECT doc_id, i AS pos, toks[i::INTEGER] AS tok
+           |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+           |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+           |s AS (SELECT doc_id, count(*) AS n,
+           |  list_sum(list(-ln(c.c::DOUBLE / tot.total) ORDER BY tk.pos)) AS nll
+           | FROM tk JOIN c USING (tok) CROSS JOIN tot GROUP BY doc_id)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           |  ROUND(nll / n, 6) AS nll_mean
+           |FROM s""".stripMargin
+      },
       "t6_pii_scrub" -> {
         // DuckDB single-quoted literals pass backslashes through
         // verbatim, so the Scala pattern strings interpolate as-is
@@ -244,6 +299,7 @@ object TextAnalysis {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_repetition" -> (t5Repetition _),
     "t6_pii_scrub" -> (t6PiiScrub _),
-    "t7_gopher_rules" -> (t7GopherRules _)
+    "t7_gopher_rules" -> (t7GopherRules _),
+    "t8_unigram_nll" -> (t8UnigramNll _)
   )
 }

@@ -109,6 +109,27 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("unigram nll: bounded by rarest/commonest token surprisal, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.TextAnalysis.t8UnigramNll(spark, dir)
+      .select("doc_id", "n_tokens", "nll_mean")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    // global surprisal bounds from the corpus unigram distribution
+    val counts = graft.sources.Tables.read(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.wsTokens(lower(col("text")))).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect()
+    val total = counts.map(_._2).sum.toDouble
+    val lo = -math.log(counts.map(_._2).max / total)
+    val hi = -math.log(counts.map(_._2).min / total)
+    rows.foreach { case (id, n, nll) =>
+      assert(n > 0 && nll >= lo - 1e-6 && nll <= hi + 1e-6,
+        s"doc $id nll $nll outside [$lo, $hi]")
+    }
+    // docs differ (the score separates, it isn't constant)
+    assert(rows.map(_._3).distinct.size > 1)
+  }
+
   test("repetition ratio: repeated 3-grams raise it; short and clean docs are 0") {
     // "a b c" cycled 3x: 7 shingles, 3 distinct → 1 − 3/7
     val cycled = "a b c a b c a b c"
