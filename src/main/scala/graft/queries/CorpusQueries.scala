@@ -135,6 +135,50 @@ object CorpusQueries {
           .as("kept_tokens"))
   }
 
+  /** Token-BUDGET mixture contract: given a total token budget B,
+    * allocate budget_d = B · √tokens_d / Σ√tokens (temperature-0.5
+    * shares, the multilingual-pretraining allocation) and sample each
+    * domain at rate_bp = min(10000, ⌊10000 · budget_d / tokens_d⌋).
+    * Unlike [[mx1DomainMixture]]'s normalization-free rate, this DOES
+    * need the cross-domain sum Σ√tokens — made bit-exact across
+    * engines by summing in DETERMINISTIC DOMAIN ORDER: a window sum
+    * over the domain aggregate ordered by source (Spark) mirrors
+    * `list_sum(list(√t ORDER BY source))` (DuckDB), so both engines
+    * fold the identical doubles in the identical sequence. The window
+    * rides the DOMAIN-cardinality frame (a handful of rows), never
+    * the corpus.
+    *
+    * Same scale posture as mx1: corpus is never shuffled — one
+    * map-side-combined agg to domain cardinality, rates broadcast
+    * back, stateless membership, tiny final agg.
+    */
+  def mx2BudgetMixture(
+      spark: SparkSession, dir: String, budgetTokens: Double = 8000.0): DataFrame = {
+    val d = docs(spark, dir).select(col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+      (idHash(col("doc_id")) % 10000).as("bucket"))
+    val byDomain = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("rt", sqrt(col("n_tokens").cast("double")))
+    // deterministic-order cross-domain sum: tiny window, fixed fold order
+    val w = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = byDomain
+      .withColumn("sum_rt", sum(col("rt")).over(w))
+      .withColumn("rate_bp", least(lit(10000L),
+        floor(lit(10000.0) * budgetTokens * col("rt") / col("sum_rt")
+          / col("n_tokens").cast("double")).cast("long")))
+      .drop("rt", "sum_rt")
+    d.join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("n_tokens")).as("n_tokens"),
+        first(col("rate_bp")).as("rate_bp"),
+        coalesce(sum(when(col("bucket") < col("rate_bp"), 1L)), lit(0L)).as("kept_docs"),
+        coalesce(sum(when(col("bucket") < col("rate_bp"), col("n_tok"))), lit(0L))
+          .as("kept_tokens"))
+  }
+
   /** Length-bucketed batching layout: rank documents by token count
     * (ties broken by doc_id — total order, so bucketing is
     * deterministic) into `buckets` equal-frequency buckets and report
@@ -244,6 +288,29 @@ object CorpusQueries {
          |  CAST(COALESCE(SUM(CASE WHEN d.bucket < r.rate_bp THEN d.n_tok END), 0) AS BIGINT)
          |    AS kept_tokens
          |FROM d JOIN r USING (source) GROUP BY 1, 2, 3, 4""".stripMargin,
+    // Σ√tokens via list_sum(list(... ORDER BY source)) — the same
+    // deterministic fold order as the Spark side's ordered window sum
+    "mx2_budget_mixture" ->
+      s"""WITH d AS (SELECT source,
+         |  CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+         |           ELSE string_split_regex(trim(text), '\\s+') END) AS BIGINT) AS n_tok,
+         |  $idHashSql % 10000 AS bucket
+         | FROM documents),
+         |r0 AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  sqrt(CAST(SUM(n_tok) AS DOUBLE)) AS rt
+         | FROM d GROUP BY 1),
+         |tot AS (SELECT list_sum(list(rt ORDER BY source)) AS sum_rt FROM r0),
+         |r AS (SELECT source, n_docs, n_tokens,
+         |  LEAST(CAST(10000 AS BIGINT),
+         |    CAST(floor(10000.0 * 8000.0 * rt / sum_rt / CAST(n_tokens AS DOUBLE))
+         |      AS BIGINT)) AS rate_bp
+         | FROM r0 CROSS JOIN tot)
+         |SELECT r.source, r.n_docs, r.n_tokens, r.rate_bp,
+         |  CAST(COALESCE(SUM(CASE WHEN d.bucket < r.rate_bp THEN 1 END), 0) AS BIGINT)
+         |    AS kept_docs,
+         |  CAST(COALESCE(SUM(CASE WHEN d.bucket < r.rate_bp THEN d.n_tok END), 0) AS BIGINT)
+         |    AS kept_tokens
+         |FROM d JOIN r USING (source) GROUP BY 1, 2, 3, 4""".stripMargin,
     // plain ntile here — the Spark side reproduces its split rule in
     // the distributed decomposition instead
     "pk2_length_buckets" ->
@@ -264,6 +331,7 @@ object CorpusQueries {
     "sm2_stratified_sample" -> ((s, dir) => sm2StratifiedSample(s, dir)),
     "pk1_sequence_pack" -> ((s, dir) => pk1SequencePack(s, dir)),
     "mx1_domain_mixture" -> ((s, dir) => mx1DomainMixture(s, dir)),
+    "mx2_budget_mixture" -> ((s, dir) => mx2BudgetMixture(s, dir)),
     "pk2_length_buckets" -> ((s, dir) => pk2LengthBuckets(s, dir))
   )
 }

@@ -200,6 +200,32 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.sortBy(_._1) == again.sortBy(_._1))
   }
 
+  test("budget mixture: sqrt-share allocation, unclamped domains spend ~their share") {
+    val dir = "/root/testdata/sf0.001"
+    val budget = 8000.0
+    val rows = CorpusQueries.mx2BudgetMixture(spark, dir, budget)
+      .select("source", "n_docs", "n_tokens", "rate_bp", "kept_docs", "kept_tokens")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val sumRt = rows.map(r => math.sqrt(r._3.toDouble)).sum
+    rows.foreach { case (src, nd, nt, rate, kd, kt) =>
+      assert(rate >= 0 && rate <= 10000 && kd <= nd && kt <= nt)
+      // the sqrt-share formula, recomputed row-by-row (sum order can
+      // differ from the engine's ordered fold only by ulps — compare
+      // with slack rather than exactly)
+      val expect = math.min(10000.0,
+        math.floor(10000.0 * budget * math.sqrt(nt.toDouble) / sumRt / nt))
+      assert(math.abs(rate - expect) <= 1, s"$src rate $rate != ~$expect")
+    }
+    // every unclamped domain's expected kept tokens ≈ its sqrt share
+    rows.filter(_._4 < 10000).foreach { case (src, _, nt, rate, _, _) =>
+      val share = budget * math.sqrt(nt.toDouble) / sumRt
+      val expected = nt.toDouble * rate / 10000.0
+      assert(math.abs(expected - share) / share < 0.01,
+        s"$src spends $expected of share $share")
+    }
+  }
+
   test("length buckets: distributed decomposition equals global ntile exactly") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.001"
