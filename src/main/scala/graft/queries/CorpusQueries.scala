@@ -187,20 +187,51 @@ object CorpusQueries {
     *
     * Matches SQL `ntile(buckets) OVER (ORDER BY n_tok, doc_id)`
     * WITHOUT the corpus-wide single-partition window that form
-    * executes as: the global rank decomposes as
-    * rank = (rows with a shorter length) + (row_number within my
-    * length, by doc_id) — the first term rides a window over the
-    * LENGTH HISTOGRAM (one row per distinct token count, thousands at
-    * most, broadcast back), the second is partitioned by n_tok and
-    * fully distributed. The bucket then follows from ntile's split
-    * rule in closed form: the first N mod b buckets take ⌈N/b⌉ rows,
-    * the rest ⌊N/b⌋ (N joins in as a broadcast 1-row aggregate —
-    * no driver round-trip, no collect).
+    * executes as: the global rank decomposes TWICE —
+    * rank = (rows with a shorter length)                       [base]
+    *      + (same-length rows in a lower doc_id range shard)  [base2]
+    *      + row_number within (length, shard), by doc_id.
+    * `base` rides a window over the LENGTH HISTOGRAM (one row per
+    * distinct token count); `base2` rides per-length windows over at
+    * most `idShards` rows each; both broadcast back. The second
+    * level exists because real corpora TIE heavily on length — a
+    * single dominant token count would put the whole tie group into
+    * one `partitionBy(n_tok)` window task; doc_id range sharding
+    * (order-preserving, so (n_tok, doc_id) order survives) caps the
+    * window partition at ties/idShards. The bucket then follows from
+    * ntile's split rule in closed form: the first N mod b buckets
+    * take ⌈N/b⌉ rows, the rest ⌊N/b⌋ (N joins in as a broadcast
+    * 1-row aggregate — no driver round-trip, no collect).
     */
-  def pk2LengthBuckets(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
-    val d = docs(spark, dir)
-      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
-    val hist = d.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
+  def pk2LengthBuckets(
+      spark: SparkSession, dir: String, buckets: Int = 8, idShards: Int = 32): DataFrame =
+    lengthBuckets(
+      docs(spark, dir)
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
+      buckets, idShards)
+
+  /** Frame-based core of [[pk2LengthBuckets]]: (doc_id, n_tok) in,
+    * per-bucket occupancy out. */
+  def lengthBuckets(d: DataFrame, buckets: Int, idShards: Int = 32): DataFrame = {
+    // order-preserving doc_id range shard (monotone in doc_id, so the
+    // within-length order is unchanged; double precision is fine for
+    // monotonicity at any realistic id range)
+    val bounds = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val dd = d.crossJoin(broadcast(bounds))
+      .withColumn("sb",
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(least(lit(idShards - 1L),
+            floor((col("doc_id") - col("lo")).cast("double")
+              / (col("hi") - col("lo") + 1) * idShards).cast("long"))))
+      .drop("lo", "hi")
+    val hist2 = dd.groupBy(col("n_tok"), col("sb")).agg(count(lit(1)).as("cnt"))
+    // per-length shard prefix: windows over ≤ idShards rows each
+    val base2 = hist2.withColumn("before2",
+      coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("n_tok")).orderBy(col("sb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_tok"), col("sb"), col("before2"))
+    val hist = hist2.groupBy(col("n_tok")).agg(sum(col("cnt")).as("cnt"))
     // histogram-sized window: one row per distinct length
     val base = hist.withColumn("before",
       coalesce(sum(col("cnt")).over(
@@ -208,12 +239,14 @@ object CorpusQueries {
       .select(col("n_tok"), col("before"))
     val total = d.agg(count(lit(1)).as("n_total"))
     val b = lit(buckets.toLong)
-    val ranked = d
+    val ranked = dd
       .withColumn("r_in",
-        row_number().over(Window.partitionBy(col("n_tok")).orderBy(col("doc_id"))).cast("long"))
+        row_number().over(
+          Window.partitionBy(col("n_tok"), col("sb")).orderBy(col("doc_id"))).cast("long"))
+      .join(broadcast(base2), Seq("n_tok", "sb"))
       .join(broadcast(base), Seq("n_tok"))
       .crossJoin(broadcast(total))
-      .withColumn("r", col("before") + col("r_in"))
+      .withColumn("r", col("before") + col("before2") + col("r_in"))
     // ntile split rule: rem = N mod b buckets of size q+1 first
     val q = col("n_total").divide(b).cast("long")
     val rem = col("n_total") % b

@@ -238,6 +238,32 @@ object ScaleSmoke {
       println(s"SCALE cc2 chain exactness: label sums agree ($fullC)")
     }
 
+    // --- corpus-prep ops at 1M docs: pk2 runs its WORST case here —
+    // every synthetic doc has the same token count, so the whole
+    // corpus is one length-tie group and the doc_id range sharding
+    // is the only thing standing between the rank decomposition and
+    // a single-task window. t8 exercises the vocab join + per-doc
+    // ordered fold at 60M tokens; t7 is the pure-map baseline. ---
+    if (want("prep")) {
+      val Q = graft.queries.CorpusQueries
+      val T = graft.queries.TextAnalysis
+      // force real columns (count() would let Catalyst prune the aggs)
+      timed("pk2_lenbuckets_1m_ties", runs = 1) {
+        val r = Q.pk2LengthBuckets(spark, outDir)
+          .agg(sum(col("sum_tok")), sum(col("n_docs"))).head
+        r.getLong(1)
+      }
+      timed("t7_gopher_1m", runs = 1) {
+        T.t7GopherRules(spark, outDir)
+          .agg(sum(col("n_stop_kinds")), count(when(col("keep"), 1))).head.getLong(1)
+      }
+      timed("t8_unigram_nll_1m", runs = 1) {
+        val r = T.t8UnigramNll(spark, outDir)
+          .agg(sum(col("nll_mean")), count(lit(1))).head
+        r.getLong(1)
+      }
+    }
+
     // --- 200k×64 embedding near-dup: exact blocked triangle (x5
     // shape, 2e10 dot products — inherent to exact all-pairs) vs
     // sign-LSH (x6 shape) at a realistic 0.9 threshold where LSH is

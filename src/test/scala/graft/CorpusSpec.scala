@@ -248,6 +248,26 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(sizes.max - sizes.min <= 1, s"not equal-frequency: $sizes")
   }
 
+  test("length buckets: fully-tied lengths still split exactly like ntile") {
+    import org.apache.spark.sql.expressions.Window
+    // every doc has the same length — the degenerate tie case the
+    // doc_id range sharding exists for; ntile must still split the
+    // tie group across buckets by doc_id
+    val d = (0L until 100L).map(id => (id * 7, 60L)).toDF("doc_id", "n_tok")
+    val got = CorpusQueries.lengthBuckets(d, buckets = 8, idShards = 4)
+      .select("bucket", "n_docs", "min_tok", "max_tok", "sum_tok")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val ref = d
+      .withColumn("bucket",
+        ntile(8).over(Window.orderBy(col("n_tok"), col("doc_id"))).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min("n_tok").as("min_tok"),
+        max("n_tok").as("max_tok"), sum("n_tok").as("sum_tok"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == ref)
+    assert(got.map(_._2).sum == 100L)
+  }
+
   test("vocab top-k is deterministically ordered with tie-break on token") {
     val sf = "/root/testdata/sf0.001"
     val rows = CorpusQueries.v1VocabTopK(spark, sf, k = 20)
