@@ -261,6 +261,30 @@ object CorpusQueries {
         sum(col("n_tok")).as("sum_tok"))
   }
 
+  /** Approximate, value-based variant of [[lengthBuckets]]: cut
+    * points from `approx_percentile` (one in-plan aggregate — no
+    * driver action, no window at all), bucket = 1 + (cuts below my
+    * length), assigned statelessly per row. Ties on length share a
+    * bucket (value-based semantics) and bucket sizes are approximate
+    * within the sketch's relative error — the trade for removing
+    * even the histogram-sized windows. Use when batch formation needs
+    * "similar lengths together" rather than exact equal frequency;
+    * the exact form remains the oracle-checked contract. */
+  def lengthBucketsApprox(
+      d: DataFrame, buckets: Int, accuracy: Int = 10000): DataFrame = {
+    val qs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val cuts = d.agg(
+      percentile_approx(col("n_tok"), qs, lit(accuracy)).as("cuts"))
+    d.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        (aggregate(col("cuts"), lit(0L),
+          (acc, c) => acc + when(col("n_tok") > c, 1L).otherwise(0L)) + 1L))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+  }
+
   // --- DuckDB twins -----------------------------------------------------
 
   private def hash32Sql(e: String): String =

@@ -268,6 +268,27 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._2).sum == 100L)
   }
 
+  test("approx length buckets: covers all rows, ranges disjoint, near-equal sizes") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.sources.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    val got = CorpusQueries.lengthBucketsApprox(d, buckets = 8)
+      .select("bucket", "n_docs", "min_tok", "max_tok", "sum_tok")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._2).sum == d.count())
+    // value-based buckets: ranges are disjoint and ascending
+    got.sliding(2).foreach {
+      case Seq((_, _, _, max1, _), (_, _, min2, _, _)) =>
+        assert(max1 < min2, s"overlapping bucket ranges: $max1 >= $min2")
+      case _ => ()
+    }
+    // near-equal frequency: with ~90 distinct lengths over 500 docs,
+    // value-based ties can skew sizes; they stay within 3x of fair
+    val fair = d.count().toDouble / 8
+    got.map(_._2).foreach(n => assert(n < fair * 3 && n > fair / 3, s"size $n vs fair $fair"))
+  }
+
   test("vocab top-k is deterministically ordered with tie-break on token") {
     val sf = "/root/testdata/sf0.001"
     val rows = CorpusQueries.v1VocabTopK(spark, sf, k = 20)
