@@ -94,6 +94,53 @@ object Relational {
         .as("revenue"))
   }
 
+  /** TPC-H Q7-shaped volume shipping: revenue between a nation PAIR
+    * in both directions, by year. The nation dimension joins twice
+    * (supplier side and customer side) — both broadcast — and the
+    * pair filter is the OR of the two orientations, applied AFTER the
+    * joins so Catalyst can still push each equality into its
+    * broadcast hash join build. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(t(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+    val li = t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nkey"))
+      .join(n2, col("c_nationkey") === col("c_nkey"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q10-shaped returned-item report: top 20 customers by
+    * revenue lost to returns in one quarter. The heavy work is the
+    * fact-side join + group; the top-k is TakeOrderedAndProject (no
+    * global sort materializes). Deterministic tie-break on custkey. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val nation = broadcast(t(spark, dir, "nation"))
+    val ord = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem").where(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** Ranking window: top-3 orders per customer by total price.
     * Deterministic tie-break on o_orderkey so the result set is unique
     * regardless of partitioning. */
@@ -293,6 +340,33 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 4))
 
   val oracle: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "g2_cube_revenue" ->
       """SELECT o_orderstatus, o_orderpriority,
         | ROUND(SUM(o_totalprice),4) AS revenue, COUNT(*) AS n_orders
@@ -441,6 +515,8 @@ object Relational {
     "w2_rank_suite" -> (w2RankSuite _),
     "js1_json_extract" -> (js1JsonExtract _),
     "q18_volume_orders" -> (q18VolumeOrders _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q10_returned_items" -> (q10ReturnedItems _),
     "rs2_range_window" -> (rs2RangeWindow _)
   )
 }
