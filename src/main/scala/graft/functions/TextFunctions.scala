@@ -140,11 +140,15 @@ object TextFunctions {
   val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
   val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
   val PhoneRe = "\\+?[0-9][0-9() \\-]{7,}[0-9]"
-  // street-number + 1-2 capitalized words + a street-type suffix;
-  // dialect-portable (no \b / lookaround) like the rest of the family
+  // street-number + 1-2 capitalized words + a street-type suffix.
+  // Dialect-portable (no \b / lookaround) like the rest of the family,
+  // so the trailing word boundary is a CONSUMED third group — without
+  // it "St" would match inside "Store"/"Ln" inside "Lnot" etc.; the
+  // scrub re-emits the consumed delimiter via a backreference.
   val AddressRe =
     "[0-9]{1,5} [A-Z][a-z]+( [A-Z][a-z]+)? " +
-      "(Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr|Court|Ct|Place|Pl)\\.?"
+      "(Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr|Court|Ct|Place|Pl)" +
+      "\\.?([^A-Za-z]|$)"
 
   /** Count of pattern matches in the text (0 for none). Counts are per
     * pattern over the RAW text: an SSN-shaped run also matches the
@@ -162,12 +166,15 @@ object TextFunctions {
     * re-match inside them. */
   def piiScrub(text: Column): Column = {
     val e = regexp_replace(text, EmailRe, "<EMAIL>")
-    val s = regexp_replace(e, SsnRe, "<SSN>")
+    // address BEFORE the digit-run patterns: PhoneRe's char class
+    // includes spaces, so a phone preceding a street number would
+    // absorb the number ("...0142 99 Mountain View Rd" → the 99)
+    // and strand the street name; scrubbed first, the address
+    // placeholder carries no digits for later passes to eat. The
+    // consumed boundary (group 3) is re-emitted.
+    val a = regexp_replace(e, AddressRe, "<ADDR>$3")
+    val s = regexp_replace(a, SsnRe, "<SSN>")
     val i = regexp_replace(s, Ipv4Re, "<IP>")
-    val p = regexp_replace(i, PhoneRe, "<PHONE>")
-    // last: a street number is too short to have matched the phone
-    // pattern (≥ 9 chars) and carries no dashes/dots, so the earlier
-    // passes cannot have eaten part of an address
-    regexp_replace(p, AddressRe, "<ADDR>")
+    regexp_replace(i, PhoneRe, "<PHONE>")
   }
 }

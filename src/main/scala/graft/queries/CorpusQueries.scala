@@ -211,8 +211,12 @@ object CorpusQueries {
       buckets, idShards)
 
   /** Frame-based core of [[pk2LengthBuckets]]: (doc_id, n_tok) in,
-    * per-bucket occupancy out. */
-  def lengthBuckets(d: DataFrame, buckets: Int, idShards: Int = 32): DataFrame = {
+    * per-bucket occupancy out. The input is materialized once —
+    * bounds, total, the shard histogram and the ranked pass are four
+    * plan branches that would otherwise each re-scan (and
+    * re-tokenize) the corpus. */
+  def lengthBuckets(d0: DataFrame, buckets: Int, idShards: Int = 32): DataFrame = {
+    val d = graft.dedup.Dedup.materialize(d0)
     // order-preserving doc_id range shard (monotone in doc_id, so the
     // within-length order is unchanged; double precision is fine for
     // monotonicity at any realistic id range)

@@ -286,9 +286,9 @@ object PipelineQueries {
          | FROM h JOIN a USING (asset_id) GROUP BY 1)
          |SELECT a.asset_id, a.modality, a.n_bytes, a.width, a.height,
          |  a.sample_rate, a.n_frames,
-         |  ROUND(e.mean_byte, 6) AS mean_byte,
-         |  ROUND(e.entropy, 6) AS byte_entropy
-         |FROM a JOIN e USING (asset_id)""".stripMargin,
+         |  ROUND(COALESCE(e.mean_byte, 0.0), 6) AS mean_byte,
+         |  ROUND(COALESCE(e.entropy, 0.0), 6) AS byte_entropy
+         |FROM a LEFT JOIN e USING (asset_id)""".stripMargin,
     // video assets only; frame indices stride 5 below n_frames; the
     // per-frame byte slice is substr on the ASCII payload
     "m3_frame_sample" ->

@@ -283,10 +283,10 @@ object TextAnalysis {
            | len(regexp_extract_all(text, '$addr'))::BIGINT AS n_addresses,
            | md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
            |   '$email', '<EMAIL>', 'g'),
+           |   '$addr', '<ADDR>\\3', 'g'),
            |   '$ssn', '<SSN>', 'g'),
            |   '$ip', '<IP>', 'g'),
-           |   '$phone', '<PHONE>', 'g'),
-           |   '$addr', '<ADDR>', 'g')) AS scrub_md5
+           |   '$phone', '<PHONE>', 'g')) AS scrub_md5
            |FROM documents""".stripMargin
       }
     )

@@ -2,8 +2,7 @@ package graft.sources
 
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-import java.time.{Duration, Instant, LocalDate, LocalDateTime, ZoneOffset}
-import java.time.format.DateTimeFormatter
+import java.time.{Duration, LocalDateTime, ZoneOffset}
 
 /**
  * Live CDEC station backend — the engine's counterpart of the
@@ -35,12 +34,7 @@ final class CdecStationRowSource(endpoint: String = CdecStationRowSource.Default
     extends StationRowSource {
 
   def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow] = {
-    val fmt = DateTimeFormatter.ISO_LOCAL_DATE
-    def dateOf(us: Long, default: LocalDate): LocalDate =
-      if (us == Long.MinValue || us == Long.MaxValue) default
-      else Instant.ofEpochSecond(us / 1000000L).atZone(ZoneOffset.UTC).toLocalDate
-    val start = dateOf(startUs, LocalDate.of(1900, 1, 1)).format(fmt)
-    val stop = dateOf(stopUs, LocalDate.now(ZoneOffset.UTC)).format(fmt)
+    val (start, stop) = StationTimes.dateWindow(startUs, stopUs)
     val url = s"$endpoint?Stations=$stationId&SensorNums=2&dur_code=D&Start=$start&End=$stop"
     val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
     val resp = client.send(

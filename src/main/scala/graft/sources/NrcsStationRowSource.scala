@@ -3,8 +3,7 @@ package graft.sources
 import java.net.{URI, URLEncoder}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
-import java.time.{Duration, Instant, LocalDate, ZoneOffset}
-import java.time.format.DateTimeFormatter
+import java.time.Duration
 
 /**
  * Live NRCS station backend — the engine's counterpart of the
@@ -39,12 +38,7 @@ final class NrcsStationRowSource(endpoint: String = NrcsStationRowSource.Default
     extends StationRowSource {
 
   def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow] = {
-    val fmt = DateTimeFormatter.ISO_LOCAL_DATE
-    def dateOf(us: Long, default: LocalDate): LocalDate =
-      if (us == Long.MinValue || us == Long.MaxValue) default
-      else Instant.ofEpochSecond(us / 1000000L).atZone(ZoneOffset.UTC).toLocalDate
-    val begin = dateOf(startUs, LocalDate.of(1900, 1, 1)).format(fmt)
-    val end = dateOf(stopUs, LocalDate.now(ZoneOffset.UTC)).format(fmt)
+    val (begin, end) = StationTimes.dateWindow(startUs, stopUs)
     val triplet = URLEncoder.encode(stationId, StandardCharsets.UTF_8)
     val url = s"$endpoint/data?stationTriplets=$triplet&elements=PREC" +
       s"&duration=DAILY&beginDate=$begin&endDate=$end"

@@ -4,6 +4,48 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.time.Duration
 
+/** Shared scaffolding for the scrolling station backends: one
+  * HttpClient per scroll (keep-alive across pages, not one client per
+  * page) and one JSON observation parser, so the offset and cursor
+  * modes cannot drift apart on value coercion. */
+private[sources] object PagedHttp {
+  def newClient(): HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
+
+  def get(client: HttpClient, url: String, what: String): String = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(url)).GET()
+        .timeout(Duration.ofSeconds(60)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200, s"$what request failed (${resp.statusCode()}): $url")
+    resp.body()
+  }
+
+  /** JSON observations → rows. Null/blank values are missing days,
+    * like the CDEC client. Records without a string "date" are
+    * DROPPED from the rows but still counted by the caller via the
+    * raw result size — offset arithmetic must advance by records
+    * SERVED, not records parsed, or a single malformed record shifts
+    * every later page and re-fetches (duplicates) its boundary row. */
+  def parseResults(results: List[org.json4s.JValue]): Seq[StationRow] = {
+    import org.json4s._
+    results.flatMap { obs =>
+      val fs = obs match { case JObject(o) => o.toMap; case _ => Map.empty[String, JValue] }
+      fs.get("date").collect { case JString(s) => s }.map { d =>
+        val value: java.lang.Double = fs.get("value") match {
+          case Some(JDouble(v)) => v
+          case Some(JInt(v)) => v.toDouble
+          case Some(JDecimal(v)) => v.toDouble
+          case Some(JString(s)) if s.trim.nonEmpty =>
+            scala.util.Try(java.lang.Double.valueOf(s.trim)).getOrElse(null)
+          case _ => null
+        }
+        StationRow(StationTimes.parseMicros(d), value)
+      }
+    }
+  }
+}
+
 /**
  * Paging-aware station backend — the second backend SHAPE next to the
  * fetch-all-window clients (CDEC/NRCS/MesoWest): most public data
@@ -28,6 +70,9 @@ import java.time.Duration
  *  - pages are pulled LAZILY ([[LazyList]]): a partition reader that
  *    stops early (pushed ts upper bound, limit) never fetches the
  *    tail pages, and per-task memory holds one page, not the window;
+ *  - the offset advances by records SERVED (raw result size), not
+ *    records parsed — a malformed record is dropped from the rows
+ *    without shifting every subsequent page boundary;
  *  - a short page before `count` is reached fails LOUDLY — a service
  *    that stops serving mid-scroll would otherwise look like a clean
  *    short series and silently corrupt downstream storm totals;
@@ -49,21 +94,17 @@ final class PagedStationRowSource(
 
   def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow] = {
     val (start, stop) = StationTimes.dateWindow(startUs, stopUs)
-    def page(offset: Int): (Int, Seq[StationRow]) = {
+    val client = PagedHttp.newClient()
+    // (total count, records served on this page, parsed rows)
+    def page(offset: Int): (Int, Int, Seq[StationRow]) = {
       val url = s"$endpoint?station=$stationId&start=$start&stop=$stop" +
         s"&limit=$pageLimit&offset=$offset"
-      val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
-      val resp = client.send(
-        HttpRequest.newBuilder(URI.create(url)).GET()
-          .timeout(Duration.ofSeconds(60)).build(),
-        HttpResponse.BodyHandlers.ofString())
-      require(resp.statusCode() == 200, s"paged request failed (${resp.statusCode()}): $url")
-      parsePage(resp.body())
+      parsePage(PagedHttp.get(client, url, "paged"))
     }
     def scroll(offset: Int, pageNo: Int): LazyList[Seq[StationRow]] = {
-      val (count, rows) = page(offset)
-      val next = offset + rows.size
-      if (next < count && rows.isEmpty)
+      val (count, served, rows) = page(offset)
+      val next = offset + served
+      if (next < count && served == 0)
         throw new IllegalStateException(
           s"paged service returned a short page: $next of $count records at offset $offset")
       if (pageNo >= maxPages && next < count)
@@ -77,9 +118,9 @@ final class PagedStationRowSource(
       .filter(r => r.tsMicros >= startUs && r.tsMicros <= stopUs)
   }
 
-  /** One page: ("count": total, "results": ordered observations).
-    * Null/blank values are missing days, like the CDEC client. */
-  private[graft] def parsePage(body: String): (Int, Seq[StationRow]) = {
+  /** One page: ("count": total, "results": ordered observations) →
+    * (total, records served, parsed rows). */
+  private[graft] def parsePage(body: String): (Int, Int, Seq[StationRow]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val fields = JsonMethods.parse(body) match {
@@ -94,21 +135,7 @@ final class PagedStationRowSource(
       case Some(JArray(xs)) => xs
       case _ => Nil
     }
-    val rows = results.flatMap { obs =>
-      val fs = obs match { case JObject(o) => o.toMap; case _ => Map.empty[String, JValue] }
-      fs.get("date").collect { case JString(s) => s }.map { d =>
-        val value: java.lang.Double = fs.get("value") match {
-          case Some(JDouble(v)) => v
-          case Some(JInt(v)) => v.toDouble
-          case Some(JDecimal(v)) => v.toDouble
-          case Some(JString(s)) if s.trim.nonEmpty =>
-            scala.util.Try(java.lang.Double.valueOf(s.trim)).getOrElse(null)
-          case _ => null
-        }
-        StationRow(StationTimes.parseMicros(d), value)
-      }
-    }
-    (count, rows)
+    (count, results.size, PagedHttp.parseResults(results))
   }
 }
 
@@ -129,13 +156,13 @@ object PagedStationRowSource {
  *   → {"results": [...], "next": "<token>"}        (more pages)
  *   → {"results": [...]}  or  {"next": null}        (last page)
  *
- * Same discipline as the offset form: lazy page pulls, `maxPages`
- * runaway guard — and because no count exists to check short pages
- * against, the truncation guard becomes a NON-ADVANCING-CURSOR check:
- * a service that returns the same token twice (or a token with an
- * empty page and more promised) would loop or silently stall, so both
- * fail loudly instead. Selected via `.option("paging", "cursor")` on
- * the `PAGED` DSv2 source.
+ * Same discipline as the offset form: lazy page pulls, one client per
+ * scroll, `maxPages` runaway guard — and because no count exists to
+ * check short pages against, the truncation guard becomes a
+ * NON-ADVANCING-CURSOR check: a service that returns the same token
+ * twice (or a token with an empty page and more promised) would loop
+ * or silently stall, so both fail loudly instead. Selected via
+ * `.option("paging", "cursor")` on the `PAGED` DSv2 source.
  */
 final class CursorPagedStationRowSource(
     endpoint: String,
@@ -145,25 +172,20 @@ final class CursorPagedStationRowSource(
 
   def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow] = {
     val (start, stop) = StationTimes.dateWindow(startUs, stopUs)
-    def page(cursor: Option[String]): (Option[String], Seq[StationRow]) = {
+    val client = PagedHttp.newClient()
+    def page(cursor: Option[String]): (Option[String], Int, Seq[StationRow]) = {
       val cur = cursor.map(c =>
         "&cursor=" + java.net.URLEncoder.encode(c, "UTF-8")).getOrElse("")
       val url = s"$endpoint?station=$stationId&start=$start&stop=$stop" +
         s"&limit=$pageLimit$cur"
-      val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
-      val resp = client.send(
-        HttpRequest.newBuilder(URI.create(url)).GET()
-          .timeout(Duration.ofSeconds(60)).build(),
-        HttpResponse.BodyHandlers.ofString())
-      require(resp.statusCode() == 200, s"cursor-paged request failed (${resp.statusCode()}): $url")
-      parseCursorPage(resp.body())
+      parseCursorPage(PagedHttp.get(client, url, "cursor-paged"))
     }
     def scroll(cursor: Option[String], pageNo: Int): LazyList[Seq[StationRow]] = {
-      val (next, rows) = page(cursor)
+      val (next, served, rows) = page(cursor)
       if (next.isDefined && next == cursor)
         throw new IllegalStateException(
           s"cursor-paged service did not advance: cursor ${next.get} returned itself")
-      if (next.isDefined && rows.isEmpty)
+      if (next.isDefined && served == 0)
         throw new IllegalStateException(
           "cursor-paged service promised more pages but returned an empty one")
       if (pageNo >= maxPages && next.isDefined)
@@ -178,8 +200,8 @@ final class CursorPagedStationRowSource(
       .filter(r => r.tsMicros >= startUs && r.tsMicros <= stopUs)
   }
 
-  /** One page: optional continuation token + ordered observations. */
-  private[graft] def parseCursorPage(body: String): (Option[String], Seq[StationRow]) = {
+  /** One page: optional continuation token + (served, parsed rows). */
+  private[graft] def parseCursorPage(body: String): (Option[String], Int, Seq[StationRow]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val fields = JsonMethods.parse(body) match {
@@ -191,20 +213,6 @@ final class CursorPagedStationRowSource(
       case Some(JArray(xs)) => xs
       case _ => Nil
     }
-    val rows = results.flatMap { obs =>
-      val fs = obs match { case JObject(o) => o.toMap; case _ => Map.empty[String, JValue] }
-      fs.get("date").collect { case JString(s) => s }.map { d =>
-        val value: java.lang.Double = fs.get("value") match {
-          case Some(JDouble(v)) => v
-          case Some(JInt(v)) => v.toDouble
-          case Some(JDecimal(v)) => v.toDouble
-          case Some(JString(s)) if s.trim.nonEmpty =>
-            scala.util.Try(java.lang.Double.valueOf(s.trim)).getOrElse(null)
-          case _ => null
-        }
-        StationRow(StationTimes.parseMicros(d), value)
-      }
-    }
-    (next, rows)
+    (next, results.size, PagedHttp.parseResults(results))
   }
 }

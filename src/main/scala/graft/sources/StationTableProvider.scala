@@ -83,9 +83,10 @@ object StationTable {
         val endpoint = opts.getOrElse("endpoint",
           throw new IllegalArgumentException("graft-station PAGED source requires 'endpoint'"))
         val limit = opts.get("pagelimit").map(_.toInt).getOrElse(1000)
+        val maxPages = opts.get("maxpages").map(_.toInt).getOrElse(10000)
         opts.getOrElse("paging", "offset") match {
-          case "offset" => new PagedStationRowSource(endpoint, limit)
-          case "cursor" => new CursorPagedStationRowSource(endpoint, limit)
+          case "offset" => new PagedStationRowSource(endpoint, limit, maxPages)
+          case "cursor" => new CursorPagedStationRowSource(endpoint, limit, maxPages)
           case other => throw new IllegalArgumentException(
             s"PAGED paging mode $other is not recognized. Valid options are: cursor, offset")
         }

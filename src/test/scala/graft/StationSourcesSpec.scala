@@ -352,6 +352,42 @@ class StationSourcesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("paged client: a malformed record mid-stream drops without shifting page offsets") {
+    // server that serves records verbatim INCLUDING one with no date:
+    // the offset must advance by records served, or page 2 re-fetches
+    // the boundary record and duplicates a day
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val raw = Seq(
+      """{"date":"2022-12-01","value":0.0}""",
+      """{"value":9.9}""", // malformed: no date — parser drops it
+      """{"date":"2022-12-02","value":0.4}""",
+      """{"date":"2022-12-03","value":1.0}""",
+      """{"date":"2022-12-04","value":1.3}""")
+    server.createContext("/page", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val q = ex.getRequestURI.getQuery.split("&").map(_.split("=", 2))
+        .map(kv => (kv(0), kv(1))).toMap
+      val page = raw.slice(q("offset").toInt, q("offset").toInt + q("limit").toInt)
+      val body = s"""{"count":${raw.size},"results":[${page.mkString(",")}]}"""
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val src = new graft.sources.PagedStationRowSource(
+        s"http://127.0.0.1:${server.getAddress.getPort}/page", pageLimit = 2)
+      val rows = src.fetchRows("TUM", Long.MinValue, Long.MaxValue).toList
+      // 4 parseable records, each exactly once, in order
+      assert(rows.map(_.accum.doubleValue()) == List(0.0, 0.4, 1.0, 1.3), rows)
+      assert(rows.map(_.tsMicros).distinct.size == 4, "duplicate day fetched")
+      assert(hits.get() == 3, s"expected 3 pages of 2, saw ${hits.get()}")
+    } finally server.stop(0)
+  }
+
   test("paged client: pages pull lazily — an early-stopping consumer skips the tail") {
     withPagedServer(pagedDays) { (endpoint, hits) =>
       val src = new graft.sources.PagedStationRowSource(endpoint, pageLimit = 2)

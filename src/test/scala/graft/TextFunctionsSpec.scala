@@ -85,6 +85,14 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     val aScrub = one[String](piiScrub(col("text")), addr)
     assert(aScrub == "ship to <ADDR> or <ADDR> today", aScrub)
     assert(one[Int](piiCount(col("text"), AddressRe), "10 downtown st corner") == 0)
+    // suffix needs a word boundary: "St" inside "Store" must not match
+    assert(one[Int](piiCount(col("text"), AddressRe), "meet at 12 Main Store today") == 0)
+    assert(one[String](piiScrub(col("text")), "meet at 12 Main Store today")
+      == "meet at 12 Main Store today")
+    // a phone preceding an address: address scrubs first, so the
+    // phone pattern cannot absorb the street number
+    val both = "call 206-555-0142 99 Mountain View Rd"
+    assert(one[String](piiScrub(col("text")), both) == "call <PHONE> <ADDR>")
   }
 
   test("gopher rules: keep decision matches a row-by-row recompute; both outcomes occur") {
