@@ -57,6 +57,12 @@ object SqlSurface {
     pairs.createOrReplaceTempView("graft_minhash_pairs")
     graft.dedup.Dedup.dedupClusters(docs, pairs)
       .createOrReplaceTempView("graft_dedup_clusters")
+    // quality/scrub layers (lazy views: nothing computes until queried)
+    docs.select(col("doc_id"),
+        tf.piiCount(col("text"), tf.EmailRe).as("n_emails"),
+        tf.piiCount(col("text"), tf.AddressRe).as("n_addresses"),
+        md5(tf.piiScrub(col("text"))).as("scrub_md5"))
+      .createOrReplaceTempView("graft_pii_scrub")
   }
 
   def register(

@@ -52,6 +52,11 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
       """SELECT count(*) FROM graft_doc_splits
         |WHERE split IN ('train','validation','test')""".stripMargin)
       .head.getLong(0) == 4L)
+    // pii view: clean corpus scrubs to itself (digest = md5 of text
+    // unchanged is not asserted — just that the view answers in SQL)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_pii_scrub WHERE n_emails = 0 AND n_addresses = 0")
+      .head.getLong(0) == 4L)
   }
 
   test("find_peaks clamp: near-head peak paints from index 0, no wrap") {
