@@ -44,6 +44,43 @@ object Joins {
   }
 
   /**
+   * Forward as-of join with optional tolerance (pandas `merge_asof`
+   * `direction='forward'`): for every left row, the EARLIEST right
+   * row with `right.ts >= left.ts` in the same series; with a
+   * tolerance, a match farther than `toleranceUs` microseconds nulls
+   * out (the row itself survives — left-join semantics). The union
+   * trick mirrored: right rows sort AFTER left on ties (so an
+   * exactly-simultaneous right row is inside the forward frame —
+   * inclusive >=) and `first(..., ignoreNulls)` runs over the
+   * (currentRow, unboundedFollowing) frame. Same single shuffle, one
+   * sort, no join node, no skew amplification.
+   */
+  def asofJoinForward(
+      left: DataFrame, right: DataFrame, toleranceUs: Option[Long] = None): DataFrame = {
+    val l = left.select(col("series_id"), col("ts"), col("value"),
+      lit(0).as("side"), lit(null).cast("timestamp").as("r_ts"),
+      lit(null).cast("double").as("r_val"))
+    val r = right.select(col("series_id"), col("ts"),
+      lit(null).cast("double").as("value"),
+      lit(1).as("side"), col("ts").as("r_ts"), col("value").as("r_val"))
+    val w = Window.partitionBy("series_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = l.unionByName(r)
+      .withColumn("asof_ts", first(col("r_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", first(col("r_val"), ignoreNulls = true).over(w))
+      .where(col("side") === 0)
+    val inTol = toleranceUs match {
+      case Some(tol) =>
+        col("asof_ts").isNotNull &&
+          unix_micros(col("asof_ts")) - unix_micros(col("ts")) <= tol
+      case None => col("asof_ts").isNotNull
+    }
+    joined.select(col("series_id"), col("ts"), col("value"),
+      when(inTol, col("asof_ts")).as("asof_ts"),
+      when(inTol, col("asof_value")).as("asof_value"))
+  }
+
+  /**
    * Interval containment join: each point against the intervals of
    * its series with `start <= ts <= stop` (pandas inclusive label
    * slice, SURVEY.md §2.3), aggregated to per-interval stats. The

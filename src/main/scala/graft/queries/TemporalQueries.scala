@@ -26,6 +26,12 @@ object TemporalQueries {
     "aj1_asof_join" -> ((s, dir) =>
       Joins.asofJoin(
         typedSeries(s, dir, "click"), typedSeries(s, dir, "purchase"))),
+    // forward direction with a 3-day tolerance — matches farther out
+    // null (pandas merge_asof direction='forward', tolerance)
+    "aj2_asof_forward" -> ((s, dir) =>
+      Joins.asofJoinForward(
+        typedSeries(s, dir, "click"), typedSeries(s, dir, "purchase"),
+        toleranceUs = Some(3L * 86400L * 1000000L))),
     "ij1_interval_stats" -> ((s, dir) =>
       Joins.intervalStats(
         SparkEntryBridge.canonical(s, dir),
@@ -56,6 +62,20 @@ object TemporalQueries {
          |SELECT l.series_id, l.ts, l.value, r.r_ts AS asof_ts, r.r_val AS asof_value
          |FROM l ASOF LEFT JOIN r
          |ON l.series_id = r.series_id AND r.r_ts <= l.ts""".stripMargin,
+    "aj2_asof_forward" -> {
+      val tol = 3L * 86400L * 1000000L
+      s"""WITH l AS (${typedCte("click")}),
+         |r AS (SELECT series_id, ts AS r_ts, value AS r_val FROM (${typedCte("purchase")})),
+         |j AS (SELECT l.series_id, l.ts, l.value, r.r_ts, r.r_val
+         |  FROM l ASOF LEFT JOIN r
+         |  ON l.series_id = r.series_id AND r.r_ts >= l.ts)
+         |SELECT series_id, ts, value,
+         |  CASE WHEN r_ts IS NOT NULL AND epoch_us(r_ts) - epoch_us(ts) <= $tol
+         |    THEN r_ts END AS asof_ts,
+         |  CASE WHEN r_ts IS NOT NULL AND epoch_us(r_ts) - epoch_us(ts) <= $tol
+         |    THEN r_val END AS asof_value
+         |FROM j""".stripMargin
+    },
     "ij1_interval_stats" ->
       s"""WITH pts AS ($ptsCte),
          |ev AS (SELECT * FROM ($d6Sql))

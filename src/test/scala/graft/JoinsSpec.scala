@@ -31,6 +31,28 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(r("a") == Some(11.0) && r("b").isEmpty)
   }
 
+  test("forward asof: earliest right at or after, tolerance nulls far matches") {
+    val left = seriesAt(Seq(day(1) -> 10.0, day(3) -> 30.0, day(5) -> 50.0), "a")
+    val right = seriesAt(Seq(day(3) -> 3.0, day(9) -> 9.0), "a")
+    val r = Joins.asofJoinForward(left, right)
+      .orderBy("ts")
+      .select("asof_value").collect().map(x => Option(x.get(0)))
+    // day1 → day3 (3.0); day3 → day3 inclusive (3.0); day5 → day9 (9.0)
+    assert(r.toSeq == Seq(Some(3.0), Some(3.0), Some(9.0)))
+    // 3-day tolerance: day5's match at day9 is 4 days out → nulls,
+    // the row itself survives (left-join semantics)
+    val tol = Joins.asofJoinForward(left, right,
+        toleranceUs = Some(3L * 86400L * 1000000L))
+      .orderBy("ts")
+      .select("asof_value").collect().map(x => Option(x.get(0)))
+    assert(tol.toSeq == Seq(Some(3.0), Some(3.0), None))
+    // no following right row at all → null
+    val none = Joins.asofJoinForward(
+        seriesAt(Seq(day(9) -> 1.0), "a"), seriesAt(Seq(day(1) -> 2.0), "a"))
+      .collect()
+    assert(none.length == 1 && none(0).isNullAt(none(0).fieldIndex("asof_value")))
+  }
+
   test("sessionize: gap splits sessions, stats aggregate per session") {
     val ts = seriesAt(Seq(day(0) -> 1.0, day(1) -> 2.0, day(5) -> 3.0, day(6) -> 4.0), "a")
     val sessions = Joins.sessionStats(ts, gap = "2D")
