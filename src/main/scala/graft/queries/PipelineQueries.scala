@@ -142,6 +142,18 @@ object PipelineQueries {
       Dedup.decontaminate(
         d.where(col("doc_id") % 17 =!= 3), d.where(col("doc_id") % 17 === 3))
     }),
+    // Cross-split decontamination: the train split scanned for grams
+    // leaked from the held-out test split — the same broadcast-gram
+    // protocol as dc1 composed with sm1's deterministic hash split,
+    // i.e. "did my own eval set contaminate my training corpus". The
+    // validation slice (bucket 80-89) is in neither side, so the key
+    // also exercises decontaminate with corpus ∪ benchmark ⊊ table.
+    "dc2_split_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bucket =
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+      Dedup.decontaminate(d.where(bucket < 80), d.where(bucket >= 90))
+    }),
     // Same as m2: the flatMap EXECUTION isn't SQL, but the result is —
     // the twin strides generate_series over the header's frame count
     // and slices the ASCII payload with substr, md5-matched per frame.
@@ -327,6 +339,26 @@ object PipelineQueries {
          |SELECT base.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
          |  coalesce(n_hits, 0) >= 1 AS contaminated
          |FROM base LEFT JOIN hits USING (doc_id)""".stripMargin,
+    "dc2_split_decontaminate" -> {
+      val bucketSql =
+        """CAST(list_sum(list_transform(generate_series(1, 8),
+          |  i -> (strpos('0123456789abcdef',
+          |          substr(md5(CAST(doc_id AS VARCHAR)), i::INTEGER, 1)) - 1)
+          |       * power(16, 8 - i))) AS BIGINT) % 100""".stripMargin
+      s"""WITH sh AS (SELECT doc_id, $bucketSql AS bucket, $shinglesSql AS shingles
+         |  FROM documents),
+         |hs AS (SELECT doc_id, bucket, list_distinct(list_transform(shingles,
+         |   s -> CAST(list_sum(list_transform(generate_series(1, 8),
+         |     i -> (strpos('0123456789abcdef', substr(md5(s), i::INTEGER, 1)) - 1)
+         |          * power(16, 8 - i))) AS BIGINT))) AS hset FROM sh),
+         |bench AS (SELECT DISTINCT unnest(hset) AS g FROM hs WHERE bucket >= 90),
+         |corp AS (SELECT doc_id, unnest(hset) AS g FROM hs WHERE bucket < 80),
+         |hits AS (SELECT doc_id, count(*) AS n_hits FROM corp JOIN bench USING (g) GROUP BY 1),
+         |base AS (SELECT doc_id FROM hs WHERE bucket < 80)
+         |SELECT base.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  coalesce(n_hits, 0) >= 1 AS contaminated
+         |FROM base LEFT JOIN hits USING (doc_id)""".stripMargin
+    },
     "x7_simhash_wide" ->
       s"""WITH sigs AS (SELECT doc_id, ${simhashSqlAt(0)} AS lo,
          |  ${simhashSqlAt(8)} AS hi FROM documents)
