@@ -36,7 +36,7 @@ object CorpusQueries {
   /** 32-bit md5-derived hash of doc_id (decimal value of the first 8
     * md5 hex chars of the decimal string) — the same portable hash
     * family as the dedup layer, exact in both engines. */
-  private def idHash(id: org.apache.spark.sql.Column) =
+  private[graft] def idHash(id: org.apache.spark.sql.Column) =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** Corpus vocabulary top-k: token frequency and document frequency,

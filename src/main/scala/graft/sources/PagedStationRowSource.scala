@@ -12,13 +12,41 @@ private[sources] object PagedHttp {
   def newClient(): HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
 
-  def get(client: HttpClient, url: String, what: String): String = {
-    val resp = client.send(
-      HttpRequest.newBuilder(URI.create(url)).GET()
-        .timeout(Duration.ofSeconds(60)).build(),
-      HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() == 200, s"$what request failed (${resp.statusCode()}): $url")
-    resp.body()
+  /** GET with bounded retry on TRANSIENT failures (5xx, 429, IO): a
+    * thousand-page scroll dying on one blip re-fetches the whole
+    * window, so a page is worth `retries` extra attempts with linear
+    * backoff. 4xx (other than 429) fails immediately — a bad request
+    * does not get better by retrying — and the scroll guards
+    * (short-page, non-advancing cursor) still catch a server that
+    * "recovers" into inconsistency. */
+  def get(client: HttpClient, url: String, what: String, retries: Int = 2): String = {
+    var attempt = 0
+    while (true) {
+      val outcome: Either[String, String] =
+        try {
+          val resp = client.send(
+            HttpRequest.newBuilder(URI.create(url)).GET()
+              .timeout(Duration.ofSeconds(60)).build(),
+            HttpResponse.BodyHandlers.ofString())
+          resp.statusCode() match {
+            case 200 => Right(resp.body())
+            case code if code >= 500 || code == 429 => Left(s"status $code")
+            case code => throw new IllegalStateException(
+              s"$what request failed ($code): $url")
+          }
+        } catch {
+          case e: java.io.IOException => Left(e.toString)
+        }
+      outcome match {
+        case Right(body) => return body
+        case Left(reason) =>
+          if (attempt >= retries) throw new IllegalStateException(
+            s"$what request failed after ${attempt + 1} attempts ($reason): $url")
+          attempt += 1
+          Thread.sleep(100L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** JSON observations → rows. Null/blank values are missing days,

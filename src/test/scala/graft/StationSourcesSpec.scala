@@ -388,6 +388,43 @@ class StationSourcesSpec extends AnyFunSuite with SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("paged client: transient 5xx retries and recovers; 4xx fails immediately") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/page", (ex: com.sun.net.httpserver.HttpExchange) => {
+      // first request 503s; retries succeed
+      if (hits.incrementAndGet() == 1) {
+        ex.sendResponseHeaders(503, -1L); ex.close()
+      } else {
+        val body = """{"count":1,"results":[{"date":"2022-12-01","value":1.0}]}"""
+          .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
+    server.createContext("/gone", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      ex.sendResponseHeaders(404, -1L); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val rows = new graft.sources.PagedStationRowSource(s"$base/page")
+        .fetchRows("TUM", Long.MinValue, Long.MaxValue)
+      assert(rows.map(_.accum.doubleValue()).toList == List(1.0))
+      assert(hits.get() == 2, s"expected 1 failure + 1 retry, saw ${hits.get()}")
+      val before = hits.get()
+      val e = intercept[IllegalStateException] {
+        new graft.sources.PagedStationRowSource(s"$base/gone")
+          .fetchRows("TUM", Long.MinValue, Long.MaxValue).toList
+      }
+      assert(e.getMessage.contains("404"), e.getMessage)
+      assert(hits.get() == before + 1, "4xx must not retry")
+    } finally server.stop(0)
+  }
+
   test("paged client: pages pull lazily — an early-stopping consumer skips the tail") {
     withPagedServer(pagedDays) { (endpoint, hits) =>
       val src = new graft.sources.PagedStationRowSource(endpoint, pageLimit = 2)

@@ -365,6 +365,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming mixture sample: static rates, stateless membership equals batch fate") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val rates = Seq(("s1", 10000L), ("s2", 5000L), ("s3", 0L)).toDF("source", "rate_bp")
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingCorpus.mixtureSample(
+        input.toDF().toDF("doc_id", "source", "text"), rates)
+      .writeStream.format("memory").queryName("smx").outputMode(OutputMode.Append()).start()
+    try {
+      val docs = (0L until 40L).map(i => (i, s"s${(i % 3) + 1}", s"doc $i"))
+      val (b1, b2) = docs.splitAt(20)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val kept = spark.sql("select doc_id, source, bucket from smx")
+        .as[(Long, String, Long)].collect().toSeq
+      // the batch-side fate, recomputed independently
+      def hash(id: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 10000
+      }
+      val expect = docs.filter { case (id, src, _) =>
+        val rate = Map("s1" -> 10000L, "s2" -> 5000L, "s3" -> 0L)(src)
+        hash(id) < rate
+      }.map(d => (d._1, d._2)).toSet
+      assert(kept.map(k => (k._1, k._2)).toSet == expect)
+      // rate 10000 keeps everything in its domain; rate 0 keeps nothing
+      assert(kept.count(_._2 == "s1") == docs.count(_._2 == "s1"))
+      assert(!kept.exists(_._2 == "s3"))
+      kept.foreach { case (id, _, b) => assert(b == hash(id)) }
+    } finally q.stop()
+  }
+
   test("station readStream over PAGED: admitted window bounds event time, paging bounds each fetch") {
     // loopback offset/limit server: 10 daily records, 3 per page
     val days = (1 to 10).map(d => (f"2022-12-$d%02d", d * 0.1))
