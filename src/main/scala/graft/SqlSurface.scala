@@ -30,6 +30,7 @@ object SqlSurface {
     * into a view without re-running it per query). */
   val CorpusViews: Seq[String] = Seq(
     "graft_documents", "graft_doc_stats", "graft_doc_splits",
+    "graft_pii_scrub",
     "graft_exact_dedup" /* EAGER */, "graft_minhash_pairs" /* EAGER */,
     "graft_dedup_clusters" /* EAGER */)
 
@@ -60,6 +61,9 @@ object SqlSurface {
     // quality/scrub layers (lazy views: nothing computes until queried)
     docs.select(col("doc_id"),
         tf.piiCount(col("text"), tf.EmailRe).as("n_emails"),
+        tf.piiCount(col("text"), tf.SsnRe).as("n_ssns"),
+        tf.piiCount(col("text"), tf.Ipv4Re).as("n_ips"),
+        tf.piiCount(col("text"), tf.PhoneRe).as("n_phones"),
         tf.piiCount(col("text"), tf.AddressRe).as("n_addresses"),
         md5(tf.piiScrub(col("text"))).as("scrub_md5"))
       .createOrReplaceTempView("graft_pii_scrub")

@@ -36,11 +36,19 @@ object Joins {
       lit(0).as("side"), col("ts").as("r_ts"), col("value").as("r_val"))
     val w = Window.partitionBy("series_id").orderBy(col("ts"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE selection for both outputs: the carried value is a struct
+    // that is null exactly on left rows (r_ts is never null on right
+    // rows), so asof_ts and asof_value always come from the SAME
+    // right row — selecting them with two independent ignoreNulls
+    // scans would let a null-VALUED nearest row pair its timestamp
+    // with a different row's value
     l.unionByName(r)
-      .withColumn("asof_ts", last(col("r_ts"), ignoreNulls = true).over(w))
-      .withColumn("asof_value", last(col("r_val"), ignoreNulls = true).over(w))
+      .withColumn("m", last(
+        when(col("side") === 0, struct(col("r_ts"), col("r_val"))),
+        ignoreNulls = true).over(w))
       .where(col("side") === 1)
-      .select(col("series_id"), col("ts"), col("value"), col("asof_ts"), col("asof_value"))
+      .select(col("series_id"), col("ts"), col("value"),
+        col("m.r_ts").as("asof_ts"), col("m.r_val").as("asof_value"))
   }
 
   /**
@@ -49,11 +57,16 @@ object Joins {
    * row with `right.ts >= left.ts` in the same series; with a
    * tolerance, a match farther than `toleranceUs` microseconds nulls
    * out (the row itself survives — left-join semantics). The union
-   * trick mirrored: right rows sort AFTER left on ties (so an
-   * exactly-simultaneous right row is inside the forward frame —
-   * inclusive >=) and `first(..., ignoreNulls)` runs over the
-   * (currentRow, unboundedFollowing) frame. Same single shuffle, one
-   * sort, no join node, no skew amplification.
+   * trick mirrored by REVERSING the sort: descending (ts, side) with
+   * right rows first on ties, so "the latest previously-seen right
+   * row" in the descending walk IS the earliest right row at-or-after
+   * the left ts (inclusive >=), carried by `last(..., ignoreNulls)`
+   * over the same O(n) running frame the backward form uses — not a
+   * (currentRow, unboundedFollowing) frame, which Spark executes by
+   * re-scanning current-to-end per output row (O(n²) on a hot
+   * series). Same single shuffle, one sort, no join node. The carried
+   * value is one struct so ts and value always come from the SAME
+   * right row (see [[asofJoin]]).
    */
   def asofJoinForward(
       left: DataFrame, right: DataFrame, toleranceUs: Option[Long] = None): DataFrame = {
@@ -63,21 +76,22 @@ object Joins {
     val r = right.select(col("series_id"), col("ts"),
       lit(null).cast("double").as("value"),
       lit(1).as("side"), col("ts").as("r_ts"), col("value").as("r_val"))
-    val w = Window.partitionBy("series_id").orderBy(col("ts"), col("side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = Window.partitionBy("series_id").orderBy(col("ts").desc, col("side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.unionByName(r)
-      .withColumn("asof_ts", first(col("r_ts"), ignoreNulls = true).over(w))
-      .withColumn("asof_value", first(col("r_val"), ignoreNulls = true).over(w))
+      .withColumn("m", last(
+        when(col("side") === 1, struct(col("r_ts"), col("r_val"))),
+        ignoreNulls = true).over(w))
       .where(col("side") === 0)
     val inTol = toleranceUs match {
       case Some(tol) =>
-        col("asof_ts").isNotNull &&
-          unix_micros(col("asof_ts")) - unix_micros(col("ts")) <= tol
-      case None => col("asof_ts").isNotNull
+        col("m.r_ts").isNotNull &&
+          unix_micros(col("m.r_ts")) - unix_micros(col("ts")) <= tol
+      case None => col("m.r_ts").isNotNull
     }
     joined.select(col("series_id"), col("ts"), col("value"),
-      when(inTol, col("asof_ts")).as("asof_ts"),
-      when(inTol, col("asof_value")).as("asof_value"))
+      when(inTol, col("m.r_ts")).as("asof_ts"),
+      when(inTol, col("m.r_val")).as("asof_value"))
   }
 
   /**

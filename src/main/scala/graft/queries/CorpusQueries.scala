@@ -291,12 +291,12 @@ object CorpusQueries {
 
   // --- DuckDB twins -----------------------------------------------------
 
-  private def hash32Sql(e: String): String =
+  private[graft] def hash32Sql(e: String): String =
     s"""CAST(list_sum(list_transform(generate_series(1, 8),
        |  i -> (strpos('0123456789abcdef', substr(md5($e), i::INTEGER, 1)) - 1)
        |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
 
-  private val idHashSql = hash32Sql("CAST(doc_id AS VARCHAR)")
+  private[graft] val idHashSql: String = hash32Sql("CAST(doc_id AS VARCHAR)")
 
   private val toksSql =
     """CASE WHEN length(trim(lower(text))) = 0 THEN []

@@ -150,8 +150,8 @@ object PipelineQueries {
     // also exercises decontaminate with corpus ∪ benchmark ⊊ table.
     "dc2_split_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
-      val bucket =
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+      // the SAME hash as sm1's split, referenced not re-derived
+      val bucket = graft.queries.CorpusQueries.idHash(col("doc_id")) % 100
       Dedup.decontaminate(d.where(bucket < 80), d.where(bucket >= 90))
     }),
     // Same as m2: the flatMap EXECUTION isn't SQL, but the result is —
@@ -340,11 +340,7 @@ object PipelineQueries {
          |  coalesce(n_hits, 0) >= 1 AS contaminated
          |FROM base LEFT JOIN hits USING (doc_id)""".stripMargin,
     "dc2_split_decontaminate" -> {
-      val bucketSql =
-        """CAST(list_sum(list_transform(generate_series(1, 8),
-          |  i -> (strpos('0123456789abcdef',
-          |          substr(md5(CAST(doc_id AS VARCHAR)), i::INTEGER, 1)) - 1)
-          |       * power(16, 8 - i))) AS BIGINT) % 100""".stripMargin
+      val bucketSql = s"${graft.queries.CorpusQueries.idHashSql} % 100"
       s"""WITH sh AS (SELECT doc_id, $bucketSql AS bucket, $shinglesSql AS shingles
          |  FROM documents),
          |hs AS (SELECT doc_id, bucket, list_distinct(list_transform(shingles,

@@ -29,10 +29,29 @@ import org.apache.spark.sql.functions._
 object StreamingCorpus {
 
   /** (doc_id, source, ...) stream × (source, rate_bp) static table →
-    * the sampled stream, with the bucket exposed for auditability. */
-  def mixtureSample(docs: DataFrame, rates: DataFrame): DataFrame =
+    * the sampled stream, with the bucket exposed for auditability.
+    *
+    * A domain ABSENT from the rates table means the snapshot predates
+    * it — there is no correct rate to apply, so the default policy is
+    * to FAIL the batch (fail-loudly: restart with refreshed rates)
+    * rather than silently drop or blindly admit a whole domain.
+    * `onUnknown`: "fail" (default), "keep" (admit unrated domains
+    * wholesale — rate 10000), or "drop" (exclude them). */
+  def mixtureSample(
+      docs: DataFrame, rates: DataFrame, onUnknown: String = "fail"): DataFrame = {
+    require(Set("fail", "keep", "drop")(onUnknown),
+      s"onUnknown must be fail|keep|drop: $onUnknown")
+    val rate = onUnknown match {
+      case "fail" => coalesce(col("rate_bp"),
+        raise_error(concat(lit("mixtureSample: no rate for domain '"),
+          col("source"), lit("' — refresh the rates snapshot"))))
+      case "keep" => coalesce(col("rate_bp"), lit(10000L))
+      case "drop" => coalesce(col("rate_bp"), lit(0L))
+    }
     docs
-      .join(broadcast(rates.select(col("source"), col("rate_bp"))), Seq("source"))
+      .join(broadcast(rates.select(col("source"), col("rate_bp"))), Seq("source"), "left")
       .withColumn("bucket", graft.queries.CorpusQueries.idHash(col("doc_id")) % 10000)
-      .where(col("bucket") < col("rate_bp"))
+      .where(col("bucket") < rate)
+      .drop("rate_bp")
+  }
 }

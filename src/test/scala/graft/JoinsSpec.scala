@@ -53,6 +53,26 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(none.length == 1 && none(0).isNullAt(none(0).fieldIndex("asof_value")))
   }
 
+  test("asof both directions: null-valued nearest right row pairs its OWN null value") {
+    // right day3 has a null value (all-NaN observation); the nearest
+    // match must carry (day3, null) — never day3's ts with a value
+    // taken from a different row
+    val left = seriesAt(Seq(day(2) -> 10.0, day(4) -> 40.0), "a")
+    val right = seriesAt(Seq(day(3) -> Double.NaN, day(9) -> 9.0), "a")
+    val fwd = Joins.asofJoinForward(left, right).orderBy("ts").collect()
+    // day2 → day3 (null value, not day9's 9.0); day4 → day9 (9.0)
+    assert(fwd(0).getTimestamp(fwd(0).fieldIndex("asof_ts")) == day(3))
+    assert(fwd(0).isNullAt(fwd(0).fieldIndex("asof_value")), fwd(0).toString)
+    assert(Option(fwd(1).get(fwd(1).fieldIndex("asof_value"))) == Some(9.0))
+    val back = Joins.asofJoin(
+        seriesAt(Seq(day(4) -> 40.0), "a"),
+        seriesAt(Seq(day(1) -> 1.0, day(3) -> Double.NaN), "a"))
+      .collect()
+    // backward: nearest is day3 with null value — not day1's 1.0
+    assert(back(0).getTimestamp(back(0).fieldIndex("asof_ts")) == day(3))
+    assert(back(0).isNullAt(back(0).fieldIndex("asof_value")), back(0).toString)
+  }
+
   test("sessionize: gap splits sessions, stats aggregate per session") {
     val ts = seriesAt(Seq(day(0) -> 1.0, day(1) -> 2.0, day(5) -> 3.0, day(6) -> 4.0), "a")
     val sessions = Joins.sessionStats(ts, gap = "2D")

@@ -398,6 +398,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming mixture sample: unknown domain fails loudly; keep/drop policies apply") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val rates = Seq(("s1", 10000L)).toDF("source", "rate_bp")
+    def run(onUnknown: String): Seq[(Long, String)] = {
+      val input = MemoryStream[(Long, String, String)]
+      val name = s"smx_$onUnknown"
+      val q = graft.streaming.StreamingCorpus.mixtureSample(
+          input.toDF().toDF("doc_id", "source", "text"), rates, onUnknown)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((1L, "s1", "a"), (2L, "sNEW", "b"))
+        q.processAllAvailable()
+        spark.sql(s"select doc_id, source from $name").as[(Long, String)].collect().toSeq
+      } finally q.stop()
+    }
+    // default: a domain missing from the snapshot kills the batch
+    val e = intercept[Exception] { run("fail") }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no rate for domain")), msgs(e).mkString("; "))
+    // keep: unrated domains pass wholesale; drop: they vanish
+    assert(run("keep").map(_._1).toSet == Set(1L, 2L))
+    assert(run("drop").map(_._1).toSet == Set(1L))
+  }
+
   test("station readStream over PAGED: admitted window bounds event time, paging bounds each fetch") {
     // loopback offset/limit server: 10 daily records, 3 per page
     val days = (1 to 10).map(d => (f"2022-12-$d%02d", d * 0.1))
