@@ -73,6 +73,55 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(back(0).isNullAt(back(0).fieldIndex("asof_value")), back(0).toString)
   }
 
+  test("asof joins match a brute-force reference on random series (property)") {
+    val rnd = new scala.util.Random(7)
+    // several series, duplicate timestamps across sides, null values
+    val left = (0 until 120).map { i =>
+      (s"s${i % 3}", day(rnd.nextInt(30)), rnd.nextDouble())
+    }
+    val right = (0 until 80).map { i =>
+      (s"s${i % 3}", day(rnd.nextInt(30)),
+        if (rnd.nextInt(5) == 0) Double.NaN else rnd.nextDouble())
+    }.distinct
+    import spark.implicits._
+    val lDf = left.toDF("series_id", "ts", "value")
+    val rDf = right.map(r => (r._1, r._2, if (r._3.isNaN) None else Some(r._3)))
+      .toDF("series_id", "ts", "value")
+    // brute force: nearest by |gap| with deterministic direction
+    def expect(forward: Boolean, tolUs: Option[Long]): Map[(String, Long, Int), Option[Long]] =
+      left.zipWithIndex.map { case ((sid, ts, _), i) =>
+        val cands = right.filter(r => r._1 == sid &&
+          (if (forward) r._2.getTime >= ts.getTime else r._2.getTime <= ts.getTime))
+        val best =
+          if (cands.isEmpty) None
+          else Some(if (forward) cands.minBy(_._2.getTime) else cands.maxBy(_._2.getTime))
+        val kept = best.filter(b => tolUs.forall(t =>
+          math.abs(b._2.getTime - ts.getTime) * 1000L <= t))
+        (sid, ts.getTime, i) -> kept.map(_._2.getTime)
+      }.toMap
+    def got(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Option[Long])] =
+      df.collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        Option(r.getTimestamp(r.fieldIndex("asof_ts"))).map(_.getTime))).toSeq
+    // backward
+    val b = got(Joins.asofJoin(lDf, rDf))
+    val eb = expect(forward = false, None)
+    assert(b.size == left.size)
+    b.groupBy(x => (x._1, x._2)).foreach { case ((sid, ts), rows) =>
+      val want = eb.collect { case ((s, t, _), v) if s == sid && t == ts => v }.head
+      rows.foreach(r => assert(r._3 == want, s"backward mismatch at ($sid, $ts)"))
+    }
+    // forward with and without tolerance
+    val tol = 5L * 86400L * 1000000L
+    Seq(None, Some(tol)).foreach { t =>
+      val f = got(Joins.asofJoinForward(lDf, rDf, t))
+      val ef = expect(forward = true, t)
+      f.groupBy(x => (x._1, x._2)).foreach { case ((sid, ts), rows) =>
+        val want = ef.collect { case ((s, t0, _), v) if s == sid && t0 == ts => v }.head
+        rows.foreach(r => assert(r._3 == want, s"forward(tol=$t) mismatch at ($sid, $ts)"))
+      }
+    }
+  }
+
   test("sessionize: gap splits sessions, stats aggregate per session") {
     val ts = seriesAt(Seq(day(0) -> 1.0, day(1) -> 2.0, day(5) -> 3.0, day(6) -> 4.0), "a")
     val sessions = Joins.sessionStats(ts, gap = "2D")
