@@ -47,10 +47,17 @@ object Bench {
       System.gc()
       name -> dts.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms-resolution figures keep the one-line JSON small, and printing
+    // it AFTER spark.stop() (with logging silenced) keeps shutdown noise
+    // from pushing it out of a tail-capture buffer (BENCH_r06 lost the
+    // headline total to exactly that truncation)
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -35,19 +35,47 @@ object AssignmentSink {
   /** Upsert a delta: rows whose doc_id appears in `delta` are
     * replaced, other rows of touched shards are carried over
     * unchanged, untouched shards are NOT rewritten (their files stay
-    * byte-identical on disk — asserted in AssignmentSinkSpec). */
+    * byte-identical on disk — asserted in AssignmentSinkSpec).
+    *
+    * The merge is staged: the rewritten shard contents are first
+    * written to a hidden `_staging` dir under the table (invisible to
+    * partition discovery), then a second job re-reads the staging copy
+    * and lands it with dynamic partition overwrite — so no job ever
+    * reads the files its own commit is deleting. The final landing is
+    * still per-partition, not transactional: a crash mid-commit (or a
+    * concurrent reader) can observe touched shards in a mixed old/new
+    * state — plain parquet has no atomic multi-partition swap; a
+    * lakehouse MERGE is the transactional equivalent of this contract.
+    * Untouched shards are never at risk (asserted below: every
+    * pre-existing shard partition must survive the overwrite, guarding
+    * against a future Spark behavior change demoting dynamic mode to a
+    * full-table overwrite). */
   def upsertDelta(tablePath: String, delta: DataFrame, shards: Int = 64): Unit = {
     val spark = delta.sparkSession
     val d = delta.withColumn("shard", shardCol(shards))
     // bounded by `shards`, so the driver round-trip is O(config)
     val touched = d.select("shard").distinct().collect().map(_.getLong(0))
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def shardDirs(): Set[String] =
+      fs.listStatus(table).map(_.getPath.getName).filter(_.startsWith("shard=")).toSet
+    val preShards = shardDirs()
+    val staging = new org.apache.hadoop.fs.Path(table, "_staging_upsert")
     val existing = spark.read.parquet(tablePath)
       .where(col("shard").isin(touched: _*)) // partition-pruned scan
       .join(d.select("doc_id"), Seq("doc_id"), "left_anti")
     existing.unionByName(d)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("shard").parquet(tablePath)
+      .write.mode("overwrite").partitionBy("shard").parquet(staging.toString)
+    try
+      spark.read.parquet(staging.toString)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard").parquet(tablePath)
+    finally fs.delete(staging, true)
+    val lost = preShards -- shardDirs()
+    require(lost.isEmpty,
+      s"dynamic partition overwrite dropped untouched shards $lost of $tablePath — " +
+        "partitionOverwriteMode=dynamic was not honored")
   }
 
   /** The stored assignments (shard column dropped). */

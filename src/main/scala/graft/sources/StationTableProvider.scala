@@ -244,8 +244,16 @@ private[sources] class StationMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[StationOffset].tsUs
     val cap = if (stopUs != Long.MaxValue) stopUs else nowUs
-    val stepped = s + maxBatchUs
-    val end = if (maxBatchUs <= 0L || stepped < s) cap else math.min(cap, stepped)
+    // With no explicit `start`, the initial offset is Long.MinValue;
+    // stepping maxBatchUs from -2^63 would schedule ~10^7 empty
+    // micro-batches before reaching any real event time, so the first
+    // step is based at the same 1900-01-01 floor the backends'
+    // date-window default uses (StationTimes.dateWindow) — one batch
+    // covers (MinValue, floor+step] and the stream is immediately live.
+    val base =
+      if (s == Long.MinValue) StationMicroBatchStream.EpochFloorUs - 1L else s
+    val stepped = base + maxBatchUs
+    val end = if (maxBatchUs <= 0L || stepped < base) cap else math.min(cap, stepped)
     StationOffset(math.max(s, end))
   }
 
@@ -271,6 +279,14 @@ private[sources] class StationMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+private[sources] object StationMicroBatchStream {
+  /** 1900-01-01T00:00:00Z in epoch micros — the event-time floor shared
+    * with [[StationTimes.dateWindow]]'s default begin date. */
+  val EpochFloorUs: Long =
+    java.time.LocalDate.of(1900, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
 }
 
 private[sources] final case class StationPartition(

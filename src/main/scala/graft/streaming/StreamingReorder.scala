@@ -59,7 +59,12 @@ object StreamingReorder {
          rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
          state: GroupState[ReorderState]) => {
           val wmMs = state.getCurrentWatermarkMs()
-          val incoming = rows.map { case (_, t, v) => (t.getTime * 1000L, v) }.toList
+          // full-precision micros (getTime is only ms; the canonical
+          // frame carries µs) — sub-ms event times must survive the
+          // buffer round-trip or same-ms rows lose their true order
+          val incoming = rows.map { case (_, t, v) =>
+            (t.getTime * 1000L + (t.getNanos % 1000000) / 1000L, v)
+          }.toList
           val all = (state.getOption.map(_.buffered).getOrElse(Nil) ++ incoming)
             .sortBy(_._1)
           val (release, keep) = all.partition(_._1 <= wmMs * 1000L)
@@ -75,7 +80,11 @@ object StreamingReorder {
               Math.floorDiv(keep.head._1, 1000L) - 1L, wmMs + 1L))
           }
           release.iterator.map { case (us, v) =>
-            (sid, new java.sql.Timestamp(Math.floorDiv(us, 1000L)), v)
+            // reconstruct at µs precision: seconds via the millis ctor,
+            // then the within-second fraction through setNanos
+            val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+            ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+            (sid, ts, v)
           }
         })
       .toDF("series_id", "ts", "value")

@@ -346,6 +346,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("station readStream: maxbatchstep with no start steps from the 1900 floor, not -2^63") {
+    // regression: the first admitted step used to base at Long.MinValue,
+    // scheduling ~10^7 empty micro-batches before any real event time —
+    // processAllAvailable never returned. With the epoch-floor base the
+    // stream is live in batch 1.
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-station")
+      .option("source", "CSV").option("path", fixturePath)
+      .option("stations", "TUM")
+      .option("stop", "2022-12-20")
+      .option("maxbatchstep", "50000D") // 1900 + 50000 days ≈ 2036 ⇒ one live batch
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        batches.synchronized { batches += n }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val counts = batches.synchronized(batches.filter(_ > 0).toSeq)
+      assert(counts == Seq(20L), counts)
+    } finally q.stop()
+  }
+
   test("streaming increments: diff state carries across batches, missing propagates") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
