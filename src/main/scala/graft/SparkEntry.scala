@@ -63,9 +63,6 @@ object SparkEntry {
         .detect(canonicalEvents(s, dir)))),
     "u1_infer_step" -> ((s, dir) =>
       Kernels.inferStep(canonicalEvents(s, dir))),
-    // No SQL oracle: find_peaks (prominence/width scans) is not
-    // SQL-expressible — driver records the weaker rows-only check;
-    // parity is covered by the flv.csv golden suite (SpikeValleySpec).
     "d3_spike_valley" -> ((s, dir) =>
       roundTotal(SpikeValleyEvents(prominence = Some(150.0))
         .detect(canonicalEvents(s, dir)))),
@@ -135,6 +132,8 @@ object SparkEntry {
     "d7_extreme_change" ->
       (runIdSql("diff >= 200.0 OR diff <= -200.0", withDiff = true) +
         assembleSql("extreme_change")),
+    "d3_spike_valley" -> spikeValleySql(prominence = 150.0,
+      widthMin = 0.0, widthMax = 3.0, relHeight = 0.5),
     "d4_data_gap" -> dataGapSql(minLen = 2L, stepUs = 6L * 3600L * 1000000L),
     "d1_storm" -> stormSql(mass = 50.0, minTotal = 500.0,
       dtUs = 12L * 3600L * 1000000L, maxUs = 48L * 3600L * 1000000L,
@@ -216,6 +215,121 @@ object SparkEntry {
        |    AND epoch_us(ts) BETWEEN span_start_us AND span_stop_us
        |  GROUP BY t.series_id, span_start_us, span_stop_us)""".stripMargin
   }
+
+  /** SpikeValley (D3) — the scipy find_peaks chain
+    * ([[graft.operators.FindPeaks]], metevents/events.py:206-247) as
+    * declarative SQL. The sequential walks become order-statistics:
+    *
+    *  - plateau local-maxima: a rising edge's plateau ends at the first
+    *    later index with a DIFFERENT value (`i_ahead`, capped at n);
+    *    peak iff that sample is strictly lower; midpoint = integer mean
+    *    of the plateau edges;
+    *  - prominence: the outward walk's stop is the nearest STRICTLY
+    *    GREATER element (NULL acts as a barrier — see below); the base
+    *    is the window min, ties resolved toward the peak exactly as the
+    *    first-strictly-less update rule does;
+    *  - width at `ph − prom·relHeight`: the crossing index is the
+    *    nearest window sample at-or-below the height, linear
+    *    interpolation mirrors the Scala op order term-for-term (IEEE-
+    *    identical doubles, so the `trunc(p ± w)` paint boundaries are
+    *    bit-equal across engines);
+    *  - valleys = peaks of the sign-flipped series (`sg = ±1` doubles
+    *    the frame); the painted spans union via EXISTS; flagged runs
+    *    assemble like every other detector.
+    *
+    * NaN discipline: the canonical frame stores NaN as NULL, and every
+    * comparison against NULL is coalesced false — the same "comparison
+    * with NaN is false" contract the Scala kernel gets from C-float
+    * semantics (NULLs never form peaks, stop plateau scans, and wall
+    * off both walks). Correlated subqueries are fine at gate SF;
+    * DuckDB decorrelates them into joins. */
+  private def spikeValleySql(
+      prominence: Double, widthMin: Double, widthMax: Double, relHeight: Double): String =
+    s"""WITH t AS ($canonicalCte),
+       |s AS (SELECT series_id, ts, value,
+       |  row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn,
+       |  count(*) OVER (PARTITION BY series_id) AS n
+       | FROM t),
+       |sv AS (SELECT series_id, sg, rn, n, sg * value AS v
+       | FROM s CROSS JOIN (SELECT unnest([1.0, -1.0]) AS sg)),
+       |edges AS (SELECT *, lag(v) OVER (PARTITION BY series_id, sg ORDER BY rn) AS vp
+       | FROM sv),
+       |cand AS (
+       |  SELECT e.series_id, e.sg, e.rn, e.n, e.v,
+       |    least(coalesce((SELECT min(x.rn) FROM sv x
+       |      WHERE x.series_id = e.series_id AND x.sg = e.sg AND x.rn > e.rn
+       |        AND (x.v IS NULL OR x.v <> e.v)), e.n), e.n) AS i_ahead
+       |  FROM edges e
+       |  WHERE e.rn >= 2 AND e.rn <= e.n - 1 AND coalesce(e.vp < e.v, FALSE)),
+       |pk AS (
+       |  SELECT c.series_id, c.sg, c.n, c.v AS ph,
+       |    ((c.rn - 1) + (c.i_ahead - 2)) // 2 + 1 AS m
+       |  FROM cand c
+       |  JOIN sv a ON a.series_id = c.series_id AND a.sg = c.sg AND a.rn = c.i_ahead
+       |  WHERE coalesce(a.v < c.v, FALSE)),
+       |pb AS (
+       |  SELECT p.*,
+       |    coalesce((SELECT max(b.rn) FROM sv b WHERE b.series_id = p.series_id
+       |      AND b.sg = p.sg AND b.rn < p.m AND (b.v IS NULL OR b.v > p.ph)), 0) AS lbar,
+       |    coalesce((SELECT min(b.rn) FROM sv b WHERE b.series_id = p.series_id
+       |      AND b.sg = p.sg AND b.rn > p.m AND (b.v IS NULL OR b.v > p.ph)), p.n + 1)
+       |      AS rbar
+       |  FROM pk p),
+       |pm AS (
+       |  SELECT p.*,
+       |    (SELECT min(b.v) FROM sv b WHERE b.series_id = p.series_id AND b.sg = p.sg
+       |      AND b.rn > p.lbar AND b.rn <= p.m) AS lmin,
+       |    (SELECT min(b.v) FROM sv b WHERE b.series_id = p.series_id AND b.sg = p.sg
+       |      AND b.rn >= p.m AND b.rn < p.rbar) AS rmin
+       |  FROM pb p),
+       |pp AS (
+       |  SELECT p.*, p.ph - greatest(p.lmin, p.rmin) AS prom,
+       |    (SELECT max(b.rn) FROM sv b WHERE b.series_id = p.series_id AND b.sg = p.sg
+       |      AND b.rn > p.lbar AND b.rn <= p.m AND b.v = p.lmin) AS lbase,
+       |    (SELECT min(b.rn) FROM sv b WHERE b.series_id = p.series_id AND b.sg = p.sg
+       |      AND b.rn >= p.m AND b.rn < p.rbar AND b.v = p.rmin) AS rbase
+       |  FROM pm p
+       |  WHERE p.ph - greatest(p.lmin, p.rmin) >= $prominence),
+       |wi AS (
+       |  SELECT p.*,
+       |    coalesce((SELECT max(b.rn) FROM sv b WHERE b.series_id = p.series_id
+       |      AND b.sg = p.sg AND b.rn > p.lbase AND b.rn <= p.m
+       |      AND b.v <= p.ph - p.prom * $relHeight), p.lbase) AS li,
+       |    coalesce((SELECT min(b.rn) FROM sv b WHERE b.series_id = p.series_id
+       |      AND b.sg = p.sg AND b.rn >= p.m AND b.rn < p.rbase
+       |      AND b.v <= p.ph - p.prom * $relHeight), p.rbase) AS ri
+       |  FROM pp p),
+       |wx AS (
+       |  SELECT w.series_id, w.sg, w.n, w.m,
+       |    (w.ri + CASE WHEN vri.v < w.ph - w.prom * $relHeight
+       |       THEN -((w.ph - w.prom * $relHeight - vri.v) / (vri1.v - vri.v)) ELSE 0 END)
+       |    - (w.li + CASE WHEN vli.v < w.ph - w.prom * $relHeight
+       |       THEN (w.ph - w.prom * $relHeight - vli.v) / (vli1.v - vli.v) ELSE 0 END)
+       |      AS width
+       |  FROM wi w
+       |  JOIN sv vli  ON vli.series_id = w.series_id AND vli.sg = w.sg AND vli.rn = w.li
+       |  JOIN sv vli1 ON vli1.series_id = w.series_id AND vli1.sg = w.sg
+       |    AND vli1.rn = w.li + 1
+       |  JOIN sv vri  ON vri.series_id = w.series_id AND vri.sg = w.sg AND vri.rn = w.ri
+       |  JOIN sv vri1 ON vri1.series_id = w.series_id AND vri1.sg = w.sg
+       |    AND vri1.rn = w.ri - 1),
+       |spans AS (
+       |  SELECT series_id,
+       |    CAST(greatest(trunc((m - 1) - width), 0) AS BIGINT) + 1 AS p1,
+       |    CAST(least(trunc((m - 1) + width), n - 1) AS BIGINT) + 1 AS p2
+       |  FROM wx WHERE width >= $widthMin AND width <= $widthMax),
+       |f AS (SELECT s.*, EXISTS(SELECT 1 FROM spans sp
+       |    WHERE sp.series_id = s.series_id AND s.rn BETWEEN sp.p1 AND sp.p2) AS cond
+       |  FROM s),
+       |r AS (SELECT *, SUM(CASE WHEN cond THEN 0 ELSE 1 END)
+       |   OVER (PARTITION BY series_id ORDER BY ts
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM f)
+       |SELECT series_id, 'spike_valley' AS event_type,
+       |  MIN(ts) AS "start", MAX(ts) AS "stop",
+       |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       |  COUNT(*) AS n_points,
+       |  ROUND(SUM(value), 6) AS total
+       |FROM r WHERE cond GROUP BY series_id, run_id""".stripMargin
 
   /** DataGap (D4): union of missing-VALUE runs and missing-TIMESTAMP
     * synthetic 2-point events, filtered by duration >= min_len*step
