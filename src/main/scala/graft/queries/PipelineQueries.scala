@@ -67,8 +67,12 @@ object PipelineQueries {
         e.where(col("vec_id") < 20), e,
         centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3)
     }),
-    // No SQL oracle: iterative float means drift across engines —
-    // rows-only; determinism + recall covered by DedupSimilaritySpec.
+    // Oracle = the same 2 Lloyd rounds unrolled in SQL: per-round
+    // round-to-6 (an explicit IEEE floor(|u|·1e6+0.5) formula, mirrored
+    // exactly) RESETS cross-engine mean-summation ulp drift each
+    // iteration, so drift cannot compound — engines agree unless an
+    // unrounded mean sits within ~1e-16 of a 5e-7 boundary (the same
+    // measure-zero exposure m2's ln() carries; fixed data ⇒ stable).
     "s3_kmeans_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       val trained = Similarity.kmeansCentroids(e, e.where(col("vec_id") % 25 === 0), iters = 2)
@@ -261,6 +265,30 @@ object PipelineQueries {
        |SELECT doc_id, cluster_id, cluster_size,
        |  doc_id = cluster_id AS is_canonical
        |FROM lab JOIN sz USING (cluster_id)""".stripMargin
+
+  /** One Lloyd round as CTE text: assign every corpus vector to its
+    * nearest `prev` centroid (ties to the lowest cid — the same
+    * (cos DESC, cid) ranking kmeansCentroids uses), average members
+    * per (cid, component), then re-normalize and round each component
+    * with the identical floor(|u|·1e6 + 0.5)/1e6 IEEE op sequence the
+    * Scala side evaluates. Emits CTEs suffixed `i`; the result set is
+    * `c{i}`(cid, cent). */
+  private def lloydRoundSql(i: Int, prev: String): String =
+    s"""a$i AS (SELECT vid, cid FROM (
+       |  SELECT v.vec_id AS vid, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v.emb", "c.cent")} DESC, c.cid) AS rn
+       |  FROM v CROSS JOIN $prev c) WHERE rn = 1),
+       |m$i AS (SELECT a.cid, p.pos, avg(v.emb[(p.pos + 1)::INTEGER]) AS m
+       |  FROM a$i a JOIN v ON v.vec_id = a.vid
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p
+       |  GROUP BY 1, 2),
+       |mm$i AS (SELECT cid, list(m ORDER BY pos) AS mean FROM m$i GROUP BY cid),
+       |n$i AS (SELECT cid, mean, sqrt(${dotSql("mean", "mean")}) AS nrm FROM mm$i),
+       |c$i AS (SELECT cid, list_transform(mean, x -> CASE WHEN x / nrm >= 0
+       |    THEN floor(x / nrm * 1000000.0 + 0.5) / 1000000.0
+       |    ELSE -(floor(-(x / nrm) * 1000000.0 + 0.5) / 1000000.0) END) AS cent
+       |  FROM n$i)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -512,6 +540,38 @@ object PipelineQueries {
     "s2_ivf_topk" ->
       s"""WITH $vNormCte,
          |cent AS (SELECT vec_id AS cid, emb AS cent_emb FROM v WHERE vec_id % 25 = 0),
+         |assigned AS (SELECT neighbor_id, c_emb, cid FROM (
+         |  SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, cent.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+         |  FROM v CROSS JOIN cent) WHERE rn = 1),
+         |probes AS (SELECT query_id, q_emb, cid FROM (
+         |  SELECT v.vec_id AS query_id, v.emb AS q_emb, cent.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+         |  FROM v CROSS JOIN cent WHERE v.vec_id < 20) WHERE rn <= 3)
+         |SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ${dotSql("q_emb", "c_emb")} AS cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${dotSql("q_emb", "c_emb")} DESC, neighbor_id) AS rank
+         |  FROM probes JOIN assigned USING (cid)
+         |  WHERE query_id <> neighbor_id)
+         |WHERE rank <= 5""".stripMargin,
+    // kmeansCentroids(iters=2) unrolled: seeds = the same vec_id%25
+    // picks, two Lloyd rounds (assign → member means → re-normalize →
+    // round-to-6 via the mirrored IEEE formula), then exactly the s2
+    // probe chain over the trained centroids (re-normalized once more,
+    // as ivfTopK's normalized() does on its centroid input). Empty
+    // clusters drop out of the GROUP BY in both engines alike.
+    "s3_kmeans_ivf" ->
+      s"""WITH $vNormCte,
+         |c0 AS (SELECT vec_id AS cid, emb AS cent FROM v WHERE vec_id % 25 = 0),
+         |${lloydRoundSql(1, "c0")},
+         |${lloydRoundSql(2, "c1")},
+         |cent AS (SELECT cid,
+         |   list_transform(cent, x -> x / sqrt(${dotSql("cent", "cent")})) AS cent_emb
+         |  FROM c2),
          |assigned AS (SELECT neighbor_id, c_emb, cid FROM (
          |  SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, cent.cid,
          |    row_number() OVER (PARTITION BY v.vec_id

@@ -180,10 +180,18 @@ object Similarity {
         .as[(Long, Seq[Double])].collect()
       cents = meaned.map { case (cid, mean) =>
         // same arithmetic as the distributed form: left-to-right
-        // sum-of-squares, then HALF_UP rounding of each component
+        // sum-of-squares, then half-away-from-zero rounding of each
+        // component written as explicit IEEE ops (floor(|u|·1e6 + 0.5))
+        // — the same trick quantizeInt8Stats uses — so the DuckDB twin
+        // reproduces the rounding bit-for-bit (a BigDecimal HALF_UP
+        // here and a double-arithmetic ROUND there could disagree on
+        // representation boundaries)
         val nrm = math.sqrt(mean.foldLeft(0.0)((acc, v) => acc + v * v))
-        val unit = mean.map(v => BigDecimal(v / nrm)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        val unit = mean.map { v =>
+          val u = v / nrm
+          if (u >= 0) math.floor(u * 1e6 + 0.5) / 1e6
+          else -(math.floor(-u * 1e6 + 0.5) / 1e6)
+        }
         (cid, unit)
       }.sortBy(_._1)
     }
