@@ -49,6 +49,27 @@ private[sources] object PagedHttp {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Station listing for the paged backends' [[StationDirectory]]:
+    * `GET {endpoint}/stations` → `{"stations": ["A", "B", ...]}`. One
+    * un-paged request — a station directory is metadata-sized; a
+    * service whose directory needs paging should expose a narrower
+    * observation endpoint instead. */
+  def listStations(client: HttpClient, endpoint: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val body = get(client, s"$endpoint/stations", "station-directory")
+    JsonMethods.parse(body) match {
+      case JObject(fs) => fs.toMap.get("stations") match {
+        case Some(JArray(xs)) =>
+          xs.collect { case JString(s) if s.nonEmpty => s }.distinct.sorted
+        case other => throw new IllegalArgumentException(
+          s"station directory payload lacks a stations array: $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"unexpected station directory payload: $other")
+    }
+  }
+
   /** JSON observations → rows. Null/blank values are missing days,
     * like the CDEC client. Records without a string "date" are
     * DROPPED from the rows but still counted by the caller via the
@@ -117,8 +138,11 @@ private[sources] object PagedHttp {
 final class PagedStationRowSource(
     endpoint: String,
     pageLimit: Int = 1000,
-    maxPages: Int = 10000) extends StationRowSource {
+    maxPages: Int = 10000) extends StationRowSource with StationDirectory {
   require(pageLimit >= 1, s"pageLimit must be positive: $pageLimit")
+
+  def listStations(): Seq[String] =
+    PagedHttp.listStations(PagedHttp.newClient(), endpoint)
 
   def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow] = {
     val (start, stop) = StationTimes.dateWindow(startUs, stopUs)
@@ -195,8 +219,11 @@ object PagedStationRowSource {
 final class CursorPagedStationRowSource(
     endpoint: String,
     pageLimit: Int = 1000,
-    maxPages: Int = 10000) extends StationRowSource {
+    maxPages: Int = 10000) extends StationRowSource with StationDirectory {
   require(pageLimit >= 1, s"pageLimit must be positive: $pageLimit")
+
+  def listStations(): Seq[String] =
+    PagedHttp.listStations(PagedHttp.newClient(), endpoint)
 
   def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow] = {
     val (start, stop) = StationTimes.dateWindow(startUs, stopUs)

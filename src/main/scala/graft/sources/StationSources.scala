@@ -57,11 +57,36 @@ trait StationRowSource extends Serializable {
   def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow]
 }
 
+/** Optional listing capability for [[StationRowSource]] backends: the
+  * station UNIVERSE lives with the service (a metadata endpoint, the
+  * fixture's site column), so `stations = "FL*"` patterns on the DSv2
+  * source can resolve against it at planning time instead of forcing
+  * the caller to enumerate ids. One driver-side call per scan build —
+  * the list is metadata-sized, never observation-sized. */
+trait StationDirectory {
+  /** Every station id this backend can serve, sorted, distinct. */
+  def listStations(): Seq[String]
+}
+
 /** Recorded-fixture row backend: plain-JVM parse of the same CSV shape
   * [[CsvStationSource]] reads (datetime, site, <accumCol>), filtered to
   * the requested station and inclusive time range. */
 final class CsvStationRowSource(path: String, accumCol: String = "PRECIPITATIONACCUM")
-    extends StationRowSource {
+    extends StationRowSource with StationDirectory {
+
+  /** The fixture's universe = distinct `site` values. */
+  def listStations(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala.toSeq
+    if (lines.isEmpty) return Seq.empty
+    val header = lines.head.split(",").map(_.trim)
+    val iSite = header.indexOf("site")
+    require(iSite >= 0,
+      s"CSV $path has no 'site' column — cannot enumerate stations; list them explicitly")
+    lines.drop(1).iterator.map(_.split(",", -1).map(_.trim))
+      .filter(f => iSite < f.length && f(iSite).nonEmpty)
+      .map(f => f(iSite)).toSeq.distinct.sorted
+  }
 
   def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow] = {
     import scala.jdk.CollectionConverters._

@@ -111,9 +111,15 @@ private[sources] class StationTable(options: Map[String, String])
 private[sources] class StationScanBuilder(options: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var stations: Seq[String] =
+  /** The `stations` option, verbatim: literal ids and/or glob patterns
+    * (`*` any run, `?` one char). Patterns resolve against the
+    * backend's [[StationDirectory]] at build time; kept separate from
+    * pushed filters so `stations = "*"` composes with a pushed
+    * `station_id = 'X'` instead of string-comparing against the glob. */
+  private val optionStations: Seq[String] =
     options.get("stations").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+  private var pushedStations: Option[Set[String]] = None
   private var startUs: Long =
     options.get("start").map(StationTimes.parseMicros).getOrElse(Long.MinValue)
   private var stopUs: Long =
@@ -144,10 +150,10 @@ private[sources] class StationScanBuilder(options: Map[String, String])
     }
     ours.foreach {
       case EqualTo("station_id", s: String) =>
-        stations = if (stations.isEmpty) Seq(s) else stations.filter(_ == s)
+        pushedStations = Some(pushedStations.map(_.intersect(Set(s))).getOrElse(Set(s)))
       case In("station_id", vs) =>
         val set = vs.map(_.toString).toSet
-        stations = if (stations.isEmpty) set.toSeq.sorted else stations.filter(set)
+        pushedStations = Some(pushedStations.map(_.intersect(set)).getOrElse(set))
       case GreaterThanOrEqual("ts", v) => startUs = math.max(startUs, tsMicros(v).get)
       case GreaterThan("ts", v) => startUs = math.max(startUs, tsMicros(v).get + 1L)
       case LessThanOrEqual("ts", v) => stopUs = math.min(stopUs, tsMicros(v).get)
@@ -162,11 +168,39 @@ private[sources] class StationScanBuilder(options: Map[String, String])
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
+  private def isPattern(s: String): Boolean = s.contains('*') || s.contains('?')
+  private def globRegex(p: String): scala.util.matching.Regex =
+    p.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c => java.util.regex.Pattern.quote(c.toString)
+    }.r
+
   override def build(): Scan = {
+    val source = StationTable.resolve(options)
+    // glob entries resolve against the backend's directory (one
+    // driver-side metadata call); literal entries pass through
+    val expanded: Seq[String] =
+      if (optionStations.exists(isPattern)) {
+        val dir = source match {
+          case d: StationDirectory => d.listStations()
+          case _ => throw new IllegalArgumentException(
+            s"graft-station source ${options.getOrElse("source", "NRCS").toUpperCase} " +
+              "cannot enumerate stations — patterns in 'stations' require a " +
+              "directory-capable backend (CSV, PAGED); list station ids explicitly")
+        }
+        optionStations.flatMap { s =>
+          if (isPattern(s)) { val re = globRegex(s); dir.filter(re.matches(_)) } else Seq(s)
+        }.distinct.sorted
+      } else optionStations
+    val stations = pushedStations match {
+      case Some(set) => if (expanded.isEmpty) set.toSeq.sorted else expanded.filter(set)
+      case None => expanded
+    }
     require(stations.nonEmpty,
       "graft-station requires a station universe: set .option(\"stations\", ...) " +
-        "or filter on station_id")
-    new StationScan(StationTable.resolve(options), stations, startUs, stopUs, required,
+        "(ids or patterns) or filter on station_id")
+    new StationScan(source, stations, startUs, stopUs, required,
       maxBatchUs = options.get("maxbatchstep").map(graft.operators.Steps.parseMicros)
         .getOrElse(0L))
   }

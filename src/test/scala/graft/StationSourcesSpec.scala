@@ -548,6 +548,80 @@ class StationSourcesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // --- station-universe discovery (StationDirectory) --------------------
+
+  test("station directory: CSV site column enumerates; globs resolve on the DSv2 scan") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempFile("stations", ".csv")
+    java.nio.file.Files.write(tmp, Seq(
+      "datetime,site,PRECIPITATIONACCUM",
+      "2022-12-01 08:00:00+00:00,TUM,0.0",
+      "2022-12-02 08:00:00+00:00,TUM,0.5",
+      "2022-12-01 08:00:00+00:00,FLV,0.1",
+      "2022-12-02 08:00:00+00:00,FLV,0.2",
+      "2022-12-01 08:00:00+00:00,FLX,0.3").mkString("\n").getBytes("UTF-8"))
+    val src = new graft.sources.CsvStationRowSource(tmp.toString)
+    assert(src.listStations() == Seq("FLV", "FLX", "TUM"))
+    def read(stations: String) = spark.read.format("graft-station")
+      .option("source", "CSV").option("path", tmp.toString)
+      .option("stations", stations)
+      .option("start", "2022-12-01").option("stop", "2022-12-05").load()
+    assert(read("FL*").select("station_id").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("FLV", "FLX"))
+    // a literal id mixes with a pattern without consulting the glob
+    assert(read("TUM,FLX").select("station_id").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("FLX", "TUM"))
+    // stations="*" composes with a pushed equality: the universe
+    // resolves via the directory, then the filter narrows it
+    assert(read("*").where(col("station_id") === "TUM")
+      .select("station_id").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("TUM"))
+  }
+
+  test("station directory: patterns against a non-directory backend fail loudly") {
+    val ex = intercept[Exception] {
+      spark.read.format("graft-station")
+        .option("source", "NRCS").option("stations", "FL*")
+        .option("start", "2022-12-01").option("stop", "2022-12-02").load().count()
+    }
+    assert(ex.getMessage.contains("cannot enumerate stations"), ex.getMessage)
+  }
+
+  test("paged directory: /stations endpoint resolves glob universes") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // directory context registered on the sibling path the client calls
+    server.createContext("/page/stations", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = """{"stations":["STB","STA","XTC"]}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.createContext("/page", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val q = ex.getRequestURI.getQuery.split("&").map(_.split("=", 2))
+        .map(kv => (kv(0), kv(1))).toMap
+      val days = Seq("2022-12-01" -> "0.0", "2022-12-02" -> "0.4")
+        .filter { case (d, _) => d >= q("start") && d <= q("stop") }
+      val results = days.map { case (d, v) => s"""{"date":"$d","value":$v}""" }
+        .mkString("[", ",", "]")
+      val body = s"""{"count":${days.size},"results":$results}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/page"
+      val df = spark.read.format("graft-station")
+        .option("source", "PAGED").option("endpoint", base)
+        .option("stations", "ST*")
+        .option("start", "2022-12-01").option("stop", "2022-12-05").load()
+      val got = df.collect()
+      assert(got.map(_.getString(0)).distinct.sorted.toSeq == Seq("STA", "STB"))
+      assert(got.length == 4) // 2 stations × 2 served days
+    } finally server.stop(0)
+  }
+
   test("accumulated precip becomes increments; storms detected end-to-end") {
     val ts = StationSources.fromStation(registry, spark, "TUM",
       "2022-12-01", "2022-12-31", source = "NRCS")
