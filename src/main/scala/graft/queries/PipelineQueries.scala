@@ -21,6 +21,17 @@ object PipelineQueries {
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "embeddings")
 
+  /** Sign-margin insurance for the x6/x8/x9/x10 gate twins
+    * ([[Similarity.assertSignMargin]]): proves no projection of the
+    * driver calibration (bits=6, bands=16) sits within float noise of
+    * the dot >= 0 boundary, so a cross-engine bucket-bit flip can
+    * never surface as a mystery hash mismatch. Memoized per dir —
+    * four keys share one check pass. */
+  private val signMarginChecked = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private def assertedSignMargin(s: SparkSession, dir: String): Unit =
+    signMarginChecked.getOrElseUpdate(dir,
+      Similarity.assertSignMargin(embs(s, dir), bits = 6, bands = 16, dim = 64))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(docs(s, dir))),
     "x2_minhash_lsh" -> ((s, dir) => Dedup.minhashNearDups(docs(s, dir), threshold = 0.6)),
@@ -37,23 +48,31 @@ object PipelineQueries {
     // it admits ~27% of N² as candidates and is strictly slower than
     // exact x5 on the bench. Do not tune the benchmark against it;
     // the operator's value is its asymptote at thresholds ≥ 0.9.
-    "x6_lsh_neardup" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(embs(s, dir), threshold = 0.45, bits = 6, bands = 16)),
+    "x6_lsh_neardup" -> ((s, dir) => {
+      assertedSignMargin(s, dir)
+      Similarity.lshNearDupPairs(embs(s, dir), threshold = 0.45, bits = 6, bands = 16)
+    }),
     // hamming-1 probing on the same calibration: recall strictly above
     // x6's (superset property-tested), still exact-verified
-    "x8_lsh_multiprobe" -> ((s, dir) =>
+    "x8_lsh_multiprobe" -> ((s, dir) => {
+      assertedSignMargin(s, dir)
       Similarity.lshNearDupPairsMultiProbe(
-        embs(s, dir), threshold = 0.45, bits = 6, bands = 16)),
+        embs(s, dir), threshold = 0.45, bits = 6, bands = 16)
+    }),
     // radius-2 probe ring: hamming ≤ 2 per band — superset of x8,
     // the explicit recall-vs-shuffle knob at fixed index width
-    "x9_lsh_probe2" -> ((s, dir) =>
+    "x9_lsh_probe2" -> ((s, dir) => {
+      assertedSignMargin(s, dir)
       Similarity.lshNearDupPairsMultiProbe(
-        embs(s, dir), threshold = 0.45, bits = 6, bands = 16, probeRadius = 2)),
+        embs(s, dir), threshold = 0.45, bits = 6, bands = 16, probeRadius = 2)
+    }),
     // query-adaptive probing: only the 2 most-marginal bits per band
     // probe — between x6's and x8's recall at a 3×-not-7× explode
-    "x10_lsh_adaptive" -> ((s, dir) =>
+    "x10_lsh_adaptive" -> ((s, dir) => {
+      assertedSignMargin(s, dir)
       Similarity.lshNearDupPairsAdaptive(
-        embs(s, dir), threshold = 0.45, bits = 6, bands = 16, probes = 2)),
+        embs(s, dir), threshold = 0.45, bits = 6, bands = 16, probes = 2)
+    }),
     // per-vector int8 absmax quantization audit — stateless map over
     // the scan, exact-int + order-independent-max outputs only
     "e1_quantize" -> ((s, dir) => Similarity.quantizeInt8Stats(embs(s, dir))),

@@ -327,16 +327,52 @@ object Similarity {
 
   /** The composed-builtin construction SignBandKeys replaces — kept as
     * the parity reference for NativeExpressionsSpec (it is also the
-    * shape the DuckDB oracle twin mirrors). Do not use on hot paths. */
+    * shape the DuckDB oracle twin mirrors). Do not use on hot paths.
+    * Carries the same loud wrong-length guard as the kernel: graft_dot
+    * against a dim-length plane literal would otherwise silently
+    * truncate a longer embedding (and zero-extend a shorter one),
+    * degrading bucketing instead of failing. */
   private[graft] def signBandsComposed(
       v: DataFrame, bits: Int, bands: Int, dim: Int): DataFrame = {
+    val g = v.select(col("id"),
+      when(size(col("emb")) === dim, col("emb")).otherwise(raise_error(format_string(
+        s"graft_sign_bands: embedding length %s != dim=$dim", size(col("emb"))))).as("emb"))
     val bandCols = array((0 until bands).map { j =>
       (0 until bits).map { i =>
         val plane = typedlit(lshPlane(j * bits + i, dim))
         when(call_function("graft_dot", col("emb"), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
-    v.select(col("id").as("doc_id"), bandCols.as("bands"))
+    g.select(col("id").as("doc_id"), bandCols.as("bands"))
+  }
+
+  /**
+   * Gate-time insurance for the sign-bit boundary contract (see
+   * [[signBands]]): sign bits are decided at an exact `dot >= 0`
+   * boundary with no engineered margin, so engine agreement relies on
+   * the identical left-to-right accumulation on both sides. This
+   * check PROVES the data stays away from the boundary: it computes
+   * every (vector, plane) projection of the sign-LSH construction and
+   * requires min |projection| > eps — if that holds, even a one-ulp
+   * re-association difference could never flip a bucket bit, so a
+   * cross-engine hash mismatch can never originate here. Run it where
+   * the oracle twins are built (one extra O(N·bits·bands) pass; gate
+   * SF only — this is a conformance assertion, not a production
+   * stage). Throws IllegalStateException with the offending margin.
+   */
+  def assertSignMargin(
+      corpus: DataFrame, bits: Int, bands: Int, dim: Int, eps: Double = 1e-9): Unit = {
+    ensureRegistered(corpus)
+    val v = normalized(corpus, "id", "emb")
+    val projections = (0 until bits * bands).map { k =>
+      abs(call_function("graft_dot", col("emb"), typedlit(lshPlane(k, dim))))
+    }
+    val minAbs = v.select(array_min(array(projections: _*)).as("m"))
+      .agg(min(col("m"))).head.getDouble(0)
+    if (minAbs <= eps) throw new IllegalStateException(
+      f"sign-LSH margin $minAbs%.3e <= eps $eps%.1e: a projection sits within float " +
+        "noise of the dot >= 0 boundary — engines could disagree on its bucket bit " +
+        s"(bits=$bits, bands=$bands, dim=$dim)")
   }
 
   def lshNearDupPairs(
@@ -462,10 +498,12 @@ object Similarity {
       bits: Int = 16,
       bands: Int = 8,
       dim: Int = 64,
-      probeRadius: Int = 1): DataFrame = {
+      probeRadius: Int = 1,
+      saltBuckets: Int = 8): DataFrame = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
     require(probeRadius >= 1 && probeRadius <= 2,
       s"probeRadius must be 1 or 2: $probeRadius")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1: $saltBuckets")
     ensureRegistered(corpus)
     val v = graft.dedup.Dedup.materialize(normalized(corpus, "id", "emb"))
     val keyed = graft.dedup.Dedup.materialize(
@@ -483,11 +521,25 @@ object Similarity {
     // meet base×base, hamming-k (k ≤ radius) pairs meet base×probe
     // (twice, in both orientations — the < filter + distinct collapse
     // them); probe×probe never joins a base, so hamming > radius
-    // stays out
-    val cands = base.select(col("doc_id").as("doc_a"), col("band_idx"), col("probe"))
-      .join(base.select(col("doc_id").as("doc_b"), col("band_idx"), col("probe"))
-          .unionByName(flips.select(col("doc_id").as("doc_b"), col("band_idx"), col("probe"))),
-        Seq("band_idx", "probe"))
+    // stays out.
+    //
+    // The join is SALTED against hot-key compute skew: a dense probe
+    // key with na left × nb right rows used to emit its na·nb pairs in
+    // ONE task — join-KEY output skew AQE's byte-based split cannot
+    // see (measured at 200k vectors / radius 2: longest task 194 s of
+    // a 353 s wall). Each right row carries salt = hash(doc_b) mod S;
+    // the left side replicates across all S salts, so every pair still
+    // meets exactly once but a hot key's work lands in S independent
+    // tasks (max task ÷ S for S× more left shuffle rows — cheap next
+    // to the (1+bits+C(bits,2))× right-side explode radius 2 already
+    // pays).
+    val right = base.select(col("doc_id").as("doc_b"), col("band_idx"), col("probe"))
+      .unionByName(flips.select(col("doc_id").as("doc_b"), col("band_idx"), col("probe")))
+      .withColumn("salt", pmod(xxhash64(col("doc_b")), lit(saltBuckets.toLong)))
+    val left = base.select(col("doc_id").as("doc_a"), col("band_idx"), col("probe"))
+      .withColumn("salt",
+        explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    val cands = left.join(right, Seq("band_idx", "probe", "salt"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     verifyPairs(v, cands, threshold)

@@ -22,14 +22,31 @@ object ScaleSmoke {
   private class PeakListener extends SparkListener {
     @volatile var peakMem = 0L
     @volatile var maxTaskMs = 0L
+    // per-stage straggler attribution: stageId → (maxTaskMs, nTasks,
+    // sumTaskMs) so a global max-task figure can be traced to the
+    // stage (and through the stage name to the operator) it came from
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         peakMem = math.max(peakMem, m.peakExecutionMemory)
         maxTaskMs = math.max(maxTaskMs, m.executorRunTime)
+        stages.merge(t.stageId, (m.executorRunTime, 1L, m.executorRunTime),
+          (a, b) => (math.max(a._1, b._1), a._2 + b._2, a._3 + b._3))
       }
     }
-    def reset(): Unit = { peakMem = 0L; maxTaskMs = 0L }
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      stageNames.put(s.stageInfo.stageId, s.stageInfo.name)
+    def topStages(n: Int): String = {
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._2._1).take(n).map { case (id, (mx, cnt, sum)) =>
+        val name = Option(stageNames.get(id)).getOrElse("?").takeWhile(_ != '\n').take(60)
+        f"stage$id[$name] max=${mx / 1000.0}%.1fs mean=${sum / math.max(cnt, 1) / 1000.0}%.1fs n=$cnt"
+      }.mkString("; ")
+    }
+    def reset(): Unit = { peakMem = 0L; maxTaskMs = 0L; stages.clear(); stageNames.clear() }
   }
 
   def main(args: Array[String]): Unit = {
@@ -66,6 +83,7 @@ object ScaleSmoke {
       }
       println(f"SCALE $label%-28s ${dts.min}%8.1f s  rows=$rows  " +
         f"peakTaskMem=${peaks.peakMem / (1024 * 1024)}%dMB maxTask=${peaks.maxTaskMs / 1000.0}%.1fs")
+      println(s"SCALE   $label top-stages: ${peaks.topStages(4)}")
     }
 
     // --- synthesize ------------------------------------------------------
@@ -305,21 +323,34 @@ object ScaleSmoke {
       }
       println(f"SCALE x10 (probes=2) recall vs exact: $adaptPairs/$exactPairs = " +
         f"${if (exactPairs > 0) adaptPairs.toDouble / exactPairs else 0.0}%.3f")
-      // radius-2 ring at HALF the bands — the trade the knob exists
-      // for: radius 2 spends probe keys ((1+16+120)× per band) to buy
-      // back index width (bands 8 → 4, comparable theoretical recall
-      // at cos 0.9). Radius 2 STACKED on bands=8 is the documented
-      // heavy end: 219M probe keys whose candidate join spilled past
-      // this box's disk — measured, which is exactly why the scaladoc
-      // says "fewer bands at higher recall", not "more of both".
+    }
+
+    // radius-2 ring at HALF the bands — the trade the knob exists
+    // for: radius 2 spends probe keys ((1+16+120)× per band) to buy
+    // back index width (bands 8 → 4, comparable theoretical recall
+    // at cos 0.9). Radius 2 STACKED on bands=8 is the documented
+    // heavy end: 219M probe keys whose candidate join spilled past
+    // this box's disk — measured, which is exactly why the scaladoc
+    // says "fewer bands at higher recall", not "more of both".
+    // Standalone section (`--run=vec9`) so the skew profile of the
+    // salted candidate join can be re-measured without the exact scan.
+    if (want("vec") || want("vec9")) {
+      val e = graft.sources.Tables.read(spark, outDir, "embeddings")
+      val Sim = graft.similarity.Similarity
       var probed2 = 0L
-      timed("x9_probe2_b4_200k_pairs", runs = 1) {
+      timed("x9_probe2_b4_200k_salt8", runs = 1) {
         probed2 = Sim.lshNearDupPairsMultiProbe(
           e, threshold = 0.9, bands = 4, probeRadius = 2).count()
         probed2
       }
-      println(f"SCALE x9 (bands=4, radius 2) recall vs exact: $probed2/$exactPairs = " +
-        f"${if (exactPairs > 0) probed2.toDouble / exactPairs else 0.0}%.3f")
+      var probed2u = 0L
+      timed("x9_probe2_b4_200k_salt1", runs = 1) {
+        probed2u = Sim.lshNearDupPairsMultiProbe(
+          e, threshold = 0.9, bands = 4, probeRadius = 2, saltBuckets = 1).count()
+        probed2u
+      }
+      require(probed2 == probed2u, s"salting changed the pair set: $probed2 vs $probed2u")
+      println(s"SCALE x9 (bands=4, radius 2) pairs: $probed2 (exact count 2000 at this gen)")
     }
     spark.stop()
   }

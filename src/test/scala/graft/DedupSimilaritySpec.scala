@@ -206,6 +206,45 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     r2.foreach { case (k, cos) => assert(cos == exact(k), s"cos mismatch at $k") }
   }
 
+  test("wrong-dim embeddings fail loudly on every banding entry point") {
+    import graft.sources.Tables
+    // 65 components against dim=64: graft_dot would silently truncate;
+    // the kernel (and the composed parity path) must throw instead
+    val bad = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"),
+        concat(col("embedding"), array(lit(0.5f))).as("embedding"))
+    val e1 = intercept[Exception] {
+      Similarity.lshNearDupPairs(bad, threshold = 0.45, bits = 6, bands = 16).count()
+    }
+    assert(e1.getMessage.contains("embedding length") ||
+      Option(e1.getCause).exists(_.getMessage.contains("embedding length")), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Similarity.lshNearDupPairsAdaptive(bad, threshold = 0.45, bits = 6, bands = 16).count()
+    }
+    assert(e2.getMessage.contains("embedding length") ||
+      Option(e2.getCause).exists(_.getMessage.contains("embedding length")), e2.getMessage)
+    val e3 = intercept[Exception] {
+      // collect, not count: count() would column-prune the guarded
+      // projection away and the guard must sit in the evaluated path
+      Similarity.signBandsComposed(
+        Similarity.normalized(bad, "id", "emb"), bits = 6, bands = 16, dim = 64).collect()
+    }
+    assert(e3.getMessage.contains("embedding length") ||
+      Option(e3.getCause).exists(_.getMessage.contains("embedding length")), e3.getMessage)
+  }
+
+  test("sign-margin assertion: driver data clears the boundary, absurd eps trips it") {
+    import graft.sources.Tables
+    val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
+    // the gate calibration must hold with the default eps
+    Similarity.assertSignMargin(e, bits = 6, bands = 16, dim = 64)
+    // and the check itself must be live: an impossible margin demand fails
+    val ex = intercept[IllegalStateException] {
+      Similarity.assertSignMargin(e, bits = 6, bands = 16, dim = 64, eps = 1e9)
+    }
+    assert(ex.getMessage.contains("sign-LSH margin"))
+  }
+
   test("adaptive probing: between banded and radius-1; probes=bits degenerates to radius-1") {
     import graft.sources.Tables
     val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
