@@ -39,7 +39,38 @@ import java.time.format.DateTimeFormatter
 final class MesowestStationRowSource(
     endpoint: String = MesowestStationRowSource.DefaultEndpoint,
     token: String = "demotoken")
-    extends StationRowSource {
+    extends StationRowSource with StationDirectory {
+
+  /** Synoptic station directory — `GET {endpoint}/stations/metadata`
+    * returns `{"STATION": [{"STID": ...}, ...]}`; the universe is the
+    * STIDs. `status=active` keeps the listing to stations currently
+    * reporting, the scope a fetch universe wants. */
+  def listStations(): Seq[String] = {
+    val url = s"$endpoint/stations/metadata?status=active&token=$token"
+    val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(url)).GET()
+        .timeout(Duration.ofSeconds(60)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"Synoptic station listing failed (${resp.statusCode()}): $url")
+    parseStationList(resp.body())
+  }
+
+  /** Synoptic metadata payload → distinct sorted STIDs. */
+  private[graft] def parseStationList(body: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(body) \ "STATION" match {
+      case JArray(xs) =>
+        xs.flatMap(st => st \ "STID" match {
+          case JString(s) if s.nonEmpty => Some(s)
+          case _ => None
+        }).distinct.sorted
+      case other => throw new IllegalArgumentException(
+        s"Synoptic station listing has no STATION array: $other")
+    }
+  }
 
   def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow] = {
     val fmt = DateTimeFormatter.ofPattern("yyyyMMddHHmm")

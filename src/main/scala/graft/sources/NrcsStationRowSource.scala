@@ -35,7 +35,37 @@ import java.time.Duration
  * network).
  */
 final class NrcsStationRowSource(endpoint: String = NrcsStationRowSource.DefaultEndpoint)
-    extends StationRowSource {
+    extends StationRowSource with StationDirectory {
+
+  /** AWDB station directory — `GET {endpoint}/stations` returns an
+    * array of station metadata objects; the universe is their
+    * `stationTriplet`s. `activeOnly=true` mirrors the service's own
+    * default listing scope. */
+  def listStations(): Seq[String] = {
+    val url = s"$endpoint/stations?activeOnly=true"
+    val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(url)).GET()
+        .timeout(Duration.ofSeconds(60)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200, s"AWDB station listing failed (${resp.statusCode()}): $url")
+    parseStationList(resp.body())
+  }
+
+  /** AWDB `stations` payload → distinct sorted triplets. */
+  private[graft] def parseStationList(body: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(body) match {
+      case JArray(xs) =>
+        xs.flatMap(st => st \ "stationTriplet" match {
+          case JString(s) if s.nonEmpty => Some(s)
+          case _ => None
+        }).distinct.sorted
+      case other => throw new IllegalArgumentException(
+        s"unexpected AWDB station listing payload: $other")
+    }
+  }
 
   def fetchRows(stationId: String, startUs: Long, stopUs: Long): Seq[StationRow] = {
     val (begin, end) = StationTimes.dateWindow(startUs, stopUs)

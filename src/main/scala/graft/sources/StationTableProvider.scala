@@ -187,7 +187,8 @@ private[sources] class StationScanBuilder(options: Map[String, String])
           case _ => throw new IllegalArgumentException(
             s"graft-station source ${options.getOrElse("source", "NRCS").toUpperCase} " +
               "cannot enumerate stations — patterns in 'stations' require a " +
-              "directory-capable backend (CSV, PAGED); list station ids explicitly")
+              "directory-capable backend (CSV, PAGED, NRCS, MESOWEST); " +
+              "list station ids explicitly")
         }
         optionStations.flatMap { s =>
           if (isPattern(s)) { val re = globRegex(s); dir.filter(re.matches(_)) } else Seq(s)

@@ -579,12 +579,61 @@ class StationSourcesSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("station directory: patterns against a non-directory backend fail loudly") {
+    // CDEC is the one live backend without a JSON station directory
     val ex = intercept[Exception] {
       spark.read.format("graft-station")
-        .option("source", "NRCS").option("stations", "FL*")
+        .option("source", "CDEC").option("stations", "FL*")
         .option("start", "2022-12-01").option("stop", "2022-12-02").load().count()
     }
     assert(ex.getMessage.contains("cannot enumerate stations"), ex.getMessage)
+  }
+
+  test("NRCS + Synoptic directories parse their recorded listings; globs fetch end-to-end") {
+    val nrcs = new graft.sources.NrcsStationRowSource("http://unused")
+    assert(nrcs.parseStationList(
+      """[{"stationTriplet":"663:CA:SNTL","name":"Tuolumne Meadows"},
+        |{"stationTriplet":"428:CA:SNTL"},
+        |{"stationTriplet":"1067:NV:SNTL"},
+        |{"name":"no triplet — skipped"}]""".stripMargin) ==
+      Seq("1067:NV:SNTL", "428:CA:SNTL", "663:CA:SNTL"))
+    val meso = new graft.sources.MesowestStationRowSource("http://unused")
+    assert(meso.parseStationList(
+      """{"STATION":[{"STID":"TUM1"},{"STID":"FLVC1"},{"STID":"KRNO"}],
+        |"SUMMARY":{"RESPONSE_MESSAGE":"OK"}}""".stripMargin) ==
+      Seq("FLVC1", "KRNO", "TUM1"))
+
+    // end-to-end: /v1/stations lists triplets, /v1/data serves the
+    // recorded AWDB cassette — a CA-glob universe fans out two
+    // partitions and both fetch through the same data path
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val listBody =
+      """[{"stationTriplet":"663:CA:SNTL"},{"stationTriplet":"428:CA:SNTL"},
+        |{"stationTriplet":"1067:NV:SNTL"}]""".stripMargin.getBytes("UTF-8")
+    val dataBody = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/awdb_tum.json").getPath))
+    server.createContext("/v1/stations", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, listBody.length.toLong)
+      ex.getResponseBody.write(listBody)
+      ex.close()
+    })
+    server.createContext("/v1/data", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, dataBody.length.toLong)
+      ex.getResponseBody.write(dataBody)
+      ex.close()
+    })
+    server.start()
+    try {
+      val df = spark.read.format("graft-station")
+        .option("source", "NRCS")
+        .option("endpoint", s"http://127.0.0.1:${server.getAddress.getPort}/v1")
+        .option("stations", "*:CA:*")
+        .option("start", "2022-12-01").option("stop", "2022-12-20").load()
+      val got = df.collect()
+      assert(got.map(_.getString(0)).distinct.sorted.toSeq ==
+        Seq("428:CA:SNTL", "663:CA:SNTL"))
+      assert(got.length == 40) // 2 stations × the cassette's 20 days
+    } finally server.stop(0)
   }
 
   test("paged directory: /stations endpoint resolves glob universes") {
