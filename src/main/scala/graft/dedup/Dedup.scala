@@ -695,6 +695,86 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /**
+   * Cross-corpus MinHash dedup — the production shape of "dedupe an
+   * incoming crawl increment against the corpus you already have".
+   * Flags each INCOMING document that near-duplicates (Jaccard ≥
+   * `threshold` on word 3-gram hash sets) ANY document of the existing
+   * CORPUS; returns one row per incoming doc:
+   * (doc_id, n_dups, best_match_id, best_jaccard, is_dup), where best
+   * = highest Jaccard, ties to the lowest corpus doc_id, and NULL
+   * best columns when nothing matched.
+   *
+   * Scale posture: the incoming batch is the SMALL side (a daily
+   * increment vs a 100 TB corpus), so its exploded band keys and its
+   * hash sets both ride BROADCAST joins — the corpus is never
+   * shuffled: its band keys stream past the broadcast map, and only
+   * colliding (incoming, corpus) candidate pairs — bounded by band
+   * collisions, not N·M — materialize for the exact-Jaccard verify.
+   * The corpus side still pays one map-only pass to (re)compute
+   * signatures; in production that pass is amortized by persisting
+   * the banded keys + hash sets once and reusing them per increment
+   * (both frames are plain columns, so the operator composes with a
+   * parquet round-trip of `digs`-derived state unchanged).
+   */
+  def crossCorpusNearDups(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      threshold: Double = 0.6,
+      k: Int = 12,
+      bands: Int = 4,
+      rows: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // same derivation chain as minhashNearDups, per side: one-pass
+    // shingle-hash kernel → distinct hash set (verify) and minhash
+    // signature → band keys (candidates)
+    def keyedAndSets(docs: DataFrame, par: Boolean): (DataFrame, DataFrame) = {
+      val base = if (par) parallelize(docs) else docs
+      val digs = materialize(base
+        .select(col("doc_id"),
+          call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
+        .where(size(col("digs")) > 0))
+      val hsets = digs.select(col("doc_id"),
+        array_sort(array_distinct(col("digs"))).as("hset"))
+      val keyed = digs
+        .select(col("doc_id"), call_function("graft_minhash", col("digs"), lit(k)).as("sig"))
+        .select(col("doc_id"),
+          posexplode(lshBands(col("sig"), bands, rows)).as(Seq("band_idx", "bucket")))
+      (keyed, hsets)
+    }
+    val (corpusKeyed, corpusSets) = keyedAndSets(corpus, par = true)
+    val (incKeyed, incSets) = keyedAndSets(incoming, par = false)
+    val cands = corpusKeyed
+      .select(col("doc_id").as("match_id"), col("band_idx"), col("bucket"))
+      .join(broadcast(incKeyed), Seq("band_idx", "bucket"))
+      .select(col("doc_id"), col("match_id"))
+      .distinct()
+    // verify joins: the candidate set is collision-sized, so the
+    // corpus hset join moves candidates, not the corpus; the incoming
+    // hsets broadcast again
+    val verified = cands
+      .join(corpusSets.select(col("doc_id").as("match_id"), col("hset").as("hset_m")),
+        Seq("match_id"))
+      .join(broadcast(incSets.select(col("doc_id"), col("hset").as("hset_i"))),
+        Seq("doc_id"))
+      .withColumn("j", jaccardHashed(col("hset_i"), col("hset_m")))
+      .where(col("j") >= threshold)
+    // one aggregation carries both the count and the arg-max: max of
+    // (j, -match_id) structs = highest Jaccard, ties to lowest id —
+    // no second shuffle, no window
+    val agg = verified.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_dups"),
+      max(struct(col("j").as("j"), (-col("match_id")).as("neg"))).as("best"))
+    incoming.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (-col("best.neg")).as("best_match_id"),
+        round(col("best.j"), 6).as("best_jaccard"),
+        coalesce(col("n_dups") >= 1, lit(false)).as("is_dup"))
+  }
+
   /** Exact dedup: canonical = min doc_id sharing the normalized
     * fingerprint. Per-doc output (doc_id, fingerprint, canonical_id,
     * is_dup). One shuffle on the digest. */

@@ -177,6 +177,16 @@ object PipelineQueries {
       val bucket = graft.queries.CorpusQueries.idHash(col("doc_id")) % 100
       Dedup.decontaminate(d.where(bucket < 80), d.where(bucket >= 90))
     }),
+    // Cross-corpus dedup: the last 20% of docs (cc2's arrival split)
+    // play the incoming crawl increment, screened against the first
+    // 80% as the existing corpus. The incoming side rides broadcast
+    // joins end-to-end — the corpus is never shuffled (see
+    // Dedup.crossCorpusNearDups scaladoc for the 100 TB posture).
+    "cr1_cross_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isNew = col("doc_id") % 5 === 4
+      Dedup.crossCorpusNearDups(d.where(!isNew), d.where(isNew), threshold = 0.6)
+    }),
     // Same as m2: the flatMap EXECUTION isn't SQL, but the result is —
     // the twin strides generate_series over the header's frame count
     // and slices the ASCII payload with substr, md5-matched per frame.
@@ -222,10 +232,13 @@ object PipelineQueries {
        |              THEN 1 ELSE -1 END)), 0) > 0
        |       THEN CAST(power(2.0, b) AS BIGINT) ELSE 0 END)), 0) AS BIGINT)""".stripMargin
 
-  /** The x2 minhash-LSH pipeline as a DuckDB CTE chain, ending in `jj`
-    * (doc_a, doc_b, j). Shared by the x2 oracle and the cc1
-    * connected-components oracle (which closes over its edge set). */
-  private val minhashChainCtes =
+  /** MinHash key derivation as a DuckDB CTE prefix: shingles → 32-bit
+    * hashes → 12-component signature → 4 band buckets, exploded to
+    * `ex`(doc_id, band_idx, bucket), plus the sorted-distinct hash
+    * sets `hs` the verify stage intersects. Shared by the within-
+    * corpus chain ([[minhashChainCtes]]) and the cross-corpus cr1
+    * oracle, which joins `ex` across the two sides instead. */
+  private val minhashKeyCtes =
     s"""sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
        |nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
        |digs AS (SELECT doc_id, list_transform(shingles,
@@ -241,10 +254,16 @@ object PipelineQueries {
        |   j -> md5(array_to_string(sig[(j*3+1):(j*3+3)], ':'))) AS bands FROM sig),
        |ex AS (SELECT doc_id, j AS band_idx, bands[(j+1)::INTEGER] AS bucket
        |  FROM bands, (SELECT unnest(generate_series(0, 3)) AS j)),
+       |hs AS (SELECT doc_id, list_sort(list_distinct(digs)) AS hset FROM digs)""".stripMargin
+
+  /** The x2 minhash-LSH pipeline as a DuckDB CTE chain, ending in `jj`
+    * (doc_a, doc_b, j). Shared by the x2 oracle and the cc1
+    * connected-components oracle (which closes over its edge set). */
+  private val minhashChainCtes =
+    s"""$minhashKeyCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM ex a JOIN ex b
        |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |hs AS (SELECT doc_id, list_sort(list_distinct(digs)) AS hset FROM digs),
        |jj AS (SELECT doc_a, doc_b,
        |   len(list_intersect(sa.hset, sb.hset))::DOUBLE
        |   / (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset))) AS j
@@ -402,6 +421,30 @@ object PipelineQueries {
          |  coalesce(n_hits, 0) >= 1 AS contaminated
          |FROM base LEFT JOIN hits USING (doc_id)""".stripMargin
     },
+    // cr1: the same key derivation, candidates restricted to
+    // corpus × incoming; per-incoming-doc fold mirrors the Spark
+    // side's single aggregation (count + arg-max by (j DESC, id))
+    "cr1_cross_dedup" ->
+      s"""WITH $minhashKeyCtes,
+         |cand AS (SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS match_id
+         |  FROM ex a JOIN ex b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4),
+         |jj AS (SELECT cand.doc_id, cand.match_id,
+         |   len(list_intersect(si.hset, sm.hset))::DOUBLE
+         |   / (len(si.hset) + len(sm.hset) - len(list_intersect(si.hset, sm.hset))) AS j
+         |  FROM cand JOIN hs si ON cand.doc_id = si.doc_id
+         |            JOIN hs sm ON cand.match_id = sm.doc_id),
+         |hits AS (SELECT * FROM jj WHERE j >= 0.6),
+         |best AS (SELECT doc_id, match_id AS best_match_id, j AS best_j FROM (
+         |  SELECT doc_id, match_id, j,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, match_id) AS rn
+         |  FROM hits) WHERE rn = 1),
+         |agg AS (SELECT doc_id, count(*) AS n_dups FROM hits GROUP BY 1),
+         |base AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 4)
+         |SELECT base.doc_id, CAST(coalesce(agg.n_dups, 0) AS BIGINT) AS n_dups,
+         |  best.best_match_id, ROUND(best.best_j, 6) AS best_jaccard,
+         |  coalesce(agg.n_dups >= 1, false) AS is_dup
+         |FROM base LEFT JOIN agg USING (doc_id) LEFT JOIN best USING (doc_id)""".stripMargin,
     "x7_simhash_wide" ->
       s"""WITH sigs AS (SELECT doc_id, ${simhashSqlAt(0)} AS lo,
          |  ${simhashSqlAt(8)} AS hi FROM documents)

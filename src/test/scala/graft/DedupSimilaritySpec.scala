@@ -88,6 +88,42 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.forall(_ <= k))
   }
 
+  test("cross-corpus dedup flags incoming near-dups against the corpus only") {
+    val corpus = Seq((0L, base), (1L, other), (2L, base)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, nearDup),       // near-dup of corpus docs 0 and 2
+      (11L, other),         // EXACT dup of corpus doc 1
+      (12L, "totally novel words that share no shingle with anything else here"),
+      (13L, "too short")    // < 3 tokens: no shingles, must still get a row
+    ).toDF("doc_id", "text")
+    val r = Dedup.crossCorpusNearDups(corpus, incoming, threshold = 0.6)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0),
+        (x.getLong(1), if (x.isNullAt(2)) -1L else x.getLong(2), x.getBoolean(4)))).toMap
+    assert(r(10L) == ((2L, 0L, true)))  // both copies match; best = lowest id on the tie
+    assert(r(11L) == ((1L, 1L, true)))
+    assert(r(12L) == ((0L, -1L, false)))
+    assert(r(13L) == ((0L, -1L, false)))
+    // exact dup carries jaccard 1.0
+    val j11 = Dedup.crossCorpusNearDups(corpus, incoming, threshold = 0.6)
+      .where(col("doc_id") === 11L).select("best_jaccard").as[Double].head()
+    assert(j11 == 1.0)
+  }
+
+  test("cross-corpus dedup agrees with within-corpus minhash on the cross pairs") {
+    val corpus = docs.where(col("doc_id") =!= 1L)
+    val incoming = Seq((1L, nearDup), (9L, "zebra xylophone quartz jolt vexing")).toDF("doc_id", "text")
+    val crossPairs = Dedup.minhashNearDups(docs.unionByName(Seq((9L, "zebra xylophone quartz jolt vexing")).toDF("doc_id", "text")), threshold = 0.6)
+      .where((col("doc_a").isin(1L, 9L)) =!= (col("doc_b").isin(1L, 9L)))
+      .select(when(col("doc_a").isin(1L, 9L), col("doc_a")).otherwise(col("doc_b")).as("inc"),
+        when(col("doc_a").isin(1L, 9L), col("doc_b")).otherwise(col("doc_a")).as("m"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.crossCorpusNearDups(corpus, incoming, threshold = 0.6)
+      .select("doc_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(got(1L) == crossPairs.getOrElse(1L, 0L))
+    assert(got(9L) == crossPairs.getOrElse(9L, 0L))
+  }
+
   test("decontaminate: counts distinct shared 3-grams against the benchmark set") {
     val corpus = Seq(
       (0L, base),          // same text as the benchmark doc: all grams shared
