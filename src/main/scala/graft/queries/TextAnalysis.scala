@@ -140,6 +140,64 @@ object TextAnalysis {
         round(col("nll") / col("n_tokens"), 6).as("nll_mean"))
   }
 
+  /** BM25 term-query retrieval terms for the bm1 gate key — chosen
+    * from the synthetic vocabulary so df spans common ("table") to
+    * rarer ("spark") and scores separate. */
+  private[graft] val Bm25Terms: Seq[String] = Seq("spark", "table", "window")
+
+  /**
+   * BM25 top-k retrieval (Robertson-Spärck Jones; the standard k1/b
+   * parameterization) for a FIXED bag of query terms over the corpus:
+   * score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+   * idf(t) = ln((N−df+0.5)/(df+0.5)+1).
+   *
+   * Scale posture: per-doc tf/dl are PER-ROW array expressions on the
+   * scan (no explode, no token shuffle — the query has |terms| ≪
+   * vocabulary, so counting via `filter(toks, = t)` beats t8's
+   * inverted-index join); corpus statistics (N, Σdl, per-term df)
+   * are ONE scalar aggregate broadcast back; top-k is sort+limit —
+   * Catalyst plans TakeOrderedAndProject, per-partition heaps of k,
+   * never a global sort. The only single-partition step is ranking
+   * the k survivors.
+   *
+   * Portability: score terms are folded left-to-right in the given
+   * term order with the identical IEEE op sequence in the DuckDB twin;
+   * ln() ulp noise is absorbed by ROUND(,6) (same exposure as t8),
+   * and the rank orders by the ROUNDED score with doc_id tie-break so
+   * both engines rank identically.
+   */
+  def bm25TopK(
+      docsDf: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = wsTokens(lower(col("text")))
+    val withTf = docsDf.select(
+      col("doc_id") +: size(toks).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i")
+        }: _*)
+    val g = withTf.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("sdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val joined = withTf.crossJoin(broadcast(g))
+    val avgdl = col("sdl").cast("double") / col("n")
+    val score = terms.indices.map { i =>
+      val idf = log(((col("n") - col(s"df$i")) + lit(0.5)) / (col(s"df$i") + lit(0.5)) + lit(1.0))
+      idf * ((col(s"tf$i") * lit(k1 + 1.0)) /
+        (col(s"tf$i") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl))))
+    }.reduceLeft(_ + _)
+    val scored = joined.select(col("doc_id"), col("dl"), round(score, 6).as("score6"))
+    import org.apache.spark.sql.expressions.Window
+    scored.orderBy(col("score6").desc, col("doc_id")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score6").desc, col("doc_id"))))
+  }
+
   /** PII counts + redacted-text digest (pre-packing scrub pass). */
   def t6PiiScrub(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
@@ -267,6 +325,39 @@ object TextAnalysis {
            |  ROUND(nll / n, 6) AS nll_mean
            |FROM s""".stripMargin
       },
+      "bm1_bm25" -> {
+        val lowToks =
+          """CASE WHEN length(trim(lower(text))) = 0 THEN []
+            | ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+        // constants injected from the same Scala doubles the query
+        // uses (1.2+1.0 == 2.2 and 1.0-0.75 == 0.25 exactly in
+        // binary64, verified); score terms chained left-to-right in
+        // Bm25Terms order with the identical op association
+        val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+          s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+        }.mkString(",\n   ")
+        val dfCols = Bm25Terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+          .mkString(", ")
+        val contribs = Bm25Terms.indices.map(i =>
+          s"""ln(((n - df$i) + 0.5) / (df$i + 0.5) + 1.0)
+             |    * ((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + 0.75
+             |        * (dl / (CAST(sdl AS DOUBLE) / n)))))""".stripMargin)
+          .mkString("\n  + ")
+        s"""WITH d AS (SELECT doc_id, $lowToks AS toks FROM documents),
+           |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |   $tfCols
+           |  FROM d),
+           |g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl, $dfCols FROM m),
+           |s AS (SELECT doc_id, dl, ROUND(
+           |  $contribs, 6) AS score6
+           | FROM m CROSS JOIN g)
+           |SELECT doc_id, dl, score6, rank FROM (
+           |  SELECT doc_id, dl, score6,
+           |    CAST(row_number() OVER (ORDER BY score6 DESC, doc_id) AS INTEGER) AS rank
+           |  FROM s)
+           |WHERE rank <= 20""".stripMargin
+      },
       "t6_pii_scrub" -> {
         // DuckDB single-quoted literals pass backslashes through
         // verbatim, so the Scala pattern strings interpolate as-is
@@ -300,6 +391,8 @@ object TextAnalysis {
     "t5_repetition" -> (t5Repetition _),
     "t6_pii_scrub" -> (t6PiiScrub _),
     "t7_gopher_rules" -> (t7GopherRules _),
-    "t8_unigram_nll" -> (t8UnigramNll _)
+    "t8_unigram_nll" -> (t8UnigramNll _),
+    "bm1_bm25" -> ((s: SparkSession, dir: String) =>
+      bm25TopK(docs(s, dir), Bm25Terms))
   )
 }

@@ -138,6 +138,26 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._3).distinct.size > 1)
   }
 
+  test("bm25: term-bearing docs outrank term-free docs; ranks dense, scores non-increasing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark table job"),
+      (2L, "spark metrics"),
+      (3L, "nothing relevant at all"),
+      (4L, "table table table")
+    ).toDF("doc_id", "text")
+    val r = graft.queries.TextAnalysis.bm25TopK(docs, Seq("spark", "table"), topK = 10)
+      .orderBy("rank").collect()
+    assert(r.length == 4)
+    assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
+    val scores = r.map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("score6")).toMap
+    assert(scores(3L) == 0.0)           // no query term → zero score
+    assert(scores(1L) > scores(2L))     // both terms (one twice) beats one hit
+    assert(r.last.getAs[Long]("doc_id") == 3L)
+    val ordered = r.map(_.getAs[Double]("score6")).toSeq
+    assert(ordered == ordered.sorted.reverse)
+  }
+
   test("repetition ratio: repeated 3-grams raise it; short and clean docs are 0") {
     // "a b c" cycled 3x: 7 shingles, 3 distinct → 1 − 3/7
     val cycled = "a b c a b c a b c"
