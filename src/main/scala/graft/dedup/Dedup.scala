@@ -749,12 +749,15 @@ object Dedup {
       .join(broadcast(incKeyed), Seq("band_idx", "bucket"))
       .select(col("doc_id"), col("match_id"))
       .distinct()
-    // verify joins: the candidate set is collision-sized, so the
-    // corpus hset join moves candidates, not the corpus; the incoming
-    // hsets broadcast again
-    val verified = cands
-      .join(corpusSets.select(col("doc_id").as("match_id"), col("hset").as("hset_m")),
-        Seq("match_id"))
+    // verify joins: the candidate set is collision-sized (bounded by
+    // the incoming batch × its collision rate), so it BROADCASTS and
+    // the corpus hset scan streams through a broadcast-hash join —
+    // without the hint Spark would plan a sort-merge join that
+    // shuffles every corpus hset by match_id, exactly the
+    // full-corpus exchange this operator exists to avoid
+    val verified = corpusSets
+      .select(col("doc_id").as("match_id"), col("hset").as("hset_m"))
+      .join(broadcast(cands), Seq("match_id"))
       .join(broadcast(incSets.select(col("doc_id"), col("hset").as("hset_i"))),
         Seq("doc_id"))
       .withColumn("j", jaccardHashed(col("hset_i"), col("hset_m")))

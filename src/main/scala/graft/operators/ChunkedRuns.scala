@@ -106,11 +106,7 @@ object ChunkedRuns {
         var open = false
         var oStartUs = 0L; var oStopUs = 0L; var oN = 0L; var oTotal = 0.0
         var oAny = false; var oEndsAtTail = false; var oChunk = 0L
-        def tsOf(us: Long): java.sql.Timestamp = {
-          val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
-          t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
-          t
-        }
+        def tsOf(us: Long): java.sql.Timestamp = TimeMicros.timestamp(us)
         def close(): Unit = {
           if (open && oN >= minPoints) {
             out += Event(sid, eventType, tsOf(oStartUs), tsOf(oStopUs),

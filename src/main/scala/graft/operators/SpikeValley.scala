@@ -42,7 +42,7 @@ case class SpikeValleyEvents(
       .as[(String, java.sql.Timestamp, Option[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (sid, it) =>
-        val rows = it.toArray.sortBy(r => SpikeValleyEvents.micros(r._2))
+        val rows = it.toArray.sortBy(r => TimeMicros.micros(r._2))
         val xs = rows.map(_._3.getOrElse(Double.NaN))
         val mask = FindPeaks.spikeValleyMask(xs, params)
         // contiguous flagged runs → events (group_condition_by_time,
@@ -64,7 +64,7 @@ case class SpikeValleyEvents(
             val start = rows(i)._2
             val stop = rows(j)._2
             out += Event(sid, eventType, start, stop,
-              SpikeValleyEvents.micros(stop) - SpikeValleyEvents.micros(start),
+              TimeMicros.micros(stop) - TimeMicros.micros(start),
               (j - i + 1).toLong, if (any) Some(total) else None)
             i = j + 1
           } else i += 1
@@ -75,10 +75,4 @@ case class SpikeValleyEvents(
   }
 }
 
-object SpikeValleyEvents {
-  /** Full-precision epoch micros (Timestamp.getTime is only millis;
-    * the canonical frame carries µs after the ns→µs ingest floor). */
-  private[graft] def micros(t: java.sql.Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
-}
 

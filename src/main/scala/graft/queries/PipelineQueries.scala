@@ -25,12 +25,20 @@ object PipelineQueries {
     * ([[Similarity.assertSignMargin]]): proves no projection of the
     * driver calibration (bits=6, bands=16) sits within float noise of
     * the dot >= 0 boundary, so a cross-engine bucket-bit flip can
-    * never surface as a mystery hash mismatch. Memoized per dir —
-    * four keys share one check pass. */
-  private val signMarginChecked = scala.collection.concurrent.TrieMap.empty[String, Unit]
-  private def assertedSignMargin(s: SparkSession, dir: String): Unit =
-    signMarginChecked.getOrElseUpdate(dir,
+    * never surface as a mystery hash mismatch. Memoized on
+    * (dir, table mtime) — four keys share one check pass, and an
+    * in-process rewrite of the fixture invalidates the memo instead of
+    * silently skipping the very assertion it exists to provide. */
+  private val signMarginChecked =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Unit]
+  private def assertedSignMargin(s: SparkSession, dir: String): Unit = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    val mtime =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(_.lastModified).max).getOrElse(0L)
+      else f.lastModified
+    signMarginChecked.getOrElseUpdate((dir, mtime),
       Similarity.assertSignMargin(embs(s, dir), bits = 6, bands = 16, dim = 64))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(docs(s, dir))),

@@ -174,11 +174,14 @@ object TextAnalysis {
       topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
     val toks = wsTokens(lower(col("text")))
-    val withTf = docsDf.select(
+    // barrier: withTf feeds BOTH the corpus-stats aggregate and the
+    // scored projection below — without it the full tokenization scan
+    // runs twice (once per consumer)
+    val withTf = graft.Materialize.barrier(docsDf.select(
       col("doc_id") +: size(toks).cast("long").as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i")
-        }: _*)
+        }: _*))
     val g = withTf.agg(
       count(lit(1)).as("n"),
       sum(col("dl")).as("sdl") +:

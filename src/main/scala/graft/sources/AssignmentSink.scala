@@ -55,6 +55,9 @@ object AssignmentSink {
     val d = delta.withColumn("shard", shardCol(shards))
     // bounded by `shards`, so the driver round-trip is O(config)
     val touched = d.select("shard").distinct().collect().map(_.getLong(0))
+    // empty delta = no-op (a zero-row staging write would produce no
+    // parquet files and the read-back would fail on schema inference)
+    if (touched.isEmpty) return
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def shardDirs(): Set[String] =

@@ -41,6 +41,11 @@ final class MesowestStationRowSource(
     token: String = "demotoken")
     extends StationRowSource with StationDirectory {
 
+  /** Failure messages land in driver logs, the Spark UI, and error
+    * pipelines — never let the API credential ride along. */
+  private def redacted(url: String): String =
+    url.replaceAll("token=[^&]*", "token=REDACTED")
+
   /** Synoptic station directory — `GET {endpoint}/stations/metadata`
     * returns `{"STATION": [{"STID": ...}, ...]}`; the universe is the
     * STIDs. `status=active` keeps the listing to stations currently
@@ -53,7 +58,7 @@ final class MesowestStationRowSource(
         .timeout(Duration.ofSeconds(60)).build(),
       HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200,
-      s"Synoptic station listing failed (${resp.statusCode()}): $url")
+      s"Synoptic station listing failed (${resp.statusCode()}): ${redacted(url)}")
     parseStationList(resp.body())
   }
 
@@ -87,7 +92,8 @@ final class MesowestStationRowSource(
       HttpRequest.newBuilder(URI.create(url)).GET()
         .timeout(Duration.ofSeconds(60)).build(),
       HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() == 200, s"Synoptic request failed (${resp.statusCode()}): $url")
+    require(resp.statusCode() == 200,
+      s"Synoptic request failed (${resp.statusCode()}): ${redacted(url)}")
     dailyResample(parseObservations(resp.body()))
       .filter(r => r.tsMicros >= startUs && r.tsMicros <= stopUs)
       .sortBy(_.tsMicros)

@@ -194,13 +194,19 @@ private[sources] class StationScanBuilder(options: Map[String, String])
           if (isPattern(s)) { val re = globRegex(s); dir.filter(re.matches(_)) } else Seq(s)
         }.distinct.sorted
       } else optionStations
-    val stations = pushedStations match {
-      case Some(set) => if (expanded.isEmpty) set.toSeq.sorted else expanded.filter(set)
-      case None => expanded
-    }
-    require(stations.nonEmpty,
+    // A universe must be SPECIFIED (via the option or a pushed filter),
+    // but may legitimately RESOLVE empty — a glob matching no directory
+    // entry, or contradictory pushed equalities — in which case the
+    // scan plans zero partitions (empty result), not an error.
+    require(optionStations.nonEmpty || pushedStations.isDefined,
       "graft-station requires a station universe: set .option(\"stations\", ...) " +
         "(ids or patterns) or filter on station_id")
+    val stations = (optionStations.nonEmpty, pushedStations) match {
+      case (true, Some(set)) => expanded.filter(set)
+      case (true, None) => expanded
+      case (false, Some(set)) => set.toSeq.sorted
+      case (false, None) => Seq.empty // unreachable: require above
+    }
     new StationScan(source, stations, startUs, stopUs, required,
       maxBatchUs = options.get("maxbatchstep").map(graft.operators.Steps.parseMicros)
         .getOrElse(0L))
@@ -306,8 +312,15 @@ private[sources] class StationMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[StationOffset].tsUs
     val e = end.asInstanceOf[StationOffset].tsUs
+    // Preserve the wide-open sentinel: backends treat EXACTLY
+    // Long.MinValue as "no lower bound" (StationTimes.dateWindow,
+    // Mesowest stampOf); MinValue+1 would be taken literally and the
+    // HTTP backends would format a year −290308 begin date. The
+    // reader's post-fetch `tsMicros >= startUs` filter is a no-op at
+    // MinValue, so the first batch correctly covers (-inf, e].
+    val fetchStart = if (s == Long.MinValue) Long.MinValue else s + 1L
     if (e <= s) Array.empty
-    else stations.map(st => StationPartition(st, source, s + 1L, e): InputPartition).toArray
+    else stations.map(st => StationPartition(st, source, fetchStart, e): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new StationReaderFactory(schema)

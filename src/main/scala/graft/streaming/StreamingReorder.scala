@@ -59,11 +59,10 @@ object StreamingReorder {
          rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
          state: GroupState[ReorderState]) => {
           val wmMs = state.getCurrentWatermarkMs()
-          // full-precision micros (getTime is only ms; the canonical
-          // frame carries µs) — sub-ms event times must survive the
-          // buffer round-trip or same-ms rows lose their true order
+          // full-precision micros — sub-ms event times must survive
+          // the buffer round-trip or same-ms rows lose their true order
           val incoming = rows.map { case (_, t, v) =>
-            (t.getTime * 1000L + (t.getNanos % 1000000) / 1000L, v)
+            (graft.operators.TimeMicros.micros(t), v)
           }.toList
           val all = (state.getOption.map(_.buffered).getOrElse(Nil) ++ incoming)
             .sortBy(_._1)
@@ -80,11 +79,7 @@ object StreamingReorder {
               Math.floorDiv(keep.head._1, 1000L) - 1L, wmMs + 1L))
           }
           release.iterator.map { case (us, v) =>
-            // reconstruct at µs precision: seconds via the millis ctor,
-            // then the within-second fraction through setNanos
-            val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-            ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-            (sid, ts, v)
+            (sid, graft.operators.TimeMicros.timestamp(us), v)
           }
         })
       .toDF("series_id", "ts", "value")

@@ -73,17 +73,23 @@ object ScaleSmoke {
 
     def timed(label: String, runs: Int = 2)(body: => Long): Unit = {
       var rows = 0L
-      val dts = (1 to runs).map { _ =>
+      // snapshot the listener per run: the reported memory/straggler
+      // attribution must describe the SAME run as the min-time headline
+      // (printing the live listener after the loop described the last
+      // run next to the best run's number)
+      val measured = (1 to runs).map { _ =>
         peaks.reset()
         val t0 = System.nanoTime()
         rows = body
         val dt = (System.nanoTime() - t0) / 1e9
+        val snap = (peaks.peakMem, peaks.maxTaskMs, peaks.topStages(4))
         clearPersisted(); System.gc()
-        dt
+        (dt, snap)
       }
-      println(f"SCALE $label%-28s ${dts.min}%8.1f s  rows=$rows  " +
-        f"peakTaskMem=${peaks.peakMem / (1024 * 1024)}%dMB maxTask=${peaks.maxTaskMs / 1000.0}%.1fs")
-      println(s"SCALE   $label top-stages: ${peaks.topStages(4)}")
+      val (dt, (peakMem, maxTaskMs, topStages)) = measured.minBy(_._1)
+      println(f"SCALE $label%-28s $dt%8.1f s  rows=$rows  " +
+        f"peakTaskMem=${peakMem / (1024 * 1024)}%dMB maxTask=${maxTaskMs / 1000.0}%.1fs")
+      println(s"SCALE   $label top-stages: $topStages")
     }
 
     // --- synthesize ------------------------------------------------------

@@ -66,5 +66,14 @@ class AssignmentSinkSpec extends AnyFunSuite with SparkTestBase {
     val again = AssignmentSink.read(spark, dir)
       .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
     assert(again == scratch)
+
+    // an empty delta (e.g. a batch with no changed docs) is a no-op,
+    // not a crash on the zero-file staging read-back
+    val emptyState = fileState(dir)
+    AssignmentSink.upsertDelta(dir, delta.limit(0), shards = 8)
+    assert(fileState(dir) == emptyState)
+    val unchanged = AssignmentSink.read(spark, dir)
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(unchanged == scratch)
   }
 }

@@ -671,6 +671,92 @@ class StationSourcesSpec extends AnyFunSuite with SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("empty resolved universe plans an empty scan, not an error") {
+    // a glob matching no directory entry is a legitimate empty result
+    val none = spark.read.format("graft-station")
+      .option("source", "CSV").option("path", fixturePath)
+      .option("stations", "ZZ*")
+      .option("start", "2022-12-01").option("stop", "2022-12-20").load()
+    assert(none.count() == 0)
+    // a pushed equality disjoint from the resolved universe must
+    // intersect it (empty), not bypass it
+    val filtered = spark.read.format("graft-station")
+      .option("source", "CSV").option("path", fixturePath)
+      .option("stations", "*")
+      .option("start", "2022-12-01").option("stop", "2022-12-20").load()
+      .where(org.apache.spark.sql.functions.col("station_id") === "NOPE")
+    assert(filtered.count() == 0)
+    // no universe specified at all still fails loudly at planning time
+    val ex = intercept[Exception] {
+      spark.read.format("graft-station")
+        .option("source", "CSV").option("path", fixturePath)
+        .load().count()
+    }
+    assert(ex.getMessage.contains("station universe"), ex.getMessage)
+  }
+
+  test("station readStream: no-start first batch keeps the wide-open sentinel for live backends") {
+    // regression: the first micro-batch used to fetch with
+    // startUs = Long.MinValue + 1, which no backend treats as the
+    // wide-open sentinel — the AWDB URL got a year −290308 beginDate.
+    val reqs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val dataBody = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/awdb_tum.json").getPath))
+    server.createContext("/v1/data", (ex: com.sun.net.httpserver.HttpExchange) => {
+      reqs.add(ex.getRequestURI.getQuery)
+      ex.sendResponseHeaders(200, dataBody.length.toLong)
+      ex.getResponseBody.write(dataBody)
+      ex.close()
+    })
+    server.start()
+    try {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graft-station")
+        .option("source", "NRCS")
+        .option("endpoint", s"http://127.0.0.1:${server.getAddress.getPort}/v1")
+        .option("stations", "663:CA:SNTL")
+        .option("stop", "2022-12-20")
+        .option("maxbatchstep", "50000D")
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          rows.synchronized { rows += df.count() }
+          ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(rows.synchronized(rows.sum) == 20L, rows)
+      } finally q.stop()
+      val begins = reqs.toArray(Array.empty[String]).toSeq
+        .flatMap(_.split("&").find(_.startsWith("beginDate=")))
+      assert(begins.nonEmpty && begins.forall(_ == "beginDate=1900-01-01"), begins)
+    } finally server.stop(0)
+  }
+
+  test("Synoptic failures redact the API token") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(500, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val src = new graft.sources.MesowestStationRowSource(
+        s"http://127.0.0.1:${server.getAddress.getPort}", token = "S3CRET")
+      val ex1 = intercept[IllegalArgumentException](
+        src.fetchRows("TUM1", Long.MinValue, Long.MaxValue))
+      assert(ex1.getMessage.contains("token=REDACTED"), ex1.getMessage)
+      assert(!ex1.getMessage.contains("S3CRET"), ex1.getMessage)
+      val ex2 = intercept[IllegalArgumentException](src.listStations())
+      assert(ex2.getMessage.contains("token=REDACTED"), ex2.getMessage)
+      assert(!ex2.getMessage.contains("S3CRET"), ex2.getMessage)
+    } finally server.stop(0)
+  }
+
   test("accumulated precip becomes increments; storms detected end-to-end") {
     val ts = StationSources.fromStation(registry, spark, "TUM",
       "2022-12-01", "2022-12-31", source = "NRCS")
