@@ -797,4 +797,70 @@ object Dedup {
       .select(col("doc_id"), col("fingerprint"), col("canonical_id"),
         (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
+
+  /**
+   * Sub-document (chunk-level) exact dedup — the corpus-wide repeated-
+   * passage removal step of CCNet/RefinedWeb-style pipelines (CCNet
+   * dedups repeated LINES across shards; Lee et al. 2022 "Deduplicating
+   * Training Data Makes Language Models Better" shows repeated spans,
+   * not just whole documents, drive memorization). Documents split
+   * into DISJOINT `chunkTokens`-token windows (the line analog for
+   * unstructured token streams; the final partial window is a chunk);
+   * a chunk occurrence is a duplicate iff the same chunk text appears
+   * anywhere else in the corpus and this occurrence is not the
+   * canonical first (lowest (doc_id, position)). Per-doc output:
+   * (doc_id, n_chunks, n_dup_chunks, n_removed, kept_md5) where
+   * n_dup_chunks counts occurrences whose text repeats ANYWHERE
+   * (including the kept canonical copy), n_removed counts the
+   * occurrences dropped, and kept_md5 digests the document with its
+   * removed chunks excised (space-rejoined in position order) — the
+   * deduplicated corpus, one digest per doc.
+   *
+   * Scale shape: one explode (~n_tokens/chunkTokens rows per doc), one
+   * shuffle on the chunk hash for the canonical-occurrence aggregate,
+   * one hash join back on the same key (AQE-splittable if a chunk is
+   * pathologically frequent — deliberately NOT a window over the hash,
+   * which would pin a hot chunk's occurrences to one task), one
+   * shuffle back on doc_id to reassemble. Chunk identity is md5 of the
+   * chunk text — portable verbatim to the DuckDB twin, no custom hash
+   * arithmetic.
+   */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    val ct = chunkTokens
+    val toks = graft.functions.TextFunctions.wsTokens(col("text"))
+    val nChunks = ((size(toks) + lit(ct - 1)) / lit(ct)).cast("int")
+    // guard: sequence(0, -1) DESCENDS in Spark — empty docs must map
+    // to an empty chunk array, not a [0, -1] index list
+    val chunks = when(size(toks) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * ct + 1, lit(ct)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val occ = materialize(parallelize(docs)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("idx", "chunk")))
+      .withColumn("h", md5(col("chunk"))))
+    val canon = occ.groupBy(col("h")).agg(
+      count(lit(1)).as("n_occ"),
+      min(struct(col("doc_id").as("d"), col("idx").as("i"))).as("first"))
+    val flagged = occ.join(canon, Seq("h"))
+      .withColumn("rm", col("n_occ") > 1 &&
+        !(col("doc_id") === col("first.d") && col("idx") === col("first.i")))
+    val perDoc = flagged.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+      sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+      md5(array_join(
+        transform(
+          array_sort(collect_list(when(!col("rm"),
+            struct(col("idx").as("i"), col("chunk").as("c"))))),
+          x => x.getField("c")),
+        " ")).as("kept_md5"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
 }

@@ -195,6 +195,20 @@ object PipelineQueries {
       val isNew = col("doc_id") % 5 === 4
       Dedup.crossCorpusNearDups(d.where(!isNew), d.where(isNew), threshold = 0.6)
     }),
+    // Sub-document dedup: disjoint 10-token chunks, corpus-wide
+    // canonical-first-occurrence rule (CCNet line-dedup analog; see
+    // Dedup.chunkDedup scaladoc). Chunk identity = md5 text digest, so
+    // the twin is verbatim-portable.
+    "ld1_chunk_dedup" -> ((s, dir) => Dedup.chunkDedup(docs(s, dir), chunkTokens = 10)),
+    // SemDeDup: the s3-trained k-means cells bound the pair scan; the
+    // same x5 threshold (0.45, ≥1e-4 margin on driver data) keeps the
+    // cos >= t membership float-safe. Oracle = s3's Lloyd chain + a
+    // within-cluster pair count.
+    "sd1_semdedup" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val trained = Similarity.kmeansCentroids(e, e.where(col("vec_id") % 25 === 0), iters = 2)
+      Similarity.semDedup(e, trained, threshold = 0.45)
+    }),
     // Same as m2: the flatMap EXECUTION isn't SQL, but the result is —
     // the twin strides generate_series over the header's frame count
     // and slices the ASCII payload with substr, md5-matched per frame.
@@ -659,6 +673,63 @@ object PipelineQueries {
          |      ORDER BY ${dotSql("q_emb", "c_emb")} DESC, neighbor_id) AS rank
          |  FROM probes JOIN assigned USING (cid)
          |  WHERE query_id <> neighbor_id)
-         |WHERE rank <= 5""".stripMargin
+         |WHERE rank <= 5""".stripMargin,
+    // Sub-document chunk dedup: same disjoint 10-token windows
+    // (1-based inclusive list slicing ≡ Spark's slice(toks, i·10+1,
+    // 10) with identical end clipping), canonical first occurrence =
+    // row_number over (doc_id, idx) ≡ Spark's min(struct). The
+    // COALESCE inside kept_md5 covers a doc whose every chunk is
+    // removed (aggregate FILTER over zero rows is NULL; Spark's
+    // collect_list is an empty array → md5 of '').
+    "ld1_chunk_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ix AS (SELECT doc_id, toks,
+         |  unnest(CASE WHEN len(toks) > 0
+         |    THEN generate_series(0, (len(toks) + 9) // 10 - 1)
+         |    ELSE CAST([] AS BIGINT[]) END) AS idx FROM tk),
+         |occ AS (SELECT doc_id, idx,
+         |  array_to_string(toks[(idx * 10 + 1):(idx * 10 + 10)], ' ') AS chunk FROM ix),
+         |oh AS (SELECT *, md5(chunk) AS h FROM occ),
+         |rk AS (SELECT *, count(*) OVER (PARTITION BY h) AS n_occ,
+         |  row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM oh),
+         |fl AS (SELECT *, n_occ > 1 AND rn > 1 AS rm FROM rk),
+         |pd AS (SELECT doc_id,
+         |  count(*) AS n_chunks,
+         |  SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup,
+         |  SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS n_rm,
+         |  md5(COALESCE(array_to_string(
+         |    list(chunk ORDER BY idx) FILTER (WHERE NOT rm), ' '), '')) AS km
+         |  FROM fl GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(pd.n_chunks, 0) AS BIGINT) AS n_chunks,
+         |  CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+         |  CAST(COALESCE(pd.n_rm, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(pd.km, md5('')) AS kept_md5
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // SemDeDup: the s3 Lloyd chain verbatim (c0 seeds, two rounds,
+    // re-normalized centroids, nearest-centroid assignment with the
+    // (cos DESC, cid) tie-break), then pairs compared only within a
+    // cluster and each vector's smaller-id near-dups counted.
+    "sd1_semdedup" ->
+      s"""WITH $vNormCte,
+         |c0 AS (SELECT vec_id AS cid, emb AS cent FROM v WHERE vec_id % 25 = 0),
+         |${lloydRoundSql(1, "c0")},
+         |${lloydRoundSql(2, "c1")},
+         |cent AS (SELECT cid,
+         |   list_transform(cent, x -> x / sqrt(${dotSql("cent", "cent")})) AS cent_emb
+         |  FROM c2),
+         |assigned AS (SELECT vid, emb, cid FROM (
+         |  SELECT v.vec_id AS vid, v.emb, cent.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+         |  FROM v CROSS JOIN cent) WHERE rn = 1),
+         |p AS (SELECT b.vid AS vec_id, count(*) AS n_prior_dups
+         |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vid < b.vid
+         |  WHERE ${dotSql("a.emb", "b.emb")} >= 0.45
+         |  GROUP BY 1)
+         |SELECT a.vid AS vec_id, a.cid AS cluster_id,
+         |  CAST(COALESCE(p.n_prior_dups, 0) AS BIGINT) AS n_prior_dups,
+         |  COALESCE(p.n_prior_dups >= 1, FALSE) AS is_dup
+         |FROM assigned a LEFT JOIN p ON p.vec_id = a.vid""".stripMargin
   )
 }

@@ -199,6 +199,60 @@ object Similarity {
   }
 
   /**
+   * SemDeDup — semantic deduplication via cluster-then-compare
+   * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): cluster the corpus
+   * with spherical k-means ([[kmeansCentroids]] supplies the trained
+   * centroids), then compare pairs only WITHIN a cluster and flag
+   * every vector that has a near-duplicate (cos ≥ `threshold`) with a
+   * smaller vec_id in its cluster — the deterministic keep-lowest-id
+   * representative rule. Returns one row per corpus vector:
+   * (vec_id, cluster_id, n_prior_dups, is_dup); the kept set is
+   * `!is_dup`.
+   *
+   * Scale shape: centroids are O(k) and broadcast; assignment is one
+   * corpus scan with a per-row top-1 window over k candidates (the
+   * same chain [[ivfTopK]] uses, proven stable cross-engine by the s3
+   * gate); the within-cluster pair scan shuffles once on cluster_id
+   * and does Σ|c|² work instead of N² — the SemDeDup control knob is
+   * k ∝ N so the expected cluster size stays constant and total work
+   * stays ~N·E|c|. The self-join renames columns per side (a plan
+   * reusing one attribute set degenerates to a filtered cross join)
+   * and reads a materialized assignment so the normalize+assign chain
+   * runs once, not once per join branch.
+   */
+  def semDedup(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    ensureRegistered(corpus)
+    val cent = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cid"))
+    val assigned = graft.dedup.Dedup.materialize(
+      normalized(corpus, "vec_id", "emb")
+        .crossJoin(cent)
+        .withColumn("cos_c", fastDot(col("emb"), col("cent_emb")))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("cid")))
+    val lhs = assigned.select(col("cid"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val rhs = assigned.select(col("cid"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    val priorDups = lhs.join(rhs, Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .where(fastDot(col("emb_a"), col("emb_b")) >= threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_prior_dups"))
+    assigned.select(col("vec_id"), col("cid").as("cluster_id"))
+      .join(priorDups, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cluster_id"),
+        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"),
+        coalesce(col("n_prior_dups") >= 1, lit(false)).as("is_dup"))
+  }
+
+  /**
    * EXACT embedding near-duplicate pairs: cosine ≥ threshold,
    * id-ordered. Exact all-pairs is inherently Θ(N²) dot products —
    * no candidate generator can prune below a mid-range threshold

@@ -376,4 +376,71 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select("neighbor_id", "rank").as[(Long, Long)].collect().toSet
     assert(ivf == bf)
   }
+
+  test("semDedup: dups flagged within clusters only, keep-lowest-id rule") {
+    // two well-separated clusters; v6/v7 are near-dups of EACH OTHER
+    // (cos ≈ 0.999) but land in different cells — SemDeDup by design
+    // does not compare across clusters, so neither is flagged
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f, 0.0f)),  // dup of 1 (cluster A)
+      (3L, Array(0.8f, 0.6f, 0.0f, 0.0f)),     // cluster A, cos(1,3) = 0.8
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (5L, Array(0.01f, 0.999f, 0.0f, 0.0f)),  // dup of 4 (cluster B)
+      (6L, Array(0.03f, 0.02f, 0.999f, 0.0f)), // cluster A (0.03 > 0.02)
+      (7L, Array(0.02f, 0.03f, 0.999f, 0.0f))  // cluster B; cos(6,7) ≈ 0.999
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(corpus, cents, threshold = 0.95)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3))))
+      .toMap
+    assert(r.size == 7)
+    // cluster assignment
+    assert(Seq(1L, 2L, 3L, 6L).forall(r(_)._1 == 0L))
+    assert(Seq(4L, 5L, 7L).forall(r(_)._1 == 1L))
+    // within-cluster dups flagged against the smaller id
+    assert(r(2L) == ((0L, 1L, true)))
+    assert(r(5L) == ((1L, 1L, true)))
+    // cross-cluster near-dup pair NOT flagged; representatives kept
+    assert(Seq(1L, 3L, 4L, 6L, 7L).forall(!r(_)._3))
+  }
+
+  test("semDedup with one cluster ≡ exact near-dup pairs (is_dup = appears as id_b)") {
+    import graft.sources.Tables
+    val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
+    val one = Seq((0L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val sd = Similarity.semDedup(e, one, threshold = 0.45)
+      .where(col("is_dup")).select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.nearDupPairs(e, threshold = 0.45)
+      .select("id_b").as[Long].collect().toSet
+    assert(sd == exact)
+    assert(sd.nonEmpty)
+  }
+
+  test("chunkDedup: canonical occurrence kept, later repeats removed, empty doc safe") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // chunks: "a b c", "d e f"
+      (2L, "a b c x"),       // "a b c" repeats doc 1's; "x" unique
+      (3L, "d e f d e f"),   // both chunks repeat doc 1's "d e f"
+      (4L, "")               // zero chunks
+    ).toDF("doc_id", "text")
+    def md5s(s: String) = {
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val r = Dedup.chunkDedup(d, chunkTokens = 3).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    // doc 1 holds both canonical copies: dup-counted but nothing removed
+    assert(r(1L) == ((2L, 2L, 0L, md5s("a b c d e f"))))
+    // doc 2 loses its repeated first chunk, keeps "x"
+    assert(r(2L) == ((2L, 1L, 1L, md5s("x"))))
+    // doc 3 loses everything (both occurrences repeat doc 1's chunk)
+    assert(r(3L) == ((2L, 2L, 2L, md5s(""))))
+    // empty doc: zero chunks, digest of the empty document
+    assert(r(4L) == ((0L, 0L, 0L, md5s(""))))
+  }
 }
