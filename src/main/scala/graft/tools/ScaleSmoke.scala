@@ -288,6 +288,29 @@ object ScaleSmoke {
       }
     }
 
+    // --- round-7 corpus-prep additions: sub-document chunk dedup over
+    // the 1M-doc corpus; SemDeDup over the 200k vectors with k ≈ √N
+    // cells (the paper's knob: k ∝ N keeps E|c| constant, so the
+    // within-cluster pair scan stays ~N·E|c|) ------------------------
+    if (want("prep2")) {
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      timed("ld1_chunk_dedup_1m", runs = 2) {
+        val r = graft.dedup.Dedup.chunkDedup(docs, chunkTokens = 10)
+          .agg(sum(col("n_chunks")), sum(col("n_removed")), count(lit(1))).head
+        r.getLong(2)
+      }
+      val embs = spark.read.parquet(s"$outDir/embeddings.parquet")
+      // deterministic ~447 seeds over 200k ids, one Lloyd round (the
+      // smoke measures the semDedup scan, not centroid convergence)
+      val seeds = embs.where(col("vec_id") % 447 === 0)
+      val trained = graft.similarity.Similarity.kmeansCentroids(embs, seeds, iters = 1)
+      timed("sd1_semdedup_200k_k448", runs = 2) {
+        val r = graft.similarity.Similarity.semDedup(embs, trained, threshold = 0.9)
+          .agg(count(when(col("is_dup"), 1)), count(lit(1))).head
+        r.getLong(1)
+      }
+    }
+
     // --- 200k×64 embedding near-dup: exact blocked triangle (x5
     // shape, 2e10 dot products — inherent to exact all-pairs) vs
     // sign-LSH (x6 shape) at a realistic 0.9 threshold where LSH is
