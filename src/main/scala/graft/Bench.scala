@@ -3,6 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional comma-separated key filter (dev-only: clean single-key
+    // re-measurement on a quiet box; the driver passes no args and
+    // gets every key)
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
+    val picked = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +24,7 @@ object Bench {
     // Warm up the JVM/codegen/parquet footer paths on the smallest SF
     // so the first timed query doesn't absorb one-time startup cost.
     val warmSf = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    picked.foreach { case (_, fn) =>
       try fn(spark, warmSf).count() catch { case _: Throwable => () }
     }
     // Drop checkpoint/cache blocks left by the previous query so each
@@ -36,7 +41,7 @@ object Bench {
     // dedup stages) is not paid inside the next query's window. The
     // first run still carries any query-specific codegen compilation;
     // the second is the steady state — min reports what the plan costs.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = picked.map { case (name, fn) =>
       val dts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

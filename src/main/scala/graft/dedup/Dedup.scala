@@ -716,6 +716,20 @@ object Dedup {
    * the banded keys + hash sets once and reusing them per increment
    * (both frames are plain columns, so the operator composes with a
    * parquet round-trip of `digs`-derived state unchanged).
+   *
+   * Broadcast guard (`maxBroadcastRows`): the plan above only works
+   * while the incoming side is genuinely small. A caller handing a
+   * corpus-sized "increment" would not fail loudly — it would OOM the
+   * driver mid-broadcast — so the operator counts the (already
+   * materialized) incoming side first and REFUSES above the limit
+   * with a message naming the assumption; swap the arguments or run
+   * [[minhashNearDups]] over the union instead. The candidate pair
+   * set can also outgrow a broadcast on its own (an adversarial batch
+   * whose every doc collides with thousands of corpus buckets):
+   * candidates are counted after the band join and above the limit
+   * the verify join FALLS BACK to a shuffle join — correct, slower,
+   * and the corpus-side exchange it pays is exactly proportional to
+   * the anomaly.
    */
   def crossCorpusNearDups(
       corpus: DataFrame,
@@ -723,12 +737,14 @@ object Dedup {
       threshold: Double = 0.6,
       k: Int = 12,
       bands: Int = 4,
-      rows: Int = 3): DataFrame = {
+      rows: Int = 3,
+      maxBroadcastRows: Long = 20000000L): DataFrame = {
+    require(maxBroadcastRows >= 1, s"maxBroadcastRows must be >= 1: $maxBroadcastRows")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // same derivation chain as minhashNearDups, per side: one-pass
     // shingle-hash kernel → distinct hash set (verify) and minhash
     // signature → band keys (candidates)
-    def keyedAndSets(docs: DataFrame, par: Boolean): (DataFrame, DataFrame) = {
+    def keyedAndSets(docs: DataFrame, par: Boolean): (DataFrame, DataFrame, DataFrame) = {
       val base = if (par) parallelize(docs) else docs
       val digs = materialize(base
         .select(col("doc_id"),
@@ -740,24 +756,37 @@ object Dedup {
         .select(col("doc_id"), call_function("graft_minhash", col("digs"), lit(k)).as("sig"))
         .select(col("doc_id"),
           posexplode(lshBands(col("sig"), bands, rows)).as(Seq("band_idx", "bucket")))
-      (keyed, hsets)
+      (keyed, hsets, digs)
     }
-    val (corpusKeyed, corpusSets) = keyedAndSets(corpus, par = true)
-    val (incKeyed, incSets) = keyedAndSets(incoming, par = false)
-    val cands = corpusKeyed
+    val (corpusKeyed, corpusSets, _) = keyedAndSets(corpus, par = true)
+    val (incKeyed, incSets, incDigs) = keyedAndSets(incoming, par = false)
+    // counting the materialized digs frame is one cheap scan of the
+    // checkpoint — the price of failing loudly instead of OOMing
+    val incCount = incDigs.count()
+    if (incCount * bands > maxBroadcastRows) throw new IllegalArgumentException(
+      s"crossCorpusNearDups broadcasts the INCOMING side ($incCount docs x $bands band keys " +
+        s"= ${incCount * bands} rows > maxBroadcastRows=$maxBroadcastRows). The operator's " +
+        "contract is a small increment screened against a large corpus; swap the arguments, " +
+        "raise maxBroadcastRows if the cluster has the memory, or run minhashNearDups over " +
+        "the union instead.")
+    val cands = materialize(corpusKeyed
       .select(col("doc_id").as("match_id"), col("band_idx"), col("bucket"))
       .join(broadcast(incKeyed), Seq("band_idx", "bucket"))
       .select(col("doc_id"), col("match_id"))
-      .distinct()
+      .distinct())
     // verify joins: the candidate set is collision-sized (bounded by
     // the incoming batch × its collision rate), so it BROADCASTS and
     // the corpus hset scan streams through a broadcast-hash join —
     // without the hint Spark would plan a sort-merge join that
     // shuffles every corpus hset by match_id, exactly the
-    // full-corpus exchange this operator exists to avoid
+    // full-corpus exchange this operator exists to avoid. Above
+    // maxBroadcastRows (degenerate collision rate) the hint is
+    // DROPPED and the verify runs as a shuffle join instead.
+    val candCount = cands.count()
+    val candsHinted = if (candCount <= maxBroadcastRows) broadcast(cands) else cands
     val verified = corpusSets
       .select(col("doc_id").as("match_id"), col("hset").as("hset_m"))
-      .join(broadcast(cands), Seq("match_id"))
+      .join(candsHinted, Seq("match_id"))
       .join(broadcast(incSets.select(col("doc_id"), col("hset").as("hset_i"))),
         Seq("doc_id"))
       .withColumn("j", jaccardHashed(col("hset_i"), col("hset_m")))
@@ -824,6 +853,17 @@ object Dedup {
    * shuffle back on doc_id to reassemble. Chunk identity is md5 of the
    * chunk text — portable verbatim to the DuckDB twin, no custom hash
    * arithmetic.
+   *
+   * Memory footprint note (capacity planning at 100 TB): the exploded
+   * occurrence frame is materialized WITH its chunk text — the default
+   * localCheckpoint store holds roughly one extra copy of the corpus
+   * text for the operator's duration (the barrier feeds both the
+   * canonical aggregate and the join back, and re-tokenizing the
+   * corpus per consumer measured worse at 1M docs). Deployments where
+   * that resident copy doesn't fit should switch the barrier to disk
+   * (`spark.graft.materialize.mode = persist`, DISK_ONLY_2) — or
+   * materialize only (doc_id, idx, h) and recompute chunk text on the
+   * reassembly side, trading a second tokenization pass for the store.
    */
   def chunkDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")

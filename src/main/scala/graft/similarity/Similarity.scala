@@ -73,6 +73,29 @@ object Similarity {
       transform(emb, x => x / sqrt(call_function("graft_dot", emb, emb))).as(embOut))
   }
 
+  /** Nearest-centroid assignment as a partial-aggregated ARGMAX:
+    * cross the (broadcast) centroid frame, score each (vector,
+    * centroid), then `max(struct(cos, -cid, emb))` per vector — the
+    * struct order reproduces exactly the (cos DESC, cid ASC) ranking a
+    * `row_number() over (partitionBy vec)` window computes (max picks
+    * the highest cos, ties to the highest -cid = lowest cid; NaN sorts
+    * greatest in both the window sort and the aggregate's ordering),
+    * but with map-side partial aggregation: the exchange carries ~N
+    * combined rows instead of the N·k rows a window must shuffle AND
+    * sort. At the SemDeDup regime (k ∝ N) that turns the one
+    * corpus-wide exchange from O(N·k) sorted to O(N) unsorted. The
+    * embedding rides as the struct's LAST field — carried, never
+    * compared, since (cos, -cid) is already unique per group.
+    * Output: (idCol, embCol, cid). */
+  private def argmaxAssign(
+      v: DataFrame, cent: DataFrame, idCol: String, embCol: String): DataFrame =
+    v.crossJoin(cent)
+      .withColumn("cos_c", fastDot(col(embCol), col("cent_emb")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cos_c").as("cos"), (-col("cid")).as("neg_cid"),
+        col(embCol).as("emb"))).as("best"))
+      .select(col(idCol), col("best.emb").as(embCol), (-col("best.neg_cid")).as("cid"))
+
   /**
    * Exact cosine top-k: for each row of `queries` (vec_id, embedding),
    * the k nearest rows of `corpus` (excluding the query itself).
@@ -108,13 +131,12 @@ object Similarity {
     ensureRegistered(queries)
     val cent = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
 
-    val wAssign = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("cos_c").desc, col("cid"))
-    val assigned = normalized(corpus, "neighbor_id", "c_emb")
-      .crossJoin(cent)
-      .withColumn("cos_c", fastDot(col("c_emb"), col("cent_emb")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
+    // corpus→cell assignment is top-1: the aggregate argmax shape
+    // (see [[argmaxAssign]]) — the probe stage below stays a window
+    // because it needs top-nProbe, and it runs over the small query
+    // side only
+    val assigned = argmaxAssign(
+      normalized(corpus, "neighbor_id", "c_emb"), cent, "neighbor_id", "c_emb")
       .select(col("neighbor_id"), col("c_emb"), col("cid"))
 
     val wProbe = Window.partitionBy(col("query_id"))
@@ -165,11 +187,7 @@ object Similarity {
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     (0 until iters).foreach { _ =>
       val centDf = broadcast(cents.toSeq.toDF("cid", "cent_emb"))
-      val wAssign = Window.partitionBy(col("vid")).orderBy(col("cos_c").desc, col("cid"))
-      val meaned = vecs.crossJoin(centDf)
-        .withColumn("cos_c", fastDot(col("emb"), col("cent_emb")))
-        .withColumn("rn", row_number().over(wAssign))
-        .where(col("rn") === 1)
+      val meaned = argmaxAssign(vecs, centDf, "vid", "emb")
         .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("v")).as("m"))
@@ -211,8 +229,10 @@ object Similarity {
    * `!is_dup`.
    *
    * Scale shape: centroids are O(k) and broadcast; assignment is one
-   * corpus scan with a per-row top-1 window over k candidates (the
-   * same chain [[ivfTopK]] uses, proven stable cross-engine by the s3
+   * corpus scan folded by [[argmaxAssign]] — a partial-aggregated
+   * per-vector argmax whose exchange carries ~N aggregated rows, not
+   * the N·k sorted rows a `row_number` window would shuffle (the same
+   * (cos DESC, cid) selection, proven stable cross-engine by the s3
    * gate); the within-cluster pair scan shuffles once on cluster_id
    * and does Σ|c|² work instead of N² — the SemDeDup control knob is
    * k ∝ N so the expected cluster size stays constant and total work
@@ -227,15 +247,8 @@ object Similarity {
       threshold: Double): DataFrame = {
     ensureRegistered(corpus)
     val cent = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cid"))
     val assigned = graft.dedup.Dedup.materialize(
-      normalized(corpus, "vec_id", "emb")
-        .crossJoin(cent)
-        .withColumn("cos_c", fastDot(col("emb"), col("cent_emb")))
-        .withColumn("rn", row_number().over(wAssign))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("emb"), col("cid")))
+      argmaxAssign(normalized(corpus, "vec_id", "emb"), cent, "vec_id", "emb"))
     val lhs = assigned.select(col("cid"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
     val rhs = assigned.select(col("cid"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
     val priorDups = lhs.join(rhs, Seq("cid"))
@@ -546,6 +559,17 @@ object Similarity {
    * doc_a's base key iff hamming(a, b) = k — flip×flip never joins,
    * so hamming 2·radius stays out.
    */
+  /** Auto-salt threshold (base band-key rows = N·bands): below it the
+    * candidate join runs unsalted. Both regimes are measured: at 200k
+    * vectors × 4 bands (800k base keys, ~3.3e8 candidate rows) S=8
+    * wins 7–12 % wall and bounds degenerate hot keys; at gate scale
+    * (5k × 16 bands = 80k base keys) the S× left replication is pure
+    * fixed cost on a join whose total volume fits a handful of tasks
+    * anyway (x9 sf0.1 doubled 1.58→3.10 s under unconditional S=8 —
+    * VERDICT r7 #2). The crossover sits between those points; 400k
+    * splits it with ~5× margin to each measurement. */
+  private val SaltAutoThreshold = 400000L
+
   def lshNearDupPairsMultiProbe(
       corpus: DataFrame,
       threshold: Double,
@@ -553,16 +577,22 @@ object Similarity {
       bands: Int = 8,
       dim: Int = 64,
       probeRadius: Int = 1,
-      saltBuckets: Int = 8): DataFrame = {
+      saltBuckets: Int = 0): DataFrame = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
     require(probeRadius >= 1 && probeRadius <= 2,
       s"probeRadius must be 1 or 2: $probeRadius")
-    require(saltBuckets >= 1, s"saltBuckets must be >= 1: $saltBuckets")
+    require(saltBuckets >= 0, s"saltBuckets must be >= 0 (0 = size-aware auto): $saltBuckets")
     ensureRegistered(corpus)
     val v = graft.dedup.Dedup.materialize(normalized(corpus, "id", "emb"))
     val keyed = graft.dedup.Dedup.materialize(
       signBands(v, bits, bands, dim)
         .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "key"))))
+    // size-aware salt: counting the materialized key frame is one
+    // cheap checkpoint scan; S=1 below the threshold, S=8 above
+    val salt =
+      if (saltBuckets > 0) saltBuckets
+      else if (keyed.count() < SaltAutoThreshold) 1
+      else 8
     val base = keyed.select(col("doc_id"), col("band_idx"), col("key").as("probe"))
     val masks: Seq[Long] =
       (0 until bits).map(i => 1L << i) ++
@@ -589,10 +619,10 @@ object Similarity {
     // pays).
     val right = base.select(col("doc_id").as("doc_b"), col("band_idx"), col("probe"))
       .unionByName(flips.select(col("doc_id").as("doc_b"), col("band_idx"), col("probe")))
-      .withColumn("salt", pmod(xxhash64(col("doc_b")), lit(saltBuckets.toLong)))
+      .withColumn("salt", pmod(xxhash64(col("doc_b")), lit(salt.toLong)))
     val left = base.select(col("doc_id").as("doc_a"), col("band_idx"), col("probe"))
       .withColumn("salt",
-        explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+        explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     val cands = left.join(right, Seq("band_idx", "probe", "salt"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()

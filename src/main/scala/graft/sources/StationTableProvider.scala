@@ -120,8 +120,20 @@ private[sources] class StationScanBuilder(options: Map[String, String])
     options.get("stations").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
   private var pushedStations: Option[Set[String]] = None
+  // Long.MinValue is the open-start sentinel (StationTimes.dateWindow,
+  // Mesowest stampOf treat EXACTLY MinValue as "no lower bound"), and
+  // the streaming initialOffset stores start − 1 — so an explicit
+  // start at MinValue + 1 would synthesize the sentinel and silently
+  // widen the requested window. No real date string parses anywhere
+  // near it (year −290308); reject loudly instead of clamping.
   private var startUs: Long =
-    options.get("start").map(StationTimes.parseMicros).getOrElse(Long.MinValue)
+    options.get("start").map { s =>
+      val us = StationTimes.parseMicros(s)
+      if (us <= Long.MinValue + 1) throw new IllegalArgumentException(
+        s"start '$s' ($us micros) is at/next to the open-start sentinel " +
+          "(Long.MinValue); omit the `start` option for an open lower bound")
+      us
+    }.getOrElse(Long.MinValue)
   private var stopUs: Long =
     options.get("stop").map(StationTimes.parseStopMicros).getOrElse(Long.MaxValue)
   private var accepted: Array[Filter] = Array.empty

@@ -124,6 +124,35 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got(9L) == crossPairs.getOrElse(9L, 0L))
   }
 
+  test("cross-corpus dedup refuses an oversized incoming side loudly") {
+    val corpus = Seq((0L, base), (1L, other)).toDF("doc_id", "text")
+    val incoming = Seq((10L, nearDup), (11L, other), (12L, base)).toDF("doc_id", "text")
+    // 3 incoming docs × 4 bands = 12 broadcast rows > limit 8
+    val e = intercept[IllegalArgumentException] {
+      Dedup.crossCorpusNearDups(corpus, incoming, threshold = 0.6, maxBroadcastRows = 8L)
+    }
+    assert(e.getMessage.contains("broadcasts the INCOMING side"))
+    assert(e.getMessage.contains("maxBroadcastRows=8"))
+  }
+
+  test("cross-corpus dedup candidate-overflow fallback matches the broadcast plan") {
+    // every corpus doc shares text with the incoming docs → dense band
+    // collisions; limit sized so the incoming side passes (2 docs × 4
+    // bands = 8 ≤ 20) but the candidate set (2 incoming × 10 corpus
+    // matches = 20-ish distinct pairs... forced over via a tiny limit
+    // between the two counts) trips the shuffle-join fallback
+    val corpus = (0L until 10L).map(i => (i, if (i % 2 == 0) base else nearDup))
+      .toDF("doc_id", "text")
+    val incoming = Seq((100L, base), (101L, nearDup)).toDF("doc_id", "text")
+    val broadcastPlan = Dedup.crossCorpusNearDups(corpus, incoming, threshold = 0.6)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val fallbackPlan = Dedup.crossCorpusNearDups(
+        corpus, incoming, threshold = 0.6, maxBroadcastRows = 10L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(broadcastPlan == fallbackPlan)
+    assert(broadcastPlan.nonEmpty)
+  }
+
   test("decontaminate: counts distinct shared 3-grams against the benchmark set") {
     val corpus = Seq(
       (0L, base),          // same text as the benchmark doc: all grams shared
