@@ -297,7 +297,26 @@ object ScaleSmoke {
       timed("ld1_chunk_dedup_1m", runs = 2) {
         val r = graft.dedup.Dedup.chunkDedup(docs, chunkTokens = 10)
           .agg(sum(col("n_chunks")), sum(col("n_removed")), count(lit(1))).head
+        println(s"SCALE   ld1 occurrences=${r.getLong(0)} removed=${r.getLong(1)}")
         r.getLong(2)
+      }
+      // planted HOT chunk: 100k extra docs that are all the SAME
+      // 10-token text → one chunk hash with 100k occurrences. The
+      // scaladoc claims the canonical join is AQE-splittable (it is
+      // deliberately a hash join on the chunk digest, not a window
+      // that would pin the hot hash to one task); the evidence is the
+      // bounded maxTask + dominant-stage max/mean below.
+      val hot = spark.range(100000L)
+        .select((col("id") + 10000000L).as("doc_id"),
+          lit("boiler plate chunk text repeated verbatim in every doc here").as("text"))
+      val withHot = docs.select(col("doc_id"), col("text")).unionByName(hot)
+      timed("ld1_hot_chunk_100k", runs = 2) {
+        val r = graft.dedup.Dedup.chunkDedup(withHot, chunkTokens = 10)
+          .where(col("doc_id") >= 10000000L)
+          .agg(sum(col("n_removed")), count(lit(1))).head
+        require(r.getLong(0) == 99999L,
+          s"hot chunk: expected 99999 removed occurrences, got ${r.getLong(0)}")
+        r.getLong(1)
       }
       val embs = spark.read.parquet(s"$outDir/embeddings.parquet")
       // deterministic ~447 seeds over 200k ids, one Lloyd round (the
@@ -307,8 +326,21 @@ object ScaleSmoke {
       timed("sd1_semdedup_200k_k448", runs = 2) {
         val r = graft.similarity.Similarity.semDedup(embs, trained, threshold = 0.9)
           .agg(count(when(col("is_dup"), 1)), count(lit(1))).head
+        println(s"SCALE   sd1 dups_flagged=${r.getLong(0)}")
         r.getLong(1)
       }
+      // Σ|c|² evidence straight from the operator's OUTPUT: the pair
+      // scan compares only within clusters, so its exact pair volume
+      // is Σ|c|(|c|−1)/2 over the assignment's cluster sizes — print
+      // it against the N(N−1)/2 an unclustered scan would pay.
+      val sizes = graft.similarity.Similarity.semDedup(embs, trained, threshold = 0.9)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("c"))
+      val ev = sizes.agg(
+        sum(col("c") * (col("c") - 1) / 2).as("pairs"),
+        max(col("c")).as("maxc"), count(lit(1)).as("k")).head
+      val n = embs.count()
+      println(f"SCALE   sd1 pair-scan volume: sum|c|(|c|-1)/2=${ev.getDouble(0)}%.3e " +
+        f"vs N(N-1)/2=${n.toDouble * (n - 1) / 2}%.3e (k=${ev.getLong(2)}, max|c|=${ev.getLong(1)})")
     }
 
     // --- 200k×64 embedding near-dup: exact blocked triangle (x5
