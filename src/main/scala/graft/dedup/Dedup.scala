@@ -243,6 +243,57 @@ object Dedup {
     verifyJaccard(cands, hsets, threshold)
   }
 
+  /**
+   * Signature-ESTIMATED MinHash near-dup pairs — the screening form a
+   * production pipeline runs when shipping the exact hash sets is too
+   * expensive: for banding candidates, J(a,b) is estimated as the
+   * fraction of equal signature components (the unbiased MinHash
+   * estimator, Broder 1997) and a pair is kept when at least `minEq`
+   * of the `k` components agree. No shingle-set intersection and no
+   * hset shuffle — the verify payload per doc is k longs (96 bytes at
+   * k=12) instead of the distinct-shingle set (hundreds of values),
+   * which is why large-scale dedup systems screen on signatures and
+   * reserve the exact intersection ([[minhashNearDups]]) for the
+   * pairs that survive. Estimator sd ≈ √(J(1−J)/k), so k sizes the
+   * screen's sharpness.
+   *
+   * Output: (doc_a, doc_b, n_eq, est_jaccard), n_eq ≥ minEq. The
+   * filter compares exact INTEGERS and the estimate is one division
+   * of exact integers — the DuckDB twin is digit-identical with no
+   * float-margin analysis needed.
+   */
+  def minhashEstimatePairs(
+      docs: DataFrame,
+      minEq: Int = 6,
+      k: Int = 12,
+      bands: Int = 4,
+      rows: Int = 3,
+      hotBucketBlock: Option[Int] = None): DataFrame = {
+    require(minEq >= 0 && minEq <= k, s"minEq must be in [0, k=$k]: $minEq")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val digs = materialize(parallelize(docs)
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
+      .where(size(col("digs")) > 0))
+    // sigs has three consumers (the banding pass and both renamed
+    // sides of the estimate join) — one barrier, same rationale as
+    // minhashNearDups' digs
+    val sigs = materialize(digs.select(col("doc_id"),
+      call_function("graft_minhash", col("digs"), lit(k)).as("sig")))
+    val withBands = materialize(
+      sigs.select(col("doc_id"), lshBands(col("sig"), bands, rows).as("bands")))
+    val cands = bandCandidates(withBands, hotBucketBlock)
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("n_eq", aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v))
+      .where(col("n_eq") >= minEq)
+      .select(col("doc_a"), col("doc_b"), col("n_eq"),
+        round(col("n_eq").cast("double") / lit(k.toDouble), 6).as("est_jaccard"))
+  }
+
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b
     * of the signature is set iff Σ_tokens (±1 by bit b of
     * md5-first-8-hex) is positive. Built from conv() — codegen'd, with

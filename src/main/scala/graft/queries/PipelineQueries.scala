@@ -206,6 +206,39 @@ object PipelineQueries {
       Dedup.incrementalClustersWithSizes(
         prior.select("doc_id", "cluster_id", "cluster_size"), newDocs, deltaEdges)
     }),
+    // Signature-estimated Jaccard screen (Broder estimator over the
+    // x2 banding candidates): the production screening form — exact
+    // integer agreement counts, no hset intersection. minEq = 6 of 12
+    // components ≈ J ≥ 0.5 screening.
+    "x11_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimatePairs(docs(s, dir), minEq = 6)),
+    // End-to-end corpus CURATION — the composition a training-data
+    // pipeline actually ships: drop exact duplicates (x1 protocol,
+    // canonical = min doc_id), drop docs contaminated by the eval
+    // slice (dc1 protocol, eval = doc_id % 17 == 3), drop low-quality
+    // docs (t2's rounded score < 0.5). quality6 is the 6-dp-rounded
+    // value the t2 gate proves digit-identical cross-engine, so the
+    // threshold compare is portable by construction; every other
+    // output is an exact integer or boolean.
+    "cu1_corpus_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isEval = col("doc_id") % 17 === 3
+      val cur = d.where(!isEval)
+      val dup = Dedup.exactDedup(cur)
+        .select(col("doc_id"), col("is_dup").as("is_exact_dup"))
+      val dec = Dedup.decontaminate(cur, d.where(isEval))
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
+      val q = graft.queries.TextAnalysis.t2Quality(s, dir)
+        .select(col("doc_id"), col("quality").as("quality6"))
+      cur.select(col("doc_id"))
+        .join(dup, Seq("doc_id"))
+        .join(dec, Seq("doc_id"))
+        .join(q, Seq("doc_id"))
+        .select(col("doc_id"), col("quality6"), col("is_exact_dup"),
+          col("n_hits"), col("contaminated"),
+          (!col("is_exact_dup") && !col("contaminated") &&
+            col("quality6") >= 0.5).as("keep"))
+    }),
     // Wide-radius SimHash (Manku r-of-8 combination banding, exact to
     // hamming 5) — the oracle is an INDEPENDENT all-pairs scan, so a
     // banding recall bug fails the gate rather than being mirrored.
@@ -453,6 +486,46 @@ object PipelineQueries {
     "x2_minhash_lsh" ->
       s"""WITH $minhashChainCtes
          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jj WHERE j >= 0.6""".stripMargin,
+    // x11: same banding candidates as x2, but the "verify" is the
+    // Broder component-agreement count over the signatures — exact
+    // integers, one final division
+    "x11_minhash_est" ->
+      s"""WITH $minhashKeyCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b
+         |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |ee AS (SELECT doc_a, doc_b,
+         |   CAST(list_sum(list_transform(generate_series(1, 12),
+         |     i -> CASE WHEN sa.sig[i::INTEGER] = sb.sig[i::INTEGER]
+         |          THEN 1 ELSE 0 END)) AS BIGINT) AS n_eq
+         |  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, n_eq, ROUND(n_eq / 12.0, 6) AS est_jaccard
+         |FROM ee WHERE n_eq >= 6""".stripMargin,
+    // cu1: x1's fingerprint chain over the curation slice, dc1's gram
+    // chain against the eval slice, t2's rounded quality — composed
+    "cu1_corpus_curation" ->
+      s"""WITH cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3),
+         |q AS (SELECT doc_id, ${graft.queries.TextAnalysis.quality6Sql} AS quality6
+         |  FROM documents),
+         |fp AS (SELECT doc_id, $fpSql AS fingerprint FROM cur),
+         |canon AS (SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY 1),
+         |dup AS (SELECT doc_id, doc_id <> canonical_id AS is_exact_dup
+         |  FROM fp JOIN canon USING (fingerprint)),
+         |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(shingles,
+         |   s -> CAST(list_sum(list_transform(generate_series(1, 8),
+         |     i -> (strpos('0123456789abcdef', substr(md5(s), i::INTEGER, 1)) - 1)
+         |          * power(16, 8 - i))) AS BIGINT))) AS hset FROM sh),
+         |bench AS (SELECT DISTINCT unnest(hset) AS g FROM hs WHERE doc_id % 17 = 3),
+         |corp AS (SELECT doc_id, unnest(hset) AS g FROM hs WHERE doc_id % 17 <> 3),
+         |hits AS (SELECT doc_id, count(*) AS n_hits FROM corp JOIN bench USING (g) GROUP BY 1)
+         |SELECT cur.doc_id, q.quality6, dup.is_exact_dup,
+         |  CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+         |  coalesce(hits.n_hits, 0) >= 1 AS contaminated,
+         |  (NOT dup.is_exact_dup) AND NOT (coalesce(hits.n_hits, 0) >= 1)
+         |    AND q.quality6 >= 0.5 AS keep
+         |FROM cur JOIN q USING (doc_id) JOIN dup USING (doc_id)
+         |  LEFT JOIN hits USING (doc_id)""".stripMargin,
     // one full-transitive-closure oracle serves cc1 (from-scratch),
     // cc2 (incremental fold), and cc3 (fold + size maintenance): the
     // incremental variants' exactness claim IS equality with this

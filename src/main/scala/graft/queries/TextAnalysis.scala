@@ -237,6 +237,16 @@ object TextAnalysis {
     s"""CASE WHEN $nToksSql = 0 THEN 0.0
        | ELSE list_sum(list_transform($toksSql, t -> length(t)))::DOUBLE / $nToksSql END""".stripMargin
 
+  /** The t2 folded quality score, rounded to 6 dp — shared with the
+    * cu1 curation oracle so the threshold there compares the exact
+    * value the t2 gate already proves digit-identical cross-engine. */
+  private[graft] lazy val quality6Sql: String =
+    s"""ROUND(least(1.0, $nToksSql::DOUBLE / 50.0) * 0.3
+       |   + (1.0 - $punctSql) * 0.3
+       |   + least(1.0, $swRatioSql * 4.0) * 0.2
+       |   + (CASE WHEN $mtlSql >= 3.0 AND $mtlSql <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+       |  6)""".stripMargin
+
   private def markerCountSql(words: Seq[String]) =
     s"len(list_filter(list_transform($toksSql, t -> lower(t)), t -> t IN (${swInList(words)})))"
 
@@ -258,11 +268,7 @@ object TextAnalysis {
            | ROUND($punctSql, 6) AS punct_ratio,
            | ROUND($swRatioSql, 6) AS stopword_ratio,
            | ROUND($mtlSql, 6) AS mean_token_len,
-           | ROUND(least(1.0, $nToksSql::DOUBLE / 50.0) * 0.3
-           |   + (1.0 - $punctSql) * 0.3
-           |   + least(1.0, $swRatioSql * 4.0) * 0.2
-           |   + (CASE WHEN $mtlSql >= 3.0 AND $mtlSql <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
-           |  6) AS quality
+           | $quality6Sql AS quality
            |FROM documents""".stripMargin,
       "t3_lang_id" ->
         s"""SELECT doc_id, $guess AS lang_guess,

@@ -87,7 +87,7 @@ object Similarity {
     * embedding rides as the struct's LAST field — carried, never
     * compared, since (cos, -cid) is already unique per group.
     * Output: (idCol, embCol, cid). */
-  private def argmaxAssign(
+  private[graft] def argmaxAssign(
       v: DataFrame, cent: DataFrame, idCol: String, embCol: String): DataFrame =
     v.crossJoin(cent)
       .withColumn("cos_c", fastDot(col(embCol), col("cent_emb")))

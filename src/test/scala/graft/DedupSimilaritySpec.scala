@@ -124,6 +124,20 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got(9L) == crossPairs.getOrElse(9L, 0L))
   }
 
+  test("minhash estimate: exact dups at 12/12, near-dups pass the screen, unrelated absent") {
+    val r = Dedup.minhashEstimatePairs(docs, minEq = 6)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), (x.getLong(2), x.getDouble(3)))).toMap
+    // identical docs agree on every component
+    assert(r((0L, 3L)) == ((12L, 1.0)))
+    // the planted near-dup shares most shingles → most components
+    assert(r.contains((0L, 1L)) && r((0L, 1L))._1 >= 6L)
+    // est_jaccard is exactly n_eq/12 rounded to 6dp
+    r.values.foreach { case (nEq, est) =>
+      assert(est == BigDecimal(nEq / 12.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(!r.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("cross-corpus dedup refuses an oversized incoming side loudly") {
     val corpus = Seq((0L, base), (1L, other)).toDF("doc_id", "text")
     val incoming = Seq((10L, nearDup), (11L, other), (12L, base)).toDF("doc_id", "text")
@@ -269,6 +283,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r2.keySet.subsetOf(exact.keySet),
       s"radius 2 emitted pairs the exact scan lacks: ${r2.keySet -- exact.keySet}")
     r2.foreach { case (k, cos) => assert(cos == exact(k), s"cos mismatch at $k") }
+  }
+
+  test("argmax assignment ≡ the top-1 window it replaced (ties, NaN included)") {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(r.nextDouble() * 2 - 1)
+    }
+    val corpus = ((0 until 40).map(i => (i.toLong, vec(i))) :+
+      // a NaN vector: every centroid dot is NaN — both formulations
+      // must deterministically pick the lowest cid
+      (99L, Seq.fill(8)(Double.NaN))).toDF("vec_id", "emb")
+    // cids 3 and 7 share one embedding: an EXACT cosine tie — the
+    // (cos DESC, cid ASC) rule must pick cid 3 in both formulations
+    val cent = Seq((3L, vec(1003)), (7L, vec(1003)), (5L, vec(1005)), (9L, vec(1009)))
+      .toDF("cid", "cent_emb")
+    val viaAgg = Similarity.argmaxAssign(corpus, cent, "vec_id", "emb")
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
+    val viaWindow = corpus.crossJoin(cent)
+      .withColumn("cos_c", Similarity.fastDot(col("emb"), col("cent_emb")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.size == 41)
+    // the tie winner is the LOWEST cid of the duplicate pair
+    assert(!viaAgg.values.exists(_ == 7L))
+    assert(viaAgg(99L) == 3L) // NaN row: all-NaN cos → lowest cid
   }
 
   test("wrong-dim embeddings fail loudly on every banding entry point") {
