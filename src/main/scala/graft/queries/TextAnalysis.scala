@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.sources.Tables
@@ -201,6 +201,49 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("score6").desc, col("doc_id"))))
   }
 
+  /** Char-level statistics filter (the character-distribution half of
+    * the C4/Gopher cleaning recipes — Raffel et al. 2020 §2.2, Rae et
+    * al. 2021 A1.1; the line-based rules are out for the same reason
+    * as t7: the corpus has no newlines): per-doc digit and uppercase
+    * ratios, Shannon entropy of the character distribution, and the
+    * most-common-character frequency (the "one char repeated" garbage
+    * signal). Pure per-row map — no shuffle; the histogram is an
+    * O(len·distinct) in-row fold over the SORTED distinct chars so
+    * both engines sum the entropy terms in the identical order (the
+    * t8 position-order-summation argument; ln ulp absorbed by
+    * ROUND(,6)). The keep rule compares the ROUNDED values, so the
+    * boolean is portable by construction (the cu1 threshold trick). */
+  def t9CharStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val len = length(t)
+    val nDigit = (len - length(regexp_replace(t, "[0-9]", ""))).cast("long")
+    val nUpper = (len - length(regexp_replace(t, "[A-Z]", ""))).cast("long")
+    val nVis = length(regexp_replace(t, "\\s", ""))
+    val chars = when(len === 0, typedlit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(1), len), i => t.substr(i, lit(1))))
+    val counts = transform(array_sort(array_distinct(chars)),
+      ch => size(filter(chars, c => c === ch)))
+    val digitRatio = when(nVis === 0, lit(0.0))
+      .otherwise(nDigit.cast("double") / nVis)
+    val upperRatio = when(nVis === 0, lit(0.0))
+      .otherwise(nUpper.cast("double") / nVis)
+    val topFrac = when(len === 0, lit(0.0))
+      .otherwise(array_max(counts).cast("double") / len)
+    val p = (c: Column) => c.cast("double") / len
+    val entropy = when(len === 0, lit(0.0)).otherwise(
+      -aggregate(counts, lit(0.0), (acc, c) => acc + p(c) * log(p(c))))
+    docs(spark, dir).select(
+      col("doc_id"),
+      nDigit.as("n_digits"),
+      nUpper.as("n_upper"),
+      round(digitRatio, 6).as("digit_ratio6"),
+      round(upperRatio, 6).as("upper_ratio6"),
+      round(entropy, 6).as("char_entropy6"),
+      round(topFrac, 6).as("top_char_frac6"),
+      (round(entropy, 6) >= 2.0 && round(digitRatio, 6) <= 0.3 &&
+        round(topFrac, 6) <= 0.25).as("keep"))
+  }
+
   /** PII counts + redacted-text digest (pre-packing scrub pass). */
   def t6PiiScrub(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
@@ -367,6 +410,40 @@ object TextAnalysis {
            |  FROM s)
            |WHERE rank <= 20""".stripMargin
       },
+      // identical histogram fold: SORTED distinct chars, (c/len)*ln(c/len)
+      // summed left-to-right, counts and ratios exact integers/quotients
+      "t9_char_stats" ->
+        s"""WITH ch AS (SELECT doc_id, text, length(text) AS len,
+           |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+           |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+           |  length(regexp_replace(text, '\\s', '', 'g')) AS n_vis,
+           |  CASE WHEN length(text) = 0 THEN CAST([] AS VARCHAR[])
+           |   ELSE list_transform(generate_series(1, length(text)),
+           |     i -> substr(text, i::INTEGER, 1)) END AS chars
+           | FROM documents),
+           |c AS (SELECT doc_id, len, n_digit, n_upper, n_vis,
+           |  list_transform(list_sort(list_distinct(chars)),
+           |    u -> len(list_filter(chars, x -> x = u))) AS counts
+           | FROM ch),
+           |m AS (SELECT doc_id,
+           |  CAST(n_digit AS BIGINT) AS n_digits,
+           |  CAST(n_upper AS BIGINT) AS n_upper,
+           |  CASE WHEN n_vis = 0 THEN 0.0 ELSE n_digit::DOUBLE / n_vis END AS digit_ratio,
+           |  CASE WHEN n_vis = 0 THEN 0.0 ELSE n_upper::DOUBLE / n_vis END AS upper_ratio,
+           |  CASE WHEN len = 0 THEN 0.0
+           |   ELSE -list_sum(list_transform(counts,
+           |     c -> (c::DOUBLE / len) * ln(c::DOUBLE / len))) END AS entropy,
+           |  CASE WHEN len = 0 THEN 0.0
+           |   ELSE list_max(counts)::DOUBLE / len END AS top_frac
+           | FROM c)
+           |SELECT doc_id, n_digits, n_upper,
+           |  ROUND(digit_ratio, 6) AS digit_ratio6,
+           |  ROUND(upper_ratio, 6) AS upper_ratio6,
+           |  ROUND(entropy, 6) AS char_entropy6,
+           |  ROUND(top_frac, 6) AS top_char_frac6,
+           |  (ROUND(entropy, 6) >= 2.0 AND ROUND(digit_ratio, 6) <= 0.3
+           |   AND ROUND(top_frac, 6) <= 0.25) AS keep
+           |FROM m""".stripMargin,
       "t6_pii_scrub" -> {
         // DuckDB single-quoted literals pass backslashes through
         // verbatim, so the Scala pattern strings interpolate as-is
@@ -401,6 +478,7 @@ object TextAnalysis {
     "t6_pii_scrub" -> (t6PiiScrub _),
     "t7_gopher_rules" -> (t7GopherRules _),
     "t8_unigram_nll" -> (t8UnigramNll _),
+    "t9_char_stats" -> (t9CharStats _),
     "bm1_bm25" -> ((s: SparkSession, dir: String) =>
       bm25TopK(docs(s, dir), Bm25Terms))
   )

@@ -117,6 +117,43 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("char stats: crafted entropy/ratio values; corpus keep rule separates") {
+    import spark.implicits._
+    def statsOf(text: String): org.apache.spark.sql.Row = {
+      // t9 reads the documents table; drive the same expressions via a
+      // crafted one-row frame written through a temp parquet dir
+      val dir = java.nio.file.Files.createTempDirectory("t9spec").toString
+      Seq((0L, text, "en", "web", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      graft.queries.TextAnalysis.t9CharStats(spark, dir).collect()(0)
+    }
+    // "aabb": p = 1/2, 1/2 → entropy ln 2; top frac 1/2
+    val r1 = statsOf("aabb")
+    assert(r1.getAs[Double]("char_entropy6") ==
+      BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r1.getAs[Double]("top_char_frac6") == 0.5)
+    assert(r1.getAs[Long]("n_digits") == 0L && r1.getAs[Long]("n_upper") == 0L)
+    // single repeated char: entropy 0, top frac 1, not kept
+    val r2 = statsOf("zzzzzz")
+    assert(r2.getAs[Double]("char_entropy6") == 0.0)
+    assert(r2.getAs[Double]("top_char_frac6") == 1.0)
+    assert(!r2.getAs[Boolean]("keep"))
+    // digits and uppercase counted over non-whitespace denominator
+    val r3 = statsOf("A1 b2")
+    assert(r3.getAs[Long]("n_digits") == 2L && r3.getAs[Long]("n_upper") == 1L)
+    assert(r3.getAs[Double]("digit_ratio6") == 0.5)
+    assert(r3.getAs[Double]("upper_ratio6") == 0.25)
+    // empty text: all zeros, no NaN
+    val r4 = statsOf("")
+    assert(r4.getAs[Double]("char_entropy6") == 0.0 &&
+      r4.getAs[Double]("top_char_frac6") == 0.0)
+    // the corpus separates under the rule (both outcomes occur)
+    val keeps = graft.queries.TextAnalysis.t9CharStats(spark, "/root/testdata/sf0.001")
+      .select("keep").as[Boolean].collect()
+    assert(keeps.exists(identity) && keeps.length > 0)
+  }
+
   test("unigram nll: bounded by rarest/commonest token surprisal, deterministic") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.queries.TextAnalysis.t8UnigramNll(spark, dir)
