@@ -954,4 +954,76 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
   }
+
+  /**
+   * Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better" — the EXACTSUBSTR
+   * protocol): flag every token position covered by a length-`l`
+   * token window whose content occurs ≥ 2 times ANYWHERE in the
+   * corpus (including within the same document), merge the flagged
+   * windows into maximal intervals, and report per-document coverage:
+   * (doc_id, n_tokens, n_grams, dup_starts, covered_tokens, dup_frac,
+   * keep). `keep` compares the ROUNDED fraction against `maxDupFrac`
+   * so the boolean is portable by construction (the cu1 threshold
+   * trick). The paper's suffix-array machinery is a single-node
+   * construction; over a cluster the identical "any repeated length-l
+   * window" predicate is the corpus-wide occurrence count of each
+   * overlapping l-gram — pure relational algebra, no suffix sort.
+   *
+   * Scale posture: one pass emits (doc_id, pos, gram-hash) — longs
+   * only, the text never leaves the scan. The occurrence count is a
+   * hash aggregate on the gram hash with map-side partial combine
+   * (hot grams — boilerplate phrases — combine before the exchange);
+   * the dup-gram join back is an AQE-splittable shuffle hash join on
+   * the same key (the dup side carries one row per distinct duplicated
+   * gram). Interval merge is the standard running-max-end window
+   * PARTITIONED BY doc_id over dup starts only (bounded by dup
+   * occurrences, not corpus tokens). No global sort, no driver-side
+   * state; every exchange is keyed by a 32-bit hash or doc_id.
+   */
+  def substringDedup(
+      docs: DataFrame, l: Int = 5, maxDupFrac: Double = 0.5): DataFrame = {
+    require(l >= 1, s"window length must be >= 1: $l")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // barrier: the (pos, gram-hash) explode feeds both the corpus-wide
+    // count and the join back — without it the scan+hash runs twice
+    val base = materialize(parallelize(docs).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      call_function("graft_shingle_hashes", col("text"), lit(l)).as("gs")))
+    val occ = materialize(
+      base.select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g"))))
+    val dup = occ.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select(col("g"))
+    val dupStarts = occ.join(dup, Seq("g")).select(col("doc_id"), col("pos"))
+    // merged-interval coverage: a start opens a NEW interval iff it
+    // lies at/after the running max end of everything before it; all
+    // windows share length l, so a merged group covers exactly
+    // [min(pos), max(pos) + l)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(l))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val grouped = dupStarts
+      .withColumn("new_grp",
+        when(prevEnd.isNull || col("pos") >= prevEnd, 1L).otherwise(0L))
+      .withColumn("grp",
+        sum(col("new_grp")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val cov = grouped.groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("pos")) + lit(l) - min(col("pos"))).as("len"),
+        count(lit(1)).as("starts"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("len")).cast("long").as("covered_tokens"),
+        sum(col("starts")).cast("long").as("dup_starts"))
+    val frac = round(
+      when(col("n_tokens") === 0, lit(0.0))
+        .otherwise(col("covered_tokens").cast("double") / col("n_tokens")), 6)
+    base.select(col("doc_id"), col("n_tokens"),
+      size(col("gs")).cast("long").as("n_grams"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("dup_starts"), lit(0L)).as("dup_starts"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_frac", frac)
+      .withColumn("keep", col("dup_frac") <= lit(maxDupFrac))
+  }
 }

@@ -289,6 +289,65 @@ object CorpusQueries {
         sum(col("n_tok")).as("sum_tok"))
   }
 
+  /**
+   * DSIR data selection (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every document
+   * by how target-domain-like its hashed n-gram profile is, and keep
+   * the top-k. Features are word bigrams hashed into `buckets`
+   * buckets; the per-bucket importance log-ratio is
+   * `ln((ct+1)/(Tt+B)) − ln((cr+1)/(Tr+B))` (add-one smoothed target
+   * vs raw corpus rates), and a document's weight is the
+   * feature-count-weighted sum of log-ratios, reported per-feature
+   * (`w_mean`) so magnitudes are length-invariant. Documents with no
+   * bigram features (< 2 tokens) carry no evidence and are excluded.
+   * Output: the top `topK` rows (doc_id, n_feats, w_mean, rank),
+   * ranked by the ROUNDED weight with doc_id tie-break so both
+   * engines rank identically (the bm1 argument; ln ulp noise is
+   * absorbed by ROUND(,6), and the per-doc sum folds in bucket order
+   * on both sides — the t8 position-order-summation argument).
+   *
+   * Scale posture: one explode pass emits (doc_id, bucket) longs —
+   * text never leaves the scan — and feeds BOTH aggregates behind a
+   * barrier: per-doc bucket counts (partial-combined exchange keyed
+   * (doc_id, b)) and the corpus/target bucket table (B rows, one
+   * partial-combined exchange). The log-ratio table is B rows and
+   * BROADCAST back; the top-k is sort+limit — Catalyst plans
+   * TakeOrderedAndProject (per-partition heaps of k, never a global
+   * sort), and the only single-partition step ranks the k survivors.
+   */
+  def dsirSelect(
+      docsDf: DataFrame, isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 256, topK: Int = 100): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val feats = graft.Materialize.barrier(
+      graft.dedup.Dedup.parallelize(docsDf)
+        .select(col("doc_id"), isTarget.as("is_target"),
+          explode(call_function("graft_shingle_hashes", col("text"), lit(2))).as("g"))
+        .select(col("doc_id"), col("is_target"), (col("g") % buckets).as("b")))
+    val perDoc = feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+    val bucketCounts = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val totals = bucketCounts.agg(
+      sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val lam = broadcast(bucketCounts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + lit(1.0)) / (col("tt") + lit(buckets)).cast("double")) -
+          log((col("cr") + lit(1.0)) / (col("tr") + lit(buckets)).cast("double"))).as("lam")))
+    val weighted = perDoc.join(lam, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_feats"),
+        aggregate(
+          array_sort(collect_list(struct(col("b"), (col("n") * col("lam")).as("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("w"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("w") / col("n_feats"), 6).as("w_mean"))
+    weighted.orderBy(col("w_mean").desc, col("doc_id")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("w_mean").desc, col("doc_id"))))
+  }
+
   // --- DuckDB twins -----------------------------------------------------
 
   private[graft] def hash32Sql(e: String): String =
@@ -383,7 +442,39 @@ object CorpusQueries {
          |  FROM d)
          |SELECT bucket, COUNT(*) AS n_docs, MIN(n_tok) AS min_tok,
          |  MAX(n_tok) AS max_tok, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
-         |FROM t GROUP BY 1""".stripMargin
+         |FROM t GROUP BY 1""".stripMargin,
+    // ir1: identical bigram hash (raw text, no lower — the dedup-layer
+    // tokenization), identical add-one-smoothed log-ratio op sequence,
+    // per-doc terms summed in bucket order (the t8 argument), rank on
+    // the ROUNDED weight with doc_id tie-break (the bm1 argument)
+    "ir1_dsir_select" ->
+      s"""WITH b0 AS (SELECT doc_id, lang,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents),
+         |b1 AS (SELECT doc_id, lang = 'en' AS is_target,
+         |  CASE WHEN len(toks) - 1 <= 0 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(generate_series(1, len(toks) - 1),
+         |         i -> array_to_string(toks[i:i+1], ' ')) END AS sh
+         |  FROM b0),
+         |f AS (SELECT doc_id, is_target, ${hash32Sql("s")} % 256 AS b
+         |  FROM b1, LATERAL (SELECT unnest(sh) AS s)),
+         |pd AS (SELECT doc_id, b, count(*) AS n FROM f GROUP BY 1, 2),
+         |bc AS (SELECT b, count(*) AS cr,
+         |  CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM f GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+         |  CAST(sum(ct) AS BIGINT) AS tt FROM bc),
+         |lam AS (SELECT b, ln((ct + 1.0) / (tt + 256)) - ln((cr + 1.0) / (tr + 256))
+         |    AS lam FROM bc CROSS JOIN tot),
+         |wd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+         |  list_sum(list(n * lam ORDER BY b)) AS w
+         |  FROM pd JOIN lam USING (b) GROUP BY doc_id),
+         |s AS (SELECT doc_id, n_feats, ROUND(w / n_feats, 6) AS w_mean FROM wd)
+         |SELECT doc_id, n_feats, w_mean, rank FROM (
+         |  SELECT doc_id, n_feats, w_mean,
+         |    CAST(row_number() OVER (ORDER BY w_mean DESC, doc_id) AS INTEGER) AS rank
+         |  FROM s) WHERE rank <= 100""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -393,6 +484,10 @@ object CorpusQueries {
     "pk1_sequence_pack" -> ((s, dir) => pk1SequencePack(s, dir)),
     "mx1_domain_mixture" -> ((s, dir) => mx1DomainMixture(s, dir)),
     "mx2_budget_mixture" -> ((s, dir) => mx2BudgetMixture(s, dir)),
-    "pk2_length_buckets" -> ((s, dir) => pk2LengthBuckets(s, dir))
+    "pk2_length_buckets" -> ((s, dir) => pk2LengthBuckets(s, dir)),
+    // DSIR data selection (Xie et al. 2023): hashed-bigram importance
+    // weights, target = the English slice, top-100 by rounded weight
+    "ir1_dsir_select" -> ((s, dir) =>
+      dsirSelect(docs(s, dir), col("lang") === "en"))
   )
 }

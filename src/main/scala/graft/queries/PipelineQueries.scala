@@ -212,6 +212,13 @@ object PipelineQueries {
     // components ≈ J ≥ 0.5 screening.
     "x11_minhash_est" -> ((s, dir) =>
       Dedup.minhashEstimatePairs(docs(s, dir), minEq = 6)),
+    // Substring-level exact dedup (Lee et al. 2022 EXACTSUBSTR): any
+    // token position covered by a 5-token window repeated ANYWHERE in
+    // the corpus is flagged; merged-interval coverage per doc. The
+    // relational form of the paper's suffix-array predicate — see
+    // Dedup.substringDedup scaladoc for the plan shape.
+    "sb1_substring_dedup" -> ((s, dir) =>
+      Dedup.substringDedup(docs(s, dir), l = 5)),
     // End-to-end corpus CURATION — the composition a training-data
     // pipeline actually ships: drop exact duplicates (x1 protocol,
     // canonical = min doc_id), drop docs contaminated by the eval
@@ -501,6 +508,46 @@ object PipelineQueries {
          |  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, n_eq, ROUND(n_eq / 12.0, 6) AS est_jaccard
          |FROM ee WHERE n_eq >= 6""".stripMargin,
+    // sb1: identical gram-hash chain (md5-derived 32-bit per 5-gram),
+    // identical running-max-end interval merge; integer coverage, one
+    // final rounded division, keep compares the ROUNDED value
+    "sb1_substring_dedup" ->
+      s"""WITH b0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b1 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) - 4 <= 0 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(generate_series(1, len(toks) - 4),
+         |         i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+         |  FROM b0),
+         |hs AS (SELECT doc_id, n_tokens, CAST(len(sh) AS BIGINT) AS n_grams,
+         |  list_transform(sh, s -> CAST(list_sum(list_transform(generate_series(1, 8),
+         |    i -> (strpos('0123456789abcdef', substr(md5(s), i::INTEGER, 1)) - 1)
+         |         * power(16, 8 - i))) AS BIGINT)) AS gs FROM b1),
+         |occ AS (SELECT doc_id, i - 1 AS pos, gs[i::INTEGER] AS g
+         |  FROM hs, LATERAL (SELECT unnest(generate_series(1, len(gs))) AS i)),
+         |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+         |ds AS (SELECT doc_id, pos FROM occ JOIN dup USING (g)),
+         |m AS (SELECT doc_id, pos, max(pos + 5) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM ds),
+         |g2 AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL OR pos >= prev_end
+         |    THEN 1 ELSE 0 END AS new_grp FROM m),
+         |g3 AS (SELECT doc_id, pos, sum(new_grp) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM g2),
+         |iv AS (SELECT doc_id, grp, max(pos) + 5 - min(pos) AS len,
+         |    count(*) AS starts FROM g3 GROUP BY 1, 2),
+         |cov AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS covered_tokens,
+         |    CAST(sum(starts) AS BIGINT) AS dup_starts FROM iv GROUP BY 1)
+         |SELECT hs.doc_id, n_tokens, n_grams,
+         |  CAST(coalesce(dup_starts, 0) AS BIGINT) AS dup_starts,
+         |  CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+         |  ROUND(CASE WHEN n_tokens = 0 THEN 0.0
+         |        ELSE CAST(coalesce(covered_tokens, 0) AS DOUBLE) / n_tokens END,
+         |    6) AS dup_frac,
+         |  ROUND(CASE WHEN n_tokens = 0 THEN 0.0
+         |        ELSE CAST(coalesce(covered_tokens, 0) AS DOUBLE) / n_tokens END,
+         |    6) <= 0.5 AS keep
+         |FROM hs LEFT JOIN cov USING (doc_id)""".stripMargin,
     // cu1: x1's fingerprint chain over the curation slice, dc1's gram
     // chain against the eval slice, t2's rounded quality — composed
     "cu1_corpus_curation" ->

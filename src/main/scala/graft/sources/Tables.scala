@@ -2,18 +2,25 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * Driver-testdata table loader (TESTDATA.md).
  *
- * `events.ts` is physically Parquet TIMESTAMP(NANOS), which Spark 4 has
- * no native type for; sessions must set
- * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader converts
- * the long nanos to a microsecond timestamp by FLOOR division — the
- * same floor semantics DuckDB applies when casting TIMESTAMP_NS down,
- * so oracle comparisons line up even for pre-epoch (negative) nanos,
- * where `div` would truncate toward zero and land 1 µs late.
+ * `events.ts` has shipped in two physical forms across driver
+ * generations, and this loader normalizes BOTH to a microsecond
+ * session-zone timestamp so every downstream `unix_micros` kernel sees
+ * one type:
+ *  - Parquet TIMESTAMP(NANOS) (no native Spark 4 type): sessions must
+ *    set `spark.sql.legacy.parquet.nanosAsLong=true` and the long
+ *    nanos are floored to micros — the same floor semantics DuckDB
+ *    applies when casting TIMESTAMP_NS down, so oracle comparisons
+ *    line up even for pre-epoch (negative) nanos, where `div` would
+ *    truncate toward zero and land 1 µs late;
+ *  - Parquet timestamp[us] without timezone (isAdjustedToUTC=false),
+ *    which Spark 4 infers as TIMESTAMP_NTZ: cast to TIMESTAMP under
+ *    the required UTC session zone — the identical wall-clock instant
+ *    DuckDB's naive timestamps carry, so the oracle hashes match.
  * All other tables (timestamp[ms], primitives) read natively.
  */
 object Tables {
@@ -32,6 +39,8 @@ object Tables {
           // remainder, then the division is exact.
           df.withColumn(c,
             timestamp_micros(expr(s"(`$c` - ((`$c` % 1000) + 1000) % 1000) div 1000")))
+        case Some(f) if f.dataType == TimestampNTZType =>
+          df.withColumn(c, col(c).cast(TimestampType))
         case _ => df
       }
     }

@@ -297,4 +297,34 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == rows.sortBy { case (tok, n, _) => (-n, tok) })
     assert(rows.forall { case (_, n, nd) => nd <= n && nd >= 1 })
   }
+
+  test("dsirSelect: target-like docs score above raw-only docs, short docs excluded") {
+    val d = Seq(
+      (1L, "alpha beta alpha beta", true),   // target domain
+      (2L, "alpha beta alpha", true),        // target domain
+      (3L, "gamma delta gamma delta", false),
+      (4L, "gamma delta gamma", false),
+      (5L, "alpha beta", false),             // raw doc that LOOKS target-like
+      (6L, "gamma delta", false),            // raw doc that does not
+      (7L, "solo", false)                    // < 2 tokens: no features
+    ).toDF("doc_id", "text", "t")
+    val r = CorpusQueries.dsirSelect(d, col("t"), buckets = 64, topK = 10)
+      .select("doc_id", "n_feats", "w_mean", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // every doc with >= 1 bigram appears; the featureless doc does not
+    assert(r.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // ranks are 1..6 in (w_mean desc, doc_id) order
+    assert(r.map(_._4).sorted == Seq(1, 2, 3, 4, 5, 6))
+    val byId = r.map(x => x._1 -> x).toMap
+    // n_feats = bigram count
+    assert(byId(1L)._2 == 3L && byId(5L)._2 == 1L && byId(6L)._2 == 1L)
+    // the target slice is a SUBSET of the corpus, so add-one smoothing
+    // shifts every log-ratio by the prior ln((tr+B)/(tt+B)) — signs are
+    // relative, ordering is the contract: the alpha-beta doc outranks
+    // every gamma-delta doc even though it is itself a raw doc
+    assert(byId(5L)._3 > byId(6L)._3)
+    val worstAlpha = Seq(1L, 2L, 5L).map(byId(_)._4).max
+    val bestGamma = Seq(3L, 4L, 6L).map(byId(_)._4).min
+    assert(worstAlpha < bestGamma)
+  }
 }

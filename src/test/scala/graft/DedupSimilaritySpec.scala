@@ -516,4 +516,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     // empty doc: zero chunks, digest of the empty document
     assert(r(4L) == ((0L, 0L, 0L, md5s(""))))
   }
+
+  test("substringDedup: repeated 5-gram coverage, interval merge, edge docs") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),        // shares only pos-0 gram with doc 2
+      (2L, "w1 w2 w3 w4 w5 x1 x2 x3"),
+      (3L, "a b c d e a b c d e"),             // internal repeat: starts 0 and 5, touching
+      (4L, ""),                                // empty
+      (5L, "u1 u2 u3"),                        // too short for any gram
+      (6L, "p q r s t u"),                     // exact dup pair: starts 0,1 OVERLAP → merge
+      (7L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDedup(d, l = 5, maxDupFrac = 0.5).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5), x.getBoolean(6)))).toMap
+    // docs 1/2: one shared gram at pos 0 → 5 of 8 tokens covered
+    assert(r(1L) == ((8L, 4L, 1L, 5L, 0.625, false)))
+    assert(r(2L) == ((8L, 4L, 1L, 5L, 0.625, false)))
+    // doc 3: same gram at starts 0 and 5; [0,5) and [5,10) touch but
+    // don't overlap → two intervals, full coverage either way
+    assert(r(3L) == ((10L, 6L, 2L, 10L, 1.0, false)))
+    // empty / too-short docs: nothing to flag, kept
+    assert(r(4L) == ((0L, 0L, 0L, 0L, 0.0, true)))
+    assert(r(5L) == ((3L, 0L, 0L, 0L, 0.0, true)))
+    // docs 6/7: both grams duplicated, starts 0,1 overlap → ONE merged
+    // interval of length 6, not 5+5
+    assert(r(6L) == ((6L, 2L, 2L, 6L, 1.0, false)))
+    assert(r(7L) == ((6L, 2L, 2L, 6L, 1.0, false)))
+  }
 }
