@@ -314,10 +314,19 @@ object CorpusQueries {
    * BROADCAST back; the top-k is sort+limit — Catalyst plans
    * TakeOrderedAndProject (per-partition heaps of k, never a global
    * sort), and the only single-partition step ranks the k survivors.
+   *
+   * `orderedFold`: the per-doc weight sum folds in bucket order via a
+   * sorted collect_list so the DuckDB twin reproduces the float sum
+   * bit-for-bit — that determinism costs an ObjectHashAggregate over
+   * per-doc struct lists (measured 1.5× the whole-operator wall at 1M
+   * docs; SCALE_NOTES round-8 addendum 3). `orderedFold = false` is
+   * the production shape: a plain partial-aggregated `sum(n·λ)` —
+   * identical modulo float association, one HashAggregate, no lists.
    */
   def dsirSelect(
       docsDf: DataFrame, isTarget: org.apache.spark.sql.Column,
-      buckets: Int = 256, topK: Int = 100): DataFrame = {
+      buckets: Int = 256, topK: Int = 100,
+      orderedFold: Boolean = true): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
     val feats = graft.Materialize.barrier(
@@ -335,12 +344,15 @@ object CorpusQueries {
       .select(col("b"),
         (log((col("ct") + lit(1.0)) / (col("tt") + lit(buckets)).cast("double")) -
           log((col("cr") + lit(1.0)) / (col("tr") + lit(buckets)).cast("double"))).as("lam")))
-    val weighted = perDoc.join(lam, Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n")).cast("long").as("n_feats"),
+    val wAgg =
+      if (orderedFold)
         aggregate(
           array_sort(collect_list(struct(col("b"), (col("n") * col("lam")).as("term")))),
-          lit(0.0), (acc, x) => acc + x.getField("term")).as("w"))
+          lit(0.0), (acc, x) => acc + x.getField("term"))
+      else sum(col("n") * col("lam"))
+    val weighted = perDoc.join(lam, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_feats"), wAgg.as("w"))
       .select(col("doc_id"), col("n_feats"),
         round(col("w") / col("n_feats"), 6).as("w_mean"))
     weighted.orderBy(col("w_mean").desc, col("doc_id")).limit(topK)

@@ -145,6 +145,16 @@ object PipelineQueries {
     // per-vector int8 absmax quantization audit — stateless map over
     // the scan, exact-int + order-independent-max outputs only
     "e1_quantize" -> ((s, dir) => Similarity.quantizeInt8Stats(embs(s, dir))),
+    // PQ encode + ADC (Jégou et al. 2011): codebook = the 16 lowest-id
+    // vectors (per-subspace slices), query = vec 17; codes are 0-based
+    // positions in the vec_id-sorted seed list. Codebook and query
+    // distance table are O(m·k) plan literals, so the encode is a pure
+    // per-row projection — zero exchanges (Similarity.pqEncodeAdc).
+    "e2_pq_adc" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqEncodeAdc(
+        e, e.where(col("vec_id") < 16), e.where(col("vec_id") === 17))
+    }),
     "s1_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 5)
@@ -758,6 +768,37 @@ object PipelineQueries {
          |WHERE cos >= 0.45""".stripMargin,
     // identical IEEE op sequence per element; only exact ints and
     // order-independent maxes cross the engines
+    // e2: same per-subspace squared-L2 fold in index order, ROUND(,6)
+    // before the argmin (row_number ORDER BY d6, code = first-match /
+    // lowest-code tie rule), query table from the same d CTE, ADC
+    // summed in subspace order
+    "e2_pq_adc" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |cb AS (SELECT sub,
+         |  CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INTEGER) AS code,
+         |  emb AS cemb FROM v CROSS JOIN ss WHERE vec_id < 16),
+         |d AS (SELECT va.vec_id, cb.sub, cb.code,
+         |  ROUND(list_sum(list_transform(generate_series(1, 16),
+         |    i -> (va.emb[(cb.sub * 16 + i)::INTEGER] - cb.cemb[(cb.sub * 16 + i)::INTEGER])
+         |       * (va.emb[(cb.sub * 16 + i)::INTEGER] - cb.cemb[(cb.sub * 16 + i)::INTEGER]))),
+         |    6) AS d6
+         |  FROM v va CROSS JOIN cb),
+         |best AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d6, code) AS rn FROM d)
+         |  WHERE rn = 1),
+         |qd AS (SELECT sub, code, d6 AS qd6 FROM d WHERE vec_id = 17),
+         |adc AS (SELECT b.vec_id, ROUND(list_sum(list(qd6 ORDER BY b.sub)), 6) AS adc6
+         |  FROM best b JOIN qd USING (sub, code) GROUP BY b.vec_id)
+         |SELECT best.vec_id,
+         |  CAST(max(CASE WHEN sub = 0 THEN code END) AS INTEGER) AS code0,
+         |  CAST(max(CASE WHEN sub = 1 THEN code END) AS INTEGER) AS code1,
+         |  CAST(max(CASE WHEN sub = 2 THEN code END) AS INTEGER) AS code2,
+         |  CAST(max(CASE WHEN sub = 3 THEN code END) AS INTEGER) AS code3,
+         |  max(adc.adc6) AS adc6
+         |FROM best JOIN adc USING (vec_id) GROUP BY best.vec_id""".stripMargin,
     "e1_quantize" ->
       s"""WITH b AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs,

@@ -685,4 +685,98 @@ object Similarity {
       .distinct()
     verifyPairs(v, cands, threshold)
   }
+
+  /**
+   * Product quantization encode + asymmetric-distance scoring (Jégou
+   * et al. 2011, "Product Quantization for Nearest Neighbor Search"):
+   * each `m·dsub`-dim vector splits into `m` subvectors; each
+   * subvector is assigned the code of its nearest codebook entry
+   * (squared L2 rounded to 6 decimals, ties to the LOWEST code), and
+   * the vector's distance to the query is the ADC sum — the query's
+   * per-(subspace, code) distance table is computed once and the
+   * per-vector score is `m` table lookups, never a full-dimension
+   * float op. Returns one row per corpus vector:
+   * (vec_id, code0..code{m-1}, adc6). Codes are 0-based positions in
+   * the vec_id-sorted seed list, per subspace. Codebook TRAINING is
+   * [[kmeansCentroids]]'s job (per-subspace slices); this operator
+   * takes the trained/seed codebook as data.
+   *
+   * Scale posture: the codebook (m·k subvectors) and the query's
+   * distance table are collected driver-side — O(m·k), the same
+   * bounded-state argument as [[kmeansCentroids]]'s centroids — and
+   * baked into the plan as LITERALS (the broadcast-variable analogue
+   * for expression trees). Encoding is then a PURE PER-ROW PROJECTION
+   * over the scan: zero joins, zero exchanges, zero explodes;
+   * distances expand to codegen-friendly add/multiply chains (no
+   * interpreted higher-order functions in the hot path), argmin is
+   * `array_position(dists, array_min(dists))` (first match = lowest
+   * code), and ADC indexes the literal table by the chosen code. A
+   * top-k over ADC composes as sort+limit (TakeOrderedAndProject)
+   * downstream.
+   *
+   * Float discipline: subspace distances fold left-to-right over the
+   * dsub positions in index order on BOTH engines; the query table is
+   * computed driver-side with the IDENTICAL op sequence and
+   * `BigDecimal.HALF_UP` rounding (the same Java API Spark's `round`
+   * calls), so corpus-side and query-side distances share one
+   * convention; argmin and ADC read only ROUNDED values.
+   */
+  def pqEncodeAdc(
+      corpus: DataFrame, seeds: DataFrame, query: DataFrame,
+      m: Int = 4, dsub: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = m * dsub
+    def collectVecs(df: DataFrame, what: String): Array[(Long, Array[Double])] = {
+      val rows = df.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      rows.foreach { case (id, e) =>
+        require(e.length == dim,
+          s"pq $what: vec $id has ${e.length} dims, expected $dim") }
+      rows
+    }
+    val cb = collectVecs(seeds, "codebook")     // code order = vec_id order
+    require(cb.nonEmpty, "pq: empty codebook")
+    val q = collectVecs(query, "query")
+    require(q.length == 1, s"pq: query must be exactly one vector, got ${q.length}")
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // query distance table, same left-to-right fold the column
+    // expression below uses
+    val qd: Array[Array[Double]] = Array.tabulate(m) { j =>
+      cb.map { case (_, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = q(0)._2(j * dsub + i) - c(j * dsub + i)
+          acc += d * d
+          i += 1
+        }
+        round6(acc)
+      }
+    }
+    val emb = col("embedding").cast("array<double>")
+    def subDist(j: Int, c: Array[Double]): Column = {
+      var e: Column = lit(0.0)
+      (0 until dsub).foreach { i =>
+        val d = element_at(emb, j * dsub + i + 1) - lit(c(j * dsub + i))
+        e = e + d * d
+      }
+      round(e, 6)
+    }
+    val codeCols = (0 until m).map { j =>
+      val dists = array(cb.map { case (_, c) => subDist(j, c) }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code$j")
+    }
+    val guard = when(size(emb) === dim, col("vec_id"))
+      .otherwise(raise_error(concat(
+        lit(s"pq corpus: expected $dim dims, got "), size(emb).cast("string"))))
+    val coded = parallelize(corpus)
+      .select(guard.as("vec_id") +: codeCols: _*)
+    val adc = (0 until m).map { j =>
+      element_at(array(qd(j).map(lit): _*), col(s"code$j") + 1)
+    }.reduceLeft(_ + _)
+    coded.withColumn("adc6", round(adc, 6))
+  }
 }

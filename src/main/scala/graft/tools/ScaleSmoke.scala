@@ -343,6 +343,56 @@ object ScaleSmoke {
         f"vs N(N-1)/2=${n.toDouble * (n - 1) / 2}%.3e (k=${ev.getLong(2)}, max|c|=${ev.getLong(1)})")
     }
 
+    // --- round-8 additions: substring-level exact dedup (sb1) and
+    // DSIR selection (ir1) over the 1M-doc corpus --------------------
+    if (want("prep3")) {
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      timed("sb1_substring_1m", runs = 2) {
+        val r = graft.dedup.Dedup.substringDedup(docs, l = 5)
+          .agg(sum(col("dup_starts")), sum(col("covered_tokens")),
+            count(when(!col("keep"), 1)), count(lit(1))).head
+        println(s"SCALE   sb1 dup_starts=${r.getLong(0)} " +
+          s"covered=${r.getLong(1)} dropped=${r.getLong(2)}")
+        r.getLong(3)
+      }
+      // planted HOT gram: 100k identical 10-token docs → every 5-gram
+      // of that text carries 100k+ occurrences. The occurrence count
+      // partial-combines map-side and the dup-gram join is N:1 (each
+      // occurrence row meets exactly one dup row) — structurally
+      // skew-proof; the evidence is the bounded maxTask figure and
+      // the exact full-coverage assertion.
+      val hot = spark.range(100000L)
+        .select((col("id") + 10000000L).as("doc_id"),
+          lit("boiler plate text repeated verbatim in every single doc here").as("text"))
+      val withHot = docs.select(col("doc_id"), col("text")).unionByName(hot)
+      timed("sb1_hot_gram_100k", runs = 2) {
+        val r = graft.dedup.Dedup.substringDedup(withHot, l = 5)
+          .where(col("doc_id") >= 10000000L)
+          .agg(sum(col("covered_tokens")), count(lit(1))).head
+        require(r.getLong(0) == 1000000L,
+          s"hot gram: expected full coverage 1000000, got ${r.getLong(0)}")
+        r.getLong(1)
+      }
+      // synthetic corpus is single-lang, so the smoke's target slice
+      // is a 10% id-hash cut — the smoke measures the plan shape and
+      // throughput, not the semantics (the gate key covers those)
+      timed("ir1_dsir_1m", runs = 2) {
+        val r = graft.queries.CorpusQueries.dsirSelect(
+          docs, col("doc_id") % 10 === 0)
+          .agg(sum(col("w_mean")), count(lit(1))).head
+        r.getLong(1)
+      }
+      // production fast path: plain partial-aggregated sum(n·λ) — the
+      // ordered fold above is the oracle-determinism tax, not the
+      // operator's inherent cost
+      timed("ir1_dsir_1m_fastsum", runs = 2) {
+        val r = graft.queries.CorpusQueries.dsirSelect(
+          docs, col("doc_id") % 10 === 0, orderedFold = false)
+          .agg(sum(col("w_mean")), count(lit(1))).head
+        r.getLong(1)
+      }
+    }
+
     // --- 200k×64 embedding near-dup: exact blocked triangle (x5
     // shape, 2e10 dot products — inherent to exact all-pairs) vs
     // sign-LSH (x6 shape) at a realistic 0.9 threshold where LSH is

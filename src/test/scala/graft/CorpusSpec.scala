@@ -327,4 +327,15 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     val bestGamma = Seq(3L, 4L, 6L).map(byId(_)._4).min
     assert(worstAlpha < bestGamma)
   }
+
+  test("dsirSelect: production fast-sum path matches the ordered fold after rounding") {
+    val sf = "/root/testdata/sf0.001"
+    def run(ordered: Boolean) =
+      CorpusQueries.dsirSelect(
+        graft.sources.Tables.read(spark, sf, "documents"),
+        col("lang") === "en", orderedFold = ordered)
+        .select("doc_id", "n_feats", "w_mean", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._1)
+    assert(run(true) == run(false))
+  }
 }

@@ -517,6 +517,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r(4L) == ((0L, 0L, 0L, md5s(""))))
   }
 
+  test("pqEncodeAdc: known codes, tie to lowest code, ADC table lookup, dim guard") {
+    def vec(id: Long, v: Array[Float]) = (id, v)
+    val zeros = Array.fill(64)(0.0f)
+    val ones = Array.fill(64)(1.0f)
+    // sub 0 near seed 1 (=ones), subs 1-3 near seed 0 (=zeros)
+    val mixed = Array.tabulate(64)(i => if (i < 16) 0.9f else 0.1f)
+    val half = Array.fill(64)(0.5f)
+    val corpus = Seq(vec(10L, mixed), vec(11L, half))
+      .toDF("vec_id", "embedding")
+    val seeds = Seq(vec(0L, zeros), vec(1L, ones)).toDF("vec_id", "embedding")
+    val query = Seq(vec(99L, half)).toDF("vec_id", "embedding")
+    val r = graft.similarity.Similarity.pqEncodeAdc(corpus, seeds, query)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4)), x.getDouble(5))).toMap
+    // mixed: sub 0 distance 16·0.01 to ones vs 16·0.81 to zeros → code 1
+    assert(r(10L)._1 == ((1, 0, 0, 0)))
+    // half is EQUIDISTANT in every subspace → ties to the lowest code
+    assert(r(11L)._1 == ((0, 0, 0, 0)))
+    // query = half: qd = 16·0.25 = 4.0 per subspace either code → adc 16
+    assert(r(10L)._2 == 16.0 && r(11L)._2 == 16.0)
+    val bad = Seq((1L, Array.fill(63)(0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.similarity.Similarity.pqEncodeAdc(bad, seeds, query).collect()
+    }
+    assert(e.getMessage.contains("63") || e.getMessage.contains("dims"))
+  }
+
   test("substringDedup: repeated 5-gram coverage, interval merge, edge docs") {
     val d = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),        // shares only pos-0 gram with doc 2
