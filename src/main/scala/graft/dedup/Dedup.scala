@@ -970,6 +970,16 @@ object Dedup {
    * window" predicate is the corpus-wide occurrence count of each
    * overlapping l-gram — pure relational algebra, no suffix sort.
    *
+   * Gram identity is the 63-BIT packed hash (`graft_shingle_hashes63`
+   * — two md5 words, max exactly 2^63−1, portable signed-BIGINT
+   * arithmetic on both engines): unlike the banding operators, where
+   * a hash collision only costs verify work, here `occ ≥ 2` IS the
+   * semantics, and a 32-bit key saturates by pigeonhole past ~10^9
+   * distinct grams (a Lee-et-al-sized corpus carries 10^10–10^11 —
+   * every 32-bit value would be occupied many times over and the
+   * operator would flag the whole corpus). At 10^11 grams the 63-bit
+   * birthday bound is ~500 colliding pairs corpus-wide — negligible.
+   *
    * Scale posture: one pass emits (doc_id, pos, gram-hash) — longs
    * only, the text never leaves the scan. The occurrence count is a
    * hash aggregate on the gram hash with map-side partial combine
@@ -990,7 +1000,7 @@ object Dedup {
     val base = materialize(parallelize(docs).select(
       col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-      call_function("graft_shingle_hashes", col("text"), lit(l)).as("gs")))
+      call_function("graft_shingle_hashes63", col("text"), lit(l)).as("gs")))
     val occ = materialize(
       base.select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g"))))
     val dup = occ.groupBy(col("g")).agg(count(lit(1)).as("occ"))

@@ -184,6 +184,48 @@ object ShingleHashKernel {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** 63-bit packed hash: md5 bytes 4-7 (mod 2^31) in the high word,
+    * bytes 0-3 in the low — `(w1 % 2^31)·2^32 + w0`, max exactly
+    * 2^63−1, so the value and all derived arithmetic stay inside
+    * signed BIGINT on both engines (the split-word rule SimHash64
+    * uses). At 10^11 distinct grams the birthday bound gives ~500
+    * colliding pairs corpus-wide — negligible — where a 32-bit key
+    * saturates outright (every value occupied many times over). */
+  def hash63(s: String): Long = {
+    val d = MD5.get.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val w0 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val w1 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    (w1 % 2147483648L) * 4294967296L + w0
+  }
+
+  /** One-pass tokenize → word n-grams → 63-bit packed hash per
+    * shingle ([[hash63]]) — the corpus-scale variant of
+    * [[wordShingleHashes]] for operators whose SEMANTICS depend on
+    * hash-equality being gram-equality (substring dedup's `occ ≥ 2`). */
+  def wordShingleHashes63(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toString
+    var st = 0; var en = s.length
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    if (en == st) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val toks = WS.split(s.substring(st, en), -1)
+    val count = toks.length - (n - 1)
+    if (count <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      out(i) = hash63(sb.toString)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** One-pass tokenize → word n-grams → 32-bit hash per shingle. */
   def wordShingleHashes(input: UTF8String, n: Int): ArrayData = {
     val s = input.toString
@@ -344,6 +386,35 @@ case class WordShingleHashes(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * 63-bit variant: `graft_shingle_hashes63(text, n)` — identical
+ * tokenization and shingling, [[ShingleHashKernel.hash63]] packed
+ * keys. Use where hash-equality must proxy gram-equality at corpus
+ * scale (32-bit keys saturate by pigeonhole past ~10^9 distinct
+ * grams); the banding/minhash operators keep the 32-bit family (their
+ * collisions only cost verify work, never correctness).
+ */
+case class WordShingleHashes63(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes63"
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  override protected def nullSafeEval(text: Any, nAny: Any): Any =
+    ShingleHashKernel.wordShingleHashes63(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) => {
+      s"${ev.value} = graft.functions.ShingleHashKernel.wordShingleHashes63($t, $n);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingleHashes63 =
     copy(left = newLeft, right = newRight)
 }
 
@@ -651,6 +722,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_shingle_hashes"),
       (children: Seq[Expression]) => WordShingleHashes(children.head, children(1))),
+    (FunctionIdentifier("graft_shingle_hashes63"),
+      new ExpressionInfo(classOf[WordShingleHashes63].getName, "graft_shingle_hashes63"),
+      (children: Seq[Expression]) => WordShingleHashes63(children.head, children(1))),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinHashSig(children.head, children(1))),

@@ -362,10 +362,21 @@ object CorpusQueries {
 
   // --- DuckDB twins -----------------------------------------------------
 
-  private[graft] def hash32Sql(e: String): String =
+  /** Decimal value of md5 hex chars [off+1, off+8] — the shared twin
+    * of the kernel's 32-bit md5 words (off=0: bytes 0-3; off=8: bytes
+    * 4-7). Each digit product stays ≤ 15·16^7 < 2^32, exact in the
+    * double list_sum. */
+  private[graft] def hexFoldSql(e: String, off: Int = 0): String =
     s"""CAST(list_sum(list_transform(generate_series(1, 8),
-       |  i -> (strpos('0123456789abcdef', substr(md5($e), i::INTEGER, 1)) - 1)
+       |  i -> (strpos('0123456789abcdef', substr(md5($e), (i + $off)::INTEGER, 1)) - 1)
        |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
+
+  private[graft] def hash32Sql(e: String): String = hexFoldSql(e)
+
+  /** Twin of `ShingleHashKernel.hash63`: `(w1 % 2^31)·2^32 + w0`, all
+    * signed-BIGINT arithmetic, max exactly 2^63−1. */
+  private[graft] def hash63Sql(e: String): String =
+    s"((${hexFoldSql(e, 8)} % 2147483648) * 4294967296 + ${hexFoldSql(e, 0)})"
 
   private[graft] val idHashSql: String = hash32Sql("CAST(doc_id AS VARCHAR)")
 

@@ -518,9 +518,11 @@ object PipelineQueries {
          |  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, n_eq, ROUND(n_eq / 12.0, 6) AS est_jaccard
          |FROM ee WHERE n_eq >= 6""".stripMargin,
-    // sb1: identical gram-hash chain (md5-derived 32-bit per 5-gram),
-    // identical running-max-end interval merge; integer coverage, one
-    // final rounded division, keep compares the ROUNDED value
+    // sb1: identical gram-hash chain (the kernel's 63-bit packed md5
+    // words via CorpusQueries.hash63Sql — hash-equality must proxy
+    // gram-equality here), identical running-max-end interval merge;
+    // integer coverage, one final rounded division, keep compares the
+    // ROUNDED value
     "sb1_substring_dedup" ->
       s"""WITH b0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |b1 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -529,9 +531,8 @@ object PipelineQueries {
          |         i -> array_to_string(toks[i:i+4], ' ')) END AS sh
          |  FROM b0),
          |hs AS (SELECT doc_id, n_tokens, CAST(len(sh) AS BIGINT) AS n_grams,
-         |  list_transform(sh, s -> CAST(list_sum(list_transform(generate_series(1, 8),
-         |    i -> (strpos('0123456789abcdef', substr(md5(s), i::INTEGER, 1)) - 1)
-         |         * power(16, 8 - i))) AS BIGINT)) AS gs FROM b1),
+         |  list_transform(sh, s -> ${graft.queries.CorpusQueries.hash63Sql("s")}) AS gs
+         |  FROM b1),
          |occ AS (SELECT doc_id, i - 1 AS pos, gs[i::INTEGER] AS g
          |  FROM hs, LATERAL (SELECT unnest(generate_series(1, len(gs))) AS i)),
          |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),

@@ -706,7 +706,9 @@ object Similarity {
    * bounded-state argument as [[kmeansCentroids]]'s centroids — and
    * baked into the plan as LITERALS (the broadcast-variable analogue
    * for expression trees). Encoding is then a PURE PER-ROW PROJECTION
-   * over the scan: zero joins, zero exchanges, zero explodes;
+   * over the scan: zero joins, zero explodes, and no exchange beyond
+   * the conditional under-partitioned-input spread (a well-partitioned
+   * corpus keeps its layout);
    * distances expand to codegen-friendly add/multiply chains (no
    * interpreted higher-order functions in the hot path), argmin is
    * `array_position(dists, array_min(dists))` (first match = lowest
@@ -772,7 +774,10 @@ object Similarity {
     val guard = when(size(emb) === dim, col("vec_id"))
       .otherwise(raise_error(concat(
         lit(s"pq corpus: expected $dim dims, got "), size(emb).cast("string"))))
-    val coded = parallelize(corpus)
+    // conditional spread: only repartitions when the scan arrives
+    // under-partitioned (local small files) — a well-partitioned
+    // corpus keeps its layout and the plan stays exchange-free
+    val coded = graft.dedup.Dedup.parallelize(corpus)
       .select(guard.as("vec_id") +: codeCols: _*)
     val adc = (0 until m).map { j =>
       element_at(array(qd(j).map(lit): _*), col(s"code$j") + 1)
