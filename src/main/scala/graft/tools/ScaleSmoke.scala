@@ -391,6 +391,16 @@ object ScaleSmoke {
           .agg(sum(col("w_mean")), count(lit(1))).head
         r.getLong(1)
       }
+      // e2 PQ encode over the 200k embeddings: a pure projection, so
+      // the interesting numbers are rows/s and the (fixed) plan-build
+      // + codegen latency of the literal distance chains
+      val embs = spark.read.parquet(s"$outDir/embeddings.parquet")
+      timed("e2_pq_encode_200k", runs = 2) {
+        val r = graft.similarity.Similarity.pqEncodeAdc(
+          embs, embs.where(col("vec_id") < 16), embs.where(col("vec_id") === 17))
+          .agg(sum(col("adc6")), count(lit(1))).head
+        r.getLong(1)
+      }
     }
 
     // --- 200k×64 embedding near-dup: exact blocked triangle (x5
