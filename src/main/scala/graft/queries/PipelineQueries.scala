@@ -155,6 +155,14 @@ object PipelineQueries {
       Similarity.pqEncodeAdc(
         e, e.where(col("vec_id") < 16), e.where(col("vec_id") === 17))
     }),
+    // PQ retrieval over e2's codes: top-20 by asymmetric distance,
+    // sort+limit → TakeOrderedAndProject, rank window over the 20
+    // survivors (the bm1 tail; FAISS's ADC probe minus cell routing).
+    "s4_pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqTopK(
+        e, e.where(col("vec_id") < 16), e.where(col("vec_id") === 17))
+    }),
     "s1_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 5)
@@ -322,6 +330,39 @@ object PipelineQueries {
     s"""CASE WHEN len($toksSql) - 2 <= 0 THEN CAST([] AS VARCHAR[])
        | ELSE list_transform(generate_series(1, len($toksSql) - 2),
        |   i -> array_to_string(($toksSql)[i:i+2], ' ')) END""".stripMargin
+
+  /** e2's full PQ chain (codebook = vec_id < 16 sliced per subspace,
+    * query = vec 17): per-subspace squared-L2 folds in index order,
+    * ROUND(,6) before the argmin (row_number ORDER BY d6, code =
+    * first-match / lowest-code tie rule), ADC summed in subspace
+    * order. Shared by the e2 key and s4's ranked wrapper. */
+  private val pqAdcSql =
+    s"""WITH v AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+       |cb AS (SELECT sub,
+       |  CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INTEGER) AS code,
+       |  emb AS cemb FROM v CROSS JOIN ss WHERE vec_id < 16),
+       |d AS (SELECT va.vec_id, cb.sub, cb.code,
+       |  ROUND(list_sum(list_transform(generate_series(1, 16),
+       |    i -> (va.emb[(cb.sub * 16 + i)::INTEGER] - cb.cemb[(cb.sub * 16 + i)::INTEGER])
+       |       * (va.emb[(cb.sub * 16 + i)::INTEGER] - cb.cemb[(cb.sub * 16 + i)::INTEGER]))),
+       |    6) AS d6
+       |  FROM v va CROSS JOIN cb),
+       |best AS (SELECT vec_id, sub, code FROM (
+       |  SELECT vec_id, sub, code,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d6, code) AS rn FROM d)
+       |  WHERE rn = 1),
+       |qd AS (SELECT sub, code, d6 AS qd6 FROM d WHERE vec_id = 17),
+       |adc AS (SELECT b.vec_id, ROUND(list_sum(list(qd6 ORDER BY b.sub)), 6) AS adc6
+       |  FROM best b JOIN qd USING (sub, code) GROUP BY b.vec_id)
+       |SELECT best.vec_id,
+       |  CAST(max(CASE WHEN sub = 0 THEN code END) AS INTEGER) AS code0,
+       |  CAST(max(CASE WHEN sub = 1 THEN code END) AS INTEGER) AS code1,
+       |  CAST(max(CASE WHEN sub = 2 THEN code END) AS INTEGER) AS code2,
+       |  CAST(max(CASE WHEN sub = 3 THEN code END) AS INTEGER) AS code3,
+       |  max(adc.adc6) AS adc6
+       |FROM best JOIN adc USING (vec_id) GROUP BY best.vec_id""".stripMargin
 
   /** Unit-normalized embedding CTE — the twin of
     * Similarity.normalized: norm materialized, then element divide;
@@ -773,33 +814,14 @@ object PipelineQueries {
     // before the argmin (row_number ORDER BY d6, code = first-match /
     // lowest-code tie rule), query table from the same d CTE, ADC
     // summed in subspace order
-    "e2_pq_adc" ->
-      s"""WITH v AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
-         |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
-         |cb AS (SELECT sub,
-         |  CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INTEGER) AS code,
-         |  emb AS cemb FROM v CROSS JOIN ss WHERE vec_id < 16),
-         |d AS (SELECT va.vec_id, cb.sub, cb.code,
-         |  ROUND(list_sum(list_transform(generate_series(1, 16),
-         |    i -> (va.emb[(cb.sub * 16 + i)::INTEGER] - cb.cemb[(cb.sub * 16 + i)::INTEGER])
-         |       * (va.emb[(cb.sub * 16 + i)::INTEGER] - cb.cemb[(cb.sub * 16 + i)::INTEGER]))),
-         |    6) AS d6
-         |  FROM v va CROSS JOIN cb),
-         |best AS (SELECT vec_id, sub, code FROM (
-         |  SELECT vec_id, sub, code,
-         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d6, code) AS rn FROM d)
-         |  WHERE rn = 1),
-         |qd AS (SELECT sub, code, d6 AS qd6 FROM d WHERE vec_id = 17),
-         |adc AS (SELECT b.vec_id, ROUND(list_sum(list(qd6 ORDER BY b.sub)), 6) AS adc6
-         |  FROM best b JOIN qd USING (sub, code) GROUP BY b.vec_id)
-         |SELECT best.vec_id,
-         |  CAST(max(CASE WHEN sub = 0 THEN code END) AS INTEGER) AS code0,
-         |  CAST(max(CASE WHEN sub = 1 THEN code END) AS INTEGER) AS code1,
-         |  CAST(max(CASE WHEN sub = 2 THEN code END) AS INTEGER) AS code2,
-         |  CAST(max(CASE WHEN sub = 3 THEN code END) AS INTEGER) AS code3,
-         |  max(adc.adc6) AS adc6
-         |FROM best JOIN adc USING (vec_id) GROUP BY best.vec_id""".stripMargin,
+    "e2_pq_adc" -> pqAdcSql,
+    // s4: e2's chain ranked by (adc6 ASC, vec_id) — the same rounded-
+    // value rank-determinism argument as bm1/ir1
+    "s4_pq_topk" ->
+      s"""WITH e2 AS ($pqAdcSql)
+         |SELECT vec_id, code0, code1, code2, code3, adc6, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY adc6, vec_id) AS INTEGER) AS rank
+         |  FROM e2) WHERE rank <= 20""".stripMargin,
     "e1_quantize" ->
       s"""WITH b AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs,

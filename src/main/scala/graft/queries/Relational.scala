@@ -49,6 +49,43 @@ object Relational {
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
+  /** TPC-H Q6-shaped forecasting revenue: the canonical
+    * pushdown-showcase query — a conjunctive range filter and a
+    * two-column projection that must BOTH reach the parquet scan
+    * (PushedFilters on shipdate/discount/quantity, ReadSchema of just
+    * extendedprice+discount), then one partial-aggregated scalar. No
+    * join, no window; at 100 TB this is scan-bandwidth-bound and
+    * nothing else. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q14-shaped promotion revenue share: one month of lineitem
+    * joined to part on partkey, promo share of discounted revenue.
+    * part scales with SF (not a broadcast-always dimension like
+    * region/nation) — the join is declared plain and AQE decides
+    * broadcast-vs-shuffle from runtime sizes; the month filter
+    * prunes the fact side at the scan before any exchange. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"))
+    li.join(t(spark, dir, "part").select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) * sum(when(col("p_type") === "PROMO", col("disc_price"))
+          .otherwise(lit(0.0))) / sum(col("disc_price")), 6).as("promo_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q3-shaped shipping priority: selective dimension filter,
     * two shuffle joins, revenue aggregation. customer is filtered
     * before the join so the orders join sees only the matching
@@ -412,6 +449,23 @@ object Relational {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
         | count(*) AS n_orders, ROUND(avg(o_totalprice),6) AS avg_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT ROUND(SUM(l_extendedprice*l_discount),4) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        | AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+        | AND l_quantity < 24""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+        |   THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)
+        |  / SUM(l_extendedprice*(1-l_discount)), 6) AS promo_revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        | AND l_shipdate >= TIMESTAMP '1997-09-01'
+        | AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | ROUND(SUM(l_quantity),4) AS sum_qty,
@@ -499,6 +553,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "w1_top_orders_per_customer" -> (w1TopOrdersPerCustomer _),

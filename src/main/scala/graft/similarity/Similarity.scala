@@ -784,4 +784,24 @@ object Similarity {
     }.reduceLeft(_ + _)
     coded.withColumn("adc6", round(adc, 6))
   }
+
+  /**
+   * PQ retrieval: the `topK` nearest corpus vectors to `query` by
+   * ASYMMETRIC distance over [[pqEncodeAdc]]'s codes (smallest adc6
+   * first, ties to the lowest vec_id). The encode is the zero-exchange
+   * projection; the top-k is sort+limit — Catalyst plans
+   * TakeOrderedAndProject (per-partition heaps of k, never a global
+   * sort) — and the only single-partition step ranks the k survivors
+   * (the bm1 tail). This is the FAISS IVFADC probe shape minus the
+   * cell routing: compose with [[ivfTopK]]'s assignment when the
+   * corpus is cell-partitioned.
+   */
+  def pqTopK(
+      corpus: DataFrame, seeds: DataFrame, query: DataFrame,
+      topK: Int = 20, m: Int = 4, dsub: Int = 16): DataFrame = {
+    val scored = pqEncodeAdc(corpus, seeds, query, m, dsub)
+    scored.orderBy(col("adc6").asc, col("vec_id")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("adc6").asc, col("vec_id"))))
+  }
 }

@@ -544,6 +544,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("63") || e.getMessage.contains("dims"))
   }
 
+  test("pqTopK: ranks ascend with ADC distance, nearest-to-query first") {
+    import graft.sources.Tables
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val r = graft.similarity.Similarity.pqTopK(
+      e, e.where(col("vec_id") < 16), e.where(col("vec_id") === 17), topK = 10)
+      .select("vec_id", "adc6", "rank").as[(Long, Double, Int)].collect().toSeq
+    assert(r.size == 10)
+    assert(r.map(_._3).sorted == (1 to 10))
+    val byRank = r.sortBy(_._3)
+    assert(byRank.map(_._2) == byRank.map(_._2).sorted) // adc6 non-decreasing
+    // the query's own code choice minimizes every qd term, so its ADC
+    // is the global minimum (another vector sharing all 4 codes can
+    // tie but not beat it)
+    val q17 = r.find(_._1 == 17L)
+    assert(q17.isDefined && q17.get._2 == byRank.head._2)
+  }
+
   test("substringDedup: repeated 5-gram coverage, interval merge, edge docs") {
     val d = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),        // shares only pos-0 gram with doc 2
