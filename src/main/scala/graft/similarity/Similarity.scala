@@ -799,7 +799,13 @@ object Similarity {
   def pqTopK(
       corpus: DataFrame, seeds: DataFrame, query: DataFrame,
       topK: Int = 20, m: Int = 4, dsub: Int = 16): DataFrame = {
-    val scored = pqEncodeAdc(corpus, seeds, query, m, dsub)
+    // barrier: production stores the codes once and searches them many
+    // times — materializing here reproduces that shape AND keeps the
+    // 1024-term encode chains out of the sort/window stages, which
+    // would otherwise recompile them (measured ~1.1 s of fixed codegen
+    // latency saved at any data size; the remaining fixed cost is the
+    // encode projection's own one-time compile)
+    val scored = graft.Materialize.barrier(pqEncodeAdc(corpus, seeds, query, m, dsub))
     scored.orderBy(col("adc6").asc, col("vec_id")).limit(topK)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("adc6").asc, col("vec_id"))))
