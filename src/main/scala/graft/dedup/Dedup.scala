@@ -956,6 +956,34 @@ object Dedup {
   }
 
   /**
+   * Quality-aware canonical selection: production near-dup pipelines
+   * keep the BEST member of each duplicate cluster, not the
+   * lowest-id one (C4 keeps the longest, RefinedWeb/FineWeb keep by
+   * quality score). Input: a cluster assignment (doc_id, cluster_id,
+   * cluster_size, ...) and a per-doc quality frame (doc_id,
+   * quality6 — a ROUNDED score, so the selection rule is portable by
+   * construction); output adds `quality6` and `keep` = this doc is
+   * its cluster's highest-quality member, ties to the lowest doc_id.
+   *
+   * Scale posture: the per-cluster top-1 is the aggregate-argmax
+   * shape (`max(struct(quality6, -doc_id))` — the r8 lesson: ~one
+   * partial-aggregated row per cluster through the exchange, no
+   * sort), then one hash join back on cluster_id. Singleton clusters
+   * (most of any corpus) partial-combine map-side to one row each.
+   */
+  def canonicalByQuality(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val best = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality6").as("q"), (-col("doc_id")).as("neg_id"))).as("best"))
+    clusters.join(quality, Seq("doc_id")).join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality6"),
+        (col("quality6") === col("best.q") &&
+          col("doc_id") === -col("best.neg_id")).as("keep"))
+  }
+
+  /**
    * Substring-level exact dedup (Lee et al. 2022, "Deduplicating
    * Training Data Makes Language Models Better" — the EXACTSUBSTR
    * protocol): flag every token position covered by a length-`l`

@@ -264,6 +264,19 @@ object PipelineQueries {
           (!col("is_exact_dup") && !col("contaminated") &&
             col("quality6") >= 0.5).as("keep"))
     }),
+    // Quality-aware canonical selection: keep each near-dup cluster's
+    // HIGHEST-quality member (the C4/RefinedWeb rule), not the
+    // lowest-id one — cc1's clusters composed with t2's rounded
+    // quality through the aggregate-argmax top-1.
+    "cu2_canonical_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashNearDups(d, threshold = 0.6)
+        .select("doc_a", "doc_b")
+      val clusters = Dedup.dedupClusters(d.select("doc_id"), pairs)
+      val q = graft.queries.TextAnalysis.t2Quality(s, dir)
+        .select(col("doc_id"), col("quality").as("quality6"))
+      Dedup.canonicalByQuality(clusters, q)
+    }),
     // Wide-radius SimHash (Manku r-of-8 combination banding, exact to
     // hamming 5) — the oracle is an INDEPENDENT all-pairs scan, so a
     // banding recall bug fails the gate rather than being mirrored.
@@ -447,8 +460,11 @@ object PipelineQueries {
 
   /** Transitive closure over the minhash edge set → (doc_id,
     * cluster_id=component min, cluster_size, is_canonical). */
-  private val fullClosureSql =
-    s"""WITH RECURSIVE $minhashChainCtes,
+  /** The x2 chain + symmetric closure as reusable CTEs: `lab`(doc_id,
+    * cluster_id) and `sz`(cluster_id, cluster_size). Shared by the
+    * cc-family oracles and cu2's quality-canonical selection. */
+  private val closureCtes =
+    s"""$minhashChainCtes,
        |e AS (SELECT doc_a, doc_b FROM jj WHERE j >= 0.6),
        |sym AS (SELECT doc_a AS src, doc_b AS dst FROM e
        |        UNION ALL SELECT doc_b, doc_a FROM e),
@@ -457,7 +473,10 @@ object PipelineQueries {
        |  UNION
        |  SELECT sym.dst, reach.lbl FROM reach JOIN sym ON sym.src = reach.node),
        |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
-       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)""".stripMargin
+
+  private val fullClosureSql =
+    s"""WITH RECURSIVE $closureCtes
        |SELECT doc_id, cluster_id, cluster_size,
        |  doc_id = cluster_id AS is_canonical
        |FROM lab JOIN sz USING (cluster_id)""".stripMargin
@@ -630,6 +649,22 @@ object PipelineQueries {
     // incremental variants' exactness claim IS equality with this
     "cc1_dedup_clusters" -> fullClosureSql,
     "cc2_incremental_clusters" -> fullClosureSql,
+    // cu2: the closure chain + t2's rounded quality; keep = min doc_id
+    // among each cluster's max-quality members — the same (quality
+    // DESC, doc_id ASC) rule the Spark argmax struct encodes
+    "cu2_canonical_quality" ->
+      s"""WITH RECURSIVE $closureCtes,
+         |q AS (SELECT doc_id, ${graft.queries.TextAnalysis.quality6Sql} AS quality6
+         |  FROM documents),
+         |j AS (SELECT lab.doc_id, cluster_id, cluster_size, quality6
+         |  FROM lab JOIN sz USING (cluster_id) JOIN q USING (doc_id)),
+         |best AS (SELECT cluster_id, max(quality6) AS bq FROM j GROUP BY 1),
+         |pick AS (SELECT j.cluster_id, min(j.doc_id) AS bid
+         |  FROM j JOIN best ON j.cluster_id = best.cluster_id AND j.quality6 = best.bq
+         |  GROUP BY 1)
+         |SELECT doc_id, cluster_id, cluster_size, quality6,
+         |  doc_id = bid AS keep
+         |FROM j JOIN pick USING (cluster_id)""".stripMargin,
     "cc3_incremental_sizes" -> fullClosureSql,
     "dc1_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),

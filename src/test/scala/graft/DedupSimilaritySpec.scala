@@ -544,6 +544,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("63") || e.getMessage.contains("dims"))
   }
 
+  test("canonicalByQuality: keeps each cluster's best-quality member, doc_id tie-break") {
+    val clusters = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),  // cluster 1: three members
+      (4L, 4L, 2L), (5L, 4L, 2L),                // cluster 4: quality tie
+      (6L, 6L, 1L)                               // singleton
+    ).toDF("doc_id", "cluster_id", "cluster_size")
+    val quality = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.5),           // best is doc 2, not lowest id
+      (4L, 0.7), (5L, 0.7),                      // tie → lowest id (4) kept
+      (6L, 0.1)
+    ).toDF("doc_id", "quality6")
+    val keep = Dedup.canonicalByQuality(clusters, quality)
+      .where(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(keep == Set(2L, 4L, 6L))
+    // every non-kept member still appears with its cluster metadata
+    val all = Dedup.canonicalByQuality(clusters, quality).collect()
+    assert(all.length == 6)
+  }
+
   test("pqTopK: ranks ascend with ADC distance, nearest-to-query first") {
     import graft.sources.Tables
     val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
