@@ -965,6 +965,12 @@ object Dedup {
    * construction); output adds `quality6` and `keep` = this doc is
    * its cluster's highest-quality member, ties to the lowest doc_id.
    *
+   * The quality frame must cover EVERY cluster member: a member with
+   * no (or NULL) quality fails LOUDLY rather than being silently
+   * dropped (the engine's guard convention) — a partial quality frame
+   * would otherwise skew cluster_size vs visible members and could
+   * crown a lower-quality survivor; a NULL score has no defined rank.
+   *
    * Scale posture: the per-cluster top-1 is the aggregate-argmax
    * shape (`max(struct(quality6, -doc_id))` — the r8 lesson: ~one
    * partial-aggregated row per cluster through the exchange, no
@@ -972,11 +978,18 @@ object Dedup {
    * (most of any corpus) partial-combine map-side to one row each.
    */
   def canonicalByQuality(clusters: DataFrame, quality: DataFrame): DataFrame = {
-    val best = clusters.select(col("doc_id"), col("cluster_id"))
-      .join(quality, Seq("doc_id"))
+    val withQ = materialize(
+      clusters.select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .join(quality, Seq("doc_id"), "left")
+        .withColumn("quality6",
+          when(col("quality6").isNotNull, col("quality6"))
+            .otherwise(raise_error(concat(
+              lit("canonicalByQuality: no quality score for doc "),
+              col("doc_id").cast("string"))))))
+    val best = withQ
       .groupBy(col("cluster_id"))
       .agg(max(struct(col("quality6").as("q"), (-col("doc_id")).as("neg_id"))).as("best"))
-    clusters.join(quality, Seq("doc_id")).join(best, Seq("cluster_id"))
+    withQ.join(best, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("quality6"),
         (col("quality6") === col("best.q") &&

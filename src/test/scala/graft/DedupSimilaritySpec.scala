@@ -561,6 +561,14 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     // every non-kept member still appears with its cluster metadata
     val all = Dedup.canonicalByQuality(clusters, quality).collect()
     assert(all.length == 6)
+    // a member with no quality row fails LOUDLY instead of silently
+    // vanishing (a partial quality frame could crown a worse survivor)
+    val partial = quality.where(col("doc_id") =!= 2L)
+    val e = intercept[Exception] {
+      Dedup.canonicalByQuality(clusters, partial).collect()
+    }
+    assert(e.getMessage.contains("no quality score") ||
+      Option(e.getCause).exists(_.getMessage.contains("no quality score")))
   }
 
   test("pqTopK: ranks ascend with ADC distance, nearest-to-query first") {
