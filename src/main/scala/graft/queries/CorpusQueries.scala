@@ -322,11 +322,20 @@ object CorpusQueries {
    * docs; SCALE_NOTES round-8 addendum 3). `orderedFold = false` is
    * the production shape: a plain partial-aggregated `sum(n·λ)` —
    * identical modulo float association, one HashAggregate, no lists.
+   *
+   * `heldOutRaw`: the paper's setup has target and raw as DISJOINT
+   * corpora; with `heldOutRaw = true` the raw rates count only
+   * NON-target features (target stays the target slice, every doc is
+   * still scored), so λ signs are meaningful — positive genuinely
+   * means target-like. The default (false) uses the whole corpus as
+   * raw: ct ⊆ cr, and smoothing shifts every λ by ln((Tr+B)/(Tt+B)) —
+   * ordering unaffected, signs relative.
    */
   def dsirSelect(
       docsDf: DataFrame, isTarget: org.apache.spark.sql.Column,
       buckets: Int = 256, topK: Int = 100,
-      orderedFold: Boolean = true): DataFrame = {
+      orderedFold: Boolean = true,
+      heldOutRaw: Boolean = false): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
     val feats = graft.Materialize.barrier(
@@ -335,8 +344,11 @@ object CorpusQueries {
           explode(call_function("graft_shingle_hashes", col("text"), lit(2))).as("g"))
         .select(col("doc_id"), col("is_target"), (col("g") % buckets).as("b")))
     val perDoc = feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+    val rawCount =
+      if (heldOutRaw) sum(when(!col("is_target"), 1L).otherwise(0L))
+      else count(lit(1))
     val bucketCounts = feats.groupBy(col("b")).agg(
-      count(lit(1)).as("cr"),
+      rawCount.as("cr"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
     val totals = bucketCounts.agg(
       sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
@@ -470,35 +482,46 @@ object CorpusQueries {
     // tokenization), identical add-one-smoothed log-ratio op sequence,
     // per-doc terms summed in bucket order (the t8 argument), rank on
     // the ROUNDED weight with doc_id tie-break (the bm1 argument)
-    "ir1_dsir_select" ->
-      s"""WITH b0 AS (SELECT doc_id, lang,
-         |  CASE WHEN length(trim(text)) = 0 THEN []
-         |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
-         |  FROM documents),
-         |b1 AS (SELECT doc_id, lang = 'en' AS is_target,
-         |  CASE WHEN len(toks) - 1 <= 0 THEN CAST([] AS VARCHAR[])
-         |       ELSE list_transform(generate_series(1, len(toks) - 1),
-         |         i -> array_to_string(toks[i:i+1], ' ')) END AS sh
-         |  FROM b0),
-         |f AS (SELECT doc_id, is_target, ${hash32Sql("s")} % 256 AS b
-         |  FROM b1, LATERAL (SELECT unnest(sh) AS s)),
-         |pd AS (SELECT doc_id, b, count(*) AS n FROM f GROUP BY 1, 2),
-         |bc AS (SELECT b, count(*) AS cr,
-         |  CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
-         |  FROM f GROUP BY 1),
-         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
-         |  CAST(sum(ct) AS BIGINT) AS tt FROM bc),
-         |lam AS (SELECT b, ln((ct + 1.0) / (tt + 256)) - ln((cr + 1.0) / (tr + 256))
-         |    AS lam FROM bc CROSS JOIN tot),
-         |wd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
-         |  list_sum(list(n * lam ORDER BY b)) AS w
-         |  FROM pd JOIN lam USING (b) GROUP BY doc_id),
-         |s AS (SELECT doc_id, n_feats, ROUND(w / n_feats, 6) AS w_mean FROM wd)
-         |SELECT doc_id, n_feats, w_mean, rank FROM (
-         |  SELECT doc_id, n_feats, w_mean,
-         |    CAST(row_number() OVER (ORDER BY w_mean DESC, doc_id) AS INTEGER) AS rank
-         |  FROM s) WHERE rank <= 100""".stripMargin
+    "ir1_dsir_select" -> dsirSql(heldOutRaw = false),
+    // ir2: the paper's disjoint-corpora setup — raw rates count only
+    // NON-target features, so λ signs are meaningful
+    "ir2_dsir_heldout" -> dsirSql(heldOutRaw = true)
   )
+
+  /** The DSIR twin, shared by ir1 (whole-corpus raw) and ir2
+    * (held-out raw: cr counts only non-target features). */
+  private def dsirSql(heldOutRaw: Boolean): String = {
+    val crSql =
+      if (heldOutRaw) "CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)"
+      else "count(*)"
+    s"""WITH b0 AS (SELECT doc_id, lang,
+       |  CASE WHEN length(trim(text)) = 0 THEN []
+       |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents),
+       |b1 AS (SELECT doc_id, lang = 'en' AS is_target,
+       |  CASE WHEN len(toks) - 1 <= 0 THEN CAST([] AS VARCHAR[])
+       |       ELSE list_transform(generate_series(1, len(toks) - 1),
+       |         i -> array_to_string(toks[i:i+1], ' ')) END AS sh
+       |  FROM b0),
+       |f AS (SELECT doc_id, is_target, ${hash32Sql("s")} % 256 AS b
+       |  FROM b1, LATERAL (SELECT unnest(sh) AS s)),
+       |pd AS (SELECT doc_id, b, count(*) AS n FROM f GROUP BY 1, 2),
+       |bc AS (SELECT b, $crSql AS cr,
+       |  CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM f GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+       |  CAST(sum(ct) AS BIGINT) AS tt FROM bc),
+       |lam AS (SELECT b, ln((ct + 1.0) / (tt + 256)) - ln((cr + 1.0) / (tr + 256))
+       |    AS lam FROM bc CROSS JOIN tot),
+       |wd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+       |  list_sum(list(n * lam ORDER BY b)) AS w
+       |  FROM pd JOIN lam USING (b) GROUP BY doc_id),
+       |s AS (SELECT doc_id, n_feats, ROUND(w / n_feats, 6) AS w_mean FROM wd)
+       |SELECT doc_id, n_feats, w_mean, rank FROM (
+       |  SELECT doc_id, n_feats, w_mean,
+       |    CAST(row_number() OVER (ORDER BY w_mean DESC, doc_id) AS INTEGER) AS rank
+       |  FROM s) WHERE rank <= 100""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_vocab_topk" -> ((s, dir) => v1VocabTopK(s, dir)),
@@ -511,6 +534,9 @@ object CorpusQueries {
     // DSIR data selection (Xie et al. 2023): hashed-bigram importance
     // weights, target = the English slice, top-100 by rounded weight
     "ir1_dsir_select" -> ((s, dir) =>
-      dsirSelect(docs(s, dir), col("lang") === "en"))
+      dsirSelect(docs(s, dir), col("lang") === "en")),
+    // held-out raw: the paper's disjoint target/raw estimation
+    "ir2_dsir_heldout" -> ((s, dir) =>
+      dsirSelect(docs(s, dir), col("lang") === "en", heldOutRaw = true))
   )
 }

@@ -328,6 +328,25 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(worstAlpha < bestGamma)
   }
 
+  test("dsirSelect heldOutRaw: disjoint estimation makes weight signs meaningful") {
+    val d = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta alpha", true),
+      (3L, "gamma delta gamma delta", false),
+      (4L, "gamma delta gamma", false),
+      (5L, "alpha beta", false),
+      (6L, "gamma delta", false)
+    ).toDF("doc_id", "text", "t")
+    val byId = CorpusQueries.dsirSelect(d, col("t"), buckets = 64, topK = 10,
+      heldOutRaw = true)
+      .select("doc_id", "w_mean").as[(Long, Double)].collect().toMap
+    // with target and raw disjoint, target-like bigrams score POSITIVE
+    // and raw-only bigrams NEGATIVE — the absolute sign the subset
+    // estimation (ir1) cannot provide
+    assert(byId(5L) > 0.0, s"target-like doc should be positive: ${byId(5L)}")
+    assert(byId(6L) < 0.0, s"raw-only doc should be negative: ${byId(6L)}")
+  }
+
   test("dsirSelect: production fast-sum path matches the ordered fold after rounding") {
     val sf = "/root/testdata/sf0.001"
     def run(ordered: Boolean) =
