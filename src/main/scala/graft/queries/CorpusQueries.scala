@@ -338,9 +338,13 @@ object CorpusQueries {
       heldOutRaw: Boolean = false): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    // NULL predicate results (e.g. a NULL lang) are NOT target — made
+    // explicit here so ct/cr agree with the twin under three-valued
+    // logic (a NULL is_target would otherwise fall out of BOTH counts
+    // on the Spark side but land in cr on the SQL side)
     val feats = graft.Materialize.barrier(
       graft.dedup.Dedup.parallelize(docsDf)
-        .select(col("doc_id"), isTarget.as("is_target"),
+        .select(col("doc_id"), coalesce(isTarget, lit(false)).as("is_target"),
           explode(call_function("graft_shingle_hashes", col("text"), lit(2))).as("g"))
         .select(col("doc_id"), col("is_target"), (col("g") % buckets).as("b")))
     val perDoc = feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
@@ -498,7 +502,7 @@ object CorpusQueries {
        |  CASE WHEN length(trim(text)) = 0 THEN []
        |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
        |  FROM documents),
-       |b1 AS (SELECT doc_id, lang = 'en' AS is_target,
+       |b1 AS (SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_target,
        |  CASE WHEN len(toks) - 1 <= 0 THEN CAST([] AS VARCHAR[])
        |       ELSE list_transform(generate_series(1, len(toks) - 1),
        |         i -> array_to_string(toks[i:i+1], ' ')) END AS sh
