@@ -1006,7 +1006,18 @@ object Dedup {
    * (doc_id, n_tokens, n_grams, dup_starts, covered_tokens, dup_frac,
    * keep). `keep` compares the ROUNDED fraction against `maxDupFrac`
    * so the boolean is portable by construction (the cu1 threshold
-   * trick). The paper's suffix-array machinery is a single-node
+   * trick).
+   *
+   * `keepFirst = true` is the paper's removal semantics: ONE copy of
+   * each duplicated window survives — the globally-first occurrence
+   * (lowest (doc_id, pos), the ld1 canonical convention) is not
+   * flagged, so a corpus-unique document that happens to be the first
+   * holder of a later-duplicated span keeps it. The canonical pick is
+   * `min(struct(doc_id, pos))` per gram — partial-combined map-side,
+   * so a 100k-occurrence boilerplate gram still never pins a task
+   * (a per-gram row_number window would).
+   *
+   * The paper's suffix-array machinery is a single-node
    * construction; over a cluster the identical "any repeated length-l
    * window" predicate is the corpus-wide occurrence count of each
    * overlapping l-gram — pure relational algebra, no suffix sort.
@@ -1033,7 +1044,8 @@ object Dedup {
    * state; every exchange is keyed by a 32-bit hash or doc_id.
    */
   def substringDedup(
-      docs: DataFrame, l: Int = 5, maxDupFrac: Double = 0.5): DataFrame = {
+      docs: DataFrame, l: Int = 5, maxDupFrac: Double = 0.5,
+      keepFirst: Boolean = false): DataFrame = {
     require(l >= 1, s"window length must be >= 1: $l")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // barrier: the (pos, gram-hash) explode feeds both the corpus-wide
@@ -1044,9 +1056,23 @@ object Dedup {
       call_function("graft_shingle_hashes63", col("text"), lit(l)).as("gs")))
     val occ = materialize(
       base.select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g"))))
-    val dup = occ.groupBy(col("g")).agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= 2).select(col("g"))
-    val dupStarts = occ.join(dup, Seq("g")).select(col("doc_id"), col("pos"))
+    val dupStarts =
+      if (!keepFirst) {
+        val dup = occ.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+          .where(col("occ") >= 2).select(col("g"))
+        occ.join(dup, Seq("g")).select(col("doc_id"), col("pos"))
+      } else {
+        // canonical first occurrence survives: min(struct) partial-
+        // combines map-side (hot grams stay unpinned); the N:1 join
+        // back excludes exactly that one occurrence per gram
+        val canon = occ.groupBy(col("g")).agg(count(lit(1)).as("occ"),
+          min(struct(col("doc_id"), col("pos"))).as("first"))
+          .where(col("occ") >= 2)
+        occ.join(canon, Seq("g"))
+          .where(!(col("doc_id") === col("first.doc_id") &&
+            col("pos") === col("first.pos")))
+          .select(col("doc_id"), col("pos"))
+      }
     // merged-interval coverage: a start opens a NEW interval iff it
     // lies at/after the running max end of everything before it; all
     // windows share length l, so a merged group covers exactly

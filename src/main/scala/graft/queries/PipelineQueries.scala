@@ -237,6 +237,11 @@ object PipelineQueries {
     // Dedup.substringDedup scaladoc for the plan shape.
     "sb1_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedup(docs(s, dir), l = 5)),
+    // The paper's removal semantics: the globally-first occurrence of
+    // each duplicated window survives unflagged (min(struct(doc_id,
+    // pos)) canonical — partial-combined, hot grams stay unpinned).
+    "sb2_substring_keepfirst" -> ((s, dir) =>
+      Dedup.substringDedup(docs(s, dir), l = 5, keepFirst = true)),
     // End-to-end corpus CURATION — the composition a training-data
     // pipeline actually ships: drop exact duplicates (x1 protocol,
     // canonical = min doc_id), drop docs contaminated by the eval
@@ -343,6 +348,56 @@ object PipelineQueries {
     s"""CASE WHEN len($toksSql) - 2 <= 0 THEN CAST([] AS VARCHAR[])
        | ELSE list_transform(generate_series(1, len($toksSql) - 2),
        |   i -> array_to_string(($toksSql)[i:i+2], ' ')) END""".stripMargin
+
+  /** The substring-dedup twin, shared by sb1 (all occurrences of a
+    * duplicated gram flagged) and sb2 (the first (doc_id, pos)
+    * occurrence survives — `rn >= 2`). Gram identity is the kernel's
+    * 63-bit packed hash via CorpusQueries.hash63Sql. */
+  private def substringSql(keepFirst: Boolean): String = {
+    val dsCte =
+      if (!keepFirst)
+        """dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+          |ds AS (SELECT doc_id, pos FROM occ JOIN dup USING (g)),""".stripMargin
+      else
+        """r AS (SELECT doc_id, pos,
+          |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+          |    count(*) OVER (PARTITION BY g) AS occ_n FROM occ),
+          |ds AS (SELECT doc_id, pos FROM r WHERE occ_n >= 2 AND rn >= 2),""".stripMargin
+    s"""WITH b0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |b1 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CASE WHEN len(toks) - 4 <= 0 THEN CAST([] AS VARCHAR[])
+       |       ELSE list_transform(generate_series(1, len(toks) - 4),
+       |         i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+       |  FROM b0),
+       |hs AS (SELECT doc_id, n_tokens, CAST(len(sh) AS BIGINT) AS n_grams,
+       |  list_transform(sh, s -> ${graft.queries.CorpusQueries.hash63Sql("s")}) AS gs
+       |  FROM b1),
+       |occ AS (SELECT doc_id, i - 1 AS pos, gs[i::INTEGER] AS g
+       |  FROM hs, LATERAL (SELECT unnest(generate_series(1, len(gs))) AS i)),
+       |$dsCte
+       |m AS (SELECT doc_id, pos, max(pos + 5) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM ds),
+       |g2 AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL OR pos >= prev_end
+       |    THEN 1 ELSE 0 END AS new_grp FROM m),
+       |g3 AS (SELECT doc_id, pos, sum(new_grp) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM g2),
+       |iv AS (SELECT doc_id, grp, max(pos) + 5 - min(pos) AS len,
+       |    count(*) AS starts FROM g3 GROUP BY 1, 2),
+       |cov AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS covered_tokens,
+       |    CAST(sum(starts) AS BIGINT) AS dup_starts FROM iv GROUP BY 1)
+       |SELECT hs.doc_id, n_tokens, n_grams,
+       |  CAST(coalesce(dup_starts, 0) AS BIGINT) AS dup_starts,
+       |  CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       |  ROUND(CASE WHEN n_tokens = 0 THEN 0.0
+       |        ELSE CAST(coalesce(covered_tokens, 0) AS DOUBLE) / n_tokens END,
+       |    6) AS dup_frac,
+       |  ROUND(CASE WHEN n_tokens = 0 THEN 0.0
+       |        ELSE CAST(coalesce(covered_tokens, 0) AS DOUBLE) / n_tokens END,
+       |    6) <= 0.5 AS keep
+       |FROM hs LEFT JOIN cov USING (doc_id)""".stripMargin
+  }
 
   /** e2's full PQ chain (codebook = vec_id < 16 sliced per subspace,
     * query = vec 17): per-subspace squared-L2 folds in index order,
@@ -578,47 +633,14 @@ object PipelineQueries {
          |  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, n_eq, ROUND(n_eq / 12.0, 6) AS est_jaccard
          |FROM ee WHERE n_eq >= 6""".stripMargin,
-    // sb1: identical gram-hash chain (the kernel's 63-bit packed md5
-    // words via CorpusQueries.hash63Sql — hash-equality must proxy
+    // sb1/sb2: identical gram-hash chain (the kernel's 63-bit packed
+    // md5 words via CorpusQueries.hash63Sql — hash-equality must proxy
     // gram-equality here), identical running-max-end interval merge;
     // integer coverage, one final rounded division, keep compares the
-    // ROUNDED value
-    "sb1_substring_dedup" ->
-      s"""WITH b0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |b1 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CASE WHEN len(toks) - 4 <= 0 THEN CAST([] AS VARCHAR[])
-         |       ELSE list_transform(generate_series(1, len(toks) - 4),
-         |         i -> array_to_string(toks[i:i+4], ' ')) END AS sh
-         |  FROM b0),
-         |hs AS (SELECT doc_id, n_tokens, CAST(len(sh) AS BIGINT) AS n_grams,
-         |  list_transform(sh, s -> ${graft.queries.CorpusQueries.hash63Sql("s")}) AS gs
-         |  FROM b1),
-         |occ AS (SELECT doc_id, i - 1 AS pos, gs[i::INTEGER] AS g
-         |  FROM hs, LATERAL (SELECT unnest(generate_series(1, len(gs))) AS i)),
-         |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
-         |ds AS (SELECT doc_id, pos FROM occ JOIN dup USING (g)),
-         |m AS (SELECT doc_id, pos, max(pos + 5) OVER (PARTITION BY doc_id
-         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-         |  FROM ds),
-         |g2 AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL OR pos >= prev_end
-         |    THEN 1 ELSE 0 END AS new_grp FROM m),
-         |g3 AS (SELECT doc_id, pos, sum(new_grp) OVER (PARTITION BY doc_id
-         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-         |  FROM g2),
-         |iv AS (SELECT doc_id, grp, max(pos) + 5 - min(pos) AS len,
-         |    count(*) AS starts FROM g3 GROUP BY 1, 2),
-         |cov AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS covered_tokens,
-         |    CAST(sum(starts) AS BIGINT) AS dup_starts FROM iv GROUP BY 1)
-         |SELECT hs.doc_id, n_tokens, n_grams,
-         |  CAST(coalesce(dup_starts, 0) AS BIGINT) AS dup_starts,
-         |  CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
-         |  ROUND(CASE WHEN n_tokens = 0 THEN 0.0
-         |        ELSE CAST(coalesce(covered_tokens, 0) AS DOUBLE) / n_tokens END,
-         |    6) AS dup_frac,
-         |  ROUND(CASE WHEN n_tokens = 0 THEN 0.0
-         |        ELSE CAST(coalesce(covered_tokens, 0) AS DOUBLE) / n_tokens END,
-         |    6) <= 0.5 AS keep
-         |FROM hs LEFT JOIN cov USING (doc_id)""".stripMargin,
+    // ROUNDED value. sb2 drops each gram's first (doc_id, pos)
+    // occurrence from the dup-start set (rn >= 2).
+    "sb1_substring_dedup" -> substringSql(keepFirst = false),
+    "sb2_substring_keepfirst" -> substringSql(keepFirst = true),
     // cu1: x1's fingerprint chain over the curation slice, dc1's gram
     // chain against the eval slice, t2's rounded quality — composed
     "cu1_corpus_curation" ->

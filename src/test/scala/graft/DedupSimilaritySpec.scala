@@ -614,5 +614,15 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     // interval of length 6, not 5+5
     assert(r(6L) == ((6L, 2L, 2L, 6L, 1.0, false)))
     assert(r(7L) == ((6L, 2L, 2L, 6L, 1.0, false)))
+    // keepFirst (the paper's removal semantics): the globally-first
+    // occurrence of each duplicated gram survives unflagged
+    val k = Dedup.substringDedup(d, l = 5, maxDupFrac = 0.5, keepFirst = true)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(3), x.getLong(4),
+        x.getBoolean(6)))).toMap
+    assert(k(1L) == ((0L, 0L, true)))    // doc 1 holds the first copy
+    assert(k(2L) == ((1L, 5L, false)))   // doc 2's copy is flagged
+    assert(k(3L) == ((1L, 5L, true)))    // internal repeat: pos 0 kept, pos 5 flagged
+    assert(k(6L) == ((0L, 0L, true)))    // doc 6 holds both canonical grams
+    assert(k(7L) == ((2L, 6L, false)))   // doc 7 loses everything
   }
 }
