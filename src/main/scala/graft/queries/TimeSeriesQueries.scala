@@ -110,6 +110,35 @@ object TimeSeriesQueries {
         round(when(sd > 1e-9, (col("value") - mean) / sd), 3).as("zscore"))
   }
 
+  /** Exact rolling median over the trailing 7-row frame — the order
+    * statistic rolling stats (rs1) cannot express with running
+    * moments. The frame's non-null values are collected and sorted
+    * per row (O(w log w) with w = 7 — the documented exact-order-
+    * statistics cost; approximate sketches are the lever if w grows
+    * to thousands), and the median is an EXPLICIT element pick —
+    * `(a + b) / 2.0` for even counts on BOTH engines — because
+    * DuckDB's `median()` is quantile_cont interpolation
+    * (`a + 0.5·(b−a)`), a different IEEE sequence. Same partitioning
+    * posture as rs1: one exchange on series_id. */
+  def rs3RollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("series_id")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+    canonicalWithId(spark, dir)
+      .withColumn("sorted", array_sort(collect_list(col("value")).over(w)))
+      .withColumn("n_window", size(col("sorted")).cast("long"))
+      .select(col("series_id"), col("ts"),
+        round(col("value"), 6).as("value"),
+        col("n_window"),
+        round(
+          when(col("n_window") === 0, lit(null).cast("double"))
+            .when(col("n_window") % 2 === 1,
+              element_at(col("sorted"), ((col("n_window") + 1) / 2).cast("int")))
+            .otherwise(
+              (element_at(col("sorted"), (col("n_window") / 2).cast("int")) +
+                element_at(col("sorted"), (col("n_window") / 2 + 1).cast("int"))) / 2.0),
+          6).as("roll_med"))
+  }
+
   private val canonicalCte =
     "SELECT CAST(user_id AS VARCHAR) AS series_id, ts, " +
       "CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events"
@@ -167,6 +196,24 @@ object TimeSeriesQueries {
          |  ROUND(m, 6) AS roll_mean, ROUND(sd, 6) AS roll_sd,
          |  ROUND(CASE WHEN sd > 1e-9 THEN (value - m) / sd END, 3) AS zscore
          |FROM w""".stripMargin,
+    // rs3: list window aggregate mirrored (null-filtered, sorted, the
+    // SAME explicit (a+b)/2.0 even-count pick — not median(), whose
+    // quantile_cont interpolation is a different IEEE sequence)
+    "rs3_rolling_median" ->
+      s"""WITH t AS ($canonicalIdCte),
+         |ls AS (SELECT series_id, ts, value,
+         |  list_sort(list_filter(list(value) OVER (PARTITION BY series_id
+         |    ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         |    x -> x IS NOT NULL)) AS sorted
+         | FROM t),
+         |m AS (SELECT series_id, ts, value, len(sorted) AS n,
+         |  CASE WHEN len(sorted) = 0 THEN NULL
+         |       WHEN len(sorted) % 2 = 1 THEN sorted[((len(sorted) + 1) // 2)::INTEGER]
+         |       ELSE (sorted[(len(sorted) // 2)::INTEGER]
+         |             + sorted[(len(sorted) // 2 + 1)::INTEGER]) / 2.0 END AS med
+         | FROM ls)
+         |SELECT series_id, ts, ROUND(value, 6) AS value,
+         |  CAST(n AS BIGINT) AS n_window, ROUND(med, 6) AS roll_med FROM m""".stripMargin,
     "ew1_ewma" -> ewmaSql(alpha = 0.3)
   )
 
@@ -221,6 +268,7 @@ object TimeSeriesQueries {
     "r1_resample" -> (r1Resample _),
     "ff1_forward_fill" -> (ff1ForwardFill _),
     "r2_interpolate" -> (r2Interpolate _),
-    "rs1_rolling_stats" -> (rs1RollingStats _)
+    "rs1_rolling_stats" -> (rs1RollingStats _),
+    "rs3_rolling_median" -> (rs3RollingMedian _)
   )
 }
