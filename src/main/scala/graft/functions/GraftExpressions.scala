@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -374,6 +375,14 @@ case class WordShingleHashes(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
 
+  // fail at ANALYSIS time with the expectation named — a non-foldable
+  // n would otherwise surface as an opaque eval-against-null error
+  // when the lazy val below first fires
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!right.foldable) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: n must be a foldable integer literal, got ${right.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
   private lazy val n: Int = right.eval().asInstanceOf[Int]
 
   override protected def nullSafeEval(text: Any, nAny: Any): Any =
@@ -403,6 +412,11 @@ case class WordShingleHashes63(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes63"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!right.foldable) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: n must be a foldable integer literal, got ${right.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
   private lazy val n: Int = right.eval().asInstanceOf[Int]
 
   override protected def nullSafeEval(text: Any, nAny: Any): Any =
@@ -428,6 +442,11 @@ case class MinHashSig(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!right.foldable) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: k must be a foldable integer literal, got ${right.sql}")
+    else TypeCheckResult.TypeCheckSuccess
 
   private lazy val k: Int = right.eval().asInstanceOf[Int]
 
@@ -701,6 +720,180 @@ object SignBandKeysAdaptive {
   }
 }
 
+/**
+ * Product-quantization encoder as a native expression:
+ * `graft_pq_encode(emb, codebook, m, dsub)` → `array<int>` of m codes,
+ * code j = the argmin over the k codebook entries of the subspace-j
+ * squared-L2 distance (rounded to 6 decimals BEFORE the argmin; ties
+ * to the lowest code — the first-match rule of the portable
+ * `array_position(dists, array_min(dists))` formulation this node
+ * replaces, property-tested equal in NativeExpressionsSpec).
+ *
+ * Why a native expression and not m·k literal distance chains: the
+ * literal form bakes the whole codebook into the plan as add/multiply
+ * expression trees — m·k·dsub terms in ONE generated method. At the
+ * demo size (m=4, k=16, dsub=16 → 1024 terms) that costs ~1–3 s of
+ * fixed Janino compile latency per plan; at production PQ sizes
+ * (m=64, k=256) it exceeds Janino's 64KB method limit and Spark
+ * silently falls back to interpreted per-row eval — the 14× cliff
+ * documented for interpreted HOF chains. Here the codebook rides
+ * along as ONE reference object (`addReferenceObj` — the
+ * broadcast-variable analogue for expression state, the same pattern
+ * as [[SignBandKeys]]' packed planes) and the generated code is a
+ * single kernel call: plan size and codegen size are O(1) in m·k.
+ * Verified to compile and run at m=64/k=256 with
+ * `spark.sql.codegen.fallback=false` (PqScaleSpec).
+ *
+ * Codebook layout: code-major flattened full vectors —
+ * `cb(c*dim + d)` is component d of codebook entry c, dim = m·dsub
+ * (entry c's subspace-j slice starts at `c*dim + j*dsub`).
+ *
+ * Float discipline: subspace distances fold left-to-right over the
+ * dsub positions in index order (the op sequence the DuckDB twin
+ * mirrors); rounding is `BigDecimal.valueOf(x).setScale(6, HALF_UP)`
+ * — the identical API call Spark's own `round` makes for DoubleType —
+ * so results are bit-equal to the literal `round(e, 6)` chains.
+ *
+ * Loud guards (no silent mis-coding): wrong embedding length and NULL
+ * elements both fail the row with the offending value named — a null
+ * element under the old literal form made that subspace's distance
+ * NULL for every code and `array_min`'s null-skipping silently
+ * mis-coded the row.
+ */
+case class PqEncode(child: Expression, codebook: Array[Double], m: Int, dsub: Int)
+    extends UnaryExpression {
+  require(m >= 1, s"pq: m must be >= 1: $m")
+  require(dsub >= 1, s"pq: dsub must be >= 1: $dsub")
+  require(codebook.nonEmpty && codebook.length % (m * dsub) == 0,
+    s"pq: codebook length ${codebook.length} not a positive multiple of dim=${m * dsub}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqCodec.encode(input.asInstanceOf[ArrayData], codebook, m, dsub))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, emb => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PqCodec.encode($emb, $cbRef, $m, $dsub));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/**
+ * Asymmetric-distance accumulator over PQ codes:
+ * `graft_pq_adc(codes, table, k)` → double — Σ_j table(j·k + codes(j))
+ * summed in subspace order (left-to-right, the same op sequence as the
+ * literal `element_at` chain it replaces), rounded to 6 decimals. The
+ * query's distance table (m·k doubles, entries pre-rounded by the
+ * caller) is a reference object, not m literal arrays — same O(1)
+ * plan-size argument as [[PqEncode]]. An out-of-range code fails
+ * loudly (it would mean the codes column was built against a
+ * different codebook — a silent wrong-distance is the worst outcome).
+ */
+case class PqAdc(child: Expression, table: Array[Double], k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"pq adc: k must be >= 1: $k")
+  require(table.nonEmpty && table.length % k == 0,
+    s"pq adc: table length ${table.length} not a positive multiple of k=$k")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqCodec.adc(input.asInstanceOf[ArrayData], table, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tabRef = ctx.addReferenceObj("pqAdcTable", table, "double[]")
+    nullSafeCodeGen(ctx, ev, codes => {
+      s"${ev.value} = graft.functions.PqCodec.adc($codes, $tabRef, $k);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdc =
+    copy(child = newChild)
+}
+
+/** Shared by interpreted eval and generated code (one JVM-compiled
+  * method keeps the generated method tiny and the hot loop
+  * JIT-optimized — the [[SignBandKeysAdaptive]] pattern). */
+object PqCodec {
+
+  /** Spark's own DoubleType `round(x, 6)` semantics: NaN/Infinity
+    * pass through, else BigDecimal.valueOf + HALF_UP — called from
+    * generated code, must stay public and JVM-simple. */
+  def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def encode(emb: ArrayData, cb: Array[Double], m: Int, dsub: Int): Array[Int] = {
+    val dim = m * dsub
+    checkVec(emb, dim)
+    val k = cb.length / dim
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0.0
+      var bestCode = -1
+      var c = 0
+      while (c < k) {
+        var acc = 0.0
+        var i = 0
+        val cbBase = c * dim + j * dsub
+        val embBase = j * dsub
+        while (i < dsub) {
+          val d = emb.getDouble(embBase + i) - cb(cbBase + i)
+          acc += d * d
+          i += 1
+        }
+        val r = round6(acc)
+        // strict < keeps the FIRST (lowest) code on rounded ties
+        if (bestCode < 0 || r < best) { best = r; bestCode = c }
+        c += 1
+      }
+      out(j) = bestCode
+      j += 1
+    }
+    out
+  }
+
+  def adc(codes: ArrayData, table: Array[Double], k: Int): Double = {
+    val m = codes.numElements()
+    if (table.length != m * k) throw new IllegalArgumentException(
+      s"graft_pq_adc: table has ${table.length} entries, expected m*k = ${m * k}")
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= k) throw new IllegalArgumentException(
+        s"graft_pq_adc: code $c at subspace $j out of range [0, $k) — codes built against a different codebook?")
+      s += table(j * k + c)
+      j += 1
+    }
+    round6(s)
+  }
+
+  def checkVec(emb: ArrayData, dim: Int): Unit = {
+    if (emb.numElements() != dim) throw new IllegalArgumentException(
+      s"pq corpus: embedding has ${emb.numElements()} dims, expected $dim")
+    var i = 0
+    while (i < dim) {
+      if (emb.isNullAt(i)) throw new IllegalArgumentException(
+        s"pq corpus: null element at position $i — dense embeddings required")
+      i += 1
+    }
+  }
+}
+
 /** Extension entry point: `spark.sql.extensions=graft.functions.GraftExtensions`
   * makes the graft_* functions available in SQL and via `call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -742,7 +935,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SignBandKeysAdaptive].getName, "graft_sign_bands_adaptive"),
       (children: Seq[Expression]) => SignBandKeysAdaptive(children.head,
         intLiteral(children(1)), intLiteral(children(2)), intLiteral(children(3)),
-        intLiteral(children(4)))))
+        intLiteral(children(4)))),
+    (FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => PqEncode(children.head,
+        doubleArrayLiteral(children(1)), intLiteral(children(2)), intLiteral(children(3)))),
+    (FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (children: Seq[Expression]) => PqAdc(children.head,
+        doubleArrayLiteral(children(1)), intLiteral(children(2)))))
 
   /** bits/bands/dim arrive as foldable literals. */
   private def intLiteral(e: Expression): Int = e.eval(null) match {
@@ -750,6 +951,20 @@ object GraftFunctions {
     case l: Long => l.toInt
     case other => throw new IllegalArgumentException(
       s"graft_sign_bands expects integer literals, got $other")
+  }
+
+  /** PQ codebooks / ADC tables arrive as foldable array<double>
+    * literals (typedlit) and are unpacked into the expression node at
+    * resolution — the plan then carries ONE reference object, not an
+    * m·k expression chain. */
+  private def doubleArrayLiteral(e: Expression): Array[Double] = {
+    require(e.foldable,
+      "graft_pq_*: the codebook/table argument must be a foldable array<double> literal")
+    e.eval(null) match {
+      case a: ArrayData => a.toDoubleArray()
+      case other => throw new IllegalArgumentException(
+        s"graft_pq_* expects an array<double> literal, got $other")
+    }
   }
 
   /** Idempotent registration into a live session (for sessions built

@@ -704,17 +704,21 @@ object Similarity {
    * Scale posture: the codebook (m·k subvectors) and the query's
    * distance table are collected driver-side — O(m·k), the same
    * bounded-state argument as [[kmeansCentroids]]'s centroids — and
-   * baked into the plan as LITERALS (the broadcast-variable analogue
-   * for expression trees). Encoding is then a PURE PER-ROW PROJECTION
+   * carried into the plan as ONE REFERENCE OBJECT each inside the
+   * native [[graft.functions.PqEncode]] / [[graft.functions.PqAdc]]
+   * expressions (`addReferenceObj`, the broadcast-variable analogue
+   * for expression state). Encoding is then a PURE PER-ROW PROJECTION
    * over the scan: zero joins, zero explodes, and no exchange beyond
    * the conditional under-partitioned-input spread (a well-partitioned
-   * corpus keeps its layout);
-   * distances expand to codegen-friendly add/multiply chains (no
-   * interpreted higher-order functions in the hot path), argmin is
-   * `array_position(dists, array_min(dists))` (first match = lowest
-   * code), and ADC indexes the literal table by the chosen code. A
-   * top-k over ADC composes as sort+limit (TakeOrderedAndProject)
-   * downstream.
+   * corpus keeps its layout). Plan size and generated-method size are
+   * O(1) in m·k — the earlier literal-chain formulation (m·k·dsub
+   * add/multiply terms baked into one generated method) cost seconds
+   * of fixed Janino compile latency at the demo size and would trip
+   * Janino's 64KB method limit at production PQ sizes (m=64, k=256 —
+   * now smoked green under `spark.sql.codegen.fallback=false`).
+   * Argmin keeps the first-match = lowest-code tie rule; ADC indexes
+   * the reference table by the chosen code. A top-k over ADC composes
+   * as sort+limit (TakeOrderedAndProject) downstream.
    *
    * Float discipline: subspace distances fold left-to-right over the
    * dsub positions in index order on BOTH engines; the query table is
@@ -758,31 +762,31 @@ object Similarity {
         round6(acc)
       }
     }
+    ensureRegistered(corpus)
+    val k = cb.length
+    // code-major flattening: cbFlat(c*dim + d) = component d of entry c
+    val cbFlat: Array[Double] = cb.flatMap(_._2)
+    // subspace-major ADC table: qdFlat(j*k + c), entries pre-rounded
+    val qdFlat: Array[Double] = qd.flatten
     val emb = col("embedding").cast("array<double>")
-    def subDist(j: Int, c: Array[Double]): Column = {
-      var e: Column = lit(0.0)
-      (0 until dsub).foreach { i =>
-        val d = element_at(emb, j * dsub + i + 1) - lit(c(j * dsub + i))
-        e = e + d * d
-      }
-      round(e, 6)
-    }
-    val codeCols = (0 until m).map { j =>
-      val dists = array(cb.map { case (_, c) => subDist(j, c) }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code$j")
-    }
     val guard = when(size(emb) === dim, col("vec_id"))
       .otherwise(raise_error(concat(
         lit(s"pq corpus: expected $dim dims, got "), size(emb).cast("string"))))
     // conditional spread: only repartitions when the scan arrives
     // under-partitioned (local small files) — a well-partitioned
-    // corpus keeps its layout and the plan stays exchange-free
+    // corpus keeps its layout and the plan stays exchange-free.
+    // PqEncode runs once per row (its own projection — CollapseProject
+    // won't duplicate a non-cheap expression); the m code columns and
+    // the ADC lookup then read the codes array.
     val coded = graft.dedup.Dedup.parallelize(corpus)
-      .select(guard.as("vec_id") +: codeCols: _*)
-    val adc = (0 until m).map { j =>
-      element_at(array(qd(j).map(lit): _*), col(s"code$j") + 1)
-    }.reduceLeft(_ + _)
-    coded.withColumn("adc6", round(adc, 6))
+      .select(guard.as("vec_id"),
+        call_function("graft_pq_encode",
+          emb, typedlit(cbFlat), lit(m), lit(dsub)).as("codes"))
+    val codeCols = (0 until m).map(j =>
+      element_at(col("codes"), j + 1).as(s"code$j"))
+    coded.select(col("vec_id") +: codeCols :+
+      call_function("graft_pq_adc",
+        col("codes"), typedlit(qdFlat), lit(k)).as("adc6"): _*)
   }
 
   /**
@@ -800,11 +804,9 @@ object Similarity {
       corpus: DataFrame, seeds: DataFrame, query: DataFrame,
       topK: Int = 20, m: Int = 4, dsub: Int = 16): DataFrame = {
     // barrier: production stores the codes once and searches them many
-    // times — materializing here reproduces that shape AND keeps the
-    // 1024-term encode chains out of the sort/window stages, which
-    // would otherwise recompile them (measured ~1.1 s of fixed codegen
-    // latency saved at any data size; the remaining fixed cost is the
-    // encode projection's own one-time compile)
+    // times — materializing here reproduces that shape (encode once,
+    // search many; the sort/window stages read stored codes instead of
+    // re-running the encode kernel per stage)
     val scored = graft.Materialize.barrier(pqEncodeAdc(corpus, seeds, query, m, dsub))
     scored.orderBy(col("adc6").asc, col("vec_id")).limit(topK)
       .withColumn("rank",

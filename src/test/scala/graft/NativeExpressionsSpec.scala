@@ -176,4 +176,110 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkTestBase {
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("embedding length")))
   }
+
+  // deterministic pseudo-random doubles in [-1, 1) — fixed seed so the
+  // PQ tests are reproducible
+  private def prand(seed: Long, n: Int): Array[Double] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n)(r.nextDouble() * 2.0 - 1.0)
+  }
+
+  test("graft_pq_encode/adc == the literal-chain formulation they replaced") {
+    GraftFunctions.register(spark)
+    val m = 4; val dsub = 16; val dim = m * dsub; val k = 8
+    val corpus = (0 until 40).map(i => (i.toLong, prand(1000 + i, dim)))
+    val cb = (0 until k).map(c => prand(2000 + c, dim)).toArray
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the pre-round-9 portable reference: literal add/multiply chains,
+    // round(·,6) per subspace distance, array_position(array_min) argmin
+    val emb = col("emb")
+    def subDist(j: Int, c: Array[Double]) = {
+      var e: org.apache.spark.sql.Column = lit(0.0)
+      (0 until dsub).foreach { i =>
+        val d = element_at(emb, j * dsub + i + 1) - lit(c(j * dsub + i))
+        e = e + d * d
+      }
+      round(e, 6)
+    }
+    val litCodes = (0 until m).map { j =>
+      val dists = array(cb.map(c => subDist(j, c)).toIndexedSeq: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val q = prand(3000, dim)
+    val qd: Array[Double] = Array.tabulate(m) { j =>
+      cb.map { c =>
+        var acc = 0.0
+        (0 until dsub).foreach { i =>
+          val d = q(j * dsub + i) - c(j * dsub + i); acc += d * d }
+        round6(acc)
+      }
+    }.flatten
+    val litAdc = round((0 until m).map { j =>
+      element_at(array(qd.slice(j * k, (j + 1) * k).map(lit).toIndexedSeq: _*),
+        litCodes(j) + 1)
+    }.reduceLeft(_ + _), 6)
+    val df = corpus.toDF("id", "emb")
+    val cmp = df.select(
+      call_function("graft_pq_encode", emb, typedlit(cb.flatten), lit(m), lit(dsub)).as("nc"),
+      array(litCodes: _*).as("lc"),
+      call_function("graft_pq_adc",
+        call_function("graft_pq_encode", emb, typedlit(cb.flatten), lit(m), lit(dsub)),
+        typedlit(qd), lit(k)).as("na"),
+      litAdc.as("la"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), s"codes diverge: $r")
+      assert(r.getDouble(2) == r.getDouble(3), s"adc diverges: $r")
+    }
+  }
+
+  test("graft_pq_encode fails loudly on null elements (no silent mis-code)") {
+    GraftFunctions.register(spark)
+    val goodTail: Seq[java.lang.Double] = (1 until 64).map(i => java.lang.Double.valueOf(i * 0.01))
+    val withNull: Seq[java.lang.Double] = null.asInstanceOf[java.lang.Double] +: goodTail
+    val bad = Seq((1L, withNull)).toDF("id", "emb")
+    val cb = prand(1, 2 * 64)
+    val e = intercept[Exception] {
+      bad.select(call_function("graft_pq_encode",
+        col("emb"), typedlit(cb), lit(4), lit(16))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null element")))
+  }
+
+  test("PQ at production size (m=64, k=256) compiles with codegen fallback disabled") {
+    // the literal-chain formulation could NOT pass this test: 64·256·4
+    // add/multiply terms in one generated method trips Janino's 64KB
+    // limit and Spark silently drops to interpreted eval. The native
+    // kernel's generated code is O(1) in m·k — prove it by forbidding
+    // the fallback entirely for the duration of this test.
+    GraftFunctions.register(spark)
+    val m = 64; val dsub = 4; val dim = m * dsub; val k = 256
+    val corpus = (0 until 300).map(i => (i.toLong, prand(7000 + i, dim)))
+    val seeds = (0 until k).map(c => (c.toLong, prand(8000 + c, dim)))
+    val query = Seq((9999L, prand(9000, dim)))
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = graft.similarity.Similarity.pqEncodeAdc(
+        corpus.toDF("vec_id", "embedding"),
+        seeds.toDF("vec_id", "embedding"),
+        query.toDF("vec_id", "embedding"), m = m, dsub = dsub).collect()
+      assert(r.length == 300)
+      r.foreach { row =>
+        (1 to m).foreach { j =>
+          val c = row.getInt(j)
+          assert(c >= 0 && c < k, s"code out of range: $c")
+        }
+        val adc = row.getDouble(m + 1)
+        assert(!adc.isNaN && !adc.isInfinite && adc >= 0.0)
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
 }
