@@ -52,17 +52,29 @@ object Bench {
       System.gc()
       name -> dts.min
     }
-    // ms-resolution figures keep the one-line JSON small, and printing
-    // it AFTER spark.stop() (with logging silenced) keeps shutdown noise
-    // from pushing it out of a tail-capture buffer (BENCH_r06 lost the
-    // headline total to exactly that truncation)
+    // Printing AFTER spark.stop() (with logging silenced) keeps
+    // shutdown noise from pushing the headline out of a tail-capture
+    // buffer (BENCH_r06 lost the headline total to exactly that
+    // truncation). The capture buffer holds the LAST 2000 chars of
+    // output, and a 90-key map alone exceeds that (BENCH_r07/r08 both
+    // recorded parsed:null) — so emit TWO lines: first the full
+    // per-key map under a field name that cannot be mistaken for the
+    // headline ("perkey" — a truncated prefix of this line never
+    // contains '{"metric"'), then a compact headline line with the
+    // total and the most expensive keys, sized to always fit the
+    // buffer whole. Full per-key figures are preserved in-repo by the
+    // builder (BENCH_LOCAL_*.json) whenever the bench is run locally.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val perkey = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val top = results.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"perkey":$perkey}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top,"n_keys":${results.size},"queries_note":"top 15 by cost; full map on the perkey line","sf":"$sfDir"}""")
   }
 }

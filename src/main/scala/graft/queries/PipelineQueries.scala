@@ -163,6 +163,16 @@ object PipelineQueries {
       Similarity.pqTopK(
         e, e.where(col("vec_id") < 16), e.where(col("vec_id") === 17))
     }),
+    // IVFADC (the composition s4's scaladoc promises): cell routing
+    // from s2's centroid grid prunes the corpus to the query's 3
+    // nearest cells BEFORE the ADC scan — the plan scores ~nProbe/k of
+    // the corpus instead of all of it.
+    "s5_ivfadc_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfAdcTopK(
+        e, e.where(col("vec_id") < 16), e.where(col("vec_id") === 17),
+        centroids = e.where(col("vec_id") % 25 === 0), nProbe = 3)
+    }),
     "s1_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 5)
@@ -403,20 +413,27 @@ object PipelineQueries {
     * query = vec 17): per-subspace squared-L2 folds in index order,
     * ROUND(,6) before the argmin (row_number ORDER BY d6, code =
     * first-match / lowest-code tie rule), ADC summed in subspace
-    * order. Shared by the e2 key and s4's ranked wrapper. */
-  private val pqAdcSql =
-    s"""WITH v AS (SELECT vec_id,
+    * order. Shared by the e2 key, s4's ranked wrapper, and s5's
+    * cell-pruned variant. `vaWhere` restricts which corpus vectors
+    * are scored (it must keep vec 17 so the qd CTE still sees the
+    * query); `finalWhere` restricts the output rows — split because
+    * the query's distance table derives from the SAME d CTE whether
+    * or not vec 17 survives the cell prune. The internal corpus CTE
+    * is `pv` (RAW embeddings) so callers can layer a normalized `v`
+    * CTE alongside without shadowing. */
+  private def pqAdcSqlFor(vaWhere: String, finalWhere: String) =
+    s"""WITH pv AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
        |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
        |cb AS (SELECT sub,
        |  CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INTEGER) AS code,
-       |  emb AS cemb FROM v CROSS JOIN ss WHERE vec_id < 16),
+       |  emb AS cemb FROM pv CROSS JOIN ss WHERE vec_id < 16),
        |d AS (SELECT va.vec_id, cb.sub, cb.code,
        |  ROUND(list_sum(list_transform(generate_series(1, 16),
        |    i -> (va.emb[(cb.sub * 16 + i)::INTEGER] - cb.cemb[(cb.sub * 16 + i)::INTEGER])
        |       * (va.emb[(cb.sub * 16 + i)::INTEGER] - cb.cemb[(cb.sub * 16 + i)::INTEGER]))),
        |    6) AS d6
-       |  FROM v va CROSS JOIN cb),
+       |  FROM pv va CROSS JOIN cb $vaWhere),
        |best AS (SELECT vec_id, sub, code FROM (
        |  SELECT vec_id, sub, code,
        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d6, code) AS rn FROM d)
@@ -430,7 +447,9 @@ object PipelineQueries {
        |  CAST(max(CASE WHEN sub = 2 THEN code END) AS INTEGER) AS code2,
        |  CAST(max(CASE WHEN sub = 3 THEN code END) AS INTEGER) AS code3,
        |  max(adc.adc6) AS adc6
-       |FROM best JOIN adc USING (vec_id) GROUP BY best.vec_id""".stripMargin
+       |FROM best JOIN adc USING (vec_id) $finalWhere GROUP BY best.vec_id""".stripMargin
+
+  private val pqAdcSql = pqAdcSqlFor("", "")
 
   /** Unit-normalized embedding CTE — the twin of
     * Similarity.normalized: norm materialized, then element divide;
@@ -876,6 +895,32 @@ object PipelineQueries {
     // value rank-determinism argument as bm1/ir1
     "s4_pq_topk" ->
       s"""WITH e2 AS ($pqAdcSql)
+         |SELECT vec_id, code0, code1, code2, code3, adc6, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY adc6, vec_id) AS INTEGER) AS rank
+         |  FROM e2) WHERE rank <= 20""".stripMargin,
+    // s5: s2's cell routing (normalized assignment + probe, the
+    // proven-portable dot-product ranking) prunes the corpus, then
+    // exactly the s4 chain over the survivors. The pq chain's d CTE
+    // keeps vec 17 so the query distance table exists even when the
+    // query's own cell is not probed; the final restriction drops it
+    // unless it survived the prune — mirroring the Spark side, where
+    // the query frame is independent of the pruned corpus.
+    "s5_ivfadc_topk" ->
+      s"""WITH $vNormCte,
+         |cent AS (SELECT vec_id AS cid, emb AS cent_emb FROM v WHERE vec_id % 25 = 0),
+         |assigned AS (SELECT neighbor_id, cid FROM (
+         |  SELECT v.vec_id AS neighbor_id, cent.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+         |  FROM v CROSS JOIN cent) WHERE rn = 1),
+         |probes AS (SELECT cid FROM (
+         |  SELECT cent.cid,
+         |    row_number() OVER (ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+         |  FROM v CROSS JOIN cent WHERE v.vec_id = 17) WHERE rn <= 3),
+         |pruned AS (SELECT neighbor_id AS vec_id FROM assigned JOIN probes USING (cid)),
+         |e2 AS (${pqAdcSqlFor(
+      "WHERE (va.vec_id IN (SELECT vec_id FROM pruned) OR va.vec_id = 17)",
+      "WHERE best.vec_id IN (SELECT vec_id FROM pruned)")})
          |SELECT vec_id, code0, code1, code2, code3, adc6, rank FROM (
          |  SELECT *, CAST(row_number() OVER (ORDER BY adc6, vec_id) AS INTEGER) AS rank
          |  FROM e2) WHERE rank <= 20""".stripMargin,

@@ -812,4 +812,74 @@ object Similarity {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("adc6").asc, col("vec_id"))))
   }
+
+  /**
+   * IVFADC retrieval (Jégou et al. 2011, §V — the full FAISS probe
+   * shape): [[ivfTopK]]'s coarse cell routing composed with
+   * [[pqTopK]]'s asymmetric-distance scoring. The corpus is assigned
+   * to cells by nearest `centroids` (cosine argmax over normalized
+   * vectors — the same aggregate-shaped assignment as s2/sd1); the
+   * query probes its `nProbe` nearest cells; ONLY vectors in probed
+   * cells are ADC-scored — the whole-corpus scan s4 performs becomes a
+   * cell-pruned scan of ~nProbe/k of the corpus. Same output shape as
+   * [[pqTopK]] (vec_id, code0.., adc6, rank); recall < 1 by design
+   * (a true neighbor in an unprobed cell is never scored).
+   *
+   * Scale posture: centroids and the single-query probe set are O(k)
+   * broadcasts; assignment is one corpus scan folded by
+   * [[argmaxAssign]] (~N aggregated rows through the exchange); the
+   * prune is a broadcast semi join on vec_id (no corpus shuffle); the
+   * surviving fraction flows through [[pqEncodeAdc]]'s zero-exchange
+   * projection and a TakeOrderedAndProject top-k. At 100 TB the
+   * pruned fraction is the knob: nProbe/k of the corpus is scored,
+   * everything else is never read past the assignment pass — and a
+   * production deployment would PERSIST the assignment (it is
+   * query-independent), making the per-query cost just the pruned ADC
+   * scan.
+   */
+  def ivfAdcTopK(
+      corpus: DataFrame, seeds: DataFrame, query: DataFrame,
+      centroids: DataFrame, topK: Int = 20, m: Int = 4, dsub: Int = 16,
+      nProbe: Int = 3): DataFrame =
+    pqTopK(ivfAdcPruned(corpus, query, centroids, nProbe), seeds, query,
+      topK, m, dsub)
+
+  /** The cell-pruning stage of [[ivfAdcTopK]], exposed so its plan is
+    * independently inspectable (the top-k's storage barrier hides it
+    * from the final executedPlan): corpus restricted to the vectors
+    * whose nearest centroid is one of the query's `nProbe` nearest
+    * cells. */
+  private[graft] def ivfAdcPruned(
+      corpus: DataFrame, query: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
+    ensureRegistered(corpus)
+    val cent = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
+
+    // query-independent corpus→cell assignment (persistable in
+    // production; recomputed here because the gate measures end-to-end)
+    val assigned = argmaxAssign(
+      normalized(corpus, "nid", "n_emb"), cent, "nid", "n_emb")
+      .select(col("nid"), col("cid"))
+
+    // the query's nProbe nearest cells — one row in the gate key, so
+    // the rank window is over ≤ k broadcast-joined rows
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_p").desc, col("cid"))
+    val probes = normalized(query, "query_id", "q_emb", spread = false)
+      .crossJoin(cent)
+      .withColumn("cos_p", fastDot(col("q_emb"), col("cent_emb")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("cid"))
+
+    val prunedIds = assigned.join(broadcast(probes), Seq("cid"))
+      .select(col("nid").as("vec_id"))
+    // broadcast the id set so the CORPUS side never shuffles — pruned
+    // ids are (nProbe/k)·N bigints (the IVF knob keeps that fraction
+    // small; at 10^10 vectors with k=10^5 cells and nProbe=10 it is
+    // ~10^6 ids). Past broadcast size, the production posture is to
+    // PERSIST the assignment bucketed by cid and partition-prune the
+    // probe read instead of joining at all (see scaladoc).
+    corpus.join(broadcast(prunedIds), Seq("vec_id"), "left_semi")
+  }
 }

