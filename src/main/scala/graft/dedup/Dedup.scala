@@ -563,6 +563,64 @@ object Dedup {
     (out, rounds)
   }
 
+  /** Contracted-graph folds at or below this many distinct root-edges
+    * run as ONE driver-side union-find pass instead of the O(log d)
+    * distributed label-propagation rounds. LOUD BOUND, same shape as
+    * `maxBroadcastRows`: 5M (root_a, root_b) longs is ~80 MB of driver
+    * heap and the contracted graph is batch-bounded BY CONSTRUCTION
+    * (≤ the arriving batch's distinct cross-component edges — never
+    * corpus-sized), so a batch that exceeds this is a pipeline-shape
+    * signal, not a silent failure: the fold falls back to the
+    * distributed path, it does not error. */
+  val maxDriverFoldEdges: Long = 5000000L
+
+  /**
+   * Component-minimum remap of the CONTRACTED graph — (doc_id,
+   * cluster_id = component min) over `rootDocs` with `edgeRoots`
+   * edges. At or below [[maxDriverFoldEdges]] distinct root-edges this
+   * is one collect + union-find with path compression (attach the
+   * larger root under the smaller, so every find lands on the
+   * component minimum — the same fixpoint as min-label propagation),
+   * the [[graft.similarity.Similarity.kmeansCentroids]] bounded-state
+   * argument applied to a batch-bounded graph: the distributed fold's
+   * per-round job latency (two joins + an aggregation + a convergence
+   * action, times O(log d) rounds) is a FIXED cost that dwarfs a
+   * sub-second driver pass at any batch size the bound admits. Above
+   * the bound, [[dedupClusters]]'s distributed rounds take over —
+   * equality of the two paths is property-tested (CorpusSpec).
+   */
+  private[graft] def contractedRemap(
+      rootDocs: DataFrame, edgeRoots: DataFrame, nEdgeRoots: Long,
+      maxDriverEdges: Long = maxDriverFoldEdges): DataFrame = {
+    if (nEdgeRoots > maxDriverEdges)
+      return dedupClusters(
+        rootDocs, edgeRoots.select(col("root_a").as("doc_a"), col("root_b").as("doc_b")))
+        .select(col("doc_id"), col("cluster_id"))
+    val spark = rootDocs.sparkSession
+    import spark.implicits._
+    val edges = edgeRoots
+      .select(col("root_a").cast("long"), col("root_b").cast("long"))
+      .as[(Long, Long)].collect()
+    val docs = rootDocs.select(col("doc_id").cast("long")).as[Long].collect()
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // min-root union: the surviving root is the component minimum
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    docs.toSeq.map(d => (d, find(d))).toDF("doc_id", "cluster_id")
+  }
+
   /**
    * Delta-incremental connected components: fold a batch of NEW docs
    * and NEW similarity edges into a prior [[dedupClusters]] assignment
@@ -578,8 +636,10 @@ object Dedup {
    * Result == `dedupClusters(all docs, all edges)` whenever `prior` is
    * a valid fixpoint — property-tested against the from-scratch run.
    *
-   * Scale posture: the iterative part ([[dedupClusters]] on the
-   * contracted graph) sees only DISTINCT touched roots and root-edges
+   * Scale posture: the fold on the contracted graph
+   * ([[contractedRemap]] — driver union-find under
+   * [[maxDriverFoldEdges]], distributed propagation above) sees only
+   * DISTINCT touched roots and root-edges
    * — bounded by the batch, not the corpus. The corpus-sized work is
    * one left join against the root remap (tiny → broadcast) plus the
    * cluster-size recount; callers maintaining sizes out-of-band can
@@ -600,13 +660,13 @@ object Dedup {
       .select(col("root_a"), col("root_b"))
       .where(col("root_a") =!= col("root_b"))
       .distinct())
+    val nEdgeRoots = edgeRoots.count()
     val updated =
-      if (edgeRoots.isEmpty) labels
+      if (nEdgeRoots == 0) labels
       else {
         val rootDocs = edgeRoots.select(col("root_a").as("doc_id"))
           .unionByName(edgeRoots.select(col("root_b").as("doc_id"))).distinct()
-        val rootPairs = edgeRoots.select(col("root_a").as("doc_a"), col("root_b").as("doc_b"))
-        val remap = dedupClusters(rootDocs, rootPairs)
+        val remap = contractedRemap(rootDocs, edgeRoots, nEdgeRoots)
           .where(col("doc_id") =!= col("cluster_id")) // identity rows remap nothing
           .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root"))
         labels.join(broadcast(remap), labels("cluster_id") === remap("old_root"), "left")
@@ -665,12 +725,13 @@ object Dedup {
     val singletons = (d: DataFrame) => d.select(col("doc_id"),
       col("doc_id").as("cluster_id"), lit(1L).as("cluster_size"),
       lit(true).as("is_canonical"))
-    if (edgeRoots.isEmpty) return (priorOut, singletons(newDocs))
+    val nEdgeRoots = edgeRoots.count()
+    if (nEdgeRoots == 0) return (priorOut, singletons(newDocs))
 
     val rootDocs = materialize(edgeRoots.select(col("root_a").as("doc_id"))
       .unionByName(edgeRoots.select(col("root_b").as("doc_id"))).distinct())
     val remap = materialize(
-      dedupClusters(rootDocs, edgeRoots.select(col("root_a").as("doc_a"), col("root_b").as("doc_b")))
+      contractedRemap(rootDocs, edgeRoots, nEdgeRoots)
         .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root")))
     // merged size per surviving root: prior canonical sizes for old
     // roots, 1 for new-doc roots. The canonical-row scan is

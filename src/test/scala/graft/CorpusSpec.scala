@@ -65,6 +65,28 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(incr.find(_._1 == 10L).exists(r => r._2 == 10L && r._3 == 1L && r._4))
   }
 
+  test("contractedRemap: driver union-find == distributed propagation (chains, cliques, bound)") {
+    // chain (worst case for propagation), clique (typical dedup), a
+    // merge through a shared node, and isolated roots
+    val edges = (
+      (100L to 120L).sliding(2).map(p => (p.head, p.last)).toSeq ++   // chain 100..120
+      (for (a <- 200L to 205L; b <- (a + 1) to 205L) yield (a, b)) ++  // clique 200..205
+      Seq((120L, 200L))                                                // bridge chain↔clique
+    )
+    val docs = (edges.flatMap(e => Seq(e._1, e._2)).distinct ++ Seq(999L)).toDF("doc_id")
+    val er = edges.toDF("root_a", "root_b")
+    val n = er.count()
+    val fast = Dedup.contractedRemap(docs, er, n)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // force the distributed path by setting the driver bound below n
+    val dist = Dedup.contractedRemap(docs, er, n, maxDriverEdges = 0L)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(fast == dist)
+    // the bridged component's label is the global min 100
+    assert(fast.filter(_._1 >= 200L).filter(_._1 <= 205L).forall(_._2 == 100L))
+    assert(fast.find(_._1 == 999L).exists(_._2 == 999L))
+  }
+
   test("incrementalClusters: no-op batch (only intra-cluster edges) preserves the fixpoint") {
     val docs1 = (0L to 3L).toDF("doc_id")
     val pairs1 = Seq((0L, 1L), (2L, 3L)).toDF("doc_a", "doc_b")
