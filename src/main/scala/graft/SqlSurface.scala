@@ -27,14 +27,29 @@ object SqlSurface {
     * marked EAGER below run their hash/propagation jobs at
     * registration time (their operators checkpoint intermediate hash
     * frames / iterate to a fixpoint — that work cannot be deferred
-    * into a view without re-running it per query). */
+    * into a view without re-running it per query). Views that need an
+    * input beyond the docs frame register only when their parameter is
+    * supplied: `graft_bm25` (query terms), `graft_dsir_select` /
+    * `graft_dsir_heldout` (target predicate), `graft_curation`
+    * (eval-set predicate). */
   val CorpusViews: Seq[String] = Seq(
     "graft_documents", "graft_doc_stats", "graft_doc_splits",
     "graft_pii_scrub",
     "graft_exact_dedup" /* EAGER */, "graft_minhash_pairs" /* EAGER */,
-    "graft_dedup_clusters" /* EAGER */)
+    "graft_dedup_clusters" /* EAGER */,
+    "graft_substring_dedup" /* EAGER */,
+    "graft_substring_keepfirst" /* EAGER */,
+    "graft_canonical_quality" /* EAGER (reuses the cluster fixpoint) */,
+    "graft_bm25" /* EAGER; only with bm25Terms */,
+    "graft_dsir_select" /* EAGER; only with dsirTarget */,
+    "graft_dsir_heldout" /* EAGER; only with dsirTarget */,
+    "graft_curation" /* EAGER; only with curationEval */)
 
-  def registerCorpus(docs: DataFrame, minhashThreshold: Double = 0.6): Unit = {
+  def registerCorpus(
+      docs: DataFrame, minhashThreshold: Double = 0.6,
+      bm25Terms: Seq[String] = Nil,
+      dsirTarget: Option[org.apache.spark.sql.Column] = None,
+      curationEval: Option[org.apache.spark.sql.Column] = None): Unit = {
     import org.apache.spark.sql.functions._
     val tf = graft.functions.TextFunctions
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -67,6 +82,70 @@ object SqlSurface {
         tf.piiCount(col("text"), tf.AddressRe).as("n_addresses"),
         md5(tf.piiScrub(col("text"))).as("scrub_md5"))
       .createOrReplaceTempView("graft_pii_scrub")
+    // substring-level exact dedup (Lee et al. EXACTSUBSTR), both
+    // removal semantics
+    graft.dedup.Dedup.substringDedup(docs, l = 5)
+      .createOrReplaceTempView("graft_substring_dedup")
+    graft.dedup.Dedup.substringDedup(docs, l = 5, keepFirst = true)
+      .createOrReplaceTempView("graft_substring_keepfirst")
+    // quality-aware canonical selection over the SAME near-dup
+    // clusters the graft_dedup_clusters view exposes
+    val quality6 = docs.select(col("doc_id"),
+      tf.qualityScore(col("text")).as("quality6"))
+    graft.dedup.Dedup.canonicalByQuality(
+        graft.dedup.Dedup.dedupClusters(docs.select(col("doc_id")), pairs), quality6)
+      .createOrReplaceTempView("graft_canonical_quality")
+    if (bm25Terms.nonEmpty)
+      graft.queries.TextAnalysis.bm25TopK(docs, bm25Terms)
+        .createOrReplaceTempView("graft_bm25")
+    dsirTarget.foreach { t =>
+      graft.queries.CorpusQueries.dsirSelect(docs, t)
+        .createOrReplaceTempView("graft_dsir_select")
+      graft.queries.CorpusQueries.dsirSelect(docs, t, heldOutRaw = true)
+        .createOrReplaceTempView("graft_dsir_heldout")
+    }
+    curationEval.foreach { isEval =>
+      val cur = docs.where(!isEval)
+      val dup = graft.dedup.Dedup.exactDedup(cur)
+        .select(col("doc_id"), col("is_dup").as("is_exact_dup"))
+      val dec = graft.dedup.Dedup.decontaminate(cur, docs.where(isEval))
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
+      cur.select(col("doc_id"))
+        .join(dup, Seq("doc_id"))
+        .join(dec, Seq("doc_id"))
+        .join(quality6, Seq("doc_id"))
+        .withColumn("keep",
+          !col("is_exact_dup") && !col("contaminated") && col("quality6") >= 0.5)
+        .createOrReplaceTempView("graft_curation")
+    }
+  }
+
+  /** Similarity/retrieval views over an `(vec_id, embedding)` frame —
+    * the s1–s5/e1/e2 family. `queries` drives the ANN/IVF views,
+    * `pqQuery` (exactly ONE vector) drives the PQ family, `centroids`
+    * the IVF cell grids. PQ registration collects the O(m·k) codebook
+    * driver-side at registration (the encode itself stays a lazy
+    * zero-exchange projection). */
+  val EmbeddingViews: Seq[String] = Seq(
+    "graft_embeddings", "graft_int8_quantize", "graft_ann_topk",
+    "graft_ivf_topk", "graft_pq_codes", "graft_pq_topk",
+    "graft_ivfadc_topk")
+
+  def registerEmbeddings(
+      embs: DataFrame, queries: DataFrame, pqSeeds: DataFrame,
+      pqQuery: DataFrame, centroids: DataFrame,
+      k: Int = 5, topK: Int = 20, nProbe: Int = 3): Unit = {
+    val S = graft.similarity.Similarity
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    embs.createOrReplaceTempView("graft_embeddings")
+    S.quantizeInt8Stats(embs).createOrReplaceTempView("graft_int8_quantize")
+    S.bruteForceTopK(queries, embs, k).createOrReplaceTempView("graft_ann_topk")
+    S.ivfTopK(queries, embs, centroids, k, nProbe)
+      .createOrReplaceTempView("graft_ivf_topk")
+    S.pqEncodeAdc(embs, pqSeeds, pqQuery).createOrReplaceTempView("graft_pq_codes")
+    S.pqTopK(embs, pqSeeds, pqQuery, topK).createOrReplaceTempView("graft_pq_topk")
+    S.ivfAdcTopK(embs, pqSeeds, pqQuery, centroids, topK, nProbe = nProbe)
+      .createOrReplaceTempView("graft_ivfadc_topk")
   }
 
   def register(

@@ -1102,7 +1102,7 @@ object Dedup {
    * gram). Interval merge is the standard running-max-end window
    * PARTITIONED BY doc_id over dup starts only (bounded by dup
    * occurrences, not corpus tokens). No global sort, no driver-side
-   * state; every exchange is keyed by a 32-bit hash or doc_id.
+   * state; every exchange is keyed by the 63-bit gram hash or doc_id.
    */
   def substringDedup(
       docs: DataFrame, l: Int = 5, maxDupFrac: Double = 0.5,

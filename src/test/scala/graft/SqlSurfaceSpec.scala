@@ -59,6 +59,76 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
       .head.getLong(0) == 4L)
   }
 
+  test("round-7/8 corpus families reachable from SQL and equal to their DataFrame twins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rep = "w1 w2 w3 w4 w5 w6 w7"
+    val docs = (0L until 20L).map { i =>
+      val tail = if (i % 4 == 0) rep else s"tail$i t${i}a t${i}b t${i}c t${i}d t${i}e t${i}f"
+      (i, s"shared head tokens here $tail")
+    }.toDF("doc_id", "text")
+    SqlSurface.registerCorpus(docs,
+      bm25Terms = Seq("shared", "tail5"),
+      dsirTarget = Some(col("doc_id") % 2 === 0),
+      curationEval = Some(col("doc_id") % 7 === 3))
+    def rows(sql: String) = spark.sql(sql).collect().toSeq.map(_.toString).sorted
+    def same(view: String, twin: org.apache.spark.sql.DataFrame): Unit =
+      assert(rows(s"SELECT * FROM $view") ==
+        twin.collect().toSeq.map(_.toString).sorted, view)
+    same("graft_substring_dedup", graft.dedup.Dedup.substringDedup(docs, l = 5))
+    same("graft_substring_keepfirst",
+      graft.dedup.Dedup.substringDedup(docs, l = 5, keepFirst = true))
+    same("graft_bm25",
+      graft.queries.TextAnalysis.bm25TopK(docs, Seq("shared", "tail5")))
+    same("graft_dsir_select",
+      graft.queries.CorpusQueries.dsirSelect(docs, col("doc_id") % 2 === 0))
+    same("graft_dsir_heldout",
+      graft.queries.CorpusQueries.dsirSelect(docs, col("doc_id") % 2 === 0,
+        heldOutRaw = true))
+    // canonical selection: SQL view joins work and every cluster keeps
+    // exactly one canonical member
+    val canon = spark.sql(
+      """SELECT cluster_id, count(*) AS n, sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept
+        |FROM graft_canonical_quality GROUP BY cluster_id""".stripMargin).collect()
+    assert(canon.nonEmpty && canon.forall(_.getLong(2) == 1L))
+    // curation: eval docs excluded, keep implies not contaminated
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_curation WHERE doc_id % 7 = 3").head.getLong(0) == 0L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_curation WHERE keep AND contaminated").head.getLong(0) == 0L)
+  }
+
+  test("similarity family (s1-s5, e1, e2) reachable from SQL and equal to DataFrame twins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val S = graft.similarity.Similarity
+    def vec(seed: Long) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextDouble() * 2.0 - 1.0)
+    }
+    val embs = (0L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val queries = embs.where(col("vec_id") < 3)
+    val seeds = embs.where(col("vec_id") < 16)
+    val pqQuery = embs.where(col("vec_id") === 17)
+    val cents = embs.where(col("vec_id") % 20 === 0)
+    SqlSurface.registerEmbeddings(embs, queries, seeds, pqQuery, cents)
+    def rows(sql: String) = spark.sql(sql).collect().toSeq.map(_.toString).sorted
+    def same(view: String, twin: org.apache.spark.sql.DataFrame): Unit =
+      assert(rows(s"SELECT * FROM $view") ==
+        twin.collect().toSeq.map(_.toString).sorted, view)
+    same("graft_int8_quantize", S.quantizeInt8Stats(embs))
+    same("graft_ann_topk", S.bruteForceTopK(queries, embs, 5))
+    same("graft_ivf_topk", S.ivfTopK(queries, embs, cents, 5, 3))
+    same("graft_pq_codes", S.pqEncodeAdc(embs, seeds, pqQuery))
+    same("graft_pq_topk", S.pqTopK(embs, seeds, pqQuery, 20))
+    same("graft_ivfadc_topk", S.ivfAdcTopK(embs, seeds, pqQuery, cents, 20))
+    // cross-view SQL composition: PQ codes joinable with ANN output
+    assert(spark.sql(
+      """SELECT count(*) FROM graft_pq_topk p
+        |JOIN graft_pq_codes c ON p.vec_id = c.vec_id
+        |WHERE p.adc6 = c.adc6""".stripMargin).head.getLong(0) >= 1L)
+  }
+
   test("find_peaks clamp: near-head peak paints from index 0, no wrap") {
     // peak at index 1 with width > 1: int(p - w) < 0 must clamp to 0
     // (the reference's iloc would wrap to the series tail - SURVEY §7.1/L4)
