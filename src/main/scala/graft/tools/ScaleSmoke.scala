@@ -373,6 +373,21 @@ object ScaleSmoke {
           s"hot gram: expected full coverage 1000000, got ${r.getLong(0)}")
         r.getLong(1)
       }
+      // keep-first removal under the SAME planted hot gram: the
+      // min(struct(doc, pos)) canonical pick partial-combines inside
+      // the gram-count aggregate, so the 100k-occurrence gram still
+      // cannot pin a task. Exact arithmetic: the 6 hot grams' global
+      // first occurrences all sit in the lowest-id hot doc, which
+      // keeps all 10 tokens; the other 99,999 hot docs stay fully
+      // covered → 999,990.
+      timed("sb2_keepfirst_hot_100k", runs = 2) {
+        val r = graft.dedup.Dedup.substringDedup(withHot, l = 5, keepFirst = true)
+          .where(col("doc_id") >= 10000000L)
+          .agg(sum(col("covered_tokens")), count(lit(1))).head
+        require(r.getLong(0) == 999990L,
+          s"keep-first hot gram: expected coverage 999990, got ${r.getLong(0)}")
+        r.getLong(1)
+      }
       // synthetic corpus is single-lang, so the smoke's target slice
       // is a 10% id-hash cut — the smoke measures the plan shape and
       // throughput, not the semantics (the gate key covers those)
@@ -391,9 +406,9 @@ object ScaleSmoke {
           .agg(sum(col("w_mean")), count(lit(1))).head
         r.getLong(1)
       }
-      // e2 PQ encode over the 200k embeddings: a pure projection, so
-      // the interesting numbers are rows/s and the (fixed) plan-build
-      // + codegen latency of the literal distance chains
+      // e2 PQ encode over the 200k embeddings: a pure projection via
+      // the native graft_pq_encode kernel (round 9 — plan size O(1)
+      // in m·k), so the interesting number is rows/s
       val embs = spark.read.parquet(s"$outDir/embeddings.parquet")
       timed("e2_pq_encode_200k", runs = 2) {
         val r = graft.similarity.Similarity.pqEncodeAdc(
