@@ -106,6 +106,77 @@ object StreamingDedup {
    * corpus-sized benchmark should run the batch operator per
    * micro-batch via foreachBatch instead.
    */
+  /**
+   * Streaming substring-duplication screen against a STATIC reference
+   * corpus — the continuous twin of
+   * [[graft.dedup.Dedup.substringDedup]] in the lambda layout: the
+   * batch job owns corpus×corpus substring dedup; the stream scores
+   * each ARRIVING doc's l-token spans against the frozen corpus gram
+   * set (one corpus occurrence plus the arriving one is already a
+   * duplicated span, so membership IS the `occ >= 2` predicate).
+   * Same per-doc output shape and arithmetic as the batch operator:
+   * merged-interval coverage over dup starts, ROUND(,6) fraction,
+   * `keep = dup_frac <= maxDupFrac`. Batch-equivalence on a replayed
+   * corpus is spec-tested (StreamingSpec): for arriving docs with no
+   * stream-internal duplication, row-for-row equal to
+   * `substringDedup(corpus ∪ stream)` restricted to the stream slice.
+   * Stream-internal duplicates are the batch job's responsibility —
+   * the same caveat as [[streamingNearDups]].
+   *
+   * STATELESS (append mode, no state store): a doc's grams never span
+   * rows, so the interval merge runs row-locally over the native
+   * 63-bit gram-hash array. Driver/broadcast state is the corpus's
+   * distinct gram set — the [[streamingDecontaminate]] boundedness
+   * argument (8 bytes per distinct gram; reference sets in the 10^8
+   * range fit, a corpus-scale reference should run the batch operator
+   * per micro-batch via foreachBatch instead).
+   */
+  def streamingSubstringScreen(
+      docs: DataFrame, corpus: DataFrame, l: Int = 5,
+      maxDupFrac: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val gramSet: Set[Long] = corpus
+      .select(explode(array_distinct(
+        call_function("graft_shingle_hashes63", col("text"), lit(l)))).as("g"))
+      .distinct().as[Long].collect().toSet
+    val bc = spark.sparkContext.broadcast(gramSet)
+    docs
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        call_function("graft_shingle_hashes63", col("text"), lit(l)).as("gs"))
+      .as[(Long, Long, Seq[Long])]
+      .map { case (id, nTokens, gs) =>
+        // row-local twin of the batch running-max-end interval merge:
+        // windows share length l, so each dup start extends coverage
+        // by (p + l) - max(p, running end)
+        var dupStarts = 0L
+        var covered = 0L
+        var end = Long.MinValue
+        var p = 0
+        while (p < gs.length) {
+          if (bc.value.contains(gs(p))) {
+            dupStarts += 1
+            val e = p.toLong + l
+            if (e > end) {
+              covered += e - math.max(p.toLong, end)
+              end = e
+            }
+          }
+          p += 1
+        }
+        val frac =
+          if (nTokens == 0) 0.0
+          else BigDecimal(covered.toDouble / nTokens)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, nTokens, gs.length.toLong, dupStarts, covered, frac,
+          frac <= maxDupFrac)
+      }
+      .toDF("doc_id", "n_tokens", "n_grams", "dup_starts",
+        "covered_tokens", "dup_frac", "keep")
+  }
+
   def streamingDecontaminate(
       docs: DataFrame, benchmark: DataFrame,
       n: Int = 3, minHits: Long = 1L): DataFrame = {

@@ -318,6 +318,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming substring screen: batch-equivalent on a replayed corpus") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // reference corpus: two docs sharing one 5-token span (so it even
+    // has internal dups — they stay the batch job's rows)
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "iota alpha beta gamma delta epsilon kappa mu")
+    ).toDF("doc_id", "text")
+    // arriving docs: share spans with the CORPUS but not each other
+    // (stream-internal dups are out of scope by the lambda contract)
+    val arrivals = Seq(
+      (1L, "x1 alpha beta gamma delta epsilon x2 x3"),  // one corpus span
+      (2L, "y1 y2 y3 y4 y5 y6 y7 y8"),                  // clean
+      (3L, "zeta eta"),                                  // too short for a gram
+      (4L, "")                                           // empty
+    )
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.streamingSubstringScreen(
+        input.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("sss")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      input.addData(arrivals.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.sql("select * from sss order by doc_id")
+        .as[(Long, Long, Long, Long, Long, Double, Boolean)].collect().toSeq
+      // the batch operator over corpus ∪ arrivals, restricted to the
+      // arriving slice, must agree row for row
+      val batch = graft.dedup.Dedup.substringDedup(
+          corpus.unionByName(arrivals.toDF("doc_id", "text")), l = 5)
+        .where(col("doc_id") < 100L).orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long, Double, Boolean)].collect().toSeq
+      assert(got == batch)
+      // and the flagged doc is the one sharing the corpus span
+      assert(got.head == ((1L, 8L, 4L, 1L, 5L, 0.625, false)))
+      assert(got(1)._4 == 0L && got(1)._7)
+    } finally q.stop()
+  }
+
   // --- streaming station ingestion (graft-station readStream) -----------
 
   private def fixturePath = getClass.getResource("/station_tum.csv").getPath
