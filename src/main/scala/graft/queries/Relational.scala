@@ -89,6 +89,71 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q4-shaped order priority check: a correlated EXISTS
+    * becomes a LEFT SEMI join carrying a NON-EQUI term alongside the
+    * orderkey equality (this testdata has no commitdate/receiptdate,
+    * so "late" is shipdate > orderdate + 60 days — same plan shape as
+    * the spec's receipt>commit predicate). The date-range filter
+    * prunes the orders scan; the semi join never duplicates orders
+    * rows however many lineitems match — the count is over orders,
+    * not the join product. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .join(t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** TPC-H Q12-shaped line status × priority matrix: one fact-fact
+    * join (AQE decides broadcast-vs-shuffle from runtime sizes), then
+    * conditional partial-combined counts — the CASE terms ride inside
+    * the aggregate so the exchange carries one row per
+    * (partition × l_linestatus), never the join product. (This
+    * testdata has no l_shipmode; l_linestatus plays the group role.) */
+  def q12PriorityLines(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q19-shaped discounted revenue: the disjunctive-pushdown
+    * showcase — three (brand, size-range, quantity-range) conjuncts
+    * OR-ed together across the lineitem ⋈ part join. Catalyst
+    * extracts the common quantity envelope (1 ≤ l_quantity ≤ 30) and
+    * the join-key null filters below the join, so each side prunes at
+    * its scan before any exchange; the full disjunction evaluates
+    * post-join. (No p_container/l_shipmode in this testdata — brand ×
+    * size × quantity carries the disjunction.) */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(t(spark, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("p_partkey") === col("l_partkey"))
+      .where(cond)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q3-shaped shipping priority: selective dimension filter,
     * two shuffle joins, revenue aggregation. customer is filtered
     * before the join so the orders join sees only the matching
@@ -380,6 +445,35 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 4))
 
   val oracle: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        | AND o_orderdate < TIMESTAMP '1997-04-01'
+        | AND EXISTS (SELECT 1 FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey
+        |   AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        | AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        | OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        | OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -558,6 +652,9 @@ object Relational {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q12_priority_lines" -> (q12PriorityLines _),
+    "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "w1_top_orders_per_customer" -> (w1TopOrdersPerCustomer _),
