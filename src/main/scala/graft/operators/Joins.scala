@@ -24,10 +24,17 @@ object Joins {
    * shuffle on series_id, one sort — no join node at all, so there is
    * no skew amplification however many left rows share a right match.
    *
+   * With a tolerance, a match STALER than `toleranceUs` microseconds
+   * nulls out (pandas `merge_asof` `direction='backward'`,
+   * `tolerance` — the row itself survives, left-join semantics);
+   * the tolerance is a post-carry projection, so the plan is
+   * unchanged: same single shuffle, no join node.
+   *
    * Output: left columns + `asof_ts`, `asof_value` (null when no
-   * right row precedes).
+   * right row precedes / none within tolerance).
    */
-  def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
+  def asofJoin(
+      left: DataFrame, right: DataFrame, toleranceUs: Option[Long] = None): DataFrame = {
     val l = left.select(col("series_id"), col("ts"), col("value"),
       lit(1).as("side"), lit(null).cast("timestamp").as("r_ts"),
       lit(null).cast("double").as("r_val"))
@@ -42,13 +49,20 @@ object Joins {
     // right row — selecting them with two independent ignoreNulls
     // scans would let a null-VALUED nearest row pair its timestamp
     // with a different row's value
-    l.unionByName(r)
+    val joined = l.unionByName(r)
       .withColumn("m", last(
         when(col("side") === 0, struct(col("r_ts"), col("r_val"))),
         ignoreNulls = true).over(w))
       .where(col("side") === 1)
-      .select(col("series_id"), col("ts"), col("value"),
-        col("m.r_ts").as("asof_ts"), col("m.r_val").as("asof_value"))
+    val inTol = toleranceUs match {
+      case Some(tol) =>
+        col("m.r_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("m.r_ts")) <= tol
+      case None => col("m.r_ts").isNotNull
+    }
+    joined.select(col("series_id"), col("ts"), col("value"),
+      when(inTol, col("m.r_ts")).as("asof_ts"),
+      when(inTol, col("m.r_val")).as("asof_value"))
   }
 
   /**

@@ -32,6 +32,12 @@ object TemporalQueries {
       Joins.asofJoinForward(
         typedSeries(s, dir, "click"), typedSeries(s, dir, "purchase"),
         toleranceUs = Some(3L * 86400L * 1000000L))),
+    // backward direction with the same 3-day staleness bound — the
+    // pandas merge_asof (backward, tolerance) pair to aj2
+    "aj3_asof_tolerance" -> ((s, dir) =>
+      Joins.asofJoin(
+        typedSeries(s, dir, "click"), typedSeries(s, dir, "purchase"),
+        toleranceUs = Some(3L * 86400L * 1000000L))),
     "ij1_interval_stats" -> ((s, dir) =>
       Joins.intervalStats(
         SparkEntryBridge.canonical(s, dir),
@@ -73,6 +79,20 @@ object TemporalQueries {
          |  CASE WHEN r_ts IS NOT NULL AND epoch_us(r_ts) - epoch_us(ts) <= $tol
          |    THEN r_ts END AS asof_ts,
          |  CASE WHEN r_ts IS NOT NULL AND epoch_us(r_ts) - epoch_us(ts) <= $tol
+         |    THEN r_val END AS asof_value
+         |FROM j""".stripMargin
+    },
+    "aj3_asof_tolerance" -> {
+      val tol = 3L * 86400L * 1000000L
+      s"""WITH l AS (${typedCte("click")}),
+         |r AS (SELECT series_id, ts AS r_ts, value AS r_val FROM (${typedCte("purchase")})),
+         |j AS (SELECT l.series_id, l.ts, l.value, r.r_ts, r.r_val
+         |  FROM l ASOF LEFT JOIN r
+         |  ON l.series_id = r.series_id AND r.r_ts <= l.ts)
+         |SELECT series_id, ts, value,
+         |  CASE WHEN r_ts IS NOT NULL AND epoch_us(ts) - epoch_us(r_ts) <= $tol
+         |    THEN r_ts END AS asof_ts,
+         |  CASE WHEN r_ts IS NOT NULL AND epoch_us(ts) - epoch_us(r_ts) <= $tol
          |    THEN r_val END AS asof_value
          |FROM j""".stripMargin
     },

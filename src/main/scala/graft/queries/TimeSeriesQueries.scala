@@ -139,6 +139,29 @@ object TimeSeriesQueries {
           6).as("roll_med"))
   }
 
+  /** Exact rolling 90th percentile over the trailing 20-row frame —
+    * the NEAREST-RANK method (index = ⌈0.9·n⌉, an exact element pick,
+    * computed as integer ⌊(9n+9)/10⌋ on both engines) rather than any
+    * interpolating quantile: interpolation is engine-specific IEEE
+    * arithmetic, a rank pick is not. Same collected-frame shape and
+    * O(w log w) cost note as [[rs3RollingMedian]]; one exchange on
+    * series_id. */
+  def rs4RollingP90(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("series_id")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    canonicalWithId(spark, dir)
+      .withColumn("sorted", array_sort(collect_list(col("value")).over(w)))
+      .withColumn("n_window", size(col("sorted")).cast("long"))
+      .select(col("series_id"), col("ts"),
+        round(col("value"), 6).as("value"),
+        col("n_window"),
+        round(
+          when(col("n_window") === 0, lit(null).cast("double"))
+            .otherwise(element_at(col("sorted"),
+              floor((col("n_window") * 9 + 9) / lit(10)).cast("int"))),
+          6).as("roll_p90"))
+  }
+
   private val canonicalCte =
     "SELECT CAST(user_id AS VARCHAR) AS series_id, ts, " +
       "CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events"
@@ -214,6 +237,20 @@ object TimeSeriesQueries {
          | FROM ls)
          |SELECT series_id, ts, ROUND(value, 6) AS value,
          |  CAST(n AS BIGINT) AS n_window, ROUND(med, 6) AS roll_med FROM m""".stripMargin,
+    // rs4: nearest-rank p90 — the same integer ⌊(9n+9)/10⌋ = ⌈0.9n⌉
+    // rank pick on both engines; no quantile interpolation anywhere
+    "rs4_rolling_p90" ->
+      s"""WITH t AS ($canonicalIdCte),
+         |ls AS (SELECT series_id, ts, value,
+         |  list_sort(list_filter(list(value) OVER (PARTITION BY series_id
+         |    ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         |    x -> x IS NOT NULL)) AS sorted
+         | FROM t)
+         |SELECT series_id, ts, ROUND(value, 6) AS value,
+         |  CAST(len(sorted) AS BIGINT) AS n_window,
+         |  ROUND(CASE WHEN len(sorted) = 0 THEN NULL
+         |    ELSE sorted[((9 * len(sorted) + 9) // 10)::INTEGER] END, 6) AS roll_p90
+         |FROM ls""".stripMargin,
     "ew1_ewma" -> ewmaSql(alpha = 0.3)
   )
 
@@ -269,6 +306,7 @@ object TimeSeriesQueries {
     "ff1_forward_fill" -> (ff1ForwardFill _),
     "r2_interpolate" -> (r2Interpolate _),
     "rs1_rolling_stats" -> (rs1RollingStats _),
-    "rs3_rolling_median" -> (rs3RollingMedian _)
+    "rs3_rolling_median" -> (rs3RollingMedian _),
+    "rs4_rolling_p90" -> (rs4RollingP90 _)
   )
 }

@@ -23,6 +23,17 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.length == 1 && r(0).isNullAt(r(0).fieldIndex("asof_value")))
   }
 
+  test("backward asof: tolerance nulls stale matches, row survives") {
+    val left = seriesAt(Seq(day(1) -> 10.0, day(9) -> 90.0), "a")
+    val right = seriesAt(Seq(day(0) -> 1.0), "a")
+    val r = Joins.asofJoin(left, right, toleranceUs = Some(2 * DayUs))
+      .orderBy("ts")
+      .select("asof_value").collect().map(x => Option(x.get(0)))
+    // day1 → day0 is 1 day stale (within 2d); day9 → day0 is 9 days
+    // stale → nulled, but the left row itself survives
+    assert(r.toSeq == Seq(Some(1.0), None))
+  }
+
   test("asof join is per-series") {
     val left = seriesAt(Seq(day(2) -> 1.0), "a").union(seriesAt(Seq(day(2) -> 2.0), "b"))
     val right = seriesAt(Seq(day(1) -> 11.0), "a") // series b has no right rows
