@@ -822,10 +822,53 @@ case class PqAdc(child: Expression, table: Array[Double], k: Int)
     copy(child = newChild)
 }
 
+/**
+ * Element-wise vector difference: `graft_vec_sub(a, b)` →
+ * `array<double>` of `a(i) - b(i)` — the residual computation of
+ * IVFADC ([[graft.similarity.Similarity.ivfAdcResidualTopK]]) as one
+ * codegen'd primitive loop instead of an interpreted `zip_with`
+ * lambda (HOFs don't participate in whole-stage codegen — the
+ * documented 14× interpreted-chain cliff). Lengths must match
+ * (residuals are only defined against a same-dimensional centroid);
+ * mismatch fails the row loudly.
+ */
+case class VecSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_vec_sub"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqCodec.vecSub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PqCodec.vecSub($a, $b));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSub =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Shared by interpreted eval and generated code (one JVM-compiled
   * method keeps the generated method tiny and the hot loop
   * JIT-optimized — the [[SignBandKeysAdaptive]] pattern). */
 object PqCodec {
+
+  def vecSub(a: ArrayData, b: ArrayData): Array[Double] = {
+    val n = a.numElements()
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"graft_vec_sub: length mismatch ${n} vs ${b.numElements()}")
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+    out
+  }
 
   /** Spark's own DoubleType `round(x, 6)` semantics: NaN/Infinity
     * pass through, else BigDecimal.valueOf + HALF_UP — called from
@@ -943,7 +986,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
       (children: Seq[Expression]) => PqAdc(children.head,
-        doubleArrayLiteral(children(1)), intLiteral(children(2)))))
+        doubleArrayLiteral(children(1)), intLiteral(children(2)))),
+    (FunctionIdentifier("graft_vec_sub"),
+      new ExpressionInfo(classOf[VecSub].getName, "graft_vec_sub"),
+      (children: Seq[Expression]) => VecSub(children.head, children(1))))
 
   /** bits/bands/dim arrive as foldable literals. */
   private def intLiteral(e: Expression): Int = e.eval(null) match {

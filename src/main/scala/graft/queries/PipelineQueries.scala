@@ -173,6 +173,15 @@ object PipelineQueries {
         e, e.where(col("vec_id") < 16), e.where(col("vec_id") === 17),
         centroids = e.where(col("vec_id") % 25 === 0), nProbe = 3)
     }),
+    // RESIDUAL IVFADC — the encoding FAISS's IndexIVFPQ ships:
+    // residual codes against the coarse centroid, per-probed-cell ADC
+    // tables from the query residual (s5 is the routing-only form).
+    "s6_ivfadc_residual" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfAdcResidualTopK(
+        e, e.where(col("vec_id") < 16), e.where(col("vec_id") === 17),
+        centroids = e.where(col("vec_id") % 25 === 0), nProbe = 3)
+    }),
     "s1_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 5)
@@ -943,6 +952,73 @@ object PipelineQueries {
          |      i -> abs(xs[i::INTEGER] - qs[i::INTEGER] * am / 127.0))) END, 6)
          |    AS max_err6
          |FROM q""".stripMargin,
+    // s6: s5's routing plus residual arithmetic — remb = emb − craw
+    // (one IEEE subtraction per element, identical on both engines),
+    // codebook = seed residuals sliced per subspace, the enc/best
+    // CTEs are the e2 rounded-fold contract over residuals, and the
+    // ADC table is PER PROBED CELL (qres = emb17 − craw(cell)). The
+    // adc join keys on (cell of the scored vector, sub, code).
+    "s6_ivfadc_residual" ->
+      s"""WITH $vNormCte,
+         |cent AS (SELECT vec_id AS cid, emb AS cent_emb FROM v WHERE vec_id % 25 = 0),
+         |centraw AS (SELECT vec_id AS cid,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS craw
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |assigned AS (SELECT neighbor_id, cid FROM (
+         |  SELECT v.vec_id AS neighbor_id, cent.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+         |  FROM v CROSS JOIN cent) WHERE rn = 1),
+         |probes AS (SELECT cid FROM (
+         |  SELECT cent.cid,
+         |    row_number() OVER (ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+         |  FROM v CROSS JOIN cent WHERE v.vec_id = 17) WHERE rn <= 3),
+         |eraw AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |resid AS (SELECT e.vec_id, a.cid,
+         |  list_transform(generate_series(1, 64),
+         |    i -> e.emb[i::INTEGER] - cr.craw[i::INTEGER]) AS remb
+         |  FROM eraw e JOIN assigned a ON e.vec_id = a.neighbor_id
+         |  JOIN centraw cr ON a.cid = cr.cid),
+         |ss AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |cb AS (SELECT sub,
+         |  CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INTEGER) AS code,
+         |  remb AS cemb FROM resid CROSS JOIN ss WHERE vec_id < 16),
+         |enc AS (SELECT r.vec_id, r.cid, cb.sub, cb.code,
+         |  ROUND(list_sum(list_transform(generate_series(1, 16),
+         |    i -> (r.remb[(cb.sub * 16 + i)::INTEGER] - cb.cemb[(cb.sub * 16 + i)::INTEGER])
+         |       * (r.remb[(cb.sub * 16 + i)::INTEGER] - cb.cemb[(cb.sub * 16 + i)::INTEGER]))),
+         |    6) AS d6
+         |  FROM resid r CROSS JOIN cb
+         |  WHERE r.cid IN (SELECT cid FROM probes)),
+         |best AS (SELECT vec_id, cid, sub, code FROM (
+         |  SELECT vec_id, cid, sub, code,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d6, code) AS rn FROM enc)
+         |  WHERE rn = 1),
+         |qres AS (SELECT p.cid,
+         |  list_transform(generate_series(1, 64),
+         |    i -> q.emb[i::INTEGER] - cr.craw[i::INTEGER]) AS qemb
+         |  FROM probes p JOIN centraw cr ON p.cid = cr.cid
+         |  CROSS JOIN (SELECT emb FROM eraw WHERE vec_id = 17) q),
+         |qd AS (SELECT qres.cid, cb.sub, cb.code,
+         |  ROUND(list_sum(list_transform(generate_series(1, 16),
+         |    i -> (qres.qemb[(cb.sub * 16 + i)::INTEGER] - cb.cemb[(cb.sub * 16 + i)::INTEGER])
+         |       * (qres.qemb[(cb.sub * 16 + i)::INTEGER] - cb.cemb[(cb.sub * 16 + i)::INTEGER]))),
+         |    6) AS qd6
+         |  FROM qres CROSS JOIN cb),
+         |adc AS (SELECT b.vec_id, ROUND(list_sum(list(qd6 ORDER BY b.sub)), 6) AS adc6
+         |  FROM best b JOIN qd ON qd.cid = b.cid AND qd.sub = b.sub AND qd.code = b.code
+         |  GROUP BY b.vec_id),
+         |e2 AS (SELECT best.vec_id,
+         |  CAST(max(CASE WHEN sub = 0 THEN code END) AS INTEGER) AS code0,
+         |  CAST(max(CASE WHEN sub = 1 THEN code END) AS INTEGER) AS code1,
+         |  CAST(max(CASE WHEN sub = 2 THEN code END) AS INTEGER) AS code2,
+         |  CAST(max(CASE WHEN sub = 3 THEN code END) AS INTEGER) AS code3,
+         |  max(adc.adc6) AS adc6
+         |FROM best JOIN adc USING (vec_id) GROUP BY best.vec_id)
+         |SELECT vec_id, code0, code1, code2, code3, adc6, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY adc6, vec_id) AS INTEGER) AS rank
+         |  FROM e2) WHERE rank <= 20""".stripMargin,
     "s1_ann_topk" ->
       s"""WITH $vNormCte
          |SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos FROM (

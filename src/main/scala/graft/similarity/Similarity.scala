@@ -882,4 +882,114 @@ object Similarity {
     // probe read instead of joining at all (see scaladoc).
     corpus.join(broadcast(prunedIds), Seq("vec_id"), "left_semi")
   }
+
+  /**
+   * RESIDUAL IVFADC (Jégou et al. 2011, §V-A — the encoding FAISS's
+   * IndexIVFPQ actually ships): each vector is PQ-encoded as the
+   * residual `x − c(cell(x))` against its coarse centroid rather than
+   * raw, and the query builds a SEPARATE ADC table per probed cell
+   * from `q − c(cell)` — residuals concentrate around the origin, so
+   * the same codebook budget quantizes them far more finely than raw
+   * vectors. [[ivfAdcTopK]] is the cell-routing-only composition
+   * (raw-vector codes, one global ADC table); this operator adds the
+   * residual fidelity. `seeds` selects which CORPUS vectors' residuals
+   * form the codebook (codes are 0-based positions in the
+   * vec_id-sorted seed list, as everywhere in the PQ family).
+   *
+   * Scale posture: cell assignment is the one corpus-wide pass
+   * ([[argmaxAssign]], ~N combined rows through its exchange) and is
+   * query-independent — production persists it (and the residuals,
+   * which are also query-independent) bucketed by cid. Driver state
+   * is O(k·dim) raw centroids + O(nProbe) probed cells + one query
+   * vector — the kmeans bounded-state argument; per probed cell the
+   * scoring is [[pqEncodeAdc]]'s zero-exchange projection over that
+   * cell's slice with the cell's own ADC table, and the final top-k
+   * is sort+limit over the union of ≤nProbe cell slices
+   * (TakeOrderedAndProject). Residual subtraction is the codegen'd
+   * `graft_vec_sub` kernel, not an interpreted zip_with.
+   *
+   * Float discipline: residuals are single IEEE subtractions — the
+   * identical op on both engines — and everything downstream is the
+   * [[pqEncodeAdc]] rounded-fold contract, so the DuckDB twin is
+   * exact. The probe/assignment ranking runs on normalized vectors
+   * (the s2/s5 proven-portable cosine argmax).
+   */
+  def ivfAdcResidualTopK(
+      corpus: DataFrame, seeds: DataFrame, query: DataFrame,
+      centroids: DataFrame, topK: Int = 20, m: Int = 4, dsub: Int = 16,
+      nProbe: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    ensureRegistered(corpus)
+    val dim = m * dsub
+    val centN = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
+
+    // corpus→cell assignment (query-independent; barrier because the
+    // residual frame below is read once per probed cell + once for
+    // the codebook)
+    val assigned = graft.Materialize.barrier(
+      argmaxAssign(normalized(corpus, "nid", "n_emb"), centN, "nid", "n_emb")
+        .select(col("nid").as("vec_id"), col("cid")))
+
+    // bounded driver state: raw centroids (O(k·dim)), the query row,
+    // and the nProbe probed cells — collected because the per-cell
+    // ADC tables are driver-built (exactly FAISS's probe-list shape)
+    val centRaw: Map[Long, Array[Double]] = centroids
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    centRaw.foreach { case (id, e) => require(e.length == dim,
+      s"residual pq: centroid $id has ${e.length} dims, expected $dim") }
+    val qRows = query
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    require(qRows.length == 1,
+      s"residual pq: query must be exactly one vector, got ${qRows.length}")
+    val (qid, qRaw) = qRows(0)
+    require(qRaw.length == dim,
+      s"residual pq: query has ${qRaw.length} dims, expected $dim")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_p").desc, col("cid"))
+    val probeCids: Seq[Long] = normalized(query, "query_id", "q_emb", spread = false)
+      .crossJoin(centN)
+      .withColumn("cos_p", fastDot(col("q_emb"), col("cent_emb")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("cid").cast("long")).as[Long].collect().toSeq.sorted
+
+    // residuals — only for probed cells and the codebook seeds; each
+    // side is one corpus join against the barriered assignment
+    val centRawDf = broadcast(centroids.select(
+      col("vec_id").cast("long").as("cid"),
+      col("embedding").cast("array<double>").as("craw")))
+    def residuals(slice: DataFrame): DataFrame = slice
+      .join(centRawDf, Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        call_function("graft_vec_sub",
+          col("embedding").cast("array<double>"), col("craw")).as("embedding"))
+    val corpusAssigned = corpus.join(assigned, Seq("vec_id"))
+    val residPruned = graft.Materialize.barrier(
+      residuals(corpusAssigned.where(col("cid").isin(probeCids: _*))))
+    val seedsR = graft.Materialize.barrier(
+      residuals(corpusAssigned
+        .join(broadcast(seeds.select(col("vec_id"))), Seq("vec_id"), "left_semi"))
+        .select(col("vec_id"), col("embedding")))
+
+    // per probed cell: the cell's ADC table comes from the QUERY
+    // RESIDUAL against that cell's centroid — pqEncodeAdc builds it
+    // from the single-row query frame with the shared rounded-fold
+    // contract
+    val scoredPerCell = probeCids.map { c =>
+      val craw = centRaw(c)
+      val qres = Array.tabulate(dim)(i => qRaw(i) - craw(i))
+      pqEncodeAdc(
+        residPruned.where(col("cid") === c).select(col("vec_id"), col("embedding")),
+        seedsR,
+        Seq((qid, qres)).toDF("vec_id", "embedding"),
+        m, dsub)
+    }
+    val scored = graft.Materialize.barrier(scoredPerCell.reduce(_ unionByName _))
+    scored.orderBy(col("adc6").asc, col("vec_id")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("adc6").asc, col("vec_id"))))
+  }
 }

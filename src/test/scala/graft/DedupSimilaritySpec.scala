@@ -618,6 +618,41 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r.exists(x => x._1 == 17L && x._3 == 1))
   }
 
+  test("ivfAdcResidualTopK: per-cell residual ADC; query tops its own cell; differs from raw routing") {
+    import graft.sources.Tables
+    val S = graft.similarity.Similarity
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val seeds = e.where(col("vec_id") < 16)
+    val query = e.where(col("vec_id") === 17)
+    val cents = e.where(col("vec_id") % 25 === 0)
+    val r = S.ivfAdcResidualTopK(e, seeds, query, cents, topK = 10, nProbe = 3)
+      .select("vec_id", "adc6", "rank").as[(Long, Double, Int)].collect().toSeq
+    assert(r.nonEmpty && r.size <= 10)
+    assert(r.map(_._3).sorted == (1 to r.size))
+    val byRank = r.sortBy(_._3)
+    assert(byRank.map(_._2) == byRank.map(_._2).sorted)
+    // the query's own cell is its top probe, and there its residual
+    // EQUALS the query residual — every qd term is minimal for its
+    // own codes, so within that cell nothing beats vec 17. Across
+    // cells other ADC tables apply, so assert on the VALUE (vec 17
+    // carries the minimum adc6, possibly tied — e.g. a same-coded
+    // vector in another cell), not on rank 1
+    assert(r.find(_._1 == 17L).exists(_._2 == byRank.head._2))
+    // residual encoding is genuinely different arithmetic from the
+    // raw-vector routing form: the two operators disagree on codes
+    // (compare the full code tuples over the shared survivors)
+    val raw = S.ivfAdcTopK(e, seeds, query, cents, topK = 10, nProbe = 3)
+      .select("vec_id", "code0", "code1", "code2", "code3")
+      .as[(Long, Int, Int, Int, Int)].collect().map(x => x._1 -> (x._2, x._3, x._4, x._5)).toMap
+    val res = S.ivfAdcResidualTopK(e, seeds, query, cents, topK = 10, nProbe = 3)
+      .select("vec_id", "code0", "code1", "code2", "code3")
+      .as[(Long, Int, Int, Int, Int)].collect().map(x => x._1 -> (x._2, x._3, x._4, x._5)).toMap
+    val shared = raw.keySet.intersect(res.keySet)
+    assert(shared.nonEmpty)
+    assert(shared.exists(id => raw(id) != res(id)),
+      "residual codes identical to raw codes for every shared survivor — residual path suspect")
+  }
+
   test("substringDedup: repeated 5-gram coverage, interval merge, edge docs") {
     val d = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),        // shares only pos-0 gram with doc 2
