@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Sketch operators expressed as PURE relational algebra — no custom
+ * state, no approximate-library dependency, and (deliberately) no
+ * randomness: given the hash function, every register value and the
+ * final estimate are deterministic, so the correctness gate can
+ * hash-compare the ESTIMATE itself against an independent DuckDB
+ * implementation instead of settling for a tolerance check (the
+ * reason `approx_count_distinct` can't be gate-tested).
+ */
+object Sketches {
+
+  /**
+   * HyperLogLog distinct count (Flajolet et al. 2007) over a string
+   * key, with the small-range linear-counting correction:
+   *
+   *  - 128 md5 bits per key split into two 32-bit words (the repo's
+   *    portable-hash discipline: every derived value stays below
+   *    2^63, lesson 8); bucket = top p bits of the hi word, and the
+   *    rank input v = the remaining (32−p)+32 = (64−p) bits, built by
+   *    exact integer arithmetic `(hi mod 2^(32−p))·2^32 + lo`.
+   *  - rho = (64−p) + 1 − bitlen(v), with bitlen via
+   *    `length(bin(v))` — bin() strips leading zeros identically on
+   *    both engines, so the rank is integer-exact; v = 0 → all bits
+   *    zero → rho = (64−p)+1.
+   *  - registers: `max(rho)` per bucket — a partial-combined
+   *    aggregate whose exchange carries AT MOST m rows however large
+   *    the input (the whole point of HLL at 100 TB: distinct-count
+   *    with an m-row shuffle instead of a distinct shuffle of the
+   *    keys themselves).
+   *  - harmonic sum: Σ 2^(−M_j) is summed as the EXACT integers
+   *    2^(SCALE−M_j) in DECIMAL (each term is an exact power of two;
+   *    summing them in double would round order-dependently once
+   *    register spans exceed the 53-bit mantissa), empty buckets
+   *    contributing 2^SCALE each; the one double rounding is the
+   *    final CAST of the decimal sum, identical on both engines.
+   *  - estimate: alpha·m²·2^SCALE / S, with the standard m<128 alpha
+   *    constants, then the small-range branch `m·ln(m/V)` when
+   *    E ≤ 2.5m and empty buckets remain (the single ln call carries
+   *    the same measured last-ulp exposure as t8/m2 — absorbed by
+   *    ROUND(,6)).
+   *
+   * Returns ONE row: (n_exact, n_buckets_used, hll_estimate6) —
+   * n_exact is the exact distinct count, kept as the audit column
+   * (at gate SF both are cheap; at 100 TB the exact column is the
+   * one you'd drop).
+   */
+  def hllDistinct(df: DataFrame, key: Column, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 12, s"hll: p must be in [4, 12]: $p")
+    val m = 1 << p
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    val vbits = 64 - p          // rank-input width
+    val scale = vbits + 2       // > max register value, keeps terms >= 1
+    val fp = md5(key.cast("string"))
+    val hi = conv(substring(fp, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(fp, 9, 8), 16, 10).cast("long")
+    val bucket = floor(hi / lit(1L << (32 - p))).cast("long")
+    val v = pmod(hi, lit(1L << (32 - p))) * lit(4294967296L) + lo
+    val rho = when(v === 0, lit(vbits + 1))
+      .otherwise(lit(vbits + 1) - length(bin(v)))
+    val regs = df
+      .select(bucket.as("bucket"), rho.as("rho"), key.cast("string").as("k"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    val nExact = df.agg(countDistinct(key.cast("string")).as("n")).select(col("n"))
+    val summed = regs.agg(
+      sum(pow(lit(2.0), lit(scale) - col("reg")).cast("decimal(38,0)")).as("s_present"),
+      count(lit(1)).as("used"))
+    val sAll = (col("s_present")
+      + (lit(m) - col("used")).cast("decimal(38,0)")
+        * lit(math.pow(2.0, scale)).cast("decimal(38,0)")).cast("double")
+    // op sequence mirrored verbatim in the oracle: alpha·m·m·2^scale/S
+    val eRaw = lit(alpha) * lit(m) * lit(m) * lit(math.pow(2.0, scale)) / sAll
+    val est = when(eRaw <= lit(2.5 * m) && col("used") < m,
+        lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("used"))))
+      .otherwise(eRaw)
+    summed.crossJoin(nExact)
+      .select(col("n").as("n_exact"),
+        col("used").as("n_buckets_used"),
+        round(est, 6).as("hll_estimate6"))
+  }
+}

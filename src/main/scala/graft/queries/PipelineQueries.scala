@@ -254,6 +254,13 @@ object PipelineQueries {
     // the corpus is flagged; merged-interval coverage per doc. The
     // relational form of the paper's suffix-array predicate — see
     // Dedup.substringDedup scaladoc for the plan shape.
+    // HyperLogLog distinct count as pure relational algebra — the
+    // registers AND the estimate are deterministic given md5, so the
+    // gate hash-compares the estimate itself (p=6 so both the raw-HLL
+    // branch at sf>=0.01 and the linear-counting branch at sf0.001
+    // get exercised across SFs).
+    "hl1_hll_distinct" -> ((s, dir) =>
+      graft.operators.Sketches.hllDistinct(docs(s, dir), col("text"))),
     "sb1_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedup(docs(s, dir), l = 5)),
     // The paper's removal semantics: the globally-first occurrence of
@@ -667,6 +674,36 @@ object PipelineQueries {
     // integer coverage, one final rounded division, keep compares the
     // ROUNDED value. sb2 drops each gram's first (doc_id, pos)
     // occurrence from the dup-start set (rn >= 2).
+    // hl1: identical registers (md5-hex word parse, integer rank via
+    // length(bin(v))), harmonic sum as exact DECIMAL powers of two
+    // (order-independent), one double cast, the same op-sequence
+    // estimate — DOUBLE-cast literals everywhere (bare 0.709 would be
+    // DuckDB DECIMAL arithmetic)
+    "hl1_hll_distinct" -> {
+      def hex2int(off: Int) =
+        s"""CAST(list_sum(list_transform(generate_series(1, 8),
+           |  i -> (strpos('0123456789abcdef', substr(md5(text), (i + $off)::INTEGER, 1)) - 1)
+           |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
+      s"""WITH h AS (SELECT ${hex2int(0)} AS hi, ${hex2int(8)} AS lo FROM documents),
+         |b AS (SELECT CAST(floor(hi / 67108864) AS BIGINT) AS bucket,
+         |  hi % 67108864 * 4294967296 + lo AS v FROM h),
+         |r AS (SELECT bucket,
+         |  CASE WHEN v = 0 THEN 59 ELSE 59 - length(bin(v)) END AS rho FROM b),
+         |regs AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
+         |s AS (SELECT SUM(CAST(pow(2.0, 60 - reg) AS DECIMAL(38,0))) AS s_present,
+         |  COUNT(*) AS used FROM regs),
+         |f AS (SELECT used,
+         |  CAST(s_present + (64 - used) * CAST(pow(2.0, 60) AS DECIMAL(38,0)) AS DOUBLE) AS sall
+         | FROM s)
+         |SELECT (SELECT COUNT(DISTINCT text) FROM documents) AS n_exact,
+         |  used AS n_buckets_used,
+         |  ROUND(CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64 * pow(2.0, 60) / sall
+         |        <= CAST(160.0 AS DOUBLE) AND used < 64
+         |    THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / (64 - used))
+         |    ELSE CAST(0.709 AS DOUBLE) * 64 * 64 * pow(2.0, 60) / sall END, 6)
+         |    AS hll_estimate6
+         |FROM f""".stripMargin
+    },
     "sb1_substring_dedup" -> substringSql(keepFirst = false),
     "sb2_substring_keepfirst" -> substringSql(keepFirst = true),
     // cu1: x1's fingerprint chain over the curation slice, dc1's gram

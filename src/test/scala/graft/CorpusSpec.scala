@@ -87,6 +87,28 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(fast.find(_._1 == 999L).exists(_._2 == 999L))
   }
 
+  test("hllDistinct: linear-counting branch on sparse input, raw branch within HLL error bound") {
+    import org.apache.spark.sql.functions.col
+    // 10 distinct keys << m=64: some buckets stay empty and E <= 2.5m,
+    // so the small-range branch fires — m·ln(m/V) with V empty buckets
+    val small = (0 until 10).map(i => s"key-$i").toDF("k")
+    val r1 = graft.operators.Sketches.hllDistinct(small, col("k"))
+      .as[(Long, Long, Double)].head()
+    assert(r1._1 == 10L && r1._2 < 64)
+    val expectLinear = BigDecimal(64.0 * math.log(64.0 / (64 - r1._2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1._3 == expectLinear)
+    // small-range estimates are tight
+    assert(math.abs(r1._3 - 10.0) / 10.0 < 0.25, s"linear estimate off: ${r1._3}")
+    // 20k distinct keys: raw harmonic branch; standard error for m=64
+    // is 1.04/sqrt(64) = 13% — assert within 4 sigma
+    val big = (0 until 20000).map(i => s"doc-$i-${i * 7}").toDF("k")
+    val r2 = graft.operators.Sketches.hllDistinct(big, col("k"))
+      .as[(Long, Long, Double)].head()
+    assert(r2._1 == 20000L && r2._2 == 64L)
+    assert(math.abs(r2._3 - 20000.0) / 20000.0 < 0.52, s"raw estimate off: ${r2._3}")
+  }
+
   test("incrementalClusters: no-op batch (only intra-cluster edges) preserves the fixpoint") {
     val docs1 = (0L to 3L).toDF("doc_id")
     val pairs1 = Seq((0L, 1L), (2L, 3L)).toDF("doc_a", "doc_b")
