@@ -40,6 +40,7 @@ object SqlSurface {
     "graft_substring_dedup" /* EAGER */,
     "graft_substring_keepfirst" /* EAGER */,
     "graft_canonical_quality" /* EAGER (reuses the cluster fixpoint) */,
+    "graft_hll_distinct",
     "graft_bm25" /* EAGER; only with bm25Terms */,
     "graft_dsir_select" /* EAGER; only with dsirTarget */,
     "graft_dsir_heldout" /* EAGER; only with dsirTarget */,
@@ -95,6 +96,8 @@ object SqlSurface {
     graft.dedup.Dedup.canonicalByQuality(
         graft.dedup.Dedup.dedupClusters(docs.select(col("doc_id")), pairs), quality6)
       .createOrReplaceTempView("graft_canonical_quality")
+    graft.operators.Sketches.hllDistinct(docs, col("text"))
+      .createOrReplaceTempView("graft_hll_distinct")
     if (bm25Terms.nonEmpty)
       graft.queries.TextAnalysis.bm25TopK(docs, bm25Terms)
         .createOrReplaceTempView("graft_bm25")
@@ -129,7 +132,7 @@ object SqlSurface {
   val EmbeddingViews: Seq[String] = Seq(
     "graft_embeddings", "graft_int8_quantize", "graft_ann_topk",
     "graft_ivf_topk", "graft_pq_codes", "graft_pq_topk",
-    "graft_ivfadc_topk")
+    "graft_ivfadc_topk", "graft_ivfadc_residual_topk")
 
   def registerEmbeddings(
       embs: DataFrame, queries: DataFrame, pqSeeds: DataFrame,
@@ -146,6 +149,8 @@ object SqlSurface {
     S.pqTopK(embs, pqSeeds, pqQuery, topK).createOrReplaceTempView("graft_pq_topk")
     S.ivfAdcTopK(embs, pqSeeds, pqQuery, centroids, topK, nProbe = nProbe)
       .createOrReplaceTempView("graft_ivfadc_topk")
+    S.ivfAdcResidualTopK(embs, pqSeeds, pqQuery, centroids, topK, nProbe = nProbe)
+      .createOrReplaceTempView("graft_ivfadc_residual_topk")
   }
 
   def register(

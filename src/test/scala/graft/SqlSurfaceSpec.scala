@@ -122,6 +122,8 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     same("graft_pq_codes", S.pqEncodeAdc(embs, seeds, pqQuery))
     same("graft_pq_topk", S.pqTopK(embs, seeds, pqQuery, 20))
     same("graft_ivfadc_topk", S.ivfAdcTopK(embs, seeds, pqQuery, cents, 20))
+    same("graft_ivfadc_residual_topk",
+      S.ivfAdcResidualTopK(embs, seeds, pqQuery, cents, 20))
     // cross-view SQL composition: PQ codes joinable with ANN output
     assert(spark.sql(
       """SELECT count(*) FROM graft_pq_topk p
