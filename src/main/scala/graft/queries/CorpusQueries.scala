@@ -337,29 +337,9 @@ object CorpusQueries {
       orderedFold: Boolean = true,
       heldOutRaw: Boolean = false): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
-    graft.functions.GraftFunctions.register(docsDf.sparkSession)
-    // NULL predicate results (e.g. a NULL lang) are NOT target — made
-    // explicit here so ct/cr agree with the twin under three-valued
-    // logic (a NULL is_target would otherwise fall out of BOTH counts
-    // on the Spark side but land in cr on the SQL side)
-    val feats = graft.Materialize.barrier(
-      graft.dedup.Dedup.parallelize(docsDf)
-        .select(col("doc_id"), coalesce(isTarget, lit(false)).as("is_target"),
-          explode(call_function("graft_shingle_hashes", col("text"), lit(2))).as("g"))
-        .select(col("doc_id"), col("is_target"), (col("g") % buckets).as("b")))
+    val feats = dsirFeatures(docsDf, isTarget, buckets)
     val perDoc = feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
-    val rawCount =
-      if (heldOutRaw) sum(when(!col("is_target"), 1L).otherwise(0L))
-      else count(lit(1))
-    val bucketCounts = feats.groupBy(col("b")).agg(
-      rawCount.as("cr"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
-    val totals = bucketCounts.agg(
-      sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
-    val lam = broadcast(bucketCounts.crossJoin(broadcast(totals))
-      .select(col("b"),
-        (log((col("ct") + lit(1.0)) / (col("tt") + lit(buckets)).cast("double")) -
-          log((col("cr") + lit(1.0)) / (col("tr") + lit(buckets)).cast("double"))).as("lam")))
+    val lam = dsirLambda(feats, buckets, heldOutRaw)
     val wAgg =
       if (orderedFold)
         aggregate(
@@ -374,6 +354,47 @@ object CorpusQueries {
     weighted.orderBy(col("w_mean").desc, col("doc_id")).limit(topK)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("w_mean").desc, col("doc_id"))))
+  }
+
+  /** DSIR hashed-bigram feature frame — one row per (doc, bigram):
+    * (doc_id, is_target, b). NULL predicate results (e.g. a NULL
+    * lang) are NOT target — made explicit so ct/cr agree with the
+    * twin under three-valued logic (a NULL is_target would otherwise
+    * fall out of BOTH counts on the Spark side but land in cr on the
+    * SQL side). Barriered: the explode feeds both the λ aggregates
+    * and the per-doc counts. */
+  private[graft] def dsirFeatures(
+      docsDf: DataFrame, isTarget: org.apache.spark.sql.Column,
+      buckets: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    graft.Materialize.barrier(
+      graft.dedup.Dedup.parallelize(docsDf)
+        .select(col("doc_id"), coalesce(isTarget, lit(false)).as("is_target"),
+          explode(call_function("graft_shingle_hashes", col("text"), lit(2))).as("g"))
+        .select(col("doc_id"), col("is_target"), (col("g") % buckets).as("b")))
+  }
+
+  /** The DSIR importance log-ratio table λ(b) from a feature frame —
+    * B rows, add-one smoothed; `heldOutRaw` counts only NON-target
+    * features in the raw rate (the paper's disjoint-corpora setup).
+    * Broadcast by construction (≤ `buckets` rows). Shared by
+    * [[dsirSelect]] and the streaming screen
+    * ([[graft.streaming.StreamingCorpus.streamingDsirScreen]]), so
+    * both paths score with the IDENTICAL table. */
+  private[graft] def dsirLambda(
+      feats: DataFrame, buckets: Int, heldOutRaw: Boolean): DataFrame = {
+    val rawCount =
+      if (heldOutRaw) sum(when(!col("is_target"), 1L).otherwise(0L))
+      else count(lit(1))
+    val bucketCounts = feats.groupBy(col("b")).agg(
+      rawCount.as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val totals = bucketCounts.agg(
+      sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    broadcast(bucketCounts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + lit(1.0)) / (col("tt") + lit(buckets)).cast("double")) -
+          log((col("cr") + lit(1.0)) / (col("tr") + lit(buckets)).cast("double"))).as("lam")))
   }
 
   // --- DuckDB twins -----------------------------------------------------

@@ -54,4 +54,71 @@ object StreamingCorpus {
       .where(col("bucket") < rate)
       .drop("rate_bp")
   }
+
+  /**
+   * Streaming DSIR importance screen — the continuous twin of
+   * [[graft.queries.CorpusQueries.dsirSelect]] split along the same
+   * state boundary as [[mixtureSample]]: the importance log-ratio
+   * table λ is estimated batch-side from a STATIC reference corpus
+   * (via the SAME `dsirLambda` code path the batch operator uses) and
+   * frozen; each arriving doc is scored stateless per row — hashed
+   * word bigrams, per-bucket counts, the b-ASCENDING ordered fold
+   * Σ n·λ(b), mean, ROUND(,6) — reproducing the batch arithmetic
+   * exactly. Batch equivalence is spec-tested: replaying the
+   * reference corpus through the stream yields row-for-row the batch
+   * operator's (n_feats, w_mean) for every doc.
+   *
+   * Semantics note (mirrors the batch inner join): a bigram bucket
+   * the reference corpus never produced has no λ row, so it
+   * contributes to NEITHER the weight NOR n_feats — exactly what
+   * `perDoc ⋈ lam` does batch-side. Docs with no bigrams (< 2
+   * tokens) emit nothing, as batch-side (the explode produces no
+   * feature rows).
+   *
+   * Driver/broadcast state is the λ map — AT MOST `buckets` entries
+   * (256 by default): the smallest static state of any screen here.
+   * Top-k selection is inherently batch (a stream has no "final"
+   * ranking); the screen emits the per-doc scores and the caller
+   * thresholds or windows them.
+   */
+  def streamingDsirScreen(
+      docs: DataFrame, corpus: DataFrame,
+      isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 256, heldOutRaw: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val Q = graft.queries.CorpusQueries
+    val lamMap: Map[Long, Double] = Q.dsirLambda(
+        Q.dsirFeatures(corpus, isTarget, buckets), buckets, heldOutRaw)
+      .select(col("b").cast("long"), col("lam"))
+      .as[(Long, Double)].collect().toMap
+    val bc = spark.sparkContext.broadcast(lamMap)
+    docs
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(2)).as("gs"))
+      .as[(Long, Seq[Long])]
+      .flatMap { case (id, gs) =>
+        if (gs.isEmpty) None
+        else {
+          // per-bucket counts, folded in ascending-b order — the same
+          // term sequence as the batch ordered fold
+          val counts = scala.collection.mutable.SortedMap.empty[Long, Long]
+          gs.foreach { g =>
+            val b = g % buckets
+            if (bc.value.contains(b)) counts(b) = counts.getOrElse(b, 0L) + 1L
+          }
+          if (counts.isEmpty) None
+          else {
+            var w = 0.0
+            var n = 0L
+            counts.foreach { case (b, c) => w += c * bc.value(b); n += c }
+            val wMean = BigDecimal(w / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Some((id, n, wMean))
+          }
+        }
+      }
+      .toDF("doc_id", "n_feats", "w_mean")
+  }
 }

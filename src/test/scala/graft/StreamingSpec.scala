@@ -361,6 +361,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming DSIR screen: frozen lambda table scores replayed corpus == batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // reference corpus: even ids are "target"; texts share bigrams so
+    // lambda has signal and every replayed doc's buckets are known
+    val corpus = (0L until 12L).map { i =>
+      val flavor = if (i % 2 == 0) "alpha beta gamma delta" else "omega psi chi phi"
+      (i, s"$flavor common tail token$i")
+    }.toDF("doc_id", "text")
+    val batch = graft.queries.CorpusQueries.dsirSelect(
+        corpus, col("doc_id") % 2 === 0, topK = 12)
+      .select("doc_id", "n_feats", "w_mean")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCorpus.streamingDsirScreen(
+        input.toDF().toDF("doc_id", "text"), corpus, col("doc_id") % 2 === 0)
+      .writeStream.format("memory").queryName("sdsir")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((0L until 6L).map(i => (i, corpus.where(col("doc_id") === i)
+        .select("text").as[String].head())): _*)
+      q.processAllAvailable()
+      input.addData((100L, "a"))  // single token: no bigrams → no row
+      q.processAllAvailable()
+      val got = spark.sql("select * from sdsir order by doc_id")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got.size == 6)
+      got.foreach { case (id, n, w) =>
+        assert(batch(id) == ((n, w)), s"doc $id: stream ($n,$w) vs batch ${batch(id)}")
+      }
+      // target-flavored docs score higher under the frozen table
+      val targetW = got.filter(_._1 % 2 == 0).map(_._3)
+      val rawW = got.filter(_._1 % 2 == 1).map(_._3)
+      assert(targetW.min > rawW.max)
+    } finally q.stop()
+  }
+
   // --- streaming station ingestion (graft-station readStream) -----------
 
   private def fixturePath = getClass.getResource("/station_tum.csv").getPath
