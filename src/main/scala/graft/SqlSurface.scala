@@ -40,7 +40,7 @@ object SqlSurface {
     "graft_substring_dedup" /* EAGER */,
     "graft_substring_keepfirst" /* EAGER */,
     "graft_canonical_quality" /* EAGER (reuses the cluster fixpoint) */,
-    "graft_hll_distinct",
+    "graft_hll_distinct", "graft_kmv_distinct",
     "graft_bm25" /* EAGER; only with bm25Terms */,
     "graft_dsir_select" /* EAGER; only with dsirTarget */,
     "graft_dsir_heldout" /* EAGER; only with dsirTarget */,
@@ -98,6 +98,8 @@ object SqlSurface {
       .createOrReplaceTempView("graft_canonical_quality")
     graft.operators.Sketches.hllDistinct(docs, col("text"))
       .createOrReplaceTempView("graft_hll_distinct")
+    graft.operators.Sketches.kmvDistinct(docs, col("text"))
+      .createOrReplaceTempView("graft_kmv_distinct")
     if (bm25Terms.nonEmpty)
       graft.queries.TextAnalysis.bm25TopK(docs, bm25Terms)
         .createOrReplaceTempView("graft_bm25")

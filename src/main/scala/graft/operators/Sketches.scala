@@ -87,4 +87,75 @@ object Sketches {
         col("used").as("n_buckets_used"),
         round(est, 6).as("hll_estimate6"))
   }
+
+  private def hash32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** The k smallest DISTINCT 32-bit md5 hashes of `key` — a KMV
+    * (k-minimum-values / bottom-k) sketch frame of ≤k rows. The
+    * distinct is a hash-only exchange (8-byte rows, never the keys
+    * themselves) and the bottom-k is sort+limit —
+    * TakeOrderedAndProject, per-partition heaps of k, no global
+    * sort. */
+  private def kmvSketch(df: DataFrame, key: Column, k: Int): DataFrame =
+    df.select(hash32(key).as("h")).distinct().orderBy(col("h")).limit(k)
+
+  /**
+   * KMV distinct-count estimate (Bar-Yossef et al. 2002; the
+   * bottom-k sketch): E = (k−1)·U / h_(k) with U = 2^32 and h_(k)
+   * the k-th smallest distinct hash; fewer than k distinct values →
+   * the sketch IS the exact answer. Like [[hllDistinct]], everything
+   * is deterministic given md5, so the gate hash-compares the
+   * estimate itself. Returns one row:
+   * (n_exact, k_used, kmv_estimate6).
+   */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int = 32): DataFrame = {
+    require(k >= 2, s"kmv: k must be >= 2: $k")
+    val agg = kmvSketch(df, key, k).agg(
+      count(lit(1)).as("k_used"), max(col("h")).as("kth"))
+    val nExact = df.agg(countDistinct(key.cast("string")).as("n_exact"))
+    val est = when(col("k_used") < k, col("k_used").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("kth").cast("double"))
+    agg.crossJoin(nExact)
+      .select(col("n_exact"), col("k_used"), round(est, 6).as("kmv_estimate6"))
+  }
+
+  /**
+   * KMV SET OPERATIONS — the property that makes bottom-k sketches a
+   * data-lake primitive: two sketches built independently (per
+   * partition, per day, per source) COMPOSE. The union sketch is the
+   * bottom-k of the merged sketches (2k rows in, k out — never the
+   * data); the Jaccard estimate is the fraction of the union sketch
+   * present in BOTH input sketches (Beyer et al. 2007), and the
+   * intersection estimate is Jaccard × union. All arithmetic is
+   * integer comparisons plus two divisions — deterministic,
+   * gate-comparable. Exact audit columns ride along (the columns a
+   * 100 TB deployment drops). Returns one row: (n_union_exact,
+   * n_inter_exact, k_used, union_est6, jaccard6, inter_est6).
+   */
+  def kmvUnionJaccard(
+      dfA: DataFrame, dfB: DataFrame, key: Column, k: Int = 32): DataFrame = {
+    require(k >= 2, s"kmv: k must be >= 2: $k")
+    val sA = graft.Materialize.barrier(kmvSketch(dfA, key, k))
+    val sB = graft.Materialize.barrier(kmvSketch(dfB, key, k))
+    val u = graft.Materialize.barrier(
+      sA.unionByName(sB).distinct().orderBy(col("h")).limit(k))
+    val uAgg = u.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth"))
+    val cAgg = u.join(sA, Seq("h"), "left_semi").join(sB, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("c"))
+    val exUnion = dfA.select(key.cast("string").as("t"))
+      .unionByName(dfB.select(key.cast("string").as("t")))
+      .agg(countDistinct(col("t")).as("n_union_exact"))
+    val exInter = dfA.select(key.cast("string").as("t")).distinct()
+      .intersect(dfB.select(key.cast("string").as("t")).distinct())
+      .agg(count(lit(1)).as("n_inter_exact"))
+    val unionEst = when(col("k_used") < k, col("k_used").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("kth").cast("double"))
+    val jacc = col("c").cast("double") / col("k_used")
+    uAgg.crossJoin(cAgg).crossJoin(exUnion).crossJoin(exInter)
+      .select(col("n_union_exact"), col("n_inter_exact"), col("k_used"),
+        round(unionEst, 6).as("union_est6"),
+        round(jacc, 6).as("jaccard6"),
+        round(jacc * unionEst, 6).as("inter_est6"))
+  }
 }

@@ -261,6 +261,20 @@ object PipelineQueries {
     // get exercised across SFs).
     "hl1_hll_distinct" -> ((s, dir) =>
       graft.operators.Sketches.hllDistinct(docs(s, dir), col("text"))),
+    // KMV bottom-k sketch: distinct-count estimate from the k
+    // smallest hashes (TakeOrderedAndProject over a hash-only
+    // distinct — the data never sorts globally).
+    "sk1_kmv_distinct" -> ((s, dir) =>
+      graft.operators.Sketches.kmvDistinct(docs(s, dir), col("text"))),
+    // KMV sketch COMPOSITION: union/Jaccard/intersection estimates of
+    // two corpus slices from their independent bottom-k sketches —
+    // the mergeability property that makes bottom-k a lake primitive.
+    "sk2_kmv_union" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Sketches.kmvUnionJaccard(
+        d.where(col("doc_id") % 3 === 0), d.where(col("doc_id") % 2 === 0),
+        col("text"))
+    }),
     "sb1_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedup(docs(s, dir), l = 5)),
     // The paper's removal semantics: the globally-first occurrence of
@@ -703,6 +717,52 @@ object PipelineQueries {
          |    ELSE CAST(0.709 AS DOUBLE) * 64 * 64 * pow(2.0, 60) / sall END, 6)
          |    AS hll_estimate6
          |FROM f""".stripMargin
+    },
+    // sk1/sk2: 32-bit md5 word (the hl1/t4 hex parse), bottom-k via
+    // ORDER BY h LIMIT k, single-division estimates with the same op
+    // sequence; sk2's Jaccard counts union-sketch members present in
+    // both input sketches
+    "sk1_kmv_distinct" -> {
+      val h32 = graft.queries.CorpusQueries.hash32Sql("text")
+      s"""WITH hs AS (SELECT DISTINCT $h32 AS h FROM documents),
+         |t AS (SELECT h FROM hs ORDER BY h LIMIT 32),
+         |a AS (SELECT COUNT(*) AS k_used, MAX(h) AS kth FROM t)
+         |SELECT (SELECT COUNT(DISTINCT text) FROM documents) AS n_exact,
+         |  k_used,
+         |  ROUND(CASE WHEN k_used < 32 THEN CAST(k_used AS DOUBLE)
+         |    ELSE CAST(31 AS DOUBLE) * 4294967296 / CAST(kth AS DOUBLE) END, 6)
+         |    AS kmv_estimate6
+         |FROM a""".stripMargin
+    },
+    "sk2_kmv_union" -> {
+      val h32 = graft.queries.CorpusQueries.hash32Sql("text")
+      s"""WITH ha AS (SELECT DISTINCT $h32 AS h FROM documents WHERE doc_id % 3 = 0),
+         |sa AS (SELECT h FROM ha ORDER BY h LIMIT 32),
+         |hb AS (SELECT DISTINCT $h32 AS h FROM documents WHERE doc_id % 2 = 0),
+         |sb AS (SELECT h FROM hb ORDER BY h LIMIT 32),
+         |u AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+         |  ORDER BY h LIMIT 32),
+         |agg AS (SELECT COUNT(*) AS k_used, MAX(h) AS kth FROM u),
+         |c AS (SELECT COUNT(*) AS c FROM u
+         |  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+         |ex AS (SELECT
+         |  (SELECT COUNT(DISTINCT text) FROM documents
+         |     WHERE doc_id % 3 = 0 OR doc_id % 2 = 0) AS n_union_exact,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0
+         |     INTERSECT
+         |     SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0))
+         |    AS n_inter_exact)
+         |SELECT n_union_exact, n_inter_exact, k_used,
+         |  ROUND(CASE WHEN k_used < 32 THEN CAST(k_used AS DOUBLE)
+         |    ELSE CAST(31 AS DOUBLE) * 4294967296 / CAST(kth AS DOUBLE) END, 6)
+         |    AS union_est6,
+         |  ROUND(CAST(c AS DOUBLE) / k_used, 6) AS jaccard6,
+         |  ROUND(CAST(c AS DOUBLE) / k_used *
+         |    (CASE WHEN k_used < 32 THEN CAST(k_used AS DOUBLE)
+         |      ELSE CAST(31 AS DOUBLE) * 4294967296 / CAST(kth AS DOUBLE) END), 6)
+         |    AS inter_est6
+         |FROM agg, c, ex""".stripMargin
     },
     "sb1_substring_dedup" -> substringSql(keepFirst = false),
     "sb2_substring_keepfirst" -> substringSql(keepFirst = true),

@@ -109,6 +109,30 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r2._3 - 20000.0) / 20000.0 < 0.52, s"raw estimate off: ${r2._3}")
   }
 
+  test("kmv: merge property — union of sketches == sketch of union; estimates within bounds") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.Sketches
+    val a = (0 until 3000).map(i => s"a-$i").toDF("k")
+    val b = (1500 until 4500).map(i => if (i < 3000) s"a-$i" else s"b-$i").toDF("k")
+    // merged-sketch union estimate must EQUAL the sketch built on the
+    // concatenated data — bottom-k(bottom-k(A) ∪ bottom-k(B)) is
+    // bottom-k(A ∪ B) exactly
+    val merged = S.kmvUnionJaccard(a, b, col("k"), k = 64)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    val direct = S.kmvDistinct(a.unionByName(b), col("k"), k = 64)
+      .as[(Long, Long, Double)].head()
+    assert(merged._4 == direct._3, s"union est ${merged._4} != direct ${direct._3}")
+    // exact audits: union 4500, intersection 1500, J = 1/3
+    assert(merged._1 == 4500L && merged._2 == 1500L)
+    // k=64: std err ~ 1/sqrt(62) ≈ 13% — assert 4 sigma
+    assert(math.abs(merged._4 - 4500.0) / 4500.0 < 0.52)
+    assert(math.abs(merged._5 - 1.0 / 3.0) < 0.25)
+    // sub-k input: the sketch IS the exact answer
+    val tiny = (0 until 10).map(i => s"t$i").toDF("k")
+    val r = S.kmvDistinct(tiny, col("k"), k = 64).as[(Long, Long, Double)].head()
+    assert(r._1 == 10L && r._2 == 10L && r._3 == 10.0)
+  }
+
   test("incrementalClusters: no-op batch (only intra-cluster edges) preserves the fixpoint") {
     val docs1 = (0L to 3L).toDF("doc_id")
     val pairs1 = Seq((0L, 1L), (2L, 3L)).toDF("doc_a", "doc_b")
