@@ -158,4 +158,45 @@ object Sketches {
         round(jacc, 6).as("jaccard6"),
         round(jacc * unionEst, 6).as("inter_est6"))
   }
+
+  /**
+   * Count-min sketch (Cormode & Muthukrishnan 2005) over the token
+   * stream, audited against exact counts: two hash rows of `width`
+   * counters (the two independent 32-bit words of each token's md5 —
+   * the hl1/simhash64 split-word discipline), estimate = min over
+   * rows, which can only OVERESTIMATE (collisions add, never
+   * subtract) — `never_under` asserts the guarantee row by row.
+   * Returns the `topK` tokens by exact count (count DESC, token —
+   * v1's deterministic ordering) with (token, n_exact, cm_est,
+   * never_under). All counts are integers — the whole result is
+   * hash-exact cross-engine.
+   *
+   * Scale shape: the sketch side is two partial-combined aggregates
+   * whose exchanges carry AT MOST `width` rows each, however large
+   * the corpus — the frequency-estimation analogue of hl1's
+   * at-most-m-row distinct shape. The exact side (one token-keyed
+   * aggregate feeding TakeOrderedAndProject) is the audit a
+   * production deployment replaces WITH the sketch.
+   */
+  def countMinTopTokens(
+      docsDf: DataFrame, width: Int = 512, topK: Int = 10): DataFrame = {
+    require(width >= 2, s"countmin: width must be >= 2: $width")
+    val toks = docsDf.select(
+      explode(graft.functions.TextFunctions.wsTokens(lower(col("text")))).as("t"))
+    val lo = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+    val hi = conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long")
+    // barrier: the hashed frame feeds both sketch rows and the exact
+    // audit — without it the tokenization scan runs three times
+    val hashed = graft.Materialize.barrier(toks.select(col("t"),
+      (lo % width).as("b1"), ((hi % 2147483648L) % width).as("b2")))
+    val row1 = hashed.groupBy(col("b1")).agg(count(lit(1)).as("c1"))
+    val row2 = hashed.groupBy(col("b2")).agg(count(lit(1)).as("c2"))
+    val top = hashed.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_exact"), max(col("b1")).as("b1"), max(col("b2")).as("b2"))
+      .orderBy(col("n_exact").desc, col("t")).limit(topK)
+    top.join(broadcast(row1), Seq("b1")).join(broadcast(row2), Seq("b2"))
+      .select(col("t").as("token"), col("n_exact"),
+        least(col("c1"), col("c2")).as("cm_est"),
+        (least(col("c1"), col("c2")) >= col("n_exact")).as("never_under"))
+  }
 }

@@ -275,6 +275,11 @@ object PipelineQueries {
         d.where(col("doc_id") % 3 === 0), d.where(col("doc_id") % 2 === 0),
         col("text"))
     }),
+    // Count-min frequency sketch with the exact audit: two
+    // at-most-width-row aggregate exchanges estimate token counts;
+    // min-over-rows can only overestimate (asserted per row).
+    "cm1_countmin_tokens" -> ((s, dir) =>
+      graft.operators.Sketches.countMinTopTokens(docs(s, dir))),
     "sb1_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedup(docs(s, dir), l = 5)),
     // The paper's removal semantics: the globally-first occurrence of
@@ -764,6 +769,20 @@ object PipelineQueries {
          |    AS inter_est6
          |FROM agg, c, ex""".stripMargin
     },
+    // cm1: the same two md5 words per token (tokHashSqlAt 0/8 — the
+    // split-word discipline), width-512 bucket counts, min-over-rows;
+    // integer counts end to end so the compare is hash-exact
+    "cm1_countmin_tokens" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS t FROM documents),
+         |h AS (SELECT t, (${tokHashSqlAt(0)}) % 512 AS b1,
+         |  (((${tokHashSqlAt(8)}) % 2147483648) % 512) AS b2 FROM toks),
+         |r1 AS (SELECT b1, COUNT(*) AS c1 FROM h GROUP BY b1),
+         |r2 AS (SELECT b2, COUNT(*) AS c2 FROM h GROUP BY b2),
+         |ex AS (SELECT t, COUNT(*) AS n_exact, MAX(b1) AS b1, MAX(b2) AS b2
+         |  FROM h GROUP BY t ORDER BY n_exact DESC, t LIMIT 10)
+         |SELECT t AS token, n_exact, LEAST(c1, c2) AS cm_est,
+         |  LEAST(c1, c2) >= n_exact AS never_under
+         |FROM ex JOIN r1 USING (b1) JOIN r2 USING (b2)""".stripMargin,
     "sb1_substring_dedup" -> substringSql(keepFirst = false),
     "sb2_substring_keepfirst" -> substringSql(keepFirst = true),
     // cu1: x1's fingerprint chain over the curation slice, dc1's gram

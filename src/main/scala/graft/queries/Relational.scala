@@ -154,6 +154,27 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q22-shaped global sales opportunity: customers with
+    * above-average positive balance who never placed an order —
+    * a SCALAR subquery (one broadcast row) gating the scan filter,
+    * then an ANTI join against the fact table, then a small
+    * aggregation. (No c_phone in this testdata; c_mktsegment plays
+    * the cntrycode group role.) The anti join's build side is the
+    * DISTINCT o_custkey projection — the fact table never crosses
+    * the join as raw rows. */
+  def q22NoOrderCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val avgBal = cust.where(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(t(spark, dir, "orders").select(col("o_custkey")).distinct(),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 4).as("totacctbal"))
+  }
+
   /** TPC-H Q3-shaped shipping priority: selective dimension filter,
     * two shuffle joins, revenue aggregation. customer is filtered
     * before the join so the orders join sees only the matching
@@ -474,6 +495,13 @@ object Relational {
         |    AND l_quantity BETWEEN 10 AND 20)
         | OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_no_order_customers" ->
+      """SELECT c_mktsegment, COUNT(*) AS numcust,
+        | ROUND(SUM(c_acctbal), 4) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        | AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -655,6 +683,7 @@ object Relational {
     "q4_order_priority" -> (q4OrderPriority _),
     "q12_priority_lines" -> (q12PriorityLines _),
     "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
+    "q22_no_order_customers" -> (q22NoOrderCustomers _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "w1_top_orders_per_customer" -> (w1TopOrdersPerCustomer _),
