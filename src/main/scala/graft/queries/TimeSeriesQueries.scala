@@ -162,6 +162,34 @@ object TimeSeriesQueries {
           6).as("roll_p90"))
   }
 
+  /** One-sided (upper) CUSUM change detection (Page 1954): the
+    * textbook recursion `s_n = max(0, s_{n−1} + (x_n − target −
+    * slack))` looks inherently sequential, but the reflection
+    * identity `s_n = P_n − min(0, min_{k≤n} P_k)` (P = running prefix
+    * sum of the drift terms) turns it into TWO running windows over
+    * ONE sort — no recursion, no per-series loop, no custom state.
+    * Both engines evaluate the prefix sums in the same
+    * (ts, event_id) order, so the float sequence is identical and
+    * the 6-dp outputs hash-match (the s3/ew1 op-sequence argument —
+    * here without even needing per-step rounding, because there is
+    * no cross-engine recursion to drift). Null values are skipped
+    * (the CUSUM stream is the observed points). Flags where the
+    * statistic exceeds `h`. */
+  def cp1Cusum(
+      spark: SparkSession, dir: String,
+      target: Double = 150.0, slack: Double = 10.0, h: Double = 300.0): DataFrame = {
+    val w = Window.partitionBy("series_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    canonicalWithId(spark, dir)
+      .where(col("value").isNotNull)
+      .withColumn("p", sum(col("value") - lit(target) - lit(slack)).over(w))
+      .withColumn("mn", min(col("p")).over(w))
+      .select(col("series_id"), col("ts"),
+        round(col("value"), 6).as("value"),
+        round(col("p") - least(col("mn"), lit(0.0)), 6).as("cusum6"))
+      .withColumn("alarm", col("cusum6") > h)
+  }
+
   private val canonicalCte =
     "SELECT CAST(user_id AS VARCHAR) AS series_id, ts, " +
       "CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events"
@@ -251,6 +279,25 @@ object TimeSeriesQueries {
          |  ROUND(CASE WHEN len(sorted) = 0 THEN NULL
          |    ELSE sorted[((9 * len(sorted) + 9) // 10)::INTEGER] END, 6) AS roll_p90
          |FROM ls""".stripMargin,
+    // cp1: the same reflection identity — running prefix sum and
+    // running min over the identical (ts, event_id) order, drift
+    // terms written as the same op sequence (value − 150.0 − 10.0)
+    "cp1_cusum" ->
+      s"""WITH t AS ($canonicalIdCte),
+         |nn AS (SELECT * FROM t WHERE value IS NOT NULL),
+         |pp AS (SELECT series_id, ts, event_id, value,
+         |  sum(value - CAST(150.0 AS DOUBLE) - CAST(10.0 AS DOUBLE)) OVER
+         |    (PARTITION BY series_id ORDER BY ts, event_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+         | FROM nn),
+         |mm AS (SELECT series_id, ts, value, p,
+         |  min(p) OVER (PARTITION BY series_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+         | FROM pp)
+         |SELECT series_id, ts, ROUND(value, 6) AS value,
+         |  ROUND(p - LEAST(mn, CAST(0.0 AS DOUBLE)), 6) AS cusum6,
+         |  ROUND(p - LEAST(mn, CAST(0.0 AS DOUBLE)), 6) > CAST(300.0 AS DOUBLE) AS alarm
+         |FROM mm""".stripMargin,
     "ew1_ewma" -> ewmaSql(alpha = 0.3)
   )
 
@@ -307,6 +354,7 @@ object TimeSeriesQueries {
     "r2_interpolate" -> (r2Interpolate _),
     "rs1_rolling_stats" -> (rs1RollingStats _),
     "rs3_rolling_median" -> (rs3RollingMedian _),
-    "rs4_rolling_p90" -> (rs4RollingP90 _)
+    "rs4_rolling_p90" -> (rs4RollingP90 _),
+    "cp1_cusum" -> ((s: SparkSession, dir: String) => cp1Cusum(s, dir))
   )
 }

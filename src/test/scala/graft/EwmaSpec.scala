@@ -44,4 +44,36 @@ class EwmaSpec extends AnyFunSuite with SparkTestBase {
       assert(e.forall(_.exists(v => math.abs(v - 7.0) < 1e-12)))
     }
   }
+
+  test("cp1 CUSUM: reflection identity == the sequential max(0, s+y) recursion, every row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the operator's two-window form vs a driver-side literal replay
+    // of Page's recursion over the SAME ordered points — must agree
+    // to the rounded digit on every row of the real fixture
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.TimeSeriesQueries.cp1Cusum(spark, dir)
+      .select("series_id", "ts", "cusum6")
+      .as[(String, java.sql.Timestamp, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime).map(_._3).toSeq).toMap
+    val pts = graft.sources.Tables.read(spark, dir, "events")
+      .select(col("user_id").cast("string").as("s"), col("ts"), col("event_id"),
+        graft.operators.Kernels.nanToNull(col("value")).as("v"))
+      .where(col("v").isNotNull)
+      .as[(String, java.sql.Timestamp, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (x._2.getTime, x._3)).map(_._4).toSeq).toMap
+    assert(got.keySet == pts.keySet && got.nonEmpty)
+    pts.foreach { case (sid, vs) =>
+      var s = 0.0
+      val expect = vs.map { v =>
+        s = math.max(0.0, s + (v - 150.0 - 10.0))
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      // identity is algebraically exact; float path differs (running
+      // min + subtract vs iterated max), so compare at 1e-6 scale
+      got(sid).zip(expect).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) < 1e-6, s"series $sid row $i: $a vs $b")
+      }
+    }
+  }
 }
