@@ -563,6 +563,53 @@ object Dedup {
     (out, rounds)
   }
 
+  /**
+   * PageRank over an undirected pair graph (near-dup pairs: the
+   * centrality signal ranks each duplicate cluster's hub — which
+   * canonical candidate the most neighbors point at). Nodes are the
+   * pair endpoints (every node has degree ≥ 1 — no dangling-mass
+   * redistribution needed); `iters` fixed power iterations with
+   * EVERY iteration's ranks rounded to 6 decimals — the s3
+   * drift-reset technique that makes iterative float algorithms
+   * cross-engine exact: both engines carry identical 6-dp rank
+   * values into each round, so only the per-round contribution sum's
+   * last-ulp order noise is exposed, and the round absorbs it.
+   *
+   * Scale shape: each iteration is one join of the edge list against
+   * the O(nodes) rank frame plus a partial-combined contribution sum
+   * keyed by node — the dedupClusters per-round cost without the
+   * fixpoint loop (iteration count is fixed). The only driver scalar
+   * is the node count.
+   */
+  def pairPageRank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val edges = materialize(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct())
+    val nodes = materialize(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val n = nodes.count()
+    require(n > 0, "pairPageRank: empty pair graph")
+    // op-sequence contract with the oracle: oneMinus is computed HERE
+    // (1.0 - damping is NOT the literal 0.15 in binary64) and both
+    // engines evaluate oneMinus / N and damping * sum identically
+    val oneMinus = 1.0 - damping
+    var state = materialize(nodes.select(col("src").as("id"), col("deg"),
+      round(lit(1.0) / n, 6).as("r")))
+    (1 to iters).foreach { _ =>
+      val contribs = edges
+        .join(state.select(col("id").as("src"), (col("r") / col("deg")).as("c")),
+          Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inmass"))
+      state = materialize(state.select(col("id"), col("deg"))
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          round(lit(oneMinus) / n + lit(damping) * coalesce(col("inmass"), lit(0.0)), 6)
+            .as("r")))
+    }
+    state.select(col("id").as("doc_id"), col("deg"), col("r").as("pagerank6"))
+  }
+
   /** Contracted-graph folds at or below this many distinct root-edges
     * run as ONE driver-side union-find pass instead of the O(log d)
     * distributed label-propagation rounds. LOUD BOUND, same shape as

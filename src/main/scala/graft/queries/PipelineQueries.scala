@@ -280,6 +280,12 @@ object PipelineQueries {
     // min-over-rows can only overestimate (asserted per row).
     "cm1_countmin_tokens" -> ((s, dir) =>
       graft.operators.Sketches.countMinTopTokens(docs(s, dir))),
+    // PageRank over the x2 near-dup pair graph — centrality ranks
+    // each cluster's hub; 3 power iterations, every round's ranks
+    // rounded to 6dp (the s3 drift-reset technique).
+    "pr1_pagerank" -> ((s, dir) =>
+      Dedup.pairPageRank(
+        Dedup.minhashNearDups(docs(s, dir), threshold = 0.6).select("doc_a", "doc_b"))),
     "sb1_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedup(docs(s, dir), l = 5)),
     // The paper's removal semantics: the globally-first occurrence of
@@ -768,6 +774,34 @@ object PipelineQueries {
          |      ELSE CAST(31 AS DOUBLE) * 4294967296 / CAST(kth AS DOUBLE) END), 6)
          |    AS inter_est6
          |FROM agg, c, ex""".stripMargin
+    },
+    // pr1: x2's pair chain, symmetric edge list, 3 unrolled power
+    // iterations — both engines carry IDENTICAL round-6 rank values
+    // into each round (the s3 unrolled-Lloyd argument), oneMinus
+    // embedded as the Scala-computed double (1.0-0.85 is not the
+    // literal 0.15 in binary64)
+    "pr1_pagerank" -> {
+      val om = (1.0 - 0.85).toString
+      def iterCte(i: Int, prev: String) =
+        s"""r$i AS (SELECT st.id, st.deg,
+           |  ROUND(CAST($om AS DOUBLE) / (SELECT COUNT(*) FROM nodes)
+           |    + CAST(0.85 AS DOUBLE) * COALESCE(m.inmass, CAST(0.0 AS DOUBLE)), 6) AS r
+           | FROM $prev st LEFT JOIN (
+           |   SELECT e.d AS id, SUM(p.r / p.deg) AS inmass
+           |   FROM e JOIN $prev p ON e.s = p.id GROUP BY e.d) m
+           | ON st.id = m.id)""".stripMargin
+      s"""WITH $minhashChainCtes,
+         |prs AS (SELECT doc_a, doc_b FROM jj WHERE j >= 0.6),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM prs
+         |  UNION SELECT doc_b AS s, doc_a AS d FROM prs),
+         |nodes AS (SELECT s AS id, COUNT(*) AS deg FROM e GROUP BY s),
+         |r0 AS (SELECT id, deg,
+         |  ROUND(CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM nodes), 6) AS r
+         | FROM nodes),
+         |${iterCte(1, "r0")},
+         |${iterCte(2, "r1")},
+         |${iterCte(3, "r2")}
+         |SELECT id AS doc_id, deg, r AS pagerank6 FROM r3""".stripMargin
     },
     // cm1: the same two md5 words per token (tokHashSqlAt 0/8 — the
     // split-word discipline), width-512 bucket counts, min-over-rows;

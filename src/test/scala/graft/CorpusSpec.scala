@@ -133,6 +133,25 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(r._1 == 10L && r._2 == 10L && r._3 == 10.0)
   }
 
+  test("pairPageRank: star hub dominates, ranks conserve mass, iteration count respected") {
+    import org.apache.spark.sql.functions.col
+    // star: 0 at the center of 1..5, plus a detached pair 10-11
+    val pairs = ((1L to 5L).map(i => (0L, i)) :+ (10L, 11L)).toDF("doc_a", "doc_b")
+    val r = Dedup.pairPageRank(pairs)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val rank = r.map(x => x._1 -> x._3).toMap
+    assert(r.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L, 10L, 11L))
+    // hub out-ranks every leaf; leaves are symmetric → identical
+    assert((1L to 5L).forall(i => rank(0L) > rank(i)))
+    assert((2L to 5L).forall(i => rank(i) == rank(1L)))
+    // detached symmetric pair: both nodes keep ~1/N mass
+    assert(rank(10L) == rank(11L))
+    // total mass stays ~1 (rounding noise only)
+    assert(math.abs(r.map(_._3).sum - 1.0) < 1e-3)
+    // degree column: hub 5, leaves 1, pair 1
+    assert(r.find(_._1 == 0L).get._2 == 5L && r.find(_._1 == 3L).get._2 == 1L)
+  }
+
   test("incrementalClusters: no-op batch (only intra-cluster edges) preserves the fixpoint") {
     val docs1 = (0L to 3L).toDF("doc_id")
     val pairs1 = Seq((0L, 1L), (2L, 3L)).toDF("doc_a", "doc_b")
