@@ -474,6 +474,60 @@ object Dedup {
     verifyJaccard(cands, hsets, threshold)
   }
 
+  /**
+   * ASYMMETRIC containment dedup: directed pairs where
+   * `C(A→B) = |A∩B| / |A| ≥ threshold` — the wire-copy/quote/superset
+   * relation Jaccard misses entirely (a short article fully contained
+   * in a long one has HIGH containment but LOW Jaccard, so symmetric
+   * near-dup passes never flag it). Returns
+   * (doc_a, doc_b, containment6) with doc_a the CONTAINED side.
+   *
+   * Candidates use the containment-adapted prefix filter: any B
+   * holding ≥ t·|A| of A's shingles must hold at least one of A's
+   * first `|A| − ⌈t·|A|⌉ + 1` shingles in the global
+   * (document-frequency ASC, shingle) order — so A's prefix (built
+   * from its RAREST shingles) joins against the FULL inverted index
+   * on the B side; rare-shingle keys keep the join bounded exactly as
+   * in [[ngramJaccardPairs]], and the verify is the exact codegen'd
+   * intersection over sorted hash sets. One-directional by
+   * construction (B's prefix never enters the join), so both
+   * directions of a mutual pair are found independently — mutual
+   * containment ⇒ two rows.
+   */
+  def containmentPairs(
+      docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1]: $threshold")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val hsets = materialize(parallelize(docs)
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
+      .where(size(col("digs")) > 0)
+      .select(col("doc_id"), array_sort(array_distinct(col("digs"))).as("hset")))
+    val inv = hsets.select(col("doc_id"), size(col("hset")).as("n_sh"),
+      explode(col("hset")).as("sh"))
+    val docFreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefixA = inv.join(docFreq, Seq("sh"))
+      .withColumn("rk", row_number().over(wRank))
+      .where(col("rk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id").as("doc_a"), col("sh"))
+    val cands = prefixA
+      .join(inv.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sa = hsets.select(col("doc_id").as("doc_a"), col("hset").as("hset_a"))
+    val sb = hsets.select(col("doc_id").as("doc_b"), col("hset").as("hset_b"))
+    cands
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b"))
+      .withColumn("c",
+        call_function("graft_isect", col("hset_a"), col("hset_b")).cast("double")
+          / size(col("hset_a")))
+      .where(col("c") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("c"), 6).as("containment6"))
+  }
+
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
     * against per-doc sorted hash sets (column `hset`); shared by the
     * LSH and prefix-filter candidate generators. Renamed copies avoid

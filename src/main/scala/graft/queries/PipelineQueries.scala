@@ -106,6 +106,9 @@ object PipelineQueries {
     "x2_minhash_lsh" -> ((s, dir) => Dedup.minhashNearDups(docs(s, dir), threshold = 0.6)),
     "x3_simhash" -> ((s, dir) => Dedup.simhashNearDups(docs(s, dir), maxHamming = 3)),
     "x4_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.8)),
+    // asymmetric containment |A∩B|/|A| — the superset/wire-copy
+    // relation Jaccard misses; doc_a is the contained side
+    "x12_containment" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir), threshold = 0.8)),
     "x5_embedding_neardup" -> ((s, dir) => Similarity.nearDupPairs(embs(s, dir), threshold = 0.45)),
     // Approximate sign-LSH variant (recall < 1 by design, like s2):
     // the oracle twin mirrors the md5-derived hyperplanes and banding,
@@ -962,6 +965,28 @@ object PipelineQueries {
          |   / (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset))) AS j
          |  FROM cand JOIN hs sa ON doc_a = sa.doc_id JOIN hs sb ON doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jj WHERE j >= 0.8""".stripMargin,
+    // x12: x4's hset/inverted-index/df chain, but A's prefix joins
+    // the FULL index (directed), and the verify divides by |A| only
+    "x12_containment" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+         |hs AS (SELECT doc_id, list_sort(list_distinct(list_transform(shingles,
+         |   s -> CAST(list_sum(list_transform(generate_series(1, 8),
+         |     i -> (strpos('0123456789abcdef', substr(md5(s), i::INTEGER, 1)) - 1)
+         |          * power(16, 8 - i))) AS BIGINT)))) AS hset FROM nz),
+         |inv AS (SELECT doc_id, len(hset) AS n_sh, unnest(hset) AS s FROM hs),
+         |dfreq AS (SELECT s, count(*) AS df FROM inv GROUP BY 1),
+         |pref AS (SELECT doc_id, s FROM (
+         |  SELECT i.doc_id, i.s, i.n_sh,
+         |    row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s) AS rk
+         |  FROM inv i JOIN dfreq d USING (s))
+         | WHERE rk <= n_sh - ceil(0.8 * n_sh) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pref a JOIN inv b ON a.s = b.s AND a.doc_id <> b.doc_id),
+         |cc AS (SELECT doc_a, doc_b,
+         |   len(list_intersect(sa.hset, sb.hset))::DOUBLE / len(sa.hset) AS c
+         |  FROM cand JOIN hs sa ON doc_a = sa.doc_id JOIN hs sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, ROUND(c, 6) AS containment6 FROM cc WHERE c >= 0.8""".stripMargin,
     "x5_embedding_neardup" ->
       s"""WITH $vNormCte
          |SELECT id_a, id_b, ROUND(cos, 4) AS cos FROM (

@@ -37,6 +37,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(!r.keySet.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("containment: short doc inside a long one is flagged one-directionally; Jaccard misses it") {
+    import org.apache.spark.sql.functions.col
+    val longText = (1 to 40).map(i => s"w$i").mkString(" ")
+    val shortText = (1 to 10).map(i => s"w$i").mkString(" ")  // fully contained prefix
+    val cdocs = Seq(
+      (1L, longText), (2L, shortText),
+      (3L, "totally different unrelated words making another document here")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(cdocs, threshold = 0.8)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    // doc 2's shingles ⊂ doc 1's → C(2→1) = 1.0; the reverse is far
+    // below threshold; doc 3 pairs with nothing
+    assert(cont((2L, 1L)) == 1.0)
+    assert(!cont.contains((1L, 2L)))
+    assert(!cont.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // the symmetric pass misses exactly this pair: J = 8/38 ≈ 0.21
+    val jac = Dedup.ngramJaccardPairs(cdocs, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val pairs = Dedup.simhashNearDups(docs, maxHamming = 3)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
