@@ -148,6 +148,12 @@ object PipelineQueries {
     // per-vector int8 absmax quantization audit — stateless map over
     // the scan, exact-int + order-independent-max outputs only
     "e1_quantize" -> ((s, dir) => Similarity.quantizeInt8Stats(embs(s, dir))),
+    // 1-bit sign quantization + Hamming retrieval — the binary screen
+    // of a binary→float rerank cascade; integer end-to-end
+    "e3_binary_hamming" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.binaryHammingTopK(e, e.where(col("vec_id") === 17))
+    }),
     // PQ encode + ADC (Jégou et al. 2011): codebook = the 16 lowest-id
     // vectors (per-subspace slices), query = vec 17; codes are 0-based
     // positions in the vec_id-sorted seed list. Codebook and query
@@ -1108,6 +1114,29 @@ object PipelineQueries {
          |SELECT vec_id, code0, code1, code2, code3, adc6, rank FROM (
          |  SELECT *, CAST(row_number() OVER (ORDER BY adc6, vec_id) AS INTEGER) AS rank
          |  FROM e2) WHERE rank <= 20""".stripMargin,
+    // e3: sign bits packed as two 32-bit words (exact power-of-two
+    // sums), hamming = bit_count(xor) per word — integers end to end
+    "e3_binary_hamming" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |sgn AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(generate_series(1, 32),
+         |    d -> CASE WHEN emb[d::INTEGER] >= 0 THEN power(2, d - 1) ELSE 0 END))
+         |    AS BIGINT) AS lo,
+         |  CAST(list_sum(list_transform(generate_series(33, 64),
+         |    d -> CASE WHEN emb[d::INTEGER] >= 0 THEN power(2, d - 33) ELSE 0 END))
+         |    AS BIGINT) AS hi
+         | FROM e),
+         |q AS (SELECT lo AS qlo, hi AS qhi FROM sgn WHERE vec_id = 17)
+         |SELECT CAST(17 AS BIGINT) AS query_id, vec_id, hamming, rank FROM (
+         |  SELECT s.vec_id,
+         |    CAST(bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi)) AS INTEGER)
+         |      AS hamming,
+         |    CAST(row_number() OVER (ORDER BY
+         |      (bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi))), s.vec_id)
+         |      AS INTEGER) AS rank
+         |  FROM sgn s CROSS JOIN q)
+         |WHERE rank <= 20""".stripMargin,
     "e1_quantize" ->
       s"""WITH b AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs,

@@ -259,6 +259,40 @@ object TextAnalysis {
   // DuckDB regexp_replace needs the 'g' flag (Spark's is global by
   // default); list lambdas mirror Spark's higher-order functions.
 
+  /**
+   * KL divergence between the unigram word distributions of a target
+   * corpus slice and the rest — the distribution-drift diagnostic a
+   * selection pipeline runs before/after filtering (how far did
+   * curation move the language?). Add-one smoothing over the UNION
+   * vocabulary on both sides; the sum Σ p·ln(p/q) folds in TOKEN
+   * order (the t8/ir1 ordered-fold determinism tax — the
+   * partial-aggregated plain sum is the production path, identical
+   * modulo float association) so both engines run the identical IEEE
+   * sequence; ln ulp noise is absorbed by ROUND(,6). One row:
+   * (n_vocab, t_tokens, r_tokens, kl6).
+   */
+  def t10KlDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(
+      coalesce(col("lang") === "en", lit(false)).as("it"),
+      explode(wsTokens(lower(col("text")))).as("tok"))
+    val c = toks.groupBy(col("tok")).agg(
+      sum(when(col("it"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("it"), 0L).otherwise(1L)).as("cr"))
+    val tot = broadcast(c.agg(
+      count(lit(1)).as("v"), sum(col("ct")).as("tt"), sum(col("cr")).as("tr")))
+    val terms = c.crossJoin(tot).select(col("tok"),
+      ((col("ct") + lit(1.0)) / (col("tt") + col("v")).cast("double")).as("p"),
+      ((col("cr") + lit(1.0)) / (col("tr") + col("v")).cast("double")).as("q"),
+      col("v"), col("tt"), col("tr"))
+    terms.groupBy(col("v"), col("tt"), col("tr"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("tok"),
+          (col("p") * log(col("p") / col("q"))).as("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("kl"))
+      .select(col("v").as("n_vocab"), col("tt").as("t_tokens"),
+        col("tr").as("r_tokens"), round(col("kl"), 6).as("kl6"))
+  }
+
   private val toksSql =
     """CASE WHEN length(trim(text)) = 0 THEN []
       | ELSE string_split_regex(trim(text), '\s+') END""".stripMargin
@@ -377,6 +411,29 @@ object TextAnalysis {
            |  ROUND(nll / n, 6) AS nll_mean
            |FROM s""".stripMargin
       },
+      "t10_kl_divergence" -> {
+        val lowToks =
+          """CASE WHEN length(trim(lower(text))) = 0 THEN []
+            | ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+        s"""WITH d AS (SELECT COALESCE(lang = 'en', FALSE) AS it, $lowToks AS toks
+           |  FROM documents),
+           |tk AS (SELECT it, unnest(toks) AS tok FROM d),
+           |c AS (SELECT tok,
+           |  CAST(SUM(CASE WHEN it THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           |  CAST(SUM(CASE WHEN it THEN 0 ELSE 1 END) AS BIGINT) AS cr
+           | FROM tk GROUP BY 1),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+           |  CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM c),
+           |terms AS (SELECT c.tok,
+           |  (c.ct + CAST(1.0 AS DOUBLE)) / CAST(tot.tt + tot.v AS DOUBLE) AS p,
+           |  (c.cr + CAST(1.0 AS DOUBLE)) / CAST(tot.tr + tot.v AS DOUBLE) AS q
+           | FROM c CROSS JOIN tot),
+           |kl AS (SELECT list_sum(list(p * ln(p / q) ORDER BY tok)) AS kl FROM terms)
+           |SELECT (SELECT v FROM tot) AS n_vocab,
+           |  (SELECT tt FROM tot) AS t_tokens,
+           |  (SELECT tr FROM tot) AS r_tokens,
+           |  ROUND(kl, 6) AS kl6 FROM kl""".stripMargin
+      },
       "bm1_bm25" -> {
         val lowToks =
           """CASE WHEN length(trim(lower(text))) = 0 THEN []
@@ -479,6 +536,7 @@ object TextAnalysis {
     "t7_gopher_rules" -> (t7GopherRules _),
     "t8_unigram_nll" -> (t8UnigramNll _),
     "t9_char_stats" -> (t9CharStats _),
+    "t10_kl_divergence" -> (t10KlDivergence _),
     "bm1_bm25" -> ((s: SparkSession, dir: String) =>
       bm25TopK(docs(s, dir), Bm25Terms))
   )

@@ -884,6 +884,42 @@ object Similarity {
   }
 
   /**
+   * BINARY (1-bit) quantization retrieval: each embedding compresses
+   * to its per-dimension SIGN BITS — 64 dims → 8 bytes, a 32×
+   * compression over float32 — and search is Hamming distance over
+   * the packed signature (two `bit_count(xor)` ops per candidate; the
+   * cheapest similarity screen there is, the standard first stage of
+   * a binary→float rerank cascade). Signatures pack as TWO 32-bit
+   * words (dims 0–31 / 32–63) per the repo's keep-everything-under-
+   * 2^63 discipline — a single 64-bit pack would set the sign bit.
+   * Integer end-to-end, so the gate compare is hash-exact. Returns
+   * the `topK` nearest to `query` by (hamming ASC, vec_id), query
+   * rows included (self at hamming 0).
+   */
+  def binaryHammingTopK(
+      corpus: DataFrame, query: DataFrame, topK: Int = 20, dim: Int = 64): DataFrame = {
+    require(dim >= 1 && dim <= 64, s"binary quant: dim must be in [1, 64]: $dim")
+    val emb = col("embedding").cast("array<double>")
+    def packWord(lo: Int, hi: Int): Column =
+      (lo until math.min(hi, dim)).map { d =>
+        when(element_at(emb, d + 1) >= 0, lit(1L << (d - lo))).otherwise(lit(0L))
+      }.reduceLeft(_ + _)
+    def signed(df: DataFrame, idOut: String) = df.select(
+      col("vec_id").as(idOut),
+      packWord(0, 32).as(s"${idOut}_lo"), packWord(32, 64).as(s"${idOut}_hi"))
+    val q = broadcast(signed(query, "query_id"))
+    val c = signed(graft.dedup.Dedup.parallelize(corpus), "vec_id")
+    val ham = (bit_count(col("vec_id_lo").bitwiseXOR(col("query_id_lo"))) +
+      bit_count(col("vec_id_hi").bitwiseXOR(col("query_id_hi")))).cast("int")
+    c.crossJoin(q)
+      .withColumn("hamming", ham)
+      .orderBy(col("hamming").asc, col("vec_id")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("hamming").asc, col("vec_id"))))
+      .select(col("query_id"), col("vec_id"), col("hamming"), col("rank"))
+  }
+
+  /**
    * RESIDUAL IVFADC (Jégou et al. 2011, §V-A — the encoding FAISS's
    * IndexIVFPQ actually ships): each vector is PQ-encoded as the
    * residual `x − c(cell(x))` against its coarse centroid rather than
