@@ -427,6 +427,67 @@ object Relational {
         round(col("o_totalprice"), 4).as("o_totalprice"))
   }
 
+  /** TPC-H Q13-shaped customer order-count distribution: how many
+    * customers placed exactly N orders, INCLUDING the zero-order
+    * customers a plain inner join would drop — the left-outer +
+    * count(non-null key) idiom (count(o_orderkey) is 0 for the
+    * null-extended rows). Two exchanges: the custkey join (AQE
+    * broadcast-or-shuffle from runtime sizes) and the second-level
+    * aggregation, whose key domain is the distinct order COUNTS —
+    * tens of values at any SF, so the final exchange carries one row
+    * per (partition × count), never per customer. (This testdata has
+    * no o_comment, so the spec's NOT LIKE '%special%requests%' filter
+    * has no column to act on; the distribution shape is the pattern
+    * under test.) */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .join(t(spark, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** WEIGHTED median unit price (weight = quantity shipped): the
+    * exact cumulative-weight pick — smallest price whose running
+    * weight reaches half the total — not an interpolating quantile.
+    * Shape: pre-aggregate to one row per (group, price) so the
+    * cumulative order is unambiguous, one window sort per group, then
+    * an ordinary min-aggregate over the qualifying suffix. The
+    * pre-aggregation is the scale lever: the window runs over
+    * DISTINCT prices per group, not raw lineitems, and the exchange
+    * key (returnflag) carries partial-combined weight sums.
+    *
+    * Float discipline: l_quantity is integer-valued in this data
+    * (asserted in the spec), so weight sums are exact in double in
+    * ANY order; the running sum and the `cum >= total/2` comparison
+    * are therefore bit-identical across engines, no rounding needed
+    * before the final display round. `total` is read off as the LAST
+    * running-sum value (max over the partition) rather than a second
+    * unordered sum, so both engines compare against the same double
+    * even if weights were ever fractional. */
+  def wm1WeightedMedian(spark: SparkSession, dir: String): DataFrame =
+    weightedMedian(t(spark, dir, "lineitem"),
+      group = "l_returnflag", value = "l_extendedprice", weight = "l_quantity")
+
+  /** Generic form of [[wm1WeightedMedian]]: smallest `value` whose
+    * cumulative `weight` (ordered by value) reaches half the group
+    * total. */
+  def weightedMedian(
+      df: DataFrame, group: String, value: String, weight: String): DataFrame = {
+    val wRun = Window.partitionBy(col(group)).orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(group))
+    df.groupBy(col(group), col(value))
+      .agg(sum(col(weight)).as("w"))
+      .withColumn("cum_w", sum(col("w")).over(wRun))
+      .withColumn("tot_w", max(col("cum_w")).over(wAll))
+      .where(col("cum_w") >= col("tot_w") / 2.0)
+      .groupBy(col(group))
+      .agg(round(min(col(value)), 4).as("weighted_median"),
+        round(min(col("tot_w")), 4).as("total_weight"))
+  }
+
   /** RANGE-frame time window (vs the ROWS frames elsewhere): trailing
     * 7-DAY aggregate per series keyed by event TIME, not row count —
     * irregular sampling changes the frame width per row. Value-based
@@ -466,6 +527,26 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 4))
 
   val oracle: Map[String, String] = Map(
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    // wm1: the identical running-sum/last-value/compare op sequence —
+    // integer-valued weights make every intermediate exact in double
+    "wm1_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag, l_extendedprice,
+        |    SUM(l_quantity) AS w
+        |  FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+        |c AS (SELECT *, SUM(w) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w FROM g),
+        |tt AS (SELECT *, MAX(cum_w) OVER (PARTITION BY l_returnflag) AS tot_w FROM c)
+        |SELECT l_returnflag,
+        |  ROUND(MIN(l_extendedprice), 4) AS weighted_median,
+        |  ROUND(MIN(tot_w), 4) AS total_weight
+        |FROM tt WHERE cum_w >= tot_w / 2.0 GROUP BY l_returnflag""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders o
@@ -700,6 +781,8 @@ object Relational {
     "w2_rank_suite" -> (w2RankSuite _),
     "js1_json_extract" -> (js1JsonExtract _),
     "q18_volume_orders" -> (q18VolumeOrders _),
+    "q13_custdist" -> (q13CustomerDistribution _),
+    "wm1_weighted_median" -> (wm1WeightedMedian _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "rs2_range_window" -> (rs2RangeWindow _)

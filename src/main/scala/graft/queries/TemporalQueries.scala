@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Joins
 import graft.operators.Kernels.nanToNull
@@ -44,8 +44,72 @@ object TemporalQueries {
         graft.operators.ExtremeValueEvents(expectedMax = 300.0, expectedMin = 0.05)
           .detect(SparkEntryBridge.canonical(s, dir)))),
     "ss1_session_stats" -> ((s, dir) =>
-      Joins.sessionStats(SparkEntryBridge.canonical(s, dir), gap = "6H"))
+      Joins.sessionStats(SparkEntryBridge.canonical(s, dir), gap = "6H")),
+    "fn1_funnel" -> (fn1Funnel _)
   )
+
+  /** Ordered-funnel analysis (view → click → signup → purchase): how
+    * many users completed each prefix of the stage sequence IN ORDER.
+    * A user reaches stage k+1 at the first stage-(k+1) event at or
+    * after their stage-k reach time.
+    *
+    * Execution shape: ONE shuffle (hash on user_id) and ONE sort —
+    * the four running-min windows share the same spec, so each
+    * dependent stage is another Window operator over the
+    * already-sorted partition with no re-exchange and no re-sort
+    * (each stage's input column is the previous window's output, so
+    * they chain rather than collapse, but the expensive work — the
+    * exchange and the sort — happens once). No self-joins, no one
+    * scan per stage: this is the shape that survives a 100 TB event
+    * log (running state per user is four timestamps). The per-user
+    * flags then partial-aggregate to four counters, so the final
+    * exchange carries one row per partition.
+    *
+    * Tie semantics: events sort by (ts, event_id); a click at the
+    * exact ts of the user's first view counts iff its event_id orders
+    * after the view's — deterministic on both engines. Integer
+    * outputs end-to-end, so the gate compare is hash-exact. */
+  def fn1Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(
+      Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      Seq("view", "click", "signup", "purchase"))
+
+  /** Generic form of [[fn1Funnel]]: `events` must carry (user_id, ts,
+    * event_id, event_type); `stages` is the ordered stage sequence
+    * (≥ 1, distinct). Returns one (stage, users) row per stage. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"funnel: stages must be non-empty and distinct: $stages")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def reachedAt(typ: String, after: Option[String]): Column = {
+      val hit = after match {
+        case None => when(col("event_type") === typ, col("ts"))
+        case Some(prev) =>
+          when(col("event_type") === typ && col(prev).isNotNull, col("ts"))
+      }
+      min(hit).over(w)
+    }
+    val staged = stages.zipWithIndex.foldLeft(events) {
+      case (df, (typ, i)) =>
+        df.withColumn(s"t_$i",
+          reachedAt(typ, if (i == 0) None else Some(s"t_${i - 1}")))
+    }
+    val perUser = staged.groupBy(col("user_id")).agg(
+      max(col("t_0").isNotNull.cast("long")).as("s0"),
+      stages.indices.drop(1).map(i =>
+        max(col(s"t_$i").isNotNull.cast("long")).as(s"s$i")): _*)
+    val totals = perUser.agg(
+      sum(col("s0")).as("c0"),
+      stages.indices.drop(1).map(i => sum(col(s"s$i")).as(s"c$i")): _*)
+    val stackArgs = stages.zipWithIndex
+      .map { case (typ, i) => s"'$typ', c$i" }.mkString(", ")
+    totals.selectExpr(
+      s"stack(${stages.length}, $stackArgs) AS (stage, users)")
+  }
 
   private val typedCte = (typ: String) =>
     s"""SELECT series_id, ts, max(value) AS value FROM (
@@ -116,7 +180,41 @@ object TemporalQueries {
          |      FROM t)))
          |SELECT series_id, session_id, min(ts) AS "start", max(ts) AS "stop",
          |  count(*) AS n_points, ROUND(COALESCE(SUM(value), 0.0), 6) AS total
-         |FROM s GROUP BY series_id, session_id""".stripMargin
+         |FROM s GROUP BY series_id, session_id""".stripMargin,
+    // fn1: the identical running-min window chain — stage k+1's CASE
+    // reads stage k's window output from the same (ts, event_id)
+    // order, so reach times (and the integer counts) match exactly
+    "fn1_funnel" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |  OVER w AS t_view FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+        |    AND t_view IS NOT NULL THEN ts END) OVER w AS t_click FROM s1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'signup'
+        |    AND t_click IS NOT NULL THEN ts END) OVER w AS t_signup FROM s2
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s4 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+        |    AND t_signup IS NOT NULL THEN ts END) OVER w AS t_purchase FROM s3
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT user_id,
+        |  MAX(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS f1,
+        |  MAX(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS f2,
+        |  MAX(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS f3,
+        |  MAX(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS f4
+        | FROM s4 GROUP BY user_id)
+        |SELECT 'view' AS stage, CAST(SUM(f1) AS BIGINT) AS users FROM u
+        |UNION ALL
+        |SELECT 'click' AS stage, CAST(SUM(f2) AS BIGINT) AS users FROM u
+        |UNION ALL
+        |SELECT 'signup' AS stage, CAST(SUM(f3) AS BIGINT) AS users FROM u
+        |UNION ALL
+        |SELECT 'purchase' AS stage, CAST(SUM(f4) AS BIGINT) AS users FROM u""".stripMargin
   )
 }
 

@@ -162,6 +162,54 @@ object TimeSeriesQueries {
           6).as("roll_p90"))
   }
 
+  /** Robust per-series outlier screen: median + MAD (median absolute
+    * deviation) instead of mean + stddev — the classic robust z-score,
+    * immune to the outliers it is hunting (a single extreme value
+    * drags a mean/stddev fence toward itself; it moves the median by
+    * at most one rank). A value is flagged when |x − med| > 3·MAD.
+    *
+    * Both medians are the rs3 portable pick — row_number over
+    * (value, event_id), element at integer ranks ⌊(n+1)/2⌋ and
+    * ⌊(n+2)/2⌋, averaged with the same (a+b)/2.0 on both engines — so
+    * no interpolating quantile ever runs. Execution: one exchange on
+    * series_id, two sorts within it (by value, then by deviation);
+    * the rank picks are whole-partition conditional MINs, not
+    * collected arrays, so per-row state is O(1) and a series never
+    * has to fit in one task's memory the way a collect_list would
+    * require. Final shape is one partial-combined row per series. */
+  def rz1MadOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliers(canonicalWithId(spark, dir))
+
+  /** Generic form of [[rz1MadOutliers]]: `series` must carry
+    * (series_id, ts, event_id, value); nulls are dropped (missing,
+    * per the canonical-frame contract). `k` is the MAD-multiple
+    * fence. */
+  def madOutliers(series: DataFrame, k: Double = 3.0): DataFrame = {
+    val part = Window.partitionBy("series_id")
+    val byVal = part.orderBy(col("value"), col("event_id"))
+    val ranked = series
+      .where(col("value").isNotNull)
+      .withColumn("rv", row_number().over(byVal).cast("long"))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("med",
+        (min(when(col("rv") === floor((col("n") + 1) / lit(2)).cast("long"), col("value"))).over(part) +
+          min(when(col("rv") === floor((col("n") + 2) / lit(2)).cast("long"), col("value"))).over(part)) / 2.0)
+      .withColumn("dev", abs(col("value") - col("med")))
+    val byDev = part.orderBy(col("dev"), col("event_id"))
+    ranked
+      .withColumn("rv", row_number().over(byDev).cast("long"))
+      .withColumn("mad",
+        (min(when(col("rv") === floor((col("n") + 1) / lit(2)).cast("long"), col("dev"))).over(part) +
+          min(when(col("rv") === floor((col("n") + 2) / lit(2)).cast("long"), col("dev"))).over(part)) / 2.0)
+      .groupBy(col("series_id"))
+      .agg(
+        min(col("n")).as("n_values"),
+        round(min(col("med")), 6).as("med6"),
+        round(min(col("mad")), 6).as("mad6"),
+        sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("dev")), 6).as("max_dev6"))
+  }
+
   /** One-sided (upper) CUSUM change detection (Page 1954): the
     * textbook recursion `s_n = max(0, s_{n−1} + (x_n − target −
     * slack))` looks inherently sequential, but the reflection
@@ -298,7 +346,38 @@ object TimeSeriesQueries {
          |  ROUND(p - LEAST(mn, CAST(0.0 AS DOUBLE)), 6) AS cusum6,
          |  ROUND(p - LEAST(mn, CAST(0.0 AS DOUBLE)), 6) > CAST(300.0 AS DOUBLE) AS alarm
          |FROM mm""".stripMargin,
-    "ew1_ewma" -> ewmaSql(alpha = 0.3)
+    "ew1_ewma" -> ewmaSql(alpha = 0.3),
+    // rz1: identical rank picks over identical (value|dev, event_id)
+    // orders; every double op ((a+b)/2, abs-sub, 3·mad compare) is the
+    // same IEEE sequence on both engines — no tolerance anywhere
+    "rz1_mad_outliers" ->
+      s"""WITH t AS ($canonicalIdCte),
+         |nn AS (SELECT * FROM t WHERE value IS NOT NULL),
+         |r AS (SELECT *,
+         |  row_number() OVER (PARTITION BY series_id ORDER BY value, event_id) AS rv,
+         |  count(*) OVER (PARTITION BY series_id) AS n FROM nn),
+         |m AS (SELECT *,
+         |  (min(CASE WHEN rv = (n + 1) // 2 THEN value END)
+         |     OVER (PARTITION BY series_id)
+         |   + min(CASE WHEN rv = (n + 2) // 2 THEN value END)
+         |     OVER (PARTITION BY series_id)) / CAST(2.0 AS DOUBLE) AS med
+         | FROM r),
+         |d AS (SELECT *, abs(value - med) AS dev FROM m),
+         |r2 AS (SELECT *,
+         |  row_number() OVER (PARTITION BY series_id ORDER BY dev, event_id) AS rd
+         | FROM d),
+         |m2 AS (SELECT *,
+         |  (min(CASE WHEN rd = (n + 1) // 2 THEN dev END)
+         |     OVER (PARTITION BY series_id)
+         |   + min(CASE WHEN rd = (n + 2) // 2 THEN dev END)
+         |     OVER (PARTITION BY series_id)) / CAST(2.0 AS DOUBLE) AS mad
+         | FROM r2)
+         |SELECT series_id, CAST(min(n) AS BIGINT) AS n_values,
+         |  ROUND(min(med), 6) AS med6, ROUND(min(mad), 6) AS mad6,
+         |  CAST(SUM(CASE WHEN dev > CAST(3.0 AS DOUBLE) * mad THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers,
+         |  ROUND(max(dev), 6) AS max_dev6
+         |FROM m2 GROUP BY series_id""".stripMargin
   )
 
   /** ew1 oracle: the pandas `ewm(alpha, adjust=True).mean()` recurrence
@@ -355,6 +434,7 @@ object TimeSeriesQueries {
     "rs1_rolling_stats" -> (rs1RollingStats _),
     "rs3_rolling_median" -> (rs3RollingMedian _),
     "rs4_rolling_p90" -> (rs4RollingP90 _),
+    "rz1_mad_outliers" -> (rz1MadOutliers _),
     "cp1_cusum" -> ((s: SparkSession, dir: String) => cp1Cusum(s, dir))
   )
 }

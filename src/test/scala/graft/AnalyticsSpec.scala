@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the round-9 analytics additions: ordered funnel
+  * (fn1), weighted median (wm1), MAD outlier screen (rz1), customer
+  * order-count distribution (q13), and the binary→float rerank
+  * cascade (e4). The correctness gate hash-checks each against its
+  * DuckDB twin at sf0.01; these tests pin the SEMANTIC corners the
+  * gate's fixed data may not exercise (tie order, zero-weight edge,
+  * robust-fence behavior, cascade containment). */
+class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def eventsDf(rows: Seq[(Long, java.sql.Timestamp, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "ts", "event_id", "event_type")
+  }
+
+  test("funnel: stages must be reached in order; same-ts ties resolve by event_id") {
+    import spark.implicits._
+    // A: click BEFORE first view must not count; later click does;
+    //    purchase without signup must not count
+    // B: view only
+    // C: click at the SAME ts as the view, larger event_id → counts
+    // D: click at the SAME ts as the view, SMALLER event_id → does not
+    val rows = Seq(
+      (1L, day(0), 1L, "click"), (1L, day(1), 2L, "view"),
+      (1L, day(2), 3L, "click"), (1L, day(3), 4L, "purchase"),
+      (2L, day(0), 5L, "view"),
+      (3L, day(0), 6L, "view"), (3L, day(0), 7L, "click"),
+      (3L, day(1), 8L, "signup"), (3L, day(2), 9L, "purchase"),
+      (4L, day(0), 10L, "click"), (4L, day(0), 11L, "view"))
+    val got = graft.queries.TemporalQueries
+      .funnel(eventsDf(rows), Seq("view", "click", "signup", "purchase"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("view" -> 4L, "click" -> 2L, "signup" -> 1L, "purchase" -> 1L))
+  }
+
+  test("funnel: rejects empty and duplicate stage lists") {
+    intercept[IllegalArgumentException] {
+      graft.queries.TemporalQueries.funnel(eventsDf(Seq()), Seq())
+    }
+    intercept[IllegalArgumentException] {
+      graft.queries.TemporalQueries.funnel(eventsDf(Seq()), Seq("a", "a"))
+    }
+  }
+
+  test("weighted median: cumulative-weight pick, not an interpolating quantile") {
+    import spark.implicits._
+    // weights drag the median to the heavy value
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 10.0))
+      .toDF("grp", "v", "w")
+    val got = graft.queries.Relational.weightedMedian(df, "grp", "v", "w")
+      .select("weighted_median", "total_weight")
+      .as[(Double, Double)].collect().head
+    assert(got == ((3.0, 12.0)))
+    // exact half boundary: cum(1.0) = 1 >= 2/2 → the LOWER value wins
+    val even = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0)).toDF("grp", "v", "w")
+    val got2 = graft.queries.Relational.weightedMedian(even, "grp", "v", "w")
+      .select("weighted_median").as[Double].collect().head
+    assert(got2 == 1.0)
+  }
+
+  test("MAD outliers: robust fence flags the spike a mean/stddev fence absorbs") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex
+      .map { case (v, i) => ("s1", day(i), i.toLong, Some(v)) }
+      .toDF("series_id", "ts", "event_id", "value")
+    val got = graft.queries.TimeSeriesQueries.madOutliers(df)
+      .select("n_values", "med6", "mad6", "n_outliers", "max_dev6")
+      .as[(Long, Double, Double, Long, Double)].collect().head
+    // sorted [1,2,3,4,100]: med = 3; devs sorted [0,1,1,2,97]: mad = 1
+    assert(got == ((5L, 3.0, 1.0, 1L, 97.0)))
+    // classic failure of the z-score fence on the same data: stddev is
+    // ~43, so |100 − mean| ≈ 78 < 3σ — the spike hides itself. MAD
+    // flags it. (Computed here to document WHY the operator exists.)
+    val vs = Seq(1.0, 2.0, 3.0, 4.0, 100.0)
+    val mean = vs.sum / vs.length
+    val sd = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / (vs.length - 1))
+    assert(math.abs(100.0 - mean) < 3 * sd)
+  }
+
+  test("MAD outliers: even count uses the same (a+b)/2 pick as rs3") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 4.0, 8.0).zipWithIndex
+      .map { case (v, i) => ("s1", day(i), i.toLong, Some(v)) }
+      .toDF("series_id", "ts", "event_id", "value")
+    val got = graft.queries.TimeSeriesQueries.madOutliers(df)
+      .select("med6", "mad6").as[(Double, Double)].collect().head
+    // med = (2+4)/2 = 3; devs sorted [1,2,1,5]→[1,1,2,5]: mad = (1+2)/2
+    assert(got == ((3.0, 1.5)))
+  }
+
+  test("q13: left-outer keeps zero-order customers; distribution mass is conserved") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val dist = graft.queries.Relational.q13CustomerDistribution(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val nCustomers = graft.sources.Tables.read(spark, dir, "customer").count()
+    val nOrders = graft.sources.Tables.read(spark, dir, "orders")
+      .join(graft.sources.Tables.read(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(dist.values.sum == nCustomers)
+    assert(dist.map { case (c, d) => c * d }.sum == nOrders)
+  }
+
+  test("e4 cascade: reranked ids are a subset of the binary candidates, " +
+    "scored exactly like brute force") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.read(spark, dir, "embeddings")
+    val q = e.where(col("vec_id") === 17)
+    val cand = graft.similarity.Similarity
+      .binaryHammingTopK(e, q, topK = 100)
+      .select("vec_id").as[Long].collect().toSet
+    val got = graft.similarity.Similarity
+      .binaryRerankTopK(e, q, candidates = 100, topK = 10)
+      .select("vec_id", "cos4", "rank").as[(Long, Double, Int)].collect()
+    assert(got.length == 10 && got.map(_._1).toSet.subsetOf(cand))
+    assert(!got.map(_._1).contains(17L), "query row must not rerank itself")
+    assert(got.sortBy(_._3).map(_._2).sliding(2).forall(p => p(0) >= p(1) - 1e-9),
+      "rank order must follow cosine descending")
+    intercept[IllegalArgumentException] {
+      graft.similarity.Similarity.binaryRerankTopK(e, q, candidates = 5, topK = 10)
+    }
+  }
+
+  test("IVFADC: a stored cell assignment reproduces the recomputed path exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.read(spark, dir, "embeddings")
+    val seeds = e.where(col("vec_id") < 16)
+    val q = e.where(col("vec_id") === 17)
+    val cents = e.where(col("vec_id") % 25 === 0)
+    val stored = graft.similarity.Similarity.ivfCellAssignment(e, cents)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val s5a = graft.similarity.Similarity.ivfAdcTopK(e, seeds, q, cents, nProbe = 3)
+    val s5b = graft.similarity.Similarity.ivfAdcTopK(e, seeds, q, cents, nProbe = 3,
+      assignment = Some(stored))
+    assert(rows(s5a) == rows(s5b))
+    val s6a = graft.similarity.Similarity.ivfAdcResidualTopK(e, seeds, q, cents, nProbe = 3)
+    val s6b = graft.similarity.Similarity.ivfAdcResidualTopK(e, seeds, q, cents, nProbe = 3,
+      assignment = Some(stored))
+    assert(rows(s6a) == rows(s6b))
+  }
+}
