@@ -40,7 +40,7 @@ object SqlSurface {
     "graft_substring_dedup" /* EAGER */,
     "graft_substring_keepfirst" /* EAGER */,
     "graft_canonical_quality" /* EAGER (reuses the cluster fixpoint) */,
-    "graft_hll_distinct", "graft_kmv_distinct",
+    "graft_hll_distinct", "graft_kmv_distinct", "graft_weighted_sample",
     "graft_bm25" /* EAGER; only with bm25Terms */,
     "graft_dsir_select" /* EAGER; only with dsirTarget */,
     "graft_dsir_heldout" /* EAGER; only with dsirTarget */,
@@ -100,6 +100,8 @@ object SqlSurface {
       .createOrReplaceTempView("graft_hll_distinct")
     graft.operators.Sketches.kmvDistinct(docs, col("text"))
       .createOrReplaceTempView("graft_kmv_distinct")
+    graft.queries.CorpusQueries.weightedSample(docs, k = 500)
+      .createOrReplaceTempView("graft_weighted_sample")
     if (bm25Terms.nonEmpty)
       graft.queries.TextAnalysis.bm25TopK(docs, bm25Terms)
         .createOrReplaceTempView("graft_bm25")
@@ -134,7 +136,8 @@ object SqlSurface {
   val EmbeddingViews: Seq[String] = Seq(
     "graft_embeddings", "graft_int8_quantize", "graft_ann_topk",
     "graft_ivf_topk", "graft_pq_codes", "graft_pq_topk",
-    "graft_ivfadc_topk", "graft_ivfadc_residual_topk")
+    "graft_ivfadc_topk", "graft_ivfadc_residual_topk",
+    "graft_binary_hamming_topk", "graft_binary_rerank_topk")
 
   def registerEmbeddings(
       embs: DataFrame, queries: DataFrame, pqSeeds: DataFrame,
@@ -153,6 +156,31 @@ object SqlSurface {
       .createOrReplaceTempView("graft_ivfadc_topk")
     S.ivfAdcResidualTopK(embs, pqSeeds, pqQuery, centroids, topK, nProbe = nProbe)
       .createOrReplaceTempView("graft_ivfadc_residual_topk")
+    S.binaryHammingTopK(embs, pqQuery, topK)
+      .createOrReplaceTempView("graft_binary_hamming_topk")
+    S.binaryRerankTopK(embs, pqQuery, candidates = math.max(topK * 5, topK), topK = topK)
+      .createOrReplaceTempView("graft_binary_rerank_topk")
+  }
+
+  /** Event-log views over a raw `(user_id, ts, event_id, event_type,
+    * value)` frame: the ordered funnel and the per-series robust
+    * outlier screen (both lazy — nothing computes until queried). */
+  val EventViews: Seq[String] = Seq(
+    "graft_events", "graft_funnel", "graft_mad_outliers")
+
+  def registerEvents(
+      events: DataFrame, funnelStages: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    events.createOrReplaceTempView("graft_events")
+    graft.queries.TemporalQueries
+      .funnel(events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")), funnelStages)
+      .createOrReplaceTempView("graft_funnel")
+    graft.queries.TimeSeriesQueries.madOutliers(
+        events.select(col("user_id").cast("string").as("series_id"),
+          col("ts"), col("event_id"),
+          graft.operators.Kernels.nanToNull(col("value")).as("value")))
+      .createOrReplaceTempView("graft_mad_outliers")
   }
 
   def register(

@@ -61,6 +61,43 @@ object CorpusQueries {
           .when(col("bucket") < 90, "validation")
           .otherwise("test"))
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis
+    * & Spirakis 2006, A-Res): each doc gets key = ln(u)/w with u a
+    * deterministic hash-uniform in (0, 1] and w its weight; the k
+    * LARGEST keys are exactly a weighted-without-replacement draw.
+    * This is the quality-weighted corpus subsampling move (weight by
+    * a quality score in production — here n_chars, the column the
+    * testdata carries) and the reason the formulation matters at
+    * 100 TB: "sample k of N by weight" becomes a stateless projection
+    * + TakeOrderedAndProject — no global sort, no rand() (reruns and
+    * retried tasks would disagree), O(k) driver state, and a doc's
+    * key never changes as the corpus grows.
+    *
+    * Portability: u = (hash32+1)/2^32 is exact integer arithmetic in
+    * double; ln is the one libm call (the m2 precedent — both engines
+    * agree on the fixed data; measure-zero exposure), and the rank
+    * cut ties only at identical keys (broken by doc_id). */
+  def sm3WeightedSample(spark: SparkSession, dir: String, k: Int = 500): DataFrame =
+    weightedSample(docs(spark, dir), k)
+
+  /** Generic form of [[sm3WeightedSample]]: `d` must carry doc_id and
+    * a positive weight in `n_chars` (falls back to text length when
+    * the column is absent). */
+  def weightedSample(d: DataFrame, k: Int): DataFrame = {
+    val nChars =
+      if (d.columns.contains("n_chars")) col("n_chars")
+      else length(col("text")).cast("long")
+    val u = (idHash(col("doc_id")) + lit(1L)).cast("double") / lit(4294967296.0)
+    val w = greatest(nChars, lit(1L)).cast("double")
+    d.select(col("doc_id"), nChars.as("n_chars"), (log(u) / w).as("key"))
+      .orderBy(col("key").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("key").desc, col("doc_id"))))
+      .select(col("doc_id"), col("n_chars"), round(col("key") * 1e6, 6).as("key_ppm"),
+        col("rank"))
+  }
+
   /** Deterministic STRATIFIED sampling (`sampleBy` without rand()):
     * per-language keep fractions applied via the same hash bucket as
     * the split — membership is a pure function of (doc_id, stratum
@@ -431,6 +468,17 @@ object CorpusQueries {
          |FROM (SELECT doc_id, lang, $idHashSql % 100 AS bucket FROM documents)
          |WHERE bucket < (CASE WHEN lang = 'en' THEN 80
          |                     WHEN lang = 'de' THEN 40 ELSE 20 END)""".stripMargin,
+    // sm3: identical integer hash → identical u; ln is the one libm
+    // call (m2 precedent); rank over identical doubles
+    "sm3_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |  ln(CAST($idHashSql + 1 AS DOUBLE) / CAST(4294967296.0 AS DOUBLE))
+         |    / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS key
+         | FROM documents)
+         |SELECT doc_id, n_chars,
+         |  ROUND(key * CAST(1000000.0 AS DOUBLE), 6) AS key_ppm,
+         |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INTEGER) AS rank
+         |FROM d ORDER BY key DESC, doc_id LIMIT 500""".stripMargin,
     "sm1_hash_split" ->
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 80 THEN 'train'
@@ -552,6 +600,7 @@ object CorpusQueries {
     "v1_vocab_topk" -> ((s, dir) => v1VocabTopK(s, dir)),
     "sm1_hash_split" -> (sm1HashSplit _),
     "sm2_stratified_sample" -> ((s, dir) => sm2StratifiedSample(s, dir)),
+    "sm3_weighted_sample" -> ((s, dir) => sm3WeightedSample(s, dir)),
     "pk1_sequence_pack" -> ((s, dir) => pk1SequencePack(s, dir)),
     "mx1_domain_mixture" -> ((s, dir) => mx1DomainMixture(s, dir)),
     "mx2_budget_mixture" -> ((s, dir) => mx2BudgetMixture(s, dir)),

@@ -488,6 +488,87 @@ object Relational {
         round(min(col("tot_w")), 4).as("total_weight"))
   }
 
+  /** TPC-H Q15-shaped top supplier: quarterly revenue per supplier,
+    * then the supplier(s) achieving the maximum — the create-view +
+    * scalar-subquery pattern as one plan. The revenue aggregate is
+    * rounded to 4dp BEFORE the max/equality so the cross-engine
+    * compare never rides on summation-order ulps (the repo's standard
+    * rounded-aggregate discipline). Shape: one partial-combined
+    * aggregation over the date-pruned lineitem scan, a single-row max
+    * broadcast back over the per-supplier frame (broadcast nested
+    * loop over ~N_supp rows), and a broadcast join to the supplier
+    * dimension for the name. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: lineitems whose
+    * quantity is under 20% of their part's average quantity — the
+    * correlated-average pattern as a group-aggregate joined back to
+    * the fact (the decorrelation Catalyst/DuckDB both apply to the
+    * spec's subquery, written explicitly). The per-part average is
+    * rounded to 6dp on BOTH engines before the 0.2× comparison — the
+    * sq1 discipline: an unrounded avg is summation-order-dependent
+    * and the filter boundary must not be. The part-keyed aggregate
+    * and the part-keyed join share a shuffle key, and the final
+    * aggregate is a single global row. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQ = li.groupBy(col("l_partkey"))
+      .agg(round(avg(col("l_quantity")), 6).as("avg_qty"))
+    li.join(avgQ, Seq("l_partkey"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / lit(7.0), 4).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** GROUPING SETS beyond g1/g2's rollup/cube: the two one-column
+    * marginals (status totals, priority totals) WITHOUT the cross
+    * product a cube would also emit — the shape reporting stacks ask
+    * for. `grouping_id()` disambiguates which set a row came from
+    * (null group values are ambiguous when a real value could be
+    * null). One scan feeds both aggregates; Spark expands to a
+    * per-set union under a single exchange keyed by the padded group
+    * columns. */
+  def g3GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("revenue"))
+
+  /** Year-over-year growth (time intelligence): monthly order revenue
+    * with the same-month-last-year comparison via `lag(12)` — after
+    * the monthly aggregation the frame is tens of rows, so the
+    * unpartitioned window is a deliberate single-partition pass over
+    * an already-tiny aggregate (the same argument as s4's post-limit
+    * rank window), not a scale hazard. Growth is computed from the
+    * 4dp-rounded monthly totals, so the division sees identical
+    * doubles on both engines. */
+  def w3YoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "orders")
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+      .agg(round(sum(col("o_totalprice")), 4).as("revenue"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev_year", lag(col("revenue"), 12).over(w))
+      .withColumn("yoy_pct",
+        round(lit(100.0) * (col("revenue") - col("prev_year")) / col("prev_year"), 6))
+  }
+
   /** RANGE-frame time window (vs the ROWS frames elsewhere): trailing
     * 7-DAY aggregate per series keyed by event TIME, not row count —
     * irregular sampling changes the frame width per row. Value-based
@@ -527,6 +608,40 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 4))
 
   val oracle: Map[String, String] = Map(
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    ROUND(SUM(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 4)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH aq AS (SELECT l_partkey, ROUND(AVG(l_quantity), 6) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT ROUND(SUM(l_extendedprice) / CAST(7.0 AS DOUBLE), 4) AS avg_yearly,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN aq USING (l_partkey)
+        |WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
+    "g3_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+        |    AS gid,
+        |  COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    "w3_yoy_growth" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |    ROUND(SUM(o_totalprice), 4) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  lag(revenue, 12) OVER (ORDER BY month) AS prev_year,
+        |  ROUND(CAST(100.0 AS DOUBLE) * (revenue - lag(revenue, 12) OVER (ORDER BY month))
+        |    / lag(revenue, 12) OVER (ORDER BY month), 6) AS yoy_pct
+        |FROM m""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
@@ -783,6 +898,10 @@ object Relational {
     "q18_volume_orders" -> (q18VolumeOrders _),
     "q13_custdist" -> (q13CustomerDistribution _),
     "wm1_weighted_median" -> (wm1WeightedMedian _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "g3_grouping_sets" -> (g3GroupingSets _),
+    "w3_yoy_growth" -> (w3YoyGrowth _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "rs2_range_window" -> (rs2RangeWindow _)

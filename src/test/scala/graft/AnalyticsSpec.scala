@@ -126,6 +126,68 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("g3 grouping sets: exactly the two marginals, no cross product") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Relational.g3GroupingSets(spark, dir)
+    // gid 1 = (status) set, gid 2 = (priority) set; nothing else
+    assert(got.select("gid").distinct().as[Long].collect().toSet == Set(1L, 2L))
+    val statusRows = got.where(col("gid") === 1)
+      .select("o_orderstatus", "n_orders").as[(String, Long)].collect().toMap
+    val direct = graft.sources.Tables.read(spark, dir, "orders")
+      .groupBy("o_orderstatus").count()
+      .as[(String, Long)].collect().toMap
+    assert(statusRows == direct)
+  }
+
+  test("w3 yoy: prev_year is the revenue of the month 12 rows back") {
+    import spark.implicits._
+    val got = graft.queries.Relational.w3YoyGrowth(spark, "/root/testdata/sf0.001")
+      .select("month", "revenue", "prev_year")
+      .as[(java.sql.Timestamp, Double, Option[Double])].collect().sortBy(_._1.getTime)
+    assert(got.take(12).forall(_._3.isEmpty))
+    got.drop(12).zip(got).foreach { case ((_, _, prev), (_, rev0, _)) =>
+      assert(prev.contains(rev0))
+    }
+  }
+
+  test("sm3 weighted sample: deterministic, and the keys match a driver replay") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.CorpusQueries.sm3WeightedSample(spark, dir, k = 50)
+      .select("doc_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    val again = graft.queries.CorpusQueries.sm3WeightedSample(spark, dir, k = 50)
+      .select("doc_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.sameElements(again), "no rand(): reruns must agree exactly")
+    // driver replay of key = ln((h+1)/2^32)/max(n_chars,1), top-50
+    val base = graft.sources.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+    def h32(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    val expect = base.map { case (id, nc) =>
+      (id, math.log((h32(id) + 1).toDouble / 4294967296.0) / math.max(nc, 1L).toDouble)
+    }.sortBy { case (id, k) => (-k, id) }.take(50).map(_._1)
+    assert(got.map(_._1).sameElements(expect))
+  }
+
+  test("q17: the filter uses the ROUNDED per-part average on both engines") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Relational.q17SmallQtyRevenue(spark, dir)
+      .select("n_items").as[Long].collect().head
+    val li = graft.sources.Tables.read(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity")).as[(Long, Double)].collect()
+    val avg6 = li.groupBy(_._1).map { case (p, xs) =>
+      p -> BigDecimal(xs.map(_._2).sum / xs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = li.count { case (p, q) => q < 0.2 * avg6(p) }
+    assert(got == expect)
+  }
+
   test("IVFADC: a stored cell assignment reproduces the recomputed path exactly") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.read(spark, dir, "embeddings")

@@ -124,11 +124,34 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     same("graft_ivfadc_topk", S.ivfAdcTopK(embs, seeds, pqQuery, cents, 20))
     same("graft_ivfadc_residual_topk",
       S.ivfAdcResidualTopK(embs, seeds, pqQuery, cents, 20))
+    same("graft_binary_hamming_topk", S.binaryHammingTopK(embs, pqQuery, 20))
+    same("graft_binary_rerank_topk",
+      S.binaryRerankTopK(embs, pqQuery, candidates = 100, topK = 20))
     // cross-view SQL composition: PQ codes joinable with ANN output
     assert(spark.sql(
       """SELECT count(*) FROM graft_pq_topk p
         |JOIN graft_pq_codes c ON p.vec_id = c.vec_id
         |WHERE p.adc6 = c.adc6""".stripMargin).head.getLong(0) >= 1L)
+  }
+
+  test("event views: funnel, MAD outliers, weighted sample reachable from SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d0 = this.day(0); val d1 = this.day(1)
+    val events = Seq(
+      (1L, d0, 1L, "view", 1.0), (1L, d1, 2L, "click", 2.0),
+      (2L, d0, 3L, "view", 3.0), (2L, d1, 4L, "purchase", 100.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    SqlSurface.registerEvents(events, Seq("view", "click"))
+    val funnel = spark.sql("SELECT stage, users FROM graft_funnel")
+      .as[(String, Long)].collect().toMap
+    assert(funnel == Map("view" -> 2L, "click" -> 1L))
+    assert(spark.sql("SELECT count(*) FROM graft_mad_outliers").head.getLong(0) == 2L)
+    val docs = Seq((1L, "short"), (2L, "a much longer document body"))
+      .toDF("doc_id", "text")
+    SqlSurface.registerCorpus(docs)
+    // n_chars absent → falls back to text length; both docs sampled
+    assert(spark.sql("SELECT count(*) FROM graft_weighted_sample").head.getLong(0) == 2L)
   }
 
   test("find_peaks clamp: near-head peak paints from index 0, no wrap") {
