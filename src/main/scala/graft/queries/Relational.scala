@@ -499,12 +499,15 @@ object Relational {
     * loop over ~N_supp rows), and a broadcast join to the supplier
     * dimension for the name. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val rev = t(spark, dir, "lineitem")
+    // barrier: the per-supplier revenue frame feeds BOTH the max
+    // subquery and the equality filter — without it Catalyst inlines
+    // the aggregation twice and the date-pruned fact scans twice
+    val rev = graft.Materialize.barrier(t(spark, dir, "lineitem")
       .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-        .as("total_revenue"))
+        .as("total_revenue")))
     val mx = rev.agg(max(col("total_revenue")).as("mx"))
     rev.join(broadcast(mx), col("total_revenue") === col("mx"))
       .join(broadcast(t(spark, dir, "supplier")
