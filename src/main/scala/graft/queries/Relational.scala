@@ -537,6 +537,56 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q8-shaped national market share: of the revenue on
+    * STANDARD-type parts sold to ASIA-region customers in 1996–1997,
+    * what fraction came from NATION_2 suppliers, per order year. The
+    * widest join pattern in the suite — the nation dimension plays
+    * TWO roles (customer side restricts the market, supplier side
+    * tags the share) — and the reason it matters at 100 TB: every
+    * dimension hop (part filter, customer→nation→region, supplier→
+    * nation) is a BROADCAST, so the only fact-fact exchange is
+    * lineitem ⋈ orders on orderkey; the share CASE rides inside the
+    * aggregate (one row per (partition × year) through the final
+    * exchange). Share follows the q14 ratio discipline: round AFTER
+    * the division, where relative ulp noise is ~1e-16. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+    val asiaNations = nation
+      .join(broadcast(t(spark, dir, "region")
+        .where(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .select(col("n_nationkey"))
+    val asiaCustomers = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"),
+        "left_semi")
+      .select(col("c_custkey"))
+    val ordersF = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(asiaCustomers, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val suppNation = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(broadcast(t(spark, dir, "part")
+        .where(col("p_type") === "STANDARD").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(ordersF, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_2", col("rev"))
+          .otherwise(lit(0.0))) / sum(col("rev")), 6).as("mkt_share"),
+        round(sum(col("rev")), 4).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** GROUPING SETS beyond g1/g2's rollup/cube: the two one-column
     * marginals (status totals, priority totals) WITHOUT the cross
     * product a cube would also emit — the shape reporting stacks ask
@@ -611,6 +661,27 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 4))
 
   val oracle: Map[String, String] = Map(
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  ROUND(SUM(CASE WHEN n1.n_name = 'NATION_2'
+        |      THEN l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        |      ELSE CAST(0.0 AS DOUBLE) END)
+        |    / SUM(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 6)
+        |    AS mkt_share,
+        |  ROUND(SUM(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 4)
+        |    AS total_revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY year(o_orderdate)""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,
         |    ROUND(SUM(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 4)
@@ -902,6 +973,7 @@ object Relational {
     "q13_custdist" -> (q13CustomerDistribution _),
     "wm1_weighted_median" -> (wm1WeightedMedian _),
     "q15_top_supplier" -> (q15TopSupplier _),
+    "q8_market_share" -> (q8MarketShare _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),
     "w3_yoy_growth" -> (w3YoyGrowth _),

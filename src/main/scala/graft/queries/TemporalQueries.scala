@@ -79,6 +79,43 @@ object TemporalQueries {
     * event_id, event_type); `stages` is the ordered stage sequence
     * (≥ 1, distinct). Returns one (stage, users) row per stage. */
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val perUser = stagedFunnel(events, stages).groupBy(col("user_id")).agg(
+      max(col("t_0").isNotNull.cast("long")).as("s0"),
+      stages.indices.drop(1).map(i =>
+        max(col(s"t_$i").isNotNull.cast("long")).as(s"s$i")): _*)
+    val totals = perUser.agg(
+      sum(col("s0")).as("c0"),
+      stages.indices.drop(1).map(i => sum(col(s"s$i")).as(s"c$i")): _*)
+    val stackArgs = stages.zipWithIndex
+      .map { case (typ, i) => s"'$typ', c$i" }.mkString(", ")
+    totals.selectExpr(
+      s"stack(${stages.length}, $stackArgs) AS (stage, users)")
+  }
+
+  /** Per-user stage reach TIMES for [[funnel]]'s semantics: one row
+    * per (user, stage) the user actually reached, with the timestamp
+    * of the first qualifying event. Same staged running-min chain;
+    * the final value of each running min is its whole-partition min,
+    * so the per-user reach time is a plain min-aggregate over the
+    * staged frame. [[graft.streaming.StreamingFunnel]] proves
+    * batch-equivalence against this frame. */
+  def funnelReachTimes(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val perUser = stagedFunnel(events, stages).groupBy(col("user_id")).agg(
+      min(col("t_0")).as("r0"),
+      stages.indices.drop(1).map(i => min(col(s"t_$i")).as(s"r$i")): _*)
+    val stackArgs = stages.zipWithIndex
+      .map { case (typ, i) => s"'$typ', r$i" }.mkString(", ")
+    perUser
+      .selectExpr("user_id",
+        s"stack(${stages.length}, $stackArgs) AS (stage, reached_at)")
+      .where(col("reached_at").isNotNull)
+  }
+
+  /** Shared stage chain for [[funnel]] / [[funnelReachTimes]]: one
+    * running-min window per stage, each gated on the previous stage's
+    * reach column — see funnel's scaladoc for the one-exchange/
+    * one-sort execution argument. */
+  private def stagedFunnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty && stages.distinct == stages,
       s"funnel: stages must be non-empty and distinct: $stages")
     import org.apache.spark.sql.expressions.Window
@@ -93,22 +130,11 @@ object TemporalQueries {
       }
       min(hit).over(w)
     }
-    val staged = stages.zipWithIndex.foldLeft(events) {
+    stages.zipWithIndex.foldLeft(events) {
       case (df, (typ, i)) =>
         df.withColumn(s"t_$i",
           reachedAt(typ, if (i == 0) None else Some(s"t_${i - 1}")))
     }
-    val perUser = staged.groupBy(col("user_id")).agg(
-      max(col("t_0").isNotNull.cast("long")).as("s0"),
-      stages.indices.drop(1).map(i =>
-        max(col(s"t_$i").isNotNull.cast("long")).as(s"s$i")): _*)
-    val totals = perUser.agg(
-      sum(col("s0")).as("c0"),
-      stages.indices.drop(1).map(i => sum(col(s"s$i")).as(s"c$i")): _*)
-    val stackArgs = stages.zipWithIndex
-      .map { case (typ, i) => s"'$typ', c$i" }.mkString(", ")
-    totals.selectExpr(
-      s"stack(${stages.length}, $stackArgs) AS (stage, users)")
   }
 
   private val typedCte = (typ: String) =>

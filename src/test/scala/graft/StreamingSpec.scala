@@ -361,6 +361,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel: per-user stage state across batches == batch reach times") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val stages = Seq("view", "click", "purchase")
+    // real fixture: sf0.001 events, replayed in two event-time halves
+    // (in order per user — the runEvents ordering contract)
+    val events = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      .sortBy(r => (r._2.getTime, r._3))
+    val split = events.length / 2
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.StreamingFunnel.funnelReaches(
+        input.toDF().toDF("user_id", "ts", "event_id", "event_type"), stages)
+      .writeStream.format("memory").queryName("sfn")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(events.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.sql("select user_id, stage, reached_at from sfn")
+        .as[(Long, String, java.sql.Timestamp)].collect().toSet
+      val batch = graft.queries.TemporalQueries.funnelReachTimes(
+          graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+            .select(col("user_id").cast("long"), col("ts"),
+              col("event_id"), col("event_type")), stages)
+        .as[(Long, String, java.sql.Timestamp)].collect().toSet
+      assert(got.nonEmpty && got == batch)
+      // and the counts agree with the batch funnel's stage totals
+      val counts = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val fn = graft.queries.TemporalQueries.funnel(
+          graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          stages)
+        .as[(String, Long)].collect().toMap
+      assert(stages.forall(s => counts.getOrElse(s, 0L) == fn(s)))
+    } finally q.stop()
+  }
+
   test("streaming DSIR screen: frozen lambda table scores replayed corpus == batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
