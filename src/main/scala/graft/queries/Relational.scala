@@ -587,6 +587,64 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for each
+    * supplier, count multi-supplier orders where THIS supplier shipped
+    * late and NO other supplier did — the spec's EXISTS + NOT EXISTS
+    * double correlation, expressed as one per-order aggregate instead
+    * of two correlated re-scans of lineitem: per (orderkey) compute
+    * n_supp (distinct suppliers) and n_late_supp (distinct LATE
+    * suppliers), then the qualifying rows are late lines in orders
+    * with n_supp > 1 AND n_late_supp = 1 — the single late supplier
+    * is necessarily this one. ("Late" = shipdate > orderdate + 60
+    * days, the q4 substitution; this testdata has no
+    * receipt/commitdate.) Two shuffles total (orderkey aggregate +
+    * the orderkey join); the EXISTS pair never rescans the fact. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // barrier: the lateness-tagged line frame feeds both the
+    // per-order qualification aggregate and the final count —
+    // without it the lineitem ⋈ orders join runs twice
+    val li = graft.Materialize.barrier(t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("late")))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .where(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .select(col("l_orderkey").as("qual_orderkey"))
+    li.where(col("late"))
+      .join(perOrder, col("l_orderkey") === col("qual_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+  }
+
+  /** Cohort retention (event-log time intelligence): users grouped by
+    * the DAY of their first event (the cohort — daily because this
+    * testdata spans one month; the grain is a one-line change),
+    * tracked by how many are still active N days later. The canonical
+    * product-analytics matrix. Execution: distinct (user, day)
+    * activity first — the scale lever, everything after runs on
+    * user×days not raw events — then the per-user min day and a
+    * self-join back on user_id (shared shuffle key), offset via
+    * integer epoch-day arithmetic (no date-subtraction floats
+    * anywhere). Output is one partial-combined row per
+    * (cohort, offset). */
+  def ch1CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.read(spark, dir, "events")
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day_idx"))
+      .distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("day_idx")).as("cohort_day"))
+    activity.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day_idx") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   /** GROUPING SETS beyond g1/g2's rollup/cube: the two one-column
     * marginals (status totals, priority totals) WITHOUT the cross
     * product a cube would also emit — the shape reporting stacks ask
@@ -661,6 +719,26 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 4))
 
   val oracle: Map[String, String] = Map(
+    "q21_waiting_supplier" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |po AS (SELECT l_orderkey AS qual_orderkey FROM (
+        |    SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |      COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+        |    FROM li GROUP BY l_orderkey)
+        |  WHERE n_supp > 1 AND n_late_supp = 1)
+        |SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS numwait
+        |FROM li JOIN po ON l_orderkey = qual_orderkey
+        |WHERE late GROUP BY l_suppkey""".stripMargin,
+    "ch1_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx FROM events),
+        |c AS (SELECT user_id, MIN(day_idx) AS cohort_day FROM a GROUP BY user_id)
+        |SELECT cohort_day, day_idx - cohort_day AS day_offset,
+        |  COUNT(DISTINCT user_id) AS active_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY cohort_day, day_idx - cohort_day""".stripMargin,
     "q8_market_share" ->
       """SELECT year(o_orderdate) AS o_year,
         |  ROUND(SUM(CASE WHEN n1.n_name = 'NATION_2'
@@ -974,6 +1052,8 @@ object Relational {
     "wm1_weighted_median" -> (wm1WeightedMedian _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q8_market_share" -> (q8MarketShare _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
+    "ch1_cohort_retention" -> (ch1CohortRetention _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),
     "w3_yoy_growth" -> (w3YoyGrowth _),

@@ -188,6 +188,43 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect)
   }
 
+  test("q21: per-order aggregate == the literal EXISTS / NOT EXISTS formulation") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Relational.q21WaitingSupplier(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // the spec's shape, joined directly: a late line qualifies iff
+    // ANOTHER supplier has a line on the order (EXISTS) and NO other
+    // supplier has a LATE line on it (NOT EXISTS)
+    val li = graft.sources.Tables.read(spark, dir, "lineitem")
+      .join(graft.sources.Tables.read(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"))
+      .as[(Long, Long, Boolean)].collect()
+    val byOrder = li.groupBy(_._1)
+    val expect = li.filter(_._3).filter { case (ok, sk, _) =>
+      val others = byOrder(ok).filter(_._2 != sk)
+      others.nonEmpty && !others.exists(_._3)
+    }.map(r => (r._2, r._1)).distinct.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("ch1 cohort retention: day-0 row counts the whole cohort; later offsets never exceed it") {
+    import spark.implicits._
+    val rows = graft.queries.Relational
+      .ch1CohortRetention(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_._2 == 0L)
+      assert(day0.isDefined, s"cohort $c lacks its day-0 row")
+      assert(rs.forall(_._3 <= day0.get._3), s"cohort $c: offset exceeds day-0")
+    }
+  }
+
   test("IVFADC: a stored cell assignment reproduces the recomputed path exactly") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.read(spark, dir, "embeddings")
