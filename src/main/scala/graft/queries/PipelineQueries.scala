@@ -179,6 +179,13 @@ object PipelineQueries {
       val e = embs(s, dir)
       Similarity.binaryHammingTopK(e, e.where(col("vec_id") === 17))
     }),
+    // MRL prefix-dim cascade: 16-dim float screen → 64-dim rerank —
+    // the middle rung of the binary → prefix → full ladder
+    "e5_matryoshka" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.matryoshkaRerankTopK(e, e.where(col("vec_id") === 17),
+        prefixDim = 16, candidates = 100, topK = 10)
+    }),
     // e3 composed with the exact scorer: sign-bit Hamming screens the
     // corpus to 100 candidates, float cosine reranks to the top 10 —
     // the binary→float cascade, float work on candidates/N of N only
@@ -1172,6 +1179,32 @@ object PipelineQueries {
          |      AS INTEGER) AS rank
          |  FROM sgn s CROSS JOIN q)
          |WHERE rank <= 20""".stripMargin,
+    // e5: prefix slice normalized as its own vector on both engines;
+    // both stages are the s1 normalize + list_dot_product op sequence
+    "e5_matryoshka" ->
+      s"""WITH v0 AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |ps AS (SELECT vec_id, emb[1:16] AS pe FROM v0),
+         |pn AS (SELECT vec_id,
+         |  list_transform(pe, x -> x / sqrt(list_dot_product(pe, pe))) AS pemb
+         | FROM ps),
+         |pq AS (SELECT pemb AS q_pemb FROM pn WHERE vec_id = 17),
+         |cand AS (SELECT vec_id, ROUND(pcos, 4) AS pcos4 FROM (
+         |  SELECT pn.vec_id, list_dot_product(pq.q_pemb, pn.pemb) AS pcos,
+         |    row_number() OVER (ORDER BY list_dot_product(pq.q_pemb, pn.pemb) DESC,
+         |      pn.vec_id) AS r1
+         |  FROM pn CROSS JOIN pq) WHERE r1 <= 100),
+         |vn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM v0),
+         |v AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb FROM vn),
+         |qv AS (SELECT emb AS q_emb FROM v WHERE vec_id = 17)
+         |SELECT CAST(17 AS BIGINT) AS query_id, vec_id, pcos4,
+         |  ROUND(cos, 4) AS cos4, rank FROM (
+         |  SELECT c.vec_id, c.pcos4, ${dotSql("qv.q_emb", "v.emb")} AS cos,
+         |    CAST(row_number() OVER (ORDER BY ${dotSql("qv.q_emb", "v.emb")} DESC,
+         |      c.vec_id) AS INTEGER) AS rank
+         |  FROM cand c JOIN v ON v.vec_id = c.vec_id CROSS JOIN qv
+         |  WHERE c.vec_id <> 17)
+         |WHERE rank <= 10""".stripMargin,
     // e4: e3's integer stage (rank <= 100) feeding s1's float scorer
     // (identical normalize + list_dot_product op sequence, round 4)
     "e4_binary_rerank" ->

@@ -355,6 +355,43 @@ object Relational {
       .unionByName(y96.except(y97).withColumn("tag", lit("only_1996")))
   }
 
+  /** MULTISET set operations — the ALL variants st1's distinct forms
+    * silently collapse: a customer with three 1996 orders and one
+    * 1997 order appears TWICE in the except-all result (3 − 1) and
+    * once in the intersect-all (min(3, 1)). Spark implements both as
+    * a count-per-key aggregate + generate, not a distinct — the
+    * shuffle carries one (key, count) row per customer, and the
+    * multiplicity arithmetic happens post-exchange. The cardinality
+    * bookkeeping matters for pipeline accounting (how many ORDER
+    * slots, not which customers). */
+  def st2MultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    def custsIn(year: Int): DataFrame =
+      t(spark, dir, "orders")
+        .where(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+    val y96 = custsIn(1996)
+    val y97 = custsIn(1997)
+    y96.intersectAll(y97).withColumn("tag", lit("both_all"))
+      .unionByName(y96.exceptAll(y97).withColumn("tag", lit("excess_1996")))
+  }
+
+  /** Percent-of-total window (ratio_to_report): each (status,
+    * priority) cell's share of its STATUS total — the whole-partition
+    * unordered window over an already-aggregated frame (one row per
+    * cell, so the window input is tens of rows; the heavy lifting is
+    * the partial-combined aggregate underneath). Cell revenues round
+    * to 4dp BEFORE the partition sum and the share rounds to 6dp
+    * AFTER the division — the q14 ratio discipline at both levels. */
+  def w4RevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 4).as("revenue"))
+      .withColumn("status_share",
+        round(col("revenue") / sum(col("revenue")).over(w), 6))
+  }
+
   /** Correlated scalar subquery (orders above their customer's average
     * order value): Catalyst decorrelates the inner aggregate into a
     * grouped join — demonstrating the rewrite the reference engine
@@ -719,6 +756,26 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 4))
 
   val oracle: Map[String, String] = Map(
+    "st2_multiset_ops" ->
+      """WITH y96 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        | y97 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_custkey, 'both_all' AS tag
+        |FROM (SELECT * FROM y96 INTERSECT ALL SELECT * FROM y97)
+        |UNION ALL
+        |SELECT o_custkey, 'excess_1996' AS tag
+        |FROM (SELECT * FROM y96 EXCEPT ALL SELECT * FROM y97)""".stripMargin,
+    "w4_revenue_share" ->
+      """WITH g AS (SELECT o_orderstatus, o_orderpriority,
+        |    ROUND(SUM(o_totalprice), 4) AS revenue
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |SELECT o_orderstatus, o_orderpriority, revenue,
+        |  ROUND(revenue / SUM(revenue) OVER (PARTITION BY o_orderstatus), 6)
+        |    AS status_share
+        |FROM g""".stripMargin,
     "q21_waiting_supplier" ->
       """WITH li AS (SELECT l_orderkey, l_suppkey,
         |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
@@ -1054,6 +1111,8 @@ object Relational {
     "q8_market_share" -> (q8MarketShare _),
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "ch1_cohort_retention" -> (ch1CohortRetention _),
+    "st2_multiset_ops" -> (st2MultisetOps _),
+    "w4_revenue_share" -> (w4RevenueShare _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),
     "w3_yoy_growth" -> (w3YoyGrowth _),

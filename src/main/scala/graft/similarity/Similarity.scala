@@ -986,6 +986,60 @@ object Similarity {
   }
 
   /**
+   * MATRYOSHKA (prefix-dimension) rerank cascade — the MRL retrieval
+   * pattern (Kusupati et al. 2022): embeddings trained so their first
+   * `prefixDim` dimensions are themselves a usable low-dim embedding
+   * let the screen stage read 1/4 of the vector (here 16 of 64 dims)
+   * and the full vector score only the survivors. Structurally e4's
+   * cascade ([[binaryRerankTopK]]) with the integer Hamming screen
+   * replaced by a low-dim FLOAT screen — higher screen fidelity at 4×
+   * the screen bytes of binary, the middle rung of the
+   * binary → prefix → full ladder. Stage 1: cosine over the
+   * prefix-normalized slice (zero-exchange projection +
+   * TakeOrderedAndProject keeping `candidates`); stage 2: full-dim
+   * cosine on the broadcast-joined survivors, rank to `topK`.
+   *
+   * Both stages are the same IEEE op sequence on both engines (slice,
+   * normalize, `graft_dot`), so the DuckDB twin is exact; stage-1
+   * scores ride along (pcos4) for recall diagnostics. Query excluded
+   * from the reranked output, as in e4.
+   */
+  def matryoshkaRerankTopK(
+      corpus: DataFrame, query: DataFrame, prefixDim: Int = 16,
+      candidates: Int = 100, topK: Int = 10): DataFrame = {
+    require(candidates >= topK,
+      s"matryoshka cascade: candidates ($candidates) must be >= topK ($topK)")
+    require(prefixDim >= 1, s"matryoshka cascade: prefixDim must be >= 1: $prefixDim")
+    ensureRegistered(corpus)
+    def prefixNorm(df: DataFrame, idOut: String, embOut: String,
+        spread: Boolean): DataFrame = {
+      val base = if (spread) graft.dedup.Dedup.parallelize(df) else df
+      val sliced = slice(col("embedding").cast("array<double>"), 1, prefixDim)
+      base.select(col("vec_id").as(idOut),
+        transform(sliced,
+          x => x / sqrt(call_function("graft_dot", sliced, sliced))).as(embOut))
+    }
+    val qPre = broadcast(prefixNorm(query, "query_id", "qp_emb", spread = false))
+    val cand = prefixNorm(corpus, "vec_id", "cp_emb", spread = true)
+      .crossJoin(qPre)
+      .withColumn("pcos", fastDot(col("qp_emb"), col("cp_emb")))
+      .orderBy(col("pcos").desc, col("vec_id")).limit(candidates)
+      .select(col("vec_id"), round(col("pcos"), 4).as("pcos4"))
+    val qn = broadcast(normalized(query, "query_id", "q_emb", spread = false))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    normalized(corpus, "vec_id", "c_emb")
+      .join(broadcast(cand), Seq("vec_id"))
+      .crossJoin(qn)
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", fastDot(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"), col("pcos4"),
+        round(col("cos"), 4).as("cos4"), col("rank"))
+  }
+
+  /**
    * RESIDUAL IVFADC (Jégou et al. 2011, §V-A — the encoding FAISS's
    * IndexIVFPQ actually ships): each vector is PQ-encoded as the
    * residual `x − c(cell(x))` against its coarse centroid rather than

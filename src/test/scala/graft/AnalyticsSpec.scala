@@ -225,6 +225,53 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("e5 matryoshka: prefix screen keeps the cascade contract of e4") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.read(spark, dir, "embeddings")
+    val q = e.where(col("vec_id") === 17)
+    val got = graft.similarity.Similarity
+      .matryoshkaRerankTopK(e, q, prefixDim = 16, candidates = 100, topK = 10)
+      .select("vec_id", "cos4", "rank").as[(Long, Double, Int)].collect()
+    assert(got.length == 10 && !got.map(_._1).contains(17L))
+    assert(got.sortBy(_._3).map(_._2).sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+    // with candidates = full corpus the cascade degenerates to exact
+    // brute force — same top-10 as s1's scorer on the same query
+    val full = graft.similarity.Similarity
+      .matryoshkaRerankTopK(e, q, prefixDim = 16, candidates = 500, topK = 10)
+      .select("vec_id", "rank").as[(Long, Int)].collect().sortBy(_._2).map(_._1)
+    val brute = graft.similarity.Similarity.bruteForceTopK(q, e, k = 10)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().sortBy(_._2).map(_._1)
+    assert(full.sameElements(brute))
+    intercept[IllegalArgumentException] {
+      graft.similarity.Similarity.matryoshkaRerankTopK(e, q, candidates = 5, topK = 10)
+    }
+  }
+
+  test("st2 multiset ops: multiplicities subtract and min, not collapse") {
+    import spark.implicits._
+    val rows = graft.queries.Relational
+      .st2MultisetOps(spark, "/root/testdata/sf0.001")
+      .as[(Long, String)].collect()
+    val dir = "/root/testdata/sf0.001"
+    def counts(year: Int) = graft.sources.Tables.read(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .groupBy("o_custkey").count()
+      .as[(Long, Long)].collect().toMap
+    val c96 = counts(1996); val c97 = counts(1997)
+    val expectBoth = c96.map { case (k, n) => k -> math.min(n, c97.getOrElse(k, 0L)) }
+      .filter(_._2 > 0)
+    val expectExcess = c96.map { case (k, n) => k -> (n - c97.getOrElse(k, 0L)) }
+      .filter(_._2 > 0)
+    val gotBoth = rows.filter(_._2 == "both_all").groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    val gotExcess = rows.filter(_._2 == "excess_1996").groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    assert(gotBoth == expectBoth && gotExcess == expectExcess)
+    assert(gotExcess.values.exists(_ > 1L), "fixture must exercise multiplicity > 1")
+  }
+
   test("IVFADC: a stored cell assignment reproduces the recomputed path exactly") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.read(spark, dir, "embeddings")
