@@ -637,25 +637,31 @@ object Relational {
     * receipt/commitdate.) Two shuffles total (orderkey aggregate +
     * the orderkey join); the EXISTS pair never rescans the fact. */
   def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
-    // barrier: the lateness-tagged line frame feeds both the
-    // per-order qualification aggregate and the final count —
-    // without it the lineitem ⋈ orders join runs twice
-    val li = graft.Materialize.barrier(t(spark, dir, "lineitem")
+    // reduce to SUPPLIER grain first: one (orderkey, suppkey)
+    // aggregate replaces the two conditional countDistincts (which
+    // Catalyst implements as an Expand doubling every line before the
+    // exchange) AND makes the final count a plain count — everything
+    // downstream runs on at-most-suppliers-per-order rows. The
+    // qualification (n_supp > 1, exactly one late supplier) is a
+    // whole-partition window over that grain — per-ROW survival needs
+    // the per-order totals on each row, which is precisely what a
+    // window provides without the materialize + self-join a separate
+    // qualification frame would cost.
+    val perSupp = t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      .select(col("l_orderkey"), col("l_suppkey"), col("late")))
-    val perOrder = li.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-      .where(col("n_supp") > 1 && col("n_late_supp") === 1)
-      .select(col("l_orderkey").as("qual_orderkey"))
-    li.where(col("late"))
-      .join(perOrder, col("l_orderkey") === col("qual_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp", sum(col("supp_late").cast("long")).over(w))
+      .where(col("supp_late") && col("n_supp") > 1 && col("n_late_supp") === 1)
       .groupBy(col("l_suppkey"))
-      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .agg(count(lit(1)).as("numwait"))
   }
 
   /** Cohort retention (event-log time intelligence): users grouped by
