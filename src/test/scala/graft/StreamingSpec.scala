@@ -403,6 +403,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming KMV: union of shard sketches == the batch sketch, exactly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val k = 32
+    val texts = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).as[String].collect()
+    val split = texts.length / 2
+    val input = MemoryStream[String]
+    val q = graft.streaming.StreamingSketches.kmvShardSketches(
+        input.toDF().toDF("key"), k = k, shards = 16)
+      .writeStream.format("memory").queryName("skmv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(texts.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(texts.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      // latest sketch per shard → merged global bottom-k
+      val latest = spark.sql(
+          """select shard, hs from skmv s where upd =
+            | (select max(upd) from skmv x where x.shard = s.shard)""".stripMargin)
+        .as[(Int, Seq[Long])].collect()
+      val mergedBottomK = latest.flatMap(_._2).distinct.sorted.take(k)
+      // the batch estimate (kmvDistinct) must be reproduced to the digit
+      // by the same (k−1)·2^32/kth arithmetic over the streamed sketch
+      val streamedEst =
+        if (mergedBottomK.length < k) mergedBottomK.length.toDouble
+        else (k - 1).toDouble * 4294967296.0 / mergedBottomK.last.toDouble
+      val batch = graft.operators.Sketches.kmvDistinct(
+          graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents"),
+          col("text"), k)
+        .select("kmv_estimate6").as[Double].collect().head
+      assert(BigDecimal(streamedEst)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble == batch)
+    } finally q.stop()
+  }
+
   test("streaming DSIR screen: frozen lambda table scores replayed corpus == batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
