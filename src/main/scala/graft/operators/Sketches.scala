@@ -51,14 +51,42 @@ object Sketches {
    */
   def hllDistinct(df: DataFrame, key: Column, p: Int = 6): DataFrame = {
     require(p >= 4 && p <= 12, s"hll: p must be in [4, 12]: $p")
-    val m = 1 << p
-    val alpha =
-      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
-      else if (m == 64) 0.709
-      else if (m == 32) 0.697
-      else 0.673
+    val nExact = df.agg(countDistinct(key.cast("string")).as("n")).select(col("n"))
+    hllEstimate(hllRegisters(df, key, p), p).crossJoin(nExact)
+      .select(col("n").as("n_exact"),
+        col("used").as("n_buckets_used"),
+        round(col("est"), 6).as("hll_estimate6"))
+  }
+
+  /**
+   * HLL REGISTER UNION — the mergeability that makes HLL a lake
+   * primitive (the hl1 counterpart of [[kmvUnionJaccard]]): registers
+   * built independently per slice compose by per-bucket MAX, and the
+   * estimate over the merged registers equals the estimate over the
+   * union — exactly, not approximately, because a register is the max
+   * rank seen and max is associative. Each side's register frame is
+   * its own at-most-m-row aggregate; the merge exchanges ≤2m rows.
+   * Returns one row: (n_union_exact, n_buckets_used, hll_union_est6)
+   * — the exact column is the 100 TB drop-me audit, as in hl1.
+   */
+  def hllUnion(dfA: DataFrame, dfB: DataFrame, key: Column, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 12, s"hll: p must be in [4, 12]: $p")
+    val regs = hllRegisters(dfA, key, p).unionByName(hllRegisters(dfB, key, p))
+      .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+    val nExact = dfA.select(key.cast("string").as("t"))
+      .unionByName(dfB.select(key.cast("string").as("t")))
+      .agg(countDistinct(col("t")).as("n"))
+    hllEstimate(regs, p).crossJoin(nExact)
+      .select(col("n").as("n_union_exact"),
+        col("used").as("n_buckets_used"),
+        round(col("est"), 6).as("hll_union_est6"))
+  }
+
+  /** (bucket, reg) register frame — max rank per bucket, the
+    * at-most-m-row aggregate both [[hllDistinct]] and [[hllUnion]]
+    * build from. */
+  private def hllRegisters(df: DataFrame, key: Column, p: Int): DataFrame = {
     val vbits = 64 - p          // rank-input width
-    val scale = vbits + 2       // > max register value, keeps terms >= 1
     val fp = md5(key.cast("string"))
     val hi = conv(substring(fp, 1, 8), 16, 10).cast("long")
     val lo = conv(substring(fp, 9, 8), 16, 10).cast("long")
@@ -66,11 +94,22 @@ object Sketches {
     val v = pmod(hi, lit(1L << (32 - p))) * lit(4294967296L) + lo
     val rho = when(v === 0, lit(vbits + 1))
       .otherwise(lit(vbits + 1) - length(bin(v)))
-    val regs = df
-      .select(bucket.as("bucket"), rho.as("rho"), key.cast("string").as("k"))
+    df.select(bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("bucket"))
       .agg(max(col("rho")).as("reg"))
-    val nExact = df.agg(countDistinct(key.cast("string")).as("n")).select(col("n"))
+  }
+
+  /** One-row (used, est) frame from a register frame — the
+    * DECIMAL-exact harmonic sum and the small-range branch (see
+    * [[hllDistinct]] scaladoc). */
+  private def hllEstimate(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    val scale = (64 - p) + 2    // > max register value, keeps terms >= 1
     val summed = regs.agg(
       sum(pow(lit(2.0), lit(scale) - col("reg")).cast("decimal(38,0)")).as("s_present"),
       count(lit(1)).as("used"))
@@ -82,10 +121,7 @@ object Sketches {
     val est = when(eRaw <= lit(2.5 * m) && col("used") < m,
         lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("used"))))
       .otherwise(eRaw)
-    summed.crossJoin(nExact)
-      .select(col("n").as("n_exact"),
-        col("used").as("n_buckets_used"),
-        round(est, 6).as("hll_estimate6"))
+    summed.select(col("used"), est.as("est"))
   }
 
   private def hash32(key: Column): Column =

@@ -312,6 +312,15 @@ object PipelineQueries {
     // get exercised across SFs).
     "hl1_hll_distinct" -> ((s, dir) =>
       graft.operators.Sketches.hllDistinct(docs(s, dir), col("text"))),
+    // HLL REGISTER UNION: per-slice register frames compose by
+    // per-bucket max — the hl1 counterpart of sk2's mergeability;
+    // the merge exchanges <=2m rows however large the slices
+    "hl2_hll_union" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Sketches.hllUnion(
+        d.where(col("doc_id") % 3 === 0), d.where(col("doc_id") % 2 === 0),
+        col("text"))
+    }),
     // KMV bottom-k sketch: distinct-count estimate from the k
     // smallest hashes (TakeOrderedAndProject over a hash-only
     // distinct — the data never sorts globally).
@@ -778,6 +787,37 @@ object PipelineQueries {
          |    THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / (64 - used))
          |    ELSE CAST(0.709 AS DOUBLE) * 64 * 64 * pow(2.0, 60) / sall END, 6)
          |    AS hll_estimate6
+         |FROM f""".stripMargin
+    },
+    // hl2: registers over the UNION ALL of the two slices — per-bucket
+    // max over the combined rows equals the merge of per-slice
+    // registers (max is associative), which is what the Spark side
+    // literally computes; estimate tail identical to hl1's
+    "hl2_hll_union" -> {
+      def hex2int(off: Int) =
+        s"""CAST(list_sum(list_transform(generate_series(1, 8),
+           |  i -> (strpos('0123456789abcdef', substr(md5(text), (i + $off)::INTEGER, 1)) - 1)
+           |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
+      s"""WITH src AS (SELECT text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT text FROM documents WHERE doc_id % 2 = 0),
+         |h AS (SELECT ${hex2int(0)} AS hi, ${hex2int(8)} AS lo FROM src),
+         |b AS (SELECT CAST(floor(hi / 67108864) AS BIGINT) AS bucket,
+         |  hi % 67108864 * 4294967296 + lo AS v FROM h),
+         |r AS (SELECT bucket,
+         |  CASE WHEN v = 0 THEN 59 ELSE 59 - length(bin(v)) END AS rho FROM b),
+         |regs AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
+         |s AS (SELECT SUM(CAST(pow(2.0, 60 - reg) AS DECIMAL(38,0))) AS s_present,
+         |  COUNT(*) AS used FROM regs),
+         |f AS (SELECT used,
+         |  CAST(s_present + (64 - used) * CAST(pow(2.0, 60) AS DECIMAL(38,0)) AS DOUBLE) AS sall
+         | FROM s)
+         |SELECT (SELECT COUNT(DISTINCT text) FROM src) AS n_union_exact,
+         |  used AS n_buckets_used,
+         |  ROUND(CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64 * pow(2.0, 60) / sall
+         |        <= CAST(160.0 AS DOUBLE) AND used < 64
+         |    THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / (64 - used))
+         |    ELSE CAST(0.709 AS DOUBLE) * 64 * 64 * pow(2.0, 60) / sall END, 6)
+         |    AS hll_union_est6
          |FROM f""".stripMargin
     },
     // sk1/sk2: 32-bit md5 word (the hl1/t4 hex parse), bottom-k via

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Kernels
@@ -210,6 +210,68 @@ object TimeSeriesQueries {
         round(max(col("dev")), 6).as("max_dev6"))
   }
 
+  /** Per-series linear TREND: the OLS slope of value against time
+    * (units: value per day) via the centered formulation
+    * Σ(x−x̄)(y−ȳ) / Σ(x−x̄)² — centered because the raw
+    * (nΣxy − ΣxΣy) form subtracts two enormous near-equal sums and
+    * catastrophic cancellation would amplify summation-order ulps
+    * into the displayed digits; centered products are small and the
+    * q14 round-after-divide discipline absorbs what remains. The
+    * means are rounded to 6dp BEFORE centering (both engines center
+    * on identical doubles) and both centered sums round to 6dp before
+    * the ratio. One exchange on series_id: two whole-partition
+    * windows (the means) and a partial-combined final aggregate.
+    * Degenerate series (a single point, or zero time variance) yield
+    * a null slope rather than ±inf. */
+  def rg1TrendSlope(spark: SparkSession, dir: String): DataFrame =
+    trendSlope(canonicalWithId(spark, dir))
+
+  /** Generic form of [[rg1TrendSlope]]: `series` must carry
+    * (series_id, ts, event_id, value); nulls are dropped. */
+  def trendSlope(series: DataFrame): DataFrame = {
+    // The means are computed as EXACT INTEGER sums (micro-days and
+    // micro-value units — both well inside 2^53, so the sums are
+    // exact in ANY order on BOTH engines) divided once in double:
+    // a float mean over n = 2^k points is an exact binary fraction
+    // that lands exactly on the rounding half-boundary, where the
+    // engines' one-ulp summation-order difference becomes a visible
+    // last-digit flip (observed: 48.5609375). Integer sums remove
+    // the order-dependence at the source. The centered product sums
+    // remain order-dependent doubles, but their boundary exposure is
+    // the usual measure-zero kind, absorbed by the explicit
+    // floor(|u|·1e6+0.5)/1e6 rounding (the s3 formula — round()
+    // half-behavior also differs across engines, so it is never used
+    // where a boundary is structurally reachable).
+    def r6(c: Column): Column =
+      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
+        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
+    val part = Window.partitionBy("series_id")
+    val centered = series
+      .where(col("value").isNotNull)
+      .withColumn("xu",                       // micro-days, integer-valued
+        floor(unix_micros(col("ts")).cast("double") / lit(86400.0)))
+      .withColumn("yu",                       // micro-value units, integer
+        when(col("value") >= 0, floor(col("value") * lit(1e6) + lit(0.5)))
+          .otherwise(-floor(-col("value") * lit(1e6) + lit(0.5))))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("xbar_u",
+        sum(col("xu")).over(part).cast("double") / col("n"))
+      .withColumn("ybar",
+        sum(col("yu")).over(part).cast("double") / col("n") / lit(1e6))
+      .withColumn("cx", (col("xu").cast("double") - col("xbar_u")) / lit(1e6))
+      .withColumn("cy", col("value") - col("ybar"))
+    centered
+      .groupBy(col("series_id"))
+      .agg(
+        count(lit(1)).as("n_values"),
+        r6(min(col("ybar"))).as("mean6"),
+        r6(sum(col("cx") * col("cy"))).as("sxy6"),
+        r6(sum(col("cx") * col("cx"))).as("sxx6"))
+      .select(col("series_id"), col("n_values"), col("mean6"),
+        r6(when(col("sxx6") > 0.0, col("sxy6") / col("sxx6")))
+          .as("slope_per_day6"))
+  }
+
   /** One-sided (upper) CUSUM change detection (Page 1954): the
     * textbook recursion `s_n = max(0, s_{n−1} + (x_n − target −
     * slack))` looks inherently sequential, but the reflection
@@ -347,6 +409,40 @@ object TimeSeriesQueries {
          |  ROUND(p - LEAST(mn, CAST(0.0 AS DOUBLE)), 6) > CAST(300.0 AS DOUBLE) AS alarm
          |FROM mm""".stripMargin,
     "ew1_ewma" -> ewmaSql(alpha = 0.3),
+    // rg1: identical centered-OLS op sequence — means and centered
+    // sums pass through the explicit floor(|u|·1e6+0.5)/1e6 formula
+    // (the s3 pattern), because round() half-behavior differs across
+    // engines exactly when a 2^k-point mean lands on the boundary
+    "rg1_trend_slope" -> {
+      def r6(e: String) =
+        s"""(CASE WHEN ($e) >= 0
+           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
+           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
+      s"""WITH t AS ($canonicalIdCte),
+         |nn AS (SELECT series_id, value,
+         |  floor(epoch_us(ts) / CAST(86400.0 AS DOUBLE)) AS xu,
+         |  CASE WHEN value >= 0 THEN floor(value * 1000000.0 + 0.5)
+         |       ELSE -floor(-(value) * 1000000.0 + 0.5) END AS yu
+         | FROM t WHERE value IS NOT NULL),
+         |c AS (SELECT *,
+         |  COUNT(*) OVER w AS n,
+         |  CAST(SUM(xu) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS xbar_u,
+         |  CAST(SUM(yu) OVER w AS DOUBLE) / (COUNT(*) OVER w) / 1000000.0 AS ybar
+         | FROM nn WINDOW w AS (PARTITION BY series_id)),
+         |d AS (SELECT series_id, ybar,
+         |  (CAST(xu AS DOUBLE) - xbar_u) / 1000000.0 AS cx,
+         |  value - ybar AS cy
+         | FROM c),
+         |g AS (SELECT series_id, COUNT(*) AS n_values,
+         |  ${r6("MIN(ybar)")} AS mean6,
+         |  ${r6("SUM(cx * cy)")} AS sxy6,
+         |  ${r6("SUM(cx * cx)")} AS sxx6
+         | FROM d GROUP BY series_id)
+         |SELECT series_id, n_values, mean6,
+         |  ${r6("CASE WHEN sxx6 > CAST(0.0 AS DOUBLE) THEN sxy6 / sxx6 END")}
+         |    AS slope_per_day6
+         |FROM g""".stripMargin
+    },
     // rz1: identical rank picks over identical (value|dev, event_id)
     // orders; every double op ((a+b)/2, abs-sub, 3·mad compare) is the
     // same IEEE sequence on both engines — no tolerance anywhere
@@ -435,6 +531,7 @@ object TimeSeriesQueries {
     "rs3_rolling_median" -> (rs3RollingMedian _),
     "rs4_rolling_p90" -> (rs4RollingP90 _),
     "rz1_mad_outliers" -> (rz1MadOutliers _),
+    "rg1_trend_slope" -> (rg1TrendSlope _),
     "cp1_cusum" -> ((s: SparkSession, dir: String) => cp1Cusum(s, dir))
   )
 }

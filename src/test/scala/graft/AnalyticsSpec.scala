@@ -272,6 +272,21 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(gotExcess.values.exists(_ > 1L), "fixture must exercise multiplicity > 1")
   }
 
+  test("rg1 trend slope: recovers a planted linear trend exactly; degenerate series yield null") {
+    import spark.implicits._
+    // value = 5 + 2·day over ten days → slope 2.0/day, mean 14.0
+    val lin = (0 until 10).map(i => ("s1", day(i), i.toLong, Some(5.0 + 2.0 * i)))
+    // a single point has zero time variance → null slope, not ±inf
+    val single = Seq(("s2", day(0), 100L, Some(7.0)))
+    val got = graft.queries.TimeSeriesQueries
+      .trendSlope((lin ++ single).toDF("series_id", "ts", "event_id", "value"))
+      .select("series_id", "n_values", "mean6", "slope_per_day6")
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("s1") == ((10L, 14.0, Some(2.0))))
+    assert(got("s2") == ((1L, 7.0, None)))
+  }
+
   test("IVFADC: a stored cell assignment reproduces the recomputed path exactly") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.read(spark, dir, "embeddings")
