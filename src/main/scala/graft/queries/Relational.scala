@@ -392,6 +392,30 @@ object Relational {
         round(col("revenue") / sum(col("revenue")).over(w), 6))
   }
 
+  /** Column PROFILING (the data-quality pass every ingest pipeline
+    * runs first): per numeric lineitem measure — row/present/distinct
+    * counts and min/max — in ONE scan. The four countDistincts expand
+    * to a multi-way aggregate under a single exchange; min/max are
+    * emitted RAW (they are actual data values, identical on both
+    * engines — rounding would only re-introduce the lesson-11
+    * boundary exposure for nothing). The wide single-row aggregate
+    * unpivots via `stack` into one row per column. */
+  def pf1Profile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"n_$c"),
+      countDistinct(col(c)).as(s"d_$c"),
+      min(col(c)).as(s"mn_$c"),
+      max(col(c)).as(s"mx_$c")))
+    val stackArgs = cols
+      .map(c => s"'$c', n_$c, d_$c, mn_$c, mx_$c").mkString(", ")
+    t(spark, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.length}, $stackArgs) " +
+          "AS (col_name, n_present, n_distinct, min_val, max_val)")
+  }
+
   /** Correlated scalar subquery (orders above their customer's average
     * order value): Catalyst decorrelates the inner aggregate into a
     * grouped join — demonstrating the rewrite the reference engine
@@ -762,6 +786,13 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 4))
 
   val oracle: Map[String, String] = Map(
+    "pf1_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
+           |  '$c' AS col_name, COUNT($c) AS n_present,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  MIN($c) AS min_val, MAX($c) AS max_val FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "st2_multiset_ops" ->
       """WITH y96 AS (SELECT o_custkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
@@ -1119,6 +1150,7 @@ object Relational {
     "ch1_cohort_retention" -> (ch1CohortRetention _),
     "st2_multiset_ops" -> (st2MultisetOps _),
     "w4_revenue_share" -> (w4RevenueShare _),
+    "pf1_profile" -> (pf1Profile _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),
     "w3_yoy_growth" -> (w3YoyGrowth _),

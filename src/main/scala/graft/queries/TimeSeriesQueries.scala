@@ -272,6 +272,62 @@ object TimeSeriesQueries {
           .as("slope_per_day6"))
   }
 
+  /** Cross-series Pearson correlation matrix: which event types move
+    * together day-to-day. Daily mean value per type, then every type
+    * pair (a < b) correlates over their shared days. Built on the
+    * rg1 portability machinery: daily means are exact-integer
+    * micro-unit sums divided once in double, then QUANTIZED BACK to
+    * integer-valued doubles (floor(mu+0.5), micro-units), so the
+    * second-level sums (over ≤31 days) are exact in any order; the
+    * centered product sums carry ~1e-14 relative ulp noise into a
+    * value in [−1, 1] rounded at 1e-6 — the q14 margin argument. The
+    * one sqrt is the m2/t8 libm exposure. Self-join columns are
+    * RENAMED per side (STATUS lesson 4: alias-qualified self-joins
+    * can silently bind both sides to one attribute). Shape: one
+    * (type, day) aggregate, a day-keyed self-join of the tiny daily
+    * frame, one partial-combined row per pair. */
+  def cr2TypeCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column): Column =
+      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
+        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
+    val daily = graft.sources.Tables.read(spark, dir, "events")
+      .select(col("event_type"), col("ts"),
+        Kernels.nanToNull(col("value")).as("value"))
+      .where(col("value").isNotNull)
+      .withColumn("day", date_trunc("DAY", col("ts")))
+      .withColumn("yu",
+        when(col("value") >= 0, floor(col("value") * lit(1e6) + lit(0.5)))
+          .otherwise(-floor(-col("value") * lit(1e6) + lit(0.5))))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("yu")).cast("double") / count(lit(1))).as("mu"))
+      .withColumn("mqi",
+        when(col("mu") >= 0, floor(col("mu") + lit(0.5)))
+          .otherwise(-floor(-col("mu") + lit(0.5))).cast("double"))
+    val a = daily.select(col("event_type").as("type_a"), col("day"),
+      col("mqi").as("ma"))
+    val b = daily.select(col("event_type").as("type_b"),
+      col("day").as("day_b"), col("mqi").as("mb"))
+    val paired = a.join(b,
+      col("day") === col("day_b") && col("type_a") < col("type_b"))
+    val centered = paired
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("type_a"), col("type_b"))))
+      .withColumn("abar", sum(col("ma")).over(
+        Window.partitionBy(col("type_a"), col("type_b"))) / col("n"))
+      .withColumn("bbar", sum(col("mb")).over(
+        Window.partitionBy(col("type_a"), col("type_b"))) / col("n"))
+      .withColumn("ca", col("ma") - col("abar"))
+      .withColumn("cb", col("mb") - col("bbar"))
+    centered.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ca") * col("cb")).as("sab"),
+        sum(col("ca") * col("ca")).as("saa"),
+        sum(col("cb") * col("cb")).as("sbb"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        r6(when(col("saa") > 0.0 && col("sbb") > 0.0,
+          col("sab") / sqrt(col("saa") * col("sbb")))).as("corr6"))
+  }
+
   /** One-sided (upper) CUSUM change detection (Page 1954): the
     * textbook recursion `s_n = max(0, s_{n−1} + (x_n − target −
     * slack))` looks inherently sequential, but the reflection
@@ -409,6 +465,44 @@ object TimeSeriesQueries {
          |  ROUND(p - LEAST(mn, CAST(0.0 AS DOUBLE)), 6) > CAST(300.0 AS DOUBLE) AS alarm
          |FROM mm""".stripMargin,
     "ew1_ewma" -> ewmaSql(alpha = 0.3),
+    // cr2: the rg1 machinery at two levels — exact-integer daily
+    // means quantized back to integers, exact second-level sums, the
+    // one sqrt is the m2 libm exposure, corr rounds via the explicit
+    // formula
+    "cr2_type_correlation" -> {
+      def r6(e: String) =
+        s"""(CASE WHEN ($e) >= 0
+           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
+           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
+      s"""WITH e AS (SELECT event_type, ts,
+         |  CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events),
+         |q AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |  CASE WHEN value >= 0 THEN floor(value * 1000000.0 + 0.5)
+         |       ELSE -floor(-(value) * 1000000.0 + 0.5) END AS yu
+         | FROM e WHERE value IS NOT NULL),
+         |d AS (SELECT event_type, day,
+         |  CAST(SUM(yu) AS DOUBLE) / COUNT(*) AS mu
+         | FROM q GROUP BY event_type, day),
+         |dq AS (SELECT event_type, day,
+         |  CAST(CASE WHEN mu >= 0 THEN floor(mu + 0.5)
+         |       ELSE -floor(-(mu) + 0.5) END AS DOUBLE) AS mqi FROM d),
+         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |  a.day, a.mqi AS ma, b.mqi AS mb
+         | FROM dq a JOIN dq b ON a.day = b.day AND a.event_type < b.event_type),
+         |c AS (SELECT *, COUNT(*) OVER w AS n,
+         |  SUM(ma) OVER w / (COUNT(*) OVER w) AS abar,
+         |  SUM(mb) OVER w / (COUNT(*) OVER w) AS bbar
+         | FROM p WINDOW w AS (PARTITION BY type_a, type_b)),
+         |g AS (SELECT type_a, type_b, COUNT(*) AS n_days,
+         |  SUM((ma - abar) * (mb - bbar)) AS sab,
+         |  SUM((ma - abar) * (ma - abar)) AS saa,
+         |  SUM((mb - bbar) * (mb - bbar)) AS sbb
+         | FROM c GROUP BY type_a, type_b)
+         |SELECT type_a, type_b, n_days,
+         |  ${r6("CASE WHEN saa > CAST(0.0 AS DOUBLE) AND sbb > CAST(0.0 AS DOUBLE) " +
+                "THEN sab / sqrt(saa * sbb) END")} AS corr6
+         |FROM g""".stripMargin
+    },
     // rg1: identical centered-OLS op sequence — means and centered
     // sums pass through the explicit floor(|u|·1e6+0.5)/1e6 formula
     // (the s3 pattern), because round() half-behavior differs across
@@ -532,6 +626,7 @@ object TimeSeriesQueries {
     "rs4_rolling_p90" -> (rs4RollingP90 _),
     "rz1_mad_outliers" -> (rz1MadOutliers _),
     "rg1_trend_slope" -> (rg1TrendSlope _),
+    "cr2_type_correlation" -> (cr2TypeCorrelation _),
     "cp1_cusum" -> ((s: SparkSession, dir: String) => cp1Cusum(s, dir))
   )
 }

@@ -287,6 +287,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("s2") == ((1L, 7.0, None)))
   }
 
+  test("cr2 correlation matrix: all unordered type pairs, coefficients in [-1, 1]") {
+    import spark.implicits._
+    val got = graft.queries.TimeSeriesQueries
+      .cr2TypeCorrelation(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Option[Double])].collect()
+    assert(got.length == 10) // C(5,2) event types
+    assert(got.forall { case (a, b, n, c) =>
+      a < b && n > 0 && c.forall(v => v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9)
+    })
+  }
+
+  test("pf1 profile: one row per measure, counts consistent with the scan") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.Relational.pf1Profile(spark, dir)
+      .as[(Long, String, Long, Long, Double, Double)].collect()
+    val n = graft.sources.Tables.read(spark, dir, "lineitem").count()
+    assert(rows.length == 4 && rows.forall(_._1 == n))
+    assert(rows.forall { case (nr, _, np, nd, mn, mx) =>
+      np <= nr && nd <= np && mn <= mx
+    })
+  }
+
   test("IVFADC: a stored cell assignment reproduces the recomputed path exactly") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.read(spark, dir, "embeddings")
