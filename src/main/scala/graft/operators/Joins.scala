@@ -109,6 +109,59 @@ object Joins {
   }
 
   /**
+   * Nearest as-of join (pandas `merge_asof` `direction='nearest'`),
+   * completing the backward/forward pair: for every left row, the
+   * right row minimizing |right.ts − left.ts| within the same series;
+   * equal distances resolve BACKWARD (the ≤ side), documented rather
+   * than inherited — and `direction` rides along so callers can see
+   * which side won. Tolerance applies per side before the pick.
+   *
+   * Execution: the same union trick as the directional forms, but
+   * BOTH carried structs come from one union frame — one exchange on
+   * series_id, two sorts (ascending for the backward carry,
+   * descending for the forward carry), zero join nodes. The
+   * two-window form beats composing asofJoin + asofJoinForward and
+   * re-joining their outputs: that shape unions the inputs twice and
+   * adds a (series_id, ts) join against itself.
+   */
+  def asofJoinNearest(
+      left: DataFrame, right: DataFrame, toleranceUs: Option[Long] = None): DataFrame = {
+    val l = left.select(col("series_id"), col("ts"), col("value"),
+      lit(1).as("side"), lit(null).cast("timestamp").as("r_ts"),
+      lit(null).cast("double").as("r_val"))
+    val r = right.select(col("series_id"), col("ts"),
+      lit(null).cast("double").as("value"),
+      lit(0).as("side"), col("ts").as("r_ts"), col("value").as("r_val"))
+    // backward walk: right rows sort BEFORE a left row at the same ts
+    // (side 0 < 1 ascending) → inclusive <=; forward walk: descending
+    // ts with ascending side keeps right rows first on ties → the
+    // carried "last seen" is the earliest right row at-or-after.
+    val wB = Window.partitionBy("series_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("series_id").orderBy(col("ts").desc, col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = when(col("side") === 0, struct(col("r_ts"), col("r_val")))
+    val joined = l.unionByName(r)
+      .withColumn("mb", last(carried, ignoreNulls = true).over(wB))
+      .withColumn("mf", last(carried, ignoreNulls = true).over(wF))
+      .where(col("side") === 1)
+    def inTol(dist: Column): Column = toleranceUs match {
+      case Some(tol) => dist <= tol
+      case None => lit(true)
+    }
+    val db = unix_micros(col("ts")) - unix_micros(col("mb.r_ts"))
+    val df = unix_micros(col("mf.r_ts")) - unix_micros(col("ts"))
+    val okB = col("mb.r_ts").isNotNull && inTol(db)
+    val okF = col("mf.r_ts").isNotNull && inTol(df)
+    val pickB = okB && (!okF || db <= df)   // tie → backward
+    val pickF = okF && !pickB
+    joined.select(col("series_id"), col("ts"), col("value"),
+      when(pickB, col("mb.r_ts")).when(pickF, col("mf.r_ts")).as("asof_ts"),
+      when(pickB, col("mb.r_val")).when(pickF, col("mf.r_val")).as("asof_value"),
+      when(pickB, lit("backward")).when(pickF, lit("forward")).as("direction"))
+  }
+
+  /**
    * Interval containment join: each point against the intervals of
    * its series with `start <= ts <= stop` (pandas inclusive label
    * slice, SURVEY.md §2.3), aggregated to per-interval stats. The

@@ -38,6 +38,13 @@ object TemporalQueries {
       Joins.asofJoin(
         typedSeries(s, dir, "click"), typedSeries(s, dir, "purchase"),
         toleranceUs = Some(3L * 86400L * 1000000L))),
+    // nearest direction with the same 3-day tolerance — ties resolve
+    // backward; `direction` records which side won (pandas
+    // merge_asof direction='nearest')
+    "aj4_asof_nearest" -> ((s, dir) =>
+      Joins.asofJoinNearest(
+        typedSeries(s, dir, "click"), typedSeries(s, dir, "purchase"),
+        toleranceUs = Some(3L * 86400L * 1000000L))),
     "ij1_interval_stats" -> ((s, dir) =>
       Joins.intervalStats(
         SparkEntryBridge.canonical(s, dir),
@@ -207,6 +214,40 @@ object TemporalQueries {
          |SELECT series_id, session_id, min(ts) AS "start", max(ts) AS "stop",
          |  count(*) AS n_points, ROUND(COALESCE(SUM(value), 0.0), 6) AS total
          |FROM s GROUP BY series_id, session_id""".stripMargin,
+    // aj4: candidate sides via correlated min/max scalar subqueries
+    // (DuckDB decorrelates), values joined back on the unique
+    // (series_id, ts) key; identical tolerance + tie-backward pick.
+    // Timestamps are exact integers, so any correct formulation
+    // hash-matches — no op-sequence mirroring needed here
+    "aj4_asof_nearest" -> {
+      val tol = 3L * 86400L * 1000000L
+      s"""WITH l AS (${typedCte("click")}), r AS (${typedCte("purchase")}),
+         |b AS (SELECT l.series_id, l.ts, l.value,
+         |  (SELECT max(r.ts) FROM r
+         |    WHERE r.series_id = l.series_id AND r.ts <= l.ts) AS b_ts,
+         |  (SELECT min(r.ts) FROM r
+         |    WHERE r.series_id = l.series_id AND r.ts >= l.ts) AS f_ts
+         | FROM l),
+         |v AS (SELECT b.*, rb.value AS b_val, rf.value AS f_val,
+         |  b.b_ts IS NOT NULL
+         |    AND epoch_us(b.ts) - epoch_us(b.b_ts) <= $tol AS ok_b,
+         |  b.f_ts IS NOT NULL
+         |    AND epoch_us(b.f_ts) - epoch_us(b.ts) <= $tol AS ok_f
+         | FROM b
+         | LEFT JOIN r rb ON rb.series_id = b.series_id AND rb.ts = b.b_ts
+         | LEFT JOIN r rf ON rf.series_id = b.series_id AND rf.ts = b.f_ts),
+         |p AS (SELECT *,
+         |  COALESCE(ok_b, FALSE) AND (NOT COALESCE(ok_f, FALSE)
+         |    OR epoch_us(ts) - epoch_us(b_ts)
+         |       <= epoch_us(f_ts) - epoch_us(ts)) AS pick_b
+         | FROM v)
+         |SELECT series_id, ts, value,
+         |  CASE WHEN pick_b THEN b_ts WHEN ok_f THEN f_ts END AS asof_ts,
+         |  CASE WHEN pick_b THEN b_val WHEN ok_f THEN f_val END AS asof_value,
+         |  CASE WHEN pick_b THEN 'backward'
+         |       WHEN ok_f THEN 'forward' END AS direction
+         |FROM p""".stripMargin
+    },
     // fn1: the identical running-min window chain — stage k+1's CASE
     // reads stage k's window output from the same (ts, event_id)
     // order, so reach times (and the integer counts) match exactly

@@ -162,6 +162,70 @@ object TimeSeriesQueries {
           6).as("roll_p90"))
   }
 
+  /** OHLC downsampling (pandas `resample('1D').ohlc()`): per (series,
+    * day) the first/highest/lowest/last value. Open and close are
+    * argmin/argmax by (ts, event_id) via the repo's struct-ordering
+    * aggregate (min/max of struct(us, event_id, value) — us and
+    * event_id are never null, so the comparison is decided before the
+    * value field and the pick is deterministic under duplicate
+    * timestamps). One partial-combined aggregation; raw values out
+    * (actual data — identical across engines without rounding). */
+  def r3Ohlc(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = struct(unix_micros(col("ts")).as("us"),
+      col("event_id").as("eid"), col("value").as("v"))
+    canonicalWithId(spark, dir)
+      .where(col("value").isNotNull)
+      .groupBy(col("series_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        min(keyed).getField("v").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(keyed).getField("v").as("close"))
+  }
+
+  /** Shift/diff transforms (pandas `.shift()` / `.diff()` /
+    * `.pct_change()`): previous value, first difference, and percent
+    * change per series in (ts, event_id) order. lag and subtraction
+    * are raw (identical single ops); the percent change — the one
+    * division — rounds through the explicit formula (lesson 11), and
+    * a zero previous value yields null rather than ±inf. */
+  def r4ShiftDiff(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column): Column =
+      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
+        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
+    val w = Window.partitionBy("series_id").orderBy(col("ts"), col("event_id"))
+    canonicalWithId(spark, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(col("series_id"), col("ts"), col("value"), col("prev_value"),
+        (col("value") - col("prev_value")).as("diff"),
+        r6(when(col("prev_value") =!= 0.0,
+          (col("value") - col("prev_value")) / col("prev_value")))
+          .as("pct_change6"))
+  }
+
+  /** Cumulative transforms (pandas `.cumsum()` / `.cummax()` /
+    * `.cummin()` + running non-null count): running windows over the
+    * same one-sort (ts, event_id) order every per-row transform here
+    * uses. The running sum is NOT emitted raw: DuckDB evaluates
+    * window sums with a segment tree, so its in-frame accumulation
+    * ORDER differs from Spark's sequential add even on an identical
+    * frame (verified — raw cum sums diverge in the last ulp);
+    * rounding through the explicit formula absorbs it, exactly as
+    * cp1 does. max/min/count are order-insensitive and stay raw. */
+  def r5Cumulative(spark: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column): Column =
+      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
+        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
+    val w = Window.partitionBy("series_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    canonicalWithId(spark, dir)
+      .select(col("series_id"), col("ts"), col("value"),
+        r6(sum(col("value")).over(w)).as("cum_sum6"),
+        max(col("value")).over(w).as("cum_max"),
+        min(col("value")).over(w).as("cum_min"),
+        count(col("value")).over(w).as("cum_n"))
+  }
+
   /** Robust per-series outlier screen: median + MAD (median absolute
     * deviation) instead of mean + stddev — the classic robust z-score,
     * immune to the outliers it is hunting (a single extreme value
@@ -465,6 +529,55 @@ object TimeSeriesQueries {
          |  ROUND(p - LEAST(mn, CAST(0.0 AS DOUBLE)), 6) > CAST(300.0 AS DOUBLE) AS alarm
          |FROM mm""".stripMargin,
     "ew1_ewma" -> ewmaSql(alpha = 0.3),
+    // r3: identical struct-ordering argmin/argmax (us, event_id never
+    // null → comparison decided before the value field)
+    "r3_ohlc" ->
+      s"""WITH t AS ($canonicalIdCte),
+         |nn AS (SELECT * FROM t WHERE value IS NOT NULL)
+         |SELECT series_id, date_trunc('day', ts) AS day, COUNT(*) AS n,
+         |  (min(struct_pack(us := epoch_us(ts), eid := event_id, v := value))).v
+         |    AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  (max(struct_pack(us := epoch_us(ts), eid := event_id, v := value))).v
+         |    AS close
+         |FROM nn GROUP BY series_id, date_trunc('day', ts)""".stripMargin,
+    // r4: raw lag/subtract; the one division through the explicit
+    // rounding formula, zero-previous → null
+    "r4_shift_diff" -> {
+      def r6(e: String) =
+        s"""(CASE WHEN ($e) >= 0
+           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
+           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
+      s"""WITH t AS ($canonicalIdCte),
+         |w AS (SELECT series_id, ts, value,
+         |  lag(value) OVER (PARTITION BY series_id ORDER BY ts, event_id)
+         |    AS prev_value
+         | FROM t)
+         |SELECT series_id, ts, value, prev_value,
+         |  value - prev_value AS diff,
+         |  ${r6("CASE WHEN prev_value <> CAST(0.0 AS DOUBLE) " +
+                "THEN (value - prev_value) / prev_value END")} AS pct_change6
+         |FROM w""".stripMargin
+    },
+    // r5: running aggregates over the identical ordered frame; the
+    // running SUM rounds (DuckDB's segment-tree window accumulation
+    // order differs from Spark's sequential add in the last ulp),
+    // max/min/count are order-insensitive
+    "r5_cumulative" -> {
+      def r6(e: String) =
+        s"""(CASE WHEN ($e) >= 0
+           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
+           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
+      s"""WITH t AS ($canonicalIdCte)
+         |SELECT series_id, ts, value,
+         |  ${r6("sum(value) OVER w")} AS cum_sum6,
+         |  max(value) OVER w AS cum_max,
+         |  min(value) OVER w AS cum_min,
+         |  count(value) OVER w AS cum_n
+         |FROM t
+         |WINDOW w AS (PARTITION BY series_id ORDER BY ts, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+    },
     // cr2: the rg1 machinery at two levels — exact-integer daily
     // means quantized back to integers, exact second-level sums, the
     // one sqrt is the m2 libm exposure, corr rounds via the explicit
@@ -619,6 +732,9 @@ object TimeSeriesQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ew1_ewma" -> (ew1Ewma _),
     "r1_resample" -> (r1Resample _),
+    "r3_ohlc" -> (r3Ohlc _),
+    "r4_shift_diff" -> (r4ShiftDiff _),
+    "r5_cumulative" -> (r5Cumulative _),
     "ff1_forward_fill" -> (ff1ForwardFill _),
     "r2_interpolate" -> (r2Interpolate _),
     "rs1_rolling_stats" -> (rs1RollingStats _),

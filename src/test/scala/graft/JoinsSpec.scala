@@ -64,6 +64,33 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(none.length == 1 && none(0).isNullAt(none(0).fieldIndex("asof_value")))
   }
 
+  test("nearest asof: smaller distance wins, ties go backward, tolerance per side") {
+    import org.apache.spark.sql.functions.col
+    val left = seriesAt(Seq(day(2) -> 20.0, day(6) -> 60.0, day(10) -> 100.0), "a")
+    val right = seriesAt(Seq(day(1) -> 1.0, day(3) -> 3.0, day(20) -> 20.0), "a")
+    def run(tol: Option[Long]) = Joins.asofJoinNearest(left, right, tol)
+      .orderBy("ts")
+      .select("asof_value", "direction").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))))
+    val noTol = run(None)
+    // day2: day1 and day3 both 1 day away → TIE → backward (1.0)
+    assert(noTol(0) == ((Some(1.0), Some("backward"))))
+    // day6: day3 is 3 days back, day20 is 14 ahead → backward (3.0)
+    assert(noTol(1) == ((Some(3.0), Some("backward"))))
+    // day10: day3 is 7 back, day20 is 10 ahead → backward (3.0)
+    assert(noTol(2) == ((Some(3.0), Some("backward"))))
+    // 8-day tolerance: day10's backward match (7d) survives; with a
+    // 5-day tolerance BOTH sides fail → null, row survives
+    assert(run(Some(8 * DayUs))(2) == ((Some(3.0), Some("backward"))))
+    assert(run(Some(5 * DayUs))(2) == ((None, None)))
+    // when only the forward side is in tolerance, it wins
+    val l2 = seriesAt(Seq(day(10) -> 1.0), "a")
+    val r2 = seriesAt(Seq(day(0) -> 5.0, day(12) -> 12.0), "a")
+    val got = Joins.asofJoinNearest(l2, r2, Some(3 * DayUs)).collect()
+    assert(Option(got(0).get(got(0).fieldIndex("asof_value"))) == Some(12.0))
+    assert(got(0).getString(got(0).fieldIndex("direction")) == "forward")
+  }
+
   test("asof both directions: null-valued nearest right row pairs its OWN null value") {
     // right day3 has a null value (all-NaN observation); the nearest
     // match must carry (day3, null) — never day3's ts with a value
