@@ -416,6 +416,55 @@ object Relational {
           "AS (col_name, n_present, n_distinct, min_val, max_val)")
   }
 
+  /** Wide→long UNPIVOT (melt) — the inverse of pv1's pivot, via the
+    * native `Dataset.unpivot` operator (an Expand, one output row per
+    * (input row × value column), no join, no union of scans).
+    * Spark's unpivot KEEPS null cells and DuckDB's UNPIVOT drops
+    * them, so the null filter is explicit on both engines. */
+  def pv2Unpivot(spark: SparkSession, dir: String): DataFrame =
+    pv1PivotRevenue(spark, dir)
+      .withColumnsRenamed(Map("F" -> "f_rev", "O" -> "o_rev", "P" -> "p_rev"))
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("f_rev"), col("o_rev"), col("p_rev")),
+        "status_col", "revenue")
+      .where(col("revenue").isNotNull)
+
+  /** Customer spend DECILES: ntile(10) over per-customer totals —
+    * the decile/cohort segmentation every CRM query starts from.
+    * ntile is pure integer bucket arithmetic over an ordering made
+    * deterministic by the (total desc, custkey) tiebreak, so both
+    * engines agree exactly; totals round to 4dp BEFORE ranking so the
+    * order itself cannot ride on summation ulps. The window runs
+    * over the per-customer aggregate (one row per customer), not raw
+    * orders — and a 100 TB deployment would range-partition that
+    * frame; the single-partition window here is the gate-scale
+    * shape, called out in the oracle too. */
+  def w5SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val totals = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 4).as("total_spend"))
+    val w = Window.orderBy(col("total_spend").desc, col("o_custkey"))
+    totals
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("total_spend")), 4).as("decile_spend"),
+        round(min(col("total_spend")), 4).as("min_spend"),
+        round(max(col("total_spend")), 4).as("max_spend"))
+  }
+
+  /** Calendar seasonality: revenue by day-of-week. The trap this key
+    * pins: weekday NUMBERING is engine-specific (Spark `weekday` is
+    * Monday=0; Spark `dayofweek` is Sunday=1; DuckDB `dow` is
+    * Sunday=0, `isodow` Monday=1) — the portable form is Spark
+    * weekday == DuckDB isodow − 1, asserted by the gate. */
+  def cal1DowRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(weekday(col("o_orderdate")).as("dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("revenue"))
+
   /** Correlated scalar subquery (orders above their customer's average
     * order value): Catalyst decorrelates the inner aggregate into a
     * grouped join — demonstrating the rewrite the reference engine
@@ -786,6 +835,29 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 4))
 
   val oracle: Map[String, String] = Map(
+    "pv2_unpivot" ->
+      """WITH p AS (SELECT o_orderpriority,
+        | ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END),4) AS f_rev,
+        | ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END),4) AS o_rev,
+        | ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END),4) AS p_rev
+        |FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status_col, revenue
+        |FROM p UNPIVOT (revenue FOR status_col IN (f_rev, o_rev, p_rev))
+        |WHERE revenue IS NOT NULL""".stripMargin,
+    "w5_spend_deciles" ->
+      """WITH t AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
+        |  FROM orders GROUP BY o_custkey),
+        |d AS (SELECT *, ntile(10) OVER (ORDER BY total_spend DESC, o_custkey)
+        |    AS decile FROM t)
+        |SELECT decile, COUNT(*) AS n_customers,
+        |  ROUND(SUM(total_spend), 4) AS decile_spend,
+        |  ROUND(MIN(total_spend), 4) AS min_spend,
+        |  ROUND(MAX(total_spend), 4) AS max_spend
+        |FROM d GROUP BY decile""".stripMargin,
+    "cal1_dow_revenue" ->
+      """SELECT CAST(date_part('isodow', o_orderdate) - 1 AS INTEGER) AS dow,
+        |  COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin,
     "pf1_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
         s"""SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
@@ -1151,6 +1223,9 @@ object Relational {
     "st2_multiset_ops" -> (st2MultisetOps _),
     "w4_revenue_share" -> (w4RevenueShare _),
     "pf1_profile" -> (pf1Profile _),
+    "pv2_unpivot" -> (pv2Unpivot _),
+    "w5_spend_deciles" -> (w5SpendDeciles _),
+    "cal1_dow_revenue" -> (cal1DowRevenue _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),
     "w3_yoy_growth" -> (w3YoyGrowth _),
