@@ -186,6 +186,16 @@ object PipelineQueries {
       Similarity.matryoshkaRerankTopK(e, e.where(col("vec_id") === 17),
         prefixDim = 16, candidates = 100, topK = 10)
     }),
+    // MULTI-QUERY cascade: three query vectors batched through ONE
+    // stage-1 corpus scan (per-query WindowGroupLimit instead of a
+    // global limit) — the production retrieval shape; broadcast
+    // volumes are O(Q·candidates) and the corpus still never shuffles
+    "e6_multi_rerank" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.binaryRerankTopK(
+        e, e.where(col("vec_id").isin(17L, 42L, 99L)),
+        candidates = 100, topK = 10)
+    }),
     // e3 composed with the exact scorer: sign-bit Hamming screens the
     // corpus to 100 candidates, float cosine reranks to the top 10 —
     // the binary→float cascade, float work on candidates/N of N only
@@ -1244,6 +1254,43 @@ object PipelineQueries {
          |      c.vec_id) AS INTEGER) AS rank
          |  FROM cand c JOIN v ON v.vec_id = c.vec_id CROSS JOIN qv
          |  WHERE c.vec_id <> 17)
+         |WHERE rank <= 10""".stripMargin,
+    // e6: e4's two stages with every window PARTITIONED BY query —
+    // three queries share one integer screen and one float rerank
+    "e6_multi_rerank" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |sgn AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(generate_series(1, 32),
+         |    d -> CASE WHEN emb[d::INTEGER] >= 0 THEN power(2, d - 1) ELSE 0 END))
+         |    AS BIGINT) AS lo,
+         |  CAST(list_sum(list_transform(generate_series(33, 64),
+         |    d -> CASE WHEN emb[d::INTEGER] >= 0 THEN power(2, d - 33) ELSE 0 END))
+         |    AS BIGINT) AS hi
+         | FROM e),
+         |bq AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM sgn
+         |  WHERE vec_id IN (17, 42, 99)),
+         |cand AS (SELECT query_id, vec_id, hamming FROM (
+         |  SELECT bq.query_id, s.vec_id,
+         |    CAST(bit_count(xor(s.lo, bq.qlo)) + bit_count(xor(s.hi, bq.qhi))
+         |      AS INTEGER) AS hamming,
+         |    row_number() OVER (PARTITION BY bq.query_id ORDER BY
+         |      (bit_count(xor(s.lo, bq.qlo)) + bit_count(xor(s.hi, bq.qhi))), s.vec_id)
+         |      AS r1
+         |  FROM sgn s CROSS JOIN bq) WHERE r1 <= 100),
+         |$vNormCte,
+         |qv AS (SELECT vec_id AS query_id, emb AS q_emb FROM v
+         |  WHERE vec_id IN (17, 42, 99))
+         |SELECT query_id, vec_id, hamming, ROUND(cos, 4) AS cos4, rank FROM (
+         |  SELECT c.query_id, c.vec_id, c.hamming,
+         |    ${dotSql("qv.q_emb", "v.emb")} AS cos,
+         |    CAST(row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY ${dotSql("qv.q_emb", "v.emb")} DESC, c.vec_id) AS INTEGER)
+         |      AS rank
+         |  FROM cand c
+         |  JOIN v ON v.vec_id = c.vec_id
+         |  JOIN qv ON qv.query_id = c.query_id
+         |  WHERE c.vec_id <> c.query_id)
          |WHERE rank <= 10""".stripMargin,
     // e4: e3's integer stage (rank <= 100) feeding s1's float scorer
     // (identical normalize + list_dot_product op sequence, round 4)

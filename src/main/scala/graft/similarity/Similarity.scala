@@ -931,11 +931,17 @@ object Similarity {
     val c = signed(graft.dedup.Dedup.parallelize(corpus), "vec_id")
     val ham = (bit_count(col("vec_id_lo").bitwiseXOR(col("query_id_lo"))) +
       bit_count(col("vec_id_hi").bitwiseXOR(col("query_id_hi")))).cast("int")
+    // per-QUERY ranking (not a global sort+limit): one corpus scan
+    // serves every query row — Q queries broadcast, the screen scores
+    // Q·N integer pairs, and WindowGroupLimit keeps topK per query
+    // before the query-keyed exchange. With one query this reduces to
+    // the former global TakeOrderedAndProject semantics exactly.
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id"))
     c.crossJoin(q)
       .withColumn("hamming", ham)
-      .orderBy(col("hamming").asc, col("vec_id")).limit(topK)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("hamming").asc, col("vec_id"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
       .select(col("query_id"), col("vec_id"), col("hamming"), col("rank"))
   }
 
@@ -969,14 +975,19 @@ object Similarity {
       topK: Int = 10, dim: Int = 64): DataFrame = {
     require(candidates >= topK,
       s"rerank cascade: candidates ($candidates) must be >= topK ($topK)")
+    // multi-query capable: stage 1 already ranks per query, so the
+    // candidate frame carries (query_id, vec_id) pairs and stage 2
+    // joins the query embedding by query_id (for one query this is
+    // the former crossJoin exactly). Both broadcast sides stay
+    // O(Q·candidates) / O(Q) — the corpus never shuffles.
     val cand = binaryHammingTopK(corpus, query, topK = candidates, dim = dim)
-      .select(col("vec_id"), col("hamming"))
+      .select(col("query_id"), col("vec_id"), col("hamming"))
     val qn = broadcast(normalized(query, "query_id", "q_emb", spread = false))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     normalized(corpus, "vec_id", "c_emb")
       .join(broadcast(cand), Seq("vec_id"))
-      .crossJoin(qn)
+      .join(qn, Seq("query_id"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", fastDot(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w))
@@ -1019,18 +1030,24 @@ object Similarity {
         transform(sliced,
           x => x / sqrt(call_function("graft_dot", sliced, sliced))).as(embOut))
     }
+    // multi-query capable like [[binaryRerankTopK]]: stage 1 ranks
+    // per query (one prefix scan serves Q queries), stage 2 joins the
+    // full-dim query embedding by query_id.
     val qPre = broadcast(prefixNorm(query, "query_id", "qp_emb", spread = false))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("vec_id"))
     val cand = prefixNorm(corpus, "vec_id", "cp_emb", spread = true)
       .crossJoin(qPre)
       .withColumn("pcos", fastDot(col("qp_emb"), col("cp_emb")))
-      .orderBy(col("pcos").desc, col("vec_id")).limit(candidates)
-      .select(col("vec_id"), round(col("pcos"), 4).as("pcos4"))
+      .withColumn("r1", row_number().over(wPre))
+      .where(col("r1") <= candidates)
+      .select(col("query_id"), col("vec_id"), round(col("pcos"), 4).as("pcos4"))
     val qn = broadcast(normalized(query, "query_id", "q_emb", spread = false))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     normalized(corpus, "vec_id", "c_emb")
       .join(broadcast(cand), Seq("vec_id"))
-      .crossJoin(qn)
+      .join(qn, Seq("query_id"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos", fastDot(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w))

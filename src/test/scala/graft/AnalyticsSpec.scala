@@ -126,6 +126,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-query cascade: batched queries reproduce each single-query run exactly") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.read(spark, dir, "embeddings")
+    val ids = Seq(17L, 42L, 99L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+    val batched = rows(graft.similarity.Similarity.binaryRerankTopK(
+      e, e.where(col("vec_id").isin(ids: _*)), candidates = 100, topK = 10))
+    val singles = ids.flatMap { id =>
+      rows(graft.similarity.Similarity.binaryRerankTopK(
+        e, e.where(col("vec_id") === id), candidates = 100, topK = 10))
+    }.toSet
+    assert(batched == singles && batched.size == 30)
+  }
+
   test("g3 grouping sets: exactly the two marginals, no cross product") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
