@@ -441,6 +441,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming cohorts: per-user first-day state reproduces the batch retention matrix") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect()
+      .sortBy(_._2.getTime)
+    val split = events.length / 2
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingCohort.cohortActivity(
+        input.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sch")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(events.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          """select cohort_day, day_offset,
+            | count(distinct user_id) as active_users
+            |from sch group by 1, 2""".stripMargin)
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.queries.Relational
+        .ch1CohortRetention(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+      // idempotence of the day dedup: each (user, day) emitted once
+      val n = spark.sql("select count(*) from sch").head.getLong(0)
+      val nd = spark.sql("select count(distinct user_id, day_idx) from sch")
+        .head.getLong(0)
+      assert(n == nd)
+    } finally q.stop()
+  }
+
   test("streaming DSIR screen: frozen lambda table scores replayed corpus == batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
