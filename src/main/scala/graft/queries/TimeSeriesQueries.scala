@@ -226,6 +226,57 @@ object TimeSeriesQueries {
         count(col("value")).over(w).as("cum_n"))
   }
 
+  /** Rolling lag-1 AUTOCORRELATION (pandas
+    * `Series.rolling(20).corr(Series.shift(1))` — the mean-reversion
+    * vs momentum diagnostic): Pearson over the trailing 20
+    * (value, previous value) pairs per row. Portability is the
+    * integer-sums discipline taken all the way: both pair members
+    * quantize to micro-units, and ALL FIVE frame aggregates
+    * (Σy, Σp, Σy², Σp², Σyp) are LONG sums — exact on both engines
+    * regardless of how the window evaluates (this is what defeats
+    * the r5 segment-tree finding: integer sums cannot pick up
+    * accumulation-order ulps). The correlation is then a fixed double
+    * op sequence over identically-cast sums, rounded through the
+    * explicit formula; degenerate frames (n < 2 or zero variance)
+    * yield null. Long-range check: |yu| ≤ 3e8 ⇒ Σy² over 20 rows
+    * ≤ 1.8e18 < 2^63. One exchange on series_id. */
+  def rs5RollingCorr(spark: SparkSession, dir: String): DataFrame =
+    rollingCorr(canonicalWithId(spark, dir))
+
+  /** Generic form of [[rs5RollingCorr]]: `series` must carry
+    * (series_id, ts, event_id, value). */
+  def rollingCorr(series: DataFrame): DataFrame = {
+    def r6(c: Column): Column =
+      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
+        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
+    def q6(c: Column): Column =
+      when(c >= 0, floor(c * lit(1e6) + lit(0.5)))
+        .otherwise(-floor(-c * lit(1e6) + lit(0.5))).cast("long")
+    val wOrd = Window.partitionBy("series_id").orderBy(col("ts"), col("event_id"))
+    val wFrame = wOrd.rowsBetween(-19, 0)
+    val paired = series
+      .withColumn("prev", lag(col("value"), 1).over(wOrd))
+      .where(col("value").isNotNull && col("prev").isNotNull)
+      .withColumn("yu", q6(col("value")))
+      .withColumn("pu", q6(col("prev")))
+    val d = (c: Column) => c.cast("double")
+    val sums = paired
+      .withColumn("n", count(lit(1)).over(wFrame))
+      .withColumn("sy", sum(col("yu")).over(wFrame))
+      .withColumn("sp", sum(col("pu")).over(wFrame))
+      .withColumn("syy", sum(col("yu") * col("yu")).over(wFrame))
+      .withColumn("spp", sum(col("pu") * col("pu")).over(wFrame))
+      .withColumn("syp", sum(col("yu") * col("pu")).over(wFrame))
+    val varY = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    val varP = d(col("n")) * d(col("spp")) - d(col("sp")) * d(col("sp"))
+    val cov = d(col("n")) * d(col("syp")) - d(col("sy")) * d(col("sp"))
+    sums.select(col("series_id"), col("ts"),
+      round(col("value"), 6).as("value"),
+      col("n").as("n_window"),
+      r6(when(col("n") >= 2 && varY > 0.0 && varP > 0.0,
+        cov / sqrt(varY * varP))).as("roll_autocorr6"))
+  }
+
   /** Robust per-series outlier screen: median + MAD (median absolute
     * deviation) instead of mean + stddev — the classic robust z-score,
     * immune to the outliers it is hunting (a single extreme value
@@ -578,6 +629,47 @@ object TimeSeriesQueries {
          |WINDOW w AS (PARTITION BY series_id ORDER BY ts, event_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
     },
+    // rs5: all five frame aggregates are exact BIGINT sums (immune to
+    // the window-evaluation order), then one fixed double sequence
+    "rs5_rolling_corr" -> {
+      def r6(e: String) =
+        s"""(CASE WHEN ($e) >= 0
+           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
+           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
+      def q6(e: String) =
+        s"""CAST(CASE WHEN ($e) >= 0 THEN floor(($e) * 1000000.0 + 0.5)
+           |  ELSE -floor(-($e) * 1000000.0 + 0.5) END AS BIGINT)""".stripMargin
+      s"""WITH t AS ($canonicalIdCte),
+         |lg AS (SELECT series_id, ts, event_id, value,
+         |  lag(value) OVER (PARTITION BY series_id ORDER BY ts, event_id) AS prev
+         | FROM t),
+         |p AS (SELECT series_id, ts, event_id, value,
+         |  ${q6("value")} AS yu, ${q6("prev")} AS pu
+         | FROM lg WHERE value IS NOT NULL AND prev IS NOT NULL),
+         |s AS (SELECT series_id, ts, value,
+         |  COUNT(*) OVER w AS n,
+         |  CAST(SUM(yu) OVER w AS BIGINT) AS sy,
+         |  CAST(SUM(pu) OVER w AS BIGINT) AS sp,
+         |  CAST(SUM(yu * yu) OVER w AS BIGINT) AS syy,
+         |  CAST(SUM(pu * pu) OVER w AS BIGINT) AS spp,
+         |  CAST(SUM(yu * pu) OVER w AS BIGINT) AS syp
+         | FROM p WINDOW w AS (PARTITION BY series_id ORDER BY ts, event_id
+         |   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |f AS (SELECT series_id, ts, value, n,
+         |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
+         |  CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+         |    - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) AS varp,
+         |  CAST(n AS DOUBLE) * CAST(syp AS DOUBLE)
+         |    - CAST(sy AS DOUBLE) * CAST(sp AS DOUBLE) AS cov
+         | FROM s)
+         |SELECT series_id, ts, ROUND(value, 6) AS value,
+         |  CAST(n AS BIGINT) AS n_window,
+         |  ${r6("CASE WHEN n >= 2 AND vary > CAST(0.0 AS DOUBLE) " +
+               "AND varp > CAST(0.0 AS DOUBLE) " +
+               "THEN cov / sqrt(vary * varp) END")} AS roll_autocorr6
+         |FROM f""".stripMargin
+    },
     // cr2: the rg1 machinery at two levels — exact-integer daily
     // means quantized back to integers, exact second-level sums, the
     // one sqrt is the m2 libm exposure, corr rounds via the explicit
@@ -743,6 +835,7 @@ object TimeSeriesQueries {
     "rz1_mad_outliers" -> (rz1MadOutliers _),
     "rg1_trend_slope" -> (rg1TrendSlope _),
     "cr2_type_correlation" -> (cr2TypeCorrelation _),
+    "rs5_rolling_corr" -> (rs5RollingCorr _),
     "cp1_cusum" -> ((s: SparkSession, dir: String) => cp1Cusum(s, dir))
   )
 }

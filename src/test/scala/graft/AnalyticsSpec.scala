@@ -327,6 +327,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  test("rs5 rolling autocorr: +1 on a ramp, -1 on an alternation, null on constants") {
+    import spark.implicits._
+    def series(id: String, vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, i) => (id, day(i), i.toLong, Some(v)) }
+    val df = (series("ramp", (1 to 25).map(_.toDouble)) ++
+      series("alt", (1 to 25).map(i => if (i % 2 == 0) 1.0 else -1.0)) ++
+      series("flat", Seq.fill(25)(7.0)))
+      .toDF("series_id", "ts", "event_id", "value")
+    val got = graft.queries.TimeSeriesQueries.rollingCorr(df)
+      .groupBy("series_id").agg(max("roll_autocorr6").as("mx"),
+        min("roll_autocorr6").as("mn"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got("ramp") == ((Some(1.0), Some(1.0))))
+    assert(got("alt") == ((Some(-1.0), Some(-1.0))))
+    assert(got("flat") == ((None, None)), "zero variance → null, never ±inf")
+  }
+
   test("IVFADC: a stored cell assignment reproduces the recomputed path exactly") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.read(spark, dir, "embeddings")
