@@ -909,6 +909,70 @@ object Dedup {
   }
 
   /**
+   * FUZZY decontamination — the leak the exact n-gram screen
+   * ([[decontaminate]]) misses: a paraphrased or lightly edited
+   * benchmark item shares FEW exact grams with its source but keeps
+   * high shingle-set Jaccard. Flags each CORPUS doc whose verified
+   * Jaccard against ANY benchmark doc reaches `threshold`; per-doc
+   * output (doc_id, n_fuzzy_hits, best_bench_id, best_jaccard,
+   * contaminated) with nulls/zeros for clean docs.
+   *
+   * Same candidate machinery as [[crossCorpusNearDups]] with the
+   * broadcast/flagged roles SWAPPED: there the flagged side (the
+   * increment) is small and broadcasts; here the flagged side is the
+   * CORPUS and the small broadcast side is the benchmark — so the
+   * corpus streams past the benchmark's band keys, collision
+   * candidates (bounded by band collisions, never N·M) verify against
+   * the benchmark's broadcast hash sets, and the only corpus-keyed
+   * exchange is the final per-doc aggregate. The best-match pick is
+   * the one-aggregation max(struct(j, −bench_id)) argmax.
+   */
+  def fuzzyDecontaminate(
+      corpus: DataFrame, benchmark: DataFrame, threshold: Double = 0.6,
+      k: Int = 12, bands: Int = 4, rows: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def chain(docs: DataFrame, par: Boolean): (DataFrame, DataFrame) = {
+      val base = if (par) parallelize(docs) else docs
+      val digs = materialize(base
+        .select(col("doc_id"),
+          call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
+        .where(size(col("digs")) > 0))
+      val keyed = digs
+        .select(col("doc_id"),
+          call_function("graft_minhash", col("digs"), lit(k)).as("sig"))
+        .select(col("doc_id"),
+          posexplode(lshBands(col("sig"), bands, rows)).as(Seq("band_idx", "bucket")))
+      val hsets = digs.select(col("doc_id"),
+        array_sort(array_distinct(col("digs"))).as("hset"))
+      (keyed, hsets)
+    }
+    val (corpusKeyed, corpusSets) = chain(corpus, par = true)
+    val (benchKeyed, benchSets) = chain(benchmark, par = false)
+    val cands = materialize(corpusKeyed
+      .join(broadcast(benchKeyed
+          .select(col("doc_id").as("bench_id"), col("band_idx"), col("bucket"))),
+        Seq("band_idx", "bucket"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct())
+    val verified = corpusSets
+      .join(broadcast(cands), Seq("doc_id"))
+      .join(broadcast(benchSets
+          .select(col("doc_id").as("bench_id"), col("hset").as("hset_b"))),
+        Seq("bench_id"))
+      .withColumn("j", jaccardHashed(col("hset"), col("hset_b")))
+      .where(col("j") >= threshold)
+    val agg = verified.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_fuzzy_hits"),
+      max(struct(col("j").as("j"), (-col("bench_id")).as("neg"))).as("best"))
+    corpus.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fuzzy_hits"), lit(0L)).as("n_fuzzy_hits"),
+        (-col("best.neg")).as("best_bench_id"),
+        round(col("best.j"), 6).as("best_jaccard"),
+        coalesce(col("n_fuzzy_hits") >= 1, lit(false)).as("contaminated"))
+  }
+
+  /**
    * Cross-corpus MinHash dedup — the production shape of "dedupe an
    * incoming crawl increment against the corpus you already have".
    * Flags each INCOMING document that near-duplicates (Jaccard ≥

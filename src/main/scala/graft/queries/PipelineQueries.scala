@@ -437,6 +437,14 @@ object PipelineQueries {
       val isNew = col("doc_id") % 5 === 4
       Dedup.crossCorpusNearDups(d.where(!isNew), d.where(isNew), threshold = 0.6)
     }),
+    // FUZZY decontamination: the paraphrase leak exact grams (dc1)
+    // miss — corpus docs flagged on verified Jaccard vs ANY benchmark
+    // doc; benchmark band keys + hash sets broadcast, corpus streams
+    "dc3_fuzzy_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isBench = col("doc_id") % 7 === 0
+      Dedup.fuzzyDecontaminate(d.where(!isBench), d.where(isBench), threshold = 0.6)
+    }),
     // Sub-document dedup: disjoint 10-token chunks, corpus-wide
     // canonical-first-occurrence rule (CCNet line-dedup analog; see
     // Dedup.chunkDedup scaladoc). Chunk identity = md5 text digest, so
@@ -1019,6 +1027,30 @@ object PipelineQueries {
          |SELECT base.doc_id, CAST(coalesce(agg.n_dups, 0) AS BIGINT) AS n_dups,
          |  best.best_match_id, ROUND(best.best_j, 6) AS best_jaccard,
          |  coalesce(agg.n_dups >= 1, false) AS is_dup
+         |FROM base LEFT JOIN agg USING (doc_id) LEFT JOIN best USING (doc_id)""".stripMargin,
+    // dc3: cr1's candidate/verify chain with the roles swapped — the
+    // CORPUS side aggregates, the benchmark side is the small filter
+    "dc3_fuzzy_decontaminate" ->
+      s"""WITH $minhashKeyCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+         |  FROM ex a JOIN ex b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0),
+         |jj AS (SELECT cand.doc_id, cand.bench_id,
+         |   len(list_intersect(sc.hset, sb.hset))::DOUBLE
+         |   / (len(sc.hset) + len(sb.hset) - len(list_intersect(sc.hset, sb.hset))) AS j
+         |  FROM cand JOIN hs sc ON cand.doc_id = sc.doc_id
+         |            JOIN hs sb ON cand.bench_id = sb.doc_id),
+         |hits AS (SELECT * FROM jj WHERE j >= 0.6),
+         |best AS (SELECT doc_id, bench_id AS best_bench_id, j AS best_j FROM (
+         |  SELECT doc_id, bench_id, j,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, bench_id) AS rn
+         |  FROM hits) WHERE rn = 1),
+         |agg AS (SELECT doc_id, count(*) AS n_fuzzy_hits FROM hits GROUP BY 1),
+         |base AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0)
+         |SELECT base.doc_id,
+         |  CAST(coalesce(agg.n_fuzzy_hits, 0) AS BIGINT) AS n_fuzzy_hits,
+         |  best.best_bench_id, ROUND(best.best_j, 6) AS best_jaccard,
+         |  coalesce(agg.n_fuzzy_hits >= 1, false) AS contaminated
          |FROM base LEFT JOIN agg USING (doc_id) LEFT JOIN best USING (doc_id)""".stripMargin,
     "x7_simhash_wide" ->
       s"""WITH sigs AS (SELECT doc_id, ${simhashSqlAt(0)} AS lo,
