@@ -158,7 +158,7 @@ object SqlSurface {
       .createOrReplaceTempView("graft_ivfadc_residual_topk")
     S.binaryHammingTopK(embs, pqQuery, topK)
       .createOrReplaceTempView("graft_binary_hamming_topk")
-    S.binaryRerankTopK(embs, pqQuery, candidates = math.max(topK * 5, topK), topK = topK)
+    S.binaryRerankTopK(embs, pqQuery, candidates = topK * 5, topK = topK)
       .createOrReplaceTempView("graft_binary_rerank_topk")
   }
 

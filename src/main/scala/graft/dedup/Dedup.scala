@@ -908,6 +908,28 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** Shared signature-derivation chain for the cross-corpus operators
+    * ([[crossCorpusNearDups]], [[fuzzyDecontaminate]]): one-pass
+    * shingle-hash kernel → (band keys for candidates, distinct hash
+    * sets for the exact verify, the materialized digs frame for
+    * loud-guard counting). */
+  private def signatureChain(
+      docs: DataFrame, par: Boolean, k: Int, bands: Int, rows: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = if (par) parallelize(docs) else docs
+    val digs = materialize(base
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
+      .where(size(col("digs")) > 0))
+    val hsets = digs.select(col("doc_id"),
+      array_sort(array_distinct(col("digs"))).as("hset"))
+    val keyed = digs
+      .select(col("doc_id"), call_function("graft_minhash", col("digs"), lit(k)).as("sig"))
+      .select(col("doc_id"),
+        posexplode(lshBands(col("sig"), bands, rows)).as(Seq("band_idx", "bucket")))
+    (keyed, hsets, digs)
+  }
+
   /**
    * FUZZY decontamination — the leak the exact n-gram screen
    * ([[decontaminate]]) misses: a paraphrased or lightly edited
@@ -929,33 +951,37 @@ object Dedup {
    */
   def fuzzyDecontaminate(
       corpus: DataFrame, benchmark: DataFrame, threshold: Double = 0.6,
-      k: Int = 12, bands: Int = 4, rows: Int = 3): DataFrame = {
+      k: Int = 12, bands: Int = 4, rows: Int = 3,
+      maxBroadcastRows: Long = 20000000L): DataFrame = {
+    require(maxBroadcastRows >= 1, s"maxBroadcastRows must be >= 1: $maxBroadcastRows")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    def chain(docs: DataFrame, par: Boolean): (DataFrame, DataFrame) = {
-      val base = if (par) parallelize(docs) else docs
-      val digs = materialize(base
-        .select(col("doc_id"),
-          call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
-        .where(size(col("digs")) > 0))
-      val keyed = digs
-        .select(col("doc_id"),
-          call_function("graft_minhash", col("digs"), lit(k)).as("sig"))
-        .select(col("doc_id"),
-          posexplode(lshBands(col("sig"), bands, rows)).as(Seq("band_idx", "bucket")))
-      val hsets = digs.select(col("doc_id"),
-        array_sort(array_distinct(col("digs"))).as("hset"))
-      (keyed, hsets)
-    }
-    val (corpusKeyed, corpusSets) = chain(corpus, par = true)
-    val (benchKeyed, benchSets) = chain(benchmark, par = false)
+    val (corpusKeyed, corpusSets, _) = signatureChain(corpus, par = true, k, bands, rows)
+    val (benchKeyed, benchSets, benchDigs) =
+      signatureChain(benchmark, par = false, k, bands, rows)
+    // the crossCorpusNearDups guards, with the roles swapped: the
+    // BENCHMARK is the broadcast side here — count the materialized
+    // digs frame and refuse loudly rather than OOM the driver
+    val benchCount = benchDigs.count()
+    if (benchCount * bands > maxBroadcastRows) throw new IllegalArgumentException(
+      s"fuzzyDecontaminate broadcasts the BENCHMARK side ($benchCount docs x $bands band " +
+        s"keys = ${benchCount * bands} rows > maxBroadcastRows=$maxBroadcastRows). The " +
+        "operator's contract is an eval-set-sized benchmark screened against a large " +
+        "corpus; raise maxBroadcastRows if the cluster has the memory, or run " +
+        "minhashNearDups over the union instead.")
     val cands = materialize(corpusKeyed
       .join(broadcast(benchKeyed
           .select(col("doc_id").as("bench_id"), col("band_idx"), col("bucket"))),
         Seq("band_idx", "bucket"))
       .select(col("doc_id"), col("bench_id"))
       .distinct())
+    // candidate volume is collision-bounded, but an adversarial
+    // hot-bucket corpus can still outgrow a broadcast — above the
+    // limit the verify join falls back to a shuffle join (correct,
+    // slower, cost proportional to the anomaly), as in cr1
+    val candCount = cands.count()
+    val candsHinted = if (candCount <= maxBroadcastRows) broadcast(cands) else cands
     val verified = corpusSets
-      .join(broadcast(cands), Seq("doc_id"))
+      .join(candsHinted, Seq("doc_id"))
       .join(broadcast(benchSets
           .select(col("doc_id").as("bench_id"), col("hset").as("hset_b"))),
         Seq("bench_id"))
@@ -1018,25 +1044,10 @@ object Dedup {
       maxBroadcastRows: Long = 20000000L): DataFrame = {
     require(maxBroadcastRows >= 1, s"maxBroadcastRows must be >= 1: $maxBroadcastRows")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // same derivation chain as minhashNearDups, per side: one-pass
-    // shingle-hash kernel → distinct hash set (verify) and minhash
-    // signature → band keys (candidates)
-    def keyedAndSets(docs: DataFrame, par: Boolean): (DataFrame, DataFrame, DataFrame) = {
-      val base = if (par) parallelize(docs) else docs
-      val digs = materialize(base
-        .select(col("doc_id"),
-          call_function("graft_shingle_hashes", col("text"), lit(3)).as("digs"))
-        .where(size(col("digs")) > 0))
-      val hsets = digs.select(col("doc_id"),
-        array_sort(array_distinct(col("digs"))).as("hset"))
-      val keyed = digs
-        .select(col("doc_id"), call_function("graft_minhash", col("digs"), lit(k)).as("sig"))
-        .select(col("doc_id"),
-          posexplode(lshBands(col("sig"), bands, rows)).as(Seq("band_idx", "bucket")))
-      (keyed, hsets, digs)
-    }
-    val (corpusKeyed, corpusSets, _) = keyedAndSets(corpus, par = true)
-    val (incKeyed, incSets, incDigs) = keyedAndSets(incoming, par = false)
+    // same derivation chain as minhashNearDups, per side
+    // ([[signatureChain]] — shared with fuzzyDecontaminate)
+    val (corpusKeyed, corpusSets, _) = signatureChain(corpus, par = true, k, bands, rows)
+    val (incKeyed, incSets, incDigs) = signatureChain(incoming, par = false, k, bands, rows)
     // counting the materialized digs frame is one cheap scan of the
     // checkpoint — the price of failing loudly instead of OOMing
     val incCount = incDigs.count()

@@ -81,46 +81,50 @@ object PipelineQueries {
     * query; recomputing it inside both measured keys timed the same
     * corpus-wide argmax twice per bench run. The DuckDB oracles still
     * derive the assignment from scratch, so its values stay checked. */
-  private val ivfFixtureBuilt =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   private def ivfAssignFixture(s: SparkSession, dir: String): DataFrame = {
-    val sig = tableSig(dir, "embeddings")
-    val root = s"${sys.props("java.io.tmpdir")}/graft-gate-fixtures/ivf-$sig"
-    if (!ivfFixtureBuilt.get(dir).contains(sig)) synchronized {
-      val done = new java.io.File(s"$root/_DONE")
-      if (!done.exists()) {
-        val e = embs(s, dir)
-        Similarity.ivfCellAssignment(e, e.where(col("vec_id") % 25 === 0))
-          .write.mode("overwrite").parquet(s"$root/assign")
-        done.createNewFile()
-      }
-      ivfFixtureBuilt(dir) = sig
+    val root = gateFixture(dir, "embeddings", "ivf") { out =>
+      val e = embs(s, dir)
+      Similarity.ivfCellAssignment(e, e.where(col("vec_id") % 25 === 0))
+        .write.mode("overwrite").parquet(s"$out/assign")
     }
     s.read.parquet(s"$root/assign")
   }
 
-  private val ccFixtureBuilt =
+  /** Shared memoization skeleton for the parquet gate fixtures
+    * (ccFixture, ivfAssignFixture): build once per (name, dir,
+    * source-table signature) under the JVM tmpdir, cross-JVM-guarded
+    * by a _DONE marker, and return the fixture root. */
+  private val fixtureBuilt =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private def ccFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val sig = tableSig(dir, "documents")
-    val root = s"${sys.props("java.io.tmpdir")}/graft-gate-fixtures/cc-$sig"
-    if (!ccFixtureBuilt.get(dir).contains(sig)) synchronized {
+  private def gateFixture(dir: String, table: String, name: String)(
+      build: String => Unit): String = {
+    val sig = tableSig(dir, table)
+    val root = s"${sys.props("java.io.tmpdir")}/graft-gate-fixtures/$name-$sig"
+    val memoKey = s"$name|$dir"
+    if (!fixtureBuilt.get(memoKey).contains(sig)) synchronized {
       val done = new java.io.File(s"$root/_DONE")
       if (!done.exists()) {
-        val d = docs(s, dir)
-        val edges = Dedup.minhashNearDups(d, threshold = 0.6).select("doc_a", "doc_b")
-        val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 4
-        Dedup.dedupClusters(
-            d.where(!isNew(col("doc_id"))),
-            edges.where(!isNew(col("doc_a")) && !isNew(col("doc_b"))))
-          .write.mode("overwrite").parquet(s"$root/prior")
-        d.where(isNew(col("doc_id"))).select("doc_id")
-          .write.mode("overwrite").parquet(s"$root/new_docs")
-        edges.where(isNew(col("doc_a")) || isNew(col("doc_b")))
-          .write.mode("overwrite").parquet(s"$root/delta_edges")
+        build(root)
         done.createNewFile()
       }
-      ccFixtureBuilt(dir) = sig
+      fixtureBuilt(memoKey) = sig
+    }
+    root
+  }
+
+  private def ccFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val root = gateFixture(dir, "documents", "cc") { out =>
+      val d = docs(s, dir)
+      val edges = Dedup.minhashNearDups(d, threshold = 0.6).select("doc_a", "doc_b")
+      val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 4
+      Dedup.dedupClusters(
+          d.where(!isNew(col("doc_id"))),
+          edges.where(!isNew(col("doc_a")) && !isNew(col("doc_b"))))
+        .write.mode("overwrite").parquet(s"$out/prior")
+      d.where(isNew(col("doc_id"))).select("doc_id")
+        .write.mode("overwrite").parquet(s"$out/new_docs")
+      edges.where(isNew(col("doc_a")) || isNew(col("doc_b")))
+        .write.mode("overwrite").parquet(s"$out/delta_edges")
     }
     (s.read.parquet(s"$root/prior"), s.read.parquet(s"$root/new_docs"),
       s.read.parquet(s"$root/delta_edges"))

@@ -631,16 +631,19 @@ object Relational {
     * correlated-average pattern as a group-aggregate joined back to
     * the fact (the decorrelation Catalyst/DuckDB both apply to the
     * spec's subquery, written explicitly). The per-part average is
-    * rounded to 6dp on BOTH engines before the 0.2× comparison — the
-    * sq1 discipline: an unrounded avg is summation-order-dependent
-    * and the filter boundary must not be. The part-keyed aggregate
+    * computed as sum/count — l_quantity is integer-valued (asserted
+    * in the spec), so the sum is EXACT in double in any order and the
+    * single division is the identical IEEE op on both engines; no
+    * rounding touches the 0.2× filter boundary at all (round(avg, 6)
+    * would re-open the lesson-11 half-boundary exposure for 2^k-sized
+    * parts). The part-keyed aggregate
     * and the part-keyed join share a shuffle key, and the final
     * aggregate is a single global row. */
   def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
     val avgQ = li.groupBy(col("l_partkey"))
-      .agg(round(avg(col("l_quantity")), 6).as("avg_qty"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
     li.join(avgQ, Seq("l_partkey"))
       .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(round(sum(col("l_extendedprice")) / lit(7.0), 4).as("avg_yearly"),
@@ -938,7 +941,7 @@ object Relational {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
     "q17_small_qty_revenue" ->
-      """WITH aq AS (SELECT l_partkey, ROUND(AVG(l_quantity), 6) AS avg_qty
+      """WITH aq AS (SELECT l_partkey, SUM(l_quantity) / COUNT(*) AS avg_qty
         |  FROM lineitem GROUP BY l_partkey)
         |SELECT ROUND(SUM(l_extendedprice) / CAST(7.0 AS DOUBLE), 4) AS avg_yearly,
         |  COUNT(*) AS n_items

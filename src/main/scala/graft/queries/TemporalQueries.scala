@@ -125,6 +125,11 @@ object TemporalQueries {
   private def stagedFunnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty && stages.distinct == stages,
       s"funnel: stages must be non-empty and distinct: $stages")
+    // stage names are interpolated into the stack(...) selectExpr as
+    // SQL string literals — restrict to a safe charset rather than
+    // letting a quoted name break parsing (or inject an expression)
+    require(stages.forall(_.matches("[A-Za-z0-9_\\- ]+")),
+      s"funnel: stage names must match [A-Za-z0-9_- ]+: $stages")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

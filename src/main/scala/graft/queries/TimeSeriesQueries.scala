@@ -19,6 +19,26 @@ import graft.operators.Kernels
  */
 object TimeSeriesQueries {
 
+  /** The repo's portable explicit rounding (STATUS lesson 11):
+    * floor(|u|·1e6 + 0.5)/1e6 — the identical IEEE op sequence on
+    * both engines at every input, unlike round()'s engine-specific
+    * half behavior. [[r6Sql]] is its verbatim DuckDB twin; [[q6]] /
+    * [[q6Sql]] are the quantize-to-integer-micro-units variants the
+    * exact-integer-sum operators (rg1, cr2, rs5) build on. */
+  private def r6(c: Column): Column =
+    when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
+      .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
+  private def q6(c: Column): Column =
+    when(c >= 0, floor(c * lit(1e6) + lit(0.5)))
+      .otherwise(-floor(-c * lit(1e6) + lit(0.5))).cast("long")
+  private def r6Sql(e: String): String =
+    s"""(CASE WHEN ($e) >= 0
+       |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
+       |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
+  private def q6Sql(e: String): String =
+    s"""CAST(CASE WHEN ($e) >= 0 THEN floor(($e) * 1000000.0 + 0.5)
+       |  ELSE -floor(-($e) * 1000000.0 + 0.5) END AS BIGINT)""".stripMargin
+
   /** Downsample to fixed buckets (pandas `resample('1D').agg(...)`):
     * date_trunc is deterministic and identical across engines, unlike
     * bucket-index arithmetic on epoch micros. One partial+final hash
@@ -190,9 +210,6 @@ object TimeSeriesQueries {
     * division — rounds through the explicit formula (lesson 11), and
     * a zero previous value yields null rather than ±inf. */
   def r4ShiftDiff(spark: SparkSession, dir: String): DataFrame = {
-    def r6(c: Column): Column =
-      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
-        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
     val w = Window.partitionBy("series_id").orderBy(col("ts"), col("event_id"))
     canonicalWithId(spark, dir)
       .withColumn("prev_value", lag(col("value"), 1).over(w))
@@ -213,9 +230,6 @@ object TimeSeriesQueries {
     * rounding through the explicit formula absorbs it, exactly as
     * cp1 does. max/min/count are order-insensitive and stay raw. */
   def r5Cumulative(spark: SparkSession, dir: String): DataFrame = {
-    def r6(c: Column): Column =
-      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
-        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
     val w = Window.partitionBy("series_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     canonicalWithId(spark, dir)
@@ -246,12 +260,6 @@ object TimeSeriesQueries {
   /** Generic form of [[rs5RollingCorr]]: `series` must carry
     * (series_id, ts, event_id, value). */
   def rollingCorr(series: DataFrame): DataFrame = {
-    def r6(c: Column): Column =
-      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
-        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
-    def q6(c: Column): Column =
-      when(c >= 0, floor(c * lit(1e6) + lit(0.5)))
-        .otherwise(-floor(-c * lit(1e6) + lit(0.5))).cast("long")
     val wOrd = Window.partitionBy("series_id").orderBy(col("ts"), col("event_id"))
     val wFrame = wOrd.rowsBetween(-19, 0)
     val paired = series
@@ -357,9 +365,6 @@ object TimeSeriesQueries {
     // floor(|u|·1e6+0.5)/1e6 rounding (the s3 formula — round()
     // half-behavior also differs across engines, so it is never used
     // where a boundary is structurally reachable).
-    def r6(c: Column): Column =
-      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
-        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
     val part = Window.partitionBy("series_id")
     val centered = series
       .where(col("value").isNotNull)
@@ -402,9 +407,6 @@ object TimeSeriesQueries {
     * (type, day) aggregate, a day-keyed self-join of the tiny daily
     * frame, one partial-combined row per pair. */
   def cr2TypeCorrelation(spark: SparkSession, dir: String): DataFrame = {
-    def r6(c: Column): Column =
-      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
-        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
     val daily = graft.sources.Tables.read(spark, dir, "events")
       .select(col("event_type"), col("ts"),
         Kernels.nanToNull(col("value")).as("value"))
@@ -595,10 +597,6 @@ object TimeSeriesQueries {
     // r4: raw lag/subtract; the one division through the explicit
     // rounding formula, zero-previous → null
     "r4_shift_diff" -> {
-      def r6(e: String) =
-        s"""(CASE WHEN ($e) >= 0
-           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
-           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
       s"""WITH t AS ($canonicalIdCte),
          |w AS (SELECT series_id, ts, value,
          |  lag(value) OVER (PARTITION BY series_id ORDER BY ts, event_id)
@@ -606,7 +604,7 @@ object TimeSeriesQueries {
          | FROM t)
          |SELECT series_id, ts, value, prev_value,
          |  value - prev_value AS diff,
-         |  ${r6("CASE WHEN prev_value <> CAST(0.0 AS DOUBLE) " +
+         |  ${r6Sql("CASE WHEN prev_value <> CAST(0.0 AS DOUBLE) " +
                 "THEN (value - prev_value) / prev_value END")} AS pct_change6
          |FROM w""".stripMargin
     },
@@ -615,13 +613,9 @@ object TimeSeriesQueries {
     // order differs from Spark's sequential add in the last ulp),
     // max/min/count are order-insensitive
     "r5_cumulative" -> {
-      def r6(e: String) =
-        s"""(CASE WHEN ($e) >= 0
-           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
-           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
       s"""WITH t AS ($canonicalIdCte)
          |SELECT series_id, ts, value,
-         |  ${r6("sum(value) OVER w")} AS cum_sum6,
+         |  ${r6Sql("sum(value) OVER w")} AS cum_sum6,
          |  max(value) OVER w AS cum_max,
          |  min(value) OVER w AS cum_min,
          |  count(value) OVER w AS cum_n
@@ -632,19 +626,12 @@ object TimeSeriesQueries {
     // rs5: all five frame aggregates are exact BIGINT sums (immune to
     // the window-evaluation order), then one fixed double sequence
     "rs5_rolling_corr" -> {
-      def r6(e: String) =
-        s"""(CASE WHEN ($e) >= 0
-           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
-           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
-      def q6(e: String) =
-        s"""CAST(CASE WHEN ($e) >= 0 THEN floor(($e) * 1000000.0 + 0.5)
-           |  ELSE -floor(-($e) * 1000000.0 + 0.5) END AS BIGINT)""".stripMargin
       s"""WITH t AS ($canonicalIdCte),
          |lg AS (SELECT series_id, ts, event_id, value,
          |  lag(value) OVER (PARTITION BY series_id ORDER BY ts, event_id) AS prev
          | FROM t),
          |p AS (SELECT series_id, ts, event_id, value,
-         |  ${q6("value")} AS yu, ${q6("prev")} AS pu
+         |  ${q6Sql("value")} AS yu, ${q6Sql("prev")} AS pu
          | FROM lg WHERE value IS NOT NULL AND prev IS NOT NULL),
          |s AS (SELECT series_id, ts, value,
          |  COUNT(*) OVER w AS n,
@@ -665,7 +652,7 @@ object TimeSeriesQueries {
          | FROM s)
          |SELECT series_id, ts, ROUND(value, 6) AS value,
          |  CAST(n AS BIGINT) AS n_window,
-         |  ${r6("CASE WHEN n >= 2 AND vary > CAST(0.0 AS DOUBLE) " +
+         |  ${r6Sql("CASE WHEN n >= 2 AND vary > CAST(0.0 AS DOUBLE) " +
                "AND varp > CAST(0.0 AS DOUBLE) " +
                "THEN cov / sqrt(vary * varp) END")} AS roll_autocorr6
          |FROM f""".stripMargin
@@ -675,10 +662,6 @@ object TimeSeriesQueries {
     // one sqrt is the m2 libm exposure, corr rounds via the explicit
     // formula
     "cr2_type_correlation" -> {
-      def r6(e: String) =
-        s"""(CASE WHEN ($e) >= 0
-           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
-           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
       s"""WITH e AS (SELECT event_type, ts,
          |  CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events),
          |q AS (SELECT event_type, date_trunc('day', ts) AS day,
@@ -704,7 +687,7 @@ object TimeSeriesQueries {
          |  SUM((mb - bbar) * (mb - bbar)) AS sbb
          | FROM c GROUP BY type_a, type_b)
          |SELECT type_a, type_b, n_days,
-         |  ${r6("CASE WHEN saa > CAST(0.0 AS DOUBLE) AND sbb > CAST(0.0 AS DOUBLE) " +
+         |  ${r6Sql("CASE WHEN saa > CAST(0.0 AS DOUBLE) AND sbb > CAST(0.0 AS DOUBLE) " +
                 "THEN sab / sqrt(saa * sbb) END")} AS corr6
          |FROM g""".stripMargin
     },
@@ -713,10 +696,6 @@ object TimeSeriesQueries {
     // (the s3 pattern), because round() half-behavior differs across
     // engines exactly when a 2^k-point mean lands on the boundary
     "rg1_trend_slope" -> {
-      def r6(e: String) =
-        s"""(CASE WHEN ($e) >= 0
-           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
-           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
       s"""WITH t AS ($canonicalIdCte),
          |nn AS (SELECT series_id, value,
          |  floor(epoch_us(ts) / CAST(86400.0 AS DOUBLE)) AS xu,
@@ -733,12 +712,12 @@ object TimeSeriesQueries {
          |  value - ybar AS cy
          | FROM c),
          |g AS (SELECT series_id, COUNT(*) AS n_values,
-         |  ${r6("MIN(ybar)")} AS mean6,
-         |  ${r6("SUM(cx * cy)")} AS sxy6,
-         |  ${r6("SUM(cx * cx)")} AS sxx6
+         |  ${r6Sql("MIN(ybar)")} AS mean6,
+         |  ${r6Sql("SUM(cx * cy)")} AS sxy6,
+         |  ${r6Sql("SUM(cx * cx)")} AS sxx6
          | FROM d GROUP BY series_id)
          |SELECT series_id, n_values, mean6,
-         |  ${r6("CASE WHEN sxx6 > CAST(0.0 AS DOUBLE) THEN sxy6 / sxx6 END")}
+         |  ${r6Sql("CASE WHEN sxx6 > CAST(0.0 AS DOUBLE) THEN sxy6 / sxx6 END")}
          |    AS slope_per_day6
          |FROM g""".stripMargin
     },

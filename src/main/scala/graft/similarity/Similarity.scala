@@ -920,10 +920,14 @@ object Similarity {
       corpus: DataFrame, query: DataFrame, topK: Int = 20, dim: Int = 64): DataFrame = {
     require(dim >= 1 && dim <= 64, s"binary quant: dim must be in [1, 64]: $dim")
     val emb = col("embedding").cast("array<double>")
-    def packWord(lo: Int, hi: Int): Column =
-      (lo until math.min(hi, dim)).map { d =>
+    def packWord(lo: Int, hi: Int): Column = {
+      val bits = (lo until math.min(hi, dim)).map { d =>
         when(element_at(emb, d + 1) >= 0, lit(1L << (d - lo))).otherwise(lit(0L))
-      }.reduceLeft(_ + _)
+      }
+      // dim <= lo leaves the word empty (e.g. the hi word at dim <= 32)
+      // — a constant 0, not an empty reduce
+      if (bits.isEmpty) lit(0L) else bits.reduceLeft(_ + _)
+    }
     def signed(df: DataFrame, idOut: String) = df.select(
       col("vec_id").as(idOut),
       packWord(0, 32).as(s"${idOut}_lo"), packWord(32, 64).as(s"${idOut}_hi"))

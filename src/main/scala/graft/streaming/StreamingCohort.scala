@@ -12,12 +12,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * aggregate over this feed — `groupBy(cohort_day, day_offset)
  * .agg(countDistinct(user_id))` — batch or streaming.
  *
- * State per user is the cohort day plus the set of active days —
- * bounded by the retention horizon (a product metric measured over
- * days-to-weeks), NOT by event volume; no event is retained. Same
- * in-order-per-user arrival contract as [[StreamingFunnel]] /
- * [[StreamingDetectors.runEvents]]; out-of-order feeds compose with
- * [[StreamingReorder]] first. Day indexing matches the batch
+ * State per user is TWO LONGS — the cohort day and the last emitted
+ * day: under the in-order-per-user arrival contract (same as
+ * [[StreamingFunnel]] / [[StreamingDetectors.runEvents]]; compose
+ * with [[StreamingReorder]] for disordered feeds) a new activity day
+ * is always strictly greater than the last one seen, so `day >
+ * lastDay` is a complete dedup test and no day SET is ever retained —
+ * state is O(1) regardless of stream lifetime. Day indexing matches
+ * the batch
  * operator: floor(epoch_us / 86400e6) — computed here from epoch
  * millis, identical because flooring to day granularity cannot be
  * changed by sub-millisecond truncation.
@@ -27,7 +29,7 @@ object StreamingCohort {
   final case class CohortReach(
       user_id: Long, cohort_day: Long, day_idx: Long, day_offset: Long)
 
-  final case class CohortState(cohortDay: Long, seen: Array[Long])
+  final case class CohortState(cohortDay: Long, lastDay: Long)
 
   /** `events` must carry (user_id, ts); returns the append-mode
     * (user_id, cohort_day, day_idx, day_offset) activity feed. */
@@ -44,15 +46,15 @@ object StreamingCohort {
           val days = rows.map(_._2).toArray.sorted
           val prev = state.getOption
           val cohort = prev.map(_.cohortDay).getOrElse(days.head)
-          var seen = prev.map(_.seen.toSet).getOrElse(Set.empty[Long])
+          var lastDay = prev.map(_.lastDay).getOrElse(Long.MinValue)
           val out = Array.newBuilder[CohortReach]
           days.foreach { d =>
-            if (!seen.contains(d)) {
-              seen += d
+            if (d > lastDay) {
+              lastDay = d
               out += CohortReach(uid, cohort, d, d - cohort)
             }
           }
-          state.update(CohortState(cohort, seen.toArray))
+          state.update(CohortState(cohort, lastDay))
           out.result().iterator
         })
       .toDF()

@@ -190,18 +190,19 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._1).sameElements(expect))
   }
 
-  test("q17: the filter uses the ROUNDED per-part average on both engines") {
+  test("q17: filter uses the exact sum/count mean; quantities must stay integer-valued") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.Relational.q17SmallQtyRevenue(spark, dir)
       .select("n_items").as[Long].collect().head
     val li = graft.sources.Tables.read(spark, dir, "lineitem")
       .select(col("l_partkey"), col("l_quantity")).as[(Long, Double)].collect()
-    val avg6 = li.groupBy(_._1).map { case (p, xs) =>
-      p -> BigDecimal(xs.map(_._2).sum / xs.length)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the no-rounding portability argument rests on integer weights
+    assert(li.forall { case (_, q) => q == math.floor(q) })
+    val mean = li.groupBy(_._1).map { case (p, xs) =>
+      p -> xs.map(_._2).sum / xs.length
     }
-    val expect = li.count { case (p, q) => q < 0.2 * avg6(p) }
+    val expect = li.count { case (p, q) => q < 0.2 * mean(p) }
     assert(got == expect)
   }
 
