@@ -781,22 +781,26 @@ object Relational {
         round(sum(col("o_totalprice")), 4).as("revenue"))
 
   /** Year-over-year growth (time intelligence): monthly order revenue
-    * with the same-month-last-year comparison via `lag(12)` — after
-    * the monthly aggregation the frame is tens of rows, so the
-    * unpartitioned window is a deliberate single-partition pass over
-    * an already-tiny aggregate (the same argument as s4's post-limit
-    * rank window), not a scale hazard. Growth is computed from the
-    * 4dp-rounded monthly totals, so the division sees identical
-    * doubles on both engines. */
+    * joined to the same CALENDAR month last year — the prior `lag(12)`
+    * ROW offset silently paired wrong months whenever a calendar month
+    * had zero orders (and the mirrored oracle couldn't catch it). Here
+    * the comparison key is the integer month index `year*12 + month`,
+    * so a missing month yields a null prev_year, never a misaligned
+    * one. The monthly aggregate is tens of rows, so the self-join is a
+    * broadcast over an already-tiny frame, not a scale hazard. Growth
+    * is computed from the 4dp-rounded monthly totals, so the division
+    * sees identical doubles on both engines. */
   def w3YoyGrowth(spark: SparkSession, dir: String): DataFrame = {
     val monthly = t(spark, dir, "orders")
       .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
       .agg(round(sum(col("o_totalprice")), 4).as("revenue"))
-    val w = Window.orderBy(col("month"))
-    monthly
-      .withColumn("prev_year", lag(col("revenue"), 12).over(w))
-      .withColumn("yoy_pct",
-        round(lit(100.0) * (col("revenue") - col("prev_year")) / col("prev_year"), 6))
+      .withColumn("mkey", year(col("month")) * 12 + month(col("month")))
+    val prev = monthly.select(
+      (col("mkey") + 12).as("mkey"), col("revenue").as("prev_year"))
+    monthly.join(broadcast(prev), Seq("mkey"), "left")
+      .select(col("month"), col("revenue"), col("prev_year"),
+        round(lit(100.0) * (col("revenue") - col("prev_year")) / col("prev_year"), 6)
+          .as("yoy_pct"))
   }
 
   /** RANGE-frame time window (vs the ROWS frames elsewhere): trailing
@@ -956,13 +960,14 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
     "w3_yoy_growth" ->
       """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
-        |    ROUND(SUM(o_totalprice), 4) AS revenue
+        |    ROUND(SUM(o_totalprice), 4) AS revenue,
+        |    EXTRACT(year FROM date_trunc('month', o_orderdate)) * 12
+        |      + EXTRACT(month FROM date_trunc('month', o_orderdate)) AS mkey
         |  FROM orders GROUP BY 1)
-        |SELECT month, revenue,
-        |  lag(revenue, 12) OVER (ORDER BY month) AS prev_year,
-        |  ROUND(CAST(100.0 AS DOUBLE) * (revenue - lag(revenue, 12) OVER (ORDER BY month))
-        |    / lag(revenue, 12) OVER (ORDER BY month), 6) AS yoy_pct
-        |FROM m""".stripMargin,
+        |SELECT m.month, m.revenue, p.revenue AS prev_year,
+        |  ROUND(CAST(100.0 AS DOUBLE) * (m.revenue - p.revenue)
+        |    / p.revenue, 6) AS yoy_pct
+        |FROM m LEFT JOIN m p ON m.mkey = p.mkey + 12""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

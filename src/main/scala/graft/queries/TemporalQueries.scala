@@ -90,9 +90,12 @@ object TemporalQueries {
       max(col("t_0").isNotNull.cast("long")).as("s0"),
       stages.indices.drop(1).map(i =>
         max(col(s"t_$i").isNotNull.cast("long")).as(s"s$i")): _*)
+    // coalesce: an empty events frame yields one all-null totals row
+    // (sum over zero groups); a funnel count is never null — emit 0s.
     val totals = perUser.agg(
-      sum(col("s0")).as("c0"),
-      stages.indices.drop(1).map(i => sum(col(s"s$i")).as(s"c$i")): _*)
+      coalesce(sum(col("s0")), lit(0L)).as("c0"),
+      stages.indices.drop(1).map(i =>
+        coalesce(sum(col(s"s$i")), lit(0L)).as(s"c$i")): _*)
     val stackArgs = stages.zipWithIndex
       .map { case (typ, i) => s"'$typ', c$i" }.mkString(", ")
     totals.selectExpr(
@@ -280,13 +283,13 @@ object TemporalQueries {
         |  MAX(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS f3,
         |  MAX(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS f4
         | FROM s4 GROUP BY user_id)
-        |SELECT 'view' AS stage, CAST(SUM(f1) AS BIGINT) AS users FROM u
+        |SELECT 'view' AS stage, CAST(COALESCE(SUM(f1), 0) AS BIGINT) AS users FROM u
         |UNION ALL
-        |SELECT 'click' AS stage, CAST(SUM(f2) AS BIGINT) AS users FROM u
+        |SELECT 'click' AS stage, CAST(COALESCE(SUM(f2), 0) AS BIGINT) AS users FROM u
         |UNION ALL
-        |SELECT 'signup' AS stage, CAST(SUM(f3) AS BIGINT) AS users FROM u
+        |SELECT 'signup' AS stage, CAST(COALESCE(SUM(f3), 0) AS BIGINT) AS users FROM u
         |UNION ALL
-        |SELECT 'purchase' AS stage, CAST(SUM(f4) AS BIGINT) AS users FROM u""".stripMargin
+        |SELECT 'purchase' AS stage, CAST(COALESCE(SUM(f4), 0) AS BIGINT) AS users FROM u""".stripMargin
   )
 }
 

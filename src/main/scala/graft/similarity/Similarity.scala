@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -863,6 +863,66 @@ object Similarity {
       .select(col("nid").as("vec_id"), col("cid"))
   }
 
+  /** The query's `nProbe` nearest coarse cells as driver values —
+    * the O(nProbe) probe list every IVF form routes through (FAISS's
+    * probe-list shape). One crossJoin of the query row(s) against the
+    * O(k) broadcast centroid frame + a per-query rank window; for a
+    * multi-row query the UNION of all queries' probe cells is
+    * returned (each query still ranks its own candidates downstream).
+    * Driver state is ≤ nProbe·Q longs — bounded like the kmeans
+    * centroids. */
+  def probeCells(query: DataFrame, centroids: DataFrame, nProbe: Int): Seq[Long] = {
+    ensureRegistered(query)
+    val spark = query.sparkSession
+    import spark.implicits._
+    val centN = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_p").desc, col("cid"))
+    normalized(query, "query_id", "q_emb", spread = false)
+      .crossJoin(centN)
+      .withColumn("cos_p", fastDot(col("q_emb"), col("cent_emb")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("cid").cast("long")).distinct()
+      .as[Long].collect().toSeq.sorted
+  }
+
+  /** Persist the corpus in the IVF PHYSICAL LAYOUT the [[ivfTopK]]
+    * scaladoc promises: one parquet directory per coarse cell
+    * (`partitionBy("cid")` over the [[ivfCellAssignment]] join), so a
+    * probe's cell list becomes a PartitionFilter and the scan lists —
+    * and reads — ONLY the probed cells' files; unprobed cells are
+    * never opened. This is the 100 TB production path: the layout is
+    * query-independent (rewritten only when the corpus or centroids
+    * change), and the per-query cost is the pruned scan alone — no
+    * assignment join, no corpus shuffle at probe time. The one
+    * corpus-wide shuffle this write pays (partitionBy redistributes
+    * rows by cid) is the amortized indexing cost, not a per-query
+    * one. */
+  def writeCorpusByCell(corpus: DataFrame, assignment: DataFrame, path: String): Unit =
+    corpus.join(assignment, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** IVFADC probe over a [[writeCorpusByCell]] layout: the probe's
+    * `nProbe` cells are pushed as a partition filter (`cid IN (...)`
+    * over the directory key — `.explain` shows it under
+    * PartitionFilters with the unprobed directories never listed),
+    * then the surviving slice flows through [[pqTopK]]'s zero-exchange
+    * ADC projection. Functionally [[ivfAdcTopK]] with the broadcast
+    * semi join replaced by partition pruning — the form that scales
+    * past broadcastable id sets. Single-query (pqTopK's global
+    * top-k contract). */
+  def ivfAdcTopKPartitioned(
+      spark: SparkSession, cellPath: String, seeds: DataFrame, query: DataFrame,
+      centroids: DataFrame, topK: Int = 20, m: Int = 4, dsub: Int = 16,
+      nProbe: Int = 3): DataFrame = {
+    val cids = probeCells(query, centroids, nProbe)
+    val pruned = spark.read.parquet(cellPath)
+      .where(col("cid").isin(cids: _*))
+      .select(col("vec_id"), col("embedding"))
+    pqTopK(pruned, seeds, query, topK, m, dsub)
+  }
+
   /** The cell-pruning stage of [[ivfAdcTopK]], exposed so its plan is
     * independently inspectable (the top-k's storage barrier hides it
     * from the final executedPlan): corpus restricted to the vectors
@@ -1099,7 +1159,6 @@ object Similarity {
     import spark.implicits._
     ensureRegistered(corpus)
     val dim = m * dsub
-    val centN = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
 
     // corpus→cell assignment (query-independent — persisted in
     // production, see [[ivfCellAssignment]]; barrier because the
@@ -1125,14 +1184,7 @@ object Similarity {
     val (qid, qRaw) = qRows(0)
     require(qRaw.length == dim,
       s"residual pq: query has ${qRaw.length} dims, expected $dim")
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_p").desc, col("cid"))
-    val probeCids: Seq[Long] = normalized(query, "query_id", "q_emb", spread = false)
-      .crossJoin(centN)
-      .withColumn("cos_p", fastDot(col("q_emb"), col("cent_emb")))
-      .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= nProbe)
-      .select(col("cid").cast("long")).as[Long].collect().toSeq.sorted
+    val probeCids: Seq[Long] = probeCells(query, centroids, nProbe)
 
     // residuals — only for probed cells and the codebook seeds; each
     // side is one corpus join against the barriered assignment

@@ -42,10 +42,23 @@ object IO {
   def writeEvents(events: DataFrame, path: String): Unit =
     events.write.mode("overwrite").partitionBy("event_type").parquet(path)
 
-  /** EventFrame sink: single-header CSV for interchange (coalesced —
-    * interchange files are small; the Parquet sink is the scale path). */
-  def writeEventsCsv(events: DataFrame, path: String): Unit =
+  /** EventFrame sink: single-header CSV for interchange. `coalesce(1)`
+    * funnels the whole frame through ONE task — the only sink in this
+    * repo with a deliberate driver-width bottleneck — so it refuses
+    * loudly above [[maxCsvRows]] rows rather than silently serializing
+    * a 100 TB event table on one core. Use [[writeEvents]] (partitioned
+    * Parquet) for anything bigger; interchange files are small by
+    * definition. The count is one cheap aggregate job over the frame
+    * (re-computed by the write — acceptable at interchange size). */
+  def writeEventsCsv(events: DataFrame, path: String,
+      maxCsvRows: Long = 10_000_000L): Unit = {
+    val n = events.count()
+    require(n <= maxCsvRows,
+      s"writeEventsCsv: $n rows exceeds maxCsvRows=$maxCsvRows — this sink " +
+        "coalesces to ONE task/file; use IO.writeEvents (partitioned parquet) " +
+        "for large frames, or raise maxCsvRows explicitly if you mean it")
     events.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+  }
 
   /** JSONL document corpus reader (the standard corpus interchange
     * format) with an EXPLICIT schema: schema inference over JSON is a

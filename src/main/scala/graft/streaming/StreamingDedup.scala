@@ -131,16 +131,45 @@ object StreamingDedup {
    * range fit, a corpus-scale reference should run the batch operator
    * per micro-batch via foreachBatch instead).
    */
+  /** The static reference's distinct gram hashes at or below this
+    * count may be collected to the driver and broadcast (8 B/gram →
+    * 10^8 ≈ 800 MB, the documented extreme for public benchmark
+    * suites). LOUD BOUND, same shape as
+    * [[graft.dedup.Dedup.maxDriverFoldEdges]]: above it the collect
+    * REFUSES with the foreachBatch alternative named, instead of
+    * silently OOMing the driver on a corpus-sized reference. */
+  val maxDriverGramSet: Long = 100000000L
+
+  /** Count-and-refuse collect of a distinct LONG gram column — the
+    * shared guard for [[streamingSubstringScreen]] /
+    * [[streamingDecontaminate]]'s driver-side reference state. The
+    * count is one cheap aggregate job over the (already distinct)
+    * frame; the alternative to refusing here is an un-diagnosable
+    * driver OOM mid-collect. */
+  private def collectGramSet(
+      grams: DataFrame, op: String, maxGrams: Long): Set[Long] = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    val n = grams.count()
+    require(n <= maxGrams,
+      s"$op: static reference has $n distinct grams > maxDriverGramSet=" +
+        s"$maxGrams — too large to broadcast as driver state; run the " +
+        "batch operator per micro-batch via foreachBatch instead " +
+        "(graft.dedup.Dedup.substringDedup / decontaminate)")
+    grams.as[Long].collect().toSet
+  }
+
   def streamingSubstringScreen(
       docs: DataFrame, corpus: DataFrame, l: Int = 5,
-      maxDupFrac: Double = 0.5): DataFrame = {
+      maxDupFrac: Double = 0.5, maxGrams: Long = maxDriverGramSet): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val gramSet: Set[Long] = corpus
-      .select(explode(array_distinct(
+    val gramSet: Set[Long] = collectGramSet(
+      corpus.select(explode(array_distinct(
         call_function("graft_shingle_hashes63", col("text"), lit(l)))).as("g"))
-      .distinct().as[Long].collect().toSet
+        .distinct(),
+      "streamingSubstringScreen", maxGrams)
     val bc = spark.sparkContext.broadcast(gramSet)
     docs
       .select(col("doc_id"),
@@ -179,14 +208,16 @@ object StreamingDedup {
 
   def streamingDecontaminate(
       docs: DataFrame, benchmark: DataFrame,
-      n: Int = 3, minHits: Long = 1L): DataFrame = {
+      n: Int = 3, minHits: Long = 1L,
+      maxGrams: Long = maxDriverGramSet): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val benchSet: Set[Long] = benchmark
-      .select(explode(array_distinct(
+    val benchSet: Set[Long] = collectGramSet(
+      benchmark.select(explode(array_distinct(
         call_function("graft_shingle_hashes", col("text"), lit(n)))).as("g"))
-      .distinct().as[Long].collect().toSet
+        .distinct(),
+      "streamingDecontaminate", maxGrams)
     val bc = spark.sparkContext.broadcast(benchSet)
     docs
       .select(col("doc_id"),

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * cos≈0.999 near-dups) into `outDir` with the driver testdata
   * schemas, then times the PRODUCTION query functions
   * (SparkEntry.queries) against it unchanged. Usage:
-  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec]"
+  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,pr]"
   * (no --run flag = all sections).
   */
 object ScaleSmoke {
@@ -487,6 +487,132 @@ object ScaleSmoke {
       }
       require(probed2 == probed2u, s"salting changed the pair set: $probed2 vs $probed2u")
       println(s"SCALE x9 (bands=4, radius 2) pairs: $probed2 (exact count 2000 at this gen)")
+    }
+
+    // --- round-10 retrieval stack (`--run=retr`): the r9-new
+    // families' 100 TB claims, measured. 200k×64 corpus; 200 coarse
+    // cells (vec_id % 1000 centroids); PQ codebook = 256 lowest-id
+    // vectors (m=4, dsub=16 → k=256 per subspace, the production
+    // codebook size); query = vec 177. Production posture throughout:
+    // the query-INDEPENDENT cell assignment is persisted to parquet
+    // once and every probe reads it back — the per-query cost is the
+    // probe itself. ---
+    if (want("retr")) {
+      val Sim = graft.similarity.Similarity
+      val e = graft.sources.Tables.read(spark, outDir, "embeddings")
+      val centroids = e.where(col("vec_id") % 1000 === 0) // 200 cells
+      val seeds = e.where(col("vec_id") < 256)
+      val query = e.where(col("vec_id") === 177)
+
+      // indexing cost (amortized, query-independent): assignment build
+      // + persist, paid once per corpus/centroid change
+      val tA = System.nanoTime()
+      Sim.ivfCellAssignment(e, centroids)
+        .write.mode("overwrite").parquet(s"$outDir/ivf_assign.parquet")
+      println(f"SCALE retr: assignment build+persist ${(System.nanoTime() - tA) / 1e9}%.1f s (query-independent, amortized)")
+      def assign = spark.read.parquet(s"$outDir/ivf_assign.parquet")
+
+      // the IVF knob: fraction of the corpus the probe actually scores
+      val prunedRows = Sim.ivfAdcPruned(e, query, centroids, 3, Some(assign)).count()
+      println(f"SCALE retr: s5 pruned scan = $prunedRows/$nVecs rows = ${prunedRows.toDouble / nVecs}%.4f of corpus (nProbe=3 of 200 cells)")
+
+      timed("s5_ivfadc_200k") {
+        Sim.ivfAdcTopK(e, seeds, query, centroids, topK = 20,
+          nProbe = 3, assignment = Some(assign)).count()
+      }
+      timed("s6_residual_200k") {
+        Sim.ivfAdcResidualTopK(e, seeds, query, centroids, topK = 20,
+          nProbe = 3, assignment = Some(assign)).count()
+      }
+
+      // physical layout: corpus partitioned BY CELL — the probe's
+      // cells become a PartitionFilter and unprobed directories are
+      // never read (the ivfTopK scaladoc promise, grounded)
+      val cellPath = s"$outDir/corpus_by_cell.parquet"
+      val tW = System.nanoTime()
+      Sim.writeCorpusByCell(e, assign, cellPath)
+      println(f"SCALE retr: partitionBy(cid) layout write ${(System.nanoTime() - tW) / 1e9}%.1f s (amortized indexing cost)")
+      timed("s5_partitioned_200k") {
+        Sim.ivfAdcTopKPartitioned(spark, cellPath, seeds, query, centroids,
+          topK = 20, nProbe = 3).count()
+      }
+      // pruning evidence from the SAME execution: collect() binds the
+      // metrics to this plan; numFiles counts only the probed cells'
+      // files vs the full layout's file population
+      val cids = Sim.probeCells(query, centroids, nProbe = 3)
+      val prunedDf = spark.read.parquet(cellPath)
+        .where(col("cid").isin(cids: _*)).select(col("vec_id"))
+      val prunedN = prunedDf.collect().length
+      val scanLeaf = prunedDf.queryExecution.executedPlan.collectLeaves().head
+      val filesRead = scanLeaf.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+      val filesTotal = spark.read.parquet(cellPath)
+        .select(input_file_name()).distinct().count()
+      println(s"SCALE retr: partition-pruned probe read $filesRead of $filesTotal files ($prunedN rows, ${cids.length} cells)")
+      prunedDf.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("PartitionFilters") || l.contains("Scan parquet"))
+        .foreach(l => println("SCALE retr plan: " + l.trim.take(240)))
+
+      // compression-cascade ladder, composed end-to-end: binary
+      // sign-bit screen (8 B/vec) 200k → 5000, matryoshka prefix-16
+      // screen (64 B) 5000 → 500, full-dim rerank (256 B) 500 → 10 —
+      // each rung's byte budget only touches the previous rung's
+      // survivors
+      timed("cascade_e3_e5_e4_200k") {
+        val c1 = Sim.binaryHammingTopK(e, query, topK = 5000)
+          .select(col("vec_id"))
+        val corpus1 = e.join(broadcast(c1), Seq("vec_id"), "left_semi")
+        Sim.matryoshkaRerankTopK(corpus1, query, prefixDim = 16,
+          candidates = 500, topK = 10).count()
+      }
+      println("SCALE retr cascade rungs: 200000 -(8B/vec hamming)-> 5000 -(64B prefix cos)-> 500 -(256B full cos)-> 10")
+      // the single-operator forms at the same corpus size
+      timed("e3_hamming_200k") {
+        Sim.binaryHammingTopK(e, query, topK = 100).count() }
+      timed("e4_binary_rerank_200k") {
+        Sim.binaryRerankTopK(e, query, candidates = 100, topK = 10).count() }
+      timed("e5_matryoshka_200k") {
+        Sim.matryoshkaRerankTopK(e, query, prefixDim = 16,
+          candidates = 100, topK = 10).count() }
+
+      // e6 multi-query batching: 64 queries through the SAME cascade —
+      // ONE stage-1 corpus scan serves all 64 (the corpus-scan count
+      // in the plan is Q-independent; wall should grow far slower
+      // than 64×)
+      val q64 = e.where(col("vec_id") % 3125 === 0) // 64 queries
+      timed("e6_multiq_q64_200k") {
+        Sim.binaryRerankTopK(e, q64, candidates = 100, topK = 10).count() }
+      timed("e6_multiq_q1_200k") {
+        Sim.binaryRerankTopK(e, query, candidates = 100, topK = 10).count() }
+      def corpusScans(df: DataFrame): Int =
+        df.queryExecution.executedPlan.toString.linesIterator
+          .count(_.contains("Scan parquet"))
+      val scans64 = corpusScans(Sim.binaryRerankTopK(e, q64, 100, 10))
+      val scans1 = corpusScans(Sim.binaryRerankTopK(e, query, 100, 10))
+      require(scans64 == scans1,
+        s"e6 stage-1 scan count grew with Q: $scans64 (Q=64) vs $scans1 (Q=1)")
+      println(s"SCALE retr: e6 corpus-scan count Q=64 vs Q=1: $scans64 == $scans1 (one stage-1 scan serves all queries)")
+    }
+
+    // --- pr1 pagerank at 1M+ edges (`--run=pr`): per-iteration shape
+    // = edge join + partial-combined contribution sum; synthetic
+    // hash-derived graph over 500k nodes with a planted 10k-star hub
+    // so the contribution sum sees a genuinely hot node. ---
+    if (want("pr")) {
+      val edgePath = s"$outDir/pr_edges.parquet"
+      spark.range(1000000L).select(
+          pmod(xxhash64(col("id") * 31 + 7), lit(500000L)).as("doc_a"),
+          pmod(xxhash64(col("id") * 131 + 3), lit(500000L)).as("doc_b"))
+        .unionByName(
+          // planted hub: node 0 linked from 10k distinct spokes
+          spark.range(10000L).select(
+            lit(0L).as("doc_a"), (col("id") + 1000000L).as("doc_b")))
+        .where(col("doc_a") =!= col("doc_b"))
+        .write.mode("overwrite").parquet(edgePath)
+      val nEdges = spark.read.parquet(edgePath).count()
+      timed("pr1_pagerank_1m_edges") {
+        graft.dedup.Dedup.pairPageRank(spark.read.parquet(edgePath)).count()
+      }
+      println(s"SCALE pr1: $nEdges input pairs, 3 power iterations — per-iteration cost ≈ wall/3 (one edge join + one partial-combined sum each)")
     }
     spark.stop()
   }

@@ -33,6 +33,22 @@ class IOSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected)
   }
 
+  test("writeEventsCsv: single-file convenience sink writes small frames, refuses big ones loudly") {
+    val dir = Files.createTempDirectory("graft_io_csv").toString
+    val path = getClass.getResource("/flv.csv").getPath
+    val events = SpikeValleyEvents().detect(IO.readCsvSeries(spark, path, "SNOWDEPTH", "FLV"))
+    IO.writeEventsCsv(events, s"$dir/ev_csv")
+    val back = spark.read.option("header", "true").csv(s"$dir/ev_csv")
+    assert(back.count() == 11)
+    // the coalesce(1) sink must refuse a frame above its row bound
+    // instead of funneling it through one task
+    val err = intercept[IllegalArgumentException] {
+      IO.writeEventsCsv(spark.range(100).toDF("id"), s"$dir/too_big", maxCsvRows = 10L)
+    }
+    assert(err.getMessage.contains("maxCsvRows") &&
+      err.getMessage.contains("writeEvents"))
+  }
+
   test("jsonl corpus round-trip with explicit schema; corrupt lines survive as nulls") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_jsonl").toString

@@ -361,6 +361,84 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming as-of join vs static: equals batch asofJoin on a replayed corpus") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max}
+    // the aj1/aj3 gate inputs: one event_type slice per side,
+    // pre-aggregated to one row per (series, ts) for tie determinism
+    def typed(t: String) = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .where(col("event_type") === t)
+      .select(col("user_id").cast("string").as("series_id"), col("ts"),
+        graft.operators.Kernels.nanToNull(col("value")).as("value"))
+      .groupBy("series_id", "ts").agg(max(col("value")).as("value"))
+    val tol = Some(3L * 86400L * 1000000L)
+    val leftRows = typed("click")
+      .as[(String, java.sql.Timestamp, Option[Double])].collect()
+      .sortBy(_._2.getTime)
+    val input = MemoryStream[(String, java.sql.Timestamp, Option[Double])]
+    val q = graft.streaming.StreamingJoins.streamingAsofJoinStatic(
+        input.toDF().toDF("series_id", "ts", "value"), typed("purchase"), tol)
+      .writeStream.format("memory").queryName("saj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val split = leftRows.length / 2
+      input.addData(leftRows.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(leftRows.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.sql("select * from saj").as[(String, java.sql.Timestamp, Option[Double], Option[java.sql.Timestamp], Option[Double])].collect().toSet
+      val batch = graft.operators.Joins
+        .asofJoin(typed("click"), typed("purchase"), tol)
+        .as[(String, java.sql.Timestamp, Option[Double], Option[java.sql.Timestamp], Option[Double])].collect().toSet
+      assert(got.nonEmpty && got == batch)
+      // some rows must actually match (else the equality is vacuous)
+      assert(got.exists(_._4.nonEmpty) && got.exists(_._4.isEmpty))
+      // no-tolerance form agrees too (pure backward carry)
+      val got0 = graft.streaming.StreamingJoins
+        .streamingAsofJoinStatic(
+          typed("click"), typed("purchase")) // static-on-static still runs the same map
+        .as[(String, java.sql.Timestamp, Option[Double], Option[java.sql.Timestamp], Option[Double])].collect().toSet
+      val batch0 = graft.operators.Joins
+        .asofJoin(typed("click"), typed("purchase"))
+        .as[(String, java.sql.Timestamp, Option[Double], Option[java.sql.Timestamp], Option[Double])].collect().toSet
+      assert(got0 == batch0)
+    } finally q.stop()
+    // loud refusal above the broadcast bound, foreachBatch route named
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingJoins.streamingAsofJoinStatic(
+        input.toDF().toDF("series_id", "ts", "value"), typed("purchase"),
+        maxRightRows = 1L)
+    }
+    assert(err.getMessage.contains("maxStaticRightRows") &&
+      err.getMessage.contains("foreachBatch"))
+  }
+
+  test("streaming substring screen: refuses an over-bound corpus gram set loudly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "iota alpha beta gamma delta epsilon kappa mu")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    // the corpus above has > 2 distinct 5-grams, so a bound of 2 must
+    // refuse at plan-build time (the collect happens eagerly) with the
+    // foreachBatch fallback named — never a silent driver OOM path
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.streamingSubstringScreen(
+        input.toDF().toDF("doc_id", "text"), corpus, maxGrams = 2L)
+    }
+    assert(err.getMessage.contains("maxDriverGramSet") &&
+      err.getMessage.contains("foreachBatch"))
+    // same guard on the decontamination twin
+    val err2 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.streamingDecontaminate(
+        input.toDF().toDF("doc_id", "text"), corpus, maxGrams = 2L)
+    }
+    assert(err2.getMessage.contains("streamingDecontaminate"))
+  }
+
   test("streaming funnel: per-user stage state across batches == batch reach times") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
