@@ -937,6 +937,105 @@ object PqCodec {
   }
 }
 
+/**
+ * Linear fastText-style quality scorer (Joulin et al. 2016, "Bag of
+ * Tricks for Efficient Text Classification" — the classifier shape
+ * CCNet/RefinedWeb-style corpus curation uses for "looks like good
+ * prose" screening): `graft_quality_score(text, weights, bias,
+ * ngrams)` → double — the 6dp-rounded LOGIT
+ * `bias + mean_f(weights[h(f) % B])` over the document's hashed word
+ * features (unigrams, plus word n-grams up to `ngrams` — fastText's
+ * `wordNgrams` knob). Tokenization and the bucket hash are the
+ * repo-wide portable discipline ([[ShingleHashKernel.hash32]]:
+ * first-8-hex-chars of md5), so the DuckDB twin reproduces the exact
+ * feature→bucket mapping.
+ *
+ * The weight vector rides as ONE reference object (`addReferenceObj`
+ * — the [[PqEncode]] pattern): plan and codegen size are O(1) in the
+ * bucket count, and scoring is a zero-exchange projection — one pass
+ * over the scan per document, the shape that screens 100 TB. The
+ * expression emits the logit, not the probability: sigmoid is
+ * monotone, so a keep decision thresholds the logit directly, and
+ * emitting the raw logit keeps the cross-engine compare exact (libm
+ * `exp` is not guaranteed bit-identical across engines; callers
+ * wanting a probability apply 1/(1+exp(-logit)) client-side).
+ *
+ * Float discipline: the feature-weight sum folds in token order. For
+ * a gate-exact twin, supply weights on the 2^-2 grid (e.g. the
+ * [[graft.queries.PipelineQueries]] lexicon weights: +1.0 lexicon
+ * buckets, -0.25 default) — every partial sum is then exact in
+ * double and SUMMATION ORDER IS IMMATERIAL, so an engine-side
+ * reordering (SQL SUM) cannot drift. A document with zero features
+ * (empty/whitespace text) scores NULL.
+ */
+case class QualityScore(
+    child: Expression, weights: Array[Double], bias: Double, ngrams: Int)
+    extends UnaryExpression {
+  require(weights.nonEmpty, "graft_quality_score: weights must be non-empty")
+  require(ngrams >= 1 && ngrams <= 4,
+    s"graft_quality_score: ngrams must be in [1, 4]: $ngrams")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_quality_score"
+  // zero-feature documents score null even when the input is non-null
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    QualityScoreKernel.score(input.asInstanceOf[UTF8String], weights, bias, ngrams)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("qualityWeights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, t => {
+      s"""
+         |java.lang.Double qsr = graft.functions.QualityScoreKernel.score(
+         |  $t, $wRef, ${bias}D, $ngrams);
+         |if (qsr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = qsr.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QualityScore =
+    copy(child = newChild)
+}
+
+/** Shared by interpreted eval and generated code (the [[PqCodec]]
+  * pattern: one JVM-compiled method, tiny generated caller). */
+object QualityScoreKernel {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** Boxed so the zero-feature case can signal null to the caller. */
+  def score(input: UTF8String, w: Array[Double], bias: Double,
+      maxN: Int): java.lang.Double = {
+    val b = w.length
+    val s = input.toString
+    var st = 0; var en = s.length
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    if (en == st) return null
+    val toks = WS.split(s.substring(st, en), -1)
+    var sum = 0.0
+    var cnt = 0L
+    var n = 1
+    val sb = new java.lang.StringBuilder
+    while (n <= maxN) {
+      val count = toks.length - (n - 1)
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        sum += w((ShingleHashKernel.hash32(sb.toString) % b).toInt)
+        cnt += 1
+        i += 1
+      }
+      n += 1
+    }
+    if (cnt == 0L) null
+    else java.lang.Double.valueOf(PqCodec.round6(bias + sum / cnt))
+  }
+}
+
 /** Extension entry point: `spark.sql.extensions=graft.functions.GraftExtensions`
   * makes the graft_* functions available in SQL and via `call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -989,7 +1088,12 @@ object GraftFunctions {
         doubleArrayLiteral(children(1)), intLiteral(children(2)))),
     (FunctionIdentifier("graft_vec_sub"),
       new ExpressionInfo(classOf[VecSub].getName, "graft_vec_sub"),
-      (children: Seq[Expression]) => VecSub(children.head, children(1))))
+      (children: Seq[Expression]) => VecSub(children.head, children(1))),
+    (FunctionIdentifier("graft_quality_score"),
+      new ExpressionInfo(classOf[QualityScore].getName, "graft_quality_score"),
+      (children: Seq[Expression]) => QualityScore(children.head,
+        doubleArrayLiteral(children(1)), doubleLiteral(children(2)),
+        intLiteral(children(3)))))
 
   /** bits/bands/dim arrive as foldable literals. */
   private def intLiteral(e: Expression): Int = e.eval(null) match {
@@ -997,6 +1101,16 @@ object GraftFunctions {
     case l: Long => l.toInt
     case other => throw new IllegalArgumentException(
       s"graft_sign_bands expects integer literals, got $other")
+  }
+
+  /** Scalar double literal (the quality scorer's bias). */
+  private def doubleLiteral(e: Expression): Double = e.eval(null) match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case other => throw new IllegalArgumentException(
+      s"graft_quality_score expects a double literal bias, got $other")
   }
 
   /** PQ codebooks / ADC tables arrive as foldable array<double>

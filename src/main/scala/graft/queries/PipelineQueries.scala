@@ -21,6 +21,36 @@ object PipelineQueries {
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "embeddings")
 
+  /** English function-word lexicon for the cu3 quality classifier —
+    * the public-knowledge "looks like prose" prior (quality text is
+    * dense in function words; keyword soup is not). Both the Scala
+    * weight vector and the DuckDB twin's VALUES list derive from THIS
+    * sequence, so the feature→weight mapping cannot drift. */
+  private[graft] val qualityLexicon: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this", "are")
+
+  private[graft] val QualityBuckets = 256
+
+  /** cu3 keep threshold on the 6dp-rounded logit. Both engines
+    * compute IDENTICAL doubles for the logit (2^-2-grid sum is exact,
+    * then one division), so even an exactly-boundary document
+    * compares identically — no half-boundary exposure. */
+  private[graft] val QualityKeepThreshold = -0.1
+
+  /** Hashing-trick weight vector (fastText's input layer collapsed to
+    * a scalar quality head): lexicon buckets +1.0, everything else
+    * -0.25 — all on the 2^-2 grid so any summation order yields the
+    * identical double. Two lexicon words colliding into one bucket
+    * write the same +1.0 (idempotent), matching the twin's IN-list. */
+  private[graft] lazy val qualityLexiconWeights: Array[Double] = {
+    val w = Array.fill(QualityBuckets)(-0.25)
+    qualityLexicon.foreach { t =>
+      w((graft.functions.ShingleHashKernel.hash32(t) % QualityBuckets).toInt) = 1.0
+    }
+    w
+  }
+
   /** Content signature of a parquet table path: file names, lengths
     * AND mtimes hashed together. A bare max-mtime key (the previous
     * form) is second-granular on some filesystems, so an in-process
@@ -407,6 +437,26 @@ object PipelineQueries {
         .select(col("doc_id"), col("quality").as("quality6"))
       Dedup.canonicalByQuality(clusters, q)
     }),
+    // CCNet/RefinedWeb-style CLASSIFIER curation: the linear
+    // fastText-shaped quality scorer (Joulin et al. 2016) as the
+    // native graft_quality_score expression — hashed unigram+bigram
+    // features × ONE reference-object weight vector (the PQ
+    // addReferenceObj pattern), so scoring is a zero-exchange
+    // projection over the scan. Weights live on the 2^-2 grid
+    // (lexicon buckets +1.0, default -0.25), making every partial sum
+    // exact in double — summation order is immaterial, so the SQL
+    // twin's unordered SUM is bit-equal. keep thresholds the LOGIT
+    // (sigmoid is monotone; libm exp is not cross-engine
+    // bit-portable).
+    "cu3_classifier_curation" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val logit = call_function("graft_quality_score", col("text"),
+        typedlit(qualityLexiconWeights), lit(0.0), lit(2))
+      docs(s, dir)
+        .select(col("doc_id"), logit.as("logit6"))
+        .withColumn("keep",
+          coalesce(col("logit6") >= QualityKeepThreshold, lit(false)))
+    }),
     // Wide-radius SimHash (Manku r-of-8 combination banding, exact to
     // hamming 5) — the oracle is an INDEPENDENT all-pairs scan, so a
     // banding recall bug fails the gate rather than being mirrored.
@@ -703,6 +753,37 @@ object PipelineQueries {
        |  FROM n$i)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // cu3: the identical feature pipeline — trim/\s+ tokenize,
+    // unigrams ∪ bigrams, md5-hex bucket hash, 2^-2-grid weights via
+    // the lexicon IN-list — so the unordered SQL SUM is bit-equal to
+    // the kernel's token-order fold (every partial sum exact). Empty
+    // docs come back via the LEFT JOIN with a NULL logit, keep=false.
+    "cu3_classifier_curation" -> {
+      val h32 = graft.queries.CorpusQueries.hash32Sql("f")
+      val lexValues = qualityLexicon.map(w => s"('$w')").mkString(", ")
+      val lexH = graft.queries.CorpusQueries.hash32Sql("w")
+      s"""WITH lex AS (SELECT DISTINCT $lexH % $QualityBuckets AS b
+         |  FROM (VALUES $lexValues) t(w)),
+         |b0 AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents),
+         |f AS (SELECT doc_id, $h32 % $QualityBuckets AS b FROM (
+         |    SELECT doc_id, unnest(toks) AS f FROM b0
+         |    UNION ALL
+         |    SELECT doc_id, unnest(CASE WHEN len(toks) - 1 <= 0
+         |        THEN CAST([] AS VARCHAR[])
+         |        ELSE list_transform(generate_series(1, len(toks) - 1),
+         |          i -> array_to_string(toks[i:i+1], ' ')) END) AS f FROM b0)),
+         |s AS (SELECT doc_id, count(*) AS n,
+         |    SUM(CASE WHEN b IN (SELECT b FROM lex)
+         |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-0.25 AS DOUBLE) END) AS sw
+         |  FROM f GROUP BY 1)
+         |SELECT d.doc_id, ROUND(s.sw / s.n, 6) AS logit6,
+         |  COALESCE(ROUND(s.sw / s.n, 6) >= CAST($QualityKeepThreshold AS DOUBLE),
+         |    FALSE) AS keep
+         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
+    },
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         | md5(text) AS content_md5 FROM documents""".stripMargin,

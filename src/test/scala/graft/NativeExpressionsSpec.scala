@@ -248,6 +248,60 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(msgs(e).exists(_.contains("null element")))
   }
 
+  test("graft_quality_score == composed unigram∪bigram bucket-weight mean; codegen-only") {
+    GraftFunctions.register(spark)
+    val weights = graft.queries.PipelineQueries.qualityLexiconWeights
+    val b = weights.length
+    // composed portable twin: explode unigram + bigram hashes, bucket,
+    // look the weight up from a literal map frame, average per doc —
+    // the formulation the DuckDB oracle mirrors
+    val wDf = weights.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toSeq.toDF("bucket", "w")
+    val feats = df.select(col("doc_id"),
+        explode(concat(
+          call_function("graft_shingle_hashes", col("text"), lit(1)),
+          call_function("graft_shingle_hashes", col("text"), lit(2)))).as("g"))
+      .select(col("doc_id"), pmod(col("g"), lit(b.toLong)).as("bucket"))
+    val composed = feats.join(wDf, Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")) / count(lit(1)), 6).as("expect"))
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = df.select(col("doc_id"),
+        call_function("graft_quality_score", col("text"),
+          typedlit(weights), lit(0.0), lit(2)).as("logit6"))
+      val cmp = got.join(composed, Seq("doc_id"), "left").collect()
+      assert(cmp.length == texts.length)
+      cmp.foreach { r =>
+        val logit = Option(r.get(1)).map(_.asInstanceOf[Double])
+        val expect = Option(r.get(2)).map(_.asInstanceOf[Double])
+        assert(logit == expect, s"doc ${r.get(0)}: got $logit expected $expect")
+      }
+      // zero-feature inputs (blank / spaces-only) score null; null in
+      // → null out
+      val nullish = Seq((1L, ""), (2L, "   "), (3L, null)).toDF("doc_id", "text")
+        .select(call_function("graft_quality_score", col("text"),
+          typedlit(weights), lit(0.0), lit(2)).as("s")).collect()
+      assert(nullish.forall(_.isNullAt(0)))
+      // a nonzero bias shifts every logit by exactly that bias pre-round
+      val biased = df.where(length(trim(col("text"))) > 0)
+        .select(
+          call_function("graft_quality_score", col("text"),
+            typedlit(weights), lit(0.0), lit(2)).as("s0"),
+          call_function("graft_quality_score", col("text"),
+            typedlit(weights), lit(2.0), lit(2)).as("s2")).collect()
+      biased.foreach { r =>
+        assert(math.abs(r.getDouble(1) - r.getDouble(0) - 2.0) < 1e-9)
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("PQ at production size (m=64, k=256) compiles with codegen fallback disabled") {
     // the literal-chain formulation could NOT pass this test: 64·256·4
     // add/multiply terms in one generated method trips Janino's 64KB
