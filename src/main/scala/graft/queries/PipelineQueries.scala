@@ -437,6 +437,29 @@ object PipelineQueries {
         .select(col("doc_id"), col("quality").as("quality6"))
       Dedup.canonicalByQuality(clusters, q)
     }),
+    // LEAKAGE-SAFE train/test split: sm1's deterministic hash split
+    // applied at CLUSTER granularity — the split key is the near-dup
+    // CLUSTER id, not the doc id, so two near-duplicate documents can
+    // never straddle train and test (the eval-contamination mode Lee
+    // et al. 2022 §6.2 document: near-dups of test examples inside
+    // the training set inflate eval scores; splitting by cluster
+    // closes it structurally). Costs one integer hash on top of cc1's
+    // closure — the corpus-wide work is cc1's, unchanged; at 100 TB
+    // the split is a projection over the STORED assignment table
+    // (AssignmentSink), no reclustering on the split path.
+    "sp1_leakage_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.dedupClusters(
+          d, Dedup.minhashNearDups(d, threshold = 0.6).select("doc_a", "doc_b"))
+        .select(col("doc_id"), col("cluster_id"))
+      clusters
+        .withColumn("bucket",
+          (graft.queries.CorpusQueries.idHash(col("cluster_id")) % 100).cast("int"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "validation")
+            .otherwise("test"))
+    }),
     // CCNet/RefinedWeb-style CLASSIFIER curation: the linear
     // fastText-shaped quality scorer (Joulin et al. 2016) as the
     // native graft_quality_score expression — hashed unigram+bigram
@@ -1042,6 +1065,19 @@ object PipelineQueries {
     // cc2 (incremental fold), and cc3 (fold + size maintenance): the
     // incremental variants' exactness claim IS equality with this
     "cc1_dedup_clusters" -> fullClosureSql,
+    // sp1: the closure chain + sm1's bucket rule keyed on cluster_id —
+    // every doc in a cluster lands in the same split by construction
+    "sp1_leakage_safe_split" ->
+      s"""WITH RECURSIVE $closureCtes
+         |SELECT doc_id, cluster_id,
+         |  CAST(${graft.queries.CorpusQueries.hash32Sql(
+               "CAST(cluster_id AS VARCHAR)")} % 100 AS INTEGER) AS bucket,
+         |  CASE WHEN ${graft.queries.CorpusQueries.hash32Sql(
+               "CAST(cluster_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |       WHEN ${graft.queries.CorpusQueries.hash32Sql(
+               "CAST(cluster_id AS VARCHAR)")} % 100 < 90 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM lab""".stripMargin,
     "cc2_incremental_clusters" -> fullClosureSql,
     // cu2: the closure chain + t2's rounded quality; keep = min doc_id
     // among each cluster's max-quality members — the same (quality

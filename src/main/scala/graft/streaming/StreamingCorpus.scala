@@ -28,6 +28,28 @@ import org.apache.spark.sql.functions._
  */
 object StreamingCorpus {
 
+  /** Streaming classifier-curation screen — the continuous twin of
+    * the cu3 gate key: the native `graft_quality_score` projection
+    * (hashed unigram+n-gram features × one reference-object weight
+    * vector) applied to each ARRIVING document. STATELESS append
+    * (pure codegen'd projection — no state store, no watermark, no
+    * driver collect): the weight vector is plan state, identical to
+    * the batch key's, so batch-equivalence is structural and
+    * spec-asserted on a replayed corpus (StreamingSpec). The shape a
+    * 100 TB/day ingest quality-gate actually wants: per-row cost is
+    * one kernel call, nothing accumulates. */
+  def streamingQualityScreen(
+      docs: DataFrame, weights: Array[Double], bias: Double = 0.0,
+      ngrams: Int = 2, keepThreshold: Double = -0.1): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        call_function("graft_quality_score", col("text"),
+          typedlit(weights), lit(bias), lit(ngrams)).as("logit6"))
+      .withColumn("keep",
+        coalesce(col("logit6") >= keepThreshold, lit(false)))
+  }
+
   /** (doc_id, source, ...) stream × (source, rate_bp) static table →
     * the sampled stream, with the bucket exposed for auditability.
     *

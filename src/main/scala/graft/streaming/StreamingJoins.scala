@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /**
  * Streaming temporal joins — the continuous twin of
@@ -118,5 +119,122 @@ object StreamingJoins {
         (sid, ts, v, m.map(_._1), m.flatMap(_._2))
       }
       .toDF("series_id", "ts", "value", "asof_ts", "asof_value")
+  }
+
+  /** Carried right-side state for [[streamingAsofJoin]]: the right
+    * rows still able to match a FUTURE left row — the latest right at
+    * or before the left high-water mark, plus every right beyond it
+    * (sorted ascending; parallel ts/value lists because GroupState
+    * needs a flat product encoding). `maxLeftUs` is the high-water
+    * mark of emitted left rows. */
+  final case class AsofJoinState(
+      maxLeftUs: Long, rTsUs: List[Long], rVal: List[Option[Double]])
+
+  /**
+   * Stream-vs-STREAM as-of join: both sides arrive continuously; for
+   * each left row, the latest right row with `right.ts <= left.ts` in
+   * the same series (nulled when staler than `toleranceUs`) — the
+   * [[graft.operators.Joins.asofJoin]] semantics under the engine's
+   * streaming contract.
+   *
+   * Shape: the two streams are side-tagged and UNIONED — exactly the
+   * batch operator's union trick — then one flatMapGroupsWithState
+   * keyed on series_id walks each micro-batch's rows in (ts, side)
+   * order (right first on ties, the batch inclusive-<= tie rule),
+   * matching each left row against the carried right buffer.
+   *
+   * State bound: per series, the buffer holds ONE right row at or
+   * before the left high-water mark plus the rights AHEAD of it — so
+   * when the two sides progress through event time together (the
+   * production case: both feeds replay the same clock) the state is
+   * O(1), and if the right side runs ahead by a batch or two the
+   * state is O(that lead), never O(history). Contrast Spark's
+   * built-in stream-stream interval join, which buffers every right
+   * row inside the watermark bound regardless — as-of needs only the
+   * last match, and rights the left has passed are dropped the moment
+   * the high-water mark moves. A permanently-lagging left side grows
+   * the buffer with the lag; bound the DESYNC, not the history.
+   *
+   * Ordering contract (the [[StreamingDetectors.runEvents]] posture):
+   * each SIDE arrives in event-time order per series across batches —
+   * within a batch the handler sorts, and the sides may be
+   * arbitrarily interleaved or lag each other (the buffer absorbs
+   * that). A LEFT row is matched with whatever rights have arrived by
+   * its batch: a right row arriving after a later-ts left was already
+   * emitted does NOT retro-match the emitted row (append mode — no
+   * retraction), though it still serves future lefts. Out-of-order
+   * sources compose [[StreamingReorder.reorderByEventTime]] in front
+   * (watermark-buffered); the batch operator owns reprocessing.
+   */
+  def streamingAsofJoin(
+      left: DataFrame, right: DataFrame,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.select(col("series_id").cast("string").as("series_id"),
+      col("ts"), col("value"), lit(1).as("side"))
+    val r = right.select(col("series_id").cast("string").as("series_id"),
+      col("ts"), col("value"), lit(0).as("side"))
+    val tol = toleranceUs
+    l.unionByName(r)
+      .as[(String, java.sql.Timestamp, Option[Double], Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (sid: String,
+         rows: Iterator[(String, java.sql.Timestamp, Option[Double], Int)],
+         state: org.apache.spark.sql.streaming.GroupState[AsofJoinState]) => {
+          // (ts, side): right rows (side 0) sort before left rows at
+          // the same timestamp — the batch inclusive-<= tie behavior
+          val sorted = rows.toArray.sortBy(t => (toUs(t._2), t._4))
+          val prev = state.getOption.getOrElse(
+            AsofJoinState(Long.MinValue, Nil, Nil))
+          // merge: carried buffer ∪ this batch's rights, ascending.
+          // Each side is in order per series, so batch rights append
+          // after the carried tail in the common case; a right older
+          // than the buffer head (late vs the OTHER side's progress)
+          // still inserts in place and serves future lefts.
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
+          prev.rTsUs.lazyZip(prev.rVal).foreach((t, v) => buf += ((t, v)))
+          var maxLeft = prev.maxLeftUs
+          val out = Array.newBuilder[
+            (String, java.sql.Timestamp, Option[Double],
+              Option[java.sql.Timestamp], Option[Double])]
+          sorted.foreach { case (_, ts, v, side) =>
+            val t = toUs(ts)
+            if (side == 0) {
+              // insertion point: after all buffered rights <= t (a
+              // same-ts later arrival wins, the batch last() rule)
+              var i = buf.length
+              while (i > 0 && buf(i - 1)._1 > t) i -= 1
+              buf.insert(i, (t, v))
+            } else {
+              var i = buf.length
+              while (i > 0 && buf(i - 1)._1 > t) i -= 1
+              val m = if (i == 0) None else {
+                val (rt, rv) = buf(i - 1)
+                if (tol.forall(tl => t - rt <= tl)) Some((rt, rv)) else None
+              }
+              out += ((sid, ts, v, m.map(x => fromUs(x._1)), m.flatMap(_._2)))
+              if (t > maxLeft) maxLeft = t
+            }
+          }
+          // prune: keep the latest right <= maxLeft (still the match
+          // for the next left) and everything ahead of maxLeft
+          var keepFrom = 0
+          var i = 0
+          while (i < buf.length && buf(i)._1 <= maxLeft) { keepFrom = i; i += 1 }
+          val kept = if (buf.isEmpty) buf else buf.slice(keepFrom, buf.length)
+          state.update(AsofJoinState(
+            maxLeft, kept.map(_._1).toList, kept.map(_._2).toList))
+          out.result().iterator
+        })
+      .toDF("series_id", "ts", "value", "asof_ts", "asof_value")
+  }
+
+  private def fromUs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
   }
 }

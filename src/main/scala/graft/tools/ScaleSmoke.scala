@@ -593,6 +593,25 @@ object ScaleSmoke {
       println(s"SCALE retr: e6 corpus-scan count Q=64 vs Q=1: $scans64 == $scans1 (one stage-1 scan serves all queries)")
     }
 
+    // --- quality scorer at 1M docs (`--run=qual`): the cu3 native
+    // expression's throughput claim measured — a zero-exchange
+    // projection over the scan (61 hashed features/doc at 60 tokens,
+    // unigrams + bigrams... 119 features). ---
+    if (want("qual")) {
+      graft.functions.GraftFunctions.register(spark)
+      val d = graft.sources.Tables.read(spark, outDir, "documents")
+      val w = graft.queries.PipelineQueries.qualityLexiconWeights
+      var kept = 0L
+      timed("cu3_quality_1m") {
+        val scored = d.select(col("doc_id"),
+          call_function("graft_quality_score", col("text"),
+            typedlit(w), lit(0.0), lit(2)).as("logit6"))
+        kept = scored.where(col("logit6") >= -0.1).count()
+        d.count()
+      }
+      println(s"SCALE qual: cu3 scorer kept $kept of 1,000,000 (threshold -0.1; deterministic)")
+    }
+
     // --- pr1 pagerank at 1M+ edges (`--run=pr`): per-iteration shape
     // = edge join + partial-combined contribution sum; synthetic
     // hash-derived graph over 500k nodes with a planted 10k-star hub

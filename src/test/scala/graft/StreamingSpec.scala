@@ -261,6 +261,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("reorder → as-of join: disordered left stream matches the batch join") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // the watermark-bounded composition the as-of scaladoc names: the
+    // reorder stage owns lateness (2-day watermark), the join stays
+    // the O(1)-state in-order operator
+    val right = Seq(("a", day(1), Some(10.0)), ("a", day(4), Some(40.0)))
+      .toDF("series_id", "ts", "value")
+    val input = MemoryStream[TsPoint]
+    val q = graft.streaming.StreamingJoins.streamingAsofJoinStatic(
+        graft.streaming.StreamingReorder.reorderByEventTime(
+          input.toDF().withWatermark("ts", "2 days")),
+        right)
+      .writeStream.format("memory").queryName("roaj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(point("a", 3, 3.0), point("a", 0, 0.0)) // out of order
+      q.processAllAvailable()
+      input.addData(point("a", 2, 2.0), point("a", 6, 6.0))
+      q.processAllAvailable()
+      input.addData(point("zz", 20, 0.0)) // watermark push; flushes a's tail
+      q.processAllAvailable()
+      val got = spark.sql(
+          "select ts, asof_ts, asof_value from roaj where series_id = 'a' order by ts")
+        .as[(java.sql.Timestamp, Option[java.sql.Timestamp], Option[Double])]
+        .collect().toSeq
+      val batch = graft.operators.Joins.asofJoin(
+          Seq(("a", day(0), Some(0.0)), ("a", day(2), Some(2.0)),
+            ("a", day(3), Some(3.0)), ("a", day(6), Some(6.0)))
+            .toDF("series_id", "ts", "value"),
+          right)
+        .orderBy("ts")
+        .select("ts", "asof_ts", "asof_value")
+        .as[(java.sql.Timestamp, Option[java.sql.Timestamp], Option[Double])]
+        .collect().toSeq
+      assert(got == batch)
+      assert(got.map(_._3) == Seq(None, Some(10.0), Some(10.0), Some(40.0)))
+    } finally q.stop()
+  }
+
   test("reorder → storms: disordered station feed detects the same storm") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
@@ -412,6 +452,86 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(err.getMessage.contains("maxStaticRightRows") &&
       err.getMessage.contains("foreachBatch"))
+  }
+
+  test("streaming as-of join stream-vs-stream: equals batch asofJoin on replayed sides") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max}
+    def typed(t: String) = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .where(col("event_type") === t)
+      .select(col("user_id").cast("string").as("series_id"), col("ts"),
+        graft.operators.Kernels.nanToNull(col("value")).as("value"))
+      .groupBy("series_id", "ts").agg(max(col("value")).as("value"))
+    val tol = Some(3L * 86400L * 1000000L)
+    def rowsOf(t: String) = typed(t)
+      .as[(String, java.sql.Timestamp, Option[Double])].collect()
+      .sortBy(_._2.getTime)
+    val (lRows, rRows) = (rowsOf("click"), rowsOf("purchase"))
+    // split BOTH sides at the same event time so batch 2's left rows
+    // only need right rows from batches <= 2 — the per-series
+    // event-time-order contract the operator documents
+    val mid = lRows(lRows.length / 2)._2.getTime
+    val lIn = MemoryStream[(String, java.sql.Timestamp, Option[Double])]
+    val rIn = MemoryStream[(String, java.sql.Timestamp, Option[Double])]
+    val q = graft.streaming.StreamingJoins.streamingAsofJoin(
+        lIn.toDF().toDF("series_id", "ts", "value"),
+        rIn.toDF().toDF("series_id", "ts", "value"), tol)
+      .writeStream.format("memory").queryName("saj2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // each side replays in event-time order; the right side runs a
+      // window AHEAD (processAllAvailable between adds pins the
+      // interleaving — with a live trigger the sides race otherwise),
+      // which exercises the carried right buffer: batch-1 lefts must
+      // match rights that arrived in an EARLIER micro-batch
+      rIn.addData(rRows.filter(_._2.getTime <= mid).toSeq: _*)
+      q.processAllAvailable()
+      lIn.addData(lRows.filter(_._2.getTime <= mid).toSeq: _*)
+      q.processAllAvailable()
+      rIn.addData(rRows.filter(_._2.getTime > mid).toSeq: _*)
+      q.processAllAvailable()
+      lIn.addData(lRows.filter(_._2.getTime > mid).toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.sql("select * from saj2")
+        .as[(String, java.sql.Timestamp, Option[Double], Option[java.sql.Timestamp], Option[Double])]
+        .collect().toSet
+      val batch = graft.operators.Joins
+        .asofJoin(typed("click"), typed("purchase"), tol)
+        .as[(String, java.sql.Timestamp, Option[Double], Option[java.sql.Timestamp], Option[Double])]
+        .collect().toSet
+      assert(got.nonEmpty && got == batch)
+      assert(got.exists(_._4.nonEmpty) && got.exists(_._4.isEmpty))
+    } finally q.stop()
+  }
+
+  test("streaming quality screen: equals the cu3 batch key on a replayed corpus") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCorpus.streamingQualityScreen(
+        input.toDF().toDF("doc_id", "text"),
+        graft.queries.PipelineQueries.qualityLexiconWeights)
+      .writeStream.format("memory").queryName("sqs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val split = docs.length / 2
+      input.addData(docs.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.sql("select doc_id, logit6, keep from sqs")
+        .as[(Long, Option[Double], Boolean)].collect().toSet
+      val batch = graft.SparkEntry.queries("cu3_classifier_curation")(
+          spark, "/root/testdata/sf0.001")
+        .as[(Long, Option[Double], Boolean)].collect().toSet
+      assert(got.nonEmpty && got == batch)
+      assert(got.exists(_._3) && got.exists(!_._3))
+    } finally q.stop()
   }
 
   test("streaming substring screen: refuses an over-bound corpus gram set loudly") {
