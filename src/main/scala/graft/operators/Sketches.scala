@@ -235,4 +235,70 @@ object Sketches {
         least(col("c1"), col("c2")).as("cm_est"),
         (least(col("c1"), col("c2")) >= col("n_exact")).as("never_under"))
   }
+
+  /**
+   * Deterministic QUANTILE sketch — the family member hl1/sk1/cm1
+   * leave open: approximate quantiles from a bottom-k-BY-HASH row
+   * sample. Rows whose md5(key) ranks in the smallest `k` form a
+   * uniform without-replacement sample (deterministic given md5 — the
+   * repo's no-randomness sketch discipline, so the gate hash-compares
+   * the ESTIMATES), and the estimate for quantile q is the exact
+   * nearest-rank pick `rank = ceil(q·k_used)` over the sample —
+   * always a REAL data value, no interpolation (the rs3/rs4 rule that
+   * keeps quantiles portable). Error is the uniform-sample bound
+   * O(1/√k) on the rank, independent of data size.
+   *
+   * MERGEABLE like sk2: the sample of a union is the bottom-k of the
+   * merged samples (k rows per slice through any combine), which is
+   * why this beats Spark's `percentile_approx` for lake rollups the
+   * gate must check exactly: GK/KLL sketches are
+   * implementation-defined, this is pinned arithmetic.
+   *
+   * Scale shape: the sample is sort+limit on the 8-byte hash —
+   * TakeOrderedAndProject, per-partition heaps of k, no global sort;
+   * the rank window runs over ≤k rows (the bm1 harmless tail). The
+   * exact audit columns compute each quantile as max-of-top-rank
+   * (per-partition heaps again, but rank-sized) — the columns a
+   * 100 TB deployment DROPS, exactly like hl1's n_exact.
+   *
+   * Ties: sample selection orders by (h, v), rank picks by (v, h) —
+   * both total orders, so every pick is engine-portable. The exact
+   * side orders by (v, key): key is unique, total order again.
+   */
+  def kmvQuantiles(
+      df: DataFrame, key: Column, value: Column,
+      k: Int = 256, qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(k >= 2, s"kmv quantiles: k must be >= 2: $k")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"kmv quantiles: qs must be in (0, 1]: $qs")
+    val spark = df.sparkSession
+    val n = df.count()
+    val sample = graft.Materialize.barrier(
+      df.select(hash32(key).as("h"), value.cast("double").as("v"))
+        .orderBy(col("h"), col("v")).limit(k))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("h"))
+    val ranked = sample
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(sample.agg(count(lit(1)).as("k_used"))))
+    def pct(q: Double): String = (q * 100).round.toString
+    val estAgg = ranked.agg(
+      max(col("k_used")).as("k_used"),
+      qs.map(q => max(when(
+          col("rn") === ceil(lit(q) * col("k_used")).cast("long"), col("v")))
+        .as(s"p${pct(q)}_est")): _*)
+    // exact audit per q: the rank-r smallest in (v, key) order is the
+    // max over the top-r limit — TakeOrderedAndProject, heap of r
+    val exacts = qs.map { q =>
+      val r = math.ceil(q * n.toDouble).toLong
+      df.select(value.cast("double").as("v"), key.as("kk"))
+        .orderBy(col("v"), col("kk")).limit(r.toInt)
+        .agg(max(col("v")).as(s"p${pct(q)}_exact"))
+    }
+    val nRow = spark.range(1).select(lit(n).as("n_rows"))
+    exacts.foldLeft(nRow.crossJoin(estAgg))((acc, e) => acc.crossJoin(e))
+      .select(col("n_rows") +: col("k_used") +:
+        qs.flatMap(q => Seq(
+          round(col(s"p${pct(q)}_exact"), 6).as(s"p${pct(q)}_exact"),
+          round(col(s"p${pct(q)}_est"), 6).as(s"p${pct(q)}_est"))): _*)
+  }
 }

@@ -384,6 +384,15 @@ object PipelineQueries {
     // min-over-rows can only overestimate (asserted per row).
     "cm1_countmin_tokens" -> ((s, dir) =>
       graft.operators.Sketches.countMinTopTokens(docs(s, dir))),
+    // Deterministic quantile sketch (the sketch family's missing
+    // member): bottom-k-by-hash row sample + exact nearest-rank picks
+    // — mergeable like sk2, hash-only TakeOrderedAndProject, no
+    // global sort; exact audit columns ride along (the hl1 drop-me
+    // pattern). Orders totalprice, p50/p90/p99 at k=256.
+    "sk3_kmv_quantiles" -> ((s, dir) =>
+      graft.operators.Sketches.kmvQuantiles(
+        Tables.read(s, dir, "orders"),
+        col("o_orderkey"), col("o_totalprice"))),
     // PageRank over the x2 near-dup pair graph — centrality ranks
     // each cluster's hub; 3 power iterations, every round's ranks
     // rounded to 6dp (the s3 drift-reset technique).
@@ -991,6 +1000,43 @@ object PipelineQueries {
          |      ELSE CAST(31 AS DOUBLE) * 4294967296 / CAST(kth AS DOUBLE) END), 6)
          |    AS inter_est6
          |FROM agg, c, ex""".stripMargin
+    },
+    // sk3: the identical pipeline — bottom-k by (hash, value), rank
+    // picks by (value, hash) over the sample, rank picks by (value,
+    // key) over the full table for the exact audit. Every pick is a
+    // REAL data value through a total order, and every ceil runs the
+    // same double product, so the compare is hash-exact.
+    "sk3_kmv_quantiles" -> {
+      val h32 = graft.queries.CorpusQueries
+        .hash32Sql("CAST(o_orderkey AS VARCHAR)")
+      def estPick(q: String, name: String) =
+        s"""MAX(CASE WHEN rn = CAST(ceil(CAST($q AS DOUBLE) * k_used) AS BIGINT)
+           |    THEN v END) AS $name""".stripMargin
+      def exPick(q: String, name: String) =
+        s"""MAX(CASE WHEN rn = CAST(ceil(CAST($q AS DOUBLE) *
+           |    (SELECT n_rows FROM n)) AS BIGINT) THEN v END) AS $name""".stripMargin
+      s"""WITH s AS (SELECT h, v FROM (
+         |    SELECT $h32 AS h, CAST(o_totalprice AS DOUBLE) AS v FROM orders)
+         |  ORDER BY h, v LIMIT 256),
+         |r AS (SELECT v, h, row_number() OVER (ORDER BY v, h) AS rn,
+         |    COUNT(*) OVER () AS k_used FROM s),
+         |n AS (SELECT COUNT(*) AS n_rows FROM orders),
+         |fr AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         |    row_number() OVER (ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey)
+         |      AS rn FROM orders),
+         |est AS (SELECT MAX(k_used) AS k_used,
+         |  ${estPick("0.5", "p50_est")},
+         |  ${estPick("0.9", "p90_est")},
+         |  ${estPick("0.99", "p99_est")} FROM r),
+         |ex AS (SELECT
+         |  ${exPick("0.5", "p50_exact")},
+         |  ${exPick("0.9", "p90_exact")},
+         |  ${exPick("0.99", "p99_exact")} FROM fr)
+         |SELECT n_rows, k_used,
+         |  ROUND(p50_exact, 6) AS p50_exact, ROUND(p50_est, 6) AS p50_est,
+         |  ROUND(p90_exact, 6) AS p90_exact, ROUND(p90_est, 6) AS p90_est,
+         |  ROUND(p99_exact, 6) AS p99_exact, ROUND(p99_est, 6) AS p99_est
+         |FROM n, est, ex""".stripMargin
     },
     // pr1: x2's pair chain, symmetric edge list, 3 unrolled power
     // iterations — both engines carry IDENTICAL round-6 rank values

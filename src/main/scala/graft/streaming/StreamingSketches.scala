@@ -37,6 +37,49 @@ object StreamingSketches {
         .digest(key.getBytes("UTF-8"))
         .take(4).map("%02x".format(_)).mkString, 16)
 
+  final case class KmvQShardState(hs: Array[Long], vs: Array[Double], upd: Long)
+  final case class KmvQShardSketch(
+      shard: Int, upd: Long, hs: Seq[Long], vs: Seq[Double])
+
+  /**
+   * Streaming QUANTILE sketching — the continuous twin of
+   * [[graft.operators.Sketches.kmvQuantiles]]: each shard folds its
+   * micro-batch rows into the k smallest (hash, value) pairs seen so
+   * far. The global sample's k smallest by (h, v) are always
+   * contained in the union of the shard sketches (the same
+   * containment argument as [[kmvShardSketches]]), so downstream
+   * recovers the EXACT batch sample — union the latest shard
+   * sketches, bottom-k by (h, v), nearest-rank pick — and the
+   * estimates match the batch operator to the digit (spec-asserted).
+   * State is ≤k (hash, value) pairs per shard; rows carry `key`
+   * (string) and `v` (double).
+   */
+  def kmvQuantileShardSketches(
+      rows: DataFrame, k: Int = 256, shards: Int = 16): DataFrame = {
+    require(k >= 2, s"kmv quantiles: k must be >= 2: $k")
+    require(shards >= 1, s"kmv quantiles: shards must be >= 1: $shards")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select("key", "v").as[(String, Double)]
+      .map { case (s, v) => val h = hash32(s); ((h % shards).toInt, h, v) }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (shard: Int, batch: Iterator[(Int, Long, Double)],
+         state: GroupState[KmvQShardState]) => {
+          val prev = state.getOption.getOrElse(
+            KmvQShardState(Array.empty, Array.empty, 0L))
+          val merged = (prev.hs.zip(prev.vs) ++ batch.map(r => (r._2, r._3)))
+            .sortBy(identity).take(k)
+          val next = KmvQShardState(
+            merged.map(_._1), merged.map(_._2), prev.upd + 1)
+          state.update(next)
+          Iterator.single(KmvQShardSketch(
+            shard, next.upd, next.hs.toSeq, next.vs.toSeq))
+        })
+      .toDF()
+  }
+
   /** `keys` must carry a string column `key`; returns the append-mode
     * (shard, upd, hs) sketch feed. */
   def kmvShardSketches(

@@ -133,6 +133,29 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(r._1 == 10L && r._2 == 10L && r._3 == 10.0)
   }
 
+  test("kmvQuantiles: sub-k degenerates to exact; estimates track exact within the sample bound") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.Sketches
+    // sub-k input: the sample IS the data — every estimate equals the
+    // exact nearest-rank pick over the full table
+    val tiny = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val r = S.kmvQuantiles(tiny, col("id"), col("v"), k = 256)
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)].head()
+    assert(r._1 == 100L && r._2 == 100L)
+    assert(r._3 == r._4 && r._5 == r._6 && r._7 == r._8)
+    // nearest-rank on 1..100: p50=50, p90=90, p99=99
+    assert(r._3 == 50.0 && r._5 == 90.0 && r._7 == 99.0)
+    // 20k uniform values, k=256: rank error ~ 1/sqrt(256) ≈ 6% —
+    // assert each estimate within 4 sigma of its exact pick
+    val big = (1 to 20000).map(i => (i.toLong, (i * 7 % 20000).toDouble))
+      .toDF("id", "v")
+    val rb = S.kmvQuantiles(big, col("id"), col("v"), k = 256)
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)].head()
+    assert(rb._1 == 20000L && rb._2 == 256L)
+    for ((ex, est) <- Seq((rb._3, rb._4), (rb._5, rb._6), (rb._7, rb._8)))
+      assert(math.abs(est - ex) / 20000.0 < 0.25, s"estimate $est far from $ex")
+  }
+
   test("pairPageRank: star hub dominates, ranks conserve mass, iteration count respected") {
     import org.apache.spark.sql.functions.col
     // star: 0 at the center of 1..5, plus a detached pair 10-11

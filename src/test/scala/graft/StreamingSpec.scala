@@ -505,6 +505,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch: union of shard sketches == batch sk3 sample exactly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val orders = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").cast("string"), col("o_totalprice").cast("double"))
+      .as[(String, Double)].collect()
+    val k = 64
+    val input = MemoryStream[(String, Double)]
+    val q = graft.streaming.StreamingSketches.kmvQuantileShardSketches(
+        input.toDF().toDF("key", "v"), k = k, shards = 8)
+      .writeStream.format("memory").queryName("kqs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val split = orders.length / 2
+      input.addData(orders.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(orders.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      // latest sketch per shard → union → bottom-k by (h, v) → the
+      // nearest-rank picks the batch operator makes
+      val latest = spark.sql(
+          """select shard, hs, vs from kqs a
+            |where upd = (select max(upd) from kqs b where b.shard = a.shard)""".stripMargin)
+        .as[(Int, Seq[Long], Seq[Double])].collect()
+      val sample = latest.flatMap { case (_, hs, vs) => hs.zip(vs) }
+        .sortBy(identity).take(k)
+      val kUsed = sample.length
+      val byV = sample.map { case (h, v) => (v, h) }.sortBy(identity)
+      def pick(qq: Double): Double = byV(math.ceil(qq * kUsed).toInt - 1)._1
+      val batch = graft.operators.Sketches.kmvQuantiles(
+          graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "orders"),
+          col("o_orderkey"), col("o_totalprice"), k = k)
+        .as[(Long, Long, Double, Double, Double, Double, Double, Double)].head()
+      assert(kUsed.toLong == batch._2)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r6(pick(0.5)) == batch._4 && r6(pick(0.9)) == batch._6 &&
+        r6(pick(0.99)) == batch._8)
+    } finally q.stop()
+  }
+
   test("streaming quality screen: equals the cu3 batch key on a replayed corpus") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
