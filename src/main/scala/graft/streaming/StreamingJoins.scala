@@ -153,7 +153,9 @@ object StreamingJoins {
    * row inside the watermark bound regardless — as-of needs only the
    * last match, and rights the left has passed are dropped the moment
    * the high-water mark moves. A permanently-lagging left side grows
-   * the buffer with the lag; bound the DESYNC, not the history.
+   * the buffer with the lag — guarded by `maxBufferRows`
+   * ([[maxRightBufferRows]]): past it the query FAILS LOUDLY with the
+   * remedies named, rather than accumulating unbounded state.
    *
    * Ordering contract (the [[StreamingDetectors.runEvents]] posture):
    * each SIDE arrives in event-time order per series across batches —
@@ -166,9 +168,21 @@ object StreamingJoins {
    * sources compose [[StreamingReorder.reorderByEventTime]] in front
    * (watermark-buffered); the batch operator owns reprocessing.
    */
+  /** Per-series right-buffer bound for [[streamingAsofJoin]]: the
+    * buffer only grows when the right side runs AHEAD of the left
+    * high-water mark, so this bounds the sides' desync, not the data.
+    * LOUD BOUND (the maxDriverFoldEdges convention): exceeding it
+    * means the left side has stalled or lags structurally — the
+    * error names the remedies rather than letting state grow
+    * unbounded. */
+  val maxRightBufferRows: Int = 1000000
+
   def streamingAsofJoin(
       left: DataFrame, right: DataFrame,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None,
+      maxBufferRows: Int = maxRightBufferRows): DataFrame = {
+    require(maxBufferRows >= 1,
+      s"streamingAsofJoin: maxBufferRows must be >= 1: $maxBufferRows")
     val spark = left.sparkSession
     import spark.implicits._
     val l = left.select(col("series_id").cast("string").as("series_id"),
@@ -225,6 +239,12 @@ object StreamingJoins {
           var i = 0
           while (i < buf.length && buf(i)._1 <= maxLeft) { keepFrom = i; i += 1 }
           val kept = if (buf.isEmpty) buf else buf.slice(keepFrom, buf.length)
+          if (kept.length > maxBufferRows) throw new IllegalArgumentException(
+            s"streamingAsofJoin: series '$sid' buffers ${kept.length} right " +
+              s"rows > maxBufferRows=$maxBufferRows — the left side lags the " +
+              "right by more than the bound. Slow the right feed, raise " +
+              "maxBufferRows explicitly, or run the batch asofJoin per " +
+              "micro-batch via foreachBatch (graft.operators.Joins.asofJoin)")
           state.update(AsofJoinState(
             maxLeft, kept.map(_._1).toList, kept.map(_._2).toList))
           out.result().iterator

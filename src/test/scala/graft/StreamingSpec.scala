@@ -505,6 +505,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming as-of join: over-bound right buffer fails loudly with remedies named") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val lIn = MemoryStream[(String, java.sql.Timestamp, Option[Double])]
+    val rIn = MemoryStream[(String, java.sql.Timestamp, Option[Double])]
+    val q = graft.streaming.StreamingJoins.streamingAsofJoin(
+        lIn.toDF().toDF("series_id", "ts", "value"),
+        rIn.toDF().toDF("series_id", "ts", "value"),
+        maxBufferRows = 2)
+      .writeStream.format("memory").queryName("sajg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three rights ahead of any left: buffer would hold 3 > 2
+      rIn.addData(("a", day(1), Some(1.0)), ("a", day(2), Some(2.0)),
+        ("a", day(3), Some(3.0)))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      assert(chain(err).exists(m =>
+        m.contains("maxBufferRows") && m.contains("foreachBatch")))
+    } finally q.stop()
+  }
+
   test("streaming quantile sketch: union of shard sketches == batch sk3 sample exactly") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
