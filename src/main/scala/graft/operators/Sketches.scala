@@ -267,7 +267,8 @@ object Sketches {
    */
   def kmvQuantiles(
       df: DataFrame, key: Column, value: Column,
-      k: Int = 256, qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+      k: Int = 256, qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      exactAudit: Boolean = true): DataFrame = {
     require(k >= 2, s"kmv quantiles: k must be >= 2: $k")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"kmv quantiles: qs must be in (0, 1]: $qs")
@@ -286,6 +287,14 @@ object Sketches {
       qs.map(q => max(when(
           col("rn") === ceil(lit(q) * col("k_used")).cast("long"), col("v")))
         .as(s"p${pct(q)}_est")): _*)
+    val nRow = spark.range(1).select(lit(n).as("n_rows"))
+    if (!exactAudit)
+      // production form: the audit's rank-sized top-r heaps (p99 ≈ a
+      // near-full copy per partition) are exactly what a 100 TB
+      // deployment drops — the sketch side alone is hash-heap-of-k
+      return nRow.crossJoin(estAgg)
+        .select(col("n_rows") +: col("k_used") +:
+          qs.map(q => round(col(s"p${pct(q)}_est"), 6).as(s"p${pct(q)}_est")): _*)
     // exact audit per q: the rank-r smallest in (v, key) order is the
     // max over the top-r limit — TakeOrderedAndProject, heap of r
     val exacts = qs.map { q =>
@@ -294,7 +303,6 @@ object Sketches {
         .orderBy(col("v"), col("kk")).limit(r.toInt)
         .agg(max(col("v")).as(s"p${pct(q)}_exact"))
     }
-    val nRow = spark.range(1).select(lit(n).as("n_rows"))
     exacts.foldLeft(nRow.crossJoin(estAgg))((acc, e) => acc.crossJoin(e))
       .select(col("n_rows") +: col("k_used") +:
         qs.flatMap(q => Seq(

@@ -610,6 +610,30 @@ object ScaleSmoke {
         d.count()
       }
       println(s"SCALE qual: cu3 scorer kept $kept of 1,000,000 (threshold -0.1; deterministic)")
+
+      // sp1 at 1M docs: the split rides cc1's closure (smoked at 14 s
+      // in the round-4 addendum) + one integer hash; the thing worth
+      // ASSERTING at scale is the leakage invariant itself
+      var straddle = -1L
+      timed("sp1_split_1m", runs = 1) {
+        val sp = graft.SparkEntry.queries("sp1_leakage_safe_split")(spark, outDir)
+        straddle = sp.groupBy(col("cluster_id"))
+          .agg(countDistinct(col("split")).as("ns"))
+          .where(col("ns") > 1).count()
+        sp.count()
+      }
+      require(straddle == 0L,
+        s"sp1: $straddle clusters straddle splits at 1M docs — leakage invariant broken")
+      println("SCALE qual: sp1 leakage invariant at 1M docs — 0 clusters straddle splits (asserted)")
+
+      // sk3 sketch side at 1M rows, PRODUCTION form (exactAudit=false:
+      // the rank-sized audit heaps are the documented drop-at-scale
+      // columns; the sketch alone is a k=256 hash heap per partition)
+      timed("sk3_quantiles_1m") {
+        graft.operators.Sketches.kmvQuantiles(
+          d.select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars"), exactAudit = false).count()
+      }
     }
 
     // --- pr1 pagerank at 1M+ edges (`--run=pr`): per-iteration shape
