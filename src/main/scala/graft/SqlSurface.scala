@@ -41,6 +41,9 @@ object SqlSurface {
     "graft_substring_keepfirst" /* EAGER */,
     "graft_canonical_quality" /* EAGER (reuses the cluster fixpoint) */,
     "graft_hll_distinct", "graft_kmv_distinct", "graft_weighted_sample",
+    "graft_quality_screen",
+    "graft_cluster_splits" /* EAGER (reuses the cluster fixpoint) */,
+    "graft_kmv_quantiles" /* EAGER (row-count for the exact ranks) */,
     "graft_bm25" /* EAGER; only with bm25Terms */,
     "graft_dsir_select" /* EAGER; only with dsirTarget */,
     "graft_dsir_heldout" /* EAGER; only with dsirTarget */,
@@ -96,6 +99,28 @@ object SqlSurface {
     graft.dedup.Dedup.canonicalByQuality(
         graft.dedup.Dedup.dedupClusters(docs.select(col("doc_id")), pairs), quality6)
       .createOrReplaceTempView("graft_canonical_quality")
+    // cu3's classifier screen (lazy zero-exchange projection) and
+    // sp1's leakage-safe split (cluster-keyed hash over the SAME
+    // near-dup clusters graft_dedup_clusters exposes)
+    docs.select(col("doc_id"),
+        call_function("graft_quality_score", col("text"),
+          typedlit(graft.queries.PipelineQueries.qualityLexiconWeights),
+          lit(0.0), lit(2)).as("logit6"))
+      .withColumn("keep", coalesce(
+        col("logit6") >= graft.queries.PipelineQueries.QualityKeepThreshold,
+        lit(false)))
+      .createOrReplaceTempView("graft_quality_screen")
+    graft.dedup.Dedup.dedupClusters(docs.select(col("doc_id")), pairs)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("bucket",
+        (graft.queries.CorpusQueries.idHash(col("cluster_id")) % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation").otherwise("test"))
+      .createOrReplaceTempView("graft_cluster_splits")
+    graft.operators.Sketches.kmvQuantiles(
+        docs, col("doc_id"), tf.tokenCount(col("text")).cast("double"))
+      .createOrReplaceTempView("graft_kmv_quantiles")
     graft.operators.Sketches.hllDistinct(docs, col("text"))
       .createOrReplaceTempView("graft_hll_distinct")
     graft.operators.Sketches.kmvDistinct(docs, col("text"))

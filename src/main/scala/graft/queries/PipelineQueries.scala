@@ -455,7 +455,12 @@ object PipelineQueries {
     // closes it structurally). Costs one integer hash on top of cc1's
     // closure — the corpus-wide work is cc1's, unchanged; at 100 TB
     // the split is a projection over the STORED assignment table
-    // (AssignmentSink), no reclustering on the split path.
+    // (AssignmentSink), no reclustering on the split path. Production
+    // subtlety: under INCREMENTAL clustering (cc2) a merge can lower a
+    // component's min-id cluster_id and with it the hash bucket, so a
+    // doc's split is only stable for a PINNED assignment snapshot —
+    // production splits per corpus release, not per micro-batch,
+    // which is also why there is deliberately no streaming twin.
     "sp1_leakage_safe_split" -> ((s, dir) => {
       val d = docs(s, dir)
       val clusters = Dedup.dedupClusters(

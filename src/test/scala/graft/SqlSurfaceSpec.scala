@@ -78,6 +78,21 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     same("graft_substring_dedup", graft.dedup.Dedup.substringDedup(docs, l = 5))
     same("graft_substring_keepfirst",
       graft.dedup.Dedup.substringDedup(docs, l = 5, keepFirst = true))
+    // round-10 views: quality screen (every doc scored, keep boolean
+    // set), cluster splits (leakage invariant through SQL), quantile
+    // sketch (one row, exact == est at sub-k corpus size)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_quality_screen WHERE logit6 IS NOT NULL")
+      .head.getLong(0) == 20L)
+    assert(spark.sql(
+      """SELECT count(*) FROM (SELECT cluster_id FROM graft_cluster_splits
+        |GROUP BY cluster_id HAVING count(DISTINCT split) > 1)""".stripMargin)
+      .head.getLong(0) == 0L)
+    val kq = spark.sql(
+      """SELECT n_rows, k_used, p50_exact, p50_est, p99_exact, p99_est
+        |FROM graft_kmv_quantiles""".stripMargin).head
+    assert(kq.getLong(0) == 20L && kq.getLong(1) == 20L)
+    assert(kq.getDouble(2) == kq.getDouble(3) && kq.getDouble(4) == kq.getDouble(5))
     same("graft_bm25",
       graft.queries.TextAnalysis.bm25TopK(docs, Seq("shared", "tail5")))
     same("graft_dsir_select",
