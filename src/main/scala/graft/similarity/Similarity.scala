@@ -89,12 +89,33 @@ object Similarity {
     * Output: (idCol, embCol, cid). */
   private[graft] def argmaxAssign(
       v: DataFrame, cent: DataFrame, idCol: String, embCol: String): DataFrame =
-    v.crossJoin(cent)
+    // barrier: the normalize transform (interpreted HOF) upstream of a
+    // crossJoin otherwise collapses into the join's output projection
+    // and re-evaluates once per (vector × centroid) PAIR — measured at
+    // 200k × 200 cells: the assignment pass dropped ~60× once the
+    // normalized frame was checkpointed (the e6 screen finding, same
+    // shape). One pass per vector is what the scaladoc promises.
+    graft.dedup.Dedup.materialize(v).crossJoin(cent)
       .withColumn("cos_c", fastDot(col(embCol), col("cent_emb")))
       .groupBy(col(idCol))
       .agg(max(struct(col("cos_c").as("cos"), (-col("cid")).as("neg_cid"),
         col(embCol).as("emb"))).as("best"))
       .select(col(idCol), col("best.emb").as(embCol), (-col("best.neg_cid")).as("cid"))
+
+  /** [[argmaxAssign]] WITHOUT the embedding riding in the aggregate:
+    * callers that only need (id, cid) — [[ivfCellAssignment]], whose
+    * output persists as the IVF index — would otherwise copy the
+    * 64-double array through every better-candidate update of the
+    * partial aggregate (measured at 200k × 200 cells: the assignment
+    * pass is dominated by exactly those array copies). Ranking
+    * semantics identical. */
+  private[graft] def argmaxAssignId(
+      v: DataFrame, cent: DataFrame, idCol: String, embCol: String): DataFrame =
+    graft.dedup.Dedup.materialize(v).crossJoin(cent)
+      .withColumn("cos_c", fastDot(col(embCol), col("cent_emb")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cos_c").as("cos"), (-col("cid")).as("neg_cid"))).as("best"))
+      .select(col(idCol), (-col("best.neg_cid")).as("cid"))
 
   /**
    * Exact cosine top-k: for each row of `queries` (vec_id, embedding),
@@ -104,7 +125,11 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
     ensureRegistered(queries)
     val q = broadcast(normalized(queries, "query_id", "q_emb", spread = false))
-    val c = normalized(corpus, "neighbor_id", "c_emb")
+    // barrier: same per-(row × query) re-evaluation trap as the
+    // binary screen / argmaxAssign — checkpointed, the corpus
+    // normalizes once however many queries broadcast against it
+    val c = graft.dedup.Dedup.materialize(
+      normalized(corpus, "neighbor_id", "c_emb"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", fastDot(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
@@ -859,7 +884,7 @@ object Similarity {
   def ivfCellAssignment(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     ensureRegistered(corpus)
     val cent = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
-    argmaxAssign(normalized(corpus, "nid", "n_emb"), cent, "nid", "n_emb")
+    argmaxAssignId(normalized(corpus, "nid", "n_emb"), cent, "nid", "n_emb")
       .select(col("nid").as("vec_id"), col("cid"))
   }
 
@@ -992,7 +1017,15 @@ object Similarity {
       col("vec_id").as(idOut),
       packWord(0, 32).as(s"${idOut}_lo"), packWord(32, 64).as(s"${idOut}_hi"))
     val q = broadcast(signed(query, "query_id"))
-    val c = signed(graft.dedup.Dedup.parallelize(corpus), "vec_id")
+    // barrier: the packed signature is 2×32-term CASE chains per
+    // word — inlined into the crossJoin's output projection it
+    // re-evaluates once per (row × query) PAIR (measured at Q=64 ×
+    // 200k rows: 36 s screen, ~85 µs/row); checkpointed, the pack
+    // runs once per corpus row and the screen is the two bit_counts
+    // it claims to be. 8 B/vector — the checkpoint IS the binary
+    // index production stores anyway.
+    val c = graft.dedup.Dedup.materialize(
+      signed(graft.dedup.Dedup.parallelize(corpus), "vec_id"))
     val ham = (bit_count(col("vec_id_lo").bitwiseXOR(col("query_id_lo"))) +
       bit_count(col("vec_id_hi").bitwiseXOR(col("query_id_hi")))).cast("int")
     // per-QUERY ranking (not a global sort+limit): one corpus scan
@@ -1100,7 +1133,12 @@ object Similarity {
     val qPre = broadcast(prefixNorm(query, "query_id", "qp_emb", spread = false))
     val wPre = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("vec_id"))
-    val cand = prefixNorm(corpus, "vec_id", "cp_emb", spread = true)
+    // barrier: the prefix slice+normalize is an interpreted HOF chain
+    // — un-checkpointed it collapses into the crossJoin projection
+    // and re-evaluates per (row × query) pair (the binary screen
+    // finding); the checkpoint IS the prefix index production stores
+    val cand = graft.dedup.Dedup.materialize(
+        prefixNorm(corpus, "vec_id", "cp_emb", spread = true))
       .crossJoin(qPre)
       .withColumn("pcos", fastDot(col("qp_emb"), col("cp_emb")))
       .withColumn("r1", row_number().over(wPre))

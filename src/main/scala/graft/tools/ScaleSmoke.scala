@@ -593,6 +593,21 @@ object ScaleSmoke {
       println(s"SCALE retr: e6 corpus-scan count Q=64 vs Q=1: $scans64 == $scans1 (one stage-1 scan serves all queries)")
     }
 
+    // --- e6 stage attribution (`--run=retr2`): where do the Q=64
+    // seconds go — the Q·N integer screen (stage 1) or the float
+    // rerank join (stage 2)? ---
+    if (want("retr2")) {
+      val e = graft.sources.Tables.read(spark, outDir, "embeddings")
+      val Sim = graft.similarity.Similarity
+      val q64 = e.where(col("vec_id") % 3125 === 0)
+      timed("e6_stage1_screen_q64") {
+        Sim.binaryHammingTopK(e, q64, topK = 100).count() }
+      timed("e6_full_q64") {
+        Sim.binaryRerankTopK(e, q64, candidates = 100, topK = 10).count() }
+      timed("e6_stage1_screen_q1") {
+        Sim.binaryHammingTopK(e, e.where(col("vec_id") === 177), topK = 100).count() }
+    }
+
     // --- quality scorer at 1M docs (`--run=qual`): the cu3 native
     // expression's throughput claim measured — a zero-exchange
     // projection over the scan (61 hashed features/doc at 60 tokens,
