@@ -985,12 +985,16 @@ case class QualityScore(
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wRef = ctx.addReferenceObj("qualityWeights", weights, "double[]")
+    // freshName: two scorer instances in one projection must not
+    // collide on the local (collision → Janino error → silent
+    // interpreted fallback, the documented 14× cliff)
+    val r = ctx.freshName("qualityLogit")
     nullSafeCodeGen(ctx, ev, t => {
       s"""
-         |java.lang.Double qsr = graft.functions.QualityScoreKernel.score(
+         |java.lang.Double $r = graft.functions.QualityScoreKernel.score(
          |  $t, $wRef, ${bias}D, $ngrams);
-         |if (qsr == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = qsr.doubleValue(); }
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin
     })
   }

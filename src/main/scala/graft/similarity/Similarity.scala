@@ -88,14 +88,18 @@ object Similarity {
     * compared, since (cos, -cid) is already unique per group.
     * Output: (idCol, embCol, cid). */
   private[graft] def argmaxAssign(
-      v: DataFrame, cent: DataFrame, idCol: String, embCol: String): DataFrame =
+      v: DataFrame, cent: DataFrame, idCol: String, embCol: String,
+      barrier: Boolean = true): DataFrame =
     // barrier: the normalize transform (interpreted HOF) upstream of a
     // crossJoin otherwise collapses into the join's output projection
     // and re-evaluates once per (vector × centroid) PAIR — measured at
     // 200k × 200 cells: the assignment pass dropped ~60× once the
     // normalized frame was checkpointed (the e6 screen finding, same
     // shape). One pass per vector is what the scaladoc promises.
-    graft.dedup.Dedup.materialize(v).crossJoin(cent)
+    // `barrier = false` for callers whose `v` is ALREADY checkpointed
+    // (kmeansCentroids' per-round reuse) — re-checkpointing a
+    // checkpoint is a wasted write per call.
+    (if (barrier) graft.dedup.Dedup.materialize(v) else v).crossJoin(cent)
       .withColumn("cos_c", fastDot(col(embCol), col("cent_emb")))
       .groupBy(col(idCol))
       .agg(max(struct(col("cos_c").as("cos"), (-col("cid")).as("neg_cid"),
@@ -212,7 +216,7 @@ object Similarity {
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     (0 until iters).foreach { _ =>
       val centDf = broadcast(cents.toSeq.toDF("cid", "cent_emb"))
-      val meaned = argmaxAssign(vecs, centDf, "vid", "emb")
+      val meaned = argmaxAssign(vecs, centDf, "vid", "emb", barrier = false)
         .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("v")).as("m"))
