@@ -281,7 +281,14 @@ object Sketches {
     val ranked = sample
       .withColumn("rn", row_number().over(w))
       .crossJoin(broadcast(sample.agg(count(lit(1)).as("k_used"))))
-    def pct(q: Double): String = (q * 100).round.toString
+    // Label carries the full decimal (0.345 -> p34_5), so nearby
+    // quantiles never collapse to one column name; integral percents
+    // keep their p50/p90/p99 form.
+    def pct(q: Double): String =
+      (BigDecimal(q) * 100).bigDecimal.stripTrailingZeros
+        .toPlainString.replace('.', '_')
+    require(qs.map(pct).distinct.size == qs.size,
+      s"kmv quantiles: duplicate qs produce colliding column labels: $qs")
     val estAgg = ranked.agg(
       max(col("k_used")).as("k_used"),
       qs.map(q => max(when(
@@ -299,6 +306,10 @@ object Sketches {
     // max over the top-r limit — TakeOrderedAndProject, heap of r
     val exacts = qs.map { q =>
       val r = math.ceil(q * n.toDouble).toLong
+      require(r <= Int.MaxValue,
+        s"kmv quantiles exact audit: rank $r for q=$q exceeds limit()'s " +
+          "Int range — run with exactAudit=false above ~2.1B rows " +
+          "(the audit columns are the drop-at-scale pattern anyway)")
       df.select(value.cast("double").as("v"), key.as("kk"))
         .orderBy(col("v"), col("kk")).limit(r.toInt)
         .agg(max(col("v")).as(s"p${pct(q)}_exact"))

@@ -40,7 +40,9 @@ object StreamingCorpus {
     * one kernel call, nothing accumulates. */
   def streamingQualityScreen(
       docs: DataFrame, weights: Array[Double], bias: Double = 0.0,
-      ngrams: Int = 2, keepThreshold: Double = -0.1): DataFrame = {
+      ngrams: Int = 2,
+      keepThreshold: Double =
+        graft.queries.PipelineQueries.QualityKeepThreshold): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"),

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * cos≈0.999 near-dups) into `outDir` with the driver testdata
   * schemas, then times the PRODUCTION query functions
   * (SparkEntry.queries) against it unchanged. Usage:
-  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,pr]"
+  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr]"
   * (no --run flag = all sections).
   */
 object ScaleSmoke {

@@ -156,6 +156,21 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(est - ex) / 20000.0 < 0.25, s"estimate $est far from $ex")
   }
 
+  test("kmvQuantiles: fractional percents get distinct full-decimal labels; dup qs refuse") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.Sketches
+    val tiny = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    // 0.345 and 0.35 used to both round to p35 (duplicate column) —
+    // now they label p34_5 / p35 and coexist
+    val cols = S.kmvQuantiles(tiny, col("id"), col("v"), k = 256,
+      qs = Seq(0.345, 0.35), exactAudit = false).columns.toSeq
+    assert(cols == Seq("n_rows", "k_used", "p34_5_est", "p35_est"))
+    val e = intercept[IllegalArgumentException] {
+      S.kmvQuantiles(tiny, col("id"), col("v"), qs = Seq(0.5, 0.5))
+    }
+    assert(e.getMessage.contains("colliding"))
+  }
+
   test("pairPageRank: star hub dominates, ranks conserve mass, iteration count respected") {
     import org.apache.spark.sql.functions.col
     // star: 0 at the center of 1..5, plus a detached pair 10-11
