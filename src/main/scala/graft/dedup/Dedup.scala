@@ -908,6 +908,83 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /**
+   * Bloom-pre-screened decontamination — [[decontaminate]]'s
+   * semantics (OUTPUT is identical: doc_id, n_hits, contaminated)
+   * behind the screen shape large pipelines (Dolma, RedPajama-v2)
+   * actually ship when the benchmark gram set outgrows a comfortable
+   * broadcast join relation: a Bloom BITSET over the benchmark grams
+   * rides the scan as one reference object
+   * ([[graft.functions.BloomContains]] — ~`bitsPerGram`/8 bytes per
+   * gram vs the 8-byte long plus hash-relation overhead a broadcast
+   * join pays, a ~10-20× memory reduction), and only bloom-POSITIVE
+   * corpus grams — true hits plus an fpp-bounded trickle — proceed to
+   * the exact confirm join that removes false positives. The confirm
+   * join deliberately carries NO broadcast hint: its left side is
+   * survivor-sized, so AQE picks broadcast when the benchmark fits
+   * and a shuffle join when it does not — the regime this operator
+   * exists for.
+   *
+   * Build is fully distributed: benchmark grams explode through
+   * `graft_bloom_positions` (the SAME position arithmetic the probe
+   * uses — [[graft.functions.BloomKernel]]), `pos >> 6` keys a
+   * partial-combined bit_or word aggregate, and only the finished
+   * word array (≤ `maxBloomWords` longs, loud refusal above — the
+   * maxDriverFoldEdges convention) reaches the driver. fpp ≈
+   * 0.6185^bitsPerGram (≈ 0.3% at the default 12 bits/gram, k=8).
+   *
+   * 100 TB posture: corpus content never shuffles — one scan, per-row
+   * shingle hash, bloom filter AT the scan, and the only
+   * corpus-keyed exchange is the final doc_id hit-count aggregate;
+   * the benchmark-gram exchange is bounded by the benchmark's own
+   * size. Determinism: splitmix64 double hashing, no engine-dependent
+   * hash — but the gate never depends on it, because the exact
+   * confirm makes the output fpp-independent (the oracle is
+   * [[decontaminate]]'s).
+   */
+  def bloomDecontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 3, minHits: Long = 1L, bitsPerGram: Int = 12,
+      maxBloomWords: Long = 1L << 27): DataFrame = {
+    require(bitsPerGram >= 4 && bitsPerGram <= 24,
+      s"bloomDecontaminate: bitsPerGram must be in [4, 24]: $bitsPerGram")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def grams(df: DataFrame) = parallelize(df).select(col("doc_id"),
+      explode(array_distinct(
+        call_function("graft_shingle_hashes", col("text"), lit(n)))).as("g"))
+    val bench = materialize(grams(benchmark).select(col("g")).distinct())
+    val nGrams = math.max(1L, bench.count())
+    val nWords = (nGrams * bitsPerGram + 63L) / 64L
+    if (nWords > maxBloomWords) throw new IllegalArgumentException(
+      s"bloomDecontaminate: $nGrams benchmark grams x $bitsPerGram bits = $nWords words " +
+        s"> maxBloomWords=$maxBloomWords (${maxBloomWords * 8 / (1 << 20)} MiB). The bitset " +
+        "is driver-assembled and plan-shipped; raise maxBloomWords if the cluster has the " +
+        "memory, or fall back to decontaminate()'s gram join.")
+    val mBits = nWords * 64L
+    // k* = ln2 · bits/gram, clamped to the kernel's range
+    val k = math.max(1, math.min(16, math.round(bitsPerGram * math.log(2.0)).toInt))
+    val setWords = bench
+      .select(explode(call_function("graft_bloom_positions",
+        col("g"), lit(mBits), lit(k))).as("pos"))
+      .select(shiftright(col("pos"), 6).as("w"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("b"))
+      .groupBy(col("w")).agg(bit_or(col("b")).as("bits"))
+      .collect() // ≤ nWords rows — guarded above
+    val words = new Array[Long](nWords.toInt)
+    setWords.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val candidates = grams(corpus)
+      .where(call_function("graft_bloom_contains",
+        col("g"), typedlit(words.toSeq), lit(k)))
+    // exact confirm: false positives die here; no broadcast hint on
+    // purpose (see scaladoc)
+    val hits = candidates.join(bench, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
   /** Shared signature-derivation chain for the cross-corpus operators
     * ([[crossCorpusNearDups]], [[fuzzyDecontaminate]]): one-pass
     * shingle-hash kernel → (band keys for candidates, distinct hash

@@ -1047,6 +1047,117 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
+/**
+ * Shared Bloom-filter arithmetic for [[BloomPositions]] (the build
+ * side) and [[BloomContains]] (the probe side) — ONE position
+ * function, so the distributed bit-set build and the scan-side screen
+ * can never disagree. Double hashing (Kirsch–Mitzenmacher 2006,
+ * "Less Hashing, Same Performance"): position_i = (h1 + i·h2) mod m
+ * with h1/h2 derived from the 64-bit gram via the splitmix64
+ * finalizer (Steele et al. 2014 — public-knowledge mixer, fully
+ * deterministic, no engine-dependent hashing).
+ */
+object BloomKernel {
+  /** splitmix64 finalizer — avalanches the already-hashed gram so
+    * h1/h2 are independent enough for double hashing. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The i-th bit position for gram `g` in an `mBits`-bit filter. */
+  def position(g: Long, i: Int, mBits: Long): Long = {
+    val h1 = mix64(g)
+    val h2 = mix64(h1) | 1L // odd, so the probe sequence cycles mod m
+    java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, mBits)
+  }
+
+  def contains(g: Long, words: Array[Long], k: Int): Boolean = {
+    val mBits = words.length.toLong * 64L
+    var i = 0
+    while (i < k) {
+      val p = position(g, i, mBits)
+      if ((words((p >>> 6).toInt) & (1L << (p & 63L).toInt)) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def positions(g: Long, mBits: Long, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) { out(i) = position(g, i, mBits); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/**
+ * `graft_bloom_positions(gram, m_bits, k)` → `array<long>` — the k
+ * bit positions the gram sets in an m-bit Bloom filter. BUILD-side
+ * half of the Bloom pair: the benchmark gram frame explodes through
+ * this, `pos >> 6` keys a bit_or word aggregate, and the resulting
+ * dense word array becomes [[BloomContains]]'s reference object.
+ * The build is thus fully distributed (partial-combined bit_or — the
+ * sketch-family shape); only the finished ≤maxBloomWords word array
+ * ever reaches the driver.
+ */
+case class BloomPositions(child: Expression, mBits: Long, k: Int)
+    extends UnaryExpression {
+  require(mBits >= 64 && mBits % 64 == 0,
+    s"graft_bloom_positions: m_bits must be a positive multiple of 64: $mBits")
+  require(k >= 1 && k <= 16, s"graft_bloom_positions: k must be in [1, 16]: $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bloom_positions"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BloomKernel.positions(input.asInstanceOf[Long], mBits, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => {
+      s"${ev.value} = graft.functions.BloomKernel.positions($g, ${mBits}L, $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BloomPositions =
+    copy(child = newChild)
+}
+
+/**
+ * `graft_bloom_contains(gram, words, k)` → boolean — membership probe
+ * against a Bloom bit set carried as ONE reference object (the
+ * [[PqEncode]] / [[QualityScore]] `addReferenceObj` pattern: plan and
+ * codegen size O(1) in the filter size). PROBE-side half of the pair:
+ * a corpus-gram scan filters through this before any join, so the
+ * shuffled/joined survivor set is (true hits + fpp·grams) instead of
+ * every gram — the bitset costs ~bitsPerGram/8 bytes per benchmark
+ * gram vs the 8-byte long PLUS hash-set overhead a broadcast join
+ * relation pays, and false positives are removed by the exact confirm
+ * join that follows, so the operator's OUTPUT is fpp-independent.
+ */
+case class BloomContains(child: Expression, words: Array[Long], k: Int)
+    extends UnaryExpression {
+  require(words.nonEmpty, "graft_bloom_contains: words must be non-empty")
+  require(k >= 1 && k <= 16, s"graft_bloom_contains: k must be in [1, 16]: $k")
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BloomKernel.contains(input.asInstanceOf[Long], words, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, g => {
+      s"${ev.value} = graft.functions.BloomKernel.contains($g, $wRef, $k);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContains =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -1097,7 +1208,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[QualityScore].getName, "graft_quality_score"),
       (children: Seq[Expression]) => QualityScore(children.head,
         doubleArrayLiteral(children(1)), doubleLiteral(children(2)),
-        intLiteral(children(3)))))
+        intLiteral(children(3)))),
+    (FunctionIdentifier("graft_bloom_positions"),
+      new ExpressionInfo(classOf[BloomPositions].getName, "graft_bloom_positions"),
+      (children: Seq[Expression]) => BloomPositions(children.head,
+        longLiteral(children(1)), intLiteral(children(2)))),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => BloomContains(children.head,
+        longArrayLiteral(children(1)), intLiteral(children(2)))))
 
   /** bits/bands/dim arrive as foldable literals. */
   private def intLiteral(e: Expression): Int = e.eval(null) match {
@@ -1115,6 +1234,27 @@ object GraftFunctions {
     case l: Long => l.toDouble
     case other => throw new IllegalArgumentException(
       s"graft_quality_score expects a double literal bias, got $other")
+  }
+
+  /** Bit counts arrive as long (or int) literals. */
+  private def longLiteral(e: Expression): Long = e.eval(null) match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => throw new IllegalArgumentException(
+      s"graft_bloom_positions expects an integer literal bit count, got $other")
+  }
+
+  /** Bloom word arrays arrive as foldable array<long> literals
+    * (typedlit) and are unpacked into the expression node at
+    * resolution — the [[doubleArrayLiteral]] pattern. */
+  private def longArrayLiteral(e: Expression): Array[Long] = {
+    require(e.foldable,
+      "graft_bloom_contains: the words argument must be a foldable array<long> literal")
+    e.eval(null) match {
+      case a: ArrayData => a.toLongArray()
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_contains expects an array<long> literal, got $other")
+    }
   }
 
   /** PQ codebooks / ADC tables arrive as foldable array<double>

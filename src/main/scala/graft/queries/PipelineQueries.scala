@@ -506,6 +506,18 @@ object PipelineQueries {
       Dedup.decontaminate(
         d.where(col("doc_id") % 17 =!= 3), d.where(col("doc_id") % 17 === 3))
     }),
+    // Bloom-pre-screened decontamination — dc1's semantics behind the
+    // bitset screen a benchmark too big to broadcast-join wants: the
+    // bloom bits ride the corpus scan as one reference object, only
+    // bloom-positive grams reach the exact confirm join (which erases
+    // false positives — the output, and hence the oracle, is
+    // fpp-independent). Eval slice doc_id % 13 == 5, distinct from
+    // dc1's % 17 slice so both screens stay independently checked.
+    "bf1_bloom_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomDecontaminate(
+        d.where(col("doc_id") % 13 =!= 5), d.where(col("doc_id") % 13 === 5))
+    }),
     // Cross-split decontamination: the train split scanned for grams
     // leaked from the held-out test split — the same broadcast-gram
     // protocol as dc1 composed with sm1's deterministic hash split,
@@ -1157,6 +1169,23 @@ object PipelineQueries {
          |corp AS (SELECT doc_id, unnest(hset) AS g FROM hs WHERE doc_id % 17 <> 3),
          |hits AS (SELECT doc_id, count(*) AS n_hits FROM corp JOIN bench USING (g) GROUP BY 1),
          |base AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 3)
+         |SELECT base.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  coalesce(n_hits, 0) >= 1 AS contaminated
+         |FROM base LEFT JOIN hits USING (doc_id)""".stripMargin,
+    // bf1's oracle is dc1's gram-containment SQL on the % 13 slice:
+    // the bloom screen is a pure pre-filter whose false positives the
+    // exact confirm removes, so the reference semantics carry no
+    // bloom at all.
+    "bf1_bloom_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(shingles,
+         |   s -> CAST(list_sum(list_transform(generate_series(1, 8),
+         |     i -> (strpos('0123456789abcdef', substr(md5(s), i::INTEGER, 1)) - 1)
+         |          * power(16, 8 - i))) AS BIGINT))) AS hset FROM sh),
+         |bench AS (SELECT DISTINCT unnest(hset) AS g FROM hs WHERE doc_id % 13 = 5),
+         |corp AS (SELECT doc_id, unnest(hset) AS g FROM hs WHERE doc_id % 13 <> 5),
+         |hits AS (SELECT doc_id, count(*) AS n_hits FROM corp JOIN bench USING (g) GROUP BY 1),
+         |base AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 5)
          |SELECT base.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
          |  coalesce(n_hits, 0) >= 1 AS contaminated
          |FROM base LEFT JOIN hits USING (doc_id)""".stripMargin,

@@ -336,4 +336,48 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
     }
   }
+
+  test("bloom kernel: zero false negatives, fpp-bounded positives, build==probe arithmetic") {
+    import graft.functions.BloomKernel
+    // build a filter over 10k member grams via the same positions
+    // function the DataFrame build path explodes through
+    val members = (0 until 10000).map(i => i.toLong * 2654435761L)
+    val bitsPerGram = 12
+    val nWords = ((members.size.toLong * bitsPerGram + 63) / 64).toInt
+    val mBits = nWords.toLong * 64L
+    val k = math.round(bitsPerGram * math.log(2.0)).toInt
+    val words = new Array[Long](nWords)
+    members.foreach { g =>
+      val ps = BloomKernel.positions(g, mBits, k)
+      (0 until k).foreach { i =>
+        val p = ps.getLong(i)
+        words((p >>> 6).toInt) |= 1L << (p & 63L).toInt
+      }
+    }
+    // no false negatives, ever
+    assert(members.forall(g => BloomKernel.contains(g, words, k)))
+    // false positives bounded: fpp ~ 0.6185^12 ~ 0.3%; assert < 2%
+    val nonMembers = (0 until 10000).map(i => i.toLong * 40503L + 7L)
+      .filterNot(members.toSet)
+    val fp = nonMembers.count(g => BloomKernel.contains(g, words, k))
+    assert(fp.toDouble / nonMembers.size < 0.02, s"fp rate ${fp}/${nonMembers.size}")
+  }
+
+  test("bloomDecontaminate == decontaminate exactly; oversized bitset refuses loudly") {
+    val d = (0L until 60L).map { i =>
+      (i, if (i % 7 == 3) s"shared benchmark phrase number ${i % 14} body"
+          else s"unique corpus document $i with its own words entirely")
+    }.toDF("doc_id", "text")
+    val corpus = d.where(col("doc_id") % 5 =!= 0)
+    val bench = d.where(col("doc_id") % 5 === 0)
+    val exact = Dedup.decontaminate(corpus, bench)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Dedup.bloomDecontaminate(corpus, bench)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact) // FPs die in the confirm join: outputs identical
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomDecontaminate(corpus, bench, maxBloomWords = 1L)
+    }
+    assert(e.getMessage.contains("maxBloomWords"))
+  }
 }

@@ -4,18 +4,24 @@ not part of the shipped library): run graft.Verify at a given SF, then
 execute each dumped oracle SQL in DuckDB over the same parquet tables
 and compare row count, schema (column names sorted), and cell values.
 
-Usage: python3 tools/check.py [sfDir] [outDir] [--skip-verify]
+Usage: python3 tools/check.py [sfDir] [outDir] [--skip-verify] [--only=k1,k2]
 """
 import json, os, subprocess, sys
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = pos[0] if len(pos) > 0 else "/root/testdata/sf0.01"
+OUT = pos[1] if len(pos) > 1 else "/tmp/verify_out"
 SKIP = "--skip-verify" in sys.argv
+ONLY = None
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        ONLY = set(a[len("--only="):].split(","))
 
 if not SKIP:
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    only_arg = f" {','.join(sorted(ONLY))}" if ONLY else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{only_arg}'],
         cwd="/root/repo", env=env, capture_output=True, text=True)
     if r.returncode != 0:
         print(r.stdout[-3000:]); print(r.stderr[-3000:]); sys.exit(1)
@@ -34,6 +40,8 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+if ONLY:
+    oracle = {k: v for k, v in oracle.items() if k in ONLY}
 fails = 0
 for name, sql in sorted(oracle.items()):
     spath = f"{OUT}/{name}"
