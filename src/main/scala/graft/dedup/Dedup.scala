@@ -664,6 +664,76 @@ object Dedup {
     state.select(col("id").as("doc_id"), col("deg"), col("r").as("pagerank6"))
   }
 
+  /**
+   * Per-node TRIANGLE counts over the near-dup pair graph — the
+   * cluster-cohesion diagnostic pagerank's hub score misses: a
+   * doc whose neighbors are also near-dups of EACH OTHER (high
+   * triangle count) sits in a dense template family, while a
+   * zero-triangle hub is a star (one canonical, many independent
+   * variants) — the two shapes want different curation (keep one of
+   * the clique vs audit the template). Output (doc_id, deg,
+   * n_triangles) for every node of the graph, zeros included — all
+   * integers, gate hash-exact.
+   *
+   * Algorithm: degree orientation (Suri & Vassilvitskii 2011,
+   * "Counting Triangles and the Curse of the Last Reducer"): each
+   * undirected edge is directed from the LOWER (deg, id) endpoint to
+   * the higher, making every out-degree O(√m); each triangle then has
+   * exactly ONE wedge node whose two out-edges reach the other two
+   * corners, so a self-join of the oriented list on its source plus
+   * one closing semi-ish join finds each triangle once.
+   *
+   * 100 TB posture: the wedge self-join's exchange is keyed on the
+   * wedge SOURCE and its size is Σ outdeg² ≤ m^1.5 (the paper's
+   * bound) — the degree orientation is precisely what keeps a
+   * 10M-variant hub from exploding into 10^14 wedges: a hot node's
+   * edges all point INTO it, so it sources no wedges at all. The
+   * closing join is keyed on the oriented edge pair. No driver state;
+   * the three exchanges (degrees, wedges, corner counts) are all
+   * partial-combined aggregates or keyed joins.
+   */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    // canonicalize defensively: undirected edge as (min, max), deduped
+    val und = materialize(pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") =!= col("b")).distinct())
+    val deg = materialize(
+      und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg")))
+    def withDeg(df: DataFrame, end: String, out: String) =
+      df.join(deg.select(col("id").as(end), col("deg").as(out)), Seq(end))
+    // orient low (deg, id) -> high (deg, id); total order, so exactly
+    // one direction per edge survives
+    val oriented = materialize(
+      withDeg(withDeg(und.select(col("a"), col("b")), "a", "dega"), "b", "degb")
+        .select(
+          when(col("dega") < col("degb") ||
+               (col("dega") === col("degb") && col("a") < col("b")),
+            struct(col("a").as("s"), col("b").as("d"),
+                   col("dega").as("ds"), col("degb").as("dd")))
+          .otherwise(
+            struct(col("b").as("s"), col("a").as("d"),
+                   col("degb").as("ds"), col("dega").as("dd")))
+          .as("e"))
+        .select(col("e.s").as("s"), col("e.d").as("d"),
+                col("e.ds").as("ds"), col("e.dd").as("dd")))
+    // wedges from each source's out-neighborhood (ordered by rank so
+    // each unordered pair appears once), closed by the oriented edge
+    val e1 = oriented.select(col("s"), col("d").as("v"), col("dd").as("dv"))
+    val e2 = oriented.select(col("s"), col("d").as("w"), col("dd").as("dw"))
+    val wedges = e1.join(e2, Seq("s"))
+      .where(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("s"), col("v"), col("w"))
+    val triangles = wedges.join(
+      oriented.select(col("s").as("v"), col("d").as("w")), Seq("v", "w"))
+    val corners = triangles.select(explode(array(col("s"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(corners, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** Contracted-graph folds at or below this many distinct root-edges
     * run as ONE driver-side union-find pass instead of the O(log d)
     * distributed label-propagation rounds. LOUD BOUND, same shape as

@@ -399,6 +399,13 @@ object PipelineQueries {
     "pr1_pagerank" -> ((s, dir) =>
       Dedup.pairPageRank(
         Dedup.minhashNearDups(docs(s, dir), threshold = 0.6).select("doc_a", "doc_b"))),
+    // Per-node triangle counts over the same near-dup graph —
+    // clique-vs-star cohesion (dense template family vs one canonical
+    // with independent variants); degree-oriented wedge join, every
+    // count an exact integer.
+    "tc1_triangle_count" -> ((s, dir) =>
+      Dedup.triangleCounts(
+        Dedup.minhashNearDups(docs(s, dir), threshold = 0.6).select("doc_a", "doc_b"))),
     "sb1_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedup(docs(s, dir), l = 5)),
     // The paper's removal semantics: the globally-first occurrence of
@@ -1083,6 +1090,25 @@ object PipelineQueries {
          |${iterCte(3, "r2")}
          |SELECT id AS doc_id, deg, r AS pagerank6 FROM r3""".stripMargin
     },
+    // tc1: same verified pair chain; the oracle counts triangles the
+    // naive way (a<b<c three-way join — fine at oracle SF), the Spark
+    // side degree-orients; both count each triangle exactly once
+    "tc1_triangle_count" ->
+      s"""WITH $minhashChainCtes,
+         |prs AS (SELECT doc_a, doc_b FROM jj WHERE j >= 0.6),
+         |ed AS (SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+         |  FROM prs WHERE doc_a <> doc_b GROUP BY 1, 2),
+         |nodes AS (SELECT id, COUNT(*) AS deg FROM (
+         |  SELECT a AS id FROM ed UNION ALL SELECT b AS id FROM ed) GROUP BY 1),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+         |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |corners AS (SELECT id, COUNT(*) AS n_triangles FROM (
+         |  SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+         |  UNION ALL SELECT z AS id FROM tri) GROUP BY 1)
+         |SELECT nodes.id AS doc_id, deg,
+         |  CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles
+         |FROM nodes LEFT JOIN corners ON nodes.id = corners.id""".stripMargin,
     // cm1: the same two md5 words per token (tokHashSqlAt 0/8 — the
     // split-word discipline), width-512 bucket counts, min-over-rows;
     // integer counts end to end so the compare is hash-exact

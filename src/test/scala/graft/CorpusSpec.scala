@@ -171,6 +171,31 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("colliding"))
   }
 
+  test("triangleCounts: K4 clique, star, and triangle-with-tail count exactly") {
+    import org.apache.spark.sql.functions.col
+    // K4 on 0-3 (4 triangles, 3 per node) + star center 10 with leaves
+    // 11-14 (0 triangles) + triangle 20-21-22 with tail 23 (1 each,
+    // tail 0); edges deliberately given in mixed orientation
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (3L, 0L), (1L, 2L), (3L, 1L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (13L, 10L), (10L, 14L),
+      (20L, 21L), (22L, 20L), (21L, 22L), (22L, 23L)
+    ).toDF("doc_a", "doc_b")
+    val r = Dedup.triangleCounts(edges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val tri = r.map(x => x._1 -> x._3).toMap
+    val deg = r.map(x => x._1 -> x._2).toMap
+    assert((0L to 3L).forall(i => tri(i) == 3L && deg(i) == 3L))
+    assert(tri(10L) == 0L && deg(10L) == 4L)
+    assert((11L to 14L).forall(i => tri(i) == 0L && deg(i) == 1L))
+    assert(tri(20L) == 1L && tri(21L) == 1L && tri(22L) == 1L && tri(23L) == 0L)
+    assert(deg(22L) == 3L && deg(23L) == 1L)
+    // duplicate and reversed edges collapse: adding them changes nothing
+    val noisy = edges.unionAll(Seq((1L, 0L), (0L, 1L), (21L, 20L)).toDF("doc_a", "doc_b"))
+    assert(Dedup.triangleCounts(noisy).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq == r)
+  }
+
   test("pairPageRank: star hub dominates, ranks conserve mass, iteration count respected") {
     import org.apache.spark.sql.functions.col
     // star: 0 at the center of 1..5, plus a detached pair 10-11
