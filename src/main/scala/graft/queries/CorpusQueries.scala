@@ -136,6 +136,50 @@ object CorpusQueries {
         min(col("doc_id")).as("first_doc"))
   }
 
+  /** Sliding-window CHUNKER with overlap — the retrieval/embedding
+    * prep step (split every document into `window`-token chunks every
+    * `stride` tokens, `window - stride` tokens of overlap so no
+    * semantic unit is cut without a copy that keeps it whole) that
+    * feeds ld1's chunk-hash dedup and the s-family ANN index. Start
+    * rule: starts = 0, stride, 2·stride, … while the chunk adds NEW
+    * tokens — a tail start `s` with `s + window - stride ≥ n_tokens`
+    * would be fully contained in its predecessor and is dropped
+    * (coverage is still total: the last kept start satisfies
+    * `s ≥ n_tokens - window`). Output one row per chunk: (doc_id,
+    * chunk_id, start_tok, n_tokens, chunk) — chunk_id dense 0-based
+    * in token order. Empty/whitespace docs produce zero rows.
+    *
+    * Scale shape: stateless per-row explode — no shuffle at all, the
+    * chunker is a scan projection whose output feeds whatever keyed
+    * op comes next; the ~window/stride× text amplification is the
+    * operator's honest cost and the reason `stride` defaults close to
+    * `window`. */
+  def ck1ChunkOverlap(
+      spark: SparkSession, dir: String,
+      window: Int = 40, stride: Int = 30): DataFrame =
+    chunkOverlap(docs(spark, dir), window, stride)
+
+  /** [[ck1ChunkOverlap]]'s core over any (doc_id, text) frame. */
+  def chunkOverlap(d: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"ck1: need 1 <= stride <= window: window=$window stride=$stride")
+    val overlap = window - stride
+    val toks = TextFunctions.wsTokens(col("text"))
+    val starts = filter(
+      transform(
+        sequence(lit(0L), floor((size(col("toks")) - 1) / lit(stride)).cast("long")),
+        i => i * stride),
+      s => s === 0 || s + lit(overlap) < size(col("toks")).cast("long"))
+    d.select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"), posexplode(starts).as(Seq("chunk_id", "s")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("s").as("start_tok"),
+        least(lit(window).cast("long"), size(col("toks")) - col("s")).as("n_tokens"),
+        array_join(slice(col("toks"), (col("s") + 1).cast("int"), lit(window)), " ")
+          .as("chunk"))
+  }
+
   /** Training-mixture domain rebalancing: per-source token mass →
     * inverse-sqrt keep rate → deterministic hash sample — the
     * "temperature sampling" move (heavier domains sampled at lower
@@ -459,6 +503,23 @@ object CorpusQueries {
       | ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // ck1: same token list, same start rule (every stride-th token
+    // index, tails adding no new tokens dropped), same 1-based list
+    // slice; chunk_id densifies by start order
+    "ck1_chunk_overlap" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |st AS (SELECT doc_id, toks,
+         |  unnest(CASE WHEN len(toks) > 0
+         |    THEN generate_series(0, (len(toks) - 1) // 30)
+         |    ELSE CAST([] AS BIGINT[]) END) * 30 AS s FROM tk),
+         |ke AS (SELECT doc_id, toks, s FROM st
+         |  WHERE s = 0 OR s + 10 < len(toks))
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_id,
+         |  s AS start_tok,
+         |  LEAST(40, len(toks) - s) AS n_tokens,
+         |  array_to_string(toks[(s + 1):(s + 40)], ' ') AS chunk
+         |FROM ke""".stripMargin,
     "v1_vocab_topk" ->
       s"""SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
          |FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
@@ -602,6 +663,7 @@ object CorpusQueries {
     "sm2_stratified_sample" -> ((s, dir) => sm2StratifiedSample(s, dir)),
     "sm3_weighted_sample" -> ((s, dir) => sm3WeightedSample(s, dir)),
     "pk1_sequence_pack" -> ((s, dir) => pk1SequencePack(s, dir)),
+    "ck1_chunk_overlap" -> ((s, dir) => ck1ChunkOverlap(s, dir)),
     "mx1_domain_mixture" -> ((s, dir) => mx1DomainMixture(s, dir)),
     "mx2_budget_mixture" -> ((s, dir) => mx2BudgetMixture(s, dir)),
     "pk2_length_buckets" -> ((s, dir) => pk2LengthBuckets(s, dir)),

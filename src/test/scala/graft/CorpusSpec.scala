@@ -171,6 +171,35 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("colliding"))
   }
 
+  test("chunkOverlap: start rule, tail containment drop, total coverage, empty docs") {
+    import org.apache.spark.sql.functions.col
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // n=100, W=40, S=30: starts 0,30,60 kept; 90 dropped (fully inside
+    // the 60-chunk, which reaches token 100). n=105: 90 kept (adds
+    // tokens 101..105). n=25: one short chunk. n=0/whitespace: zero
+    // rows.
+    val d = Seq((1L, doc(100)), (2L, doc(105)), (3L, doc(25)),
+      (4L, ""), (5L, "   ")).toDF("doc_id", "text")
+    val r = CorpusQueries.chunkOverlap(d, window = 40, stride = 30)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r.filter(_._1 == 1L).map(x => (x._3, x._4)) == Seq((0L, 40L), (30L, 40L), (60L, 40L)))
+    assert(r.filter(_._1 == 2L).map(x => (x._3, x._4)) ==
+      Seq((0L, 40L), (30L, 40L), (60L, 40L), (90L, 15L)))
+    assert(r.filter(_._1 == 3L).map(x => (x._3, x._4)) == Seq((0L, 25L)))
+    assert(!r.exists(x => x._1 == 4L || x._1 == 5L))
+    // coverage: last chunk always reaches the final token
+    for ((id, n) <- Seq((1L, 100L), (2L, 105L), (3L, 25L))) {
+      val last = r.filter(_._1 == id).last
+      assert(last._3 + last._4 == n, s"doc $id tail not covered")
+    }
+    // chunk text round-trips the token slice
+    val c = CorpusQueries.chunkOverlap(d.where(col("doc_id") === 3L), 40, 30)
+      .select("chunk").as[String].head()
+    assert(c == doc(25))
+  }
+
   test("triangleCounts: K4 clique, star, and triangle-with-tail count exactly") {
     import org.apache.spark.sql.functions.col
     // K4 on 0-3 (4 triangles, 3 per node) + star center 10 with leaves
