@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.similarity.Similarity
@@ -18,6 +19,27 @@ object PipelineQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "documents")
+
+  /** Exact ROC AUC over a (pos: boolean, score: double) frame —
+    * Mann-Whitney rank-sum with average-rank ties, all-integer
+    * numerator (see the auc1 key comment for the arithmetic and the
+    * distinct-score-grid scale bound). Null scores are excluded. */
+  private[graft] def classifierAuc(scored: DataFrame): DataFrame = {
+    val grouped = scored.where(col("score").isNotNull)
+      .groupBy(col("score")).agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("pc"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grouped.withColumn("cumb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .agg(
+        sum(col("pc")).as("p"),
+        sum(col("cnt") - col("pc")).as("nn"),
+        sum(col("pc") * (col("cumb") * 2 + col("cnt") + 1)).as("num2"))
+      .select(col("p").as("n_pos"), col("nn").as("n_neg"),
+        round((col("num2") - col("p") * (col("p") + 1)).cast("double")
+          / (col("p") * col("nn") * 2).cast("double"), 6).as("auc6"))
+  }
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "embeddings")
 
@@ -481,6 +503,30 @@ object PipelineQueries {
             .when(col("bucket") < 90, "validation")
             .otherwise("test"))
     }),
+    // Classifier EVALUATION — the step real curation pipelines run
+    // before trusting cu3's screen: exact ROC AUC (Mann-Whitney
+    // rank-sum with average-rank tie handling) of the
+    // graft_quality_score logit against the lang=='en' weak label.
+    // All-integer numerator: per distinct 6dp score s, with cnt(s)
+    // docs (pc positive) and cumb docs scoring strictly lower,
+    // Σ pos-rank·2 = Σ pc·(2·cumb + cnt + 1); AUC = (num2 − P(P+1))
+    // / (2PN) — one IEEE division on identical integers, so the 6dp
+    // round is cross-engine exact. The ordered walk runs over the
+    // DISTINCT-SCORE frame, which is bounded by the 6dp logit grid
+    // (≤ ~1.3M values for any corpus size) — the bm1 harmless-tail
+    // shape, after a partial-combined (score → cnt, pc) aggregate
+    // that is the only corpus-sized exchange. Featureless docs (null
+    // logit) are excluded: a classifier emits no ranking for them.
+    // Long arithmetic is exact to ~1.5B docs per class; past that,
+    // sampled AUC is the standard estimator (and this corpus-level
+    // audit runs on eval-sized slices anyway).
+    "auc1_classifier_auc" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val logit = call_function("graft_quality_score", col("text"),
+        typedlit(qualityLexiconWeights), lit(0.0), lit(2))
+      classifierAuc(docs(s, dir)
+        .select((col("lang") === "en").as("pos"), logit.as("score")))
+    }),
     // CCNet/RefinedWeb-style CLASSIFIER curation: the linear
     // fastText-shaped quality scorer (Joulin et al. 2016) as the
     // native graft_quality_score expression — hashed unigram+bigram
@@ -814,6 +860,44 @@ object PipelineQueries {
     // the lexicon IN-list — so the unordered SQL SUM is bit-equal to
     // the kernel's token-order fold (every partial sum exact). Empty
     // docs come back via the LEFT JOIN with a NULL logit, keep=false.
+    // auc1: cu3's scoring CTEs verbatim, then the integer Mann-Whitney
+    // numerator over the distinct-score frame — num2 and P(P+1) are
+    // BIGINTs on both engines, one double division, ROUND(,6)
+    "auc1_classifier_auc" -> {
+      val h32 = graft.queries.CorpusQueries.hash32Sql("f")
+      val lexValues = qualityLexicon.map(w => s"('$w')").mkString(", ")
+      val lexH = graft.queries.CorpusQueries.hash32Sql("w")
+      s"""WITH lex AS (SELECT DISTINCT $lexH % $QualityBuckets AS b
+         |  FROM (VALUES $lexValues) t(w)),
+         |b0 AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN []
+         |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents),
+         |f AS (SELECT doc_id, $h32 % $QualityBuckets AS b FROM (
+         |    SELECT doc_id, unnest(toks) AS f FROM b0
+         |    UNION ALL
+         |    SELECT doc_id, unnest(CASE WHEN len(toks) - 1 <= 0
+         |        THEN CAST([] AS VARCHAR[])
+         |        ELSE list_transform(generate_series(1, len(toks) - 1),
+         |          i -> array_to_string(toks[i:i+1], ' ')) END) AS f FROM b0)),
+         |s AS (SELECT doc_id, count(*) AS n,
+         |    SUM(CASE WHEN b IN (SELECT b FROM lex)
+         |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-0.25 AS DOUBLE) END) AS sw
+         |  FROM f GROUP BY 1),
+         |sc AS (SELECT d.lang = 'en' AS pos, ROUND(s.sw / s.n, 6) AS score
+         |  FROM documents d JOIN s USING (doc_id)),
+         |g AS (SELECT score, COUNT(*) AS cnt,
+         |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pc
+         |  FROM sc GROUP BY 1),
+         |r AS (SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM g),
+         |a AS (SELECT SUM(pc) AS p, SUM(cnt - pc) AS nn,
+         |    SUM(pc * (2 * cumb + cnt + 1)) AS num2 FROM r)
+         |SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         |  ROUND(CAST(num2 - p * (p + 1) AS DOUBLE)
+         |    / CAST(2 * p * nn AS DOUBLE), 6) AS auc6
+         |FROM a""".stripMargin
+    },
     "cu3_classifier_curation" -> {
       val h32 = graft.queries.CorpusQueries.hash32Sql("f")
       val lexValues = qualityLexicon.map(w => s"('$w')").mkString(", ")

@@ -364,4 +364,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       assignment = Some(stored))
     assert(rows(s6a) == rows(s6b))
   }
+
+  test("classifierAuc: perfect separation, all-ties, hand-computed mixed case, null exclusion") {
+    import spark.implicits._
+    def auc(rows: Seq[(Boolean, java.lang.Double)]): (Long, Long, Double) =
+      graft.queries.PipelineQueries.classifierAuc(rows.toDF("pos", "score"))
+        .as[(Long, Long, Double)].head()
+    // every positive above every negative -> 1.0
+    assert(auc(Seq((true, 3.0), (true, 2.0), (false, 1.0), (false, 0.0)))
+      == ((2L, 2L, 1.0)))
+    // reversed -> 0.0
+    assert(auc(Seq((false, 3.0), (false, 2.0), (true, 1.0), (true, 0.0)))
+      == ((2L, 2L, 0.0)))
+    // one shared score -> 0.5 (average-rank tie handling)
+    assert(auc(Seq((true, 1.0), (false, 1.0), (true, 1.0), (false, 1.0)))
+      == ((2L, 2L, 0.5)))
+    // hand-computed: pos {3, 1}, neg {2, 1}. Pairs: (3>2)=1, (3>1)=1,
+    // (1>2)=0, (1=1)=0.5 -> 2.5/4 = 0.625
+    assert(auc(Seq((true, 3.0), (true, 1.0), (false, 2.0), (false, 1.0)))
+      == ((2L, 2L, 0.625)))
+    // null scores excluded from both counts
+    assert(auc(Seq((true, 3.0), (true, null), (false, 1.0), (false, null)))
+      == ((1L, 1L, 1.0)))
+  }
 }
