@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Joins
 import graft.operators.Kernels.nanToNull
@@ -52,8 +53,48 @@ object TemporalQueries {
           .detect(SparkEntryBridge.canonical(s, dir)))),
     "ss1_session_stats" -> ((s, dir) =>
       Joins.sessionStats(SparkEntryBridge.canonical(s, dir), gap = "6H")),
-    "fn1_funnel" -> (fn1Funnel _)
+    "fn1_funnel" -> (fn1Funnel _),
+    // SCD2 dimension-history construction: each user's event_type
+    // stream collapses into type-2 validity rows
+    "scd1_scd2_history" -> ((s, dir) =>
+      scd2History(Tables.read(s, dir, "events")))
   )
+
+  /** Slowly-changing-dimension TYPE 2 history — turn a change-event
+    * stream into the validity-interval dimension table (valid_from,
+    * valid_to, is_current, version) every warehouse join expects.
+    * Consecutive events carrying the SAME attribute value collapse
+    * into one row (the gaps-and-islands kernel, §2.1, applied to
+    * attribute changes instead of masks); `valid_to` is the NEXT
+    * version's valid_from (closed-open convention, so intervals tile
+    * with no gaps), null + is_current for the latest row. Ordering
+    * ties at one timestamp break by event_id, so the history is
+    * deterministic even under same-instant updates.
+    *
+    * Scale shape: one exchange keyed on the dimension key (user_id),
+    * then windows + one aggregate all within the partition — the same
+    * single-shuffle budget as every detector; version counts are
+    * per-key, so no global ordering exists anywhere. */
+  def scd2History(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs.groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+  }
 
   /** Ordered-funnel analysis (view → click → signup → purchase): how
     * many users completed each prefix of the stage sequence IN ORDER.
@@ -289,7 +330,28 @@ object TemporalQueries {
         |UNION ALL
         |SELECT 'signup' AS stage, CAST(COALESCE(SUM(f3), 0) AS BIGINT) AS users FROM u
         |UNION ALL
-        |SELECT 'purchase' AS stage, CAST(COALESCE(SUM(f4), 0) AS BIGINT) AS users FROM u""".stripMargin
+        |SELECT 'purchase' AS stage, CAST(COALESCE(SUM(f4), 0) AS BIGINT) AS users FROM u""".stripMargin,
+    // scd1: identical (ts, event_id) ordering and change rule; the
+    // closed-open tiling comes from lead() over the per-key versions
+    "scd1_scd2_history" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |c AS (SELECT *,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM e),
+        |r AS (SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> event_type
+        |    THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        | FROM c),
+        |h AS (SELECT user_id, version, MIN(event_type) AS event_type,
+        |   MIN(ts) AS valid_from, COUNT(*) AS n_events
+        |  FROM r GROUP BY user_id, version)
+        |SELECT user_id, version, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+        |  n_events,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+        |    AS is_current
+        |FROM h""".stripMargin
   )
 }
 

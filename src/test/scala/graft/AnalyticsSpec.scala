@@ -365,6 +365,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(s6a) == rows(s6b))
   }
 
+  test("scd2History: runs collapse, closed-open tiling, same-ts tie-break by event_id") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: A A B A (collapse the AA run); user 2: same-instant pair
+    // ordered by event_id (B then A at minute 5)
+    val ev = Seq(
+      (1L, t(0), 10L, "A"), (1L, t(1), 11L, "A"),
+      (1L, t(2), 12L, "B"), (1L, t(3), 13L, "A"),
+      (2L, t(5), 20L, "B"), (2L, t(5), 21L, "A")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = graft.queries.TemporalQueries.scd2History(ev)
+      .orderBy("user_id", "version")
+      .as[(Long, Long, String, Timestamp, Option[Timestamp], Long, Boolean)]
+      .collect().toSeq
+    assert(r.map(x => (x._1, x._2, x._3, x._6, x._7)) == Seq(
+      (1L, 1L, "A", 2L, false), (1L, 2L, "B", 1L, false), (1L, 3L, "A", 1L, true),
+      (2L, 1L, "B", 1L, false), (2L, 2L, "A", 1L, true)))
+    // closed-open tiling: each valid_to equals the next valid_from
+    r.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(a._5.contains(b._4))
+        case _ =>
+      }
+    }
+    // the same-instant pair tiles at zero duration, deterministically
+    val u2 = r.filter(_._1 == 2L)
+    assert(u2.head._5.contains(u2.head._4))
+  }
+
   test("classifierAuc: perfect separation, all-ties, hand-computed mixed case, null exclusion") {
     import spark.implicits._
     def auc(rows: Seq[(Boolean, java.lang.Double)]): (Long, Long, Double) =
