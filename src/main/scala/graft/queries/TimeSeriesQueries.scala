@@ -392,6 +392,103 @@ object TimeSeriesQueries {
           .as("slope_per_day6"))
   }
 
+  /** Day-of-week SEASONAL DECOMPOSITION — the additive
+    * value = seasonal(dow) + residual split, with Hyndman's seasonal
+    * STRENGTH 1 − SS_resid/SS_total as the per-series "is this series
+    * actually weekly-periodic" score (the triage a fleet of 10^6
+    * sensor series needs before any calendar-aware model). Output one
+    * row per (series_id, dow): the slot's 6dp seasonal mean and point
+    * count, with the series' strength repeated on each row.
+    *
+    * Portability (the rg1/cr2 discipline): values quantize to integer
+    * micro-units, so every mean is an exact-integer sum divided once;
+    * the seasonal mean is quantized BACK to integer micro-units
+    * before residuals, so both engines subtract identical doubles.
+    * The two sums of squares are the one order-dependent step —
+    * rounded to 6dp like rg1's centered products — and the strength
+    * ratio divides the ROUNDED sums. Degenerate series (zero total
+    * variance) yield null strength.
+    *
+    * Scale shape: two partial-combined aggregates over (series) and
+    * (series, dow), one keyed join back to rows for residuals, one
+    * more aggregate — every exchange keyed on series_id (dow only
+    * fans it out 7×). No window over raw rows, no global ordering. */
+  def sea1SeasonalDecompose(spark: SparkSession, dir: String): DataFrame =
+    seasonalDecompose(canonicalWithId(spark, dir))
+
+  /** Generic form of [[sea1SeasonalDecompose]] over a (series_id, ts,
+    * event_id, value) frame; nulls are dropped. */
+  def seasonalDecompose(series: DataFrame): DataFrame = {
+    val rows = series.where(col("value").isNotNull)
+      .withColumn("dow", weekday(col("ts")).cast("long"))
+      .withColumn("yu", q6(col("value")))
+    val ser = rows.groupBy(col("series_id")).agg(
+        count(lit(1)).as("nv"), sum(col("yu")).as("syu"))
+      .withColumn("mean_u", col("syu").cast("double") / col("nv"))
+    val dowAgg = rows.groupBy(col("series_id"), col("dow")).agg(
+        count(lit(1)).as("n"), sum(col("yu")).as("syud"))
+      .withColumn("s_u", floor(col("syud").cast("double") / col("n") + lit(0.5)))
+    val en = rows
+      .join(dowAgg.select(col("series_id"), col("dow"), col("s_u")),
+        Seq("series_id", "dow"))
+      .join(ser.select(col("series_id"), col("mean_u")), Seq("series_id"))
+      .withColumn("c", (col("yu").cast("double") - col("mean_u")) / lit(1e6))
+      .withColumn("r", (col("yu").cast("double") - col("s_u")) / lit(1e6))
+    val stats = en.groupBy(col("series_id")).agg(
+      r6(sum(col("c") * col("c"))).as("sst6"),
+      r6(sum(col("r") * col("r"))).as("ssr6"))
+    dowAgg.join(stats, Seq("series_id"))
+      .select(col("series_id"), col("dow"), col("n"),
+        r6(col("s_u") / lit(1e6)).as("seasonal6"),
+        r6(when(col("sst6") > 0.0,
+          greatest(lit(0.0), lit(1.0) - col("ssr6") / col("sst6"))))
+          .as("strength6"))
+  }
+
+  /** Per-series FEATURE SCALING — the model-prep normalization pass:
+    * each value emitted with its z-score ((v − mean)/std, sample std)
+    * and min-max position ((v − min)/(max − min)). Means are exact
+    * integer micro-unit sums quantized back before centering (the
+    * rg1 discipline); the centered sum of squares rounds to 6dp, the
+    * std is one correctly-rounded sqrt of the rounded ratio, and both
+    * normalized outputs round to 6dp after one division of
+    * engine-identical doubles. Single-point series yield null z
+    * (sample std undefined); constant series yield null z and mm.
+    *
+    * Scale shape: one partial-combined stats aggregate per series,
+    * then a keyed join back to rows (broadcastable when the series
+    * count is small; hash join keyed on series_id otherwise) — the
+    * projection itself is stateless. Two passes over the rows (stats,
+    * then normalize), no windows, no global state. */
+  def nm1FeatureScale(spark: SparkSession, dir: String): DataFrame =
+    featureScale(canonicalWithId(spark, dir))
+
+  /** Generic form of [[nm1FeatureScale]] over a (series_id, ts,
+    * event_id, value) frame; nulls are dropped. */
+  def featureScale(series: DataFrame): DataFrame = {
+    val rows = series.where(col("value").isNotNull)
+      .withColumn("yu", q6(col("value")))
+    val stats = rows.groupBy(col("series_id")).agg(
+        count(lit(1)).as("n"), sum(col("yu")).as("syu"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .withColumn("mean_u", floor(col("syu").cast("double") / col("n") + lit(0.5)))
+    val ss = rows
+      .join(stats.select(col("series_id"), col("mean_u")), Seq("series_id"))
+      .withColumn("c", (col("yu").cast("double") - col("mean_u")) / lit(1e6))
+      .groupBy(col("series_id")).agg(r6(sum(col("c") * col("c"))).as("ss6"))
+    val full = stats.join(ss, Seq("series_id"))
+      .withColumn("std6",
+        when(col("n") > 1,
+          r6(sqrt(col("ss6") / (col("n") - 1).cast("double")))))
+    rows.join(full.select(col("series_id"), col("n"), col("mean_u"),
+        col("vmin"), col("vmax"), col("std6")), Seq("series_id"))
+      .select(col("series_id"), col("event_id"), col("value"),
+        r6(when(col("std6") > 0.0,
+          (col("value") - col("mean_u") / lit(1e6)) / col("std6"))).as("z6"),
+        r6(when(col("vmax") > col("vmin"),
+          (col("value") - col("vmin")) / (col("vmax") - col("vmin")))).as("mm6"))
+  }
+
   /** Cross-series Pearson correlation matrix: which event types move
     * together day-to-day. Daily mean value per type, then every type
     * pair (a < b) correlates over their shared days. Built on the
@@ -483,6 +580,59 @@ object TimeSeriesQueries {
       "CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events"
 
   val oracle: Map[String, String] = Map(
+    // sea1: Spark weekday() == DuckDB isodow − 1 (the cal1 mapping);
+    // integer micro-unit sums, quantized seasonal means, 6dp-rounded
+    // sums of squares, ratio of the ROUNDED sums — rg1's discipline
+    "sea1_seasonal_decompose" -> {
+      s"""WITH t AS ($canonicalCte),
+         |nn AS (SELECT series_id, CAST(isodow(ts) - 1 AS BIGINT) AS dow, value,
+         |  ${q6Sql("value")} AS yu
+         | FROM t WHERE value IS NOT NULL),
+         |ser AS (SELECT series_id, COUNT(*) AS nv, SUM(yu) AS syu FROM nn GROUP BY 1),
+         |se AS (SELECT *, CAST(syu AS DOUBLE) / nv AS mean_u FROM ser),
+         |da AS (SELECT series_id, dow, COUNT(*) AS n, SUM(yu) AS syud
+         |  FROM nn GROUP BY 1, 2),
+         |ds AS (SELECT *, floor(CAST(syud AS DOUBLE) / n + 0.5) AS s_u FROM da),
+         |en AS (SELECT nn.series_id,
+         |  (CAST(yu AS DOUBLE) - mean_u) / 1000000.0 AS c,
+         |  (CAST(yu AS DOUBLE) - s_u) / 1000000.0 AS r
+         | FROM nn JOIN ds ON nn.series_id = ds.series_id AND nn.dow = ds.dow
+         |   JOIN se ON nn.series_id = se.series_id),
+         |st AS (SELECT series_id, ${r6Sql("SUM(c * c)")} AS sst6,
+         |   ${r6Sql("SUM(r * r)")} AS ssr6
+         |  FROM en GROUP BY 1)
+         |SELECT ds.series_id, ds.dow, ds.n,
+         |  ${r6Sql("s_u / 1000000.0")} AS seasonal6,
+         |  ${r6Sql("CASE WHEN sst6 > CAST(0.0 AS DOUBLE) THEN " +
+                    "greatest(CAST(0.0 AS DOUBLE), 1.0 - ssr6 / sst6) END")}
+         |    AS strength6
+         |FROM ds JOIN st USING (series_id)""".stripMargin
+    },
+    // nm1: identical quantized mean, 6dp ss, correctly-rounded sqrt,
+    // one division per output — every step engine-identical
+    "nm1_feature_scale" -> {
+      s"""WITH t AS ($canonicalIdCte),
+         |nn AS (SELECT series_id, event_id, value, ${q6Sql("value")} AS yu
+         | FROM t WHERE value IS NOT NULL),
+         |st AS (SELECT series_id, COUNT(*) AS n, SUM(yu) AS syu,
+         |   MIN(value) AS vmin, MAX(value) AS vmax
+         |  FROM nn GROUP BY 1),
+         |sq AS (SELECT *, floor(CAST(syu AS DOUBLE) / n + 0.5) AS mean_u FROM st),
+         |ss AS (SELECT nn.series_id,
+         |   ${r6Sql("SUM(((CAST(yu AS DOUBLE) - mean_u) / 1000000.0) * " +
+                     "((CAST(yu AS DOUBLE) - mean_u) / 1000000.0))")} AS ss6
+         |  FROM nn JOIN sq USING (series_id) GROUP BY 1),
+         |fu AS (SELECT sq.*, ss.ss6,
+         |   CASE WHEN n > 1 THEN ${r6Sql("sqrt(ss6 / CAST(n - 1 AS DOUBLE))")} END
+         |     AS std6
+         |  FROM sq JOIN ss USING (series_id))
+         |SELECT nn.series_id, nn.event_id, nn.value,
+         |  ${r6Sql("CASE WHEN std6 > CAST(0.0 AS DOUBLE) THEN " +
+                    "(nn.value - mean_u / 1000000.0) / std6 END")} AS z6,
+         |  ${r6Sql("CASE WHEN vmax > vmin THEN " +
+                    "(nn.value - vmin) / (vmax - vmin) END")} AS mm6
+         |FROM nn JOIN fu USING (series_id)""".stripMargin
+    },
     "r1_resample" ->
       s"""WITH t AS ($canonicalCte)
          |SELECT series_id, date_trunc('day', ts) AS bucket,
@@ -815,6 +965,8 @@ object TimeSeriesQueries {
     "rg1_trend_slope" -> (rg1TrendSlope _),
     "cr2_type_correlation" -> (cr2TypeCorrelation _),
     "rs5_rolling_corr" -> (rs5RollingCorr _),
-    "cp1_cusum" -> ((s: SparkSession, dir: String) => cp1Cusum(s, dir))
+    "cp1_cusum" -> ((s: SparkSession, dir: String) => cp1Cusum(s, dir)),
+    "sea1_seasonal_decompose" -> (sea1SeasonalDecompose _),
+    "nm1_feature_scale" -> (nm1FeatureScale _)
   )
 }

@@ -365,6 +365,50 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(s6a) == rows(s6b))
   }
 
+  test("seasonalDecompose: pure weekly signal scores 1, constant series scores null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 4 weeks of daily points; series "w" is a pure dow function
+    // (residual 0 -> strength 1), series "c" is constant (sst 0 ->
+    // null strength), series "x" is dow + alternating-week noise
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    val rows = (0 until 28).flatMap { d =>
+      val dow = java.time.LocalDate.of(2024, 1, d + 1).getDayOfWeek.getValue - 1
+      Seq(("w", t(d), d.toLong, 10.0 + dow),
+          ("c", t(d), 100L + d, 5.0),
+          ("x", t(d), 200L + d, 10.0 + dow + (if ((d / 7) % 2 == 0) 1.0 else -1.0)))
+    }.toDF("series_id", "ts", "event_id", "value")
+    val r = graft.queries.TimeSeriesQueries.seasonalDecompose(rows)
+      .orderBy("series_id", "dow")
+      .as[(String, Long, Long, Double, Option[Double])].collect().toSeq
+    val w = r.filter(_._1 == "w")
+    assert(w.size == 7 && w.forall(_._3 == 4L) && w.forall(_._5.contains(1.0)))
+    assert(w.map(x => x._2 -> x._4).toMap.forall { case (dow, s) => s == 10.0 + dow })
+    assert(r.filter(_._1 == "c").forall(x => x._4 == 5.0 && x._5.isEmpty))
+    val x = r.filter(_._1 == "x")
+    // noise variance 1 vs dow variance 4 -> strength 4/5 exactly
+    assert(x.forall(v => v._5.exists(s => math.abs(s - 0.8) < 1e-6)))
+  }
+
+  test("featureScale: hand-computed z and minmax; degenerate series null out") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      ("a", ts, 1L, 1.0), ("a", ts, 2L, 2.0), ("a", ts, 3L, 3.0),
+      ("k", ts, 10L, 7.0), ("k", ts, 11L, 7.0), // constant: z,mm null
+      ("s", ts, 20L, 9.0)                       // single point: z null
+    ).toDF("series_id", "ts", "event_id", "value")
+    val r = graft.queries.TimeSeriesQueries.featureScale(rows)
+      .orderBy("series_id", "event_id")
+      .as[(String, Long, Double, Option[Double], Option[Double])].collect().toSeq
+    // series a: mean 2, std 1 -> z = -1, 0, 1; mm = 0, 0.5, 1
+    assert(r.filter(_._1 == "a").map(x => (x._4.get, x._5.get)) ==
+      Seq((-1.0, 0.0), (0.0, 0.5), (1.0, 1.0)))
+    assert(r.filter(_._1 == "k").forall(x => x._4.isEmpty && x._5.isEmpty))
+    assert(r.filter(_._1 == "s").forall(x => x._4.isEmpty && x._5.isEmpty))
+  }
+
   test("scd2History: runs collapse, closed-open tiling, same-ts tie-break by event_id") {
     import spark.implicits._
     import java.sql.Timestamp
