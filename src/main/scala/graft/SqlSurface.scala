@@ -47,7 +47,9 @@ object SqlSurface {
     "graft_bm25" /* EAGER; only with bm25Terms */,
     "graft_dsir_select" /* EAGER; only with dsirTarget */,
     "graft_dsir_heldout" /* EAGER; only with dsirTarget */,
-    "graft_curation" /* EAGER; only with curationEval */)
+    "graft_curation" /* EAGER; only with curationEval */,
+    "graft_bloom_decontaminate" /* EAGER; only with curationEval */,
+    "graft_chunks", "graft_triangles" /* EAGER */)
 
   def registerCorpus(
       docs: DataFrame, minhashThreshold: Double = 0.6,
@@ -149,7 +151,19 @@ object SqlSurface {
         .withColumn("keep",
           !col("is_exact_dup") && !col("contaminated") && col("quality6") >= 0.5)
         .createOrReplaceTempView("graft_curation")
+      // bf1's bitset-screened decontamination against the same eval
+      // slice (EAGER: the bloom bitset builds at registration)
+      graft.dedup.Dedup.bloomDecontaminate(cur, docs.where(isEval))
+        .createOrReplaceTempView("graft_bloom_decontaminate")
     }
+    // round-11 corpus layers: the overlapping chunker (lazy scan
+    // projection) and per-node triangle counts over the SAME pair
+    // graph graft_minhash_pairs exposes (EAGER: degree orientation
+    // materializes the oriented edge list)
+    graft.queries.CorpusQueries.chunkOverlap(docs, window = 40, stride = 30)
+      .createOrReplaceTempView("graft_chunks")
+    graft.dedup.Dedup.triangleCounts(pairs.select(col("doc_a"), col("doc_b")))
+      .createOrReplaceTempView("graft_triangles")
   }
 
   /** Similarity/retrieval views over an `(vec_id, embedding)` frame —
@@ -191,7 +205,8 @@ object SqlSurface {
     * value)` frame: the ordered funnel and the per-series robust
     * outlier screen (both lazy — nothing computes until queried). */
   val EventViews: Seq[String] = Seq(
-    "graft_events", "graft_funnel", "graft_mad_outliers")
+    "graft_events", "graft_funnel", "graft_mad_outliers",
+    "graft_scd2_history", "graft_seasonal_strength", "graft_feature_scale")
 
   def registerEvents(
       events: DataFrame, funnelStages: Seq[String]): Unit = {
@@ -201,11 +216,19 @@ object SqlSurface {
       .funnel(events.select(col("user_id"), col("ts"), col("event_id"),
         col("event_type")), funnelStages)
       .createOrReplaceTempView("graft_funnel")
-    graft.queries.TimeSeriesQueries.madOutliers(
-        events.select(col("user_id").cast("string").as("series_id"),
-          col("ts"), col("event_id"),
-          graft.operators.Kernels.nanToNull(col("value")).as("value")))
+    def canonical = events.select(
+      col("user_id").cast("string").as("series_id"),
+      col("ts"), col("event_id"),
+      graft.operators.Kernels.nanToNull(col("value")).as("value"))
+    graft.queries.TimeSeriesQueries.madOutliers(canonical)
       .createOrReplaceTempView("graft_mad_outliers")
+    // round-11 event-side layers (all lazy)
+    graft.queries.TemporalQueries.scd2History(events)
+      .createOrReplaceTempView("graft_scd2_history")
+    graft.queries.TimeSeriesQueries.seasonalDecompose(canonical)
+      .createOrReplaceTempView("graft_seasonal_strength")
+    graft.queries.TimeSeriesQueries.featureScale(canonical)
+      .createOrReplaceTempView("graft_feature_scale")
   }
 
   def register(

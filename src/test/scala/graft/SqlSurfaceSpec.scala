@@ -111,6 +111,17 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
       "SELECT count(*) FROM graft_curation WHERE doc_id % 7 = 3").head.getLong(0) == 0L)
     assert(spark.sql(
       "SELECT count(*) FROM graft_curation WHERE keep AND contaminated").head.getLong(0) == 0L)
+    // round-11 views: the bloom screen agrees with the exact gram
+    // screen row-for-row; chunks cover every non-empty doc; triangles
+    // ride the same pair graph
+    same("graft_bloom_decontaminate",
+      graft.dedup.Dedup.decontaminate(
+        docs.where(col("doc_id") % 7 =!= 3), docs.where(col("doc_id") % 7 === 3)))
+    assert(spark.sql(
+      "SELECT count(DISTINCT doc_id) FROM graft_chunks").head.getLong(0) == 20L)
+    same("graft_triangles",
+      graft.dedup.Dedup.triangleCounts(
+        graft.dedup.Dedup.minhashNearDups(docs, 0.6).select("doc_a", "doc_b")))
   }
 
   test("similarity family (s1-s5, e1, e2) reachable from SQL and equal to DataFrame twins") {
@@ -162,6 +173,18 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(funnel == Map("view" -> 2L, "click" -> 1L))
     assert(spark.sql("SELECT count(*) FROM graft_mad_outliers").head.getLong(0) == 2L)
+    // round-11 event views: SCD2 history (user 1 changes view->click:
+    // 2 versions, one current), seasonal strength, feature scale
+    val hist = spark.sql(
+      """SELECT user_id, version, event_type, is_current
+        |FROM graft_scd2_history WHERE user_id = 1 ORDER BY version""".stripMargin)
+      .as[(Long, Long, String, Boolean)].collect().toSeq
+    assert(hist == Seq((1L, 1L, "view", false), (1L, 2L, "click", true)))
+    assert(spark.sql("SELECT count(*) FROM graft_seasonal_strength")
+      .head.getLong(0) > 0L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_feature_scale WHERE mm6 IS NOT NULL")
+      .head.getLong(0) == 4L)
     val docs = Seq((1L, "short"), (2L, "a much longer document body"))
       .toDF("doc_id", "text")
     SqlSurface.registerCorpus(docs)
