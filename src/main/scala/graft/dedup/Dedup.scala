@@ -1012,21 +1012,21 @@ object Dedup {
    * confirm makes the output fpp-independent (the oracle is
    * [[decontaminate]]'s).
    */
-  def bloomDecontaminate(
-      corpus: DataFrame, benchmark: DataFrame,
-      n: Int = 3, minHits: Long = 1L, bitsPerGram: Int = 12,
-      maxBloomWords: Long = 1L << 27): DataFrame = {
-    require(bitsPerGram >= 4 && bitsPerGram <= 24,
-      s"bloomDecontaminate: bitsPerGram must be in [4, 24]: $bitsPerGram")
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    def grams(df: DataFrame) = parallelize(df).select(col("doc_id"),
-      explode(array_distinct(
-        call_function("graft_shingle_hashes", col("text"), lit(n)))).as("g"))
-    val bench = materialize(grams(benchmark).select(col("g")).distinct())
+  /** Distributed Bloom bitset build over a distinct LONG gram frame
+    * `bench(g)`: explode the k positions per gram, partial-combined
+    * bit_or per 64-bit word, collect ≤ maxBloomWords words (loud
+    * refusal above — the maxDriverFoldEdges convention). Returns the
+    * dense word array and the hash count k = round(ln2·bitsPerGram).
+    * Shared by [[bloomDecontaminate]] and the streaming bloom screen
+    * ([[graft.streaming.StreamingDedup.streamingBloomScreen]]), so
+    * both paths probe the IDENTICAL bitset. */
+  private[graft] def buildBloomWords(
+      bench: DataFrame, bitsPerGram: Int, maxBloomWords: Long,
+      op: String): (Array[Long], Int) = {
     val nGrams = math.max(1L, bench.count())
     val nWords = (nGrams * bitsPerGram + 63L) / 64L
     if (nWords > maxBloomWords) throw new IllegalArgumentException(
-      s"bloomDecontaminate: $nGrams benchmark grams x $bitsPerGram bits = $nWords words " +
+      s"$op: $nGrams benchmark grams x $bitsPerGram bits = $nWords words " +
         s"> maxBloomWords=$maxBloomWords (${maxBloomWords * 8 / (1 << 20)} MiB). The bitset " +
         "is driver-assembled and plan-shipped; raise maxBloomWords if the cluster has the " +
         "memory, or fall back to decontaminate()'s gram join.")
@@ -1042,6 +1042,22 @@ object Dedup {
       .collect() // ≤ nWords rows — guarded above
     val words = new Array[Long](nWords.toInt)
     setWords.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    (words, k)
+  }
+
+  def bloomDecontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 3, minHits: Long = 1L, bitsPerGram: Int = 12,
+      maxBloomWords: Long = 1L << 27): DataFrame = {
+    require(bitsPerGram >= 4 && bitsPerGram <= 24,
+      s"bloomDecontaminate: bitsPerGram must be in [4, 24]: $bitsPerGram")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def grams(df: DataFrame) = parallelize(df).select(col("doc_id"),
+      explode(array_distinct(
+        call_function("graft_shingle_hashes", col("text"), lit(n)))).as("g"))
+    val bench = materialize(grams(benchmark).select(col("g")).distinct())
+    val (words, k) = buildBloomWords(bench, bitsPerGram, maxBloomWords,
+      "bloomDecontaminate")
     val candidates = grams(corpus)
       .where(call_function("graft_bloom_contains",
         col("g"), typedlit(words.toSeq), lit(k)))

@@ -228,4 +228,47 @@ object StreamingDedup {
       .toDF("doc_id", "n_hits")
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
+
+  /**
+   * Streaming BLOOM contamination screen — [[streamingDecontaminate]]
+   * with the driver/plan state shrunk from the full gram set (8 B +
+   * ~40 B JVM-set overhead per gram) to the Bloom bitset
+   * (`bitsPerGram`/8 bytes per gram, ~30× smaller), the state a
+   * benchmark too large for [[maxDriverGramSet]] still fits. The
+   * trade is one-sided: ZERO false negatives (an unflagged doc is
+   * definitively clean — the common case on a mostly-clean ingest,
+   * which this screen passes through untouched), while `n_bloom_hits`
+   * is an fpp-bounded UPPER bound on the true hit count — a flagged
+   * doc routes to the exact confirm
+   * ([[graft.dedup.Dedup.bloomDecontaminate]] in a foreachBatch, or
+   * the batch layer), exactly the triage split production ingest
+   * gates run. Output (doc_id, n_bloom_hits, maybe_contaminated).
+   *
+   * STATELESS append projection (no state store, no watermark): the
+   * bitset rides the plan as one reference object via the shared
+   * [[graft.functions.BloomContains]] expression, and both this
+   * screen and the batch operator probe the IDENTICAL bitset
+   * ([[graft.dedup.Dedup.buildBloomWords]] — one build path, so the
+   * two layers can never disagree on membership).
+   */
+  def streamingBloomScreen(
+      docs: DataFrame, benchmark: DataFrame,
+      n: Int = 3, minHits: Long = 1L, bitsPerGram: Int = 12,
+      maxBloomWords: Long = 1L << 27): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val bench = benchmark.select(explode(array_distinct(
+        call_function("graft_shingle_hashes", col("text"), lit(n)))).as("g"))
+      .distinct()
+    val (words, k) = graft.dedup.Dedup.buildBloomWords(
+      bench, bitsPerGram, maxBloomWords, "streamingBloomScreen")
+    docs
+      .select(col("doc_id"),
+        array_distinct(call_function("graft_shingle_hashes", col("text"), lit(n)))
+          .as("grams"))
+      .select(col("doc_id"),
+        size(filter(col("grams"), g =>
+          call_function("graft_bloom_contains", g, typedlit(words.toSeq), lit(k))))
+          .cast("long").as("n_bloom_hits"))
+      .withColumn("maybe_contaminated", col("n_bloom_hits") >= minHits)
+  }
 }

@@ -177,12 +177,30 @@ object StreamingJoins {
     * unbounded. */
   val maxRightBufferRows: Int = 1000000
 
+  /** `onOverflow` policies for [[streamingAsofJoin]]'s right buffer:
+    *
+    *  - `"fail"` (default): the loud-bound convention — exceeding
+    *    `maxBufferRows` kills the query with the remedies named. The
+    *    right choice when a lagging left is a pipeline bug.
+    *  - `"evict"`: bounded-state-over-completeness — the OLDEST
+    *    buffered rights drop first (the newest `maxBufferRows` stay),
+    *    the query keeps running, and only lefts lagging behind the
+    *    eviction horizon degrade: their backward match surfaces as
+    *    null, exactly like a tolerance miss. Current lefts are
+    *    unaffected (their matches are the newest rights). The right
+    *    choice for a best-effort live feed where availability beats a
+    *    complete join on stragglers — reprocessing (the batch asofJoin
+    *    over the lake) recovers the dropped matches later, the
+    *    lambda-layout contract every streaming twin here follows. */
   def streamingAsofJoin(
       left: DataFrame, right: DataFrame,
       toleranceUs: Option[Long] = None,
-      maxBufferRows: Int = maxRightBufferRows): DataFrame = {
+      maxBufferRows: Int = maxRightBufferRows,
+      onOverflow: String = "fail"): DataFrame = {
     require(maxBufferRows >= 1,
       s"streamingAsofJoin: maxBufferRows must be >= 1: $maxBufferRows")
+    require(onOverflow == "fail" || onOverflow == "evict",
+      s"streamingAsofJoin: onOverflow must be 'fail' or 'evict': $onOverflow")
     val spark = left.sparkSession
     import spark.implicits._
     val l = left.select(col("series_id").cast("string").as("series_id"),
@@ -238,13 +256,19 @@ object StreamingJoins {
           var keepFrom = 0
           var i = 0
           while (i < buf.length && buf(i)._1 <= maxLeft) { keepFrom = i; i += 1 }
-          val kept = if (buf.isEmpty) buf else buf.slice(keepFrom, buf.length)
-          if (kept.length > maxBufferRows) throw new IllegalArgumentException(
-            s"streamingAsofJoin: series '$sid' buffers ${kept.length} right " +
-              s"rows > maxBufferRows=$maxBufferRows — the left side lags the " +
-              "right by more than the bound. Slow the right feed, raise " +
-              "maxBufferRows explicitly, or run the batch asofJoin per " +
-              "micro-batch via foreachBatch (graft.operators.Joins.asofJoin)")
+          var kept = if (buf.isEmpty) buf else buf.slice(keepFrom, buf.length)
+          if (kept.length > maxBufferRows) {
+            if (onOverflow == "fail") throw new IllegalArgumentException(
+              s"streamingAsofJoin: series '$sid' buffers ${kept.length} right " +
+                s"rows > maxBufferRows=$maxBufferRows — the left side lags the " +
+                "right by more than the bound. Slow the right feed, raise " +
+                "maxBufferRows explicitly, use onOverflow='evict' for bounded " +
+                "best-effort state, or run the batch asofJoin per micro-batch " +
+                "via foreachBatch (graft.operators.Joins.asofJoin)")
+            // evict: newest maxBufferRows survive; lefts lagging past
+            // the eviction horizon degrade to null matches
+            kept = kept.slice(kept.length - maxBufferRows, kept.length)
+          }
           state.update(AsofJoinState(
             maxLeft, kept.map(_._1).toList, kept.map(_._2).toList))
           out.result().iterator

@@ -358,6 +358,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming bloom screen: upper-bounds the exact screen, zero false negatives") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.streamingBloomScreen(
+        input.toDF().toDF("doc_id", "text"), bench, minHits = 2L)
+      .writeStream.format("memory").queryName("sbl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, base), (2L, "completely unrelated words in this one"),
+        (3L, base.replace("away", "home")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select doc_id, n_bloom_hits, maybe_contaminated from sbl order by doc_id")
+        .as[(Long, Long, Boolean)].collect().toSeq
+      val nGrams = base.split(" ").length - 2
+      // exact hit counts: nGrams / 0 / nGrams-1. Bloom counts are an
+      // upper bound; at ~12 grams vs fpp 0.3% they are exact here,
+      // and the zero-false-negative direction must ALWAYS hold.
+      assert(rows.map(_._1) == Seq(1L, 2L, 3L))
+      assert(rows(0)._2 == nGrams.toLong && rows(0)._3)
+      assert(rows(1)._2 == 0L && !rows(1)._3)
+      assert(rows(2)._2 == nGrams.toLong - 1 && rows(2)._3)
+    } finally q.stop()
+    // the oversized-bitset refusal mirrors the batch guard
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.streamingBloomScreen(
+        input.toDF().toDF("doc_id", "text"), bench, maxBloomWords = 1L)
+    }
+    assert(err.getMessage.contains("streamingBloomScreen"))
+  }
+
   test("streaming substring screen: batch-equivalent on a replayed corpus") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
@@ -528,6 +563,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
           .map(e => Option(e.getMessage).getOrElse("")).toSeq
       assert(chain(err).exists(m =>
         m.contains("maxBufferRows") && m.contains("foreachBatch")))
+    } finally q.stop()
+  }
+
+  test("streaming as-of join: onOverflow='evict' bounds state, degrades only straggler lefts") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val lIn = MemoryStream[(String, java.sql.Timestamp, Option[Double])]
+    val rIn = MemoryStream[(String, java.sql.Timestamp, Option[Double])]
+    val q = graft.streaming.StreamingJoins.streamingAsofJoin(
+        lIn.toDF().toDF("series_id", "ts", "value"),
+        rIn.toDF().toDF("series_id", "ts", "value"),
+        maxBufferRows = 2, onOverflow = "evict")
+      .writeStream.format("memory").queryName("saje")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // four rights ahead of any left: the fail variant dies here; the
+      // evict variant keeps the NEWEST two (days 3, 4)
+      rIn.addData(("a", day(1), Some(1.0)), ("a", day(2), Some(2.0)),
+        ("a", day(3), Some(3.0)), ("a", day(4), Some(4.0)))
+      q.processAllAvailable()
+      // a straggler left at day 2: its true match (day-2 right) was
+      // evicted and day-3 is in the future -> null match. A current
+      // left at day 5 matches the surviving day-4 right.
+      lIn.addData(("a", day(2), Some(20.0)), ("a", day(5), Some(50.0)))
+      q.processAllAvailable()
+      val got = spark.sql("select series_id, ts, asof_value from saje order by ts")
+        .as[(String, java.sql.Timestamp, Option[Double])].collect().toSeq
+      assert(got.map(_._3) == Seq(None, Some(4.0)))
     } finally q.stop()
   }
 
