@@ -1158,6 +1158,53 @@ case class BloomContains(child: Expression, words: Array[Long], k: Int)
     copy(child = newChild)
 }
 
+/**
+ * `graft_morton(x, y)` → long — the Morton/Z-curve bit interleave
+ * (bit i of x → bit 2i, bit i of y → bit 2i+1) over the LOWER 31
+ * BITS of each input (positions ≤ 62, so the code never touches the
+ * sign bit on any engine). The multi-dimensional LAYOUT key every
+ * lakehouse z-order optimize is built on (public knowledge — Morton
+ * 1966; Z-order curves in databases since Orenstein 1984): rows
+ * sorted/ranged by this code are simultaneously clustered in BOTH
+ * dimensions, so per-file min/max stats prune scans filtered on
+ * EITHER column. At 100 TB the write path is
+ * `repartitionByRange(graft_morton(a, b)).sortWithinPartitions(...)`;
+ * the zo1 gate key audits the resulting locality (per-bucket range
+ * width in each dimension). Codegen'd single kernel call; negative
+ * inputs are masked like any other bit pattern (callers supply
+ * non-negative ids).
+ */
+case class MortonCode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_morton"
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    MortonCode.interleave(x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"${ev.value} = graft.functions.MortonCode.interleave($x, $y);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MortonCode =
+    copy(left = newLeft, right = newRight)
+}
+
+object MortonCode {
+  def interleave(x: Long, y: Long): Long = {
+    var out = 0L
+    var i = 0
+    while (i < 31) {
+      out |= ((x >>> i) & 1L) << (2 * i)
+      out |= ((y >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+}
+
 object GraftFunctions {
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -1216,7 +1263,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => BloomContains(children.head,
-        longArrayLiteral(children(1)), intLiteral(children(2)))))
+        longArrayLiteral(children(1)), intLiteral(children(2)))),
+    (FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(classOf[MortonCode].getName, "graft_morton"),
+      (children: Seq[Expression]) => MortonCode(children.head, children(1))))
 
   /** bits/bands/dim arrive as foldable literals. */
   private def intLiteral(e: Expression): Int = e.eval(null) match {

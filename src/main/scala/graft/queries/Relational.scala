@@ -1180,6 +1180,38 @@ object Relational {
         |FROM orders WHERE o_orderkey IN (
         |  SELECT l_orderkey FROM lineitem
         |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)""".stripMargin,
+    // zo1: the Morton interleave re-derived bit-by-bit in SQL (lower
+    // 31 bits, positions <= 62 — never the sign bit); buckets and all
+    // min/max stats are exact integers
+    "zo1_zorder_layout" ->
+      """WITH z AS (SELECT l_partkey, l_suppkey,
+        |  CAST(list_sum(list_transform(generate_series(0, 30),
+        |    i -> (((l_partkey >> i) & 1) << (2 * i))
+        |       + (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zc
+        | FROM lineitem)
+        |SELECT zc >> 10 AS bucket, COUNT(*) AS n,
+        |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+        |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+        |FROM z GROUP BY 1""".stripMargin,
+    // ed1: identical blocking key (1-based [2] == Spark getItem(1)),
+    // identical levenshtein integers, min(dist, id) argmin via
+    // row_number — every output column an exact integer or null
+    "ed1_name_matching" ->
+      """WITH r AS (SELECT p_partkey AS id, p_name AS name,
+        |  string_split(p_name, ' ')[2] AS block FROM part),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |   levenshtein(a.name, b.name) AS dist
+        |  FROM r a JOIN r b ON a.block = b.block AND a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |s AS (SELECT id_a AS id, id_b AS match_id, dist FROM p
+        |  UNION ALL SELECT id_b AS id, id_a AS match_id, dist FROM p),
+        |g AS (SELECT id, COUNT(*) AS n_near FROM s GROUP BY 1),
+        |bst AS (SELECT id, dist AS best_dist, match_id AS best_match FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, match_id) AS rn
+        |  FROM s) WHERE rn = 1)
+        |SELECT r.id, CAST(COALESCE(g.n_near, 0) AS BIGINT) AS n_near,
+        |  CAST(bst.best_dist AS BIGINT) AS best_dist, bst.best_match
+        |FROM r LEFT JOIN g USING (id) LEFT JOIN bst USING (id)""".stripMargin,
     "rs2_range_window" ->
       """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS series_id, ts,
         |  CASE WHEN isnan(value) THEN NULL ELSE value END AS value,
@@ -1239,6 +1271,42 @@ object Relational {
     "w3_yoy_growth" -> (w3YoyGrowth _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q10_returned_items" -> (q10ReturnedItems _),
-    "rs2_range_window" -> (rs2RangeWindow _)
+    "rs2_range_window" -> (rs2RangeWindow _),
+    "ed1_name_matching" -> (ed1NameMatching _),
+    "zo1_zorder_layout" -> (zo1ZorderLayout _)
   )
+
+  /** Z-ORDER layout audit: Morton-interleave (l_partkey, l_suppkey)
+    * via the native `graft_morton` expression, range-bucket the code
+    * (bucket = z >> 10 — 1024 codes per bucket ≈ one "file" of a
+    * z-ordered write), and emit each bucket's row count and min/max
+    * range in BOTH dimensions. The point the numbers make: every
+    * bucket is narrow in partkey AND suppkey simultaneously, which is
+    * why per-file min/max stats prune a scan filtered on EITHER
+    * column — the multi-dimensional data-skipping layout a 100 TB
+    * lake writes with `repartitionByRange(graft_morton(a, b))`.
+    * All-integer output. */
+  def zo1ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        call_function("graft_morton", col("l_partkey"), col("l_suppkey")).as("z"))
+      .groupBy(shiftright(col("z"), 10).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+        min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+  }
+
+  /** Record-linkage demo over part names: block on the name's second
+    * token (the noun a typo in the adjective preserves), verify with
+    * levenshtein ≤ 2 — [[graft.dedup.Dedup.blockedEditDistance]] on
+    * the (p_partkey, p_name) frame. Both engines ship the identical
+    * Wagner–Fischer levenshtein on ASCII, so every distance is the
+    * same exact integer. */
+  def ed1NameMatching(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.blockedEditDistance(
+      t(spark, dir, "part").select(
+        col("p_partkey").as("id"), col("p_name").as("name"),
+        split(col("p_name"), " ").getItem(1).as("block")),
+      maxDist = 2)
 }

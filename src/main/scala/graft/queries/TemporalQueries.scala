@@ -57,8 +57,38 @@ object TemporalQueries {
     // SCD2 dimension-history construction: each user's event_type
     // stream collapses into type-2 validity rows
     "scd1_scd2_history" -> ((s, dir) =>
-      scd2History(Tables.read(s, dir, "events")))
+      scd2History(Tables.read(s, dir, "events"))),
+    // first-order Markov transition matrix over user event paths
+    "mk1_transition_matrix" -> ((s, dir) =>
+      transitionMatrix(Tables.read(s, dir, "events")))
   )
+
+  /** First-order MARKOV TRANSITION MATRIX over per-user event paths —
+    * the "what do users do next" path-analysis primitive (and the
+    * sufficient statistic for a first-order behavioral model): for
+    * every ordered (from_type → to_type) step in a user's event
+    * stream, the count and the row-normalized transition probability
+    * P(to | from). Ordering ties break by event_id (the scd1/fn1
+    * contract). p6 is one IEEE division of two exact integers,
+    * rounded to 6dp — cross-engine exact.
+    *
+    * Scale shape: one exchange on user_id for the lead window, one
+    * partial-combined (from, to) count aggregate (state-type² rows at
+    * most — tiny for any real taxonomy), and the row-normalize window
+    * runs over that bounded matrix, not the corpus. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val counts = trans
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p6",
+      round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"), 6))
+  }
 
   /** Slowly-changing-dimension TYPE 2 history — turn a change-event
     * stream into the validity-interval dimension table (valid_from,
@@ -351,7 +381,21 @@ object TemporalQueries {
         |  n_events,
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
         |    AS is_current
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+    // mk1: identical (ts, event_id) ordering; n and the per-from total
+    // are exact BIGINTs, one double division, ROUND(,6)
+    "mk1_transition_matrix" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |tr AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS to_type
+        | FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE)
+        |    / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p6
+        |FROM c""".stripMargin
   )
 }
 

@@ -140,6 +140,47 @@ object TextAnalysis {
         round(col("nll") / col("n_tokens"), 6).as("nll_mean"))
   }
 
+  /** Bigram LM quality scoring — t8's CCNet-style perplexity proxy
+    * upgraded one Markov order: per-doc mean negative log-likelihood
+    * under an add-one-smoothed corpus BIGRAM model,
+    * P(w_i | w_{i−1}) = (c(w_{i−1}, w_i) + 1) / (c(w_{i−1}) + V).
+    * The second-order signal catches word-salad documents whose
+    * UNIGRAM distribution looks fine (right words, wrong order) —
+    * exactly what t8 cannot see. Docs with fewer than two tokens have
+    * no bigrams and drop out (t8's inner-join convention).
+    *
+    * Portability: counts and V are exact integers; each −ln term is
+    * computed from the identical integer ratio on both engines (the
+    * t8 ln-ulp exposure, absorbed by ROUND(,6)); the per-doc sum
+    * folds in POSITION ORDER via the same array_sort/ORDER BY pos
+    * pairing t8 pins.
+    *
+    * Scale shape: token explode → lead window per doc (one doc_id
+    * exchange), bigram/unigram count aggregates (partial-combined,
+    * keyed on the gram), count-lookup joins keyed the same way, V as
+    * one broadcast scalar — no corpus-wide single partition anywhere. */
+  def t11BigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tk = docs(spark, dir)
+      .select(col("doc_id"), posexplode(wsTokens(lower(col("text")))).as(Seq("pos", "tok")))
+    val bg = tk.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .where(col("nxt").isNotNull)
+    val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val big = bg.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("cb"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    bg.join(big, Seq("tok", "nxt")).join(uni, Seq("tok"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("term",
+        -log((col("cb") + 1).cast("double") / (col("cu") + col("v")).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll") / col("n_bigrams"), 6).as("bigram_nll_mean"))
+  }
+
   /** BM25 term-query retrieval terms for the bm1 gate key — chosen
     * from the synthetic vocabulary so df spans common ("table") to
     * rarer ("spark") and scores separate. */
@@ -411,6 +452,27 @@ object TextAnalysis {
            |  ROUND(nll / n, 6) AS nll_mean
            |FROM s""".stripMargin
       },
+      "t11_bigram_nll" -> {
+        val lowToks =
+          """CASE WHEN length(trim(lower(text))) = 0 THEN []
+            | ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+        s"""WITH d AS (SELECT doc_id, $lowToks AS toks FROM documents),
+           |tk AS (SELECT doc_id, i AS pos, toks[i::INTEGER] AS tok,
+           |    toks[(i + 1)::INTEGER] AS nxt
+           |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+           |uni AS (SELECT tok, count(*) AS cu FROM tk GROUP BY 1),
+           |bg AS (SELECT * FROM tk WHERE nxt IS NOT NULL),
+           |big AS (SELECT tok, nxt, count(*) AS cb FROM bg GROUP BY 1, 2),
+           |v AS (SELECT count(*) AS v FROM uni),
+           |s AS (SELECT doc_id, count(*) AS n,
+           |  list_sum(list(-ln((cb + 1)::DOUBLE / (cu + v.v)::DOUBLE)
+           |    ORDER BY bg.pos)) AS nll
+           | FROM bg JOIN big USING (tok, nxt) JOIN uni USING (tok) CROSS JOIN v
+           | GROUP BY doc_id)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+           |  ROUND(nll / n, 6) AS bigram_nll_mean
+           |FROM s""".stripMargin
+      },
       "t10_kl_divergence" -> {
         val lowToks =
           """CASE WHEN length(trim(lower(text))) = 0 THEN []
@@ -535,6 +597,7 @@ object TextAnalysis {
     "t6_pii_scrub" -> (t6PiiScrub _),
     "t7_gopher_rules" -> (t7GopherRules _),
     "t8_unigram_nll" -> (t8UnigramNll _),
+    "t11_bigram_nll" -> (t11BigramNll _),
     "t9_char_stats" -> (t9CharStats _),
     "t10_kl_divergence" -> (t10KlDivergence _),
     "bm1_bm25" -> ((s: SparkSession, dir: String) =>

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * cos≈0.999 near-dups) into `outDir` with the driver testdata
   * schemas, then times the PRODUCTION query functions
   * (SparkEntry.queries) against it unchanged. Usage:
-  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr]"
+  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,bloom]"
   * (no --run flag = all sections).
   */
 object ScaleSmoke {
@@ -671,6 +671,59 @@ object ScaleSmoke {
         graft.dedup.Dedup.pairPageRank(spark.read.parquet(edgePath)).count()
       }
       println(s"SCALE pr1: $nEdges input pairs, 3 power iterations — per-iteration cost ≈ wall/3 (one edge join + one partial-combined sum each)")
+    }
+
+    // --- tc1 triangles on the same 1M-edge graph + 10k-spoke hub:
+    // degree orientation means the hub SOURCES no wedges (its edges
+    // all point into it), so the planted hot node cannot explode the
+    // wedge join — the curse-of-the-last-reducer case the algorithm
+    // exists for. maxTask is the evidence line. -----------------------
+    if (want("graph")) {
+      val edgePath = s"$outDir/pr_edges.parquet"
+      if (!new java.io.File(edgePath).exists()) {
+        spark.range(1000000L).select(
+            pmod(xxhash64(col("id") * 31 + 7), lit(500000L)).as("doc_a"),
+            pmod(xxhash64(col("id") * 131 + 3), lit(500000L)).as("doc_b"))
+          .unionByName(
+            spark.range(10000L).select(
+              lit(0L).as("doc_a"), (col("id") + 1000000L).as("doc_b")))
+          .where(col("doc_a") =!= col("doc_b"))
+          .write.mode("overwrite").parquet(edgePath)
+      }
+      timed("tc1_triangles_1m_edges") {
+        graft.dedup.Dedup.triangleCounts(spark.read.parquet(edgePath)).count()
+      }
+      val tri = graft.dedup.Dedup.triangleCounts(spark.read.parquet(edgePath))
+      val total = tri.agg(sum(col("n_triangles"))).head.getLong(0) / 3
+      val hub = tri.where(col("doc_id") === 0L).select("deg", "n_triangles").head
+      println(s"SCALE tc1: $total triangles; hub deg=${hub.getLong(0)} " +
+        s"triangles=${hub.getLong(1)} — the 10k-degree node did not straggle the wedge join")
+    }
+
+    // --- bf1 bloom screen vs dc1 exact gram screen on the 1M-doc
+    // corpus (benchmark = every 1000th doc): identical output by
+    // construction; the comparison lines are wall and the
+    // broadcast-state sizes (bitset bytes vs 8 B/gram set). ----------
+    if (want("bloom")) {
+      val d = graft.sources.Tables.read(spark, outDir, "documents")
+      val isEval = col("doc_id") % 1000 === 7
+      timed("dc1_exact_screen_1m") {
+        graft.dedup.Dedup.decontaminate(d.where(!isEval), d.where(isEval)).count()
+      }
+      timed("bf1_bloom_screen_1m") {
+        graft.dedup.Dedup.bloomDecontaminate(d.where(!isEval), d.where(isEval)).count()
+      }
+      val exact = graft.dedup.Dedup.decontaminate(d.where(!isEval), d.where(isEval))
+      val bloom = graft.dedup.Dedup.bloomDecontaminate(d.where(!isEval), d.where(isEval))
+      val diff = exact.as("a").join(bloom.as("b"), Seq("doc_id"))
+        .where(col("a.n_hits") =!= col("b.n_hits")).count()
+      val nBenchGrams = d.where(isEval).select(explode(array_distinct(
+          call_function("graft_shingle_hashes", col("text"), lit(3)))).as("g"))
+        .distinct().count()
+      val bitsetBytes = ((nBenchGrams * 12 + 63) / 64) * 8
+      println(s"SCALE bf1: output diff rows vs dc1 = $diff (must be 0); " +
+        s"bench grams=$nBenchGrams, bitset=${bitsetBytes / 1024} KiB vs " +
+        s"exact-set ${nBenchGrams * 8 / 1024} KiB + join-relation overhead")
     }
     spark.stop()
   }

@@ -365,6 +365,81 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(s6a) == rows(s6b))
   }
 
+  test("blockedEditDistance: within-block pairs only, argmin ties to lowest id, zeros kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val recs = Seq(
+      (1L, "red widget", "widget"), (2L, "red widget", "widget"), // dist 0
+      (3L, "rad widget", "widget"),  // dist 1 to both 1 and 2
+      (4L, "blue widget", "widget"), // dist >= 3 to all
+      (5L, "red bolt", "bolt")       // different block: never paired
+    ).toDF("id", "name", "block")
+    val r = graft.dedup.Dedup.blockedEditDistance(recs, maxDist = 2)
+      .orderBy("id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(r == Seq(
+      (1L, 2L, Some(0L), Some(2L)),  // best: exact dup 2 (0 beats 3's 1)
+      (2L, 2L, Some(0L), Some(1L)),  // tie on dist 0 -> lowest id 1
+      (3L, 2L, Some(1L), Some(1L)),
+      (4L, 0L, None, None),
+      (5L, 0L, None, None)))
+  }
+
+  test("transitionMatrix: counts and row-normalized probabilities, event_id tie-break") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: A->B->A->B ; user 2: A->B (same-ts pair ordered by id)
+    val ev = Seq(
+      (1L, t(0), 1L, "A"), (1L, t(1), 2L, "B"), (1L, t(2), 3L, "A"), (1L, t(3), 4L, "B"),
+      (2L, t(5), 10L, "A"), (2L, t(5), 11L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = graft.queries.TemporalQueries.transitionMatrix(ev)
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // A->B x3, B->A x1; P(B|A)=1.0, P(A|B)=1.0
+    assert(r == Seq(("A", "B", 3L, 1.0), ("B", "A", 1L, 1.0)))
+  }
+
+  test("graft_morton: known interleaves; z-buckets bound both dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.MortonCode
+    // bit-level truth: x=0b101, y=0b011 -> z = x bits at even, y at odd
+    // = (1<<0)+(0<<2)+(1<<4) + (1<<1)+(1<<3)+(0<<5) = 1+16+2+8 = 27
+    assert(MortonCode.interleave(5L, 3L) == 27L)
+    assert(MortonCode.interleave(0L, 0L) == 0L)
+    assert(MortonCode.interleave((1L << 31) - 1, 0L) == 0x1555555555555555L)
+    graft.functions.GraftFunctions.register(spark)
+    // locality: cells of a 64x64 grid bucketed by z >> 6 each span at
+    // most an 8x8 tile in BOTH dimensions (z-curve tile property)
+    val g = spark.range(64L * 64L).select(
+      (col("id") / 64L).cast("long").as("x"), (col("id") % 64L).as("y"))
+    val spans = g.select(col("x"), col("y"),
+        call_function("graft_morton", col("x"), col("y")).as("z"))
+      .groupBy((col("z") / 64L).cast("long").as("b"))
+      .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")), count(lit(1)))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(spans.length == 64 && spans.forall(s => s._2 <= 7 && s._3 <= 7 && s._4 == 64))
+  }
+
+  test("t11 bigram NLL: word salad scores worse than natural repetition") {
+    import org.apache.spark.sql.functions.col
+    // corpus in a temp dir: doc 1 repeats one bigram (high P), doc 2
+    // cycles rare transitions over the same unigrams
+    val dir = java.nio.file.Files.createTempDirectory("t11spec").toString
+    import spark.implicits._
+    Seq(
+      (1L, "a b a b a b a b", "en", "s", 15L),
+      (2L, "b b a a b a a b", "en", "s", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.TextAnalysis.t11BigramNll(spark, dir)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(r.map(_._2) == Seq(7L, 7L))
+    assert(r(1)._3 > r(0)._3, s"salad ${r(1)._3} should exceed natural ${r(0)._3}")
+  }
+
   test("seasonalDecompose: pure weekly signal scores 1, constant series scores null") {
     import spark.implicits._
     import java.sql.Timestamp
