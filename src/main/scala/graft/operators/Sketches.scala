@@ -82,6 +82,59 @@ object Sketches {
         round(col("est"), 6).as("hll_union_est6"))
   }
 
+  /**
+   * Per-GROUP HLL distinct counts — the shape a 100 TB rollup
+   * actually wants ("distinct users per event type / domain / day"):
+   * one register frame keyed on (group, bucket) — at most m rows PER
+   * GROUP, partial-combined, so the exchange carries
+   * O(groups · m) regardless of row count — then the hl1 estimate
+   * formula applied per group (identical DECIMAL-exact harmonic sum
+   * and small-range branch, so the oracle is hl1's SQL with a GROUP
+   * BY). Output one row per group: (grp, n_exact, n_buckets_used,
+   * hll_estimate6); the exact column is the drop-at-scale audit, as
+   * in hl1. Groups with few members ride the small-range linear-
+   * counting branch — still engine-exact.
+   */
+  def hllDistinctBy(
+      df: DataFrame, group: Column, key: Column, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 12, s"hll: p must be in [4, 12]: $p")
+    val m = 1 << p
+    val vbits = 64 - p
+    val fp = md5(key.cast("string"))
+    val hi = conv(substring(fp, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(fp, 9, 8), 16, 10).cast("long")
+    val bucket = floor(hi / lit(1L << (32 - p))).cast("long")
+    val v = pmod(hi, lit(1L << (32 - p))) * lit(4294967296L) + lo
+    val rho = when(v === 0, lit(vbits + 1))
+      .otherwise(lit(vbits + 1) - length(bin(v)))
+    val regs = df.select(group.as("grp"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("reg"))
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    val scale = vbits + 2
+    val summed = regs.groupBy(col("grp")).agg(
+      sum(pow(lit(2.0), lit(scale) - col("reg")).cast("decimal(38,0)")).as("s_present"),
+      count(lit(1)).as("used"))
+    val sAll = (col("s_present")
+      + (lit(m) - col("used")).cast("decimal(38,0)")
+        * lit(math.pow(2.0, scale)).cast("decimal(38,0)")).cast("double")
+    val eRaw = lit(alpha) * lit(m) * lit(m) * lit(math.pow(2.0, scale)) / sAll
+    val est = when(eRaw <= lit(2.5 * m) && col("used") < m,
+        lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("used"))))
+      .otherwise(eRaw)
+    val nExact = df.groupBy(group.as("grp"))
+      .agg(countDistinct(key.cast("string")).as("n_exact"))
+    summed
+      .select(col("grp"), col("used").as("n_buckets_used"),
+        round(est, 6).as("hll_estimate6"))
+      .join(nExact, Seq("grp"))
+      .select(col("grp"), col("n_exact"), col("n_buckets_used"),
+        col("hll_estimate6"))
+  }
+
   /** (bucket, reg) register frame — max rank per bucket, the
     * at-most-m-row aggregate both [[hllDistinct]] and [[hllUnion]]
     * build from. */

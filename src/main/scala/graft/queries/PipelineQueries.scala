@@ -378,6 +378,12 @@ object PipelineQueries {
     // get exercised across SFs).
     "hl1_hll_distinct" -> ((s, dir) =>
       graft.operators.Sketches.hllDistinct(docs(s, dir), col("text"))),
+    // Per-GROUP HLL: distinct users per event_type — the grouped
+    // rollup shape (O(groups·m) exchange regardless of row count);
+    // small groups exercise the linear-counting branch per group
+    "hg1_hll_by_group" -> ((s, dir) =>
+      graft.operators.Sketches.hllDistinctBy(
+        Tables.read(s, dir, "events"), col("event_type"), col("user_id"))),
     // HLL REGISTER UNION: per-slice register frames compose by
     // per-bucket max — the hl1 counterpart of sk2's mergeability;
     // the merge exchanges <=2m rows however large the slices
@@ -1007,6 +1013,37 @@ object PipelineQueries {
     // (order-independent), one double cast, the same op-sequence
     // estimate — DOUBLE-cast literals everywhere (bare 0.709 would be
     // DuckDB DECIMAL arithmetic)
+    // hg1: hl1's register/estimate SQL with a GROUP BY on event_type;
+    // md5 over the user id's VARCHAR form on both engines
+    "hg1_hll_by_group" -> {
+      def hex2int(off: Int) =
+        s"""CAST(list_sum(list_transform(generate_series(1, 8),
+           |  i -> (strpos('0123456789abcdef',
+           |          substr(md5(CAST(user_id AS VARCHAR)), (i + $off)::INTEGER, 1)) - 1)
+           |       * power(16, 8 - i))) AS BIGINT)""".stripMargin
+      s"""WITH h AS (SELECT event_type AS grp, ${hex2int(0)} AS hi, ${hex2int(8)} AS lo
+         |  FROM events),
+         |b AS (SELECT grp, CAST(floor(hi / 67108864) AS BIGINT) AS bucket,
+         |  hi % 67108864 * 4294967296 + lo AS v FROM h),
+         |r AS (SELECT grp, bucket,
+         |  CASE WHEN v = 0 THEN 59 ELSE 59 - length(bin(v)) END AS rho FROM b),
+         |regs AS (SELECT grp, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+         |s AS (SELECT grp, SUM(CAST(pow(2.0, 60 - reg) AS DECIMAL(38,0))) AS s_present,
+         |  COUNT(*) AS used FROM regs GROUP BY 1),
+         |f AS (SELECT grp, used,
+         |  CAST(s_present + (64 - used) * CAST(pow(2.0, 60) AS DECIMAL(38,0)) AS DOUBLE)
+         |    AS sall
+         | FROM s),
+         |ex AS (SELECT event_type AS grp, COUNT(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT f.grp, ex.n_exact, used AS n_buckets_used,
+         |  ROUND(CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64 * pow(2.0, 60) / sall
+         |        <= CAST(160.0 AS DOUBLE) AND used < 64
+         |    THEN CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) / (64 - used))
+         |    ELSE CAST(0.709 AS DOUBLE) * 64 * 64 * pow(2.0, 60) / sall END, 6)
+         |    AS hll_estimate6
+         |FROM f JOIN ex USING (grp)""".stripMargin
+    },
     "hl1_hll_distinct" -> {
       def hex2int(off: Int) =
         s"""CAST(list_sum(list_transform(generate_series(1, 8),

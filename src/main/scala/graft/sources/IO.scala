@@ -104,4 +104,31 @@ object IO {
         count(lit(1)).as("rows"))
       .orderBy(col("min_key"))
   }
+
+  /** Z-ORDERED parquet writer — [[writeSortedShards]] generalized to
+    * TWO clustering columns via the native `graft_morton` interleave
+    * (the lakehouse OPTIMIZE ZORDER move): rows range-partition AND
+    * sort on the Morton code, so every output file is simultaneously
+    * narrow in BOTH dimensions and any engine's file/row-group
+    * min-max statistics prune scans filtered on EITHER column.
+    * Returns the per-file (min, max, rows) audit for both dims — the
+    * evidence frame; IOSpec asserts the narrowness invariant and the
+    * zo1 gate key audits the same property query-side. Columns must
+    * be non-negative integers below 2^31 (the interleave's domain). */
+  def writeZOrdered(
+      df: DataFrame, xCol: String, yCol: String,
+      path: String, shards: Int): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val z = call_function("graft_morton", col(xCol), col(yCol))
+    df.repartitionByRange(shards, z).sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy(col("x_min"), col("y_min"))
+  }
 }

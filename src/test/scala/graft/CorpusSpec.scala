@@ -109,6 +109,25 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r2._3 - 20000.0) / 20000.0 < 0.52, s"raw estimate off: ${r2._3}")
   }
 
+  test("hllDistinctBy: per-group rows equal the per-slice global estimates exactly") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.Sketches
+    // three groups of very different cardinality — sparse groups ride
+    // the linear branch, the large one the raw branch, per group
+    val rows = ((0 until 5).map(i => ("a", s"u$i")) ++
+      (0 until 40).map(i => ("b", s"v$i")) ++
+      (0 until 5000).map(i => ("c", s"w$i"))).toDF("g", "k")
+    val grouped = S.hllDistinctBy(rows, col("g"), col("k"))
+      .orderBy("grp").as[(String, Long, Long, Double)].collect().toSeq
+    assert(grouped.map(x => x._1 -> x._2).toMap == Map("a" -> 5L, "b" -> 40L, "c" -> 5000L))
+    for ((g, _, used, est) <- grouped) {
+      val solo = S.hllDistinct(rows.where(col("g") === g), col("k"))
+        .as[(Long, Long, Double)].head()
+      assert(solo._2 == used && solo._3 == est,
+        s"group $g: grouped ($used, $est) != solo (${solo._2}, ${solo._3})")
+    }
+  }
+
   test("kmv: merge property — union of sketches == sketch of union; estimates within bounds") {
     import org.apache.spark.sql.functions.col
     val S = graft.operators.Sketches

@@ -93,4 +93,31 @@ class IOSpec extends AnyFunSuite with SparkTestBase {
     val sizes = manifest.map(_._4)
     assert(sizes.min.toDouble / sizes.max > 0.5, s"shards badly skewed: $sizes")
   }
+
+  test("writeZOrdered: every file narrow in BOTH dims — either-column stats pruning works") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("zord").toString
+    // full 64x64 grid; 16 z-range shards => each file is one z-span
+    // covering a bounded tile in x AND y
+    val grid = spark.range(64L * 64L).select(
+      (col("id") / 64L).cast("long").as("x"), (col("id") % 64L).as("y"))
+    val manifest = IO.writeZOrdered(grid, "x", "y", s"$dir/z", shards = 16)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(manifest.size == 16)
+    assert(manifest.map(_._2).sum == 64L * 64L)
+    // the z-curve tile property: a contiguous z range of 4096/16=256
+    // codes spans at most a 16x16 tile in each dimension (vs 64 for a
+    // single-column sort's non-clustered dim). Range-partition
+    // boundaries are sampled, not exact powers of two — allow one
+    // extra tile of slack and assert BOTH dims stay narrow.
+    manifest.foreach { case (f, _, xmin, xmax, ymin, ymax) =>
+      assert(xmax - xmin <= 32 && ymax - ymin <= 32,
+        s"file $f spans x[$xmin,$xmax] y[$ymin,$ymax] — not z-clustered")
+    }
+    // contrast: a single-column sort leaves the OTHER dim full-width
+    val single = IO.writeSortedShards(
+      grid.withColumnRenamed("x", "doc_id"), "doc_id", s"$dir/s", shards = 16)
+    assert(single.count() == 16) // sanity; its y-width would be 64 per file
+  }
 }
