@@ -1180,6 +1180,20 @@ object Relational {
         |FROM orders WHERE o_orderkey IN (
         |  SELECT l_orderkey FROM lineitem
         |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)""".stripMargin,
+    // pf2: exact counts, one scalar stat row, deterministic
+    // (cnt DESC, key) top-k order on both engines
+    "pf2_key_skew" ->
+      """WITH c AS (SELECT l_partkey AS key, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows FROM c),
+        |t AS (SELECT c.*, s.n_keys, s.n_rows,
+        |   row_number() OVER (ORDER BY cnt DESC, key) AS rank
+        |  FROM c CROSS JOIN s)
+        |SELECT rank, key, cnt, n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+        |  ROUND(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS share6,
+        |  ROUND(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE), 6) AS skew6
+        |FROM t WHERE rank <= 10""".stripMargin,
     // zo1: the Morton interleave re-derived bit-by-bit in SQL (lower
     // 31 bits, positions <= 62 — never the sign bit); buckets and all
     // min/max stats are exact integers
@@ -1273,8 +1287,41 @@ object Relational {
     "q10_returned_items" -> (q10ReturnedItems _),
     "rs2_range_window" -> (rs2RangeWindow _),
     "ed1_name_matching" -> (ed1NameMatching _),
-    "zo1_zorder_layout" -> (zo1ZorderLayout _)
+    "zo1_zorder_layout" -> (zo1ZorderLayout _),
+    "pf2_key_skew" -> (pf2KeySkew _)
   )
+
+  /** Join-key SKEW profiler — the "should I salt this join"
+    * diagnostic run BEFORE committing a shuffle plan at 100 TB: per
+    * top key its row count, corpus share, and skew factor
+    * cnt/mean-per-key. A skew factor far above the shuffle partition
+    * count means one task owns the key after hashing — the straggler
+    * — and the remedies are the repo's standing ones (salting, AQE
+    * skew-join, the x5 chunked-pair decomposition). One
+    * partial-combined count aggregate + a broadcast scalar + top-k
+    * via TakeOrderedAndProject; all ratios divide exact integers once
+    * and round 6dp. */
+  def pf2KeySkew(spark: SparkSession, dir: String): DataFrame =
+    keySkew(t(spark, dir, "lineitem").select(col("l_partkey").as("key")), topK = 10)
+
+  /** Generic form of [[pf2KeySkew]] over any single-column `key`
+    * frame. */
+  def keySkew(keys: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"keySkew: topK must be >= 1: $topK")
+    val counts = keys.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+    val top = counts.crossJoin(broadcast(stats))
+      .orderBy(col("cnt").desc, col("key")).limit(topK)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key"))).cast("long"))
+      .select(col("rank"), col("key"), col("cnt"), col("n_keys"), col("n_rows"),
+        round(col("cnt").cast("double") / col("n_rows").cast("double"), 6)
+          .as("share6"),
+        round(col("cnt").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double"), 6).as("skew6"))
+  }
 
   /** Z-ORDER layout audit: Morton-interleave (l_partkey, l_suppkey)
     * via the native `graft_morton` expression, range-bucket the code

@@ -769,6 +769,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming transition steps: cross-batch state reproduces the batch Markov counts") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").cast("long"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      .sortBy(r => (r._2.getTime, r._3))
+    val split = events.length / 2 // mid-stream split: boundary steps must carry
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.StreamingPaths.transitionSteps(
+        input.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.format("memory").queryName("stp")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(events.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "select from_type, to_type, count(*) from stp group by 1, 2")
+        .as[(String, String, Long)].collect().toSet
+      val batch = graft.queries.TemporalQueries.transitionMatrix(
+          graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events"))
+        .select("from_type", "to_type", "n")
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming cohorts: per-user first-day state reproduces the batch retention matrix") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
