@@ -181,6 +181,45 @@ object TextAnalysis {
         round(col("nll") / col("n_bigrams"), 6).as("bigram_nll_mean"))
   }
 
+  /** COLLOCATION mining — top-k adjacent word pairs by pointwise
+    * mutual information PMI = ln(P(a,b) / (P(a)·P(b))) with a minimum
+    * bigram count (the classic Church–Hanks association measure; the
+    * corpus-analysis step that surfaces multi-word expressions worth
+    * protecting from tokenizers and chunkers). Reuses t11's counting
+    * chain; all counts are exact integers, the PMI argument is ONE
+    * double expression with the identical multiplication order on
+    * both engines (products in double — the integer form would
+    * overflow long at corpus scale), ln's ulp exposure is absorbed by
+    * ROUND(,6) (the t8 precedent), and the rank orders by the ROUNDED
+    * score with (tok, nxt) tie-break so both engines rank
+    * identically. Top-k via TakeOrderedAndProject. */
+  def pmi1Collocations(
+      spark: SparkSession, dir: String,
+      minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tk = docs(spark, dir)
+      .select(col("doc_id"), posexplode(wsTokens(lower(col("text")))).as(Seq("pos", "tok")))
+    val bg = tk.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .where(col("nxt").isNotNull)
+    val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val big = bg.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("cb"))
+    val scalars = tk.agg(count(lit(1)).as("n_tok"))
+      .crossJoin(bg.agg(count(lit(1)).as("n_big")))
+    val scored = big.where(col("cb") >= minCount)
+      .join(uni.select(col("tok"), col("cu").as("cu_a")), Seq("tok"))
+      .join(uni.select(col("tok").as("nxt"), col("cu").as("cu_b")), Seq("nxt"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("pmi6", round(log(
+        (col("cb").cast("double") * col("n_tok") * col("n_tok"))
+          / (col("n_big").cast("double") * col("cu_a") * col("cu_b"))), 6))
+    scored.orderBy(col("pmi6").desc, col("tok"), col("nxt")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi6").desc, col("tok"), col("nxt"))).cast("long"))
+      .select(col("rank"), col("tok"), col("nxt"), col("cb"), col("pmi6"))
+  }
+
   /** BM25 term-query retrieval terms for the bm1 gate key — chosen
     * from the synthetic vocabulary so df spans common ("table") to
     * rarer ("spark") and scores separate. */
@@ -452,6 +491,29 @@ object TextAnalysis {
            |  ROUND(nll / n, 6) AS nll_mean
            |FROM s""".stripMargin
       },
+      "pmi1_collocations" -> {
+        val lowToks =
+          """CASE WHEN length(trim(lower(text))) = 0 THEN []
+            | ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+        s"""WITH d AS (SELECT doc_id, $lowToks AS toks FROM documents),
+           |tk AS (SELECT doc_id, i AS pos, toks[i::INTEGER] AS tok,
+           |    toks[(i + 1)::INTEGER] AS nxt
+           |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+           |uni AS (SELECT tok, count(*) AS cu FROM tk GROUP BY 1),
+           |bgr AS (SELECT tok, nxt, count(*) AS cb FROM tk
+           |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |sc AS (SELECT (SELECT count(*) FROM tk) AS n_tok,
+           |  (SELECT count(*) FROM tk WHERE nxt IS NOT NULL) AS n_big),
+           |s AS (SELECT bgr.tok, bgr.nxt, cb,
+           |  ROUND(ln((CAST(cb AS DOUBLE) * n_tok * n_tok)
+           |    / (CAST(n_big AS DOUBLE) * a.cu * b.cu)), 6) AS pmi6
+           | FROM bgr JOIN uni a ON bgr.tok = a.tok
+           |   JOIN uni b ON bgr.nxt = b.tok CROSS JOIN sc
+           | WHERE cb >= 5)
+           |SELECT row_number() OVER (ORDER BY pmi6 DESC, tok, nxt) AS rank,
+           |  tok, nxt, cb, pmi6
+           |FROM s ORDER BY pmi6 DESC, tok, nxt LIMIT 20""".stripMargin
+      },
       "t11_bigram_nll" -> {
         val lowToks =
           """CASE WHEN length(trim(lower(text))) = 0 THEN []
@@ -598,6 +660,7 @@ object TextAnalysis {
     "t7_gopher_rules" -> (t7GopherRules _),
     "t8_unigram_nll" -> (t8UnigramNll _),
     "t11_bigram_nll" -> (t11BigramNll _),
+    "pmi1_collocations" -> ((s: SparkSession, dir: String) => pmi1Collocations(s, dir)),
     "t9_char_stats" -> (t9CharStats _),
     "t10_kl_divergence" -> (t10KlDivergence _),
     "bm1_bm25" -> ((s: SparkSession, dir: String) =>

@@ -327,10 +327,14 @@ object TimeSeriesQueries {
       .groupBy(col("series_id"))
       .agg(
         min(col("n")).as("n_values"),
-        round(min(col("med")), 6).as("med6"),
-        round(min(col("mad")), 6).as("mad6"),
+        // r6, not round(): a deseasonalized input (sea2) has medians
+        // EXACTLY on the x.xxxxxx5 grid — half-boundaries where
+        // engine round() conventions diverge; the explicit
+        // floor(|u|·1e6+0.5) formula is boundary-deterministic
+        r6(min(col("med"))).as("med6"),
+        r6(min(col("mad"))).as("mad6"),
         sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
-        round(max(col("dev")), 6).as("max_dev6"))
+        r6(max(col("dev"))).as("max_dev6"))
   }
 
   /** Per-series linear TREND: the OLS slope of value against time
@@ -444,6 +448,82 @@ object TimeSeriesQueries {
           greatest(lit(0.0), lit(1.0) - col("ssr6") / col("sst6"))))
           .as("strength6"))
   }
+
+  /** A/B EXPERIMENT readout — per event_type, the two-sample Welch
+    * t statistic between variant A (even user ids — the deterministic
+    * stand-in for an assignment column) and variant B:
+    * t = (m̄_A − m̄_B) / √(s²_A/n_A + s²_B/n_B). The core analytics
+    * op behind every experimentation platform, built on the repo's
+    * exactness stack: means are exact integer micro-unit sums
+    * quantized back before centering (nm1's discipline), the two sums
+    * of squares round to 6dp, and the t statistic is a fixed IEEE op
+    * sequence over engine-identical doubles. Degenerate cells (a
+    * single observation, or zero variance in both arms) yield null t.
+    *
+    * Scale shape: one conditional-aggregate pass per event_type, a
+    * keyed join back for the centered squares, one more aggregate —
+    * the sea1 shape, all exchanges on event_type. */
+  def exp1AbTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.read(spark, dir, "events")
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("va"),
+        graft.operators.Kernels.nanToNull(col("value")).as("value"))
+      .where(col("value").isNotNull)
+      .withColumn("yu", q6(col("value")))
+    val stats = ev.groupBy(col("event_type")).agg(
+        sum(when(col("va"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("va"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("va"), col("yu")).otherwise(0L)).as("sa"),
+        sum(when(!col("va"), col("yu")).otherwise(0L)).as("sb"))
+      .withColumn("ma_u", floor(col("sa").cast("double") / col("n_a") + lit(0.5)))
+      .withColumn("mb_u", floor(col("sb").cast("double") / col("n_b") + lit(0.5)))
+    val ss = ev
+      .join(stats.select(col("event_type"), col("ma_u"), col("mb_u")),
+        Seq("event_type"))
+      .withColumn("c",
+        when(col("va"), (col("yu").cast("double") - col("ma_u")) / lit(1e6))
+          .otherwise((col("yu").cast("double") - col("mb_u")) / lit(1e6)))
+      .groupBy(col("event_type")).agg(
+        r6(sum(when(col("va"), col("c") * col("c")).otherwise(0.0))).as("ssa6"),
+        r6(sum(when(!col("va"), col("c") * col("c")).otherwise(0.0))).as("ssb6"))
+    stats.join(ss, Seq("event_type"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        r6(col("ma_u") / lit(1e6)).as("mean_a6"),
+        r6(col("mb_u") / lit(1e6)).as("mean_b6"),
+        r6(when(col("n_a") > 1 && col("n_b") > 1
+              && (col("ssa6") > 0.0 || col("ssb6") > 0.0),
+          (col("ma_u") / lit(1e6) - col("mb_u") / lit(1e6))
+            / sqrt(col("ssa6") / (col("n_a") - 1) / col("n_a")
+                 + col("ssb6") / (col("n_b") - 1) / col("n_b"))))
+          .as("welch_t6"))
+  }
+
+  /** Residual frame after removing the dow seasonal component —
+    * [[seasonalDecompose]]'s subtraction exposed row-wise, so
+    * downstream screens run on the DESEASONALIZED signal. Output
+    * (series_id, ts, event_id, value = residual); the residual is a
+    * difference of integer micro-unit values divided once, so both
+    * engines carry identical doubles into whatever follows. */
+  def deseasonalize(series: DataFrame): DataFrame = {
+    val rows = series.where(col("value").isNotNull)
+      .withColumn("dow", weekday(col("ts")).cast("long"))
+      .withColumn("yu", q6(col("value")))
+    val dowAgg = rows.groupBy(col("series_id"), col("dow")).agg(
+        count(lit(1)).as("n"), sum(col("yu")).as("syud"))
+      .withColumn("s_u", floor(col("syud").cast("double") / col("n") + lit(0.5)))
+    rows.join(dowAgg.select(col("series_id"), col("dow"), col("s_u")),
+        Seq("series_id", "dow"))
+      .select(col("series_id"), col("ts"), col("event_id"),
+        ((col("yu").cast("double") - col("s_u")) / lit(1e6)).as("value"))
+  }
+
+  /** Seasonally-adjusted robust outliers — the composition a real
+    * alerting pipeline ships: a Monday-shaped spike is NORMAL on a
+    * weekly-periodic series, so the MAD fence ([[madOutliers]], rz1's
+    * machinery unchanged) runs on [[deseasonalize]]'s residuals
+    * instead of raw values. Same single-shuffle-per-stage budget;
+    * every rank pick operates on engine-identical residual doubles. */
+  def sea2SeasonalOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliers(deseasonalize(canonicalWithId(spark, dir)))
 
   /** Per-series FEATURE SCALING — the model-prep normalization pass:
     * each value emitted with its z-score ((v − mean)/std, sample std)
@@ -845,6 +925,75 @@ object TimeSeriesQueries {
     // sums pass through the explicit floor(|u|·1e6+0.5)/1e6 formula
     // (the s3 pattern), because round() half-behavior differs across
     // engines exactly when a 2^k-point mean lands on the boundary
+    // exp1: conditional integer sums, quantized means, 6dp sums of
+    // squares, one fixed op sequence for t — the nm1 discipline
+    "exp1_ab_test" -> {
+      def csq(mu: String) =
+        s"((CAST(yu AS DOUBLE) - $mu) / 1000000.0) * ((CAST(yu AS DOUBLE) - $mu) / 1000000.0)"
+      s"""WITH e AS (SELECT event_type, user_id % 2 = 0 AS va,
+         |  CASE WHEN isnan(value) THEN NULL ELSE value END AS value FROM events),
+         |nn AS (SELECT event_type, va, ${q6Sql("value")} AS yu
+         | FROM e WHERE value IS NOT NULL),
+         |st AS (SELECT event_type,
+         |  SUM(CASE WHEN va THEN 1 ELSE 0 END) AS n_a,
+         |  SUM(CASE WHEN va THEN 0 ELSE 1 END) AS n_b,
+         |  SUM(CASE WHEN va THEN yu ELSE 0 END) AS sa,
+         |  SUM(CASE WHEN va THEN 0 ELSE yu END) AS sb
+         | FROM nn GROUP BY 1),
+         |sq AS (SELECT *, floor(CAST(sa AS DOUBLE) / n_a + 0.5) AS ma_u,
+         |   floor(CAST(sb AS DOUBLE) / n_b + 0.5) AS mb_u FROM st),
+         |ss AS (SELECT nn.event_type,
+         |  ${r6Sql("SUM(CASE WHEN va THEN " + csq("ma_u") + " ELSE 0 END)")} AS ssa6,
+         |  ${r6Sql("SUM(CASE WHEN NOT va THEN " + csq("mb_u") + " ELSE 0 END)")} AS ssb6
+         | FROM nn JOIN sq USING (event_type) GROUP BY 1)
+         |SELECT sq.event_type, n_a, n_b,
+         |  ${r6Sql("ma_u / 1000000.0")} AS mean_a6,
+         |  ${r6Sql("mb_u / 1000000.0")} AS mean_b6,
+         |  ${r6Sql("CASE WHEN n_a > 1 AND n_b > 1 AND (ssa6 > 0 OR ssb6 > 0) THEN " +
+                    "(ma_u / 1000000.0 - mb_u / 1000000.0) " +
+                    "/ sqrt(ssa6 / (n_a - 1) / n_a + ssb6 / (n_b - 1) / n_b) END")}
+         |    AS welch_t6
+         |FROM sq JOIN ss USING (event_type)""".stripMargin
+    },
+    // sea2: sea1's residual chain feeding rz1's rank-pick body — the
+    // residual is identical doubles on both engines, so every median
+    // pick and the 3·MAD fence compare exactly
+    "sea2_seasonal_outliers" ->
+      s"""WITH t0 AS ($canonicalIdCte),
+         |nn0 AS (SELECT series_id, ts, event_id,
+         |   CAST(isodow(ts) - 1 AS BIGINT) AS dow, ${q6Sql("value")} AS yu
+         |  FROM t0 WHERE value IS NOT NULL),
+         |da AS (SELECT series_id, dow, COUNT(*) AS nd, SUM(yu) AS syud
+         |  FROM nn0 GROUP BY 1, 2),
+         |ds AS (SELECT *, floor(CAST(syud AS DOUBLE) / nd + 0.5) AS s_u FROM da),
+         |nn AS (SELECT nn0.series_id, ts, event_id,
+         |   (CAST(yu AS DOUBLE) - s_u) / 1000000.0 AS value
+         |  FROM nn0 JOIN ds USING (series_id, dow)),
+         |r AS (SELECT *,
+         |  row_number() OVER (PARTITION BY series_id ORDER BY value, event_id) AS rv,
+         |  count(*) OVER (PARTITION BY series_id) AS n FROM nn),
+         |m AS (SELECT *,
+         |  (min(CASE WHEN rv = (n + 1) // 2 THEN value END)
+         |     OVER (PARTITION BY series_id)
+         |   + min(CASE WHEN rv = (n + 2) // 2 THEN value END)
+         |     OVER (PARTITION BY series_id)) / CAST(2.0 AS DOUBLE) AS med
+         | FROM r),
+         |d AS (SELECT *, abs(value - med) AS dev FROM m),
+         |r2 AS (SELECT *,
+         |  row_number() OVER (PARTITION BY series_id ORDER BY dev, event_id) AS rd
+         | FROM d),
+         |m2 AS (SELECT *,
+         |  (min(CASE WHEN rd = (n + 1) // 2 THEN dev END)
+         |     OVER (PARTITION BY series_id)
+         |   + min(CASE WHEN rd = (n + 2) // 2 THEN dev END)
+         |     OVER (PARTITION BY series_id)) / CAST(2.0 AS DOUBLE) AS mad
+         | FROM r2)
+         |SELECT series_id, CAST(min(n) AS BIGINT) AS n_values,
+         |  ${r6Sql("min(med)")} AS med6, ${r6Sql("min(mad)")} AS mad6,
+         |  CAST(SUM(CASE WHEN dev > CAST(3.0 AS DOUBLE) * mad THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers,
+         |  ${r6Sql("max(dev)")} AS max_dev6
+         |FROM m2 GROUP BY series_id""".stripMargin,
     "rg1_trend_slope" -> {
       s"""WITH t AS ($canonicalIdCte),
          |nn AS (SELECT series_id, value,
@@ -897,10 +1046,10 @@ object TimeSeriesQueries {
          |     OVER (PARTITION BY series_id)) / CAST(2.0 AS DOUBLE) AS mad
          | FROM r2)
          |SELECT series_id, CAST(min(n) AS BIGINT) AS n_values,
-         |  ROUND(min(med), 6) AS med6, ROUND(min(mad), 6) AS mad6,
+         |  ${r6Sql("min(med)")} AS med6, ${r6Sql("min(mad)")} AS mad6,
          |  CAST(SUM(CASE WHEN dev > CAST(3.0 AS DOUBLE) * mad THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_outliers,
-         |  ROUND(max(dev), 6) AS max_dev6
+         |  ${r6Sql("max(dev)")} AS max_dev6
          |FROM m2 GROUP BY series_id""".stripMargin
   )
 
@@ -967,6 +1116,8 @@ object TimeSeriesQueries {
     "rs5_rolling_corr" -> (rs5RollingCorr _),
     "cp1_cusum" -> ((s: SparkSession, dir: String) => cp1Cusum(s, dir)),
     "sea1_seasonal_decompose" -> (sea1SeasonalDecompose _),
-    "nm1_feature_scale" -> (nm1FeatureScale _)
+    "sea2_seasonal_outliers" -> (sea2SeasonalOutliers _),
+    "nm1_feature_scale" -> (nm1FeatureScale _),
+    "exp1_ab_test" -> (exp1AbTest _)
   )
 }

@@ -423,6 +423,50 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(spans.length == 64 && spans.forall(s => s._2 <= 7 && s._3 <= 7 && s._4 == 64))
   }
 
+  test("pmi1: an always-adjacent pair outranks frequent-but-independent words") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("pmi1spec").toString
+    import spark.implicits._
+    // "new york" co-occurs exclusively; "the" is frequent everywhere
+    val docs = (0L until 10L).map { i =>
+      (i, s"the city of new york has the best bagels in the town$i")
+    }.toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.TextAnalysis.pmi1Collocations(spark, dir, minCount = 5L)
+      .as[(Long, String, String, Long, Double)].collect().toSeq
+    val byPair = r.map(x => (x._2, x._3) -> x._5).toMap
+    assert(byPair.contains(("new", "york")))
+    // exclusive bigram: PMI = ln(N^2 * cb / (B * ca * cb_uni)) with
+    // cb = ca = cuni = 10 -> highest possible association here
+    val nyRank = r.find(x => x._2 == "new" && x._3 == "york").get._1
+    val theRank = r.find(x => x._2 == "the").map(_._1)
+    assert(theRank.forall(_ > nyRank), s"'new york' (rank $nyRank) not above 'the *'")
+  }
+
+  test("exp1: hand-computed Welch t; degenerate arms null out") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("exp1spec").toString
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // type x: A(users 0,2) = {1,3} mean 2 var 2; B(users 1,3) = {5,9}
+    // mean 7 var 8 -> t = -5/sqrt(2/2 + 8/2) = -2.236068
+    // type y: one row per arm -> null t
+    val ev = Seq(
+      (1L, ts, 0L, "x", 1.0, "{}"), (2L, ts, 2L, "x", 3.0, "{}"),
+      (3L, ts, 1L, "x", 5.0, "{}"), (4L, ts, 3L, "x", 9.0, "{}"),
+      (5L, ts, 0L, "y", 1.0, "{}"), (6L, ts, 1L, "y", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.TimeSeriesQueries.exp1AbTest(spark, dir)
+      .orderBy("event_type")
+      .as[(String, Long, Long, Double, Double, Option[Double])].collect().toSeq
+    assert(r.map(_._1) == Seq("x", "y"))
+    val x = r.head
+    assert(x._2 == 2L && x._3 == 2L && x._4 == 2.0 && x._5 == 7.0)
+    assert(math.abs(x._6.get - (-2.236068)) < 1e-6, s"t = ${x._6}")
+    assert(r(1)._6.isEmpty)
+  }
+
   test("t11 bigram NLL: word salad scores worse than natural repetition") {
     import org.apache.spark.sql.functions.col
     // corpus in a temp dir: doc 1 repeats one bigram (high P), doc 2
@@ -482,6 +526,30 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       Seq((-1.0, 0.0), (0.0, 0.5), (1.0, 1.0)))
     assert(r.filter(_._1 == "k").forall(x => x._4.isEmpty && x._5.isEmpty))
     assert(r.filter(_._1 == "s").forall(x => x._4.isEmpty && x._5.isEmpty))
+  }
+
+  test("sea2: deseasonalizing unmasks an anomaly the raw MAD fence cannot see") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 8 weeks daily: value = 10 + 20·dow (strong weekly swing 10..130)
+    // + (week % 2) jitter, plus ONE +50 anomaly on a Tuesday. The raw
+    // MAD fence reads the weekly swing as dispersion (MAD ~ tens) and
+    // misses the spike; on residuals the spike is unmistakable.
+    val rows = (0 until 56).map { d =>
+      val date = java.time.LocalDate.of(2024, 1, 1).plusDays(d)
+      val dow = date.getDayOfWeek.getValue - 1
+      val anomaly = if (d == 22) 50.0 else 0.0 // 2024-01-23, a Tuesday
+      ("s", Timestamp.valueOf(date.atTime(12, 0)), d.toLong,
+        10.0 + 20.0 * dow + (d / 7 % 2).toDouble + anomaly)
+    }.toDF("series_id", "ts", "event_id", "value")
+    val Q = graft.queries.TimeSeriesQueries
+    val raw = Q.madOutliers(rows).as[(String, Long, Double, Double, Long, Double)].head()
+    val adj = Q.madOutliers(Q.deseasonalize(rows))
+      .as[(String, Long, Double, Double, Long, Double)].head()
+    assert(raw._5 == 0L, s"raw fence unexpectedly flagged ${raw._5}")
+    assert(adj._5 >= 1L, "deseasonalized fence missed the planted anomaly")
+    // the anomaly dominates the residual max-dev
+    assert(adj._6 > 40.0)
   }
 
   test("scd2History: runs collapse, closed-open tiling, same-ts tie-break by event_id") {
