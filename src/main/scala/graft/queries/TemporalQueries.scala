@@ -54,13 +54,23 @@ object TemporalQueries {
     "ss1_session_stats" -> ((s, dir) =>
       Joins.sessionStats(SparkEntryBridge.canonical(s, dir), gap = "6H")),
     "fn1_funnel" -> (fn1Funnel _),
+    // conversion LATENCY per funnel step: exact-integer microsecond
+    // diffs, rank-pick median, one-division mean
+    "ft1_funnel_timing" -> ((s, dir) =>
+      funnelTiming(
+        Tables.read(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        Seq("view", "click", "signup", "purchase"))),
     // SCD2 dimension-history construction: each user's event_type
     // stream collapses into type-2 validity rows
     "scd1_scd2_history" -> ((s, dir) =>
       scd2History(Tables.read(s, dir, "events"))),
     // first-order Markov transition matrix over user event paths
     "mk1_transition_matrix" -> ((s, dir) =>
-      transitionMatrix(Tables.read(s, dir, "events")))
+      transitionMatrix(Tables.read(s, dir, "events"))),
+    // Kaplan-Meier view->purchase conversion survival curve
+    "km1_survival" -> ((s, dir) =>
+      kaplanMeier(Tables.read(s, dir, "events"), "view", "purchase"))
   )
 
   /** First-order MARKOV TRANSITION MATRIX over per-user event paths —
@@ -190,6 +200,111 @@ object TemporalQueries {
       .selectExpr("user_id",
         s"stack(${stages.length}, $stackArgs) AS (stage, reached_at)")
       .where(col("reached_at").isNotNull)
+  }
+
+  /** FUNNEL TIMING — fn1 answers "how many convert"; this answers
+    * "how LONG conversion takes": per adjacent stage pair, among the
+    * users who reached the later stage, the count plus the median and
+    * mean seconds between the two reach times. Reach times come from
+    * the same gated running-min chain as [[funnel]] (so stage k+1's
+    * time is always at-or-after stage k's — diffs are non-negative by
+    * construction); diffs are exact integer MICROSECONDS, the median
+    * is the rz1 rank-pick ((a+b)/2.0 on integers — engine-exact, no
+    * interpolation), and the mean divides an exact integer sum once.
+    *
+    * Scale shape: fn1's one user_id exchange + window chain, a
+    * per-user aggregate, then all remaining work runs on the
+    * (stage-pair)-keyed frame — stage-pair cardinality is the funnel
+    * length, so the median windows are the bm1 harmless tail. */
+  def funnelTiming(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.length >= 2, s"funnelTiming: need >= 2 stages: $stages")
+    val reach = funnelReachTimes(events, stages)
+    val wide = reach.groupBy(col("user_id")).agg(
+      min(when(col("stage") === stages.head, col("reached_at"))).as("t_0"),
+      stages.drop(1).zipWithIndex.map { case (s, i) =>
+        min(when(col("stage") === s, col("reached_at"))).as(s"t_${i + 1}")
+      }: _*)
+    val pairs = stages.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      wide.where(col(s"t_${i + 1}").isNotNull)
+        .select(lit(s"$a->$b").as("step"), col("user_id"),
+          (unix_micros(col(s"t_${i + 1}")) - unix_micros(col(s"t_$i"))).as("d"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("step"))
+    val byD = w.orderBy(col("d"), col("user_id"))
+    pairs
+      .withColumn("rv", row_number().over(byD).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("med",
+        (min(when(col("rv") === floor((col("n") + 1) / lit(2)).cast("long"), col("d"))).over(w)
+          + min(when(col("rv") === floor((col("n") + 2) / lit(2)).cast("long"), col("d"))).over(w))
+          / lit(2.0))
+      .groupBy(col("step"))
+      .agg(min(col("n")).as("n_users"),
+        round(min(col("med")) / lit(1e6), 6).as("median_s6"),
+        round(sum(col("d")).cast("double") / min(col("n")) / lit(1e6), 6)
+          .as("mean_s6"))
+  }
+
+  /** KAPLAN–MEIER survival curve (Kaplan & Meier 1958) for
+    * time-to-conversion: origin = each user's first `originType`
+    * event, terminal event = the first `eventType` AT OR AFTER the
+    * origin, right-censoring at the user's last observed event — the
+    * "how long until users convert, counting the ones who never did"
+    * estimator naive mean-latency (ft1) cannot express. One row per
+    * distinct day step: (day, n_risk, n_events, n_censored, surv6)
+    * with S(t) = Π_{s ≤ t} (1 − d_s/n_s).
+    *
+    * Portability: durations are exact integer days (double division
+    * of exact integer micros is < 2^53 — exact floor on both
+    * engines); the risk sets are integer window sums; and the product
+    * folds SEQUENTIALLY with the boundary-deterministic
+    * floor(x·1e6 + 0.5)/1e6 rounding after every step (the s3/ew1
+    * drift-reset), mirrored by a DuckDB recursive CTE running the
+    * identical IEEE sequence.
+    *
+    * Scale shape: per-user origin/event/censor times are two keyed
+    * aggregates; everything after runs on the DAY-STEP frame, whose
+    * size is the observation horizon in days — not the data — so the
+    * sequential fold is a one-group flatMapGroups over a bounded
+    * frame (the d1 storm-fold posture), never a corpus-wide
+    * single partition. */
+  def kaplanMeier(
+      events: DataFrame, originType: String, eventType: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events.select(col("user_id"), col("ts"), col("event_type"))
+    val origins = base.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === originType, col("ts"))).as("t0"))
+    val per = base.join(origins, Seq("user_id"))
+      .where(col("t0").isNotNull)
+      .groupBy(col("user_id")).agg(
+        min(col("t0")).as("t0"),
+        min(when(col("event_type") === eventType && col("ts") >= col("t0"),
+          col("ts"))).as("te"),
+        max(col("ts")).as("tl"))
+    val durs = per.select(
+      floor((unix_micros(coalesce(col("te"), col("tl")))
+        - unix_micros(col("t0"))).cast("double") / lit(86400000000.0))
+        .cast("long").as("day"),
+      when(col("te").isNotNull, 1L).otherwise(0L).as("ev"))
+    val steps = durs.groupBy(col("day")).agg(
+      sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val n = durs.count()
+    val wDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    steps
+      .withColumn("n_risk", lit(n) - coalesce(sum(col("d") + col("c")).over(wDay), lit(0L)))
+      .select(col("day"), col("n_risk"), col("d"), col("c"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_ => true)
+      .flatMapGroups { (_, it) =>
+        var surv = 1.0
+        it.toArray.sortBy(_._1).iterator.map { case (day, nr, d, c) =>
+          surv = math.floor(surv * (1.0 - d.toDouble / nr) * 1e6 + 0.5) / 1e6
+          (day, nr, d, c, surv)
+        }
+      }
+      .toDF("day", "n_risk", "n_events", "n_censored", "surv6")
   }
 
   /** Shared stage chain for [[funnel]] / [[funnelReachTimes]]: one
@@ -361,6 +476,90 @@ object TemporalQueries {
         |SELECT 'signup' AS stage, CAST(COALESCE(SUM(f3), 0) AS BIGINT) AS users FROM u
         |UNION ALL
         |SELECT 'purchase' AS stage, CAST(COALESCE(SUM(f4), 0) AS BIGINT) AS users FROM u""".stripMargin,
+    // km1: per-user origin/event/censor aggregates, integer day
+    // durations, and the KM product as a recursive CTE folding the
+    // IDENTICAL floor(x·1e6+0.5)/1e6-rounded IEEE sequence in day
+    // order (the ew1/d1 recursion pattern)
+    "km1_survival" ->
+      """WITH RECURSIVE
+        |e AS (SELECT user_id, ts, event_type FROM events),
+        |o AS (SELECT user_id,
+        |   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0
+        |  FROM e GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(o.t0) AS t0,
+        |   MIN(CASE WHEN event_type = 'purchase' AND e.ts >= o.t0 THEN e.ts END)
+        |     AS te,
+        |   MAX(e.ts) AS tl
+        |  FROM e JOIN o USING (user_id) WHERE o.t0 IS NOT NULL
+        |  GROUP BY e.user_id),
+        |dd AS (SELECT
+        |   CAST(floor(CAST(epoch_us(COALESCE(te, tl)) - epoch_us(t0) AS DOUBLE)
+        |     / 86400000000.0) AS BIGINT) AS day,
+        |   CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM p),
+        |st AS (SELECT day, SUM(ev) AS d, SUM(1 - ev) AS c FROM dd GROUP BY 1),
+        |si AS (SELECT *, row_number() OVER (ORDER BY day) AS i,
+        |   COALESCE(SUM(d + c) OVER (ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS removed,
+        |   (SELECT COUNT(*) FROM dd) AS nn
+        |  FROM st),
+        |rs AS (SELECT i, day, nn - removed AS n_risk, d, c FROM si),
+        |f AS (
+        |  SELECT i, day, n_risk, d, c,
+        |    floor(CAST(1.0 AS DOUBLE) * (1 - CAST(d AS DOUBLE) / n_risk)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS surv
+        |  FROM rs WHERE i = 1
+        |  UNION ALL
+        |  SELECT rs.i, rs.day, rs.n_risk, rs.d, rs.c,
+        |    floor(f.surv * (1 - CAST(rs.d AS DOUBLE) / rs.n_risk)
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  FROM f JOIN rs ON rs.i = f.i + 1)
+        |SELECT day, n_risk, d AS n_events, c AS n_censored, surv AS surv6
+        |FROM f""".stripMargin,
+    // ft1: fn1's gated running-min chain, per-user reach mins, exact
+    // integer microsecond diffs, rz1's rank-pick median per step
+    "ft1_funnel_timing" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |  OVER w AS t_view FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+        |    AND t_view IS NOT NULL THEN ts END) OVER w AS t_click FROM s1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'signup'
+        |    AND t_click IS NOT NULL THEN ts END) OVER w AS t_signup FROM s2
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s4 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+        |    AND t_signup IS NOT NULL THEN ts END) OVER w AS t_purchase FROM s3
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT user_id, MIN(t_view) AS t0, MIN(t_click) AS t1,
+        |   MIN(t_signup) AS t2, MIN(t_purchase) AS t3
+        |  FROM s4 GROUP BY 1),
+        |p AS (
+        |  SELECT 'view->click' AS step, user_id,
+        |    epoch_us(t1) - epoch_us(t0) AS d FROM u WHERE t1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'click->signup' AS step, user_id,
+        |    epoch_us(t2) - epoch_us(t1) AS d FROM u WHERE t2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'signup->purchase' AS step, user_id,
+        |    epoch_us(t3) - epoch_us(t2) AS d FROM u WHERE t3 IS NOT NULL),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY step ORDER BY d, user_id) AS rv,
+        |  count(*) OVER (PARTITION BY step) AS n FROM p),
+        |m AS (SELECT *,
+        |  (min(CASE WHEN rv = (n + 1) // 2 THEN d END) OVER (PARTITION BY step)
+        |   + min(CASE WHEN rv = (n + 2) // 2 THEN d END) OVER (PARTITION BY step))
+        |    / CAST(2.0 AS DOUBLE) AS med
+        | FROM r)
+        |SELECT step, CAST(min(n) AS BIGINT) AS n_users,
+        |  ROUND(min(med) / 1000000.0, 6) AS median_s6,
+        |  ROUND(CAST(SUM(d) AS DOUBLE) / min(n) / 1000000.0, 6) AS mean_s6
+        |FROM m GROUP BY step""".stripMargin,
     // scd1: identical (ts, event_id) ordering and change rule; the
     // closed-open tiling comes from lead() over the per-key versions
     "scd1_scd2_history" ->

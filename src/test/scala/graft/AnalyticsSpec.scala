@@ -528,6 +528,46 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.filter(_._1 == "s").forall(x => x._4.isEmpty && x._5.isEmpty))
   }
 
+  test("funnelTiming: hand-computed medians/means; only later-stage reachers counted") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // u1: view@0 click@1 (3600s); u2: view@0 click@3 (10800s);
+    // u3: view@0, never clicks -> excluded from the step
+    val ev = Seq(
+      (1L, t(0), 1L, "view"), (1L, t(1), 2L, "click"),
+      (2L, t(0), 3L, "view"), (2L, t(3), 4L, "click"),
+      (3L, t(0), 5L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = graft.queries.TemporalQueries.funnelTiming(ev, Seq("view", "click"))
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(r == Seq(("view->click", 2L, 7200.0, 7200.0)))
+  }
+
+  test("kaplanMeier: hand-computed curve with censoring; conversion-before-origin ignored") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def d(n: Int, h: Int = 0) = Timestamp.valueOf(f"2024-01-${n + 1}%02d $h%02d:00:00")
+    // A converts day 0; B converts day 2; C censored day 1;
+    // D censored day 3; E purchases BEFORE its first view -> that
+    // purchase must not count (censored at last event, day 1)
+    val ev = Seq(
+      (10L, d(0), "view"), (10L, d(0, 5), "purchase"),
+      (11L, d(0), "view"), (11L, d(2), "purchase"),
+      (12L, d(0), "view"), (12L, d(1), "click"),
+      (13L, d(0), "view"), (13L, d(3), "click"),
+      (14L, d(0, 2), "purchase"), (14L, d(0, 6), "view"), (14L, d(1, 6), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val r = graft.queries.TemporalQueries.kaplanMeier(ev, "view", "purchase")
+      .orderBy("day").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // N=5. day0: risk 5, 1 death -> S=0.8; day1: risk 4, 2 censored
+    // (C and E) -> S=0.8; day2: risk 2, 1 death -> S=0.4;
+    // day3: risk 1, 1 censored -> S=0.4
+    assert(r == Seq(
+      (0L, 5L, 1L, 0L, 0.8), (1L, 4L, 0L, 2L, 0.8),
+      (2L, 2L, 1L, 0L, 0.4), (3L, 1L, 0L, 1L, 0.4)))
+  }
+
   test("sea2: deseasonalizing unmasks an anomaly the raw MAD fence cannot see") {
     import spark.implicits._
     import java.sql.Timestamp
