@@ -750,33 +750,57 @@ object Dedup {
    *
    * Input frame must carry (id, name, block).
    *
-   * 100 TB posture: the only exchanges are keyed on `block` (the
-   * self-join) and `id` (the aggregate). Pair volume is Σ|block|² —
-   * the block key IS the scale lever (same contract as LSH bands),
-   * and a hot block decomposes with the x5 chunked-pair pattern if
-   * one key degenerates. The levenshtein verify runs only on
-   * block-collided pairs, never corpus×corpus.
+   * Execution: DISTINCT-VALUE linkage — the production trick (and
+   * the measured one: at sf0.1 the naive record×record form ran 50M
+   * levenshteins in 24 s; part names have 64 distinct values).
+   * Levenshtein runs only on distinct-NAME pairs within a block
+   * (Σ|distinct names per block|² — duplicates never re-verify), and
+   * record-grain outputs reconstruct exactly from per-name counts:
+   * same-name duplicates are distance-0 matches (so best =
+   * (0, min other id with that name) whenever the name repeats —
+   * identical strings at distance > 0 are impossible, so distance 0
+   * can only come from the same name), cross-name matches aggregate
+   * as Σcnt with a min(struct(dist, min-id)) argmin. The spec pins
+   * equality of this form against the naive semantics on duplicated
+   * names, and the gate's oracle IS the naive record-grain SQL.
+   *
+   * 100 TB posture: the only exchanges are keyed on `block` and
+   * (block, name). Levenshtein pair volume follows the DISTINCT-name
+   * block sizes — the block key IS the scale lever (same contract as
+   * LSH bands), and a hot block decomposes with the x5 chunked-pair
+   * pattern if one key degenerates.
    */
   def blockedEditDistance(records: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"blockedEditDistance: maxDist must be >= 0: $maxDist")
-    val a = records.select(col("block"), col("id").as("id_a"), col("name").as("name_a"))
-    val b = records.select(col("block"), col("id").as("id_b"), col("name").as("name_b"))
-    val pairs = materialize(a.join(b, Seq("block"))
-      .where(col("id_a") < col("id_b"))
+    val names = materialize(records.groupBy(col("block"), col("name")).agg(
+      count(lit(1)).as("cnt"), min(col("id")).as("id1")))
+    // second-smallest id per name: the best match of the min-id record
+    // among its same-name duplicates
+    val id2 = records
+      .join(names.select(col("block"), col("name"), col("id1")), Seq("block", "name"))
+      .where(col("id") =!= col("id1"))
+      .groupBy(col("block"), col("name")).agg(min(col("id")).as("id2"))
+    val a = names.select(col("block"), col("name").as("name_a"))
+    val b = names.select(col("block"), col("name").as("name_b"),
+      col("cnt").as("cnt_b"), col("id1").as("id1_b"))
+    val cross = a.join(b, Seq("block"))
+      .where(col("name_a") =!= col("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .where(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist")))
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("match_id"), col("dist"))
-      .unionByName(pairs.select(
-        col("id_b").as("id"), col("id_a").as("match_id"), col("dist")))
-    val agg = sym.groupBy(col("id")).agg(
-      count(lit(1)).as("n_near"),
-      min(struct(col("dist").as("d"), col("match_id").as("m"))).as("best"))
-    records.select(col("id")).join(agg, Seq("id"), "left")
+      .groupBy(col("block"), col("name_a").as("name")).agg(
+        sum(col("cnt_b")).as("n_cross"),
+        min(struct(col("dist").as("d"), col("id1_b").as("m"))).as("bestx"))
+    records
+      .join(names.select(col("block"), col("name"), col("cnt"), col("id1")),
+        Seq("block", "name"))
+      .join(id2, Seq("block", "name"), "left")
+      .join(cross, Seq("block", "name"), "left")
       .select(col("id"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"),
-        col("best.d").as("best_dist"),
-        col("best.m").as("best_match"))
+        (coalesce(col("n_cross"), lit(0L)) + (col("cnt") - 1)).as("n_near"),
+        when(col("cnt") > 1, lit(0L)).otherwise(col("bestx.d")).as("best_dist"),
+        when(col("cnt") > 1,
+          when(col("id") === col("id1"), col("id2")).otherwise(col("id1")))
+          .otherwise(col("bestx.m")).as("best_match"))
   }
 
   /** Contracted-graph folds at or below this many distinct root-edges

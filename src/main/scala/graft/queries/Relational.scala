@@ -1212,7 +1212,8 @@ object Relational {
     // row_number — every output column an exact integer or null
     "ed1_name_matching" ->
       """WITH r AS (SELECT p_partkey AS id, p_name AS name,
-        |  string_split(p_name, ' ')[2] AS block FROM part),
+        |  string_split(p_name, ' ')[2] || '|' || substr(p_name, 1, 1) AS block
+        | FROM part),
         |p AS (SELECT a.id AS id_a, b.id AS id_b,
         |   levenshtein(a.name, b.name) AS dist
         |  FROM r a JOIN r b ON a.block = b.block AND a.id < b.id
@@ -1344,16 +1345,21 @@ object Relational {
         min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
   }
 
-  /** Record-linkage demo over part names: block on the name's second
-    * token (the noun a typo in the adjective preserves), verify with
-    * levenshtein ≤ 2 — [[graft.dedup.Dedup.blockedEditDistance]] on
-    * the (p_partkey, p_name) frame. Both engines ship the identical
-    * Wagner–Fischer levenshtein on ASCII, so every distance is the
-    * same exact integer. */
+  /** Record-linkage demo over part names: block on (noun, first
+    * letter of the adjective) — the noun a typo in the adjective
+    * preserves, refined by the adjective's initial because a
+    * noun-only block is the measured scale trap this operator's
+    * scaladoc warns about (8 distinct nouns at sf0.1 → 2,500-row
+    * blocks → 50M levenshtein pairs, 24 s; the refined key cuts the
+    * Σ|block|² pair volume ~25× at identical match quality for
+    * initial-preserving edits). Verify with levenshtein ≤ 2. Both
+    * engines ship the identical Wagner–Fischer levenshtein on ASCII,
+    * so every distance is the same exact integer. */
   def ed1NameMatching(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.blockedEditDistance(
       t(spark, dir, "part").select(
         col("p_partkey").as("id"), col("p_name").as("name"),
-        split(col("p_name"), " ").getItem(1).as("block")),
+        concat_ws("|", split(col("p_name"), " ").getItem(1),
+          substring(col("p_name"), 1, 1)).as("block")),
       maxDist = 2)
 }

@@ -385,6 +385,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       (5L, 0L, None, None)))
   }
 
+  test("blockedEditDistance: distinct-name form equals the naive record-grain semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 300 records over a small name universe with heavy duplication —
+    // the regime the distinct-name rewrite exists for
+    val adjs = Seq("red", "rad", "blue", "bold", "old")
+    val nouns = Seq("widget", "widget2", "bolt")
+    val recs = (0L until 300L).map { i =>
+      val name = s"${adjs((i % 35 % adjs.size).toInt)} ${nouns((i % 3).toInt)}"
+      (i, name, name.split(" ")(1))
+    }.toDF("id", "name", "block")
+    val fast = graft.dedup.Dedup.blockedEditDistance(recs, maxDist = 2)
+      .orderBy("id").collect().toSeq.map(_.toString)
+    // naive reference: block self-join on records, symmetric argmin
+    val a = recs.select(col("block"), col("id").as("ia"), col("name").as("na"))
+    val b = recs.select(col("block"), col("id").as("ib"), col("name").as("nb"))
+    val prs = a.join(b, Seq("block")).where(col("ia") =!= col("ib"))
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .where(col("dist") <= 2)
+    val agg = prs.groupBy(col("ia").as("id")).agg(
+      count(lit(1)).as("n_near"),
+      min(struct(col("dist").as("d"), col("ib").as("m"))).as("best"))
+    val naive = recs.select(col("id")).join(agg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("best.d").as("best_dist"), col("best.m").as("best_match"))
+      .orderBy("id").collect().toSeq.map(_.toString)
+    assert(fast == naive)
+  }
+
   test("transitionMatrix: counts and row-normalized probabilities, event_id tie-break") {
     import spark.implicits._
     import java.sql.Timestamp
