@@ -474,8 +474,12 @@ object TimeSeriesQueries {
         sum(when(!col("va"), 1L).otherwise(0L)).as("n_b"),
         sum(when(col("va"), col("yu")).otherwise(0L)).as("sa"),
         sum(when(!col("va"), col("yu")).otherwise(0L)).as("sb"))
-      .withColumn("ma_u", floor(col("sa").cast("double") / col("n_a") + lit(0.5)))
-      .withColumn("mb_u", floor(col("sb").cast("double") / col("n_b") + lit(0.5)))
+      // guard the empty arm: 0/0 is NaN and floor(NaN) diverges
+      // between engines — an absent variant yields null mean/t instead
+      .withColumn("ma_u", when(col("n_a") > 0,
+        floor(col("sa").cast("double") / col("n_a") + lit(0.5))))
+      .withColumn("mb_u", when(col("n_b") > 0,
+        floor(col("sb").cast("double") / col("n_b") + lit(0.5))))
     val ss = ev
       .join(stats.select(col("event_type"), col("ma_u"), col("mb_u")),
         Seq("event_type"))
@@ -940,8 +944,10 @@ object TimeSeriesQueries {
          |  SUM(CASE WHEN va THEN yu ELSE 0 END) AS sa,
          |  SUM(CASE WHEN va THEN 0 ELSE yu END) AS sb
          | FROM nn GROUP BY 1),
-         |sq AS (SELECT *, floor(CAST(sa AS DOUBLE) / n_a + 0.5) AS ma_u,
-         |   floor(CAST(sb AS DOUBLE) / n_b + 0.5) AS mb_u FROM st),
+         |sq AS (SELECT *,
+         |   CASE WHEN n_a > 0 THEN floor(CAST(sa AS DOUBLE) / n_a + 0.5) END AS ma_u,
+         |   CASE WHEN n_b > 0 THEN floor(CAST(sb AS DOUBLE) / n_b + 0.5) END AS mb_u
+         | FROM st),
          |ss AS (SELECT nn.event_type,
          |  ${r6Sql("SUM(CASE WHEN va THEN " + csq("ma_u") + " ELSE 0 END)")} AS ssa6,
          |  ${r6Sql("SUM(CASE WHEN NOT va THEN " + csq("mb_u") + " ELSE 0 END)")} AS ssb6
