@@ -49,7 +49,8 @@ object SqlSurface {
     "graft_dsir_heldout" /* EAGER; only with dsirTarget */,
     "graft_curation" /* EAGER; only with curationEval */,
     "graft_bloom_decontaminate" /* EAGER; only with curationEval */,
-    "graft_chunks", "graft_triangles" /* EAGER */)
+    "graft_chunks" /* lazy scan projection */,
+    "graft_triangles" /* EAGER */)
 
   def registerCorpus(
       docs: DataFrame, minhashThreshold: Double = 0.6,

@@ -772,11 +772,15 @@ object Dedup {
    */
   def blockedEditDistance(records: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"blockedEditDistance: maxDist must be >= 0: $maxDist")
-    val names = materialize(records.groupBy(col("block"), col("name")).agg(
+    // null block or name = unblockable: such records surface with
+    // n_near = 0 (the left join below) instead of being dropped by
+    // the inner joins' null-key semantics
+    val keyed = records.where(col("block").isNotNull && col("name").isNotNull)
+    val names = materialize(keyed.groupBy(col("block"), col("name")).agg(
       count(lit(1)).as("cnt"), min(col("id")).as("id1")))
     // second-smallest id per name: the best match of the min-id record
     // among its same-name duplicates
-    val id2 = records
+    val id2 = keyed
       .join(names.select(col("block"), col("name"), col("id1")), Seq("block", "name"))
       .where(col("id") =!= col("id1"))
       .groupBy(col("block"), col("name")).agg(min(col("id")).as("id2"))
@@ -790,7 +794,7 @@ object Dedup {
       .groupBy(col("block"), col("name_a").as("name")).agg(
         sum(col("cnt_b")).as("n_cross"),
         min(struct(col("dist").as("d"), col("id1_b").as("m"))).as("bestx"))
-    records
+    val scored = keyed
       .join(names.select(col("block"), col("name"), col("cnt"), col("id1")),
         Seq("block", "name"))
       .join(id2, Seq("block", "name"), "left")
@@ -801,6 +805,9 @@ object Dedup {
         when(col("cnt") > 1,
           when(col("id") === col("id1"), col("id2")).otherwise(col("id1")))
           .otherwise(col("bestx.m")).as("best_match"))
+    records.select(col("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("best_dist"), col("best_match"))
   }
 
   /** Contracted-graph folds at or below this many distinct root-edges

@@ -98,47 +98,22 @@ object Sketches {
   def hllDistinctBy(
       df: DataFrame, group: Column, key: Column, p: Int = 6): DataFrame = {
     require(p >= 4 && p <= 12, s"hll: p must be in [4, 12]: $p")
-    val m = 1 << p
-    val vbits = 64 - p
-    val fp = md5(key.cast("string"))
-    val hi = conv(substring(fp, 1, 8), 16, 10).cast("long")
-    val lo = conv(substring(fp, 9, 8), 16, 10).cast("long")
-    val bucket = floor(hi / lit(1L << (32 - p))).cast("long")
-    val v = pmod(hi, lit(1L << (32 - p))) * lit(4294967296L) + lo
-    val rho = when(v === 0, lit(vbits + 1))
-      .otherwise(lit(vbits + 1) - length(bin(v)))
-    val regs = df.select(group.as("grp"), bucket.as("bucket"), rho.as("rho"))
-      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("reg"))
-    val alpha =
-      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
-      else if (m == 64) 0.709
-      else if (m == 32) 0.697
-      else 0.673
-    val scale = vbits + 2
-    val summed = regs.groupBy(col("grp")).agg(
-      sum(pow(lit(2.0), lit(scale) - col("reg")).cast("decimal(38,0)")).as("s_present"),
-      count(lit(1)).as("used"))
-    val sAll = (col("s_present")
-      + (lit(m) - col("used")).cast("decimal(38,0)")
-        * lit(math.pow(2.0, scale)).cast("decimal(38,0)")).cast("double")
-    val eRaw = lit(alpha) * lit(m) * lit(m) * lit(math.pow(2.0, scale)) / sAll
-    val est = when(eRaw <= lit(2.5 * m) && col("used") < m,
-        lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("used"))))
-      .otherwise(eRaw)
     val nExact = df.groupBy(group.as("grp"))
       .agg(countDistinct(key.cast("string")).as("n_exact"))
-    summed
+    hllEstimate(hllRegisters(df, key, p, group = Some(group)), p, grouped = true)
       .select(col("grp"), col("used").as("n_buckets_used"),
-        round(est, 6).as("hll_estimate6"))
+        round(col("est"), 6).as("hll_estimate6"))
       .join(nExact, Seq("grp"))
       .select(col("grp"), col("n_exact"), col("n_buckets_used"),
         col("hll_estimate6"))
   }
 
   /** (bucket, reg) register frame — max rank per bucket, the
-    * at-most-m-row aggregate both [[hllDistinct]] and [[hllUnion]]
-    * build from. */
-  private def hllRegisters(df: DataFrame, key: Column, p: Int): DataFrame = {
+    * at-most-m-row aggregate [[hllDistinct]], [[hllUnion]] and (per
+    * group) [[hllDistinctBy]] build from. */
+  private def hllRegisters(
+      df: DataFrame, key: Column, p: Int,
+      group: Option[Column] = None): DataFrame = {
     val vbits = 64 - p          // rank-input width
     val fp = md5(key.cast("string"))
     val hi = conv(substring(fp, 1, 8), 16, 10).cast("long")
@@ -147,15 +122,23 @@ object Sketches {
     val v = pmod(hi, lit(1L << (32 - p))) * lit(4294967296L) + lo
     val rho = when(v === 0, lit(vbits + 1))
       .otherwise(lit(vbits + 1) - length(bin(v)))
-    df.select(bucket.as("bucket"), rho.as("rho"))
-      .groupBy(col("bucket"))
-      .agg(max(col("rho")).as("reg"))
+    group match {
+      case Some(g) =>
+        df.select(g.as("grp"), bucket.as("bucket"), rho.as("rho"))
+          .groupBy(col("grp"), col("bucket"))
+          .agg(max(col("rho")).as("reg"))
+      case None =>
+        df.select(bucket.as("bucket"), rho.as("rho"))
+          .groupBy(col("bucket"))
+          .agg(max(col("rho")).as("reg"))
+    }
   }
 
   /** One-row (used, est) frame from a register frame — the
     * DECIMAL-exact harmonic sum and the small-range branch (see
     * [[hllDistinct]] scaladoc). */
-  private def hllEstimate(regs: DataFrame, p: Int): DataFrame = {
+  private def hllEstimate(
+      regs: DataFrame, p: Int, grouped: Boolean = false): DataFrame = {
     val m = 1 << p
     val alpha =
       if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
@@ -163,9 +146,12 @@ object Sketches {
       else if (m == 32) 0.697
       else 0.673
     val scale = (64 - p) + 2    // > max register value, keeps terms >= 1
-    val summed = regs.agg(
-      sum(pow(lit(2.0), lit(scale) - col("reg")).cast("decimal(38,0)")).as("s_present"),
-      count(lit(1)).as("used"))
+    val sPresent =
+      sum(pow(lit(2.0), lit(scale) - col("reg")).cast("decimal(38,0)")).as("s_present")
+    val used = count(lit(1)).as("used")
+    val summed =
+      if (grouped) regs.groupBy(col("grp")).agg(sPresent, used)
+      else regs.agg(sPresent, used)
     val sAll = (col("s_present")
       + (lit(m) - col("used")).cast("decimal(38,0)")
         * lit(math.pow(2.0, scale)).cast("decimal(38,0)")).cast("double")
@@ -174,7 +160,8 @@ object Sketches {
     val est = when(eRaw <= lit(2.5 * m) && col("used") < m,
         lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("used"))))
       .otherwise(eRaw)
-    summed.select(col("used"), est.as("est"))
+    if (grouped) summed.select(col("grp"), col("used"), est.as("est"))
+    else summed.select(col("used"), est.as("est"))
   }
 
   private def hash32(key: Column): Column =

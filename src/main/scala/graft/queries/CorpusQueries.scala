@@ -164,7 +164,9 @@ object CorpusQueries {
     require(window >= 1 && stride >= 1 && stride <= window,
       s"ck1: need 1 <= stride <= window: window=$window stride=$stride")
     val overlap = window - stride
-    val toks = TextFunctions.wsTokens(col("text"))
+    // lower() matches the oracle's toksSql (and every sibling operator
+    // here) — without it a mixed-case corpus diverges from the twin
+    val toks = TextFunctions.wsTokens(lower(col("text")))
     val starts = filter(
       transform(
         sequence(lit(0L), floor((size(col("toks")) - 1) / lit(stride)).cast("long")),

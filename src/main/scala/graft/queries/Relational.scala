@@ -1359,7 +1359,11 @@ object Relational {
     graft.dedup.Dedup.blockedEditDistance(
       t(spark, dir, "part").select(
         col("p_partkey").as("id"), col("p_name").as("name"),
-        concat_ws("|", split(col("p_name"), " ").getItem(1),
+        // concat, not concat_ws: a single-token name has no noun and
+        // must get a NULL block (unblocked, n_near = 0) exactly like
+        // the oracle's null-propagating || — concat_ws would silently
+        // coin a "w" block out of the initial alone
+        concat(split(col("p_name"), " ").getItem(1), lit("|"),
           substring(col("p_name"), 1, 1)).as("block")),
       maxDist = 2)
 }

@@ -191,16 +191,23 @@ object TemporalQueries {
     * staged frame. [[graft.streaming.StreamingFunnel]] proves
     * batch-equivalence against this frame. */
   def funnelReachTimes(events: DataFrame, stages: Seq[String]): DataFrame = {
-    val perUser = stagedFunnel(events, stages).groupBy(col("user_id")).agg(
-      min(col("t_0")).as("r0"),
-      stages.indices.drop(1).map(i => min(col(s"t_$i")).as(s"r$i")): _*)
     val stackArgs = stages.zipWithIndex
-      .map { case (typ, i) => s"'$typ', r$i" }.mkString(", ")
-    perUser
+      .map { case (typ, i) => s"'$typ', t_$i" }.mkString(", ")
+    funnelReachWide(events, stages)
       .selectExpr("user_id",
         s"stack(${stages.length}, $stackArgs) AS (stage, reached_at)")
       .where(col("reached_at").isNotNull)
   }
+
+  /** Per-user WIDE reach frame (user_id, t_0..t_k) — the one
+    * aggregation both [[funnelReachTimes]] (which stacks it) and
+    * [[funnelTiming]] (which diffs adjacent columns directly) share,
+    * so neither pays a stack/unstack round-trip. */
+  private[graft] def funnelReachWide(
+      events: DataFrame, stages: Seq[String]): DataFrame =
+    stagedFunnel(events, stages).groupBy(col("user_id")).agg(
+      min(col("t_0")).as("t_0"),
+      stages.indices.drop(1).map(i => min(col(s"t_$i")).as(s"t_$i")): _*)
 
   /** FUNNEL TIMING — fn1 answers "how many convert"; this answers
     * "how LONG conversion takes": per adjacent stage pair, among the
@@ -218,12 +225,7 @@ object TemporalQueries {
     * length, so the median windows are the bm1 harmless tail. */
   def funnelTiming(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.length >= 2, s"funnelTiming: need >= 2 stages: $stages")
-    val reach = funnelReachTimes(events, stages)
-    val wide = reach.groupBy(col("user_id")).agg(
-      min(when(col("stage") === stages.head, col("reached_at"))).as("t_0"),
-      stages.drop(1).zipWithIndex.map { case (s, i) =>
-        min(when(col("stage") === s, col("reached_at"))).as(s"t_${i + 1}")
-      }: _*)
+    val wide = funnelReachWide(events, stages)
     val pairs = stages.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
       wide.where(col(s"t_${i + 1}").isNotNull)
         .select(lit(s"$a->$b").as("step"), col("user_id"),
@@ -282,11 +284,14 @@ object TemporalQueries {
         min(when(col("event_type") === eventType && col("ts") >= col("t0"),
           col("ts"))).as("te"),
         max(col("ts")).as("tl"))
-    val durs = per.select(
+    // barrier: the count() below and the step plan both consume durs
+    // — without it the whole per-user chain (scan + two aggregates)
+    // runs twice
+    val durs = graft.Materialize.barrier(per.select(
       floor((unix_micros(coalesce(col("te"), col("tl")))
         - unix_micros(col("t0"))).cast("double") / lit(86400000000.0))
         .cast("long").as("day"),
-      when(col("te").isNotNull, 1L).otherwise(0L).as("ev"))
+      when(col("te").isNotNull, 1L).otherwise(0L).as("ev")))
     val steps = durs.groupBy(col("day")).agg(
       sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
     val n = durs.count()

@@ -159,7 +159,12 @@ object TextAnalysis {
     * exchange), bigram/unigram count aggregates (partial-combined,
     * keyed on the gram), count-lookup joins keyed the same way, V as
     * one broadcast scalar — no corpus-wide single partition anywhere. */
-  def t11BigramNll(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared token/bigram counting chain for [[t11BigramNll]] and
+    * [[pmi1Collocations]]: (tk token positions, bg bigram rows, uni
+    * unigram counts, big bigram counts) — ONE definition so the two
+    * operators' tokenization and tie rules cannot drift. */
+  private def bigramCounts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val tk = docs(spark, dir)
@@ -168,6 +173,11 @@ object TextAnalysis {
       .where(col("nxt").isNotNull)
     val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
     val big = bg.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("cb"))
+    (tk, bg, uni, big)
+  }
+
+  def t11BigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val (_, bg, uni, big) = bigramCounts(spark, dir)
     val vocab = uni.agg(count(lit(1)).as("v"))
     bg.join(big, Seq("tok", "nxt")).join(uni, Seq("tok"))
       .crossJoin(broadcast(vocab))
@@ -196,14 +206,7 @@ object TextAnalysis {
   def pmi1Collocations(
       spark: SparkSession, dir: String,
       minCount: Long = 5L, topK: Int = 20): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tk = docs(spark, dir)
-      .select(col("doc_id"), posexplode(wsTokens(lower(col("text")))).as(Seq("pos", "tok")))
-    val bg = tk.withColumn("nxt", lead(col("tok"), 1).over(w))
-      .where(col("nxt").isNotNull)
-    val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
-    val big = bg.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("cb"))
+    val (tk, bg, uni, big) = bigramCounts(spark, dir)
     val scalars = tk.agg(count(lit(1)).as("n_tok"))
       .crossJoin(bg.agg(count(lit(1)).as("n_big")))
     val scored = big.where(col("cb") >= minCount)

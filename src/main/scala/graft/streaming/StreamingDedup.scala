@@ -256,9 +256,14 @@ object StreamingDedup {
       n: Int = 3, minHits: Long = 1L, bitsPerGram: Int = 12,
       maxBloomWords: Long = 1L << 27): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val bench = benchmark.select(explode(array_distinct(
-        call_function("graft_shingle_hashes", col("text"), lit(n)))).as("g"))
-      .distinct()
+    // barrier: buildBloomWords runs a count job AND the bit_or
+    // aggregate over this frame — without it the benchmark's
+    // shingle/explode/distinct chain executes twice (the batch
+    // operator materializes for the same reason)
+    val bench = graft.Materialize.barrier(
+      benchmark.select(explode(array_distinct(
+          call_function("graft_shingle_hashes", col("text"), lit(n)))).as("g"))
+        .distinct())
     val (words, k) = graft.dedup.Dedup.buildBloomWords(
       bench, bitsPerGram, maxBloomWords, "streamingBloomScreen")
     docs

@@ -41,7 +41,12 @@ object StreamingPaths {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
          state: GroupState[String]) => {
-          val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+          // full-microsecond ordering (getTime alone is millis and
+          // would let event_id tiebreak sub-ms pairs differently from
+          // the batch twin's exact-ts order)
+          def toUs(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          val sorted = rows.toArray.sortBy(r => (toUs(r._2), r._3))
           val out = Array.newBuilder[Transition]
           var last = state.getOption.orNull
           sorted.foreach { r =>
