@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * cos≈0.999 near-dups) into `outDir` with the driver testdata
   * schemas, then times the PRODUCTION query functions
   * (SparkEntry.queries) against it unchanged. Usage:
-  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,bloom]"
+  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,bloom,link]"
   * (no --run flag = all sections).
   */
 object ScaleSmoke {
@@ -698,6 +698,36 @@ object ScaleSmoke {
       val hub = tri.where(col("doc_id") === 0L).select("deg", "n_triangles").head
       println(s"SCALE tc1: $total triangles; hub deg=${hub.getLong(0)} " +
         s"triangles=${hub.getLong(1)} — the 10k-degree node did not straggle the wedge join")
+    }
+
+    // --- ed1 record linkage at 1M records: heavy name duplication
+    // (the regime the distinct-value rewrite targets) — 5,000 distinct
+    // names over 1M records; levenshtein pair volume follows
+    // DISTINCT-name blocks (~25² × 200 = 125k pairs) instead of the
+    // ~5×10^9 record pairs the naive form would verify. -------------
+    if (want("link")) {
+      val adjN = 25L
+      val nounN = 200L
+      val recs = spark.range(1000000L).select(
+        col("id"),
+        concat(lit("a"), pmod(xxhash64(col("id") * 13 + 1), lit(adjN)),
+          lit(" n"), pmod(xxhash64(col("id") * 29 + 7), lit(nounN))).as("name"))
+        .select(col("id"), col("name"),
+          element_at(split(col("name"), " "), 2).as("block"))
+      recs.write.mode("overwrite").parquet(s"$outDir/link_recs.parquet")
+      val r = spark.read.parquet(s"$outDir/link_recs.parquet")
+      timed("ed1_linkage_1m_records") {
+        graft.dedup.Dedup.blockedEditDistance(r, maxDist = 2).count()
+      }
+      val matched = graft.dedup.Dedup.blockedEditDistance(r, maxDist = 2)
+        .where(col("n_near") > 0).count()
+      val distinctPairs = spark.read.parquet(s"$outDir/link_recs.parquet")
+        .select(col("block"), col("name")).distinct()
+        .groupBy(col("block")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c"))).head.getLong(0)
+      println(s"SCALE ed1: 1M records, 5k distinct names; levenshtein pair bound " +
+        s"$distinctPairs (distinct-name) vs ~5e9 (naive record pairs); " +
+        s"$matched records matched")
     }
 
     // --- bf1 bloom screen vs dc1 exact gram screen on the 1M-doc
