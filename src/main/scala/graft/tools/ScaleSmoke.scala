@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * cos≈0.999 near-dups) into `outDir` with the driver testdata
   * schemas, then times the PRODUCTION query functions
   * (SparkEntry.queries) against it unchanged. Usage:
-  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,bloom,link]"
+  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,bloom,link,events]"
   * (no --run flag = all sections).
   */
 object ScaleSmoke {
@@ -728,6 +728,55 @@ object ScaleSmoke {
       println(s"SCALE ed1: 1M records, 5k distinct names; levenshtein pair bound " +
         s"$distinctPairs (distinct-name) vs ~5e9 (naive record pairs); " +
         s"$matched records matched")
+    }
+
+    // --- round-11 event-analytics family at 10M events / 100k users:
+    // scd1 / mk1 / ft1 / km1 / sea1 / nm1 / exp1 are all one-or-two
+    // keyed exchanges + windows; the evidence rows are wall + maxTask
+    // (no straggler despite 100-event user partitions) and km1's
+    // horizon-bounded fold. ------------------------------------------
+    if (want("events")) {
+      val evPath = s"$outDir/events10m.parquet"
+      if (!new java.io.File(evPath).exists()) {
+        spark.range(10000000L).select(
+            col("id").as("event_id"),
+            // ~100 events/user over a 90-day horizon, second granularity
+            pmod(xxhash64(col("id") * 31 + 5), lit(100000L)).as("user_id"),
+            to_timestamp(lit(1704067200L)
+              + pmod(xxhash64(col("id") * 17 + 3), lit(90L * 86400L))).as("ts"),
+            element_at(array(lit("view"), lit("click"), lit("signup"), lit("purchase")),
+              (pmod(xxhash64(col("id") * 7 + 1), lit(10L)) < 4).cast("int")
+                + (pmod(xxhash64(col("id") * 7 + 1), lit(10L)) < 7).cast("int")
+                + (pmod(xxhash64(col("id") * 7 + 1), lit(10L)) < 9).cast("int") + 1)
+              .as("event_type"),
+            (pmod(xxhash64(col("id") * 3 + 11), lit(100000L)).cast("double") / 100.0)
+              .as("value"),
+            lit("{}").as("props"))
+          .write.mode("overwrite").parquet(evPath)
+      }
+      val ev = spark.read.parquet(evPath)
+      timed("scd1_scd2_10m") {
+        graft.queries.TemporalQueries.scd2History(ev).count()
+      }
+      timed("mk1_transitions_10m") {
+        graft.queries.TemporalQueries.transitionMatrix(ev).count()
+      }
+      timed("ft1_funnel_timing_10m") {
+        graft.queries.TemporalQueries.funnelTiming(
+          ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          Seq("view", "click", "signup", "purchase")).count()
+      }
+      timed("km1_survival_10m") {
+        graft.queries.TemporalQueries.kaplanMeier(ev, "view", "purchase").count()
+      }
+      val canonical = ev.select(col("user_id").cast("string").as("series_id"),
+        col("ts"), col("event_id"), col("value"))
+      timed("sea1_seasonal_10m") {
+        graft.queries.TimeSeriesQueries.seasonalDecompose(canonical).count()
+      }
+      timed("nm1_feature_scale_10m") {
+        graft.queries.TimeSeriesQueries.featureScale(canonical).count()
+      }
     }
 
     // --- bf1 bloom screen vs dc1 exact gram screen on the 1M-doc
