@@ -1121,6 +1121,26 @@ object Dedup {
     (words, k)
   }
 
+  /** Bloom bitset UNION — the mergeability that makes the screen a
+    * lake primitive (the hl2/sk2 counterpart): two filters built over
+    * the SAME (mBits, k) geometry OR together word-wise, and the
+    * merged filter answers membership for the union of their gram
+    * sets (a bit set by either build stays set; no false negatives
+    * can appear, fpp composes as roughly the sum). The benchmark
+    * registry shape: each eval suite builds its bitset once; the
+    * ingest screen probes the OR of all of them. Geometry mismatch
+    * refuses loudly — resizing a bloom filter is a rebuild, never a
+    * merge. */
+  def mergeBloomWords(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length,
+      s"mergeBloomWords: geometry mismatch (${a.length} vs ${b.length} words) — " +
+        "bloom filters only merge at identical (mBits, k); rebuild at a common size")
+    val out = new Array[Long](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i) | b(i); i += 1 }
+    out
+  }
+
   def bloomDecontaminate(
       corpus: DataFrame, benchmark: DataFrame,
       n: Int = 3, minHits: Long = 1L, bitsPerGram: Int = 12,

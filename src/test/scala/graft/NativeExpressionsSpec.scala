@@ -363,6 +363,33 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(fp.toDouble / nonMembers.size < 0.02, s"fp rate ${fp}/${nonMembers.size}")
   }
 
+  test("mergeBloomWords: union filter contains both sides; geometry mismatch refuses") {
+    import graft.functions.BloomKernel
+    val k = 8
+    val nWords = 64
+    val mBits = nWords.toLong * 64L
+    def build(grams: Seq[Long]): Array[Long] = {
+      val w = new Array[Long](nWords)
+      grams.foreach { g =>
+        val ps = BloomKernel.positions(g, mBits, k)
+        (0 until k).foreach { i =>
+          val p = ps.getLong(i); w((p >>> 6).toInt) |= 1L << (p & 63L).toInt
+        }
+      }
+      w
+    }
+    val setA = (0 until 100).map(i => i.toLong * 7919L)
+    val setB = (0 until 100).map(i => i.toLong * 104729L + 3L)
+    val merged = Dedup.mergeBloomWords(build(setA), build(setB))
+    assert((setA ++ setB).forall(g => BloomKernel.contains(g, merged, k)))
+    // OR of the word arrays == a filter built over the union
+    assert(merged.sameElements(build(setA ++ setB)))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.mergeBloomWords(new Array[Long](64), new Array[Long](32))
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+
   test("bloomDecontaminate == decontaminate exactly; oversized bitset refuses loudly") {
     val d = (0L until 60L).map { i =>
       (i, if (i % 7 == 3) s"shared benchmark phrase number ${i % 14} body"

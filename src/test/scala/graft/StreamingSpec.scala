@@ -800,6 +800,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming SCD2: closed-version feed equals the batch history's non-current slice") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").cast("long"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      .sortBy(r => (r._2.getTime, r._3))
+    val split = events.length / 2 // versions straddling the batch boundary must close correctly
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.StreamingScd.scd2Closed(
+        input.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.format("memory").queryName("sscd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(events.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "select user_id, version, event_type, valid_from, valid_to, n_events from sscd")
+        .as[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet
+      val batch = graft.queries.TemporalQueries.scd2History(
+          graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events"))
+        .where(!col("is_current"))
+        .select("user_id", "version", "event_type", "valid_from", "valid_to",
+          "n_events")
+        .as[(Long, Long, String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming cohorts: per-user first-day state reproduces the batch retention matrix") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
