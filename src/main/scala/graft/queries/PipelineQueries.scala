@@ -309,6 +309,30 @@ object PipelineQueries {
         e.where(col("vec_id") < 20), e,
         centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3)
     }),
+    // Retrieval EVALUATION — recall@5 of the IVF approximate path
+    // against the exact scan, per query (auc1's counterpart for the
+    // s-family: every ANN deployment reports this number before
+    // trusting the index). Integer intersection counts, one exact
+    // division by k; at scale the exact side runs on a SAMPLE of
+    // queries (here all 19 gate queries), which is exactly how recall
+    // is audited in production — the approximate path is the one that
+    // serves traffic.
+    "rc1_ivf_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val exact = Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(
+          e.where(col("vec_id") < 20), e,
+          centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k").cast("double"), 6)
+            .as("recall6"))
+    }),
     // Oracle = the same 2 Lloyd rounds unrolled in SQL: per-round
     // round-to-6 (an explicit IEEE floor(|u|·1e6+0.5) formula, mirrored
     // exactly) RESETS cross-engine mean-summation ulp drift each
@@ -740,6 +764,41 @@ object PipelineQueries {
       |vn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM v0),
       |v AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS emb FROM vn)""".stripMargin
   private def dotSql(a: String, b: String): String = s"list_dot_product($a, $b)"
+
+  /** s1/s2 oracle bodies as vals: reused verbatim by the rc1 recall
+    * oracle (which subqueries both) so the three entries can never
+    * disagree on the retrieval semantics. */
+  private lazy val s1AnnSql =
+    s"""WITH $vNormCte
+       |SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.emb", "c.emb")} AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${dotSql("q.emb", "c.emb")} DESC, c.vec_id) AS rank
+       |  FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |WHERE rank <= 5""".stripMargin
+
+  private lazy val s2IvfSql =
+    s"""WITH $vNormCte,
+       |cent AS (SELECT vec_id AS cid, emb AS cent_emb FROM v WHERE vec_id % 25 = 0),
+       |assigned AS (SELECT neighbor_id, c_emb, cid FROM (
+       |  SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, cent.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+       |  FROM v CROSS JOIN cent) WHERE rn = 1),
+       |probes AS (SELECT query_id, q_emb, cid FROM (
+       |  SELECT v.vec_id AS query_id, v.emb AS q_emb, cent.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+       |  FROM v CROSS JOIN cent WHERE v.vec_id < 20) WHERE rn <= 3)
+       |SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ${dotSql("q_emb", "c_emb")} AS cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${dotSql("q_emb", "c_emb")} DESC, neighbor_id) AS rank
+       |  FROM probes JOIN assigned USING (cid)
+       |  WHERE query_id <> neighbor_id)
+       |WHERE rank <= 5""".stripMargin
 
   private val fpSql =
     """md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+', ' ', 'g'))"""
@@ -1790,36 +1849,16 @@ object PipelineQueries {
          |SELECT vec_id, code0, code1, code2, code3, adc6, rank FROM (
          |  SELECT *, CAST(row_number() OVER (ORDER BY adc6, vec_id) AS INTEGER) AS rank
          |  FROM e2) WHERE rank <= 20""".stripMargin,
-    "s1_ann_topk" ->
-      s"""WITH $vNormCte
-         |SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ${dotSql("q.emb", "c.emb")} AS cos,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${dotSql("q.emb", "c.emb")} DESC, c.vec_id) AS rank
-         |  FROM v q JOIN v c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
-         |WHERE rank <= 5""".stripMargin,
-    "s2_ivf_topk" ->
-      s"""WITH $vNormCte,
-         |cent AS (SELECT vec_id AS cid, emb AS cent_emb FROM v WHERE vec_id % 25 = 0),
-         |assigned AS (SELECT neighbor_id, c_emb, cid FROM (
-         |  SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, cent.cid,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
-         |  FROM v CROSS JOIN cent) WHERE rn = 1),
-         |probes AS (SELECT query_id, q_emb, cid FROM (
-         |  SELECT v.vec_id AS query_id, v.emb AS q_emb, cent.cid,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
-         |  FROM v CROSS JOIN cent WHERE v.vec_id < 20) WHERE rn <= 3)
-         |SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos FROM (
-         |  SELECT query_id, neighbor_id,
-         |    ${dotSql("q_emb", "c_emb")} AS cos,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY ${dotSql("q_emb", "c_emb")} DESC, neighbor_id) AS rank
-         |  FROM probes JOIN assigned USING (cid)
-         |  WHERE query_id <> neighbor_id)
-         |WHERE rank <= 5""".stripMargin,
+    "s1_ann_topk" -> s1AnnSql,
+    "rc1_ivf_recall" ->
+      s"""SELECT query_id, k, n_hits,
+         |  ROUND(CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE), 6) AS recall6
+         |FROM (
+         |  SELECT ex.query_id, COUNT(*) AS k, COUNT(ap.neighbor_id) AS n_hits
+         |  FROM ($s1AnnSql) ex LEFT JOIN ($s2IvfSql) ap
+         |    ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         |  GROUP BY ex.query_id)""".stripMargin,
+    "s2_ivf_topk" -> s2IvfSql,
     // kmeansCentroids(iters=2) unrolled: seeds = the same vec_id%25
     // picks, two Lloyd rounds (assign → member means → re-normalize →
     // round-to-6 via the mirrored IEEE formula), then exactly the s2
