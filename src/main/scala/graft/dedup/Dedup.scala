@@ -805,9 +805,14 @@ object Dedup {
         when(col("cnt") > 1,
           when(col("id") === col("id1"), col("id2")).otherwise(col("id1")))
           .otherwise(col("bestx.m")).as("best_match"))
-    records.select(col("id")).join(scored, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_near"), lit(0L)).as("n_near"),
-        col("best_dist"), col("best_match"))
+    // shuffle-free re-attach: the unblockable complement unions back
+    // with zeros (a record-grain join here would shuffle both frames
+    // on id just to add a usually-tiny row set)
+    scored.unionByName(
+      records.where(col("block").isNull || col("name").isNull)
+        .select(col("id"), lit(0L).as("n_near"),
+          lit(null).cast("long").as("best_dist"),
+          lit(null).cast(records.schema("id").dataType).as("best_match")))
   }
 
   /** Contracted-graph folds at or below this many distinct root-edges
@@ -1131,14 +1136,17 @@ object Dedup {
     * ingest screen probes the OR of all of them. Geometry mismatch
     * refuses loudly — resizing a bloom filter is a rebuild, never a
     * merge. */
-  def mergeBloomWords(a: Array[Long], b: Array[Long]): Array[Long] = {
-    require(a.length == b.length,
-      s"mergeBloomWords: geometry mismatch (${a.length} vs ${b.length} words) — " +
-        "bloom filters only merge at identical (mBits, k); rebuild at a common size")
-    val out = new Array[Long](a.length)
+  def mergeBloomWords(
+      a: (Array[Long], Int), b: (Array[Long], Int)): (Array[Long], Int) = {
+    require(a._1.length == b._1.length && a._2 == b._2,
+      s"mergeBloomWords: geometry mismatch (${a._1.length} words/k=${a._2} vs " +
+        s"${b._1.length} words/k=${b._2}) — bloom filters only merge at " +
+        "identical (mBits, k); a k mismatch would probe bits the smaller-k " +
+        "build never set (false negatives). Rebuild at a common geometry.")
+    val out = new Array[Long](a._1.length)
     var i = 0
-    while (i < a.length) { out(i) = a(i) | b(i); i += 1 }
-    out
+    while (i < a._1.length) { out(i) = a._1(i) | b._1(i); i += 1 }
+    (out, a._2)
   }
 
   def bloomDecontaminate(

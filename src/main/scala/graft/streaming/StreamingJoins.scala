@@ -51,8 +51,7 @@ object StreamingJoins {
   private final case class RightIndex(
       tsUs: Array[Long], ts: Array[java.sql.Timestamp], value: Array[java.lang.Double])
 
-  private def toUs(t: java.sql.Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def toUs(t: java.sql.Timestamp): Long = EventTime.toUs(t)
 
   /**
    * Stream-vs-static as-of join. `left` is a streaming frame with the
@@ -276,9 +275,5 @@ object StreamingJoins {
       .toDF("series_id", "ts", "value", "asof_ts", "asof_value")
   }
 
-  private def fromUs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  private def fromUs(us: Long): java.sql.Timestamp = EventTime.fromUs(us)
 }

@@ -44,9 +44,7 @@ object StreamingPaths {
           // full-microsecond ordering (getTime alone is millis and
           // would let event_id tiebreak sub-ms pairs differently from
           // the batch twin's exact-ts order)
-          def toUs(t: java.sql.Timestamp): Long =
-            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-          val sorted = rows.toArray.sortBy(r => (toUs(r._2), r._3))
+          val sorted = rows.toArray.sortBy(r => (EventTime.toUs(r._2), r._3))
           val out = Array.newBuilder[Transition]
           var last = state.getOption.orNull
           sorted.foreach { r =>

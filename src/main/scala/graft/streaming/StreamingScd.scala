@@ -29,15 +29,6 @@ object StreamingScd {
   final case class OpenVersion(
       typ: String, version: Long, fromUs: Long, nEvents: Long)
 
-  private def toUs(t: java.sql.Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-
-  private def fromUs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
-
   /** `events` must carry (user_id, ts, event_id, event_type); returns
     * the append-mode closed-version feed. */
   def scd2Closed(events: DataFrame): DataFrame = {
@@ -50,11 +41,11 @@ object StreamingScd {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
          state: GroupState[OpenVersion]) => {
-          val sorted = rows.toArray.sortBy(r => (toUs(r._2), r._3))
+          val sorted = rows.toArray.sortBy(r => (EventTime.toUs(r._2), r._3))
           val out = Array.newBuilder[ClosedVersion]
           var open = state.getOption.orNull
           sorted.foreach { case (_, ts, _, typ) =>
-            val us = toUs(ts)
+            val us = EventTime.toUs(ts)
             if (open == null) {
               open = OpenVersion(typ, 1L, us, 1L)
             } else if (open.typ == typ) {
@@ -63,7 +54,7 @@ object StreamingScd {
               // the arriving change closes the open version at ITS
               // timestamp (the batch lead(valid_from) semantics)
               out += ClosedVersion(uid, open.version, open.typ,
-                fromUs(open.fromUs), fromUs(us), open.nEvents)
+                EventTime.fromUs(open.fromUs), EventTime.fromUs(us), open.nEvents)
               open = OpenVersion(typ, open.version + 1L, us, 1L)
             }
           }

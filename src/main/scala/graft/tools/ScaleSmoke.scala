@@ -680,7 +680,7 @@ object ScaleSmoke {
     // exists for. maxTask is the evidence line. -----------------------
     if (want("graph")) {
       val edgePath = s"$outDir/pr_edges.parquet"
-      if (!new java.io.File(edgePath).exists()) {
+      if (!new java.io.File(s"$edgePath/_SUCCESS").exists()) {
         spark.range(1000000L).select(
             pmod(xxhash64(col("id") * 31 + 7), lit(500000L)).as("doc_a"),
             pmod(xxhash64(col("id") * 131 + 3), lit(500000L)).as("doc_b"))
@@ -716,11 +716,17 @@ object ScaleSmoke {
           element_at(split(col("name"), " "), 2).as("block"))
       recs.write.mode("overwrite").parquet(s"$outDir/link_recs.parquet")
       val r = spark.read.parquet(s"$outDir/link_recs.parquet")
+      // ONE aggregate computes both the row count and the matched
+      // count — re-invoking the operator for the audit line would
+      // re-run the whole linkage job
+      var matched = 0L
       timed("ed1_linkage_1m_records") {
-        graft.dedup.Dedup.blockedEditDistance(r, maxDist = 2).count()
+        val agg = graft.dedup.Dedup.blockedEditDistance(r, maxDist = 2)
+          .agg(count(lit(1)),
+            sum(when(col("n_near") > 0, 1L).otherwise(0L))).head
+        matched = agg.getLong(1)
+        agg.getLong(0)
       }
-      val matched = graft.dedup.Dedup.blockedEditDistance(r, maxDist = 2)
-        .where(col("n_near") > 0).count()
       val distinctPairs = spark.read.parquet(s"$outDir/link_recs.parquet")
         .select(col("block"), col("name")).distinct()
         .groupBy(col("block")).agg(count(lit(1)).as("c"))
@@ -737,17 +743,22 @@ object ScaleSmoke {
     // horizon-bounded fold. ------------------------------------------
     if (want("events")) {
       val evPath = s"$outDir/events10m.parquet"
-      if (!new java.io.File(evPath).exists()) {
+      // _SUCCESS, not bare existence: a previously interrupted write
+      // must regenerate, not silently feed six sections partial data
+      if (!new java.io.File(s"$evPath/_SUCCESS").exists()) {
         spark.range(10000000L).select(
             col("id").as("event_id"),
             // ~100 events/user over a 90-day horizon, second granularity
             pmod(xxhash64(col("id") * 31 + 5), lit(100000L)).as("user_id"),
             to_timestamp(lit(1704067200L)
               + pmod(xxhash64(col("id") * 17 + 3), lit(90L * 86400L))).as("ts"),
+            // funnel-shaped mix: view 40%, click 30%, signup 20%,
+            // purchase 10% (h in [0,10): >= thresholds walk DOWN the
+            // funnel as h grows)
             element_at(array(lit("view"), lit("click"), lit("signup"), lit("purchase")),
-              (pmod(xxhash64(col("id") * 7 + 1), lit(10L)) < 4).cast("int")
-                + (pmod(xxhash64(col("id") * 7 + 1), lit(10L)) < 7).cast("int")
-                + (pmod(xxhash64(col("id") * 7 + 1), lit(10L)) < 9).cast("int") + 1)
+              (pmod(xxhash64(col("id") * 7 + 1), lit(10L)) >= 4).cast("int")
+                + (pmod(xxhash64(col("id") * 7 + 1), lit(10L)) >= 7).cast("int")
+                + (pmod(xxhash64(col("id") * 7 + 1), lit(10L)) >= 9).cast("int") + 1)
               .as("event_type"),
             (pmod(xxhash64(col("id") * 3 + 11), lit(100000L)).cast("double") / 100.0)
               .as("value"),

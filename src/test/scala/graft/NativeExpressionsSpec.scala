@@ -380,14 +380,20 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkTestBase {
     }
     val setA = (0 until 100).map(i => i.toLong * 7919L)
     val setB = (0 until 100).map(i => i.toLong * 104729L + 3L)
-    val merged = Dedup.mergeBloomWords(build(setA), build(setB))
-    assert((setA ++ setB).forall(g => BloomKernel.contains(g, merged, k)))
+    val (merged, mk) = Dedup.mergeBloomWords((build(setA), k), (build(setB), k))
+    assert(mk == k)
+    assert((setA ++ setB).forall(g => BloomKernel.contains(g, merged, mk)))
     // OR of the word arrays == a filter built over the union
     assert(merged.sameElements(build(setA ++ setB)))
+    // word-count AND k mismatches both refuse
     val e = intercept[IllegalArgumentException] {
-      Dedup.mergeBloomWords(new Array[Long](64), new Array[Long](32))
+      Dedup.mergeBloomWords((new Array[Long](64), k), (new Array[Long](32), k))
     }
     assert(e.getMessage.contains("geometry"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.mergeBloomWords((new Array[Long](64), 8), (new Array[Long](64), 6))
+    }
+    assert(e2.getMessage.contains("geometry"))
   }
 
   test("bloomDecontaminate == decontaminate exactly; oversized bitset refuses loudly") {

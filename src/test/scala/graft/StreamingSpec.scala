@@ -700,7 +700,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .select(col("user_id").cast("long"), col("ts"),
         col("event_id").cast("long"), col("event_type"))
       .as[(Long, java.sql.Timestamp, Long, String)].collect()
-      .sortBy(r => (r._2.getTime, r._3))
+      .sortBy(r => (Math.floorDiv(r._2.getTime, 1000L) * 1000000L
+        + r._2.getNanos / 1000L, r._3))
     val split = events.length / 2
     val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
     val q = graft.streaming.StreamingFunnel.funnelReaches(
@@ -777,7 +778,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .select(col("user_id").cast("long"), col("ts"), col("event_id"),
         col("event_type"))
       .as[(Long, java.sql.Timestamp, Long, String)].collect()
-      .sortBy(r => (r._2.getTime, r._3))
+      .sortBy(r => (Math.floorDiv(r._2.getTime, 1000L) * 1000000L
+        + r._2.getNanos / 1000L, r._3))
     val split = events.length / 2 // mid-stream split: boundary steps must carry
     val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
     val q = graft.streaming.StreamingPaths.transitionSteps(
@@ -808,7 +810,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .select(col("user_id").cast("long"), col("ts"), col("event_id"),
         col("event_type"))
       .as[(Long, java.sql.Timestamp, Long, String)].collect()
-      .sortBy(r => (r._2.getTime, r._3))
+      .sortBy(r => (Math.floorDiv(r._2.getTime, 1000L) * 1000000L
+        + r._2.getNanos / 1000L, r._3))
     val split = events.length / 2 // versions straddling the batch boundary must close correctly
     val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
     val q = graft.streaming.StreamingScd.scd2Closed(
