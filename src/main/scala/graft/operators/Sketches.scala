@@ -100,11 +100,15 @@ object Sketches {
     require(p >= 4 && p <= 12, s"hll: p must be in [4, 12]: $p")
     val nExact = df.groupBy(group.as("grp"))
       .agg(countDistinct(key.cast("string")).as("n_exact"))
-    hllEstimate(hllRegisters(df, key, p, group = Some(group)), p, grouped = true)
+    // eqNullSafe: a null group key survives both groupBys as its own
+    // group; a plain equi-join would silently drop it here (null keys
+    // never match), losing the "ungrouped" rows from the output.
+    val est = hllEstimate(hllRegisters(df, key, p, group = Some(group)),
+      p, grouped = true)
       .select(col("grp"), col("used").as("n_buckets_used"),
         round(col("est"), 6).as("hll_estimate6"))
-      .join(nExact, Seq("grp"))
-      .select(col("grp"), col("n_exact"), col("n_buckets_used"),
+    est.join(nExact, est("grp") <=> nExact("grp"))
+      .select(est("grp"), col("n_exact"), col("n_buckets_used"),
         col("hll_estimate6"))
   }
 

@@ -446,7 +446,9 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 4).as("total_spend"))
     val w = Window.orderBy(col("total_spend").desc, col("o_custkey"))
     totals
-      .withColumn("decile", ntile(10).over(w))
+      // cast: Spark ntile is int32, DuckDB's is BIGINT — emit long so
+      // the dtype-strict gate compares exactly (SURVEY §8 discipline)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         round(sum(col("total_spend")), 4).as("decile_spend"),
@@ -678,7 +680,9 @@ object Relational {
       .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .join(asiaCustomers, col("o_custkey") === col("c_custkey"), "left_semi")
-      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      // cast: Spark year() is int32, DuckDB's is BIGINT — emit long so
+      // the dtype-strict gate compares exactly (SURVEY §8 discipline)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
     val suppNation = t(spark, dir, "supplier")
       .select(col("s_suppkey"), col("s_nationkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),

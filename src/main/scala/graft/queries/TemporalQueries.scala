@@ -223,13 +223,30 @@ object TemporalQueries {
     * per-user aggregate, then all remaining work runs on the
     * (stage-pair)-keyed frame — stage-pair cardinality is the funnel
     * length, so the median windows are the bm1 harmless tail. */
+  /** Below this estimated input size the [[funnelTiming]] barrier is
+    * skipped: the checkpoint write is a fixed ~0.5 s that only pays
+    * for itself once recomputing the staged window chain per
+    * stage-pair branch costs more (measured 5.8× at 10M events; a
+    * wash at gate SF). Estimated from plan statistics — no job runs.
+    * Override via the session conf of the same name. */
+  val FunnelBarrierMinBytesKey = "spark.graft.funnel.barrierMinBytes"
+  private val FunnelBarrierMinBytesDefault = 32L * 1024 * 1024
+
   def funnelTiming(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.length >= 2, s"funnelTiming: need >= 2 stages: $stages")
     // barrier: the stage-pair union below reads this frame once per
     // adjacent pair — without it the 4-window staged chain over the
     // full event log recomputes per branch (measured 2.8× at 10M
-    // events on a funnel-shaped mix)
-    val wide = graft.Materialize.barrier(funnelReachWide(events, stages))
+    // events on a funnel-shaped mix). Size-gated (the q15/e6
+    // precedent): skipped when the estimated input is small enough
+    // that k−1 recomputes are cheaper than the checkpoint write.
+    val minBytes = BigInt(scala.util.Try(
+      events.sparkSession.conf.get(FunnelBarrierMinBytesKey).toLong)
+      .getOrElse(FunnelBarrierMinBytesDefault))
+    val wideRaw = funnelReachWide(events, stages)
+    val wide =
+      if (events.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) wideRaw
+      else graft.Materialize.barrier(wideRaw)
     val pairs = stages.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
       wide.where(col(s"t_${i + 1}").isNotNull)
         .select(lit(s"$a->$b").as("step"), col("user_id"),
@@ -512,7 +529,8 @@ object TemporalQueries {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS removed,
         |   (SELECT COUNT(*) FROM dd) AS nn
         |  FROM st),
-        |rs AS (SELECT i, day, nn - removed AS n_risk, d, c FROM si),
+        |rs AS (SELECT i, day, CAST(nn - removed AS BIGINT) AS n_risk,
+        |   CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c FROM si),
         |f AS (
         |  SELECT i, day, n_risk, d, c,
         |    floor(CAST(1.0 AS DOUBLE) * (1 - CAST(d AS DOUBLE) / n_risk)
@@ -576,10 +594,11 @@ object TemporalQueries {
         |c AS (SELECT *,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         | FROM e),
-        |r AS (SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> event_type
+        |r AS (SELECT *, CAST(SUM(CASE WHEN prev IS NULL OR prev <> event_type
         |    THEN 1 ELSE 0 END)
         |  OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS version
         | FROM c),
         |h AS (SELECT user_id, version, MIN(event_type) AS event_type,
         |   MIN(ts) AS valid_from, COUNT(*) AS n_events

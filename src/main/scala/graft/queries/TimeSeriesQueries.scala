@@ -939,8 +939,8 @@ object TimeSeriesQueries {
          |nn AS (SELECT event_type, va, ${q6Sql("value")} AS yu
          | FROM e WHERE value IS NOT NULL),
          |st AS (SELECT event_type,
-         |  SUM(CASE WHEN va THEN 1 ELSE 0 END) AS n_a,
-         |  SUM(CASE WHEN va THEN 0 ELSE 1 END) AS n_b,
+         |  CAST(SUM(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(SUM(CASE WHEN va THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
          |  SUM(CASE WHEN va THEN yu ELSE 0 END) AS sa,
          |  SUM(CASE WHEN va THEN 0 ELSE yu END) AS sb
          | FROM nn GROUP BY 1),

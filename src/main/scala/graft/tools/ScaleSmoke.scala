@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * cos≈0.999 near-dups) into `outDir` with the driver testdata
   * schemas, then times the PRODUCTION query functions
   * (SparkEntry.queries) against it unchanged. Usage:
-  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,bloom,link,events]"
+  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,bloom,link,linkhot,events]"
   * (no --run flag = all sections).
   */
 object ScaleSmoke {
@@ -734,6 +734,63 @@ object ScaleSmoke {
       println(s"SCALE ed1: 1M records, 5k distinct names; levenshtein pair bound " +
         s"$distinctPairs (distinct-name) vs ~5e9 (naive record pairs); " +
         s"$matched records matched")
+    }
+
+    // --- ed1 ADVERSARIAL hot block: one block key ("n0") covering 20%
+    // of 1M records AND carrying a rich name space (5,000 distinct
+    // names vs ≤25 in every cold block), so Σ|block|² concentrates
+    // ~25M levenshtein pairs in ONE join key — the worst case the
+    // scaladoc's "the block key is the scale lever" sentence warns
+    // about. The evidence is the honest one: wall + maxTask-vs-mean
+    // for the pair-scan stage (a single hot key CANNOT parallelize
+    // under hash partitioning), followed by the lever itself — the
+    // same data under a composite (noun, adj-bucket) key, which
+    // splits the hot block's pair work ~K² ways at the documented
+    // recall trade (cross-bucket pairs are no longer candidates). ----
+    if (want("linkhot")) {
+      // 20% of ids land in noun 0; names there draw from 5,000
+      // adjectives (id-keyed, so names repeat ~40×); cold blocks keep
+      // the link-section regime (25 adjectives over 199 nouns)
+      val hot = pmod(xxhash64(col("id") * 41 + 3), lit(5L)) === 0
+      val noun = when(hot, lit(0L))
+        .otherwise(pmod(xxhash64(col("id") * 29 + 7), lit(199L)) + 1)
+      val adj = when(hot, pmod(xxhash64(col("id") * 13 + 1), lit(5000L)))
+        .otherwise(pmod(xxhash64(col("id") * 13 + 1), lit(25L)))
+      val recs = spark.range(1000000L).select(
+        col("id"),
+        concat(lit("a"), adj, lit(" n"), noun).as("name"),
+        concat(lit("n"), noun).as("block"))
+      recs.write.mode("overwrite").parquet(s"$outDir/linkhot_recs.parquet")
+      val r = spark.read.parquet(s"$outDir/linkhot_recs.parquet")
+      var matched = 0L
+      timed("ed1_hot_block_20pct") {
+        val agg = graft.dedup.Dedup.blockedEditDistance(r, maxDist = 2)
+          .agg(count(lit(1)),
+            sum(when(col("n_near") > 0, 1L).otherwise(0L))).head
+        matched = agg.getLong(1)
+        agg.getLong(0)
+      }
+      val hotPairs = r.select(col("block"), col("name")).distinct()
+        .groupBy(col("block")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c") * col("c")), sum(col("c") * col("c"))).head
+      println(s"SCALE ed1hot: hot block owns ${hotPairs.getLong(0)} of " +
+        s"${hotPairs.getLong(1)} distinct-name pairs; $matched matched")
+      // the lever: composite (noun, adj mod 16) key — hot-block pair
+      // work drops ~16×/bucket; pairs straddling adj buckets are no
+      // longer candidates (the documented recall trade)
+      val r2 = r.withColumn("block",
+        concat(col("block"), lit("#"),
+          pmod(xxhash64(element_at(split(col("name"), " "), 1)), lit(16L))))
+      var matched2 = 0L
+      timed("ed1_hot_block_split16") {
+        val agg = graft.dedup.Dedup.blockedEditDistance(r2, maxDist = 2)
+          .agg(count(lit(1)),
+            sum(when(col("n_near") > 0, 1L).otherwise(0L))).head
+        matched2 = agg.getLong(1)
+        agg.getLong(0)
+      }
+      println(s"SCALE ed1hot: split-16 composite key — $matched2 matched " +
+        s"(vs $matched; the delta is the documented cross-bucket recall trade)")
     }
 
     // --- round-11 event-analytics family at 10M events / 100k users:

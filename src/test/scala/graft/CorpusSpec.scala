@@ -128,6 +128,19 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hllDistinctBy: a null group key survives as its own output row") {
+    import org.apache.spark.sql.functions.col
+    val S = graft.operators.Sketches
+    val rows = ((0 until 7).map(i => (Option("a"), s"u$i")) ++
+      (0 until 13).map(i => (Option.empty[String], s"n$i"))).toDF("g", "k")
+    val out = S.hllDistinctBy(rows, col("g"), col("k"))
+      .as[(Option[String], Long, Long, Double)].collect().toSeq
+    // the join is null-safe (eqNullSafe): the null group must not be
+    // silently dropped by equi-join null-key semantics
+    assert(out.map(x => x._1 -> x._2).toMap ==
+      Map(Option("a") -> 7L, Option.empty[String] -> 13L))
+  }
+
   test("kmv: merge property — union of sketches == sketch of union; estimates within bounds") {
     import org.apache.spark.sql.functions.col
     val S = graft.operators.Sketches

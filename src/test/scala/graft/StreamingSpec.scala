@@ -838,6 +838,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming survival: conversion feed grouped by day equals the batch KM n_events column") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").cast("long"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      .sortBy(r => (Math.floorDiv(r._2.getTime, 1000L) * 1000000L
+        + r._2.getNanos / 1000L, r._3))
+    val split = events.length / 2 // users whose origin and conversion straddle the boundary must carry state
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.StreamingSurvival.conversions(
+        input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        "view", "purchase")
+      .writeStream.format("memory").queryName("skm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(events.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("select day, count(*) from skm group by 1")
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.queries.TemporalQueries.kaplanMeier(
+          graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events"),
+          "view", "purchase")
+        .where(col("n_events") > 0L)
+        .select("day", "n_events")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming cohorts: per-user first-day state reproduces the batch retention matrix") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -59,18 +59,35 @@ for name, sql in sorted(oracle.items()):
     if ok_rows and ok_schema:
         a = sdf[scols].sort_values(scols).reset_index(drop=True)
         b = odf[ocols].sort_values(ocols).reset_index(drop=True)
+        # DTYPE-STRICT (round 12): the driver's hash protocol fails on
+        # int64-vs-float64 (DuckDB HUGEINT from an uncast SUM) even when
+        # the values are equal — the old astype() coercion here masked
+        # exactly that, which is how three r11 keys shipped red. A dtype
+        # mismatch is now a FAILURE naming the column; the sole allowed
+        # normalization is datetime64 resolution (ns vs us — same
+        # instants, parquet-writer artifact), applied loudly.
+        dtype_bad = []
         for c in scols:
-            if a[c].dtype != b[c].dtype:
-                try:
-                    b[c] = b[c].astype(a[c].dtype)
-                except Exception:
-                    a[c] = a[c].astype(str); b[c] = b[c].astype(str)
-        ok_hash = a.equals(b)
-        if not ok_hash:
-            neq = (a != b) & ~(a.isna() & b.isna())
-            bad = neq.any(axis=1)
-            print(f"--- {name}: first diffs")
-            print(a[bad].head(3)); print(b[bad].head(3))
+            da, db = a[c].dtype, b[c].dtype
+            if da == db:
+                continue
+            if str(da).startswith("datetime64") and str(db).startswith("datetime64") \
+                    and getattr(da, "tz", None) == getattr(db, "tz", None):
+                print(f"  {name}: note datetime unit {db} -> {da} on '{c}'")
+                b[c] = b[c].astype(da)
+            else:
+                dtype_bad.append(f"{c}: spark={da} oracle={db}")
+        if dtype_bad:
+            print(f"--- {name}: DTYPE MISMATCH (driver hash would fail)")
+            for m in dtype_bad:
+                print(f"  {m}")
+        else:
+            ok_hash = a.equals(b)
+            if not ok_hash:
+                neq = (a != b) & ~(a.isna() & b.isna())
+                bad = neq.any(axis=1)
+                print(f"--- {name}: first diffs")
+                print(a[bad].head(3)); print(b[bad].head(3))
     status = "OK" if (ok_rows and ok_schema and ok_hash) else \
         f"FAIL rows={ok_rows}({len(sdf)}/{len(odf)}) schema={ok_schema} hash={ok_hash}"
     if not (ok_rows and ok_schema and ok_hash):
