@@ -735,6 +735,48 @@ object Dedup {
   }
 
   /**
+   * Multi-source BFS HOP DISTANCE over an undirected pair graph —
+   * "how far is every document from the trusted set": given seed
+   * nodes, the shortest hop count from any seed, bounded at
+   * `maxHops` (unreached-within-bound → null). The graph-proximity
+   * triage that complements tc1's cohesion (a near-dup of a near-dup
+   * of a flagged doc is itself suspect — contamination halo, trust
+   * propagation). Frontier semantics: dist_{k+1}(v) = min(dist_k(v),
+   * 1 + min over neighbors dist_k(u)) — after k rounds every node
+   * within k hops holds its exact shortest distance.
+   *
+   * Scale shape: the cc1 iterative posture — each round is one
+   * src-keyed join (propagate) plus one partial-combined min
+   * aggregate, materialized behind the [[materialize]] barrier (the
+   * round count is the BOUND, fixed by the caller, not data-driven
+   * convergence — so the job graph is statically maxHops·2 keyed
+   * exchanges). No corpus-wide single partition; a hot hub fans out
+   * through one join key and its updates combine map-side.
+   */
+  def bfsDistance(
+      pairs: DataFrame, isSeed: Column => Column, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32,
+      s"bfsDistance: maxHops must be in [1, 32]: $maxHops")
+    val und = materialize(pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") =!= col("b")).distinct())
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = materialize(sym.select(col("src").as("id")).distinct())
+    var dist = materialize(nodes.where(isSeed(col("id")))
+      .select(col("id"), lit(0L).as("dist")))
+    for (_ <- 1 to maxHops) {
+      val prop = sym.join(dist.select(col("id").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + lit(1L)).as("dist"))
+      dist = materialize(dist.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist")))
+    }
+    nodes.join(dist, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("dist"))
+  }
+
+  /**
    * Blocked EDIT-DISTANCE matching — the record-linkage/entity-
    * resolution primitive the token-set family (Jaccard, minhash,
    * containment) cannot express: two short strings ("red widget" /

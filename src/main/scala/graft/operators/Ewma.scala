@@ -57,4 +57,51 @@ object Ewma {
       }
       .toDF("series_id", "ts", "value", "ewma")
   }
+
+  /** HOLT'S LINEAR METHOD (double exponential smoothing, Holt 1957) —
+    * [[ewmaMean]]'s trend-aware sibling: level l and trend b evolve as
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * seeded l_0 = x_0, b_0 = 0 at each series' first non-null sample.
+    * Null/NaN samples DO NOT advance the state (they emit the carried
+    * level/trend; null before the seed). Sequential per series — the
+    * ewma/d1 per-series-kernel shape: one shuffle on series_id,
+    * embarrassingly parallel across series, one in-memory pass per
+    * series. The op ORDER above is the contract: the DuckDB oracle
+    * runs the identical IEEE sequence (hw1, recursive CTE), so 6dp
+    * outputs hash-match with no per-step rounding needed. */
+  def holtLinear(ts: DataFrame, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1]: $beta")
+    val spark = ts.sparkSession
+    import spark.implicits._
+    val oneMinusAlpha = 1.0 - alpha // Scala-computed (the ew1 DECIMAL trap)
+    val oneMinusBeta = 1.0 - beta
+    ts.select(col("series_id"), col("ts"), col("value"))
+      .as[(String, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        var seeded = false
+        var level = 0.0
+        var trend = 0.0
+        rows.iterator.map { case (_, t, v) =>
+          v match {
+            case Some(x) if !x.isNaN =>
+              if (!seeded) { seeded = true; level = x; trend = 0.0 }
+              else {
+                val nl = alpha * x + oneMinusAlpha * (level + trend)
+                val nt = beta * (nl - level) + oneMinusBeta * trend
+                level = nl; trend = nt
+              }
+              (sid, t, v, Some(level), Some(trend))
+            case _ =>
+              (sid, t, v,
+                if (seeded) Some(level) else None,
+                if (seeded) Some(trend) else None)
+          }
+        }
+      }
+      .toDF("series_id", "ts", "value", "level", "trend")
+  }
 }

@@ -458,6 +458,20 @@ object PipelineQueries {
     "tc1_triangle_count" -> ((s, dir) =>
       Dedup.triangleCounts(
         Dedup.minhashNearDups(docs(s, dir), threshold = 0.6).select("doc_a", "doc_b"))),
+    // Multi-source BFS hop distance from the "trusted" seed slice
+    // (doc_id % 3 == 0) over the same near-dup graph — the halo /
+    // trust-propagation triage; 4-hop bound, unreached -> null.
+    "bfs1_graph_distance" -> ((s, dir) =>
+      Dedup.bfsDistance(
+        Dedup.minhashNearDups(docs(s, dir), threshold = 0.6)
+          .select("doc_a", "doc_b"),
+        id => id % 3 === 0, maxHops = 4)),
+    // Embedding-space decontamination: per corpus vector the max
+    // cosine vs the eval slice (vec_id % 13 == 0) — the semantic leak
+    // gram screens miss; eval broadcasts, corpus scans once.
+    "dc4_embedding_decontaminate" -> ((s, dir) =>
+      graft.similarity.Similarity.embeddingDecontaminate(
+        embs(s, dir), vid => vid % 13 === 0, threshold = 0.45)),
     "sb1_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedup(docs(s, dir), l = 5)),
     // The paper's removal semantics: the globally-first occurrence of
@@ -1289,6 +1303,38 @@ object PipelineQueries {
          |SELECT nodes.id AS doc_id, deg,
          |  CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles
          |FROM nodes LEFT JOIN corners ON nodes.id = corners.id""".stripMargin,
+    // bfs1: same verified pair chain; the oracle's recursive walk
+    // enumerates every path to depth 4 and MINs per node (fine at
+    // oracle SF), the Spark side runs bounded frontier rounds — both
+    // produce the exact shortest hop count <= 4, null beyond
+    "bfs1_graph_distance" ->
+      s"""WITH RECURSIVE $minhashChainCtes,
+         |prs AS (SELECT doc_a, doc_b FROM jj WHERE j >= 0.6),
+         |ed AS (SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+         |  FROM prs WHERE doc_a <> doc_b GROUP BY 1, 2),
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |  UNION ALL SELECT b AS src, a AS dst FROM ed),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |walk(id, d) AS (
+         |  SELECT id, 0 FROM nodes WHERE id % 3 = 0
+         |  UNION ALL
+         |  SELECT sym.dst, walk.d + 1 FROM walk JOIN sym ON sym.src = walk.id
+         |  WHERE walk.d < 4)
+         |SELECT nodes.id AS doc_id, CAST(MIN(walk.d) AS BIGINT) AS dist
+         |FROM nodes LEFT JOIN walk ON nodes.id = walk.id
+         |GROUP BY 1""".stripMargin,
+    // dc4: identical normalized vectors and dot products (vNormCte /
+    // list_dot_product mirror the Scala op order), so the per-vector
+    // MAX and the raw-double threshold compare are engine-exact
+    "dc4_embedding_decontaminate" ->
+      s"""WITH $vNormCte,
+         |ev AS (SELECT vec_id, emb FROM v WHERE vec_id % 13 = 0),
+         |cp AS (SELECT vec_id, emb FROM v WHERE vec_id % 13 <> 0),
+         |sc AS (SELECT cp.vec_id AS vid, MAX(${dotSql("cp.emb", "ev.emb")}) AS mc
+         |  FROM cp CROSS JOIN ev GROUP BY 1)
+         |SELECT cp.vec_id AS vid, ROUND(sc.mc, 4) AS max_cos4,
+         |  COALESCE(sc.mc >= 0.45, FALSE) AS contaminated
+         |FROM cp LEFT JOIN sc ON cp.vec_id = sc.vid""".stripMargin,
     // cm1: the same two md5 words per token (tokHashSqlAt 0/8 — the
     // split-word discipline), width-512 bucket counts, min-over-rows;
     // integer counts end to end so the compare is hash-exact

@@ -1231,6 +1231,50 @@ object Relational {
         |SELECT r.id, CAST(COALESCE(g.n_near, 0) AS BIGINT) AS n_near,
         |  CAST(bst.best_dist AS BIGINT) AS best_dist, bst.best_match
         |FROM r LEFT JOIN g USING (id) LEFT JOIN bst USING (id)""".stripMargin,
+    // rfm1: deterministic quintiles (ties by custkey), datediff on
+    // day-aligned timestamps, every score CAST BIGINT
+    "rfm1_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |   COUNT(*) AS frequency, ROUND(SUM(o_totalprice), 4) AS monetary
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT MAX(last_order) AS t_ref FROM per),
+        |sc AS (SELECT per.*,
+        |   CAST(date_diff('day', last_order, t_ref) AS BIGINT) AS recency_days
+        |  FROM per CROSS JOIN mx),
+        |n AS (SELECT *,
+        |  CAST(6 - ntile(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT)
+        |    AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT)
+        |    AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT)
+        |    AS m_score
+        | FROM sc)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM n""".stripMargin,
+    // jw1: DuckDB's INDEPENDENT jaro_winkler_similarity vs the native
+    // expression (bit-for-bit pinned semantics — see JaroWinklerSim);
+    // raw-double threshold, floor-formula 6dp on the emitted score only
+    "jw1_name_similarity" ->
+      """WITH r AS (SELECT DISTINCT p_name AS name,
+        |  string_split(p_name, ' ')[2] || '|' || substr(p_name, 1, 1) AS block
+        | FROM part),
+        |r2 AS (SELECT * FROM r WHERE block IS NOT NULL),
+        |p AS (SELECT a.block, a.name, b.name AS name_b,
+        |   jaro_winkler_similarity(a.name, b.name) AS jw
+        |  FROM r2 a JOIN r2 b ON a.block = b.block AND a.name <> b.name
+        |  WHERE jaro_winkler_similarity(a.name, b.name) >= 0.94),
+        |s AS (SELECT block, name, COUNT(*) AS n_sim FROM p GROUP BY 1, 2),
+        |bst AS (SELECT block, name, jw, name_b FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY block, name
+        |    ORDER BY jw DESC, name_b) AS rn FROM p) WHERE rn = 1)
+        |SELECT r2.block, r2.name,
+        |  CAST(COALESCE(s.n_sim, 0) AS BIGINT) AS n_sim,
+        |  floor(bst.jw * 1000000.0 + 0.5) / 1000000.0 AS best_jw6,
+        |  bst.name_b AS best_name
+        |FROM r2 LEFT JOIN s USING (block, name)
+        |LEFT JOIN bst USING (block, name)""".stripMargin,
     "rs2_range_window" ->
       """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS series_id, ts,
         |  CASE WHEN isnan(value) THEN NULL ELSE value END AS value,
@@ -1292,6 +1336,8 @@ object Relational {
     "q10_returned_items" -> (q10ReturnedItems _),
     "rs2_range_window" -> (rs2RangeWindow _),
     "ed1_name_matching" -> (ed1NameMatching _),
+    "jw1_name_similarity" -> (jw1NameSimilarity _),
+    "rfm1_rfm_segments" -> (rfm1RfmSegments _),
     "zo1_zorder_layout" -> (zo1ZorderLayout _),
     "pf2_key_skew" -> (pf2KeySkew _)
   )
@@ -1370,4 +1416,88 @@ object Relational {
         concat(split(col("p_name"), " ").getItem(1), lit("|"),
           substring(col("p_name"), 1, 1)).as("block")),
       maxDist = 2)
+
+  /** RFM SEGMENTATION — the classic customer-value triage: per
+    * customer, Recency (days since last order, vs the corpus's last
+    * order date — self-contained, no wall clock), Frequency (order
+    * count) and Monetary (total spend, 4dp), each scored into
+    * quintiles (5 = best: most recent / most frequent / biggest
+    * spender), and the composite RFM segment code r·100+f·10+m.
+    * Quintile ties break by customer key, so the scores are
+    * deterministic on both engines. ntile is cast long (the q8/w5
+    * dtype discipline).
+    *
+    * Scale caveat (the w5 precedent, documented there too): the three
+    * ntile windows are single-partition over the per-customer frame —
+    * fine at per-customer grain (orders collapse first; the frame is
+    * |customers|), and a 100 TB deployment would range-partition the
+    * quintile assignment. */
+  def rfm1RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 4).as("monetary"))
+    val ref = per.agg(max(col("last_order")).as("t_ref"))
+    val scored = per.crossJoin(broadcast(ref))
+      .withColumn("recency_days",
+        datediff(col("t_ref"), col("last_order")).cast("long"))
+    val rW = Window.orderBy(col("recency_days"), col("o_custkey"))
+    val fW = Window.orderBy(col("frequency"), col("o_custkey"))
+    val mW = Window.orderBy(col("monetary"), col("o_custkey"))
+    scored
+      .withColumn("r_score", (lit(6) - ntile(5).over(rW)).cast("long"))
+      .withColumn("f_score", ntile(5).over(fW).cast("long"))
+      .withColumn("m_score", ntile(5).over(mW).cast("long"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("segment"))
+  }
+
+  /** GRADED name similarity over part names — ed1's companion where
+    * the linkage needs a SCORE, not an op count: per distinct blocked
+    * name, how many other names in its block clear a Jaro–Winkler
+    * threshold, and the best-scoring match (ties to the
+    * lexicographically smallest name). Runs the native codegen'd
+    * [[graft.functions.JaroWinklerSim]], whose semantics are pinned
+    * bit-for-bit to DuckDB's independent `jaro_winkler_similarity` —
+    * so the oracle cross-checks two implementations of the measure,
+    * not one implementation mirrored. The threshold compare runs on
+    * the RAW double (bit-equal on both engines); only the emitted
+    * score is rounded, via the boundary-deterministic
+    * floor(x·1e6+0.5)/1e6 (house r6 discipline).
+    *
+    * Scale shape: the ed1 distinct-value-linkage lesson applied from
+    * the start — the pair scan runs at distinct-(block, name) grain
+    * (Σ|block-names|² pairs, NOT record pairs), one exchange keyed on
+    * block, one partial-combined min(struct) argbest per name. The
+    * distinct-name frame feeds three consumers (pair left, pair
+    * right, output base), so it sits behind the standard barrier —
+    * without it the plan re-runs the scan+distinct per consumer
+    * (column pruning defeats ReuseExchange, the au1 finding). */
+  def jw1NameSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val names = graft.Materialize.barrier(t(spark, dir, "part")
+      .select(col("p_name").as("name"),
+        concat(split(col("p_name"), " ").getItem(1), lit("|"),
+          substring(col("p_name"), 1, 1)).as("block"))
+      .where(col("block").isNotNull)
+      .distinct())
+    val a = names.select(col("block"), col("name"))
+    val b = names.select(col("block"), col("name").as("name_b"))
+    val sims = a.join(b, Seq("block"))
+      .where(col("name") =!= col("name_b"))
+      .withColumn("jw",
+        call_function("graft_jaro_winkler", col("name"), col("name_b")))
+      .where(col("jw") >= lit(0.94))
+      .groupBy(col("block"), col("name"))
+      .agg(count(lit(1)).as("n_sim"),
+        min(struct((-col("jw")).as("neg_jw"), col("name_b").as("nb"))).as("best"))
+    names.join(sims, Seq("block", "name"), "left")
+      .select(col("block"), col("name"),
+        coalesce(col("n_sim"), lit(0L)).as("n_sim"),
+        (floor(-col("best.neg_jw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("best_jw6"),
+        col("best.nb").as("best_name"))
+  }
 }

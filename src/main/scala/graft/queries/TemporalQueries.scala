@@ -70,8 +70,133 @@ object TemporalQueries {
       transitionMatrix(Tables.read(s, dir, "events"))),
     // Kaplan-Meier view->purchase conversion survival curve
     "km1_survival" -> ((s, dir) =>
-      kaplanMeier(Tables.read(s, dir, "events"), "view", "purchase"))
+      kaplanMeier(Tables.read(s, dir, "events"), "view", "purchase")),
+    // DAU + trailing 7/28-day rolling active users per day
+    "au1_active_users" -> ((s, dir) =>
+      activeUsers(Tables.read(s, dir, "events"))),
+    // last-touch revenue attribution of purchases
+    "at1_last_touch" -> ((s, dir) =>
+      lastTouchAttribution(Tables.read(s, dir, "events"), "purchase")),
+    // fn1's funnel with a 7-day per-step conversion window
+    "fn2_windowed_funnel" -> ((s, dir) =>
+      windowedFunnel(
+        Tables.read(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        Seq("view", "click", "signup", "purchase"),
+        windowUs = 7L * 86400L * 1000000L))
   )
+
+  /** ROLLING ACTIVE USERS — the DAU/WAU/MAU stickiness dashboard:
+    * per active day, the count of distinct users active that day plus
+    * the trailing 7- and 28-day distinct actives. Days are integer
+    * epoch-day indices (the ch1 discipline — no date dtype exposure).
+    *
+    * Scale shape: the rolling counts come from EXPANSION, not a range
+    * self-join — each (user, day) contributes itself to the w
+    * window-end days it covers (explode of an integer sequence), then
+    * one distinct-count per day; the exchange carries ≤ w·|user-days|
+    * keyed rows, partial-combined, with no day×corpus join. The
+    * user-day distinct feeds THREE consumers, and ReuseExchange does
+    * NOT collapse them (verified in the captured plan): column
+    * pruning gives each consumer a different distinct-aggregate
+    * output list, so the subtrees never canonicalize equal — the
+    * barrier below is what actually dedups the scan, size-gated on
+    * the ft1 precedent (skip the checkpoint when three re-scans are
+    * cheaper than one write). */
+  val AuBarrierMinBytesKey = "spark.graft.activeUsers.barrierMinBytes"
+
+  def activeUsers(events: DataFrame): DataFrame = {
+    val minBytes = BigInt(scala.util.Try(
+      events.sparkSession.conf.get(AuBarrierMinBytesKey).toLong)
+      .getOrElse(32L * 1024 * 1024))
+    val udRaw = events.select(col("user_id"),
+      floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("d"))
+      .distinct()
+    val ud =
+      if (events.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) udRaw
+      else graft.Materialize.barrier(udRaw)
+    val dau = ud.groupBy(col("d").as("day_idx")).agg(count(lit(1)).as("dau"))
+    def rolling(w: Int, name: String): DataFrame = ud
+      .select(col("user_id"),
+        explode(sequence(col("d"), col("d") + lit(w - 1))).as("day_idx"))
+      .groupBy(col("day_idx"))
+      .agg(countDistinct(col("user_id")).as(name))
+    // inner joins: rolling frames carry trailing days past the last
+    // active day; joining back to dau keeps exactly the active days
+    // (every dau day is covered — a window always includes its end)
+    dau.join(rolling(7, "wau7"), Seq("day_idx"))
+      .join(rolling(28, "mau28"), Seq("day_idx"))
+      .select(col("day_idx"), col("dau"), col("wau7"), col("mau28"))
+  }
+
+  /** LAST-TOUCH ATTRIBUTION — credit each `creditType` event's value
+    * to the most recent STRICTLY-PRECEDING event of any other type
+    * (the touch), per user: the classic marketing-attribution rule.
+    * Output one row per touch type (null = unattributed first
+    * purchases): purchase count and attributed revenue. Revenue sums
+    * the q6-quantized integer micro-units (exact in any order on both
+    * engines — the rg1/exp1 discipline); ordering ties break by
+    * event_id (the fn1/scd1 contract).
+    *
+    * Scale shape: one exchange on user_id, one running-max window
+    * (the struct max carries (ts, event_id, type) — latest preceding
+    * touch), then a partial-combined aggregate over the touch-type
+    * grain (bounded by the type taxonomy). */
+  def lastTouchAttribution(events: DataFrame, creditType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vq = when(isnan(col("value")), lit(null)).otherwise(col("value"))
+    val yu = when(vq >= 0, floor(vq * lit(1e6) + lit(0.5)))
+      .otherwise(-floor(-vq * lit(1e6) + lit(0.5))).cast("long")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        yu.as("yu"))
+      .withColumn("touch",
+        max(when(col("event_type") =!= creditType,
+          struct(col("ts"), col("event_id"), col("event_type")))).over(w))
+      .where(col("event_type") === creditType)
+      .groupBy(col("touch.event_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(col("yu")) / lit(1e6)).as("revenue6"))
+  }
+
+  /** [[funnel]] with a PER-STEP conversion window: stage k+1 counts
+    * only when it occurs within `windowUs` of the stage-k reach time
+    * — "converted within 7 days", the form growth reporting actually
+    * uses (an unbounded funnel credits conversions months later).
+    * Same one-exchange chained-running-min shape as fn1; the window
+    * guard rides inside each stage's gating condition, so the plan is
+    * unchanged. */
+  def windowedFunnel(
+      events: DataFrame, stages: Seq[String], windowUs: Long): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"windowedFunnel: stages must be non-empty and distinct: $stages")
+    require(stages.forall(_.matches("[A-Za-z0-9_\\- ]+")),
+      s"windowedFunnel: stage names must match [A-Za-z0-9_- ]+: $stages")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (typ, i)) =>
+      val hit = if (i == 0) when(col("event_type") === typ, col("ts"))
+      else when(col("event_type") === typ && col(s"t_${i - 1}").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col(s"t_${i - 1}")) <= windowUs,
+        col("ts"))
+      df.withColumn(s"t_$i", min(hit).over(w))
+    }
+    val perUser = staged.groupBy(col("user_id")).agg(
+      max(col("t_0").isNotNull.cast("long")).as("s0"),
+      stages.indices.drop(1).map(i =>
+        max(col(s"t_$i").isNotNull.cast("long")).as(s"s$i")): _*)
+    val totals = perUser.agg(
+      coalesce(sum(col("s0")), lit(0L)).as("c0"),
+      stages.indices.drop(1).map(i =>
+        coalesce(sum(col(s"s$i")), lit(0L)).as(s"c$i")): _*)
+    val stackArgs = stages.zipWithIndex
+      .map { case (typ, i) => s"'$typ', c$i" }.mkString(", ")
+    totals.selectExpr(
+      s"stack(${stages.length}, $stackArgs) AS (stage, users)")
+  }
 
   /** First-order MARKOV TRANSITION MATRIX over per-user event paths —
     * the "what do users do next" path-analysis primitive (and the
@@ -609,6 +734,79 @@ object TemporalQueries {
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
         |    AS is_current
         |FROM h""".stripMargin,
+    // au1: ch1's integer epoch-day discipline; the rolling counts are
+    // a range join here (gate-scale) vs the engine's expansion form —
+    // different algorithm, identical distinct-count semantics
+    "au1_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d FROM events),
+        |dau AS (SELECT d AS day_idx, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |w7 AS (SELECT dy.day_idx, COUNT(DISTINCT u.user_id) AS wau7
+        |  FROM dau dy JOIN ud u ON u.d BETWEEN dy.day_idx - 6 AND dy.day_idx
+        |  GROUP BY 1),
+        |w28 AS (SELECT dy.day_idx, COUNT(DISTINCT u.user_id) AS mau28
+        |  FROM dau dy JOIN ud u ON u.d BETWEEN dy.day_idx - 27 AND dy.day_idx
+        |  GROUP BY 1)
+        |SELECT day_idx, dau, wau7, mau28
+        |FROM dau JOIN w7 USING (day_idx) JOIN w28 USING (day_idx)""".stripMargin,
+    // at1: identical (ts, event_id) ordering, the same struct-max
+    // running window via max_by-free argmax (row_number over preceding
+    // touches), q6 integer micro-unit revenue
+    "at1_last_touch" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN isnan(value) THEN NULL ELSE value END AS v FROM events),
+        |q AS (SELECT user_id, ts, event_id, event_type,
+        |  CAST(CASE WHEN v >= 0 THEN floor(v * 1000000.0 + 0.5)
+        |       ELSE -floor(-(v) * 1000000.0 + 0.5) END AS BIGINT) AS yu FROM e),
+        |t AS (SELECT *, max(CASE WHEN event_type <> 'purchase'
+        |    THEN struct_pack(ts := ts, event_id := event_id,
+        |                     event_type := event_type) END)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        | FROM q)
+        |SELECT touch.event_type AS touch_type, COUNT(*) AS n_purchases,
+        |  CAST(SUM(yu) AS DOUBLE) / 1000000.0 AS revenue6
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY touch.event_type""".stripMargin,
+    // fn2: fn1's CTE chain with the 7-day per-step window guard in
+    // each stage's gating condition
+    "fn2_windowed_funnel" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |  OVER w AS t_0 FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+        |    AND t_0 IS NOT NULL
+        |    AND epoch_us(ts) - epoch_us(t_0) <= 604800000000 THEN ts END)
+        |  OVER w AS t_1 FROM s1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'signup'
+        |    AND t_1 IS NOT NULL
+        |    AND epoch_us(ts) - epoch_us(t_1) <= 604800000000 THEN ts END)
+        |  OVER w AS t_2 FROM s2
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s4 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+        |    AND t_2 IS NOT NULL
+        |    AND epoch_us(ts) - epoch_us(t_2) <= 604800000000 THEN ts END)
+        |  OVER w AS t_3 FROM s3
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT user_id,
+        |  MAX(CASE WHEN t_0 IS NOT NULL THEN 1 ELSE 0 END) AS f0,
+        |  MAX(CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END) AS f1,
+        |  MAX(CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END) AS f2,
+        |  MAX(CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END) AS f3
+        | FROM s4 GROUP BY user_id)
+        |SELECT 'view' AS stage, CAST(COALESCE(SUM(f0), 0) AS BIGINT) AS users FROM u
+        |UNION ALL
+        |SELECT 'click' AS stage, CAST(COALESCE(SUM(f1), 0) AS BIGINT) AS users FROM u
+        |UNION ALL
+        |SELECT 'signup' AS stage, CAST(COALESCE(SUM(f2), 0) AS BIGINT) AS users FROM u
+        |UNION ALL
+        |SELECT 'purchase' AS stage, CAST(COALESCE(SUM(f3), 0) AS BIGINT) AS users FROM u""".stripMargin,
     // mk1: identical (ts, event_id) ordering; n and the per-from total
     // are exact BIGINTs, one double division, ROUND(,6)
     "mk1_transition_matrix" ->

@@ -223,6 +223,47 @@ object TextAnalysis {
       .select(col("rank"), col("tok"), col("nxt"), col("cb"), col("pmi6"))
   }
 
+  /** TF-IDF TOP TERMS — per document, the `topK` most characteristic
+    * terms by raw-count TF-IDF: score(t, D) = tf(t, D) · ln(N / df(t))
+    * — the classic keyword-extraction / document-labeling primitive
+    * (and the per-doc counterpart of v1's corpus vocabulary view).
+    * All score inputs are exact integers (tf, df, N), so each score
+    * is ONE double expression; ln's ulp exposure is absorbed by
+    * ROUND(,6) (the t8 precedent) and the per-doc ranking orders by
+    * the ROUNDED score with a token tie-break, so both engines rank
+    * identically. Zero-token documents drop out (no tf rows — the
+    * t8 inner-join convention).
+    *
+    * Scale shape: token explode → one (doc, tok) partial-combined
+    * count; df is a second aggregate OVER THE TF FRAME (vocabulary ×
+    * doc-incidence grain, already collapsed — never re-scans the
+    * corpus); N rides as one broadcast scalar; the top-k is a
+    * per-doc WindowGroupLimit (rank ≤ k prunes inside the window
+    * operator), not a global sort. */
+  def tf1TfidfTopTerms(
+      spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val tk = docs(spark, dir)
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("tok"))
+    // barrier: tf feeds BOTH the df aggregate and the scored output —
+    // without it the corpus explode runs twice (the two consumers'
+    // aggregate output lists differ, so ReuseExchange cannot collapse
+    // them — the au1/jw1 finding)
+    val tf = graft.Materialize.barrier(
+      tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score6").desc, col("tok"))
+    tf.join(dfc, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score6", round(
+        col("tf").cast("double") * log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
+        col("score6"))
+  }
+
   /** BM25 term-query retrieval terms for the bm1 gate key — chosen
     * from the synthetic vocabulary so df spans common ("table") to
     * rarer ("spark") and scores separate. */
@@ -478,6 +519,25 @@ object TextAnalysis {
            |   AND n_stop_kinds >= 2) AS keep
            |FROM m""".stripMargin
       },
+      "tf1_tfidf_topterms" -> {
+        val lowToks =
+          """CASE WHEN length(trim(lower(text))) = 0 THEN []
+            | ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+        s"""WITH d AS (SELECT doc_id, $lowToks AS toks FROM documents),
+           |tk AS (SELECT doc_id, toks[i::INTEGER] AS tok
+           |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+           |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+           |dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+           |nn AS (SELECT COUNT(*) AS n FROM documents),
+           |s AS (SELECT tf.doc_id, tf.tok, tf.tf, dfc.df,
+           |  ROUND(CAST(tf.tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / df), 6)
+           |    AS score6
+           | FROM tf JOIN dfc USING (tok) CROSS JOIN nn),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY score6 DESC, tok) AS rank FROM s)
+           |SELECT doc_id, rank, tok, tf, df, score6
+           |FROM r WHERE rank <= 3""".stripMargin
+      },
       "t8_unigram_nll" -> {
         val lowToks =
           """CASE WHEN length(trim(lower(text))) = 0 THEN []
@@ -662,6 +722,8 @@ object TextAnalysis {
     "t6_pii_scrub" -> (t6PiiScrub _),
     "t7_gopher_rules" -> (t7GopherRules _),
     "t8_unigram_nll" -> (t8UnigramNll _),
+    "tf1_tfidf_topterms" -> ((s: SparkSession, dir: String) =>
+      tf1TfidfTopTerms(s, dir)),
     "t11_bigram_nll" -> (t11BigramNll _),
     "pmi1_collocations" -> ((s: SparkSession, dir: String) => pmi1Collocations(s, dir)),
     "t9_char_stats" -> (t9CharStats _),

@@ -816,6 +816,7 @@ object TimeSeriesQueries {
          |  ROUND(p - LEAST(mn, CAST(0.0 AS DOUBLE)), 6) > CAST(300.0 AS DOUBLE) AS alarm
          |FROM mm""".stripMargin,
     "ew1_ewma" -> ewmaSql(alpha = 0.3),
+    "hw1_holt" -> holtSql(alpha = 0.5, beta = 0.3),
     // r3: identical struct-ordering argmin/argmax (us, event_id never
     // null → comparison decided before the value field)
     "r3_ohlc" ->
@@ -1105,8 +1106,65 @@ object TimeSeriesQueries {
       .select(col("series_id"), col("ts"),
         round(col("value"), 6).as("value"), round(col("ewma"), 6).as("ewma"))
 
+  /** Holt double exponential smoothing per series (see
+    * [[graft.operators.Ewma.holtLinear]]); oracle = [[holtSql]]
+    * running the identical IEEE recurrence. */
+  def hw1Holt(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ewma.holtLinear(
+      graft.SparkEntry.canonicalEvents(spark, dir), alpha = 0.5, beta = 0.3)
+      .select(col("series_id"), col("ts"),
+        round(col("value"), 6).as("value"),
+        // r6, not round(): one gate row landed exactly on a .5e-6
+        // boundary, where ROUND's half-rule is engine-specific
+        r6(col("level")).as("level6"),
+        r6(col("trend")).as("trend6"))
+
+  /** hw1 oracle: Holt's level/trend recurrence as a per-series DuckDB
+    * recursive CTE — the ewmaSql pattern with TWO state columns. The
+    * new level's expression is textually duplicated inside the trend
+    * update (a recursive SELECT cannot reference its own output
+    * column); identical expression → identical IEEE value, so the
+    * duplication is semantically free. All decay constants are
+    * Scala-computed doubles embedded via toString (the ewmaSql
+    * DECIMAL-recursion trap), and the anchor CASTs its state to
+    * DOUBLE for the same reason. */
+  private def holtSql(alpha: Double, beta: Double): String = {
+    val a = alpha.toString
+    val oma = (1.0 - alpha).toString
+    val b = beta.toString
+    val omb = (1.0 - beta).toString
+    val nl = s"""CAST($a AS DOUBLE) * n.value
+       | + CAST($oma AS DOUBLE) * (f.lvl + f.tr)""".stripMargin
+    s"""WITH RECURSIVE
+       |t AS ($canonicalCte),
+       |p AS (SELECT series_id, ts, value,
+       |   row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn FROM t),
+       |f AS (
+       |  SELECT series_id, ts, value, rn,
+       |    value IS NOT NULL AS seeded,
+       |    CAST(COALESCE(value, 0.0) AS DOUBLE) AS lvl,
+       |    CAST(0.0 AS DOUBLE) AS tr
+       |  FROM p WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.series_id, n.ts, n.value, n.rn,
+       |    f.seeded OR n.value IS NOT NULL,
+       |    CASE WHEN n.value IS NULL THEN f.lvl
+       |         WHEN NOT f.seeded THEN CAST(n.value AS DOUBLE)
+       |         ELSE $nl END,
+       |    CASE WHEN n.value IS NULL THEN f.tr
+       |         WHEN NOT f.seeded THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST($b AS DOUBLE) * (($nl) - f.lvl)
+       |            + CAST($omb AS DOUBLE) * f.tr END
+       |  FROM f JOIN p n ON n.series_id = f.series_id AND n.rn = f.rn + 1)
+       |SELECT series_id, ts, ROUND(value, 6) AS value,
+       |  ${r6Sql("CASE WHEN seeded THEN lvl END")} AS level6,
+       |  ${r6Sql("CASE WHEN seeded THEN tr END")} AS trend6
+       |FROM f""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ew1_ewma" -> (ew1Ewma _),
+    "hw1_holt" -> (hw1Holt _),
     "r1_resample" -> (r1Resample _),
     "r3_ohlc" -> (r3Ohlc _),
     "r4_shift_diff" -> (r4ShiftDiff _),

@@ -354,6 +354,36 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** EMBEDDING-SPACE DECONTAMINATION — dc1's benchmark-overlap screen
+    * lifted from exact grams to semantic space: per corpus vector,
+    * the max cosine against the EVAL slice, and the contamination
+    * flag (raw-double threshold compare — the max is the identical
+    * IEEE value on both engines because every pair dot is). Catches
+    * the paraphrased-benchmark leak that gram screens (dc1/dc3/bf1)
+    * miss entirely — the embedding-similarity decontamination step of
+    * modern pretraining pipelines.
+    *
+    * Scale shape: the dc1 posture exactly — the EVAL side is small by
+    * nature (benchmarks are bounded) and BROADCASTS; the corpus scans
+    * ONCE and never shuffles; the per-vector max is a partial-combined
+    * aggregate. An oversized eval slice fails at broadcast build like
+    * cr1 (loud), with [[nearDupPairs]]' blocked self-join as the
+    * stated fallback shape. */
+  def embeddingDecontaminate(
+      vecs: DataFrame, isEval: Column => Column, threshold: Double): DataFrame = {
+    val v = normalized(vecs, "vid", "emb")
+    val eval = v.where(isEval(col("vid"))).select(col("emb").as("e_emb"))
+    val corp = v.where(!isEval(col("vid")))
+    val scored = corp.crossJoin(broadcast(eval))
+      .withColumn("cos", fastDot(col("emb"), col("e_emb")))
+      .groupBy(col("vid")).agg(max(col("cos")).as("mc"))
+    corp.select(col("vid"))
+      .join(scored, Seq("vid"), "left")
+      .select(col("vid"),
+        round(col("mc"), 4).as("max_cos4"),
+        coalesce(col("mc") >= lit(threshold), lit(false)).as("contaminated"))
+  }
+
   /** Deterministic ±1 (Rademacher) hyperplane for sign-LSH: component
     * d of plane k is +1 iff the first md5 hex digit of "k:d" is odd.
     * Derived — not sampled — so the DuckDB oracle twin reproduces the

@@ -302,6 +302,50 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("graft_jaro_winkler: pinned edge semantics + classic values; codegen-only") {
+    GraftFunctions.register(spark)
+    // the DuckDB-verified pin set (values read off DuckDB
+    // jaro_winkler_similarity directly — see JaroWinklerSim scaladoc)
+    val cases = Seq(
+      ("", "", 0.0), ("a", "", 0.0), ("abc", "abc", 1.0),
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("ab", "ba", 0.0),                      // window 0 at length 2
+      ("aaa", "aaahhh", 0.8833333333333334),  // prefix boost applied
+      ("crate", "trace", 0.7333333333333334), // l=0: boost is a no-op
+      ("prefixmatch", "prefixxxxxx", 0.6969696969696969), // jaro<=0.7: NO boost
+      ("aabb", "bbaa", 0.5))
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+        .select(col("a"), col("b"),
+          call_function("graft_jaro_winkler", col("a"), col("b")).as("jw"))
+        .collect()
+      got.zip(cases).foreach { case (r, (a, b, want)) =>
+        assert(r.getDouble(2) == want,
+          s"jw('$a','$b'): got ${r.getDouble(2)} want $want (bitwise)")
+      }
+      // null in -> null out; symmetry
+      val sym = Seq(("martha", "marhta"), ("dixon", "dicksonx")).toDF("a", "b")
+        .select(
+          call_function("graft_jaro_winkler", col("a"), col("b")).as("ab"),
+          call_function("graft_jaro_winkler", col("b"), col("a")).as("ba"))
+        .collect()
+      sym.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+      val n = Seq((null.asInstanceOf[String], "x")).toDF("a", "b")
+        .select(call_function("graft_jaro_winkler", col("a"), col("b"))).collect()
+      assert(n.head.isNullAt(0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("PQ at production size (m=64, k=256) compiles with codegen fallback disabled") {
     // the literal-chain formulation could NOT pass this test: 64·256·4
     // add/multiply terms in one generated method trips Janino's 64KB
