@@ -207,7 +207,8 @@ object SqlSurface {
     * outlier screen (both lazy — nothing computes until queried). */
   val EventViews: Seq[String] = Seq(
     "graft_events", "graft_funnel", "graft_mad_outliers",
-    "graft_scd2_history", "graft_seasonal_strength", "graft_feature_scale")
+    "graft_scd2_history", "graft_seasonal_strength", "graft_feature_scale",
+    "graft_active_users", "graft_last_touch", "graft_windowed_funnel")
 
   def registerEvents(
       events: DataFrame, funnelStages: Seq[String]): Unit = {
@@ -230,6 +231,16 @@ object SqlSurface {
       .createOrReplaceTempView("graft_seasonal_strength")
     graft.queries.TimeSeriesQueries.featureScale(canonical)
       .createOrReplaceTempView("graft_feature_scale")
+    // round-12 event-side layers (all lazy)
+    graft.queries.TemporalQueries.activeUsers(events)
+      .createOrReplaceTempView("graft_active_users")
+    graft.queries.TemporalQueries.lastTouchAttribution(events, "purchase")
+      .createOrReplaceTempView("graft_last_touch")
+    graft.queries.TemporalQueries
+      .windowedFunnel(events.select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type")), funnelStages,
+        windowUs = 7L * 86400L * 1000000L)
+      .createOrReplaceTempView("graft_windowed_funnel")
   }
 
   def register(

@@ -777,6 +777,92 @@ object Dedup {
   }
 
   /**
+   * Bounded-round K-CORE membership over an undirected pair graph —
+   * tc1's cohesion triage taken from counting to CLASSIFying: peel
+   * nodes of induced degree < k for `rounds` rounds (each removal
+   * can drop neighbors below k, hence the iteration); survivors of
+   * the final round are the round-bounded k-core. With enough rounds
+   * this is the exact k-core; the ROUND COUNT is part of the
+   * operator's contract (like [[bfsDistance]]'s maxHops) so the job
+   * graph is static and the oracle can unroll the identical rounds.
+   * For near-dup graphs, core members are the dense clique templates
+   * (mass-produced boilerplate families), peripheral nodes the
+   * one-off variants.
+   *
+   * Scale shape: per round two semi joins (restrict edges to
+   * surviving endpoints — keyed on the node id) and one
+   * partial-combined degree count, each behind the [[materialize]]
+   * barrier; statically rounds·3 keyed exchanges, no corpus-wide
+   * single partition, no convergence-test job.
+   */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 32,
+      s"kCore: need k >= 1 and rounds in [1, 32]: k=$k rounds=$rounds")
+    val und = materialize(pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") =!= col("b")).distinct())
+    val nodes = materialize(
+      und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg")))
+    var core = nodes.select(col("id"))
+    for (_ <- 1 to rounds) {
+      val act = und
+        .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(core.select(col("id").as("b")), Seq("b"), "left_semi")
+      core = materialize(act
+        .select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= k).select(col("id")))
+    }
+    nodes.join(core.withColumn("inc", lit(true)), Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg"),
+        coalesce(col("inc"), lit(false)).as("in_core"))
+  }
+
+  /**
+   * Blocked JARO–WINKLER name similarity at distinct-name grain —
+   * the graded-score companion to [[blockedEditDistance]] (see
+   * [[graft.functions.JaroWinklerSim]] for the bit-pinned measure):
+   * `names` must carry distinct (block, name) rows; output per name
+   * is the count of same-block names clearing `minSim` plus the
+   * best-scoring match (ties to the lexicographically smallest
+   * name). The threshold compares RAW doubles (bit-equal across
+   * engines); only the emitted score is rounded (r6 floor-formula).
+   *
+   * Scale shape: one block-keyed self-join pair scan
+   * (Σ|block-names|² pairs — the distinct-value-linkage bound), one
+   * partial-combined count + min(struct) argbest per name, one left
+   * join back to the name base. The input sits behind the standard
+   * barrier (three consumers; column pruning defeats ReuseExchange —
+   * the au1 plan finding). The block key is the scale lever, with
+   * the same hot-block decomposition story as blockedEditDistance
+   * (measured in SCALE_NOTES round-12 addendum 2).
+   */
+  def blockedNameSimilarity(names: DataFrame, minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"blockedNameSimilarity: minSim must be in (0, 1]: $minSim")
+    graft.functions.GraftFunctions.register(names.sparkSession)
+    val base = materialize(
+      names.where(col("block").isNotNull && col("name").isNotNull)
+        .select(col("block"), col("name")).distinct())
+    val b = base.select(col("block"), col("name").as("name_b"))
+    val sims = base.join(b, Seq("block"))
+      .where(col("name") =!= col("name_b"))
+      .withColumn("jw",
+        call_function("graft_jaro_winkler", col("name"), col("name_b")))
+      .where(col("jw") >= lit(minSim))
+      .groupBy(col("block"), col("name"))
+      .agg(count(lit(1)).as("n_sim"),
+        min(struct((-col("jw")).as("neg_jw"), col("name_b").as("nb"))).as("best"))
+    base.join(sims, Seq("block", "name"), "left")
+      .select(col("block"), col("name"),
+        coalesce(col("n_sim"), lit(0L)).as("n_sim"),
+        (floor(-col("best.neg_jw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("best_jw6"),
+        col("best.nb").as("best_name"))
+  }
+
+  /**
    * Blocked EDIT-DISTANCE matching — the record-linkage/entity-
    * resolution primitive the token-set family (Jaccard, minhash,
    * containment) cannot express: two short strings ("red widget" /

@@ -458,6 +458,14 @@ object PipelineQueries {
     "tc1_triangle_count" -> ((s, dir) =>
       Dedup.triangleCounts(
         Dedup.minhashNearDups(docs(s, dir), threshold = 0.6).select("doc_a", "doc_b"))),
+    // Bounded-round 2-core membership over the near-dup graph —
+    // clique templates vs one-off periphery; 6 peel rounds (part of
+    // the contract; the oracle unrolls the identical rounds).
+    "kc1_kcore" -> ((s, dir) =>
+      Dedup.kCore(
+        Dedup.minhashNearDups(docs(s, dir), threshold = 0.6)
+          .select("doc_a", "doc_b"),
+        k = 2, rounds = 6)),
     // Multi-source BFS hop distance from the "trusted" seed slice
     // (doc_id % 3 == 0) over the same near-dup graph — the halo /
     // trust-propagation triage; 4-hop bound, unreached -> null.
@@ -1303,6 +1311,37 @@ object PipelineQueries {
          |SELECT nodes.id AS doc_id, deg,
          |  CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles
          |FROM nodes LEFT JOIN corners ON nodes.id = corners.id""".stripMargin,
+    // kc1: same verified pair chain; the identical 6 peel rounds
+    // unrolled as CTEs (the pr1 iterCte pattern) — both sides compute
+    // the same round-bounded core by construction
+    "kc1_kcore" -> {
+      // AS MATERIALIZED: each round references its predecessor TWICE
+      // (both edge endpoints) — left to DuckDB's default inlining the
+      // six rounds expand 2^6 copies of the whole minhash chain and
+      // the oracle dies on file handles before it dies on time
+      def round(i: Int): String = {
+        val prev = if (i == 1) "n0" else s"n${i - 1}"
+        s"""d$i AS MATERIALIZED (SELECT id, COUNT(*) AS c FROM (
+           |  SELECT e.a AS id FROM ed e
+           |    JOIN $prev pa ON e.a = pa.id JOIN $prev pb ON e.b = pb.id
+           |  UNION ALL
+           |  SELECT e.b AS id FROM ed e
+           |    JOIN $prev pa ON e.a = pa.id JOIN $prev pb ON e.b = pb.id)
+           |  GROUP BY 1),
+           |n$i AS MATERIALIZED (SELECT id FROM d$i WHERE c >= 2)""".stripMargin
+      }
+      s"""WITH $minhashChainCtes,
+         |prs AS (SELECT doc_a, doc_b FROM jj WHERE j >= 0.6),
+         |ed AS MATERIALIZED (SELECT LEAST(doc_a, doc_b) AS a,
+         |  GREATEST(doc_a, doc_b) AS b
+         |  FROM prs WHERE doc_a <> doc_b GROUP BY 1, 2),
+         |nodes AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
+         |  SELECT a AS id FROM ed UNION ALL SELECT b AS id FROM ed) GROUP BY 1),
+         |n0 AS MATERIALIZED (SELECT id FROM nodes),
+         |${(1 to 6).map(round).mkString(",\n")}
+         |SELECT nodes.id AS doc_id, deg, n6.id IS NOT NULL AS in_core
+         |FROM nodes LEFT JOIN n6 ON nodes.id = n6.id""".stripMargin
+    },
     // bfs1: same verified pair chain; the oracle's recursive walk
     // enumerates every path to depth 4 and MINs per node (fine at
     // oracle SF), the Spark side runs bounded frontier rounds — both

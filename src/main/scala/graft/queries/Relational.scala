@@ -1476,28 +1476,10 @@ object Relational {
     * right, output base), so it sits behind the standard barrier —
     * without it the plan re-runs the scan+distinct per consumer
     * (column pruning defeats ReuseExchange, the au1 finding). */
-  def jw1NameSimilarity(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val names = graft.Materialize.barrier(t(spark, dir, "part")
-      .select(col("p_name").as("name"),
+  def jw1NameSimilarity(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.blockedNameSimilarity(
+      t(spark, dir, "part").select(col("p_name").as("name"),
         concat(split(col("p_name"), " ").getItem(1), lit("|"),
-          substring(col("p_name"), 1, 1)).as("block"))
-      .where(col("block").isNotNull)
-      .distinct())
-    val a = names.select(col("block"), col("name"))
-    val b = names.select(col("block"), col("name").as("name_b"))
-    val sims = a.join(b, Seq("block"))
-      .where(col("name") =!= col("name_b"))
-      .withColumn("jw",
-        call_function("graft_jaro_winkler", col("name"), col("name_b")))
-      .where(col("jw") >= lit(0.94))
-      .groupBy(col("block"), col("name"))
-      .agg(count(lit(1)).as("n_sim"),
-        min(struct((-col("jw")).as("neg_jw"), col("name_b").as("nb"))).as("best"))
-    names.join(sims, Seq("block", "name"), "left")
-      .select(col("block"), col("name"),
-        coalesce(col("n_sim"), lit(0L)).as("n_sim"),
-        (floor(-col("best.neg_jw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("best_jw6"),
-        col("best.nb").as("best_name"))
-  }
+          substring(col("p_name"), 1, 1)).as("block")),
+      minSim = 0.94)
 }

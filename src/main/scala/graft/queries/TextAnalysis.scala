@@ -264,6 +264,40 @@ object TextAnalysis {
         col("score6"))
   }
 
+  /** VOCABULARY COVERAGE / OOV RATE — per document, the fraction of
+    * tokens OUTSIDE the corpus's top-`topV` vocabulary: the
+    * tokenizer-coverage audit run before committing a vocab size
+    * (high OOV → the tokenizer will shatter those documents into
+    * bytes/unknowns). Vocabulary = top-V tokens by (count DESC, token)
+    * — fully deterministic cutoff. The rate is one division of exact
+    * integers, emitted through the r6 floor-formula (a k/n ratio CAN
+    * land exactly on a .5e-6 boundary).
+    *
+    * Scale shape: one token-keyed count aggregate; the vocab ranking
+    * is a single-partition window over the VOCABULARY-sized frame
+    * (v1 precedent — bounded by distinct tokens, not corpus); the
+    * membership join broadcasts the top-V list; per-doc counts are
+    * partial-combined. */
+  def ov1VocabCoverage(
+      spark: SparkSession, dir: String, topV: Int = 1000): DataFrame = {
+    val tk = docs(spark, dir)
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("tok"))
+    val counts = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = counts
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok"))))
+      .where(col("rn") <= topV)
+      .select(col("tok"), lit(1L).as("inv"))
+    tk.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (floor(col("n_oov").cast("double") / col("n_tokens") * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("oov_rate6"))
+  }
+
   /** BM25 term-query retrieval terms for the bm1 gate key — chosen
     * from the synthetic vocabulary so df spans common ("table") to
     * rarer ("spark") and scores separate. */
@@ -519,6 +553,26 @@ object TextAnalysis {
            |   AND n_stop_kinds >= 2) AS keep
            |FROM m""".stripMargin
       },
+      "ov1_vocab_coverage" -> {
+        val lowToks =
+          """CASE WHEN length(trim(lower(text))) = 0 THEN []
+            | ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+        s"""WITH d AS (SELECT doc_id, $lowToks AS toks FROM documents),
+           |tk AS (SELECT doc_id, toks[i::INTEGER] AS tok
+           |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+           |c AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1),
+           |v AS (SELECT tok FROM (
+           |  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM c)
+           |  WHERE rn <= 1000),
+           |s AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
+           |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_oov
+           | FROM tk LEFT JOIN v ON tk.tok = v.tok GROUP BY 1)
+           |SELECT doc_id, n_tokens, n_oov,
+           |  floor(CAST(n_oov AS DOUBLE) / n_tokens * 1000000.0 + 0.5)
+           |    / 1000000.0 AS oov_rate6
+           |FROM s""".stripMargin
+      },
       "tf1_tfidf_topterms" -> {
         val lowToks =
           """CASE WHEN length(trim(lower(text))) = 0 THEN []
@@ -724,6 +778,8 @@ object TextAnalysis {
     "t8_unigram_nll" -> (t8UnigramNll _),
     "tf1_tfidf_topterms" -> ((s: SparkSession, dir: String) =>
       tf1TfidfTopTerms(s, dir)),
+    "ov1_vocab_coverage" -> ((s: SparkSession, dir: String) =>
+      ov1VocabCoverage(s, dir)),
     "t11_bigram_nll" -> (t11BigramNll _),
     "pmi1_collocations" -> ((s: SparkSession, dir: String) => pmi1Collocations(s, dir)),
     "t9_char_stats" -> (t9CharStats _),

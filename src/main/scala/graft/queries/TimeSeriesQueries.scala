@@ -626,6 +626,134 @@ object TimeSeriesQueries {
           col("sab") / sqrt(col("saa") * col("sbb")))).as("corr6"))
   }
 
+  /** PERCENTILE BANDS — daily p50/p90/p99 of value per event type:
+    * the latency-dashboard staple (a2's exact interpolated
+    * percentiles, taken to the (type, day) grain). Integer epoch-day
+    * indices (ch1 discipline); Spark `percentile` and DuckDB
+    * `quantile_cont` implement the same linear interpolation (the a2
+    * precedent), rounded at 4dp. Shape: one partial aggregate is NOT
+    * possible for exact percentiles (sort-based), but the exchange is
+    * keyed on (type, day) — full cardinality, no single partition. */
+  def pb1PercentileBands(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.read(spark, dir, "events")
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day_idx"),
+        Kernels.nanToNull(col("value")).as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(v, 0.5)"), 4).as("p50"),
+        round(expr("percentile(v, 0.9)"), 4).as("p90"),
+        round(expr("percentile(v, 0.99)"), 4).as("p99"))
+
+  /** EQUI-WIDTH HISTOGRAM of the value column (20 bins over the
+    * global [min, max]): the profiling companion to pk2's equi-depth
+    * buckets. Bin index = min(⌊(v−min)/w⌋, 19) with w = (max−min)/20
+    * — identical double arithmetic on both engines, so every value
+    * lands in the same bin; edges are emitted r6-rounded. Shape: one
+    * scalar min/max aggregate broadcast back over the scan, one
+    * partial-combined count per bin — two passes, no sort. */
+  def hist1ValueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.sources.Tables.read(spark, dir, "events")
+      .select(Kernels.nanToNull(col("value")).as("v"))
+      .where(col("v").isNotNull)
+    val mm = v.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    v.crossJoin(broadcast(mm))
+      .withColumn("w", (col("vmax") - col("vmin")) / lit(20.0))
+      .withColumn("bin",
+        when(col("w") > 0.0,
+          least(floor((col("v") - col("vmin")) / col("w")), lit(19.0)))
+          .otherwise(lit(0.0)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        r6(min(col("vmin") + col("bin") * col("w"))).as("bin_lo6"),
+        r6(min(col("vmin") + (col("bin") + 1) * col("w"))).as("bin_hi6"))
+  }
+
+  /** LAGGED CROSS-CORRELATION — cr2's correlation matrix swept over
+    * day lags 0..maxLag: "does type A lead type B by k days" (the
+    * lead-lag discovery step behind causal/forecast feature
+    * selection). Per (type_a < type_b, lag): corr of A's day-d mean
+    * with B's day-(d+lag) mean over shared days. All of cr2's
+    * portability machinery applies verbatim (quantized integer daily
+    * means, exact second-level sums, one division + sqrt, r6). Shape:
+    * the (type, day) aggregate once, an 8-row lag frame broadcast
+    * into the day-keyed self-join of the tiny daily frame, one
+    * partial-combined row per (pair, lag). */
+  def xc1LagCorrelation(
+      spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 60, s"xc1: maxLag in [0, 60]: $maxLag")
+    val daily = graft.sources.Tables.read(spark, dir, "events")
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day_idx"),
+        Kernels.nanToNull(col("value")).as("value"))
+      .where(col("value").isNotNull)
+      .withColumn("yu",
+        when(col("value") >= 0, floor(col("value") * lit(1e6) + lit(0.5)))
+          .otherwise(-floor(-col("value") * lit(1e6) + lit(0.5))))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg((sum(col("yu")).cast("double") / count(lit(1))).as("mu"))
+      .withColumn("mqi",
+        when(col("mu") >= 0, floor(col("mu") + lit(0.5)))
+          .otherwise(-floor(-col("mu") + lit(0.5))).cast("double"))
+    val lags = spark.range(0L, maxLag + 1L).select(col("id").as("lag"))
+    val a = daily.select(col("event_type").as("type_a"), col("day_idx"),
+      col("mqi").as("ma"))
+    val b = daily.select(col("event_type").as("type_b"),
+      col("day_idx").as("day_b"), col("mqi").as("mb"))
+    val paired = a.crossJoin(broadcast(lags))
+      .join(b, col("day_b") === col("day_idx") + col("lag") &&
+        col("type_a") < col("type_b"))
+    val grp = Window.partitionBy(col("type_a"), col("type_b"), col("lag"))
+    val centered = paired
+      .withColumn("n", count(lit(1)).over(grp))
+      .withColumn("abar", sum(col("ma")).over(grp) / col("n"))
+      .withColumn("bbar", sum(col("mb")).over(grp) / col("n"))
+      .withColumn("ca", col("ma") - col("abar"))
+      .withColumn("cb", col("mb") - col("bbar"))
+    centered.groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ca") * col("cb")).as("sab"),
+        sum(col("ca") * col("ca")).as("saa"),
+        sum(col("cb") * col("cb")).as("sbb"))
+      .select(col("type_a"), col("type_b"), col("lag"), col("n_days"),
+        r6(when(col("saa") > 0.0 && col("sbb") > 0.0,
+          col("sab") / sqrt(col("saa") * col("sbb")))).as("corr6"))
+  }
+
+  /** QUANTILE NORMALIZATION (the bioinformatics/batch-effect
+    * standard, Bolstad et al. 2003): force every series onto one
+    * common distribution — rank each series' values, average the
+    * quantized values AT each rank across series (series shorter
+    * than a rank simply don't contribute — the available-series
+    * convention), and replace each value by its rank's cross-series
+    * reference. Ranks tie-break by event_id (the nm1/scd1 contract);
+    * the reference mean is an exact integer micro-unit sum divided
+    * once and re-quantized (the cr2 mqi discipline), so ref6 is
+    * engine-exact.
+    *
+    * Scale shape: one series-keyed window (rank), one partial-
+    * combined aggregate on the RANK key (cardinality = max series
+    * length), one rank-keyed join back — no global sort, no
+    * single partition. */
+  def qn1QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val rows = canonicalWithId(spark, dir)
+      .where(col("value").isNotNull)
+      .withColumn("yu", q6(col("value")))
+    val r = rows.withColumn("rank",
+      row_number().over(Window.partitionBy(col("series_id"))
+        .orderBy(col("value"), col("event_id"))).cast("long"))
+    val ref = r.groupBy(col("rank"))
+      .agg((sum(col("yu")).cast("double") / count(lit(1))).as("mu"))
+      .withColumn("ref_u",
+        when(col("mu") >= 0, floor(col("mu") + lit(0.5)))
+          .otherwise(-floor(-col("mu") + lit(0.5))))
+    r.join(ref.select(col("rank"), col("ref_u")), Seq("rank"))
+      .select(col("series_id"), col("event_id"), col("rank"),
+        round(col("value"), 6).as("value"),
+        (col("ref_u") / lit(1e6)).as("ref6"))
+  }
+
   /** One-sided (upper) CUSUM change detection (Page 1954): the
     * textbook recursion `s_n = max(0, s_{n−1} + (x_n − target −
     * slack))` looks inherently sequential, but the reflection
@@ -817,6 +945,83 @@ object TimeSeriesQueries {
          |FROM mm""".stripMargin,
     "ew1_ewma" -> ewmaSql(alpha = 0.3),
     "hw1_holt" -> holtSql(alpha = 0.5, beta = 0.3),
+    // qn1: identical (value, event_id) rank order, integer micro-unit
+    // rank means re-quantized (the cr2 mqi discipline)
+    "qn1_quantile_normalize" ->
+      s"""WITH t AS ($canonicalIdCte),
+         |nn AS (SELECT series_id, event_id, value, ${q6Sql("value")} AS yu
+         |  FROM t WHERE value IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY series_id
+         |    ORDER BY value, event_id) AS rank FROM nn),
+         |ref AS (SELECT rank, CAST(SUM(yu) AS DOUBLE) / COUNT(*) AS mu
+         |  FROM r GROUP BY 1),
+         |rq AS (SELECT rank, CASE WHEN mu >= 0 THEN floor(mu + 0.5)
+         |    ELSE -floor(-(mu) + 0.5) END AS ref_u FROM ref)
+         |SELECT series_id, event_id, CAST(r.rank AS BIGINT) AS rank,
+         |  ROUND(value, 6) AS value, ref_u / 1000000.0 AS ref6
+         |FROM r JOIN rq USING (rank)""".stripMargin,
+    // pb1: quantile_cont == Spark percentile interpolation (a2), ch1
+    // integer days
+    "pb1_percentile_bands" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+        |  CASE WHEN isnan(value) THEN NULL ELSE value END AS v FROM events)
+        |SELECT event_type, day_idx, COUNT(*) AS n,
+        |  ROUND(quantile_cont(v, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(v, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(v, 0.99), 4) AS p99
+        |FROM e WHERE v IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // hist1: identical bin arithmetic ((v-min)/((max-min)/20), floored,
+    // capped) — same doubles, same bins on both engines
+    "hist1_value_histogram" -> {
+      val w = "((vmax - vmin) / 20.0)"
+      s"""WITH e AS (SELECT CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+         |  FROM events),
+         |nn AS (SELECT v FROM e WHERE v IS NOT NULL),
+         |mm AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM nn),
+         |b AS (SELECT CAST(CASE WHEN $w > 0.0
+         |    THEN LEAST(floor((v - vmin) / $w), 19.0)
+         |    ELSE 0.0 END AS BIGINT) AS bin, vmin, vmax
+         |  FROM nn CROSS JOIN mm)
+         |SELECT bin, COUNT(*) AS n,
+         |  ${r6Sql(s"MIN(vmin + bin * $w)")} AS bin_lo6,
+         |  ${r6Sql(s"MIN(vmin + (bin + 1) * $w)")} AS bin_hi6
+         |FROM b GROUP BY bin""".stripMargin
+    },
+    // xc1: cr2's oracle with the lag join key; integer days, quantized
+    // means, identical centered-sum ops
+    "xc1_lag_correlation" ->
+      s"""WITH e AS (SELECT event_type,
+         |   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+         |   CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+         |  FROM events),
+         |q AS (SELECT event_type, day_idx,
+         |   CASE WHEN value >= 0 THEN floor(value * 1000000.0 + 0.5)
+         |        ELSE -floor(-(value) * 1000000.0 + 0.5) END AS yu
+         |  FROM e WHERE value IS NOT NULL),
+         |d AS (SELECT event_type, day_idx,
+         |   CAST(SUM(yu) AS DOUBLE) / COUNT(*) AS mu FROM q GROUP BY 1, 2),
+         |dq AS (SELECT event_type, day_idx,
+         |   CAST(CASE WHEN mu >= 0 THEN floor(mu + 0.5)
+         |        ELSE -floor(-(mu) + 0.5) END AS DOUBLE) AS mqi FROM d),
+         |l AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS lag),
+         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         |   a.mqi AS ma, b.mqi AS mb
+         |  FROM dq a CROSS JOIN l JOIN dq b
+         |    ON b.day_idx = a.day_idx + l.lag AND a.event_type < b.event_type),
+         |c AS (SELECT *, COUNT(*) OVER w AS n,
+         |   SUM(ma) OVER w / (COUNT(*) OVER w) AS abar,
+         |   SUM(mb) OVER w / (COUNT(*) OVER w) AS bbar
+         |  FROM p WINDOW w AS (PARTITION BY type_a, type_b, lag)),
+         |g AS (SELECT type_a, type_b, lag, COUNT(*) AS n_days,
+         |   SUM((ma - abar) * (mb - bbar)) AS sab,
+         |   SUM((ma - abar) * (ma - abar)) AS saa,
+         |   SUM((mb - bbar) * (mb - bbar)) AS sbb
+         |  FROM c GROUP BY 1, 2, 3)
+         |SELECT type_a, type_b, lag, n_days,
+         |  ${r6Sql("CASE WHEN saa > CAST(0.0 AS DOUBLE) AND sbb > CAST(0.0 AS DOUBLE) " +
+              "THEN sab / sqrt(saa * sbb) END")} AS corr6
+         |FROM g""".stripMargin,
     // r3: identical struct-ordering argmin/argmax (us, event_id never
     // null → comparison decided before the value field)
     "r3_ohlc" ->
@@ -1165,6 +1370,11 @@ object TimeSeriesQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ew1_ewma" -> (ew1Ewma _),
     "hw1_holt" -> (hw1Holt _),
+    "pb1_percentile_bands" -> (pb1PercentileBands _),
+    "hist1_value_histogram" -> (hist1ValueHistogram _),
+    "xc1_lag_correlation" -> ((s: SparkSession, dir: String) =>
+      xc1LagCorrelation(s, dir)),
+    "qn1_quantile_normalize" -> (qn1QuantileNormalize _),
     "r1_resample" -> (r1Resample _),
     "r3_ohlc" -> (r3Ohlc _),
     "r4_shift_diff" -> (r4ShiftDiff _),

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * cos≈0.999 near-dups) into `outDir` with the driver testdata
   * schemas, then times the PRODUCTION query functions
   * (SparkEntry.queries) against it unchanged. Usage:
-  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,bloom,link,linkhot,events]"
+  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,bloom,link,linkhot,jw,events,events12]"
   * (no --run flag = all sections).
   */
 object ScaleSmoke {
@@ -845,6 +845,56 @@ object ScaleSmoke {
       timed("nm1_feature_scale_10m") {
         graft.queries.TimeSeriesQueries.featureScale(canonical).count()
       }
+    }
+
+    // --- round-12 event-analytics family at 10M events / 100k users
+    // (same generated frame as `events`): au1's expansion form (the
+    // 35× user-day blow-up is the claim to measure), at1/fn2's
+    // single-exchange windows, hw1's per-series kernel. -------------
+    if (want("events12")) {
+      val evPath = s"$outDir/events10m.parquet"
+      require(new java.io.File(s"$evPath/_SUCCESS").exists(),
+        "events12 needs the events section's 10M frame — run --run=events first (or together)")
+      val ev = spark.read.parquet(evPath)
+      timed("au1_active_users_10m") {
+        graft.queries.TemporalQueries.activeUsers(ev).count()
+      }
+      timed("at1_last_touch_10m") {
+        graft.queries.TemporalQueries.lastTouchAttribution(ev, "purchase").count()
+      }
+      timed("fn2_windowed_funnel_10m") {
+        graft.queries.TemporalQueries.windowedFunnel(
+          ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          Seq("view", "click", "signup", "purchase"),
+          windowUs = 7L * 86400L * 1000000L).count()
+      }
+      val canonical = ev.select(col("user_id").cast("string").as("series_id"),
+        col("ts"), col("event_id"), col("value"))
+      timed("hw1_holt_10m") {
+        graft.operators.Ewma.holtLinear(canonical, alpha = 0.5, beta = 0.3).count()
+      }
+    }
+
+    // --- jw1 blocked Jaro-Winkler at 1M records on the linkhot
+    // frame's composite key (the measured ed1 hot-block lever):
+    // distinct-name pair volume bounds the native-expression calls,
+    // not record pairs. -------------------------------------------
+    if (want("jw")) {
+      require(new java.io.File(s"$outDir/linkhot_recs.parquet").exists(),
+        "jw needs linkhot_recs.parquet — run --run=linkhot first (or together)")
+      val r = spark.read.parquet(s"$outDir/linkhot_recs.parquet")
+        .withColumn("block",
+          concat(col("block"), lit("#"),
+            pmod(xxhash64(element_at(split(col("name"), " "), 1)), lit(16L))))
+      var matched = 0L
+      timed("jw1_name_similarity_1m") {
+        val agg = graft.dedup.Dedup.blockedNameSimilarity(r, minSim = 0.9)
+          .agg(count(lit(1)),
+            sum(when(col("n_sim") > 0, 1L).otherwise(0L))).head
+        matched = agg.getLong(1)
+        agg.getLong(0)
+      }
+      println(s"SCALE jw1: $matched distinct names with a >=0.9 match")
     }
 
     // --- bf1 bloom screen vs dc1 exact gram screen on the 1M-doc

@@ -190,6 +190,21 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     SqlSurface.registerCorpus(docs)
     // n_chars absent → falls back to text length; both docs sampled
     assert(spark.sql("SELECT count(*) FROM graft_weighted_sample").head.getLong(0) == 2L)
+    // round-12 event views: user 2's purchase credits its preceding
+    // view (last-touch); the rolling-active view covers both days;
+    // the 7-day windowed funnel equals fn1 on this in-window data
+    val at = spark.sql(
+      "SELECT touch_type, n_purchases FROM graft_last_touch")
+      .as[(Option[String], Long)].collect().toMap
+    assert(at == Map(Option("view") -> 1L))
+    assert(spark.sql("SELECT count(*) FROM graft_active_users")
+      .head.getLong(0) == 2L)
+    val wf = spark.sql("SELECT stage, users FROM graft_windowed_funnel")
+      .as[(String, Long)].collect().toMap
+    assert(wf == Map("view" -> 2L, "click" -> 1L))
+    // the round-12 native function is SQL-callable directly
+    assert(spark.sql("SELECT graft_jaro_winkler('martha', 'marhta') AS jw")
+      .head.getDouble(0) == 0.9611111111111111)
   }
 
   test("find_peaks clamp: near-head peak paints from index 0, no wrap") {

@@ -872,6 +872,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming attribution: purchase feed grouped by touch equals the batch at1 aggregate") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, isnan, lit, when}
+    val raw = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+    val vq = when(isnan(col("value")), lit(null)).otherwise(col("value"))
+    val yu = when(vq >= 0, floor(vq * lit(1e6) + lit(0.5)))
+      .otherwise(-floor(-vq * lit(1e6) + lit(0.5))).cast("long")
+    val events = raw
+      .select(col("user_id").cast("long"), col("ts"), col("event_id"),
+        col("event_type"), yu.as("yu"))
+      .as[(Long, java.sql.Timestamp, Long, String, Option[Long])].collect()
+      .sortBy(r => (Math.floorDiv(r._2.getTime, 1000L) * 1000000L
+        + r._2.getNanos / 1000L, r._3))
+    val split = events.length / 2 // a touch set in batch 1 must credit purchases in batch 2
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Option[Long])]
+    val q = graft.streaming.StreamingAttribution.lastTouch(
+        input.toDF().toDF("user_id", "ts", "event_id", "event_type", "yu"),
+        "purchase")
+      .writeStream.format("memory").queryName("sat")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(events.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "select touch_type, count(*), sum(yu) from sat group by 1")
+        .as[(Option[String], Long, Option[Long])].collect().toSet
+      val batch = graft.queries.TemporalQueries.lastTouchAttribution(raw, "purchase")
+        .select(col("touch_type"),
+          col("n_purchases"),
+          // round, not cast: sum/1e6*1e6 does not round-trip in IEEE
+          org.apache.spark.sql.functions.round(col("revenue6") * lit(1e6))
+            .cast("long").as("syu"))
+        .as[(Option[String], Long, Option[Long])].collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming cohorts: per-user first-day state reproduces the batch retention matrix") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
