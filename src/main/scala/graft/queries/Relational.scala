@@ -1231,6 +1231,26 @@ object Relational {
         |SELECT r.id, CAST(COALESCE(g.n_near, 0) AS BIGINT) AS n_near,
         |  CAST(bst.best_dist AS BIGINT) AS best_dist, bst.best_match
         |FROM r LEFT JOIN g USING (id) LEFT JOIN bst USING (id)""".stripMargin,
+    // hr1: shares divide exact integer cents; the window SUMs CAST to
+    // DOUBLE (HUGEINT — the §8 rule's windowed form), r6 floor-formula
+    "hr1_hierarchical_share" ->
+      """WITH rev AS (SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |   ROUND(SUM(o_totalprice), 4) AS revenue
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |c AS (SELECT *, CAST(floor(revenue * 10000.0 + 0.5) AS BIGINT) AS rev_c
+        |  FROM rev)
+        |SELECT r_name, n_name, n_orders, revenue,
+        |  floor(CAST(rev_c AS DOUBLE)
+        |    / CAST(SUM(rev_c) OVER (PARTITION BY r_name) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS region_share6,
+        |  floor(CAST(rev_c AS DOUBLE)
+        |    / CAST(SUM(rev_c) OVER () AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS total_share6
+        |FROM c""".stripMargin,
     // rfm1: deterministic quintiles (ties by custkey), datediff on
     // day-aligned timestamps, every score CAST BIGINT
     "rfm1_rfm_segments" ->
@@ -1338,6 +1358,7 @@ object Relational {
     "ed1_name_matching" -> (ed1NameMatching _),
     "jw1_name_similarity" -> (jw1NameSimilarity _),
     "rfm1_rfm_segments" -> (rfm1RfmSegments _),
+    "hr1_hierarchical_share" -> (hr1HierarchicalShare _),
     "zo1_zorder_layout" -> (zo1ZorderLayout _),
     "pf2_key_skew" -> (pf2KeySkew _)
   )
@@ -1453,6 +1474,42 @@ object Relational {
         col("monetary"), col("r_score"), col("f_score"), col("m_score"),
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
           .as("segment"))
+  }
+
+  /** HIERARCHICAL REVENUE SHARE — region → nation percent-of-parent
+    * and percent-of-total from one aggregate: the drill-down sidebar
+    * every BI stack renders. Portability: shares divide exact integer
+    * CENTS (the 4dp-rounded nation revenue re-quantized to a long),
+    * so the window sums are exact in any order and each share is one
+    * IEEE division pushed through the r6 floor-formula; the window
+    * SUM is CAST to DOUBLE in the oracle (DuckDB HUGEINT — the §8
+    * rule's windowed form). Shape: broadcast dimension hops, one
+    * partial-combined (region, nation) aggregate, then windows over
+    * the ~|nations| frame (harmless tail). */
+  def hr1HierarchicalShare(spark: SparkSession, dir: String): DataFrame = {
+    val nation = broadcast(t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    val region = broadcast(t(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name")))
+    val rev = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("revenue"))
+      .withColumn("rev_c", floor(col("revenue") * lit(1e4) + lit(0.5)).cast("long"))
+    def share(total: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(col("rev_c").cast("double") / total * lit(1e6) + lit(0.5)) / lit(1e6)
+    rev
+      .withColumn("region_share6",
+        share(sum(col("rev_c")).over(Window.partitionBy(col("r_name"))).cast("double")))
+      .withColumn("total_share6",
+        share(sum(col("rev_c")).over(Window.partitionBy()).cast("double")))
+      .select(col("r_name"), col("n_name"), col("n_orders"), col("revenue"),
+        col("region_share6"), col("total_share6"))
   }
 
   /** GRADED name similarity over part names — ed1's companion where

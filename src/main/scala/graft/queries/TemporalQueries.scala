@@ -83,8 +83,65 @@ object TemporalQueries {
         Tables.read(s, dir, "events")
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
         Seq("view", "click", "signup", "purchase"),
-        windowUs = 7L * 86400L * 1000000L))
+        windowUs = 7L * 86400L * 1000000L)),
+    // funnel completed within ONE 6-hour-gap session
+    "sf1_session_funnel" -> ((s, dir) =>
+      sessionFunnel(
+        Tables.read(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        Seq("view", "click", "signup", "purchase"),
+        gapUs = 6L * 3600L * 1000000L))
   )
+
+  /** SESSION FUNNEL — [[funnel]] scoped to ONE session: stages must
+    * complete in order WITHIN a single gap-bounded session (> `gapUs`
+    * of per-user inactivity opens a new session — ss1's rule, made
+    * deterministic under same-instant events by the (ts, event_id)
+    * tie-break). Counts SESSIONS reaching each stage prefix — the
+    * "did they convert in one sitting" metric fn1's lifetime window
+    * and fn2's deadline both miss.
+    *
+    * Scale shape: still ONE exchange on user_id — the session-id
+    * running sum shares the (ts, event_id) sort with the staged
+    * chain, whose windows then partition by (user, session) over the
+    * already-sorted partition (a session is a contiguous slice of the
+    * user partition, so no re-exchange, no re-sort). */
+  def sessionFunnel(
+      events: DataFrame, stages: Seq[String], gapUs: Long): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"sessionFunnel: stages must be non-empty and distinct: $stages")
+    require(stages.forall(_.matches("[A-Za-z0-9_\\- ]+")),
+      s"sessionFunnel: stage names must match [A-Za-z0-9_- ]+: $stages")
+    require(gapUs > 0, s"sessionFunnel: gapUs must be positive: $gapUs")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessioned = events
+      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+    val ws = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = stages.zipWithIndex.foldLeft(sessioned) { case (df, (typ, i)) =>
+      val hit = if (i == 0) when(col("event_type") === typ, col("ts"))
+      else when(col("event_type") === typ && col(s"t_${i - 1}").isNotNull, col("ts"))
+      df.withColumn(s"t_$i", min(hit).over(ws))
+    }
+    val perSession = staged.groupBy(col("user_id"), col("session_id")).agg(
+      max(col("t_0").isNotNull.cast("long")).as("s0"),
+      stages.indices.drop(1).map(i =>
+        max(col(s"t_$i").isNotNull.cast("long")).as(s"s$i")): _*)
+    val totals = perSession.agg(
+      coalesce(sum(col("s0")), lit(0L)).as("c0"),
+      stages.indices.drop(1).map(i =>
+        coalesce(sum(col(s"s$i")), lit(0L)).as(s"c$i")): _*)
+    val stackArgs = stages.zipWithIndex
+      .map { case (typ, i) => s"'$typ', c$i" }.mkString(", ")
+    totals.selectExpr(
+      s"stack(${stages.length}, $stackArgs) AS (stage, n_sessions)")
+  }
 
   /** ROLLING ACTIVE USERS — the DAU/WAU/MAU stickiness dashboard:
     * per active day, the count of distinct users active that day plus
@@ -807,6 +864,47 @@ object TemporalQueries {
         |SELECT 'signup' AS stage, CAST(COALESCE(SUM(f2), 0) AS BIGINT) AS users FROM u
         |UNION ALL
         |SELECT 'purchase' AS stage, CAST(COALESCE(SUM(f3), 0) AS BIGINT) AS users FROM u""".stripMargin,
+    // sf1: the fn1 CTE chain partitioned by (user, session); session
+    // ids from the identical (ts, event_id)-ordered gap rule
+    "sf1_session_funnel" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |g AS (SELECT *, epoch_us(ts)
+        |   - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id) AS gap_us FROM e),
+        |sn AS (SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL
+        |    OR gap_us > 21600000000 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id FROM g),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |  OVER w AS t_0 FROM sn
+        |  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+        |    AND t_0 IS NOT NULL THEN ts END) OVER w AS t_1 FROM s1
+        |  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'signup'
+        |    AND t_1 IS NOT NULL THEN ts END) OVER w AS t_2 FROM s2
+        |  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s4 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+        |    AND t_2 IS NOT NULL THEN ts END) OVER w AS t_3 FROM s3
+        |  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (SELECT user_id, session_id,
+        |  MAX(CASE WHEN t_0 IS NOT NULL THEN 1 ELSE 0 END) AS f0,
+        |  MAX(CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END) AS f1,
+        |  MAX(CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END) AS f2,
+        |  MAX(CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END) AS f3
+        | FROM s4 GROUP BY user_id, session_id)
+        |SELECT 'view' AS stage, CAST(COALESCE(SUM(f0), 0) AS BIGINT) AS n_sessions FROM u
+        |UNION ALL
+        |SELECT 'click' AS stage, CAST(COALESCE(SUM(f1), 0) AS BIGINT) AS n_sessions FROM u
+        |UNION ALL
+        |SELECT 'signup' AS stage, CAST(COALESCE(SUM(f2), 0) AS BIGINT) AS n_sessions FROM u
+        |UNION ALL
+        |SELECT 'purchase' AS stage, CAST(COALESCE(SUM(f3), 0) AS BIGINT) AS n_sessions FROM u""".stripMargin,
     // mk1: identical (ts, event_id) ordering; n and the per-from total
     // are exact BIGINTs, one double division, ROUND(,6)
     "mk1_transition_matrix" ->

@@ -721,6 +721,42 @@ object TimeSeriesQueries {
           col("sab") / sqrt(col("saa") * col("sbb")))).as("corr6"))
   }
 
+  /** BURST DETECTION — days where an event type's volume exceeds
+    * `factor`× its trailing 7-day mean (current day excluded): the
+    * rate-anomaly triage (incident spikes, crawler storms, campaign
+    * pops) that value-based fences (d6/rz1) cannot see because it is
+    * the COUNT that bursts, not the values. The trailing window is a
+    * RANGE frame over integer epoch-day indices, so calendar gaps
+    * shrink the baseline correctly (a row frame would silently reach
+    * across missing days). Counts are exact integers; the baseline
+    * mean is one division; the burst compare runs on raw doubles
+    * (identical on both engines) and only the emitted ratio is
+    * r6-rounded. Days with NO trailing history are not flaggable
+    * (null baseline → is_burst false, ratio null).
+    *
+    * Scale shape: one partial-combined (type, day) count, then one
+    * range window per type over the DAY-grain frame (horizon-sized,
+    * not data-sized) — the km1 bounded-frame posture. */
+  def bd1BurstDetection(
+      spark: SparkSession, dir: String, factor: Double = 3.0): DataFrame = {
+    val daily = graft.sources.Tables.read(spark, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rangeBetween(-7, -1)
+    daily
+      .withColumn("trail_n", sum(col("n")).over(w))
+      .withColumn("trail_days", count(col("n")).over(w))
+      .withColumn("base",
+        col("trail_n").cast("double") / col("trail_days"))
+      .select(col("event_type"), col("day_idx"), col("n"),
+        coalesce(col("trail_n"), lit(0L)).as("trail_n"),
+        col("trail_days"),
+        r6(when(col("base") > 0.0, col("n") / col("base"))).as("ratio6"),
+        coalesce(col("n") > lit(factor) * col("base"), lit(false)).as("is_burst"))
+  }
+
   /** QUANTILE NORMALIZATION (the bioinformatics/batch-effect
     * standard, Bolstad et al. 2003): force every series onto one
     * common distribution — rank each series' values, average the
@@ -945,6 +981,27 @@ object TimeSeriesQueries {
          |FROM mm""".stripMargin,
     "ew1_ewma" -> ewmaSql(alpha = 0.3),
     "hw1_holt" -> holtSql(alpha = 0.5, beta = 0.3),
+    // bd1: integer day counts, RANGE trailing frame, one baseline
+    // division; windowed SUM cast BIGINT (§8 rule), raw-double burst
+    // compare
+    "bd1_burst_detection" ->
+      s"""WITH d AS (SELECT event_type,
+         |   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+         |   COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT *,
+         |   SUM(n) OVER w AS trail_n,
+         |   COUNT(n) OVER w AS trail_days,
+         |   CAST(SUM(n) OVER w AS DOUBLE) / (COUNT(n) OVER w) AS base
+         |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+         |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, day_idx, n,
+         |  CAST(COALESCE(trail_n, 0) AS BIGINT) AS trail_n,
+         |  trail_days,
+         |  ${r6Sql("CASE WHEN base > CAST(0.0 AS DOUBLE) THEN n / base END")}
+         |    AS ratio6,
+         |  COALESCE(n > 3.0 * base, FALSE) AS is_burst
+         |FROM t""".stripMargin,
     // qn1: identical (value, event_id) rank order, integer micro-unit
     // rank means re-quantized (the cr2 mqi discipline)
     "qn1_quantile_normalize" ->
@@ -1375,6 +1432,8 @@ object TimeSeriesQueries {
     "xc1_lag_correlation" -> ((s: SparkSession, dir: String) =>
       xc1LagCorrelation(s, dir)),
     "qn1_quantile_normalize" -> (qn1QuantileNormalize _),
+    "bd1_burst_detection" -> ((s: SparkSession, dir: String) =>
+      bd1BurstDetection(s, dir)),
     "r1_resample" -> (r1Resample _),
     "r3_ohlc" -> (r3Ohlc _),
     "r4_shift_diff" -> (r4ShiftDiff _),

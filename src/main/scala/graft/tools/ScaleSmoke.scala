@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * cos≈0.999 near-dups) into `outDir` with the driver testdata
   * schemas, then times the PRODUCTION query functions
   * (SparkEntry.queries) against it unchanged. Usage:
-  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,bloom,link,linkhot,jw,events,events12]"
+  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,graph12,dc4,bloom,link,linkhot,jw,events,events12]"
   * (no --run flag = all sections).
   */
 object ScaleSmoke {
@@ -698,6 +698,50 @@ object ScaleSmoke {
       val hub = tri.where(col("doc_id") === 0L).select("deg", "n_triangles").head
       println(s"SCALE tc1: $total triangles; hub deg=${hub.getLong(0)} " +
         s"triangles=${hub.getLong(1)} — the 10k-degree node did not straggle the wedge join")
+    }
+
+    // --- round-12 graph iteratives on the SAME 1M-edge + 10k-spoke
+    // hub frame: bfs1's frontier rounds (the hub fans the frontier out
+    // in one round — the skew case) and kc1's peel (the 10k spokes are
+    // degree-1 and must peel in round 1). ---------------------------
+    if (want("graph12")) {
+      val edgePath = s"$outDir/pr_edges.parquet"
+      require(new java.io.File(s"$edgePath/_SUCCESS").exists(),
+        "graph12 needs pr_edges.parquet — run --run=graph first (or together)")
+      val ed = spark.read.parquet(edgePath)
+      var reached = 0L
+      timed("bfs1_distance_1m_edges") {
+        val d = graft.dedup.Dedup.bfsDistance(ed, id => id % 1000 === 0, maxHops = 4)
+          .agg(count(lit(1)), sum(when(col("dist").isNotNull, 1L).otherwise(0L))).head
+        reached = d.getLong(1)
+        d.getLong(0)
+      }
+      println(s"SCALE bfs1: $reached nodes within 4 hops of the 1-in-1000 seed set")
+      var inCore = 0L
+      timed("kc1_kcore_1m_edges") {
+        val c = graft.dedup.Dedup.kCore(ed, k = 2, rounds = 6)
+          .agg(count(lit(1)), sum(col("in_core").cast("long"))).head
+        inCore = c.getLong(1)
+        c.getLong(0)
+      }
+      println(s"SCALE kc1: $inCore nodes in the 2-core " +
+        s"(the 10k hub spokes are degree-1 by construction and peel in round 1)")
+    }
+
+    // --- dc4 embedding decontamination at 200k x 64 embeddings: eval
+    // slice broadcasts, corpus scans once through the BNLJ cross ----
+    if (want("dc4")) {
+      val e = graft.sources.Tables.read(spark, outDir, "embeddings")
+      var flagged = 0L
+      timed("dc4_embedding_decon_200k") {
+        val r = graft.similarity.Similarity.embeddingDecontaminate(
+            e, vid => vid % 13 === 0, threshold = 0.9)
+          .agg(count(lit(1)), sum(col("contaminated").cast("long"))).head
+        flagged = r.getLong(1)
+        r.getLong(0)
+      }
+      println(s"SCALE dc4: $flagged of 200k-slice corpus vectors flagged >= 0.9 " +
+        s"vs the ~15k-vector eval broadcast (planted near-dups at 1%)")
     }
 
     // --- ed1 record linkage at 1M records: heavy name duplication
