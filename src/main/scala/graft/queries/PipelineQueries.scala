@@ -43,6 +43,98 @@ object PipelineQueries {
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "embeddings")
 
+  /** EMBEDDING DIMENSION STATS — per coordinate: count, mean,
+    * variance, min, max. The feature-health audit run before trusting
+    * an embedding column at scale: dead dims (zero variance),
+    * saturated dims, off-center dims all shift ANN recall and
+    * quantization error (e1's int8 absmax is per-VECTOR; this is the
+    * per-DIMENSION view). Portability: components quantize to integer
+    * micro-units (exact sums any order); mean and variance are then
+    * fixed IEEE expressions over exact longs; min/max compare
+    * identical doubles; everything emits through the symmetric
+    * floor-formula (components are signed). Shape: one posexplode →
+    * one partial-combined aggregate keyed on dim (64 groups). */
+  private[graft] def em1DimStats(spark: SparkSession, dir: String): DataFrame = {
+    def r6s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
+        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
+    val x = embs(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+      .withColumn("qu",
+        when(col("v") >= 0, floor(col("v") * lit(1e6) + lit(0.5)))
+          .otherwise(-floor(-col("v") * lit(1e6) + lit(0.5))).cast("long"))
+    x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qu")).as("squ"),
+        sum(col("qu") * col("qu")).as("sqq"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .withColumn("mu", col("squ").cast("double") / col("n"))
+      .select(col("dim"), col("n"),
+        r6s(col("mu") / lit(1e6)).as("mean6"),
+        r6s((col("sqq").cast("double") / col("n") - col("mu") * col("mu"))
+          / lit(1e12)).as("var6"),
+        r6s(col("vmin")).as("min6"), r6s(col("vmax")).as("max6"))
+  }
+
+  /** LABEL COHESION/CONFUSION MATRIX — for every label pair (a ≤ b),
+    * the MEAN COSINE between distinct unit-vector pairs (within a
+    * label when a = b, across otherwise): the labeled-embedding
+    * quality audit (tight within + separated across = the labels are
+    * learnable; within ≈ across = the labels carry no signal). The
+    * trick is that NO pair scan exists: with S_d = Σ qu_d (per-label
+    * per-dim quantized component sums) and Q = Σ qu² (quantized
+    * squared norms),
+    *   Σ_{i≠j} v_i·v_j = Σ_d S_d² − Q       (within)
+    *   Σ_{i,j}  a_i·b_j = Σ_d Sa_d·Sb_d      (across)
+    * so the whole matrix falls out of ONE posexplode aggregate at
+    * (label, dim) grain — O(labels·dims) state for ANY corpus size.
+    * Portability: component sums are exact integers; the 64 per-dim
+    * products fold in DIM ORDER (the t8 array_sort/ORDER BY pairing —
+    * products are doubles, and 64-term float sums must not depend on
+    * partial-aggregation order); the final ratios are single IEEE
+    * expressions through the symmetric r6. Single-member labels yield
+    * null within-cohesion (no pairs). */
+  private[graft] def lb1LabelCohesion(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    def r6s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
+        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
+    val e = embs(spark, dir).select(col("label").cast("long").as("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    val normed = e
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("emb"), col("emb"))))
+      .select(col("label"), posexplode(transform(col("emb"), x => x / col("nrm")))
+        .as(Seq("dim", "c")))
+      .withColumn("qu",
+        when(col("c") >= 0, floor(col("c") * lit(1e6) + lit(0.5)))
+          .otherwise(-floor(-col("c") * lit(1e6) + lit(0.5))).cast("long"))
+    val sums = normed.groupBy(col("label"), col("dim"))
+      .agg(sum(col("qu")).as("s"), sum(col("qu") * col("qu")).as("q2"),
+        count(lit(1)).as("nd"))
+    val a = sums.select(col("label").as("label_a"), col("dim"),
+      col("s").as("s_a"), col("q2").as("q2_a"), col("nd").as("n_a"))
+    val b = sums.select(col("label").as("label_b"), col("dim"),
+      col("s").as("s_b"), col("nd").as("n_b"))
+    a.join(b, Seq("dim")).where(col("label_a") <= col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("q2_a")).as("qq"),
+        aggregate(
+          array_sort(collect_list(struct(col("dim"),
+            (col("s_a").cast("double") * col("s_b").cast("double")).as("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")).as("sp"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        when(col("label_a") === col("label_b"),
+          r6s(when(col("n_a") > 1,
+            ((col("sp") - col("qq").cast("double")) / lit(1e12))
+              / (col("n_a") * (col("n_a") - 1)).cast("double"))))
+          .otherwise(
+            r6s((col("sp") / lit(1e12))
+              / (col("n_a") * col("n_b")).cast("double")))
+          .as("mean_cos6"))
+  }
+
   /** English function-word lexicon for the cu3 quality classifier —
     * the public-knowledge "looks like prose" prior (quality text is
     * dense in function words; keyword soup is not). Both the Scala
@@ -458,6 +550,12 @@ object PipelineQueries {
     "tc1_triangle_count" -> ((s, dir) =>
       Dedup.triangleCounts(
         Dedup.minhashNearDups(docs(s, dir), threshold = 0.6).select("doc_a", "doc_b"))),
+    // Per-dimension embedding feature-health stats (dead/saturated/
+    // off-center dims) — one posexplode, one 64-group aggregate.
+    "em1_dim_stats" -> (em1DimStats _),
+    // Label cohesion/confusion matrix from per-(label, dim) sums —
+    // NO pair scan (the S²−Q identity); O(labels·dims) state.
+    "lb1_label_cohesion" -> (lb1LabelCohesion _),
     // Bounded-round 2-core membership over the near-dup graph —
     // clique templates vs one-off periphery; 6 peel rounds (part of
     // the contract; the oracle unrolls the identical rounds).
@@ -1311,6 +1409,67 @@ object PipelineQueries {
          |SELECT nodes.id AS doc_id, deg,
          |  CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles
          |FROM nodes LEFT JOIN corners ON nodes.id = corners.id""".stripMargin,
+    // lb1: identical normalized vectors (vNormCte), signed micro-unit
+    // quantization, exact per-(label, dim) sums, dim-ORDERED product
+    // fold (the t8 list_sum pairing), single-expression ratios
+    "lb1_label_cohesion" -> {
+      def r6s(e: String) =
+        s"""(CASE WHEN ($e) >= 0
+           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
+           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
+      s"""WITH $vNormCte,
+         |lv AS (SELECT CAST(e.label AS BIGINT) AS label, v.emb
+         |  FROM v JOIN embeddings e ON v.vec_id = e.vec_id),
+         |x AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim, emb[i] AS c
+         |  FROM lv, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS i)),
+         |q AS (SELECT label, dim,
+         |  CAST(CASE WHEN c >= 0 THEN floor(c * 1000000.0 + 0.5)
+         |       ELSE -floor(-(c) * 1000000.0 + 0.5) END AS BIGINT) AS qu
+         | FROM x),
+         |g AS (SELECT label, dim, CAST(SUM(qu) AS BIGINT) AS s,
+         |   CAST(SUM(qu * qu) AS BIGINT) AS q2, COUNT(*) AS nd
+         |  FROM q GROUP BY 1, 2),
+         |p AS (SELECT a.label AS label_a, b.label AS label_b,
+         |   MAX(a.nd) AS n_a, MAX(b.nd) AS n_b,
+         |   CAST(SUM(a.q2) AS BIGINT) AS qq,
+         |   list_sum(list(CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE)
+         |     ORDER BY a.dim)) AS sp
+         |  FROM g a JOIN g b ON a.dim = b.dim AND a.label <= b.label
+         |  GROUP BY 1, 2)
+         |SELECT label_a, label_b, n_a, n_b,
+         |  CASE WHEN label_a = label_b THEN
+         |    ${r6s("CASE WHEN n_a > 1 THEN ((sp - CAST(qq AS DOUBLE)) " +
+                "/ 1000000000000.0) / CAST(n_a * (n_a - 1) AS DOUBLE) END")}
+         |  ELSE
+         |    ${r6s("(sp / 1000000000000.0) / CAST(n_a * n_b AS DOUBLE)")}
+         |  END AS mean_cos6
+         |FROM p""".stripMargin
+    },
+    // em1: identical micro-unit quantization (signed), exact integer
+    // sums, fixed IEEE mean/variance expressions, symmetric r6
+    "em1_dim_stats" -> {
+      def r6s(e: String) =
+        s"""(CASE WHEN ($e) >= 0
+           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
+           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
+      s"""WITH x AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+         |   CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings,
+         |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+         |q AS (SELECT dim, v,
+         |  CAST(CASE WHEN v >= 0 THEN floor(v * 1000000.0 + 0.5)
+         |       ELSE -floor(-(v) * 1000000.0 + 0.5) END AS BIGINT) AS qu
+         | FROM x),
+         |g AS (SELECT dim, COUNT(*) AS n, CAST(SUM(qu) AS BIGINT) AS squ,
+         |  CAST(SUM(qu * qu) AS BIGINT) AS sqq,
+         |  MIN(v) AS vmin, MAX(v) AS vmax FROM q GROUP BY 1),
+         |m AS (SELECT *, CAST(squ AS DOUBLE) / n AS mu FROM g)
+         |SELECT dim, n, ${r6s("mu / 1000000.0")} AS mean6,
+         |  ${r6s("(CAST(sqq AS DOUBLE) / n - mu * mu) / 1000000000000.0")}
+         |    AS var6,
+         |  ${r6s("vmin")} AS min6, ${r6s("vmax")} AS max6
+         |FROM m""".stripMargin
+    },
     // kc1: same verified pair chain; the identical 6 peel rounds
     // unrolled as CTEs (the pr1 iterCte pattern) — both sides compute
     // the same round-bounded core by construction

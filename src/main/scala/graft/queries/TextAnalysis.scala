@@ -264,6 +264,74 @@ object TextAnalysis {
         col("score6"))
   }
 
+  /** ZIPF SLOPE — OLS fit of log(count) against log(rank) over the
+    * top-1000 vocabulary: natural text runs slope ≈ −1 (Zipf's law);
+    * synthetic/templated/boilerplate corpora flatten or steepen it,
+    * so the slope is a one-number corpus-health check alongside t9's
+    * char stats. Portability: both logs are QUANTIZED to integer
+    * micro-units per point (floor(ln·1e6 + 0.5) — each point is one
+    * ln whose ulp would need to sit within 1e-6 of a grid boundary
+    * to diverge), so the OLS sums are exact integers in any order
+    * and the slope/intercept are the cr2 centered-sum discipline.
+    * Shape: one token count aggregate, the v1 single-partition
+    * ranking over the vocabulary-sized frame, one scalar OLS row. */
+  def zipf1VocabSlope(
+      spark: SparkSession, dir: String, topV: Int = 1000): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(explode(wsTokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok"))).cast("long"))
+      .where(col("rn") <= topV)
+      .select(
+        floor(log(col("rn").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("xu"),
+        floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("yu"))
+    val stats = ranked.agg(count(lit(1)).as("n"),
+      sum(col("xu")).as("sx"), sum(col("yu")).as("sy"))
+      .withColumn("xbar", floor(col("sx").cast("double") / col("n") + lit(0.5)))
+      .withColumn("ybar", floor(col("sy").cast("double") / col("n") + lit(0.5)))
+    val centered = ranked.crossJoin(broadcast(stats))
+      .withColumn("cx", (col("xu").cast("double") - col("xbar")) / lit(1e6))
+      .withColumn("cy", (col("yu").cast("double") - col("ybar")) / lit(1e6))
+      .groupBy(col("n"), col("xbar"), col("ybar"))
+      .agg(sum(col("cx") * col("cy")).as("sxy"),
+        sum(col("cx") * col("cx")).as("sxx"))
+    // symmetric floor-formula: the slope is NEGATIVE for Zipfian text,
+    // and floor(x·1e6+0.5) alone mis-rounds negatives toward +inf
+    def r6s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
+        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
+    centered.select(col("n").as("n_points"),
+      r6s(when(col("sxx") > 0.0, col("sxy") / col("sxx"))).as("slope6"))
+  }
+
+  /** PER-SOURCE QUALITY PROFILE — t2's quality score rolled up to the
+    * (source, lang) grain: doc count, docs clearing the cu1 keep
+    * threshold, keep rate, and mean quality — the "which feeds are
+    * rotting" dashboard a corpus pipeline watches per ingest source.
+    * The quality score is t2's 6dp-grid value, so re-quantizing to
+    * integer micro-units makes the group sums EXACT in any order; the
+    * keep compare runs on the grid value (the cu1-proven portable
+    * threshold); rate and mean go through the floor-formula. Shape:
+    * one partial-combined aggregate on a taxonomy-bounded key. */
+  def dq1SourceQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), col("lang"), qualityScore(col("text")).as("q"))
+      .withColumn("qu", floor(col("q") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("q") >= lit(0.5)).cast("long")).as("n_keep"),
+        sum(col("qu")).as("squ"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_keep"),
+        (floor(col("n_keep").cast("double") / col("n_docs") * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("keep_rate6"),
+        (floor(col("squ").cast("double") / col("n_docs") + lit(0.5))
+          / lit(1e6)).as("mean_quality6"))
+
   /** VOCABULARY COVERAGE / OOV RATE — per document, the fraction of
     * tokens OUTSIDE the corpus's top-`topV` vocabulary: the
     * tokenizer-coverage audit run before committing a vocab size
@@ -553,6 +621,53 @@ object TextAnalysis {
            |   AND n_stop_kinds >= 2) AS keep
            |FROM m""".stripMargin
       },
+      "zipf1_vocab_slope" -> {
+        val lowToks =
+          """CASE WHEN length(trim(lower(text))) = 0 THEN []
+            | ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+        s"""WITH d AS (SELECT doc_id, $lowToks AS toks FROM documents),
+           |tk AS (SELECT toks[i::INTEGER] AS tok
+           |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+           |c AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1),
+           |r AS (SELECT row_number() OVER (ORDER BY c DESC, tok) AS rn, c FROM c),
+           |t AS (SELECT
+           |  CAST(floor(ln(CAST(rn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS xu,
+           |  CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS yu
+           | FROM r WHERE rn <= 1000),
+           |s AS (SELECT COUNT(*) AS n, CAST(SUM(xu) AS BIGINT) AS sx,
+           |  CAST(SUM(yu) AS BIGINT) AS sy FROM t),
+           |m AS (SELECT n, floor(CAST(sx AS DOUBLE) / n + 0.5) AS xbar,
+           |  floor(CAST(sy AS DOUBLE) / n + 0.5) AS ybar FROM s),
+           |g AS (SELECT n,
+           |  SUM(((CAST(xu AS DOUBLE) - xbar) / 1000000.0)
+           |    * ((CAST(yu AS DOUBLE) - ybar) / 1000000.0)) AS sxy,
+           |  SUM(((CAST(xu AS DOUBLE) - xbar) / 1000000.0)
+           |    * ((CAST(xu AS DOUBLE) - xbar) / 1000000.0)) AS sxx
+           | FROM t CROSS JOIN m GROUP BY n)
+           |SELECT n AS n_points,
+           |  (CASE WHEN CASE WHEN sxx > CAST(0.0 AS DOUBLE)
+           |      THEN sxy / sxx END >= 0
+           |    THEN floor(CASE WHEN sxx > CAST(0.0 AS DOUBLE)
+           |      THEN sxy / sxx END * 1000000.0 + 0.5) / 1000000.0
+           |    ELSE -(floor(-(CASE WHEN sxx > CAST(0.0 AS DOUBLE)
+           |      THEN sxy / sxx END) * 1000000.0 + 0.5) / 1000000.0) END)
+           |    AS slope6
+           |FROM g""".stripMargin
+      },
+      "dq1_source_quality" ->
+        s"""WITH q AS (SELECT source, lang, $quality6Sql AS q FROM documents),
+           |u AS (SELECT source, lang, q,
+           |  CAST(floor(q * 1000000.0 + 0.5) AS BIGINT) AS qu FROM q),
+           |g AS (SELECT source, lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           |  CAST(SUM(qu) AS BIGINT) AS squ
+           | FROM u GROUP BY 1, 2)
+           |SELECT source, lang, n_docs, n_keep,
+           |  floor(CAST(n_keep AS DOUBLE) / n_docs * 1000000.0 + 0.5)
+           |    / 1000000.0 AS keep_rate6,
+           |  floor(CAST(squ AS DOUBLE) / n_docs + 0.5) / 1000000.0
+           |    AS mean_quality6
+           |FROM g""".stripMargin,
       "ov1_vocab_coverage" -> {
         val lowToks =
           """CASE WHEN length(trim(lower(text))) = 0 THEN []
@@ -780,6 +895,9 @@ object TextAnalysis {
       tf1TfidfTopTerms(s, dir)),
     "ov1_vocab_coverage" -> ((s: SparkSession, dir: String) =>
       ov1VocabCoverage(s, dir)),
+    "dq1_source_quality" -> (dq1SourceQuality _),
+    "zipf1_vocab_slope" -> ((s: SparkSession, dir: String) =>
+      zipf1VocabSlope(s, dir)),
     "t11_bigram_nll" -> (t11BigramNll _),
     "pmi1_collocations" -> ((s: SparkSession, dir: String) => pmi1Collocations(s, dir)),
     "t9_char_stats" -> (t9CharStats _),
