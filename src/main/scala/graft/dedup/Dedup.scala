@@ -900,6 +900,9 @@ object Dedup {
    */
   def blockedEditDistance(records: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"blockedEditDistance: maxDist must be >= 0: $maxDist")
+    // installs the LevenshteinLengthBound rewrite (the dist <= k
+    // verify below is exactly the filter it bands)
+    graft.functions.GraftFunctions.register(records.sparkSession)
     // null block or name = unblockable: such records surface with
     // n_near = 0 (the left join below) instead of being dropped by
     // the inner joins' null-key semantics

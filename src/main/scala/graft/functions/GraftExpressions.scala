@@ -1043,8 +1043,10 @@ object QualityScoreKernel {
 /** Extension entry point: `spark.sql.extensions=graft.functions.GraftExtensions`
   * makes the graft_* functions available in SQL and via `call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthBound)
+  }
 }
 
 /**
@@ -1411,9 +1413,16 @@ object GraftFunctions {
   }
 
   /** Idempotent registration into a live session (for sessions built
-    * without the extensions config). */
-  def register(spark: SparkSession): Unit =
+    * without the extensions config): the graft_* functions plus the
+    * [[graft.plans.LevenshteinLengthBound]] optimizer rewrite. */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.LevenshteinLengthBound)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LevenshteinLengthBound
+    }
+  }
 }

@@ -1231,6 +1231,30 @@ object Relational {
         |SELECT r.id, CAST(COALESCE(g.n_near, 0) AS BIGINT) AS n_near,
         |  CAST(bst.best_dist AS BIGINT) AS best_dist, bst.best_match
         |FROM r LEFT JOIN g USING (id) LEFT JOIN bst USING (id)""".stripMargin,
+    // mb1: exact integer basket counts, identical ratio op order,
+    // rank by ROUNDED lift with (part_a, part_b) ties (pmi1 pattern)
+    "mb1_market_basket" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+        |  FROM lineitem),
+        |nn AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+        |cnt AS (SELECT part, COUNT(*) AS n_one FROM items GROUP BY 1),
+        |p AS (SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |s AS (SELECT part_a, part_b, n_ab,
+        |  floor(CAST(n_ab AS DOUBLE) / n_orders * 1000000.0 + 0.5)
+        |    / 1000000.0 AS support6,
+        |  floor(CAST(n_ab AS DOUBLE) / ca.n_one * 1000000.0 + 0.5)
+        |    / 1000000.0 AS confidence6,
+        |  floor(CAST(n_ab AS DOUBLE) * n_orders
+        |      / (CAST(ca.n_one AS DOUBLE) * cb.n_one) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS lift6
+        | FROM p JOIN cnt ca ON p.part_a = ca.part
+        |   JOIN cnt cb ON p.part_b = cb.part CROSS JOIN nn)
+        |SELECT row_number() OVER (ORDER BY lift6 DESC, part_a, part_b) AS rank,
+        |  part_a, part_b, n_ab, support6, confidence6, lift6
+        |FROM s ORDER BY lift6 DESC, part_a, part_b LIMIT 20""".stripMargin,
     // hr1: shares divide exact integer cents; the window SUMs CAST to
     // DOUBLE (HUGEINT — the §8 rule's windowed form), r6 floor-formula
     "hr1_hierarchical_share" ->
@@ -1359,6 +1383,8 @@ object Relational {
     "jw1_name_similarity" -> (jw1NameSimilarity _),
     "rfm1_rfm_segments" -> (rfm1RfmSegments _),
     "hr1_hierarchical_share" -> (hr1HierarchicalShare _),
+    "mb1_market_basket" -> ((s: SparkSession, dir: String) =>
+      mb1MarketBasket(s, dir)),
     "zo1_zorder_layout" -> (zo1ZorderLayout _),
     "pf2_key_skew" -> (pf2KeySkew _)
   )
@@ -1510,6 +1536,55 @@ object Relational {
         share(sum(col("rev_c")).over(Window.partitionBy()).cast("double")))
       .select(col("r_name"), col("n_name"), col("n_orders"), col("revenue"),
         col("region_share6"), col("total_share6"))
+  }
+
+  /** MARKET-BASKET ASSOCIATION — top part pairs by LIFT over orders
+    * (support/confidence/lift, the Agrawal-Srikant association-rule
+    * measures): "bought together" mining, with a minimum pair support
+    * so one-off coincidences never rank. All three measures are
+    * ratios of exact integer counts (distinct orders containing the
+    * part/pair), the ranking orders by the ROUNDED lift with a
+    * (part_a, part_b) tie-break (the pmi1 discipline), and every
+    * division mirrors the oracle's op order.
+    *
+    * Scale shape: the pair generator is the within-order self-join —
+    * pair volume is Σ C(k_order, 2), bounded by BASKET size (TPC-H
+    * ≤ 7 lines/order), never |parts|²; counts partial-combine on
+    * (part_a, part_b); the support floor prunes before the measure
+    * join; top-k via sort+limit (TakeOrderedAndProject). */
+  def mb1MarketBasket(
+      spark: SparkSession, dir: String,
+      minSupport: Long = 5L, topK: Int = 20): DataFrame = {
+    val items = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nn = items.agg(countDistinct(col("okey")).as("n_orders"))
+    val cnt = items.groupBy(col("part")).agg(count(lit(1)).as("n_one"))
+    val a = items.select(col("okey"), col("part").as("part_a"))
+    val b = items.select(col("okey"), col("part").as("part_b"))
+    val pairs = a.join(b, Seq("okey"))
+      .where(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    def r6p(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6) // ratios are all >= 0
+    val scored = pairs
+      .join(cnt.select(col("part").as("part_a"), col("n_one").as("n_a")),
+        Seq("part_a"))
+      .join(cnt.select(col("part").as("part_b"), col("n_one").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(nn))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        r6p(col("n_ab").cast("double") / col("n_orders")).as("support6"),
+        r6p(col("n_ab").cast("double") / col("n_a")).as("confidence6"),
+        r6p(col("n_ab").cast("double") * col("n_orders")
+          / (col("n_a").cast("double") * col("n_b"))).as("lift6"))
+    scored.orderBy(col("lift6").desc, col("part_a"), col("part_b")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift6").desc, col("part_a"), col("part_b"))).cast("long"))
+      .select(col("rank"), col("part_a"), col("part_b"), col("n_ab"),
+        col("support6"), col("confidence6"), col("lift6"))
   }
 
   /** GRADED name similarity over part names — ed1's companion where

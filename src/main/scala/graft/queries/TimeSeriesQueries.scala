@@ -680,10 +680,12 @@ object TimeSeriesQueries {
     * the (type, day) aggregate once, an 8-row lag frame broadcast
     * into the day-keyed self-join of the tiny daily frame, one
     * partial-combined row per (pair, lag). */
-  def xc1LagCorrelation(
-      spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
-    require(maxLag >= 0 && maxLag <= 60, s"xc1: maxLag in [0, 60]: $maxLag")
-    val daily = graft.sources.Tables.read(spark, dir, "events")
+  /** (event_type, day_idx, mqi) daily quantized means — the shared
+    * input frame of [[xc1LagCorrelation]] and [[acf1Autocorrelation]]
+    * (ONE definition so the two keys' quantization cannot drift; cr2
+    * keeps its own timestamp-day variant for oracle-compat). */
+  private def dailyQuantizedMeans(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.read(spark, dir, "events")
       .select(col("event_type"),
         floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day_idx"),
         Kernels.nanToNull(col("value")).as("value"))
@@ -696,6 +698,11 @@ object TimeSeriesQueries {
       .withColumn("mqi",
         when(col("mu") >= 0, floor(col("mu") + lit(0.5)))
           .otherwise(-floor(-col("mu") + lit(0.5))).cast("double"))
+
+  def xc1LagCorrelation(
+      spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 60, s"xc1: maxLag in [0, 60]: $maxLag")
+    val daily = dailyQuantizedMeans(spark, dir)
     val lags = spark.range(0L, maxLag + 1L).select(col("id").as("lag"))
     val a = daily.select(col("event_type").as("type_a"), col("day_idx"),
       col("mqi").as("ma"))
@@ -719,6 +726,42 @@ object TimeSeriesQueries {
       .select(col("type_a"), col("type_b"), col("lag"), col("n_days"),
         r6(when(col("saa") > 0.0 && col("sbb") > 0.0,
           col("sab") / sqrt(col("saa") * col("sbb")))).as("corr6"))
+  }
+
+  /** AUTOCORRELATION FUNCTION — per event type, the Pearson
+    * correlation of its daily-mean series with itself at day lags
+    * 1..maxLag: the periodicity detector (a weekly cycle spikes lag
+    * 7) that complements sea1's FIXED dow decomposition — ACF finds
+    * the period, sea1 assumes it. Exactly [[xc1LagCorrelation]]'s
+    * machinery with the self-pair join (shared
+    * [[dailyQuantizedMeans]] frame, so the two keys cannot drift);
+    * all of cr2's integer-quantized portability applies. */
+  def acf1Autocorrelation(
+      spark: SparkSession, dir: String, maxLag: Int = 14): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"acf1: maxLag in [1, 60]: $maxLag")
+    val daily = dailyQuantizedMeans(spark, dir)
+    val lags = spark.range(1L, maxLag + 1L).select(col("id").as("lag"))
+    val a = daily.select(col("event_type"), col("day_idx"), col("mqi").as("ma"))
+    val b = daily.select(col("event_type").as("type_b"),
+      col("day_idx").as("day_b"), col("mqi").as("mb"))
+    val paired = a.crossJoin(broadcast(lags))
+      .join(b, col("day_b") === col("day_idx") + col("lag") &&
+        col("type_b") === col("event_type"))
+    val grp = Window.partitionBy(col("event_type"), col("lag"))
+    val centered = paired
+      .withColumn("n", count(lit(1)).over(grp))
+      .withColumn("abar", sum(col("ma")).over(grp) / col("n"))
+      .withColumn("bbar", sum(col("mb")).over(grp) / col("n"))
+      .withColumn("ca", col("ma") - col("abar"))
+      .withColumn("cb", col("mb") - col("bbar"))
+    centered.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ca") * col("cb")).as("sab"),
+        sum(col("ca") * col("ca")).as("saa"),
+        sum(col("cb") * col("cb")).as("sbb"))
+      .select(col("event_type"), col("lag"), col("n_days"),
+        r6(when(col("saa") > 0.0 && col("sbb") > 0.0,
+          col("sab") / sqrt(col("saa") * col("sbb")))).as("acf6"))
   }
 
   /** BURST DETECTION — days where an event type's volume exceeds
@@ -981,6 +1024,38 @@ object TimeSeriesQueries {
          |FROM mm""".stripMargin,
     "ew1_ewma" -> ewmaSql(alpha = 0.3),
     "hw1_holt" -> holtSql(alpha = 0.5, beta = 0.3),
+    // acf1: xc1's oracle with the self-pair join and lag 1..14
+    "acf1_autocorrelation" ->
+      s"""WITH e AS (SELECT event_type,
+         |   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+         |   CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+         |  FROM events),
+         |q AS (SELECT event_type, day_idx,
+         |   CASE WHEN value >= 0 THEN floor(value * 1000000.0 + 0.5)
+         |        ELSE -floor(-(value) * 1000000.0 + 0.5) END AS yu
+         |  FROM e WHERE value IS NOT NULL),
+         |d AS (SELECT event_type, day_idx,
+         |   CAST(SUM(yu) AS DOUBLE) / COUNT(*) AS mu FROM q GROUP BY 1, 2),
+         |dq AS (SELECT event_type, day_idx,
+         |   CAST(CASE WHEN mu >= 0 THEN floor(mu + 0.5)
+         |        ELSE -floor(-(mu) + 0.5) END AS DOUBLE) AS mqi FROM d),
+         |l AS (SELECT CAST(unnest(generate_series(1, 14)) AS BIGINT) AS lag),
+         |p AS (SELECT a.event_type, l.lag, a.mqi AS ma, b.mqi AS mb
+         |  FROM dq a CROSS JOIN l JOIN dq b
+         |    ON b.day_idx = a.day_idx + l.lag AND b.event_type = a.event_type),
+         |c AS (SELECT *, COUNT(*) OVER w AS n,
+         |   SUM(ma) OVER w / (COUNT(*) OVER w) AS abar,
+         |   SUM(mb) OVER w / (COUNT(*) OVER w) AS bbar
+         |  FROM p WINDOW w AS (PARTITION BY event_type, lag)),
+         |g AS (SELECT event_type, lag, COUNT(*) AS n_days,
+         |   SUM((ma - abar) * (mb - bbar)) AS sab,
+         |   SUM((ma - abar) * (ma - abar)) AS saa,
+         |   SUM((mb - bbar) * (mb - bbar)) AS sbb
+         |  FROM c GROUP BY 1, 2)
+         |SELECT event_type, lag, n_days,
+         |  ${r6Sql("CASE WHEN saa > CAST(0.0 AS DOUBLE) AND sbb > CAST(0.0 AS DOUBLE) " +
+              "THEN sab / sqrt(saa * sbb) END")} AS acf6
+         |FROM g""".stripMargin,
     // bd1: integer day counts, RANGE trailing frame, one baseline
     // division; windowed SUM cast BIGINT (§8 rule), raw-double burst
     // compare
@@ -1434,6 +1509,8 @@ object TimeSeriesQueries {
     "qn1_quantile_normalize" -> (qn1QuantileNormalize _),
     "bd1_burst_detection" -> ((s: SparkSession, dir: String) =>
       bd1BurstDetection(s, dir)),
+    "acf1_autocorrelation" -> ((s: SparkSession, dir: String) =>
+      acf1Autocorrelation(s, dir)),
     "r1_resample" -> (r1Resample _),
     "r3_ohlc" -> (r3Ohlc _),
     "r4_shift_diff" -> (r4ShiftDiff _),

@@ -302,6 +302,50 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("LevenshteinLengthBound: rewrite fires, banded form is value-equivalent") {
+    import org.apache.spark.sql.catalyst.expressions.{Levenshtein => CatLev}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    GraftFunctions.register(spark)
+    // the banded builtin's contract the rewrite relies on
+    assert(spark.sql("SELECT levenshtein('abc', 'xyz', 1)").head.getInt(0) == -1)
+    assert(spark.sql("SELECT levenshtein('abc', 'abd', 1)").head.getInt(0) == 1)
+    // parquet round-trip: a LocalRelation would be constant-folded
+    // before the optimizer batch the rule runs in, leaving no Filter
+    // node to rewrite (or observe)
+    val dir = java.nio.file.Files.createTempDirectory("levbound").toString
+    Seq(
+      ("a", "red widget", "red wdget"),   // dist 1: keep
+      ("b", "red widget", "blue gadget"), // far: drop
+      ("c", "same", "same"),              // dist 0: keep
+      ("d", "x", "xxxxxx"),               // length gap 5 > 2: O(1) reject
+      ("e", null, "abc"),                 // null: drop (null semantics)
+      ("f", "", "ab"))                    // dist 2: keep
+      .toDF("id", "a", "b")
+      .write.mode("overwrite").parquet(s"$dir/rows")
+    val rows = spark.read.parquet(s"$dir/rows")
+    // both operator shapes: direct int compare and the .cast("long")
+    // form blockedEditDistance uses
+    val direct = rows.where(levenshtein(col("a"), col("b")) <= 2)
+    val casted = rows.where(levenshtein(col("a"), col("b")).cast("long") <= lit(2L))
+    for (df <- Seq(direct, casted)) {
+      val fired = df.queryExecution.optimizedPlan.collect {
+        case f: LFilter => f.condition.collect {
+          case l: CatLev if l.threshold.isDefined => l
+        }.nonEmpty
+      }.exists(identity)
+      assert(fired, s"rewrite did not fire:\n${df.queryExecution.optimizedPlan}")
+      assert(df.select("id").as[String].collect().toSet == Set("a", "c", "f"))
+    }
+    // value-equivalence against the same filter with the rule removed
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = Seq()
+      val plain = rows.where(levenshtein(col("a"), col("b")) <= 2)
+        .select("id").as[String].collect().toSet
+      assert(plain == Set("a", "c", "f"))
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("graft_jaro_winkler: pinned edge semantics + classic values; codegen-only") {
     GraftFunctions.register(spark)
     // the DuckDB-verified pin set (values read off DuckDB
