@@ -1231,6 +1231,24 @@ object Relational {
         |SELECT r.id, CAST(COALESCE(g.n_near, 0) AS BIGINT) AS n_near,
         |  CAST(bst.best_dist AS BIGINT) AS best_dist, bst.best_match
         |FROM r LEFT JOIN g USING (id) LEFT JOIN bst USING (id)""".stripMargin,
+    // gn1: integer-cent exact sums, identical ranked-sum formula,
+    // windowed/grouped SUMs cast BIGINT (§8 rule)
+    "gn1_gini_spend" ->
+      """WITH per AS (SELECT o_custkey,
+        |   ROUND(SUM(o_totalprice), 4) AS spend FROM orders GROUP BY 1),
+        |c AS (SELECT o_custkey,
+        |   CAST(floor(spend * 10000.0 + 0.5) AS BIGINT) AS cents FROM per),
+        |r AS (SELECT cents,
+        |   row_number() OVER (ORDER BY cents, o_custkey) AS i FROM c),
+        |g AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sx,
+        |   SUM(CAST(i AS HUGEINT) * cents) AS six FROM r)
+        |SELECT n AS n_customers,
+        |  CAST(sx AS DOUBLE) / 10000.0 AS total_spend4,
+        |  floor(((2.0 * CAST(six AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS gini6
+        |FROM g""".stripMargin,
     // mb1: exact integer basket counts, identical ratio op order,
     // rank by ROUNDED lift with (part_a, part_b) ties (pmi1 pattern)
     "mb1_market_basket" ->
@@ -1385,6 +1403,7 @@ object Relational {
     "hr1_hierarchical_share" -> (hr1HierarchicalShare _),
     "mb1_market_basket" -> ((s: SparkSession, dir: String) =>
       mb1MarketBasket(s, dir)),
+    "gn1_gini_spend" -> (gn1GiniSpend _),
     "zo1_zorder_layout" -> (zo1ZorderLayout _),
     "pf2_key_skew" -> (pf2KeySkew _)
   )
@@ -1536,6 +1555,40 @@ object Relational {
         share(sum(col("rev_c")).over(Window.partitionBy()).cast("double")))
       .select(col("r_name"), col("n_name"), col("n_orders"), col("revenue"),
         col("region_share6"), col("total_share6"))
+  }
+
+  /** GINI CONCENTRATION of customer spend — the inequality number
+    * behind every "top X% of customers drive Y% of revenue" slide:
+    * G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over per-customer totals
+    * sorted ascending (ties by custkey). Spend quantizes to integer
+    * CENTS; Σx fits a long, but the rank-weighted Σ i·xᵢ grows
+    * ~n²·spend and would silently wrap a long at warehouse customer
+    * counts — it accumulates in DECIMAL(38,0) (exact, order-free;
+    * DuckDB's HUGEINT twin is exact the same way), cast to double
+    * once at the end. The divisions + subtraction are one fixed IEEE
+    * sequence through r6. Output is ONE row (G, n, total).
+    *
+    * Scale caveat (the w5/rfm1 precedent): the rank is a
+    * single-partition window over the PER-CUSTOMER frame — fine at
+    * aggregate grain; range-partition the rank at warehouse scale. */
+  def gn1GiniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 4).as("spend"))
+      .withColumn("cents", floor(col("spend") * lit(1e4) + lit(0.5)).cast("long"))
+    val ranked = per.withColumn("i",
+      row_number().over(Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sx"),
+        // decimal BEFORE the multiply: long i·cents wraps at scale
+        sum(col("i").cast("decimal(38,0)")
+          * col("cents").cast("decimal(38,0)")).as("six"))
+      .select(col("n").as("n_customers"),
+        (col("sx").cast("double") / lit(1e4)).as("total_spend4"),
+        (floor(((lit(2.0) * col("six").cast("double"))
+            / (col("n").cast("double") * col("sx").cast("double"))
+          - (col("n") + 1).cast("double") / col("n").cast("double"))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("gini6"))
   }
 
   /** MARKET-BASKET ASSOCIATION — top part pairs by LIFT over orders

@@ -84,6 +84,12 @@ object TemporalQueries {
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
         Seq("view", "click", "signup", "purchase"),
         windowUs = 7L * 86400L * 1000000L)),
+    // new vs returning users per active day
+    "nr1_new_vs_returning" -> ((s, dir) =>
+      newVsReturning(Tables.read(s, dir, "events"))),
+    // hour-of-day x day-of-week activity heatmap
+    "cal2_hod_dow" -> ((s, dir) =>
+      hodDowHeatmap(Tables.read(s, dir, "events"))),
     // funnel completed within ONE 6-hour-gap session
     "sf1_session_funnel" -> ((s, dir) =>
       sessionFunnel(
@@ -141,6 +147,48 @@ object TemporalQueries {
       .map { case (typ, i) => s"'$typ', c$i" }.mkString(", ")
     totals.selectExpr(
       s"stack(${stages.length}, $stackArgs) AS (stage, n_sessions)")
+  }
+
+  /** NEW vs RETURNING users per day — the acquisition-vs-retention
+    * split every growth dashboard opens with: per active day, users
+    * whose FIRST-ever activity is that day vs users seen before.
+    * Integer epoch-days (ch1 discipline); counts are exact.
+    * Shape: one user-day distinct, one per-user min aggregate
+    * (first day), one day-grain partial-combined rollup — all keyed,
+    * no windows. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"),
+      floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("d"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("d")).as("fd"))
+    ud.join(first, Seq("user_id"))
+      .groupBy(col("d").as("day_idx"))
+      .agg(count(lit(1)).as("n_active"),
+        sum((col("d") === col("fd")).cast("long")).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+  }
+
+  /** HOUR-OF-DAY × DAY-OF-WEEK activity heatmap — the "when are our
+    * users awake" calendar matrix: event count and quantized mean
+    * value per (dow, hour) cell. Weekday numbering is the cal1
+    * portability trap (Spark `weekday` == DuckDB `isodow − 1`);
+    * hour() is identical under the pinned UTC session. One
+    * partial-combined aggregate over a ≤168-cell key. */
+  def hodDowHeatmap(events: DataFrame): DataFrame = {
+    val vq = when(isnan(col("value")), lit(null)).otherwise(col("value"))
+    val yu = when(vq >= 0, floor(vq * lit(1e6) + lit(0.5)))
+      .otherwise(-floor(-vq * lit(1e6) + lit(0.5))).cast("long")
+    events
+      .select(weekday(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"), yu.as("yu"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        count(col("yu")).as("n_val"),
+        sum(col("yu")).as("syu"))
+      .select(col("dow"), col("hod"), col("n"), col("n_val"),
+        when(col("n_val") > 0,
+          floor(col("syu").cast("double") / col("n_val") + lit(0.5)) / lit(1e6))
+          .as("mean_value6"))
   }
 
   /** ROLLING ACTIVE USERS — the DAU/WAU/MAU stickiness dashboard:
@@ -864,6 +912,33 @@ object TemporalQueries {
         |SELECT 'signup' AS stage, CAST(COALESCE(SUM(f2), 0) AS BIGINT) AS users FROM u
         |UNION ALL
         |SELECT 'purchase' AS stage, CAST(COALESCE(SUM(f3), 0) AS BIGINT) AS users FROM u""".stripMargin,
+    // nr1: ch1's integer epoch-days; the SUM casts BIGINT (§8 rule)
+    "nr1_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS fd FROM ud GROUP BY 1),
+        |g AS (SELECT d AS day_idx, COUNT(*) AS n_active,
+        |  CAST(SUM(CASE WHEN d = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        | FROM ud JOIN f USING (user_id) GROUP BY 1)
+        |SELECT day_idx, n_active, n_new, n_active - n_new AS n_returning
+        |FROM g""".stripMargin,
+    // cal2: Spark weekday == DuckDB isodow - 1 (the cal1 mapping);
+    // hour() identical under UTC; quantized mean (cr2 mqi pattern)
+    "cal2_hod_dow" ->
+      """WITH e AS (SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS hod,
+        |  CASE WHEN isnan(value) THEN NULL ELSE value END AS v FROM events),
+        |q AS (SELECT dow, hod,
+        |  CAST(CASE WHEN v >= 0 THEN floor(v * 1000000.0 + 0.5)
+        |       ELSE -floor(-(v) * 1000000.0 + 0.5) END AS BIGINT) AS yu
+        | FROM e),
+        |g AS (SELECT dow, hod, COUNT(*) AS n, COUNT(yu) AS n_val,
+        |  CAST(SUM(yu) AS BIGINT) AS syu FROM q GROUP BY 1, 2)
+        |SELECT dow, hod, n, n_val,
+        |  CASE WHEN n_val > 0
+        |    THEN floor(CAST(syu AS DOUBLE) / n_val + 0.5) / 1000000.0 END
+        |    AS mean_value6
+        |FROM g""".stripMargin,
     // sf1: the fn1 CTE chain partitioned by (user, session); session
     // ids from the identical (ts, event_id)-ordered gap rule
     "sf1_session_funnel" ->
