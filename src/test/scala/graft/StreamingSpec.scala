@@ -912,6 +912,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming burst: closed-day feed equals batch bd1 minus each type's open day") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, lit, unix_timestamp}
+    val raw = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+    val dayRows = raw.select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day_idx"),
+        col("ts"))
+      .as[(String, Long, java.sql.Timestamp)].collect()
+      .sortBy(_._3.getTime)
+      .map(r => (r._1, r._2))
+    val split = dayRows.length / 2 // a day straddling the boundary must keep counting, not double-close
+    val input = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamingBurst.closedDays(
+        input.toDF().toDF("event_type", "day_idx"))
+      .writeStream.format("memory").queryName("sbd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(dayRows.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(dayRows.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "select event_type, day_idx, n, trail_n, trail_days, is_burst from sbd")
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+      val batchAll = graft.queries.TimeSeriesQueries
+        .bd1BurstDetection(spark, "/root/testdata/sf0.001")
+        .select("event_type", "day_idx", "n", "trail_n", "trail_days", "is_burst")
+        .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      val lastDay = batchAll.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val batchClosed = batchAll.filter(r => r._2 < lastDay(r._1)).toSet
+      assert(streamed.nonEmpty && streamed == batchClosed)
+    } finally q.stop()
+  }
+
   test("streaming cohorts: per-user first-day state reproduces the batch retention matrix") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
