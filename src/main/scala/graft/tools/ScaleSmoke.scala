@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * cos≈0.999 near-dups) into `outDir` with the driver testdata
   * schemas, then times the PRODUCTION query functions
   * (SparkEntry.queries) against it unchanged. Usage:
-  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,graph12,dc4,bloom,link,linkhot,jw,events,events12]"
+  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,graph12,dc4,bloom,link,linkhot,jw,basket,events,events12]"
   * (no --run flag = all sections).
   */
 object ScaleSmoke {
@@ -889,6 +889,52 @@ object ScaleSmoke {
       timed("nm1_feature_scale_10m") {
         graft.queries.TimeSeriesQueries.featureScale(canonical).count()
       }
+    }
+
+    // --- mb1 market basket at 2M basket rows (400k orders × 5 parts,
+    // zipf-skewed 50k-part catalog): the claim under test is that
+    // pair volume follows BASKET size (Σ C(5,2) = 4M pairs), never
+    // |parts|², and that a hot part (popularity skew) cannot pin the
+    // measure join (its count rides a broadcastable part-keyed
+    // frame). ------------------------------------------------------
+    if (want("basket")) {
+      val rows = spark.range(2000000L).select(
+        (col("id") / 5).cast("long").as("l_orderkey"),
+        // zipf-ish: popular parts via squared-uniform collapse
+        pmod(
+          (pmod(xxhash64(col("id") * 37 + 11), lit(50000L))
+            * pmod(xxhash64(col("id") * 53 + 29), lit(50000L))) / lit(50000L),
+          lit(50000L)).cast("long").as("l_partkey"))
+      rows.write.mode("overwrite").parquet(s"$outDir/basket.parquet")
+      spark.read.parquet(s"$outDir/basket.parquet")
+        .createOrReplaceTempView("lineitem_basket")
+      var topLift = 0.0
+      timed("mb1_basket_2m_rows") {
+        // the production operator body over the synthetic basket frame
+        val items = spark.table("lineitem_basket")
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .distinct()
+        val nn = items.agg(countDistinct(col("okey")).as("n_orders"))
+        val cnt = items.groupBy(col("part")).agg(count(lit(1)).as("n_one"))
+        val a = items.select(col("okey"), col("part").as("part_a"))
+        val b = items.select(col("okey"), col("part").as("part_b"))
+        val pairs = a.join(b, Seq("okey"))
+          .where(col("part_a") < col("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .where(col("n_ab") >= 3)
+        val scored = pairs
+          .join(cnt.select(col("part").as("part_a"), col("n_one").as("n_a")), Seq("part_a"))
+          .join(cnt.select(col("part").as("part_b"), col("n_one").as("n_b")), Seq("part_b"))
+          .crossJoin(broadcast(nn))
+          .select((col("n_ab").cast("double") * col("n_orders")
+            / (col("n_a").cast("double") * col("n_b"))).as("lift"))
+        val r = scored.agg(count(lit(1)), max(col("lift"))).head
+        topLift = r.getDouble(1)
+        r.getLong(0)
+      }
+      println(f"SCALE mb1: max lift $topLift%.1f over support>=3 pairs " +
+        "(pair volume = 400k x C(5,2), basket-bounded)")
     }
 
     // --- round-12 event-analytics family at 10M events / 100k users

@@ -947,6 +947,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming actives: watermark-closed DAU equals the batch au1 dau column") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect()
+      .sortBy(_._2.getTime)
+    val split = events.length / 2
+    // a sentinel event far past the horizon advances the watermark so
+    // every REAL day closes and emits (its own day stays open)
+    val lastTs = events.last._2.getTime
+    val sentinel = (-1L, new java.sql.Timestamp(lastTs + 40L * 86400000L))
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingActives.dailyActive(
+        input.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sdau")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData((events.drop(split).toSeq :+ sentinel): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "select cast(unix_timestamp(day) / 86400 as long), dau from sdau")
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.queries.TemporalQueries.activeUsers(
+          graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events"))
+        .select("day_idx", "dau").as[(Long, Long)].collect().toMap
+      // every real day closed under the sentinel's watermark; the
+      // sentinel's own far-future day is the one still open
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming cohorts: per-user first-day state reproduces the batch retention matrix") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
