@@ -40,7 +40,10 @@ object Ewma {
       .as[(String, java.sql.Timestamp, Option[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (sid, it) =>
-        val rows = it.toArray.sortBy(_._2.getTime)
+        // full-microsecond sort: getTime alone is millis, and rows
+        // inside one millisecond would order nondeterministically
+        // against the oracle's full-resolution ORDER BY ts
+        val rows = it.toArray.sortBy(r => graft.streaming.EventTime.toUs(r._2))
         var num = 0.0 // Σ w_i·x_i
         var den = 0.0 // Σ w_i
         rows.iterator.map { case (_, t, v) =>
@@ -81,7 +84,8 @@ object Ewma {
       .as[(String, java.sql.Timestamp, Option[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (sid, it) =>
-        val rows = it.toArray.sortBy(_._2.getTime)
+        // full-microsecond sort (see ewmaMean)
+        val rows = it.toArray.sortBy(r => graft.streaming.EventTime.toUs(r._2))
         var seeded = false
         var level = 0.0
         var trend = 0.0

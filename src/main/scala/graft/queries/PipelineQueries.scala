@@ -55,9 +55,7 @@ object PipelineQueries {
     * floor-formula (components are signed). Shape: one posexplode →
     * one partial-combined aggregate keyed on dim (64 groups). */
   private[graft] def em1DimStats(spark: SparkSession, dir: String): DataFrame = {
-    def r6s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
-        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
+    val r6s = Round6.r6 _
     val x = embs(spark, dir)
       .select(posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
@@ -97,9 +95,7 @@ object PipelineQueries {
     * null within-cohesion (no pairs). */
   private[graft] def lb1LabelCohesion(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    def r6s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
-        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
+    val r6s = Round6.r6 _
     val e = embs(spark, dir).select(col("label").cast("long").as("label"),
       col("embedding").cast("array<double>").as("emb"))
     val normed = e
@@ -1413,10 +1409,7 @@ object PipelineQueries {
     // quantization, exact per-(label, dim) sums, dim-ORDERED product
     // fold (the t8 list_sum pairing), single-expression ratios
     "lb1_label_cohesion" -> {
-      def r6s(e: String) =
-        s"""(CASE WHEN ($e) >= 0
-           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
-           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
+      val r6s = Round6.r6Sql _
       s"""WITH $vNormCte,
          |lv AS (SELECT CAST(e.label AS BIGINT) AS label, v.emb
          |  FROM v JOIN embeddings e ON v.vec_id = e.vec_id),
@@ -1448,10 +1441,7 @@ object PipelineQueries {
     // em1: identical micro-unit quantization (signed), exact integer
     // sums, fixed IEEE mean/variance expressions, symmetric r6
     "em1_dim_stats" -> {
-      def r6s(e: String) =
-        s"""(CASE WHEN ($e) >= 0
-           |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
-           |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
+      val r6s = Round6.r6Sql _
       s"""WITH x AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
          |   CAST(embedding[i] AS DOUBLE) AS v
          |  FROM embeddings,

@@ -1605,12 +1605,12 @@ object Relational {
     * ≤ 7 lines/order), never |parts|²; counts partial-combine on
     * (part_a, part_b); the support floor prunes before the measure
     * join; top-k via sort+limit (TakeOrderedAndProject). */
-  def mb1MarketBasket(
-      spark: SparkSession, dir: String,
-      minSupport: Long = 5L, topK: Int = 20): DataFrame = {
-    val items = t(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
+  /** The scored-pair core of [[mb1MarketBasket]] over an arbitrary
+    * `(okey, part)` basket frame — the piece the scale smoke runs
+    * unchanged (review rule: a smoke must exercise the PRODUCTION
+    * path, not a drift-prone copy). Deduplicates internally. */
+  def basketScores(basket: DataFrame, minSupport: Long): DataFrame = {
+    val items = basket.select(col("okey"), col("part")).distinct()
     val nn = items.agg(countDistinct(col("okey")).as("n_orders"))
     val cnt = items.groupBy(col("part")).agg(count(lit(1)).as("n_one"))
     val a = items.select(col("okey"), col("part").as("part_a"))
@@ -1622,7 +1622,7 @@ object Relational {
       .where(col("n_ab") >= minSupport)
     def r6p(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       floor(c * lit(1e6) + lit(0.5)) / lit(1e6) // ratios are all >= 0
-    val scored = pairs
+    pairs
       .join(cnt.select(col("part").as("part_a"), col("n_one").as("n_a")),
         Seq("part_a"))
       .join(cnt.select(col("part").as("part_b"), col("n_one").as("n_b")),
@@ -1633,6 +1633,15 @@ object Relational {
         r6p(col("n_ab").cast("double") / col("n_a")).as("confidence6"),
         r6p(col("n_ab").cast("double") * col("n_orders")
           / (col("n_a").cast("double") * col("n_b"))).as("lift6"))
+  }
+
+  def mb1MarketBasket(
+      spark: SparkSession, dir: String,
+      minSupport: Long = 5L, topK: Int = 20): DataFrame = {
+    val scored = basketScores(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),
+      minSupport)
     scored.orderBy(col("lift6").desc, col("part_a"), col("part_b")).limit(topK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("lift6").desc, col("part_a"), col("part_b"))).cast("long"))

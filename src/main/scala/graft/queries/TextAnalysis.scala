@@ -280,7 +280,11 @@ object TextAnalysis {
     val counts = docs(spark, dir)
       .select(explode(wsTokens(lower(col("text")))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val ranked = counts
+    // barrier: `ranked` (corpus explode + count + the single-partition
+    // rank — the operator's own bottleneck) feeds BOTH the stats
+    // aggregate and the centered pass; unbarriered it ran twice
+    // (review finding — the tf1/ov1 shape)
+    val ranked = graft.Materialize.barrier(counts
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("c").desc, col("tok"))).cast("long"))
@@ -289,7 +293,7 @@ object TextAnalysis {
         floor(log(col("rn").cast("double")) * lit(1e6) + lit(0.5))
           .cast("long").as("xu"),
         floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5))
-          .cast("long").as("yu"))
+          .cast("long").as("yu")))
     val stats = ranked.agg(count(lit(1)).as("n"),
       sum(col("xu")).as("sx"), sum(col("yu")).as("sy"))
       .withColumn("xbar", floor(col("sx").cast("double") / col("n") + lit(0.5)))
@@ -300,13 +304,10 @@ object TextAnalysis {
       .groupBy(col("n"), col("xbar"), col("ybar"))
       .agg(sum(col("cx") * col("cy")).as("sxy"),
         sum(col("cx") * col("cx")).as("sxx"))
-    // symmetric floor-formula: the slope is NEGATIVE for Zipfian text,
-    // and floor(x·1e6+0.5) alone mis-rounds negatives toward +inf
-    def r6s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
-        .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
+    // symmetric floor-formula (Round6): the slope is NEGATIVE for
+    // Zipfian text — floor(x·1e6+0.5) alone mis-rounds negatives
     centered.select(col("n").as("n_points"),
-      r6s(when(col("sxx") > 0.0, col("sxy") / col("sxx"))).as("slope6"))
+      Round6.r6(when(col("sxx") > 0.0, col("sxy") / col("sxx"))).as("slope6"))
   }
 
   /** PER-SOURCE QUALITY PROFILE — t2's quality score rolled up to the
@@ -350,17 +351,23 @@ object TextAnalysis {
       spark: SparkSession, dir: String, topV: Int = 1000): DataFrame = {
     val tk = docs(spark, dir)
       .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("tok"))
-    val counts = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // barrier the (doc, tok) frame and derive BOTH the vocabulary
+    // (summing per-doc tf — never re-exploding the corpus) and the
+    // per-doc coverage from it: without this the explode ran twice
+    // (the au1/jw1/tf1 ReuseExchange finding, caught in review)
+    val tfd = graft.Materialize.barrier(
+      tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+    val counts = tfd.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
     val vocab = counts
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("c").desc, col("tok"))))
       .where(col("rn") <= topV)
       .select(col("tok"), lit(1L).as("inv"))
-    tk.join(broadcast(vocab), Seq("tok"), "left")
+    tfd.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("inv").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         (floor(col("n_oov").cast("double") / col("n_tokens") * lit(1e6)
           + lit(0.5)) / lit(1e6)).as("oov_rate6"))

@@ -25,19 +25,10 @@ object TimeSeriesQueries {
     * half behavior. [[r6Sql]] is its verbatim DuckDB twin; [[q6]] /
     * [[q6Sql]] are the quantize-to-integer-micro-units variants the
     * exact-integer-sum operators (rg1, cr2, rs5) build on. */
-  private def r6(c: Column): Column =
-    when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
-      .otherwise(-(floor(-c * lit(1e6) + lit(0.5)) / lit(1e6)))
-  private def q6(c: Column): Column =
-    when(c >= 0, floor(c * lit(1e6) + lit(0.5)))
-      .otherwise(-floor(-c * lit(1e6) + lit(0.5))).cast("long")
-  private def r6Sql(e: String): String =
-    s"""(CASE WHEN ($e) >= 0
-       |  THEN floor(($e) * 1000000.0 + 0.5) / 1000000.0
-       |  ELSE -(floor(-($e) * 1000000.0 + 0.5) / 1000000.0) END)""".stripMargin
-  private def q6Sql(e: String): String =
-    s"""CAST(CASE WHEN ($e) >= 0 THEN floor(($e) * 1000000.0 + 0.5)
-       |  ELSE -floor(-($e) * 1000000.0 + 0.5) END AS BIGINT)""".stripMargin
+  private def r6(c: Column): Column = Round6.r6(c)
+  private def q6(c: Column): Column = Round6.q6(c)
+  private def r6Sql(e: String): String = Round6.r6Sql(e)
+  private def q6Sql(e: String): String = Round6.q6Sql(e)
 
   /** Downsample to fixed buckets (pandas `resample('1D').agg(...)`):
     * date_trunc is deterministic and identical across engines, unlike

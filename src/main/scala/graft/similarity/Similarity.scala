@@ -373,7 +373,10 @@ object Similarity {
       vecs: DataFrame, isEval: Column => Column, threshold: Double): DataFrame = {
     val v = normalized(vecs, "vid", "emb")
     val eval = v.where(isEval(col("vid"))).select(col("emb").as("e_emb"))
-    val corp = v.where(!isEval(col("vid")))
+    // barrier: corp feeds BOTH the scored cross-join and the output
+    // base — unbarriered, the corpus scan + normalization ran twice
+    // (review finding), contradicting the scans-ONCE contract below
+    val corp = graft.dedup.Dedup.materialize(v.where(!isEval(col("vid"))))
     val scored = corp.crossJoin(broadcast(eval))
       .withColumn("cos", fastDot(col("emb"), col("e_emb")))
       .groupBy(col("vid")).agg(max(col("cos")).as("mc"))

@@ -33,7 +33,16 @@ object StreamingSurvival {
 
   final case class Conversion(user_id: Long, day: Long)
 
-  final case class SurvivalState(t0Us: Long, converted: Boolean)
+  /** `pendingUs`: the timestamp of the most recent `eventType` event
+    * seen BEFORE any origin — the batch operator's `te = min event ts
+    * >= t0` counts a conversion sharing the origin's exact instant
+    * even when it SORTS before the origin (smaller event_id), so the
+    * in-order stream must remember it. Only the latest pending
+    * timestamp can ever qualify (event time is non-decreasing under
+    * the in-order contract, so a qualifying pending event has
+    * us == t0 == the max seen so far) — O(1) state. */
+  final case class SurvivalState(
+      t0Us: Long, converted: Boolean, pendingUs: Long)
 
   /** `events` must carry (user_id, ts, event_id, event_type); returns
     * the append-mode (user_id, day) conversion feed. */
@@ -49,22 +58,32 @@ object StreamingSurvival {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
          state: GroupState[SurvivalState]) => {
           val sorted = rows.toArray.sortBy(r => (EventTime.toUs(r._2), r._3))
-          var st = state.getOption.getOrElse(SurvivalState(Long.MinValue, false))
+          var st = state.getOption
+            .getOrElse(SurvivalState(Long.MinValue, false, Long.MinValue))
           val out = Array.newBuilder[Conversion]
+          def emit(deltaUs: Long): Unit = {
+            // exact integer days — the batch floor(Δus / 86400e6)
+            out += Conversion(uid,
+              math.floor(deltaUs.toDouble / 86400000000.0).toLong)
+            st = st.copy(converted = true)
+          }
           sorted.foreach { case (_, ts, _, typ) =>
             if (!st.converted) {
               val us = EventTime.toUs(ts)
               if (st.t0Us == Long.MinValue) {
-                if (typ == originType) st = SurvivalState(us, false)
+                if (typ == originType) {
+                  st = st.copy(t0Us = us)
+                  // a same-instant conversion that SORTED before this
+                  // origin still qualifies (batch: te = min ts >= t0)
+                  if (st.pendingUs == us) emit(0L)
+                } else if (typ == eventType) st = st.copy(pendingUs = us)
               } else if (typ == eventType && us >= st.t0Us) {
-                // exact integer days — the batch floor(Δus / 86400e6)
-                out += Conversion(uid,
-                  math.floor((us - st.t0Us).toDouble / 86400000000.0).toLong)
-                st = st.copy(converted = true)
+                emit(us - st.t0Us)
               }
             }
           }
-          if (st.t0Us != Long.MinValue) state.update(st)
+          if (st.t0Us != Long.MinValue || st.pendingUs != Long.MinValue)
+            state.update(st)
           out.result().iterator
         })
       .toDF()

@@ -910,26 +910,13 @@ object ScaleSmoke {
         .createOrReplaceTempView("lineitem_basket")
       var topLift = 0.0
       timed("mb1_basket_2m_rows") {
-        // the production operator body over the synthetic basket frame
-        val items = spark.table("lineitem_basket")
-          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-          .distinct()
-        val nn = items.agg(countDistinct(col("okey")).as("n_orders"))
-        val cnt = items.groupBy(col("part")).agg(count(lit(1)).as("n_one"))
-        val a = items.select(col("okey"), col("part").as("part_a"))
-        val b = items.select(col("okey"), col("part").as("part_b"))
-        val pairs = a.join(b, Seq("okey"))
-          .where(col("part_a") < col("part_b"))
-          .groupBy(col("part_a"), col("part_b"))
-          .agg(count(lit(1)).as("n_ab"))
-          .where(col("n_ab") >= 3)
-        val scored = pairs
-          .join(cnt.select(col("part").as("part_a"), col("n_one").as("n_a")), Seq("part_a"))
-          .join(cnt.select(col("part").as("part_b"), col("n_one").as("n_b")), Seq("part_b"))
-          .crossJoin(broadcast(nn))
-          .select((col("n_ab").cast("double") * col("n_orders")
-            / (col("n_a").cast("double") * col("n_b"))).as("lift"))
-        val r = scored.agg(count(lit(1)), max(col("lift"))).head
+        // the PRODUCTION scoring core (Relational.basketScores), not a
+        // copy — review rule: smokes must exercise the shipped path
+        val scored = graft.queries.Relational.basketScores(
+          spark.table("lineitem_basket")
+            .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),
+          minSupport = 3L)
+        val r = scored.agg(count(lit(1)), max(col("lift6"))).head
         topLift = r.getDouble(1)
         r.getLong(0)
       }
