@@ -36,6 +36,20 @@ object Materialize {
 
   val ModeKey = "spark.graft.materialize.mode"
 
+  /** Size-gated [[barrier]] (the ft1/au1 precedent): skip the
+    * checkpoint when `sizeOf`'s ESTIMATED input (plan statistics — no
+    * job) is under the per-operator conf key's threshold, because
+    * below it the consumers' recomputes are cheaper than the fixed
+    * checkpoint write; above it the barrier's dedup wins. */
+  def barrierAbove(
+      df: DataFrame, sizeOf: DataFrame, confKey: String,
+      defaultMinBytes: Long = 32L * 1024 * 1024): DataFrame = {
+    val minBytes = BigInt(scala.util.Try(
+      df.sparkSession.conf.get(confKey).toLong).getOrElse(defaultMinBytes))
+    if (sizeOf.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) df
+    else barrier(df)
+  }
+
   def barrier(df: DataFrame): DataFrame = {
     val mode = scala.util.Try(df.sparkSession.conf.get(ModeKey)).getOrElse("local")
     mode match {

@@ -354,9 +354,12 @@ object TextAnalysis {
     // barrier the (doc, tok) frame and derive BOTH the vocabulary
     // (summing per-doc tf — never re-exploding the corpus) and the
     // per-doc coverage from it: without this the explode ran twice
-    // (the au1/jw1/tf1 ReuseExchange finding, caught in review)
-    val tfd = graft.Materialize.barrier(
-      tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+    // (the au1/jw1/tf1 ReuseExchange finding, caught in review).
+    // Size-gated: at gate SF the two recomputes are cheaper than the
+    // fixed checkpoint write (measured 0.19 → 0.40 s un-gated)
+    val tfd = graft.Materialize.barrierAbove(
+      tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")),
+      sizeOf = docs(spark, dir), confKey = "spark.graft.ov1.barrierMinBytes")
     val counts = tfd.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
     val vocab = counts
       .withColumn("rn", row_number().over(

@@ -375,8 +375,12 @@ object Similarity {
     val eval = v.where(isEval(col("vid"))).select(col("emb").as("e_emb"))
     // barrier: corp feeds BOTH the scored cross-join and the output
     // base — unbarriered, the corpus scan + normalization ran twice
-    // (review finding), contradicting the scans-ONCE contract below
-    val corp = graft.dedup.Dedup.materialize(v.where(!isEval(col("vid"))))
+    // (review finding), contradicting the scans-ONCE contract below.
+    // Size-gated (ft1/au1 precedent): below the threshold the double
+    // scan is cheaper than the checkpoint write
+    val corp = graft.Materialize.barrierAbove(
+      v.where(!isEval(col("vid"))), sizeOf = vecs,
+      confKey = "spark.graft.dc4.barrierMinBytes")
     val scored = corp.crossJoin(broadcast(eval))
       .withColumn("cos", fastDot(col("emb"), col("e_emb")))
       .groupBy(col("vid")).agg(max(col("cos")).as("mc"))
