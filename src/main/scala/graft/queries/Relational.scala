@@ -1259,7 +1259,7 @@ object Relational {
         |p AS (SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_ab
         |  FROM items a JOIN items b
         |    ON a.okey = b.okey AND a.part < b.part
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
         |s AS (SELECT part_a, part_b, n_ab,
         |  floor(CAST(n_ab AS DOUBLE) / n_orders * 1000000.0 + 0.5)
         |    / 1000000.0 AS support6,
@@ -1635,9 +1635,13 @@ object Relational {
           / (col("n_a").cast("double") * col("n_b"))).as("lift6"))
   }
 
+  // minSupport 3 (was 5): at gate SF the >=5 floor left a 1-row
+  // result that under-constrained the measure arithmetic; >=3 keeps
+  // the floor's pruning role (63 candidate pairs at sf0.01) while the
+  // top-20 hash covers a full, varied page of rules
   def mb1MarketBasket(
       spark: SparkSession, dir: String,
-      minSupport: Long = 5L, topK: Int = 20): DataFrame = {
+      minSupport: Long = 3L, topK: Int = 20): DataFrame = {
     val scored = basketScores(
       t(spark, dir, "lineitem")
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),

@@ -535,9 +535,9 @@ object TemporalQueries {
         min(when(col("event_type") === eventType && col("ts") >= col("t0"),
           col("ts"))).as("te"),
         max(col("ts")).as("tl"))
-    // barrier: the count() below and the step plan both consume durs
-    // — without it the whole per-user chain (scan + two aggregates)
-    // runs twice
+    // barrier: the denominator aggregate and the step plan both
+    // consume durs — without it the whole per-user chain (scan + two
+    // aggregates) runs twice
     val durs = graft.Materialize.barrier(per.select(
       floor((unix_micros(coalesce(col("te"), col("tl")))
         - unix_micros(col("t0"))).cast("double") / lit(86400000000.0))
@@ -545,11 +545,16 @@ object TemporalQueries {
       when(col("te").isNotNull, 1L).otherwise(0L).as("ev")))
     val steps = durs.groupBy(col("day")).agg(
       sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
-    val n = durs.count()
+    // risk-set denominator rides a broadcast scalar aggregate (the
+    // hist1/bm1 pattern) instead of a driver count(): the returned
+    // frame stays lazy — no job runs before the caller acts
+    val nTot = durs.agg(count(lit(1)).as("__n_total"))
     val wDay = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
     steps
-      .withColumn("n_risk", lit(n) - coalesce(sum(col("d") + col("c")).over(wDay), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .withColumn("n_risk",
+        col("__n_total") - coalesce(sum(col("d") + col("c")).over(wDay), lit(0L)))
       .select(col("day"), col("n_risk"), col("d"), col("c"))
       .as[(Long, Long, Long, Long)]
       .groupByKey(_ => true)
