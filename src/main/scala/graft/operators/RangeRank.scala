@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed exact ranking — `row_number` / `ntile` over a TOTAL
+ * order without a single-partition window.
+ *
+ * `Window.orderBy(...)` with no partition key collapses the frame to
+ * ONE task: correct, and fine when the frame is bounded (a vocabulary,
+ * a day grain, a top-k), but a scale ceiling when the key is unbounded
+ * (customers, documents). This helper is the 100-TB shape for that
+ * case (the w5/rfm1/gn1 customer-grain quantile windows):
+ *
+ *  1. `repartitionByRange(order)` — ONE exchange; the sampled range
+ *     boundaries put every row of partition i before every row of
+ *     partition i+1 under the given order.
+ *  2. `sortWithinPartitions(order)` + `monotonically_increasing_id()`
+ *     — a per-partition sort (no exchange) and a codegen'd id whose
+ *     UPPER bits are the partition index and LOWER 33 bits the
+ *     record's position in that sorted partition. This is Spark's own
+ *     `RDD.zipWithIndex` trick kept inside the DataFrame API.
+ *  3. A lineage barrier ([[graft.Materialize]]): the sampled
+ *     boundaries and the id assignment are per-execution; the barrier
+ *     pins ONE assignment for both consumers below.
+ *  4. Per-partition counts — a partial-combined aggregate whose world
+ *     is ≤ numParts rows — are collected and prefix-summed on the
+ *     driver (bounded by construction: numParts is caller-controlled,
+ *     exactly `RDD.zipWithIndex`'s design), then broadcast-joined
+ *     back: global rank = partition offset + local position + 1.
+ *
+ * Net plan: one range exchange + one local sort + one tiny aggregate +
+ * one broadcast join. NO single-partition stage anywhere — asserted by
+ * RangeRankSpec and the 10M-row ScaleSmoke addendum.
+ *
+ * Both entry points are SIZE-GATED (the ft1/au1 precedent, conf
+ * `spark.graft.rangerank.minBytes`): below the threshold the plain
+ * single-partition window is cheaper than the barrier + extra jobs,
+ * and bit-identical — the gate-SF oracle hashes hold on either path.
+ *
+ * Requirement: `order` must be a TOTAL order (append a unique
+ * tiebreak column). Ties straddling a sampled boundary would
+ * otherwise make the rank boundary-dependent; with a total order the
+ * global rank is independent of where the sampler cuts.
+ */
+object RangeRank {
+
+  val MinBytesKey = "spark.graft.rangerank.minBytes"
+  val DefaultMinBytes: Long = 32L * 1024 * 1024
+
+  private def smallEnough(df: DataFrame): Boolean = {
+    val minBytes = BigInt(scala.util.Try(
+      df.sparkSession.conf.get(MinBytesKey).toLong).getOrElse(DefaultMinBytes))
+    df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes
+  }
+
+  /** df + `out` = global 1-based row number (long) under `order`. */
+  def withRowNumber(df: DataFrame, out: String, order: Seq[Column]): DataFrame =
+    if (smallEnough(df))
+      df.withColumn(out,
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+    else
+      withGlobalRank(df, out, order).drop(NCol)
+
+  /** df + `out` = ntile(k) (long) under `order` — SQL-standard tiling
+    * (first n%k buckets get one extra row), identical to
+    * `functions.ntile` / DuckDB on a total order. */
+  def withNtile(df: DataFrame, out: String, k: Int, order: Seq[Column]): DataFrame =
+    if (smallEnough(df))
+      df.withColumn(out, ntile(k).over(Window.orderBy(order: _*)).cast("long"))
+    else {
+      val rn = s"__rr_rn_$out"
+      withGlobalRank(df, rn, order)
+        .withColumn(out, ntileFromRank(col(rn), col(NCol), k))
+        .drop(rn, NCol)
+    }
+
+  /** Total-count companion column name attached by [[withGlobalRank]]. */
+  private val NCol = "__rr_n"
+  private val IdxMask = (1L << 33) - 1
+
+  /** The ungated distributed path: df + `rnOut` (global row number,
+    * long) + `__rr_n` (total row count, long). Runs two jobs eagerly
+    * (the barrier and the counts collect). */
+  def withGlobalRank(df: DataFrame, rnOut: String, order: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val numParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ordered = df
+      .repartitionByRange(numParts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__rr_mid", monotonically_increasing_id())
+    // pin one boundary sample + id assignment for both consumers
+    val pinned = graft.Materialize.barrier(ordered)
+    val withPid = pinned
+      .withColumn("__rr_pid", shiftright(col("__rr_mid"), 33))
+      .withColumn("__rr_idx", col("__rr_mid").bitwiseAND(lit(IdxMask)))
+    // ≤ numParts rows: the bounded-by-construction driver step
+    // (RDD.zipWithIndex's own design) — keeps SinglePartition out of
+    // the returned plan entirely
+    val counts = withPid.groupBy(col("__rr_pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.scanLeft(0L)(_ + _._2)
+    val offsetRows = counts.zip(offsets).map { case ((pid, _), off) => (pid, off) }
+    import spark.implicits._
+    val offs = offsetRows.toSeq.toDF("__rr_pid", "__rr_off")
+    withPid
+      .join(broadcast(offs), Seq("__rr_pid"))
+      .withColumn(rnOut, col("__rr_idx") + col("__rr_off") + lit(1L))
+      .withColumn(NCol, lit(total))
+      .drop("__rr_mid", "__rr_pid", "__rr_idx", "__rr_off")
+  }
+
+  /** SQL-standard NTILE from a global 1-based rank `rn` and total `n`:
+    * q = n/k, r = n%k; the first r buckets hold q+1 rows, the rest q.
+    * All-positive integer arithmetic, so floor == truncation and both
+    * engines agree exactly. The q=0 (n<k) edge stays in the `when`
+    * branch (thr = n covers every row), so the otherwise-branch's /q
+    * never evaluates. */
+  def ntileFromRank(rn: Column, n: Column, k: Int): Column = {
+    val q = floor(n / lit(k)).cast("long")
+    val r = (n % lit(k)).cast("long")
+    val thr = r * (q + lit(1L))
+    when(rn <= thr, floor((rn - lit(1L)) / (q + lit(1L))).cast("long") + lit(1L))
+      .otherwise(r + floor((rn - thr - lit(1L)) / q).cast("long") + lit(1L))
+  }
+}

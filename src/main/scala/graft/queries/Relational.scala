@@ -437,18 +437,19 @@ object Relational {
     * engines agree exactly; totals round to 4dp BEFORE ranking so the
     * order itself cannot ride on summation ulps. The window runs
     * over the per-customer aggregate (one row per customer), not raw
-    * orders — and a 100 TB deployment would range-partition that
-    * frame; the single-partition window here is the gate-scale
-    * shape, called out in the oracle too. */
+    * orders — and because the customer key is UNBOUNDED, the tiling
+    * is size-gated ([[graft.operators.RangeRank]]): the plain window
+    * at gate scale, the range-partitioned rank (no single-partition
+    * stage) above the threshold. Both paths emit identical deciles
+    * on this total order. */
   def w5SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
     val totals = t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 4).as("total_spend"))
-    val w = Window.orderBy(col("total_spend").desc, col("o_custkey"))
-    totals
-      // cast: Spark ntile is int32, DuckDB's is BIGINT — emit long so
-      // the dtype-strict gate compares exactly (SURVEY §8 discipline)
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    // long decile: Spark ntile is int32, DuckDB's is BIGINT — the
+    // dtype-strict gate compares exactly (SURVEY §8 discipline)
+    graft.operators.RangeRank.withNtile(totals, "decile", 10,
+        Seq(col("total_spend").desc, col("o_custkey")))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         round(sum(col("total_spend")), 4).as("decile_spend"),
@@ -1493,11 +1494,11 @@ object Relational {
     * deterministic on both engines. ntile is cast long (the q8/w5
     * dtype discipline).
     *
-    * Scale caveat (the w5 precedent, documented there too): the three
-    * ntile windows are single-partition over the per-customer frame —
-    * fine at per-customer grain (orders collapse first; the frame is
-    * |customers|), and a 100 TB deployment would range-partition the
-    * quintile assignment. */
+    * Scale shape (the w5 precedent): each quintile assignment is
+    * size-gated through [[graft.operators.RangeRank]] — the plain
+    * single-partition window at gate scale, the range-partitioned
+    * rank above the threshold. Three orderings cost three sorts on
+    * either path; neither collapses the frame to one task at scale. */
   def rfm1RfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val per = t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
@@ -1508,13 +1509,13 @@ object Relational {
     val scored = per.crossJoin(broadcast(ref))
       .withColumn("recency_days",
         datediff(col("t_ref"), col("last_order")).cast("long"))
-    val rW = Window.orderBy(col("recency_days"), col("o_custkey"))
-    val fW = Window.orderBy(col("frequency"), col("o_custkey"))
-    val mW = Window.orderBy(col("monetary"), col("o_custkey"))
-    scored
-      .withColumn("r_score", (lit(6) - ntile(5).over(rW)).cast("long"))
-      .withColumn("f_score", ntile(5).over(fW).cast("long"))
-      .withColumn("m_score", ntile(5).over(mW).cast("long"))
+    import graft.operators.RangeRank.withNtile
+    val tiled = withNtile(withNtile(withNtile(scored,
+        "__rt", 5, Seq(col("recency_days"), col("o_custkey"))),
+        "f_score", 5, Seq(col("frequency"), col("o_custkey"))),
+        "m_score", 5, Seq(col("monetary"), col("o_custkey")))
+    tiled
+      .withColumn("r_score", lit(6L) - col("__rt"))
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary"), col("r_score"), col("f_score"), col("m_score"),
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
@@ -1568,16 +1569,17 @@ object Relational {
     * once at the end. The divisions + subtraction are one fixed IEEE
     * sequence through r6. Output is ONE row (G, n, total).
     *
-    * Scale caveat (the w5/rfm1 precedent): the rank is a
-    * single-partition window over the PER-CUSTOMER frame — fine at
-    * aggregate grain; range-partition the rank at warehouse scale. */
+    * Scale shape (the w5/rfm1 precedent): the rank over the
+    * per-customer frame is size-gated through
+    * [[graft.operators.RangeRank]] — plain window at gate scale,
+    * range-partitioned rank (no single-partition stage) above. */
   def gn1GiniSpend(spark: SparkSession, dir: String): DataFrame = {
     val per = t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 4).as("spend"))
       .withColumn("cents", floor(col("spend") * lit(1e4) + lit(0.5)).cast("long"))
-    val ranked = per.withColumn("i",
-      row_number().over(Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+    val ranked = graft.operators.RangeRank.withRowNumber(
+      per, "i", Seq(col("cents"), col("o_custkey")))
     ranked.agg(count(lit(1)).as("n"),
         sum(col("cents")).as("sx"),
         // decimal BEFORE the multiply: long i·cents wraps at scale

@@ -999,6 +999,75 @@ object ScaleSmoke {
         s"bench grams=$nBenchGrams, bitset=${bitsetBytes / 1024} KiB vs " +
         s"exact-set ${nBenchGrams * 8 / 1024} KiB + join-relation overhead")
     }
+    // --- round-13: range-partitioned exact ranking (w5/rfm1/gn1's
+    // scale path) at 10M customers — the engine's last unbounded-key
+    // single-partition step removed. Claims measured: (a) the gated
+    // production helpers pick the range path on a 10M frame with NO
+    // SinglePartition stage in the executed plan; (b) the result is
+    // row-identical to the plain-window twin (exact integer-cent
+    // aggregates per decile + the gn1 rank-weighted sum). ------------
+    if (want("rank")) {
+      spark.range(10000000L).select(col("id").as("k"),
+          (pmod(xxhash64(col("id") * 131 + 7), lit(1000000L)).cast("double")
+            / lit(100.0)).as("spend"))
+        .write.mode("overwrite").parquet(s"$outDir/cust10m.parquet")
+      val per = spark.read.parquet(s"$outDir/cust10m.parquet")
+        .withColumn("cents", floor(col("spend") * lit(100) + lit(0.5)).cast("long"))
+      val ord = Seq(col("spend").desc, col("k"))
+      def decileAgg(df: DataFrame): Array[(Long, Long, Long)] =
+        df.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+          .orderBy(col("decile"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      var ranged: Array[(Long, Long, Long)] = null
+      var plain: Array[(Long, Long, Long)] = null
+      timed("rank_ntile_range_10m") {
+        // the PRODUCTION gated helper: 10M-row stats clear the 32MB
+        // threshold, so this runs the range-partitioned path
+        val t = graft.operators.RangeRank.withNtile(per, "decile", 10, ord)
+        val plan = t.queryExecution.executedPlan.toString
+        require(!plan.contains("SinglePartition"),
+          "range path must not contain a SinglePartition stage:\n" + plan.take(3000))
+        ranged = decileAgg(t)
+        ranged.map(_._2).sum
+      }
+      timed("rank_ntile_plain_10m") {
+        val t = per.withColumn("decile", org.apache.spark.sql.functions
+          .ntile(10).over(org.apache.spark.sql.expressions.Window
+            .orderBy(ord: _*)).cast("long"))
+        plain = decileAgg(t)
+        plain.map(_._2).sum
+      }
+      println(s"SCALE rank: decile agreement range vs plain = " +
+        s"${if (ranged.sameElements(plain)) "IDENTICAL" else "DIVERGED"}")
+      var sixRange = BigDecimal(0)
+      var sixPlain = BigDecimal(0)
+      timed("rank_rownum_range_10m") {
+        val r = graft.operators.RangeRank
+          .withRowNumber(per, "i", Seq(col("cents"), col("k")))
+        require(!r.queryExecution.executedPlan.toString.contains("SinglePartition"))
+        val row = r.agg(sum(col("i").cast("decimal(38,0)")
+          * col("cents").cast("decimal(38,0)")).as("six"), count(lit(1))).head
+        sixRange = row.getDecimal(0)
+        row.getLong(1)
+      }
+      timed("rank_rownum_plain_10m") {
+        val r = per.withColumn("i", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cents"), col("k"))).cast("long"))
+        val row = r.agg(sum(col("i").cast("decimal(38,0)")
+          * col("cents").cast("decimal(38,0)")).as("six"), count(lit(1))).head
+        sixPlain = row.getDecimal(0)
+        row.getLong(1)
+      }
+      println(s"SCALE rank: gn1 rank-weighted sum range=$sixRange " +
+        s"plain=$sixPlain ${if (sixRange == sixPlain) "IDENTICAL" else "DIVERGED"}")
+      // the captured-plan evidence for PLANS.md
+      val shape = graft.operators.RangeRank.withNtile(per, "decile", 10, ord)
+      println("SCALE rank: range-path executed plan (head):")
+      println(shape.queryExecution.executedPlan.toString.linesIterator
+        .map("SCALE   " + _.take(100)).take(14).mkString("\n"))
+    }
     spark.stop()
   }
 }
