@@ -302,8 +302,11 @@ object CorpusQueries {
     val d = graft.dedup.Dedup.materialize(d0)
     // order-preserving doc_id range shard (monotone in doc_id, so the
     // within-length order is unchanged; double precision is fine for
-    // monotonicity at any realistic id range)
-    val bounds = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    // monotonicity at any realistic id range). bounds + total ride
+    // ONE scalar aggregate (PlanAudit finding: two scalar passes over
+    // the materialized frame were one pass of work)
+    val bounds = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+      count(lit(1)).as("n_total"))
     val dd = d.crossJoin(broadcast(bounds))
       .withColumn("sb",
         when(col("hi") === col("lo"), 0L)
@@ -311,7 +314,12 @@ object CorpusQueries {
             floor((col("doc_id") - col("lo")).cast("double")
               / (col("hi") - col("lo") + 1) * idShards).cast("long"))))
       .drop("lo", "hi")
-    val hist2 = dd.groupBy(col("n_tok"), col("sb")).agg(count(lit(1)).as("cnt"))
+    // size-gated barrier (PlanAudit finding): hist2 feeds the
+    // shard-prefix pass AND the per-length rollup — histogram-grain
+    // output, gated on the (already materialized) input
+    val hist2 = graft.Materialize.barrierAbove(
+      dd.groupBy(col("n_tok"), col("sb")).agg(count(lit(1)).as("cnt")),
+      sizeOf = d, confKey = "spark.graft.pk2.barrierMinBytes")
     // per-length shard prefix: windows over ≤ idShards rows each
     val base2 = hist2.withColumn("before2",
       coalesce(sum(col("cnt")).over(
@@ -324,15 +332,15 @@ object CorpusQueries {
       coalesce(sum(col("cnt")).over(
         Window.orderBy(col("n_tok")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("n_tok"), col("before"))
-    val total = d.agg(count(lit(1)).as("n_total"))
     val b = lit(buckets.toLong)
+    // n_total rides dd from the merged bounds aggregate — no second
+    // scalar pass, no extra crossJoin
     val ranked = dd
       .withColumn("r_in",
         row_number().over(
           Window.partitionBy(col("n_tok"), col("sb")).orderBy(col("doc_id"))).cast("long"))
       .join(broadcast(base2), Seq("n_tok", "sb"))
       .join(broadcast(base), Seq("n_tok"))
-      .crossJoin(broadcast(total))
       .withColumn("r", col("before") + col("before2") + col("r_in"))
     // ntile split rule: rem = N mod b buckets of size q+1 first
     val q = col("n_total").divide(b).cast("long")
@@ -469,9 +477,13 @@ object CorpusQueries {
     val rawCount =
       if (heldOutRaw) sum(when(!col("is_target"), 1L).otherwise(0L))
       else count(lit(1))
-    val bucketCounts = feats.groupBy(col("b")).agg(
-      rawCount.as("cr"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    // barrier (PlanAudit finding): bucketCounts feeds the totals
+    // scalar AND the λ select — without it the corpus-sized feature
+    // checkpoint is re-aggregated twice; ≤ buckets rows
+    val bucketCounts = graft.Materialize.barrier(
+      feats.groupBy(col("b")).agg(
+        rawCount.as("cr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct")))
     val totals = bucketCounts.agg(
       sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     broadcast(bucketCounts.crossJoin(broadcast(totals))

@@ -105,9 +105,15 @@ object PipelineQueries {
       .withColumn("qu",
         when(col("c") >= 0, floor(col("c") * lit(1e6) + lit(0.5)))
           .otherwise(-floor(-col("c") * lit(1e6) + lit(0.5))).cast("long"))
-    val sums = normed.groupBy(col("label"), col("dim"))
-      .agg(sum(col("qu")).as("s"), sum(col("qu") * col("qu")).as("q2"),
-        count(lit(1)).as("nd"))
+    // size-gated barrier (PlanAudit finding): sums feeds both
+    // self-join sides with different prunings (b drops q2) — without
+    // it the embedding explode+aggregate runs twice; (label × dim)
+    // grain output, gated on the embedding input
+    val sums = graft.Materialize.barrierAbove(
+      normed.groupBy(col("label"), col("dim"))
+        .agg(sum(col("qu")).as("s"), sum(col("qu") * col("qu")).as("q2"),
+          count(lit(1)).as("nd")),
+      sizeOf = e, confKey = "spark.graft.lb1.barrierMinBytes")
     val a = sums.select(col("label").as("label_a"), col("dim"),
       col("s").as("s_a"), col("q2").as("q2_a"), col("nd").as("n_a"))
     val b = sums.select(col("label").as("label_b"), col("dim"),

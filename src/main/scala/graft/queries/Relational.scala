@@ -796,10 +796,14 @@ object Relational {
     * is computed from the 4dp-rounded monthly totals, so the division
     * sees identical doubles on both engines. */
   def w3YoyGrowth(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = t(spark, dir, "orders")
+    // barrier (PlanAudit finding): the month-grain aggregate feeds
+    // both self-join sides with different shifts/prunings — without
+    // it orders is scanned and aggregated twice; the frame is
+    // calendar-bounded, so the checkpoint is tens of rows
+    val monthly = graft.Materialize.barrier(t(spark, dir, "orders")
       .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
       .agg(round(sum(col("o_totalprice")), 4).as("revenue"))
-      .withColumn("mkey", year(col("month")) * 12 + month(col("month")))
+      .withColumn("mkey", year(col("month")) * 12 + month(col("month"))))
     val prev = monthly.select(
       (col("mkey") + 12).as("mkey"), col("revenue").as("prev_year"))
     monthly.join(broadcast(prev), Seq("mkey"), "left")
@@ -1426,7 +1430,11 @@ object Relational {
     * frame. */
   def keySkew(keys: DataFrame, topK: Int): DataFrame = {
     require(topK >= 1, s"keySkew: topK must be >= 1: $topK")
-    val counts = keys.groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    // size-gated barrier (PlanAudit finding): counts feeds the stats
+    // scalar AND the top-k — reuse-defeated without it
+    val counts = graft.Materialize.barrierAbove(
+      keys.groupBy(col("key")).agg(count(lit(1)).as("cnt")),
+      sizeOf = keys, confKey = "spark.graft.keyskew.barrierMinBytes")
     val stats = counts.agg(
       count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
     val top = counts.crossJoin(broadcast(stats))
@@ -1612,7 +1620,13 @@ object Relational {
     * unchanged (review rule: a smoke must exercise the PRODUCTION
     * path, not a drift-prone copy). Deduplicates internally. */
   def basketScores(basket: DataFrame, minSupport: Long): DataFrame = {
-    val items = basket.select(col("okey"), col("part")).distinct()
+    // size-gated barrier (PlanAudit finding): the distinct item frame
+    // has FOUR consumers (order count, part counts, both self-join
+    // sides) whose inferred null guards and prunings defeat
+    // ReuseExchange — without the barrier the distinct runs up to 4x
+    val items = graft.Materialize.barrierAbove(
+      basket.select(col("okey"), col("part")).distinct(),
+      sizeOf = basket, confKey = "spark.graft.basket.barrierMinBytes")
     val nn = items.agg(countDistinct(col("okey")).as("n_orders"))
     val cnt = items.groupBy(col("part")).agg(count(lit(1)).as("n_one"))
     val a = items.select(col("okey"), col("part").as("part_a"))

@@ -13,6 +13,13 @@ import graft.sources.Tables
  */
 object TextAnalysis {
 
+  /** Size gate for the vocab-grain count barriers (t8/t10/t11/pmi1
+    * — the PlanAudit reuse-defeated-duplicate findings): below the
+    * threshold the duplicate aggregates are cheaper than the fixed
+    * checkpoint write, above it the barrier halves the corpus
+    * explode+count work. */
+  val VocabBarrierMinBytesKey = "spark.graft.vocab.barrierMinBytes"
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "documents")
 
@@ -124,7 +131,13 @@ object TextAnalysis {
   def t8UnigramNll(spark: SparkSession, dir: String): DataFrame = {
     val tk = docs(spark, dir)
       .select(col("doc_id"), posexplode(wsTokens(lower(col("text")))).as(Seq("pos", "tok")))
-    val counts = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // size-gated barrier (PlanAudit finding): the vocab-grain count
+    // feeds BOTH the total aggregate and the probe join with
+    // different pruned outputs, so ReuseExchange cannot collapse them
+    // — without the barrier the corpus explode+count runs twice
+    val counts = graft.Materialize.barrierAbove(
+      tk.groupBy(col("tok")).agg(count(lit(1)).as("c")),
+      sizeOf = docs(spark, dir), confKey = VocabBarrierMinBytesKey)
     val total = counts.agg(sum(col("c")).as("total"))
     tk.join(counts, Seq("tok"))
       .crossJoin(broadcast(total))
@@ -171,7 +184,12 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(wsTokens(lower(col("text")))).as(Seq("pos", "tok")))
     val bg = tk.withColumn("nxt", lead(col("tok"), 1).over(w))
       .where(col("nxt").isNotNull)
-    val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    // size-gated barrier (PlanAudit finding): uni has two consumers
+    // in BOTH callers (t11: vocab scalar + probe join; pmi1: the two
+    // endpoint-count joins) whose pruned outputs defeat ReuseExchange
+    val uni = graft.Materialize.barrierAbove(
+      tk.groupBy(col("tok")).agg(count(lit(1)).as("cu")),
+      sizeOf = docs(spark, dir), confKey = VocabBarrierMinBytesKey)
     val big = bg.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("cb"))
     (tk, bg, uni, big)
   }
@@ -511,9 +529,13 @@ object TextAnalysis {
     val toks = docs(spark, dir).select(
       coalesce(col("lang") === "en", lit(false)).as("it"),
       explode(wsTokens(lower(col("text")))).as("tok"))
-    val c = toks.groupBy(col("tok")).agg(
-      sum(when(col("it"), 1L).otherwise(0L)).as("ct"),
-      sum(when(col("it"), 0L).otherwise(1L)).as("cr"))
+    // size-gated barrier (PlanAudit finding): c feeds the totals
+    // aggregate AND the terms join — reuse-defeated without it
+    val c = graft.Materialize.barrierAbove(
+      toks.groupBy(col("tok")).agg(
+        sum(when(col("it"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("it"), 0L).otherwise(1L)).as("cr")),
+      sizeOf = docs(spark, dir), confKey = VocabBarrierMinBytesKey)
     val tot = broadcast(c.agg(
       count(lit(1)).as("v"), sum(col("ct")).as("tt"), sum(col("cr")).as("tr")))
     val terms = c.crossJoin(tot).select(col("tok"),

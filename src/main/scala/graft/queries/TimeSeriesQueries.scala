@@ -19,6 +19,11 @@ import graft.operators.Kernels
  */
 object TimeSeriesQueries {
 
+  /** Size gate for the series-stats barriers (nm1/sea1 — PlanAudit
+    * reuse-defeated-duplicate findings): below the threshold the
+    * duplicate per-series aggregate is cheaper than the checkpoint. */
+  val SeriesBarrierMinBytesKey = "spark.graft.series.barrierMinBytes"
+
   /** The repo's portable explicit rounding (STATUS lesson 11):
     * floor(|u|·1e6 + 0.5)/1e6 — the identical IEEE op sequence on
     * both engines at every input, unlike round()'s engine-specific
@@ -420,9 +425,14 @@ object TimeSeriesQueries {
     val ser = rows.groupBy(col("series_id")).agg(
         count(lit(1)).as("nv"), sum(col("yu")).as("syu"))
       .withColumn("mean_u", col("syu").cast("double") / col("nv"))
-    val dowAgg = rows.groupBy(col("series_id"), col("dow")).agg(
-        count(lit(1)).as("n"), sum(col("yu")).as("syud"))
-      .withColumn("s_u", floor(col("syud").cast("double") / col("n") + lit(0.5)))
+    // size-gated barrier (PlanAudit finding): dowAgg feeds the
+    // residual join AND the final select with different prunings —
+    // (series × 7) grain output, gated on the input
+    val dowAgg = graft.Materialize.barrierAbove(
+      rows.groupBy(col("series_id"), col("dow")).agg(
+          count(lit(1)).as("n"), sum(col("yu")).as("syud"))
+        .withColumn("s_u", floor(col("syud").cast("double") / col("n") + lit(0.5))),
+      sizeOf = series, confKey = SeriesBarrierMinBytesKey)
     val en = rows
       .join(dowAgg.select(col("series_id"), col("dow"), col("s_u")),
         Seq("series_id", "dow"))
@@ -543,10 +553,16 @@ object TimeSeriesQueries {
   def featureScale(series: DataFrame): DataFrame = {
     val rows = series.where(col("value").isNotNull)
       .withColumn("yu", q6(col("value")))
-    val stats = rows.groupBy(col("series_id")).agg(
-        count(lit(1)).as("n"), sum(col("yu")).as("syu"),
-        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
-      .withColumn("mean_u", floor(col("syu").cast("double") / col("n") + lit(0.5)))
+    // size-gated barrier (PlanAudit finding): stats feeds the
+    // centered-squares join AND the full join with different pruned
+    // outputs — without it the per-series aggregate pass over the
+    // corpus runs twice; series-grain output, gated on the input
+    val stats = graft.Materialize.barrierAbove(
+      rows.groupBy(col("series_id")).agg(
+          count(lit(1)).as("n"), sum(col("yu")).as("syu"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        .withColumn("mean_u", floor(col("syu").cast("double") / col("n") + lit(0.5))),
+      sizeOf = series, confKey = SeriesBarrierMinBytesKey)
     val ss = rows
       .join(stats.select(col("series_id"), col("mean_u")), Seq("series_id"))
       .withColumn("c", (col("yu").cast("double") - col("mean_u")) / lit(1e6))

@@ -1,0 +1,141 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+
+/**
+ * Static plan inspection for the "N consumers re-run the same
+ * aggregate/scan" anti-pattern (PLANS.md round-12 lesson): Spark's
+ * ReuseExchange collapses duplicate subtrees ONLY when they
+ * canonicalize EXACTLY equal — column pruning gives each consumer a
+ * different output list (or pushes a different projection below the
+ * aggregate), the canonical forms diverge, and the shared upstream
+ * work silently executes once per consumer. The shipped fix is a
+ * lineage barrier ([[graft.Materialize]]); this audit is the
+ * detector that says WHERE one is missing.
+ *
+ * Method: walk the OPTIMIZED logical plan (no job runs); key every
+ * Aggregate subtree by a LOOSE signature — grouping keys + the chain
+ * below, with expression ids stripped and pure-pruning Projects
+ * skipped, i.e. identity MODULO pruned output lists. A loose group
+ * with ≥ 2 members splits two ways:
+ *
+ *  - all members' `canonicalized` plans equal → ReuseExchange-eligible
+ *    (the mb1 self-join shape: same distinct on both sides) → silent;
+ *  - canonical forms differ → the duplicates will EACH execute → WARN.
+ *
+ * A barriered plan cannot trip the audit below the barrier (the
+ * subtree is a LogicalRDD leaf) — which is exactly the contract:
+ * warnings mean "this plan re-runs shared work at every scale where
+ * the barrier gate would have been open".
+ *
+ * Known blind spot, accepted: canonical-equal duplicates whose top is
+ * NOT an exchange boundary still run twice (cheap post-shuffle
+ * operators); the audit targets the expensive class — reuse-DEFEATED
+ * duplicates — and stays silent on reuse-eligible ones.
+ */
+object PlanAudit {
+
+  /** severity: `warn` when the duplicated chain bottoms out at a file
+    * or v2 SOURCE (each variant re-runs the scan — the expensive
+    * class); `info` when it bottoms at a materialized frame
+    * (`rdd:`/`local:` — the variants re-read stored blocks, the
+    * accepted cost a barrier already paid for). */
+  final case class Finding(kind: String, n: Int, severity: String, signature: String) {
+    override def toString: String =
+      s"PLAN-AUDIT ${severity.toUpperCase}: $kind subtree appears ${n}x with " +
+        s"reuse-defeating variants" +
+        (if (severity == "warn") " (barrier it above the shared frame)" else "") +
+        s": $signature"
+  }
+
+  def audit(df: DataFrame): Seq[Finding] = audit(df.queryExecution.optimizedPlan)
+
+  def audit(plan: LogicalPlan): Seq[Finding] = {
+    val aggs = scala.collection.mutable.Map.empty[String, List[Aggregate]]
+    def visit(p: LogicalPlan): Unit = {
+      p match {
+        case a: Aggregate =>
+          val k = loose(a)
+          aggs(k) = a :: aggs.getOrElse(k, Nil)
+        case _ =>
+      }
+      p.children.foreach(visit)
+      p.subqueries.foreach(visit)
+    }
+    visit(plan)
+    aggs.toSeq.collect {
+      case (sig, nodes) if nodes.size >= 2 &&
+          nodes.map(_.canonicalized).distinct.size > 1 =>
+        val sev = if (sig.contains("files:") || sig.contains("v2:")) "warn" else "info"
+        Finding("aggregate", nodes.size, sev, sig.take(220))
+    }.sortBy(f => (f.severity, f.kind, f.signature))
+  }
+
+  /** Structural signature modulo output lists: expression ids
+    * stripped, pure-pruning Projects transparent, computed aliases
+    * kept (sorted — alias order is presentation, not work). */
+  private[tools] def loose(p: LogicalPlan): String = p match {
+    case Project(list, child) =>
+      val computed = list.collect { case a: Alias => norm(a.child) }.sorted
+      if (computed.isEmpty) loose(child)
+      else s"proj[${computed.mkString(",")}](${loose(child)})"
+    case Aggregate(g, _, child, _) =>
+      s"agg[${g.map(norm).sorted.mkString(",")}](${loose(child)})"
+    case Filter(c, child) =>
+      // drop IsNotNull conjuncts: the optimizer INFERS null guards
+      // from join conditions on some consumers and not others (the
+      // au1 case) — a pure null guard reads the same data, so it must
+      // not split a loose group; real predicates still do
+      val real = conjuncts(c).filterNot(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull])
+      if (real.isEmpty) loose(child)
+      else s"filter[${real.map(norm).sorted.mkString(" AND ")}](${loose(child)})"
+    case j: Join =>
+      s"join[${j.joinType}][${j.condition.map(norm).getOrElse("-")}]" +
+        s"(${j.children.map(loose).mkString(",")})"
+    case g: Generate =>
+      s"generate[${norm(g.generator)}](${loose(g.child)})"
+    case w: Window =>
+      s"window[${(w.partitionSpec.map(norm) ++ w.orderSpec.map(norm)).mkString(",")}]" +
+        s"(${loose(w.child)})"
+    case l: LeafNode => leafId(l)
+    case other =>
+      // default nodes keep their expressions in the key (a Limit's
+      // count, a Sort's order): sk3's three exact-audit branches are
+      // limit(r)-distinct work, not duplicates — only Project/
+      // Aggregate output lists are deliberately ignored above
+      s"${other.nodeName}[${other.expressions.map(norm).mkString(",")}]" +
+        s"(${other.children.map(loose).mkString(",")})"
+  }
+
+  /** Stable identity for a source, ignoring the projected columns. */
+  private def leafId(l: LeafNode): String = l match {
+    case r: LogicalRelation =>
+      r.relation match {
+        case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          s"files:${f.location.rootPaths.mkString(",")}"
+        case other => s"rel:${other.getClass.getSimpleName}"
+      }
+    case r: DataSourceV2ScanRelation => s"v2:${r.relation.table.name}"
+    case r: DataSourceV2Relation => s"v2:${r.table.name}"
+    case r: LogicalRDD => s"rdd:${r.rdd.id}"
+    case r: LocalRelation => s"local:rows=${r.data.size}:${r.schema.simpleString}"
+    case other => s"leaf:${other.nodeName}"
+  }
+
+  /** Expression text with the per-instance `#id` suffixes removed —
+    * the loose key must unify fresh-exprId copies of the same tree. */
+  private def norm(e: Expression): String =
+    e.toString.replaceAll("#\\d+L?", "")
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+}

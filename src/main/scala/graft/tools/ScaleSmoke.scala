@@ -71,6 +71,15 @@ object ScaleSmoke {
     def clearPersisted(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
 
+    // duplicate-subtree audit on the at-scale plan (PlanAudit): a
+    // smoke section prints its operator's findings so a regression
+    // that re-introduces a reuse-defeated recompute shows up here
+    def auditAndPrint(label: String, df: DataFrame): Unit = {
+      val fs = PlanAudit.audit(df)
+      if (fs.isEmpty) println(s"SCALE $label plan-audit: clean")
+      else fs.foreach(f => println(s"SCALE $label ${f.toString.take(200)}"))
+    }
+
     def timed(label: String, runs: Int = 2)(body: => Long): Unit = {
       var rows = 0L
       // snapshot the listener per run: the reported memory/straggler
@@ -922,6 +931,10 @@ object ScaleSmoke {
       }
       println(f"SCALE mb1: max lift $topLift%.1f over support>=3 pairs " +
         "(pair volume = 400k x C(5,2), basket-bounded)")
+      auditAndPrint("mb1_basket", graft.queries.Relational.basketScores(
+        spark.table("lineitem_basket")
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),
+        minSupport = 3L))
     }
 
     // --- round-12 event-analytics family at 10M events / 100k users
@@ -1067,6 +1080,7 @@ object ScaleSmoke {
       println("SCALE rank: range-path executed plan (head):")
       println(shape.queryExecution.executedPlan.toString.linesIterator
         .map("SCALE   " + _.take(100)).take(14).mkString("\n"))
+      auditAndPrint("rank_ntile", shape)
     }
     spark.stop()
   }

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.tools.PlanAudit
+
+/** The duplicate-subtree detector must flag reuse-defeated duplicate
+  * aggregates (the au1/tf1/ov1 class), stay silent on barriered
+  * plans, on reuse-ELIGIBLE duplicates (canonical-equal self-joins),
+  * and on genuinely-different branches that merely share a shape
+  * (sk3's limit(r)-distinct audit columns). */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$dir/events.parquet").exists()
+
+  private def withConf[T](k: String, v: String)(body: => T): T = {
+    spark.conf.set(k, v)
+    try body finally spark.conf.unset(k)
+  }
+
+  test("un-barriered au1 twin is flagged; the barriered shape is silent") {
+    assume(haveData)
+    val k = graft.queries.TemporalQueries.AuBarrierMinBytesKey
+    val unb = withConf(k, Long.MaxValue.toString) {
+      PlanAudit.audit(graft.queries.TemporalQueries.activeUsers(
+        graft.sources.Tables.read(spark, dir, "events")))
+    }
+    assert(unb.exists(f => f.severity == "warn" && f.n == 3),
+      s"expected the 3x distinct-aggregate warning, got: $unb")
+    val bar = withConf(k, "0") {
+      PlanAudit.audit(graft.queries.TemporalQueries.activeUsers(
+        graft.sources.Tables.read(spark, dir, "events")))
+    }
+    assert(bar.isEmpty, s"barriered au1 must be silent, got: $bar")
+  }
+
+  test("un-barriered basket distinct is flagged 4x; gated barrier silences it") {
+    assume(haveData)
+    val k = "spark.graft.basket.barrierMinBytes"
+    def q() = graft.queries.Relational.mb1MarketBasket(spark, dir)
+    val unb = withConf(k, Long.MaxValue.toString) { PlanAudit.audit(q()) }
+    assert(unb.exists(f => f.severity == "warn" && f.n == 4), unb.toString)
+    assert(withConf(k, "0") { PlanAudit.audit(q()) }.isEmpty)
+  }
+
+  test("reuse-eligible self-join (canonical-equal sides) is silent") {
+    import spark.implicits._
+    val d = (1 to 50).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "g")
+    val agg = d.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val self = agg.as("a").join(agg.as("b"), Seq("g"))
+      .select(col("g"), col("a.n"), (col("a.n") + col("b.n")).as("nn"))
+    assert(PlanAudit.audit(self).forall(_.severity != "warn"),
+      PlanAudit.audit(self).toString)
+  }
+
+  test("limit-distinct branches (sk3's audit columns) are not duplicates") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => (i.toLong, (i * 13 % 97).toLong)).toDF("id", "v")
+    val branches = Seq(10, 50, 90).map(r =>
+      d.orderBy(col("v"), col("id")).limit(r).agg(max(col("v")).as(s"p$r")))
+    val crossed = branches.reduce(_ crossJoin _)
+    assert(PlanAudit.audit(crossed).isEmpty, PlanAudit.audit(crossed).toString)
+  }
+
+  test("t8's vocab count: un-barriered flagged, gated barrier silent") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val k = graft.queries.TextAnalysis.VocabBarrierMinBytesKey
+    def q() = graft.queries.TextAnalysis.t8UnigramNll(spark, dir)
+    val unb = withConf(k, Long.MaxValue.toString) { PlanAudit.audit(q()) }
+    assert(unb.exists(f => f.severity == "warn" && f.n == 2), unb.toString)
+    assert(withConf(k, "0") { PlanAudit.audit(q()) }.isEmpty)
+  }
+}
