@@ -580,6 +580,17 @@ object PipelineQueries {
     "dc4_embedding_decontaminate" -> ((s, dir) =>
       graft.similarity.Similarity.embeddingDecontaminate(
         embs(s, dir), vid => vid % 13 === 0, threshold = 0.45)),
+    // dc4's bucketed 100TB fallback as its own key: sign-LSH band
+    // candidates (x6's asserted 6/16 calibration) instead of the
+    // full corpus×eval cross — recall < 1 by design, max_cos4 a
+    // lower bound, contaminated can only under-flag; the oracle
+    // mirrors the banding formula so the gate is exact anyway
+    "dc5_embedding_decontaminate_lsh" -> ((s, dir) => {
+      assertedSignMargin(s, dir)
+      graft.similarity.Similarity.embeddingDecontaminateLsh(
+        embs(s, dir), vid => vid % 13 === 0, threshold = 0.45,
+        bits = 6, bands = 16)
+    }),
     "sb1_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedup(docs(s, dir), l = 5)),
     // The paper's removal semantics: the globally-first occurrence of
@@ -1529,6 +1540,24 @@ object PipelineQueries {
          |SELECT cp.vec_id AS vid, ROUND(sc.mc, 4) AS max_cos4,
          |  COALESCE(sc.mc >= 0.45, FALSE) AS contaminated
          |FROM cp LEFT JOIN sc ON cp.vec_id = sc.vid""".stripMargin,
+    // dc5: the same normalized vectors and band formula as x6
+    // (lshBandCtes), bipartite corpus×eval on (band, bucket), MAX
+    // over DISTINCT candidates (the Spark side skips the distinct —
+    // MAX is duplicate-insensitive), dc4's rounding and flag rule
+    "dc5_embedding_decontaminate_lsh" ->
+      s"""WITH $vNormCte,
+         |$lshBandCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS cid, b.vec_id AS eid
+         |  FROM bx a JOIN bx b
+         |    ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         |  WHERE a.vec_id % 13 <> 0 AND b.vec_id % 13 = 0),
+         |sc AS (SELECT cid, MAX(${dotSql("va.emb", "vb.emb")}) AS mc
+         |  FROM cand JOIN v va ON cid = va.vec_id JOIN v vb ON eid = vb.vec_id
+         |  GROUP BY 1)
+         |SELECT cp.vec_id AS vid, ROUND(sc.mc, 4) AS max_cos4,
+         |  COALESCE(sc.mc >= 0.45, FALSE) AS contaminated
+         |FROM (SELECT vec_id FROM v WHERE vec_id % 13 <> 0) cp
+         |LEFT JOIN sc ON cp.vec_id = sc.cid""".stripMargin,
     // cm1: the same two md5 words per token (tokHashSqlAt 0/8 — the
     // split-word discipline), width-512 bucket counts, min-over-rows;
     // integer counts end to end so the compare is hash-exact

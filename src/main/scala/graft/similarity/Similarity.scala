@@ -391,6 +391,47 @@ object Similarity {
         coalesce(col("mc") >= lit(threshold), lit(false)).as("contaminated"))
   }
 
+  /** BUCKETED embedding decontamination — [[embeddingDecontaminate]]'s
+    * 100 TB fallback, named in its scaladoc: when the eval slice is
+    * too large to broadcast-cross every corpus vector (dc4 is
+    * O(|corpus|·|eval|) dots), sign-LSH banding (the x6 machinery)
+    * generates (corpus, eval) CANDIDATES and only those pairs pay a
+    * dot product. Recall < 1 by design (like x6/s2): a contaminated
+    * vector whose every band misses the eval side scores null —
+    * `max_cos4` is a LOWER bound and `contaminated` can only
+    * under-flag, never over-flag (candidates verify exactly).
+    *
+    * Scale shape: the corpus explodes ×bands (a map — no shuffle),
+    * the EVAL band table broadcasts (benchmarks are bounded), dots
+    * run only on band collisions, and the per-vector max is one
+    * partial-combined aggregate. No distinct on candidates: a pair
+    * colliding in several bands scores several times, MAX is
+    * insensitive, and the duplicate dots are cheaper than a
+    * pair-keyed shuffle. Flop ratio vs dc4 ≈ collision rate
+    * (measured in the ScaleSmoke dc4 section). */
+  def embeddingDecontaminateLsh(
+      vecs: DataFrame, isEval: Column => Column, threshold: Double,
+      bits: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
+    ensureRegistered(vecs)
+    val v = normalized(vecs, "vid", "emb")
+    val corp = graft.Materialize.barrierAbove(
+      v.where(!isEval(col("vid"))), sizeOf = vecs,
+      confKey = "spark.graft.dc4.barrierMinBytes")
+    val eval = v.where(isEval(col("vid")))
+    def banded(df: DataFrame, id: String, emb: String) = df.select(
+      col("vid").as(id), col("emb").as(emb),
+      posexplode(call_function("graft_sign_bands",
+        col("emb"), lit(bits), lit(bands), lit(dim))).as(Seq("bi", "bk")))
+    val scored = banded(corp, "cid", "c_emb")
+      .join(broadcast(banded(eval, "eid", "e_emb")), Seq("bi", "bk"))
+      .withColumn("cos", fastDot(col("c_emb"), col("e_emb")))
+      .groupBy(col("cid")).agg(max(col("cos")).as("mc"))
+    corp.select(col("vid"))
+      .join(scored, col("vid") === col("cid"), "left")
+      .select(col("vid"), round(col("mc"), 4).as("max_cos4"),
+        coalesce(col("mc") >= lit(threshold), lit(false)).as("contaminated"))
+  }
+
   /** Deterministic ±1 (Rademacher) hyperplane for sign-LSH: component
     * d of plane k is +1 iff the first md5 hex digit of "k:d" is odd.
     * Derived — not sampled — so the DuckDB oracle twin reproduces the

@@ -751,6 +751,34 @@ object ScaleSmoke {
       }
       println(s"SCALE dc4: $flagged of 200k-slice corpus vectors flagged >= 0.9 " +
         s"vs the ~15k-vector eval broadcast (planted near-dups at 1%)")
+      // dc5: the bucketed variant on the SAME frame — the claims to
+      // measure are (a) the dot-product volume drops to the band
+      // collision rate vs dc4's full |corpus|x|eval|, (b) every dc5
+      // flag is a dc4 flag (under-flag-only), at matched recall on
+      // the planted 0.999-cos near-dups (16 bits x 8 bands, the
+      // cos>=0.9 calibration in lshNearDupPairs' scaladoc)
+      var flagged5 = 0L
+      timed("dc5_lsh_decon_200k") {
+        val r = graft.similarity.Similarity.embeddingDecontaminateLsh(
+            e, vid => vid % 13 === 0, threshold = 0.9)
+          .agg(count(lit(1)), sum(col("contaminated").cast("long"))).head
+        flagged5 = r.getLong(1)
+        r.getLong(0)
+      }
+      val nCorp = e.where(col("vec_id") % 13 =!= 0).count()
+      val nEval = e.where(col("vec_id") % 13 === 0).count()
+      val nCand = {
+        val v = graft.similarity.Similarity.normalized(e, "id", "emb")
+        val bb = v.select(col("id"),
+          posexplode(call_function("graft_sign_bands",
+            col("emb"), lit(16), lit(8), lit(64))).as(Seq("bi", "bk")))
+        bb.where(col("id") % 13 =!= 0).join(
+            bb.where(col("id") % 13 === 0).withColumnRenamed("id", "eid"),
+            Seq("bi", "bk")).count()
+      }
+      println(f"SCALE dc5: $flagged5 flagged (dc4 flagged $flagged); dot volume " +
+        f"$nCand%d candidate pairs vs dc4's ${nCorp * nEval}%d full cross " +
+        f"(${nCand.toDouble / (nCorp * nEval) * 100}%.2f%%)")
     }
 
     // --- ed1 record linkage at 1M records: heavy name duplication

@@ -711,4 +711,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(k(6L) == ((0L, 0L, true)))    // doc 6 holds both canonical grams
     assert(k(7L) == ((2L, 6L, false)))   // doc 7 loses everything
   }
+
+  test("dc5 LSH decontamination: under-flags only, max_cos4 is a lower bound of dc4's") {
+    import graft.sources.Tables
+    val S = graft.similarity.Similarity
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val isEval = (vid: org.apache.spark.sql.Column) => vid % 13 === 0
+    val full = S.embeddingDecontaminate(e, isEval, threshold = 0.45)
+      .select("vid", "max_cos4", "contaminated")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map { case (k, v, c) => k -> ((v, c)) }.toMap
+    val lsh = S.embeddingDecontaminateLsh(e, isEval, threshold = 0.45,
+        bits = 6, bands = 16)
+      .select("vid", "max_cos4", "contaminated")
+      .as[(Long, Option[Double], Boolean)].collect()
+    // same corpus coverage: one output row per non-eval vector
+    assert(lsh.map(_._1).toSet == full.keySet)
+    var flaggedLsh = 0
+    lsh.foreach { case (vid, mc, c) =>
+      val (fmc, fc) = full(vid)
+      // candidates verify exactly, so any dc5 score is one of dc4's
+      // pair scores: a lower bound of the true max
+      mc.foreach(m => assert(fmc.exists(_ >= m), s"vid=$vid lsh=$m full=$fmc"))
+      if (c) { flaggedLsh += 1; assert(fc, s"vid=$vid over-flagged") }
+    }
+    // the recall is imperfect by design but must be non-trivial on
+    // driver data (x6's ~75-80% pair recall at this calibration)
+    val flaggedFull = full.count(_._2._2)
+    assert(flaggedLsh > 0 && flaggedLsh <= flaggedFull)
+  }
 }
