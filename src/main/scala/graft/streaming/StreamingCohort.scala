@@ -59,4 +59,18 @@ object StreamingCohort {
         })
       .toDF()
   }
+
+  /** Streaming twin of
+    * [[graft.queries.TemporalQueries.newVsReturning]] (nr1), derived
+    * from [[cohortActivity]]'s feed with ZERO extra state: a user-day
+    * row is NEW exactly when its day offset is 0 (the cohort day is
+    * the first-ever activity day — the same min the batch operator
+    * aggregates). Downstream `groupBy(day_idx)` of (count, sum(is_new))
+    * reproduces nr1's (n_active, n_new, n_returning) exactly; the
+    * spec proves it across a micro-batch boundary. */
+  def newVsReturningFeed(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    cohortActivity(events).select(col("user_id"), col("day_idx"),
+      (col("day_offset") === 0L).as("is_new"))
+  }
 }

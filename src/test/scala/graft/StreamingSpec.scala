@@ -1268,4 +1268,77 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(ev(0).total.contains(1.3) && ev(0).n_points == 3L)
     } finally q.stop()
   }
+
+  test("streaming session funnel: gap-reset state across batches equals batch sf1 counts") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val stages = Seq("view", "click", "signup", "purchase")
+    val gapUs = 6L * 3600L * 1000000L
+    val events = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      .sortBy(r => (Math.floorDiv(r._2.getTime, 1000L) * 1000000L
+        + r._2.getNanos / 1000L, r._3))
+    // split mid-stream so sessions SPAN the micro-batch boundary —
+    // the lastUs/reached state carry is what the test proves
+    val split = events.length / 2
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.StreamingFunnel.sessionFunnelReaches(
+        input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        stages, gapUs)
+      .writeStream.format("memory").queryName("ssf")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(events.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      // each (user, session, stage) emits at most once -> plain count
+      val streamed = spark.sql(
+          "select stage, count(*) as n from ssf group by stage")
+        .as[(String, Long)].collect().toMap
+      val batch = graft.queries.TemporalQueries.sessionFunnel(
+          graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          stages, gapUs)
+        .as[(String, Long)].collect().toMap
+      assert(batch.values.sum > 0)
+      assert(stages.forall(st => streamed.getOrElse(st, 0L) == batch(st)),
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
+  test("streaming new-vs-returning: cohort-feed derivation equals batch nr1 exactly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect()
+      .sortBy(_._2.getTime)
+    val split = events.length / 2
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingCohort.newVsReturningFeed(
+        input.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("snr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events.take(split).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(events.drop(split).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          """select day_idx, count(*) as n_active,
+            |  sum(cast(is_new as long)) as n_new,
+            |  count(*) - sum(cast(is_new as long)) as n_returning
+            |from snr group by 1""".stripMargin)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.queries.TemporalQueries.newVsReturning(
+          graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
 }
