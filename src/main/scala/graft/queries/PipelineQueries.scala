@@ -591,6 +591,31 @@ object PipelineQueries {
         embs(s, dir), vid => vid % 13 === 0, threshold = 0.45,
         bits = 6, bands = 16)
     }),
+    // N-GRAM NOVELTY — the marginal-value curve of a corpus in
+    // arrival (doc_id) order: per doc, the fraction of its DISTINCT
+    // 3-gram hashes never seen in any EARLIER doc. The curation
+    // signal behind "is this crawl still adding anything": dedup
+    // measures sameness pairwise, novelty measures it cumulatively.
+    // Shape: one explode (map), one gram-keyed window min (the first
+    // holder of each gram), one per-doc rollup — no self-join, no
+    // corpus-wide state; exact integer counts + one r6 ratio.
+    "ng1_ngram_novelty" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(Dedup.shingleHashes(
+          Dedup.wordShingles(col("text"), 3)))).as("g"))
+      val per = grams
+        .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("g"))))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("ng"),
+          sum((col("doc_id") === col("first_doc")).cast("long")).as("nn"))
+      docs(s, dir).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ng"), lit(0L)).as("n_grams"),
+          coalesce(col("nn"), lit(0L)).as("n_novel"),
+          when(col("ng") > 0,
+            floor(col("nn").cast("double") / col("ng") * lit(1e6) + lit(0.5))
+              / lit(1e6)).as("novel_frac6"))
+    }),
     "sb1_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedup(docs(s, dir), l = 5)),
     // The paper's removal semantics: the globally-first occurrence of
@@ -1647,6 +1672,25 @@ object PipelineQueries {
          |SELECT base.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
          |  coalesce(n_hits, 0) >= 1 AS contaminated
          |FROM base LEFT JOIN hits USING (doc_id)""".stripMargin,
+    // ng1: dc1's distinct gram-hash sets, first holder = MIN(doc_id)
+    // per gram, exact integer counts, one r6 ratio
+    "ng1_ngram_novelty" ->
+      s"""WITH sh AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |hs AS (SELECT doc_id, list_distinct(list_transform(shingles,
+         |   s -> CAST(list_sum(list_transform(generate_series(1, 8),
+         |     i -> (strpos('0123456789abcdef', substr(md5(s), i::INTEGER, 1)) - 1)
+         |          * power(16, 8 - i))) AS BIGINT))) AS hset FROM sh),
+         |corp AS (SELECT doc_id, unnest(hset) AS g FROM hs),
+         |fst AS (SELECT g, MIN(doc_id) AS fd FROM corp GROUP BY 1),
+         |per AS (SELECT doc_id, COUNT(*) AS ng,
+         |   SUM(CASE WHEN doc_id = fd THEN 1 ELSE 0 END) AS nn
+         |  FROM corp JOIN fst USING (g) GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(ng, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(nn, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN ng > 0 THEN
+         |    floor(CAST(nn AS DOUBLE) / ng * 1000000.0 + 0.5) / 1000000.0
+         |  END AS novel_frac6
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
     // bf1's oracle is dc1's gram-containment SQL on the % 13 slice:
     // the bloom screen is a pure pre-filter whose false positives the
     // exact confirm removes, so the reference semantics carry no

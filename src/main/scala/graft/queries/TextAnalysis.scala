@@ -65,6 +65,43 @@ object TextAnalysis {
       round(repetitionRatio(col("text")), 6).as("rep_ratio"))
   }
 
+  /** TOP-n-gram DOMINANCE — the Gopher repetition signal
+    * [[t5Repetition]] does not carry: what fraction of the document
+    * the single most frequent word 2-gram / 3-gram covers (Rae et
+    * al. 2021 A1.1's "top n-gram character fraction", measured here
+    * in TOKEN positions — n·count/n_tokens — so both engines compute
+    * exact integer ratios instead of char spans; same signal,
+    * portable by construction). t5 measures duplication MASS
+    * (distinct vs total grams); this measures CONCENTRATION — a
+    * boilerplate page repeating one header scores high here while a
+    * diverse-but-repetitive page does not.
+    *
+    * Scale shape: per-doc gram counts partial-combine on
+    * (doc_id, gram), the per-doc max folds the same frame — one
+    * exchange keyed on the doc, no corpus-wide state. */
+  def rep2TopNgram(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    def top(n: Int, out: String): DataFrame = d
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.wordShingles(col("text"), n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as(out))
+    val nTok = d.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long").as("n_tokens"))
+    def frac(cnt: org.apache.spark.sql.Column, n: Int) =
+      when(col("n_tokens") > 0,
+        floor(lit(n.toDouble) * cnt / col("n_tokens") * lit(1e6) + lit(0.5)) / lit(1e6))
+    nTok
+      .join(top(2, "t2c"), Seq("doc_id"), "left")
+      .join(top(3, "t3c"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("t2c"), lit(0L)).as("top2_count"),
+        frac(coalesce(col("t2c"), lit(0L)), 2).as("top2_frac6"),
+        coalesce(col("t3c"), lit(0L)).as("top3_count"),
+        frac(coalesce(col("t3c"), lit(0L)), 3).as("top3_frac6"))
+  }
+
   /** Stopword-presence list for the Gopher R5 rule ("contains at
     * least two distinct stopwords"). The paper's own list (the, be,
     * to, of, and, that, have, with — Rae et al. 2021 §A1.1) is tuned
@@ -593,7 +630,32 @@ object TextAnalysis {
     val guess = LangMarkers.map(_._1).sorted
       .map(c => s"WHEN c_$c = $best AND $best > 0 THEN '$c'")
       .mkString("CASE ", " ", " ELSE 'und' END")
+    // 2-token twin of shinglesSql (the [i:i+1] inclusive slice)
+    val shingles2Sql =
+      s"""CASE WHEN $nToksSql - 1 <= 0 THEN CAST([] AS VARCHAR[])
+         | ELSE list_transform(generate_series(1, $nToksSql - 1),
+         |   i -> array_to_string(($toksSql)[i:i+1], ' ')) END""".stripMargin
     Map(
+      // rep2: exact integer gram counts, the identical left-assoc
+      // n·count/len ratio through the r6 floor-formula on both sides
+      "rep2_top_ngram" ->
+        s"""WITH g2 AS (SELECT doc_id, unnest($shingles2Sql) AS g FROM documents),
+           |c2 AS (SELECT doc_id, MAX(c) AS t2c FROM (
+           |   SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+           |g3 AS (SELECT doc_id, unnest($shinglesSql) AS g FROM documents),
+           |c3 AS (SELECT doc_id, MAX(c) AS t3c FROM (
+           |   SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1)
+           |SELECT d.doc_id, CAST($nToksSql AS BIGINT) AS n_tokens,
+           |  CAST(COALESCE(t2c, 0) AS BIGINT) AS top2_count,
+           |  CASE WHEN $nToksSql > 0 THEN
+           |    floor(2.0 * COALESCE(t2c, 0) / $nToksSql * 1000000.0 + 0.5)
+           |      / 1000000.0 END AS top2_frac6,
+           |  CAST(COALESCE(t3c, 0) AS BIGINT) AS top3_count,
+           |  CASE WHEN $nToksSql > 0 THEN
+           |    floor(3.0 * COALESCE(t3c, 0) / $nToksSql * 1000000.0 + 0.5)
+           |      / 1000000.0 END AS top3_frac6
+           |FROM documents d LEFT JOIN c2 USING (doc_id)
+           |LEFT JOIN c3 USING (doc_id)""".stripMargin,
       "t1_token_stats" ->
         s"""SELECT doc_id, n_chars, $nToksSql::BIGINT AS ws_tokens,
            | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
@@ -920,6 +982,7 @@ object TextAnalysis {
     "t3_lang_id" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_repetition" -> (t5Repetition _),
+    "rep2_top_ngram" -> (rep2TopNgram _),
     "t6_pii_scrub" -> (t6PiiScrub _),
     "t7_gopher_rules" -> (t7GopherRules _),
     "t8_unigram_nll" -> (t8UnigramNll _),

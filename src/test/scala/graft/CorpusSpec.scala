@@ -568,4 +568,37 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
         .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._1)
     assert(run(true) == run(false))
   }
+
+  test("rep2/ng1: dominance and novelty behave on constructed docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b a b a b a b"),          // one dominant 2-gram "a b"
+      (2L, "w x y z q r s t"),          // all grams unique
+      (3L, "a b a b c d e f"),          // shares doc 1's grams partially
+      (4L, "")                           // empty
+    ).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("rep2ng1").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rep = graft.queries.TextAnalysis.rep2TopNgram(spark, dir)
+      .select("doc_id", "n_tokens", "top2_count", "top2_frac6")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: "a b" occurs 4x of 7 2-gram positions; 2*4/8 tokens = 1.0
+    assert(rep(1L)._3 == 4L && rep(1L)._4.contains(1.0))
+    assert(rep(2L)._3 == 1L) // all unique -> max count 1
+    assert(rep(4L)._2 == 0L && rep(4L)._4.isEmpty) // empty doc -> null frac
+    val ng = graft.queries.PipelineQueries.queries("ng1_ngram_novelty")(spark, dir)
+      .select("doc_id", "n_grams", "n_novel", "novel_frac6")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1's grams are all first-seen; doc 3 reuses "a b a"/"b a b"
+    assert(ng(1L)._4.contains(1.0))
+    assert(ng(2L)._4.contains(1.0))
+    assert(ng(3L)._3 < ng(3L)._2, s"doc 3 must reuse earlier grams: ${ng(3L)}")
+    assert(ng(4L)._2 == 0L && ng(4L)._4.isEmpty)
+  }
 }
