@@ -98,6 +98,27 @@ object CorpusQueries {
         col("rank"))
   }
 
+  /** Deterministic PER-GROUP census sample — exactly k docs per
+    * stratum (vs [[sm2StratifiedSample]]'s per-doc keep FRACTION):
+    * within each language, keep the k lowest-id-hash documents. The
+    * equal-allocation eval-set builder (same budget per stratum no
+    * matter how skewed the corpus); membership is a pure function of
+    * (doc_id, lang), so the sample is stable under corpus growth
+    * except at the hash boundary.
+    *
+    * Scale shape: one keyed window whose `rank <= k` predicate prunes
+    * INSIDE the window operator (WindowGroupLimit — per-partition
+    * top-k heaps, never a full per-group sort materialized). */
+  def sm4GroupSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), idHash(col("doc_id")).as("h"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("lang"), col("h").as("hash32"), col("rank"))
+  }
+
   /** Deterministic STRATIFIED sampling (`sampleBy` without rand()):
     * per-language keep fractions applied via the same hash bucket as
     * the split — membership is a pure function of (doc_id, stratum
@@ -554,6 +575,14 @@ object CorpusQueries {
          |  ROUND(key * CAST(1000000.0 AS DOUBLE), 6) AS key_ppm,
          |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INTEGER) AS rank
          |FROM d ORDER BY key DESC, doc_id LIMIT 500""".stripMargin,
+    // sm4: identical integer hash, identical (h, doc_id) rank order
+    "sm4_group_sample" ->
+      s"""SELECT doc_id, lang, hash32, rank FROM (
+         |  SELECT doc_id, lang, $idHashSql AS hash32,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY $idHashSql, doc_id) AS BIGINT) AS rank
+         |  FROM documents)
+         |WHERE rank <= 20""".stripMargin,
     "sm1_hash_split" ->
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 80 THEN 'train'
@@ -676,6 +705,7 @@ object CorpusQueries {
     "sm1_hash_split" -> (sm1HashSplit _),
     "sm2_stratified_sample" -> ((s, dir) => sm2StratifiedSample(s, dir)),
     "sm3_weighted_sample" -> ((s, dir) => sm3WeightedSample(s, dir)),
+    "sm4_group_sample" -> ((s, dir) => sm4GroupSample(s, dir)),
     "pk1_sequence_pack" -> ((s, dir) => pk1SequencePack(s, dir)),
     "ck1_chunk_overlap" -> ((s, dir) => ck1ChunkOverlap(s, dir)),
     "mx1_domain_mixture" -> ((s, dir) => mx1DomainMixture(s, dir)),

@@ -1203,6 +1203,19 @@ object Relational {
         |  ROUND(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
         |    / CAST(n_rows AS DOUBLE), 6) AS skew6
         |FROM t WHERE rank <= 10""".stripMargin,
+    // qb1: ntile over the identical (v, orderkey, linenumber) total
+    // order; min/max are raw parquet doubles, sums exact integer
+    // cents (gn1 discipline) — hash-exact on every column
+    "qb1_quantile_bins" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |   ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+        |     l_linenumber) AS bin
+        |  FROM lineitem)
+        |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_rows,
+        |  MIN(v) AS lo, MAX(v) AS hi,
+        |  CAST(SUM(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM r GROUP BY 1""".stripMargin,
     // zo1: the Morton interleave re-derived bit-by-bit in SQL (lower
     // 31 bits, positions <= 62 — never the sign bit); buckets and all
     // min/max stats are exact integers
@@ -1410,7 +1423,9 @@ object Relational {
       mb1MarketBasket(s, dir)),
     "gn1_gini_spend" -> (gn1GiniSpend _),
     "zo1_zorder_layout" -> (zo1ZorderLayout _),
-    "pf2_key_skew" -> (pf2KeySkew _)
+    "pf2_key_skew" -> (pf2KeySkew _),
+    "qb1_quantile_bins" -> ((s: SparkSession, dir: String) =>
+      qb1QuantileBins(s, dir))
   )
 
   /** Join-key SKEW profiler — the "should I salt this join"
@@ -1447,6 +1462,28 @@ object Relational {
           .as("share6"),
         round(col("cnt").cast("double") * col("n_keys").cast("double")
           / col("n_rows").cast("double"), 6).as("skew6"))
+  }
+
+  /** EQUAL-FREQUENCY BINNING — discretize a numeric fact column into
+    * k same-population bins (the feature-engineering move behind
+    * quantile bucketing / monotone binning): per bin its row count,
+    * raw min/max bounds, and the exact integer-cent sum. The tiling
+    * runs over ROW grain (every lineitem row), the exact case
+    * [[graft.operators.RangeRank]] exists for — single-partition
+    * window below the stats gate, range-partitioned rank above, both
+    * bit-identical on the (price, orderkey, linenumber) total order.
+    * Sums quantize to cents BEFORE aggregation (gn1 discipline) so
+    * bin sums are order-free exact integers. */
+  def qb1QuantileBins(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val rows = t(spark, dir, "lineitem")
+      .select(col("l_extendedprice").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+    graft.operators.RangeRank.withNtile(rows, "bin", k,
+        Seq(col("v"), col("l_orderkey"), col("l_linenumber")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(floor(col("v") * lit(100) + lit(0.5)).cast("long")).as("sum_cents"))
   }
 
   /** Z-ORDER layout audit: Morton-interleave (l_partkey, l_suppkey)

@@ -74,7 +74,8 @@ class RangeRankSpec extends AnyFunSuite with SparkTestBase {
   test("w5/gn1/rfm1 stay hash-identical on the forced range path") {
     val dir = "/root/testdata/sf0.001"
     if (new java.io.File(s"$dir/orders.parquet").exists()) {
-      for (key <- Seq("w5_spend_deciles", "gn1_gini_spend", "rfm1_rfm_segments")) {
+      for (key <- Seq("w5_spend_deciles", "gn1_gini_spend", "rfm1_rfm_segments",
+          "qb1_quantile_bins")) {
         val q = SparkEntry.queries(key)
         val plain = q(spark, dir)
         val ranged = forced { q(spark, dir).collect().toSeq }
