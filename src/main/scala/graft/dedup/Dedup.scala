@@ -795,6 +795,54 @@ object Dedup {
    * barrier; statically rounds·3 keyed exchanges, no corpus-wide
    * single partition, no convergence-test job.
    */
+  /**
+   * LABEL-PROPAGATION COMMUNITIES over the near-dup pair graph
+   * (Raghavan et al. 2007, synchronous variant with a deterministic
+   * tie rule): every node starts labeled with its own id; each round
+   * every node adopts the most frequent label among its neighbors,
+   * ties broken by the SMALLEST label. Fixed `rounds` (the pr1/kc1
+   * bounded-round posture — no convergence-test job; synchronous LPA
+   * can oscillate on bipartite structures, and a fixed horizon makes
+   * the output a pure deterministic function of the graph, which is
+   * what lets the oracle unroll it). Communities differ from
+   * connected components (cc1) exactly where curation needs them to:
+   * a sparse bridge between two dense template families keeps ONE
+   * component but TWO majority-label communities.
+   *
+   * Output: (doc_id, community, community_size) for every node.
+   *
+   * Scale shape: per round one keyed join (labels onto edge
+   * destinations) and two partial-combined aggregates — the
+   * (node, label) count and the per-node argmax via `max(struct)`
+   * (the ivf assignment trick: max over (count, -label) reproduces
+   * the (count DESC, label ASC) rank-1 pick without a window) — each
+   * round behind the [[materialize]] barrier; statically rounds·2
+   * exchanges, no corpus-wide single partition.
+   */
+  def labelPropagation(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 32,
+      s"labelPropagation: rounds in [1, 32]: $rounds")
+    val edges = materialize(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .where(col("src") =!= col("dst")).distinct())
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")))
+    (1 to rounds).foreach { _ =>
+      labels = materialize(edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src")).agg(
+          max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("src").as("id"), (-col("m.nl")).as("lbl")))
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("id").as("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+  }
+
   def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 32,
       s"kCore: need k >= 1 and rounds in [1, 32]: k=$k rounds=$rounds")

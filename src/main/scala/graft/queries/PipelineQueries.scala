@@ -542,6 +542,13 @@ object PipelineQueries {
     // PageRank over the x2 near-dup pair graph — centrality ranks
     // each cluster's hub; 3 power iterations, every round's ranks
     // rounded to 6dp (the s3 drift-reset technique).
+    // Label-propagation communities over the same graph — majority-
+    // label neighborhoods (3 synchronous rounds, smallest-label
+    // ties): splits sparse bridges cc1's closure keeps together
+    "lp1_label_propagation" -> ((s, dir) =>
+      Dedup.labelPropagation(
+        Dedup.minhashNearDups(docs(s, dir), threshold = 0.6)
+          .select("doc_a", "doc_b"))),
     "pr1_pagerank" -> ((s, dir) =>
       Dedup.pairPageRank(
         Dedup.minhashNearDups(docs(s, dir), threshold = 0.6).select("doc_a", "doc_b"))),
@@ -1405,6 +1412,31 @@ object PipelineQueries {
     // into each round (the s3 unrolled-Lloyd argument), oneMinus
     // embedded as the Scala-computed double (1.0-0.85 is not the
     // literal 0.15 in binary64)
+    // lp1: the same verified pair chain, 3 unrolled synchronous
+    // rounds (AS MATERIALIZED — the kc1 CTE-inlining lesson), rank-1
+    // pick by (count DESC, label ASC) mirroring the struct-max
+    "lp1_label_propagation" -> {
+      def round(i: Int, prev: String) =
+        s"""l$i AS MATERIALIZED (SELECT id, lbl FROM (
+           |  SELECT e.s AS id, l.lbl AS lbl, COUNT(*) AS c,
+           |    row_number() OVER (PARTITION BY e.s
+           |      ORDER BY COUNT(*) DESC, l.lbl) AS rn
+           |  FROM e JOIN $prev l ON e.d = l.id GROUP BY 1, 2)
+           | WHERE rn = 1)""".stripMargin
+      s"""WITH $minhashChainCtes,
+         |prs AS (SELECT doc_a, doc_b FROM jj WHERE j >= 0.6),
+         |e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM prs
+         |   WHERE doc_a <> doc_b
+         |  UNION SELECT doc_b AS s, doc_a AS d FROM prs WHERE doc_a <> doc_b),
+         |l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lbl FROM e),
+         |${round(1, "l0")},
+         |${round(2, "l1")},
+         |${round(3, "l2")},
+         |sz AS (SELECT lbl, COUNT(*) AS community_size FROM l3 GROUP BY 1)
+         |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community,
+         |  CAST(community_size AS BIGINT) AS community_size
+         |FROM l3 JOIN sz USING (lbl)""".stripMargin
+    },
     "pr1_pagerank" -> {
       val om = (1.0 - 0.85).toString
       def iterCte(i: Int, prev: String) =

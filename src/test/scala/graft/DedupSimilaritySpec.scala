@@ -740,4 +740,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     val flaggedFull = full.count(_._2._2)
     assert(flaggedLsh > 0 && flaggedLsh <= flaggedFull)
   }
+
+  test("lp1 label propagation: barbell graph splits where the component closure cannot") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10
+    val pairs = Seq((1L,2L),(1L,3L),(2L,3L),(10L,11L),(10L,12L),(11L,12L),(3L,10L))
+      .toDF("doc_a", "doc_b")
+    val r = graft.dedup.Dedup.labelPropagation(pairs, rounds = 3)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // one component, but the two dense ends keep distinct majorities
+    val communities = r.values.map(_._1).toSet
+    assert(communities.size == 2, s"expected 2 communities: $r")
+    assert(r(1L)._1 == r(2L)._1 && r(2L)._1 == r(3L)._1)
+    assert(r(10L)._1 == r(11L)._1 && r(11L)._1 == r(12L)._1)
+    // sizes are consistent with membership
+    r.values.groupBy(_._1).foreach { case (_, ms) =>
+      assert(ms.forall(_._2 == ms.size)) }
+    // determinism: a second run is identical
+    val r2 = graft.dedup.Dedup.labelPropagation(pairs, rounds = 3)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r == r2)
+  }
 }
