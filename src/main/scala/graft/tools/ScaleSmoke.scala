@@ -735,6 +735,41 @@ object ScaleSmoke {
       }
       println(s"SCALE kc1: $inCore nodes in the 2-core " +
         s"(the 10k hub spokes are degree-1 by construction and peel in round 1)")
+      // round-13: lp1 on the same frame — per-round cost is one keyed
+      // label join + two partial-combined aggregates; the 10k-spoke
+      // hub is the skew probe (its label messages key on the SPOKES,
+      // so the hot node cannot pin a reducer)
+      var nComm = 0L
+      timed("lp1_label_prop_1m_edges") {
+        val l = graft.dedup.Dedup.labelPropagation(ed, rounds = 3)
+          .agg(count(lit(1)), countDistinct(col("community"))).head
+        nComm = l.getLong(1)
+        l.getLong(0)
+      }
+      println(s"SCALE lp1: $nComm communities after 3 synchronous rounds")
+    }
+
+    // --- round-13 text additions at 1M docs: ng1's gram-keyed window
+    // min (58M gram rows, one exchange on the gram) and rep2's
+    // per-doc dominance counts (partial-combined on (doc, gram)) ----
+    if (want("novel")) {
+      // aggregate REAL output columns: a bare count() lets the
+      // optimizer eliminate the unique-key left joins and measure
+      // only the base scan
+      var novel = 0L
+      timed("ng1_novelty_1m_docs") {
+        val r = graft.SparkEntry.queries("ng1_ngram_novelty")(spark, outDir)
+          .agg(count(lit(1)), sum(col("n_novel")), sum(col("n_grams"))).head
+        novel = r.getLong(1)
+        r.getLong(0)
+      }
+      println(s"SCALE ng1: $novel first-holder grams over the 1M-doc corpus " +
+        "(1% planted near-dups share their template's grams)")
+      timed("rep2_top_ngram_1m_docs") {
+        val r = graft.queries.TextAnalysis.rep2TopNgram(spark, outDir)
+          .agg(count(lit(1)), sum(col("top2_count"))).head
+        r.getLong(0)
+      }
     }
 
     // --- dc4 embedding decontamination at 200k x 64 embeddings: eval
