@@ -36,19 +36,35 @@ object Materialize {
 
   val ModeKey = "spark.graft.materialize.mode"
 
+  /** THE size-gate rule, shared by [[barrierAbove]] and
+    * [[graft.operators.RangeRank]] (one definition — the gates must
+    * not drift): true when `sizeOf`'s ESTIMATED size (plan
+    * statistics — no job) is under the per-operator conf key's
+    * threshold, i.e. the cheap small-scale plan should be kept. */
+  /** Every gate conf key ever consulted in this JVM — the registry
+    * the AuditProbe sweep reads so it can force EVERY gate open
+    * without a hand-maintained list (review finding: a parallel list
+    * silently misses a new key's gate and audits the wrong plan). */
+  val registeredGateKeys: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def underGate(
+      sizeOf: DataFrame, confKey: String,
+      defaultMinBytes: Long = 32L * 1024 * 1024): Boolean = {
+    registeredGateKeys.add(confKey)
+    val minBytes = BigInt(scala.util.Try(
+      sizeOf.sparkSession.conf.get(confKey).toLong).getOrElse(defaultMinBytes))
+    sizeOf.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes
+  }
+
   /** Size-gated [[barrier]] (the ft1/au1 precedent): skip the
-    * checkpoint when `sizeOf`'s ESTIMATED input (plan statistics — no
-    * job) is under the per-operator conf key's threshold, because
-    * below it the consumers' recomputes are cheaper than the fixed
-    * checkpoint write; above it the barrier's dedup wins. */
+    * checkpoint when [[underGate]] holds, because below the threshold
+    * the consumers' recomputes are cheaper than the fixed checkpoint
+    * write; above it the barrier's dedup wins. */
   def barrierAbove(
       df: DataFrame, sizeOf: DataFrame, confKey: String,
-      defaultMinBytes: Long = 32L * 1024 * 1024): DataFrame = {
-    val minBytes = BigInt(scala.util.Try(
-      df.sparkSession.conf.get(confKey).toLong).getOrElse(defaultMinBytes))
-    if (sizeOf.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) df
-    else barrier(df)
-  }
+      defaultMinBytes: Long = 32L * 1024 * 1024): DataFrame =
+    if (underGate(sizeOf, confKey, defaultMinBytes)) df else barrier(df)
 
   def barrier(df: DataFrame): DataFrame = {
     val mode = scala.util.Try(df.sparkSession.conf.get(ModeKey)).getOrElse("local")

@@ -48,13 +48,12 @@ import org.apache.spark.sql.functions._
 object RangeRank {
 
   val MinBytesKey = "spark.graft.rangerank.minBytes"
-  val DefaultMinBytes: Long = 32L * 1024 * 1024
 
-  private def smallEnough(df: DataFrame): Boolean = {
-    val minBytes = BigInt(scala.util.Try(
-      df.sparkSession.conf.get(MinBytesKey).toLong).getOrElse(DefaultMinBytes))
-    df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes
-  }
+  // the gate itself is graft.Materialize.underGate — ONE definition
+  // shared with the barrier gates (review finding: a local copy of
+  // the rule would drift)
+  private def smallEnough(df: DataFrame): Boolean =
+    graft.Materialize.underGate(df, MinBytesKey)
 
   /** df + `out` = global 1-based row number (long) under `order`. */
   def withRowNumber(df: DataFrame, out: String, order: Seq[Column]): DataFrame =
@@ -67,7 +66,8 @@ object RangeRank {
   /** df + `out` = ntile(k) (long) under `order` — SQL-standard tiling
     * (first n%k buckets get one extra row), identical to
     * `functions.ntile` / DuckDB on a total order. */
-  def withNtile(df: DataFrame, out: String, k: Int, order: Seq[Column]): DataFrame =
+  def withNtile(df: DataFrame, out: String, k: Int, order: Seq[Column]): DataFrame = {
+    require(k >= 1, s"withNtile: k must be >= 1: $k")
     if (smallEnough(df))
       df.withColumn(out, ntile(k).over(Window.orderBy(order: _*)).cast("long"))
     else {
@@ -76,6 +76,7 @@ object RangeRank {
         .withColumn(out, ntileFromRank(col(rn), col(NCol), k))
         .drop(rn, NCol)
     }
+  }
 
   /** Total-count companion column name attached by [[withGlobalRank]]. */
   private val NCol = "__rr_n"

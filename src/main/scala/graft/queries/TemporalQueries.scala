@@ -211,15 +211,11 @@ object TemporalQueries {
   val AuBarrierMinBytesKey = "spark.graft.activeUsers.barrierMinBytes"
 
   def activeUsers(events: DataFrame): DataFrame = {
-    val minBytes = BigInt(scala.util.Try(
-      events.sparkSession.conf.get(AuBarrierMinBytesKey).toLong)
-      .getOrElse(32L * 1024 * 1024))
-    val udRaw = events.select(col("user_id"),
-      floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("d"))
-      .distinct()
-    val ud =
-      if (events.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) udRaw
-      else graft.Materialize.barrier(udRaw)
+    val ud = graft.Materialize.barrierAbove(
+      events.select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("d"))
+        .distinct(),
+      sizeOf = events, confKey = AuBarrierMinBytesKey)
     val dau = ud.groupBy(col("d").as("day_idx")).agg(count(lit(1)).as("dau"))
     def rolling(w: Int, name: String): DataFrame = ud
       .select(col("user_id"),
@@ -470,13 +466,10 @@ object TemporalQueries {
     // events on a funnel-shaped mix). Size-gated (the q15/e6
     // precedent): skipped when the estimated input is small enough
     // that k−1 recomputes are cheaper than the checkpoint write.
-    val minBytes = BigInt(scala.util.Try(
-      events.sparkSession.conf.get(FunnelBarrierMinBytesKey).toLong)
-      .getOrElse(FunnelBarrierMinBytesDefault))
-    val wideRaw = funnelReachWide(events, stages)
-    val wide =
-      if (events.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) wideRaw
-      else graft.Materialize.barrier(wideRaw)
+    val wide = graft.Materialize.barrierAbove(
+      funnelReachWide(events, stages), sizeOf = events,
+      confKey = FunnelBarrierMinBytesKey,
+      defaultMinBytes = FunnelBarrierMinBytesDefault)
     val pairs = stages.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
       wide.where(col(s"t_${i + 1}").isNotNull)
         .select(lit(s"$a->$b").as("step"), col("user_id"),

@@ -71,7 +71,11 @@ object TextAnalysis {
     * al. 2021 A1.1's "top n-gram character fraction", measured here
     * in TOKEN positions — n·count/n_tokens — so both engines compute
     * exact integer ratios instead of char spans; same signal,
-    * portable by construction). t5 measures duplication MASS
+    * portable by construction). OVERLAPPING repeats ("x x x": the
+    * 2-gram "x x" twice over 3 tokens) would push the raw ratio past
+    * 1, so it is capped at 1.0 — the column is a true [0, 1] fraction
+    * a ported Gopher-style threshold can consume (review finding).
+    * t5 measures duplication MASS
     * (distinct vs total grams); this measures CONCENTRATION — a
     * boilerplate page repeating one header scores high here while a
     * diverse-but-repetitive page does not.
@@ -91,7 +95,8 @@ object TextAnalysis {
         .cast("long").as("n_tokens"))
     def frac(cnt: org.apache.spark.sql.Column, n: Int) =
       when(col("n_tokens") > 0,
-        floor(lit(n.toDouble) * cnt / col("n_tokens") * lit(1e6) + lit(0.5)) / lit(1e6))
+        floor(least(lit(1.0), lit(n.toDouble) * cnt / col("n_tokens"))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
     nTok
       .join(top(2, "t2c"), Seq("doc_id"), "left")
       .join(top(3, "t3c"), Seq("doc_id"), "left")
@@ -648,12 +653,12 @@ object TextAnalysis {
            |SELECT d.doc_id, CAST($nToksSql AS BIGINT) AS n_tokens,
            |  CAST(COALESCE(t2c, 0) AS BIGINT) AS top2_count,
            |  CASE WHEN $nToksSql > 0 THEN
-           |    floor(2.0 * COALESCE(t2c, 0) / $nToksSql * 1000000.0 + 0.5)
-           |      / 1000000.0 END AS top2_frac6,
+           |    floor(LEAST(1.0, 2.0 * COALESCE(t2c, 0) / $nToksSql)
+           |      * 1000000.0 + 0.5) / 1000000.0 END AS top2_frac6,
            |  CAST(COALESCE(t3c, 0) AS BIGINT) AS top3_count,
            |  CASE WHEN $nToksSql > 0 THEN
-           |    floor(3.0 * COALESCE(t3c, 0) / $nToksSql * 1000000.0 + 0.5)
-           |      / 1000000.0 END AS top3_frac6
+           |    floor(LEAST(1.0, 3.0 * COALESCE(t3c, 0) / $nToksSql)
+           |      * 1000000.0 + 0.5) / 1000000.0 END AS top3_frac6
            |FROM documents d LEFT JOIN c2 USING (doc_id)
            |LEFT JOIN c3 USING (doc_id)""".stripMargin,
       "t1_token_stats" ->

@@ -31,11 +31,10 @@ object StreamingFunnel {
   /** Per-user progress: reached(i) = stage i has been reached. */
   final case class FunnelState(reached: Array[Boolean])
 
-  /** Full event-time microseconds: `getTime` is ms-truncated, the µs
-    * live in the nanos field — the batch twins order and gap-compare
-    * on `unix_micros`, so the streaming side must too. */
-  private def tsMicros(ts: java.sql.Timestamp): Long =
-    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+  /** Full event-time microseconds — the shared [[EventTime]] tie
+    * rule (review finding: an inline copy here would silently miss a
+    * future fix to the one definition). */
+  private def tsMicros(ts: java.sql.Timestamp): Long = EventTime.toUs(ts)
 
   /** `events` must carry (user_id, ts, event_id, event_type); returns
     * the append-mode (user_id, stage, stage_idx, reached_at) feed. */

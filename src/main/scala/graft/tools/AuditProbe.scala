@@ -8,23 +8,14 @@ import org.apache.spark.sql.SparkSession
   * reuse-defeated subtrees. The round-13 baseline is ZERO warnings;
   * a new key that prints one ships a re-computation.
   *
+  * Two passes: pass 1 constructs every query once, which makes each
+  * size gate REGISTER its conf key in
+  * [[graft.Materialize.registeredGateKeys]] (no hand-maintained key
+  * list — a new gated operator is swept automatically); pass 2 sets
+  * every registered key to 0 and audits the resulting plans.
+  *
   * Usage: sbt "runMain graft.tools.AuditProbe [sfDir]" */
 object AuditProbe {
-  /** Every size-gate conf key in the engine — forced open so the
-    * audit sees the plans a 100 TB deployment would run. */
-  val GateConfKeys: Seq[String] = Seq(
-    "spark.graft.activeUsers.barrierMinBytes",
-    "spark.graft.funnel.barrierMinBytes",
-    "spark.graft.dc4.barrierMinBytes",
-    "spark.graft.ov1.barrierMinBytes",
-    "spark.graft.rangerank.minBytes",
-    "spark.graft.vocab.barrierMinBytes",
-    "spark.graft.keyskew.barrierMinBytes",
-    "spark.graft.basket.barrierMinBytes",
-    "spark.graft.series.barrierMinBytes",
-    "spark.graft.lb1.barrierMinBytes",
-    "spark.graft.pk2.barrierMinBytes")
-
   def main(args: Array[String]): Unit = {
     val builder = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -33,7 +24,14 @@ object AuditProbe {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    GateConfKeys.foreach(k => spark.conf.set(k, "0"))
+    // pass 1: let every gate register its conf key
+    graft.SparkEntry.queries.values.foreach(q =>
+      try q(spark, dir) catch { case _: Throwable => () })
+    import scala.jdk.CollectionConverters._
+    val gateKeys = graft.Materialize.registeredGateKeys.asScala.toSeq.sorted
+    println(s"GATES: ${gateKeys.mkString(", ")}")
+    gateKeys.foreach(k => spark.conf.set(k, "0"))
+    // pass 2: audit the at-scale plans
     var warned = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
       try {

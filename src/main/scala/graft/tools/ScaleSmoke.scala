@@ -1097,6 +1097,9 @@ object ScaleSmoke {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       var ranged: Array[(Long, Long, Long)] = null
       var plain: Array[(Long, Long, Long)] = null
+      // kept from the last timed run for the plan print below —
+      // re-building the gated frame re-runs its eager range jobs
+      var shape: DataFrame = null
       timed("rank_ntile_range_10m") {
         // the PRODUCTION gated helper: 10M-row stats clear the 32MB
         // threshold, so this runs the range-partitioned path
@@ -1104,6 +1107,7 @@ object ScaleSmoke {
         val plan = t.queryExecution.executedPlan.toString
         require(!plan.contains("SinglePartition"),
           "range path must not contain a SinglePartition stage:\n" + plan.take(3000))
+        shape = t
         ranged = decileAgg(t)
         ranged.map(_._2).sum
       }
@@ -1139,7 +1143,6 @@ object ScaleSmoke {
       println(s"SCALE rank: gn1 rank-weighted sum range=$sixRange " +
         s"plain=$sixPlain ${if (sixRange == sixPlain) "IDENTICAL" else "DIVERGED"}")
       // the captured-plan evidence for PLANS.md
-      val shape = graft.operators.RangeRank.withNtile(per, "decile", 10, ord)
       println("SCALE rank: range-path executed plan (head):")
       println(shape.queryExecution.executedPlan.toString.linesIterator
         .map("SCALE   " + _.take(100)).take(14).mkString("\n"))
