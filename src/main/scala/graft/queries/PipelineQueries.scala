@@ -562,6 +562,11 @@ object PipelineQueries {
     // Per-dimension embedding feature-health stats (dead/saturated/
     // off-center dims) — one posexplode, one 64-group aggregate.
     "em1_dim_stats" -> (em1DimStats _),
+    // top principal direction of the normalized embedding matrix —
+    // exact integer Gram in one pass, bounded driver power iteration
+    // (3 rounds, per-round signed r6), Rayleigh eigenvalue
+    "pc1_power_iteration" -> ((s, dir) =>
+      graft.similarity.Similarity.topPrincipalDirection(embs(s, dir))),
     // Label cohesion/confusion matrix from per-(label, dim) sums —
     // NO pair scan (the S²−Q identity); O(labels·dims) state.
     "lb1_label_cohesion" -> (lb1LabelCohesion _),
@@ -1533,6 +1538,47 @@ object PipelineQueries {
          |    AS var6,
          |  ${r6s("vmin")} AS min6, ${r6s("vmax")} AS max6
          |FROM m""".stripMargin
+    },
+    // pc1: identical normalized+quantized components, exact HUGEINT
+    // Gram, 3 unrolled power-iteration rounds whose every fold runs
+    // in index order (list(... ORDER BY) → list_sum — the t8/lb1
+    // ordered-fold pairing), per-round signed r6 resetting drift
+    "pc1_power_iteration" -> {
+      def iter(i: Int, prev: String) =
+        s"""w$i AS (SELECT gf.i AS i,
+           |   list_sum(list(gf.d * p.x ORDER BY gf.j)) AS w
+           |  FROM gf JOIN $prev p ON gf.j = p.i GROUP BY 1),
+           |n$i AS (SELECT sqrt(list_sum(list(w * w ORDER BY i))) AS nn
+           |  FROM w$i),
+           |v$i AS (SELECT i, ${Round6.r6Sql("w / nn")} AS x
+           |  FROM w$i, n$i)""".stripMargin
+      s"""WITH $vNormCte,
+         |q AS (SELECT list_transform(emb, c -> CASE WHEN c >= 0
+         |    THEN floor(c * 1000000.0 + 0.5)
+         |    ELSE -floor(-(c) * 1000000.0 + 0.5) END) AS qa FROM v),
+         |ij AS (SELECT a.i AS i, b.j AS j
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS i) a,
+         |       (SELECT unnest(generate_series(0, 63)) AS j) b
+         |  WHERE a.i <= b.j),
+         |gu AS (SELECT ij.i, ij.j,
+         |   SUM(CAST(qa[ij.i + 1] AS HUGEINT) * CAST(qa[ij.j + 1] AS HUGEINT))
+         |     AS s
+         |  FROM q, ij GROUP BY 1, 2),
+         |gf AS (SELECT i, j, CAST(s AS DOUBLE) AS d FROM gu
+         |  UNION ALL SELECT j, i, CAST(s AS DOUBLE) FROM gu WHERE i <> j),
+         |v_0 AS (SELECT unnest(generate_series(0, 63)) AS i,
+         |   CAST(0.125 AS DOUBLE) AS x),
+         |${iter(1, "v_0")},
+         |${iter(2, "v1")},
+         |${iter(3, "v2")},
+         |gv AS (SELECT gf.i AS i,
+         |   list_sum(list(gf.d * p.x ORDER BY gf.j)) AS w
+         |  FROM gf JOIN v3 p ON gf.j = p.i GROUP BY 1),
+         |lam AS (SELECT list_sum(list(p.x * gv.w ORDER BY gv.i)) AS l
+         |  FROM gv JOIN v3 p ON gv.i = p.i)
+         |SELECT CAST(v3.i AS BIGINT) AS dim, v3.x AS loading6,
+         |  ${Round6.r6Sql("l / 1000000000000.0")} AS eigval6
+         |FROM v3, lam""".stripMargin
     },
     // kc1: same verified pair chain; the identical 6 peel rounds
     // unrolled as CTEs (the pr1 iterCte pattern) — both sides compute

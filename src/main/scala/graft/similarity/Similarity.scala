@@ -432,6 +432,82 @@ object Similarity {
         coalesce(col("mc") >= lit(threshold), lit(false)).as("contaminated"))
   }
 
+  /** TOP PRINCIPAL DIRECTION of the (unit-normalized) embedding
+    * matrix via power iteration — the anisotropy diagnostic behind
+    * "all our embeddings point the same way" (a dominant common
+    * direction means cosine scores compress; the standard fix
+    * subtracts it). UNCENTERED by design: the dominant singular
+    * direction of the normalized matrix IS the common-direction
+    * probe (mean-centering would erase exactly the thing measured).
+    *
+    * Scale shape — the lb1 pair-scan-avoidance posture applied to
+    * linear algebra: the D×D Gram G = Σ_rows q·qᵀ is computed in ONE
+    * pass (per-row upper-triangle products exploded to (i, j) cells,
+    * partial-combined — the exchange carries ≤ D²/2 keys per
+    * partition, never rows), with components quantized to integer
+    * micro-units so the sums are EXACT in any order at any corpus
+    * size (decimal accumulator — a long wraps at warehouse row
+    * counts; the gn1 discipline). The power iteration then runs on
+    * the DRIVER over the bounded D×D matrix (the kmv/centroid
+    * bounded-collect class): per round w = G·v with the j-fold in
+    * DIM ORDER, v ← signed-r6(w/‖w‖) — per-round rounding resets
+    * cross-engine float drift (the s3 discipline), and the DuckDB
+    * oracle unrolls the identical ordered folds. Output: one row per
+    * dimension (dim, loading6) + the Rayleigh eigenvalue estimate
+    * eigval6 = r6(vᵀGv / 1e12) (unit: cos²-mass × rows). */
+  def topPrincipalDirection(
+      vecs: DataFrame, iters: Int = 3, dim: Int = 64): DataFrame = {
+    require(iters >= 1 && iters <= 16,
+      s"topPrincipalDirection: iters in [1, 16]: $iters")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val v = normalized(vecs, "vid", "emb")
+    val quC = (c: Column) => when(c >= 0, floor(c * lit(1e6) + lit(0.5)))
+      .otherwise(-floor(-c * lit(1e6) + lit(0.5))).cast("long")
+    val q = v.select(transform(col("emb"), quC).as("qa"))
+    val cells = q.select(explode(flatten(
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          transform(sequence(i, lit(dim - 1)), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(col("qa"), i + lit(1))
+                * element_at(col("qa"), j + lit(1))).as("p")))))).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+    val gRows = cells.groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast("decimal(38,0)")).as("s"))
+      .collect() // bounded: D(D+1)/2 rows
+    val g = Array.ofDim[Double](dim, dim)
+    gRows.foreach { r =>
+      val (i, j, d) = (r.getInt(0), r.getInt(1), r.getDecimal(2).doubleValue)
+      g(i)(j) = d; g(j)(i) = d
+    }
+    def r6s(x: Double): Double =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -math.floor(-x * 1e6 + 0.5) / 1e6
+    // every fold below runs in ascending index order — the oracle's
+    // list(expr ORDER BY idx) → list_sum twin folds identically
+    def matVec(x: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += g(i)(j) * x(j); j += 1 }; s
+      }
+    var vv = Array.fill(dim)(0.125)
+    (1 to iters).foreach { _ =>
+      val w = matVec(vv)
+      var n2 = 0.0; var i = 0
+      while (i < dim) { n2 += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      require(nrm > 0, "topPrincipalDirection: zero Gram-vector norm " +
+        "(degenerate corpus or start vector) - supply a different start")
+      vv = w.map(x => r6s(x / nrm))
+    }
+    val gv = matVec(vv)
+    var lam = 0.0; var i = 0
+    while (i < dim) { lam += vv(i) * gv(i); i += 1 }
+    val eig6 = r6s(lam / 1e12)
+    vv.zipWithIndex.map { case (x, d) => (d.toLong, x, eig6) }.toSeq
+      .toDF("dim", "loading6", "eigval6")
+  }
+
   /** Deterministic ±1 (Rademacher) hyperplane for sign-LSH: component
     * d of plane k is +1 iff the first md5 hex digit of "k:d" is odd.
     * Derived — not sampled — so the DuckDB oracle twin reproduces the
