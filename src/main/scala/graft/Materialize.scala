@@ -80,4 +80,31 @@ object Materialize {
           s"$ModeKey must be local | persist | checkpoint, got: $other")
     }
   }
+
+  /** A barrier that GUARANTEES lineage truncation — required when the
+    * barrier's job is to pin a NONDETERMINISTIC assignment (sampled
+    * `repartitionByRange` boundaries + `monotonically_increasing_id`
+    * in [[graft.operators.RangeRank]]) that several consumers must
+    * see identically. [[barrier]]'s `persist` mode keeps lineage: a
+    * double executor loss RECOMPUTES the input, and a recompute
+    * re-samples boundaries and re-assigns ids — the consumers then
+    * silently disagree (driver-collected offsets vs executor rows).
+    * So here `persist` is overridden to a truncating form:
+    * `checkpoint` when a checkpoint dir is configured (keeps the
+    * any-loss fault tolerance persist users want), else
+    * `localCheckpoint` (correct pin; an executor loss now FAILS the
+    * job loudly instead of silently mis-ranking — the documented
+    * trade). `local` / `checkpoint` modes already truncate. */
+  def pinBarrier(df: DataFrame): DataFrame = {
+    val mode = scala.util.Try(df.sparkSession.conf.get(ModeKey)).getOrElse("local")
+    mode match {
+      case "checkpoint" => df.checkpoint(eager = true)
+      case "persist" if df.sparkSession.sparkContext.getCheckpointDir.isDefined =>
+        df.checkpoint(eager = true)
+      case "local" | "persist" => df.localCheckpoint(eager = true)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$ModeKey must be local | persist | checkpoint, got: $other")
+    }
+  }
 }

@@ -55,7 +55,13 @@ object RangeRank {
   private def smallEnough(df: DataFrame): Boolean =
     graft.Materialize.underGate(df, MinBytesKey)
 
-  /** df + `out` = global 1-based row number (long) under `order`. */
+  /** df + `out` = global 1-based row number (long) under `order`.
+    *
+    * Laziness contract: below the size gate this is a plain lazy
+    * window; ABOVE it, construction runs two eager jobs (the pin
+    * barrier and the per-partition counts collect) — see
+    * [[withGlobalRank]]. Callers that need strict laziness must stay
+    * under the gate or defer the call. */
   def withRowNumber(df: DataFrame, out: String, order: Seq[Column]): DataFrame =
     if (smallEnough(df))
       df.withColumn(out,
@@ -65,7 +71,10 @@ object RangeRank {
 
   /** df + `out` = ntile(k) (long) under `order` — SQL-standard tiling
     * (first n%k buckets get one extra row), identical to
-    * `functions.ntile` / DuckDB on a total order. */
+    * `functions.ntile` / DuckDB on a total order.
+    *
+    * Same laziness contract as [[withRowNumber]]: above the size gate
+    * construction runs two eager jobs. */
   def withNtile(df: DataFrame, out: String, k: Int, order: Seq[Column]): DataFrame = {
     require(k >= 1, s"withNtile: k must be >= 1: $k")
     if (smallEnough(df))
@@ -87,13 +96,23 @@ object RangeRank {
     * (the barrier and the counts collect). */
   def withGlobalRank(df: DataFrame, rnOut: String, order: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
-    val numParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // some managed platforms return non-numeric values (e.g. "auto")
+    // from conf.get even though OSS Spark rejects setting them; the
+    // plan's own partition count is the honest fallback
+    val numParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(df.rdd.getNumPartitions).max(1)
     val ordered = df
       .repartitionByRange(numParts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__rr_mid", monotonically_increasing_id())
-    // pin one boundary sample + id assignment for both consumers
-    val pinned = graft.Materialize.barrier(ordered)
+    // pin one boundary sample + id assignment for both consumers.
+    // MUST truncate lineage (pinBarrier, not barrier): under kept
+    // lineage a recompute re-samples the range boundaries and
+    // re-assigns the nondeterministic ids, so the driver-collected
+    // offsets below could describe a DIFFERENT assignment than the
+    // rows the join sees — silently wrong ranks (ADVICE r13, medium)
+    val pinned = graft.Materialize.pinBarrier(ordered)
     val withPid = pinned
       .withColumn("__rr_pid", shiftright(col("__rr_mid"), 33))
       .withColumn("__rr_idx", col("__rr_mid").bitwiseAND(lit(IdxMask)))

@@ -422,8 +422,18 @@ object Similarity {
       col("vid").as(id), col("emb").as(emb),
       posexplode(call_function("graft_sign_bands",
         col("emb"), lit(bits), lit(bands), lit(dim))).as(Seq("bi", "bk")))
+    // broadcast only while the banded eval side (bands × |eval| rows)
+    // plausibly fits an executor; an unexpectedly large eval slice
+    // must degrade to a shuffle join, not a broadcast OOM (ADVICE r13)
+    val evalBanded = banded(eval, "eid", "e_emb")
+    val evalMaxBytes = scala.util.Try(vecs.sparkSession.conf
+      .get("spark.graft.dc5.broadcastMaxBytes").toLong)
+      .getOrElse(512L * 1024 * 1024)
+    val evalEst = eval.queryExecution.optimizedPlan.stats.sizeInBytes * bands
+    val evalSide =
+      if (evalEst <= evalMaxBytes) broadcast(evalBanded) else evalBanded
     val scored = banded(corp, "cid", "c_emb")
-      .join(broadcast(banded(eval, "eid", "e_emb")), Seq("bi", "bk"))
+      .join(evalSide, Seq("bi", "bk"))
       .withColumn("cos", fastDot(col("c_emb"), col("e_emb")))
       .groupBy(col("cid")).agg(max(col("cos")).as("mc"))
     corp.select(col("vid"))

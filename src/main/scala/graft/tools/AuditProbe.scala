@@ -24,9 +24,17 @@ object AuditProbe {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    // pass 1: let every gate register its conf key
-    graft.SparkEntry.queries.values.foreach(q =>
-      try q(spark, dir) catch { case _: Throwable => () })
+    // pass 1: let every gate register its conf key. A construction
+    // failure here leaves that key's gate UNREGISTERED, so pass 2
+    // would audit it with the gate still closed — print it loudly
+    // rather than silently reporting the key clean (ADVICE r13)
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      try q(spark, dir) catch {
+        case e: Throwable =>
+          println(s"PASS1 $name: ERR ${e.getClass.getSimpleName} " +
+            String.valueOf(e.getMessage).take(120))
+      }
+    }
     import scala.jdk.CollectionConverters._
     val gateKeys = graft.Materialize.registeredGateKeys.asScala.toSeq.sorted
     println(s"GATES: ${gateKeys.mkString(", ")}")

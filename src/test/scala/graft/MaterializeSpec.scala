@@ -69,6 +69,28 @@ class MaterializeSpec extends AnyFunSuite with SparkTestBase {
   test("unknown mode fails loudly") {
     withMode("replicate-to-the-moon") {
       assertThrows[IllegalArgumentException](Materialize.barrier(docs))
+      assertThrows[IllegalArgumentException](Materialize.pinBarrier(docs))
+    }
+  }
+
+  test("pinBarrier truncates lineage in EVERY mode (persist included)") {
+    // barrier's persist mode keeps lineage (the recompute guarantee);
+    // pinBarrier must NOT — a recompute would re-sample RangeRank's
+    // boundaries and re-assign its nondeterministic ids (ADVICE r13)
+    def truncated(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD]
+    for (mode <- Seq("local", "persist")) withMode(mode) {
+      val df = Materialize.pinBarrier(docs.select($"doc_id" * 3 as "x"))
+      assert(truncated(df), s"pinBarrier($mode) kept lineage")
+      assert(df.as[Long].collect().sorted.toSeq == Seq(0L, 3L, 6L, 9L))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    withMode("checkpoint") {
+      val df = Materialize.pinBarrier(docs.select($"doc_id"))
+      assert(truncated(df), "pinBarrier(checkpoint) kept lineage")
+      assert(df.as[Long].collect().length == 4)
     }
   }
 }

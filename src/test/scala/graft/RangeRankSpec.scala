@@ -71,6 +71,20 @@ class RangeRankSpec extends AnyFunSuite with SparkTestBase {
     assert(forced(RangeRank.withRowNumber(frame(0), "rn", ord)).count() == 0L)
   }
 
+  test("range path stays correct under materialize persist mode (pin is truncating)") {
+    // ADVICE r13 medium: under persist mode the pin must still
+    // truncate lineage so offsets and rows describe one id assignment
+    spark.conf.set(Materialize.ModeKey, "persist")
+    try {
+      val df = frame(103)
+      val ord = Seq(col("v"), col("k"))
+      val plain = df.withColumn("rn",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      val ranged = forced(RangeRank.withRowNumber(df, "rn", ord))
+      assert(ranged.except(plain).isEmpty && plain.except(ranged).isEmpty)
+    } finally spark.conf.unset(Materialize.ModeKey)
+  }
+
   test("w5/gn1/rfm1 stay hash-identical on the forced range path") {
     val dir = "/root/testdata/sf0.001"
     if (new java.io.File(s"$dir/orders.parquet").exists()) {
