@@ -36,6 +36,9 @@ object Materialize {
 
   val ModeKey = "spark.graft.materialize.mode"
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val warnedPersistPin = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** THE size-gate rule, shared by [[barrierAbove]] and
     * [[graft.operators.RangeRank]] (one definition — the gates must
     * not drift): true when `sizeOf`'s ESTIMATED size (plan
@@ -101,7 +104,17 @@ object Materialize {
       case "checkpoint" => df.checkpoint(eager = true)
       case "persist" if df.sparkSession.sparkContext.getCheckpointDir.isDefined =>
         df.checkpoint(eager = true)
-      case "local" | "persist" => df.localCheckpoint(eager = true)
+      case "persist" =>
+        // the operator loses the fault tolerance the user selected with
+        // persist mode; leave a runtime breadcrumb, not just scaladoc
+        // (ADVICE r14) — once per JVM, not per pinned frame
+        if (warnedPersistPin.compareAndSet(false, true))
+          log.warn(s"$ModeKey=persist with no checkpoint dir: pinning a " +
+            "nondeterministic frame via localCheckpoint (an executor loss " +
+            "FAILS the job instead of recomputing). Call " +
+            "sparkContext.setCheckpointDir to regain fault tolerance here.")
+        df.localCheckpoint(eager = true)
+      case "local" => df.localCheckpoint(eager = true)
       case other =>
         throw new IllegalArgumentException(
           s"$ModeKey must be local | persist | checkpoint, got: $other")

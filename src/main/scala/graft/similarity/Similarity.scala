@@ -29,6 +29,8 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Sequential left-to-right dot product of two array<double>
     * columns (bit-reproducible fold, mirrored in the DuckDB oracle). */
   def dot(x: Column, y: Column): Column =
@@ -429,9 +431,20 @@ object Similarity {
     val evalMaxBytes = scala.util.Try(vecs.sparkSession.conf
       .get("spark.graft.dc5.broadcastMaxBytes").toLong)
       .getOrElse(512L * 1024 * 1024)
-    val evalEst = eval.queryExecution.optimizedPlan.stats.sizeInBytes * bands
-    val evalSide =
-      if (evalEst <= evalMaxBytes) broadcast(evalBanded) else evalBanded
+    // estimate from the COLUMN-PRUNED banded plan, not the raw filter
+    // (ADVICE r14): without CBO a Filter barely shrinks its child's
+    // sizeInBytes, so the old `eval.stats × bands` read as roughly the
+    // whole corpus and silently disabled the broadcast for tiny eval
+    // slices. The banded plan's estimate is width-scaled to the pruned
+    // (vid, emb) row; × bands accounts for the posexplode fan-out
+    // (Generate's default stats visitor does NOT multiply). Still an
+    // estimate either way — so LOG the chosen path, making a degrade
+    // observable instead of silent.
+    val evalEst = evalBanded.queryExecution.optimizedPlan.stats.sizeInBytes * bands
+    val useBroadcast = evalEst <= evalMaxBytes
+    log.info(s"dc5 eval side: estimated $evalEst bytes (banded, x$bands) vs " +
+      s"max $evalMaxBytes -> ${if (useBroadcast) "BROADCAST" else "shuffle join (degraded)"}")
+    val evalSide = if (useBroadcast) broadcast(evalBanded) else evalBanded
     val scored = banded(corp, "cid", "c_emb")
       .join(evalSide, Seq("bi", "bk"))
       .withColumn("cos", fastDot(col("c_emb"), col("e_emb")))

@@ -28,9 +28,11 @@ object AuditProbe {
     // failure here leaves that key's gate UNREGISTERED, so pass 2
     // would audit it with the gate still closed — print it loudly
     // rather than silently reporting the key clean (ADVICE r13)
+    var pass1Errs = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
       try q(spark, dir) catch {
         case e: Throwable =>
+          pass1Errs += 1
           println(s"PASS1 $name: ERR ${e.getClass.getSimpleName} " +
             String.valueOf(e.getMessage).take(120))
       }
@@ -54,7 +56,14 @@ object AuditProbe {
             String.valueOf(e.getMessage).take(80))
       }
     }
-    println(s"TOTAL keys with warnings: $warned of ${graft.SparkEntry.queries.size}")
+    // pass-1 failures fold into the headline count (ADVICE r14): a key
+    // whose gate never registered was audited with the gate CLOSED, so
+    // a "clean" total that hides one is a lie a last-line scan would miss
+    println(s"TOTAL keys with warnings: ${warned + pass1Errs} of " +
+      s"${graft.SparkEntry.queries.size}" +
+      (if (pass1Errs > 0) s" (including $pass1Errs pass-1 construction " +
+        "failures — those keys' gates never registered, their audit ran gate-closed)"
+       else ""))
     spark.stop()
   }
 }

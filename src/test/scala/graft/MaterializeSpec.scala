@@ -25,6 +25,25 @@ class MaterializeSpec extends AnyFunSuite with SparkTestBase {
     finally spark.conf.unset(Materialize.ModeKey)
   }
 
+  /** Scoped checkpoint dir on the SHARED session: set, run, then CLEAR
+    * (setCheckpointDir(null) -> None) and delete the temp tree. Without
+    * the clear, whether later suites' persist-mode pinBarrier calls take
+    * the checkpoint or localCheckpoint branch depends on suite execution
+    * order (ADVICE r14). */
+  private def withCheckpointDir[A](f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try f(dir)
+    finally {
+      spark.sparkContext.setCheckpointDir(null)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   private def minhashPairs(): Set[(Long, Long)] =
     Dedup.minhashNearDups(docs, threshold = 0.6)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -34,9 +53,7 @@ class MaterializeSpec extends AnyFunSuite with SparkTestBase {
     assert(local.contains((0L, 1L)) && local.contains((0L, 3L)))
     val persisted = withMode("persist")(minhashPairs())
     assert(persisted == local)
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    spark.sparkContext.setCheckpointDir(dir)
-    val checkpointed = withMode("checkpoint")(minhashPairs())
+    val checkpointed = withCheckpointDir(_ => withMode("checkpoint")(minhashPairs()))
     assert(checkpointed == local)
   }
 
@@ -55,14 +72,14 @@ class MaterializeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("checkpoint mode writes to the reliable store and truncates lineage") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    spark.sparkContext.setCheckpointDir(dir)
-    withMode("checkpoint") {
-      val df = Materialize.barrier(docs.select($"doc_id"))
-      assert(df.as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L))
-      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
-      assert(files > 0, "no checkpoint files written to the reliable store")
+    withCheckpointDir { dir =>
+      withMode("checkpoint") {
+        val df = Materialize.barrier(docs.select($"doc_id"))
+        assert(df.as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+        val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+        assert(files > 0, "no checkpoint files written to the reliable store")
+      }
     }
   }
 
@@ -85,12 +102,25 @@ class MaterializeSpec extends AnyFunSuite with SparkTestBase {
       assert(truncated(df), s"pinBarrier($mode) kept lineage")
       assert(df.as[Long].collect().sorted.toSeq == Seq(0L, 3L, 6L, 9L))
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    spark.sparkContext.setCheckpointDir(dir)
-    withMode("checkpoint") {
-      val df = Materialize.pinBarrier(docs.select($"doc_id"))
-      assert(truncated(df), "pinBarrier(checkpoint) kept lineage")
-      assert(df.as[Long].collect().length == 4)
+    withCheckpointDir { dir =>
+      withMode("checkpoint") {
+        val df = Materialize.pinBarrier(docs.select($"doc_id"))
+        assert(truncated(df), "pinBarrier(checkpoint) kept lineage")
+        assert(df.as[Long].collect().length == 4)
+      }
+      // with a dir configured, persist-mode pins take the CHECKPOINT
+      // branch (fault tolerance kept): reliable-store files appear
+      withMode("persist") {
+        val before = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+        val df = Materialize.pinBarrier(docs.select($"doc_id" + 1 as "y"))
+        assert(truncated(df), "pinBarrier(persist+dir) kept lineage")
+        assert(df.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+        val after = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+        assert(after > before,
+          "pinBarrier(persist+dir) wrote nothing to the reliable store")
+      }
     }
   }
 }
