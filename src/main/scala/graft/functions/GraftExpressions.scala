@@ -1059,7 +1059,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
  * finalizer (Steele et al. 2014 — public-knowledge mixer, fully
  * deterministic, no engine-dependent hashing).
  */
-object BloomKernel {
+object BloomKernel extends Serializable {
   /** splitmix64 finalizer — avalanches the already-hashed gram so
     * h1/h2 are independent enough for double hashing. */
   private def mix64(z0: Long): Long = {

@@ -145,4 +145,100 @@ object StreamingCorpus {
       }
       .toDF("doc_id", "n_feats", "w_mean")
   }
+
+  final case class NoveltyState(words: Array[Long])
+
+  /** Bloom bitset words per gram-bit budget — the loud bound shared
+    * with the dedup builders (1 << 27 words = 1 GiB of state-store
+    * entry; past it the state no longer fits a sane per-key budget). */
+  val maxNoveltyWords: Long = 1L << 27
+
+  /**
+   * Streaming n-gram NOVELTY — the continuous, BOUNDED-STATE twin of
+   * the ng1 batch key ("is this crawl still adding anything"): per
+   * arriving document, the fraction of its distinct n-gram hashes
+   * never seen in any earlier document of the stream.
+   *
+   * The exact cumulative definition needs the set of ALL grams ever
+   * seen — unbounded state no stream can carry. This twin bounds it
+   * with a Bloom bitset ([[graft.functions.BloomKernel]] — the same
+   * position kernel as the bf1 screen, one membership arithmetic
+   * repo-wide): `expectedGrams × bitsPerGram` bits TOTAL, forever,
+   * regardless of corpus size. The approximation direction is
+   * ONE-SIDED: a Bloom filter has no false negatives, so a seen gram
+   * is always reported seen — novelty is never over-counted;
+   * `n_novel` is an UNDER-count (a truly-novel gram can collide with
+   * set bits) with per-gram miss probability ≈ the filter's fpp at
+   * its current fill — (1 − e^(−k·n/m))^k, ≈ 0.0003 at the default
+   * 12 bits/gram while n ≤ expectedGrams. So:
+   * `n_novel_stream ∈ [n_novel_batch · (1 − fpp), n_novel_batch]` in
+   * expectation, and the spec (StreamingSpec) asserts the hard ≤
+   * direction per doc plus exact equality on the replayed fixture
+   * (deterministic positions → deterministic result).
+   *
+   * Sequential semantics, made explicit: cumulative novelty is
+   * order-DEPENDENT (the batch key resolves ties by doc_id), so the
+   * fold runs as ONE `flatMapGroupsWithState` group — per-batch
+   * arrivals are sorted by doc_id, matching the batch min(doc_id)
+   * first-holder rule on a replayed corpus. The per-doc gram hashing
+   * (the actual CPU) stays parallel upstream in the stateless
+   * projection; only the O(bitset-probe) fold serializes, the same
+   * trade as any total-order stream fold. State per stream: ONE
+   * bitset entry of `expectedGrams · bitsPerGram / 8` bytes (6 MiB at
+   * the 4M-gram default) — not per gram, not per doc.
+   */
+  def streamingNgramNovelty(
+      docs: DataFrame, n: Int = 3, bitsPerGram: Int = 12,
+      expectedGrams: Long = 1L << 22): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    graft.functions.GraftFunctions.register(spark)
+    require(bitsPerGram >= 4 && bitsPerGram <= 24,
+      s"streamingNgramNovelty: bitsPerGram must be in [4, 24]: $bitsPerGram")
+    val nWords = (expectedGrams * bitsPerGram + 63L) / 64L
+    require(nWords <= maxNoveltyWords,
+      s"streamingNgramNovelty: $expectedGrams grams x $bitsPerGram bits = " +
+        s"$nWords words > maxNoveltyWords=$maxNoveltyWords (" +
+        s"${maxNoveltyWords * 8 / (1 << 20)} MiB of state)")
+    val mBits = nWords * 64L
+    // k* = ln2 · bits/gram — buildBloomWords' formula, one rule repo-wide
+    val k = math.max(1, math.min(16, math.round(bitsPerGram * math.log(2.0)).toInt))
+    docs
+      .select(col("doc_id"),
+        array_distinct(call_function("graft_shingle_hashes", col("text"), lit(n)))
+          .as("grams"))
+      .as[(Long, Seq[Long])]
+      .groupByKey(_ => 0) // ONE group: the sequential novelty fold
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: Int, rows: Iterator[(Long, Seq[Long])],
+         state: org.apache.spark.sql.streaming.GroupState[NoveltyState]) => {
+          val words = state.getOption.map(_.words)
+            .getOrElse(new Array[Long](nWords.toInt))
+          val out = rows.toArray.sortBy(_._1).map { case (id, gs) =>
+            var ng = 0L; var nn = 0L
+            gs.foreach { g =>
+              ng += 1
+              if (!graft.functions.BloomKernel.contains(g, words, k)) {
+                nn += 1
+                var i = 0
+                while (i < k) {
+                  val p = graft.functions.BloomKernel.position(g, i, mBits)
+                  words((p >>> 6).toInt) |= 1L << (p & 63L).toInt
+                  i += 1
+                }
+              }
+            }
+            // the batch key's r6 floor formula, null on gram-less docs
+            val frac: Option[Double] =
+              if (ng > 0) Some(math.floor(nn.toDouble / ng * 1e6 + 0.5) / 1e6)
+              else None
+            (id, ng, nn, frac)
+          }
+          state.update(NoveltyState(words))
+          out.iterator
+        })
+      .toDF("doc_id", "n_grams", "n_novel", "novel_frac6")
+  }
 }

@@ -1341,4 +1341,68 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(streamed.nonEmpty && streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming n-gram novelty: bloom-bounded state equals batch ng1 on a replayed corpus") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docsSeq = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight and more"),
+      (3L, "completely different content with no overlap whatsoever in here"),
+      (4L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      (5L, "xx")) // < 3 tokens -> zero grams -> null frac
+    // batch twin: the ng1 key's chain verbatim (same hash kernel —
+    // graft_shingle_hashes IS shingleHashes(wordShingles(.., 3)))
+    val d = docsSeq.toDF("doc_id", "text")
+    val grams = d.select(col("doc_id"), explode(array_distinct(
+      graft.dedup.Dedup.shingleHashes(
+        graft.dedup.Dedup.wordShingles(col("text"), 3)))).as("g"))
+    val per = grams
+      .withColumn("first_doc", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("ng"),
+        sum((col("doc_id") === col("first_doc")).cast("long")).as("nn"))
+    val batch = d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ng"), lit(0L)).as("n_grams"),
+        coalesce(col("nn"), lit(0L)).as("n_novel"),
+        when(col("ng") > 0,
+          floor(col("nn").cast("double") / col("ng") * lit(1e6) + lit(0.5))
+            / lit(1e6)).as("novel_frac6"))
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    // streaming twin, replayed in doc_id order across micro-batches
+    // split MID-duplicate (doc 4's grams were first held by doc 1 two
+    // batches earlier — the state must remember them)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCorpus.streamingNgramNovelty(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sng")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docsSeq(0), docsSeq(1))
+      q.processAllAvailable()
+      input.addData(docsSeq(2), docsSeq(3))
+      q.processAllAvailable()
+      input.addData(docsSeq(4))
+      q.processAllAvailable()
+      val streamed = spark.sql("select * from sng order by doc_id")
+        .as[(Long, Long, Long, Option[Double])].collect().toSeq
+      // hard one-sided bound (no false negatives -> novelty is never
+      // over-counted), THEN exactness on this fixture: at 12 bits/gram
+      // the fpp is ~3e-4 and the positions are deterministic, so the
+      // replay reproduces batch ng1 bit for bit
+      streamed.zip(batch).foreach { case ((sid, _, snn, _), (bid, _, bnn, _)) =>
+        assert(sid == bid && snn <= bnn,
+          s"novelty over-counted for doc $sid: stream $snn > batch $bnn")
+      }
+      assert(streamed == batch)
+    } finally q.stop()
+    // the oversized-state refusal mirrors the bloom builders' guard
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingCorpus.streamingNgramNovelty(
+        input.toDF().toDF("doc_id", "text"), expectedGrams = 1L << 40)
+    }
+    assert(err.getMessage.contains("streamingNgramNovelty"))
+  }
 }
