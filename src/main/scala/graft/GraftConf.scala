@@ -22,6 +22,10 @@ object GraftConf {
     // native expressions (graft_dot/graft_isect) in SQL without
     // explicit registration
     "spark.sql.extensions" -> "graft.functions.GraftExtensions",
+    // continuous duplicate-work detection on user queries: one plan
+    // walk per distinct plan, logs any reuse-defeated duplicate
+    // aggregate with the barrier remedy named (graft.plans.PlanAuditLog)
+    "spark.graft.planaudit.log" -> "true",
     // fault-tolerant lineage barriers: localCheckpoint blocks are lost
     // with their executor, killing long dedup/clustering jobs at
     // cluster scale. Requires sparkContext.setCheckpointDir (HDFS/S3);

@@ -1046,6 +1046,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthBound)
+    // the automatic distributed-ranking promotion (GlobalRank.scala):
+    // preCBO = AFTER the operator-optimization fixed point, so column
+    // pruning / filter pushdown have settled around the Window before
+    // it is swapped for the opaque GlobalRankPlan
+    ext.injectPreCBORule(_ => graft.plans.RangeRankRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
+    // opt-in continuous duplicate-work detector (off by default; the
+    // cluster conf turns it on) — observes, never transforms
+    ext.injectPreCBORule(_ => graft.plans.PlanAuditLog)
   }
 }
 
@@ -1423,6 +1432,24 @@ object GraftFunctions {
         .contains(graft.plans.LevenshteinLengthBound)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinLengthBound
+    }
+    // live-session slot for the ranking promotion: "User Provided
+    // Optimizers" also runs after the operator batch, matching the
+    // extensions path's preCBO placement
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RangeRankRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeRankRewrite
+    }
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.GlobalRankStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GlobalRankStrategy
+    }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.PlanAuditLog)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PlanAuditLog
     }
   }
 }

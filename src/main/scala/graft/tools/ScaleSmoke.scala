@@ -1148,6 +1148,128 @@ object ScaleSmoke {
         .map("SCALE   " + _.take(100)).take(14).mkString("\n"))
       auditAndPrint("rank_ntile", shape)
     }
+
+    // --- rankrule: the AUTOMATIC promotion (RangeRankRewrite) -------------
+    // Same claims as the `rank` section, but through plain user SQL: a
+    // 10M-row `ntile/rank OVER (ORDER BY ...)` with no partition key
+    // must plan as GlobalRankExec (one range exchange, no
+    // SinglePartition window) with values identical to the plain
+    // window — rank/dense_rank exactness proven ON ties (order by
+    // cents only: ~10-row tie runs straddling any boundary sampler).
+    if (want("rankrule")) {
+      graft.functions.GraftFunctions.register(spark)
+      val per = spark.read.parquet(s"$outDir/cust10m.parquet")
+        .withColumn("cents", floor(col("spend") * lit(100) + lit(0.5)).cast("long"))
+      per.createOrReplaceTempView("cust10m")
+      def tileAgg(sql: String): Array[(Int, Long, Long)] =
+        spark.sql(sql).groupBy(col("q"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+          .orderBy(col("q"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val rankSql =
+        """SELECT cents, k,
+          |  ntile(10)    OVER (ORDER BY spend DESC, k) AS q,
+          |  rank()       OVER (ORDER BY cents) AS rk,
+          |  dense_rank() OVER (ORDER BY cents) AS dr
+          |FROM cust10m""".stripMargin
+      var auto: Array[(Int, Long, Long)] = null
+      var rkAuto: Array[(Long, Long, Long)] = null
+      def rkAgg(df: DataFrame): Array[(Long, Long, Long)] =
+        df.groupBy(col("cents"))
+          .agg(min(col("rk")).cast("long").as("r"), max(col("dr")).cast("long").as("d"))
+          .orderBy(col("cents"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      var shape: DataFrame = null
+      timed("rankrule_sql_10m") {
+        val df = spark.sql(rankSql)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("GlobalRank"),
+          "automatic rewrite did not fire on user SQL:\n" + plan.take(3000))
+        require(!plan.contains("SinglePartition"),
+          "rewritten plan still contains a SinglePartition stage:\n" + plan.take(3000))
+        shape = df
+        auto = tileAgg(rankSql)
+        rkAuto = rkAgg(df)
+        auto.map(_._2).sum
+      }
+      var plainT: Array[(Int, Long, Long)] = null
+      var rkPlain: Array[(Long, Long, Long)] = null
+      timed("rankrule_plainwin_10m") {
+        spark.conf.set(graft.operators.RangeRank.MinBytesKey, Long.MaxValue.toString)
+        try {
+          val df = spark.sql(rankSql)
+          require(!df.queryExecution.executedPlan.toString.contains("GlobalRank"))
+          plainT = tileAgg(rankSql)
+          rkPlain = rkAgg(df)
+        } finally spark.conf.unset(graft.operators.RangeRank.MinBytesKey)
+        plainT.map(_._2).sum
+      }
+      println(s"SCALE rankrule: decile agg auto vs plain = " +
+        s"${if (auto.sameElements(plainT)) "IDENTICAL" else "DIVERGED"}")
+      println(s"SCALE rankrule: rank/dense_rank on ties auto vs plain = " +
+        s"${if (rkAuto.sameElements(rkPlain)) "IDENTICAL" else "DIVERGED"}")
+      println("SCALE rankrule: executed plan (head):")
+      println(shape.queryExecution.executedPlan.toString.linesIterator
+        .map("SCALE   " + _.take(100)).take(14).mkString("\n"))
+      auditAndPrint("rankrule", shape)
+    }
+    // --- hotgram: adversarial skew probe for ng1's gram-keyed exchange ---
+    // Plant grams present in EVERY doc (a boilerplate header — the
+    // realistic crawl pathology) over 1M docs and compare ng1's two
+    // candidate shapes:
+    //  (a) SHIPPED window form: min(doc_id) OVER (PARTITION BY g) —
+    //      the hot gram's entire group lands in ONE task and the
+    //      unbounded-frame window BUFFERS it (spill pressure + a
+    //      pinned reducer at 100x);
+    //  (b) two-aggregate form: groupBy(g).agg(min(doc_id) AS fd) then
+    //      groupBy(fd).count() — novel counts per doc WITHOUT a join
+    //      back to the gram table (grams are per-doc distinct, so the
+    //      first-holder relation IS the novelty count); every exchange
+    //      is partial-combined, a hot gram contributes one row per
+    //      map partition.
+    // Both must produce identical (n_grams, n_novel) sums; the maxTask
+    // ratio decides which form the shipped key keeps.
+    if (want("hotgram")) {
+      graft.functions.GraftFunctions.register(spark)
+      val nHot = 1000000L
+      // 8 shared header tokens = 6 hot 3-grams in every doc; 12 unique
+      // tokens per doc keep the novel tail realistic
+      val hdocs = spark.range(nHot).select(col("id").as("doc_id"),
+        concat(lit("corpus header boilerplate line shared by every document "),
+          concat_ws(" ", (0 until 12).map(j =>
+            conv(pmod(xxhash64(col("id") * 37 + j), lit(1L << 40)), 10, 16)): _*))
+          .as("text"))
+      hdocs.write.mode("overwrite").parquet(s"$outDir/hotdocs.parquet")
+      val docs1m = spark.read.parquet(s"$outDir/hotdocs.parquet")
+      def gramsOf(df: DataFrame) = df.select(col("doc_id"),
+        explode(array_distinct(call_function("graft_shingle_hashes",
+          col("text"), lit(3)))).as("g"))
+      var sumWin = (0L, 0L); var sumAgg = (0L, 0L)
+      timed("hotgram_ng1_window_1m") {
+        import org.apache.spark.sql.expressions.Window
+        val per = gramsOf(docs1m)
+          .withColumn("first_doc",
+            min(col("doc_id")).over(Window.partitionBy(col("g"))))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("ng"),
+            sum((col("doc_id") === col("first_doc")).cast("long")).as("nn"))
+        val r = per.agg(sum(col("ng")), sum(col("nn"))).head
+        sumWin = (r.getLong(0), r.getLong(1))
+        sumWin._1
+      }
+      timed("hotgram_ng1_twoagg_1m") {
+        val g = gramsOf(docs1m)
+        val ng = g.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+        val nn = g.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+          .groupBy(col("fd")).agg(count(lit(1)).as("nn"))
+        val r = ng.join(nn, col("doc_id") === col("fd"), "left")
+          .agg(sum(col("ng")), sum(coalesce(col("nn"), lit(0L)))).head
+        sumAgg = (r.getLong(0), r.getLong(1))
+        sumAgg._1
+      }
+      println(s"SCALE hotgram: window=(ng=${sumWin._1}, nn=${sumWin._2}) " +
+        s"twoagg=(ng=${sumAgg._1}, nn=${sumAgg._2}) " +
+        s"${if (sumWin == sumAgg) "IDENTICAL" else "DIVERGED"}")
+    }
     spark.stop()
   }
 }

@@ -63,6 +63,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(PlanAudit.audit(crossed).isEmpty, PlanAudit.audit(crossed).toString)
   }
 
+  test("PlanAuditLog rule: opt-in sweep fires on user queries, default-off is free") {
+    assume(haveData)
+    graft.functions.GraftFunctions.register(spark) // installs the rule
+    val L = graft.plans.PlanAuditLog
+    def optimizeBadPlan(): Unit =
+      graft.queries.TemporalQueries.activeUsers(
+        graft.sources.Tables.read(spark, dir, "events"))
+        .queryExecution.optimizedPlan
+    withConf(graft.queries.TemporalQueries.AuBarrierMinBytesKey,
+        Long.MaxValue.toString) {
+      val before = L.warnCount.get()
+      optimizeBadPlan() // flag off (default): observes nothing
+      assert(L.warnCount.get() == before, "PlanAuditLog fired while disabled")
+      withConf(L.FlagKey, "true") {
+        optimizeBadPlan()
+        assert(L.warnCount.get() > before,
+          "PlanAuditLog missed the reuse-defeated duplicate aggregate")
+        val after = L.warnCount.get()
+        optimizeBadPlan() // same semantic plan: deduped, not re-logged
+        assert(L.warnCount.get() == after, "PlanAuditLog re-logged a seen plan")
+      }
+    }
+  }
+
   test("t8's vocab count: un-barriered flagged, gated barrier silent") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val k = graft.queries.TextAnalysis.VocabBarrierMinBytesKey
