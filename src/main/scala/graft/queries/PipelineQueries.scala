@@ -603,6 +603,32 @@ object PipelineQueries {
         embs(s, dir), vid => vid % 13 === 0, threshold = 0.45,
         bits = 6, bands = 16)
     }),
+    // dc5 RECALL TELEMETRY (rc1's pattern for the dc-family): what
+    // fraction of the exact screen's flags does the banded screen
+    // keep — the recall-vs-flop trade measured continuously, across
+    // BOTH dc5 join paths (broadcast and the size-degraded shuffle
+    // join). dc5 can only under-flag (its max_cos4 is a lower
+    // bound), so the hit count IS |dc5 ∩ dc4| — integer counts, one
+    // r6 division, ONE output row.
+    "rc2_dc5_recall" -> ((s, dir) => {
+      assertedSignMargin(s, dir)
+      val e = embs(s, dir)
+      val isEval = (vid: org.apache.spark.sql.Column) => vid % 13 === 0
+      val exact = graft.similarity.Similarity
+        .embeddingDecontaminate(e, isEval, threshold = 0.45)
+        .where(col("contaminated")).select(col("vid"))
+      val lsh = graft.similarity.Similarity
+        .embeddingDecontaminateLsh(e, isEval, threshold = 0.45,
+          bits = 6, bands = 16)
+        .where(col("contaminated"))
+        .select(col("vid"), lit(1L).as("hit"))
+      exact.join(lsh, Seq("vid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_lsh"))
+        .select(col("n_exact"), col("n_lsh"),
+          round(col("n_lsh").cast("double") / col("n_exact").cast("double"), 6)
+            .as("recall6"))
+    }),
     // N-GRAM NOVELTY — the marginal-value curve of a corpus in
     // arrival (doc_id) order: per doc, the fraction of its DISTINCT
     // 3-gram hashes never seen in any EARLIER doc. The curation
@@ -1041,6 +1067,34 @@ object PipelineQueries {
        |bx AS (SELECT vec_id, k // 6 AS band_idx,
        |   CAST(sum(bit * power(2, k % 6)) AS BIGINT) AS bucket
        |  FROM px GROUP BY 1, 2)""".stripMargin
+
+  /** dc4/dc5 oracle bodies as vals: reused verbatim by the rc2 recall
+    * oracle (which subqueries both), so the flag rule cannot drift
+    * between the screens and their telemetry. */
+  private lazy val dc4Sql =
+    s"""WITH $vNormCte,
+       |ev AS (SELECT vec_id, emb FROM v WHERE vec_id % 13 = 0),
+       |cp AS (SELECT vec_id, emb FROM v WHERE vec_id % 13 <> 0),
+       |sc AS (SELECT cp.vec_id AS vid, MAX(${dotSql("cp.emb", "ev.emb")}) AS mc
+       |  FROM cp CROSS JOIN ev GROUP BY 1)
+       |SELECT cp.vec_id AS vid, ROUND(sc.mc, 4) AS max_cos4,
+       |  COALESCE(sc.mc >= 0.45, FALSE) AS contaminated
+       |FROM cp LEFT JOIN sc ON cp.vec_id = sc.vid""".stripMargin
+
+  private lazy val dc5Sql =
+    s"""WITH $vNormCte,
+       |$lshBandCtes,
+       |cand AS (SELECT DISTINCT a.vec_id AS cid, b.vec_id AS eid
+       |  FROM bx a JOIN bx b
+       |    ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+       |  WHERE a.vec_id % 13 <> 0 AND b.vec_id % 13 = 0),
+       |sc AS (SELECT cid, MAX(${dotSql("va.emb", "vb.emb")}) AS mc
+       |  FROM cand JOIN v va ON cid = va.vec_id JOIN v vb ON eid = vb.vec_id
+       |  GROUP BY 1)
+       |SELECT cp.vec_id AS vid, ROUND(sc.mc, 4) AS max_cos4,
+       |  COALESCE(sc.mc >= 0.45, FALSE) AS contaminated
+       |FROM (SELECT vec_id FROM v WHERE vec_id % 13 <> 0) cp
+       |LEFT JOIN sc ON cp.vec_id = sc.cid""".stripMargin
 
   /** Transitive closure over the minhash edge set → (doc_id,
     * cluster_id=component min, cluster_size, is_canonical). */
@@ -1634,33 +1688,24 @@ object PipelineQueries {
     // dc4: identical normalized vectors and dot products (vNormCte /
     // list_dot_product mirror the Scala op order), so the per-vector
     // MAX and the raw-double threshold compare are engine-exact
-    "dc4_embedding_decontaminate" ->
-      s"""WITH $vNormCte,
-         |ev AS (SELECT vec_id, emb FROM v WHERE vec_id % 13 = 0),
-         |cp AS (SELECT vec_id, emb FROM v WHERE vec_id % 13 <> 0),
-         |sc AS (SELECT cp.vec_id AS vid, MAX(${dotSql("cp.emb", "ev.emb")}) AS mc
-         |  FROM cp CROSS JOIN ev GROUP BY 1)
-         |SELECT cp.vec_id AS vid, ROUND(sc.mc, 4) AS max_cos4,
-         |  COALESCE(sc.mc >= 0.45, FALSE) AS contaminated
-         |FROM cp LEFT JOIN sc ON cp.vec_id = sc.vid""".stripMargin,
+    "dc4_embedding_decontaminate" -> dc4Sql,
     // dc5: the same normalized vectors and band formula as x6
     // (lshBandCtes), bipartite corpus×eval on (band, bucket), MAX
     // over DISTINCT candidates (the Spark side skips the distinct —
     // MAX is duplicate-insensitive), dc4's rounding and flag rule
-    "dc5_embedding_decontaminate_lsh" ->
-      s"""WITH $vNormCte,
-         |$lshBandCtes,
-         |cand AS (SELECT DISTINCT a.vec_id AS cid, b.vec_id AS eid
-         |  FROM bx a JOIN bx b
-         |    ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-         |  WHERE a.vec_id % 13 <> 0 AND b.vec_id % 13 = 0),
-         |sc AS (SELECT cid, MAX(${dotSql("va.emb", "vb.emb")}) AS mc
-         |  FROM cand JOIN v va ON cid = va.vec_id JOIN v vb ON eid = vb.vec_id
-         |  GROUP BY 1)
-         |SELECT cp.vec_id AS vid, ROUND(sc.mc, 4) AS max_cos4,
-         |  COALESCE(sc.mc >= 0.45, FALSE) AS contaminated
-         |FROM (SELECT vec_id FROM v WHERE vec_id % 13 <> 0) cp
-         |LEFT JOIN sc ON cp.vec_id = sc.cid""".stripMargin,
+    "dc5_embedding_decontaminate_lsh" -> dc5Sql,
+    // rc2: dc5's recall vs the exact screen, composed from the SAME
+    // two oracle bodies (the rc1 discipline — the three entries can
+    // never disagree on the flag semantics)
+    "rc2_dc5_recall" ->
+      s"""SELECT CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_lsh AS BIGINT) AS n_lsh,
+         |  ROUND(CAST(n_lsh AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall6
+         |FROM (
+         |  SELECT COUNT(*) AS n_exact, COUNT(l.vid) AS n_lsh
+         |  FROM (SELECT vid FROM ($dc4Sql) WHERE contaminated) ex
+         |  LEFT JOIN (SELECT vid FROM ($dc5Sql) WHERE contaminated) l
+         |    ON ex.vid = l.vid)""".stripMargin,
     // cm1: the same two md5 words per token (tokHashSqlAt 0/8 — the
     // split-word discipline), width-512 bucket counts, min-over-rows;
     // integer counts end to end so the compare is hash-exact
