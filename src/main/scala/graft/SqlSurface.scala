@@ -179,6 +179,28 @@ object SqlSurface {
     "graft_ivfadc_topk", "graft_ivfadc_residual_topk",
     "graft_binary_hamming_topk", "graft_binary_rerank_topk")
 
+  /** AT-SCALE ROUTING (read before pointing a 100 TB corpus at these
+    * views — VERDICT r13/r14): two of the registered shapes are EXACT
+    * BASELINES that are quadratic by design, kept because they define
+    * the ground truth the scale-safe siblings are measured against
+    * (`rc1`/`rc2` recall telemetry). Route production traffic to the
+    * sibling; reserve the exact form for bounded slices and audits.
+    *
+    *  - `graft_ann_topk` ([[graft.similarity.Similarity.bruteForceTopK]],
+    *    O(|queries|·|corpus|) dots) → use `graft_ivf_topk` /
+    *    `graft_ivfadc_topk` (cell-pruned; recall measured by rc1) or
+    *    `graft_binary_rerank_topk` (sign-bit screen + exact rerank).
+    *  - [[graft.similarity.Similarity.nearDupPairs]] (x5's chunked
+    *    all-pairs cos) → use [[graft.similarity.Similarity.lshNearDupPairs]]
+    *    (x6; banded candidates) or its multi-probe/adaptive variants
+    *    (x8–x10) at any corpus size where N²/2 dots is not a number
+    *    you would say out loud.
+    *  - [[graft.similarity.Similarity.embeddingDecontaminate]] (dc4,
+    *    full corpus×eval cross) → use
+    *    [[graft.similarity.Similarity.embeddingDecontaminateLsh]] (dc5;
+    *    banded, under-flags only — recall vs dc4 is the shipped
+    *    `rc2_dc5_recall` key, 0.75 on the driver calibration data).
+    */
   def registerEmbeddings(
       embs: DataFrame, queries: DataFrame, pqSeeds: DataFrame,
       pqQuery: DataFrame, centroids: DataFrame,
@@ -187,6 +209,8 @@ object SqlSurface {
     graft.functions.GraftFunctions.register(embs.sparkSession)
     embs.createOrReplaceTempView("graft_embeddings")
     S.quantizeInt8Stats(embs).createOrReplaceTempView("graft_int8_quantize")
+    // EXACT baseline — O(|queries|·|corpus|); at scale query
+    // graft_ivf_topk / graft_ivfadc_topk instead (see routing note)
     S.bruteForceTopK(queries, embs, k).createOrReplaceTempView("graft_ann_topk")
     S.ivfTopK(queries, embs, centroids, k, nProbe)
       .createOrReplaceTempView("graft_ivf_topk")
