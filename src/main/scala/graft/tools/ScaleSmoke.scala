@@ -1266,9 +1266,29 @@ object ScaleSmoke {
         sumAgg = (r.getLong(0), r.getLong(1))
         sumAgg._1
       }
+      //  (c) ONE-SCAN bounded form: n_grams = size(array_distinct(..))
+      //      computed BEFORE the explode (no second scan), novelty via
+      //      the two partial-combined aggregates, final join doc-keyed
+      //      (uniform). Strictly dominates (b); vs (a) it trades the
+      //      window's whole-group buffering for one extra exchange.
+      var sumOne = (0L, 0L)
+      timed("hotgram_ng1_onescan_1m") {
+        val base = docs1m.select(col("doc_id"),
+          array_distinct(call_function("graft_shingle_hashes",
+            col("text"), lit(3))).as("grams"))
+        val ng = base.select(col("doc_id"), size(col("grams")).cast("long").as("ng"))
+        val nn = base.select(col("doc_id"), explode(col("grams")).as("g"))
+          .groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+          .groupBy(col("fd")).agg(count(lit(1)).as("nn"))
+        val r = ng.join(nn, col("doc_id") === col("fd"), "left")
+          .agg(sum(col("ng")), sum(coalesce(col("nn"), lit(0L)))).head
+        sumOne = (r.getLong(0), r.getLong(1))
+        sumOne._1
+      }
       println(s"SCALE hotgram: window=(ng=${sumWin._1}, nn=${sumWin._2}) " +
         s"twoagg=(ng=${sumAgg._1}, nn=${sumAgg._2}) " +
-        s"${if (sumWin == sumAgg) "IDENTICAL" else "DIVERGED"}")
+        s"onescan=(ng=${sumOne._1}, nn=${sumOne._2}) " +
+        s"${if (sumWin == sumAgg && sumAgg == sumOne) "IDENTICAL" else "DIVERGED"}")
     }
     spark.stop()
   }
