@@ -457,6 +457,46 @@ object Relational {
         round(max(col("total_spend")), 4).as("max_spend"))
   }
 
+  /** The gr1 rank-family SQL, shared VERBATIM by the Spark side and
+    * the DuckDB oracle (only the table name differs): the whole
+    * unpartitioned rank family over one total order. Spark rank
+    * functions are int32 and DuckDB's are BIGINT, so every count-like
+    * rank is CAST BIGINT in the SQL itself (dtype-strict gate);
+    * percent_rank is the identical integer division on both engines,
+    * rounded 6dp by discipline. */
+  private def gr1Sql(table: String): String =
+    s"""WITH t AS (SELECT o_custkey,
+       |    ROUND(SUM(o_totalprice), 4) AS total_spend
+       |  FROM $table GROUP BY o_custkey)
+       |SELECT o_custkey, total_spend,
+       |  CAST(row_number() OVER (ORDER BY total_spend DESC, o_custkey) AS BIGINT) AS rn,
+       |  CAST(rank()       OVER (ORDER BY total_spend DESC, o_custkey) AS BIGINT) AS rk,
+       |  CAST(dense_rank() OVER (ORDER BY total_spend DESC, o_custkey) AS BIGINT) AS dr,
+       |  ROUND(percent_rank() OVER (ORDER BY total_spend DESC, o_custkey), 6) AS pr6,
+       |  CAST(ntile(7)     OVER (ORDER BY total_spend DESC, o_custkey) AS BIGINT) AS tile
+       |FROM t""".stripMargin
+
+  /** The AUTOMATIC ranking rewrite ([[graft.plans.RangeRankRewrite]])
+    * under the driver's hash gate: plain user SQL over the whole
+    * unpartitioned rank family, with the size gate forced OPEN in an
+    * ISOLATED session (`newSession` — the conf cannot leak into
+    * sibling keys' gates), so the frame the oracle hashes is
+    * [[graft.plans.GlobalRankExec]]'s output, not the single-partition
+    * window's. Construction asserts the rewrite actually fired —
+    * a silently-unrewritten plan would pass the hash (the paths are
+    * value-identical on a total order) while gating nothing. */
+  def gr1GlobalRankSql(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set(graft.operators.RangeRank.MinBytesKey, "0")
+    t(spark, dir, "orders").createOrReplaceTempView("gr1_orders")
+    val df = spark.sql(gr1Sql("gr1_orders"))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("GlobalRank") && !plan.contains("SinglePartition"),
+      "gr1: the automatic ranking rewrite did not fire:\n" + plan.take(2000))
+    df
+  }
+
   /** Calendar seasonality: revenue by day-of-week. The trap this key
     * pins: weekday NUMBERING is engine-specific (Spark `weekday` is
     * Monday=0; Spark `dayofweek` is Sunday=1; DuckDB `dow` is
@@ -860,6 +900,7 @@ object Relational {
         |SELECT o_orderpriority, status_col, revenue
         |FROM p UNPIVOT (revenue FOR status_col IN (f_rev, o_rev, p_rev))
         |WHERE revenue IS NOT NULL""".stripMargin,
+    "gr1_global_rank_sql" -> gr1Sql("orders"),
     "w5_spend_deciles" ->
       """WITH t AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
         |  FROM orders GROUP BY o_custkey),
@@ -1408,6 +1449,7 @@ object Relational {
     "pf1_profile" -> (pf1Profile _),
     "pv2_unpivot" -> (pv2Unpivot _),
     "w5_spend_deciles" -> (w5SpendDeciles _),
+    "gr1_global_rank_sql" -> (gr1GlobalRankSql _),
     "cal1_dow_revenue" -> (cal1DowRevenue _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),
