@@ -1046,6 +1046,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthBound)
+    ext.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthBound)
     // the automatic distributed-ranking promotion (GlobalRank.scala):
     // preCBO = AFTER the operator-optimization fixed point, so column
     // pruning / filter pushdown have settled around the Window before
@@ -1235,8 +1236,12 @@ object MortonCode {
  * Byte-level comparison (UTF8String bytes) — identical to DuckDB on
  * ASCII; multi-byte code points compare per byte on both engines.
  */
-case class JaroWinklerSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class JaroWinklerSim(left: Expression, right: Expression,
+    bounded: Boolean = false) extends BinaryExpression {
+  // `bounded` is a pure REWRITE MARKER (no eval effect): set by
+  // graft.plans.JaroWinklerLengthBound when it prepends the O(1)
+  // length-ratio guard, and refused by its matcher — the same
+  // idempotence device as Levenshtein's threshold field
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaro_winkler"
 
@@ -1432,6 +1437,11 @@ object GraftFunctions {
         .contains(graft.plans.LevenshteinLengthBound)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LevenshteinLengthBound
+    }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.JaroWinklerLengthBound)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.JaroWinklerLengthBound
     }
     // live-session slot for the ranking promotion: "User Provided
     // Optimizers" also runs after the operator batch, matching the

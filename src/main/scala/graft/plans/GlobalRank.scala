@@ -146,6 +146,9 @@ case class GlobalRankExec(
 
   override def output: Seq[Attribute] = child.output ++ ranks.map(_.attr)
   override def producedAttributes: AttributeSet = AttributeSet(ranks.map(_.attr))
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
   override def requiredChildDistribution: Seq[Distribution] =
     OrderedDistribution(order) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
@@ -195,6 +198,7 @@ case class GlobalRankExec(
     val kinds = ranks.map(r => (r.kind, r.k)).toArray
 
     // job 2: emit child row ++ rank columns (same shuffle, re-sorted)
+    val numOutputRows = longMetric("numOutputRows")
     childRDD.mapPartitionsWithIndex { (i, it) =>
       val keyProj = UnsafeProjection.create(orderExprs, childOutput)
       val cmp = RowOrdering.create(keyOrder, ka)
@@ -236,6 +240,7 @@ case class GlobalRankExec(
           c += 1
         }
         localIdx += 1L
+        numOutputRows += 1
         proj(joined(row, rankRow))
       }
     }

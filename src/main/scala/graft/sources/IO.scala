@@ -131,4 +131,45 @@ object IO {
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
       .orderBy(col("x_min"), col("y_min"))
   }
+
+  /**
+   * BUCKETED parquet table writer — the layout that buys
+   * EXCHANGE-FREE joins (the co-location lever of the 100 TB brief):
+   * two tables bucketed on their join key into the SAME bucket count
+   * hash-agree file-for-file, so the sort-merge join's
+   * `requiredChildDistribution` is already satisfied by the scan's
+   * `HashPartitioning(bucketCols, numBuckets)` and EnsureRequirements
+   * inserts NO shuffle on either side — the fact-to-fact join
+   * (orders ⋈ lineitem at 100 TB) becomes a per-bucket local merge.
+   * `sortCols` (default: the bucket columns) additionally sorts each
+   * written file, so single-file buckets skip the join's local sort
+   * too.
+   *
+   * Spark constraint made explicit: bucket metadata lives in the
+   * CATALOG, not the parquet footer — this writes via `saveAsTable`
+   * into the session catalog (at `path` when given, else the
+   * warehouse dir). A plain `spark.read.parquet` of the same files
+   * sees ordinary parquet and shuffles; consumers must read
+   * `spark.table(name)`. BucketedJoinSpec asserts the zero-exchange
+   * plan and value-equality with the shuffled join.
+   *
+   * Bucket-count choice at scale: buckets are the UNIT OF TASK
+   * PARALLELISM for the co-located join (one task per bucket, no AQE
+   * re-split), so pick ≥ cluster cores and size buckets ≲ a task's
+   * memory; co-locating SKEWED keys concentrates them in one bucket —
+   * the AQE skew-join escape hatch does not apply to bucketed scans,
+   * which is the documented trade against shuffle-with-AQE.
+   */
+  def writeBucketed(
+      df: DataFrame, table: String, numBuckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed: bucketCols must be non-empty")
+    require(numBuckets >= 1, s"writeBucketed: numBuckets must be >= 1: $numBuckets")
+    val sorts = if (sortCols.nonEmpty) sortCols else bucketCols
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sorts.head, sorts.tail: _*)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

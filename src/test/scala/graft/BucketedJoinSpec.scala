@@ -1,38 +1,71 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
-/** Bucketing evidence for the 100 TB posture: two tables bucketed on
-  * the join key join WITHOUT any shuffle exchange — the co-location
-  * contract that turns a repeated fact-fact join from two full
-  * shuffles into a local merge per bucket. (Broadcast is disabled in
-  * the test so the plan can't sidestep the claim.) */
+/** [[graft.sources.IO.writeBucketed]] must buy the exchange-free
+  * co-located join: two tables bucketed on the join key into the same
+  * bucket count sort-merge-join with ZERO shuffle exchanges, and the
+  * values equal the ordinary shuffled join's. */
 class BucketedJoinSpec extends AnyFunSuite with SparkTestBase {
-  import spark.implicits._
 
-  test("join over key-bucketed tables plans with no shuffle exchange") {
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+  private val dir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$dir/orders.parquet").exists()
+
+  private def withConf[T](k: String, v: String)(body: => T): T = {
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body finally prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+  }
+
+  test("same-bucketing join plans with no shuffle exchange, values identical") {
+    assume(haveData)
+    val orders = graft.sources.Tables.read(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val customer = graft.sources.Tables.read(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
     try {
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_lines")
-      (1L to 1000L).map(i => (i, s"order$i")).toDF("key", "ordval")
-        .write.mode("overwrite").bucketBy(8, "key").sortBy("key")
-        .saveAsTable("graft_bkt_orders")
-      (1L to 1000L).flatMap(i => Seq((i, i * 2.0), (i, i * 3.0))).toDF("key", "lineval")
-        .write.mode("overwrite").bucketBy(8, "key").sortBy("key")
-        .saveAsTable("graft_bkt_lines")
-      val joined = spark.table("graft_bkt_orders")
-        .join(spark.table("graft_bkt_lines"), "key")
-      assert(joined.count() == 2000)
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
-      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-        plan.take(500))
+      graft.sources.IO.writeBucketed(orders, "bj_orders", 8, Seq("o_custkey"))
+      graft.sources.IO.writeBucketed(customer, "bj_customer", 8, Seq("c_custkey"))
+      // force the sort-merge path: a broadcast join would trivially
+      // have no shuffle and prove nothing about co-location
+      withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+        val joined = spark.table("bj_orders")
+          .join(spark.table("bj_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice") * col("c_acctbal")), 2).as("v"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        // the join itself must be exchange-free; the groupBy above it
+        // is ALSO exchange-free (already hash-distributed on the key)
+        assert(!plan.contains("Exchange"),
+          "bucketed co-located join still shuffles:\n" + plan)
+        // value-equality with the ordinary shuffled join
+        val shuffled = orders.join(customer,
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice") * col("c_acctbal")), 2).as("v"))
+        assert(joined.collect().map(_.toSeq).toSet ==
+          shuffled.collect().map(_.toSeq).toSet)
+        assert(joined.count() > 0)
+      }
+      // mismatched bucket counts must NOT silently co-locate: Spark
+      // re-shuffles one side (correct, just not free) — assert the
+      // plan is still correct-by-exchange rather than wrong
+      graft.sources.IO.writeBucketed(customer, "bj_customer4", 4, Seq("c_custkey"))
+      withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+        val mixed = spark.table("bj_orders")
+          .join(spark.table("bj_customer4"),
+            col("o_custkey") === col("c_custkey"))
+        assert(mixed.queryExecution.executedPlan.toString.contains("Exchange"))
+        assert(mixed.count() > 0)
+      }
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_lines")
+      Seq("bj_orders", "bj_customer", "bj_customer4")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 }
