@@ -567,6 +567,13 @@ object PipelineQueries {
     // (3 rounds, per-round signed r6), Rayleigh eigenvalue
     "pc1_power_iteration" -> ((s, dir) =>
       graft.similarity.Similarity.topPrincipalDirection(embs(s, dir))),
+    // all-but-the-top correction (Mu & Viswanath 2018): per-vector
+    // component along pc1's direction + residual norm — the frame
+    // that decides whether the common-direction subtraction matters;
+    // u rides the plan as ONE literal array, the pass is a stateless
+    // scan projection
+    "pc2_anisotropy_correct" -> ((s, dir) =>
+      graft.similarity.Similarity.removeTopDirection(embs(s, dir))),
     // Label cohesion/confusion matrix from per-(label, dim) sums —
     // NO pair scan (the S²−Q identity); O(labels·dims) state.
     "lb1_label_cohesion" -> (lb1LabelCohesion _),
@@ -1067,6 +1074,39 @@ object PipelineQueries {
        |bx AS (SELECT vec_id, k // 6 AS band_idx,
        |   CAST(sum(bit * power(2, k % 6)) AS BIGINT) AS bucket
        |  FROM px GROUP BY 1, 2)""".stripMargin
+
+  /** pc1's power-iteration chain (quantized exact Gram + 3 rounds →
+    * `v3`) as a val: reused verbatim by the pc2 correction oracle so
+    * the two entries cannot disagree on the direction. Assumes
+    * `$vNormCte` precedes it in the WITH list. */
+  private lazy val pc1ChainCtes = {
+    def iter(i: Int, prev: String) =
+      s"""w$i AS (SELECT gf.i AS i,
+         |   list_sum(list(gf.d * p.x ORDER BY gf.j)) AS w
+         |  FROM gf JOIN $prev p ON gf.j = p.i GROUP BY 1),
+         |n$i AS (SELECT sqrt(list_sum(list(w * w ORDER BY i))) AS nn
+         |  FROM w$i),
+         |v$i AS (SELECT i, ${Round6.r6Sql("w / nn")} AS x
+         |  FROM w$i, n$i)""".stripMargin
+    s"""q AS (SELECT list_transform(emb, c -> CASE WHEN c >= 0
+       |    THEN floor(c * 1000000.0 + 0.5)
+       |    ELSE -floor(-(c) * 1000000.0 + 0.5) END) AS qa FROM v),
+       |ij AS (SELECT a.i AS i, b.j AS j
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS i) a,
+       |       (SELECT unnest(generate_series(0, 63)) AS j) b
+       |  WHERE a.i <= b.j),
+       |gu AS (SELECT ij.i, ij.j,
+       |   SUM(CAST(qa[ij.i + 1] AS HUGEINT) * CAST(qa[ij.j + 1] AS HUGEINT))
+       |     AS s
+       |  FROM q, ij GROUP BY 1, 2),
+       |gf AS (SELECT i, j, CAST(s AS DOUBLE) AS d FROM gu
+       |  UNION ALL SELECT j, i, CAST(s AS DOUBLE) FROM gu WHERE i <> j),
+       |v_0 AS (SELECT unnest(generate_series(0, 63)) AS i,
+       |   CAST(0.125 AS DOUBLE) AS x),
+       |${iter(1, "v_0")},
+       |${iter(2, "v1")},
+       |${iter(3, "v2")}""".stripMargin
+  }
 
   /** dc4/dc5 oracle bodies as vals: reused verbatim by the rc2 recall
     * oracle (which subqueries both), so the flag rule cannot drift
@@ -1597,34 +1637,9 @@ object PipelineQueries {
     // Gram, 3 unrolled power-iteration rounds whose every fold runs
     // in index order (list(... ORDER BY) → list_sum — the t8/lb1
     // ordered-fold pairing), per-round signed r6 resetting drift
-    "pc1_power_iteration" -> {
-      def iter(i: Int, prev: String) =
-        s"""w$i AS (SELECT gf.i AS i,
-           |   list_sum(list(gf.d * p.x ORDER BY gf.j)) AS w
-           |  FROM gf JOIN $prev p ON gf.j = p.i GROUP BY 1),
-           |n$i AS (SELECT sqrt(list_sum(list(w * w ORDER BY i))) AS nn
-           |  FROM w$i),
-           |v$i AS (SELECT i, ${Round6.r6Sql("w / nn")} AS x
-           |  FROM w$i, n$i)""".stripMargin
+    "pc1_power_iteration" ->
       s"""WITH $vNormCte,
-         |q AS (SELECT list_transform(emb, c -> CASE WHEN c >= 0
-         |    THEN floor(c * 1000000.0 + 0.5)
-         |    ELSE -floor(-(c) * 1000000.0 + 0.5) END) AS qa FROM v),
-         |ij AS (SELECT a.i AS i, b.j AS j
-         |  FROM (SELECT unnest(generate_series(0, 63)) AS i) a,
-         |       (SELECT unnest(generate_series(0, 63)) AS j) b
-         |  WHERE a.i <= b.j),
-         |gu AS (SELECT ij.i, ij.j,
-         |   SUM(CAST(qa[ij.i + 1] AS HUGEINT) * CAST(qa[ij.j + 1] AS HUGEINT))
-         |     AS s
-         |  FROM q, ij GROUP BY 1, 2),
-         |gf AS (SELECT i, j, CAST(s AS DOUBLE) AS d FROM gu
-         |  UNION ALL SELECT j, i, CAST(s AS DOUBLE) FROM gu WHERE i <> j),
-         |v_0 AS (SELECT unnest(generate_series(0, 63)) AS i,
-         |   CAST(0.125 AS DOUBLE) AS x),
-         |${iter(1, "v_0")},
-         |${iter(2, "v1")},
-         |${iter(3, "v2")},
+         |$pc1ChainCtes,
          |gv AS (SELECT gf.i AS i,
          |   list_sum(list(gf.d * p.x ORDER BY gf.j)) AS w
          |  FROM gf JOIN v3 p ON gf.j = p.i GROUP BY 1),
@@ -1632,8 +1647,23 @@ object PipelineQueries {
          |  FROM gv JOIN v3 p ON gv.i = p.i)
          |SELECT CAST(v3.i AS BIGINT) AS dim, v3.x AS loading6,
          |  ${Round6.r6Sql("l / 1000000000000.0")} AS eigval6
-         |FROM v3, lam""".stripMargin
-    },
+         |FROM v3, lam""".stripMargin,
+    // pc2: the SAME chain through v3 (shared CTE val — the rc1/rc2
+    // discipline), u as the dim-ordered list, then a per-vector
+    // stateless projection: tc via the shared list_dot_product IEEE
+    // sequence, residual sum folded in ascending dimension order
+    "pc2_anisotropy_correct" ->
+      s"""WITH $vNormCte,
+         |$pc1ChainCtes,
+         |u AS (SELECT list(x ORDER BY i) AS ua FROM v3),
+         |tcs AS (SELECT vec_id, emb, list_dot_product(emb, ua) AS tc
+         |  FROM v, u)
+         |SELECT vec_id AS vid, ${Round6.r6Sql("tc")} AS top_comp6,
+         |  ${Round6.r6Sql(
+        """sqrt(list_sum(list_transform(generate_series(1, 64),
+          |    k -> (emb[k] - tc * ua[k]) * (emb[k] - tc * ua[k]))))""".stripMargin)}
+         |    AS resid_norm6
+         |FROM tcs, u""".stripMargin,
     // kc1: same verified pair chain; the identical 6 peel rounds
     // unrolled as CTEs (the pr1 iterCte pattern) — both sides compute
     // the same round-bounded core by construction

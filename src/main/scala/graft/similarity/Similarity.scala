@@ -531,6 +531,44 @@ object Similarity {
       .toDF("dim", "loading6", "eigval6")
   }
 
+  /** ALL-BUT-THE-TOP anisotropy correction (Mu & Viswanath 2018 —
+    * the standard fix [[topPrincipalDirection]]'s scaladoc names):
+    * per normalized vector, its component along the corpus's top
+    * direction u and the norm of the residual after removing it —
+    * the frame a pipeline materializes to decide whether (and how
+    * hard) the common-direction subtraction changes its geometry.
+    * A corpus whose `top_comp6` mass concentrates near ±1 is the
+    * pathological "all embeddings point the same way" case; healthy
+    * corpora center near 0 with `resid_norm6` ≈ 1.
+    *
+    * Scale shape: u comes from pc1's bounded machinery (one exact
+    * Gram pass + driver power iteration over D×D), then rides the
+    * plan as ONE literal array (the PQ reference-object posture) —
+    * the per-vector pass is a stateless scan projection, no joins,
+    * no shuffles. Portability: the dot is the shared graft_dot /
+    * list_dot_product IEEE sequence (the dc4 pairing); the residual
+    * sum folds in ascending dimension order on both engines
+    * (`aggregate(sequence(...))` left fold == `list_sum` over an
+    * index-ordered `list_transform`). */
+  def removeTopDirection(
+      vecs: DataFrame, iters: Int = 3, dim: Int = 64): DataFrame = {
+    ensureRegistered(vecs)
+    val u: Array[Double] = topPrincipalDirection(vecs, iters, dim)
+      .select(col("dim"), col("loading6"))
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1)) // bounded: D rows
+    val v = normalized(vecs, "vid", "emb")
+    val uLit = typedlit(u.toSeq)
+    v.select(col("vid"), col("emb"), fastDot(col("emb"), uLit).as("tc"))
+      .select(col("vid"),
+        graft.queries.Round6.r6(col("tc")).as("top_comp6"),
+        graft.queries.Round6.r6(sqrt(aggregate(
+          sequence(lit(1), lit(dim)), lit(0.0d),
+          (acc, k) => {
+            val d = element_at(col("emb"), k) - col("tc") * element_at(uLit, k)
+            acc + d * d
+          }))).as("resid_norm6"))
+  }
+
   /** Deterministic ±1 (Rademacher) hyperplane for sign-LSH: component
     * d of plane k is +1 iff the first md5 hex digit of "k:d" is odd.
     * Derived — not sampled — so the DuckDB oracle twin reproduces the
