@@ -177,7 +177,8 @@ object SqlSurface {
     "graft_embeddings", "graft_int8_quantize", "graft_ann_topk",
     "graft_ivf_topk", "graft_pq_codes", "graft_pq_topk",
     "graft_ivfadc_topk", "graft_ivfadc_residual_topk",
-    "graft_binary_hamming_topk", "graft_binary_rerank_topk")
+    "graft_binary_hamming_topk", "graft_binary_rerank_topk",
+    "graft_hard_negatives") // registered only when embs/queries carry `label`
 
   /** AT-SCALE ROUTING (read before pointing a 100 TB corpus at these
     * views — VERDICT r13/r14): two of the registered shapes are EXACT
@@ -214,6 +215,13 @@ object SqlSurface {
     S.bruteForceTopK(queries, embs, k).createOrReplaceTempView("graft_ann_topk")
     S.ivfTopK(queries, embs, centroids, k, nProbe)
       .createOrReplaceTempView("graft_ivf_topk")
+    // hard-negative mining needs a `label` column on both frames;
+    // registered only when the caller's corpus carries one (the
+    // contrastive-training shape) — same probe chain as graft_ivf_topk,
+    // label-mismatch applied before the top-k window
+    if (embs.columns.contains("label") && queries.columns.contains("label"))
+      S.ivfHardNegatives(queries, embs, centroids, k, nProbe)
+        .createOrReplaceTempView("graft_hard_negatives")
     S.pqEncodeAdc(embs, pqSeeds, pqQuery).createOrReplaceTempView("graft_pq_codes")
     S.pqTopK(embs, pqSeeds, pqQuery, topK).createOrReplaceTempView("graft_pq_topk")
     S.ivfAdcTopK(embs, pqSeeds, pqQuery, centroids, topK, nProbe = nProbe)

@@ -403,6 +403,18 @@ object PipelineQueries {
         e.where(col("vec_id") < 20), e,
         centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3)
     }),
+    // Hard-negative MINING — the contrastive-training pair builder:
+    // s2's probe chain with the label-mismatch predicate BEFORE the
+    // top-k window (a post-filter would under-fill k whenever
+    // same-label neighbors crowd the top). Labels ride the existing
+    // exchanges as carried struct fields: zero extra joins on the
+    // Spark side vs s2.
+    "hn1_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfHardNegatives(
+        e.where(col("vec_id") < 20), e,
+        centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3)
+    }),
     // Retrieval EVALUATION — recall@5 of the IVF approximate path
     // against the exact scan, per query (auc1's counterpart for the
     // s-family: every ANN deployment reports this number before
@@ -2325,6 +2337,36 @@ object PipelineQueries {
          |    ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
          |  GROUP BY ex.query_id)""".stripMargin,
     "s2_ivf_topk" -> s2IvfSql,
+    // s2's chain with labels joined in (DuckDB has no struct-carry
+    // idiom, so the oracle attaches labels by vec_id equi-join — the
+    // values are what matter; the Spark plan carries them shuffle-free)
+    // and the mismatch predicate applied before the rank window.
+    "hn1_hard_negatives" ->
+      s"""WITH $vNormCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, emb AS cent_emb FROM v WHERE vec_id % 25 = 0),
+         |assigned AS (SELECT neighbor_id, c_emb, cid, n_label FROM (
+         |  SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, cent.cid,
+         |    lab.label AS n_label,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+         |  FROM v JOIN lab ON lab.vec_id = v.vec_id CROSS JOIN cent) WHERE rn = 1),
+         |probes AS (SELECT query_id, q_emb, q_label, cid FROM (
+         |  SELECT v.vec_id AS query_id, v.emb AS q_emb, lab.label AS q_label,
+         |    cent.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+         |  FROM v JOIN lab ON lab.vec_id = v.vec_id CROSS JOIN cent
+         |  WHERE v.vec_id < 20) WHERE rn <= 3)
+         |SELECT query_id, q_label, neighbor_id, n_label, rank,
+         |  ROUND(cos, 4) AS cos FROM (
+         |  SELECT query_id, q_label, neighbor_id, n_label,
+         |    ${dotSql("q_emb", "c_emb")} AS cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${dotSql("q_emb", "c_emb")} DESC, neighbor_id) AS rank
+         |  FROM probes JOIN assigned USING (cid)
+         |  WHERE query_id <> neighbor_id AND q_label <> n_label)
+         |WHERE rank <= 5""".stripMargin,
     // kmeansCentroids(iters=2) unrolled: seeds = the same vec_id%25
     // picks, two Lloyd rounds (assign → member means → re-normalize →
     // round-to-6 via the mirrored IEEE formula), then exactly the s2

@@ -593,6 +593,84 @@ object TextAnalysis {
         col("tr").as("r_tokens"), round(col("kl"), 6).as("kl6"))
   }
 
+  /**
+   * Quality-threshold YIELD CURVE — the number every filtering run
+   * needs before committing: for each candidate threshold t ∈
+   * {0.0, 0.1, …, 0.9}, how many documents and tokens survive
+   * `quality ≥ t`. Computing it per-candidate would re-scan the
+   * corpus once per threshold; this runs as ONE scan: each doc folds
+   * into its decile bucket `min(⌊quality·10⌋, 9)` (a bucketed
+   * aggregate, ≤10 combined rows through the exchange), then the
+   * cumulative kept-at-threshold counts come from a 10×10
+   * bounded-side join over the bucket frame — O(1) work after the
+   * scan no matter the corpus size. The bucket formula (not a raw
+   * `q ≥ t` float compare) is mirrored verbatim in the oracle, so
+   * threshold membership is identical-by-construction cross-engine
+   * (quality itself is the t2-proven digit-identical score).
+   * Output: (thr10, n_docs_kept, n_tokens_kept, docs_frac6,
+   * tokens_frac6), thr10 = 10·threshold.
+   */
+  def qs1QualityYield(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(spark, dir).select(
+      least(floor(qualityScore(col("text")) * 10.0).cast("long"), lit(9L)).as("b"),
+      tokenCount(col("text")).cast("long").as("n_toks"))
+    // barrier (t10 idiom): the bucket aggregate feeds the totals AND
+    // the threshold join — reuse-defeated duplicate scan without it
+    val buckets = graft.Materialize.barrierAbove(
+      perDoc.groupBy(col("b")).agg(
+        count(lit(1)).as("c"), sum(col("n_toks")).as("t")),
+      sizeOf = docs(spark, dir), confKey = VocabBarrierMinBytesKey)
+    val tot = broadcast(buckets.agg(
+      sum(col("c")).as("tc"), sum(col("t")).as("tt")))
+    val grid = spark.range(0, 10).select(col("id").as("thr10"))
+    grid.join(buckets, col("b") >= col("thr10"), "left")
+      .groupBy(col("thr10"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_docs_kept"),
+        coalesce(sum(col("t")), lit(0L)).as("n_tokens_kept"))
+      .crossJoin(tot)
+      .select(col("thr10"), col("n_docs_kept"), col("n_tokens_kept"),
+        Round6.r6(col("n_docs_kept").cast("double") / col("tc")).as("docs_frac6"),
+        Round6.r6(col("n_tokens_kept").cast("double") / col("tt")).as("tokens_frac6"))
+  }
+
+  /**
+   * Filter-cascade FUNNEL — per-stage survivor counts of the standard
+   * curation chain (language → quality → length → repetition), each
+   * stage conditional on all previous: the audit table a pipeline
+   * publishes so yield loss is attributable to a specific stage. All
+   * five stages fold in ONE corpus scan (conditional aggregation —
+   * running the four filters separately would cost four scans), then
+   * `stack` unpivots the single wide row; nothing shuffles but one
+   * 10-column combined row per map task. Thresholds: langGuess = en,
+   * quality ≥ 0.8, 20 ≤ tokens ≤ 5000, 3-gram repetition (6dp) ≤ 0.02.
+   */
+  def fc1FilterCascade(spark: SparkSession, dir: String): DataFrame = {
+    val nToks = tokenCount(col("text")).cast("long")
+    val d = docs(spark, dir).select(
+      nToks.as("n_toks"),
+      (langGuess(col("text")) === "en").as("f1"),
+      (qualityScore(col("text")) >= 0.8).as("f2"),
+      (nToks >= 20 && nToks <= 5000).as("f3"),
+      (Round6.r6(repetitionRatio(col("text"))) <= 0.02).as("f4"))
+    val g1 = col("f1"); val g2 = g1 && col("f2")
+    val g3 = g2 && col("f3"); val g4 = g3 && col("f4")
+    def cnt(g: Column) = sum(when(g, 1L).otherwise(0L))
+    def tok(g: Column) = sum(when(g, col("n_toks")).otherwise(0L))
+    d.agg(
+      count(lit(1)).as("c0"), sum(col("n_toks")).as("t0"),
+      cnt(g1).as("c1"), tok(g1).as("t1"),
+      cnt(g2).as("c2"), tok(g2).as("t2"),
+      cnt(g3).as("c3"), tok(g3).as("t3"),
+      cnt(g4).as("c4"), tok(g4).as("t4"))
+      .selectExpr(
+        """stack(5,
+          |  0, 'all',        c0, t0,
+          |  1, 'lang_en',    c1, t1,
+          |  2, 'quality',    c2, t2,
+          |  3, 'length',     c3, t3,
+          |  4, 'repetition', c4, t4) AS (stage, name, n_docs, n_tokens)""".stripMargin)
+  }
+
   private val toksSql =
     """CASE WHEN length(trim(text)) = 0 THEN []
       | ELSE string_split_regex(trim(text), '\s+') END""".stripMargin
@@ -665,6 +743,52 @@ object TextAnalysis {
         s"""SELECT doc_id, n_chars, $nToksSql::BIGINT AS ws_tokens,
            | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
            |FROM documents""".stripMargin,
+      // qs1: decile-bucket membership mirrored verbatim (not a raw
+      // q >= t float compare) — see the Spark scaladoc
+      "qs1_quality_yield" ->
+        s"""WITH pd AS (SELECT
+           |  LEAST(CAST(floor($quality6Sql * 10.0) AS BIGINT), 9) AS b,
+           |  CAST($nToksSql AS BIGINT) AS n_toks FROM documents),
+           |bk AS (SELECT b, COUNT(*) AS c,
+           |  CAST(SUM(n_toks) AS BIGINT) AS t FROM pd GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tc,
+           |  CAST(SUM(t) AS BIGINT) AS tt FROM bk),
+           |g AS (SELECT unnest(generate_series(0, 9)) AS thr10)
+           |SELECT thr10,
+           |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_docs_kept,
+           |  CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_tokens_kept,
+           |  floor(CAST(COALESCE(SUM(c), 0) AS DOUBLE) / tc * 1000000.0 + 0.5)
+           |    / 1000000.0 AS docs_frac6,
+           |  floor(CAST(COALESCE(SUM(t), 0) AS DOUBLE) / tt * 1000000.0 + 0.5)
+           |    / 1000000.0 AS tokens_frac6
+           |FROM g LEFT JOIN bk ON bk.b >= g.thr10 CROSS JOIN tot
+           |GROUP BY thr10, tc, tt""".stripMargin,
+      "fc1_filter_cascade" -> {
+        val rep6Sql =
+          s"""floor((CASE WHEN len($shinglesSql) <= 0 THEN 0.0
+             | ELSE 1.0 - len(list_distinct($shinglesSql))::DOUBLE
+             |      / len($shinglesSql) END) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
+        s"""WITH lc AS (SELECT CAST($nToksSql AS BIGINT) AS n_toks, $langCounts,
+           |  $quality6Sql AS q, $rep6Sql AS rep6 FROM documents),
+           |fl AS (SELECT n_toks, ($guess) = 'en' AS f1, q >= 0.8 AS f2,
+           |  n_toks >= 20 AND n_toks <= 5000 AS f3, rep6 <= 0.02 AS f4 FROM lc),
+           |a AS (SELECT
+           |  COUNT(*) AS c0, CAST(SUM(n_toks) AS BIGINT) AS t0,
+           |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           |  CAST(SUM(CASE WHEN f1 THEN n_toks ELSE 0 END) AS BIGINT) AS t1,
+           |  CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+           |  CAST(SUM(CASE WHEN f1 AND f2 THEN n_toks ELSE 0 END) AS BIGINT) AS t2,
+           |  CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+           |  CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN n_toks ELSE 0 END) AS BIGINT) AS t3,
+           |  CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+           |  CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN n_toks ELSE 0 END) AS BIGINT) AS t4
+           |  FROM fl)
+           |SELECT 0 AS stage, 'all' AS name, c0 AS n_docs, t0 AS n_tokens FROM a
+           |UNION ALL SELECT 1, 'lang_en', c1, t1 FROM a
+           |UNION ALL SELECT 2, 'quality', c2, t2 FROM a
+           |UNION ALL SELECT 3, 'length', c3, t3 FROM a
+           |UNION ALL SELECT 4, 'repetition', c4, t4 FROM a""".stripMargin
+      },
       "t2_quality" ->
         s"""SELECT doc_id,
            | ROUND($punctSql, 6) AS punct_ratio,
@@ -1002,6 +1126,8 @@ object TextAnalysis {
     "pmi1_collocations" -> ((s: SparkSession, dir: String) => pmi1Collocations(s, dir)),
     "t9_char_stats" -> (t9CharStats _),
     "t10_kl_divergence" -> (t10KlDivergence _),
+    "qs1_quality_yield" -> (qs1QualityYield _),
+    "fc1_filter_cascade" -> (fc1FilterCascade _),
     "bm1_bm25" -> ((s: SparkSession, dir: String) =>
       bm25TopK(docs(s, dir), Bm25Terms))
   )

@@ -192,6 +192,77 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining over the IVF probe chain: for each query, the
+   * k nearest corpus vectors whose `label` DIFFERS from the query's —
+   * the pair-construction step of contrastive embedding training
+   * (the "in-batch negatives aren't hard enough" fix: mine negatives
+   * that are semantically close but labeled apart). Same retrieval
+   * semantics as [[ivfTopK]] (nearest-centroid cells, `nProbe` probed
+   * cells per query, cosine ranking with ascending-id ties), with the
+   * label-mismatch predicate applied BEFORE the top-k window — a
+   * post-filter on [[ivfTopK]]'s output would return fewer than k
+   * negatives whenever same-label neighbors crowd the top.
+   *
+   * Scale posture = s2's: labels ride the existing exchanges (the
+   * corpus label travels as one extra carried field of the argmax
+   * assignment struct; the query label rides the broadcast probe
+   * frame), so the plan has ZERO joins/exchanges beyond ivfTopK's own.
+   * Output: (query_id, q_label, neighbor_id, n_label, rank, cos).
+   */
+  def ivfHardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      k: Int = 5,
+      nProbe: Int = 3): DataFrame = {
+    ensureRegistered(queries)
+    val cent = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
+
+    def withLabel(df: DataFrame, idOut: String, embOut: String,
+        labOut: String, spread: Boolean): DataFrame = {
+      val base = if (spread) parallelize(df) else df
+      val emb = col("embedding").cast("array<double>")
+      base.select(col("vec_id").as(idOut),
+        transform(emb, x => x / sqrt(fastDot(emb, emb))).as(embOut),
+        col("label").as(labOut))
+    }
+
+    // argmaxAssign with the label as a second carried (never compared)
+    // struct field — (cos, -cid) is already unique per group, so the
+    // aggregate's ranking semantics are bit-identical to ivfTopK's
+    val cv = graft.dedup.Dedup.materialize(
+      withLabel(corpus, "neighbor_id", "c_emb", "n_label", spread = true))
+    val assigned = cv.crossJoin(cent)
+      .withColumn("cos_c", fastDot(col("c_emb"), col("cent_emb")))
+      .groupBy(col("neighbor_id"))
+      .agg(max(struct(col("cos_c").as("cos"), (-col("cid")).as("neg_cid"),
+        col("c_emb").as("emb"), col("n_label").as("lab"))).as("best"))
+      .select(col("neighbor_id"), col("best.emb").as("c_emb"),
+        (-col("best.neg_cid")).as("cid"), col("best.lab").as("n_label"))
+
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_p").desc, col("cid"))
+    val probes = withLabel(queries, "query_id", "q_emb", "q_label", spread = false)
+      .crossJoin(cent)
+      .withColumn("cos_p", fastDot(col("q_emb"), col("cent_emb")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_label"), col("cid"))
+
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(assigned, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("n_label"))
+      .withColumn("cos", fastDot(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("n_label"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  /**
    * Deterministic spherical k-means centroid training for IVF: seed
    * with `vec_id % (N/k)`-style fixed picks (caller supplies the seed
    * frame), then `iters` Lloyd rounds — assign by cosine (ties to the

@@ -105,6 +105,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(dist.map { case (c, d) => c * d }.sum == nOrders)
   }
 
+  test("qs1 yield curve: monotone in the threshold, exhaustive at zero") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.TextAnalysis.qs1QualityYield(spark, dir)
+      .orderBy("thr10")
+      .select("thr10", "n_docs_kept", "n_tokens_kept", "docs_frac6")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._1) == (0L to 9L))
+    // quality >= 0 always: threshold 0 keeps the whole corpus
+    val nDocs = graft.sources.Tables.read(spark, dir, "documents").count()
+    assert(rows.head._2 == nDocs && rows.head._4 == 1.0)
+    // raising the threshold can only shrink the kept set
+    assert(rows.sliding(2).forall(p => p(0)._2 >= p(1)._2 && p(0)._3 >= p(1)._3))
+    // the sweep must actually discriminate on this corpus
+    assert(rows.last._2 < nDocs)
+  }
+
+  test("fc1 cascade: stage counts are monotone and stage 0 is the corpus") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.TextAnalysis.fc1FilterCascade(spark, dir)
+      .orderBy("stage")
+      .select("stage", "name", "n_docs", "n_tokens")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(rows.map(_._2) == Seq("all", "lang_en", "quality", "length", "repetition"))
+    val nDocs = graft.sources.Tables.read(spark, dir, "documents").count()
+    assert(rows.head._3 == nDocs)
+    assert(rows.sliding(2).forall(p => p(0)._3 >= p(1)._3 && p(0)._4 >= p(1)._4))
+    // at least one stage filters something on this corpus
+    assert(rows.last._3 < nDocs)
+  }
+
   test("e4 cascade: reranked ids are a subset of the binary candidates, " +
     "scored exactly like brute force") {
     import spark.implicits._

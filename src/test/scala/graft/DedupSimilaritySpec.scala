@@ -471,6 +471,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ivf == bf)
   }
 
+  test("hard negatives: mismatch filter applies BEFORE top-k, labels carried") {
+    // same-label v1 is the NEAREST neighbor of q=v0 — a post-filter on
+    // ivfTopK(k=2) would keep only one row; the mining operator must
+    // still return k=2 hard negatives (v2 then v3)
+    val lv = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),  // same-label crowd-out
+      (2L, Array(0.9f, 0.2f, 0.0f), 1),
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(-1.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val q = lv.where(col("vec_id") === 0)
+    val hn = Similarity.ivfHardNegatives(q, lv, centroids = lv, k = 2, nProbe = 5)
+      .orderBy("rank")
+      .select("neighbor_id", "n_label", "q_label").as[(Long, Int, Int)]
+      .collect().toSeq
+    assert(hn == Seq((2L, 1, 0), (3L, 1, 0)))
+    // the naive compose returns fewer than k — the reason this is an
+    // operator, not a filter on ivfTopK's output
+    val naive = Similarity.ivfTopK(q, lv, centroids = lv, k = 2, nProbe = 5)
+      .join(lv.select(col("vec_id").as("neighbor_id"), col("label")), Seq("neighbor_id"))
+      .where(col("label") =!= 0)
+    assert(naive.count() == 1)
+  }
+
   test("semDedup: dups flagged within clusters only, keep-lowest-id rule") {
     // two well-separated clusters; v6/v7 are near-dups of EACH OTHER
     // (cos ≈ 0.999) but land in different cells — SemDeDup by design

@@ -158,6 +158,13 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
       """SELECT count(*) FROM graft_pq_topk p
         |JOIN graft_pq_codes c ON p.vec_id = c.vec_id
         |WHERE p.adc6 = c.adc6""".stripMargin).head.getLong(0) >= 1L)
+    // hard negatives: absent without labels, registered + twin-equal with
+    assert(!spark.catalog.tableExists("graft_hard_negatives"))
+    val labeled = embs.withColumn("label", (col("vec_id") % 2).cast("int"))
+    SqlSurface.registerEmbeddings(
+      labeled, labeled.where(col("vec_id") < 3), seeds, pqQuery, cents)
+    same("graft_hard_negatives",
+      S.ivfHardNegatives(labeled.where(col("vec_id") < 3), labeled, cents, 5, 3))
   }
 
   test("event views: funnel, MAD outliers, weighted sample reachable from SQL") {
