@@ -638,37 +638,41 @@ object TextAnalysis {
    * curation chain (language → quality → length → repetition), each
    * stage conditional on all previous: the audit table a pipeline
    * publishes so yield loss is attributable to a specific stage. All
-   * five stages fold in ONE corpus scan (conditional aggregation —
-   * running the four filters separately would cost four scans), then
-   * `stack` unpivots the single wide row; nothing shuffles but one
-   * 10-column combined row per map task. Thresholds: langGuess = en,
+   * five stages fold in ONE corpus scan. Thresholds: langGuess = en,
    * quality ≥ 0.8, 20 ≤ tokens ≤ 5000, 3-gram repetition (6dp) ≤ 0.02.
+   *
+   * Shape (the qs1 bucket design, for the same reason): each doc folds
+   * to the HIGHEST STAGE IT REACHES (one CASE — so the heavy text
+   * kernels evaluate once per row), the per-stage aggregate carries
+   * ≤5 combined rows through the exchange, and the cumulative funnel
+   * is a bounded 5×5 join. The first-draft alternative — per-flag
+   * boolean columns consumed by 8 conditional aggregates — measured
+   * ~30× slower at sf0.1: Catalyst inlines the flag projection into
+   * EVERY aggregate expression, so the non-codegen HOF chains
+   * (tokenize/filter) re-evaluate once per aggregate per row. The
+   * funnel-as-reached-stage form is also what survives 100 TB: one
+   * expression instance per row by construction, not by optimizer
+   * grace.
    */
   def fc1FilterCascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val nToks = tokenCount(col("text")).cast("long")
-    val d = docs(spark, dir).select(
-      nToks.as("n_toks"),
-      (langGuess(col("text")) === "en").as("f1"),
-      (qualityScore(col("text")) >= 0.8).as("f2"),
-      (nToks >= 20 && nToks <= 5000).as("f3"),
-      (Round6.r6(repetitionRatio(col("text"))) <= 0.02).as("f4"))
-    val g1 = col("f1"); val g2 = g1 && col("f2")
-    val g3 = g2 && col("f3"); val g4 = g3 && col("f4")
-    def cnt(g: Column) = sum(when(g, 1L).otherwise(0L))
-    def tok(g: Column) = sum(when(g, col("n_toks")).otherwise(0L))
-    d.agg(
-      count(lit(1)).as("c0"), sum(col("n_toks")).as("t0"),
-      cnt(g1).as("c1"), tok(g1).as("t1"),
-      cnt(g2).as("c2"), tok(g2).as("t2"),
-      cnt(g3).as("c3"), tok(g3).as("t3"),
-      cnt(g4).as("c4"), tok(g4).as("t4"))
-      .selectExpr(
-        """stack(5,
-          |  0, 'all',        c0, t0,
-          |  1, 'lang_en',    c1, t1,
-          |  2, 'quality',    c2, t2,
-          |  3, 'length',     c3, t3,
-          |  4, 'repetition', c4, t4) AS (stage, name, n_docs, n_tokens)""".stripMargin)
+    val f1 = langGuess(col("text")) === "en"
+    val f2 = qualityScore(col("text")) >= 0.8
+    val f3 = nToks >= 20 && nToks <= 5000
+    val f4 = Round6.r6(repetitionRatio(col("text"))) <= 0.02
+    val reached = when(!f1, 0).when(!f2, 1).when(!f3, 2).when(!f4, 3).otherwise(4)
+    val byStage = docs(spark, dir)
+      .select(reached.as("reached"), nToks.as("n_toks"))
+      .groupBy(col("reached"))
+      .agg(count(lit(1)).as("c"), sum(col("n_toks")).as("t"))
+    val stages = Seq(
+      (0, "all"), (1, "lang_en"), (2, "quality"),
+      (3, "length"), (4, "repetition")).toDF("stage", "name")
+    stages.join(byStage, col("reached") >= col("stage"), "left")
+      .groupBy(col("stage"), col("name"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("t")), lit(0L)).as("n_tokens"))
   }
 
   private val toksSql =

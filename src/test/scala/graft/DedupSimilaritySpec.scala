@@ -496,6 +496,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(naive.count() == 1)
   }
 
+  test("hard negatives: plan adds no exchanges or joins over the s2 chain") {
+    // the SCALE_NOTES claim, asserted: labels ride as carried struct
+    // fields, so hn1's physical plan has exactly s2's exchange/join
+    // structure — any regression to a label re-attach join fails here
+    import graft.sources.Tables
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 3)
+    val cents = e.where(col("vec_id") % 25 === 0)
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val s = df.queryExecution.executedPlan.toString
+      ("Exchange".r.findAllIn(s).size, "Join".r.findAllIn(s).size)
+    }
+    val s2Shape = shape(Similarity.ivfTopK(q, e, cents, k = 5, nProbe = 3))
+    val hnShape = shape(Similarity.ivfHardNegatives(q, e, cents, k = 5, nProbe = 3))
+    assert(hnShape == s2Shape,
+      s"hard-negative plan grew beyond the s2 chain: $hnShape vs $s2Shape")
+  }
+
   test("semDedup: dups flagged within clusters only, keep-lowest-id rule") {
     // two well-separated clusters; v6/v7 are near-dups of EACH OTHER
     // (cos ≈ 0.999) but land in different cells — SemDeDup by design
