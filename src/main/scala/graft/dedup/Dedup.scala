@@ -30,8 +30,20 @@ object Dedup {
   def wordShingles(text: Column, n: Int = 3): Column = {
     val toks = TextFunctions.wsTokens(text)
     val count = size(toks) - (n - 1)
-    when(count <= 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n)))))
+    // n offset slices zipped pairwise, NOT an index transform with
+    // slice(toks, i, n) in the lambda body: interpreted higher-order
+    // functions re-evaluate non-lambda-variable subtrees PER ELEMENT,
+    // so the index form re-ran the whole tokenizer once per shingle —
+    // O(tokens²) per doc (measured 3-5x at sf0.1; the zip form's
+    // lambdas touch only their own variables, so toks evaluates n
+    // times total). Output strings identical by construction
+    // (tok_i .. tok_{i+n-1} joined by one space), proven 0-diff over
+    // the corpus before the swap — every hash-gated consumer
+    // (minhash/x2/x4/ng1/rep/t5/cr1/sb*) is unchanged.
+    val slices = (0 until n).map(j => slice(toks, lit(j + 1), count))
+    val zipped = slices.reduce((a, b) =>
+      zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+    when(count <= 0, array().cast("array<string>")).otherwise(zipped)
   }
 
   /** 32-bit base hash per shingle: decimal value of the first 8 md5

@@ -641,18 +641,22 @@ object TextAnalysis {
    * five stages fold in ONE corpus scan. Thresholds: langGuess = en,
    * quality ≥ 0.8, 20 ≤ tokens ≤ 5000, 3-gram repetition (6dp) ≤ 0.02.
    *
-   * Shape (the qs1 bucket design, for the same reason): each doc folds
-   * to the HIGHEST STAGE IT REACHES (one CASE — so the heavy text
-   * kernels evaluate once per row), the per-stage aggregate carries
-   * ≤5 combined rows through the exchange, and the cumulative funnel
-   * is a bounded 5×5 join. The first-draft alternative — per-flag
-   * boolean columns consumed by 8 conditional aggregates — measured
-   * ~30× slower at sf0.1: Catalyst inlines the flag projection into
-   * EVERY aggregate expression, so the non-codegen HOF chains
-   * (tokenize/filter) re-evaluate once per aggregate per row. The
-   * funnel-as-reached-stage form is also what survives 100 TB: one
-   * expression instance per row by construction, not by optimizer
-   * grace.
+   * Shape (the qs1 bucket design): each doc folds to the HIGHEST
+   * STAGE IT REACHES — one short-circuiting CASE, so a doc failing
+   * the language gate never evaluates the quality or repetition
+   * kernels at all — the per-stage aggregate carries ≤5 combined
+   * rows through the exchange, and the cumulative funnel is a
+   * bounded 5×5 join. The first-draft alternative (per-flag boolean
+   * COLUMNS consumed by 8 conditional aggregates) measured ~30×
+   * slower at sf0.1 for two bisected reasons: flag columns are
+   * unconditional, so EVERY doc paid the heaviest kernel (the
+   * then-quadratic shingle repetition signal — since fixed at
+   * [[graft.dedup.Dedup.wordShingles]]), and lambda-containing
+   * expressions are excluded from subexpression elimination, so each
+   * flag REFERENCE re-evaluates its whole kernel chain. The
+   * reached-stage form pays each kernel at most once per row, and
+   * the expensive ones only on the small suffix of docs that survive
+   * the earlier stages.
    */
   def fc1FilterCascade(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
