@@ -1614,7 +1614,11 @@ object Dedup {
   def chunkDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
     val ct = chunkTokens
-    val toks = graft.functions.TextFunctions.wsTokens(col("text"))
+    // tokens hoisted into their own projection below the Generate (the
+    // ck1 idiom): the chunk lambda then slices an ATTRIBUTE — the
+    // inline form re-ran the tokenizer once per chunk (the HofAudit
+    // per-element recompute class, O(tokens²/ct) per doc)
+    val toks = col("toks")
     val nChunks = ((size(toks) + lit(ct - 1)) / lit(ct)).cast("int")
     // guard: sequence(0, -1) DESCENDS in Spark — empty docs must map
     // to an empty chunk array, not a [0, -1] index list
@@ -1623,6 +1627,8 @@ object Dedup {
         i => array_join(slice(toks, i * ct + 1, lit(ct)), " ")))
       .otherwise(array().cast("array<string>"))
     val occ = materialize(parallelize(docs)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wsTokens(col("text")).as("toks"))
       .select(col("doc_id"), posexplode(chunks).as(Seq("idx", "chunk")))
       .withColumn("h", md5(col("chunk"))))
     val canon = occ.groupBy(col("h")).agg(
