@@ -1290,6 +1290,52 @@ object ScaleSmoke {
         s"onescan=(ng=${sumOne._1}, nn=${sumOne._2}) " +
         s"${if (sumWin == sumAgg && sumAgg == sumOne) "IDENTICAL" else "DIVERGED"}")
     }
+    // --- bucketed co-located join at 10M rows (STATUS r15 item) ---------
+    // The BucketedJoinSpec plan assertion, with wall-clock: the same
+    // fact⋈dim → per-key agg, once over catalog-bucketed tables (both
+    // sides bucketed 32 ways on the join key → the join AND the
+    // aggregate above it plan with no exchange beyond the final
+    // single-row fold) and once over plain parquet (two join shuffles
+    // + the agg exchange). Long sums so value equality is exact.
+    if (want("bucketed")) {
+      // broadcast would hide the co-location (the dim's size estimate
+      // sits under the threshold): force SMJ so the measured shapes
+      // are bucketed-SMJ(0 join exchanges) vs shuffled-SMJ(2)
+      val prevBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val nF = 10000000L; val nD = 2000000L
+      val fact = spark.range(nF).select(
+        (col("id") % 1000000L).as("k"), (col("id") % 97).as("v"))
+      val dim = spark.range(nD).select(
+        (col("id") % 1000000L).as("k"), (col("id") % 13).as("w"))
+      spark.sql("DROP TABLE IF EXISTS bs_fact")
+      spark.sql("DROP TABLE IF EXISTS bs_dim")
+      graft.sources.IO.writeBucketed(fact, "bs_fact", 32, Seq("k"),
+        path = Some(s"$outDir/bs_fact"))
+      graft.sources.IO.writeBucketed(dim, "bs_dim", 32, Seq("k"),
+        path = Some(s"$outDir/bs_dim"))
+      fact.write.mode("overwrite").parquet(s"$outDir/bp_fact")
+      dim.write.mode("overwrite").parquet(s"$outDir/bp_dim")
+      def q(f: DataFrame, d: DataFrame): DataFrame =
+        f.join(d, "k").groupBy(col("k"))
+          .agg(sum(col("v") * col("w")).as("s"))
+          .agg(count(lit(1)).as("n"), sum(col("s")).as("tot"))
+      val bq = q(spark.table("bs_fact"), spark.table("bs_dim"))
+      val pq = q(spark.read.parquet(s"$outDir/bp_fact"),
+        spark.read.parquet(s"$outDir/bp_dim"))
+      def exchanges(df: DataFrame): Int =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      var bTot = 0L; var pTot = 0L
+      timed("bucketed_join_10m") { val r = bq.head; bTot = r.getLong(1); r.getLong(0) }
+      timed("shuffled_join_10m") { val r = pq.head; pTot = r.getLong(1); r.getLong(0) }
+      println(s"SCALE bucketed: exchanges bucketed=${exchanges(bq)} " +
+        s"plain=${exchanges(pq)}; totals " +
+        s"${if (bTot == pTot) s"IDENTICAL ($bTot)" else s"DIVERGED $bTot vs $pTot"}")
+      prevBc match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
     spark.stop()
   }
 }
