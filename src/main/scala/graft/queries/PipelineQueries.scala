@@ -415,6 +415,26 @@ object PipelineQueries {
         e.where(col("vec_id") < 20), e,
         centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3)
     }),
+    // rc3: recall@5 of the IVF hard-negative miner vs the exact scan —
+    // rc1's pattern, so the hn family's approximation is continuously
+    // measured like the retrieval (rc1) and decontamination (rc2) ones.
+    "rc3_hn_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val exact = Similarity
+        .bruteForceHardNegatives(e.where(col("vec_id") < 20), e, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfHardNegatives(
+          e.where(col("vec_id") < 20), e,
+          centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k").cast("double"), 6)
+            .as("recall6"))
+    }),
     // Retrieval EVALUATION — recall@5 of the IVF approximate path
     // against the exact scan, per query (auc1's counterpart for the
     // s-family: every ANN deployment reports this number before
@@ -1013,6 +1033,51 @@ object PipelineQueries {
        |      ORDER BY ${dotSql("q_emb", "c_emb")} DESC, neighbor_id) AS rank
        |  FROM probes JOIN assigned USING (cid)
        |  WHERE query_id <> neighbor_id)
+       |WHERE rank <= 5""".stripMargin
+
+  /** hn1 / exact-hn oracle bodies as vals: reused verbatim by the rc3
+    * recall oracle (the rc1/s2 discipline). */
+  private lazy val hn1Sql =
+    s"""WITH $vNormCte,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, emb AS cent_emb FROM v WHERE vec_id % 25 = 0),
+       |assigned AS (SELECT neighbor_id, c_emb, cid, n_label FROM (
+       |  SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, cent.cid,
+       |    lab.label AS n_label,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+       |  FROM v JOIN lab ON lab.vec_id = v.vec_id CROSS JOIN cent) WHERE rn = 1),
+       |probes AS (SELECT query_id, q_emb, q_label, cid FROM (
+       |  SELECT v.vec_id AS query_id, v.emb AS q_emb, lab.label AS q_label,
+       |    cent.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
+       |  FROM v JOIN lab ON lab.vec_id = v.vec_id CROSS JOIN cent
+       |  WHERE v.vec_id < 20) WHERE rn <= 3)
+       |SELECT query_id, q_label, neighbor_id, n_label, rank,
+       |  ROUND(cos, 4) AS cos FROM (
+       |  SELECT query_id, q_label, neighbor_id, n_label,
+       |    ${dotSql("q_emb", "c_emb")} AS cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${dotSql("q_emb", "c_emb")} DESC, neighbor_id) AS rank
+       |  FROM probes JOIN assigned USING (cid)
+       |  WHERE query_id <> neighbor_id AND q_label <> n_label)
+       |WHERE rank <= 5""".stripMargin
+
+  private lazy val exactHnSql =
+    s"""WITH $vNormCte,
+       |lab AS (SELECT vec_id, label FROM embeddings)
+       |SELECT query_id, q_label, neighbor_id, n_label, rank,
+       |  ROUND(cos, 4) AS cos FROM (
+       |  SELECT q.vec_id AS query_id, ql.label AS q_label,
+       |    c.vec_id AS neighbor_id, cl.label AS n_label,
+       |    ${dotSql("q.emb", "c.emb")} AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${dotSql("q.emb", "c.emb")} DESC, c.vec_id) AS rank
+       |  FROM v q JOIN lab ql ON ql.vec_id = q.vec_id
+       |  CROSS JOIN v c JOIN lab cl ON cl.vec_id = c.vec_id
+       |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+       |    AND ql.label <> cl.label)
        |WHERE rank <= 5""".stripMargin
 
   private val fpSql =
@@ -2341,32 +2406,20 @@ object PipelineQueries {
     // idiom, so the oracle attaches labels by vec_id equi-join — the
     // values are what matter; the Spark plan carries them shuffle-free)
     // and the mismatch predicate applied before the rank window.
-    "hn1_hard_negatives" ->
-      s"""WITH $vNormCte,
-         |lab AS (SELECT vec_id, label FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, emb AS cent_emb FROM v WHERE vec_id % 25 = 0),
-         |assigned AS (SELECT neighbor_id, c_emb, cid, n_label FROM (
-         |  SELECT v.vec_id AS neighbor_id, v.emb AS c_emb, cent.cid,
-         |    lab.label AS n_label,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
-         |  FROM v JOIN lab ON lab.vec_id = v.vec_id CROSS JOIN cent) WHERE rn = 1),
-         |probes AS (SELECT query_id, q_emb, q_label, cid FROM (
-         |  SELECT v.vec_id AS query_id, v.emb AS q_emb, lab.label AS q_label,
-         |    cent.cid,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${dotSql("v.emb", "cent.cent_emb")} DESC, cent.cid) AS rn
-         |  FROM v JOIN lab ON lab.vec_id = v.vec_id CROSS JOIN cent
-         |  WHERE v.vec_id < 20) WHERE rn <= 3)
-         |SELECT query_id, q_label, neighbor_id, n_label, rank,
-         |  ROUND(cos, 4) AS cos FROM (
-         |  SELECT query_id, q_label, neighbor_id, n_label,
-         |    ${dotSql("q_emb", "c_emb")} AS cos,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY ${dotSql("q_emb", "c_emb")} DESC, neighbor_id) AS rank
-         |  FROM probes JOIN assigned USING (cid)
-         |  WHERE query_id <> neighbor_id AND q_label <> n_label)
-         |WHERE rank <= 5""".stripMargin,
+    "hn1_hard_negatives" -> hn1Sql,
+    // rc3: recall@5 of the IVF hard-negative path against the exact
+    // scan (rc1's discipline — every approximate path ships its
+    // measured recall; rc1 → ivf, rc2 → dc5, rc3 → hn1). Both sides
+    // are the shared SQL vals, so the three entries cannot disagree
+    // on the mining semantics.
+    "rc3_hn_recall" ->
+      s"""SELECT query_id, k, n_hits,
+         |  ROUND(CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE), 6) AS recall6
+         |FROM (
+         |  SELECT ex.query_id, COUNT(*) AS k, COUNT(ap.neighbor_id) AS n_hits
+         |  FROM ($exactHnSql) ex LEFT JOIN ($hn1Sql) ap
+         |    ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         |  GROUP BY ex.query_id)""".stripMargin,
     // kmeansCentroids(iters=2) unrolled: seeds = the same vec_id%25
     // picks, two Lloyd rounds (assign → member means → re-normalize →
     // round-to-6 via the mirrored IEEE formula), then exactly the s2

@@ -263,6 +263,40 @@ object Similarity {
   }
 
   /**
+   * Exact hard negatives — [[ivfHardNegatives]]' ground truth: the k
+   * nearest DIFFERENT-label corpus vectors per query by full scan
+   * (no cells, no probes). Same output shape and tie rules; the
+   * recall of the IVF path against this is the `rc3_hn_recall` key
+   * (the rc1 discipline: every approximate path ships its measured
+   * recall). O(|Q|·N) — audit/calibration sizes only; the IVF form
+   * is the one that serves traffic.
+   */
+  def bruteForceHardNegatives(
+      queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+    ensureRegistered(queries)
+    def withLabel(df: DataFrame, idOut: String, embOut: String,
+        labOut: String, spread: Boolean): DataFrame = {
+      val base = if (spread) parallelize(df) else df
+      val emb = col("embedding").cast("array<double>")
+      base.select(col("vec_id").as(idOut),
+        transform(emb, x => x / sqrt(fastDot(emb, emb))).as(embOut),
+        col("label").as(labOut))
+    }
+    val q = broadcast(withLabel(queries, "query_id", "q_emb", "q_label", spread = false))
+    val c = graft.dedup.Dedup.materialize(
+      withLabel(corpus, "neighbor_id", "c_emb", "n_label", spread = true))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(q, col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("n_label"))
+      .withColumn("cos", fastDot(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("n_label"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  /**
    * Deterministic spherical k-means centroid training for IVF: seed
    * with `vec_id % (N/k)`-style fixed picks (caller supplies the seed
    * frame), then `iters` Lloyd rounds — assign by cosine (ties to the

@@ -496,6 +496,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(naive.count() == 1)
   }
 
+  test("hard negatives: IVF with all points as centroids reproduces the exact scan") {
+    val lv = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),
+      (2L, Array(0.9f, 0.2f, 0.0f), 1),
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(-1.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val q = lv.where(col("vec_id") === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("neighbor_id", "rank", "cos").as[(Long, Long, Double)].collect().toSet
+    val exact = rows(Similarity.bruteForceHardNegatives(q, lv, k = 2))
+    val ivf = rows(Similarity.ivfHardNegatives(q, lv, centroids = lv, k = 2, nProbe = 5))
+    assert(ivf == exact && exact.nonEmpty)
+  }
+
   test("hard negatives: plan adds no exchanges or joins over the s2 chain") {
     // the SCALE_NOTES claim, asserted: labels ride as carried struct
     // fields, so hn1's physical plan has exactly s2's exchange/join
