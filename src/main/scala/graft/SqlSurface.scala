@@ -222,6 +222,12 @@ object SqlSurface {
     if (embs.columns.contains("label") && queries.columns.contains("label"))
       S.ivfHardNegatives(queries, embs, centroids, k, nProbe)
         .createOrReplaceTempView("graft_hard_negatives")
+    else
+      // ADVICE r15: without this drop, re-registering with unlabeled
+      // frames would leave the view silently bound to the PREVIOUS
+      // corpus while every sibling view is replaced — the view's
+      // presence must always reflect the latest registration
+      embs.sparkSession.catalog.dropTempView("graft_hard_negatives")
     S.pqEncodeAdc(embs, pqSeeds, pqQuery).createOrReplaceTempView("graft_pq_codes")
     S.pqTopK(embs, pqSeeds, pqQuery, topK).createOrReplaceTempView("graft_pq_topk")
     S.ivfAdcTopK(embs, pqSeeds, pqQuery, centroids, topK, nProbe = nProbe)

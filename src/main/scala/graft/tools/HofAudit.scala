@@ -51,13 +51,23 @@ object HofAudit {
   def audit(plan: LogicalPlan): Seq[Finding] = {
     val out = scala.collection.mutable.ListBuffer.empty[Finding]
 
-    def freeExpensive(e: Expression, vars: Set[ExprId]): Seq[Expression] = {
-      val bound = e.exists {
-        case v: NamedLambdaVariable => vars.contains(v.exprId)
-        case _ => false
-      }
-      if (!bound) { if (isExpensive(e)) Seq(e) else Nil }
-      else e.children.flatMap(freeExpensive(_, vars))
+    def freeExpensive(e: Expression, vars: Set[ExprId]): Seq[Expression] = e match {
+      // ADVICE r15: never DESCEND into a nested LambdaFunction — its
+      // body is a separate scope audited by its own visit with ITS
+      // variables (md5(y) in transform(arr, x => transform(x, y =>
+      // md5(y))) is bound there, and flagging it here was a false
+      // positive). The boundness check below still uses only the
+      // CURRENT lambda's vars: a whole nested HOF that consumes none
+      // of them (transform(c, y => md5(y)) with invariant c) remains
+      // flagged as the maximal loop-invariant subtree it is.
+      case _: LambdaFunction => Nil
+      case _ =>
+        val bound = e.exists {
+          case v: NamedLambdaVariable => vars.contains(v.exprId)
+          case _ => false
+        }
+        if (!bound) { if (isExpensive(e)) Seq(e) else Nil }
+        else e.children.flatMap(freeExpensive(_, vars))
     }
 
     def visitExpr(node: String, e: Expression): Unit = {

@@ -1303,6 +1303,8 @@ object ScaleSmoke {
       // are bucketed-SMJ(0 join exchanges) vs shuffled-SMJ(2)
       val prevBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try { // ADVICE r15: restore must survive a section failure, or
+            // every later section runs with broadcast joins disabled
       val nF = 10000000L; val nD = 2000000L
       val fact = spark.range(nF).select(
         (col("id") % 1000000L).as("k"), (col("id") % 97).as("v"))
@@ -1331,9 +1333,11 @@ object ScaleSmoke {
       println(s"SCALE bucketed: exchanges bucketed=${exchanges(bq)} " +
         s"plain=${exchanges(pq)}; totals " +
         s"${if (bTot == pTot) s"IDENTICAL ($bTot)" else s"DIVERGED $bTot vs $pTot"}")
-      prevBc match {
-        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      } finally {
+        prevBc match {
+          case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
       }
     }
     spark.stop()

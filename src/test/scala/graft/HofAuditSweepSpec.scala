@@ -62,4 +62,26 @@ class HofAuditSweepSpec extends AnyFunSuite with SparkTestBase {
       d.select(graft.dedup.Dedup.wordShingles(col("text")).as("sh")))
     assert(clean.isEmpty, s"shipped wordShingles flagged: $clean")
   }
+
+  test("nested lambdas: inner-scope kernels are not false positives, invariant inner HOFs still are") {
+    import org.apache.spark.sql.functions._
+    val d = spark.range(1).select(
+      array(array(concat(lit("x"), col("id").cast("string")))).as("aa"),
+      array(concat(lit("y"), col("id").cast("string"))).as("c"))
+    // ADVICE r15 false positive: md5(y) is bound by the INNER lambda —
+    // legitimate nested-lambda code must not trip the build gate
+    val legit = d.select(
+      transform(col("aa"), x => transform(x, y => md5(y))).as("o"))
+    assert(graft.tools.HofAudit.audit(legit).isEmpty,
+      s"nested inner-bound kernel flagged: ${graft.tools.HofAudit.audit(legit)}")
+    // true positive kept: the WHOLE inner HOF consumes none of the
+    // outer lambda's variables — recomputed per outer element
+    val trap = d.select(
+      transform(col("aa"), x => transform(col("c"), y => concat(y, element_at(x, 1)))
+        ).as("o"),
+      transform(col("aa"), x => element_at(transform(col("c"), y => md5(y)), 1)).as("p"))
+    val fs = graft.tools.HofAudit.audit(trap)
+    assert(fs.exists(_.subtree.contains("md5")),
+      s"loop-invariant nested HOF not flagged: $fs")
+  }
 }

@@ -165,6 +165,11 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
       labeled, labeled.where(col("vec_id") < 3), seeds, pqQuery, cents)
     same("graft_hard_negatives",
       S.ivfHardNegatives(labeled.where(col("vec_id") < 3), labeled, cents, 5, 3))
+    // ADVICE r15: re-registering with UNLABELED frames must drop the
+    // stale view — its presence always reflects the latest registration
+    SqlSurface.registerEmbeddings(embs, queries, seeds, pqQuery, cents)
+    assert(!spark.catalog.tableExists("graft_hard_negatives"),
+      "stale graft_hard_negatives survived an unlabeled re-registration")
   }
 
   test("event views: funnel, MAD outliers, weighted sample reachable from SQL") {
