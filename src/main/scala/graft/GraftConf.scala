@@ -26,6 +26,12 @@ object GraftConf {
     // walk per distinct plan, logs any reuse-defeated duplicate
     // aggregate with the barrier remedy named (graft.plans.PlanAuditLog)
     "spark.graft.planaudit.log" -> "true",
+    // ...and the opt-in repair: unify reuse-defeated duplicate
+    // aggregates into canonical-equal union aggregates so
+    // ReuseExchange runs the shared scan + partial aggregate ONCE
+    // (graft.plans.PlanAuditRepair; at 100 TB a silent double scan
+    // costs more than any plan-space rewrite ever will)
+    "spark.graft.planaudit.repair" -> "true",
     // fault-tolerant lineage barriers: localCheckpoint blocks are lost
     // with their executor, killing long dedup/clustering jobs at
     // cluster scale. Requires sparkContext.setCheckpointDir (HDFS/S3);

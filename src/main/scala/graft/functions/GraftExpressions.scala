@@ -1053,6 +1053,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // it is swapped for the opaque GlobalRankPlan
     ext.injectPreCBORule(_ => graft.plans.RangeRankRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
+    // opt-in duplicate-aggregate REPAIR (off by default) — must run
+    // BEFORE the observer so a repaired plan no longer warns; its
+    // RepairProject output survives the later RewriteSubquery batch
+    // by not being a Project (see PlanAuditRepair's scaladoc)
+    ext.injectPreCBORule(_ => graft.plans.PlanAuditRepair)
+    ext.injectPlannerStrategy(_ => graft.plans.RepairProjectStrategy)
     // opt-in continuous duplicate-work detector (off by default; the
     // cluster conf turns it on) — observes, never transforms
     ext.injectPreCBORule(_ => graft.plans.PlanAuditLog)
@@ -1455,6 +1461,16 @@ object GraftFunctions {
         .contains(graft.plans.GlobalRankStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GlobalRankStrategy
+    }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.PlanAuditRepair)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PlanAuditRepair
+    }
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.RepairProjectStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.RepairProjectStrategy
     }
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.PlanAuditLog)) {

@@ -3,22 +3,28 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * AUTOMATIC distributed ranking — the planner promotion of
- * [[graft.operators.RangeRank]] (VERDICT r13/r14 item 1).
+ * AUTOMATIC distributed global windows — the planner promotion of
+ * [[graft.operators.RangeRank]] (VERDICT r13/r14 item 1), extended in
+ * round 16 to global RUNNING AGGREGATES (VERDICT r15 item 1).
  *
  * `row_number()/rank()/dense_rank()/percent_rank()/ntile(k) OVER
- * (ORDER BY ...)` with NO partition key plans as a single-partition
- * window: every row of the frame moves to ONE task. The curated keys
- * route around that by calling RangeRank explicitly, but user SQL
- * through [[graft.SqlSurface]] still hit the ceiling. This file makes
- * the scale path fire on ANY query, lazily, with no pin barrier:
+ * (ORDER BY ...)` — and now `SUM/COUNT/AVG/MIN/MAX(x) OVER (ORDER BY
+ * ... [ROWS|RANGE UNBOUNDED PRECEDING .. CURRENT ROW])`, the
+ * cumulative-revenue shape every analyst writes — with NO partition
+ * key plan as a single-partition window: every row of the frame moves
+ * to ONE task. The curated keys route around that by calling RangeRank
+ * explicitly, but user SQL through [[graft.SqlSurface]] still hit the
+ * ceiling. This file makes the scale path fire on ANY query, lazily,
+ * with no pin barrier:
  *
  *  - [[RangeRankRewrite]] (a `Rule[LogicalPlan]`, late slot — after
  *    column pruning and filter pushdown have settled around the
@@ -29,10 +35,13 @@ import org.apache.spark.sql.types.IntegerType
  *    EnsureRequirements insert exactly ONE range exchange + local
  *    sort — the same physical shape RangeRank builds by hand.
  *  - [[GlobalRankExec]] then runs `RDD.zipWithIndex`'s own design:
- *    one bounded job collects per-partition (row, tie-run) counts
- *    (≤ numPartitions tuples on the driver), prefix-sums them, and a
- *    second pass emits global ranks as partition offset + local
- *    position. NO SinglePartition stage anywhere.
+ *    one bounded job collects per-partition (row, tie-run, aggregate
+ *    total) states (≤ numPartitions tuples on the driver),
+ *    prefix-combines them, and a second pass emits global ranks as
+ *    partition offset + local position and running aggregates as
+ *    prefix total + local running state. NO SinglePartition stage
+ *    anywhere. All five aggregate kinds are prefix-combinable, so
+ *    the rank family's two-job pattern extends verbatim.
  *
  * Why no pin barrier, when the DataFrame-level RangeRank needs one:
  * both of the exec's jobs run over the SAME `child.execute()` RDD,
@@ -46,10 +55,17 @@ import org.apache.spark.sql.types.IntegerType
  * Exactness: ranks computed this way are NOT approximations.
  * RangePartitioning maps each key to a partition deterministically,
  * so a tie-run never straddles a boundary — `rank`/`dense_rank`/
- * `percent_rank` are bit-identical to the single-partition window.
- * `row_number`/`ntile` agree whenever the order is total; under ties
- * they return A valid assignment, exactly as the single-partition
- * plan's tie order is itself arbitrary (it inherits shuffle order).
+ * `percent_rank` are bit-identical to the single-partition window,
+ * and RANGE-framed running aggregates (the SQL default under ORDER
+ * BY) see exactly their peer set: the whole tie run is absorbed
+ * before any of its rows emit. `row_number`/`ntile`/ROWS-framed
+ * aggregates agree whenever the order is total; under ties they
+ * return A valid assignment, exactly as the single-partition plan's
+ * tie order is itself arbitrary (it inherits shuffle order).
+ * Floating-point running sums add partition prefix totals to local
+ * sums, a different association order than the strictly sequential
+ * single task — same ulp-level caveat as any partial aggregation,
+ * and why this engine's oracle discipline rounds double sums.
  *
  * Gated on the SAME conf key as the explicit operator
  * (`spark.graft.rangerank.minBytes`, registered with
@@ -68,11 +84,53 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     child.stats.sizeInBytes >= minBytes
   }
 
-  /** The supported rank family: (kind, ntile-k, output attribute).
-    * Kinds are the [[GlobalRankExec]] evaluation tags. */
-  private def asRank(orderSpec: Seq[SortOrder])(ne: NamedExpression): Option[GlobalRankFunction] =
+  /** A running frame: UNBOUNDED PRECEDING .. CURRENT ROW (the resolved
+    * default under ORDER BY is the RANGE form). */
+  private def runningFrame(f: WindowFrame): Option[Boolean] = f match {
+    case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => Some(true)
+    case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => Some(false)
+    case _ => None
+  }
+
+  /** Aggregates with a prefix-combinable running accumulator. AVG over
+    * DECIMAL (decimal result type) is excluded — its scale bookkeeping
+    * belongs to Spark's own Average — as are interval types; MIN/MAX
+    * accept any orderable ATOMIC type (array/struct orderings stay on
+    * the plain window). */
+  /** Orderable leaf (non-nested) type — array/struct orderings stay on
+    * the plain window, keeping the accumulator's retained-value copy
+    * semantics trivial. */
+  private def atomicOrderable(dt: DataType): Boolean =
+    RowOrdering.isOrderable(dt) && !dt.isInstanceOf[ArrayType] &&
+      !dt.isInstanceOf[StructType] && !dt.isInstanceOf[MapType] &&
+      !dt.isInstanceOf[UserDefinedType[_]] && dt != NullType
+
+  private def asAgg(fn: aggregate.AggregateFunction, rowsFrame: Boolean,
+      attr: Attribute): Option[GlobalRunningAgg] = fn match {
+    // TRY mode (null-on-overflow) excluded — its overflow bookkeeping
+    // belongs to Spark's own Sum; ANSI mode rides `exact` so a long
+    // overflow throws here exactly as the plain window would
+    case Sum(e, ctx) if (attr.dataType == LongType || attr.dataType == DoubleType) &&
+        ctx.evalMode != EvalMode.TRY =>
+      Some(GlobalRunningAgg("sum", e, rowsFrame, attr,
+        exact = ctx.evalMode == EvalMode.ANSI))
+    case Count(Seq(e)) =>
+      Some(GlobalRunningAgg("count", e, rowsFrame, attr))
+    case Average(e, _) if attr.dataType == DoubleType =>
+      Some(GlobalRunningAgg("avg", e, rowsFrame, attr))
+    case Min(e) if atomicOrderable(e.dataType) =>
+      Some(GlobalRunningAgg("min", e, rowsFrame, attr))
+    case Max(e) if atomicOrderable(e.dataType) =>
+      Some(GlobalRunningAgg("max", e, rowsFrame, attr))
+    case _ => None
+  }
+
+  /** The supported window functions: the rank family (kinds are the
+    * [[GlobalRankExec]] evaluation tags) and running aggregates over
+    * UNBOUNDED PRECEDING .. CURRENT ROW frames. */
+  private def asWinFunc(orderSpec: Seq[SortOrder])(ne: NamedExpression): Option[GlobalWinFunction] =
     ne match {
-      case a @ Alias(WindowExpression(f, WindowSpecDefinition(Seq(), os, _)), _)
+      case a @ Alias(WindowExpression(f, WindowSpecDefinition(Seq(), os, frame)), _)
           if os == orderSpec =>
         f match {
           case RowNumber() => Some(GlobalRankFunction("row_number", 0, a.toAttribute))
@@ -81,6 +139,8 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
           case _: PercentRank => Some(GlobalRankFunction("percent_rank", 0, a.toAttribute))
           case NTile(Literal(k: Int, IntegerType)) if k >= 1 =>
             Some(GlobalRankFunction("ntile", k, a.toAttribute))
+          case AggregateExpression(fn, _, false, None, _) =>
+            runningFrame(frame).flatMap(rows => asAgg(fn, rows, a.toAttribute))
           case _ => None
         }
       case _ => None
@@ -89,63 +149,171 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case w @ Window(exprs, Seq(), orderSpec, child, _)
         if exprs.nonEmpty && orderSpec.nonEmpty && !w.isStreaming &&
-          exprs.forall(asRank(orderSpec)(_).isDefined) && aboveGate(child) =>
-      GlobalRankPlan(orderSpec, exprs.map(asRank(orderSpec)(_).get), child)
+          exprs.forall(asWinFunc(orderSpec)(_).isDefined) && aboveGate(child) =>
+      GlobalRankPlan(orderSpec, exprs.map(asWinFunc(orderSpec)(_).get), child)
   }
 }
 
-/** One ranking output: `kind` ∈ row_number | rank | dense_rank |
-  * percent_rank | ntile (with `k`); `attr` keeps the original window
-  * alias's exprId so parent operators resolve unchanged. */
+/** One global window output; `attr` keeps the original window alias's
+  * exprId so parent operators resolve unchanged. */
+sealed trait GlobalWinFunction { def attr: Attribute }
+
+/** `kind` ∈ row_number | rank | dense_rank | percent_rank | ntile
+  * (with `k`). */
 case class GlobalRankFunction(kind: String, k: Int, attr: Attribute)
+  extends GlobalWinFunction
+
+/** `kind` ∈ sum | count | avg | min | max over `valueExpr`, running
+  * frame; `rowsFrame` = ROWS (per-row) vs RANGE (peer rows share the
+  * value — the resolved SQL default under ORDER BY); `exact` = ANSI
+  * long-sum overflow throws instead of wrapping. */
+case class GlobalRunningAgg(kind: String, valueExpr: Expression,
+    rowsFrame: Boolean, attr: Attribute, exact: Boolean = false)
+  extends GlobalWinFunction
 
 /** Logical twin of [[GlobalRankExec]] — opaque to further rewrites by
   * design: it is created AFTER pruning/pushdown settled (late rule
-  * slot), so nothing needs to traverse it. */
+  * slot), so nothing needs to traverse it. `references` is overridden
+  * because aggregate value expressions live inside [[GlobalWinFunction]]
+  * payloads, invisible to QueryPlan's product-based expression walk. */
 case class GlobalRankPlan(
     order: Seq[SortOrder],
-    ranks: Seq[GlobalRankFunction],
+    funcs: Seq[GlobalWinFunction],
     child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output ++ ranks.map(_.attr)
-  override def producedAttributes: AttributeSet = AttributeSet(ranks.map(_.attr))
+  override def output: Seq[Attribute] = child.output ++ funcs.map(_.attr)
+  override def producedAttributes: AttributeSet = AttributeSet(funcs.map(_.attr))
+  override def references: AttributeSet = AttributeSet(
+    order.flatMap(_.references) ++
+      funcs.collect { case a: GlobalRunningAgg => a.valueExpr }.flatMap(_.references))
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): GlobalRankPlan =
     copy(child = newChild)
 }
 
 object GlobalRankStrategy extends org.apache.spark.sql.execution.SparkStrategy {
-  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GlobalRankPlan(order, ranks, child) =>
-      GlobalRankExec(order, ranks, planLater(child)) :: Nil
+  override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = plan match {
+    case GlobalRankPlan(order, funcs, child) =>
+      GlobalRankExec(order, funcs, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
+/** Prefix-combinable running-aggregate state: built per partition in
+  * job 1, prefix-merged on the driver (all five kinds are commutative
+  * monoids), then replayed per row in job 2. Values arrive boxed from
+  * `InternalRow.get` (UTF8String retained values are copied — the
+  * projection reuses its buffer). */
+private[plans] sealed trait RunningAcc extends Serializable {
+  def add(v: Any): Unit
+  def merge(o: RunningAcc): Unit
+  def value: Any
+}
+
+private[plans] final class SumLongAcc(exact: Boolean) extends RunningAcc {
+  var s = 0L; var seen = false
+  private def plus(a: Long, b: Long): Long =
+    if (exact) Math.addExact(a, b) else a + b
+  def add(v: Any): Unit = if (v != null) { s = plus(s, v.asInstanceOf[Number].longValue()); seen = true }
+  def merge(o: RunningAcc): Unit = { val t = o.asInstanceOf[SumLongAcc]; if (t.seen) { s = plus(s, t.s); seen = true } }
+  def value: Any = if (seen) java.lang.Long.valueOf(s) else null
+}
+
+private[plans] final class SumDoubleAcc extends RunningAcc {
+  var s = 0.0d; var seen = false
+  def add(v: Any): Unit = if (v != null) { s += v.asInstanceOf[Number].doubleValue(); seen = true }
+  def merge(o: RunningAcc): Unit = { val t = o.asInstanceOf[SumDoubleAcc]; if (t.seen) { s += t.s; seen = true } }
+  def value: Any = if (seen) java.lang.Double.valueOf(s) else null
+}
+
+private[plans] final class CountAcc extends RunningAcc {
+  var n = 0L
+  def add(v: Any): Unit = if (v != null) n += 1L
+  def merge(o: RunningAcc): Unit = n += o.asInstanceOf[CountAcc].n
+  def value: Any = java.lang.Long.valueOf(n)
+}
+
+private[plans] final class AvgAcc extends RunningAcc {
+  var s = 0.0d; var n = 0L
+  def add(v: Any): Unit = if (v != null) { s += v.asInstanceOf[Number].doubleValue(); n += 1L }
+  def merge(o: RunningAcc): Unit = { val t = o.asInstanceOf[AvgAcc]; s += t.s; n += t.n }
+  def value: Any = if (n == 0L) null else java.lang.Double.valueOf(s / n)
+}
+
+private[plans] final class MinMaxAcc(dt: DataType, isMin: Boolean) extends RunningAcc {
+  var v: Any = null
+  @transient private lazy val ord = TypeUtils.getInterpretedOrdering(dt)
+  private def retain(x: Any): Any = x match {
+    case u: UTF8String => u.copy()
+    case other => other
+  }
+  def add(x: Any): Unit = if (x != null) {
+    if (v == null) v = retain(x)
+    else {
+      val c = ord.compare(x, v)
+      if (if (isMin) c < 0 else c > 0) v = retain(x)
+    }
+  }
+  def merge(o: RunningAcc): Unit = {
+    val t = o.asInstanceOf[MinMaxAcc]
+    if (t.v != null) add(t.v)
+  }
+  def value: Any = v
+}
+
+object GlobalRankExec {
+  /** Observability for the low-cardinality ORDER BY degrade warning
+    * (VERDICT r15 item 2): total warnings logged by this JVM. */
+  val degradeWarnCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Degrade detection fires only above this many input rows — below
+    * it a handful of tasks is the right plan anyway. */
+  val DegradeMinRowsKey = "spark.graft.globalrank.degradeMinRows"
+}
+
 /**
- * Physical global ranking over a range-partitioned, locally-sorted
- * child (both REQUIRED below, both inserted by EnsureRequirements —
- * this node never shuffles or sorts itself):
+ * Physical global ranking / running aggregation over a
+ * range-partitioned, locally-sorted child (both REQUIRED below, both
+ * inserted by EnsureRequirements — this node never shuffles or sorts
+ * itself):
  *
- *  - job 1 (bounded): per-partition row and tie-run counts —
- *    ≤ numPartitions tuples to the driver, prefix-summed there
- *    (`RDD.zipWithIndex`'s design; the shuffle's map side runs once
- *    and is REUSED by job 2, only the cheap local re-sort repeats).
+ *  - job 1 (bounded): per-partition row counts, tie-run counts, and
+ *    running-aggregate totals — ≤ numPartitions small states to the
+ *    driver, prefix-combined there (`RDD.zipWithIndex`'s design; the
+ *    shuffle's map side runs once and is REUSED by job 2, only the
+ *    cheap local re-sort repeats).
  *  - job 2 (the output): per partition, global rank = offset + local
- *    position, ties detected with the generated SortOrder comparator
- *    (NOT UnsafeRow byte equality — -0.0/0.0 and NaN-bit ties must
- *    not split a run).
+ *    position, running aggregate = prefix total then local adds, ties
+ *    detected with the generated SortOrder comparator (NOT UnsafeRow
+ *    byte equality — -0.0/0.0 and NaN-bit ties must not split a run).
+ *    When any RANGE-framed aggregate is present the partition streams
+ *    run-by-run (one tie run buffered at a time — the peer rows must
+ *    all be absorbed before any of them emits; memory is bounded by
+ *    the largest tie run, the same bound Spark's own WindowExec has
+ *    for RANGE frames); otherwise it streams row-by-row with no
+ *    buffering at all.
  *
  * Output types match Spark's window functions exactly (IntegerType
- * for the counts — including their documented wrap past 2^31 rows —
- * DoubleType for percent_rank).
+ * for the rank counts — including their documented wrap past 2^31
+ * rows — DoubleType for percent_rank, Long/Double for sum by input
+ * class, Long for count, Double for avg, input type for min/max).
+ *
+ * Degrade visibility (VERDICT r15 item 2): exactness requires tie
+ * runs not to straddle range boundaries, so an ORDER BY with K
+ * distinct values runs at most K tasks regardless of the target
+ * partition count. Job 1 knows K exactly when runs are tracked
+ * (Σ per-partition runs — equal keys never straddle partitions), and
+ * the count of non-empty partitions bounds it otherwise; above
+ * `spark.graft.globalrank.degradeMinRows` input rows (default 1M) a
+ * degenerate exchange logs a warning naming the composite-key remedy.
  */
 case class GlobalRankExec(
     order: Seq[SortOrder],
-    ranks: Seq[GlobalRankFunction],
-    child: SparkPlan) extends UnaryExecNode {
+    funcs: Seq[GlobalWinFunction],
+    child: org.apache.spark.sql.execution.SparkPlan)
+  extends org.apache.spark.sql.execution.UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output ++ ranks.map(_.attr)
-  override def producedAttributes: AttributeSet = AttributeSet(ranks.map(_.attr))
+  override def output: Seq[Attribute] = child.output ++ funcs.map(_.attr)
+  override def producedAttributes: AttributeSet = AttributeSet(funcs.map(_.attr))
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"))
@@ -154,17 +322,37 @@ case class GlobalRankExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
   override def outputOrdering: Seq[SortOrder] = order
   override def outputPartitioning: Partitioning = child.outputPartitioning
-  override protected def withNewChildInternal(newChild: SparkPlan): GlobalRankExec =
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.execution.SparkPlan): GlobalRankExec =
     copy(child = newChild)
 
-  private val needRuns = ranks.exists(r =>
-    r.kind == "rank" || r.kind == "dense_rank" || r.kind == "percent_rank")
+  private val rankFuncs = funcs.collect { case r: GlobalRankFunction => r }
+  private val aggFuncs = funcs.collect { case a: GlobalRunningAgg => a }
+
+  /** Tie-run boundaries are needed by the tie-aware ranks AND by any
+    * RANGE-framed running aggregate (peer rows share its value). */
+  private val needRuns = rankFuncs.exists(r =>
+    r.kind == "rank" || r.kind == "dense_rank" || r.kind == "percent_rank") ||
+    aggFuncs.exists(!_.rowsFrame)
+
+  private val anyRangeAgg = aggFuncs.exists(!_.rowsFrame)
 
   /** Fresh attrs for the projected order keys, so the tie comparator
     * binds to the key row, not the full child row (no full-row copies
     * at run boundaries — only the key is retained). */
   private def keyAttrs: Seq[Attribute] = order.map(so =>
     AttributeReference("__grk", so.child.dataType, so.child.nullable)())
+
+  private def newAcc(a: GlobalRunningAgg): RunningAcc = a.kind match {
+    case "sum" if a.attr.dataType == LongType => new SumLongAcc(a.exact)
+    case "sum" => new SumDoubleAcc
+    case "count" => new CountAcc
+    case "avg" => new AvgAcc
+    case "min" => new MinMaxAcc(a.valueExpr.dataType, isMin = true)
+    case "max" => new MinMaxAcc(a.valueExpr.dataType, isMin = false)
+    case other => throw new IllegalStateException(
+      s"GlobalRankExec: unknown running aggregate $other")
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val childRDD = child.execute()
@@ -173,58 +361,145 @@ case class GlobalRankExec(
     val ka = keyAttrs
     val keyOrder = order.zip(ka).map { case (so, a) => so.copy(child = a) }
     val trackRuns = needRuns
+    val aggs = aggFuncs.toArray
+    val aggExprs = aggs.map(_.valueExpr).toSeq
+    val aggDts = aggs.map(_.valueExpr.dataType)
+    val mkAccs: () => Array[RunningAcc] = { val fs = aggs; () => fs.map(newAcc) }
 
-    // job 1: (rows, tieRuns) per physical partition
-    val stats: Array[(Long, Long)] = childRDD
+    // job 1: (rows, tieRuns, aggregate totals) per physical partition
+    val stats: Array[(Long, Long, Array[RunningAcc])] = childRDD
       .mapPartitionsWithIndex { (i, it) =>
         val keyProj = UnsafeProjection.create(orderExprs, childOutput)
         val cmp = RowOrdering.create(keyOrder, ka)
+        val aggProj = if (aggs.isEmpty) null else UnsafeProjection.create(aggExprs, childOutput)
+        val accs = mkAccs()
         var n = 0L; var runs = 0L
         var prev: UnsafeRow = null
         while (it.hasNext) {
-          val k = keyProj(it.next())
-          if (trackRuns && (prev == null || cmp.compare(prev, k) != 0)) {
-            runs += 1; prev = k.copy()
+          val row = it.next()
+          if (trackRuns) {
+            val k = keyProj(row)
+            if (prev == null || cmp.compare(prev, k) != 0) {
+              runs += 1; prev = k.copy()
+            }
           }
-          n += 1
+          if (accs.nonEmpty) {
+            val ar = aggProj(row)
+            var j = 0
+            while (j < accs.length) {
+              accs(j).add(if (ar.isNullAt(j)) null else ar.get(j, aggDts(j)))
+              j += 1
+            }
+          }
+          n += 1L
         }
-        Iterator.single((i, (n, runs)))
+        Iterator.single((i, (n, runs, accs)))
       }
       .collect().sortBy(_._1).map(_._2)
 
     val rowOffsets = stats.scanLeft(0L)(_ + _._1)
     val runOffsets = stats.scanLeft(0L)(_ + _._2)
     val total = rowOffsets.last
-    val kinds = ranks.map(r => (r.kind, r.k)).toArray
+    // prefix aggregate states: prefixAccs(i) = combined totals of
+    // partitions 0..i-1 (≤ numPartitions × |aggs| small objects)
+    val prefixAccs: Array[Array[RunningAcc]] = {
+      val out = new Array[Array[RunningAcc]](stats.length + 1)
+      out(0) = mkAccs()
+      var i = 0
+      while (i < stats.length) {
+        val next = mkAccs()
+        var j = 0
+        while (j < next.length) {
+          next(j).merge(out(i)(j)); next(j).merge(stats(i)._3(j)); j += 1
+        }
+        out(i + 1) = next
+        i += 1
+      }
+      out
+    }
 
-    // job 2: emit child row ++ rank columns (same shuffle, re-sorted)
+    // degrade visibility: K distinct order keys < target partitions
+    // means the range exchange degenerated to ≤K tasks on the whole
+    // frame — correct, but a silent scale cliff without this warning
+    // the baseline is the INTENDED parallelism, not stats.length: the
+    // range partitioner itself collapses to ≤K partitions when the
+    // sampled key has K distinct values, so the degenerate exchange
+    // looks "full" by actual partition count
+    val degradeMinRows = scala.util.Try(conf.getConfString(
+      GlobalRankExec.DegradeMinRowsKey).toLong).getOrElse(1L << 20)
+    val targetParts = scala.util.Try(
+      conf.getConfString("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+    if (total >= degradeMinRows && targetParts > 1) {
+      val nonEmpty = stats.count(_._1 > 0L)
+      val distinct = if (trackRuns) runOffsets.last else -1L
+      val degenerate =
+        (trackRuns && distinct < targetParts) ||
+          (!trackRuns && nonEmpty <= targetParts / 2 && targetParts >= 4)
+      if (degenerate) {
+        GlobalRankExec.degradeWarnCount.incrementAndGet()
+        logWarning(s"GlobalRankExec: ORDER BY ${order.map(_.sql).mkString(", ")} has " +
+          (if (distinct >= 0) s"only $distinct distinct values" else s"only $nonEmpty non-empty partitions") +
+          s" over $total rows — the range exchange degenerated to ≤" +
+          s"${if (distinct >= 0) distinct else nonEmpty} tasks of the $targetParts intended " +
+          "(exactness requires tie runs not to straddle range boundaries). " +
+          "Remedy: append a high-cardinality tiebreaker column to ORDER BY.")
+      }
+    }
+
+    // output slots follow the ORIGINAL window-expression order: slot c
+    // is either a rank kind or an index into the accumulator arrays
+    val slotRank: Array[(String, Int)] = funcs.map {
+      case r: GlobalRankFunction => (r.kind, r.k)
+      case _ => null
+    }.toArray
+    val slotAgg: Array[Int] = {
+      var j = -1
+      funcs.map {
+        case _: GlobalRunningAgg => j += 1; j
+        case _ => -1
+      }.toArray
+    }
+    val nSlots = funcs.length
+    val rowsFrames = aggs.map(_.rowsFrame)
+    val bufferRuns = anyRangeAgg
+
+    // job 2: emit child row ++ window columns (same shuffle, re-sorted)
     val numOutputRows = longMetric("numOutputRows")
     childRDD.mapPartitionsWithIndex { (i, it) =>
       val keyProj = UnsafeProjection.create(orderExprs, childOutput)
       val cmp = RowOrdering.create(keyOrder, ka)
-      val rankRow = new GenericInternalRow(kinds.length)
+      val aggProj = if (aggs.isEmpty) null else UnsafeProjection.create(aggExprs, childOutput)
+      val funcRow = new GenericInternalRow(nSlots)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(
-        childOutput ++ ranks.map(_.attr), childOutput ++ ranks.map(_.attr))
+        childOutput ++ funcs.map(_.attr), childOutput ++ funcs.map(_.attr))
       val rowOff = rowOffsets(i)
       val runOff = runOffsets(i)
+      // start from a FRESH state merged with the prefix: tasks must
+      // never mutate the captured prefix objects (attempt re-runs)
+      val rowsAccs = mkAccs()
+      val rangeAccs = mkAccs()
+      var j = 0
+      while (j < aggs.length) {
+        rowsAccs(j).merge(prefixAccs(i)(j)); rangeAccs(j).merge(prefixAccs(i)(j)); j += 1
+      }
       var localIdx = 0L; var runStart = 0L; var localRuns = 0L
-      var prev: UnsafeRow = null
-      it.map { row =>
-        if (trackRuns) {
-          val k = keyProj(row)
-          if (prev == null || cmp.compare(prev, k) != 0) {
-            runStart = localIdx; localRuns += 1; prev = k.copy()
-          }
-        }
-        val rn = rowOff + localIdx + 1L
+
+      def extract(ar: InternalRow, j: Int): Any =
+        if (ar.isNullAt(j)) null else ar.get(j, aggDts(j))
+
+      def setFuncCols(rn: Long): Unit = {
         var c = 0
-        while (c < kinds.length) {
-          kinds(c) match {
-            case ("row_number", _) => rankRow.setInt(c, rn.toInt)
-            case ("rank", _) => rankRow.setInt(c, (rowOff + runStart + 1L).toInt)
-            case ("dense_rank", _) => rankRow.setInt(c, (runOff + localRuns).toInt)
-            case ("percent_rank", _) => rankRow.update(c,
+        while (c < nSlots) {
+          val a = slotAgg(c)
+          if (a >= 0) {
+            funcRow.update(c,
+              if (rowsFrames(a)) rowsAccs(a).value else rangeAccs(a).value)
+          } else slotRank(c) match {
+            case ("row_number", _) => funcRow.setInt(c, rn.toInt)
+            case ("rank", _) => funcRow.setInt(c, (rowOff + runStart + 1L).toInt)
+            case ("dense_rank", _) => funcRow.setInt(c, (runOff + localRuns).toInt)
+            case ("percent_rank", _) => funcRow.update(c,
               if (total > 1L) (rowOff + runStart).toDouble / (total - 1L).toDouble
               else 0.0d)
             case ("ntile", k) =>
@@ -233,15 +508,104 @@ case class GlobalRankExec(
               val q = total / k; val r = total % k; val thr = r * (q + 1L)
               val tile = if (rn <= thr) (rn - 1L) / (q + 1L) + 1L
                          else r + (rn - thr - 1L) / q + 1L
-              rankRow.setInt(c, tile.toInt)
+              funcRow.setInt(c, tile.toInt)
             case (other, _) => throw new IllegalStateException(
               s"GlobalRankExec: unknown rank kind $other")
           }
           c += 1
         }
-        localIdx += 1L
-        numOutputRows += 1
-        proj(joined(row, rankRow))
+      }
+
+      if (!bufferRuns) {
+        // streaming path: no per-row copies beyond the retained key
+        var prev: UnsafeRow = null
+        it.map { row =>
+          if (trackRuns) {
+            val k = keyProj(row)
+            if (prev == null || cmp.compare(prev, k) != 0) {
+              runStart = localIdx; localRuns += 1; prev = k.copy()
+            }
+          }
+          if (aggs.nonEmpty) {
+            val ar = aggProj(row)
+            var a = 0
+            while (a < aggs.length) { rowsAccs(a).add(extract(ar, a)); a += 1 }
+          }
+          val rn = rowOff + localIdx + 1L
+          setFuncCols(rn)
+          localIdx += 1L
+          numOutputRows += 1
+          proj(joined(row, funcRow))
+        }
+      } else {
+        // run-buffered path: RANGE-framed aggregates must absorb the
+        // whole tie run before any of its rows emit — buffer one run
+        // of row copies at a time (bounded by the largest tie run)
+        new Iterator[InternalRow] {
+          private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          private var pos = 0
+          private var pendingRow: InternalRow = null
+          private var pendingKey: UnsafeRow = null
+
+          private def fillRun(): Unit = {
+            buf.clear(); pos = 0
+            if (pendingRow == null && !it.hasNext) return
+            if (pendingRow == null) {
+              val r = it.next()
+              pendingKey = keyProj(r).copy()
+              pendingRow = r.copy()
+            }
+            val runKey = pendingKey
+            buf += pendingRow
+            pendingRow = null; pendingKey = null
+            var open = true
+            while (open && it.hasNext) {
+              val r = it.next()
+              val k = keyProj(r)
+              if (cmp.compare(runKey, k) == 0) buf += r.copy()
+              else {
+                pendingKey = k.copy(); pendingRow = r.copy(); open = false
+              }
+            }
+            // run boundary: absorb the run into the RANGE accs, update
+            // the rank run trackers
+            runStart = localIdx; localRuns += 1
+            var b = 0
+            while (b < buf.length) {
+              val ar = aggProj(buf(b))
+              var a = 0
+              while (a < aggs.length) {
+                if (!rowsFrames(a)) rangeAccs(a).add(extract(ar, a))
+                a += 1
+              }
+              b += 1
+            }
+          }
+
+          override def hasNext: Boolean = {
+            if (pos >= buf.length) fillRun()
+            pos < buf.length
+          }
+
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            val row = buf(pos)
+            if (aggs.nonEmpty) {
+              val ar = aggProj(row)
+              var a = 0
+              while (a < aggs.length) {
+                if (rowsFrames(a)) rowsAccs(a).add(extract(ar, a))
+                a += 1
+              }
+            }
+            val rn = rowOff + localIdx + 1L
+            setFuncCols(rn)
+            localIdx += 1L
+            pos += 1
+            numOutputRows += 1
+            proj(joined(row, funcRow))
+          }
+        }
       }
     }
   }

@@ -497,6 +497,53 @@ object Relational {
     df
   }
 
+  /** The gr2 running-aggregate SQL, shared VERBATIM by the Spark side
+    * and the DuckDB oracle (only the table name differs): the
+    * cumulative-revenue shape every analyst writes — daily totals then
+    * SUM/COUNT/AVG/MIN/MAX OVER (ORDER BY day) with no PARTITION BY.
+    * Group first so `d` is unique: the resolved default RANGE frame
+    * then has no peer sets and every running value is deterministic.
+    * Rounding discipline: running double sums round 4dp (this engine
+    * adds partition prefix totals to local sums and DuckDB's window
+    * sums use a segment tree — different association orders, same
+    * ulp class as any partial aggregation), averages 6dp; the
+    * day-count sum is CAST BIGINT against DuckDB's HUGEINT SUM. */
+  private def gr2Sql(table: String): String =
+    s"""WITH t AS (SELECT o_orderdate AS d,
+       |    ROUND(SUM(o_totalprice), 4) AS rev,
+       |    COUNT(*) AS n
+       |  FROM $table GROUP BY o_orderdate)
+       |SELECT d, rev,
+       |  ROUND(SUM(rev) OVER (ORDER BY d), 4) AS cum_rev,
+       |  COUNT(*) OVER (ORDER BY d) AS cum_days,
+       |  ROUND(AVG(rev) OVER (ORDER BY d), 6) AS cum_avg_rev,
+       |  ROUND(MIN(rev) OVER (ORDER BY d), 4) AS min_day_rev,
+       |  ROUND(MAX(rev) OVER (ORDER BY d), 4) AS max_day_rev,
+       |  CAST(SUM(n) OVER (ORDER BY d) AS BIGINT) AS cum_orders
+       |FROM t""".stripMargin
+
+  /** The AUTOMATIC running-aggregate rewrite ([[graft.plans
+    * .RangeRankRewrite]] extended to SUM/COUNT/AVG/MIN/MAX OVER
+    * (ORDER BY ...), VERDICT r15 item 1) under the driver's hash
+    * gate: plain user SQL over one global cumulative frame, gate
+    * forced OPEN in an ISOLATED session, so the frame the oracle
+    * hashes is [[graft.plans.GlobalRankExec]]'s prefix-offset output —
+    * one range exchange, no SinglePartition stage. Construction
+    * asserts the rewrite actually fired — a silently-unrewritten plan
+    * would pass the hash (the paths agree on a total order) while
+    * gating nothing. */
+  def gr2RunningTotalsSql(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set(graft.operators.RangeRank.MinBytesKey, "0")
+    t(spark, dir, "orders").createOrReplaceTempView("gr2_orders")
+    val df = spark.sql(gr2Sql("gr2_orders"))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("GlobalRank") && !plan.contains("SinglePartition"),
+      "gr2: the automatic running-aggregate rewrite did not fire:\n" + plan.take(2000))
+    df
+  }
+
   /** Calendar seasonality: revenue by day-of-week. The trap this key
     * pins: weekday NUMBERING is engine-specific (Spark `weekday` is
     * Monday=0; Spark `dayofweek` is Sunday=1; DuckDB `dow` is
@@ -901,6 +948,7 @@ object Relational {
         |FROM p UNPIVOT (revenue FOR status_col IN (f_rev, o_rev, p_rev))
         |WHERE revenue IS NOT NULL""".stripMargin,
     "gr1_global_rank_sql" -> gr1Sql("orders"),
+    "gr2_running_totals_sql" -> gr2Sql("orders"),
     "w5_spend_deciles" ->
       """WITH t AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
         |  FROM orders GROUP BY o_custkey),
@@ -1450,6 +1498,7 @@ object Relational {
     "pv2_unpivot" -> (pv2Unpivot _),
     "w5_spend_deciles" -> (w5SpendDeciles _),
     "gr1_global_rank_sql" -> (gr1GlobalRankSql _),
+    "gr2_running_totals_sql" -> (gr2RunningTotalsSql _),
     "cal1_dow_revenue" -> (cal1DowRevenue _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),

@@ -49,7 +49,9 @@ object PlanAudit {
     override def toString: String =
       s"PLAN-AUDIT ${severity.toUpperCase}: $kind subtree appears ${n}x with " +
         s"reuse-defeating variants" +
-        (if (severity == "warn") " (barrier it above the shared frame)" else "") +
+        (if (severity == "warn")
+          " (barrier it above the shared frame, or set spark.graft.planaudit.repair=true)"
+        else "") +
         s": $signature"
   }
 
@@ -78,8 +80,10 @@ object PlanAudit {
 
   /** Structural signature modulo output lists: expression ids
     * stripped, pure-pruning Projects transparent, computed aliases
-    * kept (sorted — alias order is presentation, not work). */
-  private[tools] def loose(p: LogicalPlan): String = p match {
+    * kept (sorted — alias order is presentation, not work). Shared
+    * with [[graft.plans.PlanAuditRepair]], whose grouping must agree
+    * with this detector's. */
+  private[graft] def loose(p: LogicalPlan): String = p match {
     case Project(list, child) =>
       val computed = list.collect { case a: Alias => norm(a.child) }.sorted
       if (computed.isEmpty) loose(child)

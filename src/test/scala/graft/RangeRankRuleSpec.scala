@@ -110,15 +110,142 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
       val p1 = plan(spark.sql(
         "SELECT row_number() OVER (PARTITION BY tag ORDER BY id) AS rn FROM rr_rule_t"))
       assert(p1.contains("Window") && !p1.contains("GlobalRank"), p1)
+      // bounded frame: not a running aggregate — untouched
       val p2 = plan(spark.sql(
-        "SELECT sum(score) OVER (ORDER BY id) AS s FROM rr_rule_t"))
+        """SELECT sum(score) OVER (ORDER BY id
+          |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM rr_rule_t""".stripMargin))
       assert(p2.contains("Window") && !p2.contains("GlobalRank"), p2)
+      // offset functions: unsupported — untouched
+      val p2b = plan(spark.sql(
+        "SELECT lag(score, 1) OVER (ORDER BY id) AS l FROM rr_rule_t"))
+      assert(p2b.contains("Window") && !p2b.contains("GlobalRank"), p2b)
+      // decimal-result running avg: excluded by design — untouched
+      val p2c = plan(spark.sql(
+        """SELECT avg(CAST(score AS DECIMAL(10,2))) OVER (ORDER BY id) AS a
+          |FROM rr_rule_t""".stripMargin))
+      assert(p2c.contains("Window") && !p2c.contains("GlobalRank"), p2c)
       // one supported + one unsupported in the SAME over clause set:
-      // conservative skip (the single-partition sum would be needed anyway)
+      // conservative skip (the single-partition lag would be needed anyway)
       val p3 = plan(spark.sql(
         """SELECT row_number() OVER (ORDER BY id) AS rn,
-          |       sum(score)   OVER (ORDER BY id) AS s FROM rr_rule_t""".stripMargin))
+          |       lag(score, 1) OVER (ORDER BY id) AS l FROM rr_rule_t""".stripMargin))
       assert(p3.contains("Window"), p3)
+    }
+  }
+
+  test("running aggregates rewrite: sum/count/avg/min/max exact vs plain window (RANGE peers, ties)") {
+    frame.createOrReplaceTempView("rr_rule_t")
+    // ORDER BY score ONLY: 97 tie-runs — the resolved default RANGE
+    // frame means PEER rows share the running value, which must hold
+    // across range-partition boundaries. All inputs are exact-in-double
+    // integers so the two association orders are bit-identical.
+    val sql =
+      """SELECT score,
+        |  sum(id)        OVER (ORDER BY score) AS s,
+        |  count(id)      OVER (ORDER BY score) AS c,
+        |  count(*)       OVER (ORDER BY score) AS cs,
+        |  avg(id)        OVER (ORDER BY score) AS a,
+        |  min(tag)       OVER (ORDER BY score) AS mn,
+        |  max(tag)       OVER (ORDER BY score) AS mx,
+        |  sum(id * 0.5e0) OVER (ORDER BY score) AS sd
+        |FROM rr_rule_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(rewritten == baseline)
+  }
+
+  test("ROWS-framed running aggregates mixed with the rank family in one window") {
+    frame.createOrReplaceTempView("rr_rule_t")
+    // total order -> ROWS and RANGE agree and every value is exact
+    val sql =
+      """SELECT id,
+        |  sum(score) OVER (ORDER BY score, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |  row_number() OVER (ORDER BY score, id) AS rn,
+        |  dense_rank() OVER (ORDER BY score, id) AS dr,
+        |  count(*) OVER (ORDER BY score, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |FROM rr_rule_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(rewritten == baseline)
+  }
+
+  test("leading nulls: running sum/avg/min stay null until the first non-null") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (1 to 2000).map(_.toLong).toDF("id")
+      .withColumn("v", when(col("id") <= 500, lit(null)).otherwise(col("id")))
+      .createOrReplaceTempView("rr_null_t")
+    val sql =
+      """SELECT id,
+        |  sum(v) OVER (ORDER BY id) AS s,
+        |  avg(v) OVER (ORDER BY id) AS a,
+        |  min(v) OVER (ORDER BY id) AS mn,
+        |  count(v) OVER (ORDER BY id) AS c
+        |FROM rr_null_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val rewritten = withOpenGate {
+      val df = spark.sql(sql)
+      assert(plan(df).contains("GlobalRank"))
+      df.collect().map(_.toSeq).toSet
+    }
+    assert(rewritten == baseline)
+    // the property itself, independent of the baseline engine
+    assert(rewritten.exists(r => r(0) == 500L && r(1) == null && r(2) == null))
+    assert(rewritten.exists(r => r(0) == 501L && r(1) == 501L && r(3) == 501L))
+  }
+
+  test("ANSI long-sum overflow throws through the rewrite, as the plain window would") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    assume(spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
+    Seq(1L, 2L).toDF("id")
+      .withColumn("v", lit(Long.MaxValue))
+      .createOrReplaceTempView("rr_ovf_t")
+    val sql = "SELECT sum(v) OVER (ORDER BY id) AS s FROM rr_ovf_t"
+    withOpenGate {
+      val df = spark.sql(sql)
+      assert(plan(df).contains("GlobalRank"))
+      val e = intercept[Exception](df.collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c => c.isInstanceOf[ArithmeticException] ||
+        String.valueOf(c.getMessage).toLowerCase.contains("overflow")), e.toString)
+    }
+  }
+
+  test("low-cardinality ORDER BY logs the degrade warning; high-cardinality does not") {
+    import org.apache.spark.sql.functions._
+    val n = (1L << 20) + 64L
+    spark.range(n).select((col("id") % 3).as("k"), col("id"))
+      .createOrReplaceTempView("rr_degrade_t")
+    val exec = graft.plans.GlobalRankExec
+    withOpenGate {
+      val before = exec.degradeWarnCount.get()
+      // aggregate ABOVE the window so column pruning can't drop it
+      val r = spark.sql(
+        "SELECT sum(rk) AS t FROM (SELECT rank() OVER (ORDER BY k) AS rk FROM rr_degrade_t)")
+      assert(plan(r).contains("GlobalRank"))
+      r.collect()
+      assert(exec.degradeWarnCount.get() > before,
+        "3-distinct-value ORDER BY at 1M rows must log the degrade warning")
+      // high-cardinality: no warning
+      val after = exec.degradeWarnCount.get()
+      spark.sql(
+        "SELECT sum(rk) AS t FROM (SELECT rank() OVER (ORDER BY id) AS rk FROM rr_degrade_t)")
+        .collect()
+      assert(exec.degradeWarnCount.get() == after,
+        "unique ORDER BY must not log the degrade warning")
     }
   }
 
