@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, First, Last, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -97,13 +97,17 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     * belongs to Spark's own Average — as are interval types; MIN/MAX
     * accept any orderable ATOMIC type (array/struct orderings stay on
     * the plain window). */
-  /** Orderable leaf (non-nested) type — array/struct orderings stay on
-    * the plain window, keeping the accumulator's retained-value copy
-    * semantics trivial. */
+  /** Leaf (non-nested) type — keeps the accumulator's retained-value
+    * copy semantics trivial. */
+  private def atomicLeaf(dt: DataType): Boolean =
+    !dt.isInstanceOf[ArrayType] && !dt.isInstanceOf[StructType] &&
+      !dt.isInstanceOf[MapType] && !dt.isInstanceOf[UserDefinedType[_]] &&
+      dt != NullType
+
+  /** Orderable leaf type — array/struct orderings stay on the plain
+    * window. */
   private def atomicOrderable(dt: DataType): Boolean =
-    RowOrdering.isOrderable(dt) && !dt.isInstanceOf[ArrayType] &&
-      !dt.isInstanceOf[StructType] && !dt.isInstanceOf[MapType] &&
-      !dt.isInstanceOf[UserDefinedType[_]] && dt != NullType
+    RowOrdering.isOrderable(dt) && atomicLeaf(dt)
 
   private def asAgg(fn: aggregate.AggregateFunction, rowsFrame: Boolean,
       attr: Attribute): Option[GlobalRunningAgg] = fn match {
@@ -122,7 +126,37 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
       Some(GlobalRunningAgg("min", e, rowsFrame, attr))
     case Max(e) if atomicOrderable(e.dataType) =>
       Some(GlobalRunningAgg("max", e, rowsFrame, attr))
+    // first_value/last_value resolve to the First/Last aggregates over
+    // the running frame — both prefix-combinable (first: keep the
+    // earliest state; last: the latest overrides). ignoreNulls rides
+    // the accumulator. Non-nested types only (retained-value copy
+    // discipline, same as min/max).
+    case First(e, ignoreNulls) if atomicLeaf(e.dataType) =>
+      Some(GlobalRunningAgg(if (ignoreNulls) "first_nn" else "first", e, rowsFrame, attr))
+    case Last(e, ignoreNulls) if atomicLeaf(e.dataType) =>
+      Some(GlobalRunningAgg(if (ignoreNulls) "last_nn" else "last", e, rowsFrame, attr))
     case _ => None
+  }
+
+  /** Offset functions: `lag(x, k, default)` / `lead(x, k, default)`
+    * with literal offsets and foldable defaults. Normalized to a
+    * signed SHIFT (positive = look behind, negative = ahead): the
+    * exec carries at most `maxOffset` boundary rows per partition, so
+    * huge offsets stay on the plain window. ignoreNulls needs
+    * unbounded lookback — excluded. */
+  private def asOffset(fn: Expression, attr: Attribute): Option[GlobalOffsetFunction] = {
+    graft.Materialize.registeredGateKeys.add(GlobalRankExec.MaxOffsetKey)
+    val maxOffset = scala.util.Try(
+      conf.getConfString(GlobalRankExec.MaxOffsetKey).toInt).getOrElse(1024)
+    def mk(e: Expression, shift: Int, default: Expression): Option[GlobalOffsetFunction] =
+      if (math.abs(shift) > maxOffset || !default.foldable ||
+          !(default.dataType == e.dataType || default.dataType == NullType)) None
+      else Some(GlobalOffsetFunction(e, shift, default.eval(), attr))
+    fn match {
+      case Lag(e, Literal(k: Int, IntegerType), default, false) => mk(e, k, default)
+      case Lead(e, Literal(k: Int, IntegerType), default, false) => mk(e, -k, default)
+      case _ => None
+    }
   }
 
   /** The supported window functions: the rank family (kinds are the
@@ -141,6 +175,7 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
             Some(GlobalRankFunction("ntile", k, a.toAttribute))
           case AggregateExpression(fn, _, false, None, _) =>
             runningFrame(frame).flatMap(rows => asAgg(fn, rows, a.toAttribute))
+          case o @ (_: Lag | _: Lead) => asOffset(o, a.toAttribute)
           case _ => None
         }
       case _ => None
@@ -171,6 +206,14 @@ case class GlobalRunningAgg(kind: String, valueExpr: Expression,
     rowsFrame: Boolean, attr: Attribute, exact: Boolean = false)
   extends GlobalWinFunction
 
+/** `lag`/`lead` normalized to a signed `shift` over the global row
+  * order: positive looks behind, negative ahead, zero is the row
+  * itself; `default` is the pre-evaluated foldable fallback. The exec
+  * carries `|shift|`-bounded boundary-row slices between partitions —
+  * the only cross-partition state offset functions need. */
+case class GlobalOffsetFunction(valueExpr: Expression, shift: Int,
+    default: Any, attr: Attribute) extends GlobalWinFunction
+
 /** Logical twin of [[GlobalRankExec]] — opaque to further rewrites by
   * design: it is created AFTER pruning/pushdown settled (late rule
   * slot), so nothing needs to traverse it. `references` is overridden
@@ -184,7 +227,10 @@ case class GlobalRankPlan(
   override def producedAttributes: AttributeSet = AttributeSet(funcs.map(_.attr))
   override def references: AttributeSet = AttributeSet(
     order.flatMap(_.references) ++
-      funcs.collect { case a: GlobalRunningAgg => a.valueExpr }.flatMap(_.references))
+      funcs.collect {
+        case a: GlobalRunningAgg => a.valueExpr
+        case o: GlobalOffsetFunction => o.valueExpr
+      }.flatMap(_.references))
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): GlobalRankPlan =
     copy(child = newChild)
@@ -260,6 +306,35 @@ private[plans] final class MinMaxAcc(dt: DataType, isMin: Boolean) extends Runni
   def value: Any = v
 }
 
+/** first_value/last_value state. `merge(o)` treats `o`'s rows as
+  * coming AFTER this state's rows — the sequential-combine contract
+  * every accumulator here satisfies (the others are commutative, so
+  * only this one cares). */
+private[plans] final class FirstLastAcc(isFirst: Boolean, ignoreNulls: Boolean)
+  extends RunningAcc {
+  var v: Any = null; var seen = false
+  private def retain(x: Any): Any = x match {
+    case u: UTF8String => u.copy()
+    case other => other
+  }
+  def add(x: Any): Unit = {
+    if (ignoreNulls && x == null) return
+    if (!isFirst || !seen) { v = retain(x); seen = true }
+  }
+  def merge(o: RunningAcc): Unit = {
+    val t = o.asInstanceOf[FirstLastAcc]
+    if (t.seen && (!isFirst || !seen)) { v = t.v; seen = true }
+  }
+  def value: Any = v
+}
+
+/** Per-partition job-1 state: row/tie-run counts, aggregate totals,
+  * and the boundary slices offset functions need — the last `maxLag`
+  * and first `maxLead` projected value rows. */
+private[plans] case class GlobalRankPartStat(
+    rows: Long, runs: Long, accs: Array[RunningAcc],
+    tail: Array[InternalRow], head: Array[InternalRow])
+
 object GlobalRankExec {
   /** Observability for the low-cardinality ORDER BY degrade warning
     * (VERDICT r15 item 2): total warnings logged by this JVM. */
@@ -268,6 +343,10 @@ object GlobalRankExec {
   /** Degrade detection fires only above this many input rows — below
     * it a handful of tasks is the right plan anyway. */
   val DegradeMinRowsKey = "spark.graft.globalrank.degradeMinRows"
+
+  /** Largest |lag/lead offset| the rewrite accepts: the exec ships
+    * up to this many boundary rows per partition to the driver. */
+  val MaxOffsetKey = "spark.graft.globalrank.maxOffset"
 }
 
 /**
@@ -350,6 +429,10 @@ case class GlobalRankExec(
     case "avg" => new AvgAcc
     case "min" => new MinMaxAcc(a.valueExpr.dataType, isMin = true)
     case "max" => new MinMaxAcc(a.valueExpr.dataType, isMin = false)
+    case "first" => new FirstLastAcc(isFirst = true, ignoreNulls = false)
+    case "first_nn" => new FirstLastAcc(isFirst = true, ignoreNulls = true)
+    case "last" => new FirstLastAcc(isFirst = false, ignoreNulls = false)
+    case "last_nn" => new FirstLastAcc(isFirst = false, ignoreNulls = true)
     case other => throw new IllegalStateException(
       s"GlobalRankExec: unknown running aggregate $other")
   }
@@ -365,14 +448,25 @@ case class GlobalRankExec(
     val aggExprs = aggs.map(_.valueExpr).toSeq
     val aggDts = aggs.map(_.valueExpr.dataType)
     val mkAccs: () => Array[RunningAcc] = { val fs = aggs; () => fs.map(newAcc) }
+    val offs = funcs.collect { case o: GlobalOffsetFunction => o }.toArray
+    val offExprs = offs.map(_.valueExpr).toSeq
+    val offDts = offs.map(_.valueExpr.dataType)
+    val maxLag = if (offs.isEmpty) 0 else math.max(0, offs.map(_.shift).max)
+    val maxLead = if (offs.isEmpty) 0 else math.max(0, offs.map(-_.shift).max)
 
-    // job 1: (rows, tieRuns, aggregate totals) per physical partition
-    val stats: Array[(Long, Long, Array[RunningAcc])] = childRDD
+    // job 1: per-partition row/run counts, aggregate totals, and the
+    // lag/lead boundary slices (≤ maxLag + maxLead projected value
+    // rows per partition — the ONLY cross-partition state offset
+    // functions need)
+    val stats: Array[GlobalRankPartStat] = childRDD
       .mapPartitionsWithIndex { (i, it) =>
         val keyProj = UnsafeProjection.create(orderExprs, childOutput)
         val cmp = RowOrdering.create(keyOrder, ka)
         val aggProj = if (aggs.isEmpty) null else UnsafeProjection.create(aggExprs, childOutput)
+        val offProj = if (offs.isEmpty) null else UnsafeProjection.create(offExprs, childOutput)
         val accs = mkAccs()
+        val headBuf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        val tailDq = new java.util.ArrayDeque[InternalRow]()
         var n = 0L; var runs = 0L
         var prev: UnsafeRow = null
         while (it.hasNext) {
@@ -391,14 +485,23 @@ case class GlobalRankExec(
               j += 1
             }
           }
+          if (maxLag > 0 || maxLead > 0) {
+            val pr = offProj(row).copy()
+            if (maxLead > 0 && headBuf.length < maxLead) headBuf += pr
+            if (maxLag > 0) {
+              if (tailDq.size == maxLag) tailDq.removeFirst()
+              tailDq.addLast(pr)
+            }
+          }
           n += 1L
         }
-        Iterator.single((i, (n, runs, accs)))
+        Iterator.single((i, GlobalRankPartStat(n, runs, accs,
+          tailDq.toArray(new Array[InternalRow](tailDq.size)), headBuf.toArray)))
       }
       .collect().sortBy(_._1).map(_._2)
 
-    val rowOffsets = stats.scanLeft(0L)(_ + _._1)
-    val runOffsets = stats.scanLeft(0L)(_ + _._2)
+    val rowOffsets = stats.scanLeft(0L)(_ + _.rows)
+    val runOffsets = stats.scanLeft(0L)(_ + _.runs)
     val total = rowOffsets.last
     // prefix aggregate states: prefixAccs(i) = combined totals of
     // partitions 0..i-1 (≤ numPartitions × |aggs| small objects)
@@ -410,10 +513,41 @@ case class GlobalRankExec(
         val next = mkAccs()
         var j = 0
         while (j < next.length) {
-          next(j).merge(out(i)(j)); next(j).merge(stats(i)._3(j)); j += 1
+          next(j).merge(out(i)(j)); next(j).merge(stats(i).accs(j)); j += 1
         }
         out(i + 1) = next
         i += 1
+      }
+      out
+    }
+    // lag seeds: the last maxLag value rows BEFORE partition i (a
+    // short partition contributes its whole tail, so concatenating
+    // tails in order and keeping the last maxLag is exact); lead
+    // seeds: the first maxLead value rows AFTER partition i
+    val prefixTails: Array[Array[InternalRow]] = {
+      val out = new Array[Array[InternalRow]](stats.length)
+      val dq = new java.util.ArrayDeque[InternalRow]()
+      var i = 0
+      while (i < stats.length) {
+        out(i) = dq.toArray(new Array[InternalRow](dq.size))
+        stats(i).tail.foreach { r =>
+          if (maxLag > 0) {
+            if (dq.size == maxLag) dq.removeFirst()
+            dq.addLast(r)
+          }
+        }
+        i += 1
+      }
+      out
+    }
+    val suffixHeads: Array[Array[InternalRow]] = {
+      val out = new Array[Array[InternalRow]](stats.length)
+      var acc = Vector.empty[InternalRow]
+      var i = stats.length - 1
+      while (i >= 0) {
+        out(i) = acc.toArray
+        acc = (stats(i).head.toVector ++ acc).take(maxLead)
+        i -= 1
       }
       out
     }
@@ -430,7 +564,7 @@ case class GlobalRankExec(
     val targetParts = scala.util.Try(
       conf.getConfString("spark.sql.shuffle.partitions").toInt).getOrElse(200)
     if (total >= degradeMinRows && targetParts > 1) {
-      val nonEmpty = stats.count(_._1 > 0L)
+      val nonEmpty = stats.count(_.rows > 0L)
       val distinct = if (trackRuns) runOffsets.last else -1L
       val degenerate =
         (trackRuns && distinct < targetParts) ||
@@ -447,7 +581,8 @@ case class GlobalRankExec(
     }
 
     // output slots follow the ORIGINAL window-expression order: slot c
-    // is either a rank kind or an index into the accumulator arrays
+    // is a rank kind, an index into the accumulator arrays, or an
+    // index into the offset-function array
     val slotRank: Array[(String, Int)] = funcs.map {
       case r: GlobalRankFunction => (r.kind, r.k)
       case _ => null
@@ -459,9 +594,13 @@ case class GlobalRankExec(
         case _ => -1
       }.toArray
     }
+    val offSlots: Array[Int] = funcs.zipWithIndex.collect {
+      case (_: GlobalOffsetFunction, c) => c
+    }.toArray
     val nSlots = funcs.length
     val rowsFrames = aggs.map(_.rowsFrame)
     val bufferRuns = anyRangeAgg
+    val delayLeads = maxLead > 0
 
     // job 2: emit child row ++ window columns (same shuffle, re-sorted)
     val numOutputRows = longMetric("numOutputRows")
@@ -488,6 +627,37 @@ case class GlobalRankExec(
       def extract(ar: InternalRow, j: Int): Any =
         if (ar.isNullAt(j)) null else ar.get(j, aggDts(j))
 
+      // lag machinery: a ring of the last maxLag projected value rows,
+      // seeded with the cross-partition prefix slice; s = 0 reads the
+      // current row; s < 0 (lead) slots are filled by the delay
+      // wrapper below
+      val offProj = if (offs.isEmpty) null else UnsafeProjection.create(offExprs, childOutput)
+      val lagCap = math.max(maxLag, 1)
+      val lagRing = new Array[InternalRow](lagCap)
+      var lagPushed = 0L
+      prefixTails(i).foreach { r =>
+        lagRing((lagPushed % lagCap).toInt) = r; lagPushed += 1
+      }
+      def extractOff(pr: InternalRow, oi: Int): Any =
+        if (pr.isNullAt(oi)) null else pr.get(oi, offDts(oi))
+      def fillOffsets(row: InternalRow): Unit = if (offs.nonEmpty) {
+        val pr = offProj(row)
+        var oi = 0
+        while (oi < offs.length) {
+          val s = offs(oi).shift
+          val c = offSlots(oi)
+          if (s > 0) funcRow.update(c,
+            if (lagPushed >= s) extractOff(lagRing(((lagPushed - s) % lagCap).toInt), oi)
+            else offs(oi).default)
+          else if (s == 0) funcRow.update(c, extractOff(pr, oi))
+          else funcRow.update(c, null)
+          oi += 1
+        }
+        if (maxLag > 0) {
+          lagRing((lagPushed % lagCap).toInt) = pr.copy(); lagPushed += 1
+        }
+      }
+
       def setFuncCols(rn: Long): Unit = {
         var c = 0
         while (c < nSlots) {
@@ -495,6 +665,8 @@ case class GlobalRankExec(
           if (a >= 0) {
             funcRow.update(c,
               if (rowsFrames(a)) rowsAccs(a).value else rangeAccs(a).value)
+          } else if (slotRank(c) == null) {
+            // offset slot: written by fillOffsets / the delay wrapper
           } else slotRank(c) match {
             case ("row_number", _) => funcRow.setInt(c, rn.toInt)
             case ("rank", _) => funcRow.setInt(c, (rowOff + runStart + 1L).toInt)
@@ -516,7 +688,15 @@ case class GlobalRankExec(
         }
       }
 
-      if (!bufferRuns) {
+      // both paths produce (childRow, funcRow) in row order; with
+      // leads present they must be COPIES (the delay wrapper holds
+      // maxLead of them), otherwise the reused objects flow straight
+      // into the final projection
+      def emitPair(row: InternalRow): (InternalRow, GenericInternalRow) =
+        if (delayLeads) (row.copy(), funcRow.copy().asInstanceOf[GenericInternalRow])
+        else (row, funcRow)
+
+      val pairs: Iterator[(InternalRow, GenericInternalRow)] = if (!bufferRuns) {
         // streaming path: no per-row copies beyond the retained key
         var prev: UnsafeRow = null
         it.map { row =>
@@ -533,15 +713,15 @@ case class GlobalRankExec(
           }
           val rn = rowOff + localIdx + 1L
           setFuncCols(rn)
+          fillOffsets(row)
           localIdx += 1L
-          numOutputRows += 1
-          proj(joined(row, funcRow))
+          emitPair(row)
         }
       } else {
         // run-buffered path: RANGE-framed aggregates must absorb the
         // whole tie run before any of its rows emit — buffer one run
         // of row copies at a time (bounded by the largest tie run)
-        new Iterator[InternalRow] {
+        new Iterator[(InternalRow, GenericInternalRow)] {
           private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
           private var pos = 0
           private var pendingRow: InternalRow = null
@@ -587,7 +767,7 @@ case class GlobalRankExec(
             pos < buf.length
           }
 
-          override def next(): InternalRow = {
+          override def next(): (InternalRow, GenericInternalRow) = {
             if (!hasNext) throw new NoSuchElementException
             val row = buf(pos)
             if (aggs.nonEmpty) {
@@ -600,10 +780,66 @@ case class GlobalRankExec(
             }
             val rn = rowOff + localIdx + 1L
             setFuncCols(rn)
+            fillOffsets(row)
             localIdx += 1L
             pos += 1
+            emitPair(row)
+          }
+        }
+      }
+
+      if (!delayLeads) {
+        pairs.map { case (r, fr) =>
+          numOutputRows += 1
+          proj(joined(r, fr))
+        }
+      } else {
+        // lead delay: hold maxLead pending rows; a pending row's
+        // lead values come from the rows pulled after it (all still
+        // in the ring — emission happens exactly maxLead pulls
+        // later), or from the cross-partition suffix slice at drain
+        new Iterator[InternalRow] {
+          private val cap = maxLead + 1
+          private val pRows = new Array[InternalRow](cap)
+          private val pFrs = new Array[GenericInternalRow](cap)
+          private val pPrs = new Array[InternalRow](cap)
+          private var readPos = 0L
+          private var emitPos = 0L
+          private val suffix = suffixHeads(i)
+          private val leadIdx = offs.indices.filter(offs(_).shift < 0).toArray
+
+          private def pull(): Unit = {
+            val (r, fr) = pairs.next()
+            val s = (readPos % cap).toInt
+            pRows(s) = r; pFrs(s) = fr; pPrs(s) = offProj(r).copy()
+            readPos += 1
+          }
+
+          override def hasNext: Boolean = emitPos < readPos || pairs.hasNext
+
+          override def next(): InternalRow = {
+            while (pairs.hasNext && readPos - emitPos <= maxLead) pull()
+            if (emitPos >= readPos) throw new NoSuchElementException
+            val t = emitPos
+            val s = (t % cap).toInt
+            val fr = pFrs(s)
+            var li = 0
+            while (li < leadIdx.length) {
+              val oi = leadIdx(li)
+              val tpos = t - offs(oi).shift // shift < 0: position ahead
+              val v =
+                if (tpos < readPos) extractOff(pPrs((tpos % cap).toInt), oi)
+                else {
+                  val sIdx = tpos - readPos // input exhausted: readPos == n
+                  if (sIdx < suffix.length) extractOff(suffix(sIdx.toInt), oi)
+                  else offs(oi).default
+                }
+              fr.update(offSlots(oi), v)
+              li += 1
+            }
+            emitPos += 1
             numOutputRows += 1
-            proj(joined(row, funcRow))
+            proj(joined(pRows(s), fr))
           }
         }
       }

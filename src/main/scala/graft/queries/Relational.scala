@@ -544,6 +544,43 @@ object Relational {
     df
   }
 
+  /** The gr3 offset-function SQL, shared VERBATIM with the DuckDB
+    * oracle: day-over-day diff / percent change / week-ago lookback /
+    * next-day lookahead / global first — the `shift/diff/pct_change`
+    * family (r5's shape) through plain window SQL. `d` is unique
+    * after the GROUP BY, so every offset value is deterministic; the
+    * division rounds 6dp, everything else rides the already-4dp daily
+    * totals. */
+  private def gr3Sql(table: String): String =
+    s"""WITH t AS (SELECT o_orderdate AS d,
+       |    ROUND(SUM(o_totalprice), 4) AS rev
+       |  FROM $table GROUP BY o_orderdate)
+       |SELECT d, rev,
+       |  ROUND(rev - lag(rev, 1) OVER (ORDER BY d), 4) AS dod_diff,
+       |  ROUND(rev / lag(rev, 1) OVER (ORDER BY d) - 1.0e0, 6) AS dod_pct,
+       |  lag(rev, 7, -1.0e0) OVER (ORDER BY d) AS rev_w_ago,
+       |  lead(rev, 1) OVER (ORDER BY d) AS rev_next,
+       |  first_value(rev) OVER (ORDER BY d) AS first_day_rev
+       |FROM t""".stripMargin
+
+  /** The AUTOMATIC lag/lead/first_value rewrite (round-16 extension
+    * of [[graft.plans.RangeRankRewrite]]) under the driver's hash
+    * gate — same isolated-session + fired-plan discipline as gr1/gr2.
+    * Offset functions carry only |shift|-bounded boundary-row slices
+    * between range partitions, so the plan stays one range exchange
+    * with no SinglePartition stage. */
+  def gr3ShiftDiffSql(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set(graft.operators.RangeRank.MinBytesKey, "0")
+    t(spark, dir, "orders").createOrReplaceTempView("gr3_orders")
+    val df = spark.sql(gr3Sql("gr3_orders"))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("GlobalRank") && !plan.contains("SinglePartition"),
+      "gr3: the automatic offset-function rewrite did not fire:\n" + plan.take(2000))
+    df
+  }
+
   /** Calendar seasonality: revenue by day-of-week. The trap this key
     * pins: weekday NUMBERING is engine-specific (Spark `weekday` is
     * Monday=0; Spark `dayofweek` is Sunday=1; DuckDB `dow` is
@@ -949,6 +986,7 @@ object Relational {
         |WHERE revenue IS NOT NULL""".stripMargin,
     "gr1_global_rank_sql" -> gr1Sql("orders"),
     "gr2_running_totals_sql" -> gr2Sql("orders"),
+    "gr3_shift_diff_sql" -> gr3Sql("orders"),
     "w5_spend_deciles" ->
       """WITH t AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
         |  FROM orders GROUP BY o_custkey),
@@ -1499,6 +1537,7 @@ object Relational {
     "w5_spend_deciles" -> (w5SpendDeciles _),
     "gr1_global_rank_sql" -> (gr1GlobalRankSql _),
     "gr2_running_totals_sql" -> (gr2RunningTotalsSql _),
+    "gr3_shift_diff_sql" -> (gr3ShiftDiffSql _),
     "cal1_dow_revenue" -> (cal1DowRevenue _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),

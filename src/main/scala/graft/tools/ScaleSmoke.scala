@@ -1272,6 +1272,41 @@ object ScaleSmoke {
       }
       println(s"SCALE aggrule: running sum/count/min/max auto vs plain = " +
         s"${if (auto == plain) "IDENTICAL" else s"DIVERGED $auto vs $plain"}")
+      // offsets (round-16 extension): lag/lead at 10M through user
+      // SQL — boundary slices are the only cross-partition state
+      val offSql =
+        """SELECT cents,
+          |  cents - lag(cents, 1) OVER (ORDER BY cents, k) AS diff1,
+          |  lead(cents, 3, -1)    OVER (ORDER BY cents, k) AS next3
+          |FROM cust10m""".stripMargin
+      def offChk(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal, Long) = {
+        val r = df.agg(
+          sum(col("diff1").cast("decimal(38,0)")).as("a"),
+          sum(col("next3").cast("decimal(38,0)")).as("b"),
+          count(lit(1)).as("n")).head
+        (r.getDecimal(0), r.getDecimal(1), r.getLong(2))
+      }
+      var offAuto: (java.math.BigDecimal, java.math.BigDecimal, Long) = null
+      timed("offrule_sql_10m") {
+        val df = spark.sql(offSql)
+        val p = df.queryExecution.executedPlan.toString
+        require(p.contains("GlobalRank") && !p.contains("SinglePartition"),
+          "offset rewrite did not fire:\n" + p.take(3000))
+        offAuto = offChk(df)
+        offAuto._3
+      }
+      var offPlain: (java.math.BigDecimal, java.math.BigDecimal, Long) = null
+      timed("offrule_plainwin_10m") {
+        spark.conf.set(graft.operators.RangeRank.MinBytesKey, Long.MaxValue.toString)
+        try {
+          val df = spark.sql(offSql)
+          require(!df.queryExecution.executedPlan.toString.contains("GlobalRank"))
+          offPlain = offChk(df)
+        } finally spark.conf.unset(graft.operators.RangeRank.MinBytesKey)
+        offPlain._3
+      }
+      println(s"SCALE aggrule: lag/lead auto vs plain = " +
+        s"${if (offAuto == offPlain) "IDENTICAL" else s"DIVERGED $offAuto vs $offPlain"}")
       println("SCALE aggrule: executed plan (head):")
       println(shape.queryExecution.executedPlan.toString.linesIterator
         .map("SCALE   " + _.take(100)).take(14).mkString("\n"))
@@ -1284,6 +1319,58 @@ object ScaleSmoke {
       require(fired > 0, "degrade warning did not fire on a 3-value order key at 10M rows")
       println(s"SCALE aggrule: low-cardinality degrade warning fired ($fired) on a 3-value key; " +
         s"quiet on the real order (none counted during the timed runs above)")
+    }
+
+    // --- repair: the opt-in duplicate-aggregate unification at 10M -------
+    // The PlanAuditRepair claim, measured: a join of two divergently
+    // pruned aggregates over the same 10M-row table scans the source
+    // TWICE with the flag off (ReuseExchange defeated by pruning) and
+    // ONCE with it on (union aggregates canonicalize equal), with
+    // identical results. The saving is the shared scan + partial
+    // aggregate + shuffle write — the dominant cost of this shape.
+    if (want("repair")) {
+      graft.functions.GraftFunctions.register(spark)
+      if (!new java.io.File(s"$outDir/repair10m.parquet").exists())
+        spark.range(10000000L).select((col("id") % 1000000L).as("g"),
+            (col("id") % 97).as("x"), (col("id") % 13).as("y"))
+          .write.mode("overwrite").parquet(s"$outDir/repair10m.parquet")
+      spark.read.parquet(s"$outDir/repair10m.parquet")
+        .createOrReplaceTempView("repair10m")
+      val repairSql =
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+          |  SUM(CAST(a.s * b.m AS DECIMAL(38,0))) AS chk
+          |FROM (SELECT g, sum(x) AS s FROM repair10m GROUP BY g) a
+          |JOIN (SELECT g, max(y) AS m, count(*) AS c FROM repair10m GROUP BY g) b
+          |  ON a.g = b.g""".stripMargin
+      def scans(df: DataFrame): Int =
+        "FileScan parquet".r.findAllIn(df.queryExecution.executedPlan
+          .toString.split("== Initial Plan ==")(0)).size
+      // collect(), not head(): head spawns its OWN QueryExecution, so
+      // the captured plan would be an unexecuted snapshot — under AQE
+      // exchange reuse only shows in the EXECUTED final plan
+      var offRow: org.apache.spark.sql.Row = null
+      var offScans = -1
+      timed("repair_off_10m") {
+        val df = spark.sql(repairSql)
+        offRow = df.collect()(0)
+        offScans = scans(df)
+        offRow.getLong(0)
+      }
+      var onRow: org.apache.spark.sql.Row = null
+      var onScans = -1
+      timed("repair_on_10m") {
+        spark.conf.set(graft.plans.PlanAuditRepair.FlagKey, "true")
+        try {
+          val df = spark.sql(repairSql)
+          require(df.queryExecution.optimizedPlan.toString.contains("RepairProject"),
+            "repair did not fire:\n" + df.queryExecution.optimizedPlan.toString.take(2000))
+          onRow = df.collect()(0)
+          onScans = scans(df)
+        } finally spark.conf.unset(graft.plans.PlanAuditRepair.FlagKey)
+        onRow.getLong(0)
+      }
+      println(s"SCALE repair: scans off=$offScans on=$onScans; results " +
+        s"${if (offRow == onRow) s"IDENTICAL ($offRow)" else s"DIVERGED $offRow vs $onRow"}")
     }
 
     // --- r15keys: measured scale smokes for the round-15 key newcomers ---

@@ -115,9 +115,9 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
         """SELECT sum(score) OVER (ORDER BY id
           |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM rr_rule_t""".stripMargin))
       assert(p2.contains("Window") && !p2.contains("GlobalRank"), p2)
-      // offset functions: unsupported — untouched
+      // cume_dist: unsupported — untouched
       val p2b = plan(spark.sql(
-        "SELECT lag(score, 1) OVER (ORDER BY id) AS l FROM rr_rule_t"))
+        "SELECT cume_dist() OVER (ORDER BY id) AS c FROM rr_rule_t"))
       assert(p2b.contains("Window") && !p2b.contains("GlobalRank"), p2b)
       // decimal-result running avg: excluded by design — untouched
       val p2c = plan(spark.sql(
@@ -125,10 +125,10 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
           |FROM rr_rule_t""".stripMargin))
       assert(p2c.contains("Window") && !p2c.contains("GlobalRank"), p2c)
       // one supported + one unsupported in the SAME over clause set:
-      // conservative skip (the single-partition lag would be needed anyway)
+      // conservative skip (the single-partition cume_dist is needed anyway)
       val p3 = plan(spark.sql(
         """SELECT row_number() OVER (ORDER BY id) AS rn,
-          |       lag(score, 1) OVER (ORDER BY id) AS l FROM rr_rule_t""".stripMargin))
+          |       cume_dist()  OVER (ORDER BY id) AS c FROM rr_rule_t""".stripMargin))
       assert(p3.contains("Window"), p3)
     }
   }
@@ -203,6 +203,92 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
     // the property itself, independent of the baseline engine
     assert(rewritten.exists(r => r(0) == 500L && r(1) == null && r(2) == null))
     assert(rewritten.exists(r => r(0) == 501L && r(1) == 501L && r(3) == 501L))
+  }
+
+  test("lag/lead rewrite: exact vs plain window across range-partition boundaries") {
+    frame.createOrReplaceTempView("rr_rule_t")
+    // (score, id) is a total order; offsets 1/3/7 cross the 4-way
+    // range split, exercising both the prefix-tail and suffix-head
+    // boundary slices and literal defaults
+    val sql =
+      """SELECT id,
+        |  lag(score, 1)       OVER (ORDER BY score, id) AS l1,
+        |  lag(score, 3, -1)   OVER (ORDER BY score, id) AS l3,
+        |  lag(tag, 2)         OVER (ORDER BY score, id) AS lt,
+        |  lead(score, 1)      OVER (ORDER BY score, id) AS d1,
+        |  lead(score, 7, -99) OVER (ORDER BY score, id) AS d7
+        |FROM rr_rule_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(rewritten == baseline)
+  }
+
+  test("the whole family in ONE window: ranks, running aggs, lag, lead, first/last") {
+    frame.createOrReplaceTempView("rr_rule_t")
+    val sql =
+      """SELECT id,
+        |  row_number()     OVER (ORDER BY score, id) AS rn,
+        |  sum(id)          OVER (ORDER BY score, id) AS s,
+        |  lag(id, 1)       OVER (ORDER BY score, id) AS lg,
+        |  lead(id, 2)      OVER (ORDER BY score, id) AS ld,
+        |  first_value(tag) OVER (ORDER BY score, id) AS fv,
+        |  last_value(id)   OVER (ORDER BY score, id) AS lv
+        |FROM rr_rule_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(rewritten == baseline)
+  }
+
+  test("first_value/last_value null semantics: respect-nulls vs ignore-nulls") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (1 to 2000).map(_.toLong).toDF("id")
+      .withColumn("v", when(col("id") <= 500, lit(null)).otherwise(col("id")))
+      .createOrReplaceTempView("rr_null_t")
+    val sql =
+      """SELECT id,
+        |  first_value(v)       OVER (ORDER BY id) AS f,
+        |  first_value(v, true) OVER (ORDER BY id) AS fn,
+        |  last_value(v)        OVER (ORDER BY id) AS l,
+        |  last_value(v, true)  OVER (ORDER BY id) AS ln
+        |FROM rr_null_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val rewritten = withOpenGate {
+      val df = spark.sql(sql)
+      assert(plan(df).contains("GlobalRank"))
+      df.collect().map(_.toSeq).toSet
+    }
+    assert(rewritten == baseline)
+    // the semantics themselves: f stays null forever (first row is
+    // null), fn is the first NON-null (501), ln carries the last
+    // non-null through trailing-null-free tail = id itself past 500
+    assert(rewritten.exists(r => r(0) == 2000L && r(1) == null && r(2) == 501L))
+    assert(rewritten.exists(r => r(0) == 400L && r(3) == null && r(4) == null))
+  }
+
+  test("offsets above the boundary-slice cap stay on the plain window") {
+    frame.createOrReplaceTempView("rr_rule_t")
+    withOpenGate {
+      val p = plan(spark.sql(
+        "SELECT lag(score, 2000) OVER (ORDER BY score, id) AS l FROM rr_rule_t"))
+      assert(p.contains("Window") && !p.contains("GlobalRank"), p)
+      // and the cap is a conf, not a constant
+      spark.conf.set(graft.plans.GlobalRankExec.MaxOffsetKey, "4000")
+      try {
+        val p2 = plan(spark.sql(
+          "SELECT lag(score, 2000) OVER (ORDER BY score, id) AS l FROM rr_rule_t"))
+        assert(p2.contains("GlobalRank"), p2)
+      } finally spark.conf.unset(graft.plans.GlobalRankExec.MaxOffsetKey)
+    }
   }
 
   test("ANSI long-sum overflow throws through the rewrite, as the plain window would") {
