@@ -173,6 +173,7 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
           case _: PercentRank => Some(GlobalRankFunction("percent_rank", 0, a.toAttribute))
           case NTile(Literal(k: Int, IntegerType)) if k >= 1 =>
             Some(GlobalRankFunction("ntile", k, a.toAttribute))
+          case CumeDist() => Some(GlobalRankFunction("cume_dist", 0, a.toAttribute))
           case AggregateExpression(fn, _, false, None, _) =>
             runningFrame(frame).flatMap(rows => asAgg(fn, rows, a.toAttribute))
           case o @ (_: Lag | _: Lead) => asOffset(o, a.toAttribute)
@@ -411,10 +412,15 @@ case class GlobalRankExec(
   /** Tie-run boundaries are needed by the tie-aware ranks AND by any
     * RANGE-framed running aggregate (peer rows share its value). */
   private val needRuns = rankFuncs.exists(r =>
-    r.kind == "rank" || r.kind == "dense_rank" || r.kind == "percent_rank") ||
+    r.kind == "rank" || r.kind == "dense_rank" || r.kind == "percent_rank" ||
+      r.kind == "cume_dist") ||
     aggFuncs.exists(!_.rowsFrame)
 
-  private val anyRangeAgg = aggFuncs.exists(!_.rowsFrame)
+  /** cume_dist needs the CURRENT run's length before any of its rows
+    * emit (numerator = position of the run's LAST peer), so it forces
+    * the run-buffered path even without RANGE aggregates. */
+  private val anyRangeAgg = aggFuncs.exists(!_.rowsFrame) ||
+    rankFuncs.exists(_.kind == "cume_dist")
 
   /** Fresh attrs for the projected order keys, so the tie comparator
     * binds to the key row, not the full child row (no full-row copies
@@ -623,6 +629,7 @@ case class GlobalRankExec(
         rowsAccs(j).merge(prefixAccs(i)(j)); rangeAccs(j).merge(prefixAccs(i)(j)); j += 1
       }
       var localIdx = 0L; var runStart = 0L; var localRuns = 0L
+      var runLen = 0L // current tie run's length (run-buffered path only)
 
       def extract(ar: InternalRow, j: Int): Any =
         if (ar.isNullAt(j)) null else ar.get(j, aggDts(j))
@@ -674,6 +681,8 @@ case class GlobalRankExec(
             case ("percent_rank", _) => funcRow.update(c,
               if (total > 1L) (rowOff + runStart).toDouble / (total - 1L).toDouble
               else 0.0d)
+            case ("cume_dist", _) => funcRow.update(c,
+              (rowOff + runStart + runLen).toDouble / total.toDouble)
             case ("ntile", k) =>
               // SQL-standard tiling (RangeRank.ntileFromRank's integer
               // arithmetic): first n%k tiles take one extra row
@@ -749,16 +758,18 @@ case class GlobalRankExec(
             }
             // run boundary: absorb the run into the RANGE accs, update
             // the rank run trackers
-            runStart = localIdx; localRuns += 1
-            var b = 0
-            while (b < buf.length) {
-              val ar = aggProj(buf(b))
-              var a = 0
-              while (a < aggs.length) {
-                if (!rowsFrames(a)) rangeAccs(a).add(extract(ar, a))
-                a += 1
+            runStart = localIdx; localRuns += 1; runLen = buf.length
+            if (aggs.nonEmpty) {
+              var b = 0
+              while (b < buf.length) {
+                val ar = aggProj(buf(b))
+                var a = 0
+                while (a < aggs.length) {
+                  if (!rowsFrames(a)) rangeAccs(a).add(extract(ar, a))
+                  a += 1
+                }
+                b += 1
               }
-              b += 1
             }
           }
 

@@ -71,7 +71,8 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
       """SELECT score,
         |  rank()         OVER (ORDER BY score) AS rk,
         |  dense_rank()   OVER (ORDER BY score) AS dr,
-        |  percent_rank() OVER (ORDER BY score) AS pr
+        |  percent_rank() OVER (ORDER BY score) AS pr,
+        |  cume_dist()    OVER (ORDER BY score) AS cd
         |FROM rr_rule_t""".stripMargin
     val baseline = spark.sql(sql).collect().map(_.toSeq)
       .sortBy(_.toString).toSeq
@@ -115,9 +116,9 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
         """SELECT sum(score) OVER (ORDER BY id
           |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM rr_rule_t""".stripMargin))
       assert(p2.contains("Window") && !p2.contains("GlobalRank"), p2)
-      // cume_dist: unsupported — untouched
+      // unsupported running aggregate (stddev): untouched
       val p2b = plan(spark.sql(
-        "SELECT cume_dist() OVER (ORDER BY id) AS c FROM rr_rule_t"))
+        "SELECT stddev(score) OVER (ORDER BY id) AS c FROM rr_rule_t"))
       assert(p2b.contains("Window") && !p2b.contains("GlobalRank"), p2b)
       // decimal-result running avg: excluded by design — untouched
       val p2c = plan(spark.sql(
@@ -125,10 +126,10 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
           |FROM rr_rule_t""".stripMargin))
       assert(p2c.contains("Window") && !p2c.contains("GlobalRank"), p2c)
       // one supported + one unsupported in the SAME over clause set:
-      // conservative skip (the single-partition cume_dist is needed anyway)
+      // conservative skip (the single-partition stddev is needed anyway)
       val p3 = plan(spark.sql(
-        """SELECT row_number() OVER (ORDER BY id) AS rn,
-          |       cume_dist()  OVER (ORDER BY id) AS c FROM rr_rule_t""".stripMargin))
+        """SELECT row_number()  OVER (ORDER BY id) AS rn,
+          |       stddev(score) OVER (ORDER BY id) AS c FROM rr_rule_t""".stripMargin))
       assert(p3.contains("Window"), p3)
     }
   }
