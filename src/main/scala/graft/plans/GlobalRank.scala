@@ -348,6 +348,19 @@ object GlobalRankExec {
   /** Largest |lag/lead offset| the rewrite accepts: the exec ships
     * up to this many boundary rows per partition to the driver. */
   val MaxOffsetKey = "spark.graft.globalrank.maxOffset"
+
+  /** RANGE-path tie runs at or above this many rows log a task-side
+    * warning and bump the `bigTieRuns` SQLMetric: a single hot peer
+    * run is invisible to the driver-side degrade warning (which sees
+    * only distinct-key counts), but it is the same scale cliff — the
+    * run must be buffered whole. */
+  val BigRunWarnRowsKey = "spark.graft.globalrank.bigRunWarnRows"
+
+  /** JVM-local spec observability for the big-run warning (local mode
+    * only — in cluster mode the SQLMetric and executor logs are the
+    * real channel, exactly like degradeWarnCount's driver-side
+    * counterpart). */
+  val bigRunWarnCount = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /**
@@ -396,7 +409,9 @@ case class GlobalRankExec(
   override def producedAttributes: AttributeSet = AttributeSet(funcs.map(_.attr))
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of output rows"))
+      .createMetric(sparkContext, "number of output rows"),
+    "bigTieRuns" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "tie runs over the buffer warn threshold"))
   override def requiredChildDistribution: Seq[Distribution] =
     OrderedDistribution(order) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
@@ -610,6 +625,9 @@ case class GlobalRankExec(
 
     // job 2: emit child row ++ window columns (same shuffle, re-sorted)
     val numOutputRows = longMetric("numOutputRows")
+    val bigTieRuns = longMetric("bigTieRuns")
+    val bigRunWarnRows = scala.util.Try(conf.getConfString(
+      GlobalRankExec.BigRunWarnRowsKey).toLong).getOrElse(4L << 20)
     childRDD.mapPartitionsWithIndex { (i, it) =>
       val keyProj = UnsafeProjection.create(orderExprs, childOutput)
       val cmp = RowOrdering.create(keyOrder, ka)
@@ -759,6 +777,15 @@ case class GlobalRankExec(
             // run boundary: absorb the run into the RANGE accs, update
             // the rank run trackers
             runStart = localIdx; localRuns += 1; runLen = buf.length
+            if (buf.length >= bigRunWarnRows) {
+              bigTieRuns += 1
+              GlobalRankExec.bigRunWarnCount.incrementAndGet()
+              org.slf4j.LoggerFactory.getLogger(classOf[GlobalRankExec]).warn(
+                s"GlobalRankExec: buffered a tie run of ${buf.length} rows " +
+                  "(RANGE-frame peers must be absorbed whole). A hot peer run " +
+                  "is the per-key twin of the low-cardinality degrade — " +
+                  "consider a finer ORDER BY key.")
+            }
             if (aggs.nonEmpty) {
               var b = 0
               while (b < buf.length) {

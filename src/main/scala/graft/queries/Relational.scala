@@ -563,6 +563,36 @@ object Relational {
        |  first_value(rev) OVER (ORDER BY d) AS first_day_rev
        |FROM t""".stripMargin
 
+  /** The gr4 SQL: the REST of the supported family under the hash
+    * gate — cume_dist (run-buffered numerator), first_value /
+    * last_value (First/Last running accumulators), ntile — over the
+    * same unique daily order key, shared VERBATIM with DuckDB. */
+  private def gr4Sql(table: String): String =
+    s"""WITH t AS (SELECT o_orderdate AS d,
+       |    ROUND(SUM(o_totalprice), 4) AS rev
+       |  FROM $table GROUP BY o_orderdate)
+       |SELECT d, rev,
+       |  ROUND(cume_dist() OVER (ORDER BY d), 6) AS cd6,
+       |  first_value(rev) OVER (ORDER BY d) AS first_rev,
+       |  last_value(rev)  OVER (ORDER BY d) AS last_rev,
+       |  CAST(ntile(12)   OVER (ORDER BY d) AS BIGINT) AS twelfth
+       |FROM t""".stripMargin
+
+  /** cume_dist/first_value/last_value through the automatic rewrite
+    * under the driver's hash gate — same isolated-session +
+    * fired-plan discipline as gr1–gr3. */
+  def gr4DistFirstLastSql(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set(graft.operators.RangeRank.MinBytesKey, "0")
+    t(spark, dir, "orders").createOrReplaceTempView("gr4_orders")
+    val df = spark.sql(gr4Sql("gr4_orders"))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("GlobalRank") && !plan.contains("SinglePartition"),
+      "gr4: the automatic cume_dist/first/last rewrite did not fire:\n" + plan.take(2000))
+    df
+  }
+
   /** The AUTOMATIC lag/lead/first_value rewrite (round-16 extension
     * of [[graft.plans.RangeRankRewrite]]) under the driver's hash
     * gate — same isolated-session + fired-plan discipline as gr1/gr2.
@@ -987,6 +1017,7 @@ object Relational {
     "gr1_global_rank_sql" -> gr1Sql("orders"),
     "gr2_running_totals_sql" -> gr2Sql("orders"),
     "gr3_shift_diff_sql" -> gr3Sql("orders"),
+    "gr4_dist_first_last_sql" -> gr4Sql("orders"),
     "w5_spend_deciles" ->
       """WITH t AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
         |  FROM orders GROUP BY o_custkey),
@@ -1538,6 +1569,7 @@ object Relational {
     "gr1_global_rank_sql" -> (gr1GlobalRankSql _),
     "gr2_running_totals_sql" -> (gr2RunningTotalsSql _),
     "gr3_shift_diff_sql" -> (gr3ShiftDiffSql _),
+    "gr4_dist_first_last_sql" -> (gr4DistFirstLastSql _),
     "cal1_dow_revenue" -> (cal1DowRevenue _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),

@@ -292,6 +292,29 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("giant tie runs in the RANGE path log the buffered-run warning") {
+    import org.apache.spark.sql.functions._
+    spark.range(4000).select((col("id") % 3).as("k"), col("id"))
+      .createOrReplaceTempView("rr_bigrun_t")
+    val exec = graft.plans.GlobalRankExec
+    spark.conf.set(exec.BigRunWarnRowsKey, "1000")
+    try withOpenGate {
+      val before = exec.bigRunWarnCount.get()
+      // RANGE-framed sum over a 3-value key -> ~1333-row peer runs
+      spark.sql(
+        "SELECT sum(s) AS t FROM (SELECT sum(id) OVER (ORDER BY k) AS s FROM rr_bigrun_t)")
+        .collect()
+      assert(exec.bigRunWarnCount.get() > before,
+        "a 1333-row tie run above the 1000-row threshold must warn")
+      // fine-grained keys stay quiet
+      val after = exec.bigRunWarnCount.get()
+      spark.sql(
+        "SELECT sum(s) AS t FROM (SELECT sum(k) OVER (ORDER BY id) AS s FROM rr_bigrun_t)")
+        .collect()
+      assert(exec.bigRunWarnCount.get() == after)
+    } finally spark.conf.unset(exec.BigRunWarnRowsKey)
+  }
+
   test("ANSI long-sum overflow throws through the rewrite, as the plain window would") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
