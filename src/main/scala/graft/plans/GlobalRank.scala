@@ -148,13 +148,17 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     graft.Materialize.registeredGateKeys.add(GlobalRankExec.MaxOffsetKey)
     val maxOffset = scala.util.Try(
       conf.getConfString(GlobalRankExec.MaxOffsetKey).toInt).getOrElse(1024)
+    // |shift| in LONG space: math.abs(Int.MinValue) is negative and
+    // would bypass the cap (review r16 finding)
     def mk(e: Expression, shift: Int, default: Expression): Option[GlobalOffsetFunction] =
-      if (math.abs(shift) > maxOffset || !default.foldable ||
+      if (math.abs(shift.toLong) > maxOffset || !atomicLeaf(e.dataType) ||
+          !default.foldable ||
           !(default.dataType == e.dataType || default.dataType == NullType)) None
       else Some(GlobalOffsetFunction(e, shift, default.eval(), attr))
     fn match {
       case Lag(e, Literal(k: Int, IntegerType), default, false) => mk(e, k, default)
-      case Lead(e, Literal(k: Int, IntegerType), default, false) => mk(e, -k, default)
+      case Lead(e, Literal(k: Int, IntegerType), default, false) =>
+        if (k == Int.MinValue) None else mk(e, -k, default)
       case _ => None
     }
   }
@@ -256,13 +260,33 @@ private[plans] sealed trait RunningAcc extends Serializable {
   def value: Any
 }
 
+/** Long running sum in 128-bit space (low word + overflow carry), so
+  * every intermediate state is exact regardless of combine order. A
+  * per-PARTITION subtotal may overflow while the true running prefix
+  * never does (negative values elsewhere cancel it — review r16
+  * finding), so overflow is decided only where the plain window would
+  * decide it: at `value()`, per emitted row. `exact` (ANSI) throws
+  * there; legacy mode returns the wrapped low word, which is exactly
+  * Java's wrap of the true sum. */
 private[plans] final class SumLongAcc(exact: Boolean) extends RunningAcc {
-  var s = 0L; var seen = false
-  private def plus(a: Long, b: Long): Long =
-    if (exact) Math.addExact(a, b) else a + b
-  def add(v: Any): Unit = if (v != null) { s = plus(s, v.asInstanceOf[Number].longValue()); seen = true }
-  def merge(o: RunningAcc): Unit = { val t = o.asInstanceOf[SumLongAcc]; if (t.seen) { s = plus(s, t.s); seen = true } }
-  def value: Any = if (seen) java.lang.Long.valueOf(s) else null
+  var s = 0L; var carry = 0L; var seen = false
+  private def addRaw(x: Long): Unit = {
+    val r = s + x
+    if (((s ^ r) & (x ^ r)) < 0L) carry += (if (x > 0L) 1L else -1L)
+    s = r
+  }
+  def add(v: Any): Unit = if (v != null) {
+    addRaw(v.asInstanceOf[Number].longValue()); seen = true
+  }
+  def merge(o: RunningAcc): Unit = {
+    val t = o.asInstanceOf[SumLongAcc]
+    if (t.seen) { addRaw(t.s); carry += t.carry; seen = true }
+  }
+  def value: Any =
+    if (!seen) null
+    else if (carry != 0L && exact) throw new ArithmeticException(
+      "long overflow in running SUM (ANSI mode)")
+    else java.lang.Long.valueOf(s)
 }
 
 private[plans] final class SumDoubleAcc extends RunningAcc {
@@ -572,6 +596,11 @@ case class GlobalRankExec(
       }
       out
     }
+    // BROADCAST the per-partition state (O(P × (|aggs| + maxLag +
+    // maxLead)) objects): in the task closure it would serialize into
+    // EVERY task — O(P²) aggregate shipping at cluster scale (review
+    // r16 finding). Tasks only read it, never mutate.
+    val bcState = sparkContext.broadcast((prefixAccs, prefixTails, suffixHeads))
 
     // degrade visibility: K distinct order keys < target partitions
     // means the range exchange degenerated to ≤K tasks on the whole
@@ -638,13 +667,14 @@ case class GlobalRankExec(
         childOutput ++ funcs.map(_.attr), childOutput ++ funcs.map(_.attr))
       val rowOff = rowOffsets(i)
       val runOff = runOffsets(i)
+      val (prefixAccsB, prefixTailsB, suffixHeadsB) = bcState.value
       // start from a FRESH state merged with the prefix: tasks must
-      // never mutate the captured prefix objects (attempt re-runs)
+      // never mutate the broadcast prefix objects (attempt re-runs)
       val rowsAccs = mkAccs()
       val rangeAccs = mkAccs()
       var j = 0
       while (j < aggs.length) {
-        rowsAccs(j).merge(prefixAccs(i)(j)); rangeAccs(j).merge(prefixAccs(i)(j)); j += 1
+        rowsAccs(j).merge(prefixAccsB(i)(j)); rangeAccs(j).merge(prefixAccsB(i)(j)); j += 1
       }
       var localIdx = 0L; var runStart = 0L; var localRuns = 0L
       var runLen = 0L // current tie run's length (run-buffered path only)
@@ -660,11 +690,19 @@ case class GlobalRankExec(
       val lagCap = math.max(maxLag, 1)
       val lagRing = new Array[InternalRow](lagCap)
       var lagPushed = 0L
-      prefixTails(i).foreach { r =>
+      prefixTailsB(i).foreach { r =>
         lagRing((lagPushed % lagCap).toInt) = r; lagPushed += 1
       }
       def extractOff(pr: InternalRow, oi: Int): Any =
         if (pr.isNullAt(oi)) null else pr.get(oi, offDts(oi))
+      // s == 0 reads the LIVE projection buffer, which the next row's
+      // fillOffsets overwrites — unsafe once the lead-delay wrapper
+      // holds the value past this row (review r16 finding). Ring/seed
+      // reads are safe: those rows are retained copies.
+      def retainOff(v: Any): Any = v match {
+        case u: UTF8String => u.copy()
+        case other => other
+      }
       def fillOffsets(row: InternalRow): Unit = if (offs.nonEmpty) {
         val pr = offProj(row)
         var oi = 0
@@ -674,7 +712,8 @@ case class GlobalRankExec(
           if (s > 0) funcRow.update(c,
             if (lagPushed >= s) extractOff(lagRing(((lagPushed - s) % lagCap).toInt), oi)
             else offs(oi).default)
-          else if (s == 0) funcRow.update(c, extractOff(pr, oi))
+          else if (s == 0) funcRow.update(c,
+            if (delayLeads) retainOff(extractOff(pr, oi)) else extractOff(pr, oi))
           else funcRow.update(c, null)
           oi += 1
         }
@@ -843,7 +882,7 @@ case class GlobalRankExec(
           private val pPrs = new Array[InternalRow](cap)
           private var readPos = 0L
           private var emitPos = 0L
-          private val suffix = suffixHeads(i)
+          private val suffix = suffixHeadsB(i)
           private val leadIdx = offs.indices.filter(offs(_).shift < 0).toArray
 
           private def pull(): Unit = {

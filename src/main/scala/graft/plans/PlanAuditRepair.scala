@@ -64,7 +64,25 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
     val enabled = scala.util.Try(
       conf.getConfString(FlagKey, "false").toBoolean).getOrElse(false)
     if (!enabled || plan.isStreaming) return plan
+    // internal fixpoint (bounded): repairing an INNER group rebuilds
+    // the outer members via withNewChildren, so the identity map
+    // misses them in the same pass — nested divergent groups need
+    // another sweep over the rebuilt tree (review r16 finding). The
+    // rebuilt inner subtrees canonicalize equal, so the outer group
+    // becomes eligible on the next pass; no-replacement terminates.
+    var p = plan
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 4) {
+      val next = repairOnce(p)
+      changed = !(next eq p)
+      p = next
+      rounds += 1
+    }
+    p
+  }
 
+  private def repairOnce(plan: LogicalPlan): LogicalPlan = {
     val groups = scala.collection.mutable.LinkedHashMap.empty[String, List[Aggregate]]
     plan.foreach {
       case a: Aggregate =>
@@ -99,13 +117,35 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
     case other => other
   }
 
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Peel pure null-guard Filters (all conjuncts IsNotNull) and
+    * pruning Projects off the chain, returning (core, guards). The
+    * optimizer INFERS these guards from join conditions on some
+    * consumers and not others (the same asymmetry
+    * [[graft.tools.PlanAudit.loose]] documents), so a guard-sensitive
+    * canonical compare would skip exactly the groups users hit. */
+  private def splitGuards(p: LogicalPlan): (LogicalPlan, Seq[Expression]) = p match {
+    case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
+      splitGuards(child)
+    case Filter(cond, child) if conjuncts(cond).forall(_.isInstanceOf[IsNotNull]) =>
+      val (core, gs) = splitGuards(child)
+      (core, conjuncts(cond) ++ gs)
+    case other => (other, Nil)
+  }
+
   /** Rebuild every member over the union aggregate, or None when any
     * semantic precondition fails (conservative skip — the observer
     * still logs). */
   private def unify(members: IndexedSeq[Aggregate]): Option[IndexedSeq[LogicalPlan]] = {
     if (!members.forall(m => m.aggregateExpressions.forall(_.deterministic) &&
         m.groupingExpressions.forall(_.deterministic))) return None
-    val chains = members.map(m => stripPruning(m.child))
+    val split = members.map(m => splitGuards(m.child))
+    val chains = split.map(_._1)
+    val memberGuards = split.map(_._2)
     val c0 = chains.head
     if (!chains.forall(c => c.canonicalized == c0.canonicalized &&
         c.output.length == c0.output.length)) return None
@@ -113,13 +153,43 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
     val toDonor = chains.map(c => AttributeMap(c.output.zip(c0.output)))
     val fromDonor = chains.map(c => AttributeMap(c0.output.zip(c.output)))
     val refsOk = members.indices.forall { i =>
-      (members(i).aggregateExpressions ++ members(i).groupingExpressions)
+      (members(i).aggregateExpressions ++ members(i).groupingExpressions ++
+        memberGuards(i))
         .forall(_.references.forall(toDonor(i).contains))
     }
     if (!refsOk) return None
 
     def translate(e: Expression, m: AttributeMap[Attribute]): Expression =
       e.transform { case a: Attribute if m.contains(a) => m(a) }
+
+    // null guards: the COMMON conjuncts (canonical intersection in
+    // donor space) stay below the wide aggregate, preserving the scan
+    // pushdown; each member's RESIDUAL guards lift ABOVE its
+    // RepairProject — sound only when they reference grouping
+    // attributes the member outputs (a group-level predicate commutes
+    // with grouping), so any other residual skips the group
+    val guardKeys = members.indices.map(i =>
+      memberGuards(i).map(g => translate(g, toDonor(i)).canonicalized))
+    val commonKeys = guardKeys.reduce((a, b) => a.filter(b.contains)).distinct.toSet
+    val residuals = members.indices.map { i =>
+      memberGuards(i).zip(guardKeys(i)).collect {
+        case (g, k) if !commonKeys.contains(k) => g
+      }
+    }
+    val liftOk = members.indices.forall { i =>
+      val groupRefs = AttributeSet(members(i).groupingExpressions.flatMap(_.references))
+      residuals(i).forall(g => g.references.subsetOf(groupRefs) &&
+        g.references.subsetOf(members(i).outputSet))
+    }
+    if (!liftOk) return None
+    // one canonical-deduped common-guard list in donor space, in the
+    // donor member's order (same order for every member => canonical
+    // equality of the rebuilt Filters)
+    val commonDonor: Seq[Expression] = {
+      val seen = scala.collection.mutable.HashSet.empty[Expression]
+      memberGuards(0).map(g => translate(g, toDonor(0)))
+        .filter(g => commonKeys.contains(g.canonicalized) && seen.add(g.canonicalized))
+    }
 
     // grouping: one shared order (the donor's); members must agree as
     // a canonical multiset
@@ -164,11 +234,15 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
         }
       }
       val groupingI = donorGrouping.map(e => translate(e, fromDonor(i)))
+      val guardedChain =
+        if (commonDonor.isEmpty) chains(i)
+        else Filter(commonDonor.map(g => translate(g, fromDonor(i))).reduce(And),
+          chains(i))
       val needed = AttributeSet(unionI.flatMap(_.references) ++
         groupingI.flatMap(_.references))
       val prunedChild =
-        if (chains(i).outputSet.subsetOf(needed)) chains(i)
-        else Project(chains(i).output.filter(needed.contains), chains(i))
+        if (chains(i).outputSet.subsetOf(needed)) guardedChain
+        else Project(chains(i).output.filter(needed.contains), guardedChain)
       val wide = members(i).copy(groupingExpressions = groupingI,
         aggregateExpressions = unionI, child = prunedChild)
       // restore the member's EXACT original output (names + exprIds +
@@ -184,7 +258,9 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
           case other => Alias(src, other.name)(exprId = other.exprId)
         }
       }
-      RepairProject(restore, wide)
+      val body = RepairProject(restore, wide)
+      if (residuals(i).isEmpty) body
+      else Filter(residuals(i).reduce(And), body)
     })
   }
 }

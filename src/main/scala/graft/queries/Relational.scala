@@ -485,17 +485,28 @@ object Relational {
     * window's. Construction asserts the rewrite actually fired —
     * a silently-unrewritten plan would pass the hash (the paths are
     * value-identical on a total order) while gating nothing. */
-  def gr1GlobalRankSql(spark0: SparkSession, dir: String): DataFrame = {
+  /** Shared harness for the gr-family rewrite-fired oracle keys: an
+    * ISOLATED session (`newSession` — the forced-open gate must not
+    * leak into sibling keys' gates), the orders table as a view, and
+    * a construction-time assertion that the automatic rewrite
+    * actually fired — a silently-unrewritten plan would pass the hash
+    * (the paths are value-identical on these orders) while gating
+    * nothing. */
+  private def rewrittenOracle(spark0: SparkSession, dir: String,
+      view: String, sql: String => String, tag: String): DataFrame = {
     val spark = spark0.newSession()
     graft.functions.GraftFunctions.register(spark)
     spark.conf.set(graft.operators.RangeRank.MinBytesKey, "0")
-    t(spark, dir, "orders").createOrReplaceTempView("gr1_orders")
-    val df = spark.sql(gr1Sql("gr1_orders"))
+    t(spark, dir, "orders").createOrReplaceTempView(view)
+    val df = spark.sql(sql(view))
     val plan = df.queryExecution.executedPlan.toString
     require(plan.contains("GlobalRank") && !plan.contains("SinglePartition"),
-      "gr1: the automatic ranking rewrite did not fire:\n" + plan.take(2000))
+      s"$tag: the automatic rewrite did not fire:\n" + plan.take(2000))
     df
   }
+
+  def gr1GlobalRankSql(spark0: SparkSession, dir: String): DataFrame =
+    rewrittenOracle(spark0, dir, "gr1_orders", gr1Sql, "gr1")
 
   /** The gr2 running-aggregate SQL, shared VERBATIM by the Spark side
     * and the DuckDB oracle (only the table name differs): the
@@ -532,17 +543,8 @@ object Relational {
     * asserts the rewrite actually fired — a silently-unrewritten plan
     * would pass the hash (the paths agree on a total order) while
     * gating nothing. */
-  def gr2RunningTotalsSql(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = spark0.newSession()
-    graft.functions.GraftFunctions.register(spark)
-    spark.conf.set(graft.operators.RangeRank.MinBytesKey, "0")
-    t(spark, dir, "orders").createOrReplaceTempView("gr2_orders")
-    val df = spark.sql(gr2Sql("gr2_orders"))
-    val plan = df.queryExecution.executedPlan.toString
-    require(plan.contains("GlobalRank") && !plan.contains("SinglePartition"),
-      "gr2: the automatic running-aggregate rewrite did not fire:\n" + plan.take(2000))
-    df
-  }
+  def gr2RunningTotalsSql(spark0: SparkSession, dir: String): DataFrame =
+    rewrittenOracle(spark0, dir, "gr2_orders", gr2Sql, "gr2")
 
   /** The gr3 offset-function SQL, shared VERBATIM with the DuckDB
     * oracle: day-over-day diff / percent change / week-ago lookback /
@@ -581,17 +583,8 @@ object Relational {
   /** cume_dist/first_value/last_value through the automatic rewrite
     * under the driver's hash gate — same isolated-session +
     * fired-plan discipline as gr1–gr3. */
-  def gr4DistFirstLastSql(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = spark0.newSession()
-    graft.functions.GraftFunctions.register(spark)
-    spark.conf.set(graft.operators.RangeRank.MinBytesKey, "0")
-    t(spark, dir, "orders").createOrReplaceTempView("gr4_orders")
-    val df = spark.sql(gr4Sql("gr4_orders"))
-    val plan = df.queryExecution.executedPlan.toString
-    require(plan.contains("GlobalRank") && !plan.contains("SinglePartition"),
-      "gr4: the automatic cume_dist/first/last rewrite did not fire:\n" + plan.take(2000))
-    df
-  }
+  def gr4DistFirstLastSql(spark0: SparkSession, dir: String): DataFrame =
+    rewrittenOracle(spark0, dir, "gr4_orders", gr4Sql, "gr4")
 
   /** The AUTOMATIC lag/lead/first_value rewrite (round-16 extension
     * of [[graft.plans.RangeRankRewrite]]) under the driver's hash
@@ -599,17 +592,8 @@ object Relational {
     * Offset functions carry only |shift|-bounded boundary-row slices
     * between range partitions, so the plan stays one range exchange
     * with no SinglePartition stage. */
-  def gr3ShiftDiffSql(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = spark0.newSession()
-    graft.functions.GraftFunctions.register(spark)
-    spark.conf.set(graft.operators.RangeRank.MinBytesKey, "0")
-    t(spark, dir, "orders").createOrReplaceTempView("gr3_orders")
-    val df = spark.sql(gr3Sql("gr3_orders"))
-    val plan = df.queryExecution.executedPlan.toString
-    require(plan.contains("GlobalRank") && !plan.contains("SinglePartition"),
-      "gr3: the automatic offset-function rewrite did not fire:\n" + plan.take(2000))
-    df
-  }
+  def gr3ShiftDiffSql(spark0: SparkSession, dir: String): DataFrame =
+    rewrittenOracle(spark0, dir, "gr3_orders", gr3Sql, "gr3")
 
   /** Calendar seasonality: revenue by day-of-week. The trap this key
     * pins: weekday NUMBERING is engine-specific (Spark `weekday` is

@@ -57,6 +57,17 @@ object PlanAudit {
 
   def audit(df: DataFrame): Seq[Finding] = audit(df.queryExecution.optimizedPlan)
 
+  /** FileScan count of the EXECUTED final plan — the reuse-visibility
+    * helper the repair checks share. Two traps it encodes (round-16
+    * lessons): AQE plan strings append an "== Initial Plan ==" section
+    * after the final one (count only the final section), and exchange
+    * reuse shows only in a plan that actually RAN — run `df.collect()`
+    * first, not `df.head` (head spawns its own QueryExecution, so the
+    * captured plan would be an unexecuted snapshot). */
+  def fileScanCount(df: DataFrame): Int =
+    "FileScan parquet".r.findAllIn(df.queryExecution.executedPlan
+      .toString.split("== Initial Plan ==")(0)).size
+
   def audit(plan: LogicalPlan): Seq[Finding] = {
     val aggs = scala.collection.mutable.Map.empty[String, List[Aggregate]]
     def visit(p: LogicalPlan): Unit = {

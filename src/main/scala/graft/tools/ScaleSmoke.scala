@@ -1342,12 +1342,11 @@ object ScaleSmoke {
           |FROM (SELECT g, sum(x) AS s FROM repair10m GROUP BY g) a
           |JOIN (SELECT g, max(y) AS m, count(*) AS c FROM repair10m GROUP BY g) b
           |  ON a.g = b.g""".stripMargin
-      def scans(df: DataFrame): Int =
-        "FileScan parquet".r.findAllIn(df.queryExecution.executedPlan
-          .toString.split("== Initial Plan ==")(0)).size
-      // collect(), not head(): head spawns its OWN QueryExecution, so
-      // the captured plan would be an unexecuted snapshot — under AQE
-      // exchange reuse only shows in the EXECUTED final plan
+      // PlanAudit.fileScanCount + collect(), not head(): head spawns
+      // its OWN QueryExecution, so the captured plan would be an
+      // unexecuted snapshot — under AQE exchange reuse only shows in
+      // the EXECUTED final plan
+      def scans(df: DataFrame): Int = PlanAudit.fileScanCount(df)
       var offRow: org.apache.spark.sql.Row = null
       var offScans = -1
       timed("repair_off_10m") {

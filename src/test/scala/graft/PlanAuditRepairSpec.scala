@@ -38,10 +38,8 @@ class PlanAuditRepairSpec extends AnyFunSuite with SparkTestBase {
       |  JOIN (SELECT g, max(y) AS m, sum(x) AS s2 FROM repair_t GROUP BY g) b
       |  ON a.g = b.g""".stripMargin
 
-  // AQE plan strings append an "== Initial Plan ==" section after the
-  // final plan — count scans in the FINAL section only
-  private def scans(p: String): Int =
-    "FileScan parquet".r.findAllIn(p.split("== Initial Plan ==")(0)).size
+  private def scans(df: org.apache.spark.sql.DataFrame): Int =
+    graft.tools.PlanAudit.fileScanCount(df)
 
   test("flag off: detector warns, both aggregate variants scan the source") {
     spark.read.parquet(dir).createOrReplaceTempView("repair_t")
@@ -49,26 +47,25 @@ class PlanAuditRepairSpec extends AnyFunSuite with SparkTestBase {
     val findings = graft.tools.PlanAudit.audit(off.queryExecution.optimizedPlan)
     assert(findings.exists(_.severity == "warn"), findings.toString)
     off.collect()
-    val p = off.queryExecution.executedPlan.toString
-    assert(scans(p) == 2, p)
+    assert(scans(off) == 2, off.queryExecution.executedPlan.toString)
   }
 
   test("flag on: union aggregate, one scan, exchange reused, values unchanged, detector quiet") {
     spark.read.parquet(dir).createOrReplaceTempView("repair_t")
     val offRows = spark.sql(sql).collect().map(_.toSeq).toSet
     val before = graft.plans.PlanAuditRepair.repairCount.get()
-    val (rows, plan, findings) = withRepair {
+    val (rows, nScans, plan, findings) = withRepair {
       val on = spark.sql(sql)
       val f = graft.tools.PlanAudit.audit(on.queryExecution.optimizedPlan)
       val r = on.collect().map(_.toSeq).toSet
-      (r, on.queryExecution.executedPlan.toString, f)
+      (r, scans(on), on.queryExecution.executedPlan.toString, f)
     }
     assert(graft.plans.PlanAuditRepair.repairCount.get() > before,
       "repair did not fire")
     assert(findings.forall(_.severity != "warn"),
       s"repaired plan still warns: $findings")
     assert(rows == offRows, "repair changed query results")
-    assert(scans(plan) == 1, plan)
+    assert(nScans == 1, plan)
     assert(plan.contains("ReusedExchange") || plan.contains("reuses"), plan)
   }
 
@@ -92,6 +89,44 @@ class PlanAuditRepairSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("nested groups: inner unifies through divergent null guards; one scan total") {
+    // the realistic nested shape: the optimizer infers isnotnull(g%10)
+    // on SOME consumers only (the au1 asymmetry), so the four inner
+    // aggregates differ by guards AND output lists. The repair keeps
+    // the COMMON guard below the wide aggregate (pushdown preserved)
+    // and lifts each member's residual guard above its RepairProject.
+    // The OUTER pair stays unrepaired by design: its members' chains
+    // now contain RepairProjects with divergent restore lists —
+    // unifying those would mean fusing whole chains, and the residual
+    // duplicate is post-shuffle compute over already-aggregated rows
+    // (PlanAudit's documented accepted class).
+    spark.read.parquet(dir).createOrReplaceTempView("repair_t")
+    val nested =
+      """WITH j1 AS (
+        |  SELECT a.g, a.s, b.m FROM
+        |    (SELECT g, sum(x) AS s FROM repair_t GROUP BY g) a
+        |    JOIN (SELECT g, max(y) AS m, sum(x) AS s2 FROM repair_t GROUP BY g) b
+        |    USING (g))
+        |SELECT x1.h, x1.t, x2.u FROM
+        |  (SELECT g % 10 AS h, sum(s) AS t FROM j1 GROUP BY g % 10) x1
+        |  JOIN (SELECT g % 10 AS h, max(m) AS u, sum(s) AS t2 FROM j1 GROUP BY g % 10) x2
+        |  USING (h)""".stripMargin
+    val offRows = spark.sql(nested).collect().map(_.toSeq).toSet
+    withRepair {
+      val on = spark.sql(nested)
+      val opt = on.queryExecution.optimizedPlan.toString
+      // all FOUR inner members unified; common isnotnull(g) kept below
+      // the wide aggregate, residual isnotnull(g%10) lifted above
+      assert("RepairProject".r.findAllIn(opt).size == 4, opt)
+      assert(opt.contains("Filter isnotnull") , opt)
+      assert(graft.tools.PlanAudit.audit(on.queryExecution.optimizedPlan)
+        .forall(_.severity != "warn"), opt)
+      assert(on.collect().map(_.toSeq).toSet == offRows,
+        "nested repair changed query results")
+      assert(scans(on) == 1, on.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("extensions-config path: repair survives the late ColumnPruning/CollapseProject batch") {
     // the cluster deployment installs rules via spark.sql.extensions;
     // the preCBO slot runs BEFORE the RewriteSubquery batch whose
@@ -112,8 +147,7 @@ class PlanAuditRepairSpec extends AnyFunSuite with SparkTestBase {
       val opt = df.queryExecution.optimizedPlan.toString
       assert(opt.contains("RepairProject"), opt)
       df.collect()
-      val p = df.queryExecution.executedPlan.toString
-      assert(scans(p) == 1, p)
+      assert(scans(df) == 1, df.queryExecution.executedPlan.toString)
     } finally {
       prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
       prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)

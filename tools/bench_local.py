@@ -47,43 +47,51 @@ READING_RULE = (
     "fresh-JVM runs. Compare medians to medians; compare totals only "
     "when box_state probes are within ~1.5x of the previous round's.")
 
-rnd = int(sys.argv[1])
-out_path = sys.argv[2]
-runs = []
-totals = []
-for p in sys.argv[3:]:
-    perkey = None
-    total = None
-    for line in open(p):
-        line = line.strip()
-        if line.startswith('{"perkey"'):
-            perkey = json.loads(line)["perkey"]
-        elif line.startswith('{"metric"'):
-            total = json.loads(line)["value"]
-    assert perkey and total is not None, f"{p}: missing perkey/metric line"
-    runs.append(perkey)
-    totals.append(total)
+def main():
+    rnd = int(sys.argv[1])
+    out_path = sys.argv[2]
+    runs = []
+    totals = []
+    for p in sys.argv[3:]:
+        perkey = None
+        total = None
+        for line in open(p):
+            line = line.strip()
+            if line.startswith('{"perkey"'):
+                perkey = json.loads(line)["perkey"]
+            elif line.startswith('{"metric"'):
+                total = json.loads(line)["value"]
+        assert perkey and total is not None, f"{p}: missing perkey/metric line"
+        runs.append(perkey)
+        totals.append(total)
 
-keys = sorted(runs[0])
-for r in runs[1:]:
-    assert sorted(r) == keys, "key sets differ across runs"
-med = {k: round(statistics.median(r[k] for r in runs), 3) for k in keys}
-artifact = {
-    "round": rnd,
-    "sf": 0.1,
-    "cpus": 32,
-    "n_keys": len(keys),
-    "protocol": (f"{len(runs)} full Bench invocations on a quiet box "
-                 "(fresh JVM each; per-key min-of-2 with GC between queries), "
-                 "median per key across the runs."),
-    "box_state": box_probe(),
-    "reading_rule": READING_RULE,
-    "totals_per_run_sec": [round(t, 3) for t in totals],
-    "total_median_sec": round(statistics.median(totals), 1),
-    "sum_of_perkey_medians_sec": round(sum(med.values()), 1),
-    "perkey_median_sec": med,
-}
-json.dump(artifact, open(out_path, "w"), indent=1)
-print(f"wrote {out_path}: n_keys={len(keys)} "
-      f"sum_of_medians={artifact['sum_of_perkey_medians_sec']} "
-      f"totals={artifact['totals_per_run_sec']}")
+    keys = sorted(runs[0])
+    for r in runs[1:]:
+        assert sorted(r) == keys, "key sets differ across runs"
+    med = {k: round(statistics.median(r[k] for r in runs), 3) for k in keys}
+    artifact = {
+        "round": rnd,
+        "sf": 0.1,
+        "cpus": 32,
+        "n_keys": len(keys),
+        "protocol": (f"{len(runs)} full Bench invocations on a quiet box "
+                     "(fresh JVM each; per-key min-of-2 with GC between queries), "
+                     "median per key across the runs."),
+        "box_state": box_probe(),
+        "reading_rule": READING_RULE,
+        "totals_per_run_sec": [round(t, 3) for t in totals],
+        "total_median_sec": round(statistics.median(totals), 1),
+        "sum_of_perkey_medians_sec": round(sum(med.values()), 1),
+        "perkey_median_sec": med,
+    }
+    json.dump(artifact, open(out_path, "w"), indent=1)
+    print(f"wrote {out_path}: n_keys={len(keys)} "
+          f"sum_of_medians={artifact['sum_of_perkey_medians_sec']} "
+          f"totals={artifact['totals_per_run_sec']}")
+
+
+# __main__ guard: box_probe's ProcessPoolExecutor re-imports this
+# module in each worker under the spawn start method — without the
+# guard the aggregation (and the pool) would re-run recursively
+if __name__ == "__main__":
+    main()
