@@ -26,11 +26,14 @@ object GraftConf {
     // walk per distinct plan, logs any reuse-defeated duplicate
     // aggregate with the barrier remedy named (graft.plans.PlanAuditLog)
     "spark.graft.planaudit.log" -> "true",
-    // ...and the opt-in repair: unify reuse-defeated duplicate
-    // aggregates into canonical-equal union aggregates so
-    // ReuseExchange runs the shared scan + partial aggregate ONCE
-    // (graft.plans.PlanAuditRepair; at 100 TB a silent double scan
-    // costs more than any plan-space rewrite ever will)
+    // ...and the repair: unify reuse-defeated duplicate aggregates
+    // into canonical-equal union aggregates so ReuseExchange runs the
+    // shared scan + partial aggregate ONCE (graft.plans
+    // .PlanAuditRepair). NOTE the posture split (ADVICE r16): the
+    // Spark-level DEFAULT of this flag is false — a session that does
+    // not load GraftConf runs with the repair off — but this shipped
+    // cluster profile deliberately OPTS IN, because at 100 TB a
+    // silent double scan costs more than any plan-space rewrite
     "spark.graft.planaudit.repair" -> "true",
     // fault-tolerant lineage barriers: localCheckpoint blocks are lost
     // with their executor, killing long dedup/clustering jobs at

@@ -1053,7 +1053,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // it is swapped for the opaque GlobalRankPlan
     ext.injectPreCBORule(_ => graft.plans.RangeRankRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
-    // opt-in duplicate-aggregate REPAIR (off by default) — must run
+    // duplicate-aggregate REPAIR — Spark-level default OFF; the
+    // shipped GraftConf.cluster profile opts IN (ADVICE r16: know
+    // which posture you deployed). Must run
     // BEFORE the observer so a repaired plan no longer warns; its
     // RepairProject output survives the later RewriteSubquery batch
     // by not being a Project (see PlanAuditRepair's scaladoc)

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, First, Last, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, First, Last, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -66,6 +66,22 @@ import org.apache.spark.unsafe.types.UTF8String
  * sums, a different association order than the strictly sequential
  * single task — same ulp-level caveat as any partial aggregation,
  * and why this engine's oracle discipline rounds double sums.
+ * Variance-class aggregates (round 17) combine per-partition Welford
+ * states with Chan's merge — the SAME merge Spark's own
+ * CentralMomentAgg partial aggregation uses — so they carry the same
+ * ulp class, rounded by the oracle discipline like any double.
+ *
+ * OFFSET FUNCTIONS UNDER TIED ORDER KEYS (ADVICE r16): lag/lead
+ * boundary slices are captured in job 1 while in-partition values come
+ * from job 2's iteration of the same shuffle output. Within one
+ * partition both jobs see one consistent order, but when the ORDER BY
+ * is NOT a total order the two jobs may order a tie run differently,
+ * so a cross-partition offset value can mix two tie orders at a
+ * partition boundary — strictly weaker than the "a valid assignment"
+ * guarantee ranks give under ties. Use lag/lead here (as every shipped
+ * key and spec does) with a deterministic tiebreaker in the ORDER BY;
+ * under ties the plain single-partition window is itself
+ * shuffle-order-dependent, but at least self-consistent.
  *
  * Gated on the SAME conf key as the explicit operator
  * (`spark.graft.rangerank.minBytes`, registered with
@@ -78,7 +94,6 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
   import graft.operators.RangeRank.MinBytesKey
 
   private def aboveGate(child: LogicalPlan): Boolean = {
-    graft.Materialize.registeredGateKeys.add(MinBytesKey)
     val minBytes = BigInt(scala.util.Try(
       conf.getConfString(MinBytesKey).toLong).getOrElse(32L * 1024 * 1024))
     child.stats.sizeInBytes >= minBytes
@@ -89,6 +104,20 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
   private def runningFrame(f: WindowFrame): Option[Boolean] = f match {
     case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => Some(true)
     case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => Some(false)
+    case _ => None
+  }
+
+  /** A bounded sliding frame: ROWS BETWEEN k PRECEDING AND CURRENT
+    * ROW, the moving-average shape (VERDICT r16 item 2). The lower
+    * bound arrives as a foldable negative IntegerType expression
+    * (`-k`); RANGE k PRECEDING (value-based) stays on the plain
+    * window. */
+  private def boundedPrecedingRows(f: WindowFrame): Option[Int] = f match {
+    case SpecifiedWindowFrame(RowFrame, lower, CurrentRow)
+        if lower.foldable && lower.dataType == IntegerType =>
+      Option(lower.eval()).collect {
+        case v: Int if v < 0 && v != Int.MinValue => -v
+      }
     case _ => None
   }
 
@@ -113,8 +142,12 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
       attr: Attribute): Option[GlobalRunningAgg] = fn match {
     // TRY mode (null-on-overflow) excluded — its overflow bookkeeping
     // belongs to Spark's own Sum; ANSI mode rides `exact` so a long
-    // overflow throws here exactly as the plain window would
-    case Sum(e, ctx) if (attr.dataType == LongType || attr.dataType == DoubleType) &&
+    // overflow throws here exactly as the plain window would. DECIMAL
+    // sums (round 17) accumulate in unbounded BigDecimal space and
+    // decide overflow at value() against the result precision — throw
+    // in ANSI, null in legacy, exactly Spark's Sum.checkOverflow.
+    case Sum(e, ctx) if (attr.dataType == LongType || attr.dataType == DoubleType ||
+        (attr.dataType.isInstanceOf[DecimalType] && e.dataType.isInstanceOf[DecimalType])) &&
         ctx.evalMode != EvalMode.TRY =>
       Some(GlobalRunningAgg("sum", e, rowsFrame, attr,
         exact = ctx.evalMode == EvalMode.ANSI))
@@ -126,6 +159,19 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
       Some(GlobalRunningAgg("min", e, rowsFrame, attr))
     case Max(e) if atomicOrderable(e.dataType) =>
       Some(GlobalRunningAgg("max", e, rowsFrame, attr))
+    // Welford-class running aggregates (VERDICT r16 item 3): the
+    // (n, mean, M2) state prefix-combines with Chan's merge — the same
+    // contract Spark's own CentralMomentAgg partial aggregation uses.
+    // nullOnDivideByZero rides the accumulator so n==1 stddev_samp is
+    // null (modern) or NaN (legacy flag), matching the plain window.
+    case StddevSamp(e, nullOnDiv) if attr.dataType == DoubleType =>
+      Some(GlobalRunningAgg("stddev_samp", e, rowsFrame, attr, nullOnDiv = nullOnDiv))
+    case StddevPop(e, nullOnDiv) if attr.dataType == DoubleType =>
+      Some(GlobalRunningAgg("stddev_pop", e, rowsFrame, attr, nullOnDiv = nullOnDiv))
+    case VarianceSamp(e, nullOnDiv) if attr.dataType == DoubleType =>
+      Some(GlobalRunningAgg("var_samp", e, rowsFrame, attr, nullOnDiv = nullOnDiv))
+    case VariancePop(e, nullOnDiv) if attr.dataType == DoubleType =>
+      Some(GlobalRunningAgg("var_pop", e, rowsFrame, attr, nullOnDiv = nullOnDiv))
     // first_value/last_value resolve to the First/Last aggregates over
     // the running frame — both prefix-combinable (first: keep the
     // earliest state; last: the latest overrides). ignoreNulls rides
@@ -144,10 +190,8 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     * exec carries at most `maxOffset` boundary rows per partition, so
     * huge offsets stay on the plain window. ignoreNulls needs
     * unbounded lookback — excluded. */
-  private def asOffset(fn: Expression, attr: Attribute): Option[GlobalOffsetFunction] = {
-    graft.Materialize.registeredGateKeys.add(GlobalRankExec.MaxOffsetKey)
-    val maxOffset = scala.util.Try(
-      conf.getConfString(GlobalRankExec.MaxOffsetKey).toInt).getOrElse(1024)
+  private def asOffset(fn: Expression, attr: Attribute,
+      maxOffset: Int): Option[GlobalOffsetFunction] = {
     // |shift| in LONG space: math.abs(Int.MinValue) is negative and
     // would bypass the cap (review r16 finding)
     def mk(e: Expression, shift: Int, default: Expression): Option[GlobalOffsetFunction] =
@@ -163,10 +207,36 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** Bounded sliding aggregates over ROWS k PRECEDING .. CURRENT ROW:
+    * the per-row frame is the last k boundary-slice rows plus the
+    * current row, recomputed oldest-to-newest per row exactly as
+    * Spark's SlidingWindowFunctionFrame replays its buffer (so doubles
+    * agree association-order-for-association-order). k rides the same
+    * boundary-slice cap as lag/lead. first/last (trivially the ring
+    * edge / the row itself) and variance-class sliding aggregates are
+    * excluded as rare — the plain window keeps them. */
+  private def asBoundedAgg(fn: aggregate.AggregateFunction, k: Int,
+      attr: Attribute): Option[GlobalBoundedAgg] = fn match {
+    case Sum(e, ctx) if (attr.dataType == LongType || attr.dataType == DoubleType ||
+        (attr.dataType.isInstanceOf[DecimalType] && e.dataType.isInstanceOf[DecimalType])) &&
+        ctx.evalMode != EvalMode.TRY =>
+      Some(GlobalBoundedAgg("sum", e, k, attr, exact = ctx.evalMode == EvalMode.ANSI))
+    case Count(Seq(e)) => Some(GlobalBoundedAgg("count", e, k, attr))
+    case Average(e, _) if attr.dataType == DoubleType =>
+      Some(GlobalBoundedAgg("avg", e, k, attr))
+    case Min(e) if atomicOrderable(e.dataType) =>
+      Some(GlobalBoundedAgg("min", e, k, attr))
+    case Max(e) if atomicOrderable(e.dataType) =>
+      Some(GlobalBoundedAgg("max", e, k, attr))
+    case _ => None
+  }
+
   /** The supported window functions: the rank family (kinds are the
-    * [[GlobalRankExec]] evaluation tags) and running aggregates over
-    * UNBOUNDED PRECEDING .. CURRENT ROW frames. */
-  private def asWinFunc(orderSpec: Seq[SortOrder])(ne: NamedExpression): Option[GlobalWinFunction] =
+    * [[GlobalRankExec]] evaluation tags), running aggregates over
+    * UNBOUNDED PRECEDING .. CURRENT ROW frames, bounded ROWS sliding
+    * aggregates, and literal-offset lag/lead. */
+  private def asWinFunc(orderSpec: Seq[SortOrder], maxOffset: Int)(
+      ne: NamedExpression): Option[GlobalWinFunction] =
     ne match {
       case a @ Alias(WindowExpression(f, WindowSpecDefinition(Seq(), os, frame)), _)
           if os == orderSpec =>
@@ -179,18 +249,35 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
             Some(GlobalRankFunction("ntile", k, a.toAttribute))
           case CumeDist() => Some(GlobalRankFunction("cume_dist", 0, a.toAttribute))
           case AggregateExpression(fn, _, false, None, _) =>
-            runningFrame(frame).flatMap(rows => asAgg(fn, rows, a.toAttribute))
-          case o @ (_: Lag | _: Lead) => asOffset(o, a.toAttribute)
+            runningFrame(frame) match {
+              case Some(rows) => asAgg(fn, rows, a.toAttribute)
+              case None => boundedPrecedingRows(frame)
+                .filter(k => k >= 1 && k <= maxOffset)
+                .flatMap(k => asBoundedAgg(fn, k, a.toAttribute))
+            }
+          case o @ (_: Lag | _: Lead) => asOffset(o, a.toAttribute, maxOffset)
           case _ => None
         }
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case w @ Window(exprs, Seq(), orderSpec, child, _)
-        if exprs.nonEmpty && orderSpec.nonEmpty && !w.isStreaming &&
-          exprs.forall(asWinFunc(orderSpec)(_).isDefined) && aboveGate(child) =>
-      GlobalRankPlan(orderSpec, exprs.map(asWinFunc(orderSpec)(_).get), child)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // hoisted out of the matchers (ADVICE r16): gate-key registration
+    // and the cap-conf parse are side effects — matching stays pure
+    // and the conf is read once per rule invocation, not twice per
+    // Lag/Lead encountered
+    graft.Materialize.registeredGateKeys.add(MinBytesKey)
+    graft.Materialize.registeredGateKeys.add(GlobalRankExec.MaxOffsetKey)
+    val maxOffset = scala.util.Try(
+      conf.getConfString(GlobalRankExec.MaxOffsetKey).toInt).getOrElse(1024)
+    plan.transform {
+      case w @ Window(exprs, Seq(), orderSpec, child, _)
+          if exprs.nonEmpty && orderSpec.nonEmpty && !w.isStreaming =>
+        val parsed = exprs.map(asWinFunc(orderSpec, maxOffset))
+        if (parsed.forall(_.isDefined) && aboveGate(child))
+          GlobalRankPlan(orderSpec, parsed.map(_.get), child)
+        else w
+    }
   }
 }
 
@@ -203,12 +290,25 @@ sealed trait GlobalWinFunction { def attr: Attribute }
 case class GlobalRankFunction(kind: String, k: Int, attr: Attribute)
   extends GlobalWinFunction
 
-/** `kind` ∈ sum | count | avg | min | max over `valueExpr`, running
-  * frame; `rowsFrame` = ROWS (per-row) vs RANGE (peer rows share the
-  * value — the resolved SQL default under ORDER BY); `exact` = ANSI
-  * long-sum overflow throws instead of wrapping. */
+/** `kind` ∈ sum | count | avg | min | max | first[_nn] | last[_nn] |
+  * stddev_samp | stddev_pop | var_samp | var_pop over `valueExpr`,
+  * running frame; `rowsFrame` = ROWS (per-row) vs RANGE (peer rows
+  * share the value — the resolved SQL default under ORDER BY);
+  * `exact` = ANSI sum overflow throws instead of wrapping (long) or
+  * nulling (decimal); `nullOnDiv` = the variance-class
+  * nullOnDivideByZero flag (n==1 samp → null vs legacy NaN). */
 case class GlobalRunningAgg(kind: String, valueExpr: Expression,
-    rowsFrame: Boolean, attr: Attribute, exact: Boolean = false)
+    rowsFrame: Boolean, attr: Attribute, exact: Boolean = false,
+    nullOnDiv: Boolean = true)
+  extends GlobalWinFunction
+
+/** A bounded sliding aggregate, ROWS BETWEEN `k` PRECEDING AND CURRENT
+  * ROW: per row the value is recomputed over the last `k` boundary
+  * rows plus the current row (oldest first, the plain window's replay
+  * order). Cross-partition state is the same |k|-bounded tail slice
+  * lag uses. `exact` = ANSI sum overflow semantics. */
+case class GlobalBoundedAgg(kind: String, valueExpr: Expression,
+    k: Int, attr: Attribute, exact: Boolean = false)
   extends GlobalWinFunction
 
 /** `lag`/`lead` normalized to a signed `shift` over the global row
@@ -234,6 +334,7 @@ case class GlobalRankPlan(
     order.flatMap(_.references) ++
       funcs.collect {
         case a: GlobalRunningAgg => a.valueExpr
+        case b: GlobalBoundedAgg => b.valueExpr
         case o: GlobalOffsetFunction => o.valueExpr
       }.flatMap(_.references))
   override def maxRows: Option[Long] = child.maxRows
@@ -258,6 +359,10 @@ private[plans] sealed trait RunningAcc extends Serializable {
   def add(v: Any): Unit
   def merge(o: RunningAcc): Unit
   def value: Any
+  /** Back to the empty state — bounded sliding aggregates recompute
+    * per row into ONE reused accumulator instead of allocating one per
+    * row (round 17). */
+  def reset(): Unit
 }
 
 /** Long running sum in 128-bit space (low word + overflow carry), so
@@ -287,6 +392,34 @@ private[plans] final class SumLongAcc(exact: Boolean) extends RunningAcc {
     else if (carry != 0L && exact) throw new ArithmeticException(
       "long overflow in running SUM (ANSI mode)")
     else java.lang.Long.valueOf(s)
+  def reset(): Unit = { s = 0L; carry = 0L; seen = false }
+}
+
+/** Exact decimal running sum in unbounded BigDecimal space; overflow
+  * against the RESULT type's precision is decided only at `value()`,
+  * per emitted row, exactly where Spark's Sum.checkOverflow decides
+  * it: ANSI throws, legacy yields null (decimal sums never wrap). */
+private[plans] final class SumDecimalAcc(resultType: DecimalType, exact: Boolean)
+  extends RunningAcc {
+  var s: java.math.BigDecimal = java.math.BigDecimal.ZERO
+  var seen = false
+  def add(v: Any): Unit = if (v != null) {
+    s = s.add(v.asInstanceOf[Decimal].toJavaBigDecimal); seen = true
+  }
+  def merge(o: RunningAcc): Unit = {
+    val t = o.asInstanceOf[SumDecimalAcc]
+    if (t.seen) { s = s.add(t.s); seen = true }
+  }
+  def value: Any =
+    if (!seen) null
+    else {
+      val d = Decimal(s)
+      if (d.changePrecision(resultType.precision, resultType.scale)) d
+      else if (exact) throw new ArithmeticException(
+        s"Decimal overflow in running SUM: $s does not fit $resultType (ANSI mode)")
+      else null
+    }
+  def reset(): Unit = { s = java.math.BigDecimal.ZERO; seen = false }
 }
 
 private[plans] final class SumDoubleAcc extends RunningAcc {
@@ -294,6 +427,7 @@ private[plans] final class SumDoubleAcc extends RunningAcc {
   def add(v: Any): Unit = if (v != null) { s += v.asInstanceOf[Number].doubleValue(); seen = true }
   def merge(o: RunningAcc): Unit = { val t = o.asInstanceOf[SumDoubleAcc]; if (t.seen) { s += t.s; seen = true } }
   def value: Any = if (seen) java.lang.Double.valueOf(s) else null
+  def reset(): Unit = { s = 0.0d; seen = false }
 }
 
 private[plans] final class CountAcc extends RunningAcc {
@@ -301,6 +435,7 @@ private[plans] final class CountAcc extends RunningAcc {
   def add(v: Any): Unit = if (v != null) n += 1L
   def merge(o: RunningAcc): Unit = n += o.asInstanceOf[CountAcc].n
   def value: Any = java.lang.Long.valueOf(n)
+  def reset(): Unit = n = 0L
 }
 
 private[plans] final class AvgAcc extends RunningAcc {
@@ -308,6 +443,48 @@ private[plans] final class AvgAcc extends RunningAcc {
   def add(v: Any): Unit = if (v != null) { s += v.asInstanceOf[Number].doubleValue(); n += 1L }
   def merge(o: RunningAcc): Unit = { val t = o.asInstanceOf[AvgAcc]; s += t.s; n += t.n }
   def value: Any = if (n == 0L) null else java.lang.Double.valueOf(s / n)
+  def reset(): Unit = { s = 0.0d; n = 0L }
+}
+
+/** Welford running moments with Chan's parallel merge — the identical
+  * (n, mean, M2) state and combine Spark's own CentralMomentAgg uses
+  * for partial aggregation, so the prefix-combined result carries the
+  * same ulp class as any partially-aggregated variance. `samp` picks
+  * the n-1 divisor; `sqrtOut` takes the square root (stddev);
+  * `nullOnDiv` is Spark's nullOnDivideByZero: n==1 sample variance is
+  * null (modern default) or NaN (legacy flag). */
+private[plans] final class MomentsAcc(samp: Boolean, sqrtOut: Boolean,
+    nullOnDiv: Boolean) extends RunningAcc {
+  var n = 0L; var mean = 0.0d; var m2 = 0.0d
+  def add(v: Any): Unit = if (v != null) {
+    val x = v.asInstanceOf[Number].doubleValue()
+    n += 1L
+    val d = x - mean
+    mean += d / n
+    m2 += d * (x - mean)
+  }
+  def merge(o: RunningAcc): Unit = {
+    val t = o.asInstanceOf[MomentsAcc]
+    if (t.n > 0L) {
+      if (n == 0L) { n = t.n; mean = t.mean; m2 = t.m2 }
+      else {
+        val nn = n + t.n
+        val d = t.mean - mean
+        m2 += t.m2 + d * d * (n.toDouble * t.n.toDouble / nn.toDouble)
+        mean += d * (t.n.toDouble / nn.toDouble)
+        n = nn
+      }
+    }
+  }
+  def value: Any =
+    if (n == 0L) null
+    else if (samp && n == 1L) {
+      if (nullOnDiv) null else java.lang.Double.valueOf(Double.NaN)
+    } else {
+      val v = m2 / (if (samp) n - 1L else n).toDouble
+      java.lang.Double.valueOf(if (sqrtOut) math.sqrt(v) else v)
+    }
+  def reset(): Unit = { n = 0L; mean = 0.0d; m2 = 0.0d }
 }
 
 private[plans] final class MinMaxAcc(dt: DataType, isMin: Boolean) extends RunningAcc {
@@ -329,6 +506,7 @@ private[plans] final class MinMaxAcc(dt: DataType, isMin: Boolean) extends Runni
     if (t.v != null) add(t.v)
   }
   def value: Any = v
+  def reset(): Unit = v = null
 }
 
 /** first_value/last_value state. `merge(o)` treats `o`'s rows as
@@ -351,6 +529,7 @@ private[plans] final class FirstLastAcc(isFirst: Boolean, ignoreNulls: Boolean)
     if (t.seen && (!isFirst || !seen)) { v = t.v; seen = true }
   }
   def value: Any = v
+  def reset(): Unit = { v = null; seen = false }
 }
 
 /** Per-partition job-1 state: row/tie-run counts, aggregate totals,
@@ -385,6 +564,11 @@ object GlobalRankExec {
     * real channel, exactly like degradeWarnCount's driver-side
     * counterpart). */
   val bigRunWarnCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** JVM-local spec observability for RANGE-path tie-run spills
+    * (round 17): bumped once per fillRun whose buffer spilled to disk.
+    * Cluster channel = the `tieRunSpillBytes` SQLMetric. */
+  val tieRunSpillCount = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /**
@@ -435,7 +619,9 @@ case class GlobalRankExec(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
     "bigTieRuns" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "tie runs over the buffer warn threshold"))
+      .createMetric(sparkContext, "tie runs over the buffer warn threshold"),
+    "tieRunSpillBytes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createSizeMetric(sparkContext, "tie-run buffer spill size"))
   override def requiredChildDistribution: Seq[Distribution] =
     OrderedDistribution(order) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
@@ -447,6 +633,7 @@ case class GlobalRankExec(
 
   private val rankFuncs = funcs.collect { case r: GlobalRankFunction => r }
   private val aggFuncs = funcs.collect { case a: GlobalRunningAgg => a }
+  private val boundedFuncs = funcs.collect { case b: GlobalBoundedAgg => b }
 
   /** Tie-run boundaries are needed by the tie-aware ranks AND by any
     * RANGE-framed running aggregate (peer rows share its value). */
@@ -468,8 +655,11 @@ case class GlobalRankExec(
     AttributeReference("__grk", so.child.dataType, so.child.nullable)())
 
   private def newAcc(a: GlobalRunningAgg): RunningAcc = a.kind match {
-    case "sum" if a.attr.dataType == LongType => new SumLongAcc(a.exact)
-    case "sum" => new SumDoubleAcc
+    case "sum" => a.attr.dataType match {
+      case LongType => new SumLongAcc(a.exact)
+      case d: DecimalType => new SumDecimalAcc(d, a.exact)
+      case _ => new SumDoubleAcc
+    }
     case "count" => new CountAcc
     case "avg" => new AvgAcc
     case "min" => new MinMaxAcc(a.valueExpr.dataType, isMin = true)
@@ -478,8 +668,26 @@ case class GlobalRankExec(
     case "first_nn" => new FirstLastAcc(isFirst = true, ignoreNulls = true)
     case "last" => new FirstLastAcc(isFirst = false, ignoreNulls = false)
     case "last_nn" => new FirstLastAcc(isFirst = false, ignoreNulls = true)
+    case "stddev_samp" => new MomentsAcc(samp = true, sqrtOut = true, a.nullOnDiv)
+    case "stddev_pop" => new MomentsAcc(samp = false, sqrtOut = true, a.nullOnDiv)
+    case "var_samp" => new MomentsAcc(samp = true, sqrtOut = false, a.nullOnDiv)
+    case "var_pop" => new MomentsAcc(samp = false, sqrtOut = false, a.nullOnDiv)
     case other => throw new IllegalStateException(
       s"GlobalRankExec: unknown running aggregate $other")
+  }
+
+  private def newBoundedAcc(b: GlobalBoundedAgg): RunningAcc = b.kind match {
+    case "sum" => b.attr.dataType match {
+      case LongType => new SumLongAcc(b.exact)
+      case d: DecimalType => new SumDecimalAcc(d, b.exact)
+      case _ => new SumDoubleAcc
+    }
+    case "count" => new CountAcc
+    case "avg" => new AvgAcc
+    case "min" => new MinMaxAcc(b.valueExpr.dataType, isMin = true)
+    case "max" => new MinMaxAcc(b.valueExpr.dataType, isMin = false)
+    case other => throw new IllegalStateException(
+      s"GlobalRankExec: unknown bounded sliding aggregate $other")
   }
 
   protected override def doExecute(): RDD[InternalRow] = {
@@ -494,21 +702,27 @@ case class GlobalRankExec(
     val aggDts = aggs.map(_.valueExpr.dataType)
     val mkAccs: () => Array[RunningAcc] = { val fs = aggs; () => fs.map(newAcc) }
     val offs = funcs.collect { case o: GlobalOffsetFunction => o }.toArray
-    val offExprs = offs.map(_.valueExpr).toSeq
-    val offDts = offs.map(_.valueExpr.dataType)
+    val bnds = boundedFuncs.toArray
+    // ONE boundary-value projection serves both lag/lead (columns
+    // 0..offs.length-1) and bounded sliding aggregates (the columns
+    // after): they need the same thing — a |k|-bounded slice of
+    // projected value rows at each range-partition boundary
+    val bndExprs = (offs.map(_.valueExpr) ++ bnds.map(_.valueExpr)).toSeq
+    val bndDts = bndExprs.map(_.dataType).toArray
     val maxLag = if (offs.isEmpty) 0 else math.max(0, offs.map(_.shift).max)
     val maxLead = if (offs.isEmpty) 0 else math.max(0, offs.map(-_.shift).max)
+    val maxBoundedK = if (bnds.isEmpty) 0 else bnds.map(_.k).max
+    val maxTail = math.max(maxLag, maxBoundedK)
 
     // job 1: per-partition row/run counts, aggregate totals, and the
-    // lag/lead boundary slices (≤ maxLag + maxLead projected value
-    // rows per partition — the ONLY cross-partition state offset
-    // functions need)
+    // boundary slices offsets + bounded frames need — the last
+    // maxTail and first maxLead projected value rows per partition
     val stats: Array[GlobalRankPartStat] = childRDD
       .mapPartitionsWithIndex { (i, it) =>
         val keyProj = UnsafeProjection.create(orderExprs, childOutput)
         val cmp = RowOrdering.create(keyOrder, ka)
         val aggProj = if (aggs.isEmpty) null else UnsafeProjection.create(aggExprs, childOutput)
-        val offProj = if (offs.isEmpty) null else UnsafeProjection.create(offExprs, childOutput)
+        val bndProj = if (bndExprs.isEmpty) null else UnsafeProjection.create(bndExprs, childOutput)
         val accs = mkAccs()
         val headBuf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
         val tailDq = new java.util.ArrayDeque[InternalRow]()
@@ -530,11 +744,11 @@ case class GlobalRankExec(
               j += 1
             }
           }
-          if (maxLag > 0 || maxLead > 0) {
-            val pr = offProj(row).copy()
+          if (maxTail > 0 || maxLead > 0) {
+            val pr = bndProj(row).copy()
             if (maxLead > 0 && headBuf.length < maxLead) headBuf += pr
-            if (maxLag > 0) {
-              if (tailDq.size == maxLag) tailDq.removeFirst()
+            if (maxTail > 0) {
+              if (tailDq.size == maxTail) tailDq.removeFirst()
               tailDq.addLast(pr)
             }
           }
@@ -565,10 +779,11 @@ case class GlobalRankExec(
       }
       out
     }
-    // lag seeds: the last maxLag value rows BEFORE partition i (a
+    // tail seeds: the last maxTail value rows BEFORE partition i (a
     // short partition contributes its whole tail, so concatenating
-    // tails in order and keeping the last maxLag is exact); lead
-    // seeds: the first maxLead value rows AFTER partition i
+    // tails in order and keeping the last maxTail is exact) — consumed
+    // by lag rings AND bounded sliding frames; lead seeds: the first
+    // maxLead value rows AFTER partition i
     val prefixTails: Array[Array[InternalRow]] = {
       val out = new Array[Array[InternalRow]](stats.length)
       val dq = new java.util.ArrayDeque[InternalRow]()
@@ -576,8 +791,8 @@ case class GlobalRankExec(
       while (i < stats.length) {
         out(i) = dq.toArray(new Array[InternalRow](dq.size))
         stats(i).tail.foreach { r =>
-          if (maxLag > 0) {
-            if (dq.size == maxLag) dq.removeFirst()
+          if (maxTail > 0) {
+            if (dq.size == maxTail) dq.removeFirst()
             dq.addLast(r)
           }
         }
@@ -625,7 +840,10 @@ case class GlobalRankExec(
           (if (distinct >= 0) s"only $distinct distinct values" else s"only $nonEmpty non-empty partitions") +
           s" over $total rows — the range exchange degenerated to ≤" +
           s"${if (distinct >= 0) distinct else nonEmpty} tasks of the $targetParts intended " +
-          "(exactness requires tie runs not to straddle range boundaries). " +
+          "(exactness requires tie runs not to straddle range boundaries; " +
+          "'intended' is spark.sql.shuffle.partitions — under AQE " +
+          "coalescing or an explicit repartition the real target may " +
+          "differ, so treat this as a scale heuristic, not a plan fact). " +
           "Remedy: append a high-cardinality tiebreaker column to ORDER BY.")
       }
     }
@@ -647,14 +865,26 @@ case class GlobalRankExec(
     val offSlots: Array[Int] = funcs.zipWithIndex.collect {
       case (_: GlobalOffsetFunction, c) => c
     }.toArray
+    val bndSlots: Array[Int] = funcs.zipWithIndex.collect {
+      case (_: GlobalBoundedAgg, c) => c
+    }.toArray
+    val mkBndAccs: () => Array[RunningAcc] = { val fs = bnds; () => fs.map(newBoundedAcc) }
     val nSlots = funcs.length
     val rowsFrames = aggs.map(_.rowsFrame)
     val bufferRuns = anyRangeAgg
     val delayLeads = maxLead > 0
+    // spill posture (VERDICT r16 item 1): the RANGE-path tie-run
+    // buffer rides WindowExec's own spillable array with WindowExec's
+    // own thresholds, so a hot peer run spills to disk exactly where
+    // the plain window would instead of OOMing
+    val inMemThreshold = conf.windowExecBufferInMemoryThreshold
+    val spillRowsThreshold = conf.windowExecBufferSpillThreshold
+    val spillSizeThreshold = conf.windowExecBufferSpillSizeThreshold
 
     // job 2: emit child row ++ window columns (same shuffle, re-sorted)
     val numOutputRows = longMetric("numOutputRows")
     val bigTieRuns = longMetric("bigTieRuns")
+    val tieRunSpillBytes = longMetric("tieRunSpillBytes")
     val bigRunWarnRows = scala.util.Try(conf.getConfString(
       GlobalRankExec.BigRunWarnRowsKey).toLong).getOrElse(4L << 20)
     childRDD.mapPartitionsWithIndex { (i, it) =>
@@ -682,19 +912,21 @@ case class GlobalRankExec(
       def extract(ar: InternalRow, j: Int): Any =
         if (ar.isNullAt(j)) null else ar.get(j, aggDts(j))
 
-      // lag machinery: a ring of the last maxLag projected value rows,
-      // seeded with the cross-partition prefix slice; s = 0 reads the
-      // current row; s < 0 (lead) slots are filled by the delay
-      // wrapper below
-      val offProj = if (offs.isEmpty) null else UnsafeProjection.create(offExprs, childOutput)
-      val lagCap = math.max(maxLag, 1)
+      // boundary-value machinery: a ring of the last maxTail projected
+      // value rows, seeded with the cross-partition prefix slice —
+      // serves lag (distance = shift) AND bounded sliding frames
+      // (distances 1..k); s = 0 reads the current row; s < 0 (lead)
+      // slots are filled by the delay wrapper below
+      val bndProj = if (bndExprs.isEmpty) null else UnsafeProjection.create(bndExprs, childOutput)
+      val bndAccs = mkBndAccs()
+      val lagCap = math.max(maxTail, 1)
       val lagRing = new Array[InternalRow](lagCap)
       var lagPushed = 0L
       prefixTailsB(i).foreach { r =>
         lagRing((lagPushed % lagCap).toInt) = r; lagPushed += 1
       }
       def extractOff(pr: InternalRow, oi: Int): Any =
-        if (pr.isNullAt(oi)) null else pr.get(oi, offDts(oi))
+        if (pr.isNullAt(oi)) null else pr.get(oi, bndDts(oi))
       // s == 0 reads the LIVE projection buffer, which the next row's
       // fillOffsets overwrites — unsafe once the lead-delay wrapper
       // holds the value past this row (review r16 finding). Ring/seed
@@ -703,8 +935,8 @@ case class GlobalRankExec(
         case u: UTF8String => u.copy()
         case other => other
       }
-      def fillOffsets(row: InternalRow): Unit = if (offs.nonEmpty) {
-        val pr = offProj(row)
+      def fillOffsets(row: InternalRow): Unit = if (offs.nonEmpty || bnds.nonEmpty) {
+        val pr = bndProj(row)
         var oi = 0
         while (oi < offs.length) {
           val s = offs(oi).shift
@@ -717,7 +949,26 @@ case class GlobalRankExec(
           else funcRow.update(c, null)
           oi += 1
         }
-        if (maxLag > 0) {
+        // bounded sliding aggregates: recompute over the last
+        // min(k, rows-behind) ring entries (oldest first) plus the
+        // current row — SlidingWindowFunctionFrame's replay order, so
+        // double results carry the same association order as the
+        // plain window's per-row re-evaluation
+        var bi = 0
+        while (bi < bnds.length) {
+          val colIdx = offs.length + bi
+          val acc = bndAccs(bi)
+          acc.reset()
+          var d = math.min(bnds(bi).k.toLong, lagPushed)
+          while (d >= 1L) {
+            acc.add(extractOff(lagRing(((lagPushed - d) % lagCap).toInt), colIdx))
+            d -= 1L
+          }
+          acc.add(extractOff(pr, colIdx))
+          funcRow.update(bndSlots(bi), acc.value)
+          bi += 1
+        }
+        if (maxTail > 0) {
           lagRing((lagPushed % lagCap).toInt) = pr.copy(); lagPushed += 1
         }
       }
@@ -730,7 +981,8 @@ case class GlobalRankExec(
             funcRow.update(c,
               if (rowsFrames(a)) rowsAccs(a).value else rangeAccs(a).value)
           } else if (slotRank(c) == null) {
-            // offset slot: written by fillOffsets / the delay wrapper
+            // offset or bounded-sliding slot: written by fillOffsets /
+            // the delay wrapper
           } else slotRank(c) match {
             case ("row_number", _) => funcRow.setInt(c, rn.toInt)
             case ("rank", _) => funcRow.setInt(c, (rowOff + runStart + 1L).toInt)
@@ -786,67 +1038,95 @@ case class GlobalRankExec(
       } else {
         // run-buffered path: RANGE-framed aggregates must absorb the
         // whole tie run before any of its rows emit — buffer one run
-        // of row copies at a time (bounded by the largest tie run)
+        // at a time in WindowExec's own SPILLABLE row array (VERDICT
+        // r16 item 1: a hot peer run past the in-memory threshold
+        // spills to disk exactly where the plain window would, instead
+        // of OOMing an ArrayBuffer of copies)
         new Iterator[(InternalRow, GenericInternalRow)] {
-          private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-          private var pos = 0
-          private var pendingRow: InternalRow = null
+          private val buf = new org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray(
+            inMemThreshold, spillSizeThreshold, spillRowsThreshold, spillSizeThreshold)
+          private val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+          private var runIter: scala.collection.Iterator[UnsafeRow] =
+            scala.collection.Iterator.empty
+          private var seenSpill = 0L
+          private var pendingRow: UnsafeRow = null
           private var pendingKey: UnsafeRow = null
 
+          // buf.add copies the row into its own storage, so the live
+          // iterator/projection buffer can be passed straight in; only
+          // the run-straddling pending row needs an explicit copy
+          private def asUnsafe(r: InternalRow): UnsafeRow = r match {
+            case u: UnsafeRow => u
+            case other => toUnsafe(other)
+          }
+
+          // absorb-on-add: RANGE accs take each peer as it is buffered
+          // (one pass), not from a second in-memory sweep — the
+          // spillable buffer is only replayed for EMISSION
+          private def absorb(r: InternalRow): Unit = if (aggs.nonEmpty) {
+            val ar = aggProj(r)
+            var a = 0
+            while (a < aggs.length) {
+              if (!rowsFrames(a)) rangeAccs(a).add(extract(ar, a))
+              a += 1
+            }
+          }
+
           private def fillRun(): Unit = {
-            buf.clear(); pos = 0
-            if (pendingRow == null && !it.hasNext) return
+            buf.clear()
+            if (pendingRow == null && !it.hasNext) { runIter = scala.collection.Iterator.empty; return }
             if (pendingRow == null) {
               val r = it.next()
               pendingKey = keyProj(r).copy()
-              pendingRow = r.copy()
+              pendingRow = asUnsafe(r).copy()
             }
             val runKey = pendingKey
-            buf += pendingRow
+            absorb(pendingRow); buf.add(pendingRow)
             pendingRow = null; pendingKey = null
             var open = true
             while (open && it.hasNext) {
               val r = it.next()
               val k = keyProj(r)
-              if (cmp.compare(runKey, k) == 0) buf += r.copy()
+              if (cmp.compare(runKey, k) == 0) { absorb(r); buf.add(asUnsafe(r)) }
               else {
-                pendingKey = k.copy(); pendingRow = r.copy(); open = false
+                pendingKey = k.copy(); pendingRow = asUnsafe(r).copy(); open = false
               }
             }
-            // run boundary: absorb the run into the RANGE accs, update
-            // the rank run trackers
+            // run boundary: update the rank run trackers + telemetry
             runStart = localIdx; localRuns += 1; runLen = buf.length
             if (buf.length >= bigRunWarnRows) {
               bigTieRuns += 1
               GlobalRankExec.bigRunWarnCount.incrementAndGet()
               org.slf4j.LoggerFactory.getLogger(classOf[GlobalRankExec]).warn(
                 s"GlobalRankExec: buffered a tie run of ${buf.length} rows " +
-                  "(RANGE-frame peers must be absorbed whole). A hot peer run " +
-                  "is the per-key twin of the low-cardinality degrade — " +
-                  "consider a finer ORDER BY key.")
+                  "(RANGE-frame peers must be absorbed whole; past the " +
+                  "window-buffer threshold the run spills to disk). A hot " +
+                  "peer run is the per-key twin of the low-cardinality " +
+                  "degrade — consider a finer ORDER BY key.")
             }
-            if (aggs.nonEmpty) {
-              var b = 0
-              while (b < buf.length) {
-                val ar = aggProj(buf(b))
-                var a = 0
-                while (a < aggs.length) {
-                  if (!rowsFrames(a)) rangeAccs(a).add(extract(ar, a))
-                  a += 1
-                }
-                b += 1
-              }
+            // spillSize is cumulative across clear(), so the delta
+            // since the last reading is this run's spill volume
+            val sp = buf.spillSize
+            if (sp > seenSpill) {
+              tieRunSpillBytes += (sp - seenSpill)
+              GlobalRankExec.tieRunSpillCount.incrementAndGet()
+              seenSpill = sp
             }
+            runIter = buf.generateIterator()
           }
 
           override def hasNext: Boolean = {
-            if (pos >= buf.length) fillRun()
-            pos < buf.length
+            if (!runIter.hasNext) fillRun()
+            runIter.hasNext
           }
 
           override def next(): (InternalRow, GenericInternalRow) = {
             if (!hasNext) throw new NoSuchElementException
-            val row = buf(pos)
+            // when the run spilled, this row's backing buffer is only
+            // valid until the next runIter.next() — every use below
+            // (ROWS accs, funcRow, fillOffsets' retained copies, the
+            // output projection / emitPair copy) completes before then
+            val row = runIter.next()
             if (aggs.nonEmpty) {
               val ar = aggProj(row)
               var a = 0
@@ -859,7 +1139,6 @@ case class GlobalRankExec(
             setFuncCols(rn)
             fillOffsets(row)
             localIdx += 1L
-            pos += 1
             emitPair(row)
           }
         }
@@ -888,7 +1167,7 @@ case class GlobalRankExec(
           private def pull(): Unit = {
             val (r, fr) = pairs.next()
             val s = (readPos % cap).toInt
-            pRows(s) = r; pFrs(s) = fr; pPrs(s) = offProj(r).copy()
+            pRows(s) = r; pFrs(s) = fr; pPrs(s) = bndProj(r).copy()
             readPos += 1
           }
 

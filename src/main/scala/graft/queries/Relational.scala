@@ -595,6 +595,95 @@ object Relational {
   def gr3ShiftDiffSql(spark0: SparkSession, dir: String): DataFrame =
     rewrittenOracle(spark0, dir, "gr3_orders", gr3Sql, "gr3")
 
+  /** The gr5 bounded-ROWS-frame SQL (VERDICT r16 item 2), shared
+    * VERBATIM with the DuckDB oracle: the 7-day moving sum/average,
+    * 4-day moving min/max and 30-day moving count over daily revenue —
+    * the moving-average shape, arguably more common than the
+    * cumulative one. `d` is unique after the GROUP BY so every frame
+    * is deterministic; rounding rides the gr2 discipline (sums 4dp,
+    * averages 6dp; the engine replays each frame oldest-first exactly
+    * as the plain window's SlidingWindowFunctionFrame does). */
+  private def gr5Sql(table: String): String =
+    s"""WITH t AS (SELECT o_orderdate AS d,
+       |    ROUND(SUM(o_totalprice), 4) AS rev
+       |  FROM $table GROUP BY o_orderdate)
+       |SELECT d, rev,
+       |  ROUND(SUM(rev) OVER (ORDER BY d
+       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7_sum,
+       |  ROUND(AVG(rev) OVER (ORDER BY d
+       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7_avg,
+       |  ROUND(MIN(rev) OVER (ORDER BY d
+       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS min4,
+       |  ROUND(MAX(rev) OVER (ORDER BY d
+       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS max4,
+       |  COUNT(*) OVER (ORDER BY d
+       |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS n30
+       |FROM t""".stripMargin
+
+  /** Bounded ROWS frames through the automatic rewrite under the
+    * driver's hash gate — same isolated-session + fired-plan
+    * discipline as gr1–gr4. The k-PRECEDING frames ride the SAME
+    * boundary tail slices lag uses, so the plan stays one range
+    * exchange with no SinglePartition stage. */
+  def gr5MovingFramesSql(spark0: SparkSession, dir: String): DataFrame =
+    rewrittenOracle(spark0, dir, "gr5_orders", gr5Sql, "gr5")
+
+  /** The gr6 variance-class SQL (VERDICT r16 item 3), shared VERBATIM
+    * with the DuckDB oracle: running stddev/variance (samp + pop) over
+    * daily revenue. Quantization discipline: revenue is normalized to
+    * millions FIRST (both engines divide the identical 4dp double by
+    * the same constant), so values sit near 1 and the 6dp rounding is
+    * ~7 orders of magnitude above the Welford-vs-Chan-merge ulp
+    * spread; the n==1 first row is null for the samp forms on BOTH
+    * engines (Spark's modern nullOnDivideByZero, DuckDB's NULL). The
+    * pass-through column stays the RAW 4dp rev (gr2's shape): a
+    * re-round of rev/1e6 at 6dp hits decimal half-way cases where the
+    * engines' double-ROUND tie-breaking differs. */
+  private def gr6Sql(table: String): String =
+    s"""WITH t AS (SELECT o_orderdate AS d,
+       |    ROUND(SUM(o_totalprice), 4) AS rev
+       |  FROM $table GROUP BY o_orderdate)
+       |SELECT d, rev,
+       |  ROUND(STDDEV_SAMP(rev / 1000000.0) OVER (ORDER BY d), 6) AS sd_samp,
+       |  ROUND(STDDEV_POP(rev / 1000000.0)  OVER (ORDER BY d), 6) AS sd_pop,
+       |  ROUND(VAR_SAMP(rev / 1000000.0)    OVER (ORDER BY d), 6) AS v_samp,
+       |  ROUND(VAR_POP(rev / 1000000.0)     OVER (ORDER BY d), 6) AS v_pop
+       |FROM t""".stripMargin
+
+  /** Welford-class running aggregates through the automatic rewrite
+    * under the driver's hash gate — same isolated-session +
+    * fired-plan discipline as gr1–gr5. The (n, mean, M2) state
+    * prefix-combines with Chan's merge, Spark's own CentralMomentAgg
+    * contract. */
+  def gr6RunningStddevSql(spark0: SparkSession, dir: String): DataFrame =
+    rewrittenOracle(spark0, dir, "gr6_orders", gr6Sql, "gr6")
+
+  /** The gr7 decimal running-sum SQL (VERDICT r16 item 5 — money
+    * columns are the most common SUM input in the wild), shared
+    * VERBATIM with the DuckDB oracle: the cumulative and 7-day moving
+    * sums over DECIMAL(18,4) daily revenue. The engine accumulates in
+    * unbounded BigDecimal space (exact — no association-order caveat
+    * at all), so the only portability step is the final CAST to
+    * DOUBLE: the cumulative sum stays below 2^53 in scaled units,
+    * making the double exact and the 4dp round an identity on both
+    * engines (Spark's sum is DECIMAL(28,4), DuckDB's DECIMAL(38,4) —
+    * the CAST also collapses that dtype gap for the strict gate). */
+  private def gr7Sql(table: String): String =
+    s"""WITH t AS (SELECT o_orderdate AS d,
+       |    CAST(ROUND(SUM(o_totalprice), 4) AS DECIMAL(18,4)) AS revd
+       |  FROM $table GROUP BY o_orderdate)
+       |SELECT d, CAST(revd AS DOUBLE) AS rev,
+       |  ROUND(CAST(SUM(revd) OVER (ORDER BY d) AS DOUBLE), 4) AS cum_rev_dec,
+       |  ROUND(CAST(SUM(revd) OVER (ORDER BY d
+       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS ma7_dec
+       |FROM t""".stripMargin
+
+  /** Decimal running sums through the automatic rewrite under the
+    * driver's hash gate — same isolated-session + fired-plan
+    * discipline as gr1–gr6. */
+  def gr7DecimalSumsSql(spark0: SparkSession, dir: String): DataFrame =
+    rewrittenOracle(spark0, dir, "gr7_orders", gr7Sql, "gr7")
+
   /** Calendar seasonality: revenue by day-of-week. The trap this key
     * pins: weekday NUMBERING is engine-specific (Spark `weekday` is
     * Monday=0; Spark `dayofweek` is Sunday=1; DuckDB `dow` is
@@ -1002,6 +1091,9 @@ object Relational {
     "gr2_running_totals_sql" -> gr2Sql("orders"),
     "gr3_shift_diff_sql" -> gr3Sql("orders"),
     "gr4_dist_first_last_sql" -> gr4Sql("orders"),
+    "gr5_moving_frames_sql" -> gr5Sql("orders"),
+    "gr6_running_stddev_sql" -> gr6Sql("orders"),
+    "gr7_decimal_sums_sql" -> gr7Sql("orders"),
     "w5_spend_deciles" ->
       """WITH t AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
         |  FROM orders GROUP BY o_custkey),
@@ -1554,6 +1646,9 @@ object Relational {
     "gr2_running_totals_sql" -> (gr2RunningTotalsSql _),
     "gr3_shift_diff_sql" -> (gr3ShiftDiffSql _),
     "gr4_dist_first_last_sql" -> (gr4DistFirstLastSql _),
+    "gr5_moving_frames_sql" -> (gr5MovingFramesSql _),
+    "gr6_running_stddev_sql" -> (gr6RunningStddevSql _),
+    "gr7_decimal_sums_sql" -> (gr7DecimalSumsSql _),
     "cal1_dow_revenue" -> (cal1DowRevenue _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),

@@ -111,25 +111,34 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
       val p1 = plan(spark.sql(
         "SELECT row_number() OVER (PARTITION BY tag ORDER BY id) AS rn FROM rr_rule_t"))
       assert(p1.contains("Window") && !p1.contains("GlobalRank"), p1)
-      // bounded frame: not a running aggregate — untouched
+      // frames reaching FOLLOWING (not a running or k-PRECEDING
+      // sliding shape): untouched
       val p2 = plan(spark.sql(
         """SELECT sum(score) OVER (ORDER BY id
-          |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM rr_rule_t""".stripMargin))
+          |  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM rr_rule_t""".stripMargin))
       assert(p2.contains("Window") && !p2.contains("GlobalRank"), p2)
-      // unsupported running aggregate (stddev): untouched
+      // value-based RANGE k PRECEDING: untouched (only the ROWS form
+      // is a boundary-slice frame)
+      val p2r = plan(spark.sql(
+        """SELECT sum(score) OVER (ORDER BY id
+          |  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS s FROM rr_rule_t""".stripMargin))
+      assert(p2r.contains("Window") && !p2r.contains("GlobalRank"), p2r)
+      // unsupported running aggregate (skewness — not prefix-handled
+      // here): untouched
       val p2b = plan(spark.sql(
-        "SELECT stddev(score) OVER (ORDER BY id) AS c FROM rr_rule_t"))
+        "SELECT skewness(score) OVER (ORDER BY id) AS c FROM rr_rule_t"))
       assert(p2b.contains("Window") && !p2b.contains("GlobalRank"), p2b)
       // decimal-result running avg: excluded by design — untouched
+      // (decimal SUM is supported; AVG's scale bookkeeping is not)
       val p2c = plan(spark.sql(
         """SELECT avg(CAST(score AS DECIMAL(10,2))) OVER (ORDER BY id) AS a
           |FROM rr_rule_t""".stripMargin))
       assert(p2c.contains("Window") && !p2c.contains("GlobalRank"), p2c)
       // one supported + one unsupported in the SAME over clause set:
-      // conservative skip (the single-partition stddev is needed anyway)
+      // conservative skip (the single-partition skewness is needed anyway)
       val p3 = plan(spark.sql(
-        """SELECT row_number()  OVER (ORDER BY id) AS rn,
-          |       stddev(score) OVER (ORDER BY id) AS c FROM rr_rule_t""".stripMargin))
+        """SELECT row_number()    OVER (ORDER BY id) AS rn,
+          |       skewness(score) OVER (ORDER BY id) AS c FROM rr_rule_t""".stripMargin))
       assert(p3.contains("Window"), p3)
     }
   }
@@ -386,6 +395,179 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
     } finally {
       prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
       prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+  }
+
+  test("forced spill: RANGE-path tie runs spill to disk with identical results (r17)") {
+    import org.apache.spark.sql.functions._
+    // 3-value order key over 4000 rows -> ~1333-row peer runs, far
+    // past the forced 4-row in-memory threshold: every run must spill
+    spark.range(4000).select((col("id") % 3).as("k"), col("id"), (col("id") % 7).as("v"))
+      .createOrReplaceTempView("rr_spill_t")
+    val sql =
+      """SELECT k,
+        |  sum(v)   OVER (ORDER BY k) AS s,
+        |  count(*) OVER (ORDER BY k) AS c,
+        |  max(id)  OVER (ORDER BY k) AS m,
+        |  cume_dist() OVER (ORDER BY k) AS cd
+        |FROM rr_spill_t""".stripMargin
+    // baseline BEFORE the thresholds are lowered (plain window,
+    // in-memory buffering)
+    val baseline = spark.sql(sql).collect().map(_.toSeq).sorted(
+      Ordering.by((s: Seq[Any]) => s.toString))
+    val exec = graft.plans.GlobalRankExec
+    spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "4")
+    spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "8")
+    try withOpenGate {
+      val before = exec.tieRunSpillCount.get()
+      val df = spark.sql(sql)
+      assert(plan(df).contains("GlobalRank"))
+      val rewritten = df.collect().map(_.toSeq).sorted(
+        Ordering.by((s: Seq[Any]) => s.toString))
+      assert(exec.tieRunSpillCount.get() > before,
+        "1333-row tie runs above a 4-row in-memory threshold must spill")
+      assert(rewritten.toSeq == baseline.toSeq)
+    } finally {
+      spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
+      spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+    }
+  }
+
+  test("bounded ROWS frames (moving aggregates) rewrite and match the plain window (r17)") {
+    frame.createOrReplaceTempView("rr_rule_t")
+    // (score, id) is a total order; ks 3/5/6/9 cross the 4-way range
+    // split so the boundary tail slices carry real cross-partition
+    // frames. Exact integers -> bit-identical to the plain window.
+    val sql =
+      """SELECT id,
+        |  sum(score) OVER (ORDER BY score, id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ms,
+        |  avg(score) OVER (ORDER BY score, id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma,
+        |  min(id)    OVER (ORDER BY score, id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mmn,
+        |  max(tag)   OVER (ORDER BY score, id
+        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS mmx,
+        |  count(*)   OVER (ORDER BY score, id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS mc
+        |FROM rr_rule_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(rewritten == baseline)
+  }
+
+  test("bounded frames compose with ranks, running aggs and lag in one window (r17)") {
+    frame.createOrReplaceTempView("rr_rule_t")
+    val sql =
+      """SELECT id,
+        |  sum(score) OVER (ORDER BY score, id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ms,
+        |  sum(score) OVER (ORDER BY score, id) AS rs,
+        |  row_number() OVER (ORDER BY score, id) AS rn,
+        |  lag(score, 2) OVER (ORDER BY score, id) AS l2
+        |FROM rr_rule_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(rewritten == baseline)
+  }
+
+  test("bounded frames above the boundary-slice cap stay on the plain window (r17)") {
+    frame.createOrReplaceTempView("rr_rule_t")
+    withOpenGate {
+      val p = plan(spark.sql(
+        """SELECT sum(score) OVER (ORDER BY score, id
+          |  ROWS BETWEEN 2000 PRECEDING AND CURRENT ROW) AS s FROM rr_rule_t""".stripMargin))
+      assert(p.contains("Window") && !p.contains("GlobalRank"), p)
+    }
+  }
+
+  test("variance-class running aggregates rewrite; values match the plain window (r17)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (1 to 3000).map(_.toLong).toDF("id")
+      .withColumn("v", when(col("id") <= 100, lit(null))
+        .otherwise(col("id") * lit(1.5e0) + lit(1.0e6)))
+      .createOrReplaceTempView("rr_var_t")
+    // +1e6 shift: the naive (n, Σ, Σx²) formula would lose ~12 digits
+    // to cancellation here — the Welford/Chan state must not
+    val sql =
+      """SELECT id,
+        |  stddev_samp(v) OVER (ORDER BY id) AS ss,
+        |  stddev_pop(v)  OVER (ORDER BY id) AS sp,
+        |  var_samp(v)    OVER (ORDER BY id) AS vs,
+        |  var_pop(v)     OVER (ORDER BY id) AS vp
+        |FROM rr_var_t""".stripMargin
+    val baseline = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.toSeq.drop(1))).sortBy(_._1)
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(r => (r.getLong(0), r.toSeq.drop(1))).sortBy(_._1))
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // prefix-combined Welford (Chan merge) vs the single task's purely
+    // sequential Welford: same ulp class as any partial aggregation
+    def close(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (x: Double, y: Double) =>
+        (x == y) || math.abs(x - y) <= 1e-9 * math.max(math.abs(x), math.abs(y))
+      case _ => a == b
+    }
+    baseline.zip(rewritten).foreach { case ((idB, vsB), (idR, vsR)) =>
+      assert(idB == idR)
+      vsB.zip(vsR).foreach { case (b, r) =>
+        assert(close(b, r), s"id=$idB: $vsB vs $vsR")
+      }
+    }
+    // the semantics: all-null prefix -> null; n==1 -> samp null
+    // (modern nullOnDivideByZero), pop 0.0
+    val m = rewritten.toMap
+    assert(m(50L) == Seq(null, null, null, null))
+    assert(m(101L) == Seq(null, 0.0d, null, 0.0d))
+  }
+
+  test("decimal running and sliding sums rewrite; values exact vs the plain window (r17)") {
+    frame.createOrReplaceTempView("rr_rule_t")
+    val sql =
+      """SELECT id,
+        |  sum(CAST(score AS DECIMAL(12,2)) * 1.25) OVER (ORDER BY score, id) AS ds,
+        |  sum(CAST(score AS DECIMAL(12,2)))        OVER (ORDER BY score, id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mds
+        |FROM rr_rule_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(rewritten == baseline)
+  }
+
+  test("ANSI decimal-sum overflow throws through the rewrite, as the plain window would (r17)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    assume(spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
+    Seq(1L, 2L).toDF("id")
+      .withColumn("v", lit("99999999999999999999999999999999999999").cast("decimal(38,0)"))
+      .createOrReplaceTempView("rr_decovf_t")
+    val sql = "SELECT sum(v) OVER (ORDER BY id) AS s FROM rr_decovf_t"
+    withOpenGate {
+      val df = spark.sql(sql)
+      assert(plan(df).contains("GlobalRank"))
+      val e = intercept[Exception](df.collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c => c.isInstanceOf[ArithmeticException] ||
+        String.valueOf(c.getMessage).toLowerCase.contains("overflow")), e.toString)
     }
   }
 
