@@ -256,6 +256,18 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
                 .flatMap(k => asBoundedAgg(fn, k, a.toAttribute))
             }
           case o @ (_: Lag | _: Lead) => asOffset(o, a.toAttribute, maxOffset)
+          // nth_value is an AggregateWindowFunction (appears unwrapped,
+          // pinned by Spark to the ROWS running frame): the running
+          // n-th value needs only the first n values of the prefix — a
+          // k-bounded state with the same sequential-combine contract
+          // as first/last, capped by maxOffset like every bounded-state
+          // function here. ignoreNulls rides the accumulator (skip
+          // nulls on add).
+          case NthValue(e, Literal(k: Int, IntegerType), ign)
+              if k >= 1 && k <= maxOffset && atomicLeaf(e.dataType) &&
+                runningFrame(frame).isDefined =>
+            Some(GlobalRunningAgg(if (ign) "nth_nn" else "nth", e,
+              runningFrame(frame).get, a.toAttribute, n = k))
           case _ => None
         }
       case _ => None
@@ -296,10 +308,11 @@ case class GlobalRankFunction(kind: String, k: Int, attr: Attribute)
   * share the value — the resolved SQL default under ORDER BY);
   * `exact` = ANSI sum overflow throws instead of wrapping (long) or
   * nulling (decimal); `nullOnDiv` = the variance-class
-  * nullOnDivideByZero flag (n==1 samp → null vs legacy NaN). */
+  * nullOnDivideByZero flag (n==1 samp → null vs legacy NaN); `n` =
+  * nth_value's 1-based offset (kinds nth | nth_nn). */
 case class GlobalRunningAgg(kind: String, valueExpr: Expression,
     rowsFrame: Boolean, attr: Attribute, exact: Boolean = false,
-    nullOnDiv: Boolean = true)
+    nullOnDiv: Boolean = true, n: Int = 0)
   extends GlobalWinFunction
 
 /** A bounded sliding aggregate, ROWS BETWEEN `k` PRECEDING AND CURRENT
@@ -532,6 +545,30 @@ private[plans] final class FirstLastAcc(isFirst: Boolean, ignoreNulls: Boolean)
   def reset(): Unit = { v = null; seen = false }
 }
 
+/** nth_value state: the first `n` qualifying values of the prefix.
+  * `merge(o)` treats `o`'s rows as coming AFTER this state's rows —
+  * the sequential-combine contract (same as [[FirstLastAcc]]): the
+  * prefix fills first, then `o`'s values top up to `n`. */
+private[plans] final class NthValueAcc(n: Int, ignoreNulls: Boolean)
+  extends RunningAcc {
+  val buf = new scala.collection.mutable.ArrayBuffer[Any](math.min(n, 16))
+  private def retain(x: Any): Any = x match {
+    case u: UTF8String => u.copy()
+    case other => other
+  }
+  def add(x: Any): Unit = {
+    if (ignoreNulls && x == null) return
+    if (buf.length < n) buf += retain(x)
+  }
+  def merge(o: RunningAcc): Unit = {
+    val t = o.asInstanceOf[NthValueAcc]
+    var i = 0
+    while (buf.length < n && i < t.buf.length) { buf += t.buf(i); i += 1 }
+  }
+  def value: Any = if (buf.length >= n) buf(n - 1) else null
+  def reset(): Unit = buf.clear()
+}
+
 /** Per-partition job-1 state: row/tie-run counts, aggregate totals,
   * and the boundary slices offset functions need — the last `maxLag`
   * and first `maxLead` projected value rows. */
@@ -668,6 +705,8 @@ case class GlobalRankExec(
     case "first_nn" => new FirstLastAcc(isFirst = true, ignoreNulls = true)
     case "last" => new FirstLastAcc(isFirst = false, ignoreNulls = false)
     case "last_nn" => new FirstLastAcc(isFirst = false, ignoreNulls = true)
+    case "nth" => new NthValueAcc(a.n, ignoreNulls = false)
+    case "nth_nn" => new NthValueAcc(a.n, ignoreNulls = true)
     case "stddev_samp" => new MomentsAcc(samp = true, sqrtOut = true, a.nullOnDiv)
     case "stddev_pop" => new MomentsAcc(samp = false, sqrtOut = true, a.nullOnDiv)
     case "var_samp" => new MomentsAcc(samp = true, sqrtOut = false, a.nullOnDiv)

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -83,28 +84,56 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
   }
 
   private def repairOnce(plan: LogicalPlan): LogicalPlan = {
-    val groups = scala.collection.mutable.LinkedHashMap.empty[String, List[Aggregate]]
+    val aggs = scala.collection.mutable.LinkedHashMap.empty[String, List[Aggregate]]
+    val wins = scala.collection.mutable.LinkedHashMap.empty[String, List[Window]]
+    val joins = scala.collection.mutable.LinkedHashMap.empty[String, List[Join]]
     plan.foreach {
       case a: Aggregate =>
         val k = graft.tools.PlanAudit.loose(a)
-        groups(k) = a :: groups.getOrElse(k, Nil)
+        aggs(k) = a :: aggs.getOrElse(k, Nil)
+      case w: Window =>
+        val k = graft.tools.PlanAudit.loose(w)
+        wins(k) = w :: wins.getOrElse(k, Nil)
+      case j: Join =>
+        val k = graft.tools.PlanAudit.loose(j)
+        joins(k) = j :: joins.getOrElse(k, Nil)
       case _ =>
     }
-    val replacements = new java.util.IdentityHashMap[Aggregate, LogicalPlan]()
-    groups.values.foreach { members =>
+    val replacements = new java.util.IdentityHashMap[LogicalPlan, LogicalPlan]()
+    def record(ms: IndexedSeq[LogicalPlan], rs: IndexedSeq[LogicalPlan]): Unit =
+      ms.zip(rs).foreach { case (m, r) => replacements.put(m, r) }
+    aggs.values.foreach { members =>
       if (members.size >= 2 && members.map(_.canonicalized).distinct.size > 1) {
-        unify(members.reverse.toIndexedSeq).foreach { rebuilt =>
-          members.reverse.zip(rebuilt).foreach { case (m, r) => replacements.put(m, r) }
-        }
+        val ms = members.reverse.toIndexedSeq
+        unify(ms).foreach(record(ms, _))
+      }
+    }
+    // Window/Join divergence is judged on the CHILD chains, matching
+    // the detector: the exchange carries raw child rows, so a node
+    // whose children already canonicalize equal is reuse-eligible
+    // as-is and must be left alone.
+    wins.values.foreach { members =>
+      if (members.size >= 2 &&
+          members.map(_.child.canonicalized).distinct.size > 1) {
+        val ms = members.reverse.toIndexedSeq
+        unifyWindows(ms).foreach(record(ms, _))
+      }
+    }
+    joins.values.foreach { members =>
+      if (members.size >= 2 &&
+          (members.map(_.left.canonicalized).distinct.size > 1 ||
+           members.map(_.right.canonicalized).distinct.size > 1)) {
+        val ms = members.reverse.toIndexedSeq
+        unifyJoins(ms).foreach(record(ms, _))
       }
     }
     if (replacements.isEmpty) plan
     else {
       repairCount.incrementAndGet()
       logInfo(s"graft plan repair: unified ${replacements.size()} reuse-defeated " +
-        "duplicate aggregates into canonical-equal union aggregates")
+        "duplicate aggregate/window/join subtrees into canonical-equal forms")
       plan.transformUp {
-        case a: Aggregate if replacements.containsKey(a) => replacements.get(a)
+        case p if replacements.containsKey(p) => replacements.get(p)
       }
     }
   }
@@ -149,6 +178,7 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
     val c0 = chains.head
     if (!chains.forall(c => c.canonicalized == c0.canonicalized &&
         c.output.length == c0.output.length)) return None
+    if (!planDeterministic(c0)) return None
     // positional attribute correspondence between canonical-equal chains
     val toDonor = chains.map(c => AttributeMap(c.output.zip(c0.output)))
     val fromDonor = chains.map(c => AttributeMap(c0.output.zip(c.output)))
@@ -262,6 +292,171 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
       if (residuals(i).isEmpty) body
       else Filter(residuals(i).reduce(And), body)
     })
+  }
+
+  private def translateTo(e: Expression, m: AttributeMap[Attribute]): Expression =
+    e.transform { case a: Attribute if m.contains(a) => m(a) }
+
+  /** No expression anywhere in the chain is nondeterministic. The
+    * originals were INDEPENDENT evaluations of e.g. rand(); unifying
+    * them into one shared subtree would correlate draws that the user
+    * wrote as uncorrelated, so such groups are skipped (Spark's own
+    * ReuseExchange only ever collapses subtrees that were ALREADY
+    * canonical-equal — a posture the user opted into by writing the
+    * same nondeterministic subtree twice). */
+  private def planDeterministic(p: LogicalPlan): Boolean = {
+    var ok = true
+    p.foreach { n => if (n.expressions.exists(e => !e.deterministic)) ok = false }
+    ok
+  }
+
+  /** Per-member equalized child chain for a Window/Join group, plus
+    * the residual guards the caller must lift (or reject). */
+  private final case class Equalized(
+      rebuilt: IndexedSeq[LogicalPlan],
+      residuals: IndexedSeq[Seq[Expression]],
+      donorPairs: IndexedSeq[Seq[(Attribute, Attribute)]])
+
+  /** The Window/Join analogue of the aggregate union's donor
+    * discipline, applied to the exchange INPUT instead of the node:
+    * verify every member's chain below its pruning Projects / null
+    * guards canonicalizes equal to the donor's, then rebuild each
+    * member's child as `Project(neededDonorCols, Filter(commonGuards,
+    * chain_i))` where the needed set and guard list are IDENTICAL in
+    * donor space across members — so the rebuilt children canonicalize
+    * EQUAL and the shuffle/broadcast exchange above them is executed
+    * once. Member-specific residual guards are returned for the caller
+    * to lift above the node (callers reject lifts their semantics
+    * don't allow via `canLift`). */
+  private def equalize(
+      rawChildren: IndexedSeq[LogicalPlan],
+      canLift: (Int, Expression) => Boolean): Option[Equalized] = {
+    val split = rawChildren.map(splitGuards)
+    val chains = split.map(_._1)
+    val memberGuards = split.map(_._2)
+    val c0 = chains.head
+    if (!chains.forall(c => c.canonicalized == c0.canonicalized &&
+        c.output.length == c0.output.length)) return None
+    if (!planDeterministic(c0)) return None
+    val toDonor = chains.map(c => AttributeMap(c.output.zip(c0.output)))
+    // every retained column and guard must map into donor space
+    // (pruned child outputs are chain outputs by construction, but be
+    // conservative about anything exotic)
+    val refsOk = rawChildren.indices.forall { i =>
+      rawChildren(i).output.forall(toDonor(i).contains) &&
+        memberGuards(i).forall(_.references.forall(toDonor(i).contains))
+    }
+    if (!refsOk) return None
+    val guardKeys = rawChildren.indices.map(i =>
+      memberGuards(i).map(g => translateTo(g, toDonor(i)).canonicalized))
+    val commonKeys = guardKeys.reduce((a, b) => a.filter(b.contains)).distinct.toSet
+    val residuals = rawChildren.indices.map { i =>
+      memberGuards(i).zip(guardKeys(i)).collect {
+        case (g, k) if !commonKeys.contains(k) => g
+      }
+    }
+    if (!rawChildren.indices.forall(i => residuals(i).forall(g => canLift(i, g))))
+      return None
+    val commonDonor: Seq[Expression] = {
+      val seen = scala.collection.mutable.HashSet.empty[Expression]
+      memberGuards(0).map(g => translateTo(g, toDonor(0)))
+        .filter(g => commonKeys.contains(g.canonicalized) && seen.add(g.canonicalized))
+    }
+    // donor-space needed set: every member's retained columns plus the
+    // refs of every member's lifted guards — ONE set for all members,
+    // so the rebuilt pruning Projects canonicalize equal
+    val neededDonor = AttributeSet(rawChildren.indices.flatMap { i =>
+      (rawChildren(i).output ++ residuals(i).flatMap(_.references.toSeq))
+        .map(a => toDonor(i)(a))
+    })
+    val rebuilt = rawChildren.indices.map { i =>
+      val fromDonor = AttributeMap(c0.output.zip(chains(i).output))
+      val guarded =
+        if (commonDonor.isEmpty) chains(i)
+        else Filter(commonDonor.map(g => translateTo(g, fromDonor)).reduce(And),
+          chains(i))
+      if (chains(i).output.forall(a => neededDonor.contains(toDonor(i)(a)))) guarded
+      else Project(chains(i).output.filter(a => neededDonor.contains(toDonor(i)(a))),
+        guarded)
+    }
+    Some(Equalized(rebuilt, residuals,
+      chains.map(c => c.output.zip(c0.output))))
+  }
+
+  /** Rebuild a divergent-children Window group over equalized chains.
+    * Unlike the aggregate path there is NO expression union: the
+    * exchange carries raw child rows, so making the CHILDREN
+    * canonical-equal is what restores reuse — each member keeps its
+    * own window expression list (and so computes only what its
+    * consumer asked for, post-shuffle). Residual null guards may lift
+    * above the window only when they reference partition keys alone:
+    * a partition-level predicate drops whole partitions, which cannot
+    * change any window value in the surviving ones. */
+  private def unifyWindows(members: IndexedSeq[Window]): Option[IndexedSeq[LogicalPlan]] = {
+    if (members.map(_.hint).distinct.size != 1) return None
+    if (!members.forall(m => (m.windowExpressions ++ m.partitionSpec ++ m.orderSpec)
+        .forall(_.deterministic))) return None
+    if (!members.forall(_.windowExpressions.forall(_.isInstanceOf[Alias]))) return None
+    val partRefs = members.map(m => AttributeSet(m.partitionSpec.flatMap(_.references)))
+    equalize(members.map(_.child),
+      (i, g) => g.references.subsetOf(partRefs(i))).flatMap { eq =>
+      // specs must agree positionally-canonically in donor space — the
+      // loose key's normalized strings are only the grouping heuristic
+      def specKey(i: Int): (Seq[Expression], Seq[Expression]) = {
+        val m = AttributeMap(eq.donorPairs(i))
+        (members(i).partitionSpec.map(e => translateTo(e, m).canonicalized),
+          members(i).orderSpec.map(e => translateTo(e, m).canonicalized))
+      }
+      val s0 = specKey(0)
+      if (!members.indices.forall(i => specKey(i) == s0)) None
+      else Some(members.indices.map { i =>
+        val w = members(i).copy(child = eq.rebuilt(i))
+        val body: LogicalPlan =
+          if (eq.residuals(i).isEmpty) w
+          else Filter(eq.residuals(i).reduce(And), w)
+        // pure narrowing back to the member's exact original output:
+        // child attrs keep their exprIds through the wider Project,
+        // window attrs keep theirs because the expression list is the
+        // member's own
+        RepairProject(members(i).output, body)
+      })
+    }
+  }
+
+  /** Rebuild a divergent-children Join group over per-side equalized
+    * chains. As with windows there is no union step — the two child
+    * exchanges (shuffle or broadcast) are what reuse collapses once
+    * the sides canonicalize equal; the join itself is post-exchange
+    * compute. Residual guards lift above the join only where a filter
+    * commutes with the join type on that side's columns. */
+  private def unifyJoins(members: IndexedSeq[Join]): Option[IndexedSeq[LogicalPlan]] = {
+    if (members.map(_.hint).distinct.size != 1) return None
+    if (members.map(_.joinType).distinct.size != 1) return None
+    if (!members.forall(_.condition.forall(_.deterministic))) return None
+    val (liftLeft, liftRight) = members.head.joinType match {
+      case Inner | Cross => (true, true)
+      case LeftOuter | LeftSemi | LeftAnti => (true, false)
+      case RightOuter => (false, true)
+      case _ => (false, false)
+    }
+    for {
+      le <- equalize(members.map(_.left), (_, _) => liftLeft)
+      re <- equalize(members.map(_.right), (_, _) => liftRight)
+      condOk = {
+        def key(i: Int): Option[Expression] = {
+          val m = AttributeMap(le.donorPairs(i) ++ re.donorPairs(i))
+          members(i).condition.map(c => translateTo(c, m).canonicalized)
+        }
+        val k0 = key(0)
+        members.indices.forall(i => key(i) == k0)
+      }
+      if condOk
+    } yield members.indices.map { i =>
+      val j = members(i).copy(left = le.rebuilt(i), right = re.rebuilt(i))
+      val res = le.residuals(i) ++ re.residuals(i)
+      val body: LogicalPlan = if (res.isEmpty) j else Filter(res.reduce(And), j)
+      RepairProject(members(i).output, body)
+    }
   }
 }
 

@@ -684,6 +684,31 @@ object Relational {
   def gr7DecimalSumsSql(spark0: SparkSession, dir: String): DataFrame =
     rewrittenOracle(spark0, dir, "gr7_orders", gr7Sql, "gr7")
 
+  /** The gr8 nth_value SQL (round-17 exclusion-list shrink), shared
+    * VERBATIM with the DuckDB oracle: the running 3rd/10th daily
+    * revenue value. `d` is unique after the GROUP BY so the frame
+    * dialect gap is moot (Spark pins nth_value to the ROWS running
+    * frame, DuckDB defaults to the standard's RANGE form — identical
+    * on a total order); rows before the n-th are NULL on both
+    * engines. Values ride the already-4dp daily totals, so no extra
+    * rounding is needed. */
+  private def gr8Sql(table: String): String =
+    s"""WITH t AS (SELECT o_orderdate AS d,
+       |    ROUND(SUM(o_totalprice), 4) AS rev
+       |  FROM $table GROUP BY o_orderdate)
+       |SELECT d, rev,
+       |  nth_value(rev, 3)  OVER (ORDER BY d) AS third_rev,
+       |  nth_value(rev, 10) OVER (ORDER BY d) AS tenth_rev
+       |FROM t""".stripMargin
+
+  /** nth_value through the automatic rewrite under the driver's hash
+    * gate — same isolated-session + fired-plan discipline as gr1–gr7.
+    * The running n-th value carries only an n-bounded value buffer per
+    * partition (first n qualifying prefix values), capped by the same
+    * maxOffset gate as lag/lead. */
+  def gr8NthValueSql(spark0: SparkSession, dir: String): DataFrame =
+    rewrittenOracle(spark0, dir, "gr8_orders", gr8Sql, "gr8")
+
   /** Calendar seasonality: revenue by day-of-week. The trap this key
     * pins: weekday NUMBERING is engine-specific (Spark `weekday` is
     * Monday=0; Spark `dayofweek` is Sunday=1; DuckDB `dow` is
@@ -1094,6 +1119,7 @@ object Relational {
     "gr5_moving_frames_sql" -> gr5Sql("orders"),
     "gr6_running_stddev_sql" -> gr6Sql("orders"),
     "gr7_decimal_sums_sql" -> gr7Sql("orders"),
+    "gr8_nth_value_sql" -> gr8Sql("orders"),
     "w5_spend_deciles" ->
       """WITH t AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
         |  FROM orders GROUP BY o_custkey),
@@ -1649,6 +1675,7 @@ object Relational {
     "gr5_moving_frames_sql" -> (gr5MovingFramesSql _),
     "gr6_running_stddev_sql" -> (gr6RunningStddevSql _),
     "gr7_decimal_sums_sql" -> (gr7DecimalSumsSql _),
+    "gr8_nth_value_sql" -> (gr8NthValueSql _),
     "cal1_dow_revenue" -> (cal1DowRevenue _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),

@@ -19,7 +19,8 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, Data
  * detector that says WHERE one is missing.
  *
  * Method: walk the OPTIMIZED logical plan (no job runs); key every
- * Aggregate subtree by a LOOSE signature — grouping keys + the chain
+ * Aggregate, Window, and Join subtree (the three exchange carriers)
+ * by a LOOSE signature — grouping/partition/join keys + the chain
  * below, with expression ids stripped and pure-pruning Projects
  * skipped, i.e. identity MODULO pruned output lists. A loose group
  * with ≥ 2 members splits two ways:
@@ -69,24 +70,51 @@ object PlanAudit {
       .toString.split("== Initial Plan ==")(0)).size
 
   def audit(plan: LogicalPlan): Seq[Finding] = {
-    val aggs = scala.collection.mutable.Map.empty[String, List[Aggregate]]
+    // same defect class, three carriers: Aggregate, Window, and Join
+    // subtrees all host an exchange (shuffle on grouping / partition /
+    // join keys) that ReuseExchange collapses only under EXACT
+    // canonical equality, so divergent pruning re-runs the shared
+    // scan+shuffle once per consumer for any of them (VERDICT r16
+    // item 4 extended the original aggregate-only detector).
+    val groups = scala.collection.mutable.Map.empty[(String, String), List[LogicalPlan]]
+    def add(kind: String, p: LogicalPlan): Unit = {
+      val k = (kind, loose(p))
+      groups(k) = p :: groups.getOrElse(k, Nil)
+    }
     def visit(p: LogicalPlan): Unit = {
       p match {
-        case a: Aggregate =>
-          val k = loose(a)
-          aggs(k) = a :: aggs.getOrElse(k, Nil)
+        case a: Aggregate => add("aggregate", a)
+        case w: Window => add("window", w)
+        case j: Join => add("join", j)
         case _ =>
       }
       p.children.foreach(visit)
       p.subqueries.foreach(visit)
     }
     visit(plan)
-    aggs.toSeq.collect {
-      case (sig, nodes) if nodes.size >= 2 &&
-          nodes.map(_.canonicalized).distinct.size > 1 =>
+    groups.toSeq.collect {
+      case ((kind, sig), nodes) if nodes.size >= 2 && diverges(kind, nodes) =>
         val sev = if (sig.contains("files:") || sig.contains("v2:")) "warn" else "info"
-        Finding("aggregate", nodes.size, sev, sig.take(220))
+        Finding(kind, nodes.size, sev, sig.take(220))
     }.sortBy(f => (f.severity, f.kind, f.signature))
+  }
+
+  /** Kind-specific divergence test, targeting WHERE the exchange
+    * lives. An Aggregate's shuffle carries the PARTIAL-aggregate rows,
+    * so divergence anywhere in the node defeats reuse (the original
+    * test). A Window's / Join's shuffle carries the raw CHILD rows —
+    * the node itself is post-shuffle compute — so reuse survives any
+    * difference in window expression lists, and only canonical
+    * divergence of the child chains (per side, for joins) re-runs the
+    * shared scan + shuffle. */
+  private def diverges(kind: String, nodes: List[LogicalPlan]): Boolean = kind match {
+    case "window" =>
+      nodes.map(_.children.head.canonicalized).distinct.size > 1
+    case "join" =>
+      nodes.map(_.asInstanceOf[Join].left.canonicalized).distinct.size > 1 ||
+        nodes.map(_.asInstanceOf[Join].right.canonicalized).distinct.size > 1
+    case _ =>
+      nodes.map(_.canonicalized).distinct.size > 1
   }
 
   /** Structural signature modulo output lists: expression ids

@@ -1372,6 +1372,145 @@ object ScaleSmoke {
         s"${if (offRow == onRow) s"IDENTICAL ($offRow)" else s"DIVERGED $offRow vs $onRow"}")
     }
 
+    // --- hotrun: the spillable tie-run buffer at an 8M hot peer run ------
+    // (VERDICT r16 items 1+6) GlobalRankExec's RANGE path must absorb a
+    // whole tie run before any of its rows emit; the buffer is
+    // WindowExec's own ExternalAppendOnlyUnsafeRowArray, so a hot key
+    // (8M of 10M rows sharing one ORDER BY value — the NULL-date /
+    // default-enum shape) SPILLS past the window-buffer threshold and
+    // finishes with bounded task memory instead of OOMing. Claims
+    // measured here: (a) the big-tie-run warning fires, (b) real spill
+    // bytes are recorded at a lowered spill threshold, (c) values are
+    // identical to the plain single-partition window under the SAME
+    // spill conf, (d) peakTaskMem stays bounded (the buffer holds
+    // spill-threshold rows in memory, not the 8M-row run).
+    if (want("hotrun")) {
+      graft.functions.GraftFunctions.register(spark)
+      if (!new java.io.File(s"$outDir/cust10m.parquet").exists())
+        spark.range(10000000L).select(col("id").as("k"),
+            (pmod(xxhash64(col("id") * 131 + 7), lit(1000000L)).cast("double")
+              / lit(100.0)).as("spend"))
+          .write.mode("overwrite").parquet(s"$outDir/cust10m.parquet")
+      spark.read.parquet(s"$outDir/cust10m.parquet")
+        .withColumn("cents", floor(col("spend") * lit(100) + lit(0.5)).cast("long"))
+        .withColumn("hk", when(col("k") < 8000000L, lit(0L)).otherwise(col("cents")))
+        .createOrReplaceTempView("hot10m")
+      val hotSql =
+        """SELECT hk, sum(cents) OVER (ORDER BY hk) AS rs FROM hot10m"""
+      def hotChk(df: DataFrame): (java.math.BigDecimal, Long) = {
+        val r = df.agg(sum(col("rs").cast("decimal(38,0)")).as("a"),
+          count(lit(1)).as("n")).head
+        (r.getDecimal(0), r.getLong(1))
+      }
+      // lowered spill threshold: prove the DISK path, not just survival
+      // at a 48g heap (production executors won't have the run in heap)
+      spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "1000000")
+      try {
+        var auto: (java.math.BigDecimal, Long) = null
+        val warnBefore = graft.plans.GlobalRankExec.bigRunWarnCount.get()
+        val spillBefore = graft.plans.GlobalRankExec.tieRunSpillCount.get()
+        timed("hotrun_sql_10m") {
+          val df = spark.sql(hotSql)
+          val p = df.queryExecution.executedPlan.toString
+          require(p.contains("GlobalRank") && !p.contains("SinglePartition"),
+            "hot-run rewrite did not fire:\n" + p.take(3000))
+          auto = hotChk(df)
+          auto._2
+        }
+        require(graft.plans.GlobalRankExec.bigRunWarnCount.get() > warnBefore,
+          "big-tie-run warning did not fire on an 8M-row peer run")
+        require(graft.plans.GlobalRankExec.tieRunSpillCount.get() > spillBefore,
+          "tie-run buffer did not spill at a 1M-row spill threshold")
+        var plain: (java.math.BigDecimal, Long) = null
+        timed("hotrun_plainwin_10m") {
+          spark.conf.set(graft.operators.RangeRank.MinBytesKey, Long.MaxValue.toString)
+          try {
+            val df = spark.sql(hotSql)
+            require(!df.queryExecution.executedPlan.toString.contains("GlobalRank"))
+            plain = hotChk(df)
+          } finally spark.conf.unset(graft.operators.RangeRank.MinBytesKey)
+          plain._2
+        }
+        println(s"SCALE hotrun: 8M-row tie run, spilled run buffer, auto vs plain = " +
+          s"${if (auto == plain) "IDENTICAL" else s"DIVERGED $auto vs $plain"}")
+      } finally spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+    }
+
+    // --- repairwj: the window/join repair extension at 10M ---------------
+    // (VERDICT r16 item 4) Divergently-pruned duplicate Window and Join
+    // subtrees are the same reuse-defeated class as the aggregates the
+    // round-16 repair covered; with the flag on, the equalized children
+    // canonicalize equal and the shared scan+shuffle executes once.
+    if (want("repairwj")) {
+      graft.functions.GraftFunctions.register(spark)
+      if (!new java.io.File(s"$outDir/repair10m.parquet").exists())
+        spark.range(10000000L).select((col("id") % 1000000L).as("g"),
+            (col("id") % 97).as("x"), (col("id") % 13).as("y"))
+          .write.mode("overwrite").parquet(s"$outDir/repair10m.parquet")
+      if (!new java.io.File(s"$outDir/repairdim.parquet").exists())
+        spark.range(1000000L).select(col("id").as("g"), (col("id") % 101).as("z"))
+          .write.mode("overwrite").parquet(s"$outDir/repairdim.parquet")
+      spark.read.parquet(s"$outDir/repair10m.parquet").createOrReplaceTempView("repair10m")
+      spark.read.parquet(s"$outDir/repairdim.parquet").createOrReplaceTempView("repairdim")
+      def scansOf(df: DataFrame): Int = PlanAudit.fileScanCount(df)
+      def measure(label: String, sql: String, expectOff: Int, expectOn: Int): Unit = {
+        var offRow: org.apache.spark.sql.Row = null
+        var offScans = -1
+        timed(s"${label}_off_10m") {
+          val df = spark.sql(sql)
+          offRow = df.collect()(0)
+          offScans = scansOf(df)
+          offRow.getLong(0)
+        }
+        var onRow: org.apache.spark.sql.Row = null
+        var onScans = -1
+        timed(s"${label}_on_10m") {
+          spark.conf.set(graft.plans.PlanAuditRepair.FlagKey, "true")
+          try {
+            val df = spark.sql(sql)
+            require(df.queryExecution.optimizedPlan.toString.contains("RepairProject"),
+              s"$label repair did not fire:\n" +
+                df.queryExecution.optimizedPlan.toString.take(2000))
+            onRow = df.collect()(0)
+            onScans = scansOf(df)
+          } finally spark.conf.unset(graft.plans.PlanAuditRepair.FlagKey)
+          onRow.getLong(0)
+        }
+        println(s"SCALE repairwj/$label: scans off=$offScans (expect $expectOff) " +
+          s"on=$onScans (expect $expectOn); results " +
+          s"${if (offRow == onRow) s"IDENTICAL ($offRow)" else s"DIVERGED $offRow vs $onRow"}")
+      }
+      // shared 1M-partition window, two consumers pruning differently
+      measure("window",
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+          |  SUM(CAST(a.tot + b.m AS DECIMAL(38,0))) AS chk
+          |FROM (SELECT g, sum(cs) AS tot FROM
+          |        (SELECT g, sum(x) OVER (PARTITION BY g ORDER BY x) AS cs,
+          |                avg(y) OVER (PARTITION BY g ORDER BY x) AS ay,
+          |                y FROM repair10m) GROUP BY g) a
+          |JOIN (SELECT g, CAST(max(ay + y) AS BIGINT) AS m FROM
+          |        (SELECT g, sum(x) OVER (PARTITION BY g ORDER BY x) AS cs,
+          |                avg(y) OVER (PARTITION BY g ORDER BY x) AS ay,
+          |                y FROM repair10m) GROUP BY g) b
+          |  ON a.g = b.g""".stripMargin, 2, 1)
+      // shared fact⋈dim join, two consumers pruning differently; SMJ
+      // forced so BOTH sides carry shuffle exchanges to reuse
+      val prevBjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        measure("join",
+          """SELECT CAST(count(*) AS BIGINT) AS n,
+            |  SUM(CAST(a.sx + b.mz AS DECIMAL(38,0))) AS chk
+            |FROM (SELECT g, sum(x) AS sx FROM
+            |        (SELECT t.g AS g, t.x AS x, t.y AS y, u.z AS z
+            |         FROM repair10m t JOIN repairdim u ON t.g = u.g) GROUP BY g) a
+            |JOIN (SELECT g, max(z + y) AS mz FROM
+            |        (SELECT t.g AS g, t.x AS x, t.y AS y, u.z AS z
+            |         FROM repair10m t JOIN repairdim u ON t.g = u.g) GROUP BY g) b
+            |  ON a.g = b.g""".stripMargin, 4, 2)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBjt)
+    }
+
     // --- r15keys: measured scale smokes for the round-15 key newcomers ---
     // (VERDICT r15 item 4) pc2 (stateless scan projection, 200k vecs),
     // hn1 (label-carry probe chain), qs1 (whole threshold grid in ONE

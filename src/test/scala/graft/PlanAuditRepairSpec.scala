@@ -127,6 +127,100 @@ class PlanAuditRepairSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---- Window/Join extension (VERDICT r16 item 4) -------------------
+
+  private val windowSql =
+    """WITH w AS (SELECT g, x, y,
+      |             sum(x) OVER (PARTITION BY g ORDER BY x) AS cs,
+      |             avg(y) OVER (PARTITION BY g ORDER BY x) AS ay
+      |           FROM repair_t)
+      |SELECT a.g, a.tot, b.m FROM
+      |  (SELECT g, sum(cs) AS tot FROM w GROUP BY g) a
+      |  JOIN (SELECT g, max(ay + y) AS m FROM w GROUP BY g) b ON a.g = b.g
+      |""".stripMargin
+
+  test("window repair: equalized children, one scan, exchange reused, values unchanged") {
+    spark.read.parquet(dir).createOrReplaceTempView("repair_t")
+    val off = spark.sql(windowSql)
+    assert(graft.tools.PlanAudit.audit(off.queryExecution.optimizedPlan)
+      .exists(f => f.kind == "window" && f.severity == "warn"))
+    val offRows = off.collect().map(_.toSeq).toSet
+    assert(scans(off) == 2, off.queryExecution.executedPlan.toString)
+    withRepair {
+      val on = spark.sql(windowSql)
+      val opt = on.queryExecution.optimizedPlan.toString
+      assert(opt.contains("RepairProject"), opt)
+      val findings = graft.tools.PlanAudit.audit(on.queryExecution.optimizedPlan)
+      assert(findings.forall(_.severity != "warn"), s"repaired plan still warns: $findings")
+      assert(on.collect().map(_.toSeq).toSet == offRows, "window repair changed results")
+      assert(scans(on) == 1, on.queryExecution.executedPlan.toString)
+      val plan = on.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") || plan.contains("reuses"), plan)
+    }
+  }
+
+  private lazy val dirU: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_repair_u").toString
+    (1 to 1000).map(i => (i % 50L, i * 3L)).toDF("g", "z")
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private val joinSql =
+    """WITH j AS (SELECT t.g AS g, t.x AS x, t.y AS y, u.z AS z
+      |           FROM repair_t t JOIN repair_u u ON t.g = u.g)
+      |SELECT a.g, a.sx, b.mz FROM
+      |  (SELECT g, sum(x) AS sx FROM j GROUP BY g) a
+      |  JOIN (SELECT g, max(z + y) AS mz FROM j GROUP BY g) b ON a.g = b.g
+      |""".stripMargin
+
+  test("join repair: both sides equalized, two scans total, exchanges reused, values unchanged") {
+    spark.read.parquet(dir).createOrReplaceTempView("repair_t")
+    spark.read.parquet(dirU).createOrReplaceTempView("repair_u")
+    // force SMJ so both sides carry shuffle exchanges (the broadcast
+    // variant reuses only the BroadcastExchange; the streamed-side
+    // scan has no exchange boundary to share)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val off = spark.sql(joinSql)
+      assert(graft.tools.PlanAudit.audit(off.queryExecution.optimizedPlan)
+        .exists(f => f.kind == "join" && f.severity == "warn"))
+      val offRows = off.collect().map(_.toSeq).toSet
+      assert(scans(off) == 4, off.queryExecution.executedPlan.toString)
+      withRepair {
+        val on = spark.sql(joinSql)
+        val opt = on.queryExecution.optimizedPlan.toString
+        assert(opt.contains("RepairProject"), opt)
+        val findings = graft.tools.PlanAudit.audit(on.queryExecution.optimizedPlan)
+        assert(findings.forall(_.severity != "warn"), s"repaired plan still warns: $findings")
+        assert(on.collect().map(_.toSeq).toSet == offRows, "join repair changed results")
+        assert(scans(on) == 2, on.queryExecution.executedPlan.toString)
+        val plan = on.queryExecution.executedPlan.toString
+        assert(plan.contains("ReusedExchange") || plan.contains("reuses"), plan)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("window repair conservative: identically-pruned duplicates untouched") {
+    spark.read.parquet(dir).createOrReplaceTempView("repair_t")
+    withRepair {
+      // both consumers keep (g, x, y): children already canonical-equal,
+      // the exchange below is reuse-eligible as-is — repair must not fire
+      val same = spark.sql(
+        """WITH w AS (SELECT g, x, y,
+          |             sum(x) OVER (PARTITION BY g ORDER BY x) AS cs,
+          |             avg(y) OVER (PARTITION BY g ORDER BY x) AS ay
+          |           FROM repair_t)
+          |SELECT a.g, a.tot, b.m FROM
+          |  (SELECT g, sum(cs + y) AS tot FROM w GROUP BY g) a
+          |  JOIN (SELECT g, max(ay + y) AS m FROM w GROUP BY g) b ON a.g = b.g
+          |""".stripMargin)
+      assert(!same.queryExecution.optimizedPlan.toString.contains("RepairProject"),
+        same.queryExecution.optimizedPlan.toString)
+    }
+  }
+
   test("extensions-config path: repair survives the late ColumnPruning/CollapseProject batch") {
     // the cluster deployment installs rules via spark.sql.extensions;
     // the preCBO slot runs BEFORE the RewriteSubquery batch whose

@@ -87,6 +87,61 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("window duplicates: divergent pruning warns, equal children silent") {
+    val d = java.nio.file.Files.createTempDirectory("graft_audit_w").toString
+    import spark.implicits._
+    (1 to 500).map(i => (i % 10L, i.toLong, (i % 3).toLong))
+      .toDF("g", "x", "y").write.mode("overwrite").parquet(d)
+    spark.read.parquet(d).createOrReplaceTempView("audit_w")
+    // divergent pruning below the two window consumers: a needs (g,x),
+    // b needs (g,x,y) — the shared scan+shuffle executes twice
+    val bad = spark.sql(
+      """WITH w AS (SELECT g, x, y,
+        |             sum(x) OVER (PARTITION BY g ORDER BY x) AS cs,
+        |             avg(y) OVER (PARTITION BY g ORDER BY x) AS ay
+        |           FROM audit_w)
+        |SELECT a.g, a.tot, b.m FROM
+        |  (SELECT g, sum(cs) AS tot FROM w GROUP BY g) a
+        |  JOIN (SELECT g, max(ay + y) AS m FROM w GROUP BY g) b ON a.g = b.g
+        |""".stripMargin)
+    val fs = PlanAudit.audit(bad.queryExecution.optimizedPlan)
+    assert(fs.exists(f => f.kind == "window" && f.severity == "warn"), fs.toString)
+    // same window twice with IDENTICAL pruning: the exchange below is
+    // reuse-eligible as-is — different expression lists alone must NOT
+    // warn (the exchange carries raw child rows, not window output)
+    val ok = spark.sql(
+      """WITH w AS (SELECT g, x, y,
+        |             sum(x) OVER (PARTITION BY g ORDER BY x) AS cs,
+        |             avg(y) OVER (PARTITION BY g ORDER BY x) AS ay
+        |           FROM audit_w)
+        |SELECT a.g, a.tot, b.m FROM
+        |  (SELECT g, sum(cs + y) AS tot FROM w GROUP BY g) a
+        |  JOIN (SELECT g, max(ay + y) AS m FROM w GROUP BY g) b ON a.g = b.g
+        |""".stripMargin)
+    val fs2 = PlanAudit.audit(ok.queryExecution.optimizedPlan)
+    assert(fs2.forall(f => !(f.kind == "window" && f.severity == "warn")), fs2.toString)
+  }
+
+  test("join duplicates: divergent pruning on either side warns") {
+    val d = java.nio.file.Files.createTempDirectory("graft_audit_j").toString
+    import spark.implicits._
+    (1 to 500).map(i => (i % 10L, i.toLong, (i % 3).toLong))
+      .toDF("g", "x", "y").write.mode("overwrite").parquet(s"$d/t")
+    (1 to 100).map(i => (i % 10L, i * 2L)).toDF("g", "z")
+      .write.mode("overwrite").parquet(s"$d/u")
+    spark.read.parquet(s"$d/t").createOrReplaceTempView("audit_jt")
+    spark.read.parquet(s"$d/u").createOrReplaceTempView("audit_ju")
+    val bad = spark.sql(
+      """WITH j AS (SELECT t.g AS g, t.x AS x, t.y AS y, u.z AS z
+        |           FROM audit_jt t JOIN audit_ju u ON t.g = u.g)
+        |SELECT a.g, a.sx, b.mz FROM
+        |  (SELECT g, sum(x) AS sx FROM j GROUP BY g) a
+        |  JOIN (SELECT g, max(z + y) AS mz FROM j GROUP BY g) b ON a.g = b.g
+        |""".stripMargin)
+    val fs = PlanAudit.audit(bad.queryExecution.optimizedPlan)
+    assert(fs.exists(f => f.kind == "join" && f.severity == "warn"), fs.toString)
+  }
+
   test("t8's vocab count: un-barriered flagged, gated barrier silent") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val k = graft.queries.TextAnalysis.VocabBarrierMinBytesKey

@@ -285,6 +285,39 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
     assert(rewritten.exists(r => r(0) == 400L && r(3) == null && r(4) == null))
   }
 
+  test("nth_value rewrite: respect/ignore nulls exact vs plain window; cap respected (r17)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (1 to 2000).map(_.toLong).toDF("id")
+      .withColumn("v", when(col("id") % 3 === 0, lit(null)).otherwise(col("id")))
+      .createOrReplaceTempView("rr_nth_t")
+    val sql =
+      """SELECT id,
+        |  nth_value(v, 4)              OVER (ORDER BY id) AS n4,
+        |  nth_value(v, 4) IGNORE NULLS OVER (ORDER BY id) AS n4nn,
+        |  nth_value(id, 700)           OVER (ORDER BY id) AS n700
+        |FROM rr_nth_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val rewritten = withOpenGate {
+      val df = spark.sql(sql)
+      assert(plan(df).contains("GlobalRank") && !plan(df).contains("Window"), plan(df))
+      df.collect().map(_.toSeq).toSet
+    }
+    assert(rewritten == baseline)
+    // semantics: n4 counts null rows (4th row's v with id=4 ... v(3)=null
+    // at id=3, so 4th row overall is id=4 → 4); n4nn skips nulls — the
+    // 4th NON-null is id=5 (1,2,4,5); n700 spans range partitions
+    assert(rewritten.exists(r => r(0) == 2000L && r(1) == 4L && r(2) == 5L &&
+      r(3) == 700L))
+    assert(rewritten.exists(r => r(0) == 3L && r(1) == null))
+    // above the boundary-state cap: stays on the plain window
+    withOpenGate {
+      val p = plan(spark.sql(
+        "SELECT nth_value(id, 2000) OVER (ORDER BY id) AS n FROM rr_nth_t"))
+      assert(p.contains("Window") && !p.contains("GlobalRank"), p)
+    }
+  }
+
   test("offsets above the boundary-slice cap stay on the plain window") {
     frame.createOrReplaceTempView("rr_rule_t")
     withOpenGate {
