@@ -202,6 +202,64 @@ class PlanAuditRepairSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("semi-join repair: divergent left pruning equalized, one scan per table") {
+    spark.read.parquet(dir).createOrReplaceTempView("repair_t")
+    spark.read.parquet(dirU).createOrReplaceTempView("repair_u")
+    val semiSql =
+      """WITH j AS (SELECT g, x, y FROM repair_t t
+        |           WHERE EXISTS (SELECT 1 FROM repair_u u WHERE u.g = t.g))
+        |SELECT a.g, a.sx, b.my FROM
+        |  (SELECT g, sum(x) AS sx FROM j GROUP BY g) a
+        |  JOIN (SELECT g, max(y) AS my, sum(x) AS s2 FROM j GROUP BY g) b
+        |  ON a.g = b.g""".stripMargin
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val offRows = spark.sql(semiSql).collect().map(_.toSeq).toSet
+      withRepair {
+        val on = spark.sql(semiSql)
+        val opt = on.queryExecution.optimizedPlan.toString
+        assert(opt.contains("RepairProject"), opt)
+        assert(on.collect().map(_.toSeq).toSet == offRows,
+          "semi-join repair changed results")
+        assert(scans(on) == 2, on.queryExecution.executedPlan.toString)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("left-outer join repair: null-padding preserved, scans halved") {
+    // the LeftOuter lift rules: left-side residuals commute, right-side
+    // residuals would change which rows null-pad (unifyJoins refuses
+    // them); this shape has common guards only, so the repair fires and
+    // the null-padded rows must come out identical
+    spark.read.parquet(dir).createOrReplaceTempView("repair_t")
+    // a dim that only covers HALF the keys, so null-padding is real
+    val dHalf = java.nio.file.Files.createTempDirectory("graft_repair_h").toString
+    (1 to 500).map(i => (i % 25L, i * 3L)).toDF("g", "z")
+      .write.mode("overwrite").parquet(dHalf)
+    spark.read.parquet(dHalf).createOrReplaceTempView("repair_h")
+    val loSql =
+      """WITH j AS (SELECT t.g AS g, t.x AS x, t.y AS y, u.z AS z
+        |           FROM repair_t t LEFT JOIN repair_h u ON t.g = u.g)
+        |SELECT a.g, a.sx, b.mz FROM
+        |  (SELECT g, sum(x) AS sx FROM j GROUP BY g) a
+        |  JOIN (SELECT g, max(coalesce(z, -1) + y) AS mz FROM j GROUP BY g) b
+        |  ON a.g = b.g""".stripMargin
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val offRows = spark.sql(loSql).collect().map(_.toSeq).toSet
+      withRepair {
+        val on = spark.sql(loSql)
+        assert(on.queryExecution.optimizedPlan.toString.contains("RepairProject"),
+          on.queryExecution.optimizedPlan.toString)
+        assert(on.collect().map(_.toSeq).toSet == offRows,
+          "left-outer repair changed results")
+        assert(scans(on) == 2, on.queryExecution.executedPlan.toString)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("window repair conservative: identically-pruned duplicates untouched") {
     spark.read.parquet(dir).createOrReplaceTempView("repair_t")
     withRepair {
