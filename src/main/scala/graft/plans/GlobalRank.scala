@@ -264,10 +264,10 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
           // function here. ignoreNulls rides the accumulator (skip
           // nulls on add).
           case NthValue(e, Literal(k: Int, IntegerType), ign)
-              if k >= 1 && k <= maxOffset && atomicLeaf(e.dataType) &&
-                runningFrame(frame).isDefined =>
-            Some(GlobalRunningAgg(if (ign) "nth_nn" else "nth", e,
-              runningFrame(frame).get, a.toAttribute, n = k))
+              if k >= 1 && k <= maxOffset && atomicLeaf(e.dataType) =>
+            runningFrame(frame).map(rows =>
+              GlobalRunningAgg(if (ign) "nth_nn" else "nth", e,
+                rows, a.toAttribute, n = k))
           case _ => None
         }
       case _ => None

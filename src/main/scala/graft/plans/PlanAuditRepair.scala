@@ -87,18 +87,29 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
     val aggs = scala.collection.mutable.LinkedHashMap.empty[String, List[Aggregate]]
     val wins = scala.collection.mutable.LinkedHashMap.empty[String, List[Window]]
     val joins = scala.collection.mutable.LinkedHashMap.empty[String, List[Join]]
-    plan.foreach {
-      case a: Aggregate =>
-        val k = graft.tools.PlanAudit.loose(a)
-        aggs(k) = a :: aggs.getOrElse(k, Nil)
-      case w: Window =>
-        val k = graft.tools.PlanAudit.loose(w)
-        wins(k) = w :: wins.getOrElse(k, Nil)
-      case j: Join =>
-        val k = graft.tools.PlanAudit.loose(j)
-        joins(k) = j :: joins.getOrElse(k, Nil)
-      case _ =>
+    // walk subquery plans too — the detector does (PlanAudit.audit
+    // recurses into p.subqueries), so a repair that skipped them would
+    // leave warn findings it can never fix (review r17 finding).
+    // Duplicates that straddle a subquery boundary group together here
+    // and unify fine: the replacement map is applied by
+    // transformUpWithSubqueries below.
+    def visit(p: LogicalPlan): Unit = {
+      p match {
+        case a: Aggregate =>
+          val k = graft.tools.PlanAudit.loose(a)
+          aggs(k) = a :: aggs.getOrElse(k, Nil)
+        case w: Window =>
+          val k = graft.tools.PlanAudit.loose(w)
+          wins(k) = w :: wins.getOrElse(k, Nil)
+        case j: Join =>
+          val k = graft.tools.PlanAudit.loose(j)
+          joins(k) = j :: joins.getOrElse(k, Nil)
+        case _ =>
+      }
+      p.children.foreach(visit)
+      p.subqueries.foreach(visit)
     }
+    visit(plan)
     val replacements = new java.util.IdentityHashMap[LogicalPlan, LogicalPlan]()
     def record(ms: IndexedSeq[LogicalPlan], rs: IndexedSeq[LogicalPlan]): Unit =
       ms.zip(rs).foreach { case (m, r) => replacements.put(m, r) }
@@ -132,7 +143,7 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
       repairCount.incrementAndGet()
       logInfo(s"graft plan repair: unified ${replacements.size()} reuse-defeated " +
         "duplicate aggregate/window/join subtrees into canonical-equal forms")
-      plan.transformUp {
+      plan.transformUpWithSubqueries {
         case p if replacements.containsKey(p) => replacements.get(p)
       }
     }
@@ -189,9 +200,6 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
     }
     if (!refsOk) return None
 
-    def translate(e: Expression, m: AttributeMap[Attribute]): Expression =
-      e.transform { case a: Attribute if m.contains(a) => m(a) }
-
     // null guards: the COMMON conjuncts (canonical intersection in
     // donor space) stay below the wide aggregate, preserving the scan
     // pushdown; each member's RESIDUAL guards lift ABOVE its
@@ -199,7 +207,7 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
     // attributes the member outputs (a group-level predicate commutes
     // with grouping), so any other residual skips the group
     val guardKeys = members.indices.map(i =>
-      memberGuards(i).map(g => translate(g, toDonor(i)).canonicalized))
+      memberGuards(i).map(g => translateTo(g, toDonor(i)).canonicalized))
     val commonKeys = guardKeys.reduce((a, b) => a.filter(b.contains)).distinct.toSet
     val residuals = members.indices.map { i =>
       memberGuards(i).zip(guardKeys(i)).collect {
@@ -217,21 +225,21 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
     // equality of the rebuilt Filters)
     val commonDonor: Seq[Expression] = {
       val seen = scala.collection.mutable.HashSet.empty[Expression]
-      memberGuards(0).map(g => translate(g, toDonor(0)))
+      memberGuards(0).map(g => translateTo(g, toDonor(0)))
         .filter(g => commonKeys.contains(g.canonicalized) && seen.add(g.canonicalized))
     }
 
     // grouping: one shared order (the donor's); members must agree as
     // a canonical multiset
     val g0 = members(0).groupingExpressions
-    val g0Key = g0.map(e => translate(e, toDonor(0)).canonicalized).groupBy(identity)
+    val g0Key = g0.map(e => translateTo(e, toDonor(0)).canonicalized).groupBy(identity)
       .view.mapValues(_.size).toMap
     val groupingOk = members.indices.forall { i =>
-      members(i).groupingExpressions.map(e => translate(e, toDonor(i)).canonicalized)
+      members(i).groupingExpressions.map(e => translateTo(e, toDonor(i)).canonicalized)
         .groupBy(identity).view.mapValues(_.size).toMap == g0Key
     }
     if (!groupingOk) return None
-    val donorGrouping = g0.map(e => translate(e, toDonor(0)))
+    val donorGrouping = g0.map(e => translateTo(e, toDonor(0)))
 
     // union aggregate list in donor space, deduplicated by the
     // canonical form of the unaliased computation, in first-seen order
@@ -243,7 +251,7 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
     val keyToIdx = scala.collection.mutable.HashMap.empty[Expression, Int]
     members.indices.foreach { i =>
       members(i).aggregateExpressions.foreach { ne =>
-        val donorNe = translate(ne, toDonor(i)).asInstanceOf[NamedExpression]
+        val donorNe = translateTo(ne, toDonor(i)).asInstanceOf[NamedExpression]
         val k = strippedKey(donorNe)
         if (!keyToIdx.contains(k)) { keyToIdx(k) = union.length; union += donorNe }
       }
@@ -255,7 +263,7 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
       // are restored by RepairProject; fresh ids keep sibling members
       // exprId-disjoint, the Join.duplicateResolved invariant)
       val unionI: IndexedSeq[NamedExpression] = union.toIndexedSeq.map { ne =>
-        translate(ne, fromDonor(i)) match {
+        translateTo(ne, fromDonor(i)) match {
           case al: Alias => al.copy()(exprId = NamedExpression.newExprId,
             qualifier = al.qualifier, explicitMetadata = al.explicitMetadata,
             nonInheritableMetadataKeys = al.nonInheritableMetadataKeys)
@@ -263,10 +271,10 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
           case other => Alias(other, "graft_repair")()
         }
       }
-      val groupingI = donorGrouping.map(e => translate(e, fromDonor(i)))
+      val groupingI = donorGrouping.map(e => translateTo(e, fromDonor(i)))
       val guardedChain =
         if (commonDonor.isEmpty) chains(i)
-        else Filter(commonDonor.map(g => translate(g, fromDonor(i))).reduce(And),
+        else Filter(commonDonor.map(g => translateTo(g, fromDonor(i))).reduce(And),
           chains(i))
       val needed = AttributeSet(unionI.flatMap(_.references) ++
         groupingI.flatMap(_.references))
@@ -278,7 +286,7 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
       // restore the member's EXACT original output (names + exprIds +
       // order), so every parent operator resolves unchanged
       val restore: Seq[NamedExpression] = members(i).aggregateExpressions.map { ne =>
-        val k = strippedKey(translate(ne, toDonor(i)).asInstanceOf[NamedExpression])
+        val k = strippedKey(translateTo(ne, toDonor(i)).asInstanceOf[NamedExpression])
         val src = unionI(keyToIdx(k)).toAttribute
         ne match {
           case a: Attribute if src.exprId == a.exprId => a
@@ -397,9 +405,15 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
     if (!members.forall(m => (m.windowExpressions ++ m.partitionSpec ++ m.orderSpec)
         .forall(_.deterministic))) return None
     if (!members.forall(_.windowExpressions.forall(_.isInstanceOf[Alias]))) return None
-    val partRefs = members.map(m => AttributeSet(m.partitionSpec.flatMap(_.references)))
+    // residual lift gate: each residual ref must ITSELF be a partition
+    // key attribute — `references of partitionSpec` would be weaker
+    // (partitioning on coalesce(g, 0) groups g-null rows into a live
+    // partition, so a lifted IsNotNull(g) guard would change surviving
+    // rows' window values; review r17 finding)
+    val partAttrs = members.map(m =>
+      AttributeSet(m.partitionSpec.collect { case a: Attribute => a }))
     equalize(members.map(_.child),
-      (i, g) => g.references.subsetOf(partRefs(i))).flatMap { eq =>
+      (i, g) => g.references.subsetOf(partAttrs(i))).flatMap { eq =>
       // specs must agree positionally-canonically in donor space — the
       // loose key's normalized strings are only the grouping heuristic
       def specKey(i: Int): (Seq[Expression], Seq[Expression]) = {

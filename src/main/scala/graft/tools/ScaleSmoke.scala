@@ -80,6 +80,24 @@ object ScaleSmoke {
       else fs.foreach(f => println(s"SCALE $label ${f.toString.take(200)}"))
     }
 
+    // guarded create-or-reuse for the shared 10M smoke datasets: their
+    // schemas are load-bearing ACROSS sections (a later section derives
+    // columns from whatever an earlier one wrote), so each dataset has
+    // exactly ONE generator here — editing it cannot leave a sibling
+    // section regenerating a divergent copy (review r17 finding)
+    def ensureParquet(name: String)(df: => DataFrame): Unit =
+      if (!new java.io.File(s"$outDir/$name").exists())
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+    def ensureCust10m(): Unit = ensureParquet("cust10m.parquet")(
+      spark.range(10000000L).select(col("id").as("k"),
+        (pmod(xxhash64(col("id") * 131 + 7), lit(1000000L)).cast("double")
+          / lit(100.0)).as("spend")))
+    def ensureRepair10m(): Unit = ensureParquet("repair10m.parquet")(
+      spark.range(10000000L).select((col("id") % 1000000L).as("g"),
+        (col("id") % 97).as("x"), (col("id") % 13).as("y")))
+    def ensureRepairDim(): Unit = ensureParquet("repairdim.parquet")(
+      spark.range(1000000L).select(col("id").as("g"), (col("id") % 101).as("z")))
+
     def timed(label: String, runs: Int = 2)(body: => Long): Unit = {
       var rows = 0L
       // snapshot the listener per run: the reported memory/straggler
@@ -1083,10 +1101,7 @@ object ScaleSmoke {
     // row-identical to the plain-window twin (exact integer-cent
     // aggregates per decile + the gn1 rank-weighted sum). ------------
     if (want("rank")) {
-      spark.range(10000000L).select(col("id").as("k"),
-          (pmod(xxhash64(col("id") * 131 + 7), lit(1000000L)).cast("double")
-            / lit(100.0)).as("spend"))
-        .write.mode("overwrite").parquet(s"$outDir/cust10m.parquet")
+      ensureCust10m()
       val per = spark.read.parquet(s"$outDir/cust10m.parquet")
         .withColumn("cents", floor(col("spend") * lit(100) + lit(0.5)).cast("long"))
       val ord = Seq(col("spend").desc, col("k"))
@@ -1225,11 +1240,7 @@ object ScaleSmoke {
     // order key and stays quiet on the real one.
     if (want("aggrule")) {
       graft.functions.GraftFunctions.register(spark)
-      if (!new java.io.File(s"$outDir/cust10m.parquet").exists())
-        spark.range(10000000L).select(col("id").as("k"),
-            (pmod(xxhash64(col("id") * 131 + 7), lit(1000000L)).cast("double")
-              / lit(100.0)).as("spend"))
-          .write.mode("overwrite").parquet(s"$outDir/cust10m.parquet")
+      ensureCust10m()
       spark.read.parquet(s"$outDir/cust10m.parquet")
         .withColumn("cents", floor(col("spend") * lit(100) + lit(0.5)).cast("long"))
         .createOrReplaceTempView("cust10m")
@@ -1330,10 +1341,7 @@ object ScaleSmoke {
     // aggregate + shuffle write — the dominant cost of this shape.
     if (want("repair")) {
       graft.functions.GraftFunctions.register(spark)
-      if (!new java.io.File(s"$outDir/repair10m.parquet").exists())
-        spark.range(10000000L).select((col("id") % 1000000L).as("g"),
-            (col("id") % 97).as("x"), (col("id") % 13).as("y"))
-          .write.mode("overwrite").parquet(s"$outDir/repair10m.parquet")
+      ensureRepair10m()
       spark.read.parquet(s"$outDir/repair10m.parquet")
         .createOrReplaceTempView("repair10m")
       val repairSql =
@@ -1386,11 +1394,7 @@ object ScaleSmoke {
     // spill-threshold rows in memory, not the 8M-row run).
     if (want("hotrun")) {
       graft.functions.GraftFunctions.register(spark)
-      if (!new java.io.File(s"$outDir/cust10m.parquet").exists())
-        spark.range(10000000L).select(col("id").as("k"),
-            (pmod(xxhash64(col("id") * 131 + 7), lit(1000000L)).cast("double")
-              / lit(100.0)).as("spend"))
-          .write.mode("overwrite").parquet(s"$outDir/cust10m.parquet")
+      ensureCust10m()
       spark.read.parquet(s"$outDir/cust10m.parquet")
         .withColumn("cents", floor(col("spend") * lit(100) + lit(0.5)).cast("long"))
         .withColumn("hk", when(col("k") < 8000000L, lit(0L)).otherwise(col("cents")))
@@ -1443,13 +1447,8 @@ object ScaleSmoke {
     // canonicalize equal and the shared scan+shuffle executes once.
     if (want("repairwj")) {
       graft.functions.GraftFunctions.register(spark)
-      if (!new java.io.File(s"$outDir/repair10m.parquet").exists())
-        spark.range(10000000L).select((col("id") % 1000000L).as("g"),
-            (col("id") % 97).as("x"), (col("id") % 13).as("y"))
-          .write.mode("overwrite").parquet(s"$outDir/repair10m.parquet")
-      if (!new java.io.File(s"$outDir/repairdim.parquet").exists())
-        spark.range(1000000L).select(col("id").as("g"), (col("id") % 101).as("z"))
-          .write.mode("overwrite").parquet(s"$outDir/repairdim.parquet")
+      ensureRepair10m()
+      ensureRepairDim()
       spark.read.parquet(s"$outDir/repair10m.parquet").createOrReplaceTempView("repair10m")
       spark.read.parquet(s"$outDir/repairdim.parquet").createOrReplaceTempView("repairdim")
       def scansOf(df: DataFrame): Int = PlanAudit.fileScanCount(df)

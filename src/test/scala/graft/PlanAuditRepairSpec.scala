@@ -260,6 +260,28 @@ class PlanAuditRepairSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("duplicates inside a scalar subquery are repaired too (r17)") {
+    // the detector walks plan.subqueries, so the repairer must as
+    // well — otherwise subquery-hosted duplicates warn forever with
+    // the flag on (review r17 finding)
+    spark.read.parquet(dir).createOrReplaceTempView("repair_t")
+    val subSql =
+      """SELECT g, x FROM repair_t WHERE x >= (
+        |  SELECT CAST(a.s / 5000 + b.m AS BIGINT) FROM
+        |    (SELECT sum(x) AS s FROM repair_t) a
+        |    CROSS JOIN (SELECT max(y) AS m, sum(x) AS s2 FROM repair_t) b)""".stripMargin
+    val offRows = spark.sql(subSql).collect().map(_.toSeq).toSet
+    assert(offRows.nonEmpty)
+    withRepair {
+      val on = spark.sql(subSql)
+      val subPlans = on.queryExecution.optimizedPlan.subqueriesAll
+      assert(subPlans.exists(_.toString.contains("RepairProject")),
+        on.queryExecution.optimizedPlan.toString)
+      assert(on.collect().map(_.toSeq).toSet == offRows,
+        "subquery repair changed results")
+    }
+  }
+
   test("window repair conservative: identically-pruned duplicates untouched") {
     spark.read.parquet(dir).createOrReplaceTempView("repair_t")
     withRepair {
