@@ -604,6 +604,36 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("top-k rank filters keep Spark's group-limit/limit pushdowns below the rewrite (r17)") {
+    // InferWindowGroupLimit (rank <= k) and LimitPushDownThroughWindow
+    // (row_number <= k) both run in the main optimizer batches BEFORE
+    // the preCBO rewrite slot; the rewrite must compose with — not
+    // defeat — their pruning, so at scale only <= k rows per input
+    // partition ever reach the exchange
+    frame.createOrReplaceTempView("rr_topk_t")
+    val rkSql =
+      """SELECT * FROM (SELECT id, score,
+        |  rank() OVER (ORDER BY score, id) AS rk FROM rr_topk_t) WHERE rk <= 10""".stripMargin
+    val rnSql =
+      """SELECT * FROM (SELECT id, score,
+        |  row_number() OVER (ORDER BY score, id) AS rn FROM rr_topk_t) WHERE rn <= 10""".stripMargin
+    val (rkBase, rnBase) =
+      (spark.sql(rkSql).collect().map(_.toSeq).toSet,
+       spark.sql(rnSql).collect().map(_.toSeq).toSet)
+    withOpenGate {
+      val rk = spark.sql(rkSql)
+      assert(rk.queryExecution.optimizedPlan.toString.contains("WindowGroupLimit"),
+        rk.queryExecution.optimizedPlan.toString)
+      assert(plan(rk).contains("GlobalRank") && plan(rk).contains("WindowGroupLimit"),
+        plan(rk))
+      assert(rk.collect().map(_.toSeq).toSet == rkBase)
+      val rn = spark.sql(rnSql)
+      assert(plan(rn).contains("GlobalRank") &&
+        plan(rn).contains("TakeOrderedAndProject"), plan(rn))
+      assert(rn.collect().map(_.toSeq).toSet == rnBase)
+    }
+  }
+
   test("downstream operators resolve over the rewritten node (filter + agg above)") {
     frame.createOrReplaceTempView("rr_rule_t")
     val sql =
