@@ -17,6 +17,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "4m")
     graft.sources.Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
+    // optional conf overrides for posture-validation runs (e.g. the
+    // cluster profile's plan-repair flag over the full key surface):
+    // SPARK_GRAFT_EXTRA_CONFS="k=v;k2=v2". Builder-time confs propagate
+    // into the isolated newSession() harnesses some keys use.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
