@@ -1440,6 +1440,91 @@ object ScaleSmoke {
       } finally spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
     }
 
+    // --- winfams: the round-17 window families at 10M --------------------
+    // (VERDICT r16 items 2/3/5 done-criteria) Bounded ROWS frames (gr5),
+    // Welford stddev/var (gr6), decimal running/sliding sums (gr7) and
+    // nth_value (gr8) through the AUTOMATIC rewrite at 10M rows, each
+    // value-checked against the plain single-partition window. The
+    // ORDER BY composes cents with k (total order) so every family's
+    // output is deterministic; checksums quantize doubles to 6dp before
+    // the decimal sum (the engine and the plain window share one
+    // association order for bounded frames — oldest-first replay — and
+    // Welford-vs-sequential differs at the ulp, hence the rounding).
+    if (want("winfams")) {
+      graft.functions.GraftFunctions.register(spark)
+      ensureCust10m()
+      spark.read.parquet(s"$outDir/cust10m.parquet")
+        .withColumn("cents", floor(col("spend") * lit(100) + lit(0.5)).cast("long"))
+        .withColumn("rev", (col("cents").cast("double") / 100.0))
+        .withColumn("revd", col("rev").cast("decimal(18,4)"))
+        .createOrReplaceTempView("wf10m")
+      val famSql =
+        """SELECT k,
+          |  SUM(rev) OVER (ORDER BY cents, k
+          |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
+          |  AVG(rev) OVER (ORDER BY cents, k
+          |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS ma30,
+          |  STDDEV_SAMP(rev / 1000.0) OVER (ORDER BY cents, k) AS sd,
+          |  VAR_POP(rev / 1000.0)     OVER (ORDER BY cents, k) AS vp,
+          |  CAST(SUM(revd) OVER (ORDER BY cents, k) AS DECIMAL(38,4)) AS cum_dec,
+          |  nth_value(cents, 1000) OVER (ORDER BY cents, k) AS nth1k
+          |FROM wf10m""".stripMargin
+      // timed = COMPUTE only (agg consume touching every output
+      // column); the parquet dumps for the row-level comparison happen
+      // once, untimed, below
+      def consumeAll(df: DataFrame): Long =
+        df.agg(sum(col("ma7")), sum(col("ma30")), sum(col("sd")), sum(col("vp")),
+          sum(col("cum_dec")), sum(col("nth1k")), count(lit(1)).as("n"))
+          .head.getLong(6)
+      timed("winfams_sql_10m") {
+        val df = spark.sql(famSql)
+        val p = df.queryExecution.executedPlan.toString
+        require(p.contains("GlobalRank") && !p.contains("SinglePartition"),
+          "round-17 window families did not rewrite:\n" + p.take(3000))
+        consumeAll(df)
+      }
+      spark.sql(famSql).write.mode("overwrite")
+        .parquet(s"$outDir/winfams_auto.parquet")
+      spark.conf.set(graft.operators.RangeRank.MinBytesKey, Long.MaxValue.toString)
+      try {
+        timed("winfams_plainwin_10m") {
+          val df = spark.sql(famSql)
+          require(!df.queryExecution.executedPlan.toString.contains("GlobalRank"))
+          consumeAll(df)
+        }
+        spark.sql(famSql).write.mode("overwrite")
+          .parquet(s"$outDir/winfams_plain.parquet")
+      } finally spark.conf.unset(graft.operators.RangeRank.MinBytesKey)
+      // per-column comparison, per family semantics: bounded frames
+      // replay oldest-first on BOTH paths (bit-identical doubles
+      // required), decimal sums are exact space, nth is value copies —
+      // exact equality for all of those. The Welford family carries
+      // the documented merge-order ulp class (Chan prefix-combine vs
+      // one sequential pass), so it gets a 1e-9 ABS tolerance instead
+      // of a blanket checksum that would mask an exact-family bug (a
+      // first cut here used one ROUND(...,6) checksum over everything
+      // and "diverged" by two half-way rounding flips in 4e17 — all
+      // from the variance columns).
+      val a = spark.read.parquet(s"$outDir/winfams_auto.parquet").alias("a")
+      val p = spark.read.parquet(s"$outDir/winfams_plain.parquet").alias("p")
+      val cmp = a.join(p, "k").agg(
+        sum(when(col("a.ma7") <=> col("p.ma7") &&
+          col("a.ma30") <=> col("p.ma30") &&
+          col("a.cum_dec") <=> col("p.cum_dec") &&
+          col("a.nth1k") <=> col("p.nth1k"), 0).otherwise(1)).as("exact_bad"),
+        max(abs(col("a.sd") - col("p.sd"))).as("sd_maxdiff"),
+        max(abs(col("a.vp") - col("p.vp"))).as("vp_maxdiff"),
+        count(lit(1)).as("n")).head
+      require(cmp.getLong(3) == 10000000L, s"join lost rows: ${cmp.getLong(3)}")
+      require(cmp.getLong(0) == 0L,
+        s"exact families diverged on ${cmp.getLong(0)} rows")
+      require(cmp.getDouble(1) < 1e-9 && cmp.getDouble(2) < 1e-9,
+        s"variance family beyond ulp class: sd=${cmp.getDouble(1)} vp=${cmp.getDouble(2)}")
+      println(f"SCALE winfams: moving/decimal/nth EXACT-equal on 10M rows; " +
+        f"Welford family max abs diff sd=${cmp.getDouble(1)}%.2e " +
+        f"vp=${cmp.getDouble(2)}%.2e (merge-order ulp class, tolerance 1e-9)")
+    }
+
     // --- repairwj: the window/join repair extension at 10M ---------------
     // (VERDICT r16 item 4) Divergently-pruned duplicate Window and Join
     // subtrees are the same reuse-defeated class as the aggregates the

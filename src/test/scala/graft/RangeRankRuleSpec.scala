@@ -604,6 +604,33 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("boundary slices spanning MULTIPLE short partitions stay exact (r17)") {
+    // every range partition here holds ~2 rows, far fewer than the
+    // offsets/frames need — the driver's tail/head seed assembly must
+    // concatenate across partitions (a short partition contributes its
+    // whole tail; keeping the last maxTail of the concatenation is
+    // exact). lag(7)/lead(5)/ROWS 6 PRECEDING/nth_value(9) all span
+    // several partitions at once.
+    import spark.implicits._
+    (1 to 60).map(i => (i.toLong, (i * 13 % 997).toLong)).toDF("id", "v")
+      .createOrReplaceTempView("rr_tiny_t")
+    val sql =
+      """SELECT id,
+        |  lag(v, 7)  OVER (ORDER BY v, id) AS l7,
+        |  lead(v, 5) OVER (ORDER BY v, id) AS n5,
+        |  SUM(v) OVER (ORDER BY v, id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
+        |  nth_value(v, 9) OVER (ORDER BY v, id) AS nth9
+        |FROM rr_tiny_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try withOpenGate {
+      val df = spark.sql(sql)
+      assert(plan(df).contains("GlobalRank") && !plan(df).contains("Window"), plan(df))
+      assert(df.collect().map(_.toSeq).toSet == baseline)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("top-k rank filters keep Spark's group-limit/limit pushdowns below the rewrite (r17)") {
     // InferWindowGroupLimit (rank <= k) and LimitPushDownThroughWindow
     // (row_number <= k) both run in the main optimizer batches BEFORE
