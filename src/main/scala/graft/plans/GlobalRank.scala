@@ -71,17 +71,21 @@ import org.apache.spark.unsafe.types.UTF8String
  * CentralMomentAgg partial aggregation uses — so they carry the same
  * ulp class, rounded by the oracle discipline like any double.
  *
- * OFFSET FUNCTIONS UNDER TIED ORDER KEYS (ADVICE r16): lag/lead
- * boundary slices are captured in job 1 while in-partition values come
- * from job 2's iteration of the same shuffle output. Within one
- * partition both jobs see one consistent order, but when the ORDER BY
- * is NOT a total order the two jobs may order a tie run differently,
- * so a cross-partition offset value can mix two tie orders at a
- * partition boundary — strictly weaker than the "a valid assignment"
- * guarantee ranks give under ties. Use lag/lead here (as every shipped
- * key and spec does) with a deterministic tiebreaker in the ORDER BY;
- * under ties the plain single-partition window is itself
- * shuffle-order-dependent, but at least self-consistent.
+ * OFFSET FUNCTIONS AND BOUNDED FRAMES UNDER TIED ORDER KEYS (ADVICE
+ * r16, extended r17): lag/lead boundary slices AND the bounded
+ * sliding frames' tail slices are captured in job 1 while
+ * in-partition values come from job 2's iteration of the same shuffle
+ * output. Within one partition both jobs see one consistent order,
+ * but when the ORDER BY is NOT a total order the two jobs may order a
+ * tie run differently, so a cross-partition offset or
+ * k-PRECEDING-frame value can mix two tie orders at a partition
+ * boundary (a tie-run row double-counted in, or absent from, a moving
+ * frame) — strictly weaker than the "a valid assignment" guarantee
+ * ranks give under ties. Use lag/lead and ROWS k-PRECEDING frames
+ * here (as every shipped key and spec does) with a deterministic
+ * tiebreaker in the ORDER BY; under ties the plain single-partition
+ * window is itself shuffle-order-dependent, but at least
+ * self-consistent.
  *
  * Gated on the SAME conf key as the explicit operator
  * (`spark.graft.rangerank.minBytes`, registered with
@@ -138,27 +142,39 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
   private def atomicOrderable(dt: DataType): Boolean =
     RowOrdering.isOrderable(dt) && atomicLeaf(dt)
 
-  private def asAgg(fn: aggregate.AggregateFunction, rowsFrame: Boolean,
-      attr: Attribute): Option[GlobalRunningAgg] = fn match {
-    // TRY mode (null-on-overflow) excluded — its overflow bookkeeping
-    // belongs to Spark's own Sum; ANSI mode rides `exact` so a long
-    // overflow throws here exactly as the plain window would. DECIMAL
-    // sums (round 17) accumulate in unbounded BigDecimal space and
-    // decide overflow at value() against the result precision — throw
-    // in ANSI, null in legacy, exactly Spark's Sum.checkOverflow.
+  /** The five aggregate kinds BOTH frame shapes support — running
+    * (UNBOUNDED PRECEDING) and bounded sliding (k PRECEDING) — as one
+    * matcher, so the eligibility rules cannot silently diverge between
+    * the two paths (review r17 finding). Returns (kind, valueExpr,
+    * exact).
+    *
+    * TRY mode (null-on-overflow) excluded — its overflow bookkeeping
+    * belongs to Spark's own Sum; ANSI mode rides `exact` so a long
+    * overflow throws here exactly as the plain window would. DECIMAL
+    * sums (round 17) accumulate in unbounded BigDecimal space and
+    * decide overflow at value() against the result precision per
+    * emitted row — throw in ANSI, null in legacy, exactly the plain
+    * window's observable behavior (verified empirically: Spark's
+    * window decimal sum is NOT sticky-null after an intermediate
+    * overflow; it recovers when the prefix cancels back under the
+    * bound, exactly as exact-space re-decision does). */
+  private def asCommonAgg(fn: aggregate.AggregateFunction,
+      attr: Attribute): Option[(String, Expression, Boolean)] = fn match {
     case Sum(e, ctx) if (attr.dataType == LongType || attr.dataType == DoubleType ||
         (attr.dataType.isInstanceOf[DecimalType] && e.dataType.isInstanceOf[DecimalType])) &&
         ctx.evalMode != EvalMode.TRY =>
-      Some(GlobalRunningAgg("sum", e, rowsFrame, attr,
-        exact = ctx.evalMode == EvalMode.ANSI))
-    case Count(Seq(e)) =>
-      Some(GlobalRunningAgg("count", e, rowsFrame, attr))
-    case Average(e, _) if attr.dataType == DoubleType =>
-      Some(GlobalRunningAgg("avg", e, rowsFrame, attr))
-    case Min(e) if atomicOrderable(e.dataType) =>
-      Some(GlobalRunningAgg("min", e, rowsFrame, attr))
-    case Max(e) if atomicOrderable(e.dataType) =>
-      Some(GlobalRunningAgg("max", e, rowsFrame, attr))
+      Some(("sum", e, ctx.evalMode == EvalMode.ANSI))
+    case Count(Seq(e)) => Some(("count", e, false))
+    case Average(e, _) if attr.dataType == DoubleType => Some(("avg", e, false))
+    case Min(e) if atomicOrderable(e.dataType) => Some(("min", e, false))
+    case Max(e) if atomicOrderable(e.dataType) => Some(("max", e, false))
+    case _ => None
+  }
+
+  private def asAgg(fn: aggregate.AggregateFunction, rowsFrame: Boolean,
+      attr: Attribute): Option[GlobalRunningAgg] = asCommonAgg(fn, attr).map {
+    case (kind, e, exact) => GlobalRunningAgg(kind, e, rowsFrame, attr, exact = exact)
+  }.orElse(fn match {
     // Welford-class running aggregates (VERDICT r16 item 3): the
     // (n, mean, M2) state prefix-combines with Chan's merge — the same
     // contract Spark's own CentralMomentAgg partial aggregation uses.
@@ -182,7 +198,7 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     case Last(e, ignoreNulls) if atomicLeaf(e.dataType) =>
       Some(GlobalRunningAgg(if (ignoreNulls) "last_nn" else "last", e, rowsFrame, attr))
     case _ => None
-  }
+  })
 
   /** Offset functions: `lag(x, k, default)` / `lead(x, k, default)`
     * with literal offsets and foldable defaults. Normalized to a
@@ -216,19 +232,8 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     * edge / the row itself) and variance-class sliding aggregates are
     * excluded as rare — the plain window keeps them. */
   private def asBoundedAgg(fn: aggregate.AggregateFunction, k: Int,
-      attr: Attribute): Option[GlobalBoundedAgg] = fn match {
-    case Sum(e, ctx) if (attr.dataType == LongType || attr.dataType == DoubleType ||
-        (attr.dataType.isInstanceOf[DecimalType] && e.dataType.isInstanceOf[DecimalType])) &&
-        ctx.evalMode != EvalMode.TRY =>
-      Some(GlobalBoundedAgg("sum", e, k, attr, exact = ctx.evalMode == EvalMode.ANSI))
-    case Count(Seq(e)) => Some(GlobalBoundedAgg("count", e, k, attr))
-    case Average(e, _) if attr.dataType == DoubleType =>
-      Some(GlobalBoundedAgg("avg", e, k, attr))
-    case Min(e) if atomicOrderable(e.dataType) =>
-      Some(GlobalBoundedAgg("min", e, k, attr))
-    case Max(e) if atomicOrderable(e.dataType) =>
-      Some(GlobalBoundedAgg("max", e, k, attr))
-    case _ => None
+      attr: Attribute): Option[GlobalBoundedAgg] = asCommonAgg(fn, attr).map {
+    case (kind, e, exact) => GlobalBoundedAgg(kind, e, k, attr, exact = exact)
   }
 
   /** The supported window functions: the rank family (kinds are the
@@ -238,8 +243,19 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
   private def asWinFunc(orderSpec: Seq[SortOrder], maxOffset: Int)(
       ne: NamedExpression): Option[GlobalWinFunction] =
     ne match {
+      // a.deterministic is defense-in-depth for HAND-BUILT plans:
+      // analyzer-produced windows never trip it, because
+      // ExtractWindowExpressions pulls every non-trivial argument
+      // (incl. rand()) into a _w projection BELOW the window — under
+      // the range exchange, drawn once on the map side, with job 1
+      // and job 2 reading the same shuffle bytes (spec'd: the running
+      // sum of non-negative draws is non-decreasing across partition
+      // boundaries). A directly-constructed Window carrying a
+      // nondeterministic arg INSIDE the function would be evaluated
+      // twice by the two-job design, so it stays on the plain window
+      // (review r17 finding).
       case a @ Alias(WindowExpression(f, WindowSpecDefinition(Seq(), os, frame)), _)
-          if os == orderSpec =>
+          if os == orderSpec && a.deterministic =>
         f match {
           case RowNumber() => Some(GlobalRankFunction("row_number", 0, a.toAttribute))
           case _: Rank => Some(GlobalRankFunction("rank", 0, a.toAttribute))
@@ -691,16 +707,27 @@ case class GlobalRankExec(
   private def keyAttrs: Seq[Attribute] = order.map(so =>
     AttributeReference("__grk", so.child.dataType, so.child.nullable)())
 
-  private def newAcc(a: GlobalRunningAgg): RunningAcc = a.kind match {
-    case "sum" => a.attr.dataType match {
-      case LongType => new SumLongAcc(a.exact)
-      case d: DecimalType => new SumDecimalAcc(d, a.exact)
+  /** The five kinds both frame shapes share get ONE constructor map,
+    * mirroring [[RangeRankRewrite.asCommonAgg]] — the matcher and the
+    * factory must stay in lockstep or the two paths silently diverge
+    * (review r17 finding). */
+  private def newCommonAcc(kind: String, resultDt: DataType,
+      valueDt: DataType, exact: Boolean): Option[RunningAcc] = kind match {
+    case "sum" => Some(resultDt match {
+      case LongType => new SumLongAcc(exact)
+      case d: DecimalType => new SumDecimalAcc(d, exact)
       case _ => new SumDoubleAcc
-    }
-    case "count" => new CountAcc
-    case "avg" => new AvgAcc
-    case "min" => new MinMaxAcc(a.valueExpr.dataType, isMin = true)
-    case "max" => new MinMaxAcc(a.valueExpr.dataType, isMin = false)
+    })
+    case "count" => Some(new CountAcc)
+    case "avg" => Some(new AvgAcc)
+    case "min" => Some(new MinMaxAcc(valueDt, isMin = true))
+    case "max" => Some(new MinMaxAcc(valueDt, isMin = false))
+    case _ => None
+  }
+
+  private def newAcc(a: GlobalRunningAgg): RunningAcc =
+    newCommonAcc(a.kind, a.attr.dataType, a.valueExpr.dataType, a.exact)
+      .getOrElse(a.kind match {
     case "first" => new FirstLastAcc(isFirst = true, ignoreNulls = false)
     case "first_nn" => new FirstLastAcc(isFirst = true, ignoreNulls = true)
     case "last" => new FirstLastAcc(isFirst = false, ignoreNulls = false)
@@ -713,21 +740,12 @@ case class GlobalRankExec(
     case "var_pop" => new MomentsAcc(samp = false, sqrtOut = false, a.nullOnDiv)
     case other => throw new IllegalStateException(
       s"GlobalRankExec: unknown running aggregate $other")
-  }
+  })
 
-  private def newBoundedAcc(b: GlobalBoundedAgg): RunningAcc = b.kind match {
-    case "sum" => b.attr.dataType match {
-      case LongType => new SumLongAcc(b.exact)
-      case d: DecimalType => new SumDecimalAcc(d, b.exact)
-      case _ => new SumDoubleAcc
-    }
-    case "count" => new CountAcc
-    case "avg" => new AvgAcc
-    case "min" => new MinMaxAcc(b.valueExpr.dataType, isMin = true)
-    case "max" => new MinMaxAcc(b.valueExpr.dataType, isMin = false)
-    case other => throw new IllegalStateException(
-      s"GlobalRankExec: unknown bounded sliding aggregate $other")
-  }
+  private def newBoundedAcc(b: GlobalBoundedAgg): RunningAcc =
+    newCommonAcc(b.kind, b.attr.dataType, b.valueExpr.dataType, b.exact)
+      .getOrElse(throw new IllegalStateException(
+        s"GlobalRankExec: unknown bounded sliding aggregate ${b.kind}"))
 
   protected override def doExecute(): RDD[InternalRow] = {
     val childRDD = child.execute()
@@ -742,11 +760,27 @@ case class GlobalRankExec(
     val mkAccs: () => Array[RunningAcc] = { val fs = aggs; () => fs.map(newAcc) }
     val offs = funcs.collect { case o: GlobalOffsetFunction => o }.toArray
     val bnds = boundedFuncs.toArray
-    // ONE boundary-value projection serves both lag/lead (columns
-    // 0..offs.length-1) and bounded sliding aggregates (the columns
-    // after): they need the same thing — a |k|-bounded slice of
-    // projected value rows at each range-partition boundary
-    val bndExprs = (offs.map(_.valueExpr) ++ bnds.map(_.valueExpr)).toSeq
+    // ONE boundary-value projection serves both lag/lead and bounded
+    // sliding aggregates: they need the same thing — a |k|-bounded
+    // slice of projected value rows at each range-partition boundary.
+    // Value expressions are DEDUPED by canonical form (lag(x) + a
+    // moving SUM(x) ship x once per boundary row, not twice — the
+    // slices ride every ring entry, job-1 tail/head row, and the
+    // driver broadcast); bndSlotIdx maps each function's slot to its
+    // shared column (review r17 finding).
+    val bndSlotIdx: Array[Int] = {
+      val seen = scala.collection.mutable.HashMap.empty[Expression, Int]
+      (offs.map(_.valueExpr) ++ bnds.map(_.valueExpr)).map { e =>
+        seen.getOrElseUpdate(e.canonicalized, seen.size)
+      }.toArray
+    }
+    val bndExprs: Seq[Expression] = {
+      val out = new Array[Expression](if (bndSlotIdx.isEmpty) 0 else bndSlotIdx.max + 1)
+      (offs.map(_.valueExpr) ++ bnds.map(_.valueExpr)).zip(bndSlotIdx).foreach {
+        case (e, i) => if (out(i) == null) out(i) = e
+      }
+      out.toSeq
+    }
     val bndDts = bndExprs.map(_.dataType).toArray
     val maxLag = if (offs.isEmpty) 0 else math.max(0, offs.map(_.shift).max)
     val maxLead = if (offs.isEmpty) 0 else math.max(0, offs.map(-_.shift).max)
@@ -980,11 +1014,12 @@ case class GlobalRankExec(
         while (oi < offs.length) {
           val s = offs(oi).shift
           val c = offSlots(oi)
+          val col = bndSlotIdx(oi)
           if (s > 0) funcRow.update(c,
-            if (lagPushed >= s) extractOff(lagRing(((lagPushed - s) % lagCap).toInt), oi)
+            if (lagPushed >= s) extractOff(lagRing(((lagPushed - s) % lagCap).toInt), col)
             else offs(oi).default)
           else if (s == 0) funcRow.update(c,
-            if (delayLeads) retainOff(extractOff(pr, oi)) else extractOff(pr, oi))
+            if (delayLeads) retainOff(extractOff(pr, col)) else extractOff(pr, col))
           else funcRow.update(c, null)
           oi += 1
         }
@@ -995,7 +1030,7 @@ case class GlobalRankExec(
         // plain window's per-row re-evaluation
         var bi = 0
         while (bi < bnds.length) {
-          val colIdx = offs.length + bi
+          val colIdx = bndSlotIdx(offs.length + bi)
           val acc = bndAccs(bi)
           acc.reset()
           var d = math.min(bnds(bi).k.toLong, lagPushed)
@@ -1111,7 +1146,25 @@ case class GlobalRankExec(
             }
           }
 
+          // spillSize is cumulative across clear(), so the delta since
+          // the last reading is new spill volume. Sampled at every run
+          // boundary AND at drain: a spill during EMISSION of run R
+          // (the sorter's iterator can spill under memory pressure
+          // while being read) is observed at run R+1's boundary — or,
+          // for the partition's last run, by the drain call (review
+          // r17 finding: the last run's emission spill was never
+          // counted).
+          private def sampleSpill(): Unit = {
+            val sp = buf.spillSize
+            if (sp > seenSpill) {
+              tieRunSpillBytes += (sp - seenSpill)
+              GlobalRankExec.tieRunSpillCount.incrementAndGet()
+              seenSpill = sp
+            }
+          }
+
           private def fillRun(): Unit = {
+            sampleSpill()
             buf.clear()
             if (pendingRow == null && !it.hasNext) { runIter = scala.collection.Iterator.empty; return }
             if (pendingRow == null) {
@@ -1143,14 +1196,7 @@ case class GlobalRankExec(
                   "peer run is the per-key twin of the low-cardinality " +
                   "degrade — consider a finer ORDER BY key.")
             }
-            // spillSize is cumulative across clear(), so the delta
-            // since the last reading is this run's spill volume
-            val sp = buf.spillSize
-            if (sp > seenSpill) {
-              tieRunSpillBytes += (sp - seenSpill)
-              GlobalRankExec.tieRunSpillCount.incrementAndGet()
-              seenSpill = sp
-            }
+            sampleSpill()
             runIter = buf.generateIterator()
           }
 
@@ -1221,12 +1267,13 @@ case class GlobalRankExec(
             var li = 0
             while (li < leadIdx.length) {
               val oi = leadIdx(li)
+              val col = bndSlotIdx(oi)
               val tpos = t - offs(oi).shift // shift < 0: position ahead
               val v =
-                if (tpos < readPos) extractOff(pPrs((tpos % cap).toInt), oi)
+                if (tpos < readPos) extractOff(pPrs((tpos % cap).toInt), col)
                 else {
                   val sIdx = tpos - readPos // input exhausted: readPos == n
-                  if (sIdx < suffix.length) extractOff(suffix(sIdx.toInt), oi)
+                  if (sIdx < suffix.length) extractOff(suffix(sIdx.toInt), col)
                   else offs(oi).default
                 }
               fr.update(offSlots(oi), v)

@@ -604,6 +604,68 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("nondeterministic args are safe: extracted below the ONE shuffle (r17)") {
+    // sum(rand()) OVER (ORDER BY ...) through SQL: the analyzer
+    // extracts rand() into a _w0 projection BELOW the window, so it
+    // sits under the range exchange — drawn once on the map side,
+    // and job 1 (prefix totals) and job 2 (emission) read the SAME
+    // shuffle bytes. The discriminating property: a running sum of
+    // non-negative draws must be non-decreasing ACROSS partition
+    // boundaries — if the two jobs saw different draws, a seeded
+    // prefix could undercut the previous partition's last emission.
+    // (The matcher's a.deterministic guard therefore never fires on
+    // analyzer-produced plans; it covers hand-built Window nodes
+    // whose args were never extracted.)
+    frame.createOrReplaceTempView("rr_rule_t")
+    withOpenGate {
+      val df = spark.sql(
+        "SELECT sum(rand()) OVER (ORDER BY score, id) AS r FROM rr_rule_t")
+      assert(plan(df).contains("GlobalRank"), plan(df))
+      val vals = df.collect().map(_.getDouble(0))
+      assert(vals.length == 4000)
+      vals.sliding(2).foreach { case Array(a, b) =>
+        assert(b >= a, s"running sum of non-negative draws decreased: $a -> $b " +
+          "(job-1 prefix totals inconsistent with job-2 draws)")
+      }
+    }
+  }
+
+  test("decimal overflow recovery matches the plain window row-for-row (r17)") {
+    // empirical plain-window semantics (pinned here): an intermediate
+    // running-sum overflow yields NULL for THAT row only — the buffer
+    // stays exact and later rows recover when the prefix cancels back
+    // under the result precision; exact-space value() re-decision
+    // reproduces it exactly
+    val big = "9" * 38
+    val values = (1 to 40).map { i =>
+      val v = i % 4 match {
+        case 1 | 2 => big
+        case _ => s"-$big"
+      }
+      s"($i, CAST($v AS DECIMAL(38,0)))"
+    }.mkString(", ")
+    // legacy (non-ANSI) semantics are the ones with the recovery
+    // story — ANSI throws at the first overflow on both paths (spec'd
+    // separately above)
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      spark.sql(s"SELECT * FROM VALUES $values AS t(i, v)")
+        .createOrReplaceTempView("rr_dec_t")
+      val sql = "SELECT i, SUM(v) OVER (ORDER BY i) AS rs FROM rr_dec_t"
+      val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+      // sanity: the scenario really exercises overflow-then-recovery
+      assert(baseline.exists(r => r(1) == null))
+      assert(baseline.exists(r => r(0) == 4 && r(1) != null))
+      val rewritten = withOpenGate {
+        val df = spark.sql(sql)
+        assert(plan(df).contains("GlobalRank"), plan(df))
+        df.collect().map(_.toSeq).toSet
+      }
+      assert(rewritten == baseline)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("boundary slices spanning MULTIPLE short partitions stay exact (r17)") {
     // every range partition here holds ~2 rows, far fewer than the
     // offsets/frames need — the driver's tail/head seed assembly must
