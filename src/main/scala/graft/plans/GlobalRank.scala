@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, First, Last, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -200,6 +200,75 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     case _ => None
   })
 
+  /** A window output rewritten as HIDDEN exec columns plus a
+    * restoring projection expression (round 17). */
+  private[plans] final case class Composed(funcs: Seq[GlobalWinFunction],
+      restore: NamedExpression)
+
+  /** Decimal AVG over the running frame, by COMPOSITION: the exec
+    * carries Average's own buffer attributes — the exact BigDecimal
+    * running sum (in Average's DECIMAL(p+10, s) buffer type, null
+    * when it cannot be represented, exactly the partial-agg
+    * convention; ZERO when no row seen, Average's init) and the
+    * non-null count — and the value is restored ABOVE the plan by
+    * `Average.evaluateExpression` itself, so the division
+    * scale/rounding, CheckOverflowInSum (legacy null / ANSI rethrow),
+    * and null-on-empty semantics are Spark's own by construction,
+    * not a reimplementation. DOUBLE avg keeps the direct accumulator
+    * path; TRY mode stays on the plain window. */
+  private def avgHidden(orderSpec: Seq[SortOrder])(
+      we: WindowExpression): Option[(Seq[GlobalWinFunction], Expression)] = we match {
+    case WindowExpression(
+        AggregateExpression(af: Average, _, false, None, _),
+        WindowSpecDefinition(Seq(), os, frame))
+        if os == orderSpec && we.deterministic &&
+          af.child.dataType.isInstanceOf[DecimalType] &&
+          af.dataType.isInstanceOf[DecimalType] &&
+          af.evalMode != EvalMode.TRY =>
+      runningFrame(frame).map { rows =>
+        (Seq(
+          GlobalRunningAgg("sum", af.child, rows, af.sum, zeroEmpty = true),
+          GlobalRunningAgg("count", af.child, rows, af.count)),
+          af.evaluateExpression)
+      }
+    case _ => None
+  }
+
+  /** Composed path: the alias WRAPS its window expression(s) — the
+    * shape optimizer rules synthesize (DecimalAggregates rewrites a
+    * small-precision decimal AVG into `cast(avg(UnscaledValue(v)) /
+    * 10^s as decimal)`), plus decimal AVG's two-buffer form. Every
+    * inner WindowExpression must resolve — either as a direct
+    * function into a fresh hidden attribute, or as decimal-AVG hidden
+    * buffers — and the alias body is restored above the plan with the
+    * window nodes substituted by their hidden outputs. */
+  private def asComposed(orderSpec: Seq[SortOrder], maxOffset: Int)(
+      ne: NamedExpression): Option[Composed] = ne match {
+    case a: Alias if a.deterministic =>
+      val wins = a.child.collect { case we: WindowExpression => we }.distinct
+      if (wins.isEmpty) None
+      else {
+        val parsed: Seq[Option[(Seq[GlobalWinFunction], Expression)]] = wins.map { we =>
+          val hidden = AttributeReference("__gwin", we.dataType, we.nullable)()
+          asFunc(orderSpec, maxOffset)(we, hidden)
+            .map(f => (Seq(f): Seq[GlobalWinFunction], hidden: Expression))
+            .orElse(avgHidden(orderSpec)(we))
+        }
+        if (parsed.exists(_.isEmpty)) None
+        else {
+          val byWin = wins.zip(parsed.map(_.get)).toMap
+          val restored = a.child.transform {
+            case we: WindowExpression if byWin.contains(we) => byWin(we)._2
+          }
+          Some(Composed(parsed.flatMap(_.get._1),
+            Alias(restored, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+              explicitMetadata = a.explicitMetadata,
+              nonInheritableMetadataKeys = a.nonInheritableMetadataKeys)))
+        }
+      }
+    case _ => None
+  }
+
   /** Offset functions: `lag(x, k, default)` / `lead(x, k, default)`
     * with literal offsets and foldable defaults. Normalized to a
     * signed SHIFT (positive = look behind, negative = ahead): the
@@ -240,38 +309,44 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     * [[GlobalRankExec]] evaluation tags), running aggregates over
     * UNBOUNDED PRECEDING .. CURRENT ROW frames, bounded ROWS sliding
     * aggregates, and literal-offset lag/lead. */
-  private def asWinFunc(orderSpec: Seq[SortOrder], maxOffset: Int)(
-      ne: NamedExpression): Option[GlobalWinFunction] =
-    ne match {
-      // a.deterministic is defense-in-depth for HAND-BUILT plans:
-      // analyzer-produced windows never trip it, because
-      // ExtractWindowExpressions pulls every non-trivial argument
-      // (incl. rand()) into a _w projection BELOW the window — under
-      // the range exchange, drawn once on the map side, with job 1
-      // and job 2 reading the same shuffle bytes (spec'd: the running
-      // sum of non-negative draws is non-decreasing across partition
-      // boundaries). A directly-constructed Window carrying a
-      // nondeterministic arg INSIDE the function would be evaluated
-      // twice by the two-job design, so it stays on the plain window
-      // (review r17 finding).
-      case a @ Alias(WindowExpression(f, WindowSpecDefinition(Seq(), os, frame)), _)
-          if os == orderSpec && a.deterministic =>
+  /** Core per-function matcher: a WindowExpression over the node's
+    * ORDER BY (no PARTITION BY) to the GlobalWinFunction evaluated
+    * into `attr`. Shared by the direct path (attr = the alias's own
+    * attribute, no projection needed) and the composed path (attr =
+    * a fresh hidden attribute restored by expression substitution).
+    *
+    * we.deterministic is defense-in-depth for HAND-BUILT plans:
+    * analyzer-produced windows never trip it, because
+    * ExtractWindowExpressions pulls every non-trivial argument
+    * (incl. rand()) into a _w projection BELOW the window — under
+    * the range exchange, drawn once on the map side, with job 1
+    * and job 2 reading the same shuffle bytes (spec'd: the running
+    * sum of non-negative draws is non-decreasing across partition
+    * boundaries). A directly-constructed Window carrying a
+    * nondeterministic arg INSIDE the function would be evaluated
+    * twice by the two-job design, so it stays on the plain window
+    * (review r17 finding). */
+  private def asFunc(orderSpec: Seq[SortOrder], maxOffset: Int)(
+      we: WindowExpression, attr: Attribute): Option[GlobalWinFunction] =
+    we match {
+      case WindowExpression(f, WindowSpecDefinition(Seq(), os, frame))
+          if os == orderSpec && we.deterministic =>
         f match {
-          case RowNumber() => Some(GlobalRankFunction("row_number", 0, a.toAttribute))
-          case _: Rank => Some(GlobalRankFunction("rank", 0, a.toAttribute))
-          case _: DenseRank => Some(GlobalRankFunction("dense_rank", 0, a.toAttribute))
-          case _: PercentRank => Some(GlobalRankFunction("percent_rank", 0, a.toAttribute))
+          case RowNumber() => Some(GlobalRankFunction("row_number", 0, attr))
+          case _: Rank => Some(GlobalRankFunction("rank", 0, attr))
+          case _: DenseRank => Some(GlobalRankFunction("dense_rank", 0, attr))
+          case _: PercentRank => Some(GlobalRankFunction("percent_rank", 0, attr))
           case NTile(Literal(k: Int, IntegerType)) if k >= 1 =>
-            Some(GlobalRankFunction("ntile", k, a.toAttribute))
-          case CumeDist() => Some(GlobalRankFunction("cume_dist", 0, a.toAttribute))
+            Some(GlobalRankFunction("ntile", k, attr))
+          case CumeDist() => Some(GlobalRankFunction("cume_dist", 0, attr))
           case AggregateExpression(fn, _, false, None, _) =>
             runningFrame(frame) match {
-              case Some(rows) => asAgg(fn, rows, a.toAttribute)
+              case Some(rows) => asAgg(fn, rows, attr)
               case None => boundedPrecedingRows(frame)
                 .filter(k => k >= 1 && k <= maxOffset)
-                .flatMap(k => asBoundedAgg(fn, k, a.toAttribute))
+                .flatMap(k => asBoundedAgg(fn, k, attr))
             }
-          case o @ (_: Lag | _: Lead) => asOffset(o, a.toAttribute, maxOffset)
+          case o @ (_: Lag | _: Lead) => asOffset(o, attr, maxOffset)
           // nth_value is an AggregateWindowFunction (appears unwrapped,
           // pinned by Spark to the ROWS running frame): the running
           // n-th value needs only the first n values of the prefix — a
@@ -283,9 +358,20 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
               if k >= 1 && k <= maxOffset && atomicLeaf(e.dataType) =>
             runningFrame(frame).map(rows =>
               GlobalRunningAgg(if (ign) "nth_nn" else "nth", e,
-                rows, a.toAttribute, n = k))
+                rows, attr, n = k))
           case _ => None
         }
+      case _ => None
+    }
+
+  /** Direct path: the alias root IS the window expression, so the
+    * function evaluates straight into the alias's own attribute — no
+    * restoring projection needed and parents resolve unchanged. */
+  private def asWinFunc(orderSpec: Seq[SortOrder], maxOffset: Int)(
+      ne: NamedExpression): Option[GlobalWinFunction] =
+    ne match {
+      case a @ Alias(we: WindowExpression, _) =>
+        asFunc(orderSpec, maxOffset)(we, a.toAttribute)
       case _ => None
     }
 
@@ -301,10 +387,32 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     plan.transform {
       case w @ Window(exprs, Seq(), orderSpec, child, _)
           if exprs.nonEmpty && orderSpec.nonEmpty && !w.isStreaming =>
-        val parsed = exprs.map(asWinFunc(orderSpec, maxOffset))
-        if (parsed.forall(_.isDefined) && aboveGate(child))
-          GlobalRankPlan(orderSpec, parsed.map(_.get), child)
-        else w
+        val parsed: Seq[Option[scala.util.Either[GlobalWinFunction, Composed]]] =
+          exprs.map(ne => asWinFunc(orderSpec, maxOffset)(ne)
+            .map(f => scala.util.Left(f): scala.util.Either[GlobalWinFunction, Composed])
+            .orElse(asComposed(orderSpec, maxOffset)(ne).map(scala.util.Right(_))))
+        if (parsed.forall(_.isDefined) && aboveGate(child)) {
+          val items = parsed.map(_.get)
+          val funcs = items.flatMap {
+            case scala.util.Left(f) => Seq(f)
+            case scala.util.Right(c) => c.funcs
+          }
+          val core = GlobalRankPlan(orderSpec, funcs, child)
+          if (items.forall(_.isLeft)) core
+          else {
+            // composed functions: the exec emits the HIDDEN exact
+            // buffer columns; each original output is restored by
+            // Spark's OWN evaluateExpression over them (division,
+            // CheckOverflowInSum, null-on-empty — all Spark's
+            // semantics by construction), and the hidden columns are
+            // narrowed away by this projection
+            val outs: Seq[NamedExpression] = items.map {
+              case scala.util.Left(f) => f.attr
+              case scala.util.Right(c) => c.restore
+            }
+            Project(child.output ++ outs, core)
+          }
+        } else w
     }
   }
 }
@@ -328,7 +436,7 @@ case class GlobalRankFunction(kind: String, k: Int, attr: Attribute)
   * nth_value's 1-based offset (kinds nth | nth_nn). */
 case class GlobalRunningAgg(kind: String, valueExpr: Expression,
     rowsFrame: Boolean, attr: Attribute, exact: Boolean = false,
-    nullOnDiv: Boolean = true, n: Int = 0)
+    nullOnDiv: Boolean = true, n: Int = 0, zeroEmpty: Boolean = false)
   extends GlobalWinFunction
 
 /** A bounded sliding aggregate, ROWS BETWEEN `k` PRECEDING AND CURRENT
@@ -428,7 +536,8 @@ private[plans] final class SumLongAcc(exact: Boolean) extends RunningAcc {
   * against the RESULT type's precision is decided only at `value()`,
   * per emitted row, exactly where Spark's Sum.checkOverflow decides
   * it: ANSI throws, legacy yields null (decimal sums never wrap). */
-private[plans] final class SumDecimalAcc(resultType: DecimalType, exact: Boolean)
+private[plans] final class SumDecimalAcc(resultType: DecimalType, exact: Boolean,
+    zeroEmpty: Boolean = false)
   extends RunningAcc {
   var s: java.math.BigDecimal = java.math.BigDecimal.ZERO
   var seen = false
@@ -440,7 +549,16 @@ private[plans] final class SumDecimalAcc(resultType: DecimalType, exact: Boolean
     if (t.seen) { s = s.add(t.s); seen = true }
   }
   def value: Any =
-    if (!seen) null
+    if (!seen) {
+      // composed-avg buffer convention: Average's sum starts at ZERO,
+      // not null (null would read as "overflowed during partial agg"
+      // to CheckOverflowInSum)
+      if (zeroEmpty) {
+        val z = Decimal(java.math.BigDecimal.ZERO)
+        z.changePrecision(resultType.precision, resultType.scale)
+        z
+      } else null
+    }
     else {
       val d = Decimal(s)
       if (d.changePrecision(resultType.precision, resultType.scale)) d
@@ -712,10 +830,11 @@ case class GlobalRankExec(
     * factory must stay in lockstep or the two paths silently diverge
     * (review r17 finding). */
   private def newCommonAcc(kind: String, resultDt: DataType,
-      valueDt: DataType, exact: Boolean): Option[RunningAcc] = kind match {
+      valueDt: DataType, exact: Boolean,
+      zeroEmpty: Boolean = false): Option[RunningAcc] = kind match {
     case "sum" => Some(resultDt match {
       case LongType => new SumLongAcc(exact)
-      case d: DecimalType => new SumDecimalAcc(d, exact)
+      case d: DecimalType => new SumDecimalAcc(d, exact, zeroEmpty)
       case _ => new SumDoubleAcc
     })
     case "count" => Some(new CountAcc)
@@ -726,7 +845,7 @@ case class GlobalRankExec(
   }
 
   private def newAcc(a: GlobalRunningAgg): RunningAcc =
-    newCommonAcc(a.kind, a.attr.dataType, a.valueExpr.dataType, a.exact)
+    newCommonAcc(a.kind, a.attr.dataType, a.valueExpr.dataType, a.exact, a.zeroEmpty)
       .getOrElse(a.kind match {
     case "first" => new FirstLastAcc(isFirst = true, ignoreNulls = false)
     case "first_nn" => new FirstLastAcc(isFirst = true, ignoreNulls = true)

@@ -709,6 +709,30 @@ object Relational {
   def gr8NthValueSql(spark0: SparkSession, dir: String): DataFrame =
     rewrittenOracle(spark0, dir, "gr8_orders", gr8Sql, "gr8")
 
+  /** The gr9 decimal running-average SQL (round-17 composition: the
+    * exec carries Average's own exact sum + count buffers, the output
+    * is Spark's own evaluateExpression), shared VERBATIM with the
+    * DuckDB oracle. Portability: Spark divides the EXACT decimal sum
+    * at scale 8 (result DECIMAL(22,8)) then casts to double, while
+    * DuckDB's AVG(DECIMAL) divides in double space — the two can land
+    * ~5e-9 apart on non-terminating quotients, so the gate rounds at
+    * 2dp (boundary-hit probability ~1e-6 per row, vs ~1e-4 at 4dp);
+    * the exact-halfway terminating quotients (even day counts) give
+    * both engines the SAME nearest double and agree at any scale. */
+  private def gr9Sql(table: String): String =
+    s"""WITH t AS (SELECT o_orderdate AS d,
+       |    CAST(ROUND(SUM(o_totalprice), 4) AS DECIMAL(18,4)) AS revd
+       |  FROM $table GROUP BY o_orderdate)
+       |SELECT d, CAST(revd AS DOUBLE) AS rev,
+       |  ROUND(CAST(AVG(revd) OVER (ORDER BY d) AS DOUBLE), 2) AS cum_avg_dec
+       |FROM t""".stripMargin
+
+  /** Decimal running AVG through the automatic rewrite under the
+    * driver's hash gate — same isolated-session + fired-plan
+    * discipline as gr1–gr8. */
+  def gr9DecimalAvgSql(spark0: SparkSession, dir: String): DataFrame =
+    rewrittenOracle(spark0, dir, "gr9_orders", gr9Sql, "gr9")
+
   /** Calendar seasonality: revenue by day-of-week. The trap this key
     * pins: weekday NUMBERING is engine-specific (Spark `weekday` is
     * Monday=0; Spark `dayofweek` is Sunday=1; DuckDB `dow` is
@@ -1120,6 +1144,7 @@ object Relational {
     "gr6_running_stddev_sql" -> gr6Sql("orders"),
     "gr7_decimal_sums_sql" -> gr7Sql("orders"),
     "gr8_nth_value_sql" -> gr8Sql("orders"),
+    "gr9_decimal_avg_sql" -> gr9Sql("orders"),
     "w5_spend_deciles" ->
       """WITH t AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
         |  FROM orders GROUP BY o_custkey),
@@ -1676,6 +1701,7 @@ object Relational {
     "gr6_running_stddev_sql" -> (gr6RunningStddevSql _),
     "gr7_decimal_sums_sql" -> (gr7DecimalSumsSql _),
     "gr8_nth_value_sql" -> (gr8NthValueSql _),
+    "gr9_decimal_avg_sql" -> (gr9DecimalAvgSql _),
     "cal1_dow_revenue" -> (cal1DowRevenue _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),

@@ -128,12 +128,15 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
       val p2b = plan(spark.sql(
         "SELECT skewness(score) OVER (ORDER BY id) AS c FROM rr_rule_t"))
       assert(p2b.contains("Window") && !p2b.contains("GlobalRank"), p2b)
-      // decimal-result running avg: excluded by design — untouched
-      // (decimal SUM is supported; AVG's scale bookkeeping is not)
+      // decimal-result running avg: SUPPORTED since r17 by
+      // composition — small precisions arrive via DecimalAggregates'
+      // double-avg-over-UnscaledValue form, large precisions via the
+      // Average sum/count buffer split; both rewrite (value parity is
+      // the dedicated r17 composition spec's job)
       val p2c = plan(spark.sql(
         """SELECT avg(CAST(score AS DECIMAL(10,2))) OVER (ORDER BY id) AS a
           |FROM rr_rule_t""".stripMargin))
-      assert(p2c.contains("Window") && !p2c.contains("GlobalRank"), p2c)
+      assert(p2c.contains("GlobalRank") && !p2c.contains("Window"), p2c)
       // one supported + one unsupported in the SAME over clause set:
       // conservative skip (the single-partition skewness is needed anyway)
       val p3 = plan(spark.sql(
@@ -664,6 +667,62 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
       }
       assert(rewritten == baseline)
     } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
+  test("decimal AVG rewrites by composition: Spark's own division semantics (r17)") {
+    // the exec emits Average's OWN buffer columns (exact decimal sum
+    // with the zero-when-empty convention + non-null count); the
+    // output is restored by Average.evaluateExpression above the
+    // plan, so division scale/rounding and null-on-empty are Spark's
+    // by construction. Leading nulls exercise the count==0 window.
+    val values = (1 to 400).map { i =>
+      val v = if (i <= 5 || i % 7 == 0) "NULL" else s"CAST(${i * 13}.${i % 100} AS DECIMAL(9,2))"
+      s"($i, $v)"
+    }.mkString(", ")
+    spark.sql(s"SELECT i, CAST(v AS DECIMAL(9,2)) AS v FROM VALUES $values AS t(i, v)")
+      .createOrReplaceTempView("rr_avg_t")
+    val sql = "SELECT i, AVG(v) OVER (ORDER BY i) AS av FROM rr_avg_t"
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    // sanity: leading-null prefix is null, later rows are DECIMAL(13,6)
+    assert(baseline.exists(r => r(0) == 1 && r(1) == null))
+    assert(baseline.exists(r => r(0) == 400 && r(1) != null))
+    val rewritten = withOpenGate {
+      val df = spark.sql(sql)
+      assert(plan(df).contains("GlobalRank") && !plan(df).contains("Window"), plan(df))
+      df.collect().map(_.toSeq).toSet
+    }
+    assert(rewritten == baseline)
+    // small-precision bounded avg ALSO rewrites (DecimalAggregates
+    // hands us a double avg over UnscaledValue, which the bounded
+    // path supports) — value parity against the plain window
+    val mSql =
+      """SELECT i, AVG(v) OVER (ORDER BY i
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m FROM rr_avg_t""".stripMargin
+    val mBase = spark.sql(mSql).collect().map(_.toSeq).toSet
+    withOpenGate {
+      val df = spark.sql(mSql)
+      assert(plan(df).contains("GlobalRank"), plan(df))
+      assert(df.collect().map(_.toSeq).toSet == mBase)
+      // LARGE-precision bounded decimal avg: no DecimalAggregates
+      // rewrite (the exact form survives) and the composition only
+      // covers the running frame — stays on the plain window
+      val pb = plan(spark.sql(
+        """SELECT AVG(CAST(v AS DECIMAL(18,4))) OVER (ORDER BY i
+          |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m FROM rr_avg_t""".stripMargin))
+      assert(pb.contains("Window") && !pb.contains("GlobalRank"), pb)
+    }
+    // LARGE-precision RUNNING avg: the true Average(decimal) buffer
+    // split — exact sum (zero-when-empty convention across the
+    // leading all-null prefix) + count, restored by Spark's own
+    // evaluateExpression — row-for-row parity
+    val bigSql =
+      "SELECT i, AVG(CAST(v AS DECIMAL(18,4))) OVER (ORDER BY i) AS av FROM rr_avg_t"
+    val bigBase = spark.sql(bigSql).collect().map(_.toSeq).toSet
+    withOpenGate {
+      val df = spark.sql(bigSql)
+      assert(plan(df).contains("GlobalRank") && !plan(df).contains("Window"), plan(df))
+      assert(df.collect().map(_.toSeq).toSet == bigBase)
+    }
   }
 
   test("boundary slices spanning MULTIPLE short partitions stay exact (r17)") {
