@@ -1467,6 +1467,7 @@ object ScaleSmoke {
           |  STDDEV_SAMP(rev / 1000.0) OVER (ORDER BY cents, k) AS sd,
           |  VAR_POP(rev / 1000.0)     OVER (ORDER BY cents, k) AS vp,
           |  CAST(SUM(revd) OVER (ORDER BY cents, k) AS DECIMAL(38,4)) AS cum_dec,
+          |  AVG(revd) OVER (ORDER BY cents, k) AS avg_dec,
           |  nth_value(cents, 1000) OVER (ORDER BY cents, k) AS nth1k
           |FROM wf10m""".stripMargin
       // timed = COMPUTE only (agg consume touching every output
@@ -1474,8 +1475,9 @@ object ScaleSmoke {
       // once, untimed, below
       def consumeAll(df: DataFrame): Long =
         df.agg(sum(col("ma7")), sum(col("ma30")), sum(col("sd")), sum(col("vp")),
-          sum(col("cum_dec")), sum(col("nth1k")), count(lit(1)).as("n"))
-          .head.getLong(6)
+          sum(col("cum_dec")), sum(col("avg_dec")), sum(col("nth1k")),
+          count(lit(1)).as("n"))
+          .head.getLong(7)
       timed("winfams_sql_10m") {
         val df = spark.sql(famSql)
         val p = df.queryExecution.executedPlan.toString
@@ -1511,6 +1513,10 @@ object ScaleSmoke {
         sum(when(col("a.ma7") <=> col("p.ma7") &&
           col("a.ma30") <=> col("p.ma30") &&
           col("a.cum_dec") <=> col("p.cum_dec") &&
+          // the composed avg is EXACT-family too: both paths divide
+          // the identical exact sum/count through the identical
+          // Average.evaluateExpression
+          col("a.avg_dec") <=> col("p.avg_dec") &&
           col("a.nth1k") <=> col("p.nth1k"), 0).otherwise(1)).as("exact_bad"),
         max(abs(col("a.sd") - col("p.sd"))).as("sd_maxdiff"),
         max(abs(col("a.vp") - col("p.vp"))).as("vp_maxdiff"),
