@@ -21,10 +21,15 @@ object Verify {
     // cluster profile's plan-repair flag over the full key surface):
     // SPARK_GRAFT_EXTRA_CONFS="k=v;k2=v2". Builder-time confs propagate
     // into the isolated newSession() harnesses some keys use.
+    // entries split on ';' (values containing ';' cannot be expressed —
+    // no shipped conf needs one); an entry without '=' is a loud error,
+    // not a MatchError (ADVICE r17)
     sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(';').filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k.trim, v)
+          case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONFS: bad entry (no '='): $kv")
+        }
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

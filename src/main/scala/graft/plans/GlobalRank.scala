@@ -697,7 +697,11 @@ private[plans] final class NthValueAcc(n: Int, ignoreNulls: Boolean)
   def merge(o: RunningAcc): Unit = {
     val t = o.asInstanceOf[NthValueAcc]
     var i = 0
-    while (buf.length < n && i < t.buf.length) { buf += t.buf(i); i += 1 }
+    // retain() again on merge (ADVICE r17): every buffered value already
+    // passed add()'s retain, but re-copying here (n is maxOffset-capped,
+    // so cheap) means no future state source can alias a reused
+    // UnsafeRow-backed UTF8String through a merge
+    while (buf.length < n && i < t.buf.length) { buf += retain(t.buf(i)); i += 1 }
   }
   def value: Any = if (buf.length >= n) buf(n - 1) else null
   def reset(): Unit = buf.clear()

@@ -85,9 +85,21 @@ object ScaleSmoke {
     // columns from whatever an earlier one wrote), so each dataset has
     // exactly ONE generator here — editing it cannot leave a sibling
     // section regenerating a divergent copy (review r17 finding)
-    def ensureParquet(name: String)(df: => DataFrame): Unit =
-      if (!new java.io.File(s"$outDir/$name").exists())
+    // generator-stamped reuse (ADVICE r17): a dataset directory is
+    // reused only when its stamp file matches the CURRENT generator
+    // version — a stale tree from an earlier round with different
+    // schema/content regenerates instead of silently feeding the smoke
+    val genVersion = "r18-v1"
+    def ensureParquet(name: String)(df: => DataFrame): Unit = {
+      val stamp = java.nio.file.Paths.get(s"$outDir/$name.gen")
+      val fresh = new java.io.File(s"$outDir/$name").exists() &&
+        java.nio.file.Files.exists(stamp) &&
+        java.nio.file.Files.readString(stamp).trim == genVersion
+      if (!fresh) {
         df.write.mode("overwrite").parquet(s"$outDir/$name")
+        java.nio.file.Files.writeString(stamp, genVersion)
+      }
+    }
     def ensureCust10m(): Unit = ensureParquet("cust10m.parquet")(
       spark.range(10000000L).select(col("id").as("k"),
         (pmod(xxhash64(col("id") * 131 + 7), lit(1000000L)).cast("double")

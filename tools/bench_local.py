@@ -39,13 +39,49 @@ def box_probe():
     }
 
 
+def data_state(sf_dir="/root/testdata/sf0.1"):
+    """Dataset-identity marker (VERDICT r17 task 2): per-table parquet
+    row counts plus a cheap content digest (sum of the first integer
+    column), so a driver-side testdata REGENERATION can never again
+    masquerade as a cross-round perf regression — totals compare only
+    when these digests match."""
+    try:
+        import duckdb
+    except ImportError:
+        return {"error": "duckdb unavailable"}
+    state = {}
+    con = duckdb.connect()
+    for f in sorted(os.listdir(sf_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = f[:-len(".parquet")]
+        path = os.path.join(sf_dir, f)
+        cols = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{path}')").fetchall()
+        digest_col = next(
+            (c for c, ty, *_ in cols if ty in ("BIGINT", "INTEGER")), None)
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+        entry = {"rows": n}
+        if digest_col is not None:
+            s = con.execute(
+                f"SELECT sum(\"{digest_col}\") FROM read_parquet('{path}')"
+            ).fetchone()[0]
+            entry["digest"] = {"col": digest_col, "sum": int(s) if s is not None else None}
+        state[t] = entry
+    return state
+
+
 READING_RULE = (
     "Cross-artifact reading rule: per-key driver-bench numbers are "
     "SINGLE samples on a shared box with an established ~2x swing; a "
     "per-key regression in BENCH_r{N} on untouched code is box noise "
     "until it reproduces in this artifact's per-key MEDIANS across "
     "fresh-JVM runs. Compare medians to medians; compare totals only "
-    "when box_state probes are within ~1.5x of the previous round's.")
+    "when box_state probes are within ~1.5x of the previous round's "
+    "AND data_state (per-table row counts + digests) matches — a "
+    "testdata regeneration makes cross-round totals incomparable "
+    "(round 17's adjudication).")
 
 def main():
     rnd = int(sys.argv[1])
@@ -78,6 +114,7 @@ def main():
                      "(fresh JVM each; per-key min-of-2 with GC between queries), "
                      "median per key across the runs."),
         "box_state": box_probe(),
+        "data_state": data_state(),
         "reading_rule": READING_RULE,
         "totals_per_run_sec": [round(t, 3) for t in totals],
         "total_median_sec": round(statistics.median(totals), 1),
