@@ -273,21 +273,32 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     * with literal offsets and foldable defaults. Normalized to a
     * signed SHIFT (positive = look behind, negative = ahead): the
     * exec carries at most `maxOffset` boundary rows per partition, so
-    * huge offsets stay on the plain window. ignoreNulls needs
-    * unbounded lookback — excluded. */
+    * huge offsets stay on the plain window.
+    *
+    * IGNORE NULLS (VERDICT r17 item 1 — the forward-fill idiom): the
+    * k-th NON-NULL value strictly behind/ahead. Lookback is unbounded
+    * in ROWS but the STATE is not: lag-nn needs only the last k
+    * non-null values (a k-bounded per-partition boundary slice under
+    * the same prefix-combine contract as the row tails), and lead-nn
+    * resolves each pending row exactly when its k-th following
+    * non-null ARRIVES, so the value window never exceeds the pending
+    * span. |k| ≥ 1 required — Spark pins ignoreNulls offset-0 edge
+    * semantics to the plain window. */
   private def asOffset(fn: Expression, attr: Attribute,
       maxOffset: Int): Option[GlobalOffsetFunction] = {
     // |shift| in LONG space: math.abs(Int.MinValue) is negative and
     // would bypass the cap (review r16 finding)
-    def mk(e: Expression, shift: Int, default: Expression): Option[GlobalOffsetFunction] =
+    def mk(e: Expression, shift: Int, default: Expression,
+        ignoreNulls: Boolean): Option[GlobalOffsetFunction] =
       if (math.abs(shift.toLong) > maxOffset || !atomicLeaf(e.dataType) ||
-          !default.foldable ||
+          (ignoreNulls && shift == 0) || !default.foldable ||
           !(default.dataType == e.dataType || default.dataType == NullType)) None
-      else Some(GlobalOffsetFunction(e, shift, default.eval(), attr))
+      else Some(GlobalOffsetFunction(e, shift, default.eval(), attr, ignoreNulls))
     fn match {
-      case Lag(e, Literal(k: Int, IntegerType), default, false) => mk(e, k, default)
-      case Lead(e, Literal(k: Int, IntegerType), default, false) =>
-        if (k == Int.MinValue) None else mk(e, -k, default)
+      case Lag(e, Literal(k: Int, IntegerType), default, ign) =>
+        if (ign && k < 0) None else mk(e, k, default, ign)
+      case Lead(e, Literal(k: Int, IntegerType), default, ign) =>
+        if (k == Int.MinValue || (ign && k < 0)) None else mk(e, -k, default, ign)
       case _ => None
     }
   }
@@ -452,9 +463,13 @@ case class GlobalBoundedAgg(kind: String, valueExpr: Expression,
   * order: positive looks behind, negative ahead, zero is the row
   * itself; `default` is the pre-evaluated foldable fallback. The exec
   * carries `|shift|`-bounded boundary-row slices between partitions —
-  * the only cross-partition state offset functions need. */
+  * the only cross-partition state offset functions need.
+  * `ignoreNulls` counts only non-null values of `valueExpr` (the
+  * forward-fill idiom); its boundary slices are per-COLUMN non-null
+  * value slices rather than row slices, still `|shift|`-bounded. */
 case class GlobalOffsetFunction(valueExpr: Expression, shift: Int,
-    default: Any, attr: Attribute) extends GlobalWinFunction
+    default: Any, attr: Attribute, ignoreNulls: Boolean = false)
+  extends GlobalWinFunction
 
 /** Logical twin of [[GlobalRankExec]] — opaque to further rewrites by
   * design: it is created AFTER pruning/pushdown settled (late rule
@@ -707,12 +722,28 @@ private[plans] final class NthValueAcc(n: Int, ignoreNulls: Boolean)
   def reset(): Unit = buf.clear()
 }
 
+/** Retained-value copy: boxed values read out of a reused projection
+  * buffer must not alias it once they outlive the row (UTF8String is
+  * the only InternalRow.get result that points into the row's bytes
+  * for the atomic-leaf types the matchers admit). Top-level object so
+  * both task closures use it without capturing the exec instance. */
+private[plans] object RetainVal extends Serializable {
+  def apply(x: Any): Any = x match {
+    case u: UTF8String => u.copy()
+    case other => other
+  }
+}
+
 /** Per-partition job-1 state: row/tie-run counts, aggregate totals,
   * and the boundary slices offset functions need — the last `maxLag`
-  * and first `maxLead` projected value rows. */
+  * and first `maxLead` projected value rows, plus per-column NON-NULL
+  * value slices for IGNORE NULLS offsets (`nnTails(f)` = the last
+  * k_f non-null values of lag-nn function f's column; `nnHeads(f)` =
+  * the first k_f non-null values of lead-nn function f's column). */
 private[plans] case class GlobalRankPartStat(
     rows: Long, runs: Long, accs: Array[RunningAcc],
-    tail: Array[InternalRow], head: Array[InternalRow])
+    tail: Array[InternalRow], head: Array[InternalRow],
+    nnTails: Array[Array[Any]], nnHeads: Array[Array[Any]])
 
 object GlobalRankExec {
   /** Observability for the low-cardinality ORDER BY degrade warning
@@ -744,6 +775,17 @@ object GlobalRankExec {
     * (round 17): bumped once per fillRun whose buffer spilled to disk.
     * Cluster channel = the `tieRunSpillBytes` SQLMetric. */
   val tieRunSpillCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Lead-delay pending buffers at or above this many rows log a
+    * task-side warning and bump the `bigLeadPends` SQLMetric (round
+    * 18): an IGNORE NULLS lead's pending span is bounded by the
+    * longest null run of its column — a mostly-null column is the
+    * per-column twin of a hot tie run (the plain window buffers the
+    * whole frame either way, but spillably; this buffer is heap). */
+  val PendWarnRowsKey = "spark.graft.globalrank.pendWarnRows"
+
+  /** JVM-local spec observability for the pending-lead warning. */
+  val leadPendWarnCount = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /**
@@ -796,7 +838,9 @@ case class GlobalRankExec(
     "bigTieRuns" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "tie runs over the buffer warn threshold"),
     "tieRunSpillBytes" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createSizeMetric(sparkContext, "tie-run buffer spill size"))
+      .createSizeMetric(sparkContext, "tie-run buffer spill size"),
+    "bigLeadPends" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "lead pending buffers over the warn threshold"))
   override def requiredChildDistribution: Seq[Distribution] =
     OrderedDistribution(order) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
@@ -881,27 +925,38 @@ case class GlobalRankExec(
     val aggExprs = aggs.map(_.valueExpr).toSeq
     val aggDts = aggs.map(_.valueExpr.dataType)
     val mkAccs: () => Array[RunningAcc] = { val fs = aggs; () => fs.map(newAcc) }
-    val offs = funcs.collect { case o: GlobalOffsetFunction => o }.toArray
+    val allOffs = funcs.collect { case o: GlobalOffsetFunction => o }.toArray
+    // regular offsets keep the row-slice machinery; IGNORE NULLS
+    // offsets carry per-COLUMN non-null value slices instead (a null
+    // row contributes nothing to an nn slice, so row slices can't
+    // serve them)
+    val offs = allOffs.filter(!_.ignoreNulls)
+    val nnLags = allOffs.filter(o => o.ignoreNulls && o.shift > 0)
+    val nnLeads = allOffs.filter(o => o.ignoreNulls && o.shift < 0)
     val bnds = boundedFuncs.toArray
-    // ONE boundary-value projection serves both lag/lead and bounded
-    // sliding aggregates: they need the same thing — a |k|-bounded
-    // slice of projected value rows at each range-partition boundary.
-    // Value expressions are DEDUPED by canonical form (lag(x) + a
-    // moving SUM(x) ship x once per boundary row, not twice — the
+    // ONE boundary-value projection serves lag/lead (plain and IGNORE
+    // NULLS) and bounded sliding aggregates: they need the same thing
+    // — a |k|-bounded slice of projected values at each range-partition
+    // boundary. Value expressions are DEDUPED by canonical form (lag(x)
+    // + a moving SUM(x) ship x once per boundary row, not twice — the
     // slices ride every ring entry, job-1 tail/head row, and the
     // driver broadcast); bndSlotIdx maps each function's slot to its
     // shared column (review r17 finding).
     val bndSlotIdx: Array[Int] = {
       val seen = scala.collection.mutable.HashMap.empty[Expression, Int]
-      (offs.map(_.valueExpr) ++ bnds.map(_.valueExpr)).map { e =>
+      ((offs ++ nnLags ++ nnLeads).map(_.valueExpr) ++ bnds.map(_.valueExpr)).map { e =>
         seen.getOrElseUpdate(e.canonicalized, seen.size)
       }.toArray
     }
+    val nnLagColBase = offs.length
+    val nnLeadColBase = nnLagColBase + nnLags.length
+    val bndColBase = nnLeadColBase + nnLeads.length
     val bndExprs: Seq[Expression] = {
       val out = new Array[Expression](if (bndSlotIdx.isEmpty) 0 else bndSlotIdx.max + 1)
-      (offs.map(_.valueExpr) ++ bnds.map(_.valueExpr)).zip(bndSlotIdx).foreach {
-        case (e, i) => if (out(i) == null) out(i) = e
-      }
+      ((offs ++ nnLags ++ nnLeads).map(_.valueExpr) ++ bnds.map(_.valueExpr))
+        .zip(bndSlotIdx).foreach {
+          case (e, i) => if (out(i) == null) out(i) = e
+        }
       out.toSeq
     }
     val bndDts = bndExprs.map(_.dataType).toArray
@@ -909,6 +964,8 @@ case class GlobalRankExec(
     val maxLead = if (offs.isEmpty) 0 else math.max(0, offs.map(-_.shift).max)
     val maxBoundedK = if (bnds.isEmpty) 0 else bnds.map(_.k).max
     val maxTail = math.max(maxLag, maxBoundedK)
+    val nnLagKs = nnLags.map(_.shift)
+    val nnLeadKs = nnLeads.map(o => -o.shift)
 
     // job 1: per-partition row/run counts, aggregate totals, and the
     // boundary slices offsets + bounded frames need — the last
@@ -922,6 +979,11 @@ case class GlobalRankExec(
         val accs = mkAccs()
         val headBuf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
         val tailDq = new java.util.ArrayDeque[InternalRow]()
+        // IGNORE NULLS boundary slices: last k_f non-null values (lag)
+        // / first k_f non-null values (lead), per column — k-bounded
+        // like the row slices
+        val nnTailDqs = nnLags.map(_ => scala.collection.mutable.ArrayDeque.empty[Any])
+        val nnHeadBufs = nnLeads.map(_ => scala.collection.mutable.ArrayBuffer.empty[Any])
         var n = 0L; var runs = 0L
         var prev: UnsafeRow = null
         while (it.hasNext) {
@@ -940,18 +1002,39 @@ case class GlobalRankExec(
               j += 1
             }
           }
-          if (maxTail > 0 || maxLead > 0) {
-            val pr = bndProj(row).copy()
-            if (maxLead > 0 && headBuf.length < maxLead) headBuf += pr
-            if (maxTail > 0) {
-              if (tailDq.size == maxTail) tailDq.removeFirst()
-              tailDq.addLast(pr)
+          if (bndProj != null) {
+            val pr = bndProj(row)
+            var f = 0
+            while (f < nnLags.length) {
+              val ci = bndSlotIdx(nnLagColBase + f)
+              if (!pr.isNullAt(ci)) {
+                val dq = nnTailDqs(f)
+                if (dq.length == nnLagKs(f)) dq.removeHead()
+                dq.append(RetainVal(pr.get(ci, bndDts(ci))))
+              }
+              f += 1
+            }
+            f = 0
+            while (f < nnLeads.length) {
+              val ci = bndSlotIdx(nnLeadColBase + f)
+              if (!pr.isNullAt(ci) && nnHeadBufs(f).length < nnLeadKs(f))
+                nnHeadBufs(f) += RetainVal(pr.get(ci, bndDts(ci)))
+              f += 1
+            }
+            if (maxTail > 0 || maxLead > 0) {
+              val prc = pr.copy()
+              if (maxLead > 0 && headBuf.length < maxLead) headBuf += prc
+              if (maxTail > 0) {
+                if (tailDq.size == maxTail) tailDq.removeFirst()
+                tailDq.addLast(prc)
+              }
             }
           }
           n += 1L
         }
         Iterator.single((i, GlobalRankPartStat(n, runs, accs,
-          tailDq.toArray(new Array[InternalRow](tailDq.size)), headBuf.toArray)))
+          tailDq.toArray(new Array[InternalRow](tailDq.size)), headBuf.toArray,
+          nnTailDqs.map(_.toArray), nnHeadBufs.map(_.toArray))))
       }
       .collect().sortBy(_._1).map(_._2)
 
@@ -1007,11 +1090,47 @@ case class GlobalRankExec(
       }
       out
     }
+    // IGNORE NULLS prefix/suffix slices: same shape as the row slices,
+    // but per nn function — concatenating per-partition non-null tails
+    // in order and keeping the last k_f is exact (a short partition
+    // contributes its whole tail), mirroring prefixTails
+    val prefixNnTails: Array[Array[Array[Any]]] = {
+      val out = new Array[Array[Array[Any]]](stats.length)
+      val dqs = nnLags.map(_ => scala.collection.mutable.ArrayDeque.empty[Any])
+      var i = 0
+      while (i < stats.length) {
+        out(i) = dqs.map(_.toArray)
+        var f = 0
+        while (f < nnLags.length) {
+          stats(i).nnTails(f).foreach { v =>
+            val dq = dqs(f)
+            if (dq.length == nnLagKs(f)) dq.removeHead()
+            dq.append(v)
+          }
+          f += 1
+        }
+        i += 1
+      }
+      out
+    }
+    val suffixNnHeads: Array[Array[Array[Any]]] = {
+      val out = new Array[Array[Array[Any]]](stats.length)
+      var acc: Array[Vector[Any]] = nnLeads.map(_ => Vector.empty[Any])
+      var i = stats.length - 1
+      while (i >= 0) {
+        out(i) = acc.map(_.toArray)
+        acc = Array.tabulate(nnLeads.length)(f =>
+          (stats(i).nnHeads(f).toVector ++ acc(f)).take(nnLeadKs(f)))
+        i -= 1
+      }
+      out
+    }
     // BROADCAST the per-partition state (O(P × (|aggs| + maxLag +
-    // maxLead)) objects): in the task closure it would serialize into
-    // EVERY task — O(P²) aggregate shipping at cluster scale (review
-    // r16 finding). Tasks only read it, never mutate.
-    val bcState = sparkContext.broadcast((prefixAccs, prefixTails, suffixHeads))
+    // maxLead + Σk_nn)) objects): in the task closure it would
+    // serialize into EVERY task — O(P²) aggregate shipping at cluster
+    // scale (review r16 finding). Tasks only read it, never mutate.
+    val bcState = sparkContext.broadcast(
+      (prefixAccs, prefixTails, suffixHeads, prefixNnTails, suffixNnHeads))
 
     // degrade visibility: K distinct order keys < target partitions
     // means the range exchange degenerated to ≤K tasks on the whole
@@ -1058,8 +1177,16 @@ case class GlobalRankExec(
         case _ => -1
       }.toArray
     }
+    // slot arrays are subset-filtered in the SAME funcs order as the
+    // offs/nnLags/nnLeads splits above, so slot(j) pairs with subset(j)
     val offSlots: Array[Int] = funcs.zipWithIndex.collect {
-      case (_: GlobalOffsetFunction, c) => c
+      case (o: GlobalOffsetFunction, c) if !o.ignoreNulls => c
+    }.toArray
+    val nnLagSlots: Array[Int] = funcs.zipWithIndex.collect {
+      case (o: GlobalOffsetFunction, c) if o.ignoreNulls && o.shift > 0 => c
+    }.toArray
+    val nnLeadSlots: Array[Int] = funcs.zipWithIndex.collect {
+      case (o: GlobalOffsetFunction, c) if o.ignoreNulls && o.shift < 0 => c
     }.toArray
     val bndSlots: Array[Int] = funcs.zipWithIndex.collect {
       case (_: GlobalBoundedAgg, c) => c
@@ -1068,7 +1195,9 @@ case class GlobalRankExec(
     val nSlots = funcs.length
     val rowsFrames = aggs.map(_.rowsFrame)
     val bufferRuns = anyRangeAgg
-    val delayLeads = maxLead > 0
+    // nn leads also ride the delay wrapper: a pending row emits once
+    // its k-th following non-null has been pulled (or at drain)
+    val delayLeads = maxLead > 0 || nnLeads.nonEmpty
     // spill posture (VERDICT r16 item 1): the RANGE-path tie-run
     // buffer rides WindowExec's own spillable array with WindowExec's
     // own thresholds, so a hot peer run spills to disk exactly where
@@ -1083,6 +1212,9 @@ case class GlobalRankExec(
     val tieRunSpillBytes = longMetric("tieRunSpillBytes")
     val bigRunWarnRows = scala.util.Try(conf.getConfString(
       GlobalRankExec.BigRunWarnRowsKey).toLong).getOrElse(4L << 20)
+    val pendWarnRows = scala.util.Try(conf.getConfString(
+      GlobalRankExec.PendWarnRowsKey).toLong).getOrElse(4L << 20)
+    val bigLeadPends = longMetric("bigLeadPends")
     childRDD.mapPartitionsWithIndex { (i, it) =>
       val keyProj = UnsafeProjection.create(orderExprs, childOutput)
       val cmp = RowOrdering.create(keyOrder, ka)
@@ -1093,7 +1225,8 @@ case class GlobalRankExec(
         childOutput ++ funcs.map(_.attr), childOutput ++ funcs.map(_.attr))
       val rowOff = rowOffsets(i)
       val runOff = runOffsets(i)
-      val (prefixAccsB, prefixTailsB, suffixHeadsB) = bcState.value
+      val (prefixAccsB, prefixTailsB, suffixHeadsB, prefixNnTailsB, suffixNnHeadsB) =
+        bcState.value
       // start from a FRESH state merged with the prefix: tasks must
       // never mutate the broadcast prefix objects (attempt re-runs)
       val rowsAccs = mkAccs()
@@ -1121,6 +1254,22 @@ case class GlobalRankExec(
       prefixTailsB(i).foreach { r =>
         lagRing((lagPushed % lagCap).toInt) = r; lagPushed += 1
       }
+      // IGNORE NULLS lag rings: per function, the last k_f NON-NULL
+      // column values, seeded with the prefix-combined nn tail —
+      // ring((pushed - k) % k) is the k-th most recent non-null
+      // strictly before the current row
+      val nnLagRings: Array[Array[Any]] = nnLagKs.map(k => new Array[Any](k))
+      val nnLagPushed = new Array[Long](nnLags.length)
+      locally {
+        var f = 0
+        while (f < nnLags.length) {
+          prefixNnTailsB(i)(f).foreach { v =>
+            nnLagRings(f)((nnLagPushed(f) % nnLagKs(f)).toInt) = v
+            nnLagPushed(f) += 1
+          }
+          f += 1
+        }
+      }
       def extractOff(pr: InternalRow, oi: Int): Any =
         if (pr.isNullAt(oi)) null else pr.get(oi, bndDts(oi))
       // s == 0 reads the LIVE projection buffer, which the next row's
@@ -1131,7 +1280,8 @@ case class GlobalRankExec(
         case u: UTF8String => u.copy()
         case other => other
       }
-      def fillOffsets(row: InternalRow): Unit = if (offs.nonEmpty || bnds.nonEmpty) {
+      def fillOffsets(row: InternalRow): Unit =
+          if (offs.nonEmpty || bnds.nonEmpty || nnLags.nonEmpty) {
         val pr = bndProj(row)
         var oi = 0
         while (oi < offs.length) {
@@ -1146,6 +1296,24 @@ case class GlobalRankExec(
           else funcRow.update(c, null)
           oi += 1
         }
+        // IGNORE NULLS lags: answer from the nn ring (strictly-before
+        // semantics: the slot is written BEFORE the current row's
+        // value is pushed), then push the current value if non-null
+        var nf = 0
+        while (nf < nnLags.length) {
+          val k = nnLagKs(nf)
+          val ci = bndSlotIdx(nnLagColBase + nf)
+          funcRow.update(nnLagSlots(nf),
+            if (nnLagPushed(nf) >= k) nnLagRings(nf)(((nnLagPushed(nf) - k) % k).toInt)
+            else nnLags(nf).default)
+          if (!pr.isNullAt(ci)) {
+            // retained copy: the ring value outlives pr's reused buffer
+            nnLagRings(nf)((nnLagPushed(nf) % k).toInt) =
+              retainOff(pr.get(ci, bndDts(ci)))
+            nnLagPushed(nf) += 1
+          }
+          nf += 1
+        }
         // bounded sliding aggregates: recompute over the last
         // min(k, rows-behind) ring entries (oldest first) plus the
         // current row — SlidingWindowFunctionFrame's replay order, so
@@ -1153,7 +1321,7 @@ case class GlobalRankExec(
         // plain window's per-row re-evaluation
         var bi = 0
         while (bi < bnds.length) {
-          val colIdx = bndSlotIdx(offs.length + bi)
+          val colIdx = bndSlotIdx(bndColBase + bi)
           val acc = bndAccs(bi)
           acc.reset()
           var d = math.min(bnds(bi).k.toLong, lagPushed)
@@ -1358,42 +1526,91 @@ case class GlobalRankExec(
           proj(joined(r, fr))
         }
       } else {
-        // lead delay: hold maxLead pending rows; a pending row's
-        // lead values come from the rows pulled after it (all still
-        // in the ring — emission happens exactly maxLead pulls
-        // later), or from the cross-partition suffix slice at drain
+        // lead delay: hold pending rows until every lead slot is
+        // resolvable — a plain lead k resolves exactly k pulls later
+        // (so with only plain leads the buffer never exceeds
+        // maxLead + 1 rows, the old fixed-ring behavior), and an
+        // IGNORE NULLS lead resolves when its k-th following non-null
+        // ARRIVES, so the needed value is always the newest in a
+        // per-function value window bounded by the pending span.
+        // Unresolved slots at input drain fall to the cross-partition
+        // suffix slices, then the default. The pending buffer is heap
+        // (bounded by the longest null run for nn leads); crossing
+        // the warn threshold logs + bumps bigLeadPends.
         new Iterator[InternalRow] {
-          private val cap = maxLead + 1
-          private val pRows = new Array[InternalRow](cap)
-          private val pFrs = new Array[GenericInternalRow](cap)
-          private val pPrs = new Array[InternalRow](cap)
+          // (childRow copy, funcRow copy, projected values copy,
+          //  per-nn-lead non-null counts at pull time)
+          private val pend = scala.collection.mutable.ArrayDeque
+            .empty[(InternalRow, GenericInternalRow, InternalRow, Array[Long])]
           private var readPos = 0L
           private var emitPos = 0L
           private val suffix = suffixHeadsB(i)
           private val leadIdx = offs.indices.filter(offs(_).shift < 0).toArray
+          // per nn-lead function: total non-nulls pulled, and the
+          // retained value window [base, seen) as a deque
+          private val nnSeen = new Array[Long](nnLeads.length)
+          private val nnVals = nnLeads.map(_ =>
+            scala.collection.mutable.ArrayDeque.empty[Any])
+          private val nnBase = new Array[Long](nnLeads.length)
+          private val suffixNn = suffixNnHeadsB(i)
+          private var pendWarned = false
 
           private def pull(): Unit = {
             val (r, fr) = pairs.next()
-            val s = (readPos % cap).toInt
-            pRows(s) = r; pFrs(s) = fr; pPrs(s) = bndProj(r).copy()
+            val pr = bndProj(r).copy()
+            val cs = new Array[Long](nnLeads.length)
+            var f = 0
+            while (f < nnLeads.length) {
+              val ci = bndSlotIdx(nnLeadColBase + f)
+              if (!pr.isNullAt(ci)) {
+                nnVals(f).append(retainOff(pr.get(ci, bndDts(ci))))
+                nnSeen(f) += 1
+              }
+              cs(f) = nnSeen(f)
+              f += 1
+            }
+            pend.append((r, fr, pr, cs))
             readPos += 1
+            if (!pendWarned && pend.length >= pendWarnRows) {
+              pendWarned = true
+              bigLeadPends += 1
+              GlobalRankExec.leadPendWarnCount.incrementAndGet()
+              org.slf4j.LoggerFactory.getLogger(classOf[GlobalRankExec]).warn(
+                s"GlobalRankExec: lead pending buffer reached ${pend.length} rows " +
+                  "(an IGNORE NULLS lead waits for its k-th following non-null; " +
+                  "the buffer is bounded by the longest null run of that column). " +
+                  "A mostly-null lead column is the per-column twin of a hot tie " +
+                  "run — consider forward-filling first or the plain window.")
+            }
+          }
+
+          private def oldestResolved: Boolean = pend.nonEmpty && {
+            val cs = pend.head._4
+            var ok = readPos - emitPos > maxLead
+            var f = 0
+            while (ok && f < nnLeads.length) {
+              ok = cs(f) + nnLeadKs(f) <= nnSeen(f)
+              f += 1
+            }
+            ok
           }
 
           override def hasNext: Boolean = emitPos < readPos || pairs.hasNext
 
           override def next(): InternalRow = {
-            while (pairs.hasNext && readPos - emitPos <= maxLead) pull()
+            while (!oldestResolved && pairs.hasNext) pull()
             if (emitPos >= readPos) throw new NoSuchElementException
             val t = emitPos
-            val s = (t % cap).toInt
-            val fr = pFrs(s)
+            val (row, fr, _, cs) = pend.head
+            // plain leads: value from the pending row k ahead, else
+            // the suffix row slice, else the default
             var li = 0
             while (li < leadIdx.length) {
               val oi = leadIdx(li)
               val col = bndSlotIdx(oi)
               val tpos = t - offs(oi).shift // shift < 0: position ahead
               val v =
-                if (tpos < readPos) extractOff(pPrs((tpos % cap).toInt), col)
+                if (tpos < readPos) extractOff(pend((tpos - emitPos).toInt)._3, col)
                 else {
                   val sIdx = tpos - readPos // input exhausted: readPos == n
                   if (sIdx < suffix.length) extractOff(suffix(sIdx.toInt), col)
@@ -1402,9 +1619,41 @@ case class GlobalRankExec(
               fr.update(offSlots(oi), v)
               li += 1
             }
+            // nn leads: the (c_t + k)-th non-null overall — in the
+            // value window when resolved, else (drain only) the
+            // suffix non-null slice, else the default
+            var f = 0
+            while (f < nnLeads.length) {
+              val needed = cs(f) + nnLeadKs(f) - 1L
+              val v =
+                if (needed < nnSeen(f)) nnVals(f)((needed - nnBase(f)).toInt)
+                else {
+                  val sIdx = needed - nnSeen(f)
+                  if (sIdx < suffixNn(f).length) suffixNn(f)(sIdx.toInt)
+                  else nnLeads(f).default
+                }
+              fr.update(nnLeadSlots(f), v)
+              f += 1
+            }
+            pend.removeHead()
             emitPos += 1
+            // compact each nn value window to the new oldest pending
+            // row's needs (cs is non-decreasing in t, so nothing
+            // dropped can be needed again)
+            f = 0
+            while (f < nnLeads.length) {
+              if (pend.isEmpty) {
+                nnVals(f).clear(); nnBase(f) = nnSeen(f)
+              } else {
+                val minNeeded = pend.head._4(f) + nnLeadKs(f) - 1L
+                while (nnBase(f) < minNeeded && nnVals(f).nonEmpty) {
+                  nnVals(f).removeHead(); nnBase(f) += 1
+                }
+              }
+              f += 1
+            }
             numOutputRows += 1
-            proj(joined(pRows(s), fr))
+            proj(joined(row, fr))
           }
         }
       }

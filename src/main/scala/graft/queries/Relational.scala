@@ -733,6 +733,40 @@ object Relational {
   def gr9DecimalAvgSql(spark0: SparkSession, dir: String): DataFrame =
     rewrittenOracle(spark0, dir, "gr9_orders", gr9Sql, "gr9")
 
+  /** The gr10 IGNORE NULLS offset SQL (round-18 exclusion-list
+    * shrink): the forward-fill idiom — `lag(x, k) IGNORE NULLS` over a
+    * sparse column (non-null on ~1/7 of rows, so null runs straddle
+    * every range boundary), plus the lead direction and literal
+    * defaults. The ONLY engine difference is the parse position of
+    * the modifier (Spark: `lag(v, 1) IGNORE NULLS OVER`; DuckDB:
+    * `lag(v, 1 IGNORE NULLS) OVER`), so the body is shared and the
+    * modifier is injected per dialect. `k` is unique — every offset
+    * value is deterministic. No arithmetic happens on the values
+    * (offsets copy input doubles bit-for-bit), so no rounding. */
+  private def gr10Sql(table: String, duck: Boolean): String = {
+    def f(fn: String, args: String): String =
+      if (duck) s"$fn($args IGNORE NULLS)" else s"$fn($args) IGNORE NULLS"
+    s"""WITH t AS (SELECT o_orderkey AS k,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice END AS v,
+       |    CASE WHEN o_orderkey % 13 = 0 THEN o_orderpriority END AS c
+       |  FROM $table)
+       |SELECT k,
+       |  ${f("lag", "v, 1")}        OVER (ORDER BY k) AS ff,
+       |  ${f("lag", "v, 3, -1.0")}  OVER (ORDER BY k) AS l3,
+       |  ${f("lag", "c, 2")}        OVER (ORDER BY k) AS lc,
+       |  ${f("lead", "v, 1")}       OVER (ORDER BY k) AS n1,
+       |  ${f("lead", "v, 2, -1.0")} OVER (ORDER BY k) AS n2
+       |FROM t""".stripMargin
+  }
+
+  /** IGNORE NULLS lag/lead through the automatic rewrite under the
+    * driver's hash gate — same isolated-session + fired-plan
+    * discipline as gr1–gr9. Lag-nn state is the last-k-non-null
+    * per-column boundary slice; lead-nn rows pend until their k-th
+    * following non-null arrives (suffix slices at drain). */
+  def gr10IgnoreNullsSql(spark0: SparkSession, dir: String): DataFrame =
+    rewrittenOracle(spark0, dir, "gr10_orders", gr10Sql(_, duck = false), "gr10")
+
   /** Calendar seasonality: revenue by day-of-week. The trap this key
     * pins: weekday NUMBERING is engine-specific (Spark `weekday` is
     * Monday=0; Spark `dayofweek` is Sunday=1; DuckDB `dow` is
@@ -1145,6 +1179,7 @@ object Relational {
     "gr7_decimal_sums_sql" -> gr7Sql("orders"),
     "gr8_nth_value_sql" -> gr8Sql("orders"),
     "gr9_decimal_avg_sql" -> gr9Sql("orders"),
+    "gr10_ignore_nulls_sql" -> gr10Sql("orders", duck = true),
     "w5_spend_deciles" ->
       """WITH t AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
         |  FROM orders GROUP BY o_custkey),
@@ -1702,6 +1737,7 @@ object Relational {
     "gr7_decimal_sums_sql" -> (gr7DecimalSumsSql _),
     "gr8_nth_value_sql" -> (gr8NthValueSql _),
     "gr9_decimal_avg_sql" -> (gr9DecimalAvgSql _),
+    "gr10_ignore_nulls_sql" -> (gr10IgnoreNullsSql _),
     "cal1_dow_revenue" -> (cal1DowRevenue _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),

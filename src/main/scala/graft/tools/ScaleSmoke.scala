@@ -1543,6 +1543,62 @@ object ScaleSmoke {
         f"vp=${cmp.getDouble(2)}%.2e (merge-order ulp class, tolerance 1e-9)")
     }
 
+    // --- ignorenulls: IGNORE NULLS lag/lead through the rewrite at 10M ---
+    // (VERDICT r17 item 1 done-criterion) The forward-fill idiom —
+    // lag/lead(x, k) IGNORE NULLS over a global ORDER BY — on a sparse
+    // column (non-null on 3 of every 997 rows: ~30k non-nulls, null
+    // runs ~994 long, so every range boundary sits inside a null run
+    // and lead-nn rows pend ~a null run deep), value-checked
+    // EXACT-equal against the plain single-partition window (offsets
+    // copy input values bit-for-bit — no ulp class anywhere).
+    if (want("ignorenulls")) {
+      graft.functions.GraftFunctions.register(spark)
+      ensureCust10m()
+      spark.read.parquet(s"$outDir/cust10m.parquet")
+        .withColumn("sv", when(col("k") % 997L < 3L, col("spend")))
+        .createOrReplaceTempView("nn10m")
+      val nnSql =
+        """SELECT k,
+          |  lag(sv, 1) IGNORE NULLS        OVER (ORDER BY k) AS ff,
+          |  lag(sv, 5, -1.0) IGNORE NULLS  OVER (ORDER BY k) AS l5,
+          |  lead(sv, 1) IGNORE NULLS       OVER (ORDER BY k) AS n1,
+          |  lead(sv, 3, -1.0) IGNORE NULLS OVER (ORDER BY k) AS n3
+          |FROM nn10m""".stripMargin
+      def consumeNn(df: DataFrame): Long =
+        df.agg(sum(col("ff")), sum(col("l5")), sum(col("n1")), sum(col("n3")),
+          count(lit(1)).as("n")).head.getLong(4)
+      timed("ignorenulls_sql_10m") {
+        val df = spark.sql(nnSql)
+        val p = df.queryExecution.executedPlan.toString
+        require(p.contains("GlobalRank") && !p.contains("SinglePartition"),
+          "IGNORE NULLS offsets did not rewrite:\n" + p.take(3000))
+        consumeNn(df)
+      }
+      spark.sql(nnSql).write.mode("overwrite")
+        .parquet(s"$outDir/ignorenulls_auto.parquet")
+      spark.conf.set(graft.operators.RangeRank.MinBytesKey, Long.MaxValue.toString)
+      try {
+        timed("ignorenulls_plainwin_10m") {
+          val df = spark.sql(nnSql)
+          require(!df.queryExecution.executedPlan.toString.contains("GlobalRank"))
+          consumeNn(df)
+        }
+        spark.sql(nnSql).write.mode("overwrite")
+          .parquet(s"$outDir/ignorenulls_plain.parquet")
+      } finally spark.conf.unset(graft.operators.RangeRank.MinBytesKey)
+      val a = spark.read.parquet(s"$outDir/ignorenulls_auto.parquet").alias("a")
+      val p = spark.read.parquet(s"$outDir/ignorenulls_plain.parquet").alias("p")
+      val cmp = a.join(p, "k").agg(
+        sum(when(col("a.ff") <=> col("p.ff") && col("a.l5") <=> col("p.l5") &&
+          col("a.n1") <=> col("p.n1") && col("a.n3") <=> col("p.n3"), 0)
+          .otherwise(1)).as("bad"),
+        count(lit(1)).as("n")).head
+      require(cmp.getLong(1) == 10000000L, s"join lost rows: ${cmp.getLong(1)}")
+      require(cmp.getLong(0) == 0L,
+        s"IGNORE NULLS offsets diverged on ${cmp.getLong(0)} rows")
+      println("SCALE ignorenulls: lag/lead IGNORE NULLS EXACT-equal on 10M rows")
+    }
+
     // --- repairwj: the window/join repair extension at 10M ---------------
     // (VERDICT r16 item 4) Divergently-pruned duplicate Window and Join
     // subtrees are the same reuse-defeated class as the aggregates the

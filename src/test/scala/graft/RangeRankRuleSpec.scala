@@ -782,6 +782,115 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // --- IGNORE NULLS offsets (r18): the forward-fill idiom -----------------
+
+  /** Sparse nullable columns: `v` non-null on ~1/9 of rows (runs of 8
+    * nulls), `s` (string) non-null on ~1/5, `w` ALL null — null runs
+    * straddle every 4-way range boundary, exercising the per-column
+    * non-null prefix/suffix slices. */
+  private def nnFrame: DataFrame = {
+    val rows = (1 to 4000).map { i =>
+      (i.toLong,
+        if (i % 9 == 0) Some(i.toLong * 3) else None,
+        if (i % 5 == 0) Some(s"v$i") else None,
+        None: Option[Long])
+    }
+    rows.toDF("id", "v", "s", "w")
+  }
+
+  test("IGNORE NULLS lag: exact vs plain window across range boundaries (r18)") {
+    nnFrame.createOrReplaceTempView("rr_nn_t")
+    val sql =
+      """SELECT id,
+        |  lag(v, 1) IGNORE NULLS       OVER (ORDER BY id) AS ff,
+        |  lag(v, 3, -1L) IGNORE NULLS  OVER (ORDER BY id) AS l3,
+        |  lag(s, 2) IGNORE NULLS       OVER (ORDER BY id) AS ls,
+        |  lag(w, 1, -7L) IGNORE NULLS  OVER (ORDER BY id) AS lw,
+        |  lag(v, 2) OVER (ORDER BY id) AS plain
+        |FROM rr_nn_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(rewritten == baseline)
+  }
+
+  test("IGNORE NULLS lead: exact vs plain window, incl. drain via suffix slices (r18)") {
+    nnFrame.createOrReplaceTempView("rr_nn_t")
+    // offsets deep enough that rows near each range boundary resolve
+    // from the cross-partition suffix non-null slices, and rows near
+    // the global tail fall to the default
+    val sql =
+      """SELECT id,
+        |  lead(v, 1) IGNORE NULLS       OVER (ORDER BY id) AS n1,
+        |  lead(v, 4, -1L) IGNORE NULLS  OVER (ORDER BY id) AS n4,
+        |  lead(s, 2) IGNORE NULLS       OVER (ORDER BY id) AS ns,
+        |  lead(w, 1, -7L) IGNORE NULLS  OVER (ORDER BY id) AS nw,
+        |  lead(v, 3) OVER (ORDER BY id) AS plain
+        |FROM rr_nn_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(rewritten == baseline)
+  }
+
+  test("IGNORE NULLS offsets compose with the whole family in ONE window (r18)") {
+    nnFrame.createOrReplaceTempView("rr_nn_t")
+    val sql =
+      """SELECT id,
+        |  row_number()                 OVER (ORDER BY id) AS rn,
+        |  sum(id)                      OVER (ORDER BY id) AS cum,
+        |  lag(v, 1) IGNORE NULLS       OVER (ORDER BY id) AS ff,
+        |  lead(v, 2) IGNORE NULLS      OVER (ORDER BY id) AS nx,
+        |  lag(id, 2)                   OVER (ORDER BY id) AS lg,
+        |  lead(id, 3)                  OVER (ORDER BY id) AS ld,
+        |  sum(id)                      OVER (ORDER BY id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv,
+        |  last_value(v) IGNORE NULLS   OVER (ORDER BY id) AS lv
+        |FROM rr_nn_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(rewritten == baseline)
+  }
+
+  test("IGNORE NULLS lead pending buffer over the warn threshold logs + bumps the metric (r18)") {
+    nnFrame.createOrReplaceTempView("rr_nn_t")
+    spark.conf.set(graft.plans.GlobalRankExec.PendWarnRowsKey, "64")
+    val before = graft.plans.GlobalRankExec.leadPendWarnCount.get()
+    try withOpenGate {
+      // w is ALL null: every row pends to drain — far past 64 per task
+      val df = spark.sql(
+        "SELECT id, lead(w, 1, -1L) IGNORE NULLS OVER (ORDER BY id) AS x FROM rr_nn_t")
+      assert(plan(df).contains("GlobalRank"))
+      val vals = df.collect().map(_.getLong(1))
+      assert(vals.forall(_ == -1L))
+      assert(graft.plans.GlobalRankExec.leadPendWarnCount.get() > before)
+    } finally spark.conf.unset(graft.plans.GlobalRankExec.PendWarnRowsKey)
+  }
+
+  test("IGNORE NULLS shapes the rewrite must NOT take stay on the plain window (r18)") {
+    nnFrame.createOrReplaceTempView("rr_nn_t")
+    withOpenGate {
+      // offset past the boundary-slice cap
+      spark.conf.set(graft.plans.GlobalRankExec.MaxOffsetKey, "4")
+      try {
+        val p1 = plan(spark.sql(
+          "SELECT lag(v, 9) IGNORE NULLS OVER (ORDER BY id) AS x FROM rr_nn_t"))
+        assert(p1.contains("Window") && !p1.contains("GlobalRank"), p1)
+      } finally spark.conf.unset(graft.plans.GlobalRankExec.MaxOffsetKey)
+    }
+  }
+
   test("downstream operators resolve over the rewritten node (filter + agg above)") {
     frame.createOrReplaceTempView("rr_rule_t")
     val sql =
