@@ -87,6 +87,8 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
     val aggs = scala.collection.mutable.LinkedHashMap.empty[String, List[Aggregate]]
     val wins = scala.collection.mutable.LinkedHashMap.empty[String, List[Window]]
     val joins = scala.collection.mutable.LinkedHashMap.empty[String, List[Join]]
+    val gens = scala.collection.mutable.LinkedHashMap.empty[String, List[Generate]]
+    val exps = scala.collection.mutable.LinkedHashMap.empty[String, List[Expand]]
     // walk subquery plans too — the detector does (PlanAudit.audit
     // recurses into p.subqueries), so a repair that skipped them would
     // leave warn findings it can never fix (review r17 finding).
@@ -104,6 +106,12 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
         case j: Join =>
           val k = graft.tools.PlanAudit.loose(j)
           joins(k) = j :: joins.getOrElse(k, Nil)
+        case g: Generate =>
+          val k = graft.tools.PlanAudit.loose(g)
+          gens(k) = g :: gens.getOrElse(k, Nil)
+        case e: Expand =>
+          val k = graft.tools.PlanAudit.loose(e)
+          exps(k) = e :: exps.getOrElse(k, Nil)
         case _ =>
       }
       p.children.foreach(visit)
@@ -136,6 +144,23 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
            members.map(_.right.canonicalized).distinct.size > 1)) {
         val ms = members.reverse.toIndexedSeq
         unifyJoins(ms).foreach(record(ms, _))
+      }
+    }
+    // Generate/Expand divergence is whole-node like aggregates:
+    // consumer pruning lands AT the node (unrequiredChildIndex /
+    // projections) as well as below it, and the exchange reuse would
+    // collapse sits ABOVE them, carrying their output rows (matching
+    // the detector's judges).
+    gens.values.foreach { members =>
+      if (members.size >= 2 && members.map(_.canonicalized).distinct.size > 1) {
+        val ms = members.reverse.toIndexedSeq
+        unifyGenerates(ms).foreach(record(ms, _))
+      }
+    }
+    exps.values.foreach { members =>
+      if (members.size >= 2 && members.map(_.canonicalized).distinct.size > 1) {
+        val ms = members.reverse.toIndexedSeq
+        unifyExpands(ms).foreach(record(ms, _))
       }
     }
     if (replacements.isEmpty) plan
@@ -171,6 +196,12 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
   private def splitGuards(p: LogicalPlan): (LogicalPlan, Seq[Expression]) = p match {
     case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
       splitGuards(child)
+    // a pure-attribute RepairProject is this rule's OWN narrowing (the
+    // Generate/Expand repairs wrap members in one) — transparent like
+    // a pruning Project, so a later fixpoint round's aggregate/window/
+    // join unification can see through to the now-equalized chain
+    case rp: RepairProject if rp.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      splitGuards(rp.child)
     case Filter(cond, child) if conjuncts(cond).forall(_.isInstanceOf[IsNotNull]) =>
       val (core, gs) = splitGuards(child)
       (core, conjuncts(cond) ++ gs)
@@ -433,6 +464,126 @@ object PlanAuditRepair extends Rule[LogicalPlan] {
         // window attrs keep theirs because the expression list is the
         // member's own
         RepairProject(members(i).output, body)
+      })
+    }
+  }
+
+  /** Rebuild a divergent duplicate-Generate group (round 18). Like
+    * windows there is no expression union: equalizing the child chains
+    * AND dropping the node-level pruning (`unrequiredChildIndex = Nil`
+    * — every child column passes through; the RepairProject narrows
+    * back) makes the rebuilt members canonicalize EQUAL, so an
+    * exchange above them reuses — and the aggregate/window/join
+    * repairs, whose chains must canonicalize equal BELOW their node,
+    * become eligible on the next internal-fixpoint round. Residual
+    * null guards always lift soundly: Generate is per-row (outer
+    * included — a dropped input row contributes exactly its own output
+    * rows), and the rebuilt node passes every child attribute a
+    * residual could reference. */
+  private def unifyGenerates(members: IndexedSeq[Generate]): Option[IndexedSeq[LogicalPlan]] = {
+    if (!members.forall(_.generator.deterministic)) return None
+    if (members.map(_.outer).distinct.size != 1 ||
+        members.map(_.qualifier).distinct.size != 1) return None
+    equalize(members.map(_.child), (_, _) => true).flatMap { eq =>
+      def genKey(i: Int): Expression =
+        translateTo(members(i).generator, AttributeMap(eq.donorPairs(i))).canonicalized
+      val k0 = genKey(0)
+      if (!members.indices.forall(i => genKey(i) == k0)) None
+      else Some(members.indices.map { i =>
+        val g = members(i).copy(unrequiredChildIndex = Nil, child = eq.rebuilt(i))
+        val body: LogicalPlan =
+          if (eq.residuals(i).isEmpty) g
+          else Filter(eq.residuals(i).reduce(And), g)
+        RepairProject(members(i).output, body)
+      })
+    }
+  }
+
+  /** Rebuild a divergent duplicate-Expand group (round 18) by COLUMN
+    * UNION. Consumer pruning reaches INSIDE an Expand: each member's
+    * projections replicate only the columns its consumer kept, so two
+    * same-rollup Expands diverge structurally, not just below. Column
+    * identity = the donor-canonical expression SEQUENCE down the
+    * projection rows at one output position (a pass-through aggregate
+    * input is `(x,x,x)`, a rolled-up grouping column is `(g,g,null)`,
+    * the gid is its literal column — so positions align semantically,
+    * never by name). Every member is rebuilt with the union of column
+    * identities in one shared first-seen order — its own expressions
+    * where it has the column, the representative member's (donor-
+    * translated) where it doesn't — over equalized children, then
+    * narrowed back by RepairProject. Residual guards do not lift
+    * (grouping-set rows NULL OUT grouping columns by design — a
+    * lifted IsNotNull would drop rollup rows), so any residual skips
+    * the group. */
+  private def unifyExpands(members: IndexedSeq[Expand]): Option[IndexedSeq[LogicalPlan]] = {
+    if (!members.forall(_.projections.forall(_.forall(_.deterministic)))) return None
+    val nRows = members.head.projections.length
+    if (!members.forall(m => m.projections.length == nRows &&
+        m.projections.forall(_.length == m.output.length))) return None
+    equalize(members.map(_.child), (_, _) => false).flatMap { eq =>
+      val toDonorMaps = members.indices.map(i => AttributeMap(eq.donorPairs(i)))
+      val fromDonorMaps = members.indices.map(i =>
+        AttributeMap(eq.donorPairs(i).map(_.swap)))
+      def colKey(i: Int, p: Int): Seq[Expression] =
+        members(i).projections.map(row => translateTo(row(p), toDonorMaps(i)).canonicalized)
+      val memberKeys = members.indices.map(i =>
+        members(i).output.indices.map(p => colKey(i, p)))
+      // a member with two identical column identities would make the
+      // position lookup ambiguous — conservative skip
+      if (!memberKeys.forall(ks => ks.distinct.length == ks.length)) return None
+      val unionKeys = scala.collection.mutable.ArrayBuffer.empty[Seq[Expression]]
+      val rep = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      val keyIdx = scala.collection.mutable.HashMap.empty[Seq[Expression], Int]
+      members.indices.foreach { i =>
+        memberKeys(i).zipWithIndex.foreach { case (k, p) =>
+          if (!keyIdx.contains(k)) {
+            keyIdx(k) = unionKeys.length; unionKeys += k; rep += ((i, p))
+          }
+        }
+      }
+      // a column some member LACKS must be a constant pass-through of
+      // one child attribute (an aggregate-input column — `(x,x,x)`
+      // down the rows): its rebuilt output can then BE the member's
+      // own child attribute, which canonicalizes by child position
+      // exactly like the owning member's, so the rebuilt Expands
+      // canonicalize EQUAL (a fresh attribute would normalize as a
+      // produced id on one member and a child position on the other —
+      // the round-18 re-wrap bug). Grouping/gid columns exist in every
+      // member by construction (same rollup), so only pass-throughs
+      // are ever borrowed; anything else skips the group.
+      // raw (uncanonicalized) donor-space expression of a union column,
+      // from its representative member's first projection row
+      def donorRaw(u: Int): Expression = {
+        val (j, p) = rep(u)
+        translateTo(members(j).projections(0)(p), toDonorMaps(j))
+      }
+      val borrowedOk = unionKeys.indices.forall { u =>
+        val k = unionKeys(u)
+        val passThrough = k.distinct.length == 1 && donorRaw(u).isInstanceOf[Attribute]
+        passThrough || members.indices.forall(i => memberKeys(i).contains(k))
+      }
+      if (!borrowedOk) return None
+      Some(members.indices.map { i =>
+        val myIdx = memberKeys(i).zipWithIndex.toMap
+        // the member's OWN child attribute for a borrowed pass-through
+        def borrowAttr(u: Int): Attribute =
+          translateTo(donorRaw(u), fromDonorMaps(i)).asInstanceOf[Attribute]
+        val projections: Seq[Seq[Expression]] = (0 until nRows).map { r =>
+          unionKeys.indices.map { u =>
+            myIdx.get(unionKeys(u)) match {
+              case Some(p) => members(i).projections(r)(p)
+              case None => borrowAttr(u)
+            }
+          }.toSeq
+        }
+        val output: Seq[Attribute] = unionKeys.indices.map { u =>
+          myIdx.get(unionKeys(u)) match {
+            case Some(p) => members(i).output(p)
+            case None => borrowAttr(u)
+          }
+        }.toSeq
+        RepairProject(members(i).output,
+          Expand(projections, output, eq.rebuilt(i)))
       })
     }
   }

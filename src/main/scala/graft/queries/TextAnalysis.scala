@@ -222,8 +222,15 @@ object TextAnalysis {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tk = docs(spark, dir)
-      .select(col("doc_id"), posexplode(wsTokens(lower(col("text")))).as(Seq("pos", "tok")))
+    // size-gated barrier on the token positions (round-18 generate
+    // detector finding): tk has two consumers (uni, the bigram chain)
+    // whose divergent pruning re-runs the scan + posexplode per
+    // consumer — above the gate, one materialized token frame feeds
+    // both
+    val tk = graft.Materialize.barrierAbove(
+      docs(spark, dir)
+        .select(col("doc_id"), posexplode(wsTokens(lower(col("text")))).as(Seq("pos", "tok"))),
+      sizeOf = docs(spark, dir), confKey = VocabBarrierMinBytesKey)
     val bg = tk.withColumn("nxt", lead(col("tok"), 1).over(w))
       .where(col("nxt").isNotNull)
     // size-gated barrier (PlanAudit finding): uni has two consumers
@@ -266,9 +273,13 @@ object TextAnalysis {
   def pmi1Collocations(
       spark: SparkSession, dir: String,
       minCount: Long = 5L, topK: Int = 20): DataFrame = {
-    val (tk, bg, uni, big) = bigramCounts(spark, dir)
-    val scalars = tk.agg(count(lit(1)).as("n_tok"))
-      .crossJoin(bg.agg(count(lit(1)).as("n_big")))
+    val (_, _, uni, big) = bigramCounts(spark, dir)
+    // scalar totals from the already-collapsed count frames, NOT from
+    // re-reading the token/bigram streams (round-18 generate finding:
+    // tk.agg and bg.agg were the 2nd and 3rd divergently-pruned
+    // consumers of the explode): Σcu = token count, Σcb = bigram count
+    val scalars = uni.agg(sum(col("cu")).as("n_tok"))
+      .crossJoin(big.agg(sum(col("cb")).as("n_big")))
     val scored = big.where(col("cb") >= minCount)
       .join(uni.select(col("tok"), col("cu").as("cu_a")), Seq("tok"))
       .join(uni.select(col("tok").as("nxt"), col("cu").as("cu_b")), Seq("nxt"))

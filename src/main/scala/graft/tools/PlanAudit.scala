@@ -86,6 +86,13 @@ object PlanAudit {
         case a: Aggregate => add("aggregate", a)
         case w: Window => add("window", w)
         case j: Join => add("join", j)
+        // round 18: Generate/Expand are the remaining shared-subtree
+        // carriers — they host no exchange themselves, but a divergent
+        // duplicate defeats reuse of whatever exchange sits ABOVE them
+        // (and blocks the aggregate/window/join repairs, whose chains
+        // must canonicalize equal below the node)
+        case g: Generate => add("generate", g)
+        case e: Expand => add("expand", e)
         case _ =>
       }
       p.children.foreach(visit)
@@ -108,6 +115,11 @@ object PlanAudit {
     * divergence of the child chains (per side, for joins) re-runs the
     * shared scan + shuffle. */
   private def diverges(kind: String, nodes: List[LogicalPlan]): Boolean = kind match {
+    // Generate and Expand ride the whole-node default with aggregates:
+    // consumer pruning lands AT the node (Generate's
+    // unrequiredChildIndex, Expand's projections) as well as below it,
+    // and the exchange that reuse would collapse sits ABOVE them,
+    // carrying their output rows.
     case "window" =>
       nodes.map(_.children.head.canonicalized).distinct.size > 1
     case "join" =>
@@ -121,14 +133,41 @@ object PlanAudit {
     * stripped, pure-pruning Projects transparent, computed aliases
     * kept (sorted — alias order is presentation, not work). Shared
     * with [[graft.plans.PlanAuditRepair]], whose grouping must agree
-    * with this detector's. */
-  private[graft] def loose(p: LogicalPlan): String = p match {
+    * with this detector's.
+    *
+    * TWO MODES (round 18): the grouped node's OWN key ignores its
+    * output list (that is the whole point — pruning-divergent
+    * duplicates must group), but a Window/Aggregate appearing INSIDE a
+    * chain is someone else's INPUT, and there its computed outputs ARE
+    * its identity: two aggregates over same-spec windows with
+    * different window-expression lists read different data and must
+    * not group (pre-round-18 this false positive was masked by
+    * RepairProject's default-case key; with RepairProject transparent
+    * it surfaced in the window-repair spec). Recursion therefore
+    * passes asInput = true. */
+  private[graft] def loose(p: LogicalPlan): String = loose(p, asInput = false)
+
+  private def loose(p: LogicalPlan, asInput: Boolean): String = p match {
     case Project(list, child) =>
       val computed = list.collect { case a: Alias => norm(a.child) }.sorted
-      if (computed.isEmpty) loose(child)
-      else s"proj[${computed.mkString(",")}](${loose(child)})"
-    case Aggregate(g, _, child, _) =>
-      s"agg[${g.map(norm).sorted.mkString(",")}](${loose(child)})"
+      // a pure pruning Project does not change the data's identity, so
+      // the mode passes THROUGH; a computing Project's child is its
+      // input
+      if (computed.isEmpty) loose(child, asInput)
+      else s"proj[${computed.mkString(",")}](${loose(child, asInput = true)})"
+    // the repair rule's own narrowing projection: same output-list
+    // transparency as Project (it would hit the default case and bake
+    // its attribute list into the key, splitting groups the repair's
+    // later fixpoint rounds must still see together)
+    case rp: graft.plans.RepairProject =>
+      val computed = rp.projectList.collect { case a: Alias => norm(a.child) }.sorted
+      if (computed.isEmpty) loose(rp.child, asInput)
+      else s"proj[${computed.mkString(",")}](${loose(rp.child, asInput = true)})"
+    case Aggregate(g, out, child, _) =>
+      val outs =
+        if (asInput) s"<${out.collect { case a: Alias => norm(a.child) }.sorted.mkString(",")}>"
+        else ""
+      s"agg[${g.map(norm).sorted.mkString(",")}]$outs(${loose(child, asInput = true)})"
     case Filter(c, child) =>
       // drop IsNotNull conjuncts: the optimizer INFERS null guards
       // from join conditions on some consumers and not others (the
@@ -136,16 +175,31 @@ object PlanAudit {
       // not split a loose group; real predicates still do
       val real = conjuncts(c).filterNot(
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull])
-      if (real.isEmpty) loose(child)
-      else s"filter[${real.map(norm).sorted.mkString(" AND ")}](${loose(child)})"
+      if (real.isEmpty) loose(child, asInput)
+      else s"filter[${real.map(norm).sorted.mkString(" AND ")}](${loose(child, asInput)})"
     case j: Join =>
       s"join[${j.joinType}][${j.condition.map(norm).getOrElse("-")}]" +
-        s"(${j.children.map(loose).mkString(",")})"
+        s"(${j.children.map(loose(_, asInput = true)).mkString(",")})"
     case g: Generate =>
-      s"generate[${norm(g.generator)}](${loose(g.child)})"
+      s"generate[${norm(g.generator)}](${loose(g.child, asInput = true)})"
+    // an Expand's projections ARE where consumer pruning lands (each
+    // member replicates only the columns its consumer kept), so the
+    // grouping key excludes them — only the grouping-set count and the
+    // child identity group candidates; the repair's column-union
+    // rebuild does all semantic verification canonically. As an INPUT
+    // the projections are the identity, like window expression lists.
+    case e: Expand =>
+      val outs =
+        if (asInput) s"<${e.projections.map(_.map(norm).mkString(";")).mkString("|")}>"
+        else ""
+      s"expand[${e.projections.length}]$outs(${loose(e.child, asInput = true)})"
     case w: Window =>
+      val outs =
+        if (asInput) s"<${w.windowExpressions.collect {
+          case a: Alias => norm(a.child) }.sorted.mkString(",")}>"
+        else ""
       s"window[${(w.partitionSpec.map(norm) ++ w.orderSpec.map(norm)).mkString(",")}]" +
-        s"(${loose(w.child)})"
+        s"$outs(${loose(w.child, asInput = true)})"
     case l: LeafNode => leafId(l)
     case other =>
       // default nodes keep their expressions in the key (a Limit's
@@ -153,7 +207,7 @@ object PlanAudit {
       // limit(r)-distinct work, not duplicates — only Project/
       // Aggregate output lists are deliberately ignored above
       s"${other.nodeName}[${other.expressions.map(norm).mkString(",")}]" +
-        s"(${other.children.map(loose).mkString(",")})"
+        s"(${other.children.map(loose(_, asInput = true)).mkString(",")})"
   }
 
   /** Stable identity for a source, ignoring the projected columns. */

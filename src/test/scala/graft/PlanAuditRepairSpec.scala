@@ -301,6 +301,108 @@ class PlanAuditRepairSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("generate repair: two-consumer shared explode, one scan, values unchanged (r18)") {
+    val gdir = java.nio.file.Files.createTempDirectory("graft_repair_g").toString
+    (1 to 4000).map(i => (i % 100L, s"tok${i % 17} tok${i % 23} tok${i % 31}"))
+      .toDF("g", "txt").write.mode("overwrite").parquet(gdir)
+    spark.read.parquet(gdir).createOrReplaceTempView("repair_g")
+    // consumer a prunes g away below its explode, consumer b keeps it:
+    // the duplicate Generate subtrees canonicalize differently, which
+    // also blocks the AGGREGATE unification above them — the fixpoint
+    // must first equalize the generates, then union the aggregates
+    val gsql =
+      """SELECT a.w, a.n, b.mx FROM
+        |  (SELECT w, count(*) AS n FROM
+        |     (SELECT explode(split(txt, ' ')) AS w, g FROM repair_g) GROUP BY w) a
+        |  JOIN (SELECT w, max(g) AS mx FROM
+        |     (SELECT explode(split(txt, ' ')) AS w, g FROM repair_g) GROUP BY w) b
+        |  ON a.w = b.w""".stripMargin
+    val off = spark.sql(gsql)
+    val findings = graft.tools.PlanAudit.audit(off.queryExecution.optimizedPlan)
+    assert(findings.exists(f => f.kind == "generate" && f.severity == "warn"),
+      findings.toString)
+    val offRows = off.collect().map(_.toSeq).toSet
+    assert(scans(off) == 2, off.queryExecution.executedPlan.toString)
+    val (rows, nScans, plan, onFindings) = withRepair {
+      val on = spark.sql(gsql)
+      val f = graft.tools.PlanAudit.audit(on.queryExecution.optimizedPlan)
+      val r = on.collect().map(_.toSeq).toSet
+      (r, scans(on), on.queryExecution.executedPlan.toString, f)
+    }
+    assert(onFindings.forall(_.severity != "warn"), s"still warns: $onFindings")
+    assert(rows == offRows, "generate repair changed query results")
+    assert(nScans == 1, plan)
+    assert(plan.contains("ReusedExchange") || plan.contains("reuses"), plan)
+    // idempotence guard: rebuilt members must canonicalize equal, or
+    // the fixpoint (and the outer batch) would re-wrap every pass
+    withRepair {
+      val opt = spark.sql(gsql).queryExecution.optimizedPlan.toString
+      assert("RepairProject".r.findAllIn(opt).size <= 4, opt.take(3000))
+    }
+  }
+
+  test("expand repair: divergently-pruned rollups unified by column union (r18)") {
+    val edir = java.nio.file.Files.createTempDirectory("graft_repair_e").toString
+    (1 to 4000).map(i => (i % 20L, i % 7L, i.toLong, (i * 3).toLong))
+      .toDF("g", "y", "x", "z").write.mode("overwrite").parquet(edir)
+    spark.read.parquet(edir).createOrReplaceTempView("repair_e")
+    // consumer a's rollup reads (g, y, x), consumer b's (g, y, z):
+    // pruning reaches INSIDE the Expand projections, so the union
+    // rebuild must align columns semantically (pass-through vs
+    // rolled-up vs gid), not by name/position
+    val esql =
+      """SELECT a.g, a.y, a.s, b.t FROM
+        |  (SELECT g, y, sum(x) AS s FROM repair_e GROUP BY ROLLUP(g, y)) a
+        |  JOIN (SELECT g, y, sum(z) AS t FROM repair_e GROUP BY ROLLUP(g, y)) b
+        |  ON a.g <=> b.g AND a.y <=> b.y""".stripMargin
+    val off = spark.sql(esql)
+    val findings = graft.tools.PlanAudit.audit(off.queryExecution.optimizedPlan)
+    assert(findings.exists(f => f.kind == "expand" && f.severity == "warn"),
+      findings.toString)
+    val offRows = off.collect().map(_.toSeq).toSet
+    assert(scans(off) == 2, off.queryExecution.executedPlan.toString)
+    val (rows, nScans, plan, onFindings) = withRepair {
+      val on = spark.sql(esql)
+      val f = graft.tools.PlanAudit.audit(on.queryExecution.optimizedPlan)
+      val r = on.collect().map(_.toSeq).toSet
+      (r, scans(on), on.queryExecution.executedPlan.toString, f)
+    }
+    assert(onFindings.forall(_.severity != "warn"), s"still warns: $onFindings")
+    assert(rows == offRows, "expand repair changed query results")
+    assert(nScans == 1, plan)
+    assert(plan.contains("ReusedExchange") || plan.contains("reuses"), plan)
+    withRepair {
+      val opt = spark.sql(esql).queryExecution.optimizedPlan.toString
+      assert("RepairProject".r.findAllIn(opt).size <= 4, opt.take(3000))
+    }
+  }
+
+  test("generate repair conservative: different generators / identically-pruned untouched (r18)") {
+    val gdir = java.nio.file.Files.createTempDirectory("graft_repair_g2").toString
+    (1 to 1000).map(i => (i % 100L, s"a${i % 5} b${i % 3}"))
+      .toDF("g", "txt").write.mode("overwrite").parquet(gdir)
+    spark.read.parquet(gdir).createOrReplaceTempView("repair_g2")
+    withRepair {
+      // different generators (split on different separators): the loose
+      // keys differ, no group forms, no RepairProject appears
+      val diff = spark.sql(
+        """SELECT a.w, b.v FROM
+          |  (SELECT explode(split(txt, ' ')) AS w FROM repair_g2) a
+          |  JOIN (SELECT explode(split(txt, 'b')) AS v FROM repair_g2) b
+          |  ON a.w = b.v""".stripMargin)
+      assert(!diff.queryExecution.optimizedPlan.toString.contains("RepairProject"),
+        diff.queryExecution.optimizedPlan.toString)
+      // identically-pruned duplicates: canonical-equal as-is, untouched
+      val same = spark.sql(
+        """SELECT a.w, b.w2 FROM
+          |  (SELECT explode(split(txt, ' ')) AS w, g FROM repair_g2) a
+          |  JOIN (SELECT explode(split(txt, ' ')) AS w2, g FROM repair_g2) b
+          |  ON a.g = b.g AND a.w = b.w2""".stripMargin)
+      assert(!same.queryExecution.optimizedPlan.toString.contains("RepairProject"),
+        same.queryExecution.optimizedPlan.toString)
+    }
+  }
+
   test("extensions-config path: repair survives the late ColumnPruning/CollapseProject batch") {
     // the cluster deployment installs rules via spark.sql.extensions;
     // the preCBO slot runs BEFORE the RewriteSubquery batch whose
