@@ -303,6 +303,68 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** Value-bounded trailing frame — RANGE BETWEEN k PRECEDING AND
+    * CURRENT ROW over a SINGLE order key (VERDICT r17 item 3: the
+    * time-windowed moving average). Returns the typed delta, or None
+    * for shapes that stay on the plain window. Supported key/bound
+    * matrix: integral keys with integral bounds, DATE with integral
+    * (days) or whole-day intervals, TIMESTAMP/TIMESTAMP_NTZ with
+    * day-time intervals (fixed micros — year-month intervals are
+    * calendar-dependent and excluded), FLOAT/DOUBLE with numeric
+    * bounds, DECIMAL with decimal/integral bounds. */
+  private def rangePrecedingDelta(f: WindowFrame,
+      orderSpec: Seq[SortOrder]): Option[RangeDelta] = f match {
+    case SpecifiedWindowFrame(RangeFrame, lower, CurrentRow)
+        if orderSpec.length == 1 &&
+          !lower.isInstanceOf[SpecialFrameBoundary] && lower.foldable =>
+      val so = orderSpec.head
+      val desc = so.direction == Descending
+      val v = lower.eval()
+      if (v == null) None
+      else {
+        def longMag(x: Long): Option[RangeDelta] =
+          if (x > 0) None else Some(LongRangeDelta(-x, desc))
+        (so.child.dataType, lower.dataType) match {
+          case (ByteType | ShortType | IntegerType | LongType,
+              ByteType | ShortType | IntegerType | LongType) =>
+            longMag(v.asInstanceOf[Number].longValue())
+          case (DateType, ByteType | ShortType | IntegerType) =>
+            longMag(v.asInstanceOf[Number].longValue())
+          case (DateType, _: DayTimeIntervalType) =>
+            val us = v.asInstanceOf[Long]
+            if (us % MicrosPerDay != 0L) None else longMag(us / MicrosPerDay)
+          case (TimestampType | TimestampNTZType, _: DayTimeIntervalType) =>
+            longMag(v.asInstanceOf[Long])
+          case (TimestampType | TimestampNTZType, CalendarIntervalType) =>
+            val ci = v.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+            if (ci.months != 0) None
+            else longMag(ci.days.toLong * MicrosPerDay + ci.microseconds)
+          case (DoubleType, _: NumericType) =>
+            val m = -numToDouble(v)
+            if (m < 0 || m.isNaN) None else Some(DoubleRangeDelta(m, desc))
+          case (FloatType, _: NumericType) =>
+            val m = -numToDouble(v).toFloat
+            if (m < 0 || m.isNaN) None else Some(FloatRangeDelta(m, desc))
+          case (_: DecimalType, _) =>
+            val m = v match {
+              case d: Decimal => d.toJavaBigDecimal.negate()
+              case n: Number => java.math.BigDecimal.valueOf(n.longValue()).negate()
+              case _ => return None
+            }
+            if (m.signum() < 0) None else Some(DecimalRangeDelta(m, desc))
+          case _ => None
+        }
+      }
+    case _ => None
+  }
+
+  private val MicrosPerDay = 86400000000L
+
+  private def numToDouble(v: Any): Double = v match {
+    case d: Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+
   /** Bounded sliding aggregates over ROWS k PRECEDING .. CURRENT ROW:
     * the per-row frame is the last k boundary-slice rows plus the
     * current row, recomputed oldest-to-newest per row exactly as
@@ -356,6 +418,10 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
               case None => boundedPrecedingRows(frame)
                 .filter(k => k >= 1 && k <= maxOffset)
                 .flatMap(k => asBoundedAgg(fn, k, attr))
+                .orElse(rangePrecedingDelta(frame, orderSpec).flatMap(d =>
+                  asCommonAgg(fn, attr).map { case (kind, e, exact) =>
+                    GlobalRangeAgg(kind, e, d, attr, exact)
+                  }))
             }
           case o @ (_: Lag | _: Lead) => asOffset(o, attr, maxOffset)
           // nth_value is an AggregateWindowFunction (appears unwrapped,
@@ -459,6 +525,86 @@ case class GlobalBoundedAgg(kind: String, valueExpr: Expression,
     k: Int, attr: Attribute, exact: Boolean = false)
   extends GlobalWinFunction
 
+/** Typed VALUE-distance test for RANGE k PRECEDING frames: whether a
+  * buffered entry's order key falls outside the trailing window
+  * anchored at a non-null current key. Frame-bound arithmetic matches
+  * the plain window's own op (cur + lower in the key's numeric space)
+  * except at the extreme long edge, where this engine SATURATES
+  * (include everything) instead of wrapping — the mathematically
+  * correct trailing window, and what the DuckDB oracle computes. */
+sealed trait RangeDelta extends Serializable {
+  def outside(entryKey: Any, curKey: Any): Boolean
+}
+
+/** Integral / date-days / timestamp-micros key space. */
+case class LongRangeDelta(k: Long, desc: Boolean) extends RangeDelta {
+  def outside(e: Any, c: Any): Boolean = {
+    val ev = e.asInstanceOf[Number].longValue()
+    val cv = c.asInstanceOf[Number].longValue()
+    if (!desc) {
+      val bound = try Math.subtractExact(cv, k) catch {
+        case _: ArithmeticException => return false // saturate: nothing outside
+      }
+      ev < bound
+    } else {
+      val bound = try Math.addExact(cv, k) catch {
+        case _: ArithmeticException => return false
+      }
+      ev > bound
+    }
+  }
+}
+
+/** Double keys. NaN sorts as the largest double in Spark's ordering,
+  * so a NaN anchor admits only its NaN peers (ASC) and a NaN entry
+  * under a non-NaN anchor is outside (DESC — the only direction where
+  * a NaN entry can precede a non-NaN anchor). */
+case class DoubleRangeDelta(k: Double, desc: Boolean) extends RangeDelta {
+  def outside(e: Any, c: Any): Boolean = {
+    val ev = e.asInstanceOf[Number].doubleValue()
+    val cv = c.asInstanceOf[Number].doubleValue()
+    if (cv.isNaN) return !ev.isNaN
+    if (ev.isNaN) return true
+    if (!desc) ev < cv - k else ev > cv + k
+  }
+}
+
+/** Float keys — arithmetic stays in float space so the frame bound is
+  * bit-identical to the plain window's float Add. */
+case class FloatRangeDelta(k: Float, desc: Boolean) extends RangeDelta {
+  def outside(e: Any, c: Any): Boolean = {
+    val ev = e.asInstanceOf[Number].floatValue()
+    val cv = c.asInstanceOf[Number].floatValue()
+    if (cv.isNaN) return !ev.isNaN
+    if (ev.isNaN) return true
+    if (!desc) ev < cv - k else ev > cv + k
+  }
+}
+
+/** Decimal keys — exact BigDecimal space, no overflow edge. */
+case class DecimalRangeDelta(k: java.math.BigDecimal, desc: Boolean)
+  extends RangeDelta {
+  def outside(e: Any, c: Any): Boolean = {
+    val ev = e.asInstanceOf[Decimal].toJavaBigDecimal
+    val cv = c.asInstanceOf[Decimal].toJavaBigDecimal
+    if (!desc) ev.compareTo(cv.subtract(k)) < 0
+    else ev.compareTo(cv.add(k)) > 0
+  }
+}
+
+/** A value-bounded trailing aggregate, RANGE BETWEEN k PRECEDING AND
+  * CURRENT ROW over the single order key: the frame is every row
+  * whose key lies within `delta` of the current key, INCLUDING the
+  * current row's whole peer run (RANGE upper CURRENT ROW absorbs
+  * peers, so the value is computed once per tie run). Cross-partition
+  * state is a per-run-compacted (key, accumulator) deque of the runs
+  * still within `delta` of each partition's last key — bounded by the
+  * number of distinct keys per value window, the data-density lever.
+  * `exact` = ANSI sum overflow semantics. */
+case class GlobalRangeAgg(kind: String, valueExpr: Expression,
+    delta: RangeDelta, attr: Attribute, exact: Boolean = false)
+  extends GlobalWinFunction
+
 /** `lag`/`lead` normalized to a signed `shift` over the global row
   * order: positive looks behind, negative ahead, zero is the row
   * itself; `default` is the pre-evaluated foldable fallback. The exec
@@ -487,6 +633,7 @@ case class GlobalRankPlan(
       funcs.collect {
         case a: GlobalRunningAgg => a.valueExpr
         case b: GlobalBoundedAgg => b.valueExpr
+        case r: GlobalRangeAgg => r.valueExpr
         case o: GlobalOffsetFunction => o.valueExpr
       }.flatMap(_.references))
   override def maxRows: Option[Long] = child.maxRows
@@ -743,7 +890,8 @@ private[plans] object RetainVal extends Serializable {
 private[plans] case class GlobalRankPartStat(
     rows: Long, runs: Long, accs: Array[RunningAcc],
     tail: Array[InternalRow], head: Array[InternalRow],
-    nnTails: Array[Array[Any]], nnHeads: Array[Array[Any]])
+    nnTails: Array[Array[Any]], nnHeads: Array[Array[Any]],
+    rkTails: Array[Array[(Any, RunningAcc)]])
 
 object GlobalRankExec {
   /** Observability for the low-cardinality ORDER BY degrade warning
@@ -853,19 +1001,22 @@ case class GlobalRankExec(
   private val rankFuncs = funcs.collect { case r: GlobalRankFunction => r }
   private val aggFuncs = funcs.collect { case a: GlobalRunningAgg => a }
   private val boundedFuncs = funcs.collect { case b: GlobalBoundedAgg => b }
+  private val rangeKFuncs = funcs.collect { case r: GlobalRangeAgg => r }
 
   /** Tie-run boundaries are needed by the tie-aware ranks AND by any
-    * RANGE-framed running aggregate (peer rows share its value). */
+    * RANGE-framed aggregate (running or value-bounded — peer rows
+    * share its value). */
   private val needRuns = rankFuncs.exists(r =>
     r.kind == "rank" || r.kind == "dense_rank" || r.kind == "percent_rank" ||
       r.kind == "cume_dist") ||
-    aggFuncs.exists(!_.rowsFrame)
+    aggFuncs.exists(!_.rowsFrame) || rangeKFuncs.nonEmpty
 
   /** cume_dist needs the CURRENT run's length before any of its rows
     * emit (numerator = position of the run's LAST peer), so it forces
-    * the run-buffered path even without RANGE aggregates. */
+    * the run-buffered path even without RANGE aggregates; value-
+    * bounded RANGE frames absorb peers the same way. */
   private val anyRangeAgg = aggFuncs.exists(!_.rowsFrame) ||
-    rankFuncs.exists(_.kind == "cume_dist")
+    rankFuncs.exists(_.kind == "cume_dist") || rangeKFuncs.nonEmpty
 
   /** Fresh attrs for the projected order keys, so the tie comparator
     * binds to the key row, not the full child row (no full-row copies
@@ -966,6 +1117,23 @@ case class GlobalRankExec(
     val maxTail = math.max(maxLag, maxBoundedK)
     val nnLagKs = nnLags.map(_.shift)
     val nnLeadKs = nnLeads.map(o => -o.shift)
+    // value-bounded RANGE frames: per-func value projection + the
+    // single order key's type (matcher guarantees orderSpec.length==1
+    // when rks is non-empty)
+    val rks = rangeKFuncs.toArray
+    val rkExprs = rks.map(_.valueExpr).toSeq
+    val rkDts = rks.map(_.valueExpr.dataType)
+    val rkDeltas = rks.map(_.delta)
+    val keyDt0 = order.head.child.dataType
+    val mkRkAcc: Int => RunningAcc = { val fs = rks
+      f => newCommonAcc(fs(f).kind, fs(f).attr.dataType,
+        fs(f).valueExpr.dataType, fs(f).exact).getOrElse(
+          throw new IllegalStateException(
+            s"GlobalRankExec: unknown range aggregate ${fs(f).kind}"))
+    }
+    val mkRkAccs: () => Array[RunningAcc] = { val fs = rks
+      () => Array.tabulate(fs.length)(mkRkAcc)
+    }
 
     // job 1: per-partition row/run counts, aggregate totals, and the
     // boundary slices offsets + bounded frames need — the last
@@ -976,6 +1144,7 @@ case class GlobalRankExec(
         val cmp = RowOrdering.create(keyOrder, ka)
         val aggProj = if (aggs.isEmpty) null else UnsafeProjection.create(aggExprs, childOutput)
         val bndProj = if (bndExprs.isEmpty) null else UnsafeProjection.create(bndExprs, childOutput)
+        val rkProj = if (rks.isEmpty) null else UnsafeProjection.create(rkExprs, childOutput)
         val accs = mkAccs()
         val headBuf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
         val tailDq = new java.util.ArrayDeque[InternalRow]()
@@ -984,6 +1153,29 @@ case class GlobalRankExec(
         // like the row slices
         val nnTailDqs = nnLags.map(_ => scala.collection.mutable.ArrayDeque.empty[Any])
         val nnHeadBufs = nnLeads.map(_ => scala.collection.mutable.ArrayBuffer.empty[Any])
+        // RANGE k PRECEDING boundary slices: per func, the tie runs
+        // still within delta of the partition's last key, compacted to
+        // one (key, acc) entry per run. Null-key runs never enter (the
+        // null peer group's frame is itself, and a null key can never
+        // match a non-null anchor).
+        val rkDqs = rks.map(_ => scala.collection.mutable.ArrayDeque.empty[(Any, RunningAcc)])
+        var rkRunAccs = if (rks.isEmpty) null else mkRkAccs()
+        def closeRkRun(kv: Any): Unit = if (rks.nonEmpty) {
+          if (kv != null) {
+            var f = 0
+            while (f < rks.length) {
+              val dq = rkDqs(f)
+              while (dq.nonEmpty && rkDeltas(f).outside(dq.head._1, kv)) dq.removeHead()
+              dq.append((kv, rkRunAccs(f)))
+              f += 1
+            }
+            rkRunAccs = mkRkAccs()
+          } else {
+            var f = 0
+            while (f < rks.length) { rkRunAccs(f).reset(); f += 1 }
+          }
+        }
+        var prevKeyVal: Any = null
         var n = 0L; var runs = 0L
         var prev: UnsafeRow = null
         while (it.hasNext) {
@@ -991,7 +1183,19 @@ case class GlobalRankExec(
           if (trackRuns) {
             val k = keyProj(row)
             if (prev == null || cmp.compare(prev, k) != 0) {
+              if (prev != null) closeRkRun(prevKeyVal)
               runs += 1; prev = k.copy()
+              if (rks.nonEmpty)
+                prevKeyVal = if (prev.isNullAt(0)) null
+                  else RetainVal(prev.get(0, keyDt0))
+            }
+          }
+          if (rks.nonEmpty) {
+            val rr = rkProj(row)
+            var f = 0
+            while (f < rks.length) {
+              rkRunAccs(f).add(if (rr.isNullAt(f)) null else rr.get(f, rkDts(f)))
+              f += 1
             }
           }
           if (accs.nonEmpty) {
@@ -1032,9 +1236,11 @@ case class GlobalRankExec(
           }
           n += 1L
         }
+        if (prev != null) closeRkRun(prevKeyVal)
         Iterator.single((i, GlobalRankPartStat(n, runs, accs,
           tailDq.toArray(new Array[InternalRow](tailDq.size)), headBuf.toArray,
-          nnTailDqs.map(_.toArray), nnHeadBufs.map(_.toArray))))
+          nnTailDqs.map(_.toArray), nnHeadBufs.map(_.toArray),
+          rkDqs.map(_.toArray))))
       }
       .collect().sortBy(_._1).map(_._2)
 
@@ -1125,12 +1331,38 @@ case class GlobalRankExec(
       }
       out
     }
+    // RANGE k PRECEDING prefix slices: per func, the runs from ALL
+    // previous partitions still within delta of the running last key —
+    // concatenating per-partition deques in order with the same
+    // eviction is exact (keys are globally sorted across the range
+    // exchange, so once a run leaves the window it never returns)
+    val prefixRkTails: Array[Array[Array[(Any, RunningAcc)]]] = {
+      val out = new Array[Array[Array[(Any, RunningAcc)]]](stats.length)
+      val dqs = rks.map(_ => scala.collection.mutable.ArrayDeque.empty[(Any, RunningAcc)])
+      var i = 0
+      while (i < stats.length) {
+        out(i) = dqs.map(_.toArray)
+        var f = 0
+        while (f < rks.length) {
+          stats(i).rkTails(f).foreach { case (k, a) =>
+            val dq = dqs(f)
+            while (dq.nonEmpty && rkDeltas(f).outside(dq.head._1, k)) dq.removeHead()
+            dq.append((k, a))
+          }
+          f += 1
+        }
+        i += 1
+      }
+      out
+    }
     // BROADCAST the per-partition state (O(P × (|aggs| + maxLag +
-    // maxLead + Σk_nn)) objects): in the task closure it would
-    // serialize into EVERY task — O(P²) aggregate shipping at cluster
-    // scale (review r16 finding). Tasks only read it, never mutate.
+    // maxLead + Σk_nn + range-window runs)) objects): in the task
+    // closure it would serialize into EVERY task — O(P²) aggregate
+    // shipping at cluster scale (review r16 finding). Tasks only read
+    // it, never mutate.
     val bcState = sparkContext.broadcast(
-      (prefixAccs, prefixTails, suffixHeads, prefixNnTails, suffixNnHeads))
+      (prefixAccs, prefixTails, suffixHeads, prefixNnTails, suffixNnHeads,
+        prefixRkTails))
 
     // degrade visibility: K distinct order keys < target partitions
     // means the range exchange degenerated to ≤K tasks on the whole
@@ -1174,6 +1406,13 @@ case class GlobalRankExec(
       var j = -1
       funcs.map {
         case _: GlobalRunningAgg => j += 1; j
+        case _ => -1
+      }.toArray
+    }
+    val slotRk: Array[Int] = {
+      var j = -1
+      funcs.map {
+        case _: GlobalRangeAgg => j += 1; j
         case _ => -1
       }.toArray
     }
@@ -1225,8 +1464,8 @@ case class GlobalRankExec(
         childOutput ++ funcs.map(_.attr), childOutput ++ funcs.map(_.attr))
       val rowOff = rowOffsets(i)
       val runOff = runOffsets(i)
-      val (prefixAccsB, prefixTailsB, suffixHeadsB, prefixNnTailsB, suffixNnHeadsB) =
-        bcState.value
+      val (prefixAccsB, prefixTailsB, suffixHeadsB, prefixNnTailsB, suffixNnHeadsB,
+        prefixRkTailsB) = bcState.value
       // start from a FRESH state merged with the prefix: tasks must
       // never mutate the broadcast prefix objects (attempt re-runs)
       val rowsAccs = mkAccs()
@@ -1237,6 +1476,17 @@ case class GlobalRankExec(
       }
       var localIdx = 0L; var runStart = 0L; var localRuns = 0L
       var runLen = 0L // current tie run's length (run-buffered path only)
+
+      // value-bounded RANGE frames: per-func (key, acc) deque seeded
+      // with the cross-partition prefix slice; one value per tie run
+      val rkProj = if (rks.isEmpty) null else UnsafeProjection.create(rkExprs, childOutput)
+      var rkRunAccs = if (rks.isEmpty) null else mkRkAccs()
+      val rkDqs = rks.indices.map { f =>
+        val dq = scala.collection.mutable.ArrayDeque.empty[(Any, RunningAcc)]
+        prefixRkTailsB(i)(f).foreach(dq.append)
+        dq
+      }.toArray
+      val rkValues = new Array[Any](rks.length)
 
       def extract(ar: InternalRow, j: Int): Any =
         if (ar.isNullAt(j)) null else ar.get(j, aggDts(j))
@@ -1345,6 +1595,10 @@ case class GlobalRankExec(
           if (a >= 0) {
             funcRow.update(c,
               if (rowsFrames(a)) rowsAccs(a).value else rangeAccs(a).value)
+          } else if (slotRk(c) >= 0) {
+            // value-bounded RANGE frame: one value per tie run,
+            // computed by fillRun before any of the run's rows emit
+            funcRow.update(c, rkValues(slotRk(c)))
           } else if (slotRank(c) == null) {
             // offset or bounded-sliding slot: written by fillOffsets /
             // the delay wrapper
@@ -1428,12 +1682,22 @@ case class GlobalRankExec(
           // absorb-on-add: RANGE accs take each peer as it is buffered
           // (one pass), not from a second in-memory sweep — the
           // spillable buffer is only replayed for EMISSION
-          private def absorb(r: InternalRow): Unit = if (aggs.nonEmpty) {
-            val ar = aggProj(r)
-            var a = 0
-            while (a < aggs.length) {
-              if (!rowsFrames(a)) rangeAccs(a).add(extract(ar, a))
-              a += 1
+          private def absorb(r: InternalRow): Unit = {
+            if (aggs.nonEmpty) {
+              val ar = aggProj(r)
+              var a = 0
+              while (a < aggs.length) {
+                if (!rowsFrames(a)) rangeAccs(a).add(extract(ar, a))
+                a += 1
+              }
+            }
+            if (rks.nonEmpty) {
+              val rr = rkProj(r)
+              var f = 0
+              while (f < rks.length) {
+                rkRunAccs(f).add(if (rr.isNullAt(f)) null else rr.get(f, rkDts(f)))
+                f += 1
+              }
             }
           }
 
@@ -1477,6 +1741,32 @@ case class GlobalRankExec(
             }
             // run boundary: update the rank run trackers + telemetry
             runStart = localIdx; localRuns += 1; runLen = buf.length
+            // value-bounded RANGE frames: the run is fully absorbed,
+            // so compute each func's ONE value for this run — evict
+            // window entries outside delta of the run key, merge the
+            // surviving (older-run) accs oldest-first, then this run's
+            // own acc; a null run key is its own peer group (Spark's
+            // observed null semantics) and never enters the window
+            if (rks.nonEmpty) {
+              val kv = if (runKey.isNullAt(0)) null
+                else RetainVal(runKey.get(0, keyDt0))
+              var f = 0
+              while (f < rks.length) {
+                if (kv == null) rkValues(f) = rkRunAccs(f).value
+                else {
+                  val dq = rkDqs(f)
+                  while (dq.nonEmpty && rkDeltas(f).outside(dq.head._1, kv))
+                    dq.removeHead()
+                  val res = mkRkAcc(f)
+                  dq.foreach { case (_, a) => res.merge(a) }
+                  res.merge(rkRunAccs(f))
+                  rkValues(f) = res.value
+                  dq.append((kv, rkRunAccs(f)))
+                }
+                f += 1
+              }
+              rkRunAccs = mkRkAccs()
+            }
             if (buf.length >= bigRunWarnRows) {
               bigTieRuns += 1
               GlobalRankExec.bigRunWarnCount.incrementAndGet()

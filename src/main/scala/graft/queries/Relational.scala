@@ -767,6 +767,42 @@ object Relational {
   def gr10IgnoreNullsSql(spark0: SparkSession, dir: String): DataFrame =
     rewrittenOracle(spark0, dir, "gr10_orders", gr10Sql(_, duck = false), "gr10")
 
+  /** The gr11 value-bounded RANGE frame SQL (round-18 exclusion-list
+    * shrink), shared VERBATIM with the DuckDB oracle: the time-windowed
+    * trailing aggregate — `RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND
+    * CURRENT ROW` over the daily revenue series (the moving-average
+    * idiom the ROWS form cannot express when days are missing). `d` is
+    * unique after the GROUP BY so the peer-absorption rule is moot
+    * here (tie runs are spec'd separately); window double sums merge
+    * per-run subtotals vs the plain engines' sequential re-adds — the
+    * documented partial-aggregation ulp class, absorbed by ROUND
+    * (gr2's discipline); the count is CAST BIGINT against DuckDB's
+    * HUGEINT. */
+  private def gr11Sql(table: String): String =
+    s"""WITH t AS (SELECT o_orderdate AS d,
+       |    ROUND(SUM(o_totalprice), 4) AS rev
+       |  FROM $table GROUP BY o_orderdate)
+       |SELECT d, rev,
+       |  ROUND(SUM(rev) OVER (ORDER BY d
+       |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 4) AS ma7,
+       |  CAST(COUNT(*) OVER (ORDER BY d
+       |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n7,
+       |  ROUND(AVG(rev) OVER (ORDER BY d
+       |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 6) AS avg7,
+       |  ROUND(MIN(rev) OVER (ORDER BY d
+       |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 4) AS min30,
+       |  ROUND(MAX(rev) OVER (ORDER BY d
+       |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 4) AS max30
+       |FROM t""".stripMargin
+
+  /** Value-bounded RANGE frames through the automatic rewrite under
+    * the driver's hash gate — same isolated-session + fired-plan
+    * discipline as gr1–gr10. Cross-partition state is the per-run
+    * compacted (key, accumulator) deque of runs still within the value
+    * window of each partition's last key. */
+  def gr11RangeFrameSql(spark0: SparkSession, dir: String): DataFrame =
+    rewrittenOracle(spark0, dir, "gr11_orders", gr11Sql, "gr11")
+
   /** Calendar seasonality: revenue by day-of-week. The trap this key
     * pins: weekday NUMBERING is engine-specific (Spark `weekday` is
     * Monday=0; Spark `dayofweek` is Sunday=1; DuckDB `dow` is
@@ -1180,6 +1216,7 @@ object Relational {
     "gr8_nth_value_sql" -> gr8Sql("orders"),
     "gr9_decimal_avg_sql" -> gr9Sql("orders"),
     "gr10_ignore_nulls_sql" -> gr10Sql("orders", duck = true),
+    "gr11_range_frame_sql" -> gr11Sql("orders"),
     "w5_spend_deciles" ->
       """WITH t AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
         |  FROM orders GROUP BY o_custkey),
@@ -1738,6 +1775,7 @@ object Relational {
     "gr8_nth_value_sql" -> (gr8NthValueSql _),
     "gr9_decimal_avg_sql" -> (gr9DecimalAvgSql _),
     "gr10_ignore_nulls_sql" -> (gr10IgnoreNullsSql _),
+    "gr11_range_frame_sql" -> (gr11RangeFrameSql _),
     "cal1_dow_revenue" -> (cal1DowRevenue _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),

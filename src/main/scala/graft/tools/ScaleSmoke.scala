@@ -1599,6 +1599,69 @@ object ScaleSmoke {
       println("SCALE ignorenulls: lag/lead IGNORE NULLS EXACT-equal on 10M rows")
     }
 
+    // --- rangewin: value-bounded RANGE frames at 10M ----------------------
+    // (VERDICT r17 item 3 done-criterion) RANGE BETWEEN 90 PRECEDING
+    // AND CURRENT ROW over a long key with 3-row tie runs (peer
+    // absorption exercised ~3.3M times): exact families (long sum,
+    // count, min, max) value-checked EXACT-equal against the plain
+    // single-partition window; the double avg carries the documented
+    // per-run-subtotal ulp class (1e-9 tolerance). The plain window
+    // recomputes each frame move over its buffer (O(n·w) single task);
+    // the rewrite pays O(runs · window-entries) spread over 32 tasks.
+    if (want("rangewin")) {
+      graft.functions.GraftFunctions.register(spark)
+      ensureCust10m()
+      spark.read.parquet(s"$outDir/cust10m.parquet")
+        .withColumn("key", (col("k") / 3L).cast("long"))
+        .withColumn("cents", floor(col("spend") * lit(100) + lit(0.5)).cast("long"))
+        .createOrReplaceTempView("rw10m")
+      val rwSql =
+        """SELECT k,
+          |  SUM(cents) OVER (ORDER BY key RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS s90,
+          |  COUNT(*)   OVER (ORDER BY key RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS c90,
+          |  MIN(cents) OVER (ORDER BY key RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS mn90,
+          |  MAX(cents) OVER (ORDER BY key RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS mx90,
+          |  AVG(cents) OVER (ORDER BY key RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS a30
+          |FROM rw10m""".stripMargin
+      def consumeRw(df: DataFrame): Long =
+        df.agg(sum(col("s90")), sum(col("c90")), sum(col("mn90")), sum(col("mx90")),
+          sum(col("a30")), count(lit(1)).as("n")).head.getLong(5)
+      timed("rangewin_sql_10m") {
+        val df = spark.sql(rwSql)
+        val p = df.queryExecution.executedPlan.toString
+        require(p.contains("GlobalRank") && !p.contains("SinglePartition"),
+          "RANGE value frames did not rewrite:\n" + p.take(3000))
+        consumeRw(df)
+      }
+      spark.sql(rwSql).write.mode("overwrite")
+        .parquet(s"$outDir/rangewin_auto.parquet")
+      spark.conf.set(graft.operators.RangeRank.MinBytesKey, Long.MaxValue.toString)
+      try {
+        timed("rangewin_plainwin_10m") {
+          val df = spark.sql(rwSql)
+          require(!df.queryExecution.executedPlan.toString.contains("GlobalRank"))
+          consumeRw(df)
+        }
+        spark.sql(rwSql).write.mode("overwrite")
+          .parquet(s"$outDir/rangewin_plain.parquet")
+      } finally spark.conf.unset(graft.operators.RangeRank.MinBytesKey)
+      val a = spark.read.parquet(s"$outDir/rangewin_auto.parquet").alias("a")
+      val p = spark.read.parquet(s"$outDir/rangewin_plain.parquet").alias("p")
+      val cmp = a.join(p, "k").agg(
+        sum(when(col("a.s90") <=> col("p.s90") && col("a.c90") <=> col("p.c90") &&
+          col("a.mn90") <=> col("p.mn90") && col("a.mx90") <=> col("p.mx90"), 0)
+          .otherwise(1)).as("exact_bad"),
+        max(abs(col("a.a30") - col("p.a30"))).as("avg_maxdiff"),
+        count(lit(1)).as("n")).head
+      require(cmp.getLong(2) == 10000000L, s"join lost rows: ${cmp.getLong(2)}")
+      require(cmp.getLong(0) == 0L,
+        s"RANGE exact families diverged on ${cmp.getLong(0)} rows")
+      require(cmp.getDouble(1) < 1e-9,
+        s"RANGE avg beyond ulp class: ${cmp.getDouble(1)}")
+      println(f"SCALE rangewin: sum/count/min/max EXACT-equal on 10M rows; " +
+        f"avg max abs diff ${cmp.getDouble(1)}%.2e (per-run-subtotal ulp class)")
+    }
+
     // --- repairwj: the window/join repair extension at 10M ---------------
     // (VERDICT r16 item 4) Divergently-pruned duplicate Window and Join
     // subtrees are the same reuse-defeated class as the aggregates the

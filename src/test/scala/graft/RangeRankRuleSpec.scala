@@ -117,12 +117,15 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
         """SELECT sum(score) OVER (ORDER BY id
           |  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM rr_rule_t""".stripMargin))
       assert(p2.contains("Window") && !p2.contains("GlobalRank"), p2)
-      // value-based RANGE k PRECEDING: untouched (only the ROWS form
-      // is a boundary-slice frame)
+      // value-based RANGE k PRECEDING: SUPPORTED since r18 (per-run
+      // compacted value-window deque; parity is the dedicated r18
+      // specs' job) — multi-key ORDER BY RANGE frames are anyway
+      // rejected by the analyzer, so the remaining exclusions are
+      // year-month intervals and TRY-mode sums
       val p2r = plan(spark.sql(
         """SELECT sum(score) OVER (ORDER BY id
           |  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS s FROM rr_rule_t""".stripMargin))
-      assert(p2r.contains("Window") && !p2r.contains("GlobalRank"), p2r)
+      assert(p2r.contains("GlobalRank") && !p2r.contains("Window"), p2r)
       // unsupported running aggregate (skewness — not prefix-handled
       // here): untouched
       val p2b = plan(spark.sql(
@@ -888,6 +891,112 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
           "SELECT lag(v, 9) IGNORE NULLS OVER (ORDER BY id) AS x FROM rr_nn_t"))
         assert(p1.contains("Window") && !p1.contains("GlobalRank"), p1)
       } finally spark.conf.unset(graft.plans.GlobalRankExec.MaxOffsetKey)
+    }
+  }
+
+  // --- value-bounded RANGE k PRECEDING frames (r18) -----------------------
+
+  test("RANGE value frames: long key with ties, ASC and DESC, exact vs plain window (r18)") {
+    // duplicate keys (ties of ~41 rows): RANGE upper CURRENT ROW
+    // absorbs the whole peer run — the per-run value must include
+    // FOLLOWING peers, across 4-way range-partition boundaries
+    frame.createOrReplaceTempView("rr_rule_t")
+    val sql =
+      """SELECT id, score,
+        |  sum(id)   OVER (ORDER BY score RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS s5,
+        |  count(*)  OVER (ORDER BY score RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS c5,
+        |  min(id)   OVER (ORDER BY score RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS mn,
+        |  max(tag)  OVER (ORDER BY score RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS mx,
+        |  sum(id)   OVER (ORDER BY score DESC RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS sd,
+        |  sum(id)   OVER (ORDER BY score RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS peers
+        |FROM rr_rule_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(rewritten == baseline)
+  }
+
+  test("RANGE value frames: timestamp + INTERVAL, date + days, null keys (r18)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 3000).toDF("i")
+      .withColumn("ts", when(col("i") % 97 =!= 0L,
+        expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, i * 1000)")))
+      .withColumn("d", when(col("i") % 89 =!= 0L,
+        expr("date'2024-01-01' + cast(i % 400 as int)")))
+      .withColumn("v", (col("i") % 1000).cast("long"))
+    df.createOrReplaceTempView("rr_rng_t")
+    val sql =
+      """SELECT i,
+        |  sum(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW) AS sh,
+        |  count(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 45 MINUTE PRECEDING AND CURRENT ROW) AS cm,
+        |  sum(v) OVER (ORDER BY d RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS sd,
+        |  max(v) OVER (ORDER BY d RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS md
+        |FROM rr_rng_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val q = spark.sql(sql)
+      (plan(q), q.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(rewritten == baseline)
+  }
+
+  test("RANGE value frames: double sums carry the partial-agg ulp class; doubles-exact families agree (r18)") {
+    frame.createOrReplaceTempView("rr_rule_t")
+    val sql =
+      """SELECT id,
+        |  sum(id * 0.5e0) OVER (ORDER BY score RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS sv,
+        |  avg(id * 0.5e0) OVER (ORDER BY score RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS av
+        |FROM rr_rule_t""".stripMargin
+    val baseline = spark.sql(sql).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rewritten = withOpenGate {
+      val df = spark.sql(sql)
+      assert(plan(df).contains("GlobalRank"))
+      df.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    }
+    baseline.foreach { case (id, (s, a)) =>
+      val (s2, a2) = rewritten(id)
+      assert(math.abs(s - s2) <= math.max(1e-9, math.abs(s) * 1e-12), s"id=$id sum $s vs $s2")
+      assert(math.abs(a - a2) <= math.max(1e-9, math.abs(a) * 1e-12), s"id=$id avg $a vs $a2")
+    }
+  }
+
+  test("RANGE value frames compose with ranks, running aggs and offsets in one window (r18)") {
+    frame.createOrReplaceTempView("rr_rule_t")
+    val sql =
+      """SELECT id,
+        |  rank()    OVER (ORDER BY score) AS rk,
+        |  sum(id)   OVER (ORDER BY score) AS cum,
+        |  sum(id)   OVER (ORDER BY score RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s3,
+        |  lag(id, 2) OVER (ORDER BY score) AS lg
+        |FROM rr_rule_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(rewritten == baseline)
+  }
+
+  test("RANGE value-frame shapes the rewrite must NOT take stay on the plain window (r18)") {
+    frame.createOrReplaceTempView("rr_rule_t")
+    withOpenGate {
+      // year-month interval bound over a timestamp key: calendar-
+      // dependent delta, excluded
+      spark.range(10).toDF("i")
+        .selectExpr("timestamp'2024-01-01' + make_interval(0,0,0, cast(i as int)) AS ts", "i AS v")
+        .createOrReplaceTempView("rr_rng_ym")
+      val p1 = plan(spark.sql(
+        """SELECT sum(v) OVER (ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS s
+          |FROM rr_rng_ym""".stripMargin))
+      assert(p1.contains("Window") && !p1.contains("GlobalRank"), p1)
     }
   }
 
