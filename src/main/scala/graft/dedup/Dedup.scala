@@ -647,7 +647,8 @@ object Dedup {
    * fixpoint loop (iteration count is fixed). The only driver scalar
    * is the node count.
    */
-  def pairPageRank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+  def pairPageRank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85,
+      decimals: Int = 6): DataFrame = {
     val edges = materialize(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -656,12 +657,20 @@ object Dedup {
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val n = nodes.count()
     require(n > 0, "pairPageRank: empty pair graph")
+    // the drift-reset quantum must stay well below 1/n or the rounding
+    // ZEROES every rank (found by the round-18 5M-node skew smoke:
+    // 1/5e6 = 2e-7 rounds to 0 at 6 decimals). The default keeps the
+    // pr1 oracle's 6-dp contract for small graphs; big graphs must
+    // pass more decimals — loud refusal beats silent zeros.
+    require(math.pow(10.0, -decimals) * n <= 0.1,
+      s"pairPageRank: rounding quantum 1e-$decimals too coarse for $n nodes " +
+        s"(quantum must be <= 0.1/n); pass decimals >= ${math.ceil(math.log10(n * 10.0)).toInt}")
     // op-sequence contract with the oracle: oneMinus is computed HERE
     // (1.0 - damping is NOT the literal 0.15 in binary64) and both
     // engines evaluate oneMinus / N and damping * sum identically
     val oneMinus = 1.0 - damping
     var state = materialize(nodes.select(col("src").as("id"), col("deg"),
-      round(lit(1.0) / n, 6).as("r")))
+      round(lit(1.0) / n, decimals).as("r")))
     (1 to iters).foreach { _ =>
       val contribs = edges
         .join(state.select(col("id").as("src"), (col("r") / col("deg")).as("c")),
@@ -670,8 +679,8 @@ object Dedup {
       state = materialize(state.select(col("id"), col("deg"))
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"), col("deg"),
-          round(lit(oneMinus) / n + lit(damping) * coalesce(col("inmass"), lit(0.0)), 6)
-            .as("r")))
+          round(lit(oneMinus) / n + lit(damping) * coalesce(col("inmass"), lit(0.0)),
+            decimals).as("r")))
     }
     state.select(col("id").as("doc_id"), col("deg"), col("r").as("pagerank6"))
   }

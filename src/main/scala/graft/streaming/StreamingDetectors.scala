@@ -351,6 +351,163 @@ object StreamingDetectors {
     * session window with `hoursToStop` gap per series — the streaming
     * twin of the storm group-merge. Emits one row per finalized
     * session (append mode requires the watermark). */
+  /** Per-series buffered state for [[spikeValley]]: the series so far
+    * as (micros, value) plus the emission frontier (absolute index of
+    * the first not-yet-emitted position). */
+  final case class SvState(rows: List[(Long, Option[Double])], emittedUpTo: Int)
+
+  /**
+   * Spike-valley detector as a stream (round 18 — the last detector
+   * without a streaming twin). find_peaks needs LOOKAHEAD, and the
+   * lookahead is DATA-bounded, not time-bounded: a peak's prominence
+   * scan extends right until a strictly higher value (or a NaN, which
+   * stops the `<= height` scan identically) appears — so a
+   * watermark alone cannot finalize a peak (more data inside any
+   * delay can still deepen an open peak's right base and change its
+   * width). This variant therefore emits on DATA-FINALITY, which
+   * gives EXACT batch parity for everything emitted:
+   *
+   *  - per-series state buffers the series seen so far (the same
+   *    one-series-fits-an-executor assumption the batch kernel makes
+   *    — SpikeValley.scala; station series are 10³–10⁴ points);
+   *  - each trigger re-runs the batch mask over the buffer and takes
+   *    the STABLE prefix: every position more than ceil(widthMax)+1
+   *    samples before the earliest OPEN candidate, where open =
+   *    a local maximum (of the series, or of its sign-flip for
+   *    valleys) with no strictly-higher (resp. lower) value after it,
+   *    or the trailing equal-value plateau (a future sample can turn
+   *    it into a peak whose midpoint reaches back). Prominence only
+   *    GROWS as a right base extends and kept widths are capped at
+   *    widthMax, so nothing outside that reach can repaint the stable
+   *    prefix — emitted events are the batch's own, bit for bit;
+   *  - flagged runs CLOSED inside the stable prefix emit; the open
+   *    tail (typically the last few samples, or a monotone tail whose
+   *    top peak never sees a higher value) stays pending until data
+   *    closes it — the documented "minus the open tail" delta vs
+   *    batch.
+   *
+   * Contract: rows must arrive in per-series event-time order ACROSS
+   * batches (in-batch disorder is sorted away) — chain
+   * [[StreamingReorder.reorderByEventTime]] for general feeds, same
+   * as [[runEvents]].
+   */
+  def spikeValley(
+      height: Option[Double] = None,
+      threshold: Option[Double] = None,
+      prominence: Option[Double] = Some(100.0),
+      widthMin: Double = 0.0,
+      widthMax: Double = 3.0)(ts: DataFrame): DataFrame = {
+    val params = graft.operators.FindPeaks.Params(
+      height, threshold, prominence, widthMin, widthMax)
+    val reach = math.ceil(widthMax).toInt + 1
+    val spark = ts.sparkSession
+    import spark.implicits._
+
+    ts.select(col("series_id"), col("ts"), col("value"))
+      .as[(String, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (sid: String,
+         rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
+         state: GroupState[SvState]) => {
+          val incoming = rows.map { case (_, t, v) =>
+            (graft.operators.TimeMicros.micros(t), v)
+          }.toList
+          val prev = state.getOption
+          val all = (prev.map(_.rows).getOrElse(Nil) ++ incoming).sortBy(_._1)
+          val emitted0 = prev.map(_.emittedUpTo).getOrElse(0)
+          val xs = all.map(_._2.getOrElse(Double.NaN)).toArray
+          val n = xs.length
+
+          // earliest UNDECIDED local maximum. A maximum is right-open
+          // when no strictly-higher value (a NaN counts as +Inf — it
+          // stops the prominence scan exactly like a higher value)
+          // exists to its right; but a right-open maximum is still
+          // DECIDED when (a) the local height/threshold filters
+          // exclude it (final — they never change), or (b) its width
+          // at the CURRENT bases already exceeds widthMax: prominence
+          // only grows as the right base extends, so the crossing
+          // height only drops and width only grows — once past the
+          // cap it is painted never (this is what retires the
+          // global-minimum valleys a snow series holds open forever).
+          // A prominence-filter failure does NOT decide (prominence
+          // grows, it may pass later); a width below widthMin does
+          // not either (it may grow into range).
+          def earliestOpenPeak(x: Array[Double]): Int = {
+            val sh = new Array[Double](x.length + 1)
+            sh(x.length) = Double.NegativeInfinity
+            var j = x.length - 1
+            while (j >= 0) {
+              val v = if (x(j).isNaN) Double.PositiveInfinity else x(j)
+              sh(j) = math.max(v, sh(j + 1)); j -= 1
+            }
+            var maxima = graft.operators.FindPeaks.localMaxima(x)
+            params.height.foreach { hMin =>
+              maxima = maxima.filter(p => x(p) >= hMin)
+            }
+            params.threshold.foreach { tMin =>
+              maxima = maxima.filter(p =>
+                math.min(x(p) - x(p - 1), x(p) - x(p + 1)) >= tMin)
+            }
+            val rightOpen = maxima.filter(p => sh(p + 1) <= x(p))
+            if (rightOpen.isEmpty) Int.MaxValue
+            else {
+              val proms = graft.operators.FindPeaks.prominences(x, rightOpen)
+              rightOpen.indices.iterator
+                .filter { i =>
+                  graft.operators.FindPeaks.width(
+                    x, rightOpen(i), proms(i), params.relHeight) <= params.widthMax
+                }
+                .map(rightOpen(_))
+                .foldLeft(Int.MaxValue)(math.min)
+            }
+          }
+          val openIdx =
+            if (n == 0) 0
+            else {
+              // trailing equal-value plateau (NaN != NaN breaks it)
+              var t = n - 1
+              while (t > 0 && xs(t - 1) == xs(t)) t -= 1
+              math.min(t, math.min(earliestOpenPeak(xs),
+                earliestOpenPeak(xs.map(v => -v))))
+            }
+          val stableEnd = math.max(0, math.min(openIdx.toLong - reach, n.toLong)).toInt
+
+          val out = Array.newBuilder[Event]
+          var newEmitted = emitted0
+          if (n >= 3 && stableEnd > emitted0) {
+            val mask = graft.operators.FindPeaks.spikeValleyMask(xs, params)
+            var i = emitted0
+            while (i < stableEnd) {
+              if (mask(i)) {
+                var j = i
+                while (j + 1 < n && mask(j + 1)) j += 1
+                if (j + 1 < stableEnd) {
+                  var total = 0.0; var any = false
+                  var k = i
+                  while (k <= j) {
+                    val v = xs(k)
+                    if (!v.isNaN) { total += v; any = true }
+                    k += 1
+                  }
+                  out += Event(sid, "spike_valley",
+                    graft.operators.TimeMicros.timestamp(all(i)._1),
+                    graft.operators.TimeMicros.timestamp(all(j)._1),
+                    all(j)._1 - all(i)._1,
+                    (j - i + 1).toLong, if (any) Some(total) else None)
+                  newEmitted = j + 1
+                  i = j + 1
+                } else i = stableEnd // straddling run: wait for finality
+              } else i += 1
+            }
+          }
+          state.update(SvState(all, newEmitted))
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   def stormSessions(
       instantMassToStart: Double,
       hoursToStop: Double,

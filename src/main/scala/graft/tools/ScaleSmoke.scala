@@ -1662,6 +1662,81 @@ object ScaleSmoke {
         f"avg max abs diff ${cmp.getDouble(1)}%.2e (per-run-subtotal ulp class)")
     }
 
+    // --- graph10m: the iterative graph family at 10M edges + hub skew ----
+    // (VERDICT r17 item 4) cc1/lp1/kc1/bfs1/pr1 are the five most
+    // expensive bench keys and the ones round-17's bench ambiguity
+    // landed on; their scale claims rested on 1M-edge smokes. This
+    // section runs the family at 10M edges over 5M nodes with a
+    // 100K-SPOKE HUB (node 0 — a single join key carrying 100k edges,
+    // the adversarial skew shape) under the CLUSTER posture
+    // (checkpoint materialize mode + AQE skew-join, GraftConf.cluster),
+    // and ASSERTS no straggler: every stage with >= 8 tasks and >= 3 s
+    // of total work must keep max-task <= 10x mean-task.
+    if (want("graph10m")) {
+      graft.functions.GraftFunctions.register(spark)
+      ensureParquet("graph10m.parquet")(
+        spark.range(9900000L).select(
+          pmod(xxhash64(col("id") * 31L + 7L), lit(5000000L)).as("doc_a"),
+          pmod(xxhash64(col("id") * 131L + 11L), lit(5000000L)).as("doc_b"))
+        .unionByName(spark.range(100000L).select(
+          lit(0L).as("doc_a"), (col("id") + 5000000L).as("doc_b"))))
+      val pairs = spark.read.parquet(s"$outDir/graph10m.parquet")
+      val docs = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val ckpt = s"$outDir/graph10m_ckpt"
+      spark.sparkContext.setCheckpointDir(ckpt)
+      val prevMode = spark.conf.getOption(graft.Materialize.ModeKey)
+      spark.conf.set(graft.Materialize.ModeKey, "checkpoint")
+      def assertNoStraggler(label: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val bad = peaks.stages.asScala.collect {
+          case (id, (mx, cnt, sum)) if cnt >= 8 && sum >= 3000 && mx > 10 * (sum / cnt) =>
+            f"stage$id max=${mx / 1000.0}%.1fs mean=${sum / cnt / 1000.0}%.1fs n=$cnt"
+        }
+        require(bad.isEmpty, s"$label stragglers under hub skew: ${bad.mkString("; ")}")
+        println(s"SCALE $label straggler-check: clean (hub key 100k-wide)")
+      }
+      try {
+        timed("graph10m_cc1", runs = 1) {
+          val c = graft.dedup.Dedup.dedupClusters(docs, pairs)
+          val r = c.agg(countDistinct(col("cluster_id")).as("k"),
+            count(lit(1)).as("n")).head
+          println(s"SCALE graph10m_cc1 clusters=${r.getLong(0)} nodes=${r.getLong(1)}")
+          r.getLong(1)
+        }
+        assertNoStraggler("graph10m_cc1")
+        timed("graph10m_lp1", runs = 1) {
+          graft.dedup.Dedup.labelPropagation(pairs, rounds = 3).count()
+        }
+        assertNoStraggler("graph10m_lp1")
+        timed("graph10m_kc1", runs = 1) {
+          graft.dedup.Dedup.kCore(pairs, k = 2, rounds = 3).where(col("in_core")).count()
+        }
+        assertNoStraggler("graph10m_kc1")
+        timed("graph10m_bfs1", runs = 1) {
+          graft.dedup.Dedup.bfsDistance(pairs, _ === 0L, maxHops = 3)
+            .where(col("dist").isNotNull).count()
+        }
+        assertNoStraggler("graph10m_bfs1")
+        timed("graph10m_pr1", runs = 1) {
+          // decimals = 12: the 6-dp oracle quantum is coarser than
+          // 1/n at 5M nodes and would zero every rank (the require in
+          // pairPageRank, added for exactly this smoke's finding)
+          val pr = graft.dedup.Dedup.pairPageRank(pairs, iters = 3, decimals = 12)
+          val hub = pr.where(col("doc_id") === 0L).head
+          println(s"SCALE graph10m_pr1 hub deg=${hub.getLong(1)} rank=${hub.getDouble(2)}")
+          require(hub.getDouble(2) > 0.0, "hub rank zeroed — rounding quantum too coarse")
+          pr.count()
+        }
+        assertNoStraggler("graph10m_pr1")
+      } finally {
+        prevMode match {
+          case Some(m) => spark.conf.set(graft.Materialize.ModeKey, m)
+          case None => spark.conf.unset(graft.Materialize.ModeKey)
+        }
+      }
+    }
+
     // --- repairwj: the window/join repair extension at 10M ---------------
     // (VERDICT r16 item 4) Divergently-pruned duplicate Window and Join
     // subtrees are the same reuse-defeated class as the aggregates the

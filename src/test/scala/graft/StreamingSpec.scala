@@ -35,6 +35,95 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  private lazy val flvPoints: Array[TsPoint] = {
+    import org.apache.spark.sql.functions._
+    val path = getClass.getResource("/flv.csv").getPath
+    spark.read.option("header", "true").csv(path)
+      .select(
+        lit("FLV").as("series_id"),
+        to_timestamp(col("datetime"), "yyyy-MM-dd HH:mm:ssXXX").as("ts"),
+        col("SNOWDEPTH").cast("double").as("value"))
+      .as[TsPoint](org.apache.spark.sql.Encoders.product[TsPoint])
+      .collect().sortBy(_.ts.getTime)
+  }
+
+  test("streaming spike-valley: replayed flv matches batch exactly once data-closed (r18)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // closing sentinels: a strictly-higher then strictly-lower sample
+    // finalize every open peak/valley in the raw series, so the whole
+    // raw region (minus the reach margin) becomes data-final
+    val raw = flvPoints
+    val vs = raw.flatMap(_.value)
+    val dayMs = 86400000L
+    val augmented = raw ++ Seq(
+      TsPoint("FLV", new java.sql.Timestamp(raw.last.ts.getTime + dayMs), Some(vs.max + 1000.0)),
+      TsPoint("FLV", new java.sql.Timestamp(raw.last.ts.getTime + 2 * dayMs), Some(vs.min - 1000.0)))
+    val input = MemoryStream[TsPoint]
+    val q = StreamingDetectors.spikeValley()(input.toDF())
+      .writeStream.format("memory").queryName("ssv").outputMode(OutputMode.Append()).start()
+    try {
+      augmented.grouped(60).foreach { chunk =>
+        input.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.sql("select * from ssv").as[Event].collect()
+        .toSeq.sortBy(_.start.getTime)
+      // the open frontier of the augmented series is the high sentinel
+      // (index n_raw); stable prefix ends reach = ceil(3)+1 = 4 before
+      // it, so events whose closing sample sits at raw index
+      // <= n_raw - 6 are final — boundary by STOP index <= n_raw - 7
+      val boundary = raw(raw.length - 7).ts.getTime
+      val batchAug = collectEvents(
+        graft.operators.SpikeValleyEvents().detect(augmented.toSeq.toDF()))
+      val expected = batchAug.filter(_.stop.getTime <= boundary)
+      assert(streamed == expected,
+        s"streamed=${streamed.map(_.start)} expected=${expected.map(_.start)}")
+      // of the reference's 11 golden raw events, the closure leaves 10
+      // untouched and they are all emitted bit-for-bit (duration,
+      // n_points, NaN-skip total included). The 11th (2023-04-23, a
+      // late-melt valley) is genuinely DATA-OPEN at raw end — its
+      // prominence base extends to the series edge, so ANY further
+      // sample (including the closing sentinel) legitimately changes
+      // its width: the raw batch event is provisional, and streaming
+      // withholding it is the correct call, not a loss.
+      val batchRaw = collectEvents(
+        graft.operators.SpikeValleyEvents().detect(raw.toSeq.toDF()))
+      assert(batchRaw.length == 11)
+      val stable = batchRaw.filter(batchAug.contains)
+      assert(stable.length == 10, s"closure changed ${11 - stable.length} goldens")
+      assert(stable.forall(streamed.contains), "a stable golden event is missing")
+    } finally q.stop()
+  }
+
+  test("streaming spike-valley: without closure the open tail stays pending (r18)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val raw = flvPoints
+    val input = MemoryStream[TsPoint]
+    val q = StreamingDetectors.spikeValley()(input.toDF())
+      .writeStream.format("memory").queryName("ssv2").outputMode(OutputMode.Append()).start()
+    try {
+      raw.grouped(80).foreach { chunk =>
+        input.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.sql("select * from ssv2").as[Event].collect().toSet
+      val batchRaw = collectEvents(
+        graft.operators.SpikeValleyEvents().detect(raw.toSeq.toDF())).toSet
+      // emitted prefix is exact; anything missing is strictly the
+      // open tail (every missing event stops after every emitted one)
+      assert(streamed.subsetOf(batchRaw))
+      if (streamed.nonEmpty) {
+        val lastEmitted = streamed.map(_.stop.getTime).max
+        assert((batchRaw -- streamed).forall(_.stop.getTime > lastEmitted),
+          "a non-tail batch event was withheld")
+      }
+      // 8 of 11 without closure: the season-max peak (late Feb) never
+      // sees a higher value, so it and everything after it stay open —
+      // goldens 9-11 are the open tail until data closes them
+      assert(streamed.size >= 8, s"only ${streamed.size} of 11 emitted")
+    } finally q.stop()
+  }
+
   test("streaming flat-line: diff state carries across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
