@@ -682,7 +682,11 @@ object Dedup {
           round(lit(oneMinus) / n + lit(damping) * coalesce(col("inmass"), lit(0.0)),
             decimals).as("r")))
     }
-    state.select(col("id").as("doc_id"), col("deg"), col("r").as("pagerank6"))
+    // the column name carries the rounding contract (pr1's oracle pins
+    // 6 dp) — a non-default precision must not masquerade as it
+    // (review r18 finding)
+    state.select(col("id").as("doc_id"), col("deg"),
+      col("r").as(s"pagerank$decimals"))
   }
 
   /**

@@ -322,23 +322,50 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
       val v = lower.eval()
       if (v == null) None
       else {
-        def longMag(x: Long): Option[RangeDelta] =
-          if (x > 0) None else Some(LongRangeDelta(-x, desc))
+        val ansi = conf.ansiEnabled
+        // (review r18 finding, reproduced) a ZONED timestamp key's
+        // interval frame bound is computed by the plain window with
+        // zone-aware WALL-CLOCK arithmetic (TimeAdd in the session
+        // zone: 1 day = 23h/25h across a DST transition), while this
+        // delta is fixed micros — identical ONLY under a fixed-offset
+        // session zone (UTC, GMT, +HH:MM). DST zones stay on the
+        // plain window. TIMESTAMP_NTZ and DATE arithmetic are
+        // zone-free and rewrite unconditionally.
+        def fixedOffsetZone: Boolean = scala.util.Try(
+          java.time.ZoneId.of(conf.sessionLocalTimeZone)
+            .getRules.isFixedOffset).getOrElse(false)
+        def longMag(x: Long, typeMin: Long, typeMax: Long): Option[RangeDelta] =
+          if (x > 0) None else Some(LongRangeDelta(-x, desc, typeMin, typeMax, ansi))
         (so.child.dataType, lower.dataType) match {
-          case (ByteType | ShortType | IntegerType | LongType,
+          case (kdt @ (ByteType | ShortType | IntegerType | LongType),
               ByteType | ShortType | IntegerType | LongType) =>
-            longMag(v.asInstanceOf[Number].longValue())
+            // frame-bound overflow semantics ride the KEY's own type
+            // (review r18 finding: the plain window evaluates
+            // cur + lower in int space for an int key — ANSI throws
+            // at the type edge, which the delta reproduces)
+            val (mn, mx) = kdt match {
+              case ByteType => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+              case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
+              case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
+              case _ => (Long.MinValue, Long.MaxValue)
+            }
+            longMag(v.asInstanceOf[Number].longValue(), mn, mx)
           case (DateType, ByteType | ShortType | IntegerType) =>
-            longMag(v.asInstanceOf[Number].longValue())
+            longMag(v.asInstanceOf[Number].longValue(),
+              Int.MinValue.toLong, Int.MaxValue.toLong)
           case (DateType, _: DayTimeIntervalType) =>
             val us = v.asInstanceOf[Long]
-            if (us % MicrosPerDay != 0L) None else longMag(us / MicrosPerDay)
-          case (TimestampType | TimestampNTZType, _: DayTimeIntervalType) =>
-            longMag(v.asInstanceOf[Long])
-          case (TimestampType | TimestampNTZType, CalendarIntervalType) =>
+            if (us % MicrosPerDay != 0L) None
+            else longMag(us / MicrosPerDay, Int.MinValue.toLong, Int.MaxValue.toLong)
+          case (TimestampNTZType, _: DayTimeIntervalType) =>
+            longMag(v.asInstanceOf[Long], Long.MinValue, Long.MaxValue)
+          case (TimestampType, _: DayTimeIntervalType) if fixedOffsetZone =>
+            longMag(v.asInstanceOf[Long], Long.MinValue, Long.MaxValue)
+          case (TimestampType, CalendarIntervalType) if fixedOffsetZone =>
             val ci = v.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
             if (ci.months != 0) None
-            else longMag(ci.days.toLong * MicrosPerDay + ci.microseconds)
+            else longMag(ci.days.toLong * MicrosPerDay + ci.microseconds,
+              Long.MinValue, Long.MaxValue)
           case (DoubleType, _: NumericType) =>
             val m = -numToDouble(v)
             if (m < 0 || m.isNaN) None else Some(DoubleRangeDelta(m, desc))
@@ -528,29 +555,47 @@ case class GlobalBoundedAgg(kind: String, valueExpr: Expression,
 /** Typed VALUE-distance test for RANGE k PRECEDING frames: whether a
   * buffered entry's order key falls outside the trailing window
   * anchored at a non-null current key. Frame-bound arithmetic matches
-  * the plain window's own op (cur + lower in the key's numeric space)
-  * except at the extreme long edge, where this engine SATURATES
-  * (include everything) instead of wrapping — the mathematically
-  * correct trailing window, and what the DuckDB oracle computes. */
+  * the plain window's own op (cur + lower in the KEY's numeric space,
+  * incl. its type-edge overflow: ANSI throws exactly where the plain
+  * window's Add would — review r18 finding). In LEGACY mode the plain
+  * window WRAPS the bound in the key type, producing a garbage frame;
+  * this engine saturates instead (include everything — the
+  * mathematically correct trailing window, and what the DuckDB oracle
+  * computes) — the one deliberate, documented divergence, reachable
+  * only within k of the key type's minimum/maximum. */
 sealed trait RangeDelta extends Serializable {
   def outside(entryKey: Any, curKey: Any): Boolean
+  /** Evaluate the frame bound for a run anchor even when there is
+    * nothing to evict, so ANSI overflow fails the query exactly where
+    * the plain window (which computes every row's bound) would. */
+  def check(curKey: Any): Unit = { outside(curKey, curKey); () }
 }
 
-/** Integral / date-days / timestamp-micros key space. */
-case class LongRangeDelta(k: Long, desc: Boolean) extends RangeDelta {
+/** Integral / date-days / timestamp-micros key space; `typeMin`/
+  * `typeMax` are the KEY type's bounds (the plain window computes the
+  * bound in that type) and `ansi` mirrors the session's overflow
+  * posture at plan time. */
+case class LongRangeDelta(k: Long, desc: Boolean,
+    typeMin: Long, typeMax: Long, ansi: Boolean) extends RangeDelta {
+  private def overflow(): Boolean = {
+    if (ansi) throw new ArithmeticException(
+      "RANGE frame bound overflows the ORDER BY key's type (ANSI mode) — " +
+        "the plain single-partition window fails identically")
+    false // legacy: saturate (include everything preceding)
+  }
   def outside(e: Any, c: Any): Boolean = {
     val ev = e.asInstanceOf[Number].longValue()
     val cv = c.asInstanceOf[Number].longValue()
     if (!desc) {
       val bound = try Math.subtractExact(cv, k) catch {
-        case _: ArithmeticException => return false // saturate: nothing outside
+        case _: ArithmeticException => return overflow()
       }
-      ev < bound
+      if (bound < typeMin) overflow() else ev < bound
     } else {
       val bound = try Math.addExact(cv, k) catch {
-        case _: ArithmeticException => return false
+        case _: ArithmeticException => return overflow()
       }
-      ev > bound
+      if (bound > typeMax) overflow() else ev > bound
     }
   }
 }
@@ -934,6 +979,19 @@ object GlobalRankExec {
 
   /** JVM-local spec observability for the pending-lead warning. */
   val leadPendWarnCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Hard cap on a RANGE value window's per-partition (key, acc)
+    * entries (round-18 review finding: unlike the ROWS path's
+    * plan-time maxOffset cap, the value window's entry count is
+    * data-dependent — distinct keys per window — and the per-partition
+    * tails are driver-collected and broadcast, so an uncapped wide
+    * window over dense unique keys OOMs the driver). Past the cap the
+    * query fails LOUDLY with the remedy named; an eighth of the cap
+    * logs a warning with the driver math. */
+  val MaxRangeEntriesKey = "spark.graft.globalrank.maxRangeWindowEntries"
+
+  /** JVM-local spec observability for the range-window-entries warn. */
+  val rangeWindowWarnCount = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /**
@@ -1134,6 +1192,32 @@ case class GlobalRankExec(
     val mkRkAccs: () => Array[RunningAcc] = { val fs = rks
       () => Array.tabulate(fs.length)(mkRkAcc)
     }
+    val maxRangeEntries = scala.util.Try(conf.getConfString(
+      GlobalRankExec.MaxRangeEntriesKey).toInt).getOrElse(1 << 20)
+    // loud refusal + early warning on range-window entry growth (the
+    // driver collects AND broadcasts per-partition tails); a function
+    // val so both task closures share it without capturing the exec
+    val guardRangeEntries: Int => Unit = { val cap = maxRangeEntries
+      (len: Int) => {
+        if (len > cap) throw new IllegalStateException(
+          s"GlobalRankExec: a RANGE value window holds $len (key, accumulator) " +
+            s"run entries in one partition, over ${GlobalRankExec.MaxRangeEntriesKey}=$cap. " +
+            "Entries = distinct ORDER BY keys inside the value window, and " +
+            "per-partition tails are driver-collected and broadcast " +
+            "(partitions x entries x ~40 B on the driver). Remedies: a coarser " +
+            "key or narrower frame; raise the cap; or set " +
+            s"spark.graft.rangerank.minBytes=${Long.MaxValue} to keep the " +
+            "plain single-partition window.")
+        if (len == math.max(cap >> 3, 1)) {
+          GlobalRankExec.rangeWindowWarnCount.incrementAndGet()
+          org.slf4j.LoggerFactory.getLogger(classOf[GlobalRankExec]).warn(
+            s"GlobalRankExec: RANGE value window reached $len run entries in one " +
+              s"partition (warning at cap/8; ${GlobalRankExec.MaxRangeEntriesKey}=$cap). " +
+              "Driver cost is partitions x entries x ~40 B — check the window " +
+              "width against the key density.")
+        }
+      }
+    }
 
     // job 1: per-partition row/run counts, aggregate totals, and the
     // boundary slices offsets + bounded frames need — the last
@@ -1164,9 +1248,14 @@ case class GlobalRankExec(
           if (kv != null) {
             var f = 0
             while (f < rks.length) {
+              // bound evaluated per run even with nothing to evict —
+              // ANSI overflow must fail exactly where the plain
+              // window's per-row bound evaluation would
+              rkDeltas(f).check(kv)
               val dq = rkDqs(f)
               while (dq.nonEmpty && rkDeltas(f).outside(dq.head._1, kv)) dq.removeHead()
               dq.append((kv, rkRunAccs(f)))
+              guardRangeEntries(dq.length)
               f += 1
             }
             rkRunAccs = mkRkAccs()
@@ -1525,11 +1614,9 @@ case class GlobalRankExec(
       // s == 0 reads the LIVE projection buffer, which the next row's
       // fillOffsets overwrites — unsafe once the lead-delay wrapper
       // holds the value past this row (review r16 finding). Ring/seed
-      // reads are safe: those rows are retained copies.
-      def retainOff(v: Any): Any = v match {
-        case u: UTF8String => u.copy()
-        case other => other
-      }
+      // reads are safe: those rows are retained copies. ONE retained-
+      // value discipline for the whole file (review r18): delegate.
+      def retainOff(v: Any): Any = RetainVal(v)
       def fillOffsets(row: InternalRow): Unit =
           if (offs.nonEmpty || bnds.nonEmpty || nnLags.nonEmpty) {
         val pr = bndProj(row)
@@ -1754,6 +1841,7 @@ case class GlobalRankExec(
               while (f < rks.length) {
                 if (kv == null) rkValues(f) = rkRunAccs(f).value
                 else {
+                  rkDeltas(f).check(kv)
                   val dq = rkDqs(f)
                   while (dq.nonEmpty && rkDeltas(f).outside(dq.head._1, kv))
                     dq.removeHead()
@@ -1762,6 +1850,7 @@ case class GlobalRankExec(
                   res.merge(rkRunAccs(f))
                   rkValues(f) = res.value
                   dq.append((kv, rkRunAccs(f)))
+                  guardRangeEntries(dq.length)
                 }
                 f += 1
               }

@@ -351,10 +351,21 @@ object StreamingDetectors {
     * session window with `hoursToStop` gap per series — the streaming
     * twin of the storm group-merge. Emits one row per finalized
     * session (append mode requires the watermark). */
-  /** Per-series buffered state for [[spikeValley]]: the series so far
-    * as (micros, value) plus the emission frontier (absolute index of
-    * the first not-yet-emitted position). */
+  /** Per-series buffered state for [[spikeValley]]: the retained
+    * window as (micros, value) plus the emission frontier (index of
+    * the first not-yet-emitted position, relative to the window —
+    * rebased when the safe prefix is dropped). */
   final case class SvState(rows: List[(Long, Option[Double])], emittedUpTo: Int)
+
+  /** [[spikeValley]] state windows at or above this many rows log a
+    * warning (review r18: the safe-prefix drop bounds retention at
+    * "since one sample before the first occurrence of the running
+    * max/min", which a signal that never renews its extremes can
+    * still grow — the warning names the shape). */
+  val SvStateWarnRowsKey = "spark.graft.streaming.svStateWarnRows"
+
+  /** JVM-local spec observability for the state-size warning. */
+  val svStateWarnCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /**
    * Spike-valley detector as a stream (round 18 — the last detector
@@ -367,9 +378,17 @@ object StreamingDetectors {
    * width). This variant therefore emits on DATA-FINALITY, which
    * gives EXACT batch parity for everything emitted:
    *
-   *  - per-series state buffers the series seen so far (the same
-   *    one-series-fits-an-executor assumption the batch kernel makes
-   *    — SpikeValley.scala; station series are 10³–10⁴ points);
+   *  - per-series state buffers a RETAINED WINDOW of the series: the
+   *    safe prefix — everything before the emission frontier (minus a
+   *    reach margin) AND before one sample ahead of the first
+   *    occurrence of the running max/min — is dropped each trigger
+   *    (closed candidates' prominence stretches and width walks
+   *    provably stop at or after the extremum; candidates tying it
+   *    are right-open and only hold the frontier). Retention is
+   *    bounded by "since the last record extreme": station series
+   *    renew records seasonally; a signal that never does retains
+   *    from its last record on, and crossing
+   *    `spark.graft.streaming.svStateWarnRows` logs the shape;
    *  - each trigger re-runs the batch mask over the buffer and takes
    *    the STABLE prefix: every position more than ceil(widthMax)+1
    *    samples before the earliest OPEN candidate, where open =
@@ -401,6 +420,8 @@ object StreamingDetectors {
       height, threshold, prominence, widthMin, widthMax)
     val reach = math.ceil(widthMax).toInt + 1
     val spark = ts.sparkSession
+    val stateWarnRows = scala.util.Try(
+      spark.conf.get(SvStateWarnRowsKey).toInt).getOrElse(1 << 17)
     import spark.implicits._
 
     ts.select(col("series_id"), col("ts"), col("value"))
@@ -415,9 +436,12 @@ object StreamingDetectors {
             (graft.operators.TimeMicros.micros(t), v)
           }.toList
           val prev = state.getOption
-          val all = (prev.map(_.rows).getOrElse(Nil) ++ incoming).sortBy(_._1)
+          // nearly-sorted input (retained window is sorted, incoming
+          // appends) — TimSort's run detection keeps this ~O(n)
+          val all = (prev.map(_.rows).getOrElse(Nil) ++ incoming)
+            .sortBy(_._1).toArray
           val emitted0 = prev.map(_.emittedUpTo).getOrElse(0)
-          val xs = all.map(_._2.getOrElse(Double.NaN)).toArray
+          val xs = all.map(_._2.getOrElse(Double.NaN))
           val n = xs.length
 
           // earliest UNDECIDED local maximum. A maximum is right-open
@@ -502,7 +526,56 @@ object StreamingDetectors {
               } else i += 1
             }
           }
-          state.update(SvState(all, newEmitted))
+          // SAFE-PREFIX DROP (review r18 — unbounded retention): rows
+          // before BOTH the emission frontier AND one sample before
+          // the first occurrence of the running max (and, for
+          // valleys, min) can never be read again. Every CLOSED
+          // candidate's prominence stretch and width walk stop at or
+          // after the extremum's first position (a closed peak's
+          // height is strictly below the running max, so the scan
+          // cannot pass it); candidates tying the extremum are
+          // right-open, where a truncated computation only holds the
+          // frontier — conservative, never wrong. NaNs never win the
+          // extremum (they stop scans themselves, like the window
+          // edge they may become).
+          val dropPoint = {
+            var maxV = Double.NegativeInfinity; var minV = Double.PositiveInfinity
+            var i = 0
+            while (i < n) {
+              val v = xs(i)
+              if (!v.isNaN) {
+                if (v > maxV) maxV = v
+                if (v < minV) minV = v
+              }
+              i += 1
+            }
+            if (maxV.isNegInfinity) 0 // all-NaN window: keep everything
+            else {
+              var fMax = -1; var fMin = -1
+              i = 0
+              while (i < n && (fMax < 0 || fMin < 0)) {
+                if (xs(i) == maxV && fMax < 0) fMax = i
+                if (xs(i) == minV && fMin < 0) fMin = i
+                i += 1
+              }
+              // reach margin behind the frontier: a dropped candidate
+              // paints at most widthMax past its midpoint, so keeping
+              // ceil(widthMax)+1 samples behind the emission frontier
+              // guarantees no unemitted position can lose a dropped
+              // peak's painting
+              math.max(0, math.min(newEmitted - reach, math.min(fMax, fMin) - 1))
+            }
+          }
+          val kept = if (dropPoint > 0) all.drop(dropPoint) else all
+          if (prev.forall(_.rows.length < stateWarnRows) && kept.length >= stateWarnRows) {
+            svStateWarnCount.incrementAndGet()
+            org.slf4j.LoggerFactory.getLogger(StreamingDetectors.getClass).warn(
+              s"streaming spike-valley: series '$sid' retains ${kept.length} rows " +
+                "(the window since the first running max/min — a signal that " +
+                "never renews its extremes retains from the last record on). " +
+                s"Warn threshold $SvStateWarnRowsKey=$stateWarnRows.")
+          }
+          state.update(SvState(kept.toList, newEmitted - dropPoint))
           out.result().iterator
         })
       .toDF()

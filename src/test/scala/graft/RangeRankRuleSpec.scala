@@ -997,7 +997,78 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
           |  RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS s
           |FROM rr_rng_ym""".stripMargin))
       assert(p1.contains("Window") && !p1.contains("GlobalRank"), p1)
+      // ZONED timestamp keys under a DST session zone: the plain
+      // window's interval frame bound is wall-clock (1 day = 23h/25h
+      // across a transition), the delta is fixed micros — excluded
+      // unless the session zone is a fixed offset (review r18,
+      // reproduced divergence)
+      val tzSql =
+        """SELECT sum(v) OVER (ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) AS s
+          |FROM rr_rng_ym""".stripMargin
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      try {
+        val pDst = plan(spark.sql(tzSql))
+        assert(pDst.contains("Window") && !pDst.contains("GlobalRank"), pDst)
+      } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+      // back under UTC (fixed offset) the same shape rewrites; an NTZ
+      // key rewrites regardless of the session zone
+      val pUtc = plan(spark.sql(tzSql))
+      assert(pUtc.contains("GlobalRank"), pUtc)
+      spark.range(10).toDF("i")
+        .selectExpr(
+          "cast(timestamp'2024-01-01' + make_interval(0,0,0, cast(i as int)) as timestamp_ntz) AS ts",
+          "i AS v")
+        .createOrReplaceTempView("rr_rng_ntz")
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      try {
+        val pNtz = plan(spark.sql(
+          """SELECT sum(v) OVER (ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) AS s
+            |FROM rr_rng_ntz""".stripMargin))
+        assert(pNtz.contains("GlobalRank"), pNtz)
+      } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
     }
+  }
+
+  test("RANGE frames at the key type's edge: ANSI overflow fails like the plain window (r18)") {
+    import org.apache.spark.sql.functions._
+    // int key straddling Int.MinValue: the plain window's bound
+    // arithmetic (cur + lower in INT space) overflows — under ANSI
+    // both paths must FAIL; rows away from the edge are unaffected
+    Seq(Int.MinValue, Int.MinValue + 50, 0, 100)
+      .toDF("k").withColumn("v", lit(1L))
+      .createOrReplaceTempView("rr_rng_edge")
+    val sql =
+      """SELECT k, sum(v) OVER (ORDER BY k
+        |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS s
+        |FROM rr_rng_edge""".stripMargin
+    assume(spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
+    val plainErr = intercept[Exception](spark.sql(sql).collect())
+    withOpenGate {
+      val df = spark.sql(sql)
+      assert(plan(df).contains("GlobalRank"), plan(df))
+      val rewriteErr = intercept[Exception](df.collect())
+      assert(rewriteErr.toString.toLowerCase.contains("overflow") ||
+        Option(rewriteErr.getCause).exists(_.toString.toLowerCase.contains("overflow")),
+        s"plain=${plainErr.getClass.getSimpleName} rewrite=$rewriteErr")
+    }
+  }
+
+  test("RANGE window entries over the cap fail loudly with the remedy named (r18)") {
+    frame.createOrReplaceTempView("rr_rule_t")
+    spark.conf.set(graft.plans.GlobalRankExec.MaxRangeEntriesKey, "8")
+    try withOpenGate {
+      // unique keys with a window spanning far more than 8 of them
+      val df = spark.sql(
+        """SELECT id, sum(score) OVER (ORDER BY id
+          |  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS s
+          |FROM rr_rule_t""".stripMargin)
+      assert(plan(df).contains("GlobalRank"), plan(df))
+      val e = intercept[Exception](df.collect())
+      val msg = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+      assert(msg.contains("maxRangeWindowEntries"), msg.take(500))
+    } finally spark.conf.unset(graft.plans.GlobalRankExec.MaxRangeEntriesKey)
   }
 
   test("downstream operators resolve over the rewritten node (filter + agg above)") {
