@@ -146,34 +146,46 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     * (UNBOUNDED PRECEDING) and bounded sliding (k PRECEDING) — as one
     * matcher, so the eligibility rules cannot silently diverge between
     * the two paths (review r17 finding). Returns (kind, valueExpr,
-    * exact).
+    * exact, tryMode).
     *
-    * TRY mode (null-on-overflow) excluded — its overflow bookkeeping
-    * belongs to Spark's own Sum; ANSI mode rides `exact` so a long
-    * overflow throws here exactly as the plain window would. DECIMAL
-    * sums (round 17) accumulate in unbounded BigDecimal space and
-    * decide overflow at value() against the result precision per
-    * emitted row — throw in ANSI, null in legacy, exactly the plain
-    * window's observable behavior (verified empirically: Spark's
-    * window decimal sum is NOT sticky-null after an intermediate
-    * overflow; it recovers when the prefix cancels back under the
-    * bound, exactly as exact-space re-decision does). */
+    * TRY mode (round 18, probe-verified): over a RUNNING frame
+    * try_sum is STICKY-NULL — the buffer's checked add fails the
+    * first time the true running prefix exits long range, and
+    * null + x stays null even when later rows cancel the prefix back
+    * in range; over a bounded/value frame each frame re-accumulates
+    * independently, so it recovers per frame but still nulls when the
+    * WITHIN-FRAME accumulation path ever exits range (not just the
+    * final total). [[SumLongAcc]] reproduces both with 128-bit path
+    * extremes under the sequential-combine contract. LONG try_sum
+    * only; DOUBLE never overflows so TRY degenerates to plain;
+    * DECIMAL TRY stays on the plain window (its overflow rides the
+    * p+10 buffer precision during accumulation — Spark's own
+    * bookkeeping). ANSI mode rides `exact` so a long overflow throws
+    * here exactly as the plain window would. DECIMAL non-TRY sums
+    * (round 17) accumulate in unbounded BigDecimal space and decide
+    * overflow at value() against the result precision per emitted
+    * row — throw in ANSI, null in legacy, exactly the plain window's
+    * observable behavior (verified empirically: the window decimal
+    * sum is NOT sticky-null; it recovers when the prefix cancels
+    * back, exactly as exact-space re-decision does). */
   private def asCommonAgg(fn: aggregate.AggregateFunction,
-      attr: Attribute): Option[(String, Expression, Boolean)] = fn match {
-    case Sum(e, ctx) if (attr.dataType == LongType || attr.dataType == DoubleType ||
-        (attr.dataType.isInstanceOf[DecimalType] && e.dataType.isInstanceOf[DecimalType])) &&
-        ctx.evalMode != EvalMode.TRY =>
-      Some(("sum", e, ctx.evalMode == EvalMode.ANSI))
-    case Count(Seq(e)) => Some(("count", e, false))
-    case Average(e, _) if attr.dataType == DoubleType => Some(("avg", e, false))
-    case Min(e) if atomicOrderable(e.dataType) => Some(("min", e, false))
-    case Max(e) if atomicOrderable(e.dataType) => Some(("max", e, false))
+      attr: Attribute): Option[(String, Expression, Boolean, Boolean)] = fn match {
+    case Sum(e, ctx) if attr.dataType == LongType || attr.dataType == DoubleType ||
+        (attr.dataType.isInstanceOf[DecimalType] && e.dataType.isInstanceOf[DecimalType] &&
+          ctx.evalMode != EvalMode.TRY) =>
+      if (ctx.evalMode == EvalMode.TRY) Some(("sum", e, false, true))
+      else Some(("sum", e, ctx.evalMode == EvalMode.ANSI, false))
+    case Count(Seq(e)) => Some(("count", e, false, false))
+    case Average(e, _) if attr.dataType == DoubleType => Some(("avg", e, false, false))
+    case Min(e) if atomicOrderable(e.dataType) => Some(("min", e, false, false))
+    case Max(e) if atomicOrderable(e.dataType) => Some(("max", e, false, false))
     case _ => None
   }
 
   private def asAgg(fn: aggregate.AggregateFunction, rowsFrame: Boolean,
       attr: Attribute): Option[GlobalRunningAgg] = asCommonAgg(fn, attr).map {
-    case (kind, e, exact) => GlobalRunningAgg(kind, e, rowsFrame, attr, exact = exact)
+    case (kind, e, exact, tryMode) =>
+      GlobalRunningAgg(kind, e, rowsFrame, attr, exact = exact, tryMode = tryMode)
   }.orElse(fn match {
     // Welford-class running aggregates (VERDICT r16 item 3): the
     // (n, mean, M2) state prefix-combines with Chan's merge — the same
@@ -402,7 +414,8 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     * excluded as rare — the plain window keeps them. */
   private def asBoundedAgg(fn: aggregate.AggregateFunction, k: Int,
       attr: Attribute): Option[GlobalBoundedAgg] = asCommonAgg(fn, attr).map {
-    case (kind, e, exact) => GlobalBoundedAgg(kind, e, k, attr, exact = exact)
+    case (kind, e, exact, tryMode) =>
+      GlobalBoundedAgg(kind, e, k, attr, exact = exact, tryMode = tryMode)
   }
 
   /** The supported window functions: the rank family (kinds are the
@@ -446,8 +459,8 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
                 .filter(k => k >= 1 && k <= maxOffset)
                 .flatMap(k => asBoundedAgg(fn, k, attr))
                 .orElse(rangePrecedingDelta(frame, orderSpec).flatMap(d =>
-                  asCommonAgg(fn, attr).map { case (kind, e, exact) =>
-                    GlobalRangeAgg(kind, e, d, attr, exact)
+                  asCommonAgg(fn, attr).map { case (kind, e, exact, tryMode) =>
+                    GlobalRangeAgg(kind, e, d, attr, exact, tryMode)
                   }))
             }
           case o @ (_: Lag | _: Lead) => asOffset(o, attr, maxOffset)
@@ -537,10 +550,12 @@ case class GlobalRankFunction(kind: String, k: Int, attr: Attribute)
   * `exact` = ANSI sum overflow throws instead of wrapping (long) or
   * nulling (decimal); `nullOnDiv` = the variance-class
   * nullOnDivideByZero flag (n==1 samp → null vs legacy NaN); `n` =
-  * nth_value's 1-based offset (kinds nth | nth_nn). */
+  * nth_value's 1-based offset (kinds nth | nth_nn); `tryMode` = long
+  * try_sum's sticky null-on-path-overflow semantics (round 18). */
 case class GlobalRunningAgg(kind: String, valueExpr: Expression,
     rowsFrame: Boolean, attr: Attribute, exact: Boolean = false,
-    nullOnDiv: Boolean = true, n: Int = 0, zeroEmpty: Boolean = false)
+    nullOnDiv: Boolean = true, n: Int = 0, zeroEmpty: Boolean = false,
+    tryMode: Boolean = false)
   extends GlobalWinFunction
 
 /** A bounded sliding aggregate, ROWS BETWEEN `k` PRECEDING AND CURRENT
@@ -549,7 +564,7 @@ case class GlobalRunningAgg(kind: String, valueExpr: Expression,
   * order). Cross-partition state is the same |k|-bounded tail slice
   * lag uses. `exact` = ANSI sum overflow semantics. */
 case class GlobalBoundedAgg(kind: String, valueExpr: Expression,
-    k: Int, attr: Attribute, exact: Boolean = false)
+    k: Int, attr: Attribute, exact: Boolean = false, tryMode: Boolean = false)
   extends GlobalWinFunction
 
 /** Typed VALUE-distance test for RANGE k PRECEDING frames: whether a
@@ -647,7 +662,8 @@ case class DecimalRangeDelta(k: java.math.BigDecimal, desc: Boolean)
   * number of distinct keys per value window, the data-density lever.
   * `exact` = ANSI sum overflow semantics. */
 case class GlobalRangeAgg(kind: String, valueExpr: Expression,
-    delta: RangeDelta, attr: Attribute, exact: Boolean = false)
+    delta: RangeDelta, attr: Attribute, exact: Boolean = false,
+    tryMode: Boolean = false)
   extends GlobalWinFunction
 
 /** `lag`/`lead` normalized to a signed `shift` over the global row
@@ -716,27 +732,66 @@ private[plans] sealed trait RunningAcc extends Serializable {
   * finding), so overflow is decided only where the plain window would
   * decide it: at `value()`, per emitted row. `exact` (ANSI) throws
   * there; legacy mode returns the wrapped low word, which is exactly
-  * Java's wrap of the true sum. */
-private[plans] final class SumLongAcc(exact: Boolean) extends RunningAcc {
+  * Java's wrap of the true sum.
+  *
+  * `tryMode` (round 18): try_sum's STICKY null — Spark's buffer fails
+  * its checked add the first time the accumulation path exits long
+  * range and null + x stays null thereafter (probe-verified; bounded
+  * frames recover only because each frame re-accumulates). The path's
+  * 128-bit EXTREMES — (carry, s) pairs, lexicographically ordered
+  * because true = carry·2^64 + s with |s| < 2^63 — compose under the
+  * sequential-combine contract (the other path's points shift by this
+  * total), and the path ever left long range ⇔ an extreme has
+  * carry ≠ 0. */
+private[plans] final class SumLongAcc(exact: Boolean, tryMode: Boolean = false)
+  extends RunningAcc {
   var s = 0L; var carry = 0L; var seen = false
+  // path extremes, meaningful only in tryMode (the empty path's
+  // origin (0,0) is in-range and never triggers)
+  var maxC = 0L; var maxS = 0L; var minC = 0L; var minS = 0L
   private def addRaw(x: Long): Unit = {
     val r = s + x
     if (((s ^ r) & (x ^ r)) < 0L) carry += (if (x > 0L) 1L else -1L)
     s = r
   }
+  private def note(): Unit = if (tryMode) {
+    if (carry > maxC || (carry == maxC && s > maxS)) { maxC = carry; maxS = s }
+    if (carry < minC || (carry == minC && s < minS)) { minC = carry; minS = s }
+  }
   def add(v: Any): Unit = if (v != null) {
-    addRaw(v.asInstanceOf[Number].longValue()); seen = true
+    addRaw(v.asInstanceOf[Number].longValue()); seen = true; note()
   }
   def merge(o: RunningAcc): Unit = {
     val t = o.asInstanceOf[SumLongAcc]
-    if (t.seen) { addRaw(t.s); carry += t.carry; seen = true }
+    if (t.seen) {
+      if (tryMode) {
+        // o's rows come AFTER this state's (the sequential contract):
+        // o's path points shift by THIS total, so the merged extremes
+        // are this state's and (total + o's extremes)
+        def shifted(oc: Long, os: Long): (Long, Long) = {
+          val rs = s + os
+          val rc = carry + oc +
+            (if (((s ^ rs) & (os ^ rs)) < 0L) (if (os > 0L) 1L else -1L) else 0L)
+          (rc, rs)
+        }
+        val (hc, hs) = shifted(t.maxC, t.maxS)
+        if (hc > maxC || (hc == maxC && hs > maxS)) { maxC = hc; maxS = hs }
+        val (lc, ls) = shifted(t.minC, t.minS)
+        if (lc < minC || (lc == minC && ls < minS)) { minC = lc; minS = ls }
+      }
+      addRaw(t.s); carry += t.carry; seen = true
+    }
   }
   def value: Any =
     if (!seen) null
+    else if (tryMode && (maxC != 0L || minC != 0L)) null // sticky path overflow
     else if (carry != 0L && exact) throw new ArithmeticException(
       "long overflow in running SUM (ANSI mode)")
     else java.lang.Long.valueOf(s)
-  def reset(): Unit = { s = 0L; carry = 0L; seen = false }
+  def reset(): Unit = {
+    s = 0L; carry = 0L; seen = false
+    maxC = 0L; maxS = 0L; minC = 0L; minS = 0L
+  }
 }
 
 /** Exact decimal running sum in unbounded BigDecimal space; overflow
@@ -1088,11 +1143,11 @@ case class GlobalRankExec(
     * (review r17 finding). */
   private def newCommonAcc(kind: String, resultDt: DataType,
       valueDt: DataType, exact: Boolean,
-      zeroEmpty: Boolean = false): Option[RunningAcc] = kind match {
+      zeroEmpty: Boolean = false, tryMode: Boolean = false): Option[RunningAcc] = kind match {
     case "sum" => Some(resultDt match {
-      case LongType => new SumLongAcc(exact)
+      case LongType => new SumLongAcc(exact, tryMode)
       case d: DecimalType => new SumDecimalAcc(d, exact, zeroEmpty)
-      case _ => new SumDoubleAcc
+      case _ => new SumDoubleAcc // double never overflows: TRY = plain
     })
     case "count" => Some(new CountAcc)
     case "avg" => Some(new AvgAcc)
@@ -1102,7 +1157,8 @@ case class GlobalRankExec(
   }
 
   private def newAcc(a: GlobalRunningAgg): RunningAcc =
-    newCommonAcc(a.kind, a.attr.dataType, a.valueExpr.dataType, a.exact, a.zeroEmpty)
+    newCommonAcc(a.kind, a.attr.dataType, a.valueExpr.dataType, a.exact, a.zeroEmpty,
+        a.tryMode)
       .getOrElse(a.kind match {
     case "first" => new FirstLastAcc(isFirst = true, ignoreNulls = false)
     case "first_nn" => new FirstLastAcc(isFirst = true, ignoreNulls = true)
@@ -1119,7 +1175,8 @@ case class GlobalRankExec(
   })
 
   private def newBoundedAcc(b: GlobalBoundedAgg): RunningAcc =
-    newCommonAcc(b.kind, b.attr.dataType, b.valueExpr.dataType, b.exact)
+    newCommonAcc(b.kind, b.attr.dataType, b.valueExpr.dataType, b.exact,
+        tryMode = b.tryMode)
       .getOrElse(throw new IllegalStateException(
         s"GlobalRankExec: unknown bounded sliding aggregate ${b.kind}"))
 
@@ -1185,7 +1242,8 @@ case class GlobalRankExec(
     val keyDt0 = order.head.child.dataType
     val mkRkAcc: Int => RunningAcc = { val fs = rks
       f => newCommonAcc(fs(f).kind, fs(f).attr.dataType,
-        fs(f).valueExpr.dataType, fs(f).exact).getOrElse(
+        fs(f).valueExpr.dataType, fs(f).exact,
+        tryMode = fs(f).tryMode).getOrElse(
           throw new IllegalStateException(
             s"GlobalRankExec: unknown range aggregate ${fs(f).kind}"))
     }

@@ -803,6 +803,58 @@ object Relational {
   def gr11RangeFrameSql(spark0: SparkSession, dir: String): DataFrame =
     rewrittenOracle(spark0, dir, "gr11_orders", gr11Sql, "gr11")
 
+  /** The gr12 TRY-sum SQL (round-18 exclusion-list shrink): running
+    * try_sum is STICKY-NULL from the first prefix overflow on
+    * (probe-verified; the buffer's checked add fails once and
+    * null + x stays null), bounded frames re-accumulate and recover
+    * per frame. DuckDB has no try_sum, so the oracle computes the
+    * sums in HUGEINT and nulls the out-of-range ones — equivalent to
+    * the PATH-based semantics exactly because the values are all
+    * NON-NEGATIVE (a monotone accumulation path's maximum IS its
+    * total, so total-out-of-range ⇔ path-ever-out-of-range, and the
+    * monotone running sum never comes back in range — stickiness for
+    * free). The oscillating/cancelling cases where path and total
+    * diverge are the dedicated spec's job (vs the plain window,
+    * bit-for-bit). Four adjacent 2.6e18 spikes every 97 keys push
+    * 10-row frames past Long.Max (frames covering all four null,
+    * others recover) and make the running sum cross at ~k=100. */
+  private def gr12Sql(table: String, duck: Boolean): String = {
+    val t =
+      s"""WITH t AS (SELECT o_orderkey AS k,
+         |    CASE WHEN o_orderkey % 97 < 4 THEN 2600000000000000000
+         |         ELSE o_orderkey END AS v
+         |  FROM $table)""".stripMargin
+    if (!duck)
+      s"""$t
+         |SELECT k,
+         |  try_sum(v) OVER (ORDER BY k) AS ts_run,
+         |  try_sum(v) OVER (ORDER BY k
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS ts_mv10
+         |FROM t""".stripMargin
+    else
+      s"""$t,
+         |r AS (SELECT k,
+         |    SUM(CAST(v AS HUGEINT)) OVER (ORDER BY k) AS run,
+         |    SUM(CAST(v AS HUGEINT)) OVER (ORDER BY k
+         |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS mv
+         |  FROM t)
+         |SELECT k,
+         |  CASE WHEN run > 9223372036854775807 THEN NULL
+         |       ELSE CAST(run AS BIGINT) END AS ts_run,
+         |  CASE WHEN mv > 9223372036854775807 THEN NULL
+         |       ELSE CAST(mv AS BIGINT) END AS ts_mv10
+         |FROM r""".stripMargin
+  }
+
+  /** TRY-mode long sums through the automatic rewrite under the
+    * driver's hash gate — same isolated-session + fired-plan
+    * discipline as gr1–gr11. The accumulator carries 128-bit path
+    * extremes under the sequential-combine contract, so stickiness
+    * crosses partition boundaries even when the overflow cancels
+    * back inside one partition (spec'd). */
+  def gr12TrySumSql(spark0: SparkSession, dir: String): DataFrame =
+    rewrittenOracle(spark0, dir, "gr12_orders", gr12Sql(_, duck = false), "gr12")
+
   /** Calendar seasonality: revenue by day-of-week. The trap this key
     * pins: weekday NUMBERING is engine-specific (Spark `weekday` is
     * Monday=0; Spark `dayofweek` is Sunday=1; DuckDB `dow` is
@@ -1217,6 +1269,7 @@ object Relational {
     "gr9_decimal_avg_sql" -> gr9Sql("orders"),
     "gr10_ignore_nulls_sql" -> gr10Sql("orders", duck = true),
     "gr11_range_frame_sql" -> gr11Sql("orders"),
+    "gr12_try_sum_sql" -> gr12Sql("orders", duck = true),
     "w5_spend_deciles" ->
       """WITH t AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
         |  FROM orders GROUP BY o_custkey),
@@ -1776,6 +1829,7 @@ object Relational {
     "gr9_decimal_avg_sql" -> (gr9DecimalAvgSql _),
     "gr10_ignore_nulls_sql" -> (gr10IgnoreNullsSql _),
     "gr11_range_frame_sql" -> (gr11RangeFrameSql _),
+    "gr12_try_sum_sql" -> (gr12TrySumSql _),
     "cal1_dow_revenue" -> (cal1DowRevenue _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),

@@ -1071,6 +1071,82 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset(graft.plans.GlobalRankExec.MaxRangeEntriesKey)
   }
 
+  test("TRY sums rewrite: sticky running null, per-frame recovery — exact vs plain window (r18)") {
+    import org.apache.spark.sql.functions._
+    // oscillating near-Long.MaxValue values: the running path exits
+    // long range INSIDE the frame (sticky from there on, even though
+    // later rows cancel the prefix back in range), while bounded and
+    // value frames re-accumulate per frame and recover — including
+    // frames whose TOTAL fits but whose accumulation PATH exits range
+    val big = Long.MaxValue / 2 + 10
+    // per 7-cycle: big, big (the PATH exits long range here), -big,
+    // -big (prefix cancels back in range), null, small, small — net
+    // ~zero per cycle, so the running prefix keeps returning in range
+    // while try_sum stays null from i=2 on
+    val rows = (1 to 2000).map { i =>
+      val v: java.lang.Long = (i % 7) match {
+        case 1 => big
+        case 2 => big
+        case 3 => -big
+        case 4 => -big
+        case 5 => null
+        case _ => i.toLong
+      }
+      (i.toLong, v)
+    }
+    rows.toDF("k", "v").createOrReplaceTempView("rr_try_t")
+    val sql =
+      """SELECT k,
+        |  try_sum(v) OVER (ORDER BY k) AS run,
+        |  try_sum(v) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv3,
+        |  try_sum(v) OVER (ORDER BY k RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS rg5
+        |FROM rr_try_t""".stripMargin
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val (p, rewritten) = withOpenGate {
+      val df = spark.sql(sql)
+      (plan(df), df.collect().map(_.toSeq).toSet)
+    }
+    assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(rewritten == baseline)
+    // the data actually exercises both behaviors
+    val byK = spark.sql(sql).collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(byK(2000L)._1.isEmpty, "running try_sum should be sticky-null at the tail")
+    assert(byK.values.exists(_._2.nonEmpty) && byK.values.exists(_._2.isEmpty),
+      "bounded try_sum should both recover and null somewhere")
+  }
+
+  test("TRY sum stickiness crosses partition boundaries (overflow cancelled within one partition) (r18)") {
+    import org.apache.spark.sql.functions._
+    // the overflow happens EARLY and is cancelled back long before the
+    // first range-partition boundary: the per-partition SUBTOTAL never
+    // overflows, so only the path-extremes state can carry the
+    // stickiness to later partitions
+    val big = Long.MaxValue / 2 + 10
+    val rows = (1 to 4000).map { i =>
+      val v: java.lang.Long = i match {
+        case 1 | 2 => big // prefix exits range at i=2
+        case 3 | 4 => -big // ...and cancels back at i=4
+        case _ => 1L
+      }
+      (i.toLong, v)
+    }
+    rows.toDF("k", "v").createOrReplaceTempView("rr_try_x")
+    val sql = "SELECT k, try_sum(v) OVER (ORDER BY k) AS run FROM rr_try_x"
+    val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+    val rewritten = withOpenGate {
+      val df = spark.sql(sql)
+      assert(plan(df).contains("GlobalRank"), plan(df))
+      val out = df.collect()
+      // every row from the overflow point on is null on BOTH paths
+      assert(out.filter(_.getLong(0) >= 2L).forall(_.isNullAt(1)),
+        "stickiness lost across partitions")
+      out.map(_.toSeq).toSet
+    }
+    assert(rewritten == baseline)
+  }
+
   test("downstream operators resolve over the rewritten node (filter + agg above)") {
     frame.createOrReplaceTempView("rr_rule_t")
     val sql =
