@@ -590,8 +590,28 @@ object Dedup {
    * which strictly decreases until fixpoint — one cheap scalar action
    * per round instead of a change-count join.
    */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame =
-    clustersWithRounds(docs, pairs)._1
+  /** Strategy switch for [[dedupClusters]]'s distributed fixpoint:
+    * `minlabel` (default) = min-label propagation with path halving;
+    * `stars` = large-star/small-star alternation (Kiveris et al.,
+    * SoCC'14), the two-hop edge contraction whose round count drops
+    * fastest on chain-/random-giant-component shapes (VERDICT r18
+    * task 2 — dedup CLIQUES converge in 2-3 rounds either way, which
+    * is why minlabel stays the default until a workload proves
+    * otherwise). Both converge to the component-minimum labeling —
+    * equality is property-tested (CorpusSpec) and the full oracle
+    * gate passes with this set to `stars`. */
+  val CcStrategyKey = "spark.graft.dedup.ccStrategy"
+
+  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val strat = scala.util.Try(
+      docs.sparkSession.conf.get(CcStrategyKey)).getOrElse("minlabel")
+    strat match {
+      case "stars" => clustersViaStarsWithRounds(docs, pairs)._1
+      case "minlabel" => clustersWithRounds(docs, pairs)._1
+      case other => throw new IllegalArgumentException(
+        s"$CcStrategyKey must be minlabel|stars, got '$other'")
+    }
+  }
 
   /** [[dedupClusters]] + the number of propagation rounds it took
     * (exposed for the convergence tests and scale smokes). */
@@ -622,11 +642,112 @@ object Dedup {
       curSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
       rounds += 1
     }
+    (finishAssignment(labels), rounds)
+  }
+
+  /** Shared tail of the clustering strategies: component sizes + the
+    * canonical flag over a (doc_id, cluster_id) fixpoint. */
+  private def finishAssignment(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-    val out = labels.join(sizes, Seq("cluster_id"))
+    labels.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
-    (out, rounds)
+  }
+
+  /**
+   * Large-star/small-star alternation (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SoCC'14 §3) — the `stars`
+   * strategy of [[dedupClusters]]. One iteration is two phases over
+   * the canonical undirected edge list (a < b, distinct):
+   *
+   *  - large-star: every node attaches each LARGER neighbor to the
+   *    minimum of its closed neighborhood;
+   *  - small-star: every node attaches its smaller neighbors (and
+   *    itself) to the minimum of that side.
+   *
+   * Edges contract toward component minima two hops per iteration, so
+   * chain-shaped and random-giant components converge in roughly half
+   * the rounds min-label propagation needs; the converged state is
+   * exactly the star set {(component min, member)} (the paper's
+   * Theorem 2), read off as the assignment directly.
+   *
+   * Convergence proof per scalar action: the (Σ endpoints, edge
+   * count) signature is monotone non-increasing per phase and
+   * unchanged IFF the phase was a no-op — each phase maps each input
+   * edge {u,v} to exactly one output edge with endpoint sum <= u+v
+   * (equality iff the edge is unchanged), and the closing distinct
+   * only removes rows, so count equality forces the per-edge map to
+   * be a bijection and sum equality then pins every edge. An
+   * iteration that moves neither phase's signature is therefore a
+   * sound fixpoint certificate.
+   *
+   * Pair endpoints not present in `docs` are semi-filtered away up
+   * front: the min-label path ignores foreign endpoints (its
+   * neighbor join runs against the docs-seeded label frame) and the
+   * strategies must agree exactly.
+   *
+   * Scale posture: per phase one partial-combined min aggregation +
+   * one keyed join + one distinct, all keyed by doc id; driver state
+   * is the two-long signature per phase. Same exchange class as a
+   * min-label round — the win is the round COUNT (measured in the
+   * graph10m smoke).
+   */
+  private[graft] def clustersViaStarsWithRounds(
+      docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
+    val ids = docs.select(col("doc_id"))
+    var edges = materialize(
+      pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+        .join(ids.select(col("doc_id").as("x")), Seq("x"), "left_semi")
+        .join(ids.select(col("doc_id").as("y")), Seq("y"), "left_semi")
+        .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct())
+
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(sum(col("a") + col("b")).as("s"), count(lit(1)).as("n")).head
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // m <= u < v, so (m, v) is canonical and never a self-loop
+      sym.where(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("b")).agg(min(col("a")).as("m"))
+      // group by the larger endpoint: {x, m} per small neighbor x;
+      // the {m, b} edge itself re-emits as the center link {m, b}
+      e.join(mins, Seq("b"))
+        .select(col("m").as("a"),
+          when(col("a") === col("m"), col("b")).otherwise(col("a")).as("b"))
+        .distinct()
+    }
+
+    var rounds = 0
+    var sig = signature(edges)
+    var done = sig._2 == 0L
+    while (!done) {
+      val ls = materialize(largeStar(edges))
+      val sigL = signature(ls)
+      val ss = materialize(smallStar(ls))
+      val sigS = signature(ss)
+      edges = ss
+      rounds += 1
+      done = sigL == sig && sigS == sigL
+      sig = sigS
+    }
+    val members = edges.select(col("b").as("doc_id"), col("a").as("cluster_id"))
+    val labels = materialize(ids
+      .join(members, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")))
+    (finishAssignment(labels), rounds)
   }
 
   /**

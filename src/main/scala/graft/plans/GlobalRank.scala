@@ -321,9 +321,11 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
     * for shapes that stay on the plain window. Supported key/bound
     * matrix: integral keys with integral bounds, DATE with integral
     * (days) or whole-day intervals, TIMESTAMP/TIMESTAMP_NTZ with
-    * day-time intervals (fixed micros — year-month intervals are
-    * calendar-dependent and excluded), FLOAT/DOUBLE with numeric
-    * bounds, DECIMAL with decimal/integral bounds. */
+    * day-time intervals (fixed micros), DATE/TIMESTAMP/TIMESTAMP_NTZ
+    * with year-month intervals (gr13 — calendar bounds evaluated per
+    * row via the plain window's own DateTimeUtils arithmetic, see
+    * [[MonthsRangeDelta]]), FLOAT/DOUBLE with numeric bounds, DECIMAL
+    * with decimal/integral bounds. */
   private def rangePrecedingDelta(f: WindowFrame,
       orderSpec: Seq[SortOrder]): Option[RangeDelta] = f match {
     case SpecifiedWindowFrame(RangeFrame, lower, CurrentRow)
@@ -373,6 +375,24 @@ object RangeRankRewrite extends Rule[LogicalPlan] {
             longMag(v.asInstanceOf[Long], Long.MinValue, Long.MaxValue)
           case (TimestampType, _: DayTimeIntervalType) if fixedOffsetZone =>
             longMag(v.asInstanceOf[Long], Long.MinValue, Long.MaxValue)
+          // year-month intervals (gr13): calendar-dependent bounds,
+          // computed per row with the SAME DateTimeUtils arithmetic
+          // the plain window's bound expressions call — any session
+          // zone is exact, including DST zones, because the zone
+          // rides into the identical computation
+          case (DateType, _: YearMonthIntervalType) =>
+            val m = v.asInstanceOf[Number].intValue()
+            if (m > 0 || m == Int.MinValue) None
+            else Some(MonthsRangeDelta(-m, desc, MonthsRangeDelta.DateKey, "UTC"))
+          case (TimestampNTZType, _: YearMonthIntervalType) =>
+            val m = v.asInstanceOf[Number].intValue()
+            if (m > 0 || m == Int.MinValue) None
+            else Some(MonthsRangeDelta(-m, desc, MonthsRangeDelta.MicrosKey, "UTC"))
+          case (TimestampType, _: YearMonthIntervalType) =>
+            val m = v.asInstanceOf[Number].intValue()
+            if (m > 0 || m == Int.MinValue) None
+            else Some(MonthsRangeDelta(-m, desc, MonthsRangeDelta.MicrosKey,
+              conf.sessionLocalTimeZone))
           case (TimestampType, CalendarIntervalType) if fixedOffsetZone =>
             val ci = v.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
             if (ci.months != 0) None
@@ -652,6 +672,46 @@ case class DecimalRangeDelta(k: java.math.BigDecimal, desc: Boolean)
   }
 }
 
+/** Year-month interval frames (gr13): the bound is CALENDAR
+  * arithmetic, so instead of a fixed delta this calls the very same
+  * `DateTimeUtils` entry points the plain window's per-row bound
+  * expressions evaluate (`DateAddYMInterval` -> `dateAddMonths`,
+  * `TimestampAddYMInterval` -> `timestampAddMonths` with the
+  * plan-time zone — UTC for NTZ, the session zone for zoned keys), so
+  * end-of-month clamping, DST local-time resolution, and extreme-date
+  * failures are identical by construction. Calendar bounds are NOT
+  * monotone in the key (a bound landing in a DST spring-forward gap
+  * shifts an hour later than a bound computed from a LATER key), but
+  * both engines evict STICKILY — Spark's sliding frame never moves
+  * its lower index backward, and the run deque only ever drops heads
+  * in row order — so frames agree row for row even there (probed
+  * under America/Los_Angeles in RangeRankRuleSpec). `months` is the
+  * PRECEDING magnitude (>= 0). */
+case class MonthsRangeDelta(months: Int, desc: Boolean, kind: Int,
+    zoneId: String) extends RangeDelta {
+  @transient private lazy val zone = java.time.ZoneId.of(zoneId)
+  private def bound(cv: Long): Long = {
+    val m = if (desc) months else -months
+    if (kind == MonthsRangeDelta.DateKey)
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .dateAddMonths(cv.toInt, m).toLong
+    else
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .timestampAddMonths(cv, m, zone)
+  }
+  def outside(e: Any, c: Any): Boolean = {
+    val ev = e.asInstanceOf[Number].longValue()
+    val cv = c.asInstanceOf[Number].longValue()
+    if (!desc) ev < bound(cv) else ev > bound(cv)
+  }
+}
+object MonthsRangeDelta {
+  val DateKey = 0
+  /** NTZ and zoned timestamps share the micros path; the zone encodes
+    * the difference (UTC for NTZ — `zoneIdForType`'s rule). */
+  val MicrosKey = 1
+}
+
 /** A value-bounded trailing aggregate, RANGE BETWEEN k PRECEDING AND
   * CURRENT ROW over the single order key: the frame is every row
   * whose key lies within `delta` of the current key, INCLUDING the
@@ -743,18 +803,30 @@ private[plans] sealed trait RunningAcc extends Serializable {
   * sequential-combine contract (the other path's points shift by this
   * total), and the path ever left long range ⇔ an extreme has
   * carry ≠ 0. */
-private[plans] final class SumLongAcc(exact: Boolean, tryMode: Boolean = false)
+private[plans] final class SumLongAcc(exact: Boolean, tryMode: Boolean = false,
+    pathExact: Boolean = false)
   extends RunningAcc {
   var s = 0L; var carry = 0L; var seen = false
-  // path extremes, meaningful only in tryMode (the empty path's
-  // origin (0,0) is in-range and never triggers)
+  // path extremes, meaningful in tryMode and pathExact (the empty
+  // path's origin (0,0) is in-range and never triggers).
+  //
+  // `pathExact` (ADVICE r18): ANSI frames whose INTERMEDIATE prefixes
+  // are never emitted — bounded ROWS, RANGE value frames, and the
+  // within-tie-run stretch of running RANGE — must throw when the
+  // accumulation PATH ever left long range, because the plain ANSI
+  // window's checked add throws at that add even when the frame total
+  // lands back in range (e.g. [Long.MaxValue, 1, -5]). Running ROWS
+  // keeps pathExact=false: every prefix IS emitted there, so the
+  // final-carry check already throws at exactly the first overflowing
+  // row, while a per-partition subtotal overflow with an in-range
+  // true prefix must NOT throw (review r16).
   var maxC = 0L; var maxS = 0L; var minC = 0L; var minS = 0L
   private def addRaw(x: Long): Unit = {
     val r = s + x
     if (((s ^ r) & (x ^ r)) < 0L) carry += (if (x > 0L) 1L else -1L)
     s = r
   }
-  private def note(): Unit = if (tryMode) {
+  private def note(): Unit = if (tryMode || pathExact) {
     if (carry > maxC || (carry == maxC && s > maxS)) { maxC = carry; maxS = s }
     if (carry < minC || (carry == minC && s < minS)) { minC = carry; minS = s }
   }
@@ -764,7 +836,7 @@ private[plans] final class SumLongAcc(exact: Boolean, tryMode: Boolean = false)
   def merge(o: RunningAcc): Unit = {
     val t = o.asInstanceOf[SumLongAcc]
     if (t.seen) {
-      if (tryMode) {
+      if (tryMode || pathExact) {
         // o's rows come AFTER this state's (the sequential contract):
         // o's path points shift by THIS total, so the merged extremes
         // are this state's and (total + o's extremes)
@@ -785,6 +857,8 @@ private[plans] final class SumLongAcc(exact: Boolean, tryMode: Boolean = false)
   def value: Any =
     if (!seen) null
     else if (tryMode && (maxC != 0L || minC != 0L)) null // sticky path overflow
+    else if (pathExact && (maxC != 0L || minC != 0L)) throw new ArithmeticException(
+      "long overflow in windowed SUM frame accumulation (ANSI mode)")
     else if (carry != 0L && exact) throw new ArithmeticException(
       "long overflow in running SUM (ANSI mode)")
     else java.lang.Long.valueOf(s)
@@ -1143,9 +1217,10 @@ case class GlobalRankExec(
     * (review r17 finding). */
   private def newCommonAcc(kind: String, resultDt: DataType,
       valueDt: DataType, exact: Boolean,
-      zeroEmpty: Boolean = false, tryMode: Boolean = false): Option[RunningAcc] = kind match {
+      zeroEmpty: Boolean = false, tryMode: Boolean = false,
+      pathExact: Boolean = false): Option[RunningAcc] = kind match {
     case "sum" => Some(resultDt match {
-      case LongType => new SumLongAcc(exact, tryMode)
+      case LongType => new SumLongAcc(exact, tryMode, pathExact)
       case d: DecimalType => new SumDecimalAcc(d, exact, zeroEmpty)
       case _ => new SumDoubleAcc // double never overflows: TRY = plain
     })
@@ -1158,7 +1233,11 @@ case class GlobalRankExec(
 
   private def newAcc(a: GlobalRunningAgg): RunningAcc =
     newCommonAcc(a.kind, a.attr.dataType, a.valueExpr.dataType, a.exact, a.zeroEmpty,
-        a.tryMode)
+        a.tryMode,
+        // running RANGE absorbs whole tie runs before emitting — its
+        // within-run prefixes are unemitted, so ANSI must throw on
+        // path overflow there; running ROWS emits every prefix
+        pathExact = a.exact && !a.rowsFrame)
       .getOrElse(a.kind match {
     case "first" => new FirstLastAcc(isFirst = true, ignoreNulls = false)
     case "first_nn" => new FirstLastAcc(isFirst = true, ignoreNulls = true)
@@ -1176,7 +1255,7 @@ case class GlobalRankExec(
 
   private def newBoundedAcc(b: GlobalBoundedAgg): RunningAcc =
     newCommonAcc(b.kind, b.attr.dataType, b.valueExpr.dataType, b.exact,
-        tryMode = b.tryMode)
+        tryMode = b.tryMode, pathExact = b.exact)
       .getOrElse(throw new IllegalStateException(
         s"GlobalRankExec: unknown bounded sliding aggregate ${b.kind}"))
 
@@ -1243,7 +1322,7 @@ case class GlobalRankExec(
     val mkRkAcc: Int => RunningAcc = { val fs = rks
       f => newCommonAcc(fs(f).kind, fs(f).attr.dataType,
         fs(f).valueExpr.dataType, fs(f).exact,
-        tryMode = fs(f).tryMode).getOrElse(
+        tryMode = fs(f).tryMode, pathExact = fs(f).exact).getOrElse(
           throw new IllegalStateException(
             s"GlobalRankExec: unknown range aggregate ${fs(f).kind}"))
     }
@@ -1481,8 +1560,11 @@ case class GlobalRankExec(
     // RANGE k PRECEDING prefix slices: per func, the runs from ALL
     // previous partitions still within delta of the running last key —
     // concatenating per-partition deques in order with the same
-    // eviction is exact (keys are globally sorted across the range
-    // exchange, so once a run leaves the window it never returns)
+    // eviction is exact: eviction is STICKY (heads drop in row order
+    // and never return), which is also precisely the plain sliding
+    // frame's behavior — its lower index never moves backward — so
+    // the two agree even for calendar bounds that are non-monotone in
+    // the key (MonthsRangeDelta across a DST gap)
     val prefixRkTails: Array[Array[Array[(Any, RunningAcc)]]] = {
       val out = new Array[Array[Array[(Any, RunningAcc)]]](stats.length)
       val dqs = rks.map(_ => scala.collection.mutable.ArrayDeque.empty[(Any, RunningAcc)])

@@ -855,6 +855,57 @@ object Relational {
   def gr12TrySumSql(spark0: SparkSession, dir: String): DataFrame =
     rewrittenOracle(spark0, dir, "gr12_orders", gr12Sql(_, duck = false), "gr12")
 
+  /** The gr13 year-month RANGE frame SQL (round-19 exclusion-list
+    * shrink — the LAST user-plausible global-window exclusion),
+    * shared VERBATIM with the DuckDB oracle: monthly/quarterly
+    * trailing aggregates over the daily revenue series. The frame
+    * bound is CALENDAR arithmetic (`d - INTERVAL 1 MONTH` with
+    * end-of-month clamping — both engines clamp Mar 31 − 1 month to
+    * Feb 28/29), which [[graft.plans.MonthsRangeDelta]] evaluates per
+    * row via the plain window's own `DateTimeUtils.dateAddMonths`.
+    * Same rounding discipline as gr11 (double window sums 4dp, counts
+    * CAST BIGINT against DuckDB's HUGEINT) — EXCEPT the average,
+    * which runs over integer CENTS: a ~31-day window frequently holds
+    * exactly 32 = 2^5 days, and a 2-dp revenue sum divided by 32
+    * terminates at 7 decimal digits, parking the true value EXACTLY
+    * on the 6-dp rounding tie where each engine's summation-order
+    * epsilon decides the direction (found by this key's first gate
+    * run: 153/2399 rows off by 1e-6). Integer sums are exact in
+    * double under ANY association; the quotient is then bit-identical
+    * on both engines, and 5 dp is the precision where NO tie is
+    * reachable: /2^k expansions (k <= 5 for a <= 32-day window) have
+    * <= 5 digits (on-grid, round = identity), and any odd-divisor
+    * quotient sits >= 1/(2·count)·1e-5 ~ 1.6e-7 from a boundary —
+    * two orders above the ~3e-8 ulp at the 1.3e8 cents magnitude
+    * where Spark's shortest-repr HALF_UP and DuckDB's multiply-round
+    * can disagree (6 dp put the boundary INSIDE that ulp: 4 rows). */
+  private def gr13Sql(table: String): String =
+    s"""WITH t AS (SELECT o_orderdate AS d,
+       |    ROUND(SUM(o_totalprice), 4) AS rev,
+       |    CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+       |  FROM $table GROUP BY o_orderdate)
+       |SELECT d, rev,
+       |  ROUND(SUM(rev) OVER (ORDER BY d
+       |    RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW), 4) AS ma1m,
+       |  CAST(COUNT(*) OVER (ORDER BY d
+       |    RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS BIGINT) AS n1m,
+       |  ROUND(AVG(cents) OVER (ORDER BY d
+       |    RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW), 5) AS avg1m_cents,
+       |  ROUND(MIN(rev) OVER (ORDER BY d
+       |    RANGE BETWEEN INTERVAL 3 MONTH PRECEDING AND CURRENT ROW), 4) AS min3m,
+       |  ROUND(MAX(rev) OVER (ORDER BY d
+       |    RANGE BETWEEN INTERVAL 3 MONTH PRECEDING AND CURRENT ROW), 4) AS max3m
+       |FROM t""".stripMargin
+
+  /** Year-month RANGE frames through the automatic rewrite under the
+    * driver's hash gate — same isolated-session + fired-plan
+    * discipline as gr1–gr12. Cross-partition state is gr11's per-run
+    * compacted deque; eviction is sequential-sticky on both engines,
+    * which is what keeps calendar bounds (non-monotone across DST
+    * gaps) exact — see [[graft.plans.MonthsRangeDelta]]. */
+  def gr13MonthRangeSql(spark0: SparkSession, dir: String): DataFrame =
+    rewrittenOracle(spark0, dir, "gr13_orders", gr13Sql, "gr13")
+
   /** Calendar seasonality: revenue by day-of-week. The trap this key
     * pins: weekday NUMBERING is engine-specific (Spark `weekday` is
     * Monday=0; Spark `dayofweek` is Sunday=1; DuckDB `dow` is
@@ -1270,6 +1321,7 @@ object Relational {
     "gr10_ignore_nulls_sql" -> gr10Sql("orders", duck = true),
     "gr11_range_frame_sql" -> gr11Sql("orders"),
     "gr12_try_sum_sql" -> gr12Sql("orders", duck = true),
+    "gr13_month_range_sql" -> gr13Sql("orders"),
     "w5_spend_deciles" ->
       """WITH t AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
         |  FROM orders GROUP BY o_custkey),
@@ -1830,6 +1882,7 @@ object Relational {
     "gr10_ignore_nulls_sql" -> (gr10IgnoreNullsSql _),
     "gr11_range_frame_sql" -> (gr11RangeFrameSql _),
     "gr12_try_sum_sql" -> (gr12TrySumSql _),
+    "gr13_month_range_sql" -> (gr13MonthRangeSql _),
     "cal1_dow_revenue" -> (cal1DowRevenue _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "g3_grouping_sets" -> (g3GroupingSets _),

@@ -380,14 +380,15 @@ object StreamingDetectors {
    *
    *  - per-series state buffers a RETAINED WINDOW of the series: the
    *    safe prefix — everything before the emission frontier (minus a
-   *    reach margin) AND before one sample ahead of the first
-   *    occurrence of the running max/min — is dropped each trigger
-   *    (closed candidates' prominence stretches and width walks
-   *    provably stop at or after the extremum; candidates tying it
-   *    are right-open and only hold the frontier). Retention is
-   *    bounded by "since the last record extreme": station series
-   *    renew records seasonally; a signal that never does retains
-   *    from its last record on, and crossing
+   *    reach margin), before one sample ahead of the first occurrence
+   *    of the running max/min (what future candidates' scans stop at
+   *    or fall back to), AND before every still-unemitted candidate's
+   *    own left-scan stop (its last strictly-higher-or-NaN position,
+   *    or its prefix argmin when it is its own prefix maximum —
+   *    ADVICE r18) — is dropped each trigger. Retention is bounded by
+   *    "since the last record extreme" for series that renew records;
+   *    a signal holding an unemitted prefix-maximum candidate retains
+   *    back to that candidate's base, and crossing
    *    `spark.graft.streaming.svStateWarnRows` logs the shape;
    *  - each trigger re-runs the batch mask over the buffer and takes
    *    the STABLE prefix: every position more than ceil(widthMax)+1
@@ -526,18 +527,35 @@ object StreamingDetectors {
               } else i += 1
             }
           }
-          // SAFE-PREFIX DROP (review r18 — unbounded retention): rows
-          // before BOTH the emission frontier AND one sample before
-          // the first occurrence of the running max (and, for
-          // valleys, min) can never be read again. Every CLOSED
-          // candidate's prominence stretch and width walk stop at or
-          // after the extremum's first position (a closed peak's
-          // height is strictly below the running max, so the scan
-          // cannot pass it); candidates tying the extremum are
-          // right-open, where a truncated computation only holds the
-          // frontier — conservative, never wrong. NaNs never win the
-          // extremum (they stop scans themselves, like the window
-          // edge they may become).
+          // SAFE-PREFIX DROP (review r18; left-scan bound tightened
+          // for ADVICE r18): rows may be dropped only when no
+          // prominence/width computation that can still affect
+          // UNEMITTED output will read them. Three retention bounds:
+          //  - reach margin behind the emission frontier: a candidate
+          //    below newEmitted - reach paints at most widthMax past
+          //    its midpoint, strictly below the frontier;
+          //  - first occurrences of the running max AND min: a FUTURE
+          //    candidate below the running max stops its left scan at
+          //    or after fMax; one at/above it scans to the head,
+          //    where the retained running min (<= every value ever
+          //    dropped, by induction) supplies the exact base;
+          //  - per-candidate left-scan stops for the CURRENT unemitted
+          //    candidates (local maxima of the series and of its sign
+          //    flip at index >= newEmitted - reach): each scan reads
+          //    back to the last strictly-higher-or-NaN position, and a
+          //    candidate that is its own prefix maximum has NO stop —
+          //    its base is the rightmost prefix argmin, which must
+          //    stay. The old first-running-extreme bound alone let a
+          //    LATE new global extreme unpin exactly that prefix
+          //    (ADVICE r18: record high closed by a newer record while
+          //    a new global min lands after it — the truncated head
+          //    then inflated leftMin, diverging prominence/width from
+          //    the batch mask). Exiting the scan at the buffer head is
+          //    equivalent to exiting at the stop position itself, so
+          //    keeping [stop+1, ...] preserves leftMin/leftBase/width
+          //    bit for bit. NaNs never win the extremes (they stop
+          //    scans themselves, like the window edge they may
+          //    become).
           val dropPoint = {
             var maxV = Double.NegativeInfinity; var minV = Double.PositiveInfinity
             var i = 0
@@ -558,12 +576,51 @@ object StreamingDetectors {
                 if (xs(i) == minV && fMin < 0) fMin = i
                 i += 1
               }
-              // reach margin behind the frontier: a dropped candidate
-              // paints at most widthMax past its midpoint, so keeping
-              // ceil(widthMax)+1 samples behind the emission frontier
-              // guarantees no unemitted position can lose a dropped
-              // peak's painting
-              math.max(0, math.min(newEmitted - reach, math.min(fMax, fMin) - 1))
+              val lo = math.max(0, newEmitted - reach)
+              // earliest buffer position any unemitted candidate's
+              // left prominence scan can read, over one sign
+              def minKeepFrom(x: Array[Double]): Int = {
+                val cands = graft.operators.FindPeaks.localMaxima(x)
+                  .filter(_ >= lo)
+                if (cands.isEmpty) Int.MaxValue
+                else {
+                  // previous strictly-greater-or-NaN position via a
+                  // monotonic stack (equal values pop: they don't stop
+                  // the scan; a NaN acts as +Inf and never pops)
+                  val prevStop = new Array[Int](n)
+                  val stack = new Array[Int](n); var top = -1
+                  // rightmost argmin of x(0..i) (ties -> right, the
+                  // scan's own tie rule), NaN skipped
+                  val argmin = new Array[Int](n); var bm = -1
+                  var j2 = 0
+                  while (j2 < n) {
+                    val v = x(j2)
+                    if (!v.isNaN) {
+                      while (top >= 0 && {
+                        val tv = x(stack(top)); !tv.isNaN && tv <= v
+                      }) top -= 1
+                      if (bm < 0 || v <= x(bm)) bm = j2
+                    }
+                    prevStop(j2) = if (top >= 0) stack(top) else -1
+                    top += 1; stack(top) = j2
+                    argmin(j2) = bm
+                    j2 += 1
+                  }
+                  var kf = Int.MaxValue
+                  cands.foreach { p =>
+                    val s0 = prevStop(p)
+                    // unbounded scan: no NaN and no higher value
+                    // before p, so argmin(p-1) >= 0
+                    val k = if (s0 >= 0) s0 + 1 else argmin(p - 1)
+                    if (k < kf) kf = k
+                  }
+                  kf
+                }
+              }
+              val scanBound = math.min(
+                minKeepFrom(xs), minKeepFrom(xs.map(v => -v)))
+              math.max(0, math.min(scanBound,
+                math.min(newEmitted - reach, math.min(fMax, fMin) - 1)))
             }
           }
           val kept = if (dropPoint > 0) all.drop(dropPoint) else all
@@ -579,6 +636,41 @@ object StreamingDetectors {
           out.result().iterator
         })
       .toDF()
+  }
+
+  /** Streaming twin of ff1's forward-fill (pandas `ffill`): carry the
+    * last non-missing value forward within each series. Per-series
+    * state is ONE double — every row emits immediately, because the
+    * filled value depends only on rows at or before it (finality is
+    * trivial, no watermark needed). The BACKWARD direction (lead
+    * IGNORE NULLS / `bfill`) is the one that pends: a row's fill
+    * value arrives arbitrarily later, bounded by the longest missing
+    * run — gr10's lead-pend shape, data-final by nature (PLANS.md
+    * round 19 spike). Missing values must arrive as nulls (the batch
+    * key NaN→null-canonicalizes upstream, `Kernels.nanToNull`).
+    * Contract: per-series event-time order ACROSS batches (in-batch
+    * disorder is sorted away) — chain
+    * [[StreamingReorder.reorderByEventTime]] for general feeds. */
+  def forwardFill(ts: DataFrame): DataFrame = {
+    val spark = ts.sparkSession
+    import spark.implicits._
+    ts.select(col("series_id"), col("ts"), col("value"))
+      .as[(String, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (sid: String,
+         rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
+         state: GroupState[Double]) => {
+          var last: Option[Double] = state.getOption
+          val out = rows.toSeq.sortBy(_._2.getTime).map { case (_, t, v) =>
+            if (v.isDefined) last = v
+            (sid, t, v, if (v.isDefined) v else last)
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+      .toDF("series_id", "ts", "value", "value_filled")
   }
 
   def stormSessions(

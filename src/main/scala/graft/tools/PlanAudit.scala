@@ -181,7 +181,15 @@ object PlanAudit {
       s"join[${j.joinType}][${j.condition.map(norm).getOrElse("-")}]" +
         s"(${j.children.map(loose(_, asInput = true)).mkString(",")})"
     case g: Generate =>
-      s"generate[${norm(g.generator)}](${loose(g.child, asInput = true)})"
+      // outer and qualifier are part of the generator's semantics
+      // (explode vs explode_outer emit different row sets), and the
+      // repair's unifyGenerates refuses to merge across them
+      // (PlanAuditRepair.scala:485) — keying them here keeps the
+      // detector and the repair's groupings aligned instead of
+      // reporting a divergent-duplicate warning the repair can never
+      // fix (ADVICE r18)
+      s"generate[${norm(g.generator)}][outer=${g.outer}]" +
+        s"[q=${g.qualifier.getOrElse("-")}](${loose(g.child, asInput = true)})"
     // an Expand's projections ARE where consumer pruning lands (each
     // member replicates only the columns its consumer kept), so the
     // grouping key excludes them — only the grouping-set count and the

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * cos≈0.999 near-dups) into `outDir` with the driver testdata
   * schemas, then times the PRODUCTION query functions
   * (SparkEntry.queries) against it unchanged. Usage:
-  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,graph12,dc4,bloom,link,linkhot,jw,basket,events,events12]"
+  *   sbt "runMain graft.tools.ScaleSmoke [outDir] [--skip-gen] [--run=dedup,ivf,hot,wide,vec,retr,retr2,qual,pr,graph,graph12,dc4,bloom,link,linkhot,jw,basket,events,events12,ymrange,ccstars]"
   * (no --run flag = all sections).
   */
 object ScaleSmoke {
@@ -1662,6 +1662,68 @@ object ScaleSmoke {
         f"avg max abs diff ${cmp.getDouble(1)}%.2e (per-run-subtotal ulp class)")
     }
 
+    // --- ymrange: year-month RANGE frames at 10M (gr13) -------------------
+    // Calendar-bounded trailing aggregates over a DATE key with
+    // 500-row tie runs across ~54 years of dates (every month-length
+    // and leap transition in range): exact families value-checked
+    // EXACT-equal against the plain single-partition window; the
+    // 3-month double avg carries the per-run-subtotal ulp class. The
+    // frame bound is evaluated per run via DateTimeUtils.dateAddMonths
+    // (the plain window's own arithmetic — MonthsRangeDelta).
+    if (want("ymrange")) {
+      graft.functions.GraftFunctions.register(spark)
+      ensureCust10m()
+      spark.read.parquet(s"$outDir/cust10m.parquet")
+        .withColumn("d", expr("date_add(date'2000-01-01', cast(pmod(k, 20000) AS int))"))
+        .withColumn("cents", floor(col("spend") * lit(100) + lit(0.5)).cast("long"))
+        .createOrReplaceTempView("ym10m")
+      val ymSql =
+        """SELECT k,
+          |  SUM(cents) OVER (ORDER BY d RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS s1m,
+          |  COUNT(*)   OVER (ORDER BY d RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS c1m,
+          |  MIN(cents) OVER (ORDER BY d RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS mn1m,
+          |  MAX(cents) OVER (ORDER BY d RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS mx1m,
+          |  AVG(cents) OVER (ORDER BY d RANGE BETWEEN INTERVAL 3 MONTH PRECEDING AND CURRENT ROW) AS a3m
+          |FROM ym10m""".stripMargin
+      def consumeYm(df: DataFrame): Long =
+        df.agg(sum(col("s1m")), sum(col("c1m")), sum(col("mn1m")), sum(col("mx1m")),
+          sum(col("a3m")), count(lit(1)).as("n")).head.getLong(5)
+      timed("ymrange_sql_10m") {
+        val df = spark.sql(ymSql)
+        val p = df.queryExecution.executedPlan.toString
+        require(p.contains("GlobalRank") && !p.contains("SinglePartition"),
+          "year-month RANGE frames did not rewrite:\n" + p.take(3000))
+        consumeYm(df)
+      }
+      spark.sql(ymSql).write.mode("overwrite")
+        .parquet(s"$outDir/ymrange_auto.parquet")
+      spark.conf.set(graft.operators.RangeRank.MinBytesKey, Long.MaxValue.toString)
+      try {
+        timed("ymrange_plainwin_10m") {
+          val df = spark.sql(ymSql)
+          require(!df.queryExecution.executedPlan.toString.contains("GlobalRank"))
+          consumeYm(df)
+        }
+        spark.sql(ymSql).write.mode("overwrite")
+          .parquet(s"$outDir/ymrange_plain.parquet")
+      } finally spark.conf.unset(graft.operators.RangeRank.MinBytesKey)
+      val a = spark.read.parquet(s"$outDir/ymrange_auto.parquet").alias("a")
+      val p = spark.read.parquet(s"$outDir/ymrange_plain.parquet").alias("p")
+      val cmp = a.join(p, "k").agg(
+        sum(when(col("a.s1m") <=> col("p.s1m") && col("a.c1m") <=> col("p.c1m") &&
+          col("a.mn1m") <=> col("p.mn1m") && col("a.mx1m") <=> col("p.mx1m"), 0)
+          .otherwise(1)).as("exact_bad"),
+        max(abs(col("a.a3m") - col("p.a3m"))).as("avg_maxdiff"),
+        count(lit(1)).as("n")).head
+      require(cmp.getLong(2) == 10000000L, s"join lost rows: ${cmp.getLong(2)}")
+      require(cmp.getLong(0) == 0L,
+        s"year-month RANGE exact families diverged on ${cmp.getLong(0)} rows")
+      require(cmp.getDouble(1) < 1e-9,
+        s"year-month RANGE avg beyond ulp class: ${cmp.getDouble(1)}")
+      println(f"SCALE ymrange: sum/count/min/max EXACT-equal on 10M rows; " +
+        f"avg max abs diff ${cmp.getDouble(1)}%.2e (per-run-subtotal ulp class)")
+    }
+
     // --- graph10m: the iterative graph family at 10M edges + hub skew ----
     // (VERDICT r17 item 4) cc1/lp1/kc1/bfs1/pr1 are the five most
     // expensive bench keys and the ones round-17's bench ambiguity
@@ -1729,6 +1791,65 @@ object ScaleSmoke {
           pr.count()
         }
         assertNoStraggler("graph10m_pr1")
+      } finally {
+        prevMode match {
+          case Some(m) => spark.conf.set(graft.Materialize.ModeKey, m)
+          case None => spark.conf.unset(graft.Materialize.ModeKey)
+        }
+      }
+    }
+
+    // --- ccstars: cc1 strategy A/B at 10M edges (VERDICT r18 task 2) -----
+    // dedupClusters is the repo's most expensive operator at scale and
+    // its 10M wall is ROUND-COUNT-dominated on a random giant
+    // component (488.6 s at r18, per-round cost flat). A/B the
+    // min-label+path-halving default against the large-star/small-star
+    // alternation on the same graph (same 100k-spoke hub), asserting
+    // identical label sums and straggler cleanliness for both.
+    if (want("ccstars")) {
+      graft.functions.GraftFunctions.register(spark)
+      ensureParquet("graph10m.parquet")(
+        spark.range(9900000L).select(
+          pmod(xxhash64(col("id") * 31L + 7L), lit(5000000L)).as("doc_a"),
+          pmod(xxhash64(col("id") * 131L + 11L), lit(5000000L)).as("doc_b"))
+        .unionByName(spark.range(100000L).select(
+          lit(0L).as("doc_a"), (col("id") + 5000000L).as("doc_b"))))
+      val pairs = spark.read.parquet(s"$outDir/graph10m.parquet")
+      val docs = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      spark.sparkContext.setCheckpointDir(s"$outDir/ccstars_ckpt")
+      val prevMode = spark.conf.getOption(graft.Materialize.ModeKey)
+      spark.conf.set(graft.Materialize.ModeKey, "checkpoint")
+      def assertNoStraggler(label: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val bad = peaks.stages.asScala.collect {
+          case (id, (mx, cnt, sum)) if cnt >= 8 && sum >= 3000 && mx > 10 * (sum / cnt) =>
+            f"stage$id max=${mx / 1000.0}%.1fs mean=${sum / cnt / 1000.0}%.1fs n=$cnt"
+        }
+        require(bad.isEmpty, s"$label stragglers under hub skew: ${bad.mkString("; ")}")
+        println(s"SCALE $label straggler-check: clean (hub key 100k-wide)")
+      }
+      try {
+        var sumM = 0L
+        var sumS = 0L
+        timed("ccstars_minlabel_10m", runs = 1) {
+          val (c, rounds) = graft.dedup.Dedup.clustersWithRounds(docs, pairs)
+          val r = c.agg(sum(col("cluster_id")).as("s"), count(lit(1)).as("n")).head
+          sumM = r.getLong(0)
+          println(s"SCALE ccstars minlabel rounds=$rounds labelSum=$sumM nodes=${r.getLong(1)}")
+          r.getLong(1)
+        }
+        assertNoStraggler("ccstars_minlabel_10m")
+        timed("ccstars_stars_10m", runs = 1) {
+          val (c, iters) = graft.dedup.Dedup.clustersViaStarsWithRounds(docs, pairs)
+          val r = c.agg(sum(col("cluster_id")).as("s"), count(lit(1)).as("n")).head
+          sumS = r.getLong(0)
+          println(s"SCALE ccstars stars iterations=$iters labelSum=$sumS nodes=${r.getLong(1)}")
+          r.getLong(1)
+        }
+        assertNoStraggler("ccstars_stars_10m")
+        require(sumM == sumS, s"strategy divergence at 10M: $sumM vs $sumS")
+        println(s"SCALE ccstars exactness: label sums agree ($sumM)")
       } finally {
         prevMode match {
           case Some(m) => spark.conf.set(graft.Materialize.ModeKey, m)

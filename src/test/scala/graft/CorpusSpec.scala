@@ -36,6 +36,64 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(rounds <= 16, s"path halving did not engage: $rounds rounds for diameter $n")
   }
 
+  test("stars strategy: large-star/small-star closure equals min-label on every shape (r19)") {
+    // property equality over the shapes that stress different round
+    // structures: chain (diameter-bound), clique (1 round), star,
+    // random graph with a giant component, and foreign endpoints
+    val rnd = new scala.util.Random(19)
+    val shapes: Seq[(String, Seq[Long], Seq[(Long, Long)])] = Seq(
+      ("chain", 0L to 64L, (0L until 64L).map(i => (i, i + 1))),
+      ("clique", 0L to 9L, for { i <- 0L to 9L; j <- (i + 1) to 9L } yield (i, j)),
+      ("star-reversed", 0L to 20L, (1L to 20L).map(i => (i, 0L))),
+      ("two-chains+isolates", 0L to 30L,
+        (0L until 10L).map(i => (i + 1, i)) ++ (15L until 25L).map(i => (i, i + 1))),
+      ("random-giant", 0L to 199L,
+        Seq.fill(260)((rnd.nextLong(200).abs, rnd.nextLong(200).abs))
+          .filter { case (a, b) => a != b }),
+      ("foreign-endpoints", 0L to 5L,
+        // 100/101 not in docs: must NOT bridge 2-3 through 100, same
+        // as min-label's docs-seeded neighbor join
+        Seq((0L, 1L), (2L, 100L), (100L, 3L), (4L, 101L))),
+      ("empty", 0L to 4L, Seq.empty))
+    shapes.foreach { case (name, ids, edges) =>
+      val docs = ids.toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val (minlabel, _) = Dedup.clustersWithRounds(docs, pairs)
+      val (stars, _) = Dedup.clustersViaStarsWithRounds(docs, pairs)
+      val a = minlabel.orderBy("doc_id")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      val b = stars.orderBy("doc_id")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      assert(a == b, s"strategy divergence on shape '$name'")
+    }
+  }
+
+  test("stars strategy: round count beats min-label on a long chain (r19)") {
+    val n = 255L
+    val docs = (0L to n).toDF("doc_id")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (gotM, roundsM) = Dedup.clustersWithRounds(docs, pairs)
+    val (gotS, roundsS) = Dedup.clustersViaStarsWithRounds(docs, pairs)
+    assert(gotS.where(col("cluster_id") === 0L).count() == n + 1)
+    assert(gotS.where(col("is_canonical")).count() == 1)
+    assert(roundsS < roundsM,
+      s"stars ($roundsS iterations) did not beat min-label ($roundsM rounds) on a chain")
+  }
+
+  test("dedupClusters dispatches on the strategy conf and rejects unknown values (r19)") {
+    val docs = (0L to 3L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (2L, 3L)).toDF("doc_a", "doc_b")
+    spark.conf.set(Dedup.CcStrategyKey, "stars")
+    try {
+      val got = Dedup.dedupClusters(docs, pairs).orderBy("doc_id")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      assert(got == Seq((0L, 0L, 2L, true), (1L, 0L, 2L, false),
+        (2L, 2L, 2L, true), (3L, 2L, 2L, false)))
+      spark.conf.set(Dedup.CcStrategyKey, "bogus")
+      intercept[IllegalArgumentException](Dedup.dedupClusters(docs, pairs))
+    } finally spark.conf.unset(Dedup.CcStrategyKey)
+  }
+
   test("incrementalClusters: batch fold equals from-scratch recluster") {
     // edges over 12 docs split into two arrival batches; batch 2 merges
     // two old components through a new doc, links a new doc into an old

@@ -142,6 +142,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(fs.exists(f => f.kind == "join" && f.severity == "warn"), fs.toString)
   }
 
+  test("explode vs explode_outer over the same child never group as duplicates (ADVICE r18)") {
+    import spark.implicits._
+    // same generator expression, different OUTER flag: these read the
+    // same child but emit different row sets — unifyGenerates rightly
+    // refuses to merge them, so the detector must not group them
+    // either (pre-fix this was a standing unrepairable warning)
+    val df = Seq((1, Seq("a", "b")), (2, Seq.empty[String])).toDF("id", "xs")
+    val a = df.select(col("id"), explode(col("xs")).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("n"))
+    val b = df.select(col("id"), explode_outer(col("xs")).as("x"))
+      .groupBy("x").agg(sum("id").as("s"))
+    val findings = PlanAudit.audit(a.join(b, Seq("x"), "full_outer"))
+    assert(!findings.exists(_.kind == "generate"), findings.toString)
+  }
+
   test("t8's vocab count: un-barriered flagged, gated barrier silent") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val k = graft.queries.TextAnalysis.VocabBarrierMinBytesKey

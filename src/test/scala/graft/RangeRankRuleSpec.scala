@@ -987,8 +987,9 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
   test("RANGE value-frame shapes the rewrite must NOT take stay on the plain window (r18)") {
     frame.createOrReplaceTempView("rr_rule_t")
     withOpenGate {
-      // year-month interval bound over a timestamp key: calendar-
-      // dependent delta, excluded
+      // year-month interval bound over a timestamp key: rewrites
+      // since r19 (gr13 — MonthsRangeDelta evaluates the calendar
+      // bound with the plain window's own DateTimeUtils arithmetic)
       spark.range(10).toDF("i")
         .selectExpr("timestamp'2024-01-01' + make_interval(0,0,0, cast(i as int)) AS ts", "i AS v")
         .createOrReplaceTempView("rr_rng_ym")
@@ -996,7 +997,18 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
         """SELECT sum(v) OVER (ORDER BY ts
           |  RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS s
           |FROM rr_rng_ym""".stripMargin))
-      assert(p1.contains("Window") && !p1.contains("GlobalRank"), p1)
+      assert(p1.contains("GlobalRank") && !p1.contains("Window"), p1)
+      // mixed month+day CalendarInterval bounds stay excluded (frame
+      // bounds must be literals; only legacy interval literals
+      // produce CalendarIntervalType with months set)
+      spark.conf.set("spark.sql.legacy.interval.enabled", "true")
+      try {
+        val pMix = plan(spark.sql(
+          """SELECT sum(v) OVER (ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 1 MONTH 3 DAYS PRECEDING AND CURRENT ROW) AS s
+            |FROM rr_rng_ym""".stripMargin))
+        assert(pMix.contains("Window") && !pMix.contains("GlobalRank"), pMix)
+      } finally spark.conf.unset("spark.sql.legacy.interval.enabled")
       // ZONED timestamp keys under a DST session zone: the plain
       // window's interval frame bound is wall-clock (1 day = 23h/25h
       // across a transition), the delta is fixed micros — excluded
@@ -1029,6 +1041,82 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
         assert(pNtz.contains("GlobalRank"), pNtz)
       } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
     }
+  }
+
+  test("year-month RANGE frames: calendar bounds match the plain window exactly (gr13/r19)") {
+    import spark.implicits._
+    // ~400 daily DATE keys with duplicates (peer runs) and end-of-
+    // month coverage (every month-length transition clamps somewhere:
+    // Mar 29/30/31 - 1 month all land on Feb 28 in a non-leap year)
+    spark.range(400)
+      .selectExpr("date_add(date'2023-01-05', cast(id / 2 AS int) * 3) AS d",
+        "id AS v")
+      .createOrReplaceTempView("rr_ym_dates")
+    val shapes = Seq(
+      """SELECT d, sum(v) OVER (ORDER BY d
+        |  RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS s,
+        |  count(*) OVER (ORDER BY d
+        |  RANGE BETWEEN INTERVAL 3 MONTH PRECEDING AND CURRENT ROW) AS n,
+        |  min(v) OVER (ORDER BY d
+        |  RANGE BETWEEN INTERVAL '1-2' YEAR TO MONTH PRECEDING AND CURRENT ROW) AS m
+        |FROM rr_ym_dates""".stripMargin,
+      """SELECT d, sum(v) OVER (ORDER BY d DESC
+        |  RANGE BETWEEN INTERVAL 2 MONTH PRECEDING AND CURRENT ROW) AS s
+        |FROM rr_ym_dates""".stripMargin)
+    shapes.foreach { sql =>
+      val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+      val (p, rewritten) = withOpenGate {
+        val df = spark.sql(sql)
+        (plan(df), df.collect().map(_.toSeq).toSet)
+      }
+      assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+      assert(rewritten == baseline, sql)
+    }
+  }
+
+  test("year-month RANGE frames under a DST session zone: gap-shifted bounds stay exact (gr13/r19)") {
+    // hourly ZONED timestamps from just before the US spring-forward
+    // (2024-03-10 02:00 LA) for 40 days: the 1-month-preceding bounds
+    // of the 2024-04-10 02:xx local rows land INSIDE the 02:00-03:00
+    // gap and shift an hour later — making the bound NON-monotone in
+    // the key, with data rows present right at the moving edge. Both
+    // engines evict stickily, so frames must still agree row for row.
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      spark.range(24 * 40)
+        .selectExpr(
+          "timestamp'2024-03-09 23:30:00' + make_interval(0,0,0,0, cast(id AS int), 0, 0) AS ts",
+          "id AS v")
+        .createOrReplaceTempView("rr_ym_dst")
+      val sql =
+        """SELECT ts, sum(v) OVER (ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS s,
+          |  count(*) OVER (ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW) AS n
+          |FROM rr_ym_dst""".stripMargin
+      val baseline = spark.sql(sql).collect().map(_.toSeq).toSet
+      val (p, rewritten) = withOpenGate {
+        val df = spark.sql(sql)
+        (plan(df), df.collect().map(_.toSeq).toSet)
+      }
+      assert(p.contains("GlobalRank") && !p.contains("Window"), p)
+      assert(rewritten == baseline)
+      // NTZ keys under the same DST session zone are zone-free
+      spark.range(24 * 40)
+        .selectExpr(
+          ("cast(timestamp_ntz'2024-03-09 23:30:00' + " +
+            "make_interval(0,0,0,0, cast(id AS int), 0, 0) AS timestamp_ntz) AS ts"),
+          "id AS v")
+        .createOrReplaceTempView("rr_ym_dst_ntz")
+      val sqlN = sql.replace("rr_ym_dst", "rr_ym_dst_ntz")
+      val baseN = spark.sql(sqlN).collect().map(_.toSeq).toSet
+      val (pN, rewN) = withOpenGate {
+        val df = spark.sql(sqlN)
+        (plan(df), df.collect().map(_.toSeq).toSet)
+      }
+      assert(pN.contains("GlobalRank") && !pN.contains("Window"), pN)
+      assert(rewN == baseN)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   test("RANGE frames at the key type's edge: ANSI overflow fails like the plain window (r18)") {
@@ -1143,6 +1231,52 @@ class RangeRankRuleSpec extends AnyFunSuite with SparkTestBase {
       assert(out.filter(_.getLong(0) >= 2L).forall(_.isNullAt(1)),
         "stickiness lost across partitions")
       out.map(_.toSeq).toSet
+    }
+    assert(rewritten == baseline)
+  }
+
+  test("ANSI frame-path overflow throws even when the frame TOTAL is in range (ADVICE r18)") {
+    import spark.implicits._
+    assume(spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
+    // accumulation path [Long.MaxValue, 1, -5]: every FRAME TOTAL that
+    // contains all three lands back in long range (MaxValue - 4), but
+    // the plain ANSI window's checked add throws at the +1 — the
+    // rewrite must fail there too, not silently return the total
+    Seq((1L, Long.MaxValue), (2L, 1L), (3L, -5L)).toDF("id", "v")
+      .createOrReplaceTempView("rr_path_ovf_t")
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    def overflows(df: DataFrame): Unit = {
+      val e = intercept[Exception](df.collect())
+      assert(chain(e).exists(c => c.isInstanceOf[ArithmeticException] ||
+        String.valueOf(c.getMessage).toLowerCase.contains("overflow")), e.toString)
+    }
+    // (running RANGE's intra-tie-run paths get the same treatment in
+    // the accumulator, but whether a given tie run's path overflows
+    // depends on the arbitrary tie order — on the plain window just as
+    // much — so only the deterministic total-order shapes assert here)
+    val shapes = Seq(
+      "SELECT sum(v) OVER (ORDER BY id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM rr_path_ovf_t",
+      "SELECT sum(v) OVER (ORDER BY id RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM rr_path_ovf_t")
+    shapes.foreach { sql =>
+      overflows(spark.sql(sql)) // the plain ANSI window (gate closed)
+      withOpenGate {
+        val df = spark.sql(sql)
+        assert(plan(df).contains("GlobalRank"), plan(df))
+        overflows(df)
+      }
+    }
+    // control: running ROWS emits every prefix — an in-range path with
+    // the same values reversed ([-5, 1, MaxValue-4]) never overflows
+    // any prefix, and both plans agree on the values
+    Seq((1L, -5L), (2L, 1L), (3L, Long.MaxValue - 4L)).toDF("id", "v")
+      .createOrReplaceTempView("rr_path_ok_t")
+    val okSql = "SELECT sum(v) OVER (ORDER BY id) AS s FROM rr_path_ok_t"
+    val baseline = spark.sql(okSql).collect().map(_.toSeq).toSet
+    val rewritten = withOpenGate {
+      val df = spark.sql(okSql)
+      assert(plan(df).contains("GlobalRank"), plan(df))
+      df.collect().map(_.toSeq).toSet
     }
     assert(rewritten == baseline)
   }

@@ -124,6 +124,76 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming spike-valley: prefix-maximum peak survives a late new global min (ADVICE r18)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // The r18 safe-prefix drop kept rows from the FIRST occurrence of
+    // the running max/min only. Peak P below is its own prefix
+    // maximum: its left prominence scan is unbounded, reaching the
+    // early dip (450@4). The late new global min (100@26) moves fMin
+    // past the dip while P is still straddling the stable frontier,
+    // so the old rule dropped the dip before P emitted — P's leftMin
+    // then read 520 instead of 450, prominence 830 instead of 870,
+    // and the painted run shrank to [16,17] instead of [15,18]. The
+    // per-candidate left-scan bound must keep the dip alive.
+    val values = Array[Double](
+      520, 1300, 520, 520, 450, 520, 520, 1290, 520, 520, // A@1, dip@4, B@7
+      520, 520, 1290, 520, 520, 520, 520, 1350, 480, 520, // C@12, P@17, 480@18
+      520, 520, 1400, 520, 520, 520, 100, 520, 520, 520,  // D@22, late min@26
+      1450, 520, 520)                                     // E@30
+    val pts = values.zipWithIndex.map { case (v, i) => TsPoint("p", day(i), Some(v)) }
+    val input = MemoryStream[TsPoint]
+    val q = StreamingDetectors.spikeValley()(input.toDF())
+      .writeStream.format("memory").queryName("ssv3").outputMode(OutputMode.Append()).start()
+    try {
+      pts.grouped(3).foreach { chunk =>
+        input.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.sql("select * from ssv3").as[Event].collect()
+        .toSeq.sortBy(_.start.getTime)
+      val batch = collectEvents(
+        graft.operators.SpikeValleyEvents().detect(pts.toSeq.toDF()))
+      // the emitted prefix must be the batch's own events bit for bit
+      assert(streamed.toSet.subsetOf(batch.toSet),
+        s"streamed diverged from batch:\n streamed=$streamed\n batch=$batch")
+      if (streamed.nonEmpty) {
+        val lastEmitted = streamed.map(_.stop.getTime).max
+        assert((batch.toSet -- streamed.toSet).forall(_.stop.getTime > lastEmitted),
+          "a non-tail batch event was withheld")
+      }
+      // and the adversarial P event specifically must have emitted
+      // with its full batch extent (D and E are the open tail)
+      val p = streamed.find(_.start == day(15))
+      assert(p.isDefined, s"P never emitted: $streamed")
+      assert(p.get.stop == day(18) && p.get.n_points == 4L &&
+        p.get.total.contains(2870.0), p.get.toString)
+    } finally q.stop()
+  }
+
+  test("streaming forward-fill: last non-null carries across micro-batches (r19)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[TsPoint]
+    val q = StreamingDetectors.forwardFill(input.toDF())
+      .writeStream.format("memory").queryName("sff").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 ends on a null run; batch 2 continues it, then a new
+      // value takes over; a never-filled leading null stays null
+      input.addData(TsPoint("a", day(0), None), point("a", 1, 2.5),
+        TsPoint("a", day(2), None))
+      q.processAllAvailable()
+      input.addData(TsPoint("a", day(3), None), point("a", 4, 7.0),
+        TsPoint("a", day(5), None))
+      q.processAllAvailable()
+      val got = spark.sql("select * from sff").collect()
+        .map(r => (r.getTimestamp(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(_._1.getTime).toSeq
+      assert(got == Seq(
+        day(0) -> None, day(1) -> Some(2.5), day(2) -> Some(2.5),
+        day(3) -> Some(2.5), day(4) -> Some(7.0), day(5) -> Some(7.0)))
+    } finally q.stop()
+  }
+
   test("streaming flat-line: diff state carries across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -20,11 +20,23 @@ def _hash_work(_):
     return 1
 
 
+def _sustained_work(_):
+    # ~8 s of per-worker sha256 at quiet-box speed (160 x 64 MiB)
+    for _ in range(160):
+        _hash_work(0)
+    return 1
+
+
 def box_probe():
-    """Box-state marker (VERDICT r15 item 5): single-thread and
-    16-way-parallel CPU probes plus load average, captured alongside
-    the aggregation so a noisy box is visible IN the artifact instead
-    of burning an adjudication cycle next round."""
+    """Box-state marker (VERDICT r15 item 5; sustained probe added per
+    VERDICT r18 task 3): single-thread and 16-way-parallel CPU probes
+    plus load average, captured alongside the aggregation so a noisy
+    box is visible IN the artifact instead of burning an adjudication
+    cycle next round. The instantaneous probes failed to distinguish
+    the round-18 final-snapshot contention (0.122 vs 0.124 parallel
+    while every bench run sat 16-35%% high), so the sustained probe
+    holds 16 cores busy for ~8 s — intermittent competitors that dodge
+    a 0.1 s probe land inside this window."""
     t0 = time.time()
     _hash_work(0)
     single = time.time() - t0
@@ -32,10 +44,15 @@ def box_probe():
     with ProcessPoolExecutor(16) as ex:
         list(ex.map(_hash_work, range(16)))
     parallel = time.time() - t0
+    t0 = time.time()
+    with ProcessPoolExecutor(16) as ex:
+        list(ex.map(_sustained_work, range(16)))
+    sustained = time.time() - t0
     return {
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "sha256_64MiB_single_sec": round(single, 3),
         "sha256_64MiB_x16_parallel_sec": round(parallel, 3),
+        "sha256_sustained_x16_sec": round(sustained, 3),
     }
 
 
@@ -79,27 +96,35 @@ READING_RULE = (
     "until it reproduces in this artifact's per-key MEDIANS across "
     "fresh-JVM runs. Compare medians to medians; compare totals only "
     "when box_state probes are within ~1.5x of the previous round's "
-    "AND data_state (per-table row counts + digests) matches — a "
-    "testdata regeneration makes cross-round totals incomparable "
-    "(round 17's adjudication).")
+    "(INCLUDING sha256_sustained_x16_sec — the instantaneous probes "
+    "missed the round-18 snapshot contention) AND per-run "
+    "load_brackets show a quiet box before each run AND data_state "
+    "(per-table row counts + digests) matches — a testdata "
+    "regeneration makes cross-round totals incomparable (round 17's "
+    "adjudication).")
 
 def main():
     rnd = int(sys.argv[1])
     out_path = sys.argv[2]
     runs = []
     totals = []
+    brackets = []
     for p in sys.argv[3:]:
         perkey = None
         total = None
+        loads = []
         for line in open(p):
             line = line.strip()
             if line.startswith('{"perkey"'):
                 perkey = json.loads(line)["perkey"]
             elif line.startswith('{"metric"'):
                 total = json.loads(line)["value"]
+            elif line.startswith('{"loadavg'):
+                loads.append(json.loads(line))
         assert perkey and total is not None, f"{p}: missing perkey/metric line"
         runs.append(perkey)
         totals.append(total)
+        brackets.append(loads if loads else None)
 
     keys = sorted(runs[0])
     for r in runs[1:]:
@@ -119,10 +144,31 @@ def main():
         "totals_per_run_sec": [round(t, 3) for t in totals],
         "total_median_sec": round(statistics.median(totals), 1),
         "sum_of_perkey_medians_sec": round(sum(med.values()), 1),
+        # per-run 1m load averages sampled immediately before/after
+        # each Bench invocation (tools/bench_runs.sh writes them); a
+        # before-load well above ~1 means the run raced a competitor
+        "load_brackets": brackets,
         "perkey_median_sec": med,
     }
-    json.dump(artifact, open(out_path, "w"), indent=1)
-    print(f"wrote {out_path}: n_keys={len(keys)} "
+    # NEVER overwrite an existing artifact (VERDICT r18 task 1: the
+    # round-18 end-of-round snapshot silently replaced the definitive
+    # bench with a contended re-run). If the target exists, write a
+    # suffixed sibling and print the comparison loudly — adjudication
+    # picks the keeper on purpose, not by last-writer-wins.
+    final_path = out_path
+    if os.path.exists(out_path):
+        old = json.load(open(out_path))
+        old_sum = old.get("sum_of_perkey_medians_sec")
+        suffix = ord("b")
+        base = out_path[:-len(".json")] if out_path.endswith(".json") else out_path
+        while os.path.exists(f"{base}_{chr(suffix)}.json"):
+            suffix += 1
+        final_path = f"{base}_{chr(suffix)}.json"
+        print(f"REFUSING to overwrite {out_path} (sum_of_medians={old_sum}); "
+              f"writing {final_path} (new sum_of_medians="
+              f"{artifact['sum_of_perkey_medians_sec']}). Keep ONE on purpose.")
+    json.dump(artifact, open(final_path, "w"), indent=1)
+    print(f"wrote {final_path}: n_keys={len(keys)} "
           f"sum_of_medians={artifact['sum_of_perkey_medians_sec']} "
           f"totals={artifact['totals_per_run_sec']}")
 

@@ -1,0 +1,36 @@
+#!/bin/bash
+# Definitive-bench run protocol (VERDICT r18 tasks 1+3): N fresh-JVM
+# graft.Bench invocations at sf0.1/32 cpus, each run file carrying the
+# 1m load average sampled immediately BEFORE and AFTER the run so the
+# aggregator (tools/bench_local.py) can prove per-run box quietness
+# instead of relying on one instantaneous probe. Driver-side tooling,
+# not shipped library.
+#
+# Usage: tools/bench_runs.sh <outdir> [n_runs=3]
+# Then:  python3 tools/bench_local.py <round> BENCH_LOCAL_r{N}.json <outdir>/run*.txt
+set -e
+OUT="${1:?usage: bench_runs.sh <outdir> [n_runs]}"
+N="${2:-3}"
+mkdir -p "$OUT"
+CLASSES="$(dirname "$0")/../target/scala-2.13/classes"
+ADDOPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
+         java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do
+  ADDOPENS="$ADDOPENS --add-opens $p=ALL-UNNAMED"
+done
+for i in $(seq 1 "$N"); do
+  F="$OUT/run$i.txt"
+  : > "$F"
+  echo "{\"loadavg_before\": $(cut -d' ' -f1 /proc/loadavg)}" >> "$F"
+  SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  java $ADDOPENS -Xmx"${SPARK_DRIVER_MEM:-48g}" -Dspark.ui.enabled=false \
+    -Dspark.sql.session.timeZone=UTC \
+    -cp "$CLASSES:/opt/spark/jars/*" graft.Bench 2>/dev/null \
+    | grep -E '^\{"(perkey|metric)"' >> "$F"
+  echo "{\"loadavg_after\": $(cut -d' ' -f1 /proc/loadavg)}" >> "$F"
+  echo "run $i done: $(grep -o '"value":[0-9.]*' "$F" | head -1)"
+done
