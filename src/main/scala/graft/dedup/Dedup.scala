@@ -603,8 +603,7 @@ object Dedup {
   val CcStrategyKey = "spark.graft.dedup.ccStrategy"
 
   def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val strat = scala.util.Try(
-      docs.sparkSession.conf.get(CcStrategyKey)).getOrElse("minlabel")
+    val strat = docs.sparkSession.conf.get(CcStrategyKey, "minlabel")
     strat match {
       case "stars" => clustersViaStarsWithRounds(docs, pairs)._1
       case "minlabel" => clustersWithRounds(docs, pairs)._1

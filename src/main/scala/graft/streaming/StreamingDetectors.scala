@@ -443,6 +443,9 @@ object StreamingDetectors {
             .sortBy(_._1).toArray
           val emitted0 = prev.map(_.emittedUpTo).getOrElse(0)
           val xs = all.map(_._2.getOrElse(Double.NaN))
+          // one negated copy per trigger, shared by the valley-side
+          // open-candidate scan and the drop-bound scan (review r19)
+          val negXs = xs.map(v => -v)
           val n = xs.length
 
           // earliest UNDECIDED local maximum. A maximum is right-open
@@ -495,7 +498,7 @@ object StreamingDetectors {
               var t = n - 1
               while (t > 0 && xs(t - 1) == xs(t)) t -= 1
               math.min(t, math.min(earliestOpenPeak(xs),
-                earliestOpenPeak(xs.map(v => -v))))
+                earliestOpenPeak(negXs)))
             }
           val stableEnd = math.max(0, math.min(openIdx.toLong - reach, n.toLong)).toInt
 
@@ -618,7 +621,7 @@ object StreamingDetectors {
                 }
               }
               val scanBound = math.min(
-                minKeepFrom(xs), minKeepFrom(xs.map(v => -v)))
+                minKeepFrom(xs), minKeepFrom(negXs))
               math.max(0, math.min(scanBound,
                 math.min(newEmitted - reach, math.min(fMax, fMin) - 1)))
             }
@@ -646,15 +649,17 @@ object StreamingDetectors {
     * IGNORE NULLS / `bfill`) is the one that pends: a row's fill
     * value arrives arbitrarily later, bounded by the longest missing
     * run — gr10's lead-pend shape, data-final by nature (PLANS.md
-    * round 19 spike). Missing values must arrive as nulls (the batch
-    * key NaN→null-canonicalizes upstream, `Kernels.nanToNull`).
-    * Contract: per-series event-time order ACROSS batches (in-batch
-    * disorder is sorted away) — chain
+    * round 19 spike). NaN values canonicalize to missing here, same
+    * as the batch key's ingest (`Kernels.nanToNull`), so the twin is
+    * drop-in. Contract: per-series event-time order ACROSS batches
+    * (in-batch disorder is sorted away, at micros precision like the
+    * other detectors) — chain
     * [[StreamingReorder.reorderByEventTime]] for general feeds. */
   def forwardFill(ts: DataFrame): DataFrame = {
     val spark = ts.sparkSession
     import spark.implicits._
-    ts.select(col("series_id"), col("ts"), col("value"))
+    ts.select(col("series_id"), col("ts"),
+        graft.operators.Kernels.nanToNull(col("value")).as("value"))
       .as[(String, java.sql.Timestamp, Option[Double])]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
@@ -663,10 +668,12 @@ object StreamingDetectors {
          rows: Iterator[(String, java.sql.Timestamp, Option[Double])],
          state: GroupState[Double]) => {
           var last: Option[Double] = state.getOption
-          val out = rows.toSeq.sortBy(_._2.getTime).map { case (_, t, v) =>
-            if (v.isDefined) last = v
-            (sid, t, v, if (v.isDefined) v else last)
-          }
+          val out = rows.toSeq
+            .sortBy(p => graft.operators.TimeMicros.micros(p._2))
+            .map { case (_, t, v) =>
+              if (v.isDefined) last = v
+              (sid, t, v, if (v.isDefined) v else last)
+            }
           last.foreach(state.update)
           out.iterator
         })

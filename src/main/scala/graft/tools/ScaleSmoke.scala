@@ -1724,6 +1724,29 @@ object ScaleSmoke {
         f"avg max abs diff ${cmp.getDouble(1)}%.2e (per-run-subtotal ulp class)")
     }
 
+    // Shared by the graph10m and ccstars sections: ONE generator for
+    // the 10M-edge + 100k-spoke-hub graph (ensureParquet stamps by
+    // FILE NAME, so a second diverging generator copy could silently
+    // feed the other section — review r19) and one straggler
+    // predicate: every stage with >= 8 tasks and >= 3 s of total work
+    // must keep max-task <= 10x mean-task.
+    def ensureGraph10m(): Unit =
+      ensureParquet("graph10m.parquet")(
+        spark.range(9900000L).select(
+          pmod(xxhash64(col("id") * 31L + 7L), lit(5000000L)).as("doc_a"),
+          pmod(xxhash64(col("id") * 131L + 11L), lit(5000000L)).as("doc_b"))
+        .unionByName(spark.range(100000L).select(
+          lit(0L).as("doc_a"), (col("id") + 5000000L).as("doc_b"))))
+    def assertNoStraggler(label: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val bad = peaks.stages.asScala.collect {
+        case (id, (mx, cnt, sum)) if cnt >= 8 && sum >= 3000 && mx > 10 * (sum / cnt) =>
+          f"stage$id max=${mx / 1000.0}%.1fs mean=${sum / cnt / 1000.0}%.1fs n=$cnt"
+      }
+      require(bad.isEmpty, s"$label stragglers under hub skew: ${bad.mkString("; ")}")
+      println(s"SCALE $label straggler-check: clean (hub key 100k-wide)")
+    }
+
     // --- graph10m: the iterative graph family at 10M edges + hub skew ----
     // (VERDICT r17 item 4) cc1/lp1/kc1/bfs1/pr1 are the five most
     // expensive bench keys and the ones round-17's bench ambiguity
@@ -1736,12 +1759,7 @@ object ScaleSmoke {
     // of total work must keep max-task <= 10x mean-task.
     if (want("graph10m")) {
       graft.functions.GraftFunctions.register(spark)
-      ensureParquet("graph10m.parquet")(
-        spark.range(9900000L).select(
-          pmod(xxhash64(col("id") * 31L + 7L), lit(5000000L)).as("doc_a"),
-          pmod(xxhash64(col("id") * 131L + 11L), lit(5000000L)).as("doc_b"))
-        .unionByName(spark.range(100000L).select(
-          lit(0L).as("doc_a"), (col("id") + 5000000L).as("doc_b"))))
+      ensureGraph10m()
       val pairs = spark.read.parquet(s"$outDir/graph10m.parquet")
       val docs = pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
@@ -1749,15 +1767,6 @@ object ScaleSmoke {
       spark.sparkContext.setCheckpointDir(ckpt)
       val prevMode = spark.conf.getOption(graft.Materialize.ModeKey)
       spark.conf.set(graft.Materialize.ModeKey, "checkpoint")
-      def assertNoStraggler(label: String): Unit = {
-        import scala.jdk.CollectionConverters._
-        val bad = peaks.stages.asScala.collect {
-          case (id, (mx, cnt, sum)) if cnt >= 8 && sum >= 3000 && mx > 10 * (sum / cnt) =>
-            f"stage$id max=${mx / 1000.0}%.1fs mean=${sum / cnt / 1000.0}%.1fs n=$cnt"
-        }
-        require(bad.isEmpty, s"$label stragglers under hub skew: ${bad.mkString("; ")}")
-        println(s"SCALE $label straggler-check: clean (hub key 100k-wide)")
-      }
       try {
         timed("graph10m_cc1", runs = 1) {
           val c = graft.dedup.Dedup.dedupClusters(docs, pairs)
@@ -1808,27 +1817,13 @@ object ScaleSmoke {
     // identical label sums and straggler cleanliness for both.
     if (want("ccstars")) {
       graft.functions.GraftFunctions.register(spark)
-      ensureParquet("graph10m.parquet")(
-        spark.range(9900000L).select(
-          pmod(xxhash64(col("id") * 31L + 7L), lit(5000000L)).as("doc_a"),
-          pmod(xxhash64(col("id") * 131L + 11L), lit(5000000L)).as("doc_b"))
-        .unionByName(spark.range(100000L).select(
-          lit(0L).as("doc_a"), (col("id") + 5000000L).as("doc_b"))))
+      ensureGraph10m()
       val pairs = spark.read.parquet(s"$outDir/graph10m.parquet")
       val docs = pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
       spark.sparkContext.setCheckpointDir(s"$outDir/ccstars_ckpt")
       val prevMode = spark.conf.getOption(graft.Materialize.ModeKey)
       spark.conf.set(graft.Materialize.ModeKey, "checkpoint")
-      def assertNoStraggler(label: String): Unit = {
-        import scala.jdk.CollectionConverters._
-        val bad = peaks.stages.asScala.collect {
-          case (id, (mx, cnt, sum)) if cnt >= 8 && sum >= 3000 && mx > 10 * (sum / cnt) =>
-            f"stage$id max=${mx / 1000.0}%.1fs mean=${sum / cnt / 1000.0}%.1fs n=$cnt"
-        }
-        require(bad.isEmpty, s"$label stragglers under hub skew: ${bad.mkString("; ")}")
-        println(s"SCALE $label straggler-check: clean (hub key 100k-wide)")
-      }
       try {
         var sumM = 0L
         var sumS = 0L

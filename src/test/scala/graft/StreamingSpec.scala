@@ -177,12 +177,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val q = StreamingDetectors.forwardFill(input.toDF())
       .writeStream.format("memory").queryName("sff").outputMode(OutputMode.Append()).start()
     try {
-      // batch 1 ends on a null run; batch 2 continues it, then a new
-      // value takes over; a never-filled leading null stays null
+      // batch 1 ends on a null run; batch 2 continues it, a NaN is
+      // canonicalized to missing (the batch twin's nanToNull), then a
+      // new value takes over; a never-filled leading null stays null
       input.addData(TsPoint("a", day(0), None), point("a", 1, 2.5),
         TsPoint("a", day(2), None))
       q.processAllAvailable()
-      input.addData(TsPoint("a", day(3), None), point("a", 4, 7.0),
+      input.addData(TsPoint("a", day(3), Some(Double.NaN)), point("a", 4, 7.0),
         TsPoint("a", day(5), None))
       q.processAllAvailable()
       val got = spark.sql("select * from sff").collect()

@@ -8,7 +8,7 @@
 #
 # Usage: tools/bench_runs.sh <outdir> [n_runs=3]
 # Then:  python3 tools/bench_local.py <round> BENCH_LOCAL_r{N}.json <outdir>/run*.txt
-set -e
+set -euo pipefail
 OUT="${1:?usage: bench_runs.sh <outdir> [n_runs]}"
 N="${2:-3}"
 mkdir -p "$OUT"
@@ -25,12 +25,16 @@ for i in $(seq 1 "$N"); do
   F="$OUT/run$i.txt"
   : > "$F"
   echo "{\"loadavg_before\": $(cut -d' ' -f1 /proc/loadavg)}" >> "$F"
+  # stderr is kept (run$i.err) and the JVM's own exit status decides:
+  # a Bench that dies after printing its lines must not be silently
+  # aggregated into the definitive artifact (review r19)
   SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   java $ADDOPENS -Xmx"${SPARK_DRIVER_MEM:-48g}" -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
-    -cp "$CLASSES:/opt/spark/jars/*" graft.Bench 2>/dev/null \
-    | grep -E '^\{"(perkey|metric)"' >> "$F"
+    -cp "$CLASSES:/opt/spark/jars/*" graft.Bench 2>"$OUT/run$i.err" \
+    | { grep -E '^\{"(perkey|metric)"' || true; } >> "$F"
+  grep -q '^{"metric"' "$F" || { echo "run $i: no metric line — see $OUT/run$i.err" >&2; exit 1; }
   echo "{\"loadavg_after\": $(cut -d' ' -f1 /proc/loadavg)}" >> "$F"
   echo "run $i done: $(grep -o '"value":[0-9.]*' "$F" | head -1)"
 done
