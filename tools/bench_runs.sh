@@ -24,6 +24,9 @@ done
 for i in $(seq 1 "$N"); do
   F="$OUT/run$i.txt"
   : > "$F"
+  # let the PREVIOUS run's load decay before sampling, or the before-
+  # bracket reads our own residue instead of a competitor (r19 run)
+  [ "$i" -gt 1 ] && sleep 60
   echo "{\"loadavg_before\": $(cut -d' ' -f1 /proc/loadavg)}" >> "$F"
   # stderr is kept (run$i.err) and the JVM's own exit status decides:
   # a Bench that dies after printing its lines must not be silently
