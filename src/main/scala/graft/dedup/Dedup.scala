@@ -591,24 +591,30 @@ object Dedup {
    * per round instead of a change-count join.
    */
   /** Strategy switch for [[dedupClusters]]'s distributed fixpoint:
-    * `minlabel` (default) = min-label propagation with path halving;
-    * `stars` = large-star/small-star alternation (Kiveris et al.,
-    * SoCC'14), the two-hop edge contraction whose round count drops
-    * fastest on chain-/random-giant-component shapes (VERDICT r18
-    * task 2 — dedup CLIQUES converge in 2-3 rounds either way, which
-    * is why minlabel stays the default until a workload proves
-    * otherwise). Both converge to the component-minimum labeling —
-    * equality is property-tested (CorpusSpec) and the full oracle
-    * gate passes with this set to `stars`. */
+    * `auto` (default) = min-label with a round-cap switch to stars on
+    * the label-contracted root graph ([[clustersAutoWithRounds]]) —
+    * identical to minlabel on fast-converging dedup cliques, capped
+    * round counts on chain-/random-giant shapes; `minlabel` =
+    * min-label propagation with path halving; `stars` = pure
+    * large-star/small-star alternation (Kiveris et al., SoCC'14).
+    * All three converge to the component-minimum labeling — equality
+    * is property-tested (CorpusSpec) and the full oracle gate passes
+    * under each posture. */
   val CcStrategyKey = "spark.graft.dedup.ccStrategy"
 
+  /** min-label rounds the `auto` strategy runs before contracting and
+    * switching to stars (default 6: cliques converge in 2-3 and never
+    * switch; path-halving on pathological shapes runs 10-15). */
+  val CcAutoSwitchRoundsKey = "spark.graft.dedup.ccAutoSwitchRounds"
+
   def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val strat = docs.sparkSession.conf.get(CcStrategyKey, "minlabel")
+    val strat = docs.sparkSession.conf.get(CcStrategyKey, "auto")
     strat match {
+      case "auto" => clustersAutoWithRounds(docs, pairs)._1
       case "stars" => clustersViaStarsWithRounds(docs, pairs)._1
       case "minlabel" => clustersWithRounds(docs, pairs)._1
       case other => throw new IllegalArgumentException(
-        s"$CcStrategyKey must be minlabel|stars, got '$other'")
+        s"$CcStrategyKey must be auto|minlabel|stars, got '$other'")
     }
   }
 
@@ -618,11 +624,24 @@ object Dedup {
     val sym = materialize(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val (labels, rounds, _) = minLabelLoop(docs, sym, Int.MaxValue)
+    (finishAssignment(labels), rounds)
+  }
+
+  /** The min-label + path-halving rounds, capped at `maxRounds`:
+    * returns (labels, rounds run, converged?). Convergence is the
+    * label-sum fixpoint (strictly decreasing until stable); at the
+    * cap the labels are a valid WITHIN-COMPONENT upper bound (every
+    * label is a component member's id, and the component minimum
+    * always labels itself), which is exactly what the `auto`
+    * strategy's contraction needs. */
+  private def minLabelLoop(docs: DataFrame, sym: DataFrame,
+      maxRounds: Int): (DataFrame, Int, Boolean) = {
     var labels = materialize(docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
     var prevSum = Long.MinValue
     var curSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
     var rounds = 0
-    while (curSum != prevSum) {
+    while (curSum != prevSum && rounds < maxRounds) {
       val neigh = sym
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nl")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
@@ -641,7 +660,70 @@ object Dedup {
       curSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
       rounds += 1
     }
-    (finishAssignment(labels), rounds)
+    (labels, rounds, curSum == prevSum)
+  }
+
+  /** The `auto` strategy: min-label rounds up to
+    * [[CcAutoSwitchRoundsKey]] (default 6); if unconverged, contract
+    * the graph to the CURRENT labels and finish with
+    * large-star/small-star on the root graph. Dense dedup cliques
+    * converge in 2-3 min-label rounds and never switch (auto ==
+    * minlabel there, including the round count); chain-/random-giant
+    * shapes — whose min-label wall is round-count-dominated — pay one
+    * extra corpus-wide contraction join and then run the
+    * round-efficient alternation on the (usually much smaller)
+    * contracted graph.
+    *
+    * Exactness: after ANY number of min-label rounds, every label is
+    * a member of its node's component with label <= id, and the
+    * component minimum m labels itself (its neighbors' labels are
+    * component ids >= m, so the min never moves it). Contracting
+    * every node to its label therefore merges only within-component
+    * subsets, components survive 1:1, and m is a root of its
+    * contracted component — the stars fixpoint over the root graph is
+    * exactly {root -> m}, and composing it through the label map
+    * yields the same component-minimum assignment as either pure
+    * strategy (property-tested). */
+  private[graft] def clustersAutoWithRounds(
+      docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
+    val (df, corpusRounds, contractedIters) = clustersAutoWithRoundsSplit(docs, pairs)
+    (df, corpusRounds + contractedIters)
+  }
+
+  /** [[clustersAutoWithRounds]] with the counters split: (assignment,
+    * CORPUS-WIDE min-label rounds incl. the contraction pass, stars
+    * iterations on the contracted root graph). The first counter is
+    * the scale-relevant one — it is capped at switchRounds + 1; the
+    * contracted iterations run on the (usually far smaller) root
+    * graph. */
+  private[graft] def clustersAutoWithRoundsSplit(
+      docs: DataFrame, pairs: DataFrame): (DataFrame, Int, Int) = {
+    val spark = docs.sparkSession
+    val switchRounds = math.max(1,
+      spark.conf.get(CcAutoSwitchRoundsKey, "6").toInt)
+    val sym = materialize(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val (labels, rounds, converged) = minLabelLoop(docs, sym, switchRounds)
+    if (converged) (finishAssignment(labels), rounds, 0)
+    else {
+      val rootEdges = sym
+        .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("doc_a")),
+          Seq("src"))
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("doc_b")),
+          Seq("dst"))
+        .select(col("doc_a"), col("doc_b"))
+        .where(col("doc_a") =!= col("doc_b"))
+      val rootDocs = labels.select(col("cluster_id").as("doc_id")).distinct()
+      val (rootAssign, iters) = clustersViaStarsWithRounds(rootDocs, rootEdges)
+      val remap = rootAssign
+        .select(col("doc_id").as("old_root"), col("cluster_id").as("final_root"))
+      val fin = labels
+        .join(remap, labels("cluster_id") === remap("old_root"))
+        .select(col("doc_id"), col("final_root").as("cluster_id"))
+      // the contraction joins are one corpus-wide pass
+      (finishAssignment(fin), rounds + 1, iters)
+    }
   }
 
   /** Shared tail of the clustering strategies: component sizes + the

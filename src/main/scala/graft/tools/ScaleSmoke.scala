@@ -1843,7 +1843,17 @@ object ScaleSmoke {
           r.getLong(1)
         }
         assertNoStraggler("ccstars_stars_10m")
-        require(sumM == sumS, s"strategy divergence at 10M: $sumM vs $sumS")
+        var sumA = 0L
+        timed("ccstars_auto_10m", runs = 1) {
+          val (c, rounds) = graft.dedup.Dedup.clustersAutoWithRounds(docs, pairs)
+          val r = c.agg(sum(col("cluster_id")).as("s"), count(lit(1)).as("n")).head
+          sumA = r.getLong(0)
+          println(s"SCALE ccstars auto rounds=$rounds labelSum=$sumA nodes=${r.getLong(1)}")
+          r.getLong(1)
+        }
+        assertNoStraggler("ccstars_auto_10m")
+        require(sumM == sumS && sumM == sumA,
+          s"strategy divergence at 10M: $sumM / $sumS / $sumA")
         println(s"SCALE ccstars exactness: label sums agree ($sumM)")
       } finally {
         prevMode match {

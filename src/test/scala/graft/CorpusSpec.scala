@@ -55,17 +55,48 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
         // as min-label's docs-seeded neighbor join
         Seq((0L, 1L), (2L, 100L), (100L, 3L), (4L, 101L))),
       ("empty", 0L to 4L, Seq.empty))
-    shapes.foreach { case (name, ids, edges) =>
+    // a switch cap of 1 forces auto onto its contraction path on
+    // every unconverged shape, so the equality test exercises it
+    spark.conf.set(Dedup.CcAutoSwitchRoundsKey, "1")
+    try shapes.foreach { case (name, ids, edges) =>
       val docs = ids.toDF("doc_id")
       val pairs = edges.toDF("doc_a", "doc_b")
       val (minlabel, _) = Dedup.clustersWithRounds(docs, pairs)
       val (stars, _) = Dedup.clustersViaStarsWithRounds(docs, pairs)
+      val (auto, _) = Dedup.clustersAutoWithRounds(docs, pairs)
       val a = minlabel.orderBy("doc_id")
         .as[(Long, Long, Long, Boolean)].collect().toSeq
       val b = stars.orderBy("doc_id")
         .as[(Long, Long, Long, Boolean)].collect().toSeq
-      assert(a == b, s"strategy divergence on shape '$name'")
-    }
+      val c = auto.orderBy("doc_id")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      assert(a == b, s"stars divergence on shape '$name'")
+      assert(a == c, s"auto divergence on shape '$name'")
+    } finally spark.conf.unset(Dedup.CcAutoSwitchRoundsKey)
+  }
+
+  test("auto strategy: no switch on a fast-converging clique, capped rounds on a chain (r19)") {
+    val clique = (for { i <- 0L to 9L; j <- (i + 1) to 9L } yield (i, j))
+      .toDF("doc_a", "doc_b")
+    val cliqueDocs = (0L to 9L).toDF("doc_id")
+    val (gotC, roundsC) = Dedup.clustersAutoWithRounds(cliqueDocs, clique)
+    val (_, roundsM) = Dedup.clustersWithRounds(cliqueDocs, clique)
+    assert(roundsC == roundsM,
+      s"auto must be identical to minlabel on a clique: $roundsC vs $roundsM")
+    assert(gotC.where(col("cluster_id") === 0L).count() == 10)
+
+    val n = 255L
+    val docs = (0L to n).toDF("doc_id")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (gotA, corpusRounds, contractedIters) =
+      Dedup.clustersAutoWithRoundsSplit(docs, pairs)
+    val (_, roundsMl) = Dedup.clustersWithRounds(docs, pairs)
+    assert(gotA.where(col("cluster_id") === 0L).count() == n + 1)
+    // the CORPUS-WIDE pass count is capped at switchRounds + 1 (the
+    // contraction); the stars iterations run on the contracted root
+    // graph, not the corpus
+    assert(corpusRounds == 6 + 1 && contractedIters > 0 && corpusRounds < roundsMl,
+      s"auto corpus rounds $corpusRounds (+$contractedIters contracted) vs minlabel $roundsMl")
   }
 
   test("stars strategy: round count beats min-label on a long chain (r19)") {
@@ -89,6 +120,10 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
         .as[(Long, Long, Long, Boolean)].collect().toSeq
       assert(got == Seq((0L, 0L, 2L, true), (1L, 0L, 2L, false),
         (2L, 2L, 2L, true), (3L, 2L, 2L, false)))
+      spark.conf.set(Dedup.CcStrategyKey, "auto")
+      val gotAuto = Dedup.dedupClusters(docs, pairs).orderBy("doc_id")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      assert(gotAuto == got)
       spark.conf.set(Dedup.CcStrategyKey, "bogus")
       intercept[IllegalArgumentException](Dedup.dedupClusters(docs, pairs))
     } finally spark.conf.unset(Dedup.CcStrategyKey)
