@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions
 
 /**
@@ -638,8 +639,16 @@ object Dedup {
   private def minLabelLoop(docs: DataFrame, sym: DataFrame,
       maxRounds: Int): (DataFrame, Int, Boolean) = {
     var labels = materialize(docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
-    var prevSum = Long.MinValue
-    var curSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+    // label-sum fixpoint in DECIMAL(38,0): ids may be hash-derived
+    // 63-bit longs, so a plain Long sum over the corpus can overflow —
+    // throwing under ANSI and weakening the certificate to equality
+    // mod 2^64 otherwise (ADVICE r19)
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val r = l.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum: java.math.BigDecimal = null
+    var curSum = labelSum(labels)
     var rounds = 0
     while (curSum != prevSum && rounds < maxRounds) {
       val neigh = sym
@@ -657,7 +666,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id")))
       prevSum = curSum
-      curSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+      curSum = labelSum(labels)
       rounds += 1
     }
     (labels, rounds, curSum == prevSum)
@@ -773,6 +782,14 @@ object Dedup {
    * min-label round — the win is the round COUNT (measured in the
    * graph10m smoke).
    */
+  /** Telemetry: the initial canonical-edge count of the most recent
+    * stars run — when invoked by the `auto` switch this is the
+    * CONTRACTED root graph's size, which the 100M smoke reports
+    * against [[maxDriverFoldEdges]] (the incremental fold's
+    * driver-vs-distributed gate). Free: the stars entry computes this
+    * count as its first convergence signature anyway. */
+  val lastStarsInitialEdges = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   private[graft] def clustersViaStarsWithRounds(
       docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
     val ids = docs.select(col("doc_id"))
@@ -784,9 +801,15 @@ object Dedup {
         .where(col("a") =!= col("b"))
         .distinct())
 
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(sum(col("a") + col("b")).as("s"), count(lit(1)).as("n")).head
-      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    // endpoint sums in DECIMAL(38,0): hash-derived 63-bit ids make the
+    // per-row a+b (and the corpus-wide sum) overflow a plain Long —
+    // ANSI would throw, legacy would weaken the no-op certificate to
+    // equality mod 2^64 (ADVICE r19)
+    def signature(e: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = e.agg(
+        sum(col("a").cast(DecimalType(38, 0)) + col("b").cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("n")).head
+      (if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0), r.getLong(1))
     }
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("a").as("u"), col("b").as("v"))
@@ -812,6 +835,7 @@ object Dedup {
 
     var rounds = 0
     var sig = signature(edges)
+    lastStarsInitialEdges.set(sig._2)
     var done = sig._2 == 0L
     while (!done) {
       val ls = materialize(largeStar(edges))

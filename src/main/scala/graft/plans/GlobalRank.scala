@@ -593,17 +593,29 @@ case class GlobalBoundedAgg(kind: String, valueExpr: Expression,
   * the plain window's own op (cur + lower in the KEY's numeric space,
   * incl. its type-edge overflow: ANSI throws exactly where the plain
   * window's Add would — review r18 finding). In LEGACY mode the plain
-  * window WRAPS the bound in the key type, producing a garbage frame;
-  * this engine saturates instead (include everything — the
-  * mathematically correct trailing window, and what the DuckDB oracle
-  * computes) — the one deliberate, documented divergence, reachable
-  * only within k of the key type's minimum/maximum. */
+  * window WRAPS the bound in the key type — a bound past the type
+  * edge lands on the key's other side, usually ABOVE the anchor, so
+  * the anchor's own frame goes empty AND (because Spark's sliding
+  * frame never moves its lower index backward) every buffered row up
+  * to the anchor is evicted for all later rows too. r19 saturated
+  * here instead (include everything); the differential fuzzer
+  * (GlobalRankFuzzSpec, seed 1 trial 66: an int key at
+  * Int.MinValue+33 under RANGE 51 PRECEDING) caught the divergence,
+  * probed against the plain window (wrap → null, sticky eviction
+  * confirmed on int/byte/ASC/DESC), and this version reproduces the
+  * wrap bit for bit. */
 sealed trait RangeDelta extends Serializable {
   def outside(entryKey: Any, curKey: Any): Boolean
   /** Evaluate the frame bound for a run anchor even when there is
     * nothing to evict, so ANSI overflow fails the query exactly where
     * the plain window (which computes every row's bound) would. */
   def check(curKey: Any): Unit = { outside(curKey, curKey); () }
+  /** The anchor's own frame is empty — in legacy mode a wrapped bound
+    * lands past the anchor, which also self-evicts the anchor's run
+    * for every later row (the plain window's forward-only lower
+    * index). False everywhere a bound stays on the anchor's side,
+    * since `k PRECEDING` bounds are non-negative. */
+  def emptiesFrame(curKey: Any): Boolean = outside(curKey, curKey)
 }
 
 /** Integral / date-days / timestamp-micros key space; `typeMin`/
@@ -612,25 +624,36 @@ sealed trait RangeDelta extends Serializable {
   * posture at plan time. */
 case class LongRangeDelta(k: Long, desc: Boolean,
     typeMin: Long, typeMax: Long, ansi: Boolean) extends RangeDelta {
-  private def overflow(): Boolean = {
-    if (ansi) throw new ArithmeticException(
-      "RANGE frame bound overflows the ORDER BY key's type (ANSI mode) — " +
-        "the plain single-partition window fails identically")
-    false // legacy: saturate (include everything preceding)
-  }
+  private def ansiThrow(): Nothing = throw new ArithmeticException(
+    "RANGE frame bound overflows the ORDER BY key's type (ANSI mode) — " +
+      "the plain single-partition window fails identically")
+  /** Legacy bound: the unchecked subtraction/addition wrapped into the
+    * key's own width — exactly the plain window's non-ANSI Add result
+    * (java two's-complement for long keys; floorMod re-centering for
+    * byte/short/int/date-days widths, which also reproduces the
+    * multi-wrap of a bound magnitude larger than the whole domain). */
+  private def wrapToWidth(raw: Long): Long =
+    if (typeMin == Long.MinValue) raw
+    else typeMin + java.lang.Math.floorMod(raw - typeMin, typeMax - typeMin + 1L)
   def outside(e: Any, c: Any): Boolean = {
     val ev = e.asInstanceOf[Number].longValue()
     val cv = c.asInstanceOf[Number].longValue()
     if (!desc) {
-      val bound = try Math.subtractExact(cv, k) catch {
-        case _: ArithmeticException => return overflow()
-      }
-      if (bound < typeMin) overflow() else ev < bound
+      if (ansi) {
+        val bound = try Math.subtractExact(cv, k) catch {
+          case _: ArithmeticException => ansiThrow()
+        }
+        if (bound < typeMin) ansiThrow()
+        ev < bound
+      } else ev < wrapToWidth(cv - k)
     } else {
-      val bound = try Math.addExact(cv, k) catch {
-        case _: ArithmeticException => return overflow()
-      }
-      if (bound > typeMax) overflow() else ev > bound
+      if (ansi) {
+        val bound = try Math.addExact(cv, k) catch {
+          case _: ArithmeticException => ansiThrow()
+        }
+        if (bound > typeMax) ansiThrow()
+        ev > bound
+      } else ev > wrapToWidth(cv + k)
     }
   }
 }
@@ -1065,7 +1088,17 @@ private[plans] case class GlobalRankPartStat(
     rows: Long, runs: Long, accs: Array[RunningAcc],
     tail: Array[InternalRow], head: Array[InternalRow],
     nnTails: Array[Array[Any]], nnHeads: Array[Array[Any]],
-    rkTails: Array[Array[(Any, RunningAcc)]])
+    rkTails: Array[Array[(Any, RunningAcc)]],
+    // per RANGE-framed func: a legacy wrapped bound emptied the frame
+    // somewhere in this partition, evicting every earlier buffered
+    // run — the cross-partition prefix must be wiped before this
+    // partition's tail replays (plain window's forward-only lower
+    // index; GlobalRankFuzzSpec find, r20). For the shipped deltas the
+    // wrap zone is always a key-PREFIX of the sort order (bound > cv
+    // ⟺ cv within k·mod·width of the domain edge), so the wipe only
+    // ever hits an already-empty prefix — carried as the invariant
+    // any future non-prefix delta needs, not as a reachable branch.
+    rkCleared: Array[Boolean])
 
 object GlobalRankExec {
   /** Observability for the low-cardinality ORDER BY degrade warning
@@ -1380,6 +1413,7 @@ case class GlobalRankExec(
         // null peer group's frame is itself, and a null key can never
         // match a non-null anchor).
         val rkDqs = rks.map(_ => scala.collection.mutable.ArrayDeque.empty[(Any, RunningAcc)])
+        val rkClearedArr = new Array[Boolean](rks.length)
         var rkRunAccs = if (rks.isEmpty) null else mkRkAccs()
         def closeRkRun(kv: Any): Unit = if (rks.nonEmpty) {
           if (kv != null) {
@@ -1390,9 +1424,16 @@ case class GlobalRankExec(
               // window's per-row bound evaluation would
               rkDeltas(f).check(kv)
               val dq = rkDqs(f)
-              while (dq.nonEmpty && rkDeltas(f).outside(dq.head._1, kv)) dq.removeHead()
-              dq.append((kv, rkRunAccs(f)))
-              guardRangeEntries(dq.length)
+              if (rkDeltas(f).emptiesFrame(kv)) {
+                // legacy wrapped bound: the run self-evicts along with
+                // everything buffered before it (sticky lower index)
+                dq.clear()
+                rkClearedArr(f) = true
+              } else {
+                while (dq.nonEmpty && rkDeltas(f).outside(dq.head._1, kv)) dq.removeHead()
+                dq.append((kv, rkRunAccs(f)))
+                guardRangeEntries(dq.length)
+              }
               f += 1
             }
             rkRunAccs = mkRkAccs()
@@ -1466,7 +1507,7 @@ case class GlobalRankExec(
         Iterator.single((i, GlobalRankPartStat(n, runs, accs,
           tailDq.toArray(new Array[InternalRow](tailDq.size)), headBuf.toArray,
           nnTailDqs.map(_.toArray), nnHeadBufs.map(_.toArray),
-          rkDqs.map(_.toArray))))
+          rkDqs.map(_.toArray), rkClearedArr)))
       }
       .collect().sortBy(_._1).map(_._2)
 
@@ -1573,6 +1614,10 @@ case class GlobalRankExec(
         out(i) = dqs.map(_.toArray)
         var f = 0
         while (f < rks.length) {
+          // a wrapped-bound clear inside partition i evicted every
+          // run buffered before it — wipe the accumulated prefix
+          // BEFORE replaying the (post-clear) tail entries
+          if (stats(i).rkCleared(f)) dqs(f).clear()
           stats(i).rkTails(f).foreach { case (k, a) =>
             val dq = dqs(f)
             while (dq.nonEmpty && rkDeltas(f).outside(dq.head._1, k)) dq.removeHead()
@@ -1983,14 +2028,22 @@ case class GlobalRankExec(
                 else {
                   rkDeltas(f).check(kv)
                   val dq = rkDqs(f)
-                  while (dq.nonEmpty && rkDeltas(f).outside(dq.head._1, kv))
-                    dq.removeHead()
-                  val res = mkRkAcc(f)
-                  dq.foreach { case (_, a) => res.merge(a) }
-                  res.merge(rkRunAccs(f))
-                  rkValues(f) = res.value
-                  dq.append((kv, rkRunAccs(f)))
-                  guardRangeEntries(dq.length)
+                  if (rkDeltas(f).emptiesFrame(kv)) {
+                    // legacy wrapped bound: empty frame for this run
+                    // (null sum / zero count) and a sticky wipe — the
+                    // run itself never enters the window either
+                    dq.clear()
+                    rkValues(f) = mkRkAcc(f).value
+                  } else {
+                    while (dq.nonEmpty && rkDeltas(f).outside(dq.head._1, kv))
+                      dq.removeHead()
+                    val res = mkRkAcc(f)
+                    dq.foreach { case (_, a) => res.merge(a) }
+                    res.merge(rkRunAccs(f))
+                    rkValues(f) = res.value
+                    dq.append((kv, rkRunAccs(f)))
+                    guardRangeEntries(dq.length)
+                  }
                 }
                 f += 1
               }

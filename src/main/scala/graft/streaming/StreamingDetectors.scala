@@ -173,15 +173,32 @@ object StreamingDetectors {
   }
 
   /** Last event time per series, for cross-batch gap detection. */
-  final case class GapState(lastTsMs: Long)
+  /** Per-series gap state: the previous row's timestamp and
+    * (NaN-canonicalized) value for the ts-gap endpoint total, plus the
+    * open missing-value run for the NaN-run half. */
+  final case class GapState(
+      lastTsMs: Long, lastVal: Option[Double], nanRun: Option[RunState])
 
   /**
-   * Timestamp-gap detection on a stream (DataGapEvent's part (b),
-   * metevents/events.py:269-286): whenever a point arrives more than
-   * `expectedFrequency` after its predecessor, emit the synthetic
-   * two-point gap event spanning last-present → first-present. State
-   * is one timestamp per series; duration filter matches the batch
-   * detector (`duration ≥ minLen · step`).
+   * Data-gap detection on a stream — BOTH halves of the batch
+   * detector (metevents/events.py:269-286):
+   *
+   *  (a) missing-value runs: consecutive rows whose value is null or
+   *      NaN, closed by the next present value, emitted with the run's
+   *      own span/point count and a null total (every member is missing,
+   *      so the NaN-skip sum is empty) — exactly the batch
+   *      `assembleEvents(withRunId(value missing))`;
+   *  (b) timestamp gaps: a point arriving more than
+   *      `expectedFrequency` after its predecessor emits the synthetic
+   *      two-point event spanning last-present → first-present, with
+   *      the NaN-skipping sum of the two endpoint values (null only
+   *      when both endpoints are missing).
+   *
+   * Both halves ride the batch duration filter
+   * (`duration ≥ minLen · step`). The streaming fuzz property
+   * (StreamingParityFuzzSpec) found the r19 twin emitting null totals
+   * and missing half (a) entirely — this version is spec-pinned equal
+   * to the batch detector on randomized series.
    */
   def dataGaps(minLen: Long, expectedFrequency: String)(ts: DataFrame): DataFrame = {
     val stepUs = graft.operators.Steps.parseMicros(expectedFrequency)
@@ -198,17 +215,43 @@ object StreamingDetectors {
          state: GroupState[GapState]) => {
           val sorted = rows.toArray.sortBy(_._2.getTime)
           val out = Array.newBuilder[Event]
-          var last = state.getOption.map(_.lastTsMs)
-          sorted.foreach { case (_, t, _) =>
-            last.foreach { p =>
+          var st = state.getOption
+          var lastTs = st.map(_.lastTsMs)
+          var lastVal = st.flatMap(_.lastVal)
+          var nanRun = st.flatMap(_.nanRun)
+          sorted.foreach { case (_, t, vRaw) =>
+            val v = vRaw.filterNot(_.isNaN) // NaN canonicalized to missing
+            // (b) ts gap vs the previous row, NaN-skip endpoint total
+            lastTs.foreach { p =>
               val durUs = (t.getTime - p) * 1000L
-              if (durUs > stepUs && durUs >= minLen * stepUs)
+              if (durUs > stepUs && durUs >= minLen * stepUs) {
+                val total = (lastVal, v) match {
+                  case (None, None) => None
+                  case (a, b) => Some(a.getOrElse(0.0) + b.getOrElse(0.0))
+                }
                 out += Event(sid, "data_gap",
-                  new java.sql.Timestamp(p), t, durUs, 2L, None)
+                  new java.sql.Timestamp(p), t, durUs, 2L, total)
+              }
             }
-            last = Some(t.getTime)
+            // (a) missing-value run
+            if (v.isEmpty) {
+              nanRun = nanRun match {
+                case None => Some(RunState(t.getTime * 1000L, t, 1L, 0.0, any = false))
+                case Some(r) => Some(r.copy(lastTs = t, n = r.n + 1))
+              }
+            } else {
+              nanRun.foreach { r =>
+                val durUs = r.lastTs.getTime * 1000L - r.startUs
+                if (durUs >= minLen * stepUs)
+                  out += Event(sid, "data_gap",
+                    new java.sql.Timestamp(r.startUs / 1000L), r.lastTs, durUs, r.n, None)
+              }
+              nanRun = None
+            }
+            lastTs = Some(t.getTime)
+            lastVal = v
           }
-          last.foreach(l => state.update(GapState(l)))
+          lastTs.foreach(l => state.update(GapState(l, lastVal, nanRun)))
           out.result().iterator
         })
       .toDF()

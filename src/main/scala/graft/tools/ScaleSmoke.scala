@@ -1863,6 +1863,86 @@ object ScaleSmoke {
       }
     }
 
+    // --- cc100m: the auto clustering strategy at 100M edges --------------
+    // (VERDICT r19 task 3) One more order of magnitude over the
+    // ccstars smoke: 100M edges over ~51M nodes with a 1M-SPOKE hub
+    // (node 0), cluster posture. Only the `auto` default runs — the
+    // min-label wall at this size is the exact thing auto retires, and
+    // stars-alone was already A/B'd at 10M. Exactness is asserted
+    // structurally instead of by strategy A/B (which would triple the
+    // runtime): every EDGE must connect same-labeled endpoints (label
+    // constancy within components), every emitted label must label
+    // itself (roots are fixpoints), and no label exceeds its doc id
+    // (labels are component minima candidates) — together with the
+    // CorpusSpec equality properties at small sizes this pins the
+    // assignment. The contracted root graph's edge count prints next
+    // to maxDriverFoldEdges for the VERDICT question of where the
+    // driver-fold gate would trip (the batch `auto` path always runs
+    // stars distributed; the gate belongs to the incremental fold).
+    if (want("cc100m")) {
+      graft.functions.GraftFunctions.register(spark)
+      def ensureGraph100m(): Unit =
+        ensureParquet("graph100m.parquet")(
+          spark.range(99000000L).select(
+            pmod(xxhash64(col("id") * 31L + 7L), lit(50000000L)).as("doc_a"),
+            pmod(xxhash64(col("id") * 131L + 11L), lit(50000000L)).as("doc_b"))
+          .unionByName(spark.range(1000000L).select(
+            lit(0L).as("doc_a"), (col("id") + 50000000L).as("doc_b"))))
+      ensureGraph100m()
+      val pairs = spark.read.parquet(s"$outDir/graph100m.parquet")
+      val docs = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      spark.sparkContext.setCheckpointDir(s"$outDir/cc100m_ckpt")
+      val prevMode = spark.conf.getOption(graft.Materialize.ModeKey)
+      spark.conf.set(graft.Materialize.ModeKey, "checkpoint")
+      try {
+        var assign: DataFrame = null
+        timed("cc100m_auto", runs = 1) {
+          val (c, corpusRounds, starIters) =
+            graft.dedup.Dedup.clustersAutoWithRoundsSplit(docs, pairs)
+          assign = c.select(col("doc_id"), col("cluster_id")).persist()
+          val r = assign.agg(sum(col("cluster_id").cast("decimal(38,0)")).as("s"),
+            count(lit(1)).as("n")).head
+          println(s"SCALE cc100m auto corpusRounds=$corpusRounds starIters=$starIters " +
+            s"labelSum=${r.getDecimal(0)} nodes=${r.getLong(1)}")
+          r.getLong(1)
+        }
+        assertNoStraggler("cc100m_auto")
+        timed("cc100m_exactness", runs = 1) {
+          val la = assign.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca"))
+          val lb = assign.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb"))
+          val badEdges = pairs.join(la, Seq("doc_a")).join(lb, Seq("doc_b"))
+            .where(col("ca") =!= col("cb")).count()
+          require(badEdges == 0L, s"cc100m: $badEdges edges straddle labels")
+          val roots = assign.select(col("cluster_id")).distinct()
+          val badRoots = roots.join(assign,
+              roots("cluster_id") === assign("doc_id"))
+            .where(assign("cluster_id") =!= roots("cluster_id")).count()
+          require(badRoots == 0L, s"cc100m: $badRoots non-fixpoint roots")
+          val badMin = assign.where(col("cluster_id") > col("doc_id")).count()
+          require(badMin == 0L, s"cc100m: $badMin labels above their doc id")
+          println(s"SCALE cc100m exactness: edge-consistent, root-fixpoint, min-bounded")
+          badEdges + badRoots + badMin
+        }
+        // the contracted root graph the auto switch handed to stars:
+        // its measured size against the incremental driver-fold bound
+        assign.unpersist()
+        val contracted = graft.dedup.Dedup.lastStarsInitialEdges.get()
+        val bound = graft.dedup.Dedup.maxDriverFoldEdges
+        println(s"SCALE cc100m contracted-root-graph edges=$contracted vs " +
+          s"maxDriverFoldEdges=$bound -> " +
+          (if (contracted >= 0 && contracted <= bound)
+            "would DRIVER-FOLD on the incremental path"
+          else "would stay DISTRIBUTED on the incremental path") +
+          " (batch auto always runs stars distributed)")
+      } finally {
+        prevMode match {
+          case Some(m) => spark.conf.set(graft.Materialize.ModeKey, m)
+          case None => spark.conf.unset(graft.Materialize.ModeKey)
+        }
+      }
+    }
+
     // --- repairwj: the window/join repair extension at 10M ---------------
     // (VERDICT r16 item 4) Divergently-pruned duplicate Window and Join
     // subtrees are the same reuse-defeated class as the aggregates the

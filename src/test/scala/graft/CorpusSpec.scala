@@ -129,6 +129,39 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset(Dedup.CcStrategyKey)
   }
 
+  test("over-bound incremental delta inherits the auto cap-and-contract (VERDICT r19 task 4)") {
+    // A chain-shaped delta larger than the driver-fold bound falls
+    // back to dedupClusters — which dispatches on CcStrategyKey,
+    // default `auto`. Pin all three claims: (1) the default IS auto,
+    // (2) the distributed fallback on a chain-shaped contracted graph
+    // runs CAPPED corpus rounds + stars on the contraction, never
+    // uncapped min-label, (3) the fallback's assignment equals the
+    // driver union-find bit for bit.
+    assert(spark.conf.get(Dedup.CcStrategyKey, "auto") == "auto",
+      "the incremental fallback's inherited default must be auto")
+    val n = 63L // chain diameter 63 >> the switch cap
+    val rootDocs = (0L to n).toDF("doc_id")
+    val edgeRoots = (0L until n).map(i => (i, i + 1)).toDF("root_a", "root_b")
+    // over-bound: maxDriverEdges = 8 < 63 edges -> distributed path
+    val viaFallback = Dedup.contractedRemap(rootDocs, edgeRoots, n, maxDriverEdges = 8)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val viaDriver = Dedup.contractedRemap(rootDocs, edgeRoots, n, maxDriverEdges = 1000)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(viaFallback == viaDriver, "fallback != driver union-find on a chain delta")
+    assert(viaFallback.forall(_._2 == 0L))
+    // the capped behavior itself, observed on the same chain shape:
+    // corpus-wide passes stay at switchRounds + 1 and the remaining
+    // work runs as stars on the contracted root graph — while plain
+    // minlabel needs strictly more corpus-wide rounds
+    val (_, corpusRounds, starIters) = Dedup.clustersAutoWithRoundsSplit(
+      rootDocs, edgeRoots.select(col("root_a").as("doc_a"), col("root_b").as("doc_b")))
+    val (_, minlabelRounds) = Dedup.clustersWithRounds(
+      rootDocs, edgeRoots.select(col("root_a").as("doc_a"), col("root_b").as("doc_b")))
+    assert(corpusRounds == 6 + 1 && starIters > 0 && corpusRounds < minlabelRounds,
+      s"delta fallback not cap-and-contract: corpus=$corpusRounds stars=$starIters " +
+        s"minlabel=$minlabelRounds")
+  }
+
   test("incrementalClusters: batch fold equals from-scratch recluster") {
     // edges over 12 docs split into two arrival batches; batch 2 merges
     // two old components through a new doc, links a new doc into an old

@@ -242,15 +242,71 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val q = StreamingDetectors.dataGaps(minLen = 2, expectedFrequency = "1D")(input.toDF())
       .writeStream.format("memory").queryName("dg").outputMode(OutputMode.Append()).start()
     try {
-      input.addData(point("a", 0, 1.0), point("a", 1, 1.0))
+      input.addData(point("a", 0, 1.0), point("a", 1, 1.5))
       q.processAllAvailable()
       // batch 2 jumps from day 1 to day 4 → 3-day gap spanning the boundary
-      input.addData(point("a", 4, 1.0), point("a", 5, 1.0))
+      input.addData(point("a", 4, 2.25), point("a", 5, 1.0))
       q.processAllAvailable()
       val ev = spark.sql("select * from dg").as[Event].collect()
       assert(ev.length == 1)
       assert(ev(0).start == day(1) && ev(0).stop == day(4))
       assert(ev(0).duration_us == 3L * DayUs)
+      // the two-point event carries the NaN-skip endpoint sum, exactly
+      // like the batch detector (found by StreamingParityFuzzSpec r20)
+      assert(ev(0).n_points == 2L && ev(0).total.contains(3.75), ev(0).toString)
+    } finally q.stop()
+  }
+
+  test("streaming data gaps: NaN runs and endpoint totals match the batch detector (r20 fuzz find)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // The r19 twin covered only half (b) of the batch detector (ts
+    // gaps) and emitted null totals; the randomized parity property
+    // caught both. Pin the minimal shapes: a 4-row NaN run split
+    // across micro-batches (half a), a gap whose endpoints are one
+    // missing and one present value (half-present total), and a gap
+    // with both endpoints missing (null total).
+    val input = MemoryStream[TsPoint]
+    val q = StreamingDetectors.dataGaps(minLen = 2, expectedFrequency = "1D")(input.toDF())
+      .writeStream.format("memory").queryName("dgnan").outputMode(OutputMode.Append()).start()
+    try {
+      val pts = Seq(
+        point("a", 0, 5.0),
+        TsPoint("a", day(1), Some(Double.NaN)),
+        TsPoint("a", day(2), None),
+        TsPoint("a", day(3), Some(Double.NaN)),
+        TsPoint("a", day(4), None),
+        point("a", 5, 7.5),                    // closes the 4-row NaN run
+        TsPoint("a", day(8), None),            // 3-day gap, right endpoint missing
+        point("a", 12, 2.5),                   // 4-day gap, left endpoint missing
+        point("a", 16, 4.0),                   // 4-day gap, both present
+        // series b: a gap whose BOTH endpoints are missing (null
+        // total) — which is simultaneously a 2-row NaN run of the
+        // same span: the batch union emits both rows, so must we
+        TsPoint("b", day(0), None),
+        TsPoint("b", day(3), Some(Double.NaN)),
+        point("b", 4, 1.0))
+      pts.grouped(2).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      val streamed = spark.sql("select * from dgnan").as[Event].collect()
+        .toSeq.sortBy(e => (e.series_id, e.start.getTime, e.stop.getTime, e.n_points))
+      val batch = collectEvents(
+        graft.operators.DataGapEvents(minLen = 2, expectedFrequency = "1D")
+          .detect(pts.toDF()))
+        .sortBy(e => (e.series_id, e.start.getTime, e.stop.getTime, e.n_points))
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+      // shape sanity on the pinned cases themselves
+      val nanRun = streamed.find(_.n_points == 4L)
+      assert(nanRun.isDefined && nanRun.get.start == day(1) &&
+        nanRun.get.stop == day(4) && nanRun.get.total.isEmpty, streamed.toString)
+      assert(streamed.exists(e => e.start == day(5) && e.total.contains(7.5)),
+        "gap with missing right endpoint must total the present side")
+      assert(streamed.exists(e => e.start == day(8) && e.total.contains(2.5)),
+        "gap with missing left endpoint must total the present side")
+      assert(streamed.exists(e => e.start == day(12) && e.total.contains(6.5)),
+        "gap with both endpoints present must total both")
+      val bEvents = streamed.filter(_.series_id == "b")
+      assert(bEvents.size == 2 && bEvents.forall(e =>
+        e.start == day(0) && e.stop == day(3) && e.total.isEmpty), bEvents.toString)
     } finally q.stop()
   }
 

@@ -25,9 +25,13 @@ def main():
     comparable = True
     pa, pb = a.get("box_state", {}), b.get("box_state", {})
     for probe in sorted(set(pa) & set(pb)):
-        if not isinstance(pa[probe], (int, float)) or not pa[probe]:
+        # skip only on None/non-numeric — a 0.0 load on one side must
+        # still flag a busy opposite side (ADVICE r19); epsilon guards
+        # the ratio instead of truthiness
+        va, vb = pa[probe], pb[probe]
+        if not isinstance(va, (int, float)) or not isinstance(vb, (int, float)):
             continue
-        r = pb[probe] / pa[probe]
+        r = vb / max(va, 1e-9)
         if probe == "load_avg_1m":
             # a LOW load average is never a comparability problem; only
             # a busy box at capture time is

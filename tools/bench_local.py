@@ -159,11 +159,14 @@ def main():
     if os.path.exists(out_path):
         old = json.load(open(out_path))
         old_sum = old.get("sum_of_perkey_medians_sec")
-        suffix = ord("b")
         base = out_path[:-len(".json")] if out_path.endswith(".json") else out_path
-        while os.path.exists(f"{base}_{chr(suffix)}.json"):
-            suffix += 1
-        final_path = f"{base}_{chr(suffix)}.json"
+        # 'b'..'z', then numeric _b2, _b3, ... (ADVICE r19: a raw
+        # ASCII increment walks past 'z' into '{' after 25 siblings)
+        candidates = [chr(c) for c in range(ord("b"), ord("z") + 1)]
+        candidates += [f"b{i}" for i in range(2, 1000)]
+        suffix = next(s for s in candidates
+                      if not os.path.exists(f"{base}_{s}.json"))
+        final_path = f"{base}_{suffix}.json"
         print(f"REFUSING to overwrite {out_path} (sum_of_medians={old_sum}); "
               f"writing {final_path} (new sum_of_medians="
               f"{artifact['sum_of_perkey_medians_sec']}). Keep ONE on purpose.")

@@ -12,6 +12,37 @@ set -euo pipefail
 OUT="${1:?usage: bench_runs.sh <outdir> [n_runs]}"
 N="${2:-3}"
 mkdir -p "$OUT"
+# Quiet-box gate (VERDICT r19 task 5): REFUSE to start a definitive
+# capture on a busy box — r19's definitive artifact started at load
+# 2.66 and one run raced a competitor, burning an adjudication cycle.
+# Two probes: 1m load must be < 0.5, and the ~10 s sustained 16-way
+# sha256 probe must be within 1.5x its historical quiet value (9.9 s
+# on this box, measured round 20 at load 0.02). Override with
+# BENCH_ALLOW_BUSY=1 only for explicitly non-definitive runs.
+if [ "${BENCH_ALLOW_BUSY:-0}" != "1" ]; then
+  LOAD="$(cut -d' ' -f1 /proc/loadavg)"
+  awk -v l="$LOAD" 'BEGIN{exit !(l<0.5)}' || {
+    echo "REFUSED: 1m load $LOAD >= 0.5 — wait for a quiet box or set BENCH_ALLOW_BUSY=1 (non-definitive only)" >&2
+    exit 2
+  }
+  QUIET="${BENCH_QUIET_SUSTAINED_SEC:-9.9}"
+  SUST="$(python3 - "$(dirname "$0")" <<'EOF'
+import sys, time
+sys.path.insert(0, sys.argv[1])
+from concurrent.futures import ProcessPoolExecutor
+import bench_local
+t0 = time.time()
+with ProcessPoolExecutor(16) as ex:
+    list(ex.map(bench_local._sustained_work, range(16)))
+print(round(time.time() - t0, 3))
+EOF
+)"
+  awk -v s="$SUST" -v q="$QUIET" 'BEGIN{exit !(s <= 1.5*q)}' || {
+    echo "REFUSED: sustained x16 probe ${SUST}s > 1.5x quiet ${QUIET}s — a competitor is resident; wait or set BENCH_ALLOW_BUSY=1 (non-definitive only)" >&2
+    exit 2
+  }
+  echo "quiet-box gate passed: load $LOAD, sustained x16 ${SUST}s (quiet ref ${QUIET}s)"
+fi
 CLASSES="$(dirname "$0")/../target/scala-2.13/classes"
 ADDOPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
