@@ -26,6 +26,8 @@ import graft.functions.TextFunctions
  */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Word n-gram shingles (default 3), empty array when the document
     * has fewer than n tokens. */
   def wordShingles(text: Column, n: Int = 3): Column = {
@@ -626,7 +628,7 @@ object Dedup {
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     val (labels, rounds, _) = minLabelLoop(docs, sym, Int.MaxValue)
-    (finishAssignment(labels), rounds)
+    (finishAssignment(labels, Some(docs)), rounds)
   }
 
   /** The min-label + path-halving rounds, capped at `maxRounds`:
@@ -638,7 +640,6 @@ object Dedup {
     * strategy's contraction needs. */
   private def minLabelLoop(docs: DataFrame, sym: DataFrame,
       maxRounds: Int): (DataFrame, Int, Boolean) = {
-    var labels = materialize(docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
     // label-sum fixpoint in DECIMAL(38,0): ids may be hash-derived
     // 63-bit longs, so a plain Long sum over the corpus can overflow —
     // throwing under ANSI and weakening the certificate to equality
@@ -647,8 +648,30 @@ object Dedup {
       val r = l.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
+    // Round barrier + convergence scalar in ONE action: a LAZY
+    // localCheckpoint truncates the logical plan immediately (the
+    // returned frame wraps a LogicalRDD either way — labels has THREE
+    // consumers per round, so an un-truncated plan grows 3^rounds;
+    // persist() was tried and measured a >2 GB plan string by round
+    // ~10) while the label-sum aggregate is the action that
+    // materializes its blocks — the old EAGER checkpoint + separate
+    // sum job paid two actions per round for the same effect (guide
+    // §1.2: per-round fixed work is the multiplier here). The lazy-
+    // checkpoint race caveat on [[materialize]] does not apply: the
+    // sum is a single-branch consumer that fully populates the
+    // blocks before any other consumer plans against them. Non-local
+    // materialize modes keep the mode's barrier (fault-tolerance
+    // deployment knob) and pay the extra per-round action.
+    def roundBarrier(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val mode = scala.util.Try(
+        df.sparkSession.conf.get(graft.Materialize.ModeKey)).getOrElse("local")
+      val p = if (mode == "local") df.localCheckpoint(eager = false)
+        else graft.Materialize.barrier(df)
+      (p, labelSum(p))
+    }
+    var (labels, curSum) = roundBarrier(
+      docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
     var prevSum: java.math.BigDecimal = null
-    var curSum = labelSum(labels)
     var rounds = 0
     while (curSum != prevSum && rounds < maxRounds) {
       val neigh = sym
@@ -656,17 +679,25 @@ object Dedup {
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nl")).as("nmin"))
       // path halving: follow the label pointer one hop (labels are doc
-      // ids, so this is a self-join on the label frame)
-      val jumped = labels
-        .join(labels.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jl")),
-          Seq("cluster_id"), "left")
-        .select(col("doc_id"), least(col("cluster_id"), coalesce(col("jl"), col("cluster_id")))
-          .as("cluster_id"))
-      labels = materialize(jumped.join(neigh, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id")))
+      // ids, so this is a self-join on the label frame). Round 1 skips
+      // the jump outright: labels is the identity assignment
+      // (cluster_id == doc_id), so the hop maps every label to itself
+      // — the join is provably a no-op and costs two exchanges
+      // (guide §2.4: remove shuffles the data proves unnecessary).
+      val jumped =
+        if (rounds == 0) labels
+        else labels
+          .join(labels.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jl")),
+            Seq("cluster_id"), "left")
+          .select(col("doc_id"), least(col("cluster_id"), coalesce(col("jl"), col("cluster_id")))
+            .as("cluster_id"))
+      val (next, nextSum) = roundBarrier(
+        jumped.join(neigh, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id")))
+      labels = next
       prevSum = curSum
-      curSum = labelSum(labels)
+      curSum = nextSum
       rounds += 1
     }
     (labels, rounds, curSum == prevSum)
@@ -714,7 +745,7 @@ object Dedup {
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     val (labels, rounds, converged) = minLabelLoop(docs, sym, switchRounds)
-    if (converged) (finishAssignment(labels), rounds, 0)
+    if (converged) (finishAssignment(labels, Some(docs)), rounds, 0)
     else {
       val rootEdges = sym
         .join(labels.select(col("doc_id").as("src"), col("cluster_id").as("doc_a")),
@@ -727,22 +758,109 @@ object Dedup {
       val (rootAssign, iters) = clustersViaStarsWithRounds(rootDocs, rootEdges)
       val remap = rootAssign
         .select(col("doc_id").as("old_root"), col("cluster_id").as("final_root"))
-      val fin = labels
-        .join(remap, labels("cluster_id") === remap("old_root"))
-        .select(col("doc_id"), col("final_root").as("cluster_id"))
+      // the remap side is the ROOT table — broadcast it when bounded
+      // (≤ maxBroadcastRoots ≈ 80 MB) so the corpus-side labels never
+      // shuffle for the remap at all, and in particular the giant
+      // component's root key never sorts one task (guide §2.5/§3.1;
+      // the 100M-edge smoke measured the shuffle form at 22.3 s with
+      // a 19.5 s hot task, the broadcast form at 1.4 s). Above the
+      // bound, fall back to the shuffle join — loudly, naming the
+      // skew risk.
+      val nRoots = rootDocs.count()
+      val remapJoined =
+        if (nRoots <= maxBroadcastRoots)
+          labels.join(broadcast(remap), labels("cluster_id") === remap("old_root"))
+        else {
+          log.warn(s"auto contraction remap: $nRoots roots exceed " +
+            s"maxBroadcastRoots=$maxBroadcastRoots — falling back to a shuffle " +
+            "join keyed on cluster_id; a giant component's root is a hot key " +
+            "and can straggle the remap stage")
+          labels.join(remap, labels("cluster_id") === remap("old_root"))
+        }
+      val fin = remapJoined.select(col("doc_id"), col("final_root").as("cluster_id"))
       // the contraction joins are one corpus-wide pass
-      (finishAssignment(fin), rounds + 1, iters)
+      (finishAssignment(fin, Some(docs)), rounds + 1, iters)
+    }
+  }
+
+  /** Row threshold above which a group key counts as HOT for
+    * [[withGroupSizes]] (default 4M members). */
+  val HotClusterRowsKey = "spark.graft.dedup.hotClusterRows"
+
+  /** Root-table bound under which the `auto` strategy's contraction
+    * remap broadcasts instead of shuffle-joining the corpus-side
+    * labels (~80 MB at 16 B/row — the [[maxDriverFoldEdges]] size
+    * class). */
+  val maxBroadcastRoots: Long = 5000000L
+
+  /**
+   * Group-size attachment with a HOT/COLD SPLIT (guide §2.5 — split
+   * hot keys): `rows ⋈ (rows groupBy key count)` is the clustering
+   * tails' shape, and on a skewed assignment the giant component's
+   * key sorts its whole row block in ONE task of the sort-merge join
+   * (measured in the 100M-edge smoke: 17.7 s hot task vs 0.4 s mean;
+   * AQE's skew split did not fire). Here keys with ≥
+   * [[HotClusterRowsKey]] members (default 4M) ride a BROADCAST join
+   * — by pigeonhole there are at most n/threshold of them, so the
+   * collected hot list is driver-safe at ANY corpus size — and cold
+   * keys keep the shuffle join with every key row-bounded below the
+   * threshold, making the straggler contract hold by construction.
+   *
+   * Small inputs keep the old single-join plan with zero extra jobs:
+   * a frame whose estimated size is under 16·threshold BYTES cannot
+   * hold `threshold` rows of any key (rows here carry at least two
+   * longs), so the hot probe is provably empty and skipped.
+   *
+   * Output: `rows` columns + `sizeCol`, row set identical to the
+   * plain join (hot ∪ cold partitions the key space; property-tested
+   * across thresholds in CorpusSpec).
+   */
+  private[graft] def withGroupSizes(
+      rows: DataFrame, key: String, sizeCol: String,
+      sizeHint: Option[DataFrame] = None): DataFrame = {
+    val spark = rows.sparkSession
+    val threshold = scala.util.Try(
+      spark.conf.get(HotClusterRowsKey).toLong).getOrElse(4000000L)
+    def plain = rows.join(
+      rows.groupBy(col(key)).agg(count(lit(1)).as(sizeCol)), Seq(key))
+    // gate on the hint frame when given: `rows` is usually a
+    // checkpointed label table whose LogicalRDD stats are the
+    // don't-know default (forcing the probe), while the caller's
+    // source frame (a scan) carries file-size stats that proxy the
+    // label row count. The gate is a PERF heuristic only — either
+    // branch returns the identical row set — so an estimate miss
+    // costs a probe job or a missed hot key, never correctness
+    val statsOf = sizeHint.getOrElse(rows)
+    val cannotBeHot =
+      statsOf.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(16L) * threshold
+    if (cannotBeHot) plain
+    else {
+      val hot = rows.groupBy(col(key)).agg(count(lit(1)).as(sizeCol))
+        .where(col(sizeCol) >= threshold)
+      val hotRows = hot.collect() // pigeonhole-bounded: ≤ n/threshold rows
+      if (hotRows.isEmpty) plain
+      else {
+        import scala.jdk.CollectionConverters._
+        val hotDf = spark.createDataFrame(hotRows.toSeq.asJava, hot.schema)
+        val hotPart = rows.join(broadcast(hotDf), Seq(key))
+        val coldRows = rows.join(
+          broadcast(hotDf.select(col(key))), Seq(key), "left_anti")
+        val coldPart = coldRows.join(
+          coldRows.groupBy(col(key)).agg(count(lit(1)).as(sizeCol)), Seq(key))
+        hotPart.unionByName(coldPart)
+      }
     }
   }
 
   /** Shared tail of the clustering strategies: component sizes + the
-    * canonical flag over a (doc_id, cluster_id) fixpoint. */
-  private def finishAssignment(labels: DataFrame): DataFrame = {
-    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("cluster_id"))
+    * canonical flag over a (doc_id, cluster_id) fixpoint. Sizes
+    * attach via the hot/cold split — the giant-component key never
+    * sorts in one task. */
+  private def finishAssignment(
+      labels: DataFrame, sizeHint: Option[DataFrame] = None): DataFrame =
+    withGroupSizes(labels, "cluster_id", "cluster_size", sizeHint)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
-  }
 
   /**
    * Large-star/small-star alternation (Kiveris et al., "Connected
@@ -852,7 +970,7 @@ object Dedup {
       .join(members, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")))
-    (finishAssignment(labels), rounds)
+    (finishAssignment(labels, Some(ids)), rounds)
   }
 
   /**
@@ -895,18 +1013,26 @@ object Dedup {
     // (1.0 - damping is NOT the literal 0.15 in binary64) and both
     // engines evaluate oneMinus / N and damping * sum identically
     val oneMinus = 1.0 - damping
-    var state = materialize(nodes.select(col("src").as("id"), col("deg"),
-      round(lit(1.0) / n, decimals).as("r")))
+    // Rounds chain WITHOUT per-round barriers: the id/deg carrier of
+    // the next state comes from the checkpointed `nodes` frame (not
+    // from the previous state), so each round's state has exactly ONE
+    // consumer (the next round's contribution join) and the whole
+    // power iteration runs as a single job of statically iters·2
+    // keyed exchanges — no per-round checkpoint write of the full
+    // rank table (guide §2.4/§5). Values are identical: the id set of
+    // `state` always equals `nodes`' and deg never changes.
+    var state = nodes.select(col("src").as("id"), col("deg"),
+      round(lit(1.0) / n, decimals).as("r"))
     (1 to iters).foreach { _ =>
-      val contribs = edges
-        .join(state.select(col("id").as("src"), (col("r") / col("deg")).as("c")),
-          Seq("src"))
+      val contribs = state
+        .select(col("id").as("src"), (col("r") / col("deg")).as("c"))
+        .join(edges, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inmass"))
-      state = materialize(state.select(col("id"), col("deg"))
+      state = nodes.select(col("src").as("id"), col("deg"))
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"), col("deg"),
           round(lit(oneMinus) / n + lit(damping) * coalesce(col("inmass"), lit(0.0)),
-            decimals).as("r")))
+            decimals).as("r"))
     }
     // the column name carries the rounding contract (pr1's oracle pins
     // 6 dp) — a non-default precision must not masquerade as it
@@ -1015,13 +1141,27 @@ object Dedup {
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     val nodes = materialize(sym.select(col("src").as("id")).distinct())
-    var dist = materialize(nodes.where(isSeed(col("id")))
-      .select(col("id"), lit(0L).as("dist")))
+    // Self-loop formulation: dist_{k+1}(v) = min(dist_k(v) + 0,
+    // 1 + min over neighbors dist_k(u)) — adding an (id, id) edge per
+    // node folds the "keep my own distance" term into the SAME
+    // propagate join, so each round is one join + one min aggregate
+    // and the previous distance frame has exactly ONE consumer. That
+    // removes the per-round union AND the per-round localCheckpoint
+    // the two-consumer form required: the maxHops rounds now chain
+    // into a single job of statically maxHops·2 keyed exchanges with
+    // no intermediate full-table writes (guide §2.4/§5). Semantics
+    // identical — the self-loop contributes dist + 0, exactly the
+    // old union's dist branch.
+    val symSelf = sym.unionByName(
+      nodes.select(col("id").as("src"), col("id").as("dst")))
+    var dist = nodes.where(isSeed(col("id")))
+      .select(col("id"), lit(0L).as("dist"))
     for (_ <- 1 to maxHops) {
-      val prop = sym.join(dist.select(col("id").as("src"), col("dist")), Seq("src"))
-        .select(col("dst").as("id"), (col("dist") + lit(1L)).as("dist"))
-      dist = materialize(dist.unionByName(prop)
-        .groupBy(col("id")).agg(min(col("dist")).as("dist")))
+      dist = symSelf.join(dist.select(col("id").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("id"),
+          (col("dist") + when(col("src") === col("dst"), lit(0L)).otherwise(lit(1L)))
+            .as("dist"))
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
     }
     nodes.join(dist, Seq("id"), "left")
       .select(col("id").as("doc_id"), col("dist"))
@@ -1077,19 +1217,31 @@ object Dedup {
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .where(col("src") =!= col("dst")).distinct())
-    var labels = materialize(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    // Each round's label frame has exactly ONE consumer (the next
+    // round's join), so no per-round barrier is needed: the rounds
+    // chain into a single job of statically rounds·2 keyed exchanges
+    // (edges stays checkpointed — it IS multi-consumed, once per
+    // round). The old per-round localCheckpoint wrote the full label
+    // table `rounds` times and cut each round into its own job —
+    // pure overhead when nothing re-reads the intermediate rounds
+    // (optimization guide §2.4/§5: a barrier is only worth its write
+    // when the frame is reused).
     (1 to rounds).foreach { _ =>
-      labels = materialize(edges
+      labels = edges
         .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("src")).agg(
           max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("src").as("id"), (-col("m.nl")).as("lbl")))
+        .select(col("src").as("id"), (-col("m.nl")).as("lbl"))
     }
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
-    labels.join(sizes, Seq("lbl"))
+    // the FINAL labels are multi-consumed (size aggregate + join
+    // back) — one barrier here, where the reuse is real; sizes
+    // attach via the hot/cold split (a giant community is the same
+    // skew shape as a giant cluster)
+    val fin = materialize(labels)
+    withGroupSizes(fin, "lbl", "community_size", Some(pairs))
       .select(col("id").as("doc_id"), col("lbl").as("community"),
         col("community_size"))
   }
@@ -1354,8 +1506,9 @@ object Dedup {
         labels.join(broadcast(remap), labels("cluster_id") === remap("old_root"), "left")
           .select(col("doc_id"), coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
       }
-    val sizes = updated.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-    updated.join(sizes, Seq("cluster_id"))
+    // recount via the hot/cold split — the incremental path inherits
+    // the same giant-component straggler otherwise
+    withGroupSizes(updated, "cluster_id", "cluster_size", Some(prior))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }

@@ -450,8 +450,15 @@ object CorpusQueries {
       heldOutRaw: Boolean = false): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
     val feats = dsirFeatures(docsDf, isTarget, buckets)
-    val perDoc = feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
-    val lam = dsirLambda(feats, buckets, heldOutRaw)
+    // one partial-combined aggregate to per-(doc, bucket) counts is
+    // the barrier now — it serves BOTH the per-doc weighting and the
+    // bucket totals (is_target is constant per doc, so carrying it in
+    // the grouping changes nothing), and the gram explosion streams
+    // straight into map-side aggregation instead of being checkpointed
+    val perDoc = graft.Materialize.barrier(
+      feats.groupBy(col("doc_id"), col("is_target"), col("b"))
+        .agg(count(lit(1)).as("n")))
+    val lam = dsirLambdaFromCounts(perDoc, buckets, heldOutRaw)
     val wAgg =
       if (orderedFold)
         aggregate(
@@ -479,11 +486,16 @@ object CorpusQueries {
       docsDf: DataFrame, isTarget: org.apache.spark.sql.Column,
       buckets: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
-    graft.Materialize.barrier(
-      graft.dedup.Dedup.parallelize(docsDf)
-        .select(col("doc_id"), coalesce(isTarget, lit(false)).as("is_target"),
-          explode(call_function("graft_shingle_hashes", col("text"), lit(2))).as("g"))
-        .select(col("doc_id"), col("is_target"), (col("g") % buckets).as("b")))
+    // NO barrier here any more: the former checkpoint materialized the
+    // EXPLODED per-gram rows (the corpus's biggest possible frame) to
+    // serve two consumers; both consumers are aggregations of the
+    // per-(doc, bucket) counts, so [[dsirSelect]] now aggregates FIRST
+    // and barriers that far smaller frame instead (guide §2.3:
+    // aggregate before you shuffle — and before you checkpoint)
+    graft.dedup.Dedup.parallelize(docsDf)
+      .select(col("doc_id"), coalesce(isTarget, lit(false)).as("is_target"),
+        explode(call_function("graft_shingle_hashes", col("text"), lit(2))).as("g"))
+      .select(col("doc_id"), col("is_target"), (col("g") % buckets).as("b"))
   }
 
   /** The DSIR importance log-ratio table λ(b) from a feature frame —
@@ -494,17 +506,27 @@ object CorpusQueries {
     * ([[graft.streaming.StreamingCorpus.streamingDsirScreen]]), so
     * both paths score with the IDENTICAL table. */
   private[graft] def dsirLambda(
-      feats: DataFrame, buckets: Int, heldOutRaw: Boolean): DataFrame = {
+      feats: DataFrame, buckets: Int, heldOutRaw: Boolean): DataFrame =
+    dsirLambdaFromCounts(
+      feats.groupBy(col("doc_id"), col("is_target"), col("b"))
+        .agg(count(lit(1)).as("n")),
+      buckets, heldOutRaw)
+
+  /** [[dsirLambda]] over pre-aggregated per-(doc, bucket) gram counts
+    * `(doc_id, is_target, b, n)` — the same bucket totals as summing
+    * the raw gram rows, on integers, exactly. */
+  private[graft] def dsirLambdaFromCounts(
+      perDoc: DataFrame, buckets: Int, heldOutRaw: Boolean): DataFrame = {
     val rawCount =
-      if (heldOutRaw) sum(when(!col("is_target"), 1L).otherwise(0L))
-      else count(lit(1))
+      if (heldOutRaw) sum(when(!col("is_target"), col("n")).otherwise(0L))
+      else sum(col("n"))
     // barrier (PlanAudit finding): bucketCounts feeds the totals
-    // scalar AND the λ select — without it the corpus-sized feature
-    // checkpoint is re-aggregated twice; ≤ buckets rows
+    // scalar AND the λ select — without it the upstream counts are
+    // re-aggregated twice; ≤ buckets rows
     val bucketCounts = graft.Materialize.barrier(
-      feats.groupBy(col("b")).agg(
+      perDoc.groupBy(col("b")).agg(
         rawCount.as("cr"),
-        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct")))
+        sum(when(col("is_target"), col("n")).otherwise(0L)).as("ct")))
     val totals = bucketCounts.agg(
       sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     broadcast(bucketCounts.crossJoin(broadcast(totals))

@@ -409,7 +409,15 @@ object Relational {
       max(col(c)).as(s"mx_$c")))
     val stackArgs = cols
       .map(c => s"'$c', n_$c, d_$c, mn_$c, mx_$c").mkString(", ")
-    t(spark, dir, "lineitem")
+    // four exact countDistincts plan as an Expand (×5 rows) whose
+    // partial aggregation runs INSIDE the scan stage — on local
+    // small-file inputs that stage has a handful of splits and the
+    // expand+hash work serializes onto those few cores. Spread the
+    // rows first when under-partitioned (same scale-adaptive rule as
+    // the dedup paths: a real corpus scan already arrives as many
+    // splits and this is a no-op; guide §2.5 input skew).
+    graft.dedup.Dedup.parallelize(
+      t(spark, dir, "lineitem").select(cols.map(col): _*))
       .agg(aggs.head, aggs.tail: _*)
       .selectExpr("n_rows",
         s"stack(${cols.length}, $stackArgs) " +
@@ -2133,18 +2141,31 @@ object Relational {
     * path, not a drift-prone copy). Deduplicates internally. */
   def basketScores(basket: DataFrame, minSupport: Long): DataFrame = {
     // size-gated barrier (PlanAudit finding): the distinct item frame
-    // has FOUR consumers (order count, part counts, both self-join
-    // sides) whose inferred null guards and prunings defeat
-    // ReuseExchange — without the barrier the distinct runs up to 4x
+    // has THREE consumers (order count, part counts, the per-basket
+    // pair aggregate) whose inferred null guards and prunings defeat
+    // ReuseExchange — without the barrier the distinct runs up to 3x
     val items = graft.Materialize.barrierAbove(
       basket.select(col("okey"), col("part")).distinct(),
       sizeOf = basket, confKey = "spark.graft.basket.barrierMinBytes")
     val nn = items.agg(countDistinct(col("okey")).as("n_orders"))
     val cnt = items.groupBy(col("part")).agg(count(lit(1)).as("n_one"))
-    val a = items.select(col("okey"), col("part").as("part_a"))
-    val b = items.select(col("okey"), col("part").as("part_b"))
-    val pairs = a.join(b, Seq("okey"))
-      .where(col("part_a") < col("part_b"))
+    // per-basket pair expansion instead of the okey self-join: group
+    // the (distinct) items per order once and stream each basket's
+    // ordered pairs from the sorted set — ONE exchange keyed on okey
+    // where the self-join shuffled the item table twice and joined
+    // (guide §2.4: two operations keyed the same way share one
+    // exchange; here they fuse into one aggregate). Pair semantics
+    // identical: items is distinct per (okey, part), so the sorted
+    // set explodes to exactly the a < b pairs the join emitted, and
+    // no row ever holds more than one basket's id list (the
+    // bucketPairs memory posture; baskets are order-bounded).
+    val pairs = items
+      .groupBy(col("okey"))
+      .agg(sort_array(collect_set(col("part"))).as("parts"))
+      .where(size(col("parts")) > 1)
+      .select(explode(col("parts")).as("part_a"), col("parts"))
+      .select(col("part_a"),
+        explode(filter(col("parts"), b => b > col("part_a"))).as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minSupport)

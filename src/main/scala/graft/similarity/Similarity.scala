@@ -321,17 +321,31 @@ object Similarity {
     var cents: Array[(Long, Seq[Double])] = normalized(seeds, "cid", "cent_emb", spread = false)
       .select(col("cid").cast("long"), col("cent_emb"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    // per-dimension SUM columns instead of posexplode + two keyed
+    // aggregations: the old shape expanded every vector 64× through a
+    // Generate and paid two exchanges per round ((cid, pos) means,
+    // then re-packing per cid); dim is known on the driver (the
+    // centroids live there), so one groupBy(cid) with dim sum columns
+    // + a count gets the same means in ONE exchange with full
+    // map-side partial aggregation and no row expansion (guide §2.3:
+    // aggregate before you shuffle; avoid explode). The mean is
+    // sum/count — the identical final division Spark's avg performs,
+    // on partial sums of the same addition-order class.
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
     (0 until iters).foreach { _ =>
       val centDf = broadcast(cents.toSeq.toDF("cid", "cent_emb"))
+      val sumCols = count(lit(1)).as("cnt") +:
+        (0 until dim).map(p => sum(col("emb").getItem(p)).as(s"s$p"))
       val meaned = argmaxAssign(vecs, centDf, "vid", "emb", barrier = false)
-        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("v")).as("m"))
         .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("mean_emb"))
-        .select(col("cid").cast("long"), col("mean_emb"))
-        .as[(Long, Seq[Double])].collect()
+        .agg(sumCols.head, sumCols.tail: _*)
+        .collect()
+        .map { row =>
+          val cid = row.getAs[Number]("cid").longValue()
+          val cnt = row.getLong(row.fieldIndex("cnt")).toDouble
+          (cid, (0 until dim).map(p =>
+            row.getDouble(row.fieldIndex(s"s$p")) / cnt): Seq[Double])
+        }
       cents = meaned.map { case (cid, mean) =>
         // same arithmetic as the distributed form: left-to-right
         // sum-of-squares, then half-away-from-zero rounding of each

@@ -727,4 +727,38 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(ng(3L)._3 < ng(3L)._2, s"doc 3 must reuse earlier grams: ${ng(3L)}")
     assert(ng(4L)._2 == 0L && ng(4L)._4.isEmpty)
   }
+
+  test("hot/cold size split: assignments identical across thresholds (r20 skew fix)") {
+    // one giant component (0..49 via star on 0), one mid pair-clique,
+    // singletons — so threshold choices put the giant key in the hot
+    // set (all-hot), split hot/cold (mixed), or leave everything cold
+    val docs = (0L to 59L).toDF("doc_id")
+    val pairs = ((1L to 49L).map(i => (0L, i)) ++ Seq((50L, 51L), (52L, 53L)))
+      .toDF("doc_a", "doc_b")
+    val lpPairs = pairs
+    def ccRun() = Dedup.dedupClusters(docs, pairs)
+      .orderBy("doc_id")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    def lpRun() = Dedup.labelPropagation(lpPairs)
+      .orderBy("doc_id")
+      .select("doc_id", "community", "community_size")
+      .as[(Long, Long, Long)].collect().toSeq
+    // baseline: default threshold (4M) — the small-input gate keeps
+    // the plain single-join plan
+    val ccPlain = ccRun()
+    val lpPlain = lpRun()
+    // threshold 1: every key is hot (broadcast side carries all keys,
+    // cold side empty); threshold 3: the 50-member cluster is hot,
+    // pairs and singletons are cold (both branches populated);
+    // threshold 60: hot probe runs (gate open at 16·60 bytes) but
+    // finds nothing — the explicit cold fallback
+    Seq("1", "3", "60").foreach { t =>
+      spark.conf.set(Dedup.HotClusterRowsKey, t)
+      try {
+        assert(ccRun() == ccPlain, s"dedupClusters diverged at hotClusterRows=$t")
+        assert(lpRun() == lpPlain, s"labelPropagation diverged at hotClusterRows=$t")
+      } finally spark.conf.unset(Dedup.HotClusterRowsKey)
+    }
+  }
 }

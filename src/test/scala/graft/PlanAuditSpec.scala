@@ -35,13 +35,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(bar.isEmpty, s"barriered au1 must be silent, got: $bar")
   }
 
-  test("un-barriered basket distinct is flagged 4x; gated barrier silences it") {
+  test("basket shape is audit-silent on both sides of the gate (r20 pair rewrite)") {
     assume(haveData)
+    // The r20 per-basket pair expansion replaced the okey self-join:
+    // the distinct item frame dropped from four consumers to three,
+    // and of those only the per-part count is duplicate-sensitive —
+    // RemoveRedundantAggregates absorbs the inner distinct under
+    // countDistinct and collect_set, so even the UN-barriered plan no
+    // longer carries reuse-defeated duplicate aggregates (the old
+    // shape was flagged 4x here). The gated barrier stays for the
+    // one-pass-over-the-corpus posture at scale; both gate settings
+    // must be audit-silent AND row-identical.
     val k = "spark.graft.basket.barrierMinBytes"
     def q() = graft.queries.Relational.mb1MarketBasket(spark, dir)
-    val unb = withConf(k, Long.MaxValue.toString) { PlanAudit.audit(q()) }
-    assert(unb.exists(f => f.severity == "warn" && f.n == 4), unb.toString)
+    val unbFindings = withConf(k, Long.MaxValue.toString) { PlanAudit.audit(q()) }
+    assert(unbFindings.forall(_.severity != "warn"), unbFindings.toString)
     assert(withConf(k, "0") { PlanAudit.audit(q()) }.isEmpty)
+    val unb = withConf(k, Long.MaxValue.toString) { q().collect().toSeq }
+    val bar = withConf(k, "0") { q().collect().toSeq }
+    assert(unb == bar, "gate setting changed mb1 results")
   }
 
   test("reuse-eligible self-join (canonical-equal sides) is silent") {
