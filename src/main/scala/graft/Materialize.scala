@@ -69,6 +69,58 @@ object Materialize {
       defaultMinBytes: Long = 32L * 1024 * 1024): DataFrame =
     if (underGate(sizeOf, confKey, defaultMinBytes)) df else barrier(df)
 
+  /** Partition-pinning barrier for frames an ITERATIVE operator joins
+    * on the same key every round (guide §2.4 — the in-memory analogue
+    * of a bucketed table): repartition by `key` into exactly
+    * `spark.sql.shuffle.partitions` partitions, sort within
+    * partitions on the key, persist, and materialize eagerly. The
+    * cached plan's hash partitioning AND intra-partition order
+    * survive into every consumer — `InMemoryTableScan` advertises
+    * them as long as
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`
+    * stays at its default false — so each round's sort-merge join on
+    * `key` skips this side's Exchange and Sort entirely: the frame
+    * (at scale, the EDGE LIST — the biggest table in the job) is
+    * shuffled+sorted once instead of once per round. The explicit
+    * partition count keeps AQE from coalescing the pin (a
+    * REPARTITION_BY_NUM exchange is never coalesced) and matches the
+    * count EnsureRequirements gives the other join side.
+    *
+    * Fault tolerance: persist(MEMORY_AND_DISK) KEEPS lineage — an
+    * evicted/lost block recomputes from source, strictly more
+    * recoverable than the localCheckpoint barrier. The eager count
+    * avoids the multi-branch lazy-population race documented at
+    * [[graft.dedup.Dedup.materialize]]. */
+  /** Size-gated [[persistPartitioned]]: below the gate the fixed
+    * `shuffle.partitions`-way pin COSTS more than it saves (every
+    * loop round then runs `shuffle.partitions` tasks per stage where
+    * AQE would coalesce a tiny exchange to 1-4 — measured at sf0.1:
+    * cc1 1.78→3.96 s with the pin unconditional), so small inputs
+    * keep the plain [[barrier]] and the AQE-coalesced round shape.
+    * Above it, the pin trades one upfront shuffle+sort of the frame
+    * for per-round Exchange+Sort elision — at corpus scale the frame
+    * is the edge list and the rounds are the multiplier. `sizeOf`
+    * must be a stats-bearing frame (a scan, or a LocalRelation): the
+    * pinned frame itself usually sits on checkpointed LogicalRDD
+    * leaves whose join-multiplied estimates are garbage-huge
+    * (measured 1.2e15 "bytes" for a 26-pair frame). */
+  def persistPartitionedAbove(
+      df: DataFrame, key: String, sizeOf: DataFrame,
+      confKey: String = "spark.graft.pin.minBytes",
+      defaultMinBytes: Long = 32L * 1024 * 1024): DataFrame =
+    if (underGate(sizeOf, confKey, defaultMinBytes)) barrier(df)
+    else persistPartitioned(df, key)
+
+  def persistPartitioned(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val p = df.repartition(n, org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(key).persist()
+    p.count()
+    p
+  }
+
   def barrier(df: DataFrame): DataFrame = {
     val mode = scala.util.Try(df.sparkSession.conf.get(ModeKey)).getOrElse("local")
     mode match {

@@ -229,6 +229,21 @@ object Dedup {
   private[graft] def materialize(df: DataFrame): DataFrame =
     graft.Materialize.barrier(df)
 
+  /** Both directions of an undirected pair list in ONE pass: the
+    * classic `select(a,b) unionByName select(b,a)` evaluates the pair
+    * producer TWICE (each union branch is its own subtree — observed
+    * as two full LSH verify-join chains in pr1's plan); exploding a
+    * two-element array emits the same rows from a single evaluation
+    * (guide §1.2 — don't compute things twice). The exploded array is
+    * built from plain columns, so the Generate adds no per-row
+    * expression cost and the InferFiltersFromGenerate inlining hazard
+    * ([[materialize]] docstring) does not apply. */
+  private def symmetrize(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   def minhashNearDups(
       docs: DataFrame,
       threshold: Double = 0.6,
@@ -624,9 +639,12 @@ object Dedup {
   /** [[dedupClusters]] + the number of propagation rounds it took
     * (exposed for the convergence tests and scale smokes). */
   private[graft] def clustersWithRounds(docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
-    val sym = materialize(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // pinned on dst above the gate — the per-round neighbor join's
+    // key — so at scale the edge list (the biggest frame in the job)
+    // shuffles+sorts ONCE, not once per min-label round (guide §2.4);
+    // docs carries the real stats (see persistPartitionedAbove)
+    val sym = graft.Materialize.persistPartitionedAbove(
+      symmetrize(pairs), "dst", sizeOf = docs)
     val (labels, rounds, _) = minLabelLoop(docs, sym, Int.MaxValue)
     (finishAssignment(labels, Some(docs)), rounds)
   }
@@ -741,9 +759,12 @@ object Dedup {
     val spark = docs.sparkSession
     val switchRounds = math.max(1,
       spark.conf.get(CcAutoSwitchRoundsKey, "6").toInt)
-    val sym = materialize(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // pinned on dst above the gate — the per-round neighbor join's
+    // key — so at scale the edge list (the biggest frame in the job)
+    // shuffles+sorts ONCE, not once per min-label round (guide §2.4);
+    // docs carries the real stats (see persistPartitionedAbove)
+    val sym = graft.Materialize.persistPartitionedAbove(
+      symmetrize(pairs), "dst", sizeOf = docs)
     val (labels, rounds, converged) = minLabelLoop(docs, sym, switchRounds)
     if (converged) (finishAssignment(labels, Some(docs)), rounds, 0)
     else {
@@ -911,13 +932,13 @@ object Dedup {
   private[graft] def clustersViaStarsWithRounds(
       docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
     val ids = docs.select(col("doc_id"))
-    var edges = materialize(
+    val edges0 =
       pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
         .join(ids.select(col("doc_id").as("x")), Seq("x"), "left_semi")
         .join(ids.select(col("doc_id").as("y")), Seq("y"), "left_semi")
         .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
         .where(col("a") =!= col("b"))
-        .distinct())
+        .distinct()
 
     // endpoint sums in DECIMAL(38,0): hash-derived 63-bit ids make the
     // per-row a+b (and the corpus-wide sum) overflow a plain Long —
@@ -928,6 +949,21 @@ object Dedup {
         sum(col("a").cast(DecimalType(38, 0)) + col("b").cast(DecimalType(38, 0))).as("s"),
         count(lit(1)).as("n")).head
       (if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0), r.getLong(1))
+    }
+    // phase barrier + convergence signature in ONE action (the
+    // minLabelLoop roundBarrier pattern): a LAZY localCheckpoint
+    // truncates the plan — each phase's edge frame has two-to-three
+    // consumers, so an un-truncated plan grows geometrically — and
+    // the signature aggregate is the action that materializes its
+    // blocks. The old EAGER checkpoint + separate signature job paid
+    // two actions per phase. Non-local materialize modes keep the
+    // mode's barrier and the extra action (fault-tolerance knob).
+    def phaseBarrier(e: DataFrame): (DataFrame, (java.math.BigDecimal, Long)) = {
+      val mode = scala.util.Try(
+        e.sparkSession.conf.get(graft.Materialize.ModeKey)).getOrElse("local")
+      val p = if (mode == "local") e.localCheckpoint(eager = false)
+        else graft.Materialize.barrier(e)
+      (p, signature(p))
     }
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("a").as("u"), col("b").as("v"))
@@ -952,14 +988,12 @@ object Dedup {
     }
 
     var rounds = 0
-    var sig = signature(edges)
+    var (edges, sig) = phaseBarrier(edges0)
     lastStarsInitialEdges.set(sig._2)
     var done = sig._2 == 0L
     while (!done) {
-      val ls = materialize(largeStar(edges))
-      val sigL = signature(ls)
-      val ss = materialize(smallStar(ls))
-      val sigS = signature(ss)
+      val (ls, sigL) = phaseBarrier(largeStar(edges))
+      val (ss, sigS) = phaseBarrier(smallStar(ls))
       edges = ss
       rounds += 1
       done = sigL == sig && sigS == sigL
@@ -992,13 +1026,17 @@ object Dedup {
    * is the node count.
    */
   def pairPageRank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85,
-      decimals: Int = 6): DataFrame = {
-    val edges = materialize(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .distinct())
-    val nodes = materialize(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      decimals: Int = 6, sizeHint: Option[DataFrame] = None): DataFrame = {
+    // pinned on src — both the per-round contribution join's key and
+    // (via alias-aware partitioning) the state carrier's id — so the
+    // edge list and the degree table shuffle+sort once, not once per
+    // power iteration (guide §2.4)
+    val edges = graft.Materialize.persistPartitionedAbove(
+      symmetrize(pairs).distinct(),
+      "src", sizeOf = sizeHint.getOrElse(pairs))
+    val nodes = graft.Materialize.persistPartitionedAbove(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")),
+      "src", sizeOf = sizeHint.getOrElse(pairs))
     val n = nodes.count()
     require(n > 0, "pairPageRank: empty pair graph")
     // the drift-reset quantum must stay well below 1/n or the rounding
@@ -1069,7 +1107,8 @@ object Dedup {
    * the three exchanges (degrees, wedges, corner counts) are all
    * partial-combined aggregates or keyed joins.
    */
-  def triangleCounts(pairs: DataFrame): DataFrame = {
+  def triangleCounts(pairs: DataFrame,
+      sizeHint: Option[DataFrame] = None): DataFrame = {
     // canonicalize defensively: undirected edge as (min, max), deduped
     val und = materialize(pairs.select(
         least(col("doc_a"), col("doc_b")).as("a"),
@@ -1081,8 +1120,10 @@ object Dedup {
     def withDeg(df: DataFrame, end: String, out: String) =
       df.join(deg.select(col("id").as(end), col("deg").as(out)), Seq(end))
     // orient low (deg, id) -> high (deg, id); total order, so exactly
-    // one direction per edge survives
-    val oriented = materialize(
+    // one direction per edge survives. Pinned on the wedge source so
+    // BOTH sides of the wedge self-join arrive co-partitioned and
+    // sorted — the join runs with zero exchanges (guide §2.4)
+    val oriented = graft.Materialize.persistPartitionedAbove(
       withDeg(withDeg(und.select(col("a"), col("b")), "a", "dega"), "b", "degb")
         .select(
           when(col("dega") < col("degb") ||
@@ -1094,7 +1135,8 @@ object Dedup {
                    col("degb").as("ds"), col("dega").as("dd")))
           .as("e"))
         .select(col("e.s").as("s"), col("e.d").as("d"),
-                col("e.ds").as("ds"), col("e.dd").as("dd")))
+                col("e.ds").as("ds"), col("e.dd").as("dd")),
+      "s", sizeOf = sizeHint.getOrElse(pairs))
     // wedges from each source's out-neighborhood (ordered by rank so
     // each unordered pair appears once), closed by the oriented edge
     val e1 = oriented.select(col("s"), col("d").as("v"), col("dd").as("dv"))
@@ -1131,7 +1173,8 @@ object Dedup {
    * through one join key and its updates combine map-side.
    */
   def bfsDistance(
-      pairs: DataFrame, isSeed: Column => Column, maxHops: Int): DataFrame = {
+      pairs: DataFrame, isSeed: Column => Column, maxHops: Int,
+      sizeHint: Option[DataFrame] = None): DataFrame = {
     require(maxHops >= 1 && maxHops <= 32,
       s"bfsDistance: maxHops must be in [1, 32]: $maxHops")
     val und = materialize(pairs.select(
@@ -1152,8 +1195,14 @@ object Dedup {
     // no intermediate full-table writes (guide §2.4/§5). Semantics
     // identical — the self-loop contributes dist + 0, exactly the
     // old union's dist branch.
-    val symSelf = sym.unionByName(
-      nodes.select(col("id").as("src"), col("id").as("dst")))
+    // pinned on src — the per-hop propagate join's key — so the
+    // self-looped edge list shuffles+sorts once, not once per hop
+    // (guide §2.4; the union would otherwise recompute AND re-exchange
+    // under every round's join)
+    val symSelf = graft.Materialize.persistPartitionedAbove(
+      sym.unionByName(
+        nodes.select(col("id").as("src"), col("id").as("dst"))),
+      "src", sizeOf = sizeHint.getOrElse(pairs))
     var dist = nodes.where(isSeed(col("id")))
       .select(col("id"), lit(0L).as("dist"))
     for (_ <- 1 to maxHops) {
@@ -1210,13 +1259,17 @@ object Dedup {
    * round behind the [[materialize]] barrier; statically rounds·2
    * exchanges, no corpus-wide single partition.
    */
-  def labelPropagation(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+  def labelPropagation(pairs: DataFrame, rounds: Int = 3,
+      sizeHint: Option[DataFrame] = None): DataFrame = {
     require(rounds >= 1 && rounds <= 32,
       s"labelPropagation: rounds in [1, 32]: $rounds")
-    val edges = materialize(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .where(col("src") =!= col("dst")).distinct())
+    // pinned on dst above the gate — the per-round propagation join's
+    // key — so at scale the edge list shuffles+sorts once, not once
+    // per round (guide §2.4); absent a hint the gate reads the pair
+    // frame itself, whose unknown-huge estimate pins (scale-safe)
+    val edges = graft.Materialize.persistPartitionedAbove(
+      symmetrize(pairs).where(col("src") =!= col("dst")).distinct(),
+      "dst", sizeOf = sizeHint.getOrElse(pairs))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     // Each round's label frame has exactly ONE consumer (the next
@@ -1246,13 +1299,19 @@ object Dedup {
         col("community_size"))
   }
 
-  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int, rounds: Int,
+      sizeHint: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 32,
       s"kCore: need k >= 1 and rounds in [1, 32]: k=$k rounds=$rounds")
-    val und = materialize(pairs.select(
+    // pinned on a — the first of the two per-round survivor
+    // semi-joins — so the edge list pays that side's shuffle+sort
+    // once, not once per peel round (guide §2.4)
+    val und = graft.Materialize.persistPartitionedAbove(
+      pairs.select(
         least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .where(col("a") =!= col("b")).distinct())
+      .where(col("a") =!= col("b")).distinct(),
+      "a", sizeOf = sizeHint.getOrElse(pairs))
     val nodes = materialize(
       und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg")))

@@ -577,20 +577,28 @@ object PipelineQueries {
     // Label-propagation communities over the same graph — majority-
     // label neighborhoods (3 synchronous rounds, smallest-label
     // ties): splits sparse bridges cc1's closure keeps together
-    "lp1_label_propagation" -> ((s, dir) =>
+    "lp1_label_propagation" -> ((s, dir) => {
+      val d = docs(s, dir)
       Dedup.labelPropagation(
-        Dedup.minhashNearDups(docs(s, dir), threshold = 0.6)
-          .select("doc_a", "doc_b"))),
-    "pr1_pagerank" -> ((s, dir) =>
+        Dedup.minhashNearDups(d, threshold = 0.6).select("doc_a", "doc_b"),
+        sizeHint = Some(d))
+    }),
+    "pr1_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
       Dedup.pairPageRank(
-        Dedup.minhashNearDups(docs(s, dir), threshold = 0.6).select("doc_a", "doc_b"))),
+        Dedup.minhashNearDups(d, threshold = 0.6).select("doc_a", "doc_b"),
+        sizeHint = Some(d))
+    }),
     // Per-node triangle counts over the same near-dup graph —
     // clique-vs-star cohesion (dense template family vs one canonical
     // with independent variants); degree-oriented wedge join, every
     // count an exact integer.
-    "tc1_triangle_count" -> ((s, dir) =>
+    "tc1_triangle_count" -> ((s, dir) => {
+      val d = docs(s, dir)
       Dedup.triangleCounts(
-        Dedup.minhashNearDups(docs(s, dir), threshold = 0.6).select("doc_a", "doc_b"))),
+        Dedup.minhashNearDups(d, threshold = 0.6).select("doc_a", "doc_b"),
+        sizeHint = Some(d))
+    }),
     // Per-dimension embedding feature-health stats (dead/saturated/
     // off-center dims) — one posexplode, one 64-group aggregate.
     "em1_dim_stats" -> (em1DimStats _),
@@ -612,19 +620,21 @@ object PipelineQueries {
     // Bounded-round 2-core membership over the near-dup graph —
     // clique templates vs one-off periphery; 6 peel rounds (part of
     // the contract; the oracle unrolls the identical rounds).
-    "kc1_kcore" -> ((s, dir) =>
+    "kc1_kcore" -> ((s, dir) => {
+      val d = docs(s, dir)
       Dedup.kCore(
-        Dedup.minhashNearDups(docs(s, dir), threshold = 0.6)
-          .select("doc_a", "doc_b"),
-        k = 2, rounds = 6)),
+        Dedup.minhashNearDups(d, threshold = 0.6).select("doc_a", "doc_b"),
+        k = 2, rounds = 6, sizeHint = Some(d))
+    }),
     // Multi-source BFS hop distance from the "trusted" seed slice
     // (doc_id % 3 == 0) over the same near-dup graph — the halo /
     // trust-propagation triage; 4-hop bound, unreached -> null.
-    "bfs1_graph_distance" -> ((s, dir) =>
+    "bfs1_graph_distance" -> ((s, dir) => {
+      val d = docs(s, dir)
       Dedup.bfsDistance(
-        Dedup.minhashNearDups(docs(s, dir), threshold = 0.6)
-          .select("doc_a", "doc_b"),
-        id => id % 3 === 0, maxHops = 4)),
+        Dedup.minhashNearDups(d, threshold = 0.6).select("doc_a", "doc_b"),
+        id => id % 3 === 0, maxHops = 4, sizeHint = Some(d))
+    }),
     // Embedding-space decontamination: per corpus vector the max
     // cosine vs the eval slice (vec_id % 13 == 0) — the semantic leak
     // gram screens miss; eval broadcasts, corpus scans once.

@@ -402,23 +402,38 @@ object Relational {
     * unpivots via `stack` into one row per column. */
   def pf1Profile(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-      count(col(c)).as(s"n_$c"),
-      countDistinct(col(c)).as(s"d_$c"),
-      min(col(c)).as(s"mn_$c"),
-      max(col(c)).as(s"mx_$c")))
+    // One two-level aggregation PER COLUMN instead of the single
+    // multi-countDistinct aggregate: the old shape planned an Expand
+    // (x5 rows — one replica per distinct column + one for the plain
+    // aggregates) feeding one giant (gid, value) hash table, i.e.
+    // every input row was copied five times and hashed wide
+    // (measured 25.8 task-seconds at sf0.1). Per column, groupBy(c)
+    // collapses map-side to the column's distinct values — the
+    // parquet scan reads ONE column per branch (columnar pruning) —
+    // and the one-row tails carry count(groups) = n_distinct,
+    // sum(cnt) = n_rows, conditional sums for the null split, and
+    // raw min/max. The four one-row frames cross-join (broadcast
+    // nested loop over single rows) and unpivot via the same stack.
+    // Exact integer counts and raw data-value min/max — results are
+    // bit-identical to the old plan (guide §2.3: aggregate before
+    // you shuffle; §4 analog: no row expansion in the hot path).
+    val branches = cols.map { c =>
+      t(spark, dir, "lineitem")
+        .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(
+          // coalesce: sum over ZERO groups is null where the old
+          // count(...) forms returned 0 — empty-input exactness
+          coalesce(sum(col("cnt")), lit(0L)).as(s"rows_$c"),
+          coalesce(sum(when(col(c).isNotNull, col("cnt")).otherwise(lit(0L))),
+            lit(0L)).as(s"n_$c"),
+          count(when(col(c).isNotNull, lit(1))).as(s"d_$c"),
+          min(col(c)).as(s"mn_$c"),
+          max(col(c)).as(s"mx_$c"))
+    }
     val stackArgs = cols
       .map(c => s"'$c', n_$c, d_$c, mn_$c, mx_$c").mkString(", ")
-    // four exact countDistincts plan as an Expand (×5 rows) whose
-    // partial aggregation runs INSIDE the scan stage — on local
-    // small-file inputs that stage has a handful of splits and the
-    // expand+hash work serializes onto those few cores. Spread the
-    // rows first when under-partitioned (same scale-adaptive rule as
-    // the dedup paths: a real corpus scan already arrives as many
-    // splits and this is a no-op; guide §2.5 input skew).
-    graft.dedup.Dedup.parallelize(
-      t(spark, dir, "lineitem").select(cols.map(col): _*))
-      .agg(aggs.head, aggs.tail: _*)
+    branches.reduce(_ crossJoin _)
+      .withColumn("n_rows", col(s"rows_${cols.head}"))
       .selectExpr("n_rows",
         s"stack(${cols.length}, $stackArgs) " +
           "AS (col_name, n_present, n_distinct, min_val, max_val)")
