@@ -1026,17 +1026,17 @@ object Dedup {
    * is the node count.
    */
   def pairPageRank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85,
-      decimals: Int = 6, sizeHint: Option[DataFrame] = None): DataFrame = {
-    // pinned on src — both the per-round contribution join's key and
-    // (via alias-aware partitioning) the state carrier's id — so the
-    // edge list and the degree table shuffle+sort once, not once per
-    // power iteration (guide §2.4)
-    val edges = graft.Materialize.persistPartitionedAbove(
-      symmetrize(pairs).distinct(),
-      "src", sizeOf = sizeHint.getOrElse(pairs))
-    val nodes = graft.Materialize.persistPartitionedAbove(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")),
-      "src", sizeOf = sizeHint.getOrElse(pairs))
+      decimals: Int = 6): DataFrame = {
+    // NOT pinned (unlike the cc/kCore/bfs edge frames): the 10M-edge
+    // A/B measured the src-pinned form at 54.0 s vs 18.5 s plain —
+    // with every round chained into one stage, fixed cached
+    // partitioning beats AQE's per-stage re-optimization of the
+    // full-corpus state joins exactly backwards. Plain barrier keeps
+    // each round's exchanges free for AQE (measured in plans/r20 and
+    // OPTIMIZATION_r20.md).
+    val edges = materialize(symmetrize(pairs).distinct())
+    val nodes = materialize(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val n = nodes.count()
     require(n > 0, "pairPageRank: empty pair graph")
     // the drift-reset quantum must stay well below 1/n or the rounding
@@ -1259,17 +1259,14 @@ object Dedup {
    * round behind the [[materialize]] barrier; statically rounds·2
    * exchanges, no corpus-wide single partition.
    */
-  def labelPropagation(pairs: DataFrame, rounds: Int = 3,
-      sizeHint: Option[DataFrame] = None): DataFrame = {
+  def labelPropagation(pairs: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 32,
       s"labelPropagation: rounds in [1, 32]: $rounds")
-    // pinned on dst above the gate — the per-round propagation join's
-    // key — so at scale the edge list shuffles+sorts once, not once
-    // per round (guide §2.4); absent a hint the gate reads the pair
-    // frame itself, whose unknown-huge estimate pins (scale-safe)
-    val edges = graft.Materialize.persistPartitionedAbove(
-      symmetrize(pairs).where(col("src") =!= col("dst")).distinct(),
-      "dst", sizeOf = sizeHint.getOrElse(pairs))
+    // NOT pinned: the 10M-edge A/B measured the dst-pinned form at
+    // 37.6 s vs 33.5 s plain — same class as pageRank (full-corpus
+    // label state each round; AQE per-stage re-optimization wins).
+    val edges = materialize(
+      symmetrize(pairs).where(col("src") =!= col("dst")).distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     // Each round's label frame has exactly ONE consumer (the next

@@ -63,6 +63,14 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
     graft.sources.Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
+    // same posture-override contract as graft.Verify (A/B smokes)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONFS: bad entry (no '='): $kv")
+        }
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val peaks = new PeakListener
