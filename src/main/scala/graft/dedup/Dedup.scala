@@ -2127,18 +2127,24 @@ object Dedup {
    * (most of any corpus) partial-combine map-side to one row each.
    */
   def canonicalByQuality(clusters: DataFrame, quality: DataFrame): DataFrame = {
-    val withQ = materialize(
-      clusters.select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-        .join(quality, Seq("doc_id"), "left")
-        .withColumn("quality6",
-          when(col("quality6").isNotNull, col("quality6"))
-            .otherwise(raise_error(concat(
-              lit("canonicalByQuality: no quality score for doc "),
-              col("doc_id").cast("string"))))))
-    val best = withQ
-      .groupBy(col("cluster_id"))
-      .agg(max(struct(col("quality6").as("q"), (-col("doc_id")).as("neg_id"))).as("best"))
-    withQ.join(best, Seq("cluster_id"))
+    // per-cluster argmax as a WINDOW max instead of barrier + agg +
+    // join-back: the window form has exactly ONE consumer chain, so
+    // the localCheckpoint, the aggregate's exchange and the
+    // cluster-keyed join all collapse into one hash(cluster_id)
+    // exchange + partition-local sort (guide §2.4 — the aggregate and
+    // the join were keyed the same way; here they fuse outright).
+    // max(struct(q, -id)) over the partition reproduces the exact
+    // (quality DESC, doc_id ASC) ranking the old agg computed.
+    val w = Window.partitionBy(col("cluster_id"))
+    clusters.select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .join(quality, Seq("doc_id"), "left")
+      .withColumn("quality6",
+        when(col("quality6").isNotNull, col("quality6"))
+          .otherwise(raise_error(concat(
+            lit("canonicalByQuality: no quality score for doc "),
+            col("doc_id").cast("string")))))
+      .withColumn("best",
+        max(struct(col("quality6").as("q"), (-col("doc_id")).as("neg_id"))).over(w))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("quality6"),
         (col("quality6") === col("best.q") &&
