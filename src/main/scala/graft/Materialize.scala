@@ -111,6 +111,27 @@ object Materialize {
     if (underGate(sizeOf, confKey, defaultMinBytes)) barrier(df)
     else persistPartitioned(df, key)
 
+  /** Every frame [[persistPartitioned]] has pinned in this JVM.
+    * Unlike the localCheckpoint barrier (whose blocks the
+    * ContextCleaner frees once the RDD is GC'd), a cached Dataset is
+    * strongly held by the CacheManager until explicit unpersist — so
+    * LIBRARY callers running pinned operators (dedupClusters / kCore /
+    * bfsDistance / triangleCounts above the pin gate) in a long-lived
+    * session must call [[clearPinned]] (or
+    * `spark.catalog.clearCache()`) once the operator's result is
+    * materialized, or the edge-list caches accumulate without bound
+    * (ADVICE r20, medium). The bench/profile harnesses already clear
+    * persistent RDDs between keys. */
+  private val pinned = scala.collection.mutable.Buffer[DataFrame]()
+
+  /** Unpersist every frame pinned by [[persistPartitioned]] in this
+    * JVM. Safe while results are still lazy — the pin keeps lineage,
+    * so a later action recomputes (slower, never wrong). */
+  def clearPinned(): Unit = pinned.synchronized {
+    pinned.foreach(df => scala.util.Try(df.unpersist(blocking = true)))
+    pinned.clear()
+  }
+
   def persistPartitioned(df: DataFrame, key: String): DataFrame = {
     val spark = df.sparkSession
     val n = scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
@@ -118,6 +139,7 @@ object Materialize {
     val p = df.repartition(n, org.apache.spark.sql.functions.col(key))
       .sortWithinPartitions(key).persist()
     p.count()
+    pinned.synchronized { pinned += p }
     p
   }
 

@@ -856,16 +856,31 @@ object Dedup {
       statsOf.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(16L) * threshold
     if (cannotBeHot) plain
     else {
-      val hot = rows.groupBy(col(key)).agg(count(lit(1)).as(sizeCol))
+      // barrier the input ONCE before the hot machinery: the probe,
+      // the hot join, the anti-join and the cold recount are four
+      // consumers of `rows`, and in the auto-contraction /
+      // incremental paths `rows` arrives un-barriered (the corpus-wide
+      // remap join) — without this the upstream re-runs per consumer,
+      // and a nondeterministic input could even land rows in
+      // neither/both branches (ADVICE r20). Never taken at bench SF
+      // (the gate above short-circuits), so zero local cost.
+      val rowsB = graft.Materialize.barrier(rows)
+      val hot = rowsB.groupBy(col(key)).agg(count(lit(1)).as(sizeCol))
         .where(col(sizeCol) >= threshold)
       val hotRows = hot.collect() // pigeonhole-bounded: ≤ n/threshold rows
-      if (hotRows.isEmpty) plain
+      if (hotRows.isEmpty)
+        rowsB.join(
+          rowsB.groupBy(col(key)).agg(count(lit(1)).as(sizeCol)), Seq(key))
       else {
         import scala.jdk.CollectionConverters._
         val hotDf = spark.createDataFrame(hotRows.toSeq.asJava, hot.schema)
-        val hotPart = rows.join(broadcast(hotDf), Seq(key))
-        val coldRows = rows.join(
-          broadcast(hotDf.select(col(key))), Seq(key), "left_anti")
+        val hotPart = rowsB.join(broadcast(hotDf), Seq(key))
+        // barrier the cold side too: it feeds BOTH the size aggregate
+        // and the join-back — un-barriered, the broadcast anti-join
+        // (a full pass over rowsB) would run once per consumer
+        // (VERDICT r20 "What's wrong" 3)
+        val coldRows = graft.Materialize.barrier(rowsB.join(
+          broadcast(hotDf.select(col(key))), Seq(key), "left_anti"))
         val coldPart = coldRows.join(
           coldRows.groupBy(col(key)).agg(count(lit(1)).as(sizeCol)), Seq(key))
         hotPart.unionByName(coldPart)
@@ -1027,6 +1042,12 @@ object Dedup {
    */
   def pairPageRank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85,
       decimals: Int = 6): DataFrame = {
+    // same bounded-round posture as labelPropagation/bfsDistance/kCore:
+    // the rounds chain with NO per-round barrier, so an unbounded
+    // iteration count would build an unboundedly deep logical plan
+    // (ADVICE r20)
+    require(iters >= 1 && iters <= 32,
+      s"pairPageRank: iters in [1, 32]: $iters")
     // NOT pinned (unlike the cc/kCore/bfs edge frames): the 10M-edge
     // A/B measured the src-pinned form at 54.0 s vs 18.5 s plain —
     // with every round chained into one stage, fixed cached
@@ -1259,7 +1280,8 @@ object Dedup {
    * round behind the [[materialize]] barrier; statically rounds·2
    * exchanges, no corpus-wide single partition.
    */
-  def labelPropagation(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+  def labelPropagation(pairs: DataFrame, rounds: Int = 3,
+      sizeHint: Option[DataFrame] = None): DataFrame = {
     require(rounds >= 1 && rounds <= 32,
       s"labelPropagation: rounds in [1, 32]: $rounds")
     // NOT pinned: the 10M-edge A/B measured the dst-pinned form at
@@ -1289,9 +1311,13 @@ object Dedup {
     // the FINAL labels are multi-consumed (size aggregate + join
     // back) — one barrier here, where the reuse is real; sizes
     // attach via the hot/cold split (a giant community is the same
-    // skew shape as a giant cluster)
+    // skew shape as a giant cluster). Gate on the caller's sizeHint
+    // (a stats-bearing scan) when given: the pair frame's own
+    // estimate is join-multiplied garbage (measured 1.2e15 B for a
+    // 26-pair frame), which forced the hot-probe job on EVERY run —
+    // the r20 driver-bench lp1 regression (VERDICT r20 finding 1).
     val fin = materialize(labels)
-    withGroupSizes(fin, "lbl", "community_size", Some(pairs))
+    withGroupSizes(fin, "lbl", "community_size", sizeHint.orElse(Some(pairs)))
       .select(col("id").as("doc_id"), col("lbl").as("community"),
         col("community_size"))
   }
@@ -1300,31 +1326,68 @@ object Dedup {
       sizeHint: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 32,
       s"kCore: need k >= 1 and rounds in [1, 32]: k=$k rounds=$rounds")
-    // pinned on a — the first of the two per-round survivor
-    // semi-joins — so the edge list pays that side's shuffle+sort
-    // once, not once per peel round (guide §2.4)
-    val und = graft.Materialize.persistPartitionedAbove(
-      pairs.select(
+    val spark = pairs.sparkSession
+    val fused = scala.util.Try(
+      spark.conf.get("spark.graft.kcore.fused").toBoolean).getOrElse(true)
+    val undRaw = pairs.select(
         least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .where(col("a") =!= col("b")).distinct(),
-      "a", sizeOf = sizeHint.getOrElse(pairs))
-    val nodes = materialize(
-      und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
-        .groupBy(col("id")).agg(count(lit(1)).as("deg")))
-    var core = nodes.select(col("id"))
-    for (_ <- 1 to rounds) {
-      val act = und
-        .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
-        .join(core.select(col("id").as("b")), Seq("b"), "left_semi")
-      core = materialize(act
-        .select(explode(array(col("a"), col("b"))).as("id"))
-        .groupBy(col("id")).agg(count(lit(1)).as("c"))
-        .where(col("c") >= k).select(col("id")))
+      .where(col("a") =!= col("b")).distinct()
+    if (fused) {
+      // ONE endpoint-exploded membership join per peel round instead
+      // of two semi-joins (guide §2.4): m carries each edge twice —
+      // once per endpoint — so `m ⋉ core on id` marks surviving
+      // endpoints and the (a,b) count==2 keeps exactly the edges with
+      // BOTH endpoints alive (a<b and distinct edges make the count
+      // exact). core then has exactly ONE consumer per round (the
+      // next semi-join), so the per-round materialize barrier is GONE
+      // and all rounds chain into one job of statically rounds·3
+      // keyed exchanges — the pr1/bfs1 chaining shape (r20). m is
+      // loop-invariant and multi-consumed across rounds, so it is
+      // pinned BY THE JOIN KEY id above the size gate (the kc1 pin
+      // win: the big side pays its shuffle+sort once, not per round).
+      val m = graft.Materialize.persistPartitionedAbove(
+        undRaw.select(col("a"), col("b"),
+          explode(array(col("a"), col("b"))).as("id")),
+        "id", sizeOf = sizeHint.getOrElse(pairs))
+      val nodes = materialize(
+        m.groupBy(col("id")).agg(count(lit(1)).as("deg")))
+      var core = nodes.select(col("id"))
+      for (_ <- 1 to rounds) {
+        val act = m
+          .join(core, Seq("id"), "left_semi")
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n2"))
+          .where(col("n2") === 2)
+        core = act
+          .select(explode(array(col("a"), col("b"))).as("id"))
+          .groupBy(col("id")).agg(count(lit(1)).as("c"))
+          .where(col("c") >= k).select(col("id"))
+      }
+      nodes.join(core.withColumn("inc", lit(true)), Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("deg"),
+          coalesce(col("inc"), lit(false)).as("in_core"))
+    } else {
+      // pre-r21 shape kept for the A/B: two semi-joins + per-round
+      // barrier (core is multi-consumed there)
+      val und = graft.Materialize.persistPartitionedAbove(
+        undRaw, "a", sizeOf = sizeHint.getOrElse(pairs))
+      val nodes = materialize(
+        und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg")))
+      var core = nodes.select(col("id"))
+      for (_ <- 1 to rounds) {
+        val act = und
+          .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(core.select(col("id").as("b")), Seq("b"), "left_semi")
+        core = materialize(act
+          .select(explode(array(col("a"), col("b"))).as("id"))
+          .groupBy(col("id")).agg(count(lit(1)).as("c"))
+          .where(col("c") >= k).select(col("id")))
+      }
+      nodes.join(core.withColumn("inc", lit(true)), Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("deg"),
+          coalesce(col("inc"), lit(false)).as("in_core"))
     }
-    nodes.join(core.withColumn("inc", lit(true)), Seq("id"), "left")
-      .select(col("id").as("doc_id"), col("deg"),
-        coalesce(col("inc"), lit(false)).as("in_core"))
   }
 
   /**

@@ -265,15 +265,23 @@ object Sketches {
       explode(graft.functions.TextFunctions.wsTokens(lower(col("text")))).as("t"))
     val lo = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
     val hi = conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long")
-    // barrier: the hashed frame feeds both sketch rows and the exact
-    // audit — without it the tokenization scan runs three times
-    val hashed = graft.Materialize.barrier(toks.select(col("t"),
-      (lo % width).as("b1"), ((hi % 2147483648L) % width).as("b2")))
-    val row1 = hashed.groupBy(col("b1")).agg(count(lit(1)).as("c1"))
-    val row2 = hashed.groupBy(col("b2")).agg(count(lit(1)).as("c2"))
-    val top = hashed.groupBy(col("t"))
-      .agg(count(lit(1)).as("n_exact"), max(col("b1")).as("b1"), max(col("b2")).as("b2"))
-      .orderBy(col("n_exact").desc, col("t")).limit(topK)
+    val hashed = toks.select(col("t"),
+      (lo % width).as("b1"), ((hi % 2147483648L) % width).as("b2"))
+    // aggregate BEFORE the barrier (guide §2.3, the ir1 pattern; the
+    // r20 "not yet optimized" cm1 item): all three consumers — both
+    // sketch rows and the exact audit — are functions of the
+    // PER-TOKEN counts, so one map-side-combined groupBy replaces the
+    // checkpoint of every token OCCURRENCE (the corpus token stream)
+    // with a checkpoint of the distinct-token table, and the sketch
+    // rows become tiny sums over it (b1/b2 are functions of t, so
+    // grouping by them too changes nothing). Identical integers:
+    // c1 = Σ_{t: b1(t)=x} n_exact(t) IS bucket x's occurrence count.
+    val tok = graft.Materialize.barrier(
+      hashed.groupBy(col("t"), col("b1"), col("b2"))
+        .agg(count(lit(1)).as("n_exact")))
+    val row1 = tok.groupBy(col("b1")).agg(sum(col("n_exact")).as("c1"))
+    val row2 = tok.groupBy(col("b2")).agg(sum(col("n_exact")).as("c2"))
+    val top = tok.orderBy(col("n_exact").desc, col("t")).limit(topK)
     top.join(broadcast(row1), Seq("b1")).join(broadcast(row2), Seq("b2"))
       .select(col("t").as("token"), col("n_exact"),
         least(col("c1"), col("c2")).as("cm_est"),

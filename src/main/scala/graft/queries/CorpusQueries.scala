@@ -480,8 +480,9 @@ object CorpusQueries {
     * lang) are NOT target — made explicit so ct/cr agree with the
     * twin under three-valued logic (a NULL is_target would otherwise
     * fall out of BOTH counts on the Spark side but land in cr on the
-    * SQL side). Barriered: the explode feeds both the λ aggregates
-    * and the per-doc counts. */
+    * SQL side). Deliberately UN-barriered: [[dsirSelect]] aggregates
+    * the explode to per-(doc, bucket) counts first and checkpoints
+    * that far smaller frame (see the body comment below). */
   private[graft] def dsirFeatures(
       docsDf: DataFrame, isTarget: org.apache.spark.sql.Column,
       buckets: Int): DataFrame = {

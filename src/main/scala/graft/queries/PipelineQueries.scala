@@ -577,10 +577,13 @@ object PipelineQueries {
     // Label-propagation communities over the same graph — majority-
     // label neighborhoods (3 synchronous rounds, smallest-label
     // ties): splits sparse bridges cc1's closure keeps together
-    "lp1_label_propagation" -> ((s, dir) =>
+    "lp1_label_propagation" -> ((s, dir) => {
+      val d = docs(s, dir)
       Dedup.labelPropagation(
-        Dedup.minhashNearDups(docs(s, dir), threshold = 0.6)
-          .select("doc_a", "doc_b"))),
+        Dedup.minhashNearDups(d, threshold = 0.6)
+          .select("doc_a", "doc_b"),
+        sizeHint = Some(d))
+    }),
     "pr1_pagerank" -> ((s, dir) =>
       Dedup.pairPageRank(
         Dedup.minhashNearDups(docs(s, dir), threshold = 0.6).select("doc_a", "doc_b"))),

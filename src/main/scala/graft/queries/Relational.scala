@@ -1060,13 +1060,15 @@ object Relational {
     * total. */
   def weightedMedian(
       df: DataFrame, group: String, value: String, weight: String): DataFrame = {
-    val wRun = Window.partitionBy(col(group)).orderBy(col(value))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col(group))
-    df.groupBy(col(group), col(value))
-      .agg(sum(col(weight)).as("w"))
-      .withColumn("cum_w", sum(col("w")).over(wRun))
-      .withColumn("tot_w", max(col("cum_w")).over(wAll))
+    // the cumulative window rides RangeRank.withGroupedRunningSum:
+    // below the size gate it IS the historical two-window plan
+    // (partitioned by the low-cardinality group — bit-identical at
+    // bench SF); above it the range-partitioned prefix-sum form keeps
+    // the window off the 3-straggler-task shape (guide §2.5; r20
+    // "Not yet optimized" item)
+    graft.operators.RangeRank.withGroupedRunningSum(
+        df.groupBy(col(group), col(value)).agg(sum(col(weight)).as("w")),
+        "cum_w", "tot_w", group, Seq(col(value)), col("w"), sizeOf = df)
       .where(col("cum_w") >= col("tot_w") / 2.0)
       .groupBy(col(group))
       .agg(round(min(col(value)), 4).as("weighted_median"),
