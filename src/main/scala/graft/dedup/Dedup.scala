@@ -1300,6 +1300,11 @@ object Dedup {
     // pure overhead when nothing re-reads the intermediate rounds
     // (optimization guide §2.4/§5: a barrier is only worth its write
     // when the frame is reused).
+    // A/B'd r21 against a mid-chain barrier (materialize after round
+    // 2): cold-JVM ×3 at sf0.1 medians 2.37 s chain vs 2.45 s
+    // barriered (barriered side swung wider, 1.92-2.81), 10M edges
+    // 29.1 s mean-of-4 chain vs 30.7 barriered — the unbarriered
+    // chain stays.
     (1 to rounds).foreach { _ =>
       labels = edges
         .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
@@ -1326,68 +1331,47 @@ object Dedup {
       sizeHint: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 32,
       s"kCore: need k >= 1 and rounds in [1, 32]: k=$k rounds=$rounds")
-    val spark = pairs.sparkSession
-    val fused = scala.util.Try(
-      spark.conf.get("spark.graft.kcore.fused").toBoolean).getOrElse(true)
     val undRaw = pairs.select(
         least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .where(col("a") =!= col("b")).distinct()
-    if (fused) {
-      // ONE endpoint-exploded membership join per peel round instead
-      // of two semi-joins (guide §2.4): m carries each edge twice —
-      // once per endpoint — so `m ⋉ core on id` marks surviving
-      // endpoints and the (a,b) count==2 keeps exactly the edges with
-      // BOTH endpoints alive (a<b and distinct edges make the count
-      // exact). core then has exactly ONE consumer per round (the
-      // next semi-join), so the per-round materialize barrier is GONE
-      // and all rounds chain into one job of statically rounds·3
-      // keyed exchanges — the pr1/bfs1 chaining shape (r20). m is
-      // loop-invariant and multi-consumed across rounds, so it is
-      // pinned BY THE JOIN KEY id above the size gate (the kc1 pin
-      // win: the big side pays its shuffle+sort once, not per round).
-      val m = graft.Materialize.persistPartitionedAbove(
-        undRaw.select(col("a"), col("b"),
-          explode(array(col("a"), col("b"))).as("id")),
-        "id", sizeOf = sizeHint.getOrElse(pairs))
-      val nodes = materialize(
-        m.groupBy(col("id")).agg(count(lit(1)).as("deg")))
-      var core = nodes.select(col("id"))
-      for (_ <- 1 to rounds) {
-        val act = m
-          .join(core, Seq("id"), "left_semi")
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n2"))
-          .where(col("n2") === 2)
-        core = act
-          .select(explode(array(col("a"), col("b"))).as("id"))
-          .groupBy(col("id")).agg(count(lit(1)).as("c"))
-          .where(col("c") >= k).select(col("id"))
-      }
-      nodes.join(core.withColumn("inc", lit(true)), Seq("id"), "left")
-        .select(col("id").as("doc_id"), col("deg"),
-          coalesce(col("inc"), lit(false)).as("in_core"))
-    } else {
-      // pre-r21 shape kept for the A/B: two semi-joins + per-round
-      // barrier (core is multi-consumed there)
-      val und = graft.Materialize.persistPartitionedAbove(
-        undRaw, "a", sizeOf = sizeHint.getOrElse(pairs))
-      val nodes = materialize(
-        und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
-          .groupBy(col("id")).agg(count(lit(1)).as("deg")))
-      var core = nodes.select(col("id"))
-      for (_ <- 1 to rounds) {
-        val act = und
-          .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
-          .join(core.select(col("id").as("b")), Seq("b"), "left_semi")
-        core = materialize(act
-          .select(explode(array(col("a"), col("b"))).as("id"))
-          .groupBy(col("id")).agg(count(lit(1)).as("c"))
-          .where(col("c") >= k).select(col("id")))
-      }
-      nodes.join(core.withColumn("inc", lit(true)), Seq("id"), "left")
-        .select(col("id").as("doc_id"), col("deg"),
-          coalesce(col("inc"), lit(false)).as("in_core"))
+    // ONE endpoint-exploded membership join per peel round instead of
+    // two semi-joins (guide §2.4): m carries each edge twice — once
+    // per endpoint — so `m ⋉ core on id` marks surviving endpoints
+    // and the (a,b) count==2 keeps exactly the edges with BOTH
+    // endpoints alive (a<b and distinct edges make the count exact).
+    // core then has exactly ONE consumer per round (the next
+    // semi-join), so the per-round materialize barrier is GONE and
+    // all rounds chain into one job of statically rounds·3 keyed
+    // exchanges — the pr1/bfs1 chaining shape (r20). m is
+    // loop-invariant and multi-consumed across rounds, so it is
+    // pinned BY THE JOIN KEY id above the size gate (the kc1 pin
+    // discipline: the big side pays its shuffle+sort once, not per
+    // round). A/B'd r21 vs the old two-semi-join + per-round-barrier
+    // shape: sf0.1 steady state 1.48 s / 14 jobs vs 2.23 s / 47 jobs;
+    // 10M edges 18.3 s vs 18.0 s mean of 2 (a wash inside the smoke's
+    // swing) — the fused form wins on job count and loses nothing at
+    // scale.
+    val m = graft.Materialize.persistPartitionedAbove(
+      undRaw.select(col("a"), col("b"),
+        explode(array(col("a"), col("b"))).as("id")),
+      "id", sizeOf = sizeHint.getOrElse(pairs))
+    val nodes = materialize(
+      m.groupBy(col("id")).agg(count(lit(1)).as("deg")))
+    var core = nodes.select(col("id"))
+    for (_ <- 1 to rounds) {
+      val act = m
+        .join(core, Seq("id"), "left_semi")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n2"))
+        .where(col("n2") === 2)
+      core = act
+        .select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= k).select(col("id"))
     }
+    nodes.join(core.withColumn("inc", lit(true)), Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg"),
+        coalesce(col("inc"), lit(false)).as("in_core"))
   }
 
   /**

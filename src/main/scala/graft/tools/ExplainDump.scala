@@ -26,6 +26,16 @@ object ExplainDump {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "4m")
     graft.sources.Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
+    // same posture-override contract as graft.Verify/JobProfile — a
+    // plan dump must be capturable under forced gates (r21: the
+    // wm1 gate-open evidence)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(s"SPARK_GRAFT_EXTRA_CONFS: bad entry (no '='): $kv")
+        }
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))

@@ -1184,6 +1184,55 @@ object ScaleSmoke {
       auditAndPrint("rank_ntile", shape)
     }
 
+    // --- wmedian: wm1's cumulative-weight window at 10M rows --------------
+    // (VERDICT r20 task 4) weightedMedian partitions its running-sum
+    // window by a 3-value group key — at scale that is 3 straggler
+    // tasks. Above the rangerank gate the r21 withGroupedRunningSum
+    // must (a) key the window by (partition, group) — machine-checked
+    // on the plan, so it CANNOT run as 3 tasks — and (b) produce
+    // output EXACTLY equal to the plain 3-partition form (weights are
+    // integer-valued doubles, so offset+local running sums are
+    // bit-identical to the sequential ones).
+    if (want("wmedian")) {
+      ensureParquet("wm10m.parquet")(
+        spark.range(10000000L).select(
+          concat(lit("g"), (col("id") % 3)).as("g"),
+          (pmod(xxhash64(col("id") * 37L + 3L), lit(1000000L)).cast("double")
+            / lit(100.0)).as("v"),
+          (pmod(xxhash64(col("id") * 57L + 9L), lit(50L)) + lit(1L))
+            .cast("double").as("wt")))
+      val df = spark.read.parquet(s"$outDir/wm10m.parquet")
+      def res(d: DataFrame): Array[(String, Double, Double)] =
+        d.orderBy(col("g")).collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      var dist: Array[(String, Double, Double)] = null
+      var plain: Array[(String, Double, Double)] = null
+      timed("wm1_range_10m") {
+        // 10M-row stats clear the 32MB gate: the distributed path
+        val d = graft.queries.Relational.weightedMedian(df, "g", "v", "wt")
+        val plan = d.queryExecution.executedPlan.toString
+        require(plan.contains("__rr_pid"),
+          "gate-open weightedMedian must run the range-partitioned " +
+            "prefix-sum form:\n" + plan.take(3000))
+        dist = res(d)
+        dist.length.toLong
+      }
+      assertNoStraggler("wm1_range_10m")
+      timed("wm1_plain_10m") {
+        spark.conf.set(graft.operators.RangeRank.MinBytesKey, Long.MaxValue.toString)
+        try {
+          val d = graft.queries.Relational.weightedMedian(df, "g", "v", "wt")
+          require(!d.queryExecution.executedPlan.toString.contains("__rr_pid"),
+            "gate-closed weightedMedian must keep the plain window")
+          plain = res(d)
+        } finally spark.conf.unset(graft.operators.RangeRank.MinBytesKey)
+        plain.length.toLong
+      }
+      require(dist.sameElements(plain),
+        s"wmedian: range path diverged from plain: ${dist.mkString(",")} vs ${plain.mkString(",")}")
+      println(s"SCALE wmedian: range vs plain = IDENTICAL (${dist.mkString("; ")})")
+    }
+
     // --- rankrule: the AUTOMATIC promotion (RangeRankRewrite) -------------
     // Same claims as the `rank` section, but through plain user SQL: a
     // 10M-row `ntile/rank OVER (ORDER BY ...)` with no partition key
@@ -1792,6 +1841,39 @@ object ScaleSmoke {
           graft.dedup.Dedup.kCore(pairs, k = 2, rounds = 3).where(col("in_core")).count()
         }
         assertNoStraggler("graph10m_kc1")
+        // (VERDICT r20 task 7) machine-check the pin CONTRACT at 10M,
+        // not just the timing: a keyed join over a persistPartitioned
+        // side must plan with strictly fewer exchanges than the same
+        // join over a plain barrier — the pinned side's
+        // InMemoryTableScan advertises hash partitioning + sort
+        // order, so EnsureRequirements inserts no Exchange/Sort above
+        // it. Static plan property (no execution needed).
+        locally {
+          val m = pairs.select(col("doc_a").as("id"), col("doc_b"))
+          val other = pairs.select(col("doc_a").as("id")).distinct()
+          // AQE off for the probe: its plan wrapper is a leaf node, so
+          // the tree walk below could not see the exchanges (and a
+          // string count would also match the pin's own repartition
+          // printed INSIDE the InMemoryRelation text)
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          try {
+            def exchanges(side: DataFrame): Int =
+              side.join(other, Seq("id"), "left_semi")
+                .queryExecution.executedPlan.collect {
+                  case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+                }.length
+            val nPin = exchanges(graft.Materialize.persistPartitioned(m, "id"))
+            val nPlain = exchanges(graft.Materialize.barrier(m))
+            require(nPin < nPlain,
+              s"pin contract violated: pinned-side join must elide its " +
+                s"exchange (pinned=$nPin plain=$nPlain)")
+            println(s"SCALE graph10m pin-contract: join exchanges " +
+              s"pinned=$nPin < plain=$nPlain — pinned side elides its shuffle")
+          } finally {
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            clearPersisted()
+          }
+        }
         timed("graph10m_bfs1", runs = 1) {
           graft.dedup.Dedup.bfsDistance(pairs, _ === 0L, maxHops = 3)
             .where(col("dist").isNotNull).count()
