@@ -420,12 +420,17 @@ object PipelineQueries {
     // measured like the retrieval (rc1) and decontamination (rc2) ones.
     "rc3_hn_recall" -> ((s, dir) => {
       val e = embs(s, dir)
+      // exact + approximate miners share ONE labeled normalized-corpus
+      // checkpoint (guide §1.2)
+      val vn = Similarity.normalizedLabeledCorpus(e)
       val exact = Similarity
-        .bruteForceHardNegatives(e.where(col("vec_id") < 20), e, k = 5)
+        .bruteForceHardNegatives(e.where(col("vec_id") < 20), e, k = 5,
+          prenorm = Some(vn))
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.ivfHardNegatives(
           e.where(col("vec_id") < 20), e,
-          centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3)
+          centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3,
+          prenorm = Some(vn))
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
@@ -445,11 +450,16 @@ object PipelineQueries {
     // serves traffic.
     "rc1_ivf_recall" -> ((s, dir) => {
       val e = embs(s, dir)
-      val exact = Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 5)
+      // exact + approximate sides share ONE normalized-corpus
+      // checkpoint instead of each paying its own (guide §1.2)
+      val vn = Similarity.normalizedCorpus(e)
+      val exact = Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 5,
+          prenorm = Some(vn))
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.ivfTopK(
           e.where(col("vec_id") < 20), e,
-          centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3)
+          centroids = e.where(col("vec_id") % 25 === 0), k = 5, nProbe = 3,
+          prenorm = Some(vn))
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
@@ -467,8 +477,14 @@ object PipelineQueries {
     // measure-zero exposure m2's ln() carries; fixed data ⇒ stable).
     "s3_kmeans_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
-      val trained = Similarity.kmeansCentroids(e, e.where(col("vec_id") % 25 === 0), iters = 2)
-      Similarity.ivfTopK(e.where(col("vec_id") < 20), e, trained, k = 5, nProbe = 3)
+      // ONE normalized+barriered corpus shared by train + search —
+      // previously each operator paid its own full normalize pass +
+      // checkpoint write over the same corpus (guide §1.2)
+      val vn = Similarity.normalizedCorpus(e)
+      val trained = Similarity.kmeansCentroids(
+        e, e.where(col("vec_id") % 25 === 0), iters = 2, prenorm = Some(vn))
+      Similarity.ivfTopK(e.where(col("vec_id") < 20), e, trained,
+        k = 5, nProbe = 3, prenorm = Some(vn))
     }),
     "m1_binary_meta" -> ((s, dir) =>
       docs(s, dir).select(
@@ -885,8 +901,11 @@ object PipelineQueries {
     // within-cluster pair count.
     "sd1_semdedup" -> ((s, dir) => {
       val e = embs(s, dir)
-      val trained = Similarity.kmeansCentroids(e, e.where(col("vec_id") % 25 === 0), iters = 2)
-      Similarity.semDedup(e, trained, threshold = 0.45)
+      // shared normalized-corpus checkpoint: train + dedup (guide §1.2)
+      val vn = Similarity.normalizedCorpus(e)
+      val trained = Similarity.kmeansCentroids(
+        e, e.where(col("vec_id") % 25 === 0), iters = 2, prenorm = Some(vn))
+      Similarity.semDedup(e, trained, threshold = 0.45, prenorm = Some(vn))
     }),
     // Same as m2: the flatMap EXECUTION isn't SQL, but the result is —
     // the twin strides generate_series over the header's frame count

@@ -54,7 +54,13 @@ object Similarity {
     val spark = df.sparkSession
     val n = scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .getOrElse(spark.sparkContext.defaultParallelism)
-    df.repartition(n)
+    // Only when under-partitioned (Dedup.parallelize's guard): local
+    // small-file inputs scan as one split and would serialize the
+    // CPU-bound scoring onto one core, while a 100 TB corpus already
+    // arrives as tens of thousands of splits — round-robin shuffling
+    // every embedding through an exchange just to rebalance would
+    // dominate the job (guide §2.4: no accidental repartition).
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
   }
 
   /** (id, emb) with emb cast to double and scaled to unit norm. The
@@ -73,6 +79,39 @@ object Similarity {
     val emb = col("embedding").cast("array<double>")
     base.select(col("vec_id").as(idOut),
       transform(emb, x => x / sqrt(call_function("graft_dot", emb, emb))).as(embOut))
+  }
+
+  /** ONE normalized + barriered corpus frame `(vec_id, emb)` to share
+    * across the similarity operators of a single query (guide §1.2 —
+    * don't compute things twice): queries that compose two operators
+    * over the SAME corpus (train + search, exact + approximate)
+    * otherwise pay the full normalize pass and its checkpoint write
+    * once PER OPERATOR. Pass the result as the operators' `prenorm`
+    * argument; each consumer renames columns with a projection over
+    * the checkpoint scan (no recompute). Results are bit-identical:
+    * the operators' own barrier uses the same expression over the
+    * same rows. */
+  def normalizedCorpus(corpus: DataFrame): DataFrame =
+    graft.dedup.Dedup.materialize(normalized(corpus, "vec_id", "emb"))
+
+  /** [[normalizedCorpus]] with the `label` column carried — the
+    * shared frame for the hard-negative pair (exact + IVF miners). */
+  def normalizedLabeledCorpus(corpus: DataFrame): DataFrame = {
+    ensureRegistered(corpus)
+    graft.dedup.Dedup.materialize(
+      withLabelCols(corpus, "vec_id", "emb", "label", spread = true))
+  }
+
+  /** (idOut, embOut, labOut) with the embedding normalized — the
+    * label-carrying [[normalized]], shared by both hard-negative
+    * miners and [[normalizedLabeledCorpus]]. */
+  private def withLabelCols(df: DataFrame, idOut: String, embOut: String,
+      labOut: String, spread: Boolean): DataFrame = {
+    val base = if (spread) parallelize(df) else df
+    val emb = col("embedding").cast("array<double>")
+    base.select(col("vec_id").as(idOut),
+      transform(emb, x => x / sqrt(fastDot(emb, emb))).as(embOut),
+      col("label").as(labOut))
   }
 
   /** Nearest-centroid assignment as a partial-aggregated ARGMAX:
@@ -128,14 +167,19 @@ object Similarity {
    * the k nearest rows of `corpus` (excluding the query itself).
    * Returns (query_id, neighbor_id, rank, cos).
    */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+      prenorm: Option[DataFrame] = None): DataFrame = {
     ensureRegistered(queries)
     val q = broadcast(normalized(queries, "query_id", "q_emb", spread = false))
     // barrier: same per-(row × query) re-evaluation trap as the
     // binary screen / argmaxAssign — checkpointed, the corpus
     // normalizes once however many queries broadcast against it
-    val c = graft.dedup.Dedup.materialize(
-      normalized(corpus, "neighbor_id", "c_emb"))
+    // (or arrives pre-normalized via [[normalizedCorpus]] — a rename
+    // projection over the shared checkpoint, no recompute)
+    val c = prenorm
+      .map(_.select(col("vec_id").as("neighbor_id"), col("emb").as("c_emb")))
+      .getOrElse(graft.dedup.Dedup.materialize(
+        normalized(corpus, "neighbor_id", "c_emb")))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", fastDot(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
@@ -158,16 +202,21 @@ object Similarity {
       corpus: DataFrame,
       centroids: DataFrame,
       k: Int = 5,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3,
+      prenorm: Option[DataFrame] = None): DataFrame = {
     ensureRegistered(queries)
     val cent = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
 
     // corpus→cell assignment is top-1: the aggregate argmax shape
     // (see [[argmaxAssign]]) — the probe stage below stays a window
     // because it needs top-nProbe, and it runs over the small query
-    // side only
+    // side only. A shared [[normalizedCorpus]] frame skips both the
+    // normalize pass and argmaxAssign's own barrier (it IS one).
+    val corpusN = prenorm
+      .map(_.select(col("vec_id").as("neighbor_id"), col("emb").as("c_emb")))
+      .getOrElse(normalized(corpus, "neighbor_id", "c_emb"))
     val assigned = argmaxAssign(
-      normalized(corpus, "neighbor_id", "c_emb"), cent, "neighbor_id", "c_emb")
+      corpusN, cent, "neighbor_id", "c_emb", barrier = prenorm.isEmpty)
       .select(col("neighbor_id"), col("c_emb"), col("cid"))
 
     val wProbe = Window.partitionBy(col("query_id"))
@@ -214,24 +263,23 @@ object Similarity {
       corpus: DataFrame,
       centroids: DataFrame,
       k: Int = 5,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3,
+      prenorm: Option[DataFrame] = None): DataFrame = {
     ensureRegistered(queries)
     val cent = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
-
     def withLabel(df: DataFrame, idOut: String, embOut: String,
-        labOut: String, spread: Boolean): DataFrame = {
-      val base = if (spread) parallelize(df) else df
-      val emb = col("embedding").cast("array<double>")
-      base.select(col("vec_id").as(idOut),
-        transform(emb, x => x / sqrt(fastDot(emb, emb))).as(embOut),
-        col("label").as(labOut))
-    }
+        labOut: String, spread: Boolean): DataFrame =
+      withLabelCols(df, idOut, embOut, labOut, spread)
 
     // argmaxAssign with the label as a second carried (never compared)
     // struct field — (cos, -cid) is already unique per group, so the
-    // aggregate's ranking semantics are bit-identical to ivfTopK's
-    val cv = graft.dedup.Dedup.materialize(
-      withLabel(corpus, "neighbor_id", "c_emb", "n_label", spread = true))
+    // aggregate's ranking semantics are bit-identical to ivfTopK's.
+    // `prenorm` = a shared [[normalizedLabeledCorpus]] checkpoint.
+    val cv = prenorm
+      .map(_.select(col("vec_id").as("neighbor_id"), col("emb").as("c_emb"),
+        col("label").as("n_label")))
+      .getOrElse(graft.dedup.Dedup.materialize(
+        withLabel(corpus, "neighbor_id", "c_emb", "n_label", spread = true)))
     val assigned = cv.crossJoin(cent)
       .withColumn("cos_c", fastDot(col("c_emb"), col("cent_emb")))
       .groupBy(col("neighbor_id"))
@@ -272,19 +320,18 @@ object Similarity {
    * is the one that serves traffic.
    */
   def bruteForceHardNegatives(
-      queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+      queries: DataFrame, corpus: DataFrame, k: Int = 5,
+      prenorm: Option[DataFrame] = None): DataFrame = {
     ensureRegistered(queries)
     def withLabel(df: DataFrame, idOut: String, embOut: String,
-        labOut: String, spread: Boolean): DataFrame = {
-      val base = if (spread) parallelize(df) else df
-      val emb = col("embedding").cast("array<double>")
-      base.select(col("vec_id").as(idOut),
-        transform(emb, x => x / sqrt(fastDot(emb, emb))).as(embOut),
-        col("label").as(labOut))
-    }
+        labOut: String, spread: Boolean): DataFrame =
+      withLabelCols(df, idOut, embOut, labOut, spread)
     val q = broadcast(withLabel(queries, "query_id", "q_emb", "q_label", spread = false))
-    val c = graft.dedup.Dedup.materialize(
-      withLabel(corpus, "neighbor_id", "c_emb", "n_label", spread = true))
+    val c = prenorm
+      .map(_.select(col("vec_id").as("neighbor_id"), col("emb").as("c_emb"),
+        col("label").as("n_label")))
+      .getOrElse(graft.dedup.Dedup.materialize(
+        withLabel(corpus, "neighbor_id", "c_emb", "n_label", spread = true)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(q, col("query_id") =!= col("neighbor_id") &&
@@ -307,13 +354,17 @@ object Similarity {
    * posexplode → per-(cid, pos) mean → re-packed ordered array; each
    * round is one broadcast join + two aggregations.
    */
-  def kmeansCentroids(corpus: DataFrame, seeds: DataFrame, iters: Int = 3): DataFrame = {
+  def kmeansCentroids(corpus: DataFrame, seeds: DataFrame, iters: Int = 3,
+      prenorm: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     ensureRegistered(corpus)
     // reused every Lloyd round — one eager barrier, read iters times
-    // (fault-tolerance knob: graft.Materialize / spark.graft.materialize.mode)
-    val vecs = graft.Materialize.barrier(normalized(corpus, "vid", "emb"))
+    // (fault-tolerance knob: graft.Materialize / spark.graft.materialize.mode);
+    // a shared [[normalizedCorpus]] checkpoint skips both
+    val vecs = prenorm
+      .map(_.select(col("vec_id").as("vid"), col("emb")))
+      .getOrElse(graft.Materialize.barrier(normalized(corpus, "vid", "emb")))
     // Centroids are O(k) — genuinely driver-sized state (MLlib's KMeans
     // holds them on the driver too). Keeping them local turns each
     // Lloyd round into ONE distributed job (assign + per-dimension
@@ -394,11 +445,17 @@ object Similarity {
   def semDedup(
       corpus: DataFrame,
       centroids: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      prenorm: Option[DataFrame] = None): DataFrame = {
     ensureRegistered(corpus)
     val cent = broadcast(normalized(centroids, "cid", "cent_emb", spread = false))
+    // a shared [[normalizedCorpus]] frame is already a checkpoint, so
+    // argmaxAssign's own barrier is skipped; the OUTER barrier stays —
+    // the assignment has three consumers (both self-join sides + the
+    // join-back)
     val assigned = graft.dedup.Dedup.materialize(
-      argmaxAssign(normalized(corpus, "vec_id", "emb"), cent, "vec_id", "emb"))
+      argmaxAssign(prenorm.getOrElse(normalized(corpus, "vec_id", "emb")),
+        cent, "vec_id", "emb", barrier = prenorm.isEmpty))
     val lhs = assigned.select(col("cid"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
     val rhs = assigned.select(col("cid"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
     val priorDups = lhs.join(rhs, Seq("cid"))

@@ -530,6 +530,39 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"hard-negative plan grew beyond the s2 chain: $hnShape vs $s2Shape")
   }
 
+  test("shared normalized-corpus checkpoint: prenorm path row-identical to per-operator barriers") {
+    // the r21 §1.2 optimization: queries composing two similarity
+    // operators over ONE corpus share a single normalized+barriered
+    // frame instead of each operator paying its own normalize pass.
+    // Row equality pins the claim that the shared frame changes
+    // nothing — same expression, same rows, one checkpoint.
+    import graft.sources.Tables
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val seeds = e.where(col("vec_id") % 25 === 0)
+    val q = e.where(col("vec_id") < 20)
+    def rs(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSet
+
+    val vn = Similarity.normalizedCorpus(e)
+    // s3 composition: train + search
+    val trainedPlain = Similarity.kmeansCentroids(e, seeds, iters = 2)
+    val trainedPre = Similarity.kmeansCentroids(e, seeds, iters = 2, prenorm = Some(vn))
+    assert(rs(trainedPlain) == rs(trainedPre))
+    assert(rs(Similarity.ivfTopK(q, e, trainedPlain, k = 5, nProbe = 3)) ==
+      rs(Similarity.ivfTopK(q, e, trainedPre, k = 5, nProbe = 3, prenorm = Some(vn))))
+    // sd1 composition: train + semantic dedup
+    assert(rs(Similarity.semDedup(e, trainedPlain, threshold = 0.45)) ==
+      rs(Similarity.semDedup(e, trainedPre, threshold = 0.45, prenorm = Some(vn))))
+    // rc1 exact side
+    assert(rs(Similarity.bruteForceTopK(q, e, k = 5)) ==
+      rs(Similarity.bruteForceTopK(q, e, k = 5, prenorm = Some(vn))))
+    // rc3 composition: labeled shared frame for both miners
+    val lvn = Similarity.normalizedLabeledCorpus(e)
+    assert(rs(Similarity.bruteForceHardNegatives(q, e, k = 5)) ==
+      rs(Similarity.bruteForceHardNegatives(q, e, k = 5, prenorm = Some(lvn))))
+    assert(rs(Similarity.ivfHardNegatives(q, e, seeds, k = 5, nProbe = 3)) ==
+      rs(Similarity.ivfHardNegatives(q, e, seeds, k = 5, nProbe = 3, prenorm = Some(lvn))))
+  }
+
   test("semDedup: dups flagged within clusters only, keep-lowest-id rule") {
     // two well-separated clusters; v6/v7 are near-dups of EACH OTHER
     // (cos ≈ 0.999) but land in different cells — SemDeDup by design
