@@ -842,8 +842,18 @@ object Dedup {
     val spark = rows.sparkSession
     val threshold = scala.util.Try(
       spark.conf.get(HotClusterRowsKey).toLong).getOrElse(4000000L)
-    def plain = rows.join(
-      rows.groupBy(col(key)).agg(count(lit(1)).as(sizeCol)), Seq(key))
+    // size attach as a WINDOW count, not groupBy+join-back (the cu2
+    // argmax precedent, guide §2.4): one exchange of the rows + a
+    // partition-local sort, versus the join's aggregate exchange PLUS
+    // a second full-row exchange once the per-key count table is too
+    // wide to broadcast (mostly-singleton clusters ⇒ ~N keys at
+    // scale). Identical integers — count over the whole partition IS
+    // the group count. Per-group window buffering is bounded by the
+    // same hot/cold contract that bounds the join's sort: cold keys
+    // hold < threshold rows by construction.
+    def sizesByWindow(df: DataFrame) = df.withColumn(sizeCol,
+      count(lit(1)).over(Window.partitionBy(col(key))))
+    def plain = sizesByWindow(rows)
     // gate on the hint frame when given: `rows` is usually a
     // checkpointed label table whose LogicalRDD stats are the
     // don't-know default (forcing the probe), while the caller's
@@ -869,20 +879,17 @@ object Dedup {
         .where(col(sizeCol) >= threshold)
       val hotRows = hot.collect() // pigeonhole-bounded: ≤ n/threshold rows
       if (hotRows.isEmpty)
-        rowsB.join(
-          rowsB.groupBy(col(key)).agg(count(lit(1)).as(sizeCol)), Seq(key))
+        sizesByWindow(rowsB)
       else {
         import scala.jdk.CollectionConverters._
         val hotDf = spark.createDataFrame(hotRows.toSeq.asJava, hot.schema)
         val hotPart = rowsB.join(broadcast(hotDf), Seq(key))
-        // barrier the cold side too: it feeds BOTH the size aggregate
-        // and the join-back — un-barriered, the broadcast anti-join
-        // (a full pass over rowsB) would run once per consumer
-        // (VERDICT r20 "What's wrong" 3)
-        val coldRows = graft.Materialize.barrier(rowsB.join(
+        // no cold barrier needed any more: the window form gives the
+        // anti-join exactly ONE consumer (the r20-era agg+join-back
+        // had two, which forced a checkpoint — VERDICT r20 finding 3);
+        // rowsB above stays barriered for the probe/hot/cold fan-out
+        val coldPart = sizesByWindow(rowsB.join(
           broadcast(hotDf.select(col(key))), Seq(key), "left_anti"))
-        val coldPart = coldRows.join(
-          coldRows.groupBy(col(key)).agg(count(lit(1)).as(sizeCol)), Seq(key))
         hotPart.unionByName(coldPart)
       }
     }
