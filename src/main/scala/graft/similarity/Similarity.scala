@@ -385,7 +385,13 @@ object Similarity {
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
     (0 until iters).foreach { _ =>
       val centDf = broadcast(cents.toSeq.toDF("cid", "cent_emb"))
+      // dmin/dmax guard the fixed-dimension invariant the per-dim sum
+      // rewrite assumes (ADVICE r20): a shorter vector would silently
+      // skew the mean (sum skips its missing dims, the count doesn't)
+      // and a dim null across a cluster would NPE below — fail loudly
+      // instead. Two extra agg columns on a k-row collect: free.
       val sumCols = count(lit(1)).as("cnt") +:
+        min(size(col("emb"))).as("dmin") +: max(size(col("emb"))).as("dmax") +:
         (0 until dim).map(p => sum(col("emb").getItem(p)).as(s"s$p"))
       val meaned = argmaxAssign(vecs, centDf, "vid", "emb", barrier = false)
         .groupBy(col("cid"))
@@ -394,6 +400,12 @@ object Similarity {
         .map { row =>
           val cid = row.getAs[Number]("cid").longValue()
           val cnt = row.getLong(row.fieldIndex("cnt")).toDouble
+          require(row.getInt(row.fieldIndex("dmin")) == dim &&
+              row.getInt(row.fieldIndex("dmax")) == dim,
+            s"kmeansCentroids: corpus embeddings must all have the seed " +
+              s"dimension $dim (cluster $cid saw sizes " +
+              s"${row.getInt(row.fieldIndex("dmin"))}.." +
+              s"${row.getInt(row.fieldIndex("dmax"))})")
           (cid, (0 until dim).map(p =>
             row.getDouble(row.fieldIndex(s"s$p")) / cnt): Seq[Double])
         }
