@@ -1159,47 +1159,61 @@ object Similarity {
    * calls), so corpus-side and query-side distances share one
    * convention; argmin and ADC read only ROUNDED values.
    */
-  def pqEncodeAdc(
-      corpus: DataFrame, seeds: DataFrame, query: DataFrame,
-      m: Int = 4, dsub: Int = 16): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Driver-collect of a `(vec_id, embedding)` frame in vec_id order
+    * with a dimension check — the PQ family's bounded codebook/query
+    * state. */
+  private def collectVecsOf(
+      df: DataFrame, dim: Int, what: String): Array[(Long, Array[Double])] = {
+    val spark = df.sparkSession
     import spark.implicits._
-    val dim = m * dsub
-    def collectVecs(df: DataFrame, what: String): Array[(Long, Array[Double])] = {
-      val rows = df.select(col("vec_id").cast("long"),
-        col("embedding").cast("array<double>"))
-        .as[(Long, Array[Double])].collect().sortBy(_._1)
-      rows.foreach { case (id, e) =>
-        require(e.length == dim,
-          s"pq $what: vec $id has ${e.length} dims, expected $dim") }
-      rows
-    }
-    val cb = collectVecs(seeds, "codebook")     // code order = vec_id order
-    require(cb.nonEmpty, "pq: empty codebook")
-    val q = collectVecs(query, "query")
-    require(q.length == 1, s"pq: query must be exactly one vector, got ${q.length}")
+    val rows = df.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    rows.foreach { case (id, e) =>
+      require(e.length == dim,
+        s"pq $what: vec $id has ${e.length} dims, expected $dim") }
+    rows
+  }
+
+  /** The query's subspace-major ADC distance table `qdFlat(j·k + c)`,
+    * entries rounded with the same left-to-right fold the column
+    * expression uses — shared by [[pqEncodeAdc]] and the residual
+    * form's per-cell tables. */
+  private def pqQueryTable(
+      qRaw: Array[Double], cb: Array[(Long, Array[Double])],
+      m: Int, dsub: Int): Array[Double] = {
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-    // query distance table, same left-to-right fold the column
-    // expression below uses
-    val qd: Array[Array[Double]] = Array.tabulate(m) { j =>
+    Array.tabulate(m) { j =>
       cb.map { case (_, c) =>
         var acc = 0.0
         var i = 0
         while (i < dsub) {
-          val d = q(0)._2(j * dsub + i) - c(j * dsub + i)
+          val d = qRaw(j * dsub + i) - c(j * dsub + i)
           acc += d * d
           i += 1
         }
         round6(acc)
       }
-    }
+    }.flatten
+  }
+
+  def pqEncodeAdc(
+      corpus: DataFrame, seeds: DataFrame, query: DataFrame,
+      m: Int = 4, dsub: Int = 16): DataFrame = {
+    val dim = m * dsub
+    def collectVecs(df: DataFrame, what: String): Array[(Long, Array[Double])] =
+      collectVecsOf(df, dim, what)
+    val cb = collectVecs(seeds, "codebook")     // code order = vec_id order
+    require(cb.nonEmpty, "pq: empty codebook")
+    val q = collectVecs(query, "query")
+    require(q.length == 1, s"pq: query must be exactly one vector, got ${q.length}")
     ensureRegistered(corpus)
     val k = cb.length
     // code-major flattening: cbFlat(c*dim + d) = component d of entry c
     val cbFlat: Array[Double] = cb.flatMap(_._2)
     // subspace-major ADC table: qdFlat(j*k + c), entries pre-rounded
-    val qdFlat: Array[Double] = qd.flatten
+    val qdFlat: Array[Double] = pqQueryTable(q(0)._2, cb, m, dsub)
     val emb = col("embedding").cast("array<double>")
     val guard = when(size(emb) === dim, col("vec_id"))
       .otherwise(raise_error(concat(
@@ -1642,27 +1656,50 @@ object Similarity {
         call_function("graft_vec_sub",
           col("embedding").cast("array<double>"), col("craw")).as("embedding"))
     val corpusAssigned = corpus.join(assigned, Seq("vec_id"))
-    val residPruned = graft.Materialize.barrier(
-      residuals(corpusAssigned.where(col("cid").isin(probeCids: _*))))
-    val seedsR = graft.Materialize.barrier(
-      residuals(corpusAssigned
-        .join(broadcast(seeds.select(col("vec_id"))), Seq("vec_id"), "left_semi"))
-        .select(col("vec_id"), col("embedding")))
+    val residPruned = residuals(corpusAssigned.where(col("cid").isin(probeCids: _*)))
+    val seedsR = residuals(corpusAssigned
+      .join(broadcast(seeds.select(col("vec_id"))), Seq("vec_id"), "left_semi"))
+      .select(col("vec_id"), col("embedding"))
 
-    // per probed cell: the cell's ADC table comes from the QUERY
-    // RESIDUAL against that cell's centroid — pqEncodeAdc builds it
-    // from the single-row query frame with the shared rounded-fold
-    // contract
-    val scoredPerCell = probeCids.map { c =>
+    // ONE scoring pass over all probed cells (r21): the codebook is
+    // cell-independent — only the query's ADC TABLE differs per cell
+    // (q − c(cell) residual) — so the codebook collects ONCE, encode
+    // runs once per row, and the per-cell tables select by cid in a
+    // CaseWhen whose branches are separate graft_pq_adc reference
+    // objects. The old shape collected the identical codebook once
+    // PER PROBED CELL (nProbe driver round-trips over the full seed
+    // frame) and unioned nProbe scan branches behind a barrier; with
+    // a single consumer chain the residual/seed/union barriers are
+    // gone too (r20 discipline: a barrier is only worth its write
+    // when the frame is reused). Values are bit-identical: same
+    // codebook bits, same per-cell table bits, same fold.
+    val cb = collectVecsOf(seedsR, dim, "codebook")
+    require(cb.nonEmpty, "residual pq: empty codebook")
+    val kCb = cb.length
+    val cbFlat: Array[Double] = cb.flatMap(_._2)
+    val emb = col("embedding").cast("array<double>")
+    val guard = when(size(emb) === dim, col("vec_id"))
+      .otherwise(raise_error(concat(
+        lit(s"pq corpus: expected $dim dims, got "), size(emb).cast("string"))))
+    val coded = graft.dedup.Dedup.parallelize(residPruned)
+      .select(guard.as("vec_id"), col("cid"),
+        call_function("graft_pq_encode",
+          emb, typedlit(cbFlat), lit(m), lit(dsub)).as("codes"))
+    val adcByCell = probeCids.map { c =>
       val craw = centRaw(c)
       val qres = Array.tabulate(dim)(i => qRaw(i) - craw(i))
-      pqEncodeAdc(
-        residPruned.where(col("cid") === c).select(col("vec_id"), col("embedding")),
-        seedsR,
-        Seq((qid, qres)).toDF("vec_id", "embedding"),
-        m, dsub)
+      (c, pqQueryTable(qres, cb, m, dsub))
     }
-    val scored = graft.Materialize.barrier(scoredPerCell.reduce(_ unionByName _))
+    def cellAdc(c: Long, tbl: Array[Double]) =
+      call_function("graft_pq_adc", col("codes"), typedlit(tbl), lit(kCb))
+    val adc6 = adcByCell.tail.foldLeft(
+      when(col("cid") === lit(adcByCell.head._1),
+        cellAdc(adcByCell.head._1, adcByCell.head._2))) {
+      case (acc, (c, tbl)) => acc.when(col("cid") === lit(c), cellAdc(c, tbl))
+    }
+    val codeCols = (0 until m).map(j =>
+      element_at(col("codes"), j + 1).as(s"code$j"))
+    val scored = coded.select(col("vec_id") +: codeCols :+ adc6.as("adc6"): _*)
     scored.orderBy(col("adc6").asc, col("vec_id")).limit(topK)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("adc6").asc, col("vec_id"))))
